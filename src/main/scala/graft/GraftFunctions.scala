@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.{ApproxDistinct, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graft.GraftBridge
+
+/** User-facing function surface of the engine: DataFrame `Column` API plus
+  * SQL registration, replacing the reference's Hive deployment surface
+  * (`ADD JAR` + `CREATE TEMPORARY FUNCTION`, README.markdown:5).
+  *
+  * SQL usage after [[GraftFunctions.register]] (matches the reference's
+  * documented call shapes, UDAFCardinalityEstimator.java:66-68):
+  * {{{
+  *   SELECT k, approx_distinct(x) FROM t GROUP BY k
+  *   SELECT approx_distinct(x, 'lc', 1000000) FROM t
+  *   SELECT approx_distinct(stored_sketch_struct) FROM daily  -- re-aggregation
+  *   SELECT sketch_estimate(s), sketch_union(s1, s2),
+  *          sketch_intersection_estimate(s1, s2), sketch_merge_agg(bin) ...
+  * }}}
+  */
+object GraftFunctions {
+
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def expr(c: Column): Expression = GraftBridge.expression(c)
+
+  private def approxDistinctExpr(exprs: Seq[Expression], mergeBinary: Boolean): Expression = {
+    val (c, algo, p) = exprs match {
+      case Seq(c) => (c, Literal("hll"), Literal(-1))
+      case Seq(c, a) => (c, a, Literal(-1))
+      case Seq(c, a, p) => (c, a, p)
+      case _ => throw new IllegalArgumentException(
+        "approx_distinct requires 1 to 3 arguments: (col[, algo[, precision]])")
+    }
+    ApproxDistinct(c, algo, p, mergeBinary = mergeBinary)
+  }
+
+  /** `approx_distinct(col)` with defaults (HLL, b=16). */
+  def approx_distinct(c: Column): Column =
+    col(approxDistinctExpr(Seq(expr(c)), mergeBinary = false).asInstanceOf[ApproxDistinct]
+      .toAggregateExpression())
+
+  /** `approx_distinct(col, algo, precision)`; algo in {"hll","lc"}; precision
+    * -1 = default (HLL b=16 / LC 1,000,000 bytes). */
+  def approx_distinct(c: Column, algo: String, precision: Int = -1): Column =
+    col(ApproxDistinct(expr(c), Literal(algo), Literal(precision)).toAggregateExpression())
+
+  /** Aggregate-merge of a BINARY serialized-sketch column (our analogue of
+    * Spark's `hll_union_agg` convention; the struct path of `approx_distinct`
+    * covers the reference's own re-aggregation form). */
+  def sketch_merge_agg(c: Column): Column =
+    col(ApproxDistinct(expr(c), Literal("hll"), Literal(-1), mergeBinary = true)
+      .toAggregateExpression())
+
+  def sketch_estimate(c: Column): Column = col(SketchEstimate(expr(c)))
+  def sketch_union(a: Column, b: Column): Column = col(SketchUnion(expr(a), expr(b)))
+  def sketch_intersection_estimate(a: Column, b: Column): Column =
+    col(SketchIntersectionEstimate(expr(a), expr(b)))
+
+  @volatile private var registeredSessions = Set.empty[SparkSession]
+
+  /** Idempotently register all engine functions with a session's
+    * FunctionRegistry so plain SQL can call them (the Catalyst analogue of the
+    * reference's resolver entry point, UDAFCardinalityEstimator.java:100-148;
+    * literal-argument validation happens in checkInputDataTypes). */
+  def register(spark: SparkSession): Unit = {
+    if (registeredSessions.contains(spark)) return
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "approx_distinct", exprs => approxDistinctExpr(exprs, mergeBinary = false), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sketch_merge_agg", exprs => approxDistinctExpr(exprs, mergeBinary = true), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sketch_estimate", exprs => SketchEstimate(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sketch_union", exprs => SketchUnion(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sketch_intersection_estimate",
+      exprs => SketchIntersectionEstimate(exprs(0), exprs(1)), "built-in")
+    synchronized { registeredSessions += spark }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.sketch.{Hll, LinearCounter, Sketch, SketchMergeException}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+/** Kernel-level tests (no Spark): accuracy envelopes, merge laws, wire format.
+  * Mirrors SURVEY §5.2-3. */
+class SketchSpec extends AnyFunSuite {
+
+  private def hash(v: Long): Long = XXH64.hashLong(v, 42L)
+
+  private def hllOf(values: Iterable[Long], b: Int = 16): Hll = {
+    val h = new Hll(b)
+    values.foreach(v => h.offerHash(hash(v)))
+    h
+  }
+
+  test("HLL estimate within 3 sigma across cardinalities") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(100, 1000, 10000, 200000)) {
+      val values = Array.fill(n)(rnd.nextLong()).distinct
+      val est = hllOf(values).estimate
+      val sigma = 1.04 / math.sqrt(1 << 16)
+      val relErr = math.abs(est - values.length).toDouble / values.length
+      assert(relErr <= 3 * sigma, s"n=${values.length} est=$est relErr=$relErr")
+    }
+  }
+
+  test("HLL small range is near exact (LinearCounting correction)") {
+    val est = hllOf((1L to 50L)).estimate
+    assert(est == 50, s"expected 50, got $est")
+  }
+
+  test("HLL duplicates do not inflate estimate") {
+    val h = new Hll(16)
+    for (_ <- 1 to 100; v <- 1L to 30L) h.offerHash(hash(v))
+    assert(h.estimate == 30)
+  }
+
+  test("HLL merge equals union; commutative") {
+    val rnd = new scala.util.Random(11)
+    val a = Array.fill(5000)(rnd.nextLong())
+    val b = Array.fill(5000)(rnd.nextLong())
+    val ha = hllOf(a); val hb = hllOf(b)
+    val hab = hllOf(a ++ b)
+    ha.mergeInPlace(hb)
+    assert(java.util.Arrays.equals(ha.serialize(), hab.serialize()),
+      "merged sketch must be bit-identical to one-shot sketch")
+    val ha2 = hllOf(a); val hb2 = hllOf(b)
+    hb2.mergeInPlace(ha2)
+    assert(java.util.Arrays.equals(hb2.serialize(), hab.serialize()))
+  }
+
+  test("serialize/deserialize round-trip (HLL + LC)") {
+    val h = hllOf(1L to 1000L)
+    val h2 = Sketch.deserialize(h.serialize())
+    assert(h2.estimate == h.estimate)
+    assert(java.util.Arrays.equals(h2.serialize(), h.serialize()))
+
+    val lc = new LinearCounter(4096)
+    (1L to 500L).foreach(v => lc.offerHash(hash(v)))
+    val lc2 = Sketch.deserialize(lc.serialize())
+    assert(lc2.estimate == lc.estimate)
+    assert(java.util.Arrays.equals(lc2.serialize(), lc.serialize()))
+  }
+
+  test("mixed precision / mixed algo merge raises") {
+    intercept[SketchMergeException](new Hll(16).mergeInPlace(new Hll(12)))
+    intercept[SketchMergeException](new Hll(16).mergeInPlace(new LinearCounter(100)))
+    intercept[SketchMergeException](new LinearCounter(100).mergeInPlace(new LinearCounter(200)))
+  }
+
+  test("LC near-exact in small-load regime; merge is bitmap OR") {
+    val lc = new LinearCounter(1 << 16) // 64 KiB => 524288 bits
+    val rnd = new scala.util.Random(3)
+    val vs = Array.fill(2000)(rnd.nextLong()).distinct
+    vs.foreach(v => lc.offerHash(hash(v)))
+    val relErr = math.abs(lc.estimate - vs.length).toDouble / vs.length
+    assert(relErr < 0.01, s"LC est=${lc.estimate} exact=${vs.length}")
+
+    val a = new LinearCounter(4096); val b = new LinearCounter(4096)
+    (1L to 100L).foreach(v => a.offerHash(hash(v)))
+    (50L to 150L).foreach(v => b.offerHash(hash(v)))
+    val ab = new LinearCounter(4096)
+    (1L to 150L).foreach(v => ab.offerHash(hash(v)))
+    a.mergeInPlace(b)
+    assert(java.util.Arrays.equals(a.serialize(), ab.serialize()))
+  }
+
+  test("LC saturation reports capacity, not infinity") {
+    val lc = new LinearCounter(4) // 32 bits
+    (1L to 10000L).foreach(v => lc.offerHash(hash(v)))
+    assert(lc.estimate == 32)
+  }
+}
