@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ApproxDistinct, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
+import graft.functions.{ApproxDistinct, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
@@ -53,6 +53,9 @@ object GraftFunctions {
     col(ApproxDistinct(expr(c), Literal("hll"), Literal(-1), mergeBinary = true)
       .toAggregateExpression())
 
+  /** 64-bit Charikar SimHash of a token array (near-dup fingerprint). */
+  def simhash(c: Column): Column = col(SimHash(expr(c)))
+
   def sketch_estimate(c: Column): Column = col(SketchEstimate(expr(c)))
   def sketch_union(a: Column, b: Column): Column = col(SketchUnion(expr(a), expr(b)))
   def sketch_intersection_estimate(a: Column, b: Column): Column =
@@ -71,6 +74,8 @@ object GraftFunctions {
       "approx_distinct", exprs => approxDistinctExpr(exprs, mergeBinary = false), "built-in")
     reg.createOrReplaceTempFunction(
       "sketch_merge_agg", exprs => approxDistinctExpr(exprs, mergeBinary = true), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash", exprs => SimHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "sketch_estimate", exprs => SketchEstimate(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

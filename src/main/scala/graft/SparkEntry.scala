@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Dedup, Relational, Similarity, SketchQueries, TextAnalysis}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's declared operator inventory (SURVEY §2); each
+  * entry with an `oracleSql` twin is hash-checked against DuckDB at sf0.01,
+  * the rest get a rows-only check (approximate/engine-specific operators).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's signature capability: grouped approximate distinct
+    * counts from mergeable HLL sketches. */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftFunctions.register(spark)
+    sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy("l_returnflag")
+      .agg(GraftFunctions.approx_distinct(col("l_orderkey")).as("d"))
+      .select(col("l_returnflag"), col("d.cardinality").as("approx_orders"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ SketchQueries.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (approximate candidates, engine-specific hashes) → rows-only check. */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ SketchQueries.oracles ++ TextAnalysis.oracles ++
+      Dedup.oracles ++ Similarity.oracles
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.GraftFunctions
+import graft.sources.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed to
+  * scale by construction:
+  *
+  *  - exact dedup: hash-groupBy on content — one shuffle on the group key,
+  *    map-side partial aggregation;
+  *  - MinHash + LSH near-dup: signatures and band hashes are per-row,
+  *    codegen'd column expressions; only (band, bandHash) pairs shuffle, so
+  *    candidate generation is a bucket join, never an all-pairs product;
+  *  - SimHash near-dup: one 64-bit value per doc ([[graft.functions.SimHash]]),
+  *    candidates blocked on 16-bit chunks (any-chunk-equal covers Hamming
+  *    distance ≤ 3 by pigeonhole over 4 chunks), verified with the codegen'd
+  *    `bit_count(a ^ b)`;
+  *  - n-gram Jaccard: exact verification metric for LSH candidates.
+  *
+  * All-pairs comparison appears nowhere: every method is
+  * generate-candidates-by-key → verify-within-bucket, the only near-dup shape
+  * that survives 100 TB.
+  */
+object Dedup {
+
+  // ---- shingling / minhash primitives (pure Column expressions) ----
+
+  /** Word-level k-shingles of a token array. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  /** 64-bit hashes of distinct shingles. */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(array_distinct(shingles(TextAnalysis.tokens(text), k)), s => xxhash64(s))
+
+  /** Deterministic hash family: the i-th function re-mixes a shingle hash
+    * with the family index through xxhash64 (ANSI-safe — no wrapping
+    * arithmetic, which Spark 4 rejects under ansi.enabled). */
+  private def perm(h: Column, i: Int): Column = xxhash64(h, lit(i))
+
+  /** MinHash signature: array of `numPerms` minima over the shingle hashes. */
+  def minhashSignature(text: Column, k: Int = 3, numPerms: Int = 64): Column = {
+    val hs = shingleHashes(text, k)
+    array((0 until numPerms).map(i => array_min(transform(hs, h => perm(h, i)))): _*)
+  }
+
+  /** LSH band hashes: split the signature into `bands` bands and hash each;
+    * docs sharing any (band, hash) become candidates. */
+  def lshBandHashes(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b => xxhash64(slice(sig, b * rows + 1, rows))): _*)
+
+  /** Exact Jaccard similarity of two docs' distinct shingle-hash sets. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  // ---- whole-operator pipelines ----
+
+  /** Near-duplicate pairs via MinHash-LSH: shingle → sign → band → bucket
+    * join → exact-Jaccard verify. Returns (id_a, id_b, jaccard). */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numPerms / bands
+    val withSig = docs
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
+      .withColumn("bands",
+        lshBandHashes(
+          array((0 until numPerms).map(i =>
+            array_min(transform(col("sh"), h => perm(h, i)))): _*), bands, rows))
+    val buckets = withSig.select(col("id"),
+        posexplode(col("bands")).as(Seq("band", "bhash")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sh = withSig.select(col("id"), col("sh"))
+    cand
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Near-duplicate pairs via SimHash: 16-bit chunk blocking + Hamming
+    * verify. Returns (id_a, id_b, hamming). */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val withSim = docs.select(col(idCol).as("id"),
+      GraftFunctions.simhash(TextAnalysis.tokens(col(textCol))).as("sim"))
+    val chunked = withSim.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "cval")))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- declared queries ----
+
+  /** Exact dedup on raw content: canonical representative per text. */
+  def q40DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** MinHash-LSH near-dup pairs (approx candidates, exact-verified). */
+  def q45MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 3).as("jaccard_r"))
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs. */
+  def q46SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
+  /** N-gram (3-shingle) Jaccard for a fixed doc pair sample: every pair of
+    * the 20 lowest doc_ids — an exact, oracle-able similarity computation. */
+  def q47NgramJaccardSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("doc_id") < 20)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), 3)).as("sh"))
+    d.as("x").join(d.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        size(array_intersect(col("x.sh"), col("y.sh"))).cast("long").as("n_common"),
+        size(array_union(col("x.sh"), col("y.sh"))).cast("long").as("n_total"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact" -> (q40DedupExact _),
+    "q45_minhash_pairs" -> (q45MinhashPairs _),
+    "q46_simhash_pairs" -> (q46SimhashPairs _),
+    "q47_ngram_jaccard_sample" -> (q47NgramJaccardSample _))
+
+  val oracles: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents
+        |GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q47_ngram_jaccard_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents WHERE doc_id < 20))
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  len(list_intersect(x.sh, y.sh)) AS n_common,
+        |  len(list_distinct(list_concat(x.sh, y.sh))) AS n_total
+        |FROM t x JOIN t y ON x.doc_id < y.doc_id
+        |ORDER BY id_a, id_b""".stripMargin)
+}

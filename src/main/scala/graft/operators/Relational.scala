@@ -1,0 +1,370 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational capability surface (SURVEY §2b): everything the reference
+  * delegated to its host engine (Hive 0.9/Hadoop MR), re-expressed as
+  * declarative Spark DataFrame plans so Catalyst supplies pushdown, pruning,
+  * join selection and AQE for free. Each query has a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Cross-engine determinism rules (the oracle gate hashes values):
+  *  - money sums go through DECIMAL(18,2) (exact, order-independent) and are
+  *    cast back to DOUBLE at the end — identical bits in Spark and DuckDB;
+  *    raw double sums would differ by summation order;
+  *  - counts / ranks are cast to BIGINT (DuckDB's COUNT/ROW_NUMBER type);
+  *  - every result has a total ORDER BY with a unique tiebreak column.
+  *
+  * Scale notes (100 TB posture): dimension joins are `broadcast()`; fact-fact
+  * work shuffles on join/group keys only after filters (pushed to parquet);
+  * no collect()-driven logic anywhere.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def sumMoney(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** TPC-H Q1 flavor: full-scan aggregate with partial (map-side) agg. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Projection + predicate: both must reach the parquet scan (PushedFilters). */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+        col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q3 flavor: dim-filtered 3-way join, broadcast small sides. */
+  def q03JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Semi join (EXISTS): orders having any high-quantity line. */
+  def q04SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val big = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 45)
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Anti join (NOT EXISTS): customers that never ordered. */
+  def q05AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** TPC-H Q6 flavor: selective scan-aggregate (filters pushed down). */
+  def q06RevenueAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-01-01").cast("timestamp") &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Left outer join + per-customer rollup. */
+  def q07OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec(col("o_totalprice"))).cast("double"), lit(0.0)).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** Window ranking: top-2 orders per customer (deterministic tiebreak). */
+  def q08WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Window running aggregate along a time axis within each supplier. */
+  def q09WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .withColumn("running_qty", sum("l_quantity").over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** Global top-k (TakeOrderedAndProject — no full sort at scale). */
+  def q10TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(15)
+
+  /** Exact distinct aggregation (the thing approx_distinct approximates). */
+  def q11DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Set op: customers with both F- and O-status orders (INTERSECT). */
+  def q12Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** Set op: F-status customers minus P-status customers (EXCEPT). */
+  def q13Except(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .except(o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** ROLLUP with grouping_id — multi-level aggregate in one pass. */
+  def q14Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Scalar string/date/math functions (host-engine surface, SURVEY §2b). */
+  def q15ScalarFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_up"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mth"),
+        length(col("o_orderstatus")).cast("long").as("status_len"),
+        round(dec(col("o_totalprice")) / 1000, 0).cast("double").as("kprice"))
+      .orderBy("o_orderkey")
+
+  /** GROUP BY + HAVING. */
+  def q16Having(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 15)
+      .orderBy("o_custkey")
+
+  /** Scalar subquery: orders within 10% of the max price. */
+  def q17ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val mx = o.agg(max("o_totalprice").as("mx"))
+    o.join(broadcast(mx))
+      .filter(col("o_totalprice") >= col("mx") * 0.9)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** TPC-H Q5 flavor: 5-way star join → revenue per nation. Dims broadcast. */
+  def q18StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** CASE-expression bucketing + conditional aggregation. */
+  def q19CaseBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("qty_bucket",
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high"))
+      .groupBy("qty_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+      .orderBy("qty_bucket")
+
+  /** Grouped join on derived time key: order-year revenue by priority. */
+  def q20YearAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"), col("o_orderpriority"))
+      .agg(sumMoney(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+      .orderBy("yr", "o_orderpriority")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_join_agg" -> (q03JoinAgg _),
+    "q04_semi_join" -> (q04SemiJoin _),
+    "q05_anti_join" -> (q05AntiJoin _),
+    "q06_revenue_agg" -> (q06RevenueAgg _),
+    "q07_outer_join" -> (q07OuterJoin _),
+    "q08_window_topn" -> (q08WindowTopN _),
+    "q09_window_running" -> (q09WindowRunning _),
+    "q10_topk" -> (q10TopK _),
+    "q11_distinct_agg" -> (q11DistinctAgg _),
+    "q12_intersect" -> (q12Intersect _),
+    "q13_except" -> (q13Except _),
+    "q14_rollup" -> (q14Rollup _),
+    "q15_scalar_fns" -> (q15ScalarFns _),
+    "q16_having" -> (q16Having _),
+    "q17_scalar_subquery" -> (q17ScalarSubquery _),
+    "q18_star_join" -> (q18StarJoin _),
+    "q19_case_buckets" -> (q19CaseBuckets _),
+    "q20_year_agg" -> (q20YearAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_revenue_agg" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+        |  AND l_quantity < 24""".stripMargin,
+    "q07_outer_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q08_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q09_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q10_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+    "q11_distinct_agg" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "q12_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY custkey""".stripMargin,
+    "q13_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY custkey""".stripMargin,
+    "q14_rollup" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        |  COUNT(*) AS n_rows, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q15_scalar_fns" ->
+      """SELECT o_orderkey, UPPER(o_orderpriority) AS pri_up,
+        |  SUBSTRING(o_orderpriority, 1, 1) AS pri_code,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mth,
+        |  CAST(LENGTH(o_orderstatus) AS BIGINT) AS status_len,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) / 1000, 0) AS DOUBLE) AS kprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q16_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""".stripMargin,
+    "q17_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= (SELECT MAX(o_totalprice) FROM orders) * 0.9
+        |ORDER BY o_orderkey""".stripMargin,
+    "q18_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q19_case_buckets" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+        |            WHEN l_quantity < 30 THEN 'mid'
+        |            ELSE 'high' END AS qty_bucket,
+        |  COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+        |FROM lineitem GROUP BY 1 ORDER BY qty_bucket""".stripMargin,
+    "q20_year_agg" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, o_orderpriority""".stripMargin)
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.GraftFunctions
+import graft.GraftFunctions._
+import graft.sources.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's own capability, as oracle-gated queries: approximate
+  * distinct counting (E1/E2/E3 in SURVEY §3). Oracles are exact
+  * COUNT(DISTINCT); the gate applies the error envelope from BASELINE.md
+  * (3 × 1.04/√2¹⁶ ≈ 1.2% at the default b=16).
+  */
+object SketchQueries {
+
+  /** E2: global ungrouped aggregate. */
+  def q30ApproxGlobal(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.lineitem(spark, dir)
+      .agg(approx_distinct(col("l_orderkey")).as("d"))
+      .select(col("d.cardinality").as("n_orders"))
+  }
+
+  /** E1: grouped aggregate — partial sketches merge across the shuffle. */
+  def q31ApproxGrouped(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_distinct(col("l_orderkey")).as("d"))
+      .select(col("l_returnflag"), col("d.cardinality").as("n_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  /** LinearCounting path: low-cardinality domain where LC is near-exact. */
+  def q32ApproxLcUsers(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.events(spark, dir)
+      .agg(approx_distinct(col("user_id"), "lc").as("d"))
+      .select(col("d.cardinality").as("n_users"))
+  }
+
+  /** E3: store-then-merge — one sketch per ship-day, re-aggregated to a
+    * global count without rescanning raw rows (the reference's
+    * distinguishing feature, UDAFCardinalityEstimator.java:190-199). */
+  def q33SketchReagg(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(approx_distinct(col("l_orderkey")).as("sk"))
+      .agg(approx_distinct(col("sk")).as("d"))
+      .select(col("d.cardinality").as("n_orders"))
+  }
+
+  /** Sketch-level union over two overlapping date slices (scalar
+    * sketch_union / sketch_estimate — the stub UDF's TODO realized). Each
+    * output column is a plain union estimate, so the 1.2% envelope applies. */
+  private def dateSliceSketches(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val o = Tables.orders(spark, dir)
+    def slice(from: String, to: String) =
+      o.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(to).cast("timestamp"))
+        .agg(approx_distinct(col("o_orderkey")).as("sk"))
+    slice("1997-01-01", "1999-01-01").select(col("sk").as("sa"))
+      .join(slice("1998-01-01", "2000-01-01").select(col("sk").as("sb")))
+  }
+
+  def q34SketchUnion(spark: SparkSession, dir: String): DataFrame =
+    dateSliceSketches(spark, dir).select(
+      sketch_estimate(col("sa")).as("n_early"),
+      sketch_estimate(col("sb")).as("n_late"),
+      sketch_estimate(sketch_union(col("sa"), col("sb"))).as("n_union"))
+
+  /** Intersection by inclusion–exclusion. Deliberately NOT oracle-gated: the
+    * estimator's std-err scales with |A∪B|, so relative error vs the exact
+    * intersection can exceed the union envelope by |A∪B|/|A∩B| — asserted
+    * with the statistically correct bound in SketchQueriesSpec instead. */
+  def q35SketchIntersection(spark: SparkSession, dir: String): DataFrame =
+    dateSliceSketches(spark, dir).select(
+      sketch_intersection_estimate(col("sa"), col("sb")).as("n_intersect"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_approx_distinct_global" -> (q30ApproxGlobal _),
+    "q31_approx_distinct_grouped" -> (q31ApproxGrouped _),
+    "q32_approx_distinct_lc_users" -> (q32ApproxLcUsers _),
+    "q33_sketch_reagg" -> (q33SketchReagg _),
+    "q34_sketch_union" -> (q34SketchUnion _),
+    "q35_sketch_intersection" -> (q35SketchIntersection _))
+
+  /** Oracles are exact counts; the driver applies the approx envelope. */
+  val oracles: Map[String, String] = Map(
+    "q30_approx_distinct_global" ->
+      "SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+    "q31_approx_distinct_grouped" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q32_approx_distinct_lc_users" ->
+      "SELECT COUNT(DISTINCT user_id) AS n_users FROM events",
+    "q33_sketch_reagg" ->
+      "SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+    "q34_sketch_union" ->
+      """SELECT
+        |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01') AS n_early,
+        |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '2000-01-01') AS n_late,
+        |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '2000-01-01') AS n_union""".stripMargin)
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality metrics, language ID, content fingerprinting. All are
+  * built from `org.apache.spark.sql.functions._` primitives (split /
+  * higher-order array fns / xxhash64), so every one of them stays inside
+  * whole-stage codegen and runs embarrassingly parallel per partition — no
+  * shuffle, no UDF, no driver-side state: the shape that survives 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (robust to leading/trailing space). */
+  def tokens(c: Column): Column = filter(split(c, "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish subword proxy: tokens further split at letter/digit boundaries,
+    * counted. A cheap, deterministic token-budget estimator. */
+  def subwordCount(c: Column): Column =
+    size(filter(split(c, "[^\\p{L}\\p{N}]+"), t => t =!= "")).cast("long")
+
+  /** Content fingerprint: 64-bit hash of the order-normalized token stream.
+    * Word-order-insensitive, whitespace-insensitive — the "document
+    * fingerprinting" primitive used by fingerprint dedup. */
+  def fingerprint(c: Column): Column =
+    xxhash64(concat_ws(" ", array_sort(tokens(c))))
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "une", "est", "les", "des", "en"),
+    "es" -> Seq("el", "la", "y", "de", "un", "una", "es", "los", "las", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "den", "von", "zu"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Language ID: stopword-overlap argmax (deterministic tie-break by lang
+    * code). Unknown when nothing matches. */
+  def langId(c: Column): Column = {
+    val toks = tokens(lower(c))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality heuristics: length, token stats, alpha ratio, repetition. All
+    * ratios are double divisions of exact ints — deterministic. */
+  def qualityMetrics(c: Column): Column = {
+    val len = length(c).cast("long")
+    val nTok = tokenCount(c)
+    val nUniq = size(array_distinct(tokens(c))).cast("long")
+    val alphaChars = length(regexp_replace(c, "[^\\p{L}]", "")).cast("long")
+    struct(
+      len.as("n_chars"),
+      nTok.as("n_tokens"),
+      nUniq.as("n_unique_tokens"),
+      alphaChars.as("n_alpha_chars"),
+      (nUniq.cast("double") / nTok).as("uniq_ratio"),
+      (alphaChars.cast("double") / len).as("alpha_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: mean of uniq and alpha ratios, with a
+    * length-sanity gate. */
+  def qualityScore(c: Column): Column = {
+    val m = qualityMetrics(c)
+    when(m.getField("n_tokens") < 3, 0.0)
+      .otherwise((m.getField("uniq_ratio") + m.getField("alpha_ratio")) / 2.0)
+  }
+
+  // ---- declared queries ----
+
+  def q41TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        subwordCount(col("text")).as("n_subwords"))
+      .orderBy("doc_id")
+
+  def q42TextQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("text_len"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_unique_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), "dup", "")))
+          .cast("long").as("dup_marker_chars"))
+      .orderBy("doc_id")
+
+  /** Language ID vs the labeled lang column (heuristic, not oracle-gated —
+    * the labels are synthetic and the text is English-ish word soup). */
+  def q43LangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), langId(col("text")).as("predicted_lang"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Fingerprint dedup: group by order-normalized token stream; keep the
+    * smallest doc_id of each content class. */
+  def q44FingerprintDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(concat_ws(" ", array_sort(split(col("text"), " "))).as("norm"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_token_count" -> (q41TokenCount _),
+    "q42_text_quality" -> (q42TextQuality _),
+    "q43_langid" -> (q43LangId _),
+    "q44_fingerprint_dedup" -> (q44FingerprintDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "q41_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+        |  len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q42_text_quality" ->
+      """SELECT doc_id, LENGTH(text) AS text_len,
+        |  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+        |  LENGTH(text) - LENGTH(REPLACE(text, 'dup', '')) AS dup_marker_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q44_fingerprint_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents
+        |GROUP BY array_to_string(list_sort(string_split(text, ' ')), ' ')
+        |ORDER BY keep_id""".stripMargin)
+}
