@@ -80,7 +80,26 @@ object SketchQueries {
     dateSliceSketches(spark, dir).select(
       sketch_intersection_estimate(col("sa"), col("sb")).as("n_intersect"))
 
+  /** Batch twin of the streaming windowed-distinct operator
+    * ([[graft.streaming.StreamOps.windowedApproxDistinct]]): identical plan,
+    * which is what makes the streaming surface oracle-checkable. LC with a
+    * 64 KiB bitmap is collision-free w.h.p. at per-window cardinalities. */
+  def q36WindowedApproxUsers(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    graft.streaming.StreamOps.windowedApproxDistinct(
+        Tables.events(spark, dir), "ts", "event_type", "user_id", "1 hour",
+        algo = "lc", precision = 65536)
+      .withColumnRenamed("n_distinct", "n_users")
+      // epoch seconds, not timestamp: the events source carries non-UTC-
+      // adjusted nanos, so timestamp *rendering* differs across engines even
+      // when the instant is identical
+      .select(unix_timestamp(col("window_start")).as("window_epoch"),
+        col("event_type"), col("n_users"))
+      .orderBy("window_epoch", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_windowed_approx_users" -> (q36WindowedApproxUsers _),
     "q30_approx_distinct_global" -> (q30ApproxGlobal _),
     "q31_approx_distinct_grouped" -> (q31ApproxGrouped _),
     "q32_approx_distinct_lc_users" -> (q32ApproxLcUsers _),
@@ -90,6 +109,10 @@ object SketchQueries {
 
   /** Oracles are exact counts; the driver applies the approx envelope. */
   val oracles: Map[String, String] = Map(
+    "q36_windowed_approx_users" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
+        |  event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY window_epoch, event_type""".stripMargin,
     "q30_approx_distinct_global" ->
       "SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem",
     "q31_approx_distinct_grouped" ->

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.GraftFunctions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY §2b "streaming"): the sketch
+  * aggregate is a commutative monoid, so it drops into windowed streaming
+  * aggregation unchanged — partial sketches live in the state store and merge
+  * as micro-batches arrive. Late data is governed by watermarks; sessions by
+  * `session_window`. Every operator here takes a streaming OR batch
+  * DataFrame: the plan is identical, which is what makes results testable
+  * (batch parity) and the oracle gate applicable to the batch twin.
+  */
+object StreamOps {
+
+  /** Distinct-value sketch per (time window, key): tumbling when `slide` is
+    * None, sliding otherwise. Works in update/complete mode on a stream. */
+  def windowedApproxDistinct(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowDur: String, slide: Option[String] = None,
+      watermark: Option[String] = None, algo: String = "hll",
+      precision: Int = -1): DataFrame = {
+    GraftFunctions.register(events.sparkSession)
+    val withWm = watermark.map(events.withWatermark(tsCol, _)).getOrElse(events)
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowDur, s)
+      case None => window(col(tsCol), windowDur)
+    }
+    withWm.groupBy(win.as("w"), col(keyCol))
+      .agg(GraftFunctions.approx_distinct(col(valueCol), algo, precision).as("d"))
+      .select(col("w.start").as("window_start"), col(keyCol),
+        col("d.cardinality").as("n_distinct"))
+  }
+
+  /** Session windows per key with an inactivity gap. */
+  def sessionize(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: Option[String] = None): DataFrame = {
+    val withWm = watermark.map(events.withWatermark(tsCol, _)).getOrElse(events)
+    withWm.groupBy(session_window(col(tsCol), gap).as("s"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col(keyCol), col("n_events"), col("total_value"))
+  }
+
+  /** Streaming dedup: first occurrence wins within the watermark horizon —
+    * state is bounded by the watermark, which is what keeps it viable on an
+    * unbounded stream. */
+  def streamingDedup(events: DataFrame, tsCol: String, watermark: String,
+      idCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+}

@@ -59,6 +59,22 @@ object Drive {
     println("== physical plan of grouped sketch agg ==")
     li.groupBy("l_returnflag").agg(approx_distinct(col("l_orderkey"))).explain()
 
+    println("== streaming: windowed approx_distinct over a rate source ==")
+    val rate = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+      .select(col("timestamp").as("ts"),
+        (col("value") % 7).as("user_id"),
+        when(col("value") % 2 === 0, "click").otherwise("view").as("event_type"),
+        lit(1.0).as("value"))
+    val sq = graft.streaming.StreamOps
+      .windowedApproxDistinct(rate, "ts", "event_type", "user_id", "10 seconds")
+      .writeStream.outputMode("update").format("memory").queryName("drive_stream").start()
+    Thread.sleep(3000)
+    sq.processAllAvailable()
+    sq.stop()
+    spark.sql(
+      """SELECT event_type, MAX(n_distinct) AS n FROM drive_stream
+        |GROUP BY event_type ORDER BY event_type""".stripMargin).show(false)
+
     spark.stop()
   }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing tests: schema shape, batched per-partition decode,
+  * frame explosion, partition invariance (no shuffle-order dependence). */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("synthetic media table has the canonical media schema") {
+    val df = Multimodal.syntheticMediaTable(spark, sf)
+    assert(df.columns.toSeq ==
+      Seq("media_id", "format", "media", "width", "height", "n_frames"))
+    assert(df.schema("media").dataType.typeName == "binary")
+    val fmts = df.select("format").distinct().collect().map(_.getString(0)).toSet
+    assert(fmts == Set("image", "audio", "video"))
+  }
+
+  test("feature extraction: fixed dim, normalized, deterministic") {
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMediaTable(spark, sf))
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.features.length == Multimodal.FeatureDim))
+    // stub histogram is L1-normalized
+    assert(rows.forall(r => math.abs(r.features.map(_.toDouble).sum - 1.0) < 1e-5))
+  }
+
+  test("feature extraction is partition-invariant") {
+    val m = Multimodal.syntheticMediaTable(spark, sf)
+    val a = Multimodal.extractFeatures(m.repartition(1), batchSize = 7)
+      .collect().map(r => r.media_id -> r.features.toSeq).toMap
+    val b = Multimodal.extractFeatures(m.repartition(13), batchSize = 64)
+      .collect().map(r => r.media_id -> r.features.toSeq).toMap
+    assert(a == b)
+  }
+
+  test("frame sampling explodes only video rows at the sample stride") {
+    val m = Multimodal.syntheticMediaTable(spark, sf)
+    val frames = Multimodal.sampleFrames(m, everyN = 6)
+    val perDoc = frames.groupBy("media_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only video (media_id % 3 == 2)
+    assert(perDoc.keys.forall(_ % 3 == 2))
+    // stride 6 over n_frames = id % 24 + 1 frames
+    perDoc.foreach { case (id, n) =>
+      val expected = (0 until (id % 24 + 1).toInt by 6).size
+      assert(n == expected, s"media $id: $n frames, expected $expected")
+    }
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the LLM-pipeline operators with hand-constructed,
+  * hand-checkable inputs (the sf oracles cover the bulk volumes). */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  // ---- text analysis ----
+
+  test("tokens/tokenCount robust to whitespace") {
+    val df = Seq("a  b\tc", "  x y ", "").toDF("t")
+      .select(TextAnalysis.tokenCount($"t").as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 2L, 0L))
+  }
+
+  test("langId picks the stopword-majority language") {
+    val df = Seq(
+      "the cat and the dog of a house",          // en
+      "le chat et la maison de un jardin",       // fr
+      "el gato y la casa de un jardin que",      // es
+      "der hund und die katze ist ein tier",     // de
+      "zzz qqq www").toDF("t")                   // und
+      .select(TextAnalysis.langId($"t").as("lang"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("en", "fr", "es", "de", "und"))
+  }
+
+  test("fingerprint is word-order and whitespace invariant") {
+    val df = Seq("alpha beta gamma", "gamma  alpha\tbeta", "alpha beta delta")
+      .toDF("t").select(TextAnalysis.fingerprint($"t").as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("qualityScore: degenerate texts score low, varied text higher") {
+    val rows = Seq(
+      "spam spam spam spam spam spam spam spam", // repetitive
+      "a",                                       // too short
+      "the quick brown fox jumps over lazy dogs").toDF("t")
+      .select(TextAnalysis.qualityScore($"t").as("q")).collect().map(_.getDouble(0))
+    assert(rows(1) == 0.0)                       // length gate
+    assert(rows(0) < rows(2))                    // repetition penalized
+    assert(rows.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  // ---- dedup ----
+
+  private val nearDupDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today")    // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds near-dup and exact-dup pairs, not unrelated ones") {
+    val pairs = Dedup.minhashNearDupPairs(nearDupDocs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(pairs.contains((1L, 4L)), s"exact-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $pairs")
+  }
+
+  test("exact jaccard on known shingle sets") {
+    // doc1 vs doc4 identical => jaccard 1.0
+    val j = Dedup.minhashNearDupPairs(nearDupDocs, "doc_id", "text", threshold = 0.5)
+      .filter($"id_a" === 1L && $"id_b" === 4L)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical hash for dups, small hamming for near-dups") {
+    val pairs = Dedup.simhashNearDupPairs(nearDupDocs, "doc_id", "text", maxHamming = 10)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 4L)) == 0L) // exact dup => identical simhash
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 10L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  // ---- similarity ----
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  private val vecs = Seq(
+    (0L, vec(1, 0, 0, 0)),
+    (1L, vec(0.99, 0.1, 0, 0)),   // closest to 0
+    (2L, vec(0.7, 0.7, 0, 0)),    // second
+    (3L, vec(0, 1, 0, 0)),        // orthogonal
+    (4L, vec(-1, 0, 0, 0))        // opposite
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks by true cosine") {
+    val got = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 3)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 2L)) // self first, then by cosine
+  }
+
+  test("cosine column matches hand-computed values") {
+    val c = vecs.as("x").join(vecs.as("y"), $"x.vec_id" === 0L && $"y.vec_id" === 3L)
+      .select(Similarity.cosine($"x.embedding", $"y.embedding").as("c"))
+      .as[Double].head()
+    assert(math.abs(c) < 1e-9) // orthogonal
+  }
+
+  test("embedding near-dup finds the planted close pair") {
+    val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+        dim = 4, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"close pair missing: $pairs")
+    assert(!pairs.contains((0L, 4L)), s"opposite vectors matched: $pairs")
+  }
+
+  test("ann top-k returns k rows led by the query itself") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.annTopK(emb, "vec_id", "embedding", 64, 0L, 5)
+      .orderBy("rank").select("id").as[Long].collect()
+    assert(got.length == 5)
+    assert(got.head == 0L) // query vector is its own nearest neighbor
+  }
+
+  // ---- sketch set-op statistics (q35's promised bound) ----
+
+  test("intersection estimate within 3 sigma of inclusion-exclusion error") {
+    import GraftFunctions._
+    GraftFunctions.register(spark)
+    val a = (1L to 20000L).toDF("v").agg(approx_distinct($"v").as("sk")).select($"sk".as("sa"))
+    val b = (15001L to 35000L).toDF("v").agg(approx_distinct($"v").as("sk")).select($"sk".as("sb"))
+    val est = a.join(b).select(sketch_intersection_estimate($"sa", $"sb").as("i"))
+      .as[Long].head()
+    val exact = 5000.0
+    val sigma = (1.04 / math.sqrt(1 << 16)) * math.sqrt(20000.0 * 20000 + 20000.0 * 20000 + 35000.0 * 35000)
+    assert(math.abs(est - exact) <= 3 * sigma, s"est=$est exact=$exact 3sigma=${3 * sigma}")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.streaming.StreamOps
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured Streaming tests (SURVEY §5.6): the sketch aggregate as
+  * streaming state, watermark-governed lateness, session windows, stream
+  * dedup. MemoryStream drives micro-batches synchronously. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  private def t(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed approx_distinct over a stream, update mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps.windowedApproxDistinct(
+      mem.toDF(), "ts", "event_type", "user_id", "10 minutes")
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("wad").start()
+    try {
+      mem.addData(Ev(t(1), 1, "click", 1.0), Ev(t(2), 2, "click", 1.0),
+        Ev(t(3), 1, "click", 1.0), Ev(t(4), 3, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(5), 4, "click", 1.0), Ev(t(12), 1, "click", 1.0))
+      q.processAllAvailable()
+      // update mode re-emits rows per batch: keep the latest (max) per key
+      val rows = spark.sql(
+        """SELECT window_start, event_type, MAX(n_distinct) AS n
+          |FROM wad GROUP BY window_start, event_type""".stripMargin)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      // window 10:00-10:10 click: users {1,2,4} = 3 (sketch state merged across batches)
+      assert(rows((t(0), "click")) == 3L)
+      assert(rows((t(0), "view")) == 1L)
+      assert(rows((t(10), "click")) == 1L)
+    } finally q.stop()
+  }
+
+  test("watermark drops late rows beyond the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps.windowedApproxDistinct(
+      mem.toDF(), "ts", "event_type", "user_id", "10 minutes",
+      watermark = Some("5 minutes"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm").start()
+    try {
+      mem.addData(Ev(t(1), 1, "click", 1.0), Ev(t(2), 2, "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far => watermark passes the first window
+      mem.addData(Ev(t(40), 9, "click", 1.0))
+      q.processAllAvailable()
+      // this row is way behind the watermark: must be dropped
+      mem.addData(Ev(t(3), 3, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(59), 9, "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.sql("SELECT n_distinct FROM wm WHERE window_start = TIMESTAMP '2024-01-01 10:00:00'")
+        .collect().map(_.getLong(0))
+      assert(closed.sameElements(Array(2L)), s"late row leaked: ${closed.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("sessionize groups events by inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sessionize(mem.toDF(), "ts", "user_id", "5 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("sess").start()
+    try {
+      // user 1: events at 10:01,10:03,10:05 (one session) and 10:30 (another)
+      mem.addData(Ev(t(1), 1, "a", 1.0), Ev(t(3), 1, "a", 2.0),
+        Ev(t(5), 1, "a", 3.0), Ev(t(30), 1, "a", 4.0))
+      q.processAllAvailable()
+      val sess = spark.sql("SELECT n_events FROM sess WHERE user_id = 1 ORDER BY session_start")
+        .collect().map(_.getLong(0)).toSeq
+      assert(sess == Seq(3L, 1L), s"sessions: $sess")
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first occurrence within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamingDedup(mem.toDF(), "ts", "10 minutes", Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      mem.addData(Ev(t(1), 1, "a", 1.0), Ev(t(2), 1, "b", 2.0), Ev(t(3), 2, "c", 3.0))
+      q.processAllAvailable()
+      val vals = spark.sql("SELECT user_id, event_type FROM dedup ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(vals == Seq((1L, "a"), (2L, "c")), s"got $vals")
+    } finally q.stop()
+  }
+}
