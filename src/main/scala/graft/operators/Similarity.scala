@@ -25,32 +25,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated in double —
+    * higher-order-function form, kept for reference/one-off use; hot paths
+    * use [[cosine]] (a tight-loop Catalyst expression: the HOF form is
+    * interpreted per element and ~100× slower at 64 dims). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.graft.GraftBridge.expression(a),
+        org.apache.spark.sql.graft.GraftBridge.expression(b)))
 
-  /** Deterministic pseudo-random hyperplane weight for (table, bit, dim):
-    * xxhash64 of the index triple, mapped to [-1, 1). No RNG state — every
-    * executor derives the identical planes, nothing is broadcast. */
-  private def planeWeight(table: Int, bit: Int, d: Int): Double = {
-    val h = org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashLong(((table.toLong * 131) + bit) * 1048573L + d, 42L)
-    (h.toDouble / Long.MaxValue.toDouble)
-  }
-
-  /** `nBits`-bit LSH signature of an embedding for one hash table. */
-  def lshSignature(emb: Column, dim: Int, nBits: Int, table: Int): Column = {
-    val bits = (0 until nBits).map { b =>
-      val proj = (0 until dim).map(d =>
-        element_at(emb, d + 1) * lit(planeWeight(table, b, d))).reduce(_ + _)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** `nBits`-bit LSH signature of an embedding for one hash table — a single
+    * compact Catalyst expression ([[graft.functions.HyperplaneLsh]]); the
+    * composed element_at/multiply form was a ~4000-node tree whose codegen
+    * compilation dominated small queries. */
+  def lshSignature(emb: Column, dim: Int, nBits: Int, table: Int): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.HyperplaneLsh(
+        org.apache.spark.sql.graft.GraftBridge.expression(emb), dim, nBits, table))
 
   /** Exact brute-force cosine top-k neighbors of one query vector. */
   def bruteForceTopK(emb: DataFrame, idCol: String, embCol: String,
@@ -66,14 +63,19 @@ object Similarity {
       .select(col("id"), col("rank"))
   }
 
+  /** All `nTables` signatures in ONE projection + posexplode: a per-table
+    * unionAll would rescan the source and re-plan nTables times. */
+  private def withSignatures(base: DataFrame, dim: Int, nBits: Int,
+      nTables: Int): DataFrame =
+    base.select(col("id"), col("v"),
+      posexplode(array((0 until nTables).map(t =>
+        lshSignature(col("v"), dim, nBits, t)): _*)).as(Seq("tbl", "sig")))
+
   /** ANN top-k: LSH-bucket candidates (multi-table), exact re-rank. */
   def annTopK(emb: DataFrame, idCol: String, embCol: String, dim: Int,
       queryId: Long, k: Int, nBits: Int = 6, nTables: Int = 8): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(embCol).as("v"))
-    val sigs = (0 until nTables).map(t =>
-      base.select(col("id"), col("v"), lit(t).as("tbl"),
-        lshSignature(col("v"), dim, nBits, t).as("sig")))
-      .reduce(_ unionAll _)
+    val sigs = withSignatures(base, dim, nBits, nTables)
     val qsig = sigs.filter(col("id") === queryId)
       .select(col("tbl").as("qtbl"), col("sig").as("qsig"), col("v").as("qv"))
     val cand = sigs.join(broadcast(qsig),
@@ -90,16 +92,18 @@ object Similarity {
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
       dim: Int, threshold: Double, nBits: Int = 4, nTables: Int = 8): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(embCol).as("v"))
-    val sigs = (0 until nTables).map(t =>
-      base.select(col("id"), col("v"), lit(t).as("tbl"),
-        lshSignature(col("v"), dim, nBits, t).as("sig")))
-      .reduce(_ unionAll _)
-    sigs.as("x").join(sigs.as("y"),
+    val sigs = withSignatures(base, dim, nBits, nTables)
+      .select(col("id"), col("tbl"), col("sig"))
+    // dedup candidate ids FIRST, then rejoin vectors by id: arrays must not
+    // ride through the distinct() shuffle (row size, comparator cost)
+    val cand = sigs.as("x").join(sigs.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

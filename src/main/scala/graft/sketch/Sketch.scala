@@ -38,10 +38,28 @@ final class SketchMergeException(msg: String) extends RuntimeException(msg)
 object Sketch {
   val TagHll: Byte = 1
   val TagLc: Byte = 2
+  val TagHllSparse: Byte = 3
+  val TagLcSparse: Byte = 4
 
-  /** Inverse of [[Sketch.serialize]]. Format:
-    *  HLL: [tag=1][b: 1 byte][2^b register bytes]
-    *  LC:  [tag=2][sizeBytes: 4 bytes BE][bitmap bytes]
+  private[sketch] def readInt(bytes: Array[Byte], off: Int): Int =
+    ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+      ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+
+  private[sketch] def writeInt(bytes: Array[Byte], off: Int, v: Int): Unit = {
+    bytes(off) = (v >>> 24).toByte
+    bytes(off + 1) = (v >>> 16).toByte
+    bytes(off + 2) = (v >>> 8).toByte
+    bytes(off + 3) = v.toByte
+  }
+
+  /** Inverse of [[Sketch.serialize]]. Wire formats (in-memory is always
+    * dense; the sparse encodings exist because at scale most groups are
+    * small and a dense 2^b-byte payload per group would dominate shuffle
+    * bytes — see serialize() in each impl):
+    *  HLL dense:  [tag=1][b: 1][2^b register bytes]
+    *  LC dense:   [tag=2][sizeBytes: 4 BE][bitmap bytes]
+    *  HLL sparse: [tag=3][b: 1][n: 4 BE][n × (regIdx: 3 BE, rho: 1)]
+    *  LC sparse:  [tag=4][sizeBytes: 4 BE][n: 4 BE][n × bitIdx: 4 BE]
     */
   def deserialize(bytes: Array[Byte]): Sketch = {
     require(bytes != null && bytes.length >= 1, "empty sketch payload")
@@ -52,11 +70,36 @@ object Sketch {
         require(bytes.length == 2 + m, s"HLL payload length ${bytes.length} != ${2 + m}")
         val regs = java.util.Arrays.copyOfRange(bytes, 2, 2 + m)
         new Hll(b, regs)
+      case TagHllSparse =>
+        val b = bytes(1).toInt
+        val n = readInt(bytes, 2)
+        require(bytes.length == 6 + 4 * n, s"sparse HLL length ${bytes.length} != ${6 + 4 * n}")
+        val regs = new Array[Byte](1 << b)
+        var i = 0
+        while (i < n) {
+          val off = 6 + 4 * i
+          val idx = ((bytes(off) & 0xff) << 16) | ((bytes(off + 1) & 0xff) << 8) |
+            (bytes(off + 2) & 0xff)
+          regs(idx) = bytes(off + 3)
+          i += 1
+        }
+        new Hll(b, regs)
       case TagLc =>
-        val size = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
-          ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+        val size = readInt(bytes, 1)
         require(bytes.length == 5 + size, s"LC payload length ${bytes.length} != ${5 + size}")
         val bitmap = java.util.Arrays.copyOfRange(bytes, 5, 5 + size)
+        new LinearCounter(size, bitmap)
+      case TagLcSparse =>
+        val size = readInt(bytes, 1)
+        val n = readInt(bytes, 5)
+        require(bytes.length == 9 + 4 * n, s"sparse LC length ${bytes.length} != ${9 + 4 * n}")
+        val bitmap = new Array[Byte](size)
+        var i = 0
+        while (i < n) {
+          val idx = readInt(bytes, 9 + 4 * i)
+          bitmap(idx >>> 3) = (bitmap(idx >>> 3) | (1 << (idx & 7))).toByte
+          i += 1
+        }
         new LinearCounter(size, bitmap)
       case t => throw new SketchMergeException(s"unknown sketch tag $t")
     }
@@ -128,12 +171,45 @@ final class Hll(val b: Int, val registers: Array[Byte]) extends Sketch {
     case o => throw new SketchMergeException(s"cannot merge HLL with ${o.algo}")
   }
 
+  /** Dense when ≥ m/4 registers are set, else sparse (idx,rho) pairs: a
+    * low-cardinality group ships O(n) bytes across the shuffle instead of a
+    * fixed 2^b — at scale, groups are mostly small and this is the
+    * difference between KBs and GBs of exchange. Encoding is a deterministic
+    * ascending scan, so partition-invariance (bit-identical sketches for any
+    * split) is preserved. */
   override def serialize(): Array[Byte] = {
-    val out = new Array[Byte](2 + m)
-    out(0) = Sketch.TagHll
-    out(1) = b.toByte
-    System.arraycopy(registers, 0, out, 2, m)
-    out
+    var nonZero = 0
+    var i = 0
+    while (i < m) {
+      if (registers(i) != 0) nonZero += 1
+      i += 1
+    }
+    if (nonZero.toLong * 4 + 6 < 2L + m) {
+      val out = new Array[Byte](6 + 4 * nonZero)
+      out(0) = Sketch.TagHllSparse
+      out(1) = b.toByte
+      Sketch.writeInt(out, 2, nonZero)
+      var j = 0
+      i = 0
+      while (i < m) {
+        if (registers(i) != 0) {
+          val off = 6 + 4 * j
+          out(off) = (i >>> 16).toByte
+          out(off + 1) = (i >>> 8).toByte
+          out(off + 2) = i.toByte
+          out(off + 3) = registers(i)
+          j += 1
+        }
+        i += 1
+      }
+      out
+    } else {
+      val out = new Array[Byte](2 + m)
+      out(0) = Sketch.TagHll
+      out(1) = b.toByte
+      System.arraycopy(registers, 0, out, 2, m)
+      out
+    }
   }
 }
 
@@ -187,14 +263,38 @@ final class LinearCounter(val sizeBytes: Int, val bitmap: Array[Byte]) extends S
     case o => throw new SketchMergeException(s"cannot merge LC with ${o.algo}")
   }
 
+  /** Dense when the set-bit list wouldn't be smaller; sparse bit-index list
+    * otherwise (same rationale and determinism as the HLL encoding). */
   override def serialize(): Array[Byte] = {
-    val out = new Array[Byte](5 + sizeBytes)
-    out(0) = Sketch.TagLc
-    out(1) = (sizeBytes >>> 24).toByte
-    out(2) = (sizeBytes >>> 16).toByte
-    out(3) = (sizeBytes >>> 8).toByte
-    out(4) = sizeBytes.toByte
-    System.arraycopy(bitmap, 0, out, 5, sizeBytes)
-    out
+    val setBits = (mBits - zeros).toInt
+    if (setBits.toLong * 4 + 9 < 5L + sizeBytes) {
+      val out = new Array[Byte](9 + 4 * setBits)
+      out(0) = Sketch.TagLcSparse
+      Sketch.writeInt(out, 1, sizeBytes)
+      Sketch.writeInt(out, 5, setBits)
+      var j = 0
+      var i = 0
+      while (i < sizeBytes) {
+        val byte = bitmap(i) & 0xff
+        if (byte != 0) {
+          var bit = 0
+          while (bit < 8) {
+            if ((byte & (1 << bit)) != 0) {
+              Sketch.writeInt(out, 9 + 4 * j, i * 8 + bit)
+              j += 1
+            }
+            bit += 1
+          }
+        }
+        i += 1
+      }
+      out
+    } else {
+      val out = new Array[Byte](5 + sizeBytes)
+      out(0) = Sketch.TagLc
+      Sketch.writeInt(out, 1, sizeBytes)
+      System.arraycopy(bitmap, 0, out, 5, sizeBytes)
+      out
+    }
   }
 }

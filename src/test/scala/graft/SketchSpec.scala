@@ -65,6 +65,38 @@ class SketchSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(lc2.serialize(), lc.serialize()))
   }
 
+  test("sparse wire format: small sketches encode compactly and round-trip") {
+    val small = hllOf(1L to 100L)
+    val bytes = small.serialize()
+    assert(bytes(0) == Sketch.TagHllSparse)
+    assert(bytes.length < 1000, s"sparse HLL should be ~400B, got ${bytes.length}")
+    val back = Sketch.deserialize(bytes)
+    assert(back.estimate == small.estimate)
+    // a re-serialized deserialized sketch is bit-identical
+    assert(java.util.Arrays.equals(back.serialize(), bytes))
+    // dense kicks in at high fill
+    val big = hllOf(1L to 500000L)
+    assert(big.serialize()(0) == Sketch.TagHll)
+
+    val lc = new LinearCounter(1 << 20)
+    (1L to 200L).foreach(v => lc.offerHash(hash(v)))
+    val lcBytes = lc.serialize()
+    assert(lcBytes(0) == Sketch.TagLcSparse)
+    assert(lcBytes.length < 2000, s"sparse LC should be ~800B, got ${lcBytes.length}")
+    val lcBack = Sketch.deserialize(lcBytes)
+    assert(lcBack.estimate == lc.estimate)
+    assert(java.util.Arrays.equals(lcBack.serialize(), lcBytes))
+  }
+
+  test("sparse and dense forms of the same sketch merge correctly") {
+    val a = hllOf(1L to 100L)                 // will serialize sparse
+    val b = hllOf(1L to 400000L)              // dense
+    val merged = Sketch.deserialize(b.serialize())
+    merged.mergeInPlace(Sketch.deserialize(a.serialize()))
+    val oneShot = hllOf((1L to 100L) ++ (1L to 400000L))
+    assert(java.util.Arrays.equals(merged.serialize(), oneShot.serialize()))
+  }
+
   test("mixed precision / mixed algo merge raises") {
     intercept[SketchMergeException](new Hll(16).mergeInPlace(new Hll(12)))
     intercept[SketchMergeException](new Hll(16).mergeInPlace(new LinearCounter(100)))
