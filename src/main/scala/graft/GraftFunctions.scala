@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ApproxDistinct, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
+import graft.functions.{ApproxDistinct, CosineSimilarity, HyperplaneLsh, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
@@ -56,6 +56,17 @@ object GraftFunctions {
   /** 64-bit Charikar SimHash of a token array (near-dup fingerprint). */
   def simhash(c: Column): Column = col(SimHash(expr(c)))
 
+  /** Cosine similarity of two numeric-array columns (double accumulation). */
+  def cosine_similarity(a: Column, b: Column): Column =
+    col(CosineSimilarity(expr(a), expr(b)))
+
+  /** Distinct 64-bit hashes of the word-level k-shingles of a text column. */
+  def shingle_hashes(c: Column, k: Int): Column = col(ShingleHashes(expr(c), k))
+
+  /** Random-hyperplane LSH signature of an embedding (one hash table). */
+  def hyperplane_lsh(c: Column, dim: Int, nBits: Int, table: Int): Column =
+    col(HyperplaneLsh(expr(c), dim, nBits, table))
+
   def sketch_estimate(c: Column): Column = col(SketchEstimate(expr(c)))
   def sketch_union(a: Column, b: Column): Column = col(SketchUnion(expr(a), expr(b)))
   def sketch_intersection_estimate(a: Column, b: Column): Column =
@@ -76,6 +87,20 @@ object GraftFunctions {
       "sketch_merge_agg", exprs => approxDistinctExpr(exprs, mergeBinary = true), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash", exprs => SimHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    def litInt(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashes(exprs(0), litInt(exprs(1), "shingle size k")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hyperplane_lsh",
+      exprs => HyperplaneLsh(exprs(0), litInt(exprs(1), "dim"),
+        litInt(exprs(2), "nBits"), litInt(exprs(3), "table")), "built-in")
     reg.createOrReplaceTempFunction(
       "sketch_estimate", exprs => SketchEstimate(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

@@ -126,6 +126,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head == 0L) // query vector is its own nearest neighbor
   }
 
+  test("SQL surface: text/similarity functions callable from plain SQL") {
+    GraftFunctions.register(spark)
+    Seq((1L, "alpha beta gamma delta", Array(1.0f, 0.0f)),
+      (2L, "alpha beta gamma epsilon", Array(0.6f, 0.8f)))
+      .toDF("id", "text", "vec").createOrReplaceTempView("sqlfns")
+    val r = spark.sql(
+      """SELECT simhash(split(text, ' ')) AS sh,
+        |  size(shingle_hashes(text, 2)) AS n_shingles,
+        |  hyperplane_lsh(vec, 2, 4, 0) AS lsh,
+        |  cosine_similarity(vec, array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos
+        |FROM sqlfns ORDER BY id""".stripMargin).collect()
+    assert(r.length == 2)
+    assert(r(0).getInt(1) == 3) // "alpha beta","beta gamma","gamma delta"
+    assert(math.abs(r(0).getDouble(3) - 1.0) < 1e-6)
+    assert(math.abs(r(1).getDouble(3) - 0.6) < 1e-6) // float32 inputs
+    // non-literal config is rejected with a clear message
+    val e = intercept[Exception](spark.sql("SELECT shingle_hashes(text, id) FROM sqlfns").collect())
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   // ---- sketch set-op statistics (q35's promised bound) ----
 
   test("intersection estimate within 3 sigma of inclusion-exclusion error") {
