@@ -81,33 +81,43 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     if (registeredSessions.contains(spark)) return
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "approx_distinct", exprs => approxDistinctExpr(exprs, mergeBinary = false), "built-in")
-    reg.createOrReplaceTempFunction(
-      "sketch_merge_agg", exprs => approxDistinctExpr(exprs, mergeBinary = true), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash", exprs => SimHash(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+
+    def arity(name: String, n: Int)(b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+      exprs =>
+        if (exprs.length == n) b(exprs)
+        else throw new IllegalArgumentException(
+          s"$name requires exactly $n argument(s), got ${exprs.length}")
     def litInt(e: Expression, what: String): Int = e match {
       case Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $other")
     }
+
+    reg.createOrReplaceTempFunction(
+      "approx_distinct", exprs => approxDistinctExpr(exprs, mergeBinary = false), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sketch_merge_agg", exprs => approxDistinctExpr(exprs, mergeBinary = true), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash", arity("simhash", 1)(e => SimHash(e.head)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cosine_similarity",
+      arity("cosine_similarity", 2)(e => CosineSimilarity(e(0), e(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_hashes",
-      exprs => ShingleHashes(exprs(0), litInt(exprs(1), "shingle size k")), "built-in")
+      arity("shingle_hashes", 2)(e =>
+        ShingleHashes(e(0), litInt(e(1), "shingle size k"))), "built-in")
     reg.createOrReplaceTempFunction(
       "hyperplane_lsh",
-      exprs => HyperplaneLsh(exprs(0), litInt(exprs(1), "dim"),
-        litInt(exprs(2), "nBits"), litInt(exprs(3), "table")), "built-in")
+      arity("hyperplane_lsh", 4)(e => HyperplaneLsh(e(0), litInt(e(1), "dim"),
+        litInt(e(2), "nBits"), litInt(e(3), "table"))), "built-in")
     reg.createOrReplaceTempFunction(
-      "sketch_estimate", exprs => SketchEstimate(exprs.head), "built-in")
+      "sketch_estimate", arity("sketch_estimate", 1)(e => SketchEstimate(e.head)), "built-in")
     reg.createOrReplaceTempFunction(
-      "sketch_union", exprs => SketchUnion(exprs(0), exprs(1)), "built-in")
+      "sketch_union", arity("sketch_union", 2)(e => SketchUnion(e(0), e(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "sketch_intersection_estimate",
-      exprs => SketchIntersectionEstimate(exprs(0), exprs(1)), "built-in")
+      arity("sketch_intersection_estimate", 2)(e =>
+        SketchIntersectionEstimate(e(0), e(1))), "built-in")
     synchronized { registeredSessions += spark }
   }
 }

@@ -231,7 +231,27 @@ object Relational {
       .agg(sumMoney(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
       .orderBy("yr", "o_orderpriority")
 
+  /** CUBE over two dims (all four grouping sets in one pass). */
+  def q21Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("total"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Semi-structured JSON column: extract + aggregate (events.props). */
+  def q22JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), max("k").as("max_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_cube" -> (q21Cube _),
+    "q22_json_props" -> (q22JsonProps _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_agg" -> (q03JoinAgg _),
@@ -254,6 +274,16 @@ object Relational {
     "q20_year_agg" -> (q20YearAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q21_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q22_json_props" ->
+      """SELECT event_type, SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
