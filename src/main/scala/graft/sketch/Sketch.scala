@@ -74,16 +74,16 @@ object Sketch {
         val b = bytes(1).toInt
         val n = readInt(bytes, 2)
         require(bytes.length == 6 + 4 * n, s"sparse HLL length ${bytes.length} != ${6 + 4 * n}")
-        val regs = new Array[Byte](1 << b)
+        val entries = new Array[(Int, Byte)](n)
         var i = 0
         while (i < n) {
           val off = 6 + 4 * i
           val idx = ((bytes(off) & 0xff) << 16) | ((bytes(off + 1) & 0xff) << 8) |
             (bytes(off + 2) & 0xff)
-          regs(idx) = bytes(off + 3)
+          entries(i) = (idx, bytes(off + 3))
           i += 1
         }
-        new Hll(b, regs)
+        Hll.fromSparse(b, entries)
       case TagLc =>
         val size = readInt(bytes, 1)
         require(bytes.length == 5 + size, s"LC payload length ${bytes.length} != ${5 + size}")
@@ -106,7 +106,8 @@ object Sketch {
   }
 }
 
-/** Dense HyperLogLog (Flajolet/Fusy/Gandouet/Meunier 2007).
+/** HyperLogLog (Flajolet/Fusy/Gandouet/Meunier 2007) with an HLL++-style
+  * sparse→dense representation.
   *
   * `b` = log2(register count), default 16 in the engine API to match the
   * reference's `HLL_DEFAULT_B = 16` (UDAFCardinalityEstimator.java:89), giving
@@ -115,21 +116,56 @@ object Sketch {
   * 64-bit variant: top `b` hash bits select the register, the rank of the
   * remaining (64-b) bits feeds it. Small-range correction = LinearCounting on
   * the zero registers; NO 32-bit long-range correction (meaningless at 64 bits,
-  * and the reference disables it too — UDAFCardinalityEstimator.java:335-337).
+  * and the reference disables it too — UDAFCardinalizer.java:335-337 pattern).
+  *
+  * Representation: a new sketch starts as a small idx→rank map and upgrades
+  * to the dense 2^b array once > 2^b/8 registers are touched. At scale, most
+  * groups of a high-cardinality GROUP BY are small; sparse mode makes their
+  * aggregation-buffer cost O(distinct), not a fixed 64 KB each. All
+  * observable behavior (estimates, serialized bytes) is representation-
+  * independent: estimate math runs over the same register multiset and
+  * serialization emits ascending-index order either way, preserving the
+  * partition-invariance guarantee (identical bytes for any data split).
   */
-final class Hll(val b: Int, val registers: Array[Byte]) extends Sketch {
+final class Hll private (val b: Int, private var dense: Array[Byte],
+    private var sparse: scala.collection.mutable.LongMap[Int]) extends Sketch {
   require(b >= 4 && b <= 24, s"HLL precision b must be in [4,24], got $b")
-  def this(b: Int) = this(b, new Array[Byte](1 << b))
+
+  /** New empty sketch — starts sparse. */
+  def this(b: Int) = this(b, null, new scala.collection.mutable.LongMap[Int](64))
+  /** Dense from existing registers (deserialization, tests). */
+  def this(b: Int, regs: Array[Byte]) = this(b, regs, null)
+
   private[this] val m = 1 << b
+  private def upgradeAt: Int = m >>> 3
 
   override def algo: String = "HLL"
+
+  private def toDense(): Unit = {
+    val regs = new Array[Byte](m)
+    sparse.foreachEntry((idx, rho) => regs(idx.toInt) = rho.toByte)
+    dense = regs
+    sparse = null
+  }
+
+  /** Dense register array (forces densification — for internal/test use). */
+  private[graft] def registers: Array[Byte] = {
+    if (dense == null) toDense()
+    dense
+  }
 
   override def offerHash(h: Long): Unit = {
     val idx = (h >>> (64 - b)).toInt
     val w = h << b
     // rank of the remaining 64-b bits; all-zero suffix => max rank 64-b+1
     val rho = if (w == 0) (64 - b + 1) else java.lang.Long.numberOfLeadingZeros(w) + 1
-    if (rho > registers(idx)) registers(idx) = rho.toByte
+    if (dense != null) {
+      if (rho > dense(idx)) dense(idx) = rho.toByte
+    } else {
+      val prev = sparse.getOrNull(idx.toLong)
+      if (prev == null || rho > prev.asInstanceOf[Int]) sparse.update(idx.toLong, rho)
+      if (sparse.size > upgradeAt) toDense()
+    }
   }
 
   private def alphaMM: Double = {
@@ -145,12 +181,19 @@ final class Hll(val b: Int, val registers: Array[Byte]) extends Sketch {
   override def estimate: Long = {
     var sum = 0.0
     var zeros = 0
-    var i = 0
-    while (i < m) {
-      val r = registers(i) & 0xff
-      sum += 1.0 / (1L << r).toDouble
-      if (r == 0) zeros += 1
-      i += 1
+    if (dense != null) {
+      var i = 0
+      while (i < m) {
+        val r = dense(i) & 0xff
+        sum += 1.0 / (1L << r).toDouble
+        if (r == 0) zeros += 1
+        i += 1
+      }
+    } else {
+      // untouched registers contribute 2^-0 = 1 each and count as zeros
+      zeros = m - sparse.size
+      sum = zeros.toDouble
+      sparse.foreachValue(rho => sum += 1.0 / (1L << rho).toDouble)
     }
     val e = alphaMM / sum
     val est =
@@ -163,10 +206,23 @@ final class Hll(val b: Int, val registers: Array[Byte]) extends Sketch {
     case o: Hll =>
       if (o.b != b)
         throw new SketchMergeException(s"cannot merge HLL(b=$b) with HLL(b=${o.b})")
-      var i = 0
-      while (i < m) {
-        if (o.registers(i) > registers(i)) registers(i) = o.registers(i)
-        i += 1
+      if (o.dense == null && dense == null) {
+        o.sparse.foreachEntry { (idx, rho) =>
+          val prev = sparse.getOrNull(idx)
+          if (prev == null || rho > prev.asInstanceOf[Int]) sparse.update(idx, rho)
+        }
+        if (sparse.size > upgradeAt) toDense()
+      } else if (o.dense == null) { // this dense, other sparse
+        o.sparse.foreachEntry { (idx, rho) =>
+          if (rho > dense(idx.toInt)) dense(idx.toInt) = rho.toByte
+        }
+      } else { // other dense: densify this and take register-wise max
+        if (dense == null) toDense()
+        var i = 0
+        while (i < m) {
+          if (o.dense(i) > dense(i)) dense(i) = o.dense(i)
+          i += 1
+        }
       }
     case o => throw new SketchMergeException(s"cannot merge HLL with ${o.algo}")
   }
@@ -174,42 +230,77 @@ final class Hll(val b: Int, val registers: Array[Byte]) extends Sketch {
   /** Dense when ≥ m/4 registers are set, else sparse (idx,rho) pairs: a
     * low-cardinality group ships O(n) bytes across the shuffle instead of a
     * fixed 2^b — at scale, groups are mostly small and this is the
-    * difference between KBs and GBs of exchange. Encoding is a deterministic
-    * ascending scan, so partition-invariance (bit-identical sketches for any
-    * split) is preserved. */
+    * difference between KBs and GBs of exchange. Both in-memory
+    * representations emit ascending register order, so the bytes depend only
+    * on the register multiset and partition-invariance (bit-identical
+    * sketches for any split) is preserved. */
   override def serialize(): Array[Byte] = {
-    var nonZero = 0
-    var i = 0
-    while (i < m) {
-      if (registers(i) != 0) nonZero += 1
-      i += 1
-    }
-    if (nonZero.toLong * 4 + 6 < 2L + m) {
-      val out = new Array[Byte](6 + 4 * nonZero)
+    if (dense == null) {
+      val n = sparse.size
+      val out = new Array[Byte](6 + 4 * n)
       out(0) = Sketch.TagHllSparse
       out(1) = b.toByte
-      Sketch.writeInt(out, 2, nonZero)
+      Sketch.writeInt(out, 2, n)
+      val idxs = sparse.keys.toArray
+      java.util.Arrays.sort(idxs)
       var j = 0
-      i = 0
-      while (i < m) {
-        if (registers(i) != 0) {
-          val off = 6 + 4 * j
-          out(off) = (i >>> 16).toByte
-          out(off + 1) = (i >>> 8).toByte
-          out(off + 2) = i.toByte
-          out(off + 3) = registers(i)
-          j += 1
-        }
-        i += 1
+      while (j < n) {
+        val idx = idxs(j).toInt
+        val off = 6 + 4 * j
+        out(off) = (idx >>> 16).toByte
+        out(off + 1) = (idx >>> 8).toByte
+        out(off + 2) = idx.toByte
+        out(off + 3) = sparse(idxs(j)).toByte
+        j += 1
       }
       out
     } else {
-      val out = new Array[Byte](2 + m)
-      out(0) = Sketch.TagHll
-      out(1) = b.toByte
-      System.arraycopy(registers, 0, out, 2, m)
-      out
+      var nonZero = 0
+      var i = 0
+      while (i < m) {
+        if (dense(i) != 0) nonZero += 1
+        i += 1
+      }
+      if (nonZero.toLong * 4 + 6 < 2L + m) {
+        val out = new Array[Byte](6 + 4 * nonZero)
+        out(0) = Sketch.TagHllSparse
+        out(1) = b.toByte
+        Sketch.writeInt(out, 2, nonZero)
+        var j = 0
+        i = 0
+        while (i < m) {
+          if (dense(i) != 0) {
+            val off = 6 + 4 * j
+            out(off) = (i >>> 16).toByte
+            out(off + 1) = (i >>> 8).toByte
+            out(off + 2) = i.toByte
+            out(off + 3) = dense(i)
+            j += 1
+          }
+          i += 1
+        }
+        out
+      } else {
+        val out = new Array[Byte](2 + m)
+        out(0) = Sketch.TagHll
+        out(1) = b.toByte
+        System.arraycopy(dense, 0, out, 2, m)
+        out
+      }
     }
+  }
+}
+
+object Hll {
+  /** Rebuild from sparse wire entries without densifying (merges of many
+    * small stored sketches stay O(distinct)). */
+  private[sketch] def fromSparse(b: Int, entries: Array[(Int, Byte)]): Hll = {
+    val h = new Hll(b)
+    entries.foreach { case (idx, rho) =>
+      if (rho > h.sparse.getOrElse(idx.toLong, 0)) h.sparse.update(idx.toLong, rho.toInt)
+    }
+    if (h.sparse.size > h.upgradeAt) h.toDense()
+    h
   }
 }
 

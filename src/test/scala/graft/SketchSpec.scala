@@ -88,6 +88,24 @@ class SketchSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(lcBack.serialize(), lcBytes))
   }
 
+  test("sparse and dense in-memory representations are observationally equal") {
+    val rnd = new scala.util.Random(99)
+    val vs = Array.fill(3000)(rnd.nextLong()) // < m/8 for b=16: stays sparse
+    val viaSparse = new Hll(16)
+    vs.foreach(v => viaSparse.offerHash(hash(v)))
+    // same content forced dense via the dense constructor round-trip
+    val viaDense = new Hll(16, viaSparse.registers.clone())
+    assert(viaSparse.estimate == viaDense.estimate)
+    assert(java.util.Arrays.equals(viaSparse.serialize(), viaDense.serialize()))
+    // upgrade path: push past the sparse threshold and compare to all-dense
+    val many = Array.fill(20000)(rnd.nextLong())
+    val upgraded = new Hll(16)
+    many.foreach(v => upgraded.offerHash(hash(v)))
+    val dense = new Hll(16, new Array[Byte](1 << 16))
+    many.foreach(v => dense.offerHash(hash(v)))
+    assert(java.util.Arrays.equals(upgraded.serialize(), dense.serialize()))
+  }
+
   test("sparse and dense forms of the same sketch merge correctly") {
     val a = hllOf(1L to 100L)                 // will serialize sparse
     val b = hllOf(1L to 400000L)              // dense
