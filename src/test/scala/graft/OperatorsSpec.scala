@@ -85,6 +85,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  // ---- as-of join ----
+
+  test("asofJoin attaches the latest right row at or before left time") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val quotes = Seq((1L, t(0), 100.0), (1L, t(10), 110.0), (2L, t(5), 50.0))
+      .toDF("qkey", "qts", "price")
+    val trades = Seq((1L, t(5), "a"), (1L, t(10), "b"), (1L, t(15), "c"),
+      (2L, t(0), "d"), (3L, t(1), "e"))
+      .toDF("tkey", "tts", "trade")
+    val got = graft.operators.AsOf.asofJoin(
+        trades, quotes, "tkey", "qkey", "tts", "qts", Seq("price"))
+      .select("trade", "price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("a") == Some(100.0)) // 10:05 -> quote at 10:00
+    assert(got("b") == Some(110.0)) // equal timestamps match inclusively
+    assert(got("c") == Some(110.0))
+    assert(got("d") == None)        // key 2: trade before any quote
+    assert(got("e") == None)        // key 3: no quotes at all
+  }
+
   // ---- similarity ----
 
   private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
