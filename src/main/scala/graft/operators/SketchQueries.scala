@@ -98,8 +98,22 @@ object SketchQueries {
       .orderBy("window_epoch", "event_type")
   }
 
+  /** Batch twin of [[graft.streaming.StreamOps.sessionize]]: session windows
+    * per user with a 30-minute inactivity gap. The oracle reproduces
+    * `session_window` semantics as gaps-and-islands SQL (LAG + running sum),
+    * proving the streaming sessionization operator's semantics exactly.
+    * Epoch-second keys for the same tz-rendering reason as q36. */
+  def q37Sessions(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.sessionize(
+        Tables.events(spark, dir), "ts", "user_id", "30 minutes")
+      .select(unix_timestamp(col("session_start")).as("session_epoch"),
+        col("user_id"), col("n_events"),
+        col("total_value").cast("decimal(18,2)").cast("double").as("total_value"))
+      .orderBy("user_id", "session_epoch")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_windowed_approx_users" -> (q36WindowedApproxUsers _),
+    "q37_sessions" -> (q37Sessions _),
     "q30_approx_distinct_global" -> (q30ApproxGlobal _),
     "q31_approx_distinct_grouped" -> (q31ApproxGrouped _),
     "q32_approx_distinct_lc_users" -> (q32ApproxLcUsers _),
@@ -113,6 +127,21 @@ object SketchQueries {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
         |  event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY window_epoch, event_type""".stripMargin,
+    "q37_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_epoch, user_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(value) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_epoch""".stripMargin,
     "q30_approx_distinct_global" ->
       "SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem",
     "q31_approx_distinct_grouped" ->
