@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ApproxDistinct, CosineSimilarity, HyperplaneLsh, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
+import graft.functions.{ApproxDistinct, CosineSimilarity, HyperplaneLsh, LangId, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
@@ -110,6 +110,10 @@ object GraftFunctions {
       "hyperplane_lsh",
       arity("hyperplane_lsh", 4)(e => HyperplaneLsh(e(0), litInt(e(1), "dim"),
         litInt(e(2), "nBits"), litInt(e(3), "table"))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "lang_id", arity("lang_id", 1)(e => LangId(e.head)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "quality_score", arity("quality_score", 1)(e => QualityScore(e.head)), "built-in")
     reg.createOrReplaceTempFunction(
       "sketch_estimate", arity("sketch_estimate", 1)(e => SketchEstimate(e.head)), "built-in")
     reg.createOrReplaceTempFunction(

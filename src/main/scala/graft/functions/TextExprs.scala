@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-analysis kernels. The composed `functions._` forms
+  * re-tokenize the text at every reference (CollapseProject inlining — the
+  * same effect measured in the MinHash pipeline); these walk the string once
+  * per row.
+  */
+private[graft] object TextKernel {
+  /** Whitespace tokens of `s`, optionally lower-cased. */
+  def tokenize(s: String, lower: Boolean): Array[String] = {
+    val src = if (lower) s.toLowerCase(java.util.Locale.ROOT) else s
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(src.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(src.charAt(i))) i += 1
+      if (i > start) out += src.substring(start, i)
+    }
+    out.toArray
+  }
+}
+
+/** `lang_id(text)` — stopword-overlap language ID over the engine's
+  * stopword tables; deterministic argmax with ties to the lexicographically
+  * larger code; "und" when nothing matches. One tokenization pass per row. */
+case class LangId(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${other.sql}")
+  }
+
+  // (langCode, stopword set) sorted by code — argmax keeps the LAST max,
+  // matching greatest(struct(score, lang)) tie semantics
+  @transient private lazy val tables: Array[(String, java.util.HashSet[String])] =
+    graft.operators.TextAnalysis.stopwords.toArray.sortBy(_._1).map { case (lang, ws) =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      (lang, s)
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = TextKernel.tokenize(v.asInstanceOf[UTF8String].toString, lower = true)
+    // score = |distinct tokens ∩ stopwords| (array_intersect is set-valued)
+    var bestLang: String = null
+    var bestScore = 0
+    var ti = 0
+    val seen = new java.util.HashSet[String]()
+    while (ti < tables.length) {
+      val (lang, set) = tables(ti)
+      seen.clear()
+      var s = 0
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        if (set.contains(t) && seen.add(t)) s += 1
+        i += 1
+      }
+      if (s >= bestScore) { bestScore = s; bestLang = lang } // >= keeps last max
+      ti += 1
+    }
+    if (bestScore > 0) UTF8String.fromString(bestLang) else UTF8String.fromString("und")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
+}
+
+/** `quality_score(text)` — composite [0,1] quality heuristic: mean of the
+  * unique-token ratio and alpha-char ratio, gated to 0 for texts under 3
+  * tokens. Same semantics as the composed TextAnalysis.qualityScore, one
+  * pass. */
+case class QualityScore(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quality_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val toks = TextKernel.tokenize(s, lower = false)
+    if (toks.length < 3) return java.lang.Double.valueOf(0.0)
+    val uniq = new java.util.HashSet[String]()
+    toks.foreach(uniq.add)
+    var alpha = 0
+    var i = 0
+    while (i < s.length) {
+      if (Character.isLetter(s.charAt(i))) alpha += 1
+      i += 1
+    }
+    val uniqRatio = uniq.size.toDouble / toks.length
+    val alphaRatio = alpha.toDouble / s.length
+    java.lang.Double.valueOf((uniqRatio + alphaRatio) / 2.0)
+  }
+
+  override protected def withNewChildInternal(c: Expression): QualityScore = copy(child = c)
+}

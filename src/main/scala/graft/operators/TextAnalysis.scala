@@ -39,16 +39,12 @@ object TextAnalysis {
     "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
 
   /** Language ID: stopword-overlap argmax (deterministic tie-break by lang
-    * code). Unknown when nothing matches. */
-  def langId(c: Column): Column = {
-    val toks = tokens(lower(c))
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
-        lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+    * code). Unknown when nothing matches. Single-pass expression — the
+    * composed greatest(struct(...)) form re-tokenized the text once per
+    * language. */
+  def langId(c: Column): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.LangId(org.apache.spark.sql.graft.GraftBridge.expression(c)))
 
   /** Quality heuristics: length, token stats, alpha ratio, repetition. All
     * ratios are double divisions of exact ints — deterministic. */
@@ -67,12 +63,11 @@ object TextAnalysis {
   }
 
   /** Composite quality score in [0,1]: mean of uniq and alpha ratios, with a
-    * length-sanity gate. */
-  def qualityScore(c: Column): Column = {
-    val m = qualityMetrics(c)
-    when(m.getField("n_tokens") < 3, 0.0)
-      .otherwise((m.getField("uniq_ratio") + m.getField("alpha_ratio")) / 2.0)
-  }
+    * length-sanity gate. Single-pass expression (see [[qualityMetrics]] for
+    * the struct-of-metrics form). */
+  def qualityScore(c: Column): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.QualityScore(org.apache.spark.sql.graft.GraftBridge.expression(c)))
 
   // ---- declared queries ----
 
