@@ -249,9 +249,38 @@ object Relational {
       .agg(sum("k").as("sum_k"), max("k").as("max_k"), count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Range (non-equi) self-join: same-user event pairs within 5 minutes.
+    * Plans as an equi join on user_id with the range as a join filter — the
+    * key carries the shuffle, the range never explodes beyond the key group. */
+  def q24RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_id", "ts", "user_id")
+    e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          col("b.ts") >= col("a.ts") - expr("INTERVAL 5 MINUTES") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTES"))
+      .groupBy(col("a.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_close_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** Exact interpolated percentiles per group (both engines use the same
+    * continuous-quantile definition). */
+  def q25Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_quantity, 0.99)").as("p99"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_cube" -> (q21Cube _),
     "q22_json_props" -> (q22JsonProps _),
+    "q24_range_join" -> (q24RangeJoin _),
+    "q25_percentiles" -> (q25Percentiles _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_agg" -> (q03JoinAgg _),
@@ -274,6 +303,19 @@ object Relational {
     "q20_year_agg" -> (q20YearAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q24_range_join" ->
+      """SELECT a.user_id, COUNT(*) AS n_close_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q25_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q21_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

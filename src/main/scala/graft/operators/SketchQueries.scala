@@ -111,6 +111,20 @@ object SketchQueries {
         col("total_value").cast("decimal(18,2)").cast("double").as("total_value"))
       .orderBy("user_id", "session_epoch")
 
+  /** `approx_distinct(...) OVER (PARTITION BY ...)` — Spark forbids
+    * imperative aggregates in window frames, so the engine provides the
+    * documented rewrite (SURVEY §2b): aggregate one sketch per partition
+    * key, then join the estimate back onto every row. Two narrow shuffles;
+    * AQE broadcasts the (small) per-group side automatically. */
+  def withApproxDistinctOver(df: DataFrame, partitionCols: Seq[String],
+      valueCol: String, outCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val perGroup = df.groupBy(partitionCols.map(col): _*)
+      .agg(approx_distinct(col(valueCol)).as("__sk"))
+      .select(partitionCols.map(col) :+ col("__sk.cardinality").as(outCol): _*)
+    df.join(perGroup, partitionCols, "left")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_windowed_approx_users" -> (q36WindowedApproxUsers _),
     "q37_sessions" -> (q37Sessions _),

@@ -124,6 +124,19 @@ class ApproxDistinctSpec extends AnyFunSuite {
     within(merged, 1473)
   }
 
+  test("withApproxDistinctOver: window-style estimate attached per row") {
+    val got = graft.operators.SketchQueries.withApproxDistinctOver(
+      lineitem, Seq("l_returnflag"), "l_orderkey", "n_orders")
+    assert(got.count() == lineitem.count()) // row-preserving
+    val perGroup = got.select("l_returnflag", "n_orders").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = lineitem.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.keySet == exact.keySet)
+    exact.foreach { case (k, n) => within(perGroup(k), n) }
+  }
+
   test("cross-check vs Spark built-ins") {
     val r = lineitem.agg(
       approx_distinct(col("l_orderkey")).as("ours"),
