@@ -93,14 +93,13 @@ object Sketch {
         val size = readInt(bytes, 1)
         val n = readInt(bytes, 5)
         require(bytes.length == 9 + 4 * n, s"sparse LC length ${bytes.length} != ${9 + 4 * n}")
-        val bitmap = new Array[Byte](size)
+        val idxs = new Array[Int](n)
         var i = 0
         while (i < n) {
-          val idx = readInt(bytes, 9 + 4 * i)
-          bitmap(idx >>> 3) = (bitmap(idx >>> 3) | (1 << (idx & 7))).toByte
+          idxs(i) = readInt(bytes, 9 + 4 * i)
           i += 1
         }
-        new LinearCounter(size, bitmap)
+        LinearCounter.fromSparse(size, idxs)
       case t => throw new SketchMergeException(s"unknown sketch tag $t")
     }
   }
@@ -310,29 +309,65 @@ object Hll {
   * n̂ = m·ln(m/z) with z = unset buckets. Default size 1,000,000 bytes matches
   * the reference's `LC_DEFAULT_SIZE` (UDAFCardinalityEstimator.java:90).
   * Near-exact while n ≪ m; saturates (z → 0) beyond.
+  *
+  * Like [[Hll]], starts as a sparse set of set-bit indices and materializes
+  * the bitmap only past 1/32 fill — with the 1 MB default, a small group's
+  * aggregation buffer is O(distinct) instead of a megabyte (the "LC memory
+  * under high-key GROUP BY" risk flagged in SURVEY §7). All observable
+  * behavior is representation-independent.
   */
-final class LinearCounter(val sizeBytes: Int, val bitmap: Array[Byte]) extends Sketch {
+final class LinearCounter private (val sizeBytes: Int, private var dense: Array[Byte],
+    private var sparse: scala.collection.mutable.LongMap[Boolean]) extends Sketch {
   require(sizeBytes > 0, s"LC size must be positive, got $sizeBytes")
-  def this(sizeBytes: Int) = this(sizeBytes, new Array[Byte](sizeBytes))
+
+  /** New empty counter — starts sparse. */
+  def this(sizeBytes: Int) =
+    this(sizeBytes, null, new scala.collection.mutable.LongMap[Boolean](64))
+  /** Dense from an existing bitmap (deserialization, tests). */
+  def this(sizeBytes: Int, bitmap: Array[Byte]) = this(sizeBytes, bitmap, null)
+
   private[this] val mBits: Long = sizeBytes.toLong * 8L
+  private def upgradeAt: Int = math.max(64, sizeBytes >>> 2) // bits ≈ bytes/4*8 = 1/32 fill
 
   override def algo: String = "LC"
 
+  private def toDense(): Unit = {
+    val bm = new Array[Byte](sizeBytes)
+    sparse.foreachKey { idx =>
+      bm((idx >>> 3).toInt) = (bm((idx >>> 3).toInt) | (1 << (idx & 7).toInt)).toByte
+    }
+    dense = bm
+    sparse = null
+  }
+
+  /** Dense bitmap (forces densification — for internal/test use). */
+  private[graft] def bitmap: Array[Byte] = {
+    if (dense == null) toDense()
+    dense
+  }
+
   override def offerHash(h: Long): Unit = {
     val idx = java.lang.Math.floorMod(h, mBits)
-    val byteIdx = (idx >>> 3).toInt
-    val bit = (idx & 7).toInt
-    bitmap(byteIdx) = (bitmap(byteIdx) | (1 << bit)).toByte
+    if (dense != null) {
+      val byteIdx = (idx >>> 3).toInt
+      dense(byteIdx) = (dense(byteIdx) | (1 << (idx & 7).toInt)).toByte
+    } else {
+      sparse.update(idx, true)
+      if (sparse.size > upgradeAt) toDense()
+    }
   }
 
   private def zeros: Long = {
-    var ones = 0L
-    var i = 0
-    while (i < sizeBytes) {
-      ones += java.lang.Integer.bitCount(bitmap(i) & 0xff)
-      i += 1
+    if (dense == null) mBits - sparse.size
+    else {
+      var ones = 0L
+      var i = 0
+      while (i < sizeBytes) {
+        ones += java.lang.Integer.bitCount(dense(i) & 0xff)
+        i += 1
+      }
+      mBits - ones
     }
-    mBits - ones
   }
 
   override def estimate: Long = {
@@ -346,46 +381,83 @@ final class LinearCounter(val sizeBytes: Int, val bitmap: Array[Byte]) extends S
       if (o.sizeBytes != sizeBytes)
         throw new SketchMergeException(
           s"cannot merge LC(size=$sizeBytes) with LC(size=${o.sizeBytes})")
-      var i = 0
-      while (i < sizeBytes) {
-        bitmap(i) = (bitmap(i) | o.bitmap(i)).toByte
-        i += 1
+      if (o.dense == null && dense == null) {
+        o.sparse.foreachKey(idx => sparse.update(idx, true))
+        if (sparse.size > upgradeAt) toDense()
+      } else if (o.dense == null) {
+        o.sparse.foreachKey { idx =>
+          dense((idx >>> 3).toInt) = (dense((idx >>> 3).toInt) | (1 << (idx & 7).toInt)).toByte
+        }
+      } else {
+        if (dense == null) toDense()
+        var i = 0
+        while (i < sizeBytes) {
+          dense(i) = (dense(i) | o.dense(i)).toByte
+          i += 1
+        }
       }
     case o => throw new SketchMergeException(s"cannot merge LC with ${o.algo}")
   }
 
   /** Dense when the set-bit list wouldn't be smaller; sparse bit-index list
-    * otherwise (same rationale and determinism as the HLL encoding). */
+    * otherwise. Both representations emit ascending bit order (same
+    * rationale and determinism as the HLL encoding). */
   override def serialize(): Array[Byte] = {
-    val setBits = (mBits - zeros).toInt
-    if (setBits.toLong * 4 + 9 < 5L + sizeBytes) {
-      val out = new Array[Byte](9 + 4 * setBits)
+    if (dense == null) {
+      val n = sparse.size
+      val out = new Array[Byte](9 + 4 * n)
       out(0) = Sketch.TagLcSparse
       Sketch.writeInt(out, 1, sizeBytes)
-      Sketch.writeInt(out, 5, setBits)
+      Sketch.writeInt(out, 5, n)
+      val idxs = sparse.keys.toArray
+      java.util.Arrays.sort(idxs)
       var j = 0
-      var i = 0
-      while (i < sizeBytes) {
-        val byte = bitmap(i) & 0xff
-        if (byte != 0) {
-          var bit = 0
-          while (bit < 8) {
-            if ((byte & (1 << bit)) != 0) {
-              Sketch.writeInt(out, 9 + 4 * j, i * 8 + bit)
-              j += 1
-            }
-            bit += 1
-          }
-        }
-        i += 1
+      while (j < n) {
+        Sketch.writeInt(out, 9 + 4 * j, idxs(j).toInt)
+        j += 1
       }
       out
     } else {
-      val out = new Array[Byte](5 + sizeBytes)
-      out(0) = Sketch.TagLc
-      Sketch.writeInt(out, 1, sizeBytes)
-      System.arraycopy(bitmap, 0, out, 5, sizeBytes)
-      out
+      val setBits = (mBits - zeros).toInt
+      if (setBits.toLong * 4 + 9 < 5L + sizeBytes) {
+        val out = new Array[Byte](9 + 4 * setBits)
+        out(0) = Sketch.TagLcSparse
+        Sketch.writeInt(out, 1, sizeBytes)
+        Sketch.writeInt(out, 5, setBits)
+        var j = 0
+        var i = 0
+        while (i < sizeBytes) {
+          val byte = dense(i) & 0xff
+          if (byte != 0) {
+            var bit = 0
+            while (bit < 8) {
+              if ((byte & (1 << bit)) != 0) {
+                Sketch.writeInt(out, 9 + 4 * j, i * 8 + bit)
+                j += 1
+              }
+              bit += 1
+            }
+          }
+          i += 1
+        }
+        out
+      } else {
+        val out = new Array[Byte](5 + sizeBytes)
+        out(0) = Sketch.TagLc
+        Sketch.writeInt(out, 1, sizeBytes)
+        System.arraycopy(dense, 0, out, 5, sizeBytes)
+        out
+      }
     }
+  }
+}
+
+object LinearCounter {
+  /** Rebuild from sparse wire entries without materializing the bitmap. */
+  private[sketch] def fromSparse(sizeBytes: Int, bitIdxs: Array[Int]): LinearCounter = {
+    val lc = new LinearCounter(sizeBytes)
+    bitIdxs.foreach(i => lc.sparse.update(i.toLong, true))
+    if (lc.sparse.size > lc.upgradeAt) lc.toDense()
+    lc
   }
 }
