@@ -88,6 +88,62 @@ object Similarity {
       .select(col("id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the other standard scale path besides LSH.
+    *
+    * Build: a deterministic coarse quantizer of `nCentroids` centroids
+    * (seeded by hash-selected vectors, refined with `iters` Lloyd steps, all
+    * as DataFrame aggregations — no driver-side loops over data, only over
+    * the centroid table, which is tiny by construction and broadcast).
+    * Vectors are assigned to their nearest centroid: the inverted lists.
+    * Query: probe the `nProbe` nearest centroids and re-rank exactly within
+    * their lists. At 100 TB the inverted lists are just a partitioned table
+    * keyed by centroid id; a probe reads nProbe/nCentroids of the data.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val base = emb.select(col(idCol).as("id"), col(embCol).as("v"))
+    // deterministic seeds: the nCentroids vectors with smallest xxhash64(id)
+    var centroids = base
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h").limit(nCentroids)
+      .select(monotonically_increasing_id().as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      // Lloyd step, shuffle-shaped: explode (cid, dim) cells, average per
+      // cell (map-side partial), re-assemble vectors — never collects whole
+      // vectors into one aggregation buffer
+      centroids = base.join(broadcast(centroids))
+        .withColumn("sim", cosine(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(desc("sim"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("mx"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("cv"))
+    }
+    val assigned = base.join(broadcast(centroids))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(desc("sim"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cid"))
+    val qRow = assigned.filter(col("id") === queryId).select(col("v").as("qv"))
+    val probed = centroids.join(broadcast(qRow))
+      .withColumn("sim", cosine(col("cv"), col("qv")))
+      .orderBy(desc("sim"), col("cid")).limit(nProbe)
+      .select(col("cid"))
+    val cand = assigned.join(broadcast(probed), "cid")
+    val w = Window.orderBy(desc("sim"), col("id"))
+    cand.join(broadcast(qRow))
+      .withColumn("sim", cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from LSH. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
       dim: Int, threshold: Double, nBits: Int = 4, nTables: Int = 8): DataFrame = {
@@ -124,6 +180,12 @@ object Similarity {
       .withColumnRenamed("id", "vec_id")
       .orderBy("rank")
 
+  /** IVF ANN top-5 (probe-then-rerank; rows-only gate, recall in spec). */
+  def q53AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(Tables.embeddings(spark, dir), "vec_id", "embedding", 0L, 5)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("rank")
+
   /** Embedding near-dup pairs above cosine 0.4 (the synthetic embeddings
     * have no true near-dups — max pairwise cosine ≈ 0.51 — so the threshold
     * is set where the data actually has signal; at scale it's a parameter). */
@@ -135,7 +197,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_knn_brute" -> (q50KnnBrute _),
     "q51_ann_lsh" -> (q51AnnLsh _),
-    "q52_embedding_near_dup" -> (q52EmbeddingNearDup _))
+    "q52_embedding_near_dup" -> (q52EmbeddingNearDup _),
+    "q53_ann_ivf" -> (q53AnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "q50_knn_brute" ->

@@ -137,6 +137,34 @@ class ApproxDistinctSpec extends AnyFunSuite {
     exact.foreach { case (k, n) => within(perGroup(k), n) }
   }
 
+  test("all atomic input types hash correctly; complex types rejected") {
+    import spark.implicits._
+    val n = 500
+    val df = (1 to n).map { i =>
+      (s"s$i", i.toLong, i.toDouble / 3.0, BigDecimal(i) / 7,
+        java.sql.Date.valueOf(f"2024-${i % 12 + 1}%02d-${i % 28 + 1}%02d"),
+        Array(i.toByte, (i >> 8).toByte), i % 2 == 0)
+    }.toDF("s", "l", "d", "dec", "dt", "bin", "b")
+    val r = df.agg(
+      approx_distinct(col("s")).getField("cardinality").as("ns"),
+      approx_distinct(col("l")).getField("cardinality").as("nl"),
+      approx_distinct(col("d")).getField("cardinality").as("nd"),
+      approx_distinct(col("dec")).getField("cardinality").as("ndec"),
+      approx_distinct(col("dt")).getField("cardinality").as("ndt"),
+      approx_distinct(col("bin")).getField("cardinality").as("nbin"),
+      approx_distinct(col("b")).getField("cardinality").as("nb")).head()
+    within(r.getLong(0), n); within(r.getLong(1), n); within(r.getLong(2), n)
+    within(r.getLong(3), n); within(r.getLong(5), n)
+    assert(r.getLong(4) <= n) // dates collapse to ~336 distinct
+    assert(r.getLong(6) == 2) // boolean domain
+    // complex input type is a clean analysis error
+    val arrDf = Seq(Seq(1, 2)).toDF("a")
+    val e = intercept[Exception](
+      arrDf.agg(approx_distinct(col("a"))).collect())
+    assert(e.getMessage.contains("DATATYPE_MISMATCH") ||
+      e.getMessage.contains("unsupported input type"))
+  }
+
   test("cross-check vs Spark built-ins") {
     val r = lineitem.agg(
       approx_distinct(col("l_orderkey")).as("ours"),

@@ -147,6 +147,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head == 0L) // query vector is its own nearest neighbor
   }
 
+  test("ivf top-k: probe-then-rerank finds the query and real neighbors") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 5)
+      .orderBy("rank").select("id").as[Long].collect()
+    assert(got.length == 5)
+    assert(got.head == 0L) // query's own list is always probed
+    // candidates must be genuinely close: every IVF hit should rank within
+    // the brute-force top half of the corpus
+    val bruteOrder = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 250)
+      .select("id").as[Long].collect().toSet
+    assert(got.count(bruteOrder.contains) >= 4, s"IVF candidates too far: ${got.toSeq}")
+  }
+
   test("SQL surface: text/similarity functions callable from plain SQL") {
     GraftFunctions.register(spark)
     Seq((1L, "alpha beta gamma delta", Array(1.0f, 0.0f)),
