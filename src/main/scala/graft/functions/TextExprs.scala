@@ -28,6 +28,50 @@ private[graft] object TextKernel {
   }
 }
 
+/** `word_shingles(text, k)` — word-level k-shingles as strings, with
+  * multiplicity (unlike [[ShingleHashes]], which is distinct hashes); the
+  * whole text joined when fewer than k tokens. One pass per row. */
+case class WordShingles(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = TextKernel.tokenize(v.asInstanceOf[UTF8String].toString, lower = false)
+    val out =
+      if (toks.length < k) Array(UTF8String.fromString(toks.mkString(" ")))
+      else {
+        val res = new Array[AnyRef](toks.length - k + 1)
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j <= toks.length - k) {
+          sb.setLength(0)
+          var t = 0
+          while (t < k) {
+            if (t > 0) sb.append(' ')
+            sb.append(toks(j + t))
+            t += 1
+          }
+          res(j) = UTF8String.fromString(sb.toString)
+          j += 1
+        }
+        res.asInstanceOf[Array[AnyRef]]
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
 /** `lang_id(text)` — stopword-overlap language ID over the engine's
   * stopword tables; deterministic argmax with ties to the lexicographically
   * larger code; "und" when nothing matches. One tokenization pass per row. */

@@ -104,13 +104,72 @@ object TextAnalysis {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
+  /** Characteristic terms per document: rank by term frequency, breaking
+    * ties toward rarer corpus terms (document frequency) then
+    * lexicographically — a TF-IDF-shaped ranking on pure integers, so the
+    * result is bit-deterministic across engines (float idf = ln(N/df) can
+    * differ in the last ulp between libm implementations). */
+  def q48TopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(desc("tf"), col("df"), col("term"))
+    tf.filter(col("doc_id") < 30)
+      .join(df, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tf", "df")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Word k-shingle strings with multiplicity — single-pass expression. */
+  def wordShingles(c: Column, k: Int): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graft.GraftBridge.expression(c), k))
+
+  /** Corpus-wide top-20 bigrams with counts. */
+  def q49TopBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("bigram"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_top_terms" -> (q48TopTerms _),
+    "q49_top_bigrams" -> (q49TopBigrams _),
     "q41_token_count" -> (q41TokenCount _),
     "q42_text_quality" -> (q42TextQuality _),
     "q43_langid" -> (q43LangId _),
     "q44_fingerprint_dedup" -> (q44FingerprintDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q48_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term)
+        |SELECT doc_id, rank, term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df, tf.term) AS BIGINT) AS rank
+        |  FROM tf JOIN df ON tf.term = df.term WHERE tf.doc_id < 30) t
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q49_top_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |bg AS (SELECT unnest([array_to_string(ts[i:i+1], ' ') FOR i IN range(1, len(ts))]) AS bigram
+        |       FROM toks WHERE len(ts) >= 2
+        |       UNION ALL
+        |       SELECT array_to_string(ts, ' ') AS bigram FROM toks WHERE len(ts) < 2)
+        |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "q41_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n_tokens,
         |  len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS n_subwords
