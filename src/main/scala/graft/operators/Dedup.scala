@@ -162,13 +162,33 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Composite training-data pipeline: length gate → exact dedup (min-id
+    * representative) → per-language corpus stats. Each stage is one of the
+    * declared operators; the pipeline is two narrow shuffles end-to-end. */
+  def q56CorpusPipeline(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 200)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), min("lang").as("lang"),
+        max(length(col("text"))).cast("long").as("len"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_chars"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_corpus_pipeline" -> (q56CorpusPipeline _),
     "q40_dedup_exact" -> (q40DedupExact _),
     "q45_minhash_pairs" -> (q45MinhashPairs _),
     "q46_simhash_pairs" -> (q46SimhashPairs _),
     "q47_ngram_jaccard_sample" -> (q47NgramJaccardSample _))
 
   val oracles: Map[String, String] = Map(
+    "q56_corpus_pipeline" ->
+      """SELECT lang, COUNT(*) AS n_docs, SUM(len) AS total_chars FROM (
+        |  SELECT MIN(doc_id) AS keep_id, MIN(lang) AS lang,
+        |    CAST(MAX(LENGTH(text)) AS BIGINT) AS len
+        |  FROM documents WHERE LENGTH(text) >= 200 GROUP BY text) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents
         |GROUP BY text ORDER BY keep_id""".stripMargin,
