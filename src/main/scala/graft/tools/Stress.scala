@@ -1,0 +1,45 @@
+package graft.tools
+
+import graft.GraftFunctions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput stress: distinct-count aggregates over a generated N-row
+  * column (no I/O — isolates aggregate update+merge cost), ours vs Spark's
+  * built-ins. Usage: sbt "runMain graft.tools.Stress [nRows] [nDistinct]"
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(50000000L)
+    val d = if (args.length > 1) args(1).toLong else 10000000L
+    val spark = SparkSession.builder().master("local[32]").appName("graft-stress")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.memory", "8g")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+
+    val df = spark.range(n).select((col("id") % d).as("v"))
+    def time(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      mk.count() // warmup
+      val t0 = System.nanoTime()
+      val row = mk.head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-28s ${row.get(0)}%12s  $secs%7.2f s  ${n / secs / 1e6}%8.1f M rows/s")
+    }
+
+    println(s"rows=$n distinct=$d on local[32]")
+    time("exact countDistinct") { df.agg(countDistinct("v")) }
+    time("spark approx_count_distinct") { df.agg(approx_count_distinct("v", 0.005)) }
+    time("spark hll_sketch_agg") {
+      df.agg(hll_sketch_estimate(hll_sketch_agg(col("v"), lit(16)))) }
+    time("graft approx_distinct hll") {
+      df.agg(GraftFunctions.approx_distinct(col("v")).getField("cardinality")) }
+    time("graft grouped (16 groups)") {
+      df.groupBy((col("v") % 16).as("g"))
+        .agg(GraftFunctions.approx_distinct(col("v")).getField("cardinality").as("c"))
+        .agg(sum("c")) }
+    spark.stop()
+  }
+}
