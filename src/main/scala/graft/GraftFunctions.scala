@@ -74,6 +74,48 @@ object GraftFunctions {
 
   @volatile private var registeredSessions = Set.empty[SparkSession]
 
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs =>
+      if (exprs.length == n) b(exprs)
+      else throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${exprs.length}")
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** The complete SQL function surface: (name, usage, builder). Consumed by
+    * both [[register]] (runtime, FunctionRegistry) and
+    * [[GraftExtensions]] (session build time, injectFunction). */
+  val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("approx_distinct", "approx_distinct(col[, algo[, precision]]) - HLL/LC distinct sketch",
+      (exprs: Seq[Expression]) => approxDistinctExpr(exprs, mergeBinary = false)),
+    ("sketch_merge_agg", "sketch_merge_agg(bin) - merge serialized sketches",
+      (exprs: Seq[Expression]) => approxDistinctExpr(exprs, mergeBinary = true)),
+    ("simhash", "simhash(tokens) - 64-bit Charikar SimHash",
+      arity("simhash", 1)(e => SimHash(e.head))),
+    ("cosine_similarity", "cosine_similarity(a, b) - cosine of numeric arrays",
+      arity("cosine_similarity", 2)(e => CosineSimilarity(e(0), e(1)))),
+    ("shingle_hashes", "shingle_hashes(text, k) - distinct k-shingle hashes",
+      arity("shingle_hashes", 2)(e => ShingleHashes(e(0), litInt(e(1), "shingle size k")))),
+    ("hyperplane_lsh", "hyperplane_lsh(vec, dim, nBits, table) - LSH signature",
+      arity("hyperplane_lsh", 4)(e => HyperplaneLsh(e(0), litInt(e(1), "dim"),
+        litInt(e(2), "nBits"), litInt(e(3), "table")))),
+    ("lang_id", "lang_id(text) - stopword-overlap language ID",
+      arity("lang_id", 1)(e => LangId(e.head))),
+    ("quality_score", "quality_score(text) - [0,1] text quality heuristic",
+      arity("quality_score", 1)(e => QualityScore(e.head))),
+    ("sketch_estimate", "sketch_estimate(s) - estimate of a stored sketch",
+      arity("sketch_estimate", 1)(e => SketchEstimate(e.head))),
+    ("sketch_union", "sketch_union(a, b) - serialized sketch union",
+      arity("sketch_union", 2)(e => SketchUnion(e(0), e(1)))),
+    ("sketch_intersection_estimate",
+      "sketch_intersection_estimate(a, b) - inclusion-exclusion intersection",
+      arity("sketch_intersection_estimate", 2)(e => SketchIntersectionEstimate(e(0), e(1)))))
+
   /** Idempotently register all engine functions with a session's
     * FunctionRegistry so plain SQL can call them (the Catalyst analogue of the
     * reference's resolver entry point, UDAFCardinalityEstimator.java:100-148;
@@ -81,47 +123,9 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     if (registeredSessions.contains(spark)) return
     val reg = spark.sessionState.functionRegistry
-
-    def arity(name: String, n: Int)(b: Seq[Expression] => Expression): Seq[Expression] => Expression =
-      exprs =>
-        if (exprs.length == n) b(exprs)
-        else throw new IllegalArgumentException(
-          s"$name requires exactly $n argument(s), got ${exprs.length}")
-    def litInt(e: Expression, what: String): Int = e match {
-      case Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"$what must be an integer literal, got $other")
+    sqlFunctions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
-
-    reg.createOrReplaceTempFunction(
-      "approx_distinct", exprs => approxDistinctExpr(exprs, mergeBinary = false), "built-in")
-    reg.createOrReplaceTempFunction(
-      "sketch_merge_agg", exprs => approxDistinctExpr(exprs, mergeBinary = true), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash", arity("simhash", 1)(e => SimHash(e.head)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "cosine_similarity",
-      arity("cosine_similarity", 2)(e => CosineSimilarity(e(0), e(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "shingle_hashes",
-      arity("shingle_hashes", 2)(e =>
-        ShingleHashes(e(0), litInt(e(1), "shingle size k"))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "hyperplane_lsh",
-      arity("hyperplane_lsh", 4)(e => HyperplaneLsh(e(0), litInt(e(1), "dim"),
-        litInt(e(2), "nBits"), litInt(e(3), "table"))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "lang_id", arity("lang_id", 1)(e => LangId(e.head)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "quality_score", arity("quality_score", 1)(e => QualityScore(e.head)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "sketch_estimate", arity("sketch_estimate", 1)(e => SketchEstimate(e.head)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "sketch_union", arity("sketch_union", 2)(e => SketchUnion(e(0), e(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "sketch_intersection_estimate",
-      arity("sketch_intersection_estimate", 2)(e =>
-        SketchIntersectionEstimate(e(0), e(1))), "built-in")
     synchronized { registeredSessions += spark }
   }
 }
