@@ -276,11 +276,45 @@ object Relational {
         expr("percentile(l_quantity, 0.99)").as("p99"))
       .orderBy("l_returnflag")
 
+  /** Explicit GROUPING SETS (the general form behind rollup/cube). */
+  def q26GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Pivot: one column per l_linestatus value (conditional-agg oracle). */
+  def q27Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("l_returnflag")
+
+  /** Null semantics: null-safe equality, null grouping, coalesce — the
+    * cross-engine traps, pinned. */
+  def q28NullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("maybe", when(col("o_orderkey") % 7 === 0, col("o_orderpriority")))
+    o.groupBy(col("maybe"))
+      .agg(count(lit(1)).as("n_rows"), count(col("maybe")).as("n_nonnull"),
+        sum(when(col("maybe") <=> lit(null), 1L).otherwise(0L)).as("n_nullsafe_eq_null"))
+      .orderBy(col("maybe").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_cube" -> (q21Cube _),
     "q22_json_props" -> (q22JsonProps _),
     "q24_range_join" -> (q24RangeJoin _),
     "q25_percentiles" -> (q25Percentiles _),
+    "q26_grouping_sets" -> (q26GroupingSets _),
+    "q27_pivot" -> (q27Pivot _),
+    "q28_null_semantics" -> (q28NullSemantics _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_agg" -> (q03JoinAgg _),
@@ -303,6 +337,24 @@ object Relational {
     "q20_year_agg" -> (q20YearAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q26_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q27_pivot" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (l_linestatus = 'F') AS "F",
+        |  COUNT(*) FILTER (l_linestatus = 'O') AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q28_null_semantics" ->
+      """SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority END AS maybe,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority END) AS n_nonnull,
+        |  SUM(CASE WHEN (CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority END)
+        |           IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_eq_null
+        |FROM orders GROUP BY 1 ORDER BY maybe ASC NULLS FIRST""".stripMargin,
     "q24_range_join" ->
       """SELECT a.user_id, COUNT(*) AS n_close_pairs
         |FROM events a JOIN events b
