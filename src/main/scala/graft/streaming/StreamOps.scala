@@ -50,4 +50,29 @@ object StreamOps {
       idCols: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Stream → sketch store: append each micro-batch's per-key sketches (the
+    * full `{type, cardinality, binary}` struct) to a parquet store. Batches
+    * may re-emit a key; because sketches are mergeable, readers re-aggregate
+    * with `approx_distinct(sk)` (or `sketch_merge_agg`) and get the same
+    * answer as one pass over the raw stream — the reference's store-then-
+    * merge contract (E3) running incrementally, with the raw events
+    * discardable after ingest. Returns the started query (update mode:
+    * only changed windows re-emit per batch). */
+  def sketchStoreSink(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowDur: String, path: String,
+      watermark: Option[String] = None,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    GraftFunctions.register(events.sparkSession)
+    val withWm = watermark.map(events.withWatermark(tsCol, _)).getOrElse(events)
+    val agg = withWm
+      .groupBy(window(col(tsCol), windowDur).as("w"), col(keyCol))
+      .agg(GraftFunctions.approx_distinct(col(valueCol)).as("sk"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("sk"))
+    val writer = agg.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
+  }
 }

@@ -89,6 +89,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sketch store sink: incremental store-then-merge equals one pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import GraftFunctions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.sketchStoreSink(mem.toDF(), "ts", "event_type", "user_id",
+      "10 minutes", s"$dir/sketches")
+    try {
+      mem.addData(Ev(t(1), 1, "click", 1.0), Ev(t(2), 2, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(3), 3, "click", 1.0), Ev(t(4), 1, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the store holds one sketch row per (batch, window, key) — re-aggregate
+    val merged = spark.read.parquet(s"$dir/sketches")
+      .filter($"event_type" === "click")
+      .agg(approx_distinct($"sk").as("d"))
+      .select($"d.cardinality").as[Long].head()
+    assert(merged == 3L, s"store-then-merge got $merged, expected 3 distinct users")
+  }
+
   test("streaming dedup keeps first occurrence within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
