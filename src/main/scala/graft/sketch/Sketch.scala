@@ -115,7 +115,7 @@ object Sketch {
   * 64-bit variant: top `b` hash bits select the register, the rank of the
   * remaining (64-b) bits feeds it. Small-range correction = LinearCounting on
   * the zero registers; NO 32-bit long-range correction (meaningless at 64 bits,
-  * and the reference disables it too — UDAFCardinalizer.java:335-337 pattern).
+  * and the reference disables it too — UDAFCardinalityEstimator.java:335-337).
   *
   * Representation: a new sketch starts as a small idx→rank map and upgrades
   * to the dense 2^b array once > 2^b/8 registers are touched. At scale, most
