@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall guarantees for the rows-only near-dup operators, checked against
+  * exhaustive all-pairs ground truth on the real documents table. */
+class NearDupRecallSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("simhash chunk blocking has perfect recall at hamming <= 3 (pigeonhole)") {
+    val docs = Tables.documents(spark, sf)
+    // exhaustive ground truth: per-doc simhash, all pairs, hamming <= 3
+    GraftFunctions.register(spark)
+    val sims = docs.select($"doc_id",
+      GraftFunctions.simhash(graft.operators.TextAnalysis.tokens($"text")).as("sim"))
+    val truth = sims.as("x").join(sims.as("y"), $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        bit_count($"x.sim".bitwiseXOR($"y.sim")).as("h"))
+      .filter($"h" <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // <= 3 differing bits over 4 chunks of 16 => at least one chunk equal
+    assert(found == truth, s"missing=${truth -- found} extra=${found -- truth}")
+  }
+
+  test("minhash LSH finds every high-jaccard pair (detection prob ~1 at j>=0.9)") {
+    val docs = Tables.documents(spark, sf)
+    val sh = docs.select($"doc_id", Dedup.shingleHashes($"text", 3).as("sh"))
+    val truth = sh.as("x").join(sh.as("y"), $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        Dedup.jaccard($"x.sh", $"y.sh").as("j"))
+      .filter($"j" >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain at least one 0.9-jaccard pair")
+    assert(found == truth, s"missing=${truth -- found} extra=${found -- truth}")
+  }
+}
