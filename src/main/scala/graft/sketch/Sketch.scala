@@ -161,8 +161,8 @@ final class Hll private (val b: Int, private var dense: Array[Byte],
     if (dense != null) {
       if (rho > dense(idx)) dense(idx) = rho.toByte
     } else {
-      val prev = sparse.getOrNull(idx.toLong)
-      if (prev == null || rho > prev.asInstanceOf[Int]) sparse.update(idx.toLong, rho)
+      // missing key => 0, and ranks are always >= 1, so max-update is one compare
+      if (rho > sparse.getOrElse(idx.toLong, 0)) sparse.update(idx.toLong, rho)
       if (sparse.size > upgradeAt) toDense()
     }
   }
@@ -207,8 +207,7 @@ final class Hll private (val b: Int, private var dense: Array[Byte],
         throw new SketchMergeException(s"cannot merge HLL(b=$b) with HLL(b=${o.b})")
       if (o.dense == null && dense == null) {
         o.sparse.foreachEntry { (idx, rho) =>
-          val prev = sparse.getOrNull(idx)
-          if (prev == null || rho > prev.asInstanceOf[Int]) sparse.update(idx, rho)
+          if (rho > sparse.getOrElse(idx, 0)) sparse.update(idx, rho)
         }
         if (sparse.size > upgradeAt) toDense()
       } else if (o.dense == null) { // this dense, other sparse
