@@ -111,6 +111,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged == 3L, s"store-then-merge got $merged, expected 3 distinct users")
   }
 
+  test("sketch state survives a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import GraftFunctions._
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[Ev]
+    // foreachBatch sink: fault-tolerant, so state recovers (memory sink
+    // refuses checkpoint recovery by design)
+    def startQuery() = StreamOps.sketchStoreSink(mem.toDF(), "ts", "event_type",
+      "user_id", "10 minutes", s"$base/store", checkpoint = Some(s"$base/ckpt"))
+
+    val q1 = startQuery()
+    mem.addData(Ev(t(1), 1, "click", 1.0), Ev(t(2), 2, "click", 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the checkpoint: prior sketch state must be recovered so
+    // user 1 is not a new distinct and user 3 extends the same window sketch
+    val q2 = startQuery()
+    mem.addData(Ev(t(3), 1, "click", 1.0), Ev(t(4), 3, "click", 1.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val n = spark.read.parquet(s"$base/store")
+      .filter($"window_start" === t(0))
+      .agg(approx_distinct($"sk").as("d")).select($"d.cardinality").as[Long].head()
+    assert(n == 3L, s"state lost or duplicated across restart: n=$n")
+  }
+
   test("streaming dedup keeps first occurrence within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
