@@ -52,10 +52,10 @@ object Sketch {
     bytes(off + 3) = v.toByte
   }
 
-  /** Inverse of [[Sketch.serialize]]. Wire formats (in-memory is always
-    * dense; the sparse encodings exist because at scale most groups are
-    * small and a dense 2^b-byte payload per group would dominate shuffle
-    * bytes — see serialize() in each impl):
+  /** Inverse of [[Sketch.serialize]]. Wire formats (each impl also keeps a
+    * sparse IN-MEMORY mode; the sparse encodings exist because at scale most
+    * groups are small and a dense 2^b-byte payload per group would dominate
+    * shuffle bytes — see serialize() in each impl):
     *  HLL dense:  [tag=1][b: 1][2^b register bytes]
     *  LC dense:   [tag=2][sizeBytes: 4 BE][bitmap bytes]
     *  HLL sparse: [tag=3][b: 1][n: 4 BE][n × (regIdx: 3 BE, rho: 1)]
