@@ -41,6 +41,31 @@ object Multimodal {
       (col("doc_id") % 480 + 48).cast("int").as("height"),
       (col("doc_id") % 24 + 1).cast("int").as("n_frames"))
 
+  /** Real-world ingestion path: a directory of raw media files via Spark's
+    * `binaryFile` source, mapped into the engine's media schema. Format is
+    * derived from the file extension; dimensions stay unknown (-1) until the
+    * decoder fills them — metadata-only columns (path, size) are queryable
+    * without touching bytes. `pathGlobFilter` pushes the extension filter
+    * into file listing, so a 100 TB lake scan never opens non-media files. */
+  def loadMediaDir(spark: SparkSession, dir: String,
+      glob: String = "*.{png,jpg,jpeg,wav,mp3,mp4,mkv}"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        element_at(split(col("path"), "\\."), -1).as("ext"),
+        col("path"),
+        col("length").as("n_bytes"),
+        col("content").as("media"))
+      .withColumn("format",
+        when(col("ext").isin("png", "jpg", "jpeg"), "image")
+          .when(col("ext").isin("wav", "mp3"), "audio")
+          .otherwise("video"))
+      .withColumn("width", lit(-1)).withColumn("height", lit(-1))
+      .withColumn("n_frames", lit(1))
+      .select("media_id", "format", "media", "width", "height", "n_frames", "path", "n_bytes")
+
   /** STUB decoder: a real build replaces this with an image/audio codec.
     * Deterministic: features are a folded byte histogram, normalized. The
     * signature — bytes in, fixed-dim float vector out — is the real one. */

@@ -39,6 +39,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("binaryFile ingestion maps raw media files into the media schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.png", Array[Byte](1, 2, 3, 4))
+    put("b.wav", Array[Byte](5, 6))
+    put("c.mp4", Array[Byte](7, 8, 9))
+    put("notes.txt", Array[Byte](99)) // must be glob-filtered out
+    val df = Multimodal.loadMediaDir(spark, dir.toString)
+    val rows = df.collect().map(r => r.getAs[String]("format") ->
+      (r.getAs[Array[Byte]]("media").length, r.getAs[Long]("n_bytes"))).toMap
+    assert(rows.keySet == Set("image", "audio", "video"))
+    assert(rows("image") == ((4, 4L)) && rows("audio") == ((2, 2L)) &&
+      rows("video") == ((3, 3L)))
+    // the mapped frame pipeline runs on ingested rows too
+    val feats = Multimodal.extractFeatures(df.select(
+      "media_id", "format", "media"))
+    assert(feats.count() == 3)
+  }
+
   test("frame sampling explodes only video rows at the sample stride") {
     val m = Multimodal.syntheticMediaTable(spark, sf)
     val frames = Multimodal.sampleFrames(m, everyN = 6)
