@@ -307,7 +307,22 @@ object Relational {
       .orderBy(col("maybe").asc_nulls_first)
   }
 
+  /** Date arithmetic + string-function depth (trim/replace/position). */
+  def q29DateStringFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        datediff(lit("2000-01-01").cast("date"), to_date(col("o_orderdate")))
+          .cast("long").as("days_to_y2k"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        regexp_replace(col("o_orderpriority"), "-", "_").as("pri_us"),
+        expr("instr(o_orderpriority, '-')").cast("long").as("pos_dash"),
+        trim(concat(lit("  "), col("o_orderstatus"), lit(" "))).as("st"),
+        lpad(col("o_orderkey").cast("string"), 8, "0").as("key_padded"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_date_string_fns" -> (q29DateStringFns _),
     "q21_cube" -> (q21Cube _),
     "q22_json_props" -> (q22JsonProps _),
     "q24_range_join" -> (q24RangeJoin _),
@@ -337,6 +352,15 @@ object Relational {
     "q20_year_agg" -> (q20YearAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q29_date_string_fns" ->
+      """SELECT o_orderkey,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+        |  REPLACE(o_orderpriority, '-', '_') AS pri_us,
+        |  CAST(POSITION('-' IN o_orderpriority) AS BIGINT) AS pos_dash,
+        |  TRIM('  ' || o_orderstatus || ' ') AS st,
+        |  LPAD(CAST(o_orderkey AS VARCHAR), 8, '0') AS key_padded
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q26_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
