@@ -69,6 +69,19 @@ object Dedup {
 
   // ---- whole-operator pipelines ----
 
+  /** Exact dedup keeping one deterministic representative per content key:
+    * the row whose `orderCol` is smallest (ties impossible when `orderCol`
+    * is unique, e.g. a doc id). One shuffle on the content key; all other
+    * columns survive. */
+  def keepFirstByContent(df: DataFrame, contentCols: Seq[String],
+      orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(contentCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Near-duplicate pairs via MinHash-LSH: shingle → sign → band → bucket
     * join → exact-Jaccard verify. Returns (id_a, id_b, jaccard).
     *

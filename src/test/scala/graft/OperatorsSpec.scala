@@ -76,6 +76,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j == 1.0)
   }
 
+  test("keepFirstByContent retains the min-id row with all columns") {
+    val docs = Seq((5L, "same text", "en"), (2L, "same text", "fr"),
+      (9L, "other", "de")).toDF("doc_id", "text", "lang")
+    val kept = Dedup.keepFirstByContent(docs, Seq("text"), "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(kept == Seq((2L, "same text", "fr"), (9L, "other", "de")))
+  }
+
   test("simhash: identical hash for dups, small hamming for near-dups") {
     val pairs = Dedup.simhashNearDupPairs(nearDupDocs, "doc_id", "text", maxHamming = 10)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()

@@ -46,6 +46,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: each event lands in every overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.windowedApproxDistinct(
+        mem.toDF(), "ts", "event_type", "user_id", "10 minutes",
+        slide = Some("5 minutes"))
+      .writeStream.outputMode("update").format("memory").queryName("slide").start()
+    try {
+      mem.addData(Ev(t(7), 1, "click", 1.0), Ev(t(8), 2, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, MAX(n_distinct) FROM slide GROUP BY 1 ORDER BY 1")
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toSeq
+      // events at 10:07/10:08 belong to [10:00,10:10) and [10:05,10:15)
+      assert(rows == Seq(t(0) -> 2L, t(5) -> 2L), s"got $rows")
+    } finally q.stop()
+  }
+
   test("watermark drops late rows beyond the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
