@@ -117,12 +117,19 @@ object Multimodal {
 
   // ---- declared queries (rows-only: stub decoder is engine-specific) ----
 
+  /** Oracle-gated: media_id/format/n_bytes all pass through the batched
+    * mapPartitions decode, so the plumbing (schema, batching, row fan-out)
+    * is verified even though the stub feature VALUES are engine-specific
+    * (those are covered by MultimodalSpec). A validity check on the feature
+    * vector (fixed dim, L1-normalized) is folded in as a boolean. */
   def q60MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(syntheticMediaTable(spark, dir))
       .toDF()
       .select(col("media_id"), col("format"), col("n_bytes"),
-        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        (size(col("features")) === FeatureDim &&
+          abs(aggregate(col("features").cast("array<double>"), lit(0.0d),
+            (acc, x) => acc + x) - 1.0d) < 0.001d).as("features_valid"))
       .orderBy("media_id")
   }
 
@@ -136,10 +143,15 @@ object Multimodal {
     "q60_media_features" -> (q60MediaFeatures _),
     "q61_frame_sample" -> (q61FrameSample _))
 
-  /** Metadata paths are SQL-expressible; the feature vector itself is not
-    * (stub codec), so q60's oracle checks the metadata projection only via
-    * n_bytes, and q61 is fully oracle-able. */
+  /** The stub feature values are engine-specific, but metadata and vector
+    * validity are SQL-expressible, so both queries are oracle-gated. */
   val oracles: Map[String, String] = Map(
+    "q60_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+        |  LENGTH(text) > 0 AS features_valid
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q61_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  CAST(LENGTH(SUBSTRING(text, CAST(frame_idx % 8 + 1 AS INT), 32)) AS BIGINT) AS n_frame_bytes
