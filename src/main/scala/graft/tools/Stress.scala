@@ -40,6 +40,29 @@ object Stress {
       df.groupBy((col("v") % 16).as("g"))
         .agg(GraftFunctions.approx_distinct(col("v")).getField("cardinality").as("c"))
         .agg(sum("c")) }
+
+    // text kernels: synthetic ~12-word docs, throughput of the per-row
+    // expressions that dominate a dedup/text-analysis pass
+    val nDocs = math.min(n, 2000000L)
+    val words = (0 until 50).map(i => s"w$i")
+    val docs = spark.range(nDocs).select(concat_ws(" ",
+      (0 until 12).map(i => element_at(
+        array(words.map(lit): _*), (pmod(col("id") * (i + 7), lit(50)) + 1).cast("int"))): _*)
+      .as("text"))
+    def timeText(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      mk.write.format("noop").mode("overwrite").save()
+      val t0 = System.nanoTime()
+      mk.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-28s ${""}%12s  $secs%7.2f s  ${nDocs / secs / 1e6}%8.1f M docs/s")
+    }
+    println(s"text kernels on $nDocs synthetic docs:")
+    timeText("shingle_hashes(3)") { docs.select(GraftFunctions.shingle_hashes(col("text"), 3)) }
+    timeText("simhash(tokens)") {
+      docs.select(GraftFunctions.simhash(graft.operators.TextAnalysis.tokens(col("text")))) }
+    timeText("lang_id + quality_score") {
+      docs.select(graft.operators.TextAnalysis.langId(col("text")),
+        graft.operators.TextAnalysis.qualityScore(col("text"))) }
     spark.stop()
   }
 }
