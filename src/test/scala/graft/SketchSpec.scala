@@ -138,6 +138,23 @@ class SketchSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a.serialize(), ab.serialize()))
   }
 
+  test("corrupted payloads fail cleanly with descriptive errors") {
+    // unknown tag
+    val e1 = intercept[Exception](Sketch.deserialize(Array[Byte](42, 1, 2)))
+    assert(e1.getMessage.contains("unknown sketch tag"))
+    // truncated dense HLL
+    val good = hllOf(1L to 200000L).serialize() // dense at this load
+    val e2 = intercept[Exception](Sketch.deserialize(good.take(100)))
+    assert(e2.getMessage.contains("length"))
+    // truncated sparse payload
+    val sparse = hllOf(1L to 50L).serialize()
+    val e3 = intercept[Exception](Sketch.deserialize(sparse.take(7)))
+    assert(e3.getMessage.contains("length"))
+    // empty payload
+    val e4 = intercept[Exception](Sketch.deserialize(Array.emptyByteArray))
+    assert(e4.getMessage.contains("empty"))
+  }
+
   test("LC saturation reports capacity, not infinity") {
     val lc = new LinearCounter(4) // 32 bits
     (1L to 10000L).foreach(v => lc.offerHash(hash(v)))
