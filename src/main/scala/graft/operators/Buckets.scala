@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Hot-bucket guard for LSH-style candidate generation.
+  *
+  * Every near-dup / ANN operator in the engine generates candidates by
+  * self-joining rows that share a bucket key, which is quadratic in bucket
+  * size. One degenerate bucket (all-empty docs, all-zero vectors) turns into
+  * a straggler task at scale, so buckets are capped at a fixed membership:
+  * the `cap` smallest ids stay (deterministic), the rest are dropped from
+  * candidate generation only — they can still be *found* via their other
+  * bands/tables.
+  *
+  * No silent caps: the number of dropped rows rides the query itself as a
+  * named observed metric (`Dataset.observe` — collected during the same
+  * action, zero extra passes). A session-level [[QueryExecutionListener]]
+  * WARN-logs any non-zero drop after each action, and callers/tests can read
+  * `df.queryExecution.observedMetrics(metricName)` directly.
+  */
+object Buckets {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Keep at most `cap` members per bucket (smallest `idCol` values win).
+    *
+    * @param observed attach the observed metric. When the capped relation
+    *                 appears on BOTH sides of a self-join, exactly one side
+    *                 may carry the metric (Spark rejects duplicate observed
+    *                 metric names in one query) — pass `observed = false`
+    *                 for the second side.
+    */
+  def cap(buckets: DataFrame, keyCols: Seq[String], idCol: String, cap: Int,
+      metricName: String, observed: Boolean = true): DataFrame = {
+    require(cap >= 1, s"bucket cap must be >= 1, got $cap")
+    ensureListener(buckets.sparkSession)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    val ranked = buckets.withColumn("__bn", row_number().over(w))
+    val metered =
+      if (observed) ranked.observe(metricName,
+        coalesce(sum(when(col("__bn") > cap, 1L).otherwise(0L)), lit(0L)).as("dropped_rows"),
+        coalesce(sum(when(col("__bn") === cap + 1, 1L).otherwise(0L)), lit(0L)).as("overflow_buckets"),
+        coalesce(max(col("__bn")).cast("long"), lit(0L)).as("max_bucket_size"))
+      else ranked
+    metered.filter(col("__bn") <= cap).drop("__bn")
+  }
+
+  private val flag = "graft.internal.bucketCapListener"
+
+  private def ensureListener(spark: SparkSession): Unit = synchronized {
+    if (!spark.conf.getOption(flag).contains("true")) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.endsWith("bucket_cap")) {
+              val dropped = row.getAs[Long]("dropped_rows")
+              if (dropped > 0)
+                log.warn(s"graft: $name dropped $dropped candidate rows across " +
+                  s"${row.getAs[Long]("overflow_buckets")} hot buckets " +
+                  s"(max bucket size ${row.getAs[Long]("max_bucket_size")})")
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+      })
+      spark.conf.set(flag, "true")
+    }
+  }
+}

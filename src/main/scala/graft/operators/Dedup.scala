@@ -96,7 +96,7 @@ object Dedup {
     * wire once per doc, not once per candidate pair. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerms: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 256): DataFrame = {
     val rows = numPerms / bands
     val exploded = docs.select(col(idCol).as("id"),
       explode(shingleHashes(col(textCol), k)).as("h"))
@@ -107,31 +107,45 @@ object Dedup {
     val buckets = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(sigArr, b * rows + 1, rows))): _*)).as(Seq("band", "bhash")))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    // hot-bucket guard: a degenerate bucket (e.g. thousands of empty docs
+    // sharing one signature) is quadratic in the self-join below — capped,
+    // with the drop reported via an observed metric (Buckets.cap)
+    val capX = Buckets.cap(buckets, Seq("band", "bhash"), "id", maxBucketSize,
+      "minhash_bucket_cap")
+    val capY = Buckets.cap(buckets, Seq("band", "bhash"), "id", maxBucketSize,
+      "minhash_bucket_cap", observed = false)
+    val cand = capX.as("x").join(capY.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     val sh = sigs.select(col("id"), col("sh"))
+    val nc = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val nt = size(array_union(col("sh_a"), col("sh_b"))).cast("long")
     cand
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      // integer set sizes ride along with the ratio: exact, oracle-friendly
+      .select(col("id_a"), col("id_b"), nc.as("n_common"), nt.as("n_total"),
+        (nc.cast("double") / nt.cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Near-duplicate pairs via SimHash: 16-bit chunk blocking + Hamming
     * verify. Returns (id_a, id_b, hamming). */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val withSim = docs.select(col(idCol).as("id"),
       GraftFunctions.simhash(TextAnalysis.tokens(col(textCol))).as("sim"))
-    val chunked = withSim.select(col("id"), col("sim"),
+    val chunks = withSim.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "cval")))
-    chunked.as("x").join(chunked.as("y"),
+    val chunked = Buckets.cap(chunks, Seq("chunk", "cval"), "id", maxBucketSize,
+      "simhash_bucket_cap")
+    val chunkedY = Buckets.cap(chunks, Seq("chunk", "cval"), "id", maxBucketSize,
+      "simhash_bucket_cap", observed = false)
+    chunked.as("x").join(chunkedY.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -142,19 +156,27 @@ object Dedup {
 
   // ---- declared queries ----
 
-  /** Exact dedup on raw content: canonical representative per text. */
+  /** Exact dedup on content: canonical representative per text. Groups by a
+    * 128-bit content hash (two independent xxhash64 lanes), NOT the raw
+    * text: the shuffle key is 16 bytes instead of the whole document, and a
+    * 128-bit birthday collision is negligible at any corpus size. */
   def q40DedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy("text")
+      .groupBy(xxhash64(col("text")).as("h1"), xxhash64(lit(1), col("text")).as("h2"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
-  /** MinHash-LSH near-dup pairs (approx candidates, exact-verified). */
+  /** MinHash-LSH near-dup pairs, exact-verified and oracle-gated: the output
+    * is the integer shingle-set overlap (n_common, n_total) of every pair at
+    * Jaccard ≥ 0.5, which DuckDB reproduces from first principles with an
+    * exact all-pairs pass at oracle scale. 32 bands × 2 rows makes the
+    * candidate step's miss probability at j = 0.5 about (1−0.25)^32 ≈ 1e-4
+    * (vs 0.36 at the 16×4 default) — recall is effectively exact, so the
+    * LSH path must reproduce the full exact answer to stay green. */
   def q45MinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    minhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text")
-      .select(col("id_a"), col("id_b"),
-        round(col("jaccard"), 3).as("jaccard_r"))
+    minhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text", bands = 32)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_total"))
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs. */
@@ -181,7 +203,9 @@ object Dedup {
   def q56CorpusPipeline(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= 200)
-      .groupBy("text")
+      // 128-bit content hash as the dedup key (16-byte shuffle key, not the
+      // full document — same rationale as q40)
+      .groupBy(xxhash64(col("text")).as("h1"), xxhash64(lit(1), col("text")).as("h2"))
       .agg(min("doc_id").as("keep_id"), min("lang").as("lang"),
         max(length(col("text"))).cast("long").as("len"))
       .groupBy("lang")
@@ -197,7 +221,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q56_corpus_pipeline" ->
-      """SELECT lang, COUNT(*) AS n_docs, SUM(len) AS total_chars FROM (
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS total_chars FROM (
         |  SELECT MIN(doc_id) AS keep_id, MIN(lang) AS lang,
         |    CAST(MAX(LENGTH(text)) AS BIGINT) AS len
         |  FROM documents WHERE LENGTH(text) >= 200 GROUP BY text) t
@@ -205,6 +229,25 @@ object Dedup {
     "q40_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents
         |GROUP BY text ORDER BY keep_id""".stripMargin,
+    // exact all-pairs ground truth at oracle scale: every pair whose distinct
+    // 3-shingle Jaccard >= 0.5 (integer form: 2·|∩| >= |∪|), which the LSH
+    // path must reproduce exactly (see q45MinhashPairs recall math)
+    "q45_minhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             FOR i IN range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents))
+        |SELECT id_a, id_b, n_common, n_total FROM (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    len(list_intersect(x.sh, y.sh)) AS n_common,
+        |    len(list_distinct(list_concat(x.sh, y.sh))) AS n_total
+        |  FROM t x JOIN t y ON x.doc_id < y.doc_id) p
+        |WHERE 2 * n_common >= n_total
+        |ORDER BY id_a, id_b""".stripMargin,
     "q47_ngram_jaccard_sample" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')

@@ -48,13 +48,16 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
       .orderBy("l_orderkey", "l_linenumber")
 
-  /** TPC-H Q3 flavor: dim-filtered 3-way join, broadcast small sides. */
+  /** TPC-H Q3 flavor: dim-filtered 3-way join. `customer` grows with scale
+    * factor, so it carries NO broadcast hint — Spark's size threshold / AQE
+    * broadcasts it while it fits and falls back to a shuffle join at scale
+    * (a forced hint would OOM the build side at 100 TB). */
   def q03JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
         .cast("double").as("revenue"))
@@ -194,7 +197,10 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
-  /** TPC-H Q5 flavor: 5-way star join → revenue per nation. Dims broadcast. */
+  /** TPC-H Q5 flavor: 5-way star join → revenue per nation. Only the
+    * genuinely fixed-size dims (nation: ≤25 rows, region: 5) carry broadcast
+    * hints; `customer` scales with the data, so its join is left to the
+    * optimizer's size threshold / AQE. */
   def q18StarJoin(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
@@ -202,7 +208,7 @@ object Relational {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -376,8 +382,8 @@ object Relational {
       """SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority END AS maybe,
         |  COUNT(*) AS n_rows,
         |  COUNT(CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority END) AS n_nonnull,
-        |  SUM(CASE WHEN (CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority END)
-        |           IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_eq_null
+        |  CAST(SUM(CASE WHEN (CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority END)
+        |           IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null
         |FROM orders GROUP BY 1 ORDER BY maybe ASC NULLS FIRST""".stripMargin,
     "q24_range_join" ->
       """SELECT a.user_id, COUNT(*) AS n_close_pairs
@@ -399,7 +405,7 @@ object Relational {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q22_json_props" ->
-      """SELECT event_type, SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+      """SELECT event_type, CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q01_pricing_summary" ->
@@ -508,7 +514,7 @@ object Relational {
         |            WHEN l_quantity < 30 THEN 'mid'
         |            ELSE 'high' END AS qty_bucket,
         |  COUNT(*) AS n_rows,
-        |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
         |FROM lineitem GROUP BY 1 ORDER BY qty_bucket""".stripMargin,
     "q20_year_agg" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr, o_orderpriority,

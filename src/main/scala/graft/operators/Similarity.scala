@@ -2,17 +2,17 @@ package graft.operators
 
 import graft.sources.Tables
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Similarity search over embedding columns (`ARRAY<FLOAT>`).
   *
   * Two paths, as a production pipeline would have:
-  *  - brute-force cosine top-k — the exact baseline; dot products via
-  *    `zip_with` + `aggregate` higher-order functions (codegen'd, no UDF).
-  *    O(n) per query, embarrassingly parallel, the right answer for one-off
-  *    queries or re-ranking;
+  *  - brute-force cosine top-k — the exact baseline; O(n) per query,
+  *    embarrassingly parallel, the right answer for one-off queries or
+  *    re-ranking;
   *  - hyperplane-LSH bucketed ANN — the scale path: each vector gets a
   *    `nBits`-bit signature from deterministic pseudo-random hyperplanes;
   *    same-bucket vectors are candidates, exact cosine re-ranks them. At
@@ -20,8 +20,15 @@ import org.apache.spark.sql.functions._
   *    shuffle), never an all-pairs product. Multi-probe = multiple
   *    independent tables (`nTables`) unioned.
   *
+  * Every top-k here is `orderBy(...).limit(k)` — planned as
+  * TakeOrderedAndProject: per-partition top-k, then a k·partitions merge.
+  * A `row_number()` over an un-partitioned window would instead move the
+  * whole scored corpus (vectors included) to ONE partition — correct at
+  * test scale, dead at 100×.
+  *
   * Embedding cosine near-dup (pairs above a threshold) reuses the LSH
-  * buckets: the same candidate-then-verify shape as MinHash dedup.
+  * buckets: the same candidate-then-verify shape as MinHash dedup, with the
+  * same hot-bucket cap ([[Buckets.cap]]).
   */
 object Similarity {
 
@@ -49,18 +56,42 @@ object Similarity {
       graft.functions.HyperplaneLsh(
         org.apache.spark.sql.graft.GraftBridge.expression(emb), dim, nBits, table))
 
+  /** Signature width that targets `targetBucketSize` expected members per
+    * bucket: buckets ≈ n / target, so bits ≈ log2(n / target). Clamped to
+    * [4, 20] — 4 matches the small-fixture regime, 2^20 buckets is plenty
+    * before table count, not bucket count, is the right knob. */
+  def autoNBits(n: Long, targetBucketSize: Int = 64): Int = {
+    val want = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
+      math.log(2.0)).toInt
+    math.max(4, math.min(20, want))
+  }
+
+  /** Rank the top `k` of a scored relation: `orderBy + limit` (per-partition
+    * top-k, no global shuffle), then `row_number` over the k survivors only.
+    * The post-limit window partitions on a constant: all k rows meet in one
+    * task by construction — which is fine, because k rows is the whole
+    * input — and no un-partitioned global window ever touches the corpus. */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame = {
+    val topk = scored.select(col("id"), col("sim"))
+      .orderBy(desc("sim"), col("id")).limit(k)
+    // constant-but-not-foldable partition key: a literal would be constant-
+    // folded away, leaving an empty partition spec — i.e. the global-window
+    // plan this function exists to avoid
+    val w = Window.partitionBy(pmod(xxhash64(col("id")), lit(1)))
+      .orderBy(desc("sim"), col("id"))
+    topk.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("id"), col("rank"))
+  }
+
   /** Exact brute-force cosine top-k neighbors of one query vector. */
   def bruteForceTopK(emb: DataFrame, idCol: String, embCol: String,
       queryId: Long, k: Int): DataFrame = {
     val q = emb.filter(col(idCol) === queryId)
       .select(col(embCol).as("qv"))
-    val w = Window.orderBy(desc("sim"), col("id"))
-    emb.select(col(idCol).as("id"), col(embCol).as("v"))
+    val scored = emb.select(col(idCol).as("id"), col(embCol).as("v"))
       .join(broadcast(q))
       .withColumn("sim", cosine(col("v"), col("qv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("id"), col("rank"))
+    topKRanked(scored, k)
   }
 
   /** All `nTables` signatures in ONE projection + posexplode: a per-table
@@ -81,39 +112,68 @@ object Similarity {
     val cand = sigs.join(broadcast(qsig),
         col("tbl") === col("qtbl") && col("sig") === col("qsig"))
       .select(col("id"), col("v"), col("qv")).distinct()
-    val w = Window.orderBy(desc("sim"), col("id"))
-    cand.withColumn("sim", cosine(col("v"), col("qv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("id"), col("rank"))
+    val scored = cand.withColumn("sim", cosine(col("v"), col("qv")))
+    topKRanked(scored, k)
   }
+
+  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def rowToVec(r: Row, i: Int): Array[Double] =
+    r.getSeq[Any](i).map(_.asInstanceOf[Number].doubleValue()).toArray
 
   /** IVF (inverted-file) ANN — the other standard scale path besides LSH.
     *
-    * Build: a deterministic coarse quantizer of `nCentroids` centroids
-    * (seeded by hash-selected vectors, refined with `iters` Lloyd steps, all
-    * as DataFrame aggregations — no driver-side loops over data, only over
-    * the centroid table, which is tiny by construction and broadcast).
-    * Vectors are assigned to their nearest centroid: the inverted lists.
-    * Query: probe the `nProbe` nearest centroids and re-rank exactly within
-    * their lists. At 100 TB the inverted lists are just a partitioned table
-    * keyed by centroid id; a probe reads nProbe/nCentroids of the data.
-    */
+    * Build: the coarse quantizer is TRAINED ON A BOUNDED SAMPLE — the
+    * `trainSample` vectors with smallest `xxhash64(id)` (a deterministic
+    * hash-ordered reservoir, computed as one TakeOrdered pass) — so the
+    * Lloyd iterations cost O(trainSample · nCentroids · iters) regardless
+    * of corpus size. The trained centroids (nCentroids × dim doubles —
+    * model parameters, not data) are materialized to the driver, exactly
+    * like any ML trainer's fit/transform boundary.
+    *
+    * Assign: one map-only pass over the full corpus — per-row argmax
+    * against the centroid literals, no join, no shuffle. At 100 TB the
+    * assignment output is written partitioned by `cid`: the inverted lists.
+    *
+    * Query: the `nProbe` nearest centroids are picked driver-side (a loop
+    * over nCentroids model rows), candidates come from `cid IN probes` —
+    * a partition-prunable filter reading ~nProbe/nCentroids of the data —
+    * and exact cosine re-ranks via TakeOrderedAndProject. */
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
       queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, trainSample: Int = 4096): DataFrame = {
     val spark = emb.sparkSession
     val base = emb.select(col(idCol).as("id"), col(embCol).as("v"))
-    // deterministic seeds: the nCentroids vectors with smallest xxhash64(id)
-    var centroids = base
-      .withColumn("__h", xxhash64(col("id")))
+
+    def emptyResult: DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(Seq(StructField("id", base.schema("id").dataType),
+          StructField("rank", LongType))))
+
+    val qRows = base.filter(col("id") === queryId).select("v").limit(1).collect()
+    if (qRows.isEmpty) return emptyResult
+    val qv = rowToVec(qRows(0), 0)
+
+    // ---- train (sample-bounded Lloyd; persisted: it backs `iters` passes) ----
+    val train = base.withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h").limit(math.max(trainSample, nCentroids))
+      .select("id", "v")
+      .persist()
+    // seeds: the nCentroids smallest-hash vectors (a prefix of the sample)
+    var centroids = train.withColumn("__h", xxhash64(col("id")))
       .orderBy("__h").limit(nCentroids)
-      .select(monotonically_increasing_id().as("cid"), col("v").as("cv"))
+      .select(monotonically_increasing_id().as("cid"),
+        col("v").cast("array<double>").as("cv"))
     for (_ <- 1 to iters) {
       // Lloyd step, shuffle-shaped: explode (cid, dim) cells, average per
       // cell (map-side partial), re-assemble vectors — never collects whole
       // vectors into one aggregation buffer
-      centroids = base.join(broadcast(centroids))
+      centroids = train.join(broadcast(centroids))
         .withColumn("sim", cosine(col("v"), col("cv")))
         .withColumn("rn", row_number().over(
           Window.partitionBy("id").orderBy(desc("sim"), col("cid"))))
@@ -124,35 +184,52 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
           s => s.getField("mx")).as("cv"))
     }
-    val assigned = base.join(broadcast(centroids))
-      .withColumn("sim", cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(desc("sim"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("cid"))
-    val qRow = assigned.filter(col("id") === queryId).select(col("v").as("qv"))
-    val probed = centroids.join(broadcast(qRow))
-      .withColumn("sim", cosine(col("cv"), col("qv")))
-      .orderBy(desc("sim"), col("cid")).limit(nProbe)
-      .select(col("cid"))
-    val cand = assigned.join(broadcast(probed), "cid")
-    val w = Window.orderBy(desc("sim"), col("id"))
-    cand.join(broadcast(qRow))
-      .withColumn("sim", cosine(col("v"), col("qv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("id"), col("rank"))
+    val model: Array[(Long, Array[Double])] =
+      centroids.collect().map(r => (r.getLong(0), rowToVec(r, 1)))
+    train.unpersist()
+    if (model.isEmpty) return emptyResult
+
+    // ---- assign: map-only per-row argmax against centroid literals ----
+    // struct(sim, -cid) + greatest = (max sim, ties to min cid), no shuffle
+    val assignStructs = model.map { case (cid, cv) =>
+      struct(cosine(col("v"), typedLit(cv)).as("sim"), lit(-cid).as("negcid"))
+    }
+    val bestNegCid =
+      if (assignStructs.length == 1) assignStructs(0).getField("negcid")
+      else greatest(assignStructs.toIndexedSeq: _*).getField("negcid")
+    val assigned = base.withColumn("cid", -bestNegCid)
+
+    // ---- probe: nProbe nearest centroids, picked from the driver-side model ----
+    val probeCids = model.map { case (cid, cv) => (cosLocal(cv, qv), cid) }
+      .sortBy { case (s, cid) => (-s, cid) }
+      .take(nProbe).map(_._2).toSeq
+
+    val scored = assigned.filter(col("cid").isin(probeCids: _*))
+      .withColumn("sim", cosine(col("v"), typedLit(qv)))
+    topKRanked(scored, k)
   }
 
-  /** Embedding near-dup pairs: cosine ≥ threshold, candidates from LSH. */
+  /** Embedding near-dup pairs: cosine ≥ threshold, candidates from LSH.
+    *
+    * `nBits = 0` (default) auto-sizes the signature to the corpus
+    * ([[autoNBits]]): a fixed width would degenerate to ~all-pairs/2^bits
+    * per table as the corpus grows. Hot buckets (zero vectors, spam
+    * clusters) are capped at `maxBucketSize` members — reported, never
+    * silent ([[Buckets.cap]]). */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
-      dim: Int, threshold: Double, nBits: Int = 4, nTables: Int = 8): DataFrame = {
+      dim: Int, threshold: Double, nBits: Int = 0, nTables: Int = 8,
+      maxBucketSize: Int = 256): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(embCol).as("v"))
-    val sigs = withSignatures(base, dim, nBits, nTables)
+    val nb = if (nBits > 0) nBits else autoNBits(base.count())
+    val sigs = withSignatures(base, dim, nb, nTables)
       .select(col("id"), col("tbl"), col("sig"))
+    val capX = Buckets.cap(sigs, Seq("tbl", "sig"), "id", maxBucketSize,
+      "embedding_near_dup_bucket_cap")
+    val capY = Buckets.cap(sigs, Seq("tbl", "sig"), "id", maxBucketSize,
+      "embedding_near_dup_bucket_cap", observed = false)
     // dedup candidate ids FIRST, then rejoin vectors by id: arrays must not
     // ride through the distinct() shuffle (row size, comparator cost)
-    val cand = sigs.as("x").join(sigs.as("y"),
+    val cand = capX.as("x").join(capY.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -173,26 +250,60 @@ object Similarity {
       .withColumnRenamed("id", "vec_id")
       .orderBy("rank")
 
-  /** LSH ANN top-5 (approximate by design — rows-only gate; recall asserted
-    * against brute force in SimilaritySpec). */
-  def q51AnnLsh(spark: SparkSession, dir: String): DataFrame =
-    annTopK(Tables.embeddings(spark, dir), "vec_id", "embedding", 64, 0L, 5)
-      .withColumnRenamed("id", "vec_id")
-      .orderBy("rank")
+  /** ANN result-count + recall-vs-brute-force as a summary row: the result
+    * LIST is approximate by design (not oracle-expressible), but "returns k
+    * results, at least `minHits` of which sit in the exact top-k" IS a
+    * deterministic, oracle-checkable fact — the q60 `features_valid`
+    * pattern. Both the ANN path and the exact path execute inside the query. */
+  private def annRecallGate(ann: DataFrame, brute: DataFrame, minHits: Int): DataFrame = {
+    val hits = ann.join(brute, Seq("id"), "left_semi")
+    ann.agg(count(lit(1)).as("n_results"))
+      .join(hits.agg(count(lit(1)).as("__h")))
+      .select(col("n_results"), (col("__h") >= minHits).as("recall_ok"))
+  }
 
-  /** IVF ANN top-5 (probe-then-rerank; rows-only gate, recall in spec). */
-  def q53AnnIvf(spark: SparkSession, dir: String): DataFrame =
-    ivfTopK(Tables.embeddings(spark, dir), "vec_id", "embedding", 0L, 5)
-      .withColumnRenamed("id", "vec_id")
-      .orderBy("rank")
+  /** LSH ANN top-5 vs exact top-5 (gated: 5 results, ≥3 true top-5 hits). */
+  def q51AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annRecallGate(
+      annTopK(emb, "vec_id", "embedding", 64, 0L, 5).select("id"),
+      bruteForceTopK(emb, "vec_id", "embedding", 0L, 5).select("id"),
+      minHits = 3)
+  }
 
-  /** Embedding near-dup pairs above cosine 0.4 (the synthetic embeddings
-    * have no true near-dups — max pairwise cosine ≈ 0.51 — so the threshold
-    * is set where the data actually has signal; at scale it's a parameter). */
-  def q52EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 64, 0.4)
-      .select(col("id_a"), col("id_b"))
-      .orderBy("id_a", "id_b")
+  /** IVF ANN top-5 vs exact top-5 (probe-then-rerank; same gate as q51). */
+  def q53AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annRecallGate(
+      ivfTopK(emb, "vec_id", "embedding", 0L, 5).select("id"),
+      bruteForceTopK(emb, "vec_id", "embedding", 0L, 5).select("id"),
+      minHits = 3)
+  }
+
+  /** Embedding near-dup above cosine 0.4 (the synthetic embeddings have no
+    * true near-dups — max pairwise cosine ≈ 0.51 — so the threshold sits
+    * where the data has signal; at scale it's a parameter). Gated like the
+    * ANN queries: the LSH pair set is approximate, but its size relative to
+    * the exact all-pairs answer (computed in-query; the oracle recomputes it
+    * independently) is a checkable fact. Precision is 1.0 by construction —
+    * every emitted pair passes the exact cosine filter — so the boolean is
+    * purely a recall assertion. */
+  def q52EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val found = embeddingNearDupPairs(emb, "vec_id", "embedding", 64, 0.4)
+      .select("id_a", "id_b")
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val exact = base.as("x").join(base.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        cosine(col("x.v"), col("y.v")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select("id_a", "id_b")
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .join(found.agg(count(lit(1)).as("__f")))
+      .select(col("n_exact_pairs"),
+        (col("__f").cast("double") >=
+          col("n_exact_pairs").cast("double") * 0.5).as("recall_ok"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_knn_brute" -> (q50KnnBrute _),
@@ -209,5 +320,14 @@ object Similarity {
         |        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
         |      e.vec_id) AS BIGINT) AS rank
         |  FROM embeddings e) t
-        |WHERE rank <= 10 ORDER BY rank""".stripMargin)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "q51_ann_lsh" ->
+      "SELECT CAST(5 AS BIGINT) AS n_results, true AS recall_ok",
+    "q53_ann_ivf" ->
+      "SELECT CAST(5 AS BIGINT) AS n_results, true AS recall_ok",
+    "q52_embedding_near_dup" ->
+      """SELECT COUNT(*) AS n_exact_pairs, true AS recall_ok
+        |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |  CAST(y.embedding AS DOUBLE[])) >= 0.4""".stripMargin)
 }

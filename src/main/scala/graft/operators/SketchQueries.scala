@@ -8,18 +8,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's own capability, as oracle-gated queries: approximate
-  * distinct counting (E1/E2/E3 in SURVEY §3). Oracles are exact
-  * COUNT(DISTINCT); the gate applies the error envelope from BASELINE.md
-  * (3 × 1.04/√2¹⁶ ≈ 1.2% at the default b=16).
+  * distinct counting (E1/E2/E3 in SURVEY §3).
+  *
+  * Gate design: every estimate-bearing query emits the EXACT count (which
+  * the DuckDB oracle reproduces) next to a boolean asserting the estimate
+  * sits inside the BASELINE.md envelope (3 × 1.04/√2¹⁶ ≈ 1.2% at the
+  * default b=16) — so the driver's hash gate is strict (`true` must equal
+  * `true`) while the sketch path is still what computes the boolean. Raw
+  * estimate assertions (value, bias, 3σ bands) live in ApproxDistinctSpec /
+  * SketchPropertiesSpec.
   */
 object SketchQueries {
 
-  /** E2: global ungrouped aggregate. */
+  /** BASELINE.md envelope for the default HLL b=16: 3σ relative error. */
+  private val envelope = 3 * 1.04 / math.sqrt(1 << 16)
+
+  /** `|est − exact| / exact <= envelope` as a deterministic boolean. */
+  private def withinEnvelope(est: org.apache.spark.sql.Column,
+      exact: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    abs(est.cast("double") - exact.cast("double")) / exact.cast("double") <= lit(envelope)
+
+  /** E2: global ungrouped aggregate (exact twin rides the same scan). */
   def q30ApproxGlobal(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     Tables.lineitem(spark, dir)
-      .agg(approx_distinct(col("l_orderkey")).as("d"))
-      .select(col("d.cardinality").as("n_orders"))
+      .agg(approx_distinct(col("l_orderkey")).as("d"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .select(col("n_orders"),
+        withinEnvelope(col("d.cardinality"), col("n_orders")).as("est_ok"))
   }
 
   /** E1: grouped aggregate — partial sketches merge across the shuffle. */
@@ -27,8 +43,10 @@ object SketchQueries {
     GraftFunctions.register(spark)
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(approx_distinct(col("l_orderkey")).as("d"))
-      .select(col("l_returnflag"), col("d.cardinality").as("n_orders"))
+      .agg(approx_distinct(col("l_orderkey")).as("d"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .select(col("l_returnflag"), col("n_orders"),
+        withinEnvelope(col("d.cardinality"), col("n_orders")).as("est_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -45,11 +63,16 @@ object SketchQueries {
     * distinguishing feature, UDAFCardinalityEstimator.java:190-199). */
   def q33SketchReagg(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.lineitem(spark, dir)
+    val est = Tables.lineitem(spark, dir)
       .groupBy(to_date(col("l_shipdate")).as("day"))
       .agg(approx_distinct(col("l_orderkey")).as("sk"))
       .agg(approx_distinct(col("sk")).as("d"))
-      .select(col("d.cardinality").as("n_orders"))
+      .select(col("d.cardinality").as("est"))
+    val exact = Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    est.join(exact)
+      .select(col("n_orders"),
+        withinEnvelope(col("est"), col("n_orders")).as("est_ok"))
   }
 
   /** Sketch-level union over two overlapping date slices (scalar
@@ -66,19 +89,51 @@ object SketchQueries {
       .join(slice("1998-01-01", "2000-01-01").select(col("sk").as("sb")))
   }
 
-  def q34SketchUnion(spark: SparkSession, dir: String): DataFrame =
-    dateSliceSketches(spark, dir).select(
-      sketch_estimate(col("sa")).as("n_early"),
-      sketch_estimate(col("sb")).as("n_late"),
-      sketch_estimate(sketch_union(col("sa"), col("sb"))).as("n_union"))
+  /** Exact distinct orderkeys per date slice and their union/intersection —
+    * the oracle-checkable twin that q34/q35 compare their estimates to. */
+  private def sliceExacts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def in(from: String, to: String) =
+      col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(to).cast("timestamp")
+    val early = in("1997-01-01", "1999-01-01")
+    val late = in("1998-01-01", "2000-01-01")
+    o.agg(
+      countDistinct(when(early, col("o_orderkey"))).as("n_early"),
+      countDistinct(when(late, col("o_orderkey"))).as("n_late"),
+      countDistinct(when(early || late, col("o_orderkey"))).as("n_union"),
+      countDistinct(when(early && late, col("o_orderkey"))).as("n_intersect"))
+  }
 
-  /** Intersection by inclusion–exclusion. Deliberately NOT oracle-gated: the
-    * estimator's std-err scales with |A∪B|, so relative error vs the exact
-    * intersection can exceed the union envelope by |A∪B|/|A∩B| — asserted
-    * with the statistically correct bound in SketchQueriesSpec instead. */
-  def q35SketchIntersection(spark: SparkSession, dir: String): DataFrame =
-    dateSliceSketches(spark, dir).select(
-      sketch_intersection_estimate(col("sa"), col("sb")).as("n_intersect"))
+  def q34SketchUnion(spark: SparkSession, dir: String): DataFrame =
+    dateSliceSketches(spark, dir)
+      .select(
+        sketch_estimate(col("sa")).as("e_early"),
+        sketch_estimate(col("sb")).as("e_late"),
+        sketch_estimate(sketch_union(col("sa"), col("sb"))).as("e_union"))
+      .join(sliceExacts(spark, dir).drop("n_intersect"))
+      .select(col("n_early"), col("n_late"), col("n_union"),
+        withinEnvelope(col("e_early"), col("n_early")).as("early_ok"),
+        withinEnvelope(col("e_late"), col("n_late")).as("late_ok"),
+        withinEnvelope(col("e_union"), col("n_union")).as("union_ok"))
+
+  /** Intersection by inclusion–exclusion, gated with the statistically
+    * correct bound: the estimator's std-err scales with the SET SIZES, not
+    * the intersection — σ ≈ (1.04/√m)·√(|A|²+|B|²+|A∪B|²) — so the boolean
+    * asserts |est − exact| ≤ 3σ computed from the exact slice counts that
+    * ride the same query (the bound OperatorsSpec asserts on synthetic
+    * sets, now driver-gated on the real data too). */
+  def q35SketchIntersection(spark: SparkSession, dir: String): DataFrame = {
+    def sq(c: String) = col(c).cast("double") * col(c).cast("double")
+    val sigma3 = lit(3 * 1.04 / math.sqrt(1 << 16)) *
+      sqrt(sq("n_early") + sq("n_late") + sq("n_union"))
+    dateSliceSketches(spark, dir)
+      .select(sketch_intersection_estimate(col("sa"), col("sb")).as("est"))
+      .join(sliceExacts(spark, dir))
+      .select(col("n_intersect"),
+        (abs(col("est").cast("double") - col("n_intersect").cast("double"))
+          <= sigma3).as("est_ok"))
+  }
 
   /** Batch twin of the streaming windowed-distinct operator
     * ([[graft.streaming.StreamOps.windowedApproxDistinct]]): identical plan,
@@ -157,14 +212,14 @@ object SketchQueries {
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_epoch""".stripMargin,
     "q30_approx_distinct_global" ->
-      "SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+      "SELECT COUNT(DISTINCT l_orderkey) AS n_orders, true AS est_ok FROM lineitem",
     "q31_approx_distinct_grouped" ->
-      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders, true AS est_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q32_approx_distinct_lc_users" ->
       "SELECT COUNT(DISTINCT user_id) AS n_users FROM events",
     "q33_sketch_reagg" ->
-      "SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+      "SELECT COUNT(DISTINCT l_orderkey) AS n_orders, true AS est_ok FROM lineitem",
     "q34_sketch_union" ->
       """SELECT
         |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders
@@ -172,5 +227,11 @@ object SketchQueries {
         |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders
         |   WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '2000-01-01') AS n_late,
         |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders
-        |   WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '2000-01-01') AS n_union""".stripMargin)
+        |   WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '2000-01-01') AS n_union,
+        |  true AS early_ok, true AS late_ok, true AS union_ok""".stripMargin,
+    "q35_sketch_intersection" ->
+      """SELECT COUNT(DISTINCT o_orderkey) AS n_intersect, true AS est_ok
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'""".stripMargin)
 }

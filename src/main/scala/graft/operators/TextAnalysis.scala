@@ -87,22 +87,30 @@ object TextAnalysis {
           .cast("long").as("dup_marker_chars"))
       .orderBy("doc_id")
 
-  /** Language ID vs the labeled lang column (heuristic, not oracle-gated —
-    * the labels are synthetic and the text is English-ish word soup). */
+  /** Language ID + quality score per document. Fully oracle-gated: both the
+    * stopword-overlap argmax and the quality formula are deterministic
+    * integer/ratio computations that the DuckDB oracle reproduces from first
+    * principles (the oracle SQL is generated from the same stopword tables —
+    * see [[q43OracleSql]]). The labeled `lang` column rides along so the
+    * heuristic's (synthetic-data) accuracy stays inspectable. */
   def q43LangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), langId(col("text")).as("predicted_lang"),
         qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
-  /** Fingerprint dedup: group by order-normalized token stream; keep the
-    * smallest doc_id of each content class. */
-  def q44FingerprintDedup(spark: SparkSession, dir: String): DataFrame =
+  /** Fingerprint dedup: group by the order-normalized token stream; keep the
+    * smallest doc_id of each content class. The group key is a 128-bit hash
+    * of the normalized stream (two xxhash64 lanes), not the stream itself —
+    * an 8-vs-hundreds-of-bytes shuffle key, collision-free in practice. */
+  def q44FingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    val norm = concat_ws(" ", array_sort(split(col("text"), " ")))
     Tables.documents(spark, dir)
-      .groupBy(concat_ws(" ", array_sort(split(col("text"), " "))).as("norm"))
+      .groupBy(xxhash64(norm).as("h1"), xxhash64(lit(1), norm).as("h2"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
+  }
 
   /** Characteristic terms per document: rank by term frequency, breaking
     * ties toward rarer corpus terms (document frequency) then
@@ -147,7 +155,44 @@ object TextAnalysis {
     "q43_langid" -> (q43LangId _),
     "q44_fingerprint_dedup" -> (q44FingerprintDedup _))
 
+  /** DuckDB twin of [[graft.functions.LangId]] + [[graft.functions.QualityScore]],
+    * generated from the same [[stopwords]] tables so the two can never drift:
+    * score = |distinct lowercased tokens ∩ stopwords(lang)|, argmax with ties
+    * to the lexicographically larger code, 'und' when all scores are 0;
+    * quality = mean of unique-token and letter-char ratios, 0 under 3 tokens. */
+  private def q43OracleSql: String = {
+    val langs = stopwords.keys.toSeq.sorted
+    def arr(l: String) = stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    val counts = langs.map(l =>
+      s"len(list_intersect(ltoks, ${arr(l)})) AS c_$l").mkString(",\n    ")
+    val mx = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
+    // ties keep the LAST max over codes in ascending order == the largest
+    // code among the argmax set, so the CASE probes codes descending
+    val arms = langs.reverse.map(l => s"WHEN c_$l = mx THEN '$l'").mkString("\n       ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ltoks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang, text, toks,
+       |    $counts
+       |  FROM t),
+       |m AS (SELECT *, $mx AS mx FROM s)
+       |SELECT doc_id, lang,
+       |  CASE WHEN mx = 0 THEN 'und'
+       |       $arms
+       |  END AS predicted_lang,
+       |  CASE WHEN len(toks) < 3 THEN 0.0
+       |       ELSE (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+       |             + LENGTH(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+       |               / CAST(LENGTH(text) AS DOUBLE)) / 2
+       |  END AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q43_langid" -> q43OracleSql,
     "q48_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term

@@ -25,7 +25,10 @@ object Tables {
     configure(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integral `div`, NOT `/`: Divide casts integrals to double, and 2024
+      // epoch-nanos (~1.7e18) exceed double's 2^53 exact range — ~25% of
+      // values would come back off by 1 µs vs true truncation
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -17,9 +17,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val rowsOnly = qs -- os
     // every rows-only query must be one of the documented approximate /
     // engine-hash cases — adding a new one silently is a mistake
-    val documented = Set("q35_sketch_intersection", "q43_langid",
-      "q45_minhash_pairs", "q46_simhash_pairs", "q51_ann_lsh",
-      "q52_embedding_near_dup", "q53_ann_ivf")
+    // q46 is the single remaining rows-only query: its pair set is keyed by
+    // the engine's simhash (not reproducible in SQL) and, unlike the ANN
+    // queries, has no stable exact twin to gate a recall boolean against
+    val documented = Set("q46_simhash_pairs")
     assert(rowsOnly == documented,
       s"rows-only set drifted: extra=${rowsOnly -- documented} missing=${documented -- rowsOnly}")
   }
