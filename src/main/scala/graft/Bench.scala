@@ -36,17 +36,18 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce(_, "/root/testdata/sf0.001")) // warmup: JIT + codegen
-    // best-of-2: single timings on a shared box carry 2x run-to-run noise
+    // median-of-3 per query: totals on this box swing 25-45 s run-to-run
+    // (load noise), so round-over-round regressions are only attributable
+    // from per-query medians
     val results = names.map { n =>
-      val a = runOnce(n, sfDir)
-      val b = runOnce(n, sfDir)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val ok = (1 to 3).map(_ => runOnce(n, sfDir)).filter(_ >= 0).sorted
+      n -> (if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2))
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","stat":"median_of_3"}""")
     spark.stop()
   }
 }

@@ -38,10 +38,18 @@ object AsOf {
         payload.map(col): _*)
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry ONE struct built only for right rows, not the payload columns
+    // individually: a right row whose payload column is genuinely NULL must
+    // still count as the match (and attach NULL), not be skipped in favor of
+    // an older right row — `last(payload, ignoreNulls)` can't tell "NULL
+    // payload" from "no right row yet", the struct marker can
     val carried = lTagged.unionByName(rTagged)
-      .select(Seq(col("__side")) ++ leftCols.map(col) ++
-        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
-    carried.filter(col("__side") === 1).drop("__side")
+      .select(Seq(col("__side")) ++ leftCols.map(col) :+
+        last(when(col("__side") === 0, struct(payload.map(col): _*)),
+          ignoreNulls = true).over(w).as("__pay"): _*)
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__pay").getField(p).as(p)): _*)
   }
 
   /** Declared query: each event joined to the user's most recent order as of

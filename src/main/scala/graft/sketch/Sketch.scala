@@ -80,6 +80,11 @@ object Sketch {
           val off = 6 + 4 * i
           val idx = ((bytes(off) & 0xff) << 16) | ((bytes(off + 1) & 0xff) << 8) |
             (bytes(off + 2) & 0xff)
+          // out-of-range indices would silently skew sparse estimates (zero
+          // miscount) or blow up only on a later densification — fail here
+          if (idx >= (1 << b))
+            throw new SketchMergeException(
+              s"corrupt sparse HLL payload: register index $idx >= 2^$b")
           entries(i) = (idx, bytes(off + 3))
           i += 1
         }
@@ -96,7 +101,11 @@ object Sketch {
         val idxs = new Array[Int](n)
         var i = 0
         while (i < n) {
-          idxs(i) = readInt(bytes, 9 + 4 * i)
+          val idx = readInt(bytes, 9 + 4 * i)
+          if (idx < 0 || idx.toLong >= 8L * size)
+            throw new SketchMergeException(
+              s"corrupt sparse LC payload: bit index $idx outside [0, ${8L * size})")
+          idxs(i) = idx
           i += 1
         }
         LinearCounter.fromSparse(size, idxs)
@@ -398,31 +407,28 @@ final class LinearCounter private (val sizeBytes: Int, private var dense: Array[
     case o => throw new SketchMergeException(s"cannot merge LC with ${o.algo}")
   }
 
-  /** Dense when the set-bit list wouldn't be smaller; sparse bit-index list
-    * otherwise. Both representations emit ascending bit order (same
-    * rationale and determinism as the HLL encoding). */
+  /** Sparse bit-index list when it is strictly smaller, dense bitmap
+    * otherwise — chosen PURELY from the set-bit count, never from the
+    * in-memory mode: serialized bytes must depend only on the bit multiset
+    * (partition invariance), so a sparse-mode counter near the encoding
+    * threshold emits the same bytes as its equal-multiset dense twin.
+    * Both encodings emit ascending bit order (same rationale as HLL). */
   override def serialize(): Array[Byte] = {
-    if (dense == null) {
-      val n = sparse.size
+    val n: Int = if (dense == null) sparse.size else (mBits - zeros).toInt
+    if (n.toLong * 4 + 9 < 5L + sizeBytes) {
       val out = new Array[Byte](9 + 4 * n)
       out(0) = Sketch.TagLcSparse
       Sketch.writeInt(out, 1, sizeBytes)
       Sketch.writeInt(out, 5, n)
-      val idxs = sparse.keys.toArray
-      java.util.Arrays.sort(idxs)
-      var j = 0
-      while (j < n) {
-        Sketch.writeInt(out, 9 + 4 * j, idxs(j).toInt)
-        j += 1
-      }
-      out
-    } else {
-      val setBits = (mBits - zeros).toInt
-      if (setBits.toLong * 4 + 9 < 5L + sizeBytes) {
-        val out = new Array[Byte](9 + 4 * setBits)
-        out(0) = Sketch.TagLcSparse
-        Sketch.writeInt(out, 1, sizeBytes)
-        Sketch.writeInt(out, 5, setBits)
+      if (dense == null) {
+        val idxs = sparse.keys.toArray
+        java.util.Arrays.sort(idxs)
+        var j = 0
+        while (j < n) {
+          Sketch.writeInt(out, 9 + 4 * j, idxs(j).toInt)
+          j += 1
+        }
+      } else {
         var j = 0
         var i = 0
         while (i < sizeBytes) {
@@ -439,14 +445,15 @@ final class LinearCounter private (val sizeBytes: Int, private var dense: Array[
           }
           i += 1
         }
-        out
-      } else {
-        val out = new Array[Byte](5 + sizeBytes)
-        out(0) = Sketch.TagLc
-        Sketch.writeInt(out, 1, sizeBytes)
-        System.arraycopy(dense, 0, out, 5, sizeBytes)
-        out
       }
+      out
+    } else {
+      if (dense == null) toDense()
+      val out = new Array[Byte](5 + sizeBytes)
+      out(0) = Sketch.TagLc
+      Sketch.writeInt(out, 1, sizeBytes)
+      System.arraycopy(dense, 0, out, 5, sizeBytes)
+      out
     }
   }
 }

@@ -115,6 +115,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("e") == None)        // key 3: no quotes at all
   }
 
+  test("asofJoin: NULL right payload attaches as NULL, not an older row's value") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val quotes = Seq((1L, t(0), Some(100.0)), (1L, t(10), None))
+      .toDF("qkey", "qts", "price")
+    val trades = Seq((1L, t(5), "a"), (1L, t(15), "b")).toDF("tkey", "tts", "trade")
+    val got = graft.operators.AsOf.asofJoin(
+        trades, quotes, "tkey", "qkey", "tts", "qts", Seq("price"))
+      .select("trade", "price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("a") == Some(100.0))
+    // the 10:10 quote IS the as-of match for "b"; its NULL price must come
+    // through as NULL, not fall back to the 10:00 row
+    assert(got("b") == None)
+  }
+
+  // ---- hot-bucket caps ----
+
+  test("hot-bucket cap bounds a degenerate bucket and reports the drop") {
+    val docs = (0L until 300L).map(i => (i, "spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", maxBucketSize = 32)
+      .select("id_a", "id_b")
+    val n = pairs.collect().length
+    // all 300 docs share every band bucket; the cap keeps the 32 smallest
+    // ids, so the candidate set is C(32,2) instead of C(300,2)
+    assert(n == 32 * 31 / 2, s"expected ${32 * 31 / 2} capped pairs, got $n")
+    val metric = pairs.queryExecution.observedMetrics("minhash_bucket_cap")
+    assert(metric.getAs[Long]("dropped_rows") > 0)
+    assert(metric.getAs[Long]("max_bucket_size") == 300L)
+  }
+
   // ---- similarity ----
 
   private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
@@ -146,6 +178,27 @@ class OperatorsSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)), s"close pair missing: $pairs")
     assert(!pairs.contains((0L, 4L)), s"opposite vectors matched: $pairs")
+  }
+
+  test("embedding LSH signature width scales with corpus size") {
+    assert(Similarity.autoNBits(1) == 4)       // clamp floor
+    assert(Similarity.autoNBits(500) == 4)     // the sf0.01 regime
+    assert(Similarity.autoNBits(5000) == 7)    // sf0.1
+    assert(Similarity.autoNBits(100000000L) == 20) // clamp ceiling
+  }
+
+  test("embedding near-dup auto-sizing keeps planted-pair recall at two corpus sizes") {
+    val rnd = new scala.util.Random(7)
+    def randVec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    for (n <- Seq(200, 1200)) { // autoNBits: 4 at 200, 5 at 1200
+      val base = (0 until n).map(i => (i.toLong, randVec()))
+      val planted = base.head._2.clone()
+      planted(0) = planted(0) + 0.01f
+      val docs = (base :+ (n.toLong, planted)).toDF("vec_id", "embedding")
+      val pairs = Similarity.embeddingNearDupPairs(docs, "vec_id", "embedding", 16, 0.95)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, n.toLong)), s"planted pair missing at n=$n")
+    }
   }
 
   test("ann top-k returns k rows led by the query itself") {

@@ -55,6 +55,21 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q03/q18 broadcast customer by size at test scale without a forced hint") {
+    // customer grows with the scale factor, so the queries carry NO
+    // broadcast() hint on it — the optimizer's size threshold must still
+    // pick a broadcast join while the table fits (i.e. dropping the hint
+    // cost nothing at test scale), and would shuffle-join at 100 TB
+    for (q <- Seq(graft.operators.Relational.q03JoinAgg _,
+        graft.operators.Relational.q18StarJoin _)) {
+      val plan = q(spark, sf).queryExecution.sparkPlan.toString
+      val bcastCustomer = plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("c_custkey"))
+      assert(bcastCustomer,
+        s"expected size-based broadcast of customer at test scale:\n$plan")
+    }
+  }
+
   test("partitioned write enables partition pruning on read") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.lineitem(spark, sf)

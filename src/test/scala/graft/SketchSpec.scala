@@ -153,6 +153,27 @@ class SketchSpec extends AnyFunSuite {
     // empty payload
     val e4 = intercept[Exception](Sketch.deserialize(Array.emptyByteArray))
     assert(e4.getMessage.contains("empty"))
+    // sparse HLL register index beyond 2^b — must fail on deserialize, not
+    // skew sparse estimates / blow up on a later densification
+    val badHll = Array[Byte](3, 4, 0, 0, 0, 1, 0, 0, 100, 1) // b=4, idx=100 >= 16
+    val e5 = intercept[SketchMergeException](Sketch.deserialize(badHll))
+    assert(e5.getMessage.contains("register index"))
+    // sparse LC bit index beyond the bitmap
+    val badLc = Array[Byte](4, 0, 0, 0, 4, 0, 0, 0, 1, 0, 0, 3, 0xE7.toByte) // size=4 (32 bits), idx=999
+    val e6 = intercept[SketchMergeException](Sketch.deserialize(badLc))
+    assert(e6.getMessage.contains("bit index"))
+  }
+
+  test("LC serialization is representation-independent at the encoding threshold") {
+    // sizeBytes=100: sparse encoding is smaller only for n <= 23 set bits,
+    // but the in-memory sparse mode holds up to 64 entries — a counter in
+    // that band must emit the same bytes as its equal-multiset dense twin
+    val sp = new LinearCounter(100) // starts (and stays) sparse at 40 offers
+    val dn = new LinearCounter(100, new Array[Byte](100)) // dense from byte 0
+    (1L to 40L).foreach { v => sp.offerHash(hash(v)); dn.offerHash(hash(v)) }
+    assert(java.util.Arrays.equals(sp.serialize(), dn.serialize()))
+    // and the shared threshold must have picked the DENSE encoding here
+    assert(sp.serialize()(0) == Sketch.TagLc, "expected the dense-encoding branch")
   }
 
   test("LC saturation reports capacity, not infinity") {
