@@ -166,6 +166,24 @@ object SketchQueries {
         col("total_value").cast("decimal(18,2)").cast("double").as("total_value"))
       .orderBy("user_id", "session_epoch")
 
+  /** Batch twin of [[graft.streaming.StreamOps.runningApproxDistinct]] (the
+    * mapGroupsWithState custom-state operator): per-event-type lifetime
+    * distinct users. LC with a 64 KiB bitmap is collision-free w.h.p. at
+    * these cardinalities, so the envelope boolean is a hard gate. */
+  def q38RunningApproxUsers(spark: SparkSession, dir: String): DataFrame = {
+    val est = graft.streaming.StreamOps.runningApproxDistinct(
+        Tables.events(spark, dir), "event_type", "user_id",
+        algo = "lc", precision = 65536)
+      .withColumnRenamed("n_distinct", "est")
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_users"),
+        withinEnvelope(col("est"), col("n_users")).as("est_ok"))
+      .orderBy("event_type")
+  }
+
   /** `approx_distinct(...) OVER (PARTITION BY ...)` — Spark forbids
     * imperative aggregates in window frames, so the engine provides the
     * documented rewrite (SURVEY §2b): aggregate one sketch per partition
@@ -183,6 +201,7 @@ object SketchQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_windowed_approx_users" -> (q36WindowedApproxUsers _),
     "q37_sessions" -> (q37Sessions _),
+    "q38_running_approx_users" -> (q38RunningApproxUsers _),
     "q30_approx_distinct_global" -> (q30ApproxGlobal _),
     "q31_approx_distinct_grouped" -> (q31ApproxGrouped _),
     "q32_approx_distinct_lc_users" -> (q32ApproxLcUsers _),
@@ -211,6 +230,9 @@ object SketchQueries {
         |  CAST(CAST(SUM(value) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_epoch""".stripMargin,
+    "q38_running_approx_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, true AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q30_approx_distinct_global" ->
       "SELECT COUNT(DISTINCT l_orderkey) AS n_orders, true AS est_ok FROM lineitem",
     "q31_approx_distinct_grouped" ->

@@ -51,6 +51,52 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Running (lifetime) per-key distinct count via EXPLICIT state —
+    * `KeyValueGroupedDataset.mapGroupsWithState`: one serialized sketch per
+    * key lives in the state store; each micro-batch merges its rows into the
+    * key's sketch and re-emits `{key, n_distinct}` (update mode). This is
+    * the custom-state shape for the aggregation windowed operators can't
+    * express: a distinct count over the WHOLE stream history, with state
+    * bounded at O(sketch) per key — not O(values seen) — no matter how long
+    * the stream runs. State bytes use the engine's tagged wire format
+    * ([[graft.sketch.Sketch.serialize]]), so checkpointed state and the E3
+    * sketch store are interchangeable: a stored sketch can seed state and
+    * vice versa. Runs identically on a batch frame (state starts empty, one
+    * group pass), which is what the oracle-gated twin q38 checks.
+    *
+    * Values are hashed with the engine's string kernel
+    * ([[graft.functions.ApproxDistinct.HashSeed]]), so string columns are
+    * bit-compatible with `approx_distinct`; other types keep estimator
+    * validity (distinctness is preserved by the cast) without bit parity. */
+  def runningApproxDistinct(events: DataFrame, keyCol: String, valueCol: String,
+      algo: String = "hll", precision: Int = -1): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val algoLc = algo.equalsIgnoreCase("lc")
+    val prec = precision
+    val out = events
+      .select(col(keyCol).cast("string").as("k"), col(valueCol).cast("string").as("v"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          import graft.functions.ApproxDistinct.{HashSeed, HllDefaultB, LcDefaultSize}
+          val sk: graft.sketch.Sketch =
+            if (state.exists) graft.sketch.Sketch.deserialize(state.get)
+            else if (algoLc) new graft.sketch.LinearCounter(if (prec == -1) LcDefaultSize else prec)
+            else new graft.sketch.Hll(if (prec == -1) HllDefaultB else prec)
+          rows.foreach { case (_, v) =>
+            if (v != null) sk.offerHash(
+              org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+                org.apache.spark.unsafe.types.UTF8String.fromString(v), HashSeed))
+          }
+          state.update(sk.serialize())
+          (key, sk.estimate)
+      }
+    out.toDF(keyCol, "n_distinct")
+  }
+
   /** Stream → sketch store: append each micro-batch's per-key sketches (the
     * full `{type, cardinality, binary}` struct) to a parquet store. Batches
     * may re-emit a key; because sketches are mergeable, readers re-aggregate

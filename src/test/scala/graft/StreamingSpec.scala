@@ -91,6 +91,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("running distinct via mapGroupsWithState accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val run = StreamOps.runningApproxDistinct(
+      mem.toDF(), "event_type", "user_id", algo = "lc", precision = 65536)
+    val q = run.writeStream.outputMode("update")
+      .format("memory").queryName("rad").start()
+    try {
+      mem.addData(Ev(t(1), 1, "click", 1.0), Ev(t(2), 2, "click", 1.0),
+        Ev(t(3), 1, "click", 1.0))
+      q.processAllAvailable()
+      val batch1 = spark.sql("SELECT MAX(n_distinct) FROM rad WHERE event_type = 'click'")
+        .head().getLong(0)
+      assert(batch1 == 2L) // users {1, 2}
+      // second batch: one repeat user, two new — STATE must carry {1, 2} over
+      mem.addData(Ev(t(9), 1, "click", 1.0), Ev(t(10), 7, "click", 1.0),
+        Ev(t(11), 8, "click", 1.0), Ev(t(12), 9, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, MAX(n_distinct) AS n FROM rad GROUP BY event_type")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("click") == 4L) // {1, 2, 7, 8} — lifetime, not per-batch
+      assert(rows("view") == 1L)
+    } finally q.stop()
+  }
+
   test("sessionize groups events by inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
