@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * executor computes identical planes with no RNG state and no broadcast.
   */
 case class HyperplaneLsh(child: Expression, dim: Int, nBits: Int, table: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(nBits >= 1 && nBits <= 63, s"nBits must be in [1,63], got $nBits")
 
@@ -53,8 +53,8 @@ case class HyperplaneLsh(child: Expression, dim: Int, nBits: Int, table: Int)
     w
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** The kernel, callable from generated code: primitive-returning. */
+  def computeSig(arr: ArrayData): Long = {
     val n = math.min(arr.numElements(), dim)
     var sig = 0L
     var b = 0
@@ -70,7 +70,15 @@ case class HyperplaneLsh(child: Expression, dim: Int, nBits: Int, table: Int)
       if (proj >= 0) sig |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(computeSig(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshKernel", this, classOf[HyperplaneLsh].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeSig($a);")
   }
 
   override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)

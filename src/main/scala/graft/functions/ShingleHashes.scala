@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * rejoin, so the per-evaluation cost is the whole operator's floor.
   */
 case class ShingleHashes(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
@@ -35,8 +35,9 @@ case class ShingleHashes(child: Expression, k: Int)
       s"$prettyName expects STRING, got ${other.sql}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  /** The kernel, callable from generated code. */
+  def computeHashes(u: UTF8String): GenericArrayData = {
+    val s = u.toString
     // whitespace tokenization, empties dropped (== tokens() semantics)
     val toks = mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -68,6 +69,13 @@ case class ShingleHashes(child: Expression, k: Int)
       }
     }
     new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = computeHashes(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleKernel", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeHashes($a);")
   }
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,12 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * distance (use `bit_count(a ^ b)` — a codegen'd builtin — to measure).
   *
   * A custom Catalyst expression (not a Scala UDF): operates on the internal
-  * ArrayData/UTF8String representation with zero copying or boxing per token.
-  * CodegenFallback is acceptable: the surrounding projection still codegens,
-  * and the per-row cost is dominated by hashing, not the virtual call.
+  * ArrayData/UTF8String representation with zero copying or boxing per token,
+  * and code-generates as a primitive-returning kernel call.
   */
 case class SimHash(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash"
@@ -30,8 +29,8 @@ case class SimHash(child: Expression)
       s"simhash expects ARRAY<STRING>, got ${other.sql}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** The kernel, callable from generated code: primitive-returning. */
+  def computeHash(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -52,7 +51,15 @@ case class SimHash(child: Expression)
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(computeHash(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashKernel", this, classOf[SimHash].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeHash($a);")
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -32,7 +32,7 @@ private[graft] object TextKernel {
   * multiplicity (unlike [[ShingleHashes]], which is distinct hashes); the
   * whole text joined when fewer than k tokens. One pass per row. */
 case class WordShingles(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
@@ -45,8 +45,9 @@ case class WordShingles(child: Expression, k: Int)
       s"$prettyName expects STRING, got ${other.sql}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = TextKernel.tokenize(v.asInstanceOf[UTF8String].toString, lower = false)
+  /** The kernel, callable from generated code. */
+  def computeShingles(u: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = TextKernel.tokenize(u.toString, lower = false)
     val out =
       if (toks.length < k) Array(UTF8String.fromString(toks.mkString(" ")))
       else {
@@ -69,6 +70,13 @@ case class WordShingles(child: Expression, k: Int)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  override def nullSafeEval(v: Any): Any = computeShingles(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingleKernel", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeShingles($a);")
+  }
+
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
@@ -76,7 +84,7 @@ case class WordShingles(child: Expression, k: Int)
   * stopword tables; deterministic argmax with ties to the lexicographically
   * larger code; "und" when nothing matches. One tokenization pass per row. */
 case class LangId(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
@@ -96,8 +104,9 @@ case class LangId(child: Expression)
       (lang, s)
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = TextKernel.tokenize(v.asInstanceOf[UTF8String].toString, lower = true)
+  /** The kernel, callable from generated code. */
+  def computeLang(u: UTF8String): UTF8String = {
+    val toks = TextKernel.tokenize(u.toString, lower = true)
     // score = |distinct tokens ∩ stopwords| (array_intersect is set-valued)
     var bestLang: String = null
     var bestScore = 0
@@ -119,6 +128,13 @@ case class LangId(child: Expression)
     if (bestScore > 0) UTF8String.fromString(bestLang) else UTF8String.fromString("und")
   }
 
+  override def nullSafeEval(v: Any): Any = computeLang(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langIdKernel", this, classOf[LangId].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeLang($a);")
+  }
+
   override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
 }
 
@@ -127,7 +143,7 @@ case class LangId(child: Expression)
   * tokens. Same semantics as the composed TextAnalysis.qualityScore, one
   * pass. */
 case class QualityScore(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "quality_score"
@@ -138,10 +154,11 @@ case class QualityScore(child: Expression)
       s"$prettyName expects STRING, got ${other.sql}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  /** The kernel, callable from generated code: primitive-returning. */
+  def computeScore(u: UTF8String): Double = {
+    val s = u.toString
     val toks = TextKernel.tokenize(s, lower = false)
-    if (toks.length < 3) return java.lang.Double.valueOf(0.0)
+    if (toks.length < 3) return 0.0
     val uniq = new java.util.HashSet[String]()
     toks.foreach(uniq.add)
     var alpha = 0
@@ -152,7 +169,15 @@ case class QualityScore(child: Expression)
     }
     val uniqRatio = uniq.size.toDouble / toks.length
     val alphaRatio = alpha.toDouble / s.length
-    java.lang.Double.valueOf((uniqRatio + alphaRatio) / 2.0)
+    (uniqRatio + alphaRatio) / 2.0
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.valueOf(computeScore(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qualityKernel", this, classOf[QualityScore].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeScore($a);")
   }
 
   override protected def withNewChildInternal(c: Expression): QualityScore = copy(child = c)
