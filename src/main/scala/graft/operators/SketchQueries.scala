@@ -184,11 +184,13 @@ object SketchQueries {
       .orderBy("event_type")
   }
 
-  /** `approx_distinct(...) OVER (PARTITION BY ...)` — Spark forbids
-    * imperative aggregates in window frames, so the engine provides the
-    * documented rewrite (SURVEY §2b): aggregate one sketch per partition
-    * key, then join the estimate back onto every row. Two narrow shuffles;
-    * AQE broadcasts the (small) per-group side automatically. */
+  /** `approx_distinct(...) OVER (PARTITION BY ...)` — Spark evaluates the
+    * sketch natively in an unbounded window frame (verified on 4.1), but
+    * WindowExec shuffles AND SORTS every row within each partition to do
+    * it. This rewrite gets the same column from two narrow shuffles and no
+    * sort: aggregate one sketch per partition key, then join the estimate
+    * back onto every row (AQE broadcasts the small per-group side) — the
+    * shape to prefer when the window carries only the sketch estimate. */
   def withApproxDistinctOver(df: DataFrame, partitionCols: Seq[String],
       valueCol: String, outCol: String): DataFrame = {
     GraftFunctions.register(df.sparkSession)
