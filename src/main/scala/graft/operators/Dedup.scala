@@ -212,8 +212,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), sum("len").as("total_chars"))
       .orderBy("lang")
 
+  /** Training-mix report — the full curation pipeline as ONE declarative
+    * plan: exact dedup (128-bit content hash, min-id winner, all columns
+    * kept) → quality gate (`quality_score >= 0.5`) → language routing
+    * (`lang_id`) → per-language doc/token totals. Two shuffles end-to-end
+    * (the dedup window and the final aggregation); the gate and both text
+    * kernels run inside one codegen'd projection between them. Every stage
+    * is a declared operator elsewhere; the DuckDB oracle recomputes the
+    * whole pipeline from first principles via the generated language/quality
+    * CTE chain ([[TextAnalysis.langQualitySql]]). */
+  def q57TrainingMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("h1", xxhash64(col("text")))
+      .withColumn("h2", xxhash64(lit(1), col("text")))
+    keepFirstByContent(docs, Seq("h1", "h2"), "doc_id")
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      .groupBy(TextAnalysis.langId(col("text")).as("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
+        min("doc_id").as("min_doc_id"))
+      .orderBy("predicted_lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_corpus_pipeline" -> (q56CorpusPipeline _),
+    "q57_training_mix" -> (q57TrainingMix _),
     "q40_dedup_exact" -> (q40DedupExact _),
     "q45_minhash_pairs" -> (q45MinhashPairs _),
     "q46_simhash_pairs" -> (q46SimhashPairs _),
@@ -226,6 +249,16 @@ object Dedup {
         |    CAST(MAX(LENGTH(text)) AS BIGINT) AS len
         |  FROM documents WHERE LENGTH(text) >= 200 GROUP BY text) t
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q57_training_mix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+         |${TextAnalysis.langQualitySql("d", "doc_id")}
+         |SELECT predicted_lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS min_doc_id
+         |FROM q WHERE quality >= 0.5
+         |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents
         |GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -159,8 +159,12 @@ object TextAnalysis {
     * generated from the same [[stopwords]] tables so the two can never drift:
     * score = |distinct lowercased tokens ∩ stopwords(lang)|, argmax with ties
     * to the lexicographically larger code, 'und' when all scores are 0;
-    * quality = mean of unique-token and letter-char ratios, 0 under 3 tokens. */
-  private def q43OracleSql: String = {
+    * quality = mean of unique-token and letter-char ratios, 0 under 3 tokens.
+    *
+    * Returns the CTE chain `t → s → m → q` over `fromRel` (which must expose
+    * `text` plus `carryCols`); `q` adds `toks`, `predicted_lang`, `quality`.
+    * Shared by the q43 oracle and the composite-pipeline oracles. */
+  private[operators] def langQualitySql(fromRel: String, carryCols: String): String = {
     val langs = stopwords.keys.toSeq.sorted
     def arr(l: String) = stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
     val counts = langs.map(l =>
@@ -169,27 +173,32 @@ object TextAnalysis {
     // ties keep the LAST max over codes in ascending order == the largest
     // code among the argmax set, so the CASE probes codes descending
     val arms = langs.reverse.map(l => s"WHEN c_$l = mx THEN '$l'").mkString("\n       ")
-    s"""WITH t AS (
-       |  SELECT doc_id, lang, text,
+    s"""t AS (
+       |  SELECT $carryCols, text,
        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ltoks
-       |  FROM documents),
+       |  FROM $fromRel),
        |s AS (
-       |  SELECT doc_id, lang, text, toks,
+       |  SELECT $carryCols, text, toks,
        |    $counts
        |  FROM t),
-       |m AS (SELECT *, $mx AS mx FROM s)
-       |SELECT doc_id, lang,
-       |  CASE WHEN mx = 0 THEN 'und'
-       |       $arms
-       |  END AS predicted_lang,
-       |  CASE WHEN len(toks) < 3 THEN 0.0
-       |       ELSE (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
-       |             + LENGTH(regexp_replace(text, '[^\\p{L}]', '', 'g'))
-       |               / CAST(LENGTH(text) AS DOUBLE)) / 2
-       |  END AS quality
-       |FROM m ORDER BY doc_id""".stripMargin
+       |m AS (SELECT *, $mx AS mx FROM s),
+       |q AS (
+       |  SELECT *,
+       |    CASE WHEN mx = 0 THEN 'und'
+       |         $arms
+       |    END AS predicted_lang,
+       |    CASE WHEN len(toks) < 3 THEN 0.0
+       |         ELSE (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+       |               + LENGTH(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+       |                 / CAST(LENGTH(text) AS DOUBLE)) / 2
+       |    END AS quality
+       |  FROM m)""".stripMargin
   }
+
+  private def q43OracleSql: String =
+    s"""WITH ${langQualitySql("documents", "doc_id, lang")}
+       |SELECT doc_id, lang, predicted_lang, quality FROM q ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q43_langid" -> q43OracleSql,
