@@ -116,10 +116,15 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
-  /** Window running aggregate along a time axis within each supplier. */
+  /** Window running aggregate along a time axis within each supplier.
+    * `l_quantity` is the FINAL tiebreak: the synthetic data carries
+    * duplicate (orderkey, linenumber) keys, so without it the ordering
+    * is not total and the running sum diverges between engines at any
+    * duplicated prefix (observed at sf0.1); with it, tied rows are
+    * identical in every column the sum reads, so order is irrelevant. */
   def q09WindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, dir)
       .withColumn("running_qty", sum("l_quantity").over(w))
@@ -458,7 +463,7 @@ object Relational {
     "q09_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q10_topk" ->

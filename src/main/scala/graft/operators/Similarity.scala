@@ -102,15 +102,27 @@ object Similarity {
       posexplode(array((0 until nTables).map(t =>
         lshSignature(col("v"), dim, nBits, t)): _*)).as(Seq("tbl", "sig")))
 
-  /** ANN top-k: LSH-bucket candidates (multi-table), exact re-rank. */
+  /** ANN top-k: LSH-bucket candidates (multi-table, MULTI-PROBE), exact
+    * re-rank. Multi-probe: besides the query's own bucket, every bucket at
+    * Hamming distance 1 from the query signature is probed in each table —
+    * (1 + nBits) · nTables probe buckets. For weakly-similar neighbors
+    * (cos ≈ 0.5, the regime of the synthetic embeddings) this lifts
+    * per-neighbor candidate recall from ~0.5 to ~0.97 at the default
+    * parameters, at the cost of ~(1+nBits)× more candidates — still a
+    * bucket join keyed on (table, signature), never a scan. */
   def annTopK(emb: DataFrame, idCol: String, embCol: String, dim: Int,
       queryId: Long, k: Int, nBits: Int = 6, nTables: Int = 8): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(embCol).as("v"))
     val sigs = withSignatures(base, dim, nBits, nTables)
     val qsig = sigs.filter(col("id") === queryId)
       .select(col("tbl").as("qtbl"), col("sig").as("qsig"), col("v").as("qv"))
-    val cand = sigs.join(broadcast(qsig),
-        col("tbl") === col("qtbl") && col("sig") === col("qsig"))
+    val probes = qsig.select(col("qtbl"),
+      explode(array((-1 until nBits).map(b =>
+        if (b < 0) col("qsig")
+        else col("qsig").bitwiseXOR(lit(1L << b))): _*)).as("psig"),
+      col("qv"))
+    val cand = sigs.join(broadcast(probes),
+        col("tbl") === col("qtbl") && col("sig") === col("psig"))
       .select(col("id"), col("v"), col("qv")).distinct()
     val scored = cand.withColumn("sim", cosine(col("v"), col("qv")))
     topKRanked(scored, k)

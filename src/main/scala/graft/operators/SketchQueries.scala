@@ -141,15 +141,27 @@ object SketchQueries {
     * 64 KiB bitmap is collision-free w.h.p. at per-window cardinalities. */
   def q36WindowedApproxUsers(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    graft.streaming.StreamOps.windowedApproxDistinct(
+    val est = graft.streaming.StreamOps.windowedApproxDistinct(
         Tables.events(spark, dir), "ts", "event_type", "user_id", "1 hour",
         algo = "lc", precision = 65536)
-      .withColumnRenamed("n_distinct", "n_users")
       // epoch seconds, not timestamp: the events source carries non-UTC-
       // adjusted nanos, so timestamp *rendering* differs across engines even
       // when the instant is identical
       .select(unix_timestamp(col("window_start")).as("window_epoch"),
+        col("event_type"), col("n_distinct").as("est"))
+    val exact = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(unix_timestamp(col("w.start")).as("window_epoch"),
         col("event_type"), col("n_users"))
+    // LC at tiny per-window cardinalities is exact UNLESS two users' hashes
+    // collide in the bitmap (expected n²/2m times per window — rare but
+    // nonzero across tens of thousands of windows), so the gate allows a
+    // small absolute slack next to the relative envelope
+    est.join(exact, Seq("window_epoch", "event_type"))
+      .select(col("window_epoch"), col("event_type"), col("n_users"),
+        (abs(col("est").cast("double") - col("n_users").cast("double"))
+          <= greatest(lit(3.0), col("n_users").cast("double") * envelope)).as("est_ok"))
       .orderBy("window_epoch", "event_type")
   }
 
@@ -215,7 +227,7 @@ object SketchQueries {
   val oracles: Map[String, String] = Map(
     "q36_windowed_approx_users" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
-        |  event_type, COUNT(DISTINCT user_id) AS n_users
+        |  event_type, COUNT(DISTINCT user_id) AS n_users, true AS est_ok
         |FROM events GROUP BY 1, 2 ORDER BY window_epoch, event_type""".stripMargin,
     "q37_sessions" ->
       """WITH flagged AS (

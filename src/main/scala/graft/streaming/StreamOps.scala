@@ -51,6 +51,45 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** First-seen streaming dedup with PROCESSING-TIME TTL state, via
+    * `transformWithState` (the Spark 4 arbitrary-state API): one boolean of
+    * state per 128-bit content key, expired by the state store after `ttl` —
+    * so state stays bounded with NO event-time watermark required. This is
+    * the complement of [[streamingDedup]]: that one is exact within an
+    * event-time horizon and needs ordered-ish data; this one dedups by
+    * wall-clock recency and tolerates arbitrary lateness. Requires the
+    * RocksDB state store provider (`transformWithState`'s backing store):
+    * `spark.sql.streaming.stateStore.providerClass =
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`.
+    * Emits each key's first-seen row with the original schema. */
+  def streamingDedupTtl(events: DataFrame, keyCols: Seq[String],
+      ttl: java.time.Duration): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TimeMode, TimerValues, TTLConfig, ValueState}
+    val withK = events
+      .withColumn("__k1", xxhash64(keyCols.map(col): _*))
+      .withColumn("__k2", xxhash64((lit(1) +: keyCols.map(col)): _*))
+    implicit val rowEnc: Encoder[Row] = Encoders.row(withK.schema)
+    val keyed = withK.as[Row](rowEnc)
+      .groupByKey(r => (r.getLong(r.fieldIndex("__k1")), r.getLong(r.fieldIndex("__k2"))))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val processor = new StatefulProcessor[(Long, Long), Row, Row] {
+      @transient private var seen: ValueState[Boolean] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean,
+          TTLConfig(ttl))
+      override def handleInputRows(key: (Long, Long), rows: Iterator[Row],
+          timerValues: TimerValues): Iterator[Row] =
+        if (seen.exists()) Iterator.empty
+        else { seen.update(true); rows.take(1) }
+    }
+    keyed.transformWithState(processor, TimeMode.ProcessingTime(),
+        OutputMode.Append(), rowEnc)
+      .toDF()
+      .drop("__k1", "__k2")
+  }
+
   /** Running (lifetime) per-key distinct count via EXPLICIT state —
     * `KeyValueGroupedDataset.mapGroupsWithState`: one serialized sketch per
     * key lives in the state store; each micro-batch merges its rows into the

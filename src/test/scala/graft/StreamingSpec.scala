@@ -118,6 +118,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL-state streaming dedup emits only first-seen content across restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+    val mem = MemoryStream[Ev]
+    // AvailableNow: process what's queued, then terminate — bounded batches.
+    // foreachBatch parquet sink: fault-tolerant, so state recovers (memory
+    // sink refuses checkpoint recovery by design)
+    def runOnce(): Unit = {
+      val dedup = StreamOps.streamingDedupTtl(
+        mem.toDF(), Seq("user_id", "event_type"), java.time.Duration.ofHours(1))
+      val q = dedup.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(s"$base/out")
+        }
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    try {
+      mem.addData(Ev(t(1), 1, "click", 1.0), Ev(t(2), 1, "click", 2.0),
+        Ev(t(3), 2, "click", 1.0))
+      runOnce()
+      // restart from the checkpoint: repeats of run-1 keys must be dropped
+      // by RECOVERED state, not batch-local dedup
+      mem.addData(Ev(t(9), 1, "click", 9.0), Ev(t(10), 2, "view", 1.0))
+      runOnce()
+      val rows = spark.read.parquet(s"$base/out")
+        .select("user_id", "event_type", "value")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(rows.size == 3, s"expected 3 first-seen rows, got $rows")
+      assert(rows((1L, "click")) == 1.0) // the FIRST of the duplicates
+      assert(rows((2L, "click")) == 1.0)
+      assert(rows((2L, "view")) == 1.0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionize groups events by inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
