@@ -48,6 +48,26 @@ object Buckets {
     metered.filter(col("__bn") <= cap).drop("__bn")
   }
 
+  /** Candidate pairs within capped buckets, WITHOUT a bucket self-join:
+    * the capped rows are aggregated once per bucket key (the groupBy
+    * re-uses the cap window's clustering — no extra shuffle), and pairs
+    * explode from the sorted, cap-bounded id list. A self-join formulation
+    * evaluates the whole bucket-build pipeline once per join side; this
+    * evaluates it once, period. Emits distinct (id_a < id_b) pairs;
+    * payload (shingle sets, vectors, hashes) should be re-joined by id —
+    * never carried through the pair explosion. */
+  def candidatePairs(buckets: DataFrame, keyCols: Seq[String], idCol: String,
+      bucketCap: Int, metricName: String): DataFrame = {
+    val capped = cap(buckets, keyCols, idCol, bucketCap, metricName)
+    capped.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .select(explode(flatten(transform(col("__ids"), (a, i) =>
+        transform(slice(col("__ids"), i + lit(2), lit(bucketCap)), b =>
+          struct(a.as("id_a"), b.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
+      .distinct()
+  }
+
   private val flag = "graft.internal.bucketCapListener"
 
   private def ensureListener(spark: SparkSession): Unit = synchronized {

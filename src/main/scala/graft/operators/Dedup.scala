@@ -107,18 +107,11 @@ object Dedup {
     val buckets = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(sigArr, b * rows + 1, rows))): _*)).as(Seq("band", "bhash")))
-    // hot-bucket guard: a degenerate bucket (e.g. thousands of empty docs
-    // sharing one signature) is quadratic in the self-join below — capped,
-    // with the drop reported via an observed metric (Buckets.cap)
-    val capX = Buckets.cap(buckets, Seq("band", "bhash"), "id", maxBucketSize,
-      "minhash_bucket_cap")
-    val capY = Buckets.cap(buckets, Seq("band", "bhash"), "id", maxBucketSize,
-      "minhash_bucket_cap", observed = false)
-    val cand = capX.as("x").join(capY.as("y"),
-        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    // hot-bucket guard + pair generation in ONE pass over the bucket table
+    // (a self-join would evaluate the whole signature pipeline per side);
+    // drops are reported via an observed metric (Buckets.cap)
+    val cand = Buckets.candidatePairs(buckets, Seq("band", "bhash"), "id",
+      maxBucketSize, "minhash_bucket_cap")
     val sh = sigs.select(col("id"), col("sh"))
     val nc = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
     val nt = size(array_union(col("sh_a"), col("sh_b"))).cast("long")
@@ -138,19 +131,18 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     val withSim = docs.select(col(idCol).as("id"),
       GraftFunctions.simhash(TextAnalysis.tokens(col(textCol))).as("sim"))
-    val chunks = withSim.select(col("id"), col("sim"),
+    val chunks = withSim.select(col("id"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "cval")))
-    val chunked = Buckets.cap(chunks, Seq("chunk", "cval"), "id", maxBucketSize,
-      "simhash_bucket_cap")
-    val chunkedY = Buckets.cap(chunks, Seq("chunk", "cval"), "id", maxBucketSize,
-      "simhash_bucket_cap", observed = false)
-    chunked.as("x").join(chunkedY.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long").as("hamming"))
-      .distinct()
+    val cand = Buckets.candidatePairs(chunks, Seq("chunk", "cval"), "id",
+      maxBucketSize, "simhash_bucket_cap")
+    // simhashes re-joined by id for the Hamming verify (payload never rides
+    // the pair explosion)
+    cand
+      .join(withSim.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(withSim.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

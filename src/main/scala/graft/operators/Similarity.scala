@@ -235,17 +235,11 @@ object Similarity {
     val nb = if (nBits > 0) nBits else autoNBits(base.count())
     val sigs = withSignatures(base, dim, nb, nTables)
       .select(col("id"), col("tbl"), col("sig"))
-    val capX = Buckets.cap(sigs, Seq("tbl", "sig"), "id", maxBucketSize,
-      "embedding_near_dup_bucket_cap")
-    val capY = Buckets.cap(sigs, Seq("tbl", "sig"), "id", maxBucketSize,
-      "embedding_near_dup_bucket_cap", observed = false)
-    // dedup candidate ids FIRST, then rejoin vectors by id: arrays must not
-    // ride through the distinct() shuffle (row size, comparator cost)
-    val cand = capX.as("x").join(capY.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    // hot-bucket cap + pair generation in one pass (no bucket self-join);
+    // vectors are re-joined by id afterwards: arrays must not ride through
+    // the pair explosion or its distinct() shuffle
+    val cand = Buckets.candidatePairs(sigs, Seq("tbl", "sig"), "id",
+      maxBucketSize, "embedding_near_dup_bucket_cap")
     cand
       .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
