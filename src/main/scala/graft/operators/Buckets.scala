@@ -6,12 +6,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.util.QueryExecutionListener
 
-/** Hot-bucket guard for LSH-style candidate generation.
+/** Hot-bucket guard + candidate-pair generation for LSH-style operators.
   *
-  * Every near-dup / ANN operator in the engine generates candidates by
-  * self-joining rows that share a bucket key, which is quadratic in bucket
-  * size. One degenerate bucket (all-empty docs, all-zero vectors) turns into
-  * a straggler task at scale, so buckets are capped at a fixed membership:
+  * Every near-dup operator in the engine generates candidates from rows
+  * that share a bucket key, which is quadratic in bucket size. One
+  * degenerate bucket (all-empty docs, all-zero vectors) turns into a
+  * straggler task at scale, so buckets are capped at a fixed membership:
   * the `cap` smallest ids stay (deterministic), the rest are dropped from
   * candidate generation only — they can still be *found* via their other
   * bands/tables.
@@ -26,26 +26,21 @@ object Buckets {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Keep at most `cap` members per bucket (smallest `idCol` values win).
-    *
-    * @param observed attach the observed metric. When the capped relation
-    *                 appears on BOTH sides of a self-join, exactly one side
-    *                 may carry the metric (Spark rejects duplicate observed
-    *                 metric names in one query) — pass `observed = false`
-    *                 for the second side.
-    */
+    * NOTE: a query may contain each observed metric name at most once —
+    * don't place the same capped relation on both sides of a self-join
+    * (use [[candidatePairs]], which never self-joins, instead). */
   def cap(buckets: DataFrame, keyCols: Seq[String], idCol: String, cap: Int,
-      metricName: String, observed: Boolean = true): DataFrame = {
+      metricName: String): DataFrame = {
     require(cap >= 1, s"bucket cap must be >= 1, got $cap")
     ensureListener(buckets.sparkSession)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
-    val ranked = buckets.withColumn("__bn", row_number().over(w))
-    val metered =
-      if (observed) ranked.observe(metricName,
+    buckets.withColumn("__bn", row_number().over(w))
+      .observe(metricName,
         coalesce(sum(when(col("__bn") > cap, 1L).otherwise(0L)), lit(0L)).as("dropped_rows"),
         coalesce(sum(when(col("__bn") === cap + 1, 1L).otherwise(0L)), lit(0L)).as("overflow_buckets"),
         coalesce(max(col("__bn")).cast("long"), lit(0L)).as("max_bucket_size"))
-      else ranked
-    metered.filter(col("__bn") <= cap).drop("__bn")
+      .filter(col("__bn") <= cap)
+      .drop("__bn")
   }
 
   /** Candidate pairs within capped buckets, WITHOUT a bucket self-join:
