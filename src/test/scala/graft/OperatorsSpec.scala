@@ -147,6 +147,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(metric.getAs[Long]("max_bucket_size") == 300L)
   }
 
+  test("candidatePairs equals the naive bucket self-join on random tables") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(120)((rnd.nextInt(8).toLong, rnd.nextInt(40).toLong))
+        .distinct.map { case (b, id) => (b, id) }
+      val buckets = rows.toDF("bkey", "id")
+      val expected = buckets.as("x").join(buckets.as("y"),
+          $"x.bkey" === $"y.bkey" && $"x.id" < $"y.id")
+        .select($"x.id".as("id_a"), $"y.id".as("id_b"))
+        .distinct().as[(Long, Long)].collect().toSet
+      val got = graft.operators.Buckets.candidatePairs(
+          buckets, Seq("bkey"), "id", bucketCap = 1000, s"pairs_eq_trial${trial}_bucket_cap")
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"trial $trial: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   // ---- similarity ----
 
   private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
