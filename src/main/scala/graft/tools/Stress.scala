@@ -63,6 +63,31 @@ object Stress {
     timeText("lang_id + quality_score") {
       docs.select(graft.operators.TextAnalysis.langId(col("text")),
         graft.operators.TextAnalysis.qualityScore(col("text"))) }
+
+    // end-to-end near-dup pipelines: hash-derived 12-word docs (distinct
+    // w.h.p.), ~1% planted duplicates (docs with id ≡ 96 mod 97 repeat the
+    // preceding doc's text — no cascading), through the full shingle →
+    // sign → bucket → pair → verify plan
+    val ndDocs = math.min(nDocs, 500000L)
+    val eid = when(pmod(col("id"), lit(97)) === 96, col("id") - 1)
+      .otherwise(col("id"))
+    val dd = spark.range(ndDocs).select(col("id"),
+      concat_ws(" ", (0 until 12).map(i => element_at(
+        array(words.map(lit): _*),
+        (pmod(xxhash64(eid, lit(i)), lit(50)) + 1).cast("int"))): _*).as("text"))
+    def timePipe(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val warm = mk.count() // full pipeline incl. shuffles
+      val t0 = System.nanoTime()
+      val n2 = mk.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-28s ${s"$n2 pairs"}%12s  $secs%7.2f s  ${ndDocs / secs / 1e6}%8.2f M docs/s")
+      assert(warm == n2)
+    }
+    println(s"near-dup pipelines on $ndDocs docs (~1% planted dups):")
+    timePipe("minhash LSH (64x16)") {
+      graft.operators.Dedup.minhashNearDupPairs(dd, "id", "text") }
+    timePipe("simhash chunks (h<=3)") {
+      graft.operators.Dedup.simhashNearDupPairs(dd, "id", "text") }
     spark.stop()
   }
 }
