@@ -28,25 +28,35 @@ object SketchQueries {
       exact: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     abs(est.cast("double") - exact.cast("double")) / exact.cast("double") <= lit(envelope)
 
-  /** E2: global ungrouped aggregate (exact twin rides the same scan). */
+  /** E2: global ungrouped aggregate. The exact twin is a SEPARATE
+    * aggregation joined on: mixing countDistinct into the sketch agg makes
+    * Spark plan an Expand (2× rows through the imperative aggregate). */
   def q30ApproxGlobal(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.lineitem(spark, dir)
-      .agg(approx_distinct(col("l_orderkey")).as("d"),
-        countDistinct(col("l_orderkey")).as("n_orders"))
+    val est = Tables.lineitem(spark, dir)
+      .agg(approx_distinct(col("l_orderkey")).as("d"))
+      .select(col("d.cardinality").as("est"))
+    val exact = Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    est.join(exact)
       .select(col("n_orders"),
-        withinEnvelope(col("d.cardinality"), col("n_orders")).as("est_ok"))
+        withinEnvelope(col("est"), col("n_orders")).as("est_ok"))
   }
 
-  /** E1: grouped aggregate — partial sketches merge across the shuffle. */
+  /** E1: grouped aggregate — partial sketches merge across the shuffle.
+    * Exact twin joined on the group key (same Expand rationale as q30). */
   def q31ApproxGrouped(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    Tables.lineitem(spark, dir)
+    val est = Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(approx_distinct(col("l_orderkey")).as("d"),
-        countDistinct(col("l_orderkey")).as("n_orders"))
+      .agg(approx_distinct(col("l_orderkey")).as("d"))
+      .select(col("l_returnflag"), col("d.cardinality").as("est"))
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    est.join(exact, "l_returnflag")
       .select(col("l_returnflag"), col("n_orders"),
-        withinEnvelope(col("d.cardinality"), col("n_orders")).as("est_ok"))
+        withinEnvelope(col("est"), col("n_orders")).as("est_ok"))
       .orderBy("l_returnflag")
   }
 
