@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ApproxDistinct, CosineSimilarity, HyperplaneLsh, LangId, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
+import graft.functions.{ApproxDistinct, ApproxTopK, CosineSimilarity, HyperplaneLsh, LangId, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
@@ -53,8 +53,32 @@ object GraftFunctions {
     col(ApproxDistinct(expr(c), Literal("hll"), Literal(-1), mergeBinary = true)
       .toAggregateExpression())
 
+  /** `approx_top_k(item, k, capacity)` — mergeable SpaceSaving heavy
+    * hitters (see [[graft.functions.ApproxTopK]]). */
+  def approx_top_k(c: Column, k: Int = 10,
+      capacity: Int = functions.ApproxTopK.DefaultCapacity): Column =
+    col(ApproxTopK(expr(c), Literal(k), Literal(capacity)).toAggregateExpression())
+
+  /** Serialized SpaceSaving summary of a group, for storing (the heavy-
+    * hitter analogue of a stored sketch). */
+  def topk_sketch_agg(c: Column,
+      capacity: Int = functions.ApproxTopK.DefaultCapacity): Column =
+    col(ApproxTopK(expr(c), Literal(1), Literal(capacity), emitBinary = true)
+      .toAggregateExpression())
+
+  /** Aggregate-merge of BINARY serialized SpaceSaving summaries
+    * (store-then-merge for heavy hitters). */
+  def topk_merge_agg(c: Column, k: Int = 10,
+      capacity: Int = functions.ApproxTopK.DefaultCapacity): Column =
+    col(ApproxTopK(expr(c), Literal(k), Literal(capacity), mergeBinary = true)
+      .toAggregateExpression())
+
   /** 64-bit Charikar SimHash of a token array (near-dup fingerprint). */
   def simhash(c: Column): Column = col(SimHash(expr(c)))
+
+  /** SimHash with the MD5-derived token hash — bit-identically reproducible
+    * by external engines (see [[graft.functions.SimHash]] scaladoc). */
+  def simhash_md5(c: Column): Column = col(SimHash(expr(c), SimHash.Md5))
 
   /** Cosine similarity of two numeric-array columns (double accumulation). */
   def cosine_similarity(a: Column, b: Column): Column =
@@ -95,8 +119,33 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => approxDistinctExpr(exprs, mergeBinary = false)),
     ("sketch_merge_agg", "sketch_merge_agg(bin) - merge serialized sketches",
       (exprs: Seq[Expression]) => approxDistinctExpr(exprs, mergeBinary = true)),
+    ("approx_top_k", "approx_top_k(item[, k[, capacity]]) - SpaceSaving heavy hitters",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => new ApproxTopK(c)
+        case Seq(c, k) => new ApproxTopK(c, k)
+        case Seq(c, k, cap) => ApproxTopK(c, k, cap)
+        case _ => throw new IllegalArgumentException(
+          "approx_top_k requires 1 to 3 arguments: (item[, k[, capacity]])")
+      }),
+    ("topk_sketch_agg", "topk_sketch_agg(item[, capacity]) - serialized heavy-hitter summary",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => ApproxTopK(c, Literal(1), Literal(ApproxTopK.DefaultCapacity), emitBinary = true)
+        case Seq(c, cap) => ApproxTopK(c, Literal(1), cap, emitBinary = true)
+        case _ => throw new IllegalArgumentException(
+          "topk_sketch_agg requires 1 or 2 arguments: (item[, capacity])")
+      }),
+    ("topk_merge_agg", "topk_merge_agg(bin[, k[, capacity]]) - merge stored heavy-hitter summaries",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => ApproxTopK(c, Literal(10), Literal(ApproxTopK.DefaultCapacity), mergeBinary = true)
+        case Seq(c, k) => ApproxTopK(c, k, Literal(ApproxTopK.DefaultCapacity), mergeBinary = true)
+        case Seq(c, k, cap) => ApproxTopK(c, k, cap, mergeBinary = true)
+        case _ => throw new IllegalArgumentException(
+          "topk_merge_agg requires 1 to 3 arguments: (bin[, k[, capacity]])")
+      }),
     ("simhash", "simhash(tokens) - 64-bit Charikar SimHash",
       arity("simhash", 1)(e => SimHash(e.head))),
+    ("simhash_md5", "simhash_md5(tokens) - SimHash with cross-engine-reproducible MD5 token hash",
+      arity("simhash_md5", 1)(e => SimHash(e.head, SimHash.Md5))),
     ("cosine_similarity", "cosine_similarity(a, b) - cosine of numeric arrays",
       arity("cosine_similarity", 2)(e => CosineSimilarity(e(0), e(1)))),
     ("shingle_hashes", "shingle_hashes(text, k) - distinct k-shingle hashes",

@@ -125,12 +125,20 @@ object Dedup {
   }
 
   /** Near-duplicate pairs via SimHash: 16-bit chunk blocking + Hamming
-    * verify. Returns (id_a, id_b, hamming). */
+    * verify. Returns (id_a, id_b, hamming). Any-chunk-equal over 4 chunks
+    * finds EVERY pair at Hamming ≤ 3 (pigeonhole), so the result is exactly
+    * {pairs : hamming(simhash_a, simhash_b) ≤ maxHamming} for maxHamming ≤ 3.
+    * `md5Hash = true` switches the token hash to the MD5-derived variant,
+    * which an external engine can recompute bit-exactly (the q46 oracle
+    * does — see [[graft.functions.SimHash]]). */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 256,
+      md5Hash: Boolean = false): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    val simFn: Column => Column =
+      if (md5Hash) GraftFunctions.simhash_md5 else GraftFunctions.simhash
     val withSim = docs.select(col(idCol).as("id"),
-      GraftFunctions.simhash(TextAnalysis.tokens(col(textCol))).as("sim"))
+      simFn(TextAnalysis.tokens(col(textCol))).as("sim"))
     val chunks = withSim.select(col("id"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "cval")))
@@ -171,9 +179,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_total"))
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs. */
+  /** SimHash near-dup pairs, hash-exactly oracle-gated: with the MD5 token
+    * hash the fingerprint is engine-independent, and 4×16-bit chunk blocking
+    * provably finds every Hamming ≤ 3 pair — so the output IS the exact set
+    * {(a,b) : popcount(simhash_a ^ simhash_b) ≤ 3}, which DuckDB recomputes
+    * from first principles (md5 → ±1 bit votes → fingerprint → all-pairs
+    * popcount at oracle scale). No thresholds, no approximation envelope. */
   def q46SimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text")
+    simhashNearDupPairs(Tables.documents(spark, dir).filter(col("text").isNotNull),
+        "doc_id", "text", md5Hash = true)
       .orderBy("id_a", "id_b")
 
   /** N-gram (3-shingle) Jaccard for a fixed doc pair sample: every pair of
@@ -272,6 +286,36 @@ object Dedup {
         |    len(list_distinct(list_concat(x.sh, y.sh))) AS n_total
         |  FROM t x JOIN t y ON x.doc_id < y.doc_id) p
         |WHERE 2 * n_common >= n_total
+        |ORDER BY id_a, id_b""".stripMargin,
+    // recomputes the engine's simhash fingerprints from first principles:
+    // token hash = first 8 bytes of md5 (hex-parsed to an unsigned 64-bit,
+    // then reinterpreted signed to match Spark's LongType), ±1 votes per bit
+    // over the token MULTISET (unnest keeps duplicates), fingerprint bit =
+    // sign of the vote sum, then exact all-pairs popcount ≤ 3
+    "q46_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_sum([ (strpos('0123456789abcdef', s[i]) - 1)::HUGEINT * (1::HUGEINT << (4*(16-i)))
+        |               FOR i IN range(1, 17) ]) AS hu
+        |  FROM (SELECT doc_id, substr(md5(t), 1, 16) AS s FROM toks)),
+        |votes AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (hu >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(64) r(b) GROUP BY doc_id, b),
+        |sh0 AS (
+        |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS shu
+        |  FROM votes GROUP BY doc_id),
+        |sh AS (
+        |  SELECT d.doc_id,
+        |    COALESCE((CASE WHEN shu >= (1::HUGEINT << 63) THEN shu - (1::HUGEINT << 64)
+        |              ELSE shu END)::BIGINT, 0) AS sim
+        |  FROM documents d LEFT JOIN sh0 USING (doc_id) WHERE d.text IS NOT NULL)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  bit_count(xor(x.sim, y.sim))::BIGINT AS hamming
+        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.sim, y.sim)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "q47_ngram_jaccard_sample" ->
       """WITH t AS (

@@ -206,6 +206,39 @@ object SketchQueries {
       .orderBy("event_type")
   }
 
+  /** SpaceSaving heavy hitters over event types. The domain (5 event types)
+    * is far below the summary capacity, so the sketch path is provably
+    * EXACT — no eviction ever fires — and the gate is a strict hash match
+    * against the exact GROUP BY. Eviction-path guarantees (est bounds,
+    * n/m error, merge law) are property-tested in SketchPropertiesSpec;
+    * this gate proves the Catalyst wiring end-to-end. */
+  def q62HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.events(spark, dir)
+      .agg(approx_top_k(col("event_type"), k = 5, capacity = 1024).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.est").as("n_events"))
+      .orderBy(desc("n_events"), col("event_type"))
+  }
+
+  /** Heavy-hitter store-then-merge: one serialized SpaceSaving summary per
+    * language (the storable unit), re-aggregated into a global top-10 token
+    * list without rescanning tokens — the reference's E3 contract applied
+    * to frequency instead of cardinality. Capacity exceeds the token
+    * vocabulary, so every per-lang summary is exact and the merge is
+    * lossless: strict hash gate. At 100 TB the same plan ships one ≤ 256-
+    * entry summary per language per map task across the shuffle. */
+  def q63TopkStoreMerge(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("lang").agg(topk_sketch_agg(col("tok"), capacity = 256).as("s"))
+      .agg(topk_merge_agg(col("s"), k = 10, capacity = 256).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("token"), col("e.est").as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), col("token"))
+  }
+
   /** `approx_distinct(...) OVER (PARTITION BY ...)` — Spark evaluates the
     * sketch natively in an unbounded window frame (verified on 4.1), but
     * WindowExec shuffles AND SORTS every row within each partition to do
@@ -231,7 +264,9 @@ object SketchQueries {
     "q32_approx_distinct_lc_users" -> (q32ApproxLcUsers _),
     "q33_sketch_reagg" -> (q33SketchReagg _),
     "q34_sketch_union" -> (q34SketchUnion _),
-    "q35_sketch_intersection" -> (q35SketchIntersection _))
+    "q35_sketch_intersection" -> (q35SketchIntersection _),
+    "q62_heavy_hitters" -> (q62HeavyHitters _),
+    "q63_topk_store_merge" -> (q63TopkStoreMerge _))
 
   /** Oracles are exact counts; the driver applies the approx envelope. */
   val oracles: Map[String, String] = Map(
@@ -279,5 +314,17 @@ object SketchQueries {
       """SELECT COUNT(DISTINCT o_orderkey) AS n_intersect, true AS est_ok
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
-        |  AND o_orderdate < TIMESTAMP '1999-01-01'""".stripMargin)
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'""".stripMargin,
+    // exact because capacity > domain (see q62 scaladoc): plain GROUP BY twin
+    "q62_heavy_hitters" ->
+      """SELECT event_type, COUNT(*) AS n_events FROM events
+        |GROUP BY event_type ORDER BY n_events DESC, event_type LIMIT 5""".stripMargin,
+    // exact token counts; ties at the top-10 boundary are broken (count DESC,
+    // token ASC) identically on both sides
+    "q63_topk_store_merge" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT token, COUNT(*) AS n_occurrences FROM toks GROUP BY token
+        |ORDER BY n_occurrences DESC, token LIMIT 10""".stripMargin)
 }

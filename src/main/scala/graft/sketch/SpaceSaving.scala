@@ -1,0 +1,192 @@
+package graft.sketch
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.PriorityQueue
+
+import scala.collection.mutable
+
+/** SpaceSaving frequent-items summary (Metwally, Agrawal, El Abbadi 2005),
+  * the sketch behind `approx_top_k`.
+  *
+  * Invariants (for a summary of capacity m over a stream of n items):
+  *  - every item with true count > n/m is present in the summary;
+  *  - for every tracked item: true ≤ est ≤ true + err, with err ≤ n/m;
+  *  - if fewer than m distinct items were ever offered, counts are EXACT
+  *    (est == true, err == 0) — no eviction ever happens.
+  *
+  * Mergeability (parallel SpaceSaving, Cafaro et al. 2016 / the trim step of
+  * Agarwal et al. "Mergeable Summaries" 2012): estimates add pointwise; an
+  * item absent from the other summary picks up that summary's minimum
+  * estimate as additional error (an absent item's true count is bounded by
+  * the min estimate — or 0 if that summary never evicted); then keep the
+  * top m by estimate. The merged summary keeps the SpaceSaving guarantees
+  * with err ≤ (n1+n2)/m, so partial aggregation and sketch re-aggregation
+  * (store-then-merge) are both safe.
+  *
+  * Eviction needs the current minimum-estimate entry; rather than the
+  * original paper's bucket list, this uses a min-heap with lazy deletion
+  * (stale heap entries are discarded on pop, the heap is rebuilt when it
+  * grows past 4×capacity) — O(log m) amortized per update, no linked-list
+  * bookkeeping on the hot path.
+  */
+final class SpaceSaving(val capacity: Int) extends Serializable {
+  require(capacity >= 1, s"approx_top_k capacity must be >= 1, got $capacity")
+
+  /** est and err per tracked item. */
+  final class Entry(var est: Long, var err: Long) extends Serializable
+
+  private[graft] val entries = new mutable.HashMap[String, Entry]
+  /** total offered count (for the n/m error bound; survives merge). */
+  private[graft] var n: Long = 0L
+  /** true once an eviction happened — until then counts are exact. */
+  private[graft] var evicted: Boolean = false
+
+  // (estimate-snapshot, item); stale when the map's est moved past it
+  @transient private var heap: PriorityQueue[(Long, String)] = _
+
+  private def heapOrd: java.util.Comparator[(Long, String)] =
+    (a: (Long, String), b: (Long, String)) => java.lang.Long.compare(a._1, b._1)
+
+  private def rebuildHeap(): Unit = {
+    heap = new PriorityQueue[(Long, String)](math.max(capacity, 16), heapOrd)
+    entries.foreach { case (k, e) => heap.add((e.est, k)) }
+  }
+
+  private def pushHeap(est: Long, item: String): Unit = {
+    if (heap == null) rebuildHeap()
+    else {
+      heap.add((est, item))
+      if (heap.size > 4 * capacity + 16) rebuildHeap()
+    }
+  }
+
+  /** Pop entries until the head reflects a live (est, item) pair. */
+  private def popMin(): (Long, String) = {
+    if (heap == null) rebuildHeap()
+    while (true) {
+      val top = heap.poll()
+      val live = entries.get(top._2)
+      if (live.isDefined && live.get.est == top._1) return top
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def offer(item: String): Unit = offer(item, 1L)
+
+  def offer(item: String, weight: Long): Unit = {
+    require(weight > 0, s"approx_top_k weight must be positive, got $weight")
+    n += weight
+    entries.get(item) match {
+      case Some(e) =>
+        e.est += weight
+        pushHeap(e.est, item)
+      case None if entries.size < capacity =>
+        entries.put(item, new Entry(weight, 0L))
+        pushHeap(weight, item)
+      case None =>
+        val (minEst, minItem) = popMin()
+        entries.remove(minItem)
+        entries.put(item, new Entry(minEst + weight, minEst))
+        evicted = true
+        pushHeap(minEst + weight, item)
+    }
+  }
+
+  /** Merge `other` into this summary (see class doc for the guarantee). */
+  def mergeInPlace(other: SpaceSaving): Unit = {
+    if (other.capacity != capacity)
+      throw new SketchMergeException(
+        s"cannot merge approx_top_k summaries of different capacity: $capacity vs ${other.capacity}")
+    val minSelf = if (entries.size >= capacity && evicted) minEstimate() else 0L
+    val minOther = if (other.entries.size >= other.capacity && other.evicted) other.minEstimate() else 0L
+    val merged = new mutable.HashMap[String, Entry]
+    entries.foreach { case (k, e) =>
+      other.entries.get(k) match {
+        case Some(o) => merged.put(k, new Entry(e.est + o.est, e.err + o.err))
+        case None => merged.put(k, new Entry(e.est + minOther, e.err + minOther))
+      }
+    }
+    other.entries.foreach { case (k, o) =>
+      if (!entries.contains(k)) merged.put(k, new Entry(o.est + minSelf, o.err + minSelf))
+    }
+    entries.clear()
+    if (merged.size > capacity) {
+      evicted = true
+      merged.toSeq.sortBy { case (k, e) => (-e.est, k) }.take(capacity)
+        .foreach { case (k, e) => entries.put(k, e) }
+    } else {
+      evicted = evicted || other.evicted
+      merged.foreach { case (k, e) => entries.put(k, e) }
+    }
+    n += other.n
+    heap = null
+  }
+
+  def minEstimate(): Long =
+    if (entries.isEmpty) 0L else entries.valuesIterator.map(_.est).min
+
+  /** Top-k by (estimate desc, item asc) — deterministic under ties. */
+  def topK(k: Int): Seq[(String, Long, Long)] =
+    entries.toSeq.map { case (item, e) => (item, e.est, e.err) }
+      .sortBy { case (item, est, _) => (-est, item) }
+      .take(k)
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeByte(SpaceSaving.WireTag)
+    out.writeInt(capacity)
+    out.writeLong(n)
+    out.writeBoolean(evicted)
+    out.writeInt(entries.size)
+    // deterministic order: bytes depend only on the entry multiset
+    entries.toSeq.sortBy(_._1).foreach { case (item, e) =>
+      val b = item.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(e.est)
+      out.writeLong(e.err)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object SpaceSaving {
+  val WireTag: Byte = 0x53 // 'S'; HLL/LC sketches use their own tags
+
+  def deserialize(bytes: Array[Byte]): SpaceSaving = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val tag = in.readByte()
+    if (tag != WireTag)
+      throw new SketchMergeException(
+        f"not an approx_top_k summary: wire tag 0x$tag%02x (expected 0x$WireTag%02x)")
+    val capacity = in.readInt()
+    if (capacity < 1)
+      throw new SketchMergeException(s"corrupted approx_top_k payload: capacity $capacity")
+    val ss = new SpaceSaving(capacity)
+    ss.n = in.readLong()
+    ss.evicted = in.readBoolean()
+    val size = in.readInt()
+    if (size < 0 || size > capacity)
+      throw new SketchMergeException(
+        s"corrupted approx_top_k payload: $size entries for capacity $capacity")
+    var i = 0
+    while (i < size) {
+      val len = in.readInt()
+      if (len < 0 || len > bytes.length)
+        throw new SketchMergeException(s"corrupted approx_top_k payload: item length $len")
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val est = in.readLong()
+      val err = in.readLong()
+      if (est < 0 || err < 0 || err > est)
+        throw new SketchMergeException(
+          s"corrupted approx_top_k payload: est=$est err=$err")
+      ss.entries.put(new String(b, StandardCharsets.UTF_8), new ss.Entry(est, err))
+      i += 1
+    }
+    ss
+  }
+}

@@ -94,6 +94,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhash_md5 matches the cross-engine reference values exactly") {
+    // constants independently computed from md5 first-8-bytes token hashes
+    // (same derivation DuckDB's generated q46 oracle uses) — pins the
+    // cross-engine wire contract, not just self-consistency
+    val got = Seq((1, Seq("hello", "world")),
+        (2, Seq("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog")),
+        (3, Seq.empty[String]))
+      .toDF("id", "toks")
+      .select($"id", GraftFunctions.simhash_md5($"toks").as("sh"))
+      .as[(Int, Long)].collect().toMap
+    assert(got(1) == 6719652267731058694L)
+    assert(got(2) == 1140603644929599182L)
+    assert(got(3) == 0L)
+  }
+
   // ---- as-of join ----
 
   test("asofJoin attaches the latest right row at or before left time") {

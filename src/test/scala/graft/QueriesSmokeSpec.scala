@@ -15,14 +15,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
     val rowsOnly = qs -- os
-    // every rows-only query must be one of the documented approximate /
-    // engine-hash cases — adding a new one silently is a mistake
-    // q46 is the single remaining rows-only query: its pair set is keyed by
-    // the engine's simhash (not reproducible in SQL) and, unlike the ANN
-    // queries, has no stable exact twin to gate a recall boolean against
-    val documented = Set("q46_simhash_pairs")
-    assert(rowsOnly == documented,
-      s"rows-only set drifted: extra=${rowsOnly -- documented} missing=${documented -- rowsOnly}")
+    // every declared query is oracle-gated — a new rows-only query is a
+    // mistake unless deliberately documented here
+    assert(rowsOnly.isEmpty, s"rows-only queries appeared: $rowsOnly")
   }
 
   test("every declared query executes at sf0.001") {
