@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ApproxDistinct, ApproxTopK, CosineSimilarity, HyperplaneLsh, LangId, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
+import graft.functions.{ApproxDistinct, ApproxTopK, BloomAgg, CosineSimilarity, HyperplaneLsh, LangId, MightContain, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
@@ -73,6 +73,23 @@ object GraftFunctions {
     col(ApproxTopK(expr(c), Literal(k), Literal(capacity), mergeBinary = true)
       .toAggregateExpression())
 
+  /** `bloom_agg(x, numBits, numHashes)` — serialized Bloom filter of a
+    * column (the runtime-filter build side; see [[graft.functions.BloomAgg]]). */
+  def bloom_agg(c: Column, numBits: Int = BloomAgg.DefaultNumBits,
+      numHashes: Int = BloomAgg.DefaultNumHashes): Column =
+    col(BloomAgg(expr(c), Literal(numBits), Literal(numHashes)).toAggregateExpression())
+
+  /** Aggregate-merge of BINARY serialized Bloom filters (bitwise OR). */
+  def bloom_merge_agg(c: Column, numBits: Int = BloomAgg.DefaultNumBits,
+      numHashes: Int = BloomAgg.DefaultNumHashes): Column =
+    col(BloomAgg(expr(c), Literal(numBits), Literal(numHashes), mergeBinary = true)
+      .toAggregateExpression())
+
+  /** `might_contain(bloom, x)` — probe a serialized Bloom filter; false is
+    * definitive (no false negatives). */
+  def might_contain(bloom: Column, c: Column): Column =
+    col(MightContain(expr(bloom), expr(c)))
+
   /** 64-bit Charikar SimHash of a token array (near-dup fingerprint). */
   def simhash(c: Column): Column = col(SimHash(expr(c)))
 
@@ -142,6 +159,25 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "topk_merge_agg requires 1 to 3 arguments: (bin[, k[, capacity]])")
       }),
+    ("bloom_agg", "bloom_agg(x[, numBits[, numHashes]]) - build a Bloom filter of a column",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => new BloomAgg(c)
+        case Seq(c, b) => new BloomAgg(c, b)
+        case Seq(c, b, h) => BloomAgg(c, b, h)
+        case _ => throw new IllegalArgumentException(
+          "bloom_agg requires 1 to 3 arguments: (x[, numBits[, numHashes]])")
+      }),
+    ("bloom_merge_agg", "bloom_merge_agg(bin[, numBits[, numHashes]]) - OR-merge stored Bloom filters",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => BloomAgg(c, Literal(BloomAgg.DefaultNumBits),
+          Literal(BloomAgg.DefaultNumHashes), mergeBinary = true)
+        case Seq(c, b) => BloomAgg(c, b, Literal(BloomAgg.DefaultNumHashes), mergeBinary = true)
+        case Seq(c, b, h) => BloomAgg(c, b, h, mergeBinary = true)
+        case _ => throw new IllegalArgumentException(
+          "bloom_merge_agg requires 1 to 3 arguments: (bin[, numBits[, numHashes]])")
+      }),
+    ("might_contain", "might_contain(bloom, x) - probe a Bloom filter (no false negatives)",
+      arity("might_contain", 2)(e => MightContain(e(0), e(1)))),
     ("simhash", "simhash(tokens) - 64-bit Charikar SimHash",
       arity("simhash", 1)(e => SimHash(e.head))),
     ("simhash_md5", "simhash_md5(tokens) - SimHash with cross-engine-reproducible MD5 token hash",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOf, Dedup, Multimodal, Relational, Similarity, SketchQueries, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Relational, RuntimeFilter, Similarity, SketchQueries, TextAnalysis}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,12 +27,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ SketchQueries.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ AsOf.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ AsOf.queries ++
+      RuntimeFilter.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approximate candidates, engine-specific hashes) → rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ SketchQueries.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ AsOf.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
+      RuntimeFilter.oracles
 }

@@ -4,7 +4,7 @@ import graft.sketch.{Hll, LinearCounter, Sketch, SketchMergeException}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -131,31 +131,8 @@ case class ApproxDistinct(
     else new LinearCounter(if (precision == -1) LcDefaultSize else precision)
 
   // One hash kernel per child type, resolved once at bind time (not per row).
-  @transient private lazy val hashFn: Any => Long = child.dataType match {
-    case LongType | TimestampType | TimestampNTZType =>
-      v => XXH64.hashLong(v.asInstanceOf[Long], HashSeed)
-    case IntegerType | DateType =>
-      v => XXH64.hashLong(v.asInstanceOf[Int].toLong, HashSeed)
-    case ShortType => v => XXH64.hashLong(v.asInstanceOf[Short].toLong, HashSeed)
-    case ByteType => v => XXH64.hashLong(v.asInstanceOf[Byte].toLong, HashSeed)
-    case BooleanType => v => XXH64.hashLong(if (v.asInstanceOf[Boolean]) 1L else 0L, HashSeed)
-    case DoubleType => v => {
-      val d = v.asInstanceOf[Double]
-      XXH64.hashLong(java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d), HashSeed)
-    }
-    case FloatType => v => {
-      val f = v.asInstanceOf[Float]
-      XXH64.hashLong(java.lang.Double.doubleToLongBits(if (f == 0.0f) 0.0 else f.toDouble), HashSeed)
-    }
-    case StringType => v => XXH64.hashUTF8String(v.asInstanceOf[UTF8String], HashSeed)
-    case BinaryType => v => {
-      val b = v.asInstanceOf[Array[Byte]]
-      XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, HashSeed)
-    }
-    case _: DecimalType => v =>
-      XXH64.hashUTF8String(UTF8String.fromString(v.toString), HashSeed)
-    case _ => v => XXH64.hashUTF8String(UTF8String.fromString(String.valueOf(v)), HashSeed)
-  }
+  @transient private lazy val hashFn: Any => Long =
+    TypedXxHash.kernel(child.dataType, HashSeed)
 
   override def createAggregationBuffer(): SketchBuffer = new SketchBuffer(null)
 
