@@ -104,6 +104,11 @@ object GraftFunctions {
   /** Distinct 64-bit hashes of the word-level k-shingles of a text column. */
   def shingle_hashes(c: Column, k: Int): Column = col(ShingleHashes(expr(c), k))
 
+  /** Single-pass MinHash-LSH band hashes of a text column (see
+    * [[graft.functions.MinHashBands]]). */
+  def minhash_bands(c: Column, k: Int, numPerms: Int, bands: Int): Column =
+    col(functions.MinHashBands(expr(c), k, numPerms, bands))
+
   /** Random-hyperplane LSH signature of an embedding (one hash table). */
   def hyperplane_lsh(c: Column, dim: Int, nBits: Int, table: Int): Column =
     col(HyperplaneLsh(expr(c), dim, nBits, table))
@@ -186,6 +191,9 @@ object GraftFunctions {
       arity("cosine_similarity", 2)(e => CosineSimilarity(e(0), e(1)))),
     ("shingle_hashes", "shingle_hashes(text, k) - distinct k-shingle hashes",
       arity("shingle_hashes", 2)(e => ShingleHashes(e(0), litInt(e(1), "shingle size k")))),
+    ("minhash_bands", "minhash_bands(text, k, numPerms, bands) - single-pass MinHash LSH band hashes",
+      arity("minhash_bands", 4)(e => functions.MinHashBands(e(0),
+        litInt(e(1), "shingle size k"), litInt(e(2), "numPerms"), litInt(e(3), "bands")))),
     ("hyperplane_lsh", "hyperplane_lsh(vec, dim, nBits, table) - LSH signature",
       arity("hyperplane_lsh", 4)(e => HyperplaneLsh(e(0), litInt(e(1), "dim"),
         litInt(e(2), "nBits"), litInt(e(3), "table")))),

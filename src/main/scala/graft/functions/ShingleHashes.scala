@@ -36,7 +36,25 @@ case class ShingleHashes(child: Expression, k: Int)
   }
 
   /** The kernel, callable from generated code. */
-  def computeHashes(u: UTF8String): GenericArrayData = {
+  def computeHashes(u: UTF8String): GenericArrayData =
+    new GenericArrayData(ShingleHashes.distinctHashes(u, k))
+
+  override def nullSafeEval(v: Any): Any = computeHashes(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleKernel", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeHashes($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+object ShingleHashes {
+
+  /** Distinct 64-bit k-shingle hashes of a text, insertion-ordered. Shared
+    * by [[ShingleHashes]] and [[MinHashBands]] so both sides of a MinHash
+    * pipeline see identical shingle sets. */
+  def distinctHashes(u: UTF8String, k: Int): Array[Long] = {
     val s = u.toString
     // whitespace tokenization, empties dropped (== tokens() semantics)
     val toks = mutable.ArrayBuffer.empty[String]
@@ -68,15 +86,6 @@ case class ShingleHashes(child: Expression, k: Int)
         j += 1
       }
     }
-    new GenericArrayData(out.toArray)
+    out.toArray
   }
-
-  override def nullSafeEval(v: Any): Any = computeHashes(v.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("shingleKernel", this, classOf[ShingleHashes].getName)
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.computeHashes($a);")
-  }
-
-  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }

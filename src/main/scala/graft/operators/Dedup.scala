@@ -85,34 +85,28 @@ object Dedup {
   /** Near-duplicate pairs via MinHash-LSH: shingle → sign → band → bucket
     * join → exact-Jaccard verify. Returns (id_a, id_b, jaccard).
     *
-    * Shape matters here: shingles are EXPLODED once and the signature comes
-    * from one groupBy(id) with `numPerms` min-aggregates (map-side partial).
-    * Each shingle is therefore tokenized and hashed exactly once, and every
-    * downstream use of the signature references aggregated attributes, not
-    * re-inlined expressions. A naive nested-expression formulation is
-    * O(numPerms × bands) recomputations of the shingling per row — measured
-    * 400× slower. Candidates come from a bucket join on (band, bandHash);
-    * shingle sets are re-joined by id for verification, so arrays cross the
-    * wire once per doc, not once per candidate pair. */
+    * Shape matters here: the whole shingle → signature → band-hash chain is
+    * ONE per-row kernel ([[graft.functions.MinHashBands]] — see its doc for
+    * why neither the composed-Column nor the explode+groupBy formulation
+    * survives), so candidate generation costs zero shuffles until the tiny
+    * (band, bandHash) explode. Candidates come from a bucket join on
+    * (band, bandHash); shingle-hash sets are per-row projections re-joined
+    * by id for verification, so arrays cross the wire once per doc side,
+    * never once per candidate pair. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerms: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucketSize: Int = 256): DataFrame = {
-    val rows = numPerms / bands
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), k)).as("h"))
-    val aggs = (0 until numPerms).map(i => min(xxhash64(col("h"), lit(i))).as(s"s$i")) :+
-      collect_set(col("h")).as("sh")
-    val sigs = exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
-    val sigArr = array((0 until numPerms).map(i => col(s"s$i")): _*)
-    val buckets = sigs.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(sigArr, b * rows + 1, rows))): _*)).as(Seq("band", "bhash")))
-    // hot-bucket guard + pair generation in ONE pass over the bucket table
-    // (a self-join would evaluate the whole signature pipeline per side);
+    val bandArr = org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.MinHashBands(
+        org.apache.spark.sql.graft.GraftBridge.expression(col(textCol)),
+        k, numPerms, bands))
+    val buckets = docs.select(col(idCol).as("id"),
+      posexplode(bandArr).as(Seq("band", "bhash")))
+    // hot-bucket guard + pair generation in ONE pass over the bucket table;
     // drops are reported via an observed metric (Buckets.cap)
     val cand = Buckets.candidatePairs(buckets, Seq("band", "bhash"), "id",
       maxBucketSize, "minhash_bucket_cap")
-    val sh = sigs.select(col("id"), col("sh"))
+    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
     val nc = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
     val nt = size(array_union(col("sh_a"), col("sh_b"))).cast("long")
     cand
