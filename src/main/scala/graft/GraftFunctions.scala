@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{ApproxDistinct, ApproxTopK, BloomAgg, CosineSimilarity, HyperplaneLsh, LangId, MightContain, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
+import graft.functions.{ApproxDistinct, ApproxQuantiles, ApproxTopK, BloomAgg, CosineSimilarity, HyperplaneLsh, LangId, MightContain, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
+import graft.sketch.KllDoubles
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
@@ -71,6 +72,27 @@ object GraftFunctions {
   def topk_merge_agg(c: Column, k: Int = 10,
       capacity: Int = functions.ApproxTopK.DefaultCapacity): Column =
     col(ApproxTopK(expr(c), Literal(k), Literal(capacity), mergeBinary = true)
+      .toAggregateExpression())
+
+  private def probsLit(probs: Seq[Double]): Expression =
+    org.apache.spark.sql.catalyst.expressions.CreateArray(probs.map(Literal(_)))
+
+  /** `approx_quantiles(x, probs, k)` — mergeable KLL quantile estimates
+    * (see [[graft.functions.ApproxQuantiles]]). */
+  def approx_quantiles(c: Column, probs: Seq[Double],
+      k: Int = KllDoubles.DefaultK): Column =
+    col(ApproxQuantiles(expr(c), probsLit(probs), Literal(k)).toAggregateExpression())
+
+  /** Serialized KLL sketch of a group, for storing. */
+  def kll_sketch_agg(c: Column, k: Int = KllDoubles.DefaultK): Column =
+    col(ApproxQuantiles(expr(c), Literal(null), Literal(k), emitBinary = true)
+      .toAggregateExpression())
+
+  /** Aggregate-merge of BINARY serialized KLL sketches, evaluated at the
+    * given probabilities (store-then-merge for quantiles). */
+  def kll_merge_agg(c: Column, probs: Seq[Double],
+      k: Int = KllDoubles.DefaultK): Column =
+    col(ApproxQuantiles(expr(c), probsLit(probs), Literal(k), mergeBinary = true)
       .toAggregateExpression())
 
   /** `bloom_agg(x, numBits, numHashes)` — serialized Bloom filter of a
@@ -163,6 +185,27 @@ object GraftFunctions {
         case Seq(c, k, cap) => ApproxTopK(c, k, cap, mergeBinary = true)
         case _ => throw new IllegalArgumentException(
           "topk_merge_agg requires 1 to 3 arguments: (bin[, k[, capacity]])")
+      }),
+    ("approx_quantiles", "approx_quantiles(x, probs[, k]) - KLL quantile estimates",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, p) => new ApproxQuantiles(c, p)
+        case Seq(c, p, k) => ApproxQuantiles(c, p, k)
+        case _ => throw new IllegalArgumentException(
+          "approx_quantiles requires 2 or 3 arguments: (x, probs[, k])")
+      }),
+    ("kll_sketch_agg", "kll_sketch_agg(x[, k]) - serialized KLL quantile sketch",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => ApproxQuantiles(c, Literal(null), Literal(KllDoubles.DefaultK), emitBinary = true)
+        case Seq(c, k) => ApproxQuantiles(c, Literal(null), k, emitBinary = true)
+        case _ => throw new IllegalArgumentException(
+          "kll_sketch_agg requires 1 or 2 arguments: (x[, k])")
+      }),
+    ("kll_merge_agg", "kll_merge_agg(bin, probs[, k]) - merge stored KLL sketches",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, p) => ApproxQuantiles(c, p, Literal(KllDoubles.DefaultK), mergeBinary = true)
+        case Seq(c, p, k) => ApproxQuantiles(c, p, k, mergeBinary = true)
+        case _ => throw new IllegalArgumentException(
+          "kll_merge_agg requires 2 or 3 arguments: (bin, probs[, k])")
       }),
     ("bloom_agg", "bloom_agg(x[, numBits[, numHashes]]) - build a Bloom filter of a column",
       (exprs: Seq[Expression]) => exprs match {

@@ -239,6 +239,56 @@ object SketchQueries {
       .orderBy(desc("n_occurrences"), col("token"))
   }
 
+  /** KLL approximate quantiles per group, gated by the RANK-ERROR contract
+    * (the only thing a quantile sketch guarantees): for each estimate v̂ at
+    * probability p over n rows, the true rank interval of v̂
+    * [count(x < v̂), count(x ≤ v̂)] must intersect [p·n − ε·n, p·n + ε·n].
+    * ε = 0.04 is ≳3× the empirical max rank error of k=256 (KllSpec). The
+    * exact ranks are recomputed in-query from the raw data; the oracle
+    * reproduces the deterministic columns (group, prob, n) and `true`. */
+  def q65ApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val probs = Seq(0.25, 0.5, 0.95)
+    val eps = 0.04
+    val li = Tables.lineitem(spark, dir)
+    val est = li.groupBy("l_returnflag")
+      .agg(approx_quantiles(col("l_quantity"), probs).as("qs"))
+      .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("pi", "vhat")))
+      .withColumn("prob", element_at(typedLit(probs), col("pi") + 1))
+    li.join(broadcast(est), "l_returnflag")
+      .groupBy("l_returnflag", "prob", "vhat")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity") <= col("vhat"), 1L).otherwise(0L)).as("r_le"),
+        sum(when(col("l_quantity") < col("vhat"), 1L).otherwise(0L)).as("r_lt"))
+      .select(col("l_returnflag"), col("prob"), col("n"),
+        (col("r_le").cast("double") >= col("prob") * col("n") - lit(eps) * col("n") &&
+          col("r_lt").cast("double") <= col("prob") * col("n") + lit(eps) * col("n"))
+          .as("rank_ok"))
+      .orderBy("l_returnflag", "prob")
+  }
+
+  /** Quantile store-then-merge: one serialized KLL sketch per ship-day,
+    * merged into a global median without rescanning rows — E3 applied to
+    * quantiles. Same rank-error gate as q65 (merged-sketch error keeps the
+    * KLL bound; ε has ≳3× margin over the measured merged error). */
+  def q66KllStoreMerge(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val eps = 0.04
+    val li = Tables.lineitem(spark, dir)
+    val vhat = li.groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(kll_sketch_agg(col("l_extendedprice")).as("sk"))
+      .agg(kll_merge_agg(col("sk"), Seq(0.5)).as("qs"))
+      .select(element_at(col("qs"), 1).as("vhat"))
+    li.join(broadcast(vhat))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <= col("vhat"), 1L).otherwise(0L)).as("r_le"),
+        sum(when(col("l_extendedprice") < col("vhat"), 1L).otherwise(0L)).as("r_lt"))
+      .select(col("n"),
+        (col("r_le").cast("double") >= (lit(0.5) - lit(eps)) * col("n") &&
+          col("r_lt").cast("double") <= (lit(0.5) + lit(eps)) * col("n"))
+          .as("rank_ok"))
+  }
+
   /** `approx_distinct(...) OVER (PARTITION BY ...)` — Spark evaluates the
     * sketch natively in an unbounded window frame (verified on 4.1), but
     * WindowExec shuffles AND SORTS every row within each partition to do
@@ -266,7 +316,9 @@ object SketchQueries {
     "q34_sketch_union" -> (q34SketchUnion _),
     "q35_sketch_intersection" -> (q35SketchIntersection _),
     "q62_heavy_hitters" -> (q62HeavyHitters _),
-    "q63_topk_store_merge" -> (q63TopkStoreMerge _))
+    "q63_topk_store_merge" -> (q63TopkStoreMerge _),
+    "q65_approx_quantiles" -> (q65ApproxQuantiles _),
+    "q66_kll_store_merge" -> (q66KllStoreMerge _))
 
   /** Oracles are exact counts; the driver applies the approx envelope. */
   val oracles: Map[String, String] = Map(
@@ -326,5 +378,12 @@ object SketchQueries {
         |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
         |  FROM documents WHERE text IS NOT NULL)
         |SELECT token, COUNT(*) AS n_occurrences FROM toks GROUP BY token
-        |ORDER BY n_occurrences DESC, token LIMIT 10""".stripMargin)
+        |ORDER BY n_occurrences DESC, token LIMIT 10""".stripMargin,
+    "q65_approx_quantiles" ->
+      """SELECT l_returnflag, CAST(prob AS DOUBLE) AS prob, n, true AS rank_ok
+        |FROM (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag) t
+        |CROSS JOIN (VALUES (0.25), (0.5), (0.95)) p(prob)
+        |ORDER BY l_returnflag, prob""".stripMargin,
+    "q66_kll_store_merge" ->
+      "SELECT COUNT(*) AS n, true AS rank_ok FROM lineitem")
 }
