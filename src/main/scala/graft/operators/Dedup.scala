@@ -178,10 +178,17 @@ object Dedup {
     * provably finds every Hamming ≤ 3 pair — so the output IS the exact set
     * {(a,b) : popcount(simhash_a ^ simhash_b) ≤ 3}, which DuckDB recomputes
     * from first principles (md5 → ±1 bit votes → fingerprint → all-pairs
-    * popcount at oracle scale). No thresholds, no approximation envelope. */
+    * popcount at oracle scale). No thresholds, no approximation envelope.
+    *
+    * The bucket cap is raised to 4096: exactness needs the cap above the
+    * LARGEST real chunk bucket (measured 291 at sf0.1 — similar prefixes
+    * concentrate in one 16-bit chunk value), and bucket size grows ~linearly
+    * with corpus size at fixed 16-bit chunks. At real scale the knob is
+    * chunk width/count (wider chunks → more, smaller buckets for the same
+    * Hamming radius), not an uncapped quadratic bucket. */
   def q46SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashNearDupPairs(Tables.documents(spark, dir).filter(col("text").isNotNull),
-        "doc_id", "text", md5Hash = true)
+        "doc_id", "text", md5Hash = true, maxBucketSize = 4096)
       .orderBy("id_a", "id_b")
 
   /** N-gram (3-shingle) Jaccard for a fixed doc pair sample: every pair of

@@ -239,6 +239,20 @@ object SketchQueries {
       .orderBy(desc("n_occurrences"), col("token"))
   }
 
+  /** Batch twin of [[graft.streaming.StreamOps.windowedTopK]]: top-3 event
+    * types per hour window. Capacity far exceeds the 5-type domain, so the
+    * windowed summaries are exact and the gate is a strict hash match;
+    * boundary ties break (count DESC, item ASC) identically on both sides.
+    * Epoch-second keys for the q36 tz-rendering reason. */
+  def q67WindowedTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.windowedTopK(
+        Tables.events(spark, dir), "ts", "event_type", "1 hour", k = 3)
+      .select(unix_timestamp(col("window_start")).as("window_epoch"),
+        posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("window_epoch"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e.item").as("event_type"), col("e.est").as("n_events"))
+      .orderBy("window_epoch", "rnk")
+
   /** KLL approximate quantiles per group, gated by the RANK-ERROR contract
     * (the only thing a quantile sketch guarantees): for each estimate v̂ at
     * probability p over n rows, the true rank interval of v̂
@@ -318,7 +332,8 @@ object SketchQueries {
     "q62_heavy_hitters" -> (q62HeavyHitters _),
     "q63_topk_store_merge" -> (q63TopkStoreMerge _),
     "q65_approx_quantiles" -> (q65ApproxQuantiles _),
-    "q66_kll_store_merge" -> (q66KllStoreMerge _))
+    "q66_kll_store_merge" -> (q66KllStoreMerge _),
+    "q67_windowed_topk" -> (q67WindowedTopK _))
 
   /** Oracles are exact counts; the driver applies the approx envelope. */
   val oracles: Map[String, String] = Map(
@@ -385,5 +400,14 @@ object SketchQueries {
         |CROSS JOIN (VALUES (0.25), (0.5), (0.95)) p(prob)
         |ORDER BY l_returnflag, prob""".stripMargin,
     "q66_kll_store_merge" ->
-      "SELECT COUNT(*) AS n, true AS rank_ok FROM lineitem")
+      "SELECT COUNT(*) AS n, true AS rank_ok FROM lineitem",
+    // exact because capacity > domain (see q67 scaladoc); same tie-break
+    "q67_windowed_topk" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+        |    ORDER BY COUNT(*) DESC, event_type) AS BIGINT) AS rnk,
+        |  event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+        |QUALIFY rnk <= 3
+        |ORDER BY window_epoch, rnk""".stripMargin)
 }

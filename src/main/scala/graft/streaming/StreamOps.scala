@@ -33,6 +33,23 @@ object StreamOps {
         col("d.cardinality").as("n_distinct"))
   }
 
+  /** Heavy hitters per time window: the SpaceSaving aggregate
+    * ([[graft.functions.ApproxTopK]]) is mergeable, so it drops into
+    * windowed streaming aggregation exactly like the distinct sketch — one
+    * capacity-bounded summary per window in the state store, merged as
+    * micro-batches arrive. Emits the top-k `ARRAY<STRUCT<item, est, err>>`
+    * per window; update/complete mode on a stream, identical plan on a
+    * batch frame (the oracle-gated twin q67). */
+  def windowedTopK(events: DataFrame, tsCol: String, itemCol: String,
+      windowDur: String, k: Int, capacity: Int = 1024,
+      watermark: Option[String] = None): DataFrame = {
+    GraftFunctions.register(events.sparkSession)
+    val withWm = watermark.map(events.withWatermark(tsCol, _)).getOrElse(events)
+    withWm.groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(GraftFunctions.approx_top_k(col(itemCol), k, capacity).as("topk"))
+      .select(col("w.start").as("window_start"), col("topk"))
+  }
+
   /** Session windows per key with an inactivity gap. */
   def sessionize(events: DataFrame, tsCol: String, keyCol: String,
       gap: String, watermark: Option[String] = None): DataFrame = {

@@ -65,6 +65,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed top-k over a stream: summaries merge across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.windowedTopK(mem.toDF(), "ts", "event_type",
+        "10 minutes", k = 2, capacity = 64)
+      .select(col("window_start"), explode(col("topk")).as("e"))
+      .select(col("window_start"), col("e.item"), col("e.est"))
+      .writeStream.outputMode("complete").format("memory").queryName("wtk").start()
+    try {
+      mem.addData(Ev(t(1), 1, "click", 1.0), Ev(t(2), 2, "click", 1.0),
+        Ev(t(3), 3, "view", 1.0))
+      q.processAllAvailable()
+      // second batch flips the leader WITHIN the same window: the windowed
+      // summary must have merged state, not per-batch counts
+      mem.addData(Ev(t(4), 4, "view", 1.0), Ev(t(5), 5, "view", 1.0),
+        Ev(t(12), 6, "scroll", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT item, est FROM wtk WHERE window_start = TIMESTAMP '2024-01-01 10:00:00' ORDER BY est DESC, item")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(rows == Seq("view" -> 3L, "click" -> 2L), s"got $rows")
+      val w2 = spark.sql(
+        "SELECT item, est FROM wtk WHERE window_start = TIMESTAMP '2024-01-01 10:10:00'")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      assert(w2 == Seq("scroll" -> 1L), s"got $w2")
+    } finally q.stop()
+  }
+
   test("watermark drops late rows beyond the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
