@@ -104,7 +104,8 @@ case class ApproxTopK(
     val v = child.eval(input)
     if (v != null) {
       if (mergeBinary) buffer.mergeInPlace(SpaceSaving.deserialize(v.asInstanceOf[Array[Byte]]))
-      else buffer.offer(v.asInstanceOf[UTF8String].toString)
+      // buffer-backed UTF8String probes the map by bytes; cloned only on insert
+      else buffer.offer(v.asInstanceOf[UTF8String])
     }
     buffer
   }

@@ -1,10 +1,11 @@
 package graft.sketch
 
 import java.io.{ByteArrayOutputStream, DataOutputStream}
-import java.nio.charset.StandardCharsets
 import java.util.PriorityQueue
 
 import scala.collection.mutable
+
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SpaceSaving frequent-items summary (Metwally, Agrawal, El Abbadi 2005),
   * the sketch behind `approx_top_k`.
@@ -24,11 +25,14 @@ import scala.collection.mutable
   * with err ≤ (n1+n2)/m, so partial aggregation and sketch re-aggregation
   * (store-then-merge) are both safe.
   *
-  * Eviction needs the current minimum-estimate entry; rather than the
-  * original paper's bucket list, this uses a min-heap with lazy deletion
-  * (stale heap entries are discarded on pop, the heap is rebuilt when it
-  * grows past 4×capacity) — O(log m) amortized per update, no linked-list
-  * bookkeeping on the hot path.
+  * Hot-path design: keys are [[UTF8String]]s — hashCode/equals compare
+  * bytes, so a buffer-backed value straight from a Spark row probes the map
+  * with ZERO decoding or allocation; bytes are cloned only when an item is
+  * actually inserted. Eviction needs the current minimum-estimate entry;
+  * rather than the original paper's bucket list, this uses a min-heap with
+  * lazy deletion (stale heap entries are discarded on pop, the heap is
+  * rebuilt when it grows past 4×capacity) — O(log m) amortized per update,
+  * no linked-list bookkeeping per hit.
   */
 final class SpaceSaving(val capacity: Int) extends Serializable {
   require(capacity >= 1, s"approx_top_k capacity must be >= 1, got $capacity")
@@ -36,24 +40,24 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
   /** est and err per tracked item. */
   final class Entry(var est: Long, var err: Long) extends Serializable
 
-  private[graft] val entries = new mutable.HashMap[String, Entry]
+  private[graft] val entries = new mutable.HashMap[UTF8String, Entry]
   /** total offered count (for the n/m error bound; survives merge). */
   private[graft] var n: Long = 0L
   /** true once an eviction happened — until then counts are exact. */
   private[graft] var evicted: Boolean = false
 
   // (estimate-snapshot, item); stale when the map's est moved past it
-  @transient private var heap: PriorityQueue[(Long, String)] = _
+  @transient private var heap: PriorityQueue[(Long, UTF8String)] = _
 
-  private def heapOrd: java.util.Comparator[(Long, String)] =
-    (a: (Long, String), b: (Long, String)) => java.lang.Long.compare(a._1, b._1)
+  private def heapOrd: java.util.Comparator[(Long, UTF8String)] =
+    (a: (Long, UTF8String), b: (Long, UTF8String)) => java.lang.Long.compare(a._1, b._1)
 
   private def rebuildHeap(): Unit = {
-    heap = new PriorityQueue[(Long, String)](math.max(capacity, 16), heapOrd)
+    heap = new PriorityQueue[(Long, UTF8String)](math.max(capacity, 16), heapOrd)
     entries.foreach { case (k, e) => heap.add((e.est, k)) }
   }
 
-  private def pushHeap(est: Long, item: String): Unit = {
+  private def pushHeap(est: Long, item: UTF8String): Unit = {
     if (heap == null) rebuildHeap()
     else {
       heap.add((est, item))
@@ -62,7 +66,7 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
   }
 
   /** Pop entries until the head reflects a live (est, item) pair. */
-  private def popMin(): (Long, String) = {
+  private def popMin(): (Long, UTF8String) = {
     if (heap == null) rebuildHeap()
     while (true) {
       val top = heap.poll()
@@ -72,24 +76,30 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
     throw new IllegalStateException("unreachable")
   }
 
-  def offer(item: String): Unit = offer(item, 1L)
+  def offer(item: String): Unit = offer(UTF8String.fromString(item), 1L)
 
-  def offer(item: String, weight: Long): Unit = {
+  def offer(item: UTF8String): Unit = offer(item, 1L)
+
+  /** `item` may be backed by a transient row buffer: it is cloned if (and
+    * only if) it has to be stored. */
+  def offer(item: UTF8String, weight: Long): Unit = {
     require(weight > 0, s"approx_top_k weight must be positive, got $weight")
     n += weight
     entries.get(item) match {
       case Some(e) =>
         e.est += weight
-        pushHeap(e.est, item)
+        pushHeap(e.est, item.clone())
       case None if entries.size < capacity =>
-        entries.put(item, new Entry(weight, 0L))
-        pushHeap(weight, item)
+        val owned = item.clone()
+        entries.put(owned, new Entry(weight, 0L))
+        pushHeap(weight, owned)
       case None =>
         val (minEst, minItem) = popMin()
         entries.remove(minItem)
-        entries.put(item, new Entry(minEst + weight, minEst))
+        val owned = item.clone()
+        entries.put(owned, new Entry(minEst + weight, minEst))
         evicted = true
-        pushHeap(minEst + weight, item)
+        pushHeap(minEst + weight, owned)
     }
   }
 
@@ -98,9 +108,9 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
     if (other.capacity != capacity)
       throw new SketchMergeException(
         s"cannot merge approx_top_k summaries of different capacity: $capacity vs ${other.capacity}")
-    val minSelf = if (entries.size >= capacity && evicted) minEstimate() else 0L
-    val minOther = if (other.entries.size >= other.capacity && other.evicted) other.minEstimate() else 0L
-    val merged = new mutable.HashMap[String, Entry]
+    val minSelf = if (evicted) minEstimate() else 0L
+    val minOther = if (other.evicted) other.minEstimate() else 0L
+    val merged = new mutable.HashMap[UTF8String, Entry]
     entries.foreach { case (k, e) =>
       other.entries.get(k) match {
         case Some(o) => merged.put(k, new Entry(e.est + o.est, e.err + o.err))
@@ -128,7 +138,7 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
 
   /** Top-k by (estimate desc, item asc) — deterministic under ties. */
   def topK(k: Int): Seq[(String, Long, Long)] =
-    entries.toSeq.map { case (item, e) => (item, e.est, e.err) }
+    entries.toSeq.map { case (item, e) => (item.toString, e.est, e.err) }
       .sortBy { case (item, est, _) => (-est, item) }
       .take(k)
 
@@ -142,7 +152,7 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
     out.writeInt(entries.size)
     // deterministic order: bytes depend only on the entry multiset
     entries.toSeq.sortBy(_._1).foreach { case (item, e) =>
-      val b = item.getBytes(StandardCharsets.UTF_8)
+      val b = item.getBytes
       out.writeInt(b.length)
       out.write(b)
       out.writeLong(e.est)
@@ -184,7 +194,7 @@ object SpaceSaving {
       if (est < 0 || err < 0 || err > est)
         throw new SketchMergeException(
           s"corrupted approx_top_k payload: est=$est err=$err")
-      ss.entries.put(new String(b, StandardCharsets.UTF_8), new ss.Entry(est, err))
+      ss.entries.put(UTF8String.fromBytes(b), new ss.Entry(est, err))
       i += 1
     }
     ss

@@ -41,6 +41,26 @@ object Stress {
         .agg(GraftFunctions.approx_distinct(col("v")).getField("cardinality").as("c"))
         .agg(sum("c")) }
 
+    // the other sketch families over the same column: heavy hitters
+    // (zipf-ish skew so eviction actually fires), quantiles, bloom build
+    val zipf = spark.range(n).select(
+      (col("id") % d / (pmod(xxhash64(col("id")), lit(100)) + 1)).cast("long")
+        .cast("string").as("s"))
+    time("exact top-10 (groupBy+sort)") {
+      zipf.groupBy("s").count().orderBy(desc("count"), col("s")).limit(10)
+        .agg(sum("count")) }
+    time("graft approx_top_k(10,1024)") {
+      zipf.agg(GraftFunctions.approx_top_k(col("s"), 10, 1024)
+        .getItem(0).getField("est")) }
+    time("exact percentile p50/p95") {
+      df.agg(expr("percentile(v, array(0.5, 0.95))").getItem(0)) }
+    time("spark approx_percentile") {
+      df.agg(expr("approx_percentile(v, array(0.5D, 0.95D), 1000)").getItem(0)) }
+    time("graft approx_quantiles") {
+      df.agg(GraftFunctions.approx_quantiles(col("v"), Seq(0.5, 0.95)).getItem(0)) }
+    time("graft bloom_agg build (1M b)") {
+      df.agg(length(GraftFunctions.bloom_agg(col("v"), 1048576, 7))) }
+
     // text kernels: synthetic ~12-word docs, throughput of the per-row
     // expressions that dominate a dedup/text-analysis pass
     val nDocs = math.min(n, 2000000L)
