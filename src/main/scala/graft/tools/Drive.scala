@@ -56,6 +56,24 @@ object Drive {
         |FROM lineitem""".stripMargin).collect()
     catch { case e: Exception => println("ERROR(expected): " + e.getMessage.linesIterator.next()) }
 
+    println("== SQL: the other sketch families (frequency / quantile / membership) ==")
+    spark.sql(
+      """SELECT explode(approx_top_k(l_returnflag, 3, 64)) AS hh FROM lineitem""")
+      .select("hh.*").show(false)
+    spark.sql(
+      """SELECT approx_quantiles(l_quantity, array(0.5D, 0.95D)) AS q,
+        |       percentile(l_quantity, 0.5) AS exact_p50
+        |FROM lineitem""".stripMargin).show(false)
+    spark.sql(
+      """SELECT count(*) AS bloom_hits FROM lineitem
+        |WHERE might_contain((SELECT bloom_agg(l_orderkey, 65536, 7)
+        |                     FROM lineitem WHERE l_orderkey < 100), l_orderkey)
+        |""".stripMargin).show(false)
+
+    println("== probe: approx_top_k capacity < k ==")
+    try spark.sql("SELECT approx_top_k(l_returnflag, 10, 5) FROM lineitem").collect()
+    catch { case e: Exception => println("ERROR(expected): " + e.getMessage.linesIterator.next()) }
+
     println("== physical plan of grouped sketch agg ==")
     li.groupBy("l_returnflag").agg(approx_distinct(col("l_orderkey"))).explain()
 

@@ -70,6 +70,39 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q45 plan: no aggregation before the bucket shuffle (single-pass band kernel)") {
+    val plan = graft.operators.Dedup.q45MinhashPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    // signature computation must be a projection, not explode+groupBy:
+    // the only object-hash aggregate allowed is candidatePairs' collect_list
+    val objAggs = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(objAggs <= 2, s"signature pipeline re-grew aggregations ($objAggs):\n${plan.take(2000)}")
+    assert(plan.contains("minhash_bands"), "band kernel missing from the plan")
+    // the corpus-wide global-window scale-killer must never come back
+    assert(!plan.matches("(?s).*Window \\[.*\\].*windowspecdefinition\\(\\)."),
+      "un-partitioned window reappeared")
+  }
+
+  test("q64 plan: bloom probe filters the fact scan before the join") {
+    val plan = graft.operators.RuntimeFilter.q64BloomSemiJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    val probeAt = plan.indexOf("might_contain")
+    val joinAt = plan.indexOf("Join")
+    assert(probeAt >= 0, "bloom probe missing from the plan")
+    // deeper in the tree = later in the string: the filter must sit BELOW
+    // the join (closer to the scan), not above it
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom probe not below the join (probe@$probeAt join@$joinAt)")
+  }
+
+  test("q62 plan: heavy hitters split partial/final across one exchange") {
+    val plan = graft.operators.SketchQueries.q62HeavyHitters(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_top_k"), "no map-side partial summary")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size == 2,
+      "expected exactly partial+final aggregate pair")
+  }
+
   test("partitioned write enables partition pruning on read") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables.lineitem(spark, sf)
