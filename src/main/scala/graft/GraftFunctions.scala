@@ -60,6 +60,13 @@ object GraftFunctions {
       capacity: Int = functions.ApproxTopK.DefaultCapacity): Column =
     col(ApproxTopK(expr(c), Literal(k), Literal(capacity)).toAggregateExpression())
 
+  /** Heavy hitters ranked by a summed integral measure instead of
+    * occurrence count (top brands by quantity, top tokens by doc weight). */
+  def approx_top_k_weighted(c: Column, weight: Column, k: Int = 10,
+      capacity: Int = functions.ApproxTopK.DefaultCapacity): Column =
+    col(ApproxTopK(expr(c), Literal(k), Literal(capacity), weightExpr = expr(weight))
+      .toAggregateExpression())
+
   /** Serialized SpaceSaving summary of a group, for storing (the heavy-
     * hitter analogue of a stored sketch). */
   def topk_sketch_agg(c: Column,
@@ -170,6 +177,14 @@ object GraftFunctions {
         case Seq(c, k, cap) => ApproxTopK(c, k, cap)
         case _ => throw new IllegalArgumentException(
           "approx_top_k requires 1 to 3 arguments: (item[, k[, capacity]])")
+      }),
+    ("approx_top_k_weighted", "approx_top_k_weighted(item, weight[, k[, capacity]]) - heavy hitters by summed weight",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, w) => ApproxTopK(c, Literal(10), Literal(ApproxTopK.DefaultCapacity), weightExpr = w)
+        case Seq(c, w, k) => ApproxTopK(c, k, Literal(ApproxTopK.DefaultCapacity), weightExpr = w)
+        case Seq(c, w, k, cap) => ApproxTopK(c, k, cap, weightExpr = w)
+        case _ => throw new IllegalArgumentException(
+          "approx_top_k_weighted requires 2 to 4 arguments: (item, weight[, k[, capacity]])")
       }),
     ("topk_sketch_agg", "topk_sketch_agg(item[, capacity]) - serialized heavy-hitter summary",
       (exprs: Seq[Expression]) => exprs match {

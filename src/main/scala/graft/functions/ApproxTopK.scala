@@ -37,6 +37,11 @@ object ApproxTopK {
   * per-partition/per-day summaries, union them later without rescanning
   * raw data.
   *
+  * `approx_top_k_weighted(item, weight, ...)` (integral `weightExpr`) ranks
+  * by a SUMMED MEASURE instead of occurrence count — top brands by revenue,
+  * top tokens by document weight — with the same guarantees over total
+  * weight instead of n.
+  *
   * Returns the top-k entries as `ARRAY<STRUCT<item, est, err>>`, ordered by
   * (est DESC, item ASC) — deterministic under count ties. NULL for an empty
   * group (matching `approx_distinct`'s NULL-for-empty convention).
@@ -45,6 +50,7 @@ case class ApproxTopK(
     child: Expression,
     kExpr: Expression,
     capacityExpr: Expression,
+    weightExpr: Expression = Literal(1L),
     mergeBinary: Boolean = false,
     emitBinary: Boolean = false,
     mutableAggBufferOffset: Int = 0,
@@ -55,10 +61,11 @@ case class ApproxTopK(
   def this(child: Expression, k: Expression) =
     this(child, k, Literal(ApproxTopK.DefaultCapacity))
 
-  override def children: Seq[Expression] = Seq(child, kExpr, capacityExpr)
+  override def children: Seq[Expression] = Seq(child, kExpr, capacityExpr, weightExpr)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(child = newChildren(0), kExpr = newChildren(1), capacityExpr = newChildren(2))
+    copy(child = newChildren(0), kExpr = newChildren(1), capacityExpr = newChildren(2),
+      weightExpr = newChildren(3))
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ApproxTopK =
     copy(mutableAggBufferOffset = newOffset)
@@ -88,6 +95,11 @@ case class ApproxTopK(
     if (capacity < k)
       return TypeCheckResult.TypeCheckFailure(
         s"$prettyName: capacity must be >= k, got capacity=$capacity k=$k")
+    weightExpr.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+      case dt => return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: weight must be an integral column, got ${dt.sql}")
+    }
     child.dataType match {
       case BinaryType if mergeBinary => TypeCheckResult.TypeCheckSuccess
       case _ if mergeBinary => TypeCheckResult.TypeCheckFailure(
@@ -104,8 +116,13 @@ case class ApproxTopK(
     val v = child.eval(input)
     if (v != null) {
       if (mergeBinary) buffer.mergeInPlace(SpaceSaving.deserialize(v.asInstanceOf[Array[Byte]]))
-      // buffer-backed UTF8String probes the map by bytes; cloned only on insert
-      else buffer.offer(v.asInstanceOf[UTF8String])
+      else {
+        val w = weightExpr.eval(input)
+        // null weight => row contributes nothing (matches null-item skip)
+        if (w != null)
+          // buffer-backed UTF8String probes the map by bytes; cloned only on insert
+          buffer.offer(v.asInstanceOf[UTF8String], w.asInstanceOf[Number].longValue())
+      }
     }
     buffer
   }

@@ -253,6 +253,42 @@ object SketchQueries {
         col("e.item").as("event_type"), col("e.est").as("n_events"))
       .orderBy("window_epoch", "rnk")
 
+  /** Weighted heavy hitters after a join: top-10 part brands by total
+    * lineitem quantity. Same exact-regime gate as q62 (25 brands ≪
+    * capacity); demonstrates the summary consuming a joined fact stream —
+    * at 100 TB the join output never needs a per-brand shuffle, just one
+    * summary per map task. */
+  def q69WeightedTopK(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"))
+    val parts = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(parts, col("l_partkey") === col("p_partkey"))
+      .agg(approx_top_k_weighted(col("p_brand"), col("qty"), k = 10, capacity = 1024).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("p_brand"), col("e.est").as("total_qty"))
+      .orderBy(desc("total_qty"), col("p_brand"))
+  }
+
+  /** Batch twin of [[graft.streaming.StreamOps.intervalJoin]]: conversion
+    * attribution — for each user, views within 10 minutes AFTER a click by
+    * the same user (per-pair attribution count + distinct converting
+    * clicks). On streams the same plan runs with watermarks on both sides
+    * and bounded join state; the batch twin is what the oracle can check. */
+  def q68IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts")
+    graft.streaming.StreamOps.intervalJoin(
+        clicks, views, "user_id", "ts", before = "0 seconds", after = "10 minutes")
+      .groupBy(col("l_user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_attributed"),
+        countDistinct(col("l_event_id")).as("n_clicks_with_view"))
+      .orderBy("user_id")
+  }
+
   /** KLL approximate quantiles per group, gated by the RANK-ERROR contract
     * (the only thing a quantile sketch guarantees): for each estimate v̂ at
     * probability p over n rows, the true rank interval of v̂
@@ -333,7 +369,9 @@ object SketchQueries {
     "q63_topk_store_merge" -> (q63TopkStoreMerge _),
     "q65_approx_quantiles" -> (q65ApproxQuantiles _),
     "q66_kll_store_merge" -> (q66KllStoreMerge _),
-    "q67_windowed_topk" -> (q67WindowedTopK _))
+    "q67_windowed_topk" -> (q67WindowedTopK _),
+    "q68_interval_join" -> (q68IntervalJoin _),
+    "q69_weighted_topk" -> (q69WeightedTopK _))
 
   /** Oracles are exact counts; the driver applies the approx envelope. */
   val oracles: Map[String, String] = Map(
@@ -409,5 +447,18 @@ object SketchQueries {
         |  event_type, COUNT(*) AS n_events
         |FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
         |QUALIFY rnk <= 3
-        |ORDER BY window_epoch, rnk""".stripMargin)
+        |ORDER BY window_epoch, rnk""".stripMargin,
+    "q68_interval_join" ->
+      """SELECT c.user_id, COUNT(*) AS n_attributed,
+        |  COUNT(DISTINCT c.event_id) AS n_clicks_with_view
+        |FROM events c JOIN events v ON c.user_id = v.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    // exact because capacity > domain (q62 rationale); BIGINT-cast the sum
+    // (DuckDB integer SUM is HUGEINT)
+    "q69_weighted_topk" ->
+      """SELECT p_brand, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY total_qty DESC, p_brand LIMIT 10""".stripMargin)
 }

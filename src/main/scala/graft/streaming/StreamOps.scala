@@ -50,6 +50,30 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("topk"))
   }
 
+  /** Watermarked stream-stream interval join: left rows match right rows
+    * with the same key whose timestamp lies in
+    * `[leftTs - before, leftTs + after]`. On streams BOTH sides carry
+    * watermarks and the time bound is what lets Spark expire join state —
+    * without it, stream-stream join state grows forever; with it, each
+    * side's buffered rows are dropped once the other side's watermark
+    * passes the interval. Identical plan on batch frames (the oracle-gated
+    * twin q68). Columns are prefixed `l_` / `r_` to keep the join
+    * self-join-safe. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, before: String, after: String,
+      watermark: Option[String] = None): DataFrame = {
+    def side(df: DataFrame, p: String) = {
+      val renamed = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$p$c"))
+      watermark.map(renamed.withWatermark(s"$p$tsCol", _)).getOrElse(renamed)
+    }
+    val l = side(left, "l_")
+    val r = side(right, "r_")
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $before") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $after"))
+  }
+
   /** Session windows per key with an inactivity gap. */
   def sessionize(events: DataFrame, tsCol: String, keyCol: String,
       gap: String, watermark: Option[String] = None): DataFrame = {

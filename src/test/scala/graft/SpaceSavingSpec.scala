@@ -130,6 +130,24 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(stored == oneShot)
   }
 
+  test("weighted top-k: exact regime equals SUM-ranked GROUP BY") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(20000)((s"item${rnd.nextInt(30)}", rnd.nextInt(100).toLong + 1))
+    val df = rows.toDF("item", "w")
+    df.createOrReplaceTempView("ss_weighted")
+    val got = spark.sql(
+      "SELECT explode(approx_top_k_weighted(item, w, 5, 100)) AS e FROM ss_weighted")
+      .select($"e.item", $"e.est").as[(String, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (i, c) => (-c, i) }.take(5)
+    assert(got == expected)
+    // non-integral weight fails fast
+    val e = intercept[Exception](spark.sql(
+      "SELECT approx_top_k_weighted(item, 0.5) FROM ss_weighted").collect())
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("argument validation fails fast") {
     GraftFunctions.register(spark)
     Seq("item").toDF("item").createOrReplaceTempView("ss_one")

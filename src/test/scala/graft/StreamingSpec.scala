@@ -193,6 +193,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join matches pairs within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().select($"user_id", $"ts"),
+      views.toDF().select($"user_id", $"ts"),
+      "user_id", "ts", before = "0 seconds", after = "10 minutes",
+      watermark = Some("30 minutes"))
+    val q = joined.select($"l_user_id", $"l_ts", $"r_ts")
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      clicks.addData(Ev(t(1), 1, "click", 1.0), Ev(t(20), 2, "click", 1.0))
+      views.addData(Ev(t(5), 1, "view", 1.0))
+      q.processAllAvailable()
+      // second batch: a view for user 2 inside its click's window, a view
+      // for user 1 OUTSIDE the 10-minute bound, and a keyless view
+      views.addData(Ev(t(25), 2, "view", 1.0), Ev(t(30), 1, "view", 1.0),
+        Ev(t(7), 9, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT l_user_id, r_ts FROM ssj ORDER BY l_user_id")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+      assert(got == Seq((1L, t(5)), (2L, t(25))), s"got $got")
+    } finally q.stop()
+  }
+
   test("sessionize groups events by inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
