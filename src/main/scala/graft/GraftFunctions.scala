@@ -245,6 +245,8 @@ object GraftFunctions {
       arity("simhash", 1)(e => SimHash(e.head))),
     ("simhash_md5", "simhash_md5(tokens) - SimHash with cross-engine-reproducible MD5 token hash",
       arity("simhash_md5", 1)(e => SimHash(e.head, SimHash.Md5))),
+    ("md5_hash64", "md5_hash64(s) - cross-engine-reproducible 64-bit hash (first 8 md5 bytes)",
+      arity("md5_hash64", 1)(e => functions.Md5Hash64(e.head))),
     ("cosine_similarity", "cosine_similarity(a, b) - cosine of numeric arrays",
       arity("cosine_similarity", 2)(e => CosineSimilarity(e(0), e(1)))),
     ("shingle_hashes", "shingle_hashes(text, k) - distinct k-shingle hashes",

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftBridge
+
+/** Deterministic, engine-reproducible sampling for training-data pipelines.
+  *
+  * `df.sample` / `sampleBy` draw from a per-partition PRNG: the sample
+  * changes with partition layout, reruns aren't reproducible across
+  * repartitions, and no external system can verify membership. Here each
+  * row's inclusion is a pure function of its KEY: the MD5-derived 64-bit
+  * hash of `key:seed` mapped to a uniform double in [0, 1), sampled iff
+  * u < fraction. Properties a 100 TB pipeline needs:
+  *
+  *  - deterministic under any partitioning, repartition, or rerun;
+  *  - stable under data growth: a row's membership never changes when other
+  *    rows appear (consistent train/eval splits across dataset versions);
+  *  - seed changes decorrelate samples (disjoint-ish overlap at p1·p2);
+  *  - externally verifiable: MD5 is bit-identical everywhere, so an oracle
+  *    recomputes the EXACT member set (q70) — no statistical acceptance.
+  *
+  * The hash is a projection: sampling pushes into the scan, costs no
+  * shuffle, and composes with every downstream operator.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) double derived from the row key: top 53 bits of
+    * md5_hash64(key || ':' || seed) over 2^53 — exactly representable, and
+    * reproducible in SQL as `(hu >> 11) / 2^53` on the unsigned value. */
+  def uniformFromKey(key: Column, seed: Long): Column = {
+    val h = GraftBridge.column(graft.functions.Md5Hash64(
+      GraftBridge.expression(concat(key.cast("string"), lit(":" + seed)))))
+    // logical shift brings the signed long into [0, 2^53)
+    shiftrightunsigned(h, 11).cast("double") / lit((1L << 53).toDouble)
+  }
+
+  /** Keep each row iff its key's uniform draw is below `fraction`. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    df.filter(uniformFromKey(col(keyCol), seed) < lit(fraction))
+  }
+
+  /** Per-stratum fractions (missing strata keep nothing). */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty, "at least one stratum fraction required")
+    val u = uniformFromKey(col(keyCol), seed)
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.filter(u < frac)
+  }
+
+  /** Disjoint train/eval/test split by key: assigns each row to the first
+    * bucket whose cumulative fraction exceeds its uniform draw. Adding or
+    * removing OTHER rows never moves a row between splits. */
+  def splitByKey(df: DataFrame, keyCol: String, fractions: Seq[(String, Double)],
+      seed: Long = 42L): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val u = uniformFromKey(col(keyCol), seed)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val assign = fractions.zip(cum).reverse.foldLeft(lit(fractions.last._1)) {
+      case (acc, ((name, _), hi)) => when(u < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Stratified document sample — 50% of en, 20% of every other language —
+    * emitting the member ids themselves: the oracle recomputes the EXACT
+    * member set from first principles (md5 → uniform → threshold), so the
+    * gate is strict hash equality on membership, not a rate envelope. */
+  def q70StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val langs = Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2, "ja" -> 0.2)
+    stratifiedSample(docs, "lang", "doc_id", langs.toMap)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Train/eval/test split audit: per (lang, split) counts. Exact oracle —
+    * the split assignment is a pure function of doc_id. */
+  def q71SplitByKey(spark: SparkSession, dir: String): DataFrame =
+    splitByKey(Tables.documents(spark, dir), "doc_id",
+        Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      .orderBy("lang", "split")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_stratified_sample" -> (q70StratifiedSample _),
+    "q71_split_by_key" -> (q71SplitByKey _))
+
+  /** CTE computing the uniform draw per document, reproduced from first
+    * principles (same md5 derivation as the q46 simhash oracle). */
+  private def uniformCte(seed: Long): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, substr(md5(doc_id::VARCHAR || ':$seed'), 1, 16) AS s
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, lang,
+       |    ((list_sum([ (strpos('0123456789abcdef', s[i]) - 1)::HUGEINT * (1::HUGEINT << (4*(16-i)))
+       |                 FOR i IN range(1, 17) ]) >> 11))::DOUBLE / 9007199254740992.0 AS u
+       |  FROM h)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q70_stratified_sample" ->
+      s"""${uniformCte(42L)}
+         |SELECT doc_id, lang FROM d
+         |WHERE u < CASE WHEN lang = 'en' THEN 0.5
+         |              WHEN lang IN ('de','fr','es','ja') THEN 0.2
+         |              ELSE 0.0 END
+         |ORDER BY doc_id""".stripMargin,
+    "q71_split_by_key" ->
+      s"""${uniformCte(42L)}
+         |SELECT lang,
+         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'eval' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+         |FROM d GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)
+}

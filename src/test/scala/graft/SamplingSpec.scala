@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Sampling
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic key-hash sampling: reproducibility, partition invariance,
+  * membership stability under growth, split disjointness, and the pinned
+  * cross-engine hash values. */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("md5_hash64 matches the cross-engine reference value") {
+    GraftFunctions.register(spark)
+    // reference: first 8 big-endian bytes of md5("hello") = 0x5d41402abc4b2a76
+    val got = spark.sql("SELECT md5_hash64('hello')").as[Long].head()
+    assert(got == 0x5d41402abc4b2a76L)
+  }
+
+  test("sample is deterministic and partition-invariant") {
+    val df = (1L to 10000L).toDF("k")
+    val a = Sampling.deterministicSample(df, "k", 0.3).as[Long].collect().sorted.toSeq
+    val b = Sampling.deterministicSample(df.repartition(13), "k", 0.3)
+      .as[Long].collect().sorted.toSeq
+    assert(a == b, "sample changed under repartition")
+    val rate = a.size.toDouble / 10000
+    assert(math.abs(rate - 0.3) < 0.02, s"rate $rate")
+    // different seed decorrelates
+    val c = Sampling.deterministicSample(df, "k", 0.3, seed = 7L)
+      .as[Long].collect().toSet
+    val overlap = a.count(c.contains).toDouble / a.size
+    assert(math.abs(overlap - 0.3) < 0.05, s"seed overlap $overlap")
+  }
+
+  test("membership is stable when other rows appear") {
+    val small = Sampling.deterministicSample((1L to 1000L).toDF("k"), "k", 0.5)
+      .as[Long].collect().toSet
+    val large = Sampling.deterministicSample((1L to 5000L).toDF("k"), "k", 0.5)
+      .as[Long].collect().toSet
+    assert(small == large.filter(_ <= 1000L), "membership moved under data growth")
+  }
+
+  test("splitByKey is a disjoint exhaustive partition with stable assignment") {
+    val df = (1L to 20000L).toDF("k")
+    val splits = Sampling.splitByKey(df, "k", Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet == Set("train", "eval", "test"))
+    assert(splits.values.sum == 20000L) // exhaustive + disjoint by construction
+    assert(math.abs(splits("train") / 20000.0 - 0.8) < 0.02)
+    // per-row assignment never changes when the frame shrinks
+    val sub = Sampling.splitByKey(df.filter($"k" <= 100), "k",
+        Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+      .select("k", "split").as[(Long, String)].collect().toMap
+    val full = Sampling.splitByKey(df, "k",
+        Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+      .filter($"k" <= 100).select("k", "split").as[(Long, String)].collect().toMap
+    assert(sub == full)
+  }
+
+  test("stratified fractions are honored per stratum") {
+    val df = (1L to 30000L).map(k => (k, if (k % 3 == 0) "en" else "de")).toDF("k", "lang")
+    val got = Sampling.stratifiedSample(df, "lang", "k", Map("en" -> 0.5, "de" -> 0.1))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(got("en") / 10000.0 - 0.5) < 0.03, s"en ${got("en")}")
+    assert(math.abs(got("de") / 20000.0 - 0.1) < 0.02, s"de ${got("de")}")
+    // unlisted stratum keeps nothing
+    val none = Sampling.stratifiedSample(df, "lang", "k", Map("en" -> 0.5))
+      .filter($"lang" === "de").count()
+    assert(none == 0L)
+  }
+}
