@@ -77,6 +77,25 @@ class SpaceSavingSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted eviction keeps the bounds over total weight") {
+    val rnd = new scala.util.Random(43)
+    val rows = Seq.fill(50000)((s"k${rnd.nextInt(2000)}", rnd.nextInt(20).toLong + 1))
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val m = 128
+    val ss = new SpaceSaving(m)
+    rows.foreach { case (k, w) => ss.offer(org.apache.spark.unsafe.types.UTF8String.fromString(k), w) }
+    val totalW = rows.map(_._2).sum
+    assert(ss.n == totalW)
+    ss.topK(m).foreach { case (item, est, err) =>
+      val t = exact.getOrElse(item, 0L)
+      assert(t <= est && est - err <= t, s"$item true=$t est=$est err=$err")
+    }
+    // any item whose true weight exceeds W/m must be tracked
+    val tracked = ss.topK(m).map(_._1).toSet
+    exact.filter(_._2 > totalW / m).keys.foreach(k =>
+      assert(tracked.contains(k), s"heavy item $k (weight ${exact(k)}) missing"))
+  }
+
   test("serialization round-trips; corrupted payloads fail cleanly") {
     val (items, _) = stream(5, 20000, 1000)
     val ss = new SpaceSaving(128)
