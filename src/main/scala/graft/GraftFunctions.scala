@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{ApproxDistinct, ApproxQuantiles, ApproxTopK, BloomAgg, CosineSimilarity, HyperplaneLsh, LangId, MightContain, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion}
-import graft.sketch.KllDoubles
+import graft.functions.{ApproxDistinct, ApproxQuantiles, ApproxTopK, BloomAgg, CosineSimilarity, HyperplaneLsh, LangId, MightContain, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion, ThetaDifference, ThetaEstimate, ThetaFraction, ThetaIntersect, ThetaRetained, ThetaSketchAgg, ThetaUnion}
+import graft.sketch.{KllDoubles, ThetaSketch}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
@@ -101,6 +101,39 @@ object GraftFunctions {
       k: Int = KllDoubles.DefaultK): Column =
     col(ApproxQuantiles(expr(c), probsLit(probs), Literal(k), mergeBinary = true)
       .toAggregateExpression())
+
+  /** `theta_sketch_agg(x, k)` — serialized theta sketch of a column
+    * (distinct counting + bounded-error set algebra; see
+    * [[graft.sketch.ThetaSketch]]). */
+  def theta_sketch_agg(c: Column, k: Int = ThetaSketch.DefaultK): Column =
+    col(ThetaSketchAgg(expr(c), Literal(k)).toAggregateExpression())
+
+  /** Aggregate-merge of BINARY serialized theta sketches (store-then-merge
+    * for set algebra). */
+  def theta_merge_agg(c: Column): Column =
+    col(ThetaSketchAgg(expr(c), Literal(ThetaSketch.DefaultK), mergeBinary = true)
+      .toAggregateExpression())
+
+  /** Distinct-count estimate of a stored theta sketch. */
+  def theta_estimate(c: Column): Column = col(ThetaEstimate(expr(c)))
+
+  /** Retained-entry count — with [[theta_fraction]] this exposes the
+    * sketch's own error bound (RSE ≈ √(1−θ)/√(c−1)) in-query. */
+  def theta_retained(c: Column): Column = col(ThetaRetained(expr(c)))
+
+  /** Sampling fraction θ ∈ (0, 1] of a stored theta sketch. */
+  def theta_fraction(c: Column): Column = col(ThetaFraction(expr(c)))
+
+  /** Sketch of A ∪ B. */
+  def theta_union(a: Column, b: Column): Column = col(ThetaUnion(expr(a), expr(b)))
+
+  /** Sketch of A ∩ B — error proportional to the intersection, not the
+    * union (the bounded-error realization of the reference stub's "set
+    * intersection" TODO). */
+  def theta_intersect(a: Column, b: Column): Column = col(ThetaIntersect(expr(a), expr(b)))
+
+  /** Sketch of A \ B. */
+  def theta_difference(a: Column, b: Column): Column = col(ThetaDifference(expr(a), expr(b)))
 
   /** `bloom_agg(x, numBits, numHashes)` — serialized Bloom filter of a
     * column (the runtime-filter build side; see [[graft.functions.BloomAgg]]). */
@@ -222,6 +255,28 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "kll_merge_agg requires 2 or 3 arguments: (bin, probs[, k])")
       }),
+    ("theta_sketch_agg", "theta_sketch_agg(x[, k]) - serialized theta sketch (distinct + set algebra)",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => new ThetaSketchAgg(c)
+        case Seq(c, k) => ThetaSketchAgg(c, k)
+        case _ => throw new IllegalArgumentException(
+          "theta_sketch_agg requires 1 or 2 arguments: (x[, k])")
+      }),
+    ("theta_merge_agg", "theta_merge_agg(bin) - merge stored theta sketches",
+      arity("theta_merge_agg", 1)(e =>
+        ThetaSketchAgg(e.head, Literal(ThetaSketch.DefaultK), mergeBinary = true))),
+    ("theta_estimate", "theta_estimate(s) - distinct estimate of a theta sketch",
+      arity("theta_estimate", 1)(e => ThetaEstimate(e.head))),
+    ("theta_retained", "theta_retained(s) - retained entries of a theta sketch",
+      arity("theta_retained", 1)(e => ThetaRetained(e.head))),
+    ("theta_fraction", "theta_fraction(s) - sampling fraction of a theta sketch",
+      arity("theta_fraction", 1)(e => ThetaFraction(e.head))),
+    ("theta_union", "theta_union(a, b) - theta sketch of the set union",
+      arity("theta_union", 2)(e => ThetaUnion(e(0), e(1)))),
+    ("theta_intersect", "theta_intersect(a, b) - theta sketch of the set intersection",
+      arity("theta_intersect", 2)(e => ThetaIntersect(e(0), e(1)))),
+    ("theta_difference", "theta_difference(a, b) - theta sketch of the set difference",
+      arity("theta_difference", 2)(e => ThetaDifference(e(0), e(1)))),
     ("bloom_agg", "bloom_agg(x[, numBits[, numHashes]]) - build a Bloom filter of a column",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(c) => new BloomAgg(c)
@@ -272,7 +327,15 @@ object GraftFunctions {
   /** Idempotently register all engine functions with a session's
     * FunctionRegistry so plain SQL can call them (the Catalyst analogue of the
     * reference's resolver entry point, UDAFCardinalityEstimator.java:100-148;
-    * literal-argument validation happens in checkInputDataTypes). */
+    * literal-argument validation happens in checkInputDataTypes).
+    *
+    * Deliberate in-session shadowing: Spark 4.1 ships DataSketches-backed
+    * `theta_sketch_agg`/`theta_union`/`theta_difference` built-ins;
+    * registering ours replaces them for this session so the whole theta
+    * family (incl. `theta_merge_agg`, `theta_intersect`, `theta_retained`,
+    * `theta_fraction`) shares ONE wire format with canonical
+    * partition-invariant bytes — mixing two incompatible binary formats
+    * under one name prefix would be worse than the shadow. */
   def register(spark: SparkSession): Unit = {
     if (registeredSessions.contains(spark)) return
     val reg = spark.sessionState.functionRegistry

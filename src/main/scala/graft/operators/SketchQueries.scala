@@ -145,6 +145,49 @@ object SketchQueries {
           <= sigma3).as("est_ok"))
   }
 
+  /** Theta-sketch set algebra over the same two date slices as q34/q35 —
+    * the bounded-error realization of the reference stub's "set
+    * intersection" TODO (UDFCardinalityEstimator.java:30). Where q35's
+    * inclusion–exclusion error scales with the UNION
+    * (σ ≈ (1.04/√m)·√(|A|²+|B|²+|A∪B|²)), a theta sketch's retained
+    * entries are a uniform θ-rate sample of the RESULT set, so the gate
+    * bound is proportional to the intersection itself:
+    * 3σ with σ = n·√(1−θ)/√(c−1) for c retained entries — computed
+    * IN-QUERY from the sketch's own θ and c (theta_fraction /
+    * theta_retained). k=1024 < |slice| so estimation mode genuinely
+    * engages at sf0.01; at sf0.001 (union < k) the sketch is exact and
+    * the +0.5 slack forces est == exact. Difference (A \ B) rides the
+    * same query with its own exact twin. */
+  def q72ThetaSetOps(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val o = Tables.orders(spark, dir)
+    def slice(from: String, to: String) =
+      o.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(to).cast("timestamp"))
+        // qualified: Spark 4.1's own functions._ also has a theta_sketch_agg
+        .agg(GraftFunctions.theta_sketch_agg(col("o_orderkey"), k = 1024).as("sk"))
+    def gate(est: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column,
+        frac: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      abs(est.cast("double") - exact.cast("double")) <=
+        lit(3.0) * exact.cast("double") * sqrt(lit(1.0) - frac) /
+          sqrt(greatest(c.cast("double") - 1.0, lit(1.0))) + lit(0.5)
+    slice("1997-01-01", "1999-01-01").select(col("sk").as("sa"))
+      .join(slice("1998-01-01", "2000-01-01").select(col("sk").as("sb")))
+      .select(theta_intersect(col("sa"), col("sb")).as("si"),
+        GraftFunctions.theta_difference(col("sa"), col("sb")).as("sd"))
+      .select(
+        theta_estimate(col("si")).as("est_i"), theta_retained(col("si")).as("c_i"),
+        theta_fraction(col("si")).as("f_i"),
+        theta_estimate(col("sd")).as("est_d"), theta_retained(col("sd")).as("c_d"),
+        theta_fraction(col("sd")).as("f_d"))
+      .join(sliceExacts(spark, dir))
+      .select(col("n_intersect"),
+        (col("n_early") - col("n_intersect")).as("n_diff"),
+        gate(col("est_i"), col("c_i"), col("f_i"), col("n_intersect")).as("est_ok"),
+        gate(col("est_d"), col("c_d"), col("f_d"),
+          col("n_early") - col("n_intersect")).as("diff_ok"))
+  }
+
   /** Batch twin of the streaming windowed-distinct operator
     * ([[graft.streaming.StreamOps.windowedApproxDistinct]]): identical plan,
     * which is what makes the streaming surface oracle-checkable. LC with a
@@ -365,6 +408,7 @@ object SketchQueries {
     "q33_sketch_reagg" -> (q33SketchReagg _),
     "q34_sketch_union" -> (q34SketchUnion _),
     "q35_sketch_intersection" -> (q35SketchIntersection _),
+    "q72_theta_set_ops" -> (q72ThetaSetOps _),
     "q62_heavy_hitters" -> (q62HeavyHitters _),
     "q63_topk_store_merge" -> (q63TopkStoreMerge _),
     "q65_approx_quantiles" -> (q65ApproxQuantiles _),
@@ -420,6 +464,17 @@ object SketchQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
         |  AND o_orderdate < TIMESTAMP '1999-01-01'""".stripMargin,
+    // each order has exactly one date, so slice-set intersection = orders in
+    // the overlap year and A \ B = orders in the early-only year
+    "q72_theta_set_ops" ->
+      """SELECT
+        |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |     AND o_orderdate < TIMESTAMP '1999-01-01') AS n_intersect,
+        |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |     AND o_orderdate < TIMESTAMP '1998-01-01') AS n_diff,
+        |  true AS est_ok, true AS diff_ok""".stripMargin,
     // exact because capacity > domain (see q62 scaladoc): plain GROUP BY twin
     "q62_heavy_hitters" ->
       """SELECT event_type, COUNT(*) AS n_events FROM events
