@@ -57,6 +57,11 @@ case class ThetaSketchAgg(
   override def checkInputDataTypes(): TypeCheckResult = {
     if (!kExpr.foldable)
       return TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be a foldable literal")
+    kExpr.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => // ok — Number below is safe
+      case dt => return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: k must be an integral literal, got ${dt.sql}")
+    }
     if (k < ThetaSketch.MinK || k > ThetaSketch.MaxK)
       return TypeCheckResult.TypeCheckFailure(
         s"$prettyName: k must be in [${ThetaSketch.MinK}, ${ThetaSketch.MaxK}], got $k")
@@ -84,7 +89,7 @@ case class ThetaSketchAgg(
         if (bytes.nonEmpty) {
           val incoming = ThetaSketch.deserialize(bytes)
           if (buffer.sketch == null) buffer.sketch = incoming
-          else buffer.sketch.mergeInPlace(incoming)
+          else buffer.sketch = ThetaSketch.mergeInto(buffer.sketch, incoming)
         }
       } else {
         if (buffer.sketch == null) buffer.sketch = new ThetaSketch(k)
@@ -97,7 +102,7 @@ case class ThetaSketchAgg(
   override def merge(buffer: ThetaBuffer, input: ThetaBuffer): ThetaBuffer = {
     if (input.sketch != null) {
       if (buffer.sketch == null) buffer.sketch = input.sketch
-      else buffer.sketch.mergeInPlace(input.sketch)
+      else buffer.sketch = ThetaSketch.mergeInto(buffer.sketch, input.sketch)
     }
     buffer
   }
@@ -185,13 +190,23 @@ private[graft] sealed abstract class ThetaBinaryOp extends BinaryExpression
   /** The identity for union is the empty set; for intersect/difference a
     * missing side makes the result undefined → NULL. */
   protected def unionLike: Boolean
-  override def nullSafeEval(lv: Any, rv: Any): Any = {
+  // eval is overridden (not just nullSafeEval) so SQL NULL — what the
+  // aggregates emit for an empty group — is treated as the empty set:
+  // BinaryExpression.eval would otherwise short-circuit a NULL child to
+  // NULL before nullSafeEval runs, making theta_union(NULL, s) NULL
+  // instead of s. Empty BINARY and NULL are interchangeable empties.
+  override def eval(input: InternalRow): Any = {
+    val lv = left.eval(input)
+    val rv = right.eval(input)
+    if (!unionLike && (lv == null || rv == null)) return null
     val a = ThetaExprs.sketchOf(lv)
     val b = ThetaExprs.sketchOf(rv)
     if (a == null) { if (unionLike && b != null) b.serialize() else null }
     else if (b == null) { if (unionLike) a.serialize() else null }
     else op(a, b).serialize()
   }
+  override def nullSafeEval(lv: Any, rv: Any): Any =
+    throw new IllegalStateException(s"$prettyName: eval is overridden")
 }
 
 /** `theta_union(a, b)` — sketch of A ∪ B (canonical, same as the aggregate

@@ -152,12 +152,18 @@ object SketchQueries {
     * (σ ≈ (1.04/√m)·√(|A|²+|B|²+|A∪B|²)), a theta sketch's retained
     * entries are a uniform θ-rate sample of the RESULT set, so the gate
     * bound is proportional to the intersection itself:
-    * 3σ with σ = n·√(1−θ)/√(c−1) for c retained entries — computed
+    * 4σ with σ = n·√(1−θ)/√(c−1) for c retained entries — computed
     * IN-QUERY from the sketch's own θ and c (theta_fraction /
     * theta_retained). k=1024 < |slice| so estimation mode genuinely
     * engages at sf0.01; at sf0.001 (union < k) the sketch is exact and
     * the +0.5 slack forces est == exact. Difference (A \ B) rides the
-    * same query with its own exact twin. */
+    * same query with its own exact twin.
+    *
+    * Flake budget: the gates are probabilistic whenever estimation mode
+    * engages — at 4σ the per-gate miss probability is ~6e-5 (vs ~1.3e-3
+    * at 3σ), so a red run here is overwhelmingly a regression, not noise.
+    * The hash of the sketch estimate itself never enters the oracle
+    * compare; only the boolean gate does. */
   def q72ThetaSetOps(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val o = Tables.orders(spark, dir)
@@ -169,7 +175,7 @@ object SketchQueries {
     def gate(est: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column,
         frac: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
       abs(est.cast("double") - exact.cast("double")) <=
-        lit(3.0) * exact.cast("double") * sqrt(lit(1.0) - frac) /
+        lit(4.0) * exact.cast("double") * sqrt(lit(1.0) - frac) /
           sqrt(greatest(c.cast("double") - 1.0, lit(1.0))) + lit(0.5)
     slice("1997-01-01", "1999-01-01").select(col("sk").as("sa"))
       .join(slice("1998-01-01", "2000-01-01").select(col("sk").as("sb")))

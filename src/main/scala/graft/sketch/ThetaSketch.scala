@@ -146,11 +146,16 @@ final class ThetaSketch private (
   }
 
   /** Merge `other` into this sketch; result is the canonical sketch of the
-    * union of the underlying sets (see class doc). */
+    * union of the underlying sets (see class doc). Requires matching k —
+    * `k` is an immutable structural parameter of this instance, so mixed-k
+    * unions cannot be done in place; callers holding sketches of unknown
+    * vintage should use [[ThetaSketch.mergeInto]], which transparently
+    * widens to min(k) via the static [[ThetaSketch.union]]. */
   def mergeInPlace(other: ThetaSketch): Unit = {
     if (other.k != k)
       throw new SketchMergeException(
-        s"cannot merge theta sketches of different k: $k vs ${other.k}")
+        s"cannot merge theta sketches of different k in place: $k vs ${other.k}" +
+          " (use ThetaSketch.mergeInto / theta_union, which widen to min k)")
     if (other.theta < theta) {
       // adopt the tighter theta, dropping own entries above it
       theta = other.theta
@@ -285,6 +290,14 @@ object ThetaSketch {
     }
     fromParts(k, theta, entries)
   }
+
+  /** Union `b` into `a` and return the sketch to keep: the fast in-place
+    * path when k matches, else a fresh sketch at min(k_A, k_B) — the same
+    * downsampling [[union]] and `fromParts` apply. This is the aggregate
+    * merge entry point, so `theta_merge_agg` over stored sketches of mixed
+    * vintage (different k) succeeds exactly like scalar `theta_union`. */
+  def mergeInto(a: ThetaSketch, b: ThetaSketch): ThetaSketch =
+    if (a.k == b.k) { a.mergeInPlace(b); a } else union(a, b)
 
   /** Canonical sketch of A ∪ B (same as aggregate merge; result k =
     * min(k_A, k_B) so either input's sampling discipline is respected). */

@@ -139,6 +139,61 @@ class ThetaSketchSpec extends AnyFunSuite {
       sketchOf(1L to 10L, 64).mergeInPlace(sketchOf(1L to 10L, 128)))
   }
 
+  test("mergeInto widens mixed-k to min(k), matching the static union") {
+    val a = sketchOf(1L to 50000L, 4096)
+    val b = sketchOf(40000L to 90000L, 256)
+    val viaMerge = ThetaSketch.mergeInto(a, b)
+    assert(viaMerge.k == 256)
+    assert(java.util.Arrays.equals(viaMerge.serialize(),
+      ThetaSketch.union(sketchOf(1L to 50000L, 4096), sketchOf(40000L to 90000L, 256))
+        .serialize()))
+    // same-k path still merges in place (identity preserved)
+    val c = sketchOf(1L to 10L, 256)
+    assert(ThetaSketch.mergeInto(c, sketchOf(5L to 20L, 256)) eq c)
+  }
+
+  test("theta_merge_agg accepts stored sketches of mixed k (widens like theta_union)") {
+    val spark = TestSpark.session
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    (1 to 20000).map(i => (if (i <= 10000) 512 else 128, i.toLong)).toDF("k", "v")
+      .createOrReplaceTempView("theta_mixed_src")
+    val merged = spark.sql(
+      """SELECT theta_estimate(theta_merge_agg(s)) AS est FROM (
+        |  SELECT theta_sketch_agg(v, 512) AS s FROM theta_mixed_src WHERE k = 512
+        |  UNION ALL
+        |  SELECT theta_sketch_agg(v, 128) AS s FROM theta_mixed_src WHERE k = 128
+        |)""".stripMargin).head().getLong(0)
+    assert(math.abs(merged - 20000.0) / 20000.0 <= 5.0 / math.sqrt(127))
+  }
+
+  test("SQL NULL is the union identity; intersect/difference propagate NULL") {
+    val spark = TestSpark.session
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    (1L to 400L).toDF("v").createOrReplaceTempView("theta_null_src")
+    val r = spark.sql(
+      """SELECT theta_estimate(theta_union(CAST(NULL AS BINARY), s)) AS u_left,
+        |       theta_estimate(theta_union(s, CAST(NULL AS BINARY))) AS u_right,
+        |       theta_intersect(CAST(NULL AS BINARY), s) AS i_null,
+        |       theta_difference(s, CAST(NULL AS BINARY)) AS d_null
+        |FROM (SELECT theta_sketch_agg(v) AS s FROM theta_null_src)""".stripMargin).head()
+    assert(r.getLong(0) == 400L)
+    assert(r.getLong(1) == 400L)
+    assert(r.isNullAt(2))
+    assert(r.isNullAt(3))
+  }
+
+  test("non-integral foldable k fails analysis cleanly, not with a ClassCastException") {
+    val spark = TestSpark.session
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    (1L to 10L).toDF("v").createOrReplaceTempView("theta_badk_src")
+    val e = intercept[Exception](
+      spark.sql("SELECT theta_sketch_agg(v, '4096') FROM theta_badk_src").collect())
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("SQL surface end-to-end: agg, store-then-merge, set algebra, partition invariance") {
     val spark = TestSpark.session
     GraftFunctions.register(spark)
