@@ -88,4 +88,41 @@ class BloomSpec extends AnyFunSuite {
       .select("row_id").as[Long].collect().sorted.toSeq
     assert(got == expected)
   }
+
+  test("bloomSemiJoin is lazy: construction and planning run no job; no filter literal in the plan") {
+    val fact = (1L to 1000L).map(k => (k, k % 97)).toDF("row_id", "fk")
+    val dim = (0L to 96L by 3).toDF("pk")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = graft.operators.RuntimeFilter.bloomSemiJoin(fact, dim, "fk", "pk")
+      // force full analysis + physical planning WITHOUT an action
+      val planned = df.queryExecution.executedPlan.toString
+      Thread.sleep(500) // listener bus delivery is async
+      assert(jobs == 0,
+        s"constructing/planning the bloom semi-join ran $jobs Spark job(s)")
+      // the filter rides a subquery, not an inlined BINARY literal
+      assert(planned.toLowerCase.contains("subquery"), planned)
+      val got = df.select("row_id").as[Long].collect().sorted.toSeq
+      val expected = fact.join(dim, $"fk" === $"pk", "left_semi")
+        .select("row_id").as[Long].collect().sorted.toSeq
+      assert(got == expected)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("auto-sized geometry matches Bloom theory and caps at MaxAutoBits") {
+    val (m, k) = graft.operators.RuntimeFilter.bloomGeometry(1000000L, 0.01)
+    // m = -n ln(0.01)/ln^2 2 = 9585058.7 -> next 64-bit word
+    assert(m % 64 == 0 && m >= 9585059 - 64 && m <= 9585059 + 128, s"m=$m")
+    assert(k == 7, s"k=$k")
+    val (mCap, kCap) = graft.operators.RuntimeFilter.bloomGeometry(1L << 40, 0.01)
+    assert(mCap == graft.operators.RuntimeFilter.MaxAutoBits)
+    assert(kCap == 1, s"capped filter should drop to the minimum probes, got $kCap")
+    val (mTiny, _) = graft.operators.RuntimeFilter.bloomGeometry(1L, 0.01)
+    assert(mTiny >= 64 && mTiny % 64 == 0)
+  }
 }
