@@ -28,17 +28,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * Hot-path design: keys are [[UTF8String]]s — hashCode/equals compare
   * bytes, so a buffer-backed value straight from a Spark row probes the map
   * with ZERO decoding or allocation; bytes are cloned only when an item is
-  * actually inserted. Eviction needs the current minimum-estimate entry;
-  * rather than the original paper's bucket list, this uses a min-heap with
-  * lazy deletion (stale heap entries are discarded on pop, the heap is
-  * rebuilt when it grows past 4×capacity) — O(log m) amortized per update,
-  * no linked-list bookkeeping per hit.
+  * actually inserted. A hit is a single map probe plus a counter bump — no
+  * clone, no heap push, no allocation at all. Eviction needs the current
+  * minimum-estimate entry; rather than the original paper's bucket list,
+  * this uses a LAZY-UPDATE min-heap: each tracked item has one heap entry
+  * carrying an estimate snapshot ≤ its current estimate (hits never touch
+  * the heap); popMin re-inserts a stale minimum at its current estimate and
+  * keeps polling. Since snapshots never exceed current estimates, a popped
+  * entry whose snapshot matches its live estimate is a true minimum.
+  * Amortized O(log m) per eviction, O(1) per hit.
   */
 final class SpaceSaving(val capacity: Int) extends Serializable {
   require(capacity >= 1, s"approx_top_k capacity must be >= 1, got $capacity")
 
-  /** est and err per tracked item. */
-  final class Entry(var est: Long, var err: Long) extends Serializable
+  /** est and err per tracked item; `key` is the map's own (owned) key, so
+    * heap maintenance never has to re-clone a row-buffer-backed probe. */
+  final class Entry(val key: UTF8String, var est: Long, var err: Long)
+    extends Serializable
 
   private[graft] val entries = new mutable.HashMap[UTF8String, Entry]
   /** total offered count (for the n/m error bound; survives merge). */
@@ -46,7 +52,8 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
   /** true once an eviction happened — until then counts are exact. */
   private[graft] var evicted: Boolean = false
 
-  // (estimate-snapshot, item); stale when the map's est moved past it
+  // (estimate-snapshot, item); snapshot ≤ the live entry's current est —
+  // hits bump est without touching the heap, popMin repairs lazily
   @transient private var heap: PriorityQueue[(Long, UTF8String)] = _
 
   private def heapOrd: java.util.Comparator[(Long, UTF8String)] =
@@ -59,19 +66,22 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
 
   private def pushHeap(est: Long, item: UTF8String): Unit = {
     if (heap == null) rebuildHeap()
-    else {
-      heap.add((est, item))
-      if (heap.size > 4 * capacity + 16) rebuildHeap()
-    }
+    else heap.add((est, item))
   }
 
-  /** Pop entries until the head reflects a live (est, item) pair. */
+  /** Pop until the head's snapshot matches its live estimate; a stale live
+    * minimum is re-inserted at its current estimate (lazy update), a dead
+    * item (evicted since its push) is dropped. Snapshots never exceed live
+    * estimates, so a matching pop is a true minimum over live entries. */
   private def popMin(): (Long, UTF8String) = {
     if (heap == null) rebuildHeap()
     while (true) {
       val top = heap.poll()
-      val live = entries.get(top._2)
-      if (live.isDefined && live.get.est == top._1) return top
+      val live = entries.getOrElse(top._2, null)
+      if (live != null) {
+        if (live.est == top._1) return top
+        heap.add((live.est, live.key))
+      }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -81,25 +91,24 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
   def offer(item: UTF8String): Unit = offer(item, 1L)
 
   /** `item` may be backed by a transient row buffer: it is cloned if (and
-    * only if) it has to be stored. */
+    * only if) it has to be stored. A hit allocates nothing. */
   def offer(item: UTF8String, weight: Long): Unit = {
     require(weight > 0, s"approx_top_k weight must be positive, got $weight")
     n += weight
-    entries.get(item) match {
-      case Some(e) =>
-        e.est += weight
-        pushHeap(e.est, item.clone())
-      case None if entries.size < capacity =>
-        val owned = item.clone()
-        entries.put(owned, new Entry(weight, 0L))
-        pushHeap(weight, owned)
-      case None =>
-        val (minEst, minItem) = popMin()
-        entries.remove(minItem)
-        val owned = item.clone()
-        entries.put(owned, new Entry(minEst + weight, minEst))
-        evicted = true
-        pushHeap(minEst + weight, owned)
+    val hit = entries.getOrElse(item, null)
+    if (hit != null) {
+      hit.est += weight
+    } else if (entries.size < capacity) {
+      val owned = item.clone()
+      entries.put(owned, new Entry(owned, weight, 0L))
+      pushHeap(weight, owned)
+    } else {
+      val (minEst, minItem) = popMin()
+      entries.remove(minItem)
+      val owned = item.clone()
+      entries.put(owned, new Entry(owned, minEst + weight, minEst))
+      evicted = true
+      pushHeap(minEst + weight, owned)
     }
   }
 
@@ -113,12 +122,12 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
     val merged = new mutable.HashMap[UTF8String, Entry]
     entries.foreach { case (k, e) =>
       other.entries.get(k) match {
-        case Some(o) => merged.put(k, new Entry(e.est + o.est, e.err + o.err))
-        case None => merged.put(k, new Entry(e.est + minOther, e.err + minOther))
+        case Some(o) => merged.put(k, new Entry(k, e.est + o.est, e.err + o.err))
+        case None => merged.put(k, new Entry(k, e.est + minOther, e.err + minOther))
       }
     }
     other.entries.foreach { case (k, o) =>
-      if (!entries.contains(k)) merged.put(k, new Entry(o.est + minSelf, o.err + minSelf))
+      if (!entries.contains(k)) merged.put(k, new Entry(k, o.est + minSelf, o.err + minSelf))
     }
     entries.clear()
     if (merged.size > capacity) {
@@ -194,7 +203,8 @@ object SpaceSaving {
       if (est < 0 || err < 0 || err > est)
         throw new SketchMergeException(
           s"corrupted approx_top_k payload: est=$est err=$err")
-      ss.entries.put(UTF8String.fromBytes(b), new ss.Entry(est, err))
+      val key = UTF8String.fromBytes(b)
+      ss.entries.put(key, new ss.Entry(key, est, err))
       i += 1
     }
     ss
