@@ -221,18 +221,38 @@ object Similarity {
     topKRanked(scored, k)
   }
 
+  /** No-job corpus-size estimate for signature auto-sizing: CBO row count
+    * when the catalog has one, else optimizer `sizeInBytes` over a
+    * parquet-realistic float-embedding row width (4·dim data bytes plus
+    * ~128 B of row/encoding overhead). Deliberately biased LOW: since
+    * [[autoNBits]] is logarithmic, estimate error shifts the signature by
+    * at most ±1 bit, and an underestimate only makes buckets bigger —
+    * which the hot-bucket cap already bounds and reports — while an
+    * overestimate would silently cost recall. Never runs a Spark job. */
+  private def estimatedCorpusRows(base: DataFrame, dim: Int): Long = {
+    val stats = base.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse {
+      (stats.sizeInBytes / (4L * dim + 128L)).toLong
+    }.max(1L)
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold, candidates from LSH.
     *
     * `nBits = 0` (default) auto-sizes the signature to the corpus
     * ([[autoNBits]]): a fixed width would degenerate to ~all-pairs/2^bits
-    * per table as the corpus grows. Hot buckets (zero vectors, spam
-    * clusters) are capped at `maxBucketSize` members — reported, never
-    * silent ([[Buckets.cap]]). */
+    * per table as the corpus grows. The corpus size comes from
+    * `corpusSize` when the caller knows it, else from plan statistics
+    * ([[estimatedCorpusRows]]) — constructing this DataFrame never runs a
+    * job (the full `count()` pass it once took was an extra complete scan
+    * of the corpus at scale). Hot buckets (zero vectors, spam clusters)
+    * are capped at `maxBucketSize` members — reported, never silent
+    * ([[Buckets.cap]]). */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
       dim: Int, threshold: Double, nBits: Int = 0, nTables: Int = 8,
-      maxBucketSize: Int = 256): DataFrame = {
+      maxBucketSize: Int = 256, corpusSize: Long = 0L): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(embCol).as("v"))
-    val nb = if (nBits > 0) nBits else autoNBits(base.count())
+    val nb = if (nBits > 0) nBits
+      else autoNBits(if (corpusSize > 0) corpusSize else estimatedCorpusRows(base, dim))
     val sigs = withSignatures(base, dim, nb, nTables)
       .select(col("id"), col("tbl"), col("sig"))
     // hot-bucket cap + pair generation in one pass (no bucket self-join);

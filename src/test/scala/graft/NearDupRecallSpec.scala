@@ -44,4 +44,32 @@ class NearDupRecallSpec extends AnyFunSuite {
     assert(truth.nonEmpty, "fixture should contain at least one 0.9-jaccard pair")
     assert(found == truth, s"missing=${truth -- found} extra=${found -- truth}")
   }
+
+  test("embeddingNearDupPairs construction runs no job; stats estimate sizes like the true count") {
+    val emb = Tables.embeddings(spark, sf)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = graft.operators.Similarity
+        .embeddingNearDupPairs(emb, "vec_id", "embedding", 64, 0.4)
+      df.queryExecution.executedPlan // full planning, no action
+      Thread.sleep(500) // listener bus delivery is async
+      assert(jobs == 0,
+        s"constructing/planning embeddingNearDupPairs ran $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the no-job estimate must pick the same signature width (autoNBits is
+    // logarithmic; the fixture has 500 rows -> clamped 4 bits either way)
+    val trueBits = graft.operators.Similarity.autoNBits(emb.count())
+    val viaHint = graft.operators.Similarity
+      .embeddingNearDupPairs(emb, "vec_id", "embedding", 64, 0.4,
+        corpusSize = emb.count())
+    val viaStats = graft.operators.Similarity
+      .embeddingNearDupPairs(emb, "vec_id", "embedding", 64, 0.4)
+    assert(viaStats.collect().toSet == viaHint.collect().toSet,
+      s"stats-sized (vs trueBits=$trueBits) and count-sized runs disagree")
+  }
 }
