@@ -177,14 +177,39 @@ object StreamOps {
     out.toDF(keyCol, "n_distinct")
   }
 
-  /** Stream → sketch store: append each micro-batch's per-key sketches (the
-    * full `{type, cardinality, binary}` struct) to a parquet store. Batches
-    * may re-emit a key; because sketches are mergeable, readers re-aggregate
-    * with `approx_distinct(sk)` (or `sketch_merge_agg`) and get the same
-    * answer as one pass over the raw stream — the reference's store-then-
-    * merge contract (E3) running incrementally, with the raw events
-    * discardable after ingest. Returns the started query (update mode:
-    * only changed windows re-emit per batch). */
+  /** Idempotent per-batch store write: each micro-batch lands in its own
+    * `batch_id=<id>` partition via dynamic-partition overwrite, so a batch
+    * REPLAYED after a failure (foreachBatch is at-least-once) overwrites
+    * its own partition instead of appending duplicates. This is what makes
+    * stores of ADDITIVE sketches (SpaceSaving, KLL — whose merges add,
+    * unlike HLL/LC's idempotent union) safe to re-aggregate. */
+  private[graft] def idempotentBatchWrite(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      path: String, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  private def startStoreSink(agg: DataFrame, mode: String, path: String,
+      checkpoint: Option[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = agg.writeStream.outputMode(mode)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) => idempotentBatchWrite(batch, path, batchId)
+      }
+    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
+  }
+
+  /** Stream → sketch store: write each micro-batch's per-key sketches (the
+    * full `{type, cardinality, binary}` struct) to a parquet store,
+    * partitioned by `batch_id` with idempotent replay
+    * ([[idempotentBatchWrite]]). Batches re-emit a key's CUMULATIVE sketch
+    * whenever it changes (update mode); because HLL/LC union is idempotent,
+    * readers re-aggregate the whole store with `approx_distinct(sk)` (or
+    * `sketch_merge_agg`) and get the same answer as one pass over the raw
+    * stream — the reference's store-then-merge contract (E3) running
+    * incrementally, with the raw events discardable after ingest. */
   def sketchStoreSink(events: DataFrame, tsCol: String, keyCol: String,
       valueCol: String, windowDur: String, path: String,
       watermark: Option[String] = None,
@@ -195,10 +220,42 @@ object StreamOps {
       .groupBy(window(col(tsCol), windowDur).as("w"), col(keyCol))
       .agg(GraftFunctions.approx_distinct(col(valueCol)).as("sk"))
       .select(col("w.start").as("window_start"), col(keyCol), col("sk"))
-    val writer = agg.writeStream.outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(path)
-      }
-    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
+    startStoreSink(agg, "update", path, checkpoint)
+  }
+
+  /** Stream → heavy-hitter store: one serialized SpaceSaving summary per
+    * finalized window. SpaceSaving merge is ADDITIVE (estimates add), so
+    * unlike the HLL store this must not see the same window twice: the sink
+    * therefore runs in APPEND mode — a window is written exactly once, when
+    * the REQUIRED watermark passes its end — and replayed batches overwrite
+    * their own `batch_id` partition ([[idempotentBatchWrite]]). Readers
+    * re-aggregate the whole store with `topk_merge_agg` / `approx_top_k`
+    * over windows and get one-pass answers. */
+  def topkStoreSink(events: DataFrame, tsCol: String, itemCol: String,
+      windowDur: String, path: String, watermark: String,
+      capacity: Int = 1024,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    GraftFunctions.register(events.sparkSession)
+    val agg = events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(GraftFunctions.topk_sketch_agg(col(itemCol), capacity).as("sk"))
+      .select(col("w.start").as("window_start"), col("sk"))
+    startStoreSink(agg, "append", path, checkpoint)
+  }
+
+  /** Stream → quantile store: one serialized KLL sketch per finalized
+    * window. Same additive-merge discipline as [[topkStoreSink]]: append
+    * mode + required watermark (exactly one write per window) + idempotent
+    * `batch_id` partitions. Readers re-aggregate with `kll_merge_agg`. */
+  def kllStoreSink(events: DataFrame, tsCol: String, valueCol: String,
+      windowDur: String, path: String, watermark: String,
+      k: Int = graft.sketch.KllDoubles.DefaultK,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    GraftFunctions.register(events.sparkSession)
+    val agg = events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(GraftFunctions.kll_sketch_agg(col(valueCol), k).as("sk"))
+      .select(col("w.start").as("window_start"), col("sk"))
+    startStoreSink(agg, "append", path, checkpoint)
   }
 }

@@ -288,6 +288,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == 3L, s"state lost or duplicated across restart: n=$n")
   }
 
+  test("replayed batch overwrites its own partition: HLL and SpaceSaving stores unchanged") {
+    import spark.implicits._
+    import GraftFunctions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    // two batches of per-window summaries, as the sinks would emit them
+    val b0 = Seq((t(0), "click", Seq("u1", "u2")), (t(0), "view", Seq("u1")))
+    val b1 = Seq((t(10), "click", Seq("u2", "u3")))
+    def summarize(rows: Seq[(java.sql.Timestamp, String, Seq[String])]) =
+      rows.flatMap { case (w, k, us) => us.map((w, k, _)) }
+        .toDF("window_start", "event_type", "user_id")
+        .groupBy("window_start", "event_type")
+        .agg(approx_distinct($"user_id").as("sk"),
+          graft.GraftFunctions.topk_sketch_agg($"user_id", 16).as("tk"))
+    graft.streaming.StreamOps.idempotentBatchWrite(summarize(b0), dir, 0L)
+    graft.streaming.StreamOps.idempotentBatchWrite(summarize(b1), dir, 1L)
+    def readBack(): (Long, Seq[(String, Long)]) = {
+      val store = spark.read.parquet(dir)
+      val hll = store.agg(approx_distinct($"sk").as("d"))
+        .select($"d.cardinality").as[Long].head()
+      val topk = store.agg(topk_merge_agg($"tk", 5, 16).as("tk"))
+        .select(explode($"tk").as("e"))
+        .select($"e.item", $"e.est").as[(String, Long)].collect().toSeq
+      (hll, topk)
+    }
+    val before = readBack()
+    assert(before._1 == 3L, s"distinct users: ${before._1}")
+    assert(before._2 == Seq(("u1", 2L), ("u2", 2L), ("u3", 1L)), before._2.toString)
+    // failure replay: the SAME batch id written again — additive SpaceSaving
+    // counts must NOT double
+    graft.streaming.StreamOps.idempotentBatchWrite(summarize(b1), dir, 1L)
+    assert(readBack() == before, "replayed batch changed the store")
+  }
+
+  test("topk store sink: append-once windows re-aggregate to one-pass counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import GraftFunctions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk-store").toString
+    val mem = MemoryStream[Ev]
+    val q = graft.streaming.StreamOps.topkStoreSink(mem.toDF(), "ts", "event_type",
+      "10 minutes", s"$dir/store", watermark = "5 minutes", capacity = 64)
+    try {
+      mem.addData(Ev(t(1), 1, "click", 1.0), Ev(t(2), 2, "click", 1.0),
+        Ev(t(3), 3, "view", 1.0))
+      q.processAllAvailable()
+      // advance the watermark past the first window's end (10:10 + 5m)
+      mem.addData(Ev(t(16), 4, "scroll", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(17), 5, "scroll", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val store = spark.read.parquet(s"$dir/store")
+    // exactly one row for the finalized first window, counts exact
+    assert(store.filter($"window_start" === t(0)).count() == 1L)
+    val top = store.filter($"window_start" === t(0))
+      .agg(topk_merge_agg($"sk", 5, 64).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item", $"e.est").as[(String, Long)].collect().toSeq
+    assert(top == Seq(("click", 2L), ("view", 1L)), top.toString)
+  }
+
   test("streaming dedup keeps first occurrence within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
