@@ -150,28 +150,18 @@ object Similarity {
     *
     * Assign: one map-only pass over the full corpus — per-row argmax
     * against the centroid literals, no join, no shuffle. At 100 TB the
-    * assignment output is written partitioned by `cid`: the inverted lists.
+    * assignment output is written partitioned by `cid` — the inverted
+    * lists — which is exactly what [[ivfBuildIndex]] persists.
     *
     * Query: the `nProbe` nearest centroids are picked driver-side (a loop
     * over nCentroids model rows), candidates come from `cid IN probes` —
-    * a partition-prunable filter reading ~nProbe/nCentroids of the data —
-    * and exact cosine re-ranks via TakeOrderedAndProject. */
-  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
-      queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      iters: Int = 2, trainSample: Int = 4096): DataFrame = {
-    val spark = emb.sparkSession
-    val base = emb.select(col(idCol).as("id"), col(embCol).as("v"))
-
-    def emptyResult: DataFrame =
-      spark.createDataFrame(new java.util.ArrayList[Row](),
-        StructType(Seq(StructField("id", base.schema("id").dataType),
-          StructField("rank", LongType))))
-
-    val qRows = base.filter(col("id") === queryId).select("v").limit(1).collect()
-    if (qRows.isEmpty) return emptyResult
-    val qv = rowToVec(qRows(0), 0)
-
-    // ---- train (sample-bounded Lloyd; persisted: it backs `iters` passes) ----
+    * against the persisted index ([[ivfQueryTopK]]) that filter is
+    * partition-PRUNED at file-listing time, reading ~nProbe/nCentroids of
+    * the data — and exact cosine re-ranks via TakeOrderedAndProject. */
+  /** Sample-bounded Lloyd training (see [[ivfTopK]] doc): returns the
+    * centroid model — nCentroids × dim doubles, legitimately driver-sized. */
+  private def ivfTrain(base: DataFrame, nCentroids: Int, iters: Int,
+      trainSample: Int): Array[(Long, Array[Double])] = {
     val train = base.withColumn("__h", xxhash64(col("id")))
       .orderBy("__h").limit(math.max(trainSample, nCentroids))
       .select("id", "v")
@@ -196,27 +186,98 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
           s => s.getField("mx")).as("cv"))
     }
-    val model: Array[(Long, Array[Double])] =
-      centroids.collect().map(r => (r.getLong(0), rowToVec(r, 1)))
+    val model = centroids.collect().map(r => (r.getLong(0), rowToVec(r, 1)))
     train.unpersist()
-    if (model.isEmpty) return emptyResult
+    model
+  }
 
-    // ---- assign: map-only per-row argmax against centroid literals ----
-    // struct(sim, -cid) + greatest = (max sim, ties to min cid), no shuffle
+  /** Map-only per-row argmax against the centroid literals:
+    * struct(sim, -cid) + greatest = (max sim, ties to min cid), no shuffle. */
+  private def ivfAssignCol(model: Array[(Long, Array[Double])]): Column = {
     val assignStructs = model.map { case (cid, cv) =>
       struct(cosine(col("v"), typedLit(cv)).as("sim"), lit(-cid).as("negcid"))
     }
     val bestNegCid =
       if (assignStructs.length == 1) assignStructs(0).getField("negcid")
       else greatest(assignStructs.toIndexedSeq: _*).getField("negcid")
-    val assigned = base.withColumn("cid", -bestNegCid)
+    -bestNegCid
+  }
 
-    // ---- probe: nProbe nearest centroids, picked from the driver-side model ----
-    val probeCids = model.map { case (cid, cv) => (cosLocal(cv, qv), cid) }
+  /** The `nProbe` centroids nearest a query vector, by descending cosine
+    * (ties to the lower cid) — a loop over the driver-side model rows. */
+  private def probeFor(model: Array[(Long, Array[Double])],
+      qv: Array[Double], nProbe: Int): Seq[Long] =
+    model.map { case (cid, cv) => (cosLocal(cv, qv), cid) }
       .sortBy { case (s, cid) => (-s, cid) }
       .take(nProbe).map(_._2).toSeq
 
+  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      iters: Int = 2, trainSample: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    val base = emb.select(col(idCol).as("id"), col(embCol).as("v"))
+
+    def emptyResult: DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(Seq(StructField("id", base.schema("id").dataType),
+          StructField("rank", LongType))))
+
+    val qRows = base.filter(col("id") === queryId).select("v").limit(1).collect()
+    if (qRows.isEmpty) return emptyResult
+    val qv = rowToVec(qRows(0), 0)
+
+    val model = ivfTrain(base, nCentroids, iters, trainSample)
+    if (model.isEmpty) return emptyResult
+
+    val assigned = base.withColumn("cid", ivfAssignCol(model))
+    val probeCids = probeFor(model, qv, nProbe)
     val scored = assigned.filter(col("cid").isin(probeCids: _*))
+      .withColumn("sim", cosine(col("v"), typedLit(qv)))
+    topKRanked(scored, k)
+  }
+
+  /** Persist an IVF index: the centroid model at `path/centroids` and the
+    * assignments — the INVERTED LISTS — at `path/lists`, written
+    * `partitionBy("cid")`. This is what turns [[ivfTopK]]'s scan-fraction
+    * claim into a demonstrated plan property: a probe against the persisted
+    * index reads only the `nProbe` probed `cid=` partitions
+    * (PartitionFilters prune the rest at file-listing time, ~nProbe/
+    * nCentroids of the data), which IvfIndexSpec asserts from the files
+    * actually read. Build cost is one training pass over a bounded sample
+    * plus one map-only assignment pass over the corpus. */
+  def ivfBuildIndex(emb: DataFrame, idCol: String, embCol: String,
+      path: String, nCentroids: Int = 16, iters: Int = 2,
+      trainSample: Int = 4096): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col(idCol).as("id"), col(embCol).as("v"))
+    val model = ivfTrain(base, nCentroids, iters, trainSample)
+    require(model.nonEmpty, "cannot build an IVF index over an empty corpus")
+    model.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    base.withColumn("cid", ivfAssignCol(model))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Load the persisted model and return the probe cids for a query vector
+    * (shared by [[ivfQueryTopK]] and the pruning test). */
+  private[graft] def ivfProbeCids(spark: SparkSession, path: String,
+      qv: Array[Double], nProbe: Int): Seq[Long] = {
+    val model = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getAs[Long]("cid"), rowToVec(r, r.fieldIndex("cv"))))
+    probeFor(model, qv, nProbe)
+  }
+
+  /** ANN top-k against a PERSISTED IVF index ([[ivfBuildIndex]]): pick the
+    * `nProbe` nearest centroids driver-side from the tiny model file, then
+    * scan only those `cid=` partitions of the inverted lists — a
+    * partition-pruned read — and exact-cosine re-rank. */
+  def ivfQueryTopK(spark: SparkSession, path: String, qv: Array[Double],
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val probeCids = ivfProbeCids(spark, path, qv, nProbe)
+    val scored = spark.read.parquet(s"$path/lists")
+      .filter(col("cid").isin(probeCids: _*))
       .withColumn("sim", cosine(col("v"), typedLit(qv)))
     topKRanked(scored, k)
   }
