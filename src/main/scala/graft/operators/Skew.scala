@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.sources.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Manual skew-mitigation for shuffle joins: salt the skewed (fact) side into
@@ -27,4 +29,34 @@ object Skew {
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Weighted event totals through a SALTED join: `events` is genuinely
+    * skewed on `event_type` (5 values over the whole table — every key is
+    * hot, so an unsalted shuffle join puts all rows on 5 reducers no matter
+    * the cluster width), the 5-row dim rides along replicated `nSalts`×.
+    * The salt provably never changes the result — which is exactly what the
+    * oracle checks: DuckDB computes the plain unsalted join + GROUP BY.
+    * Sums anchor to DECIMAL before the final double so the hash gate is
+    * order-independent (same pattern as q64). */
+  def q73SaltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val dim = events.select(col("event_type")).distinct()
+      .withColumn("w", length(col("event_type")).cast("long"))
+    Skew.saltedJoin(events, dim, "event_type", nSalts = 8)
+      .groupBy("event_type", "w")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("__sv"))
+      .select(col("event_type"), col("n_events"),
+        (col("__sv").cast("double") * col("w")).as("weighted"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_salted_skew_join" -> (q73SaltedSkewJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q73_salted_skew_join" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * LENGTH(event_type) AS weighted
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
