@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ApproxDistinct, ApproxQuantiles, ApproxTopK, BloomAgg, CosineSimilarity, HyperplaneLsh, LangId, MightContain, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion, ThetaDifference, ThetaEstimate, ThetaFraction, ThetaIntersect, ThetaRetained, ThetaSketchAgg, ThetaUnion}
+import graft.functions.{ApproxDistinct, ApproxQuantiles, ApproxTopK, BloomAgg, CosineSimilarity, HyperplaneLsh, LangId, MightContain, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion, ThetaDifference, ThetaEstimate, ThetaFraction, ThetaIntersect, ThetaJaccard, ThetaRetained, ThetaSketchAgg, ThetaUnion}
 import graft.sketch.{KllDoubles, ThetaSketch}
 
 import org.apache.spark.sql.{Column, SparkSession}
@@ -134,6 +134,10 @@ object GraftFunctions {
 
   /** Sketch of A \ B. */
   def theta_difference(a: Column, b: Column): Column = col(ThetaDifference(expr(a), expr(b)))
+
+  /** Jaccard similarity estimate |A∩B| / |A∪B| from two stored theta
+    * sketches (see [[graft.functions.ThetaJaccard]]). */
+  def theta_jaccard(a: Column, b: Column): Column = col(ThetaJaccard(expr(a), expr(b)))
 
   /** `bloom_agg(x, numBits, numHashes)` — serialized Bloom filter of a
     * column (the runtime-filter build side; see [[graft.functions.BloomAgg]]). */
@@ -277,6 +281,8 @@ object GraftFunctions {
       arity("theta_intersect", 2)(e => ThetaIntersect(e(0), e(1)))),
     ("theta_difference", "theta_difference(a, b) - theta sketch of the set difference",
       arity("theta_difference", 2)(e => ThetaDifference(e(0), e(1)))),
+    ("theta_jaccard", "theta_jaccard(a, b) - Jaccard similarity estimate of two theta sketches",
+      arity("theta_jaccard", 2)(e => ThetaJaccard(e(0), e(1)))),
     ("bloom_agg", "bloom_agg(x[, numBits[, numHashes]]) - build a Bloom filter of a column",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(c) => new BloomAgg(c)

@@ -234,6 +234,40 @@ case class ThetaIntersect(left: Expression, right: Expression) extends ThetaBina
     copy(left = l, right = r)
 }
 
+/** `theta_jaccard(a, b)` — Jaccard similarity estimate |A∩B| / |A∪B| from
+  * two stored theta sketches: both set expressions are evaluated at the
+  * common θ = min(θ_A, θ_B), so this is the standard theta/KMV Jaccard
+  * estimator (the sketch-level analogue of the exact n-gram Jaccard the
+  * dedup operators compute per pair — usable on corpus-level sketches
+  * where materializing either set is off the table). NULL and the empty
+  * sketch are the empty set: J(∅, B) = 0, J(∅, ∅) = NULL (0/0). */
+case class ThetaJaccard(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "theta_jaccard"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = ThetaExprs.check(prettyName, left.dataType)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else ThetaExprs.check(prettyName, right.dataType)
+  }
+  // same NULL-as-empty discipline as the union-like ThetaBinaryOps
+  override def eval(input: InternalRow): Any = {
+    val a = ThetaExprs.sketchOf(left.eval(input))
+    val b = ThetaExprs.sketchOf(right.eval(input))
+    if (a == null && b == null) null
+    else if (a == null || b == null) java.lang.Double.valueOf(0.0)
+    else {
+      val u = ThetaSketch.union(a, b).estimateDouble
+      if (u == 0.0) null
+      else java.lang.Double.valueOf(ThetaSketch.intersect(a, b).estimateDouble / u)
+    }
+  }
+  override def nullSafeEval(lv: Any, rv: Any): Any =
+    throw new IllegalStateException(s"$prettyName: eval is overridden")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaJaccard =
+    copy(left = l, right = r)
+}
+
 /** `theta_difference(a, b)` — sketch of A \ B (same sampling argument as
   * intersection). */
 case class ThetaDifference(left: Expression, right: Expression) extends ThetaBinaryOp {

@@ -243,6 +243,26 @@ object StreamOps {
     startStoreSink(agg, "append", path, checkpoint)
   }
 
+  /** Stream → theta store: per-(window, key) serialized theta sketches.
+    * The canonical-KMV merge is a join-semilattice — IDEMPOTENT like
+    * HLL/LC union, unlike additive SpaceSaving/KLL — so this runs in
+    * update mode with cumulative snapshots, exactly like
+    * [[sketchStoreSink]], and readers re-aggregate the whole store with
+    * `theta_merge_agg` (then estimate or do set algebra across stores). */
+  def thetaStoreSink(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowDur: String, path: String,
+      k: Int = graft.sketch.ThetaSketch.DefaultK,
+      watermark: Option[String] = None,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    GraftFunctions.register(events.sparkSession)
+    val withWm = watermark.map(events.withWatermark(tsCol, _)).getOrElse(events)
+    val agg = withWm
+      .groupBy(window(col(tsCol), windowDur).as("w"), col(keyCol))
+      .agg(GraftFunctions.theta_sketch_agg(col(valueCol), k).as("sk"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("sk"))
+    startStoreSink(agg, "update", path, checkpoint)
+  }
+
   /** Stream → quantile store: one serialized KLL sketch per finalized
     * window. Same additive-merge discipline as [[topkStoreSink]]: append
     * mode + required watermark (exactly one write per window) + idempotent

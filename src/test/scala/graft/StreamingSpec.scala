@@ -349,6 +349,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(top == Seq(("click", 2L), ("view", 1L)), top.toString)
   }
 
+  test("theta store sink: cumulative snapshots re-aggregate idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import GraftFunctions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-theta-store").toString
+    val mem = MemoryStream[Ev]
+    val q = graft.streaming.StreamOps.thetaStoreSink(mem.toDF(), "ts", "event_type",
+      "user_id", "10 minutes", s"$dir/store")
+    try {
+      mem.addData(Ev(t(1), 1, "click", 1.0), Ev(t(2), 2, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2 re-emits the window's cumulative sketch (update mode);
+      // theta union is idempotent so merging both snapshots stays correct
+      mem.addData(Ev(t(3), 3, "click", 1.0), Ev(t(4), 1, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val est = spark.read.parquet(s"$dir/store")
+      .filter($"event_type" === "click")
+      .agg(theta_estimate(theta_merge_agg($"sk")).as("est"))
+      .as[Long].head()
+    assert(est == 3L, s"theta store-then-merge got $est, expected 3 distinct users")
+  }
+
   test("streaming dedup keeps first occurrence within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -184,6 +184,30 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(r.isNullAt(3))
   }
 
+  test("theta_jaccard estimates |A.B|/|AUB|; empty/NULL edges defined") {
+    val spark = TestSpark.session
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    (1L to 30000L).toDF("v").createOrReplaceTempView("theta_jac_src")
+    val r = spark.sql(
+      """SELECT theta_jaccard(a.s, b.s) AS j,
+        |       theta_jaccard(CAST(NULL AS BINARY), a.s) AS j_null,
+        |       theta_jaccard(CAST(NULL AS BINARY), CAST(NULL AS BINARY)) AS j_both
+        |FROM (SELECT theta_sketch_agg(v) AS s FROM theta_jac_src WHERE v <= 20000) a,
+        |     (SELECT theta_sketch_agg(v) AS s FROM theta_jac_src WHERE v > 10000) b""".stripMargin)
+      .head()
+    // exact J = 10000/30000; k=4096 over 30000 -> ~1.6% RSE per estimate
+    assert(math.abs(r.getDouble(0) - 1.0 / 3.0) <= 0.05, r.getDouble(0).toString)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.isNullAt(2))
+    // exact regime: J is exact
+    val small = new ThetaSketch(1024); (1L to 400L).foreach(v => small.offerHash(hash(v)))
+    val other = new ThetaSketch(1024); (201L to 600L).foreach(v => other.offerHash(hash(v)))
+    val j = ThetaSketch.intersect(small, other).estimateDouble /
+      ThetaSketch.union(small, other).estimateDouble
+    assert(j == 200.0 / 600.0)
+  }
+
   test("non-integral foldable k fails analysis cleanly, not with a ClassCastException") {
     val spark = TestSpark.session
     GraftFunctions.register(spark)
