@@ -147,13 +147,69 @@ object TextAnalysis {
       .orderBy(desc("n"), col("bigram"))
       .limit(20)
 
+  /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1 —
+    * "repetitious" document filters — adapted to a line-less corpus): per
+    * doc, the character fraction captured by the single most frequent token
+    * and word-bigram, plus the adjacent-token repeat rate ("the the").
+    * High values mark boilerplate/degenerate text a training pipeline
+    * drops; `gopher_ok` applies the paper's 0.20 top-2-gram threshold.
+    *
+    * Shuffle shape: explode → per-(doc, gram) counts → `min_by` argmax over
+    * `(-count, gram)` (ties to the lexicographically smallest gram, exactly
+    * the oracle's ORDER BY c DESC, g) — no whole-doc gram multiset ever
+    * sits in one buffer, so arbitrarily long documents survive. The
+    * adjacent-repeat count is a per-row `zip_with` against the shifted
+    * token array, no shuffle at all. All metrics are exact, so the oracle
+    * gate is strict hash equality — no envelope. */
+  def q74RepetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ts = tokens(col("text"))
+
+    val perTok = docs.select(col("doc_id"), explode(ts).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val base = perTok.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"),
+      sum(col("c") * length(col("t"))).as("n_token_chars"),
+      min_by(struct(col("t"), col("c")),
+        struct((-col("c")).as("nc"), col("t"))).as("top1"))
+
+    val perBg = docs.select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val topBg = perBg.groupBy("doc_id").agg(
+      min_by(struct(col("g"), col("c")),
+        struct((-col("c")).as("nc"), col("g"))).as("top2"))
+
+    // adjacent equal-token pairs: zip the token array with itself shifted
+    // by one (zip_with pads the shorter side with NULL -> comparison NULL
+    // -> dropped by filter, so the tail pad never counts)
+    val adj = docs.select(col("doc_id"),
+      size(filter(zip_with(ts, slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+        (a, b) => a === b), x => x)).cast("long").as("n_adj"))
+
+    base.join(topBg, "doc_id").join(adj, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        col("top1.t").as("top_token"),
+        ((col("top1.c") * length(col("top1.t"))).cast("double") /
+          col("n_token_chars").cast("double")).as("top1_char_frac"),
+        col("top2.g").as("top_bigram"),
+        ((col("top2.c") * (length(col("top2.g")) - 1)).cast("double") /
+          col("n_token_chars").cast("double")).as("top2_char_frac"),
+        when(col("n_tokens") > 1,
+          col("n_adj").cast("double") / (col("n_tokens") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("adj_repeat_frac"),
+        (((col("top2.c") * (length(col("top2.g")) - 1)).cast("double") /
+          col("n_token_chars").cast("double")) <= 0.2).as("gopher_ok"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_top_terms" -> (q48TopTerms _),
     "q49_top_bigrams" -> (q49TopBigrams _),
     "q41_token_count" -> (q41TokenCount _),
     "q42_text_quality" -> (q42TextQuality _),
     "q43_langid" -> (q43LangId _),
-    "q44_fingerprint_dedup" -> (q44FingerprintDedup _))
+    "q44_fingerprint_dedup" -> (q44FingerprintDedup _),
+    "q74_repetition_metrics" -> (q74RepetitionMetrics _))
 
   /** DuckDB twin of [[graft.functions.LangId]] + [[graft.functions.QualityScore]],
     * generated from the same [[stopwords]] tables so the two can never drift:
@@ -202,6 +258,41 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q43_langid" -> q43OracleSql,
+    // exact metrics -> strict hash gate; argmax tie-break (c DESC, gram ASC)
+    // mirrors the Spark min_by over (-c, gram)
+    "q74_repetition_metrics" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+        |base AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(c * len(t)) AS BIGINT) AS n_token_chars FROM tc GROUP BY doc_id),
+        |top1 AS (SELECT doc_id, t, c FROM (
+        |  SELECT doc_id, t, c,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, t) AS rn FROM tc)
+        |  WHERE rn = 1),
+        |bg AS (SELECT doc_id, unnest([array_to_string(ts[i:i+1], ' ') FOR i IN range(1, len(ts))]) AS g
+        |       FROM toks WHERE len(ts) >= 2
+        |       UNION ALL
+        |       SELECT doc_id, array_to_string(ts, ' ') AS g FROM toks WHERE len(ts) < 2),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+        |top2 AS (SELECT doc_id, g, c FROM (
+        |  SELECT doc_id, g, c,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM bc)
+        |  WHERE rn = 1),
+        |adj AS (SELECT doc_id, len([1 FOR i IN range(1, len(ts)) IF ts[i] = ts[i+1]]) AS n_adj,
+        |  len(ts) AS nt FROM toks)
+        |SELECT b.doc_id, b.n_tokens, t1.t AS top_token,
+        |  CAST(t1.c * len(t1.t) AS DOUBLE) / CAST(b.n_token_chars AS DOUBLE) AS top1_char_frac,
+        |  t2.g AS top_bigram,
+        |  CAST(t2.c * (len(t2.g) - 1) AS DOUBLE) / CAST(b.n_token_chars AS DOUBLE) AS top2_char_frac,
+        |  CASE WHEN a.nt > 1 THEN CAST(a.n_adj AS DOUBLE) / CAST(a.nt - 1 AS DOUBLE)
+        |       ELSE 0.0 END AS adj_repeat_frac,
+        |  CAST(t2.c * (len(t2.g) - 1) AS DOUBLE) / CAST(b.n_token_chars AS DOUBLE) <= 0.2 AS gopher_ok
+        |FROM base b
+        |JOIN top1 t1 USING (doc_id) JOIN top2 t2 USING (doc_id) JOIN adj a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q48_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
