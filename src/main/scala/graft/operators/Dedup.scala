@@ -241,13 +241,86 @@ object Dedup {
       .orderBy("predicted_lang")
   }
 
+  /** Connected components over an undirected `(id_a, id_b)` edge list —
+    * the step that turns near-dup PAIRS into dedup CLUSTERS (a, b similar;
+    * b, c similar ⇒ {a, b, c} is one duplicate group even if a, c never
+    * met a threshold). Hash-min label propagation: every node starts
+    * labeled with itself; each round a node adopts the minimum label among
+    * itself and its neighbors; fixed point = every node labeled with its
+    * component's minimum id. Rounds needed = graph diameter, and near-dup
+    * graphs are quasi-cliques of tiny diameter, so the driver loop exits
+    * after 2–3 rounds on real data (each round is one join + one min-agg —
+    * the standard MapReduce connected-components shape). Each round's label
+    * table is `localCheckpoint`ed: iterative DataFrame algorithms MUST
+    * truncate lineage or the logical plan doubles per round and planning
+    * itself blows up long before the data does (on a cluster with an
+    * unreliable executor set, swap in reliable `checkpoint`). Returns
+    * `(id, comp)` for every node that appears in an edge; isolated docs are
+    * implicitly their own singleton cluster. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(edges
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborLabels = sym
+        .join(labels.select(col("id").as("dst"), col("comp").as("cand")), "dst")
+        .select(col("src").as("id"), col("cand"))
+      val next = labels.select(col("id"), col("comp").as("cand"))
+        .union(neighborLabels)
+        .groupBy("id").agg(min("cand").as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("comp").as("__old")), "id")
+        .filter(col("comp") =!= col("__old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Drop every non-representative member of each near-dup cluster: keep a
+    * doc unless it appears in a component under a smaller id. Composes with
+    * any pair source ([[minhashNearDupPairs]], [[simhashNearDupPairs]],
+    * [[graft.operators.Similarity.embeddingNearDupPairs]]). */
+  def dedupByPairs(docs: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+    val losers = connectedComponents(edges)
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as("__drop_id"))
+    docs.join(losers, docs(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** Near-dup cluster report: minhash pairs (the q45 edge set, which the
+    * q45 oracle proves equals the exact Jaccard ≥ 0.5 pair set) clustered
+    * into connected components; one row per cluster with its representative
+    * (min id), size, and max member. The DuckDB oracle recomputes the
+    * components from first principles with a RECURSIVE transitive closure
+    * over the exact pair set — strict hash equality, so the label
+    * propagation provably reaches the same fixed point. */
+  def q75NearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
+      bands = 32)
+    connectedComponents(pairs.select("id_a", "id_b"))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
+      .select(col("comp").as("cluster_rep"), col("n_members"), col("max_id"))
+      .orderBy("cluster_rep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_corpus_pipeline" -> (q56CorpusPipeline _),
     "q57_training_mix" -> (q57TrainingMix _),
     "q40_dedup_exact" -> (q40DedupExact _),
     "q45_minhash_pairs" -> (q45MinhashPairs _),
     "q46_simhash_pairs" -> (q46SimhashPairs _),
-    "q47_ngram_jaccard_sample" -> (q47NgramJaccardSample _))
+    "q47_ngram_jaccard_sample" -> (q47NgramJaccardSample _),
+    "q75_near_dup_clusters" -> (q75NearDupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q56_corpus_pipeline" ->
@@ -272,6 +345,35 @@ object Dedup {
     // exact all-pairs ground truth at oracle scale: every pair whose distinct
     // 3-shingle Jaccard >= 0.5 (integer form: 2·|∩| >= |∪|), which the LSH
     // path must reproduce exactly (see q45MinhashPairs recall math)
+    // the same exact pair set as the q45 oracle, then a RECURSIVE
+    // transitive closure: comp(n) = min over n's reachability set — the
+    // fixed point hash-min label propagation converges to
+    "q75_near_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             FOR i IN range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM t x JOIN t y ON x.doc_id < y.doc_id
+        |  WHERE 2 * len(list_intersect(x.sh, y.sh)) >=
+        |        len(list_distinct(list_concat(x.sh, y.sh)))),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |comp AS (
+        |  SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src)
+        |SELECT CAST(comp AS BIGINT) AS cluster_rep,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(MAX(id) AS BIGINT) AS max_id
+        |FROM comp GROUP BY comp ORDER BY cluster_rep""".stripMargin,
     "q45_minhash_pairs" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -45,6 +45,31 @@ class NearDupRecallSpec extends AnyFunSuite {
     assert(found == truth, s"missing=${truth -- found} extra=${found -- truth}")
   }
 
+  test("connectedComponents labels every node with its component minimum") {
+    import graft.operators.Dedup
+    // two chains, one triangle, one pair: {1-2-3-4}, {10,11,12}, {20,21}
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L), comps.toString)
+    // a long path needs diameter rounds: 0-1-2-...-9 in scrambled order
+    val path = (0L until 9L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val pathComps = Dedup.connectedComponents(path).as[(Long, Long)].collect().toMap
+    assert(pathComps.values.toSet == Set(0L), pathComps.toString)
+  }
+
+  test("dedupByPairs keeps exactly one representative per cluster plus all singletons") {
+    import graft.operators.Dedup
+    val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "body")
+    val edges = Seq((3L, 7L), (7L, 5L), (8L, 9L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByPairs(docs, "doc_id", edges)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // {3,5,7} -> keep 3; {8,9} -> keep 8; the rest untouched
+    assert(kept == Seq(0L, 1L, 2L, 3L, 4L, 6L, 8L), kept.toString)
+  }
+
   test("embeddingNearDupPairs construction runs no job; stats estimate sizes like the true count") {
     val emb = Tables.embeddings(spark, sf)
     @volatile var jobs = 0
