@@ -313,6 +313,29 @@ object Dedup {
       .orderBy("cluster_rep")
   }
 
+  /** Curation pipeline v2 — the round-5 operators composed end-to-end the
+    * way a training-data pipeline actually runs them: NEAR-DUP cluster
+    * dedup (minhash pairs → connected components → min-id representative,
+    * [[dedupByPairs]]) → Gopher repetition gate
+    * ([[TextAnalysis.q74RepetitionMetrics]]'s `gopher_ok`) → per-source
+    * doc/token totals. The oracle recomputes every stage from first
+    * principles in one SQL statement (recursive closure + top-bigram
+    * fraction + token counts), so the whole composition is hash-gated. */
+  def q76CurationV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = minhashNearDupPairs(docs, "doc_id", "text", bands = 32)
+      .select("id_a", "id_b")
+    val kept = dedupByPairs(docs, "doc_id", edges)
+    val gate = TextAnalysis.q74RepetitionMetrics(spark, dir)
+      .select(col("doc_id"), col("gopher_ok"))
+    kept.join(gate, "doc_id")
+      .filter(col("gopher_ok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_corpus_pipeline" -> (q56CorpusPipeline _),
     "q57_training_mix" -> (q57TrainingMix _),
@@ -320,7 +343,8 @@ object Dedup {
     "q45_minhash_pairs" -> (q45MinhashPairs _),
     "q46_simhash_pairs" -> (q46SimhashPairs _),
     "q47_ngram_jaccard_sample" -> (q47NgramJaccardSample _),
-    "q75_near_dup_clusters" -> (q75NearDupClusters _))
+    "q75_near_dup_clusters" -> (q75NearDupClusters _),
+    "q76_curation_v2" -> (q76CurationV2 _))
 
   val oracles: Map[String, String] = Map(
     "q56_corpus_pipeline" ->
@@ -345,6 +369,55 @@ object Dedup {
     // exact all-pairs ground truth at oracle scale: every pair whose distinct
     // 3-shingle Jaccard >= 0.5 (integer form: 2·|∩| >= |∪|), which the LSH
     // path must reproduce exactly (see q45MinhashPairs recall math)
+    // every pipeline stage recomputed from first principles in ONE
+    // statement: exact pair set -> recursive closure -> non-representative
+    // drop -> top-bigram char fraction gate -> per-source totals
+    "q76_curation_v2" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, source, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                             FOR i IN range(1, len(ts) - 1)])
+        |    END AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM t x JOIN t y ON x.doc_id < y.doc_id
+        |  WHERE 2 * len(list_intersect(x.sh, y.sh)) >=
+        |        len(list_distinct(list_concat(x.sh, y.sh)))),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src),
+        |losers AS (SELECT id FROM comp WHERE comp <> id),
+        |tok AS (SELECT doc_id, unnest(ts) AS tk FROM toks),
+        |tc AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY doc_id, tk),
+        |chars AS (SELECT doc_id, CAST(SUM(c * len(tk)) AS BIGINT) AS n_token_chars
+        |          FROM tc GROUP BY doc_id),
+        |bg AS (SELECT doc_id, unnest([array_to_string(ts[i:i+1], ' ') FOR i IN range(1, len(ts))]) AS g
+        |       FROM toks WHERE len(ts) >= 2
+        |       UNION ALL
+        |       SELECT doc_id, array_to_string(ts, ' ') AS g FROM toks WHERE len(ts) < 2),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+        |top2 AS (SELECT doc_id, g, c FROM (
+        |  SELECT doc_id, g, c,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM bc)
+        |  WHERE rn = 1),
+        |ok AS (SELECT t2.doc_id FROM top2 t2 JOIN chars ch USING (doc_id)
+        |       WHERE CAST(t2.c * (len(t2.g) - 1) AS DOUBLE) /
+        |             CAST(ch.n_token_chars AS DOUBLE) <= 0.2)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(d.ts)) AS BIGINT) AS n_tokens
+        |FROM toks d
+        |JOIN ok ON d.doc_id = ok.doc_id
+        |WHERE d.doc_id NOT IN (SELECT id FROM losers)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // the same exact pair set as the q45 oracle, then a RECURSIVE
     // transitive closure: comp(n) = min over n's reachability set — the
     // fixed point hash-min label propagation converges to
