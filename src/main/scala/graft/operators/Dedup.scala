@@ -326,8 +326,7 @@ object Dedup {
     val edges = minhashNearDupPairs(docs, "doc_id", "text", bands = 32)
       .select("id_a", "id_b")
     val kept = dedupByPairs(docs, "doc_id", edges)
-    val gate = TextAnalysis.q74RepetitionMetrics(spark, dir)
-      .select(col("doc_id"), col("gopher_ok"))
+    val gate = TextAnalysis.gopherBigramGate(docs, "doc_id", "text")
     kept.join(gate, "doc_id")
       .filter(col("gopher_ok"))
       .groupBy("source")

@@ -147,6 +147,29 @@ object TextAnalysis {
       .orderBy(desc("n"), col("bigram"))
       .limit(20)
 
+  /** The Gopher top-bigram gate alone, for pipelines that only filter:
+    * `(idCol, gopher_ok)` per doc. Cheaper than [[q74RepetitionMetrics]] —
+    * token chars come from a per-row `aggregate` over the token array (no
+    * token-level shuffle at all), so the only shuffle is the per-(doc,
+    * bigram) count feeding the `min_by` argmax. Same numbers as the full
+    * metric query by construction. */
+  def gopherBigramGate(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.2): DataFrame = {
+    val ts = tokens(col(textCol))
+    val chars = docs.select(col(idCol).as("id"),
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .as("n_token_chars"))
+    val top = docs
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), 2)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(min_by(struct(col("g"), col("c")),
+        struct((-col("c")).as("nc"), col("g"))).as("top2"))
+    top.join(chars, "id")
+      .select(col("id").as(idCol),
+        (((col("top2.c") * (length(col("top2.g")) - 1)).cast("double") /
+          col("n_token_chars").cast("double")) <= threshold).as("gopher_ok"))
+  }
+
   /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1 —
     * "repetitious" document filters — adapted to a line-less corpus): per
     * doc, the character fraction captured by the single most frequent token
