@@ -96,12 +96,9 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerms: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucketSize: Int = 256): DataFrame = {
-    val bandArr = org.apache.spark.sql.graft.GraftBridge.column(
-      graft.functions.MinHashBands(
-        org.apache.spark.sql.graft.GraftBridge.expression(col(textCol)),
-        k, numPerms, bands))
     val buckets = docs.select(col(idCol).as("id"),
-      posexplode(bandArr).as(Seq("band", "bhash")))
+      posexplode(minhashBandsCol(col(textCol), k, numPerms, bands))
+        .as(Seq("band", "bhash")))
     // hot-bucket guard + pair generation in ONE pass over the bucket table;
     // drops are reported via an observed metric (Buckets.cap)
     val cand = Buckets.candidatePairs(buckets, Seq("band", "bhash"), "id",
@@ -311,6 +308,73 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"), max("id").as("max_id"))
       .select(col("comp").as("cluster_rep"), col("n_members"), col("max_id"))
       .orderBy("cluster_rep")
+  }
+
+  /** Single-kernel minhash band hashes (shared by [[minhashNearDupPairs]]
+    * and the incremental index). */
+  private def minhashBandsCol(text: Column, k: Int, numPerms: Int,
+      bands: Int): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.MinHashBands(
+        org.apache.spark.sql.graft.GraftBridge.expression(text), k, numPerms, bands))
+
+  /** Persist a minhash NEAR-DUP INDEX of a corpus, so each future ingest
+    * batch dedups against the corpus WITHOUT rescanning it — the 100 TB
+    * ingestion shape (the corpus is indexed once; per batch only the batch
+    * itself is hashed and shuffled):
+    *
+    *  - `<prefix>_bands` (id, band, bhash), BUCKETED on the probe keys
+    *    (band, bhash): a new batch's candidate join reads the index
+    *    bucket-aligned — no Exchange ever touches the index side;
+    *  - `<prefix>_shingles` (id, sh), bucketed on id: exact-Jaccard
+    *    verification joins candidates back by corpus id, shuffling only
+    *    candidate rows.
+    *
+    * `k`/`numPerms`/`bands` must match between index build and probe (they
+    * define the hash family). */
+  def writeMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      tablePrefix: String, path: String, k: Int = 3, numPerms: Int = 64,
+      bands: Int = 16, nBuckets: Int = 32): Unit = {
+    docs.select(col(idCol).as("id"),
+        posexplode(minhashBandsCol(col(textCol), k, numPerms, bands))
+          .as(Seq("band", "bhash")))
+      .write.option("path", s"$path/${tablePrefix}_bands")
+      .bucketBy(nBuckets, "band", "bhash")
+      .mode("overwrite").saveAsTable(s"${tablePrefix}_bands")
+    docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
+      .write.option("path", s"$path/${tablePrefix}_shingles")
+      .bucketBy(nBuckets, "id")
+      .mode("overwrite").saveAsTable(s"${tablePrefix}_shingles")
+  }
+
+  /** Near-dup pairs of a NEW batch against a persisted corpus index
+    * ([[writeMinhashIndex]]): returns `(corpus_id, new_id, jaccard)` for
+    * every (corpus doc, batch doc) pair at Jaccard ≥ threshold, at the
+    * banding recall of the underlying family. The corpus band table is
+    * read bucket-aligned (only the exploded batch shuffles); verification
+    * pulls exactly the candidate corpus docs' shingle sets. */
+  def nearDupAgainstIndex(spark: SparkSession, newDocs: DataFrame,
+      idCol: String, textCol: String, tablePrefix: String, k: Int = 3,
+      numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val newBands = newDocs.select(col(idCol).as("new_id"),
+      posexplode(minhashBandsCol(col(textCol), k, numPerms, bands))
+        .as(Seq("band", "bhash")))
+    val cand = spark.table(s"${tablePrefix}_bands")
+      .join(newBands, Seq("band", "bhash"))
+      .select(col("id").as("corpus_id"), col("new_id"))
+      .distinct()
+    val newSh = newDocs.select(col(idCol).as("new_id"),
+      shingleHashes(col(textCol), k).as("sh_new"))
+    val nc = size(array_intersect(col("sh"), col("sh_new"))).cast("long")
+    val nt = size(array_union(col("sh"), col("sh_new"))).cast("long")
+    cand
+      .join(spark.table(s"${tablePrefix}_shingles")
+        .withColumnRenamed("id", "corpus_id"), "corpus_id")
+      .join(newSh, "new_id")
+      .select(col("corpus_id"), col("new_id"),
+        (nc.cast("double") / nt.cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Curation pipeline v2 — the round-5 operators composed end-to-end the

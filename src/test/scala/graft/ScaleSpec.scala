@@ -55,6 +55,40 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental minhash index: a new batch dedups against the corpus bucket-aligned") {
+    import graft.operators.Dedup
+    val wh = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS ddidx_bands")
+      spark.sql("DROP TABLE IF EXISTS ddidx_shingles")
+      val docs = Tables.documents(spark, sf)
+      Dedup.writeMinhashIndex(docs, "doc_id", "text", "ddidx", wh)
+      // a new ingest batch: 50 corpus texts under shifted ids — every batch
+      // doc is an exact dup of its source (identical signatures, so every
+      // band matches and detection is certain)
+      val batch = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val pairs = Dedup.nearDupAgainstIndex(spark, batch, "doc_id", "text", "ddidx")
+      val plan = pairs.queryExecution.executedPlan.toString
+      // the corpus side is read through its buckets, never shuffled: the
+      // only (band, bhash) Exchange in the plan is the batch side
+      assert(plan.contains("SelectedBucketsCount"),
+        s"index scan is not bucketed:\n$plan")
+      val bandExchanges = "Exchange hashpartitioning\\(band".r
+        .findAllIn(plan).size
+      assert(bandExchanges <= 1, s"index side shuffled:\n$plan")
+      val hits = pairs
+        .filter(col("corpus_id") === col("new_id") - 100000L)
+        .select("new_id").distinct().count()
+      assert(hits == 50L, s"expected all 50 batch docs to hit their source, got $hits")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS ddidx_bands")
+      spark.sql("DROP TABLE IF EXISTS ddidx_shingles")
+    }
+  }
+
   test("q03/q18 broadcast customer by size at test scale without a forced hint") {
     // customer grows with the scale factor, so the queries carry NO
     // broadcast() hint on it — the optimizer's size threshold must still
