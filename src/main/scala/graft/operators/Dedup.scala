@@ -312,7 +312,7 @@ object Dedup {
 
   /** Single-kernel minhash band hashes (shared by [[minhashNearDupPairs]]
     * and the incremental index). */
-  private def minhashBandsCol(text: Column, k: Int, numPerms: Int,
+  private[graft] def minhashBandsCol(text: Column, k: Int, numPerms: Int,
       bands: Int): Column =
     org.apache.spark.sql.graft.GraftBridge.column(
       graft.functions.MinHashBands(
@@ -375,6 +375,9 @@ object Dedup {
       .select(col("corpus_id"), col("new_id"),
         (nc.cast("double") / nt.cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // duplicated index rows (an at-least-once index append after a replay)
+      // multiply join rows, never change the pair set — fold them here
+      .dropDuplicates("corpus_id", "new_id")
   }
 
   /** Curation pipeline v2 — the round-5 operators composed end-to-end the

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.GraftFunctions
+import graft.operators.Dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -241,6 +242,58 @@ object StreamOps {
       .agg(GraftFunctions.topk_sketch_agg(col(itemCol), capacity).as("sk"))
       .select(col("w.start").as("window_start"), col("sk"))
     startStoreSink(agg, "append", path, checkpoint)
+  }
+
+  /** Streaming corpus ingest with near-dup dedup against — and incremental
+    * growth of — a persisted minhash index ([[Dedup.writeMinhashIndex]]).
+    * Per micro-batch:
+    *
+    *  1. intra-batch near-dup pairs → connected components → min-id
+    *     representative ([[Dedup.dedupByPairs]]);
+    *  2. survivors probe the corpus index ([[Dedup.nearDupAgainstIndex]]);
+    *     any batch doc near-duplicating the corpus is dropped;
+    *  3. the kept docs land in `keptPath` under an idempotent `batch_id`
+    *     partition, and their band/shingle rows append to the index tables
+    *     (same bucket spec), so the NEXT batch dedups against them too.
+    *
+    * Only the batch is ever hashed or shuffled — the corpus index is read
+    * bucket-aligned and never rescanned. Index appends are at-least-once
+    * on replay; `nearDupAgainstIndex` deduplicates candidates and pairs,
+    * so duplicated index rows cost work, never correctness, and the kept
+    * OUTPUT stays exactly-once via the `batch_id` overwrite. */
+  def streamingNearDupIngest(docs: DataFrame, idCol: String, textCol: String,
+      tablePrefix: String, indexPath: String, keptPath: String,
+      threshold: Double = 0.5, k: Int = 3, numPerms: Int = 64,
+      bands: Int = 16, nBuckets: Int = 32,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val spark = batch.sparkSession
+        val intraPairs = Dedup.minhashNearDupPairs(batch, idCol, textCol,
+          k, numPerms, bands, threshold).select("id_a", "id_b")
+        val intra = Dedup.dedupByPairs(batch, idCol, intraPairs)
+        val corpusDups = Dedup.nearDupAgainstIndex(spark, intra, idCol, textCol,
+            tablePrefix, k, numPerms, bands, threshold)
+          .select(col("new_id").as("__dup")).distinct()
+        // materialize once: three writes follow, and the chain above holds
+        // an iterative-CC lineage
+        val kept = intra.join(corpusDups, intra(idCol) === col("__dup"), "left_anti")
+          .localCheckpoint(true)
+        idempotentBatchWrite(kept, keptPath, batchId)
+        kept.select(col(idCol).as("id"),
+            posexplode(Dedup.minhashBandsCol(col(textCol), k, numPerms, bands))
+              .as(Seq("band", "bhash")))
+          .write.option("path", s"$indexPath/${tablePrefix}_bands")
+          .bucketBy(nBuckets, "band", "bhash")
+          .mode("append").saveAsTable(s"${tablePrefix}_bands")
+        kept.select(col(idCol).as("id"),
+            Dedup.shingleHashes(col(textCol), k).as("sh"))
+          .write.option("path", s"$indexPath/${tablePrefix}_shingles")
+          .bucketBy(nBuckets, "id")
+          .mode("append").saveAsTable(s"${tablePrefix}_shingles")
+      }
+    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
   }
 
   /** Stream → theta store: per-(window, key) serialized theta sketches.

@@ -372,6 +372,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(est == 3L, s"theta store-then-merge got $est, expected 3 distinct users")
   }
 
+  test("streaming near-dup ingest: intra-batch + corpus dedup, index grows across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    spark.sql("DROP TABLE IF EXISTS si_bands")
+    spark.sql("DROP TABLE IF EXISTS si_shingles")
+    // seed corpus: two known documents
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    graft.operators.Dedup.writeMinhashIndex(corpus, "doc_id", "text", "si", wh)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.streamingNearDupIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", "si", wh, s"$wh/kept")
+    try {
+      // batch 0: 10 = dup of corpus doc 1, 11+12 = intra-batch dups of each
+      // other, 13 = genuinely new
+      mem.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11L, "red orange yellow green blue indigo violet colors"),
+        (12L, "red orange yellow green blue indigo violet colors"),
+        (13L, "completely novel content about spark execution plans"))
+      q.processAllAvailable()
+      val kept0 = spark.read.parquet(s"$wh/kept")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept0 == Seq(11L, 13L), s"batch 0 kept $kept0")
+      // batch 1: a dup of batch 0's survivor must now hit the GROWN index
+      mem.addData(
+        (20L, "red orange yellow green blue indigo violet colors"),
+        (21L, "another genuinely fresh document body entirely"))
+      q.processAllAvailable()
+      val kept1 = spark.read.parquet(s"$wh/kept")
+        .filter(col("batch_id") === 1L)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept1 == Seq(21L), s"batch 1 kept $kept1")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS si_bands")
+      spark.sql("DROP TABLE IF EXISTS si_shingles")
+    }
+  }
+
   test("streaming dedup keeps first occurrence within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
