@@ -194,6 +194,45 @@ object SketchQueries {
           col("n_early") - col("n_intersect")).as("diff_ok"))
   }
 
+  /** User-set overlap between click and view events via `theta_jaccard` —
+    * the driver-visible query for the sketch-level Jaccard (the corpus-
+    * scale "how similar are these two sets" primitive). The estimate is
+    * `c_i / c_u` — intersection-retained over union-retained at the common
+    * θ — i.e. a BINOMIAL PROPORTION of c_u uniform samples with success
+    * probability J, so the in-query gate is the 4σ proportion bound
+    * |est − J| ≤ 4·√(J(1−J)/c_u) + 0.5/c_u (continuity slack; exact twins
+    * for J ride the same query). The sets are users active on Jan 1 vs
+    * Jan 2 — genuinely partial overlap (J ≈ 0.81 at sf0.01, not the
+    * degenerate J = 1 that any wide slice of this fixture gives) — and
+    * k=64 < |per-day user set| at sf0.01, so estimation mode genuinely
+    * engages; at sf0.001 the sketch is exact and est == J. */
+  def q77ThetaUserOverlap(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val ev = Tables.events(spark, dir)
+    def users(day: String) = ev
+      .filter(col("ts") >= lit(day).cast("timestamp") &&
+        col("ts") < lit(day).cast("timestamp") + expr("INTERVAL 1 DAY"))
+      .select(col("user_id"))
+    val nBoth = users("2024-01-01").distinct()
+      .join(users("2024-01-02").distinct(), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    val nEither = users("2024-01-01").union(users("2024-01-02"))
+      .agg(countDistinct(col("user_id")).as("n_either"))
+    def sk(day: String) = users(day)
+      .agg(GraftFunctions.theta_sketch_agg(col("user_id"), k = 64).as("sk"))
+    val est = sk("2024-01-01").select(col("sk").as("sa"))
+      .join(sk("2024-01-02").select(col("sk").as("sb")))
+      .select(theta_jaccard(col("sa"), col("sb")).as("est_j"),
+        theta_retained(GraftFunctions.theta_union(col("sa"), col("sb"))).as("c_u"))
+    val exactJ = col("n_both").cast("double") / col("n_either").cast("double")
+    est.join(nBoth).join(nEither)
+      .select(col("n_both"), col("n_either"),
+        (abs(col("est_j") - exactJ) <=
+          lit(4.0) * sqrt(exactJ * (lit(1.0) - exactJ) /
+            greatest(col("c_u").cast("double"), lit(1.0))) +
+          lit(0.5) / greatest(col("c_u").cast("double"), lit(1.0))).as("jaccard_ok"))
+  }
+
   /** Batch twin of the streaming windowed-distinct operator
     * ([[graft.streaming.StreamOps.windowedApproxDistinct]]): identical plan,
     * which is what makes the streaming surface oracle-checkable. LC with a
@@ -415,6 +454,7 @@ object SketchQueries {
     "q34_sketch_union" -> (q34SketchUnion _),
     "q35_sketch_intersection" -> (q35SketchIntersection _),
     "q72_theta_set_ops" -> (q72ThetaSetOps _),
+    "q77_theta_user_overlap" -> (q77ThetaUserOverlap _),
     "q62_heavy_hitters" -> (q62HeavyHitters _),
     "q63_topk_store_merge" -> (q63TopkStoreMerge _),
     "q65_approx_quantiles" -> (q65ApproxQuantiles _),
@@ -472,6 +512,15 @@ object SketchQueries {
         |  AND o_orderdate < TIMESTAMP '1999-01-01'""".stripMargin,
     // each order has exactly one date, so slice-set intersection = orders in
     // the overlap year and A \ B = orders in the early-only year
+    "q77_theta_user_overlap" ->
+      """WITH d1 AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'),
+        |d2 AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03')
+        |SELECT
+        |  (SELECT COUNT(*) FROM d1 WHERE user_id IN (SELECT user_id FROM d2)) AS n_both,
+        |  (SELECT COUNT(*) FROM (SELECT user_id FROM d1 UNION SELECT user_id FROM d2)) AS n_either,
+        |  true AS jaccard_ok""".stripMargin,
     "q72_theta_set_ops" ->
       """SELECT
         |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders
