@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{ApproxDistinct, ApproxQuantiles, ApproxTopK, BloomAgg, CosineSimilarity, HyperplaneLsh, LangId, MightContain, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion, ThetaDifference, ThetaEstimate, ThetaFraction, ThetaIntersect, ThetaJaccard, ThetaRetained, ThetaSketchAgg, ThetaUnion}
+import graft.functions.{CmEstimate, CmTotal, CountMinAgg}
 import graft.sketch.{KllDoubles, ThetaSketch}
 
 import org.apache.spark.sql.{Column, SparkSession}
@@ -138,6 +139,26 @@ object GraftFunctions {
   /** Jaccard similarity estimate |A∩B| / |A∪B| from two stored theta
     * sketches (see [[graft.functions.ThetaJaccard]]). */
   def theta_jaccard(a: Column, b: Column): Column = col(ThetaJaccard(expr(a), expr(b)))
+
+  /** `cm_sketch_agg(x, width, depth)` — serialized Count-Min sketch of a
+    * column (point-frequency estimates; see [[graft.sketch.CountMin]]). */
+  def cm_sketch_agg(c: Column, width: Int = graft.sketch.CountMin.DefaultWidth,
+      depth: Int = graft.sketch.CountMin.DefaultDepth): Column =
+    col(CountMinAgg(expr(c), Literal(width), Literal(depth)).toAggregateExpression())
+
+  /** Aggregate-merge of BINARY serialized Count-Min sketches
+    * (store-then-merge; additive — follow the append-once store discipline). */
+  def cm_merge_agg(c: Column, width: Int = graft.sketch.CountMin.DefaultWidth,
+      depth: Int = graft.sketch.CountMin.DefaultDepth): Column =
+    col(CountMinAgg(expr(c), Literal(width), Literal(depth), mergeBinary = true)
+      .toAggregateExpression())
+
+  /** `cm_estimate(bin, key)` — point-frequency estimate (never under). */
+  def cm_estimate(sketch: Column, key: Column): Column =
+    col(CmEstimate(expr(sketch), expr(key)))
+
+  /** `cm_total(bin)` — total offered weight of a stored count-min sketch. */
+  def cm_total(sketch: Column): Column = col(CmTotal(expr(sketch)))
 
   /** `bloom_agg(x, numBits, numHashes)` — serialized Bloom filter of a
     * column (the runtime-filter build side; see [[graft.functions.BloomAgg]]). */
@@ -283,6 +304,26 @@ object GraftFunctions {
       arity("theta_difference", 2)(e => ThetaDifference(e(0), e(1)))),
     ("theta_jaccard", "theta_jaccard(a, b) - Jaccard similarity estimate of two theta sketches",
       arity("theta_jaccard", 2)(e => ThetaJaccard(e(0), e(1)))),
+    ("cm_sketch_agg", "cm_sketch_agg(x[, width[, depth]]) - serialized Count-Min frequency sketch",
+      es => (es.length match {
+        case 1 => new CountMinAgg(es.head)
+        case 2 => new CountMinAgg(es(0), es(1))
+        case 3 => CountMinAgg(es(0), es(1), es(2))
+        case _ => throw new IllegalArgumentException(
+          "cm_sketch_agg requires 1 to 3 arguments: (x[, width[, depth]])")
+      }).toAggregateExpression()),
+    ("cm_merge_agg", "cm_merge_agg(bin[, width[, depth]]) - merge stored Count-Min sketches",
+      es => (es.length match {
+        case 1 => new CountMinAgg(es.head).copy(mergeBinary = true)
+        case 2 => new CountMinAgg(es(0), es(1)).copy(mergeBinary = true)
+        case 3 => CountMinAgg(es(0), es(1), es(2), mergeBinary = true)
+        case _ => throw new IllegalArgumentException(
+          "cm_merge_agg requires 1 to 3 arguments: (bin[, width[, depth]])")
+      }).toAggregateExpression()),
+    ("cm_estimate", "cm_estimate(bin, key) - point-frequency estimate from a Count-Min sketch",
+      arity("cm_estimate", 2)(e => CmEstimate(e(0), e(1)))),
+    ("cm_total", "cm_total(bin) - total offered weight of a Count-Min sketch",
+      arity("cm_total", 1)(e => CmTotal(e.head))),
     ("bloom_agg", "bloom_agg(x[, numBits[, numHashes]]) - build a Bloom filter of a column",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(c) => new BloomAgg(c)

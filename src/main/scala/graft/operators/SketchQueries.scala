@@ -233,6 +233,26 @@ object SketchQueries {
           lit(0.5) / greatest(col("c_u").cast("double"), lit(1.0))).as("jaccard_ok"))
   }
 
+  /** Point-frequency estimates from a stored Count-Min sketch, probed for
+    * every event type — the "how often did THIS key occur" complement of
+    * the q62 heavy-hitter view. The 5-key domain against a 4096-wide,
+    * depth-5 sketch is collision-free for the engine's fixed hash seeds,
+    * so estimates equal exact counts DETERMINISTICALLY and the oracle gate
+    * is strict (the never-underestimate law would hold regardless). The
+    * one-row sketch broadcast-joins to the key list — at 100 TB the probe
+    * side is whatever key set you ask about, never a rescan. */
+  def q78CmFrequencies(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val ev = Tables.events(spark, dir)
+    val sk = ev.agg(GraftFunctions.cm_sketch_agg(col("event_type")).as("sk"))
+    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    exact.join(sk)
+      .select(col("event_type"), col("n_events"),
+        (GraftFunctions.cm_estimate(col("sk"), col("event_type")) ===
+          col("n_events")).as("est_ok"))
+      .orderBy("event_type")
+  }
+
   /** Batch twin of the streaming windowed-distinct operator
     * ([[graft.streaming.StreamOps.windowedApproxDistinct]]): identical plan,
     * which is what makes the streaming surface oracle-checkable. LC with a
@@ -455,6 +475,7 @@ object SketchQueries {
     "q35_sketch_intersection" -> (q35SketchIntersection _),
     "q72_theta_set_ops" -> (q72ThetaSetOps _),
     "q77_theta_user_overlap" -> (q77ThetaUserOverlap _),
+    "q78_cm_frequencies" -> (q78CmFrequencies _),
     "q62_heavy_hitters" -> (q62HeavyHitters _),
     "q63_topk_store_merge" -> (q63TopkStoreMerge _),
     "q65_approx_quantiles" -> (q65ApproxQuantiles _),
@@ -512,6 +533,9 @@ object SketchQueries {
         |  AND o_orderdate < TIMESTAMP '1999-01-01'""".stripMargin,
     // each order has exactly one date, so slice-set intersection = orders in
     // the overlap year and A \ B = orders in the early-only year
+    "q78_cm_frequencies" ->
+      """SELECT event_type, COUNT(*) AS n_events, true AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q77_theta_user_overlap" ->
       """WITH d1 AS (SELECT DISTINCT user_id FROM events
         |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'),

@@ -1,0 +1,119 @@
+package graft.sketch
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+/** Count-Min sketch (Cormode, Muthukrishnan 2005 "An Improved Data Stream
+  * Summary: The Count-Min Sketch and its Applications") — point-frequency
+  * estimates over arbitrary keys in `depth × width` counters, the
+  * complement of SpaceSaving's top-k view: SpaceSaving answers "which items
+  * are frequent", Count-Min answers "how often did THIS item occur" for
+  * any item, long after the raw data is gone.
+  *
+  * Guarantees for a stream of total weight N:
+  *  - never underestimates: est(x) ≥ true(x) always;
+  *  - est(x) ≤ true(x) + ε·N with probability ≥ 1 − δ, where ε = e/width
+  *    and δ = e^−depth (d=5, w=4096 → ε ≈ 6.6e−4, δ ≈ 6.7e−3).
+  *
+  * Merge is pointwise counter ADDITION — distributive, so partial
+  * aggregation is exact and stored sketches re-aggregate, but (like
+  * SpaceSaving/KLL and unlike HLL/theta) the merge is NOT idempotent:
+  * stores must follow the append-once discipline
+  * ([[graft.streaming.StreamOps]] batch_id partitions).
+  *
+  * Row hashes use Kirsch–Mitzenmacher double hashing over one 64-bit input
+  * hash (h1 + i·h2 per row i) — the same construction as
+  * [[BloomFilter]] — so one hash per update feeds all `depth` rows.
+  */
+final class CountMin(val depth: Int, val width: Int) extends Serializable {
+  require(depth >= 1 && depth <= 16, s"count-min depth must be in [1,16], got $depth")
+  require(width >= 16, s"count-min width must be >= 16, got $width")
+  require((width & (width - 1)) == 0, s"count-min width must be a power of 2, got $width")
+
+  private[graft] val counters = new Array[Long](depth * width)
+  /** Total offered weight (for the ε·N bound; survives merge). */
+  private[graft] var n: Long = 0L
+
+  private def mask: Int = width - 1
+
+  def offerHash(hash: Long): Unit = offerHash(hash, 1L)
+
+  def offerHash(hash: Long, weight: Long): Unit = {
+    require(weight > 0, s"count-min weight must be positive, got $weight")
+    n += weight
+    val h1 = hash
+    val h2 = (hash >>> 32) | 1L // odd increment -> all rows distinct
+    var i = 0
+    while (i < depth) {
+      val pos = ((h1 + i * h2) & Long.MaxValue) & mask
+      counters(i * width + pos.toInt) += weight
+      i += 1
+    }
+  }
+
+  /** Point estimate: the minimum counter across rows (≥ true count). */
+  def estimateHash(hash: Long): Long = {
+    val h1 = hash
+    val h2 = (hash >>> 32) | 1L
+    var min = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val pos = ((h1 + i * h2) & Long.MaxValue) & mask
+      val c = counters(i * width + pos.toInt)
+      if (c < min) min = c
+      i += 1
+    }
+    min
+  }
+
+  def totalWeight: Long = n
+
+  def mergeInPlace(other: CountMin): Unit = {
+    if (other.depth != depth || other.width != width)
+      throw new SketchMergeException(
+        s"cannot merge count-min sketches of different shape: " +
+          s"${depth}x$width vs ${other.depth}x${other.width}")
+    var i = 0
+    while (i < counters.length) { counters(i) += other.counters(i); i += 1 }
+    n += other.n
+  }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(17 + 8 * counters.length)
+    val out = new DataOutputStream(bos)
+    out.writeByte(CountMin.WireTag)
+    out.writeInt(depth)
+    out.writeInt(width)
+    out.writeLong(n)
+    var i = 0
+    while (i < counters.length) { out.writeLong(counters(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object CountMin {
+  val WireTag: Byte = 0x43 // 'C'; other sketch families use their own tags
+  val DefaultDepth = 5
+  val DefaultWidth = 4096
+
+  def deserialize(bytes: Array[Byte]): CountMin = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val tag = in.readByte()
+    if (tag != WireTag)
+      throw new SketchMergeException(
+        f"not a count-min sketch: wire tag 0x$tag%02x (expected 0x$WireTag%02x)")
+    val depth = in.readInt()
+    val width = in.readInt()
+    if (depth < 1 || depth > 16 || width < 16 || (width & (width - 1)) != 0)
+      throw new SketchMergeException(s"corrupted count-min sketch: ${depth}x$width")
+    if (bytes.length != 17 + 8 * depth * width)
+      throw new SketchMergeException(
+        s"corrupted count-min sketch: ${bytes.length} bytes for ${depth}x$width")
+    val cm = new CountMin(depth, width)
+    cm.n = in.readLong()
+    var i = 0
+    while (i < cm.counters.length) { cm.counters(i) = in.readLong(); i += 1 }
+    if (cm.n < 0) throw new SketchMergeException(s"corrupted count-min sketch: n=${cm.n}")
+    cm
+  }
+}

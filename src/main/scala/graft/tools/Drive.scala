@@ -69,6 +69,11 @@ object Drive {
         |WHERE might_contain((SELECT bloom_agg(l_orderkey, 65536, 7)
         |                     FROM lineitem WHERE l_orderkey < 100), l_orderkey)
         |""".stripMargin).show(false)
+    spark.sql(
+      """SELECT l_returnflag AS k,
+        |  cm_estimate((SELECT cm_sketch_agg(l_returnflag) FROM lineitem), l_returnflag) AS cm_est,
+        |  COUNT(*) AS exact
+        |FROM lineitem GROUP BY l_returnflag ORDER BY k""".stripMargin).show(false)
 
     println("== probe: approx_top_k capacity < k ==")
     try spark.sql("SELECT approx_top_k(l_returnflag, 10, 5) FROM lineitem").collect()
