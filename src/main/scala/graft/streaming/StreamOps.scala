@@ -316,6 +316,25 @@ object StreamOps {
     startStoreSink(agg, "update", path, checkpoint)
   }
 
+  /** Stream → frequency store: one serialized Count-Min sketch per
+    * finalized window. Counter addition is ADDITIVE, so the same
+    * append-once discipline as [[topkStoreSink]]/[[kllStoreSink]] applies
+    * (append mode + required watermark + idempotent `batch_id`
+    * partitions); readers re-aggregate with `cm_merge_agg` and probe with
+    * `cm_estimate`. */
+  def cmStoreSink(events: DataFrame, tsCol: String, keyCol: String,
+      windowDur: String, path: String, watermark: String,
+      width: Int = graft.sketch.CountMin.DefaultWidth,
+      depth: Int = graft.sketch.CountMin.DefaultDepth,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    GraftFunctions.register(events.sparkSession)
+    val agg = events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(GraftFunctions.cm_sketch_agg(col(keyCol), width, depth).as("sk"))
+      .select(col("w.start").as("window_start"), col("sk"))
+    startStoreSink(agg, "append", path, checkpoint)
+  }
+
   /** Stream → quantile store: one serialized KLL sketch per finalized
     * window. Same additive-merge discipline as [[topkStoreSink]]: append
     * mode + required watermark (exactly one write per window) + idempotent

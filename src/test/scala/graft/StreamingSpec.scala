@@ -349,6 +349,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(top == Seq(("click", 2L), ("view", 1L)), top.toString)
   }
 
+  test("cm store sink: append-once windows re-aggregate to probeable one-pass counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import GraftFunctions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cm-store").toString
+    val mem = MemoryStream[Ev]
+    val q = graft.streaming.StreamOps.cmStoreSink(mem.toDF(), "ts", "event_type",
+      "10 minutes", s"$dir/store", watermark = "5 minutes", width = 256, depth = 5)
+    try {
+      mem.addData(Ev(t(1), 1, "click", 1.0), Ev(t(2), 2, "click", 1.0),
+        Ev(t(3), 3, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(16), 4, "scroll", 1.0)) // watermark past window 1
+      q.processAllAvailable()
+      mem.addData(Ev(t(17), 5, "scroll", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val est = spark.read.parquet(s"$dir/store")
+      .filter($"window_start" === t(0))
+      .agg(cm_merge_agg($"sk", 256, 5).as("sk"))
+      .select(cm_estimate($"sk", lit("click")).as("c"),
+        cm_estimate($"sk", lit("view")).as("v")).head()
+    assert((est.getLong(0), est.getLong(1)) == ((2L, 1L)), est.toString)
+  }
+
   test("theta store sink: cumulative snapshots re-aggregate idempotently") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
