@@ -70,6 +70,23 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Weighted Bernoulli sample: keep a row iff u < min(1, rate·w) — each
+    * row's inclusion probability proportional to its weight (clamped at 1),
+    * deterministic in the row KEY exactly like [[deterministicSample]].
+    * The training-mix use: weight = token count or quality score, so
+    * higher-value documents are over-sampled REPRODUCIBLY — same sample
+    * under any partitioning, rerun, or corpus growth, and externally
+    * auditable. Prefer a power-of-two `1/rate` (the q79 oracle uses
+    * w/2048): scaling by 2^−k only shifts the exponent, so the threshold
+    * is bit-identical in every IEEE engine and membership stays
+    * hash-exact, not approximately-equal. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+      ratePerUnit: Double, seed: Long = 42L): DataFrame = {
+    require(ratePerUnit > 0, s"ratePerUnit must be positive, got $ratePerUnit")
+    df.filter(uniformFromKey(col(keyCol), seed) <
+      least(lit(1.0), weight.cast("double") * lit(ratePerUnit)))
+  }
+
   /** Stratified document sample — 50% of en, 20% of every other language —
     * emitting the member ids themselves: the oracle recomputes the EXACT
     * member set from first principles (md5 → uniform → threshold), so the
@@ -91,18 +108,30 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
       .orderBy("lang", "split")
 
+  /** Length-weighted document sample: inclusion probability n_chars/2048
+    * (clamped at 1) — longer documents over-sampled in exact proportion.
+    * 2048 is a power of two, so the per-row threshold is the exact scaling
+    * of an exact integer and the oracle recomputes the IDENTICAL member
+    * set (strict hash gate on membership, like q70). */
+  def q79WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir), "doc_id", col("n_chars"),
+        1.0 / 2048.0)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stratified_sample" -> (q70StratifiedSample _),
-    "q71_split_by_key" -> (q71SplitByKey _))
+    "q71_split_by_key" -> (q71SplitByKey _),
+    "q79_weighted_sample" -> (q79WeightedSample _))
 
   /** CTE computing the uniform draw per document, reproduced from first
     * principles (same md5 derivation as the q46 simhash oracle). */
   private def uniformCte(seed: Long): String =
     s"""WITH h AS (
-       |  SELECT doc_id, lang, substr(md5(doc_id::VARCHAR || ':$seed'), 1, 16) AS s
+       |  SELECT doc_id, lang, n_chars, substr(md5(doc_id::VARCHAR || ':$seed'), 1, 16) AS s
        |  FROM documents),
        |d AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, lang, n_chars,
        |    ((list_sum([ (strpos('0123456789abcdef', s[i]) - 1)::HUGEINT * (1::HUGEINT << (4*(16-i)))
        |                 FOR i IN range(1, 17) ]) >> 11))::DOUBLE / 9007199254740992.0 AS u
        |  FROM h)""".stripMargin
@@ -120,5 +149,10 @@ object Sampling {
          |SELECT lang,
          |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'eval' ELSE 'test' END AS split,
          |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
-         |FROM d GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)
+         |FROM d GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q79_weighted_sample" ->
+      s"""${uniformCte(42L)}
+         |SELECT doc_id, n_chars FROM d
+         |WHERE u < LEAST(1.0, n_chars / 2048.0)
+         |ORDER BY doc_id""".stripMargin)
 }

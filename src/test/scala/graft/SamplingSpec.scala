@@ -59,6 +59,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(sub == full)
   }
 
+  test("weighted sample: inclusion tracks weight, invariant under partitioning") {
+    val df = (1L to 30000L).map(k => (k, (k % 100 + 1) * 20)).toDF("k", "w")
+    val got = Sampling.weightedSample(df, "k", $"w", 1.0 / 2048.0)
+      .select("k").as[Long].collect().toSet
+    // rate sanity: E[|S|] = sum(min(1, w/2048)) over rows
+    val expectedMass = (1L to 30000L)
+      .map(k => math.min(1.0, (k % 100 + 1) * 20 / 2048.0)).sum
+    assert(math.abs(got.size - expectedMass) / expectedMass < 0.05,
+      s"${got.size} vs expected ~$expectedMass")
+    // heavier rows sample more often: top weight decile vs bottom decile
+    val heavy = got.count(k => k % 100 >= 90) / 3000.0
+    val light = got.count(k => k % 100 < 10) / 3000.0
+    assert(heavy > 5 * light, s"heavy=$heavy light=$light")
+    // membership is a pure function of the key: any partitioning agrees
+    val repartitioned = Sampling.weightedSample(df.repartition(17), "k", $"w", 1.0 / 2048.0)
+      .select("k").as[Long].collect().toSet
+    assert(repartitioned == got)
+  }
+
   test("stratified fractions are honored per stratum") {
     val df = (1L to 30000L).map(k => (k, if (k % 3 == 0) "en" else "de")).toDF("k", "lang")
     val got = Sampling.stratifiedSample(df, "lang", "k", Map("en" -> 0.5, "de" -> 0.1))
