@@ -60,6 +60,11 @@ object Stress {
       df.agg(GraftFunctions.approx_quantiles(col("v"), Seq(0.5, 0.95)).getItem(0)) }
     time("graft bloom_agg build (1M b)") {
       df.agg(length(GraftFunctions.bloom_agg(col("v"), 1048576, 7))) }
+    time("graft cm_sketch_agg (4096x5)") {
+      df.agg(length(GraftFunctions.cm_sketch_agg(col("v")))) }
+    time("graft theta_sketch_agg (4096)") {
+      df.agg(GraftFunctions.theta_estimate(
+        GraftFunctions.theta_sketch_agg(col("v")))) }
 
     // text kernels: synthetic ~12-word docs, throughput of the per-row
     // expressions that dominate a dedup/text-analysis pass
