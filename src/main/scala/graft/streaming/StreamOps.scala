@@ -6,6 +6,10 @@ import graft.operators.Dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** One ranked entry of [[StreamOps.runningTopK]]'s per-key state output
+  * (same field names as the `approx_top_k` result struct). */
+case class TopKEntry(item: String, est: Long, err: Long)
+
 /** Structured Streaming surface (SURVEY §2b "streaming"): the sketch
   * aggregate is a commutative monoid, so it drops into windowed streaming
   * aggregation unchanged — partial sketches live in the state store and merge
@@ -200,6 +204,37 @@ object StreamOps {
           batchId: Long) => idempotentBatchWrite(batch, path, batchId)
       }
     checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
+  }
+
+  /** Running (lifetime) per-key heavy hitters via explicit state — the
+    * SpaceSaving analogue of [[runningApproxDistinct]]: one serialized
+    * capacity-bounded summary per key in the state store, merged with each
+    * micro-batch's rows and re-emitted as the current top-k (update mode).
+    * State is O(capacity) per key forever, no matter the stream length;
+    * state bytes use the engine's wire format, so checkpointed state and
+    * the topk store are interchangeable. Identical on a batch frame (state
+    * starts empty — one group pass), which keeps it oracle-checkable. */
+  def runningTopK(events: DataFrame, keyCol: String, itemCol: String,
+      k: Int = 10, capacity: Int = 1024): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cap = capacity
+    val kk = k
+    val out = events
+      .select(col(keyCol).cast("string").as("key"), col(itemCol).cast("string").as("item"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Seq[TopKEntry])](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val ss =
+            if (state.exists) graft.sketch.SpaceSaving.deserialize(state.get)
+            else new graft.sketch.SpaceSaving(cap)
+          rows.foreach { case (_, item) => if (item != null) ss.offer(item) }
+          state.update(ss.serialize())
+          (key, ss.topK(kk).map { case (item, est, err) => TopKEntry(item, est, err) })
+      }
+    out.toDF(keyCol, "topk")
   }
 
   /** Stream → sketch store: write each micro-batch's per-key sketches (the

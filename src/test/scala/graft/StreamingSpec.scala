@@ -349,6 +349,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(top == Seq(("click", 2L), ("view", 1L)), top.toString)
   }
 
+  test("running top-k via mapGroupsWithState accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = graft.streaming.StreamOps
+      .runningTopK(mem.toDF(), "event_type", "user_id", k = 3, capacity = 64)
+      .writeStream.outputMode("update").format("memory").queryName("rtopk").start()
+    try {
+      mem.addData(Ev(t(1), 1, "click", 1.0), Ev(t(2), 1, "click", 1.0),
+        Ev(t(3), 2, "click", 1.0))
+      q.processAllAvailable()
+      // second batch extends the SAME lifetime state: user 2 overtakes
+      mem.addData(Ev(t(4), 2, "click", 1.0), Ev(t(5), 2, "click", 1.0))
+      q.processAllAvailable()
+      val top = spark.sql(
+        """SELECT e.item, e.est FROM (
+          |  SELECT explode(topk) AS e FROM rtopk WHERE event_type = 'click')""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // update-mode memory sink appends each batch's emission; only the
+      // second emission can know user 2's lifetime count of 3
+      assert(top.contains(("2", 3L)), s"got $top")
+      assert(top.contains(("1", 2L)), s"got $top")
+    } finally q.stop()
+  }
+
   test("cm store sink: append-once windows re-aggregate to probeable one-pass counts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
