@@ -52,8 +52,13 @@ object Stress {
     time("graft approx_top_k(10,1024)") {
       zipf.agg(GraftFunctions.approx_top_k(col("s"), 10, 1024)
         .getItem(0).getField("est")) }
+    // exact percentile materializes per-partition value buffers — at 50M+
+    // rows on a loaded box that's a GC storm that can kill the whole
+    // harness, so this comparison line is bounded (the approx lines below
+    // still run at full n, which is the point being measured)
+    val dfPct = if (n > 20000000L) df.limit(20000000) else df
     time("exact percentile p50/p95") {
-      df.agg(expr("percentile(v, array(0.5, 0.95))").getItem(0)) }
+      dfPct.agg(expr("percentile(v, array(0.5, 0.95))").getItem(0)) }
     time("spark approx_percentile") {
       df.agg(expr("approx_percentile(v, array(0.5D, 0.95D), 1000)").getItem(0)) }
     time("graft approx_quantiles") {
