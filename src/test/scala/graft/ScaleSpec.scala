@@ -117,6 +117,32 @@ class ScaleSpec extends AnyFunSuite {
       "un-partitioned window reappeared")
   }
 
+  test("salted join plan: in the non-broadcast regime the shuffle key includes the salt") {
+    // q73's 5-row dim broadcasts at test scale (no join shuffle at all —
+    // even better); the salted shape matters when the dim CAN'T broadcast,
+    // so that's the regime this plan test pins
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ev = Tables.events(spark, sf)
+      val dim = ev.select(col("event_type")).distinct()
+      val plan = graft.operators.Skew.saltedJoin(ev, dim, "event_type", nSalts = 8)
+        .queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(event_type[^)]*__salt".r.findFirstIn(plan).isDefined,
+        s"join does not shuffle on (event_type, __salt):\n${plan.take(2000)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("gopher gate plan: one bigram shuffle, token chars stay a projection") {
+    val docs = Tables.documents(spark, sf)
+    val plan = graft.operators.TextAnalysis.gopherBigramGate(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // token chars must come from the per-row aggregate() over the token
+    // array — no explode of raw tokens anywhere in this plan
+    assert(!plan.contains("explode(filter(split"),
+      s"token-level explode crept back into the gate:\n${plan.take(2000)}")
+    assert(plan.contains("word_shingles"), "bigram kernel missing")
+  }
+
   test("q64 plan: bloom probe filters the fact scan before the join") {
     val plan = graft.operators.RuntimeFilter.q64BloomSemiJoin(spark, sf)
       .queryExecution.executedPlan.toString
