@@ -65,9 +65,9 @@ case class CountMinAgg(
     if (!integral)
       return TypeCheckResult.TypeCheckFailure(
         s"$prettyName: width and depth must be integral literals")
-    if (width < 16 || (width & (width - 1)) != 0)
+    if (width < 16 || width > CountMin.MaxWidth || (width & (width - 1)) != 0)
       return TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: width must be a power of 2 >= 16, got $width")
+        s"$prettyName: width must be a power of 2 in [16, ${CountMin.MaxWidth}], got $width")
     if (depth < 1 || depth > 16)
       return TypeCheckResult.TypeCheckFailure(
         s"$prettyName: depth must be in [1,16], got $depth")

@@ -279,6 +279,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // un-converged labels are not "approximate", they are WRONG (some node
+    // is not yet carrying its component minimum) — fail loudly rather than
+    // return them; a graph needing this many rounds has diameter > maxIter
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter — rounds needed = graph diameter")
     labels
   }
 

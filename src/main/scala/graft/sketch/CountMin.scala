@@ -26,7 +26,8 @@ import java.io.{ByteArrayOutputStream, DataOutputStream}
   */
 final class CountMin(val depth: Int, val width: Int) extends Serializable {
   require(depth >= 1 && depth <= 16, s"count-min depth must be in [1,16], got $depth")
-  require(width >= 16, s"count-min width must be >= 16, got $width")
+  require(width >= 16 && width <= CountMin.MaxWidth,
+    s"count-min width must be in [16, ${CountMin.MaxWidth}], got $width")
   require((width & (width - 1)) == 0, s"count-min width must be a power of 2, got $width")
 
   private[graft] val counters = new Array[Long](depth * width)
@@ -95,6 +96,10 @@ object CountMin {
   val WireTag: Byte = 0x43 // 'C'; other sketch families use their own tags
   val DefaultDepth = 5
   val DefaultWidth = 4096
+  /** 2^22 counters per row = 32 MiB/row at depth 1 — beyond this a single
+    * aggregation buffer stops being a "summary"; bound it at validation
+    * rather than OOMing inside an executor. */
+  val MaxWidth = 1 << 22
 
   def deserialize(bytes: Array[Byte]): CountMin = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
@@ -104,7 +109,8 @@ object CountMin {
         f"not a count-min sketch: wire tag 0x$tag%02x (expected 0x$WireTag%02x)")
     val depth = in.readInt()
     val width = in.readInt()
-    if (depth < 1 || depth > 16 || width < 16 || (width & (width - 1)) != 0)
+    if (depth < 1 || depth > 16 || width < 16 || width > MaxWidth ||
+        (width & (width - 1)) != 0)
       throw new SketchMergeException(s"corrupted count-min sketch: ${depth}x$width")
     if (bytes.length != 17 + 8 * depth * width)
       throw new SketchMergeException(

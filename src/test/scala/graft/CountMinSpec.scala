@@ -80,9 +80,12 @@ class CountMinSpec extends AnyFunSuite {
       .head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(global, merged))
 
-    // validation: non-power-of-2 width fails analysis cleanly
+    // validation: non-power-of-2 and oversized widths fail analysis cleanly
     val e = intercept[Exception](
       spark.sql("SELECT cm_sketch_agg(v, 1000) FROM cm_t").collect())
     assert(e.getMessage.contains("power of 2"), e.getMessage)
+    val big = intercept[Exception](
+      spark.sql("SELECT cm_sketch_agg(v, 8388608) FROM cm_t").collect())
+    assert(big.getMessage.contains("width"), big.getMessage)
   }
 }

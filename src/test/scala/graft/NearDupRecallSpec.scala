@@ -58,6 +58,10 @@ class NearDupRecallSpec extends AnyFunSuite {
     val path = (0L until 9L).map(i => (i + 1, i)).toDF("id_a", "id_b")
     val pathComps = Dedup.connectedComponents(path).as[(Long, Long)].collect().toMap
     assert(pathComps.values.toSet == Set(0L), pathComps.toString)
+    // un-converged labels are wrong answers: the operator must refuse them
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(path, maxIter = 3))
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
 
   test("dedupByPairs keeps exactly one representative per cluster plus all singletons") {
