@@ -338,7 +338,13 @@ object Dedup {
     *    candidate rows.
     *
     * `k`/`numPerms`/`bands` must match between index build and probe (they
-    * define the hash family). */
+    * define the hash family).
+    *
+    * Catalog note: `saveAsTable` registers the tables in the session
+    * catalog; with the default in-memory catalog that registration is
+    * session-scoped (the parquet + bucket spec persist on disk, the NAME
+    * does not) — production deployments pair this with a persistent
+    * metastore, exactly as they would for any bucketed table. */
   def writeMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
       tablePrefix: String, path: String, k: Int = 3, numPerms: Int = 64,
       bands: Int = 16, nBuckets: Int = 32): Unit = {
