@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *    codegen'd column expressions; only (band, bandHash) pairs shuffle, so
   *    candidate generation is a bucket join, never an all-pairs product;
   *  - SimHash near-dup: one 64-bit value per doc ([[graft.functions.SimHash]]),
-  *    candidates blocked on 16-bit chunks (any-chunk-equal covers Hamming
-  *    distance ≤ 3 by pigeonhole over 4 chunks), verified with the codegen'd
+  *    candidates blocked on chunk-subset multi-index keys (all
+  *    (m−d)-subsets of an m-way chunk split cover Hamming ≤ d by
+  *    pigeonhole — Manku et al., WWW 2007), verified with the codegen'd
   *    `bit_count(a ^ b)`;
   *  - n-gram Jaccard: exact verification metric for LSH candidates.
   *
@@ -115,25 +116,70 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Near-duplicate pairs via SimHash: 16-bit chunk blocking + Hamming
-    * verify. Returns (id_a, id_b, hamming). Any-chunk-equal over 4 chunks
-    * finds EVERY pair at Hamming ≤ 3 (pigeonhole), so the result is exactly
-    * {pairs : hamming(simhash_a, simhash_b) ≤ maxHamming} for maxHamming ≤ 3.
+  /** Chunk widths for an `m`-way split of 64 bits: the first `64 % m`
+    * chunks take the extra bit (e.g. m = 6 → 11,11,11,11,10,10). */
+  private[graft] def chunkWidths(m: Int): Array[Int] = {
+    val base = 64 / m
+    Array.tabulate(m)(i => if (i < 64 % m) base + 1 else base)
+  }
+
+  /** Multi-index blocking keys for exact Hamming ≤ `maxHamming` search over
+    * a 64-bit fingerprint column (Manku, Jain & Das Sarma, WWW 2007 §3):
+    * split the fingerprint into `m` chunks and emit one packed key per
+    * (m − maxHamming)-subset of chunks. The guarantee is COMPUTED, not
+    * assumed: `maxHamming` differing bits corrupt at most `maxHamming`
+    * chunks, so at least m − maxHamming chunks survive intact, so at least
+    * one emitted subset is fully intact on both sides — every qualifying
+    * pair shares a (subset, key) bucket. Returns (subsetIdx, packedKey)
+    * expressions; key selectivity is ≈ 64·(m−maxHamming)/m bits vs the
+    * 64/m bits of single-chunk blocking, which is what keeps bucket
+    * populations bounded as the corpus grows. */
+  private def hammingBlockKeys(sim: Column, m: Int, maxHamming: Int): Seq[Column] = {
+    val widths = chunkWidths(m)
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until m).combinations(m - maxHamming).map { s =>
+      s.foldLeft(lit(0L)) { (acc, c) =>
+        shiftleft(acc, widths(c)).bitwiseOR(
+          shiftright(sim, offsets(c)).bitwiseAND(lit((1L << widths(c)) - 1)))
+      }
+    }.toSeq
+  }
+
+  /** Near-duplicate pairs via SimHash: chunk-subset multi-index blocking +
+    * Hamming verify. Returns (id_a, id_b, hamming) — exactly
+    * {pairs : hamming(simhash_a, simhash_b) ≤ maxHamming}, by the
+    * [[hammingBlockKeys]] pigeonhole argument, for ANY corpus size (recall
+    * does not depend on data distribution, only the cap can drop candidates
+    * and the drop is an observed metric).
+    *
+    * `numChunks` trades index size against bucket selectivity: keys per doc
+    * = C(m, m−maxHamming), key width ≈ 64·(m−maxHamming)/m bits. The
+    * default m = maxHamming + 3 gives C(m,3) keys of ≈ 64·(1 − d/m) bits —
+    * for the d = 3 default: 20 keys of 32 bits, vs the naive 4×16-bit
+    * single-chunk split (the m = d + 1 point of the same family) whose
+    * 16-bit buckets grow linearly with the corpus. 5× the index rows buys
+    * 2^16× finer buckets — measured at sf0.1: max bucket 291 → 14.
+    *
     * `md5Hash = true` switches the token hash to the MD5-derived variant,
     * which an external engine can recompute bit-exactly (the q46 oracle
     * does — see [[graft.functions.SimHash]]). */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 256,
-      md5Hash: Boolean = false): DataFrame = {
+      md5Hash: Boolean = false, numChunks: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 13,
+      s"maxHamming must be in [0, 13], got $maxHamming")
+    val m = if (numChunks == 0) maxHamming + 3 else numChunks
+    require(m > maxHamming && m <= 16,
+      s"numChunks ($m) must satisfy maxHamming < numChunks <= 16")
     GraftFunctions.register(docs.sparkSession)
     val simFn: Column => Column =
       if (md5Hash) GraftFunctions.simhash_md5 else GraftFunctions.simhash
     val withSim = docs.select(col(idCol).as("id"),
       simFn(TextAnalysis.tokens(col(textCol))).as("sim"))
-    val chunks = withSim.select(col("id"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "cval")))
-    val cand = Buckets.candidatePairs(chunks, Seq("chunk", "cval"), "id",
+    val keys = withSim.select(col("id"),
+      posexplode(array(hammingBlockKeys(col("sim"), m, maxHamming): _*))
+        .as(Seq("blk", "bkey")))
+    val cand = Buckets.candidatePairs(keys, Seq("blk", "bkey"), "id",
       maxBucketSize, "simhash_bucket_cap")
     // simhashes re-joined by id for the Hamming verify (payload never rides
     // the pair explosion)
@@ -171,21 +217,18 @@ object Dedup {
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs, hash-exactly oracle-gated: with the MD5 token
-    * hash the fingerprint is engine-independent, and 4×16-bit chunk blocking
-    * provably finds every Hamming ≤ 3 pair — so the output IS the exact set
-    * {(a,b) : popcount(simhash_a ^ simhash_b) ≤ 3}, which DuckDB recomputes
-    * from first principles (md5 → ±1 bit votes → fingerprint → all-pairs
-    * popcount at oracle scale). No thresholds, no approximation envelope.
-    *
-    * The bucket cap is raised to 4096: exactness needs the cap above the
-    * LARGEST real chunk bucket (measured 291 at sf0.1 — similar prefixes
-    * concentrate in one 16-bit chunk value), and bucket size grows ~linearly
-    * with corpus size at fixed 16-bit chunks. At real scale the knob is
-    * chunk width/count (wider chunks → more, smaller buckets for the same
-    * Hamming radius), not an uncapped quadratic bucket. */
+    * hash the fingerprint is engine-independent, and chunk-subset
+    * multi-index blocking provably finds every Hamming ≤ 3 pair — so the
+    * output IS the exact set {(a,b) : popcount(simhash_a ^ simhash_b) ≤ 3},
+    * which DuckDB recomputes from first principles (md5 → ±1 bit votes →
+    * fingerprint → all-pairs popcount at oracle scale). No thresholds, no
+    * approximation envelope. Runs at the DEFAULT bucket cap: the 32-bit
+    * subset keys keep real buckets tiny (max 14 at sf0.1, vs 291 under the
+    * old 16-bit single-chunk split that needed a 4096 cap), and ScaleSpec
+    * pins that bound. */
   def q46SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashNearDupPairs(Tables.documents(spark, dir).filter(col("text").isNotNull),
-        "doc_id", "text", md5Hash = true, maxBucketSize = 4096)
+        "doc_id", "text", md5Hash = true)
       .orderBy("id_a", "id_b")
 
   /** N-gram (3-shingle) Jaccard for a fixed doc pair sample: every pair of

@@ -14,7 +14,7 @@ class NearDupRecallSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
-  test("simhash chunk blocking has perfect recall at hamming <= 3 (pigeonhole)") {
+  test("simhash multi-index blocking has perfect recall at hamming <= 3 (pigeonhole)") {
     val docs = Tables.documents(spark, sf)
     // exhaustive ground truth: per-doc simhash, all pairs, hamming <= 3
     GraftFunctions.register(spark)
@@ -27,8 +27,22 @@ class NearDupRecallSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val found = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // <= 3 differing bits over 4 chunks of 16 => at least one chunk equal
+    // <= 3 corrupted chunks of 6 => at least one 3-chunk subset intact
     assert(found == truth, s"missing=${truth -- found} extra=${found -- truth}")
+    // the same guarantee must hold at every (maxHamming, numChunks) the
+    // operator accepts — spot-check a non-default geometry
+    val found8 = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, numChunks = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found8 == truth, s"m=8: missing=${truth -- found8} extra=${found8 -- truth}")
+  }
+
+  test("simhash blocking rejects geometries that cannot carry the guarantee") {
+    val docs = Tables.documents(spark, sf)
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3, numChunks = 3))
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 14))
   }
 
   test("minhash LSH finds every high-jaccard pair (detection prob ~1 at j>=0.9)") {

@@ -143,6 +143,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("word_shingles"), "bigram kernel missing")
   }
 
+  test("simhash multi-index buckets stay tiny at 100x test scale (cap never engages)") {
+    // the old 4x16-bit single-chunk split measured a 291-doc hot bucket at
+    // sf0.1 (needed a 4096 cap for exactness); the 32-bit subset keys must
+    // keep every real bucket far below the 256 default cap, so exactness
+    // holds with no per-corpus tuning
+    val pairs = graft.operators.Dedup.q46SimhashPairs(spark, "/root/testdata/sf0.1")
+    pairs.collect()
+    val metric = pairs.queryExecution.observedMetrics("simhash_bucket_cap")
+    assert(metric.getAs[Long]("dropped_rows") == 0L,
+      s"default cap dropped candidates at sf0.1: $metric")
+    assert(metric.getAs[Long]("max_bucket_size") <= 32L,
+      s"hot bucket re-emerging under multi-index blocking: $metric")
+  }
+
   test("q64 plan: bloom probe filters the fact scan before the join") {
     val plan = graft.operators.RuntimeFilter.q64BloomSemiJoin(spark, sf)
       .queryExecution.executedPlan.toString
