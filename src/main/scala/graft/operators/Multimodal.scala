@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * struct — the layout a 100 TB training-data lake uses (media bytes inline
   * or as object-store pointers; metadata queryable without decoding). The
   * Spark-side plumbing — schema, partitioning, batched per-partition
-  * processing, frame explosion — is real and tested; the codec itself is a
-  * clearly marked deterministic STUB because no image/audio libraries exist
-  * in this environment. Swapping `stubDecode` for a real decoder changes no
-  * plan shape: it stays a per-partition, batch-at-a-time map with no shuffle.
+  * processing, frame explosion — is real and tested. The IMAGE codec is
+  * real too: JDK `javax.imageio.ImageIO` (PNG/JPEG, zero extra
+  * dependencies) decodes bytes into true dimensions and a pixel-derived
+  * feature vector. Audio/video decode stays a clearly marked deterministic
+  * STUB (no media libraries in this environment); swapping it in changes
+  * no plan shape — decode is a per-partition, batch-at-a-time map with no
+  * shuffle either way.
   */
 object Multimodal {
 
@@ -25,21 +28,61 @@ object Multimodal {
   case class MediaRow(media_id: Long, format: String, media: Array[Byte],
       width: Int, height: Int, n_frames: Int)
 
+  /** `width`/`height` are DECODED dimensions (from the bytes, not metadata);
+    * -1 where the codec is stubbed (audio/video) or the bytes don't parse. */
   case class MediaFeatures(media_id: Long, format: String,
-      features: Array[Float], n_bytes: Long)
+      width: Int, height: Int, features: Array[Float], n_bytes: Long)
 
-  /** Deterministic synthetic media table derived from `documents`: the text
-    * bytes stand in for encoded media, with format/dimensions derived from
-    * doc_id. Lets the plumbing be exercised on driver-provided data only. */
+  // ImageIO's default stream cache is a temp FILE per decode — pure
+  // overhead for in-memory byte arrays on executors
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic synthetic PNG: a real, decodable image whose pixel at
+    * (x, y) is a fixed function of (id, x, y) — so tests and oracles know
+    * the decoded dimensions AND pixel content by construction. */
+  private[graft] def makePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x + id) & 0xFF).toInt
+        val g = ((y + 2 * id) & 0xFF).toInt
+        val b = (x ^ y) & 0xFF
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val makePngUdf = udf(makePng _)
+
+  /** Deterministic synthetic media table derived from `documents`: image
+    * rows carry REAL PNG bytes (decodable only by actually parsing them —
+    * [[extractFeatures]] never sees the metadata columns), audio/video rows
+    * carry text bytes as opaque stand-ins. Dimensions are small (≤ 79×59)
+    * so fixture generation stays off any hot path. */
   def syntheticMediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("format"),
-      encode(col("text"), "UTF-8").as("media"),
-      (col("doc_id") % 640 + 64).cast("int").as("width"),
-      (col("doc_id") % 480 + 48).cast("int").as("height"),
+      col("text"),
+      (col("doc_id") % 64 + 16).cast("int").as("width"),
+      (col("doc_id") % 48 + 12).cast("int").as("height"),
       (col("doc_id") % 24 + 1).cast("int").as("n_frames"))
+      // when() evaluates lazily per row: the PNG encoder runs only on image
+      // rows, and not at all in plans that filter them out (e.g. q61)
+      .withColumn("media",
+        when(col("format") === "image",
+          makePngUdf(col("media_id"), col("width"), col("height")))
+          .otherwise(encode(col("text"), "UTF-8")))
+      .select("media_id", "format", "media", "width", "height", "n_frames")
 
   /** Real-world ingestion path: a directory of raw media files via Spark's
     * `binaryFile` source, mapped into the engine's media schema. Format is
@@ -66,8 +109,39 @@ object Multimodal {
       .withColumn("n_frames", lit(1))
       .select("media_id", "format", "media", "width", "height", "n_frames", "path", "n_bytes")
 
-  /** STUB decoder: a real build replaces this with an image/audio codec.
-    * Deterministic: features are a folded byte histogram, normalized. The
+  /** REAL image decode via JDK ImageIO (PNG/JPEG/GIF/BMP — whatever the
+    * installed readers handle): true dimensions plus an L1-normalized
+    * [[FeatureDim]]-bin luminance histogram computed from the actual
+    * pixels (ITU-R BT.601 integer weights). Returns None when the bytes
+    * are not a parseable image — callers fall back to the stub, so a
+    * corrupt file degrades to weaker features instead of failing the job. */
+  private[graft] def decodeImage(media: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](FeatureDim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(lum * FeatureDim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        Some((w, h, hist.map(_ / n)))
+      }
+    } catch { case _: Exception => None }
+
+  /** STUB decoder for the formats with no codec in this environment
+    * (audio/video): features are a folded byte histogram, normalized. The
     * signature — bytes in, fixed-dim float vector out — is the real one. */
   private def stubDecode(media: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](FeatureDim)
@@ -82,7 +156,10 @@ object Multimodal {
 
   /** Batched per-partition feature extraction. The batching (accumulate
     * `batchSize` rows, process together, emit) mirrors the arrow-batch shape
-    * a vectorized decoder wants; no shuffle, no driver involvement. */
+    * a vectorized decoder wants; no shuffle, no driver involvement. Image
+    * rows go through the real ImageIO decode (true width/height + pixel
+    * histogram); other formats — and undecodable image bytes — take the
+    * stub with width = height = -1. */
   def extractFeatures(media: DataFrame,
       batchSize: Int = DefaultBatchSize): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -90,9 +167,13 @@ object Multimodal {
     media.select("media_id", "format", "media").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // a real decoder would process the whole batch in one native call
+          // a real native decoder would process the whole batch in one call
           batch.iterator.map { case (id, fmt, bytes) =>
-            MediaFeatures(id, fmt, stubDecode(bytes), bytes.length.toLong)
+            val decoded = if (fmt == "image") decodeImage(bytes) else None
+            decoded match {
+              case Some((w, h, f)) => MediaFeatures(id, fmt, w, h, f, bytes.length.toLong)
+              case None => MediaFeatures(id, fmt, -1, -1, stubDecode(bytes), bytes.length.toLong)
+            }
           }
         }
       }
@@ -115,18 +196,22 @@ object Multimodal {
   def declareResize(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("target_width", lit(w)).withColumn("target_height", lit(h))
 
-  // ---- declared queries (rows-only: stub decoder is engine-specific) ----
+  // ---- declared queries ----
 
-  /** Oracle-gated: media_id/format/n_bytes all pass through the batched
-    * mapPartitions decode, so the plumbing (schema, batching, row fan-out)
-    * is verified even though the stub feature VALUES are engine-specific
-    * (those are covered by MultimodalSpec). A validity check on the feature
-    * vector (fixed dim, L1-normalized) is folded in as a boolean. */
+  /** Oracle-gated INCLUDING the real decode: image rows' decoded_width /
+    * decoded_height come out of ImageIO parsing the actual PNG bytes —
+    * [[extractFeatures]] never sees the metadata columns, so matching the
+    * oracle's formula proves the codec genuinely decoded the image. Non-
+    * image rows (stub codec) report -1. A validity check on the feature
+    * vector (fixed dim, L1-normalized — true for both codec paths) is
+    * folded in as a boolean; exact pixel-level feature values are pinned
+    * by MultimodalSpec. */
   def q60MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(syntheticMediaTable(spark, dir))
       .toDF()
-      .select(col("media_id"), col("format"), col("n_bytes"),
+      .select(col("media_id"), col("format"),
+        col("width").as("decoded_width"), col("height").as("decoded_height"),
         (size(col("features")) === FeatureDim &&
           abs(aggregate(col("features").cast("array<double>"), lit(0.0d),
             (acc, x) => acc + x) - 1.0d) < 0.001d).as("features_valid"))
@@ -143,14 +228,18 @@ object Multimodal {
     "q60_media_features" -> (q60MediaFeatures _),
     "q61_frame_sample" -> (q61FrameSample _))
 
-  /** The stub feature values are engine-specific, but metadata and vector
-    * validity are SQL-expressible, so both queries are oracle-gated. */
+  /** The decoded image dimensions are SQL-expressible because the fixture
+    * PNGs are generated FROM the metadata formula — the oracle recomputes
+    * the formula, the engine must recover the same numbers by actually
+    * parsing the PNG. Stub-path feature values are engine-specific; vector
+    * validity is the SQL-checkable part. */
   val oracles: Map[String, String] = Map(
     "q60_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
-        |  CAST(LENGTH(text) AS BIGINT) AS n_bytes,
-        |  LENGTH(text) > 0 AS features_valid
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 16 AS INT) ELSE -1 END AS decoded_width,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 12 AS INT) ELSE -1 END AS decoded_height,
+        |  CASE WHEN doc_id % 3 = 0 THEN TRUE ELSE LENGTH(text) > 0 END AS features_valid
         |FROM documents ORDER BY media_id""".stripMargin,
     "q61_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,

@@ -21,6 +21,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fmts == Set("image", "audio", "video"))
   }
 
+  test("ImageIO decodes a generated PNG bit-exactly (dims + pixel histogram)") {
+    // expected features computed straight from the pixel formula, never
+    // touching PNG bytes; the decode path must reproduce them exactly
+    // after a full encode -> parse round trip
+    val (id, w, h) = (7L, 5, 3)
+    val hist = new Array[Float](Multimodal.FeatureDim)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = (((x + id) & 0xFF).toInt, ((y + 2 * id) & 0xFF).toInt, (x ^ y) & 0xFF)
+      val lum = (r * 299 + g * 587 + b * 114) / 1000
+      hist(lum * Multimodal.FeatureDim / 256) += 1f
+    }
+    val expected = hist.map(_ / (w * h).toFloat).toSeq
+    val Some((dw, dh, feats)) = Multimodal.decodeImage(Multimodal.makePng(id, w, h))
+    assert((dw, dh) == ((w, h)))
+    assert(feats.toSeq == expected, s"got ${feats.toSeq} want $expected")
+    // non-image bytes must degrade to None, not throw
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("image rows decode to true dimensions; stub formats report -1") {
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMediaTable(spark, sf))
+      .collect()
+    feats.foreach { r =>
+      if (r.format == "image") {
+        assert(r.width == (r.media_id % 64 + 16).toInt, s"media ${r.media_id}")
+        assert(r.height == (r.media_id % 48 + 12).toInt, s"media ${r.media_id}")
+      } else assert(r.width == -1 && r.height == -1, s"media ${r.media_id}")
+    }
+  }
+
   test("feature extraction: fixed dim, normalized, deterministic") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMediaTable(spark, sf))
     val rows = feats.collect()
