@@ -147,10 +147,14 @@ object GraftFunctions {
     col(CountMinAgg(expr(c), Literal(width), Literal(depth)).toAggregateExpression())
 
   /** Aggregate-merge of BINARY serialized Count-Min sketches
-    * (store-then-merge; additive — follow the append-once store discipline). */
-  def cm_merge_agg(c: Column, width: Int = graft.sketch.CountMin.DefaultWidth,
-      depth: Int = graft.sketch.CountMin.DefaultDepth): Column =
-    col(CountMinAgg(expr(c), Literal(width), Literal(depth), mergeBinary = true)
+    * (store-then-merge; additive — follow the append-once store discipline).
+    * Takes no width/depth: the stored sketches carry their own shape. CM
+    * counters genuinely cannot re-bin, so sketches of DIFFERENT shapes in
+    * one store raise a [[graft.sketch.SketchMergeException]] at merge time
+    * (unlike SpaceSaving/KLL/theta, which widen to the weaker parameter). */
+  def cm_merge_agg(c: Column): Column =
+    col(CountMinAgg(expr(c), Literal(graft.sketch.CountMin.DefaultWidth),
+      Literal(graft.sketch.CountMin.DefaultDepth), mergeBinary = true)
       .toAggregateExpression())
 
   /** `cm_estimate(bin, key)` — point-frequency estimate (never under). */
@@ -312,13 +316,13 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "cm_sketch_agg requires 1 to 3 arguments: (x[, width[, depth]])")
       }).toAggregateExpression()),
-    ("cm_merge_agg", "cm_merge_agg(bin[, width[, depth]]) - merge stored Count-Min sketches",
+    // no width/depth: stored sketches carry their shape; mixed shapes can't
+    // re-bin, so they fail the merge with a SketchMergeException
+    ("cm_merge_agg", "cm_merge_agg(bin) - merge stored Count-Min sketches (shapes must match)",
       es => (es.length match {
         case 1 => new CountMinAgg(es.head).copy(mergeBinary = true)
-        case 2 => new CountMinAgg(es(0), es(1)).copy(mergeBinary = true)
-        case 3 => CountMinAgg(es(0), es(1), es(2), mergeBinary = true)
         case _ => throw new IllegalArgumentException(
-          "cm_merge_agg requires 1 to 3 arguments: (bin[, width[, depth]])")
+          "cm_merge_agg requires exactly 1 argument: (bin)")
       }).toAggregateExpression()),
     ("cm_estimate", "cm_estimate(bin, key) - point-frequency estimate from a Count-Min sketch",
       arity("cm_estimate", 2)(e => CmEstimate(e(0), e(1)))),

@@ -16,9 +16,14 @@ final class CountMinBuffer(var sketch: CountMin) extends Serializable
 /** `cm_sketch_agg(x[, width[, depth]])` — aggregate a column into a
   * serialized Count-Min sketch ([[graft.sketch.CountMin]]); `cm_merge_agg`
   * re-aggregates stored sketches (store-then-merge, additive like
-  * SpaceSaving/KLL). Probe with the scalar `cm_estimate(bin, key)` —
-  * the key is hashed with the same typed kernel as the aggregate input,
-  * so probes must use the same column TYPE the sketch was built from. */
+  * SpaceSaving/KLL). The merge variant takes no width/depth — stored
+  * sketches carry their shape, and counters of different shapes cannot be
+  * re-binned (unlike SpaceSaving/KLL/theta, which widen to the weaker
+  * parameter), so a mixed-shape store fails the merge with a clean
+  * [[graft.sketch.SketchMergeException]]. Probe with the scalar
+  * `cm_estimate(bin, key)` — the key is hashed with the same typed kernel
+  * as the aggregate input, so probes must use the same column TYPE the
+  * sketch was built from. */
 case class CountMinAgg(
     child: Expression,
     widthExpr: Expression,

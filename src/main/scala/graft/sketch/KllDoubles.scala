@@ -20,6 +20,11 @@ import scala.collection.mutable.ArrayBuffer
   * the randomized compaction choices, with the same error bound on the
   * merged weight, so partial aggregation and store-then-merge re-aggregation
   * are both safe (the same contract as [[Hll]] / [[SpaceSaving]]).
+  * MIXED k merge to the smaller one (the KLL error analysis only needs the
+  * compaction schedule from the merge point on, so adopting the coarser
+  * geometry keeps the min-k bound — the same convention as the published
+  * DataSketches implementation): a store accumulated across a k
+  * reconfiguration stays readable, weakest vintage governing the error.
   *
   * Compaction coin-flips come from a counter-seeded deterministic PRNG:
   * the SAME sketch state always compacts the same way (reproducible runs),
@@ -30,8 +35,13 @@ import scala.collection.mutable.ArrayBuffer
   * the smallest cumulative weight ≥ q·n, which is what the rank-error
   * guarantee speaks about.
   */
-final class KllDoubles(val k: Int) extends Serializable {
-  require(k >= 8 && k <= 65535, s"kll k must be in [8, 65535], got $k")
+final class KllDoubles(initialK: Int) extends Serializable {
+  require(initialK >= 8 && initialK <= 65535,
+    s"kll k must be in [8, 65535], got $initialK")
+
+  /** Shrinks (only) when a smaller-k sketch is merged in. */
+  private var _k: Int = initialK
+  def k: Int = _k
 
   // levels(i): items of weight 2^i; kept sorted except level 0
   private[graft] var levels: ArrayBuffer[ArrayBuffer[Double]] =
@@ -86,9 +96,9 @@ final class KllDoubles(val k: Int) extends Serializable {
   }
 
   def mergeInPlace(other: KllDoubles): Unit = {
-    if (other.k != k)
-      throw new SketchMergeException(
-        s"cannot merge KLL sketches of different k: $k vs ${other.k}")
+    // mixed k merge to the smaller: the ensuing compress() re-compacts this
+    // sketch to the coarser geometry, and the min-k error bound governs
+    if (other.k < _k) _k = other.k
     while (levels.length < other.levels.length) levels += ArrayBuffer.empty[Double]
     var lvl = 0
     while (lvl < other.levels.length) {

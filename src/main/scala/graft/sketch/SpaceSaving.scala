@@ -25,6 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * with err ≤ (n1+n2)/m, so partial aggregation and sketch re-aggregation
   * (store-then-merge) are both safe.
   *
+  * MIXED capacities merge to the smaller one: trimming to m' ≤ m is the
+  * same keep-top-m' step the overflow path already performs (Agarwal et
+  * al.'s summary-size reduction), and the result carries the guarantees at
+  * m' — so a store accumulated across a capacity reconfiguration stays
+  * readable, with the weakest vintage governing the error bound.
+  *
   * Hot-path design: keys are [[UTF8String]]s — hashCode/equals compare
   * bytes, so a buffer-backed value straight from a Spark row probes the map
   * with ZERO decoding or allocation; bytes are cloned only when an item is
@@ -38,8 +44,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * entry whose snapshot matches its live estimate is a true minimum.
   * Amortized O(log m) per eviction, O(1) per hit.
   */
-final class SpaceSaving(val capacity: Int) extends Serializable {
-  require(capacity >= 1, s"approx_top_k capacity must be >= 1, got $capacity")
+final class SpaceSaving(initialCapacity: Int) extends Serializable {
+  require(initialCapacity >= 1,
+    s"approx_top_k capacity must be >= 1, got $initialCapacity")
+
+  /** Shrinks (only) when a smaller-capacity summary is merged in. */
+  private var _capacity: Int = initialCapacity
+  def capacity: Int = _capacity
 
   /** est and err per tracked item; `key` is the map's own (owned) key, so
     * heap maintenance never has to re-clone a row-buffer-backed probe. */
@@ -112,11 +123,11 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
     }
   }
 
-  /** Merge `other` into this summary (see class doc for the guarantee). */
+  /** Merge `other` into this summary (see class doc for the guarantee).
+    * Mixed capacities are legal: the result trims to min(capacity) and
+    * carries the guarantees at that size. */
   def mergeInPlace(other: SpaceSaving): Unit = {
-    if (other.capacity != capacity)
-      throw new SketchMergeException(
-        s"cannot merge approx_top_k summaries of different capacity: $capacity vs ${other.capacity}")
+    val newCap = math.min(_capacity, other.capacity)
     val minSelf = if (evicted) minEstimate() else 0L
     val minOther = if (other.evicted) other.minEstimate() else 0L
     val merged = new mutable.HashMap[UTF8String, Entry]
@@ -130,9 +141,10 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
       if (!entries.contains(k)) merged.put(k, new Entry(k, o.est + minSelf, o.err + minSelf))
     }
     entries.clear()
-    if (merged.size > capacity) {
+    _capacity = newCap
+    if (merged.size > newCap) {
       evicted = true
-      merged.toSeq.sortBy { case (k, e) => (-e.est, k) }.take(capacity)
+      merged.toSeq.sortBy { case (k, e) => (-e.est, k) }.take(newCap)
         .foreach { case (k, e) => entries.put(k, e) }
     } else {
       evicted = evicted || other.evicted

@@ -75,10 +75,22 @@ class CountMinSpec extends AnyFunSuite {
     val global = spark.sql("SELECT cm_sketch_agg(v, 256, 5) FROM cm_t")
       .head().getAs[Array[Byte]](0)
     val merged = spark.sql(
-      """SELECT cm_merge_agg(sk, 256, 5) FROM (
+      """SELECT cm_merge_agg(sk) FROM (
         |  SELECT g, cm_sketch_agg(v, 256, 5) AS sk FROM cm_t GROUP BY g)""".stripMargin)
       .head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(global, merged))
+
+    // the merge variant takes no shape args (stored sketches carry theirs)
+    val arity = intercept[Exception](
+      spark.sql("SELECT cm_merge_agg(sk, 256, 5) FROM (SELECT cm_sketch_agg(v) AS sk FROM cm_t)").collect())
+    assert(arity.getMessage.contains("exactly 1 argument"), arity.getMessage)
+    // CM counters cannot re-bin: a mixed-shape store fails loudly, not wrong
+    val mixed = intercept[Exception](
+      spark.sql(
+        """SELECT cm_merge_agg(sk) FROM (
+          |  SELECT cm_sketch_agg(v, 256, 5) AS sk FROM cm_t
+          |  UNION ALL SELECT cm_sketch_agg(v, 512, 5) FROM cm_t)""".stripMargin).collect())
+    assert(mixed.getMessage.contains("cannot merge"), mixed.getMessage)
 
     // validation: non-power-of-2 and oversized widths fail analysis cleanly
     val e = intercept[Exception](

@@ -54,7 +54,7 @@ class KllSpec extends AnyFunSuite {
     assert(s.quantile(1.0) == 9.0)
   }
 
-  test("merge of split streams keeps the envelope; k mismatch fails") {
+  test("merge of split streams keeps the envelope; mixed k adopts the smaller") {
     val rnd = new scala.util.Random(23)
     val data = Array.fill(300000)(rnd.nextGaussian() * 100)
     val parts = data.grouped(50000).toSeq
@@ -63,10 +63,20 @@ class KllSpec extends AnyFunSuite {
     assert(merged.n == data.length)
     val err = maxRankError(data, merged)
     assert(err <= testEps, s"merged max rank error $err > $testEps")
-    val e = intercept[SketchMergeException] {
-      new KllDoubles(64).mergeInPlace(new KllDoubles(128))
+    // two vintages of one store (k reconfigured 256 -> 64 mid-stream):
+    // the merge adopts min k and must satisfy the min-k rank-error bound
+    val eps64 = testEps * 4 // eps ~ 1/k, and min k is 4x smaller here
+    for ((kA, kB) <- Seq((256, 64), (64, 256))) {
+      val a = new KllDoubles(kA)
+      val b = new KllDoubles(kB)
+      data.take(150000).foreach(a.update)
+      data.drop(150000).foreach(b.update)
+      a.mergeInPlace(b)
+      assert(a.k == 64, s"merged k ${a.k}")
+      assert(a.n == data.length)
+      val e2 = maxRankError(data, a)
+      assert(e2 <= eps64, s"mixed-k($kA,$kB) max rank error $e2 > $eps64")
     }
-    assert(e.getMessage.contains("different k"))
   }
 
   test("serialization round-trips mid-stream; corrupted payloads fail cleanly") {

@@ -55,6 +55,58 @@ class SpaceSavingSpec extends AnyFunSuite {
       assert(tracked.contains(k), s"heavy item $k (count ${exact(k)}) missing"))
   }
 
+  test("mixed-capacity merge trims to min(capacity) and keeps its bounds") {
+    // two vintages of one store: capacity reconfigured 512 -> 128 mid-stream
+    val (itemsA, _) = stream(31, 60000, 3000)
+    val (itemsB, _) = stream(32, 60000, 3000)
+    val exact = (itemsA ++ itemsB).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    for ((capA, capB) <- Seq((512, 128), (128, 512))) {
+      val a = new SpaceSaving(capA)
+      itemsA.foreach(a.offer)
+      val b = new SpaceSaving(capB)
+      itemsB.foreach(b.offer)
+      a.mergeInPlace(b)
+      val m = math.min(capA, capB)
+      assert(a.capacity == m, s"merged capacity ${a.capacity}, want $m")
+      val n = (itemsA.size + itemsB.size).toLong
+      a.topK(m).foreach { case (item, est, err) =>
+        val t = exact.getOrElse(item, 0L)
+        assert(t <= est, s"$item true=$t est=$est")
+        assert(est - err <= t, s"$item est-err=${est - err} true=$t")
+        assert(err <= n / m + 1, s"$item err=$err bound=${n / m}")
+      }
+      // heavy items (count > n/m) survive the trim
+      val tracked = a.topK(m).map(_._1).toSet
+      exact.filter(_._2 > n / m).keys.foreach(k =>
+        assert(tracked.contains(k), s"heavy item $k missing after trim to $m"))
+    }
+  }
+
+  test("topk_merge_agg over a mixed-capacity store returns the trimmed answer") {
+    GraftFunctions.register(spark)
+    val (items, exact) = stream(33, 40000, 200)
+    val df = items.zipWithIndex
+      .map { case (it, i) => (if (i % 2 == 0) "old" else "new", it) }
+      .toDF("vintage", "item")
+    // old vintage stored at capacity 64, new at 256 — one store, two shapes
+    val store = df.filter($"vintage" === "old")
+      .agg(GraftFunctions.topk_sketch_agg($"item", 64).as("s"))
+      .union(df.filter($"vintage" === "new")
+        .agg(GraftFunctions.topk_sketch_agg($"item", 256).as("s")))
+    val top = store.agg(GraftFunctions.topk_merge_agg($"s", 5, 256).as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item", $"e.est", $"e.err").as[(String, Long, Long)].collect()
+    assert(top.length == 5, s"expected a trimmed answer, got ${top.length} rows")
+    // estimates still bracket the true counts
+    top.foreach { case (item, est, err) =>
+      val t = exact.getOrElse(item, 0L)
+      assert(t <= est && est - err <= t, s"$item true=$t est=$est err=$err")
+    }
+    // the stream's heaviest item must lead
+    assert(top.head._1 == exact.maxBy(_._2)._1)
+  }
+
   test("merge of split streams keeps bounds; merge without evictions is exact") {
     val (items, exact) = stream(3, 60000, 3000)
     val m = 512
@@ -112,10 +164,10 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("wire tag"))
     val trunc = bytes.take(6)
     intercept[Exception](SpaceSaving.deserialize(trunc))
-    val e2 = intercept[SketchMergeException] {
-      val a = new SpaceSaving(8); val b = new SpaceSaving(16); a.mergeInPlace(b)
-    }
-    assert(e2.getMessage.contains("capacity"))
+    // mixed capacities are NOT an error: they trim to the smaller summary
+    val a = new SpaceSaving(8); val b = new SpaceSaving(16)
+    a.mergeInPlace(b)
+    assert(a.capacity == 8)
   }
 
   test("approx_top_k via SQL and Column API: exact regime equals GROUP BY") {

@@ -393,7 +393,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     val est = spark.read.parquet(s"$dir/store")
       .filter($"window_start" === t(0))
-      .agg(cm_merge_agg($"sk", 256, 5).as("sk"))
+      .agg(cm_merge_agg($"sk").as("sk"))
       .select(cm_estimate($"sk", lit("click")).as("c"),
         cm_estimate($"sk", lit("view")).as("v")).head()
     assert((est.getLong(0), est.getLong(1)) == ((2L, 1L)), est.toString)
