@@ -290,18 +290,27 @@ object Dedup {
     * component's minimum id. Rounds needed = graph diameter, and near-dup
     * graphs are quasi-cliques of tiny diameter, so the driver loop exits
     * after 2–3 rounds on real data (each round is one join + one min-agg —
-    * the standard MapReduce connected-components shape). Each round's label
-    * table is `localCheckpoint`ed: iterative DataFrame algorithms MUST
-    * truncate lineage or the logical plan doubles per round and planning
-    * itself blows up long before the data does (on a cluster with an
-    * unreliable executor set, swap in reliable `checkpoint`). Returns
-    * `(id, comp)` for every node that appears in an edge; isolated docs are
-    * implicitly their own singleton cluster. */
+    * the standard MapReduce connected-components shape).
+    *
+    * ONE action per round: the changed-label count rides the round's own
+    * checkpoint job as an observed metric (`Dataset.observe` on the
+    * aggregated labels, old label recovered from the union's own-label row),
+    * instead of a second join+count action re-reading the label tables.
+    * Each round's label table is `localCheckpoint`ed — iterative DataFrame
+    * algorithms MUST truncate lineage or the logical plan doubles per round
+    * and planning itself blows up long before the data does (on a cluster
+    * with an unreliable executor set, swap in reliable `checkpoint`) — and
+    * the PREVIOUS round's blocks are unpersisted once the new round is
+    * materialized, so cached state stays O(1) rounds, not O(all rounds).
+    *
+    * Ids keep their native type (string/UUID doc ids propagate fine — `min`
+    * is defined on any orderable type); only `id_a`/`id_b` must agree.
+    * Returns `(id, comp)` for every node that appears in an edge; isolated
+    * docs are implicitly their own singleton cluster. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(edges
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
@@ -312,23 +321,36 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val neighborLabels = sym
         .join(labels.select(col("id").as("dst"), col("comp").as("cand")), "dst")
-        .select(col("src").as("id"), col("cand"))
-      val next = labels.select(col("id"), col("comp").as("cand"))
+        .select(col("src").as("id"), col("cand"), lit(false).as("__own"))
+      // each id contributes exactly one __own row (its current label), so
+      // min(cand WHERE __own) IS the old label — no second pass needed
+      val computed = labels.select(col("id"), col("comp").as("cand"), lit(true).as("__own"))
         .union(neighborLabels)
-        .groupBy("id").agg(min("cand").as("comp"))
-        .localCheckpoint(true)
-      changed = next.join(labels.select(col("id"), col("comp").as("__old")), "id")
-        .filter(col("comp") =!= col("__old")).count()
+        .groupBy("id").agg(min("cand").as("comp"),
+          min(when(col("__own"), col("cand"))).as("__old"))
+        .observe("cc_changed",
+          coalesce(sum(when(col("comp") =!= col("__old"), 1L).otherwise(0L)), lit(0L))
+            .as("n"))
+        .select("id", "comp")
+      // the metric lives on computed's plan; the checkpoint call executes
+      // that plan, so reading it afterwards costs no extra action
+      val next = computed.localCheckpoint(true)
+      changed = computed.queryExecution.observedMetrics("cc_changed").getAs[Long]("n")
+      labels.unpersist()
       labels = next
       iter += 1
     }
     // un-converged labels are not "approximate", they are WRONG (some node
     // is not yet carrying its component minimum) — fail loudly rather than
     // return them; a graph needing this many rounds has diameter > maxIter
-    if (changed > 0)
+    if (changed > 0) {
+      labels.unpersist()
+      sym.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing); raise maxIter — rounds needed = graph diameter")
+    }
+    sym.unpersist()
     labels
   }
 

@@ -78,6 +78,41 @@ class NearDupRecallSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
 
+  test("connectedComponents keeps native id types (string doc ids cluster correctly)") {
+    val edges = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges)
+      .as[(String, String)].collect().toMap
+    assert(comps == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"),
+      comps.toString)
+  }
+
+  test("connectedComponents runs one action per round: no separate convergence count") {
+    // listenerManager is per-session, so a fresh session isolates this
+    // test's actions from concurrently running suites
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val actions = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        actions.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    s2.listenerManager.register(listener)
+    try {
+      val path = (0L until 6L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+      val comps = Dedup.connectedComponents(path).as[(Long, Long)].collect().toMap
+      assert(comps.values.toSet == Set(0L))
+      Thread.sleep(1000) // listener bus delivery is async
+      val counts = actions.toArray.map(_.toString).count(_ == "count")
+      assert(counts == 0,
+        s"convergence should ride the checkpoint job, saw $counts count() actions " +
+          s"(all actions: ${actions.toArray.mkString(",")})")
+    } finally s2.listenerManager.unregister(listener)
+  }
+
   test("dedupByPairs keeps exactly one representative per cluster plus all singletons") {
     import graft.operators.Dedup
     val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "body")
