@@ -238,7 +238,7 @@ object Similarity {
 
   /** Persist an IVF index: the centroid model at `path/centroids` and the
     * assignments — the INVERTED LISTS — at `path/lists`, written
-    * `partitionBy("cid")`. This is what turns [[ivfTopK]]'s scan-fraction
+    * `partitionBy("batch_id", "cid")`. This is what turns [[ivfTopK]]'s scan-fraction
     * claim into a demonstrated plan property: a probe against the persisted
     * index reads only the `nProbe` probed `cid=` partitions
     * (PartitionFilters prune the rest at file-listing time, ~nProbe/
@@ -256,8 +256,39 @@ object Similarity {
     model.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    base.withColumn("cid", ivfAssignCol(model))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    // batch_id above cid: the base build is batch 0, ingest appends land as
+    // later batches ([[ivfAppendBatch]]); cid pruning is unaffected (any
+    // partition level prunes at file-listing time)
+    base.withColumn("batch_id", lit(0L)).withColumn("cid", ivfAssignCol(model))
+      .write.mode("overwrite").partitionBy("batch_id", "cid").parquet(s"$path/lists")
+  }
+
+  /** Append one ingest batch to a persisted IVF index WITHOUT retraining or
+    * touching existing lists — the ingestion-shaped maintenance path
+    * (mirrors what `writeMinhashIndex` + `nearDupAgainstIndex` do for
+    * text): assign the batch against the STORED centroid model (map-only,
+    * one small parquet read + one write of just the batch) and land it
+    * under its own `batch_id=` partition inside the same `cid=` layout.
+    * Dynamic-partition overwrite makes a replayed batch overwrite itself
+    * instead of duplicating vectors — the engine's standard at-least-once
+    * store discipline. Probes ([[ivfQueryTopK]]) see appended vectors
+    * through the same cid-pruned read immediately; re-run
+    * [[ivfBuildIndex]] only when drift makes the frozen centroids a bad
+    * quantizer (standard IVF practice). */
+  def ivfAppendBatch(newEmb: DataFrame, idCol: String, embCol: String,
+      path: String, batchId: Long): Unit = {
+    require(batchId > 0L, s"batch_id 0 is the base build; appends start at 1 (got $batchId)")
+    val spark = newEmb.sparkSession
+    val model = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getAs[Long]("cid"), rowToVec(r, r.fieldIndex("cv"))))
+    require(model.nonEmpty, s"no centroid model at $path/centroids")
+    newEmb.select(col(idCol).as("id"), col(embCol).as("v"))
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("cid", ivfAssignCol(model))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cid")
+      .parquet(s"$path/lists")
   }
 
   /** Load the persisted model and return the probe cids for a query vector
