@@ -1,0 +1,96 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.sources.Tables
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** sf1 stress bench for the headline shuffle-heavy queries (q01 scan-agg,
+  * q18 star join, q45 minhash pairs, q75/q76 clustering pipelines) — one
+  * scale step above the driver's sf0.1 bench gate, to observe the
+  * AQE/shuffle regime the pinned plans claim to survive.
+  *
+  * The sf1 tables are synthesized once under /tmp/graft_sf1 by replicating
+  * sf0.1 ten times with consistently shifted keys (lineitem/orders/customer
+  * keep referential integrity; documents get a per-replica suffix token so
+  * replicas are NEAR-duplicates — ~0.97 Jaccard — which turns q45/q75/q76
+  * into a genuine 50k-doc, ~quarter-million-edge dedup workload, the
+  * crawl-with-duplicates shape those operators exist for).
+  *
+  * Usage: sbt "runMain graft.tools.Sf1Bench [runs]"
+  */
+object Sf1Bench {
+  private val Src = "/root/testdata/sf0.1"
+  private val Out = "/tmp/graft_sf1"
+  private val Queries = Seq("q01_pricing_summary", "q18_star_join",
+    "q45_minhash_pairs", "q75_near_dup_clusters", "q76_curation_v2")
+
+  def main(args: Array[String]): Unit = {
+    val runs = if (args.nonEmpty) args(0).toInt else 3
+    val spark = SparkSession.builder().master("local[32]").appName("graft-sf1")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$Out/lineitem.parquet").exists()) generate(spark)
+
+    val results = Queries.map { name =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, Out)
+        val n = df.collect().length
+        val secs = (System.nanoTime() - t0) / 1e9
+        (secs, n, df)
+      }
+      val median = times.map(_._1).sorted.apply(runs / 2)
+      // AQE observations from the final adaptive plan
+      val plan = times.last._3.queryExecution.executedPlan.toString
+      val aqe = Seq(
+        if (plan.contains("AQEShuffleRead")) Some("coalesced-read") else None,
+        if (plan.contains("skewed=")) Some("skew-split") else None)
+        .flatten.mkString("+")
+      println(f"SF1BENCH $name%-24s median=${median}%7.3f s rows=${times.last._2}%7d aqe=[$aqe]")
+      (name, median, times.last._2, aqe)
+    }
+    val total = results.map(_._2).sum
+    println(f"SF1BENCH total_median_sum=${total}%.3f s over ${Queries.size} queries")
+    spark.stop()
+  }
+
+  /** 10x replication of sf0.1 with shifted keys; referential integrity
+    * preserved across lineitem/orders/customer. */
+  private def generate(spark: SparkSession): Unit = {
+    println(s"SF1BENCH generating $Out from $Src (10x sf0.1)")
+    val orders = Tables.orders(spark, Src)
+    val customer = Tables.customer(spark, Src)
+    val lineitem = Tables.lineitem(spark, Src)
+    val documents = Tables.documents(spark, Src)
+    val oShift = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+    val cShift = customer.agg(max("c_custkey")).head().getLong(0) + 1
+    val dShift = documents.agg(max("doc_id")).head().getLong(0) + 1
+
+    def rep(i: Int) = lit(i.toLong)
+    def union10(f: Int => org.apache.spark.sql.DataFrame) =
+      (0 until 10).map(f).reduce(_ union _)
+
+    union10(i => lineitem.withColumn("l_orderkey", col("l_orderkey") + rep(i) * oShift))
+      .write.mode("overwrite").parquet(s"$Out/lineitem.parquet")
+    union10(i => orders
+        .withColumn("o_orderkey", col("o_orderkey") + rep(i) * oShift)
+        .withColumn("o_custkey", col("o_custkey") + rep(i) * cShift))
+      .write.mode("overwrite").parquet(s"$Out/orders.parquet")
+    union10(i => customer.withColumn("c_custkey", col("c_custkey") + rep(i) * cShift))
+      .write.mode("overwrite").parquet(s"$Out/customer.parquet")
+    union10 { i =>
+      val d = documents.withColumn("doc_id", col("doc_id") + rep(i) * dShift)
+      if (i == 0) d
+      else d.withColumn("text", concat(col("text"), lit(s" graftrep$i")))
+    }.write.mode("overwrite").parquet(s"$Out/documents.parquet")
+    // small dims pass through unchanged
+    for (t <- Seq("nation", "region"))
+      Tables.load(spark, Src, t).write.mode("overwrite").parquet(s"$Out/$t.parquet")
+  }
+}
