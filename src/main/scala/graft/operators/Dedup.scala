@@ -382,6 +382,48 @@ object Dedup {
       .orderBy("cluster_rep")
   }
 
+  /** Verbatim-span duplicate detection (the exact-substring complement of
+    * Jaccard near-dup — Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better": cross-document COPIED RUNS matter even
+    * when whole-document similarity is low). Returns `(id_a, id_b,
+    * n_shared_windows)`: the number of DISTINCT `windowLen`-token windows
+    * the two docs share verbatim, for every pair sharing at least
+    * `minShared`.
+    *
+    * Shape: per-row distinct window set → 128-bit window hash (two
+    * xxhash64 lanes: an 8-byte shuffle key with negligible collision mass,
+    * same convention as the exact-dedup content key) → capped bucket join
+    * on the window hash → per-pair count. One shuffle for the bucket
+    * groupBy, one for the pair count; no all-pairs anywhere. A document
+    * shorter than `windowLen` contributes its whole token stream as one
+    * window (the [[shingles]] convention, mirrored by the oracle). */
+  def substringDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      windowLen: Int = 8, minShared: Int = 1,
+      maxBucketSize: Int = 256): DataFrame = {
+    val wins = docs.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)), windowLen)))
+        .as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h1"), xxhash64(lit(1), col("w")).as("h2"))
+    val capped = Buckets.cap(wins, Seq("h1", "h2"), "id", maxBucketSize,
+      "substring_bucket_cap")
+    capped.groupBy("h1", "h2")
+      .agg(sort_array(collect_list(col("id"))).as("__ids"))
+      .select(explode(flatten(transform(col("__ids"), (a, i) =>
+        transform(slice(col("__ids"), i + lit(2), lit(maxBucketSize)), b =>
+          struct(a.as("id_a"), b.as("id_b")))))).as("__p"))
+      .groupBy(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .filter(col("n_shared_windows") >= minShared)
+  }
+
+  /** Verbatim 8-token span duplication across the corpus, oracle-gated:
+    * DuckDB recomputes every pair's distinct shared-window count from first
+    * principles (the window sets are plain strings — no engine hash in the
+    * contract), so the hashed bucket path must reproduce the exact answer. */
+  def q81SubstringDups(spark: SparkSession, dir: String): DataFrame =
+    substringDupPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
   /** Single-kernel minhash band hashes (shared by [[minhashNearDupPairs]]
     * and the incremental index). */
   private[graft] def minhashBandsCol(text: Column, k: Int, numPerms: Int,
@@ -481,6 +523,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_substring_dups" -> (q81SubstringDups _),
     "q56_corpus_pipeline" -> (q56CorpusPipeline _),
     "q57_training_mix" -> (q57TrainingMix _),
     "q40_dedup_exact" -> (q40DedupExact _),
@@ -491,6 +534,22 @@ object Dedup {
     "q76_curation_v2" -> (q76CurationV2 _))
 
   val oracles: Map[String, String] = Map(
+    // distinct shared 8-token windows per pair, from plain window STRINGS
+    // (no engine hash in the contract) — all-pairs is oracle-scale only
+    "q81_substring_dups" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct([array_to_string(ts[i:i+7], ' ')
+        |                             FOR i IN range(1, len(ts) - 6)])
+        |    END AS ws
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+        |        FROM documents))
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(len(list_intersect(x.ws, y.ws)) AS BIGINT) AS n_shared_windows
+        |FROM t x JOIN t y ON x.doc_id < y.doc_id
+        |WHERE len(list_intersect(x.ws, y.ws)) >= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "q56_corpus_pipeline" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS total_chars FROM (
         |  SELECT MIN(doc_id) AS keep_id, MIN(lang) AS lang,

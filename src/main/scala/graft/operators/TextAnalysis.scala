@@ -225,7 +225,68 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher stopwords for the "contains at least 2 stop words" rule (Rae
+    * et al. 2021 §A1.1 — their exact list). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The FULL Gopher quality rule set (Rae et al. 2021 §A1.1), adapted to
+    * this corpus: word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio ('#' and '...'), ≥ 90% of words with an alphabetic character,
+    * ≥ 2 stop words, ≤ 90% bullet-started lines, ≤ 30% ellipsis-ended
+    * lines. Every metric is an exact integer/ratio computation over the
+    * token/line arrays — single codegen'd projection, zero shuffles, and
+    * the DuckDB oracle recomputes all seven rules from first principles
+    * (strict gate). The repetition rules (top-gram fractions) live in
+    * [[q74RepetitionMetrics]]; composed, the two cover the paper's full
+    * filter battery. */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ts = tokens(t)
+    val nTok = size(ts).cast("long")
+    // all per-token ratios guard the empty doc (ANSI mode: x/0 throws)
+    val meanLen = when(nTok > 0,
+      aggregate(ts, lit(0L), (acc, x) => acc + length(x).cast("long"))
+        .cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = when(nTok > 0,
+      (hashes + ellipses).cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    val alphaWords = size(filter(ts, x => x.rlike("\\p{L}"))).cast("long")
+    val alphaFrac = when(nTok > 0,
+      alphaWords.cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    val stopHits = size(array_intersect(
+      transform(ts, lower _), typedLit(gopherStopwords))).cast("long")
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val nLines = size(lines).cast("long")
+    val bulletFrac = when(nLines > 0,
+      size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") /
+        nLines.cast("double")).otherwise(lit(0.0))
+    val ellipsisLineFrac = when(nLines > 0,
+      size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))).cast("double") /
+        nLines.cast("double")).otherwise(lit(0.0))
+    docs.select(col(idCol), nTok.as("n_tokens"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_word_frac"),
+        stopHits.as("n_stop_hits"), bulletFrac.as("bullet_line_frac"),
+        ellipsisLineFrac.as("ellipsis_line_frac"))
+      .withColumn("r_wordcount", col("n_tokens").between(50L, 100000L))
+      .withColumn("r_meanlen", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("r_alpha", col("alpha_word_frac") >= 0.9)
+      .withColumn("r_stop", col("n_stop_hits") >= 2L)
+      .withColumn("r_bullet", col("bullet_line_frac") <= 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_line_frac") <= 0.3)
+      .withColumn("gopher_quality_ok",
+        col("r_wordcount") && col("r_meanlen") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop") && col("r_bullet") && col("r_ellipsis"))
+  }
+
+  def q80GopherQuality(spark: SparkSession, dir: String): DataFrame =
+    gopherQuality(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_gopher_quality" -> (q80GopherQuality _),
     "q48_top_terms" -> (q48TopTerms _),
     "q49_top_bigrams" -> (q49TopBigrams _),
     "q41_token_count" -> (q41TokenCount _),
@@ -280,6 +341,53 @@ object TextAnalysis {
        |SELECT doc_id, lang, predicted_lang, quality FROM q ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // every rule recomputed from first principles; strict hash gate
+    "q80_gopher_quality" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts,
+        |    list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> '') AS ls
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE) / len(ts)
+        |    END AS mean_word_len,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |         ELSE ((LENGTH(text) - LENGTH(regexp_replace(text, '#', '', 'g')))
+        |               + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3)
+        |              / CAST(len(ts) AS DOUBLE)
+        |    END AS symbol_ratio,
+        |    CASE WHEN len(ts) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(ts, x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE)
+        |              / len(ts)
+        |    END AS alpha_word_frac,
+        |    CAST(len(list_distinct(list_intersect(list_transform(ts, x -> lower(x)),
+        |      ${gopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")}))) AS BIGINT)
+        |      AS n_stop_hits,
+        |    CASE WHEN len(ls) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+        |              / len(ls)
+        |    END AS bullet_line_frac,
+        |    CASE WHEN len(ls) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '\\.\\.\\.$$'))) AS DOUBLE)
+        |              / len(ls)
+        |    END AS ellipsis_line_frac
+        |  FROM t)
+        |SELECT *,
+        |  n_tokens BETWEEN 50 AND 100000 AS r_wordcount,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS r_meanlen,
+        |  symbol_ratio <= 0.1 AS r_symbol,
+        |  alpha_word_frac >= 0.9 AS r_alpha,
+        |  n_stop_hits >= 2 AS r_stop,
+        |  bullet_line_frac <= 0.9 AS r_bullet,
+        |  ellipsis_line_frac <= 0.3 AS r_ellipsis,
+        |  (n_tokens BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.9 AND n_stop_hits >= 2
+        |    AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        |    AS gopher_quality_ok
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q43_langid" -> q43OracleSql,
     // exact metrics -> strict hash gate; argmax tie-break (c DESC, gram ASC)
     // mirrors the Spark min_by over (-c, gram)

@@ -32,6 +32,52 @@ class OperatorsSpec extends AnyFunSuite {
       Seq("en", "fr", "es", "de", "und"))
   }
 
+  test("gopherQuality: each rule fails on its own counterexample") {
+    val good = (Seq("the", "quick", "brown", "foxes") ++
+      (1 to 46).map(i => s"word$i") ++ Seq("of", "that")).mkString(" ") // 52 words
+    val docs = Seq(
+      (1L, good),                                          // passes all
+      (2L, "the of short"),                                // r_wordcount (3 words)
+      (3L, (Seq("the", "of") ++ (1 to 50).map(_ => "ab")).mkString(" ")), // r_meanlen (mean < 3)
+      (4L, (Seq("the", "of") ++ (1 to 50).map(i => s"w$i# ###")).mkString(" ")), // r_symbol
+      (5L, (Seq("the", "of") ++ (1 to 50).map(_ => "123 456")).mkString(" ")),   // r_alpha
+      (6L, (1 to 52).map(i => s"word$i").mkString(" ")),   // r_stop (no stopwords)
+      (7L, (Seq("the", "of") ++ (1 to 50).map(i => s"word$i")).mkString(" ") +
+        "\n- a\n- b\n- c"),                                // bullet lines (but <= 0.9 passes)
+      (8L, good + " more... still going")                  // mid-line '...' is fine
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .select("doc_id", "gopher_quality_ok", "r_wordcount", "r_meanlen",
+        "r_symbol", "r_alpha", "r_stop", "r_bullet")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(got(1L)._1, s"good doc rejected: ${got(1L)}")
+    assert(!got(2L)._1 && !got(2L)._2, "word-count rule")
+    assert(!got(3L)._1 && !got(3L)._3, "mean-length rule")
+    assert(!got(4L)._1 && !got(4L)._4, "symbol rule")
+    assert(!got(5L)._1 && !got(5L)._5, "alpha rule")
+    assert(!got(6L)._1 && !got(6L)._6, "stopword rule")
+    assert(got(7L)._7, "3 bullet lines of 4 is under the 0.9 bound")
+    assert(got(8L)._1, "a mid-line ellipsis must not reject a 50-word doc")
+  }
+
+  test("substringDupPairs counts distinct shared token windows exactly") {
+    val run = (1 to 10).map(i => s"tok$i").mkString(" ") // 10 tokens: 3 windows of 8
+    val docs = Seq(
+      (1L, run + " tailA tailB"),
+      (2L, "headX headY " + run),   // shares the 3 windows of `run` with doc 1
+      (3L, run.replace("tok5", "zzz") + " other"), // breaks every shared window
+      (4L, "tiny doc")              // < 8 tokens: whole-stream window, unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L)), got.toString)
+    // threshold: requiring more shared windows than exist drops the pair
+    assert(Dedup.substringDupPairs(docs, "doc_id", "text", minShared = 4)
+      .count() == 0L)
+  }
+
   test("fingerprint is word-order and whitespace invariant") {
     val df = Seq("alpha beta gamma", "gamma  alpha\tbeta", "alpha beta delta")
       .toDF("t").select(TextAnalysis.fingerprint($"t").as("fp"))
