@@ -400,8 +400,11 @@ object Dedup {
   def substringDupPairs(docs: DataFrame, idCol: String, textCol: String,
       windowLen: Int = 8, minShared: Int = 1,
       maxBucketSize: Int = 256): DataFrame = {
+    // single-pass window kernel (the composed tokens->transform chain costs
+    // ~2x in this explode-heavy plan); windows leave the row as two 64-bit
+    // hash lanes, so strings never cross a shuffle
     val wins = docs.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)), windowLen)))
+      explode(array_distinct(TextAnalysis.wordShingles(col(textCol), windowLen)))
         .as("w"))
       .select(col("id"), xxhash64(col("w")).as("h1"), xxhash64(lit(1), col("w")).as("h2"))
     val capped = Buckets.cap(wins, Seq("h1", "h2"), "id", maxBucketSize,

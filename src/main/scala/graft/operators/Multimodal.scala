@@ -43,6 +43,7 @@ object Multimodal {
   private[graft] def makePng(id: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -50,11 +51,12 @@ object Multimodal {
         val r = ((x + id) & 0xFF).toInt
         val g = ((y + 2 * id) & 0xFF).toInt
         val b = (x ^ y) & 0xFF
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        px(y * w + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w) // bulk store: one raster write
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -76,6 +78,12 @@ object Multimodal {
       (col("doc_id") % 64 + 16).cast("int").as("width"),
       (col("doc_id") % 48 + 12).cast("int").as("height"),
       (col("doc_id") % 24 + 1).cast("int").as("n_frames"))
+      // spread rows before the codec with an EXPLICIT partition count: the
+      // rows crossing this shuffle are tiny metadata, so AQE's byte-based
+      // coalescing would fold them into one partition and serialize the
+      // compute-bound codec behind it — the count pins codec parallelism
+      // to the cores, not the shuffle bytes
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
       // when() evaluates lazily per row: the PNG encoder runs only on image
       // rows, and not at all in plans that filter them out (e.g. q61)
       .withColumn("media",
@@ -122,18 +130,16 @@ object Multimodal {
       else {
         val w = img.getWidth
         val h = img.getHeight
+        // bulk fetch: one raster read instead of w*h getRGB sync calls
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         val hist = new Array[Float](FeatureDim)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-              (rgb & 0xFF) * 114) / 1000
-            hist(lum * FeatureDim / 256) += 1f
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          hist(lum * FeatureDim / 256) += 1f
+          i += 1
         }
         val n = (w.toLong * h).toFloat
         Some((w, h, hist.map(_ / n)))
