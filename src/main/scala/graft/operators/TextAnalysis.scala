@@ -285,8 +285,36 @@ object TextAnalysis {
     gopherQuality(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Portable PII patterns (identical semantics under Java regex and RE2 —
+    * plain char classes and bounded quantifiers only, no lookaround). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub — the redaction stage of a training-data pipeline: count and
+    * replace email addresses and IPv4 literals with typed placeholder
+    * tokens. Pure per-row regex projection (codegen'd, zero shuffle); the
+    * patterns avoid every construct whose semantics differ between Java
+    * regex (Spark) and RE2 (DuckDB/ripgrep), so the oracle recomputes
+    * counts and redacted text verbatim. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), col(textCol),
+        regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
+        regexp_count(col(textCol), lit(Ipv4Pattern)).cast("long").as("n_ips"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"))
+      .drop(textCol)
+
+  /** Oracle-gated VERBATIM: the redacted text itself is compared
+    * string-for-string against DuckDB's recomputation. */
+  def q82PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrub(Tables.documents(spark, dir), "doc_id", "text")
+      .select("doc_id", "n_emails", "n_ips", "redacted")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_gopher_quality" -> (q80GopherQuality _),
+    "q82_pii_scrub" -> (q82PiiScrub _),
     "q48_top_terms" -> (q48TopTerms _),
     "q49_top_bigrams" -> (q49TopBigrams _),
     "q41_token_count" -> (q41TokenCount _),
@@ -389,6 +417,15 @@ object TextAnalysis {
         |    AS gopher_quality_ok
         |FROM m ORDER BY doc_id""".stripMargin,
     "q43_langid" -> q43OracleSql,
+    // verbatim redaction equality: same portable patterns, 'g' to match
+    // Spark's replace-all semantics
+    "q82_pii_scrub" ->
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '$EmailPattern')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '$Ipv4Pattern')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
+        |    '$Ipv4Pattern', '<IP>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // exact metrics -> strict hash gate; argmax tie-break (c DESC, gram ASC)
     // mirrors the Spark min_by over (-c, gram)
     "q74_repetition_metrics" ->

@@ -60,6 +60,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.features.map(_.toDouble).sum - 1.0) < 1e-5))
   }
 
+  test("media fixture pins codec parallelism: AQE must not fold it to one partition") {
+    import spark.implicits._
+    val nPart = Multimodal.syntheticMediaTable(spark, sf)
+      .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
+    // the explicit-count repartition keys parallelism to cores even though
+    // the shuffled metadata is tiny (AQE byte-based coalescing would pick 1)
+    assert(nPart == spark.sparkContext.defaultParallelism.toLong,
+      s"codec stage running on $nPart partition(s)")
+  }
+
   test("feature extraction is partition-invariant") {
     val m = Multimodal.syntheticMediaTable(spark, sf)
     val a = Multimodal.extractFeatures(m.repartition(1), batchSize = 7)

@@ -78,6 +78,23 @@ class OperatorsSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("piiScrub redacts emails and IPv4 literals with exact counts") {
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
+      (2L, "server at 192.168.1.17 and 10.0.0.1, port 8080"),
+      (3L, "no pii here, just version 1.2 and a dot."),
+      (4L, "mixed: c@d.io from 8.8.8.8")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .select("doc_id", "n_emails", "n_ips", "redacted")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 == 0L)
+    assert(got(1L)._3 == "contact <EMAIL> or <EMAIL> today")
+    assert(got(2L) == ((0L, 2L, "server at <IP> and <IP>, port 8080")))
+    assert(got(3L) == ((0L, 0L, "no pii here, just version 1.2 and a dot.")))
+    assert(got(4L) == ((1L, 1L, "mixed: <EMAIL> from <IP>")))
+  }
+
   test("fingerprint is word-order and whitespace invariant") {
     val df = Seq("alpha beta gamma", "gamma  alpha\tbeta", "alpha beta delta")
       .toDF("t").select(TextAnalysis.fingerprint($"t").as("fp"))
