@@ -419,6 +419,54 @@ object Dedup {
       .filter(col("n_shared_windows") >= minShared)
   }
 
+  /** Train/eval DECONTAMINATION: for every eval doc, the train docs that
+    * share verbatim `windowLen`-token spans with it — the check a training
+    * pipeline runs before trusting a benchmark number (an eval item whose
+    * text appears in the training set is contaminated). Returns one row
+    * per eval doc with ≥ 1 contaminating train doc: `(eval_id,
+    * n_train_docs, max_shared, total_shared)`.
+    *
+    * Windows whose TRAIN document frequency exceeds `maxTrainDf` are
+    * excluded before the join: formulaic language ("the end of the …")
+    * appears in thousands of train docs and is signal-free, and at scale
+    * it is also the hot-bucket join bomb. The exclusion is part of the
+    * operator's exact semantics (the oracle applies the same cutoff), and
+    * the df computation is a window count over the already-shuffled train
+    * windows — no collect_list, no unbounded buffer. The shuffle carries
+    * only (id, two 64-bit hash lanes); window strings never leave the row. */
+  def contaminationReport(train: DataFrame, trainId: String, trainText: String,
+      test: DataFrame, testId: String, testText: String,
+      windowLen: Int = 8, minShared: Int = 1, maxTrainDf: Int = 256): DataFrame = {
+    def wins(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).as(outId),
+        explode(array_distinct(TextAnalysis.wordShingles(col(text), windowLen))).as("w"))
+        .select(col(outId), xxhash64(col("w")).as("h1"), xxhash64(lit(1), col("w")).as("h2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h1", "h2")
+    val trainKeep = wins(train, trainId, trainText, "train_id")
+      .withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxTrainDf)
+      .drop("__df")
+    val hits = wins(test, testId, testText, "eval_id")
+      .join(trainKeep, Seq("h1", "h2"))
+      .groupBy("eval_id", "train_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    hits.groupBy("eval_id").agg(
+      count(lit(1)).as("n_train_docs"),
+      max("n_shared").as("max_shared"),
+      sum("n_shared").as("total_shared"))
+  }
+
+  /** Decontamination sweep with every 10th doc as the eval set, the rest
+    * as train — oracle-gated end to end (window strings intersected in
+    * SQL, same train-df cutoff). */
+  def q83Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminationReport(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      .orderBy("eval_id")
+  }
+
   /** Verbatim 8-token span duplication across the corpus, oracle-gated:
     * DuckDB recomputes every pair's distinct shared-window count from first
     * principles (the window sets are plain strings — no engine hash in the
@@ -527,6 +575,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_substring_dups" -> (q81SubstringDups _),
+    "q83_contamination" -> (q83Contamination _),
     "q56_corpus_pipeline" -> (q56CorpusPipeline _),
     "q57_training_mix" -> (q57TrainingMix _),
     "q40_dedup_exact" -> (q40DedupExact _),
@@ -553,6 +602,29 @@ object Dedup {
         |FROM t x JOIN t y ON x.doc_id < y.doc_id
         |WHERE len(list_intersect(x.ws, y.ws)) >= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    // same window definition and train-df cutoff as the engine; plain
+    // window strings, so the hashed join must reproduce the exact report
+    "q83_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct([array_to_string(ts[i:i+7], ' ')
+        |                             FOR i IN range(1, len(ts) - 6)])
+        |    END AS ws
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+        |        FROM documents)),
+        |trw AS (SELECT doc_id AS train_id, unnest(ws) AS w FROM d WHERE doc_id % 10 <> 0),
+        |dfc AS (SELECT w, COUNT(*) AS df FROM trw GROUP BY w),
+        |keep AS (SELECT trw.train_id, trw.w FROM trw JOIN dfc USING (w) WHERE dfc.df <= 256),
+        |tew AS (SELECT doc_id AS eval_id, unnest(ws) AS w FROM d WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT eval_id, train_id, COUNT(*) AS n_shared
+        |  FROM tew JOIN keep USING (w) GROUP BY eval_id, train_id
+        |  HAVING COUNT(*) >= 1)
+        |SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+        |  CAST(MAX(n_shared) AS BIGINT) AS max_shared,
+        |  CAST(SUM(n_shared) AS BIGINT) AS total_shared
+        |FROM hits GROUP BY eval_id ORDER BY eval_id""".stripMargin,
     "q56_corpus_pipeline" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS total_chars FROM (
         |  SELECT MIN(doc_id) AS keep_id, MIN(lang) AS lang,

@@ -95,6 +95,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, 1L, "mixed: <EMAIL> from <IP>")))
   }
 
+  test("contaminationReport finds planted eval/train span overlap; df cutoff excludes formulaic windows") {
+    val leak = (1 to 9).map(i => s"leak$i").mkString(" ") // 9 tokens: 2 windows of 8
+    val boiler = (1 to 8).map(i => s"common$i").mkString(" ") // 1 window, in EVERY train doc
+    val train = Seq(
+      (101L, s"$boiler $leak trailing words here"),
+      (102L, s"$boiler unrelated train content only"),
+      (103L, s"$boiler more unrelated text entirely")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, s"prefix $leak suffix"),   // contaminated by 101 (2 shared windows)
+      (2L, boiler),                   // only the formulaic window -> excluded by df cutoff
+      (3L, "clean eval item text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train, "doc_id", "text",
+        eval_, "doc_id", "text", maxTrainDf = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (e, n, mx, tot) => e -> ((n, mx, tot)) }.toMap
+    assert(got == Map(1L -> ((1L, 2L, 2L))), got.toString)
+  }
+
   test("fingerprint is word-order and whitespace invariant") {
     val df = Seq("alpha beta gamma", "gamma  alpha\tbeta", "alpha beta delta")
       .toDF("t").select(TextAnalysis.fingerprint($"t").as("fp"))
