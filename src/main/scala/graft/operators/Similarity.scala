@@ -211,6 +211,12 @@ object Similarity {
       .sortBy { case (s, cid) => (-s, cid) }
       .take(nProbe).map(_._2).toSeq
 
+  /** One-shot IVF ANN top-k: trains the quantizer INLINE on every call —
+    * right for exploration, wrong for repeated queries (Lloyd re-runs each
+    * time). Repeated-query and production users should build the index
+    * once with [[ivfBuildIndex]] (+ [[ivfAppendBatch]] for ingest) and
+    * query it with [[ivfQueryTopK]], which probes a partition-pruned
+    * persisted store and never retrains. */
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
       queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       iters: Int = 2, trainSample: Int = 4096): DataFrame = {
