@@ -392,14 +392,21 @@ object Dedup {
     *
     * Shape: per-row distinct window set → 128-bit window hash (two
     * xxhash64 lanes: an 8-byte shuffle key with negligible collision mass,
-    * same convention as the exact-dedup content key) → capped bucket join
-    * on the window hash → per-pair count. One shuffle for the bucket
+    * same convention as the exact-dedup content key) → df-bounded bucket
+    * join on the window hash → per-pair count. One shuffle for the bucket
     * groupBy, one for the pair count; no all-pairs anywhere. A document
     * shorter than `windowLen` contributes its whole token stream as one
-    * window (the [[shingles]] convention, mirrored by the oracle). */
+    * window (the [[shingles]] convention, mirrored by the oracle).
+    *
+    * Windows appearing in more than `maxDf` documents are EXCLUDED, not
+    * truncated: formulaic language shared by millions of docs is
+    * span-duplication noise, and a truncating cap (keep the smallest ids)
+    * would silently distort the per-pair counts — exclusion is part of the
+    * operator's exact semantics (the oracle applies the same cutoff), and
+    * it bounds every bucket's pair fan-out at C(maxDf, 2) by construction.
+    * Excluded volume rides the query as an observed metric. */
   def substringDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      windowLen: Int = 8, minShared: Int = 1,
-      maxBucketSize: Int = 256): DataFrame = {
+      windowLen: Int = 8, minShared: Int = 1, maxDf: Int = 256): DataFrame = {
     // single-pass window kernel (the composed tokens->transform chain costs
     // ~2x in this explode-heavy plan); windows leave the row as two 64-bit
     // hash lanes, so strings never cross a shuffle
@@ -407,12 +414,18 @@ object Dedup {
       explode(array_distinct(TextAnalysis.wordShingles(col(textCol), windowLen)))
         .as("w"))
       .select(col("id"), xxhash64(col("w")).as("h1"), xxhash64(lit(1), col("w")).as("h2"))
-    val capped = Buckets.cap(wins, Seq("h1", "h2"), "id", maxBucketSize,
-      "substring_bucket_cap")
-    capped.groupBy("h1", "h2")
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy("h1", "h2")
+    val kept = wins.withColumn("__df", count(lit(1)).over(dfw))
+      .observe("substring_window_df_cutoff",
+        coalesce(sum(when(col("__df") > maxDf, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_rows"),
+        coalesce(max(col("__df")).cast("long"), lit(0L)).as("max_window_df"))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    kept.groupBy("h1", "h2")
       .agg(sort_array(collect_list(col("id"))).as("__ids"))
       .select(explode(flatten(transform(col("__ids"), (a, i) =>
-        transform(slice(col("__ids"), i + lit(2), lit(maxBucketSize)), b =>
+        transform(slice(col("__ids"), i + lit(2), lit(maxDf)), b =>
           struct(a.as("id_a"), b.as("id_b")))))).as("__p"))
       .groupBy(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared_windows"))
@@ -587,7 +600,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     // distinct shared 8-token windows per pair, from plain window STRINGS
-    // (no engine hash in the contract) — all-pairs is oracle-scale only
+    // (no engine hash in the contract), with the same df <= 256 cutoff
     "q81_substring_dups" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -596,11 +609,14 @@ object Dedup {
         |                             FOR i IN range(1, len(ts) - 6)])
         |    END AS ws
         |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
-        |        FROM documents))
+        |        FROM documents)),
+        |wn AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |dfc AS (SELECT w, COUNT(*) AS df FROM wn GROUP BY w),
+        |keep AS (SELECT wn.doc_id, wn.w FROM wn JOIN dfc USING (w) WHERE dfc.df <= 256)
         |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-        |  CAST(len(list_intersect(x.ws, y.ws)) AS BIGINT) AS n_shared_windows
-        |FROM t x JOIN t y ON x.doc_id < y.doc_id
-        |WHERE len(list_intersect(x.ws, y.ws)) >= 1
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+        |FROM keep x JOIN keep y ON x.w = y.w AND x.doc_id < y.doc_id
+        |GROUP BY x.doc_id, y.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
     // same window definition and train-df cutoff as the engine; plain
     // window strings, so the hashed join must reproduce the exact report

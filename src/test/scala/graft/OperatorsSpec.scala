@@ -76,6 +76,14 @@ class OperatorsSpec extends AnyFunSuite {
     // threshold: requiring more shared windows than exist drops the pair
     assert(Dedup.substringDupPairs(docs, "doc_id", "text", minShared = 4)
       .count() == 0L)
+    // formulaic windows above the df cutoff are EXCLUDED from counting
+    // (not truncated to an arbitrary doc subset)
+    val spam = (1 to 5).map(i => (100L + i, run)).toDF("doc_id", "text")
+    val capped = Dedup.substringDupPairs(spam, "doc_id", "text", maxDf = 4)
+    assert(capped.count() == 0L, "df-excluded windows must produce no pairs")
+    val kept = Dedup.substringDupPairs(spam, "doc_id", "text", maxDf = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(kept.length == 5 * 4 / 2 && kept.forall(_._3 == 3L), kept.toSeq.toString)
   }
 
   test("piiScrub redacts emails and IPv4 literals with exact counts") {

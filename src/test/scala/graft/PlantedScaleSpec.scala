@@ -123,6 +123,32 @@ class PlantedScaleSpec extends AnyFunSuite {
       s"missing=${expected -- found} extra=${found -- expected}")
   }
 
+  test("planted contamination ground truth at sf0.1: eval/train span report matches local computation") {
+    // q83's split (doc_id % 10) puts A0/B0/C0 in the eval set and the rest
+    // in train; local 8-window intersections give the expected report
+    def w8(toks: Seq[String]): Set[String] =
+      if (toks.length < 8) Set(toks.mkString(" "))
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    val train = planted.filter(_._1 % 10 != 0)
+    val evals = planted.filter(_._1 % 10 == 0)
+    val expected = evals.flatMap { case (eid, etoks) =>
+      val hits = train.map { case (tid, ttoks) =>
+        (tid, (w8(etoks) & w8(ttoks)).size.toLong)
+      }.filter(_._2 >= 1L)
+      if (hits.isEmpty) None
+      else Some(eid -> ((hits.size.toLong, hits.map(_._2).max, hits.map(_._2).sum)))
+    }.toMap
+    assert(expected.nonEmpty, "fixture should plant at least one contaminated eval doc")
+
+    val got = Dedup.contaminationReport(
+        corpus.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        corpus.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      .filter(col("eval_id") >= Base)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (e, n, mx, tot) => e -> ((n, mx, tot)) }.toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("planted embedding ground truth at sf0.1: ANN and near-dup find the planted twin") {
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val v0 = emb.filter(col("vec_id") === 0L)
