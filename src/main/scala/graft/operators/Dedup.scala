@@ -480,6 +480,53 @@ object Dedup {
       .orderBy("eval_id")
   }
 
+  /** Persist an EVAL-WINDOW INDEX for per-batch decontamination: the
+    * window hashes of a frozen eval/benchmark set, bucketed on the probe
+    * keys (h1, h2) — so every future ingest batch can be checked for
+    * contamination ([[contaminationAgainstIndex]]) with the index read
+    * bucket-aligned (zero Exchange on the index side) and only the batch
+    * itself hashed and shuffled. The same ingestion shape as
+    * [[writeMinhashIndex]] (text near-dup) and
+    * [[graft.operators.Similarity.ivfAppendBatch]] (ANN): the frozen side
+    * is indexed once, per-batch cost is O(batch). Windows above
+    * `maxEvalDf` WITHIN the eval set are excluded at build time (same
+    * formulaic-window semantics as [[contaminationReport]]). */
+  def writeEvalWindowIndex(evalDocs: DataFrame, idCol: String, textCol: String,
+      tablePrefix: String, path: String, windowLen: Int = 8,
+      maxEvalDf: Int = 256, nBuckets: Int = 32): Unit = {
+    val wins = evalDocs.select(col(idCol).as("eval_id"),
+      explode(array_distinct(TextAnalysis.wordShingles(col(textCol), windowLen)))
+        .as("w"))
+      .select(col("eval_id"),
+        xxhash64(col("w")).as("h1"), xxhash64(lit(1), col("w")).as("h2"))
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy("h1", "h2")
+    wins.withColumn("__df", count(lit(1)).over(dfw))
+      .filter(col("__df") <= maxEvalDf)
+      .drop("__df")
+      .write.option("path", s"$path/${tablePrefix}_evalwins")
+      .bucketBy(nBuckets, "h1", "h2")
+      .mode("overwrite").saveAsTable(s"${tablePrefix}_evalwins")
+  }
+
+  /** Contamination report of ONE ingest batch against a persisted eval
+    * index ([[writeEvalWindowIndex]]): `(doc_id, eval_id, n_shared)` for
+    * every batch doc sharing ≥ `minShared` verbatim windows with an eval
+    * doc. The index reads through its buckets — only the exploded batch
+    * shuffles. `windowLen` must match the index build. */
+  def contaminationAgainstIndex(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, tablePrefix: String,
+      windowLen: Int = 8, minShared: Int = 1): DataFrame = {
+    val bw = batch.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.wordShingles(col(textCol), windowLen)))
+        .as("w"))
+      .select(col("doc_id"),
+        xxhash64(col("w")).as("h1"), xxhash64(lit(1), col("w")).as("h2"))
+    spark.table(s"${tablePrefix}_evalwins")
+      .join(bw, Seq("h1", "h2"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Verbatim 8-token span duplication across the corpus, oracle-gated:
     * DuckDB recomputes every pair's distinct shared-window count from first
     * principles (the window sets are plain strings — no engine hash in the

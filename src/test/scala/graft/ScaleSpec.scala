@@ -89,6 +89,37 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("eval-window decontamination index: batches probe bucket-aligned and catch a planted leak") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-decontam").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS dcidx_evalwins")
+      // frozen eval set: every 10th corpus doc
+      val docs = Tables.documents(spark, sf)
+      Dedup.writeEvalWindowIndex(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", "dcidx", wh)
+      // an ingest batch with a planted leak: a verbatim copy of eval doc 0
+      val batch = docs.filter(col("doc_id") === 0L)
+        .select(lit(700001L).as("doc_id"), col("text"))
+        .union(Seq((700002L, "totally clean ingest content here")).toDF("doc_id", "text"))
+      val rep = Dedup.contaminationAgainstIndex(spark, batch, "doc_id", "text", "dcidx")
+      val plan = rep.queryExecution.executedPlan.toString
+      // the index side is read through its buckets, never shuffled
+      assert(plan.contains("SelectedBucketsCount"), s"index scan not bucketed:\n$plan")
+      val hashExchanges = "Exchange hashpartitioning\\(h1".r.findAllIn(plan).size
+      assert(hashExchanges <= 1, s"index side shuffled:\n$plan")
+      val got = rep.as[(Long, Long, Long)].collect()
+      assert(got.exists(r => r._1 == 700001L && r._2 == 0L && r._3 >= 1L),
+        s"planted leak not caught: ${got.toSeq}")
+      assert(!got.exists(_._1 == 700002L), s"clean doc flagged: ${got.toSeq}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS dcidx_evalwins")
+    }
+  }
+
   test("q03/q18 broadcast customer by size at test scale without a forced hint") {
     // customer grows with the scale factor, so the queries carry NO
     // broadcast() hint on it — the optimizer's size threshold must still
