@@ -331,6 +331,38 @@ object StreamOps {
     checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
   }
 
+  /** Streaming DECONTAMINATION gate: every micro-batch of incoming
+    * training docs is probed against a persisted eval-window index
+    * ([[graft.operators.Dedup.writeEvalWindowIndex]]); contaminated docs
+    * (sharing ≥ `minShared` verbatim windows with any eval doc) land in a
+    * quarantine store with their evidence, clean docs in the kept store —
+    * both replay-idempotent via the `batch_id` overwrite. The eval index
+    * is read bucket-aligned and never rescanned: per-batch cost is
+    * O(batch), the shape every ingest-side operator here shares. */
+  def streamingDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+      tablePrefix: String, keptPath: String, quarantinePath: String,
+      windowLen: Int = 8, minShared: Int = 1,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val spark = batch.sparkSession
+        val hits = Dedup.contaminationAgainstIndex(spark, batch, idCol, textCol,
+            tablePrefix, windowLen, minShared)
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_eval_docs"),
+            max("n_shared").as("max_shared"))
+          .localCheckpoint(true)
+        val contaminated = batch.join(hits,
+          batch(idCol) === hits("doc_id")).drop(hits("doc_id"))
+        val kept = batch.join(hits.select(col("doc_id").as("__hit")),
+          batch(idCol) === col("__hit"), "left_anti")
+        idempotentBatchWrite(contaminated, quarantinePath, batchId)
+        idempotentBatchWrite(kept, keptPath, batchId)
+      }
+    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
+  }
+
   /** Stream → theta store: per-(window, key) serialized theta sketches.
     * The canonical-KMV merge is a join-semilattice — IDEMPOTENT like
     * HLL/LC union, unlike additive SpaceSaving/KLL — so this runs in

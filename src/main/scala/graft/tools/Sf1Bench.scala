@@ -24,7 +24,8 @@ object Sf1Bench {
   private val Src = "/root/testdata/sf0.1"
   private val Out = "/tmp/graft_sf1"
   private val Queries = Seq("q01_pricing_summary", "q18_star_join",
-    "q45_minhash_pairs", "q75_near_dup_clusters", "q76_curation_v2")
+    "q45_minhash_pairs", "q75_near_dup_clusters", "q76_curation_v2",
+    "q81_substring_dups", "q83_contamination")
 
   def main(args: Array[String]): Unit = {
     val runs = if (args.nonEmpty) args(0).toInt else 3

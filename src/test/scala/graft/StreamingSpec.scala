@@ -465,6 +465,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decontamination: leaks quarantined with evidence, clean docs kept, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-decontam-s").toString
+    spark.sql("DROP TABLE IF EXISTS sd_evalwins")
+    val evalSet = Seq(
+      (900L, "what is the capital of france and when was it founded exactly"),
+      (901L, "solve for x in the equation two x plus seven equals nineteen")
+    ).toDF("doc_id", "text")
+    graft.operators.Dedup.writeEvalWindowIndex(evalSet, "doc_id", "text", "sd", wh)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.streamingDecontaminate(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", "sd",
+      s"$wh/kept", s"$wh/quarantine")
+    try {
+      mem.addData(
+        (10L, "prefix what is the capital of france and when was it founded exactly suffix"),
+        (11L, "a perfectly clean training document about distributed joins"))
+      q.processAllAvailable()
+      val quarantined = spark.read.parquet(s"$wh/quarantine")
+        .select("doc_id", "n_eval_docs", "max_shared")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(quarantined.map(_._1) == Seq(10L), quarantined.toString)
+      assert(quarantined.head._2 == 1L && quarantined.head._3 >= 1L)
+      val kept = spark.read.parquet(s"$wh/kept")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(kept == Seq(11L), kept.toString)
+
+      // a second batch, then verify per-batch isolation
+      mem.addData((20L, "more clean content in a later micro batch"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$wh/kept").count() == 2L)
+      assert(spark.read.parquet(s"$wh/quarantine").count() == 1L)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sd_evalwins")
+    }
+  }
+
   test("streaming dedup keeps first occurrence within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
