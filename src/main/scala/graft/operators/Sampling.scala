@@ -87,6 +87,30 @@ object Sampling {
       least(lit(1.0), weight.cast("double") * lit(ratePerUnit)))
   }
 
+  /** EXACT-SIZE per-stratum sample: the `k` rows of each stratum whose
+    * key-derived uniform draws are smallest (ties to the smaller key) —
+    * "give me exactly 30 docs per language, reproducibly". Deterministic
+    * under any partitioning and rerun like every sampler here; unlike the
+    * fraction-based samplers it is NOT growth-stable (a new row with a
+    * smaller draw displaces the current k-th — inherent to any exact-k
+    * contract; use [[deterministicSample]] when stability across corpus
+    * versions matters more than exact size).
+    *
+    * Scale shape: the rank filter compiles to WindowGroupLimit (Spark
+    * 3.5+), which takes the per-partition top-k BEFORE the stratum
+    * shuffle — so the shuffle carries at most k·partitions rows per
+    * stratum, not the stratum. ScaleSpec pins the plan. */
+  def fixedSizeSample(df: DataFrame, strataCol: String, keyCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(uniformFromKey(col(keyCol), seed), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Stratified document sample — 50% of en, 20% of every other language —
     * emitting the member ids themselves: the oracle recomputes the EXACT
     * member set from first principles (md5 → uniform → threshold), so the
@@ -119,10 +143,18 @@ object Sampling {
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Exactly 30 docs per language, membership hash-exact against the
+    * oracle's identical (u, doc_id) ranking. */
+  def q84FixedSizeSample(spark: SparkSession, dir: String): DataFrame =
+    fixedSizeSample(Tables.documents(spark, dir), "lang", "doc_id", 30)
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_split_by_key" -> (q71SplitByKey _),
-    "q79_weighted_sample" -> (q79WeightedSample _))
+    "q79_weighted_sample" -> (q79WeightedSample _),
+    "q84_fixed_size_sample" -> (q84FixedSizeSample _))
 
   /** CTE computing the uniform draw per document, reproduced from first
     * principles (same md5 derivation as the q46 simhash oracle). */
@@ -154,5 +186,12 @@ object Sampling {
       s"""${uniformCte(42L)}
          |SELECT doc_id, n_chars FROM d
          |WHERE u < LEAST(1.0, n_chars / 2048.0)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "q84_fixed_size_sample" ->
+      s"""${uniformCte(42L)}
+         |SELECT lang, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+         |  FROM d)
+         |WHERE rn <= 30 ORDER BY lang, doc_id""".stripMargin)
 }

@@ -42,6 +42,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(small == large.filter(_ <= 1000L), "membership moved under data growth")
   }
 
+  test("fixedSizeSample: exactly k per stratum, deterministic, partition-invariant") {
+    val df = (1L to 3000L).map(i => (i, s"s${i % 3}")).toDF("k", "g")
+    val a = Sampling.fixedSizeSample(df, "g", "k", 25)
+      .as[(Long, String)].collect().sortBy(identity).toSeq
+    assert(a.groupBy(_._2).values.forall(_.size == 25), "not exactly k per stratum")
+    val b = Sampling.fixedSizeSample(df.repartition(13), "g", "k", 25)
+      .as[(Long, String)].collect().sortBy(identity).toSeq
+    assert(a == b, "sample changed under repartition")
+    // a stratum smaller than k keeps all its rows
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("k", "g")
+    assert(Sampling.fixedSizeSample(tiny, "g", "k", 25).count() == 2L)
+  }
+
   test("splitByKey is a disjoint exhaustive partition with stable assignment") {
     val df = (1L to 20000L).toDF("k")
     val splits = Sampling.splitByKey(df, "k", Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))

@@ -174,6 +174,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("word_shingles"), "bigram kernel missing")
   }
 
+  test("fixed-size sample plan: rank filter becomes a pre-shuffle WindowGroupLimit") {
+    val plan = graft.operators.Sampling
+      .fixedSizeSample(Tables.documents(spark, sf), "lang", "doc_id", 30)
+      .queryExecution.executedPlan.toString
+    // Spark pushes rn <= k below the stratum exchange: each map task emits
+    // at most k rows per stratum, so the shuffle never carries the stratum
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank limit not pushed below the shuffle:\n${plan.take(2000)}")
+  }
+
   test("simhash multi-index buckets stay tiny at 100x test scale (cap never engages)") {
     // the old 4x16-bit single-chunk split measured a 291-doc hot bucket at
     // sf0.1 (needed a 4096 cap for exactness); the 32-bit subset keys must
