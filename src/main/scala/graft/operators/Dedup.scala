@@ -480,6 +480,41 @@ object Dedup {
       .orderBy("eval_id")
   }
 
+  /** Corpus-wide SPAN-level dedup (the MassiveText/Gopher "remove
+    * duplicated paragraphs" pass — Rae et al. 2021 §A1.2): split every doc
+    * into delimiter-separated spans, keep each distinct span's FIRST
+    * occurrence (smallest `(doc, position)` corpus-wide), drop every later
+    * copy, and reassemble documents in original span order. Returns
+    * `(id, text, n_spans_kept, n_spans_dropped)`; a doc whose every span
+    * was dropped (or that had none) comes back with an empty text.
+    *
+    * Shape: spans shuffle once on their 128-bit content hash (the window
+    * that picks the first occurrence), then once back on doc id for
+    * reassembly — the only per-doc state is the doc's own span list, so
+    * arbitrarily large corpora survive; only span hashes and the spans a
+    * doc keeps cross the wire. Deterministic: "first" is a total order. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      delimPattern: String = "\\n{2,}", joiner: String = "\n\n"): DataFrame = {
+    val spans = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), delimPattern)).as(Seq("pos", "span")))
+      .filter(trim(col("span")) =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("span")), xxhash64(lit(1), col("span")))
+    val marked = spans
+      .withColumn("__first", min(struct(col("id"), col("pos"))).over(w))
+      .withColumn("__keep",
+        col("__first.id") === col("id") && col("__first.pos") === col("pos"))
+    val rebuilt = marked.groupBy("id").agg(
+      concat_ws(joiner, transform(
+        array_sort(collect_list(when(col("__keep"), struct(col("pos"), col("span"))))),
+        x => x.getField("span"))).as("text"),
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("n_spans_kept"),
+      sum(when(col("__keep"), 0L).otherwise(1L)).as("n_spans_dropped"))
+    docs.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .na.fill(Map("text" -> "", "n_spans_kept" -> 0L, "n_spans_dropped" -> 0L))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Persist an EVAL-WINDOW INDEX for per-batch decontamination: the
     * window hashes of a frozen eval/benchmark set, bucketed on the probe
     * keys (h1, h2) — so every future ingest batch can be checked for

@@ -123,6 +123,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((1L, 2L, 2L))), got.toString)
   }
 
+  test("spanDedup keeps first occurrence of each paragraph corpus-wide, rebuilds in order") {
+    val docs = Seq(
+      (1L, "shared para one\n\nunique to doc1\n\nshared para two"),
+      (2L, "doc2 opener\n\nshared para one\n\nshared para two\n\ndoc2 closer"),
+      (3L, "shared para one"), // every span a duplicate -> empty text
+      (4L, "")                 // no spans at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("shared para one\n\nunique to doc1\n\nshared para two", 3L, 0L)))
+    assert(got(2L) == (("doc2 opener\n\ndoc2 closer", 2L, 2L)))
+    assert(got(3L) == (("", 0L, 1L)))
+    assert(got(4L) == (("", 0L, 0L)))
+  }
+
   test("fingerprint is word-order and whitespace invariant") {
     val df = Seq("alpha beta gamma", "gamma  alpha\tbeta", "alpha beta delta")
       .toDF("t").select(TextAnalysis.fingerprint($"t").as("fp"))
