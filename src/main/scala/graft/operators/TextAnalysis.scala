@@ -240,23 +240,28 @@ object TextAnalysis {
     * (strict gate). The repetition rules (top-gram fractions) live in
     * [[q74RepetitionMetrics]]; composed, the two cover the paper's full
     * filter battery. */
+  /** Single-pass token stats kernel for the Gopher rules (one tokenization
+    * per row vs one per metric in the composed form). */
+  private def gopherStats(c: Column): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(
+      graft.functions.GopherStats(org.apache.spark.sql.graft.GraftBridge.expression(c)))
+
   def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val ts = tokens(t)
-    val nTok = size(ts).cast("long")
+    val st = gopherStats(t)
+    val nTok = st.getField("n_tokens")
     // all per-token ratios guard the empty doc (ANSI mode: x/0 throws)
     val meanLen = when(nTok > 0,
-      aggregate(ts, lit(0L), (acc, x) => acc + length(x).cast("long"))
-        .cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+      st.getField("token_chars").cast("double") / nTok.cast("double"))
+      .otherwise(lit(0.0))
     val hashes = length(t) - length(regexp_replace(t, "#", ""))
     val ellipses = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
     val symbolRatio = when(nTok > 0,
       (hashes + ellipses).cast("double") / nTok.cast("double")).otherwise(lit(0.0))
-    val alphaWords = size(filter(ts, x => x.rlike("\\p{L}"))).cast("long")
     val alphaFrac = when(nTok > 0,
-      alphaWords.cast("double") / nTok.cast("double")).otherwise(lit(0.0))
-    val stopHits = size(array_intersect(
-      transform(ts, lower _), typedLit(gopherStopwords))).cast("long")
+      st.getField("n_alpha_words").cast("double") / nTok.cast("double"))
+      .otherwise(lit(0.0))
+    val stopHits = st.getField("n_stop_hits")
     val lines = filter(split(t, "\n"), l => trim(l) =!= "")
     val nLines = size(lines).cast("long")
     val bulletFrac = when(nLines > 0,
