@@ -93,6 +93,14 @@ object Stress {
     timeText("lang_id + quality_score") {
       docs.select(graft.operators.TextAnalysis.langId(col("text")),
         graft.operators.TextAnalysis.qualityScore(col("text"))) }
+    timeText("gopher quality (7 rules)") {
+      graft.operators.TextAnalysis.gopherQuality(
+        docs.withColumn("id", monotonically_increasing_id()), "id", "text") }
+    timeText("pii scrub (2 patterns)") {
+      graft.operators.TextAnalysis.piiScrub(
+        docs.withColumn("id", monotonically_increasing_id()), "id", "text") }
+    timeText("word_shingles(8) windows") {
+      docs.select(graft.operators.TextAnalysis.wordShingles(col("text"), 8)) }
 
     // end-to-end near-dup pipelines: hash-derived 12-word docs (distinct
     // w.h.p.), ~1% planted duplicates (docs with id ≡ 96 mod 97 repeat the
