@@ -139,6 +139,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L) == (("", 0L, 0L)))
   }
 
+  test("round-6 text operators survive NULL and empty text rows") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "the quick fox"))
+      .toDF("doc_id", "text")
+    // no operator may throw; NULL/empty rows degrade, never crash
+    val gq = TextAnalysis.gopherQuality(docs, "doc_id", "text").collect()
+    assert(gq.length == 3)
+    val pii = TextAnalysis.piiScrub(docs, "doc_id", "text").collect()
+    assert(pii.length == 3)
+    // NULL text -> no windows -> no pairs; empty text -> empty-string window
+    val pairs = Dedup.substringDupPairs(docs, "doc_id", "text").collect()
+    assert(!pairs.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
+    val sd = Dedup.spanDedup(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(sd.keySet == Set(1L, 2L, 3L))
+    assert(sd(1L) == "" && sd(2L) == "" && sd(3L) == "the quick fox")
+    val rep = Dedup.contaminationReport(docs, "doc_id", "text",
+      Seq((9L, "the quick fox runs")).toDF("doc_id", "text"), "doc_id", "text")
+    rep.collect() // planted eval shares no 8-window; just must not throw
+  }
+
   test("fingerprint is word-order and whitespace invariant") {
     val df = Seq("alpha beta gamma", "gamma  alpha\tbeta", "alpha beta delta")
       .toDF("t").select(TextAnalysis.fingerprint($"t").as("fp"))
