@@ -162,6 +162,37 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** FULL OUTER join: customers and suppliers per nation, preserving
+    * nations populated on only one side (the join flavor q07's left outer
+    * doesn't cover). Aggregated per nation key so the null-expansion
+    * semantics — not just row counts — are oracle-checked. */
+  def q85FullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_customers"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, col("nk_c") === col("nk_s"), "full")
+      .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  /** MULTISET set ops — EXCEPT ALL / INTERSECT ALL keep duplicate
+    * cardinality, unlike q12/q13's set variants: a customer with three F
+    * orders and one O order has two (F minus O) survivors and one
+    * intersect survivor. Emitted as per-key surviving multiplicities. */
+  def q86MultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    val ex = f.exceptAll(open).groupBy("custkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = f.intersectAll(open).groupBy("custkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.unionByName(in).select("op", "custkey", "n").orderBy("op", "custkey")
+  }
+
   /** ROLLUP with grouping_id — multi-level aggregate in one pass. */
   def q14Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -360,7 +391,9 @@ object Relational {
     "q17_scalar_subquery" -> (q17ScalarSubquery _),
     "q18_star_join" -> (q18StarJoin _),
     "q19_case_buckets" -> (q19CaseBuckets _),
-    "q20_year_agg" -> (q20YearAgg _))
+    "q20_year_agg" -> (q20YearAgg _),
+    "q85_full_outer_join" -> (q85FullOuterJoin _),
+    "q86_multiset_ops" -> (q86MultisetOps _))
 
   val oracles: Map[String, String] = Map(
     "q29_date_string_fns" ->
@@ -484,6 +517,28 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
         |ORDER BY custkey""".stripMargin,
+    "q85_full_outer_join" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        |  COALESCE(c.n_customers, 0) AS n_customers,
+        |  COALESCE(s.n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+        |ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin,
+    "q86_multiset_ops" ->
+      """WITH f AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+        |o AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+        |ex AS (SELECT 'except_all' AS op, custkey, COUNT(*) AS n
+        |       FROM (SELECT custkey FROM f EXCEPT ALL SELECT custkey FROM o)
+        |       GROUP BY custkey),
+        |ia AS (SELECT 'intersect_all' AS op, custkey, COUNT(*) AS n
+        |       FROM (SELECT custkey FROM f INTERSECT ALL SELECT custkey FROM o)
+        |       GROUP BY custkey)
+        |SELECT op, custkey, CAST(n AS BIGINT) AS n FROM ex
+        |UNION ALL
+        |SELECT op, custkey, CAST(n AS BIGINT) AS n FROM ia
+        |ORDER BY op, custkey""".stripMargin,
     "q14_rollup" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
         |  COUNT(*) AS n_rows, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
