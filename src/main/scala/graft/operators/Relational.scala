@@ -132,6 +132,24 @@ object Relational {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
+  /** RANGE-frame window along real time: per-user trailing-1-hour event
+    * count and value sum — the time-interval frame flavor q09's ROWS frame
+    * doesn't cover. RANGE makes ties self-consistent (every row with the
+    * same (user, ts) sees the identical frame), so no unique tiebreak
+    * column is needed for cross-engine determinism; the frame is computed
+    * on epoch micros, matching the micros truncation `Tables.events`
+    * applies to the nanos source column. One shuffle on user_id. */
+  def q88TimeRangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum("value").over(w).cast("decimal(18,2)").cast("double").as("value_1h"))
+      .orderBy("event_id")
+  }
+
   /** Global top-k (TakeOrderedAndProject — no full sort at scale). */
   def q10TopK(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -393,7 +411,8 @@ object Relational {
     "q19_case_buckets" -> (q19CaseBuckets _),
     "q20_year_agg" -> (q20YearAgg _),
     "q85_full_outer_join" -> (q85FullOuterJoin _),
-    "q86_multiset_ops" -> (q86MultisetOps _))
+    "q86_multiset_ops" -> (q86MultisetOps _),
+    "q88_time_range_window" -> (q88TimeRangeWindow _))
 
   val oracles: Map[String, String] = Map(
     "q29_date_string_fns" ->
@@ -539,6 +558,14 @@ object Relational {
         |UNION ALL
         |SELECT op, custkey, CAST(n AS BIGINT) AS n FROM ia
         |ORDER BY op, custkey""".stripMargin,
+    "q88_time_range_window" ->
+      """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(CAST(SUM(value) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS value_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q14_rollup" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
         |  COUNT(*) AS n_rows, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid

@@ -69,6 +69,31 @@ object TextAnalysis {
     org.apache.spark.sql.graft.GraftBridge.column(
       graft.functions.QualityScore(org.apache.spark.sql.graft.GraftBridge.expression(c)))
 
+  /** Fixed-size token chunking with stride — the context-window prep step of
+    * a training pipeline: each document becomes its overlapping windows of up
+    * to `chunkSize` tokens, one window every `stride` tokens (the final
+    * windows may be shorter). Pure per-row array math (sequence → posexplode
+    * → slice), fully codegen'd, zero shuffle — every input split chunks
+    * independently, so the shape is scan-bound at any corpus size. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    docs.select(col(idCol), tokens(col(textCol)).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .select(col(idCol), col("ts"),
+        posexplode(when(col("n") > 0,
+            sequence(lit(0), col("n") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("chunk_start"),
+        slice(col("ts"), col("col") + 1, lit(chunkSize)).as("ck"))
+      .withColumn("chunk_len", size(col("ck")).cast("long"))
+      .withColumn("chunk_text", array_join(col("ck"), " "))
+      .drop("ck")
+  }
+
   // ---- declared queries ----
 
   def q41TokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -317,9 +342,17 @@ object TextAnalysis {
       .select("doc_id", "n_emails", "n_ips", "redacted")
       .orderBy("doc_id")
 
+  /** Context-window chunking over the corpus: 64-token windows every 48
+    * tokens (25% overlap). VERBATIM oracle — DuckDB re-derives every chunk's
+    * text from the same tokenization and slice arithmetic. */
+  def q87ChunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkTokens(Tables.documents(spark, dir), "doc_id", "text", 64, 48)
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_gopher_quality" -> (q80GopherQuality _),
     "q82_pii_scrub" -> (q82PiiScrub _),
+    "q87_chunk_documents" -> (q87ChunkDocuments _),
     "q48_top_terms" -> (q48TopTerms _),
     "q49_top_bigrams" -> (q49TopBigrams _),
     "q41_token_count" -> (q41TokenCount _),
@@ -374,6 +407,21 @@ object TextAnalysis {
        |SELECT doc_id, lang, predicted_lang, quality FROM q ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q87_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, ts,
+        |    CAST(unnest(range(0, len(ts), 48)) AS BIGINT) AS chunk_start
+        |  FROM t)
+        |SELECT doc_id, chunk_start // 48 AS chunk_idx, chunk_start,
+        |  CAST(len(list_slice(ts, chunk_start + 1, chunk_start + 64)) AS BIGINT)
+        |    AS chunk_len,
+        |  array_to_string(list_slice(ts, chunk_start + 1, chunk_start + 64), ' ')
+        |    AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     // every rule recomputed from first principles; strict hash gate
     "q80_gopher_quality" ->
       s"""WITH t AS (

@@ -20,6 +20,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 2L, 0L))
   }
 
+  test("chunkTokens: hand-checked windows, stride overlap, short tail, empty doc") {
+    val docs = Seq(("d1", "t1 t2 t3 t4 t5"), ("d2", "only"), ("d3", "  ")).toDF("id", "text")
+    val got = TextAnalysis.chunkTokens(docs, "id", "text", 3, 2)
+      .orderBy("id", "chunk_idx")
+      .select("id", "chunk_idx", "chunk_start", "chunk_len", "chunk_text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      ("d1", 0L, 0L, 3L, "t1 t2 t3"),
+      ("d1", 1L, 2L, 3L, "t3 t4 t5"),
+      ("d1", 2L, 4L, 1L, "t5"),
+      ("d2", 0L, 0L, 1L, "only")))   // d3 tokenizes empty -> zero chunks
+  }
+
+  test("chunkTokens rejects stride > chunkSize") {
+    val docs = Seq(("d", "a b")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(docs, "id", "text", 2, 3)
+    }
+  }
+
   test("langId picks the stopword-majority language") {
     val df = Seq(
       "the cat and the dog of a house",          // en
