@@ -177,6 +177,9 @@ class OperatorsSpec extends AnyFunSuite {
     val rep = Dedup.contaminationReport(docs, "doc_id", "text",
       Seq((9L, "the quick fox runs")).toDF("doc_id", "text"), "doc_id", "text")
     rep.collect() // planted eval shares no 8-window; just must not throw
+    // NULL/empty text -> zero chunks, never a crash or a null-text chunk
+    val ck = TextAnalysis.chunkTokens(docs, "doc_id", "text", 4, 2).collect()
+    assert(ck.forall(_.getLong(0) == 3L), s"NULL/empty doc produced chunks: ${ck.toSeq}")
   }
 
   test("fingerprint is word-order and whitespace invariant") {

@@ -198,6 +198,26 @@ class ScaleSpec extends AnyFunSuite {
       s"hot bucket re-emerging under multi-index blocking: $metric")
   }
 
+  test("q87 plan: chunking is explode-only — no shuffle before the presentation sort") {
+    val plan = graft.operators.TextAnalysis.chunkTokens(
+        Tables.documents(spark, sf), "doc_id", "text", 64, 48)
+      .queryExecution.executedPlan.toString
+    // the operator itself (no orderBy here) must be scan -> project ->
+    // generate -> project: each input split chunks independently at 100 TB
+    assert(!plan.contains("Exchange"), s"chunking grew a shuffle:\n${plan.take(2000)}")
+    assert(plan.contains("Generate"), "posexplode missing from the plan")
+  }
+
+  test("q88 plan: both range-frame aggregates share one Window and one shuffle") {
+    val plan = graft.operators.Relational.q88TimeRangeWindow(spark, sf)
+      .queryExecution.executedPlan.toString
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows == 1, s"expected a single collapsed Window, got $windows:\n${plan.take(2000)}")
+    // one data shuffle (hash on user_id) + the presentation range sort
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"range window grew extra shuffles ($exchanges):\n${plan.take(2000)}")
+  }
+
   test("q64 plan: bloom probe filters the fact scan before the join") {
     val plan = graft.operators.RuntimeFilter.q64BloomSemiJoin(spark, sf)
       .queryExecution.executedPlan.toString
