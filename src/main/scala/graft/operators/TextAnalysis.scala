@@ -3,6 +3,7 @@ package graft.operators
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -92,6 +93,66 @@ object TextAnalysis {
       .withColumn("chunk_len", size(col("ck")).cast("long"))
       .withColumn("chunk_text", array_join(col("ck"), " "))
       .drop("ck")
+  }
+
+  /** Sequence packing — assign each document a contiguous token span in a
+    * fixed-budget training-sequence stream (concat-and-chunk: documents may
+    * straddle sequence boundaries; `seq_first`/`seq_last` are the sequences
+    * a document lands in). Packing is inherently serial per output stream,
+    * so the parallel discipline is SHARDING: documents are split into
+    * `nShards` deterministic streams per `streamCol` value (shard =
+    * ⌊u·S⌋ from the same bit-exact md5 uniform the sampling operators use),
+    * and each (stream, shard) packs independently — one bounded-size window
+    * partition each, no global window anywhere. At 100 TB, raise `nShards`
+    * until a shard's token count fits one task comfortably; membership and
+    * offsets stay deterministic under any partitioning or rerun. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      streamCol: String, budget: Long, nShards: Int, seed: Long = 42L): DataFrame = {
+    require(budget > 0 && nShards > 0, s"need budget>0, nShards>0; got $budget, $nShards")
+    val w = Window.partitionBy("stream", "shard").orderBy(idCol)
+    docs.select(col(streamCol).as("stream"), col(idCol),
+        tokenCount(col(textCol)).as("n_tokens"),
+        floor(Sampling.uniformFromKey(col(idCol), seed) * nShards).cast("int").as("shard"))
+      .filter(col("n_tokens") > 0)
+      .select(col("stream"), col("shard"), col(idCol), col("n_tokens"),
+        (sum("n_tokens").over(w) - col("n_tokens")).as("tok_start"))
+      .withColumn("seq_first", expr(s"tok_start div $budget"))
+      .withColumn("seq_last", expr(s"(tok_start + n_tokens - 1) div $budget"))
+  }
+
+  /** BM25 ranked retrieval over the corpus for a FIXED small query — the
+    * relevance-scoring primitive of corpus search / query-based filtering.
+    * For a handful of terms, per-term tf is a per-row array projection (no
+    * explode, no per-(doc,term) shuffle); the corpus stats (N, avgdl,
+    * per-term df) reduce to ONE broadcast scalar row; scoring is then a
+    * second scan-bound projection. Two narrow passes total at any corpus
+    * size. k1/b are the Robertson defaults; idf is the +1-guarded form
+    * (never negative, as in Lucene). */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 16,
+      s"bm25Search inlines per-term projections; got ${queryTerms.size} terms")
+    val base = docs.select(
+      col(idCol) +: tokenCount(col(textCol)).cast("double").as("dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(tokens(col(textCol)), x => x === lit(t)))
+            .cast("double").as(s"tf_$i")
+        }: _*)
+    val statCols = count(lit(1)).cast("double").as("n_docs") +: avg("dl").as("avgdl") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val scored = base.join(broadcast(stats))
+    val perTerm = queryTerms.indices.map { i =>
+      val idf = log(((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5)) + 1.0)
+      val tf = col(s"tf_$i")
+      idf * (tf * lit(k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    val nMatch = queryTerms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    scored.filter(queryTerms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col(idCol), nMatch.as("n_match_terms"),
+        perTerm.reduce(_ + _).cast("decimal(18,6)").cast("double").as("score"))
   }
 
   // ---- declared queries ----
@@ -349,10 +410,31 @@ object TextAnalysis {
     chunkTokens(Tables.documents(spark, dir), "doc_id", "text", 64, 48)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Pack the corpus into 256-token training sequences, 8 shards per
+    * language. Oracle recomputes shard assignment (bit-exact md5 uniform),
+    * stream offsets, and sequence spans from first principles. */
+  def q89PackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir), "doc_id", "text", "lang",
+        budget = 256L, nShards = 8)
+      .orderBy("stream", "shard", "doc_id")
+
+  /** BM25 retrieval for a fixed 4-term query over the corpus; scores
+    * decimal-rounded to 6 dp so the ln/division ulp gap between engines
+    * can't flip the comparison. */
+  def q90Bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Search(Tables.documents(spark, dir), "doc_id", "text",
+        Bm25QueryTerms)
+      .orderBy("doc_id")
+
+  /** Fixed demo query for q90 — common synthetic-corpus words. */
+  val Bm25QueryTerms: Seq[String] = Seq("the", "data", "quick", "maison")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_gopher_quality" -> (q80GopherQuality _),
     "q82_pii_scrub" -> (q82PiiScrub _),
     "q87_chunk_documents" -> (q87ChunkDocuments _),
+    "q89_pack_sequences" -> (q89PackSequences _),
+    "q90_bm25_search" -> (q90Bm25Search _),
     "q48_top_terms" -> (q48TopTerms _),
     "q49_top_bigrams" -> (q49TopBigrams _),
     "q41_token_count" -> (q41TokenCount _),
@@ -406,7 +488,68 @@ object TextAnalysis {
     s"""WITH ${langQualitySql("documents", "doc_id, lang")}
        |SELECT doc_id, lang, predicted_lang, quality FROM q ORDER BY doc_id""".stripMargin
 
+  /** DuckDB twin of the q90 BM25 scoring — generated from [[Bm25QueryTerms]]
+    * and the same k1/b constants so the two can never drift. Scores compare
+    * after DECIMAL(18,6) rounding (absorbs the cross-engine ln/avg ulp gap). */
+  private def q90OracleSql: String = {
+    val terms = Bm25QueryTerms.zipWithIndex
+    val tfs = terms.map { case (t, i) =>
+      s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) AS tf_$i" }.mkString(",\n    ")
+    val dfs = terms.map { case (_, i) =>
+      s"SUM(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i" }.mkString(",\n    ")
+    val score = terms.map { case (_, i) =>
+      s"""ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+         |      * (tf_$i * 2.2) / (tf_$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))""".stripMargin
+    }.mkString("\n    + ")
+    val nMatch = terms.map { case (_, i) => s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)" }
+      .mkString(" + ")
+    val anyHit = terms.map { case (_, i) => s"tf_$i > 0" }.mkString(" OR ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+       |    $tfs
+       |  FROM t),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+       |    $dfs
+       |  FROM b)
+       |SELECT doc_id, CAST($nMatch AS BIGINT) AS n_match_terms,
+       |  CAST(CAST($score AS DECIMAL(18,6)) AS DOUBLE) AS score
+       |FROM b, s
+       |WHERE $anyHit
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q89_pack_sequences" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |    substr(md5(doc_id::VARCHAR || ':42'), 1, 16) AS s
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    ((list_sum([ (strpos('0123456789abcdef', s[i]) - 1)::HUGEINT * (1::HUGEINT << (4*(16-i)))
+        |                 FOR i IN range(1, 17) ]) >> 11))::DOUBLE / 9007199254740992.0 AS u
+        |  FROM h),
+        |p AS (
+        |  SELECT lang AS stream, CAST(floor(u * 8) AS INT) AS shard, doc_id,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens
+        |  FROM d WHERE n_tokens > 0),
+        |c AS (
+        |  SELECT stream, shard, doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY stream, shard ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+        |      AS tok_start
+        |  FROM p)
+        |SELECT stream, shard, doc_id, n_tokens, tok_start,
+        |  tok_start // 256 AS seq_first,
+        |  (tok_start + n_tokens - 1) // 256 AS seq_last
+        |FROM c ORDER BY stream, shard, doc_id""".stripMargin,
+    "q90_bm25_search" -> q90OracleSql,
     "q87_chunk_documents" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -40,6 +40,50 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: offsets are per-(stream,shard) cumsums, partition-invariant") {
+    val docs = (0L until 60L).map(i =>
+      (i, if (i % 3 == 0) "en" else "fr", ("tok " * (1 + (i % 7)).toInt).trim))
+      .toDF("doc_id", "lang", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.packSequences(df, "doc_id", "text", "lang", budget = 10L, nShards = 3)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val got = run(docs)
+    // same rows regardless of input partitioning (shard is key-derived)
+    assert(got.sortBy(_._3).toSeq == run(docs.repartition(7)).sortBy(_._3).toSeq)
+    for (((_, _), rows) <- got.groupBy(r => (r._1, r._2))) {
+      val inOrder = rows.sortBy(_._3)
+      // stream offsets: first doc at 0, then contiguous by token count
+      assert(inOrder.head._5 == 0L)
+      for (Array(a, b) <- inOrder.sliding(2).map(_.toArray) if inOrder.size > 1)
+        assert(b._5 == a._5 + a._4, s"gap between ${a._3} and ${b._3}")
+      for (r <- inOrder) {
+        assert(r._6 == r._5 / 10 && r._7 == (r._5 + r._4 - 1) / 10, s"seq span of ${r._3}")
+      }
+    }
+    // every doc packs exactly once
+    assert(got.map(_._3).sorted.toSeq == (0L until 60L))
+  }
+
+  test("bm25Search: hand-computed score on a three-doc corpus") {
+    val docs = Seq(
+      (1L, "cat cat dog"),    // tf(cat)=2, dl=3
+      (2L, "cat fish fish"),  // tf(cat)=1, dl=3
+      (3L, "bird bird")       // no match -> excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Search(docs, "doc_id", "text", Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    val (k1, b, n, avgdl) = (1.2, 0.75, 3.0, 8.0 / 3.0)
+    def term(tf: Double, df: Double, dl: Double) =
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0) *
+        (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 2L && got(2L)._1 == 1L)
+    assert(got(1L)._2 == r6(term(2, 2, 3) + term(1, 1, 3)), s"got ${got(1L)._2}")
+    assert(got(2L)._2 == r6(term(1, 2, 3)), s"got ${got(2L)._2}")
+  }
+
   test("langId picks the stopword-majority language") {
     val df = Seq(
       "the cat and the dog of a house",          // en

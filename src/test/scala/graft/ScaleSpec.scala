@@ -218,6 +218,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"range window grew extra shuffles ($exchanges):\n${plan.take(2000)}")
   }
 
+  test("q89 plan: packing windows are per-(stream,shard) — no global window") {
+    val plan = graft.operators.TextAnalysis.packSequences(
+        Tables.documents(spark, sf), "doc_id", "text", "lang", 256L, 8)
+      .queryExecution.executedPlan.toString
+    // an empty partition spec would serialize the whole corpus through one
+    // task; the spec must carry both stream and shard
+    assert(!plan.contains("windowspecdefinition(doc_id"),
+      s"window lost its partition spec:\n${plan.take(2000)}")
+    assert(plan.contains("windowspecdefinition(stream"),
+      s"expected (stream, shard)-partitioned window:\n${plan.take(2000)}")
+  }
+
+  test("q90 plan: bm25 is two scans + one broadcast — no per-term shuffle") {
+    val plan = graft.operators.TextAnalysis.bm25Search(
+        Tables.documents(spark, sf), "doc_id", "text",
+        graft.operators.TextAnalysis.Bm25QueryTerms)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"corpus stats must broadcast:\n${plan.take(2000)}")
+    // only the stats aggregation may shuffle; scoring stays a projection
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 0, s"bm25 grew a hash shuffle ($shuffles):\n${plan.take(2000)}")
+    assert(!plan.contains("Generate"), "bm25 must not explode tokens")
+  }
+
   test("q64 plan: bloom probe filters the fact scan before the join") {
     val plan = graft.operators.RuntimeFilter.q64BloomSemiJoin(spark, sf)
       .queryExecution.executedPlan.toString

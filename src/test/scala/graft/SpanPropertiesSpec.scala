@@ -88,4 +88,34 @@ class SpanPropertiesSpec extends AnyFunSuite {
       assert(allOut.toSet == spansOf.values.flatten.toSet, "span lost or invented")
     }
   }
+
+  test("chunkTokens laws: full coverage, stride offsets, exact reconstruction") {
+    for (seed <- 1 to 4; (size, stride) <- Seq((8, 8), (8, 5), (16, 4))) {
+      val docs = corpus(seed, 25)
+      val toksOf = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val got = graft.operators.TextAnalysis
+        .chunkTokens(docs.toDF("doc_id", "text"), "doc_id", "text", size, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+      assert(got.keySet == toksOf.filter(_._2.nonEmpty).keySet,
+        s"seed=$seed: docs with tokens must chunk, empty docs must not")
+      for ((id, chunks) <- got) {
+        val ts = toksOf(id)
+        // starts are exactly 0, stride, ... < n and idx enumerates them
+        assert(chunks.map(_._3) == chunks.indices.map(i => i.toLong * stride),
+          s"seed=$seed doc $id starts")
+        assert(chunks.map(_._2) == chunks.indices.map(_.toLong), s"doc $id idx")
+        for ((_, _, start, len, text) <- chunks) {
+          val expect = ts.slice(start.toInt, start.toInt + size)
+          assert(text == expect.mkString(" ") && len == expect.size,
+            s"seed=$seed doc $id chunk@$start")
+        }
+        // every token position is covered by at least one chunk
+        val covered = chunks.flatMap(c => c._3 until c._3 + c._4).toSet
+        assert(covered == (0L until ts.size.toLong).toSet, s"doc $id coverage gap")
+      }
+    }
+  }
 }
