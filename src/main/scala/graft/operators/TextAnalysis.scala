@@ -132,12 +132,15 @@ object TextAnalysis {
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.size <= 16,
       s"bm25Search inlines per-term projections; got ${queryTerms.size} terms")
-    val base = docs.select(
-      col(idCol) +: tokenCount(col(textCol)).cast("double").as("dl") +:
-        queryTerms.zipWithIndex.map { case (t, i) =>
-          size(filter(tokens(col(textCol)), x => x === lit(t)))
-            .cast("double").as(s"tf_$i")
-        }: _*)
+    // tokenize ONCE: the aliased array is non-cheap and multiply referenced,
+    // so CollapseProject keeps it materialized instead of inlining the
+    // regex split into every tf projection
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("ts"))
+      .select(
+        col(idCol) +: size(col("ts")).cast("double").as("dl") +:
+          queryTerms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("ts"), x => x === lit(t))).cast("double").as(s"tf_$i")
+          }: _*)
     val statCols = count(lit(1)).cast("double").as("n_docs") +: avg("dl").as("avgdl") +:
       queryTerms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
