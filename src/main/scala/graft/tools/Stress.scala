@@ -101,6 +101,17 @@ object Stress {
         docs.withColumn("id", monotonically_increasing_id()), "id", "text") }
     timeText("word_shingles(8) windows") {
       docs.select(graft.operators.TextAnalysis.wordShingles(col("text"), 8)) }
+    timeText("chunkTokens(64, 48)") {
+      graft.operators.TextAnalysis.chunkTokens(
+        docs.withColumn("id", monotonically_increasing_id()), "id", "text", 64, 48) }
+    timeText("bm25 score (4 terms)") {
+      graft.operators.TextAnalysis.bm25Search(
+        docs.withColumn("id", monotonically_increasing_id()), "id", "text",
+        Seq("w1", "w7", "w21", "w44")) }
+    timeText("packSequences(256, 8)") {
+      graft.operators.TextAnalysis.packSequences(
+        docs.withColumn("id", monotonically_increasing_id())
+          .withColumn("lang", lit("en")), "id", "text", "lang", 256L, 8) }
 
     // end-to-end near-dup pipelines: hash-derived 12-word docs (distinct
     // w.h.p.), ~1% planted duplicates (docs with id ≡ 96 mod 97 repeat the
