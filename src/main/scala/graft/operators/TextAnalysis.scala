@@ -120,6 +120,40 @@ object TextAnalysis {
       .withColumn("seq_last", expr(s"(tok_start + n_tokens - 1) div $budget"))
   }
 
+  /** Assemble the packed training sequences themselves — the materialized
+    * complement of [[packSequences]]: each output row is one fixed-budget
+    * sequence with its concatenated token text; a document straddling a
+    * boundary contributes a slice to every sequence it spans. One window
+    * pass (same (stream, shard) sharding — the token arrays ride the one
+    * shuffle, no re-scan or payload join), then a per-sequence groupBy
+    * whose state is bounded by `budget` tokens — both stages hold at any
+    * corpus size. */
+  def assembleSequences(docs: DataFrame, idCol: String, textCol: String,
+      streamCol: String, budget: Long, nShards: Int, seed: Long = 42L): DataFrame = {
+    require(budget > 0 && nShards > 0, s"need budget>0, nShards>0; got $budget, $nShards")
+    val w = Window.partitionBy("stream", "shard").orderBy(idCol)
+    val packed = docs.select(col(streamCol).as("stream"), col(idCol),
+        tokens(col(textCol)).as("ts"),
+        floor(Sampling.uniformFromKey(col(idCol), seed) * nShards).cast("int").as("shard"))
+      .withColumn("n_tokens", size(col("ts")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("tok_start", sum("n_tokens").over(w) - col("n_tokens"))
+    val sliced = packed
+      .withColumn("seq_id", explode(sequence(expr(s"tok_start div $budget"),
+        expr(s"(tok_start + n_tokens - 1) div $budget"))))
+      .withColumn("lo", greatest(col("seq_id") * budget, col("tok_start")))
+      .withColumn("hi", least((col("seq_id") + 1) * budget, col("tok_start") + col("n_tokens")))
+      .select(col("stream"), col("shard"), col("seq_id"), col("tok_start"),
+        slice(col("ts"), (col("lo") - col("tok_start") + 1).cast("int"),
+          (col("hi") - col("lo")).cast("int")).as("part"))
+    sliced.groupBy("stream", "shard", "seq_id")
+      .agg(sort_array(collect_list(struct(col("tok_start"), col("part")))).as("parts"))
+      .select(col("stream"), col("shard"), col("seq_id"),
+        size(col("parts")).cast("long").as("n_docs"),
+        size(flatten(col("parts").getField("part"))).cast("long").as("seq_len"),
+        array_join(flatten(col("parts").getField("part")), " ").as("seq_text"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a FIXED small query — the
     * relevance-scoring primitive of corpus search / query-based filtering.
     * For a handful of terms, per-term tf is a per-row array projection (no
@@ -421,6 +455,14 @@ object TextAnalysis {
         budget = 256L, nShards = 8)
       .orderBy("stream", "shard", "doc_id")
 
+  /** The materialized sequences for q89's packing: VERBATIM oracle — every
+    * 256-token sequence text is string-compared against DuckDB's
+    * reassembly. */
+  def q91AssembleSequences(spark: SparkSession, dir: String): DataFrame =
+    assembleSequences(Tables.documents(spark, dir), "doc_id", "text", "lang",
+        budget = 256L, nShards = 8)
+      .orderBy("stream", "shard", "seq_id")
+
   /** BM25 retrieval for a fixed 4-term query over the corpus; scores
     * decimal-rounded to 6 dp so the ln/division ulp gap between engines
     * can't flip the comparison. */
@@ -438,6 +480,7 @@ object TextAnalysis {
     "q87_chunk_documents" -> (q87ChunkDocuments _),
     "q89_pack_sequences" -> (q89PackSequences _),
     "q90_bm25_search" -> (q90Bm25Search _),
+    "q91_assemble_sequences" -> (q91AssembleSequences _),
     "q48_top_terms" -> (q48TopTerms _),
     "q49_top_bigrams" -> (q49TopBigrams _),
     "q41_token_count" -> (q41TokenCount _),
@@ -553,6 +596,43 @@ object TextAnalysis {
         |  (tok_start + n_tokens - 1) // 256 AS seq_last
         |FROM c ORDER BY stream, shard, doc_id""".stripMargin,
     "q90_bm25_search" -> q90OracleSql,
+    "q91_assemble_sequences" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts,
+        |    substr(md5(doc_id::VARCHAR || ':42'), 1, 16) AS s
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, lang, ts,
+        |    ((list_sum([ (strpos('0123456789abcdef', s[i]) - 1)::HUGEINT * (1::HUGEINT << (4*(16-i)))
+        |                 FOR i IN range(1, 17) ]) >> 11))::DOUBLE / 9007199254740992.0 AS u
+        |  FROM h),
+        |p AS (
+        |  SELECT lang AS stream, CAST(floor(u * 8) AS INT) AS shard, doc_id, ts,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens
+        |  FROM d WHERE len(ts) > 0),
+        |c AS (
+        |  SELECT stream, shard, doc_id, ts, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY stream, shard ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+        |      AS tok_start
+        |  FROM p),
+        |sq AS (
+        |  SELECT stream, shard, doc_id, ts, n_tokens, tok_start,
+        |    unnest(range(tok_start // 256, (tok_start + n_tokens - 1) // 256 + 1)) AS seq_id
+        |  FROM c),
+        |x AS (
+        |  SELECT stream, shard, seq_id, tok_start,
+        |    list_slice(ts,
+        |      greatest(seq_id * 256, tok_start) - tok_start + 1,
+        |      least((seq_id + 1) * 256, tok_start + n_tokens) - tok_start) AS part
+        |  FROM sq)
+        |SELECT stream, shard, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(part)) AS BIGINT) AS seq_len,
+        |  string_agg(array_to_string(part, ' '), ' ' ORDER BY tok_start) AS seq_text
+        |FROM x GROUP BY stream, shard, seq_id
+        |ORDER BY stream, shard, seq_id""".stripMargin,
     "q87_chunk_documents" ->
       """WITH t AS (
         |  SELECT doc_id,

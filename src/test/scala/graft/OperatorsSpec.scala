@@ -65,6 +65,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_._3).sorted.toSeq == (0L until 60L))
   }
 
+  test("assembleSequences: shard streams reconstruct exactly; budget fills every non-final sequence") {
+    val docs = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr",
+        (0 until (1 + (i % 9)).toInt).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val budget = 7L
+    val seqs = TextAnalysis.assembleSequences(docs, "doc_id", "text", "lang", budget, 3)
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "text", "lang", budget, 3)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(seqs.keySet == packed.keySet)
+    for (((stream, shard), ss) <- seqs) {
+      // seq ids are contiguous from 0; non-final sequences hold exactly `budget`
+      assert(ss.map(_._1) == ss.indices.map(_.toLong))
+      assert(ss.init.forall(_._3 == budget), s"underfull non-final seq in $stream/$shard")
+      // concatenating the shard's sequences reproduces its docs' tokens in order
+      val rebuilt = ss.map(_._4).mkString(" ")
+      val expected = packed((stream, shard))
+        .map(id => docs.collect().find(_.getLong(0) == id).get.getString(2))
+        .flatMap(_.split("\\s+").filter(_.nonEmpty)).mkString(" ")
+      assert(rebuilt == expected, s"stream $stream/$shard lost or reordered tokens")
+      // doc counts and lengths agree with the packing view
+      assert(ss.map(_._3).sum == expected.split(" ").length.toLong)
+    }
+  }
+
   test("bm25Search: hand-computed score on a three-doc corpus") {
     val docs = Seq(
       (1L, "cat cat dog"),    // tf(cat)=2, dl=3
@@ -224,6 +253,12 @@ class OperatorsSpec extends AnyFunSuite {
     // NULL/empty text -> zero chunks, never a crash or a null-text chunk
     val ck = TextAnalysis.chunkTokens(docs, "doc_id", "text", 4, 2).collect()
     assert(ck.forall(_.getLong(0) == 3L), s"NULL/empty doc produced chunks: ${ck.toSeq}")
+    // NULL/empty text -> nothing to pack, nothing to score
+    val pk = TextAnalysis.packSequences(docs.withColumn("lang", lit("en")),
+      "doc_id", "text", "lang", 10L, 2).collect()
+    assert(pk.map(_.getLong(2)).toSet == Set(3L), s"NULL/empty doc packed: ${pk.toSeq}")
+    val bm = TextAnalysis.bm25Search(docs, "doc_id", "text", Seq("quick")).collect()
+    assert(bm.map(_.getLong(0)).toSet == Set(3L), s"NULL/empty doc scored: ${bm.toSeq}")
   }
 
   test("fingerprint is word-order and whitespace invariant") {

@@ -230,6 +230,17 @@ class ScaleSpec extends AnyFunSuite {
       s"expected (stream, shard)-partitioned window:\n${plan.take(2000)}")
   }
 
+  test("q91 plan: sequence assembly rides the packing shuffle — one data exchange") {
+    val plan = graft.operators.TextAnalysis.assembleSequences(
+        Tables.documents(spark, sf), "doc_id", "text", "lang", 256L, 8)
+      .queryExecution.executedPlan.toString
+    // grouping by (stream, shard, seq_id) is a superset of the window's
+    // (stream, shard) partitioning, so the per-sequence aggregate must NOT
+    // introduce a second shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"assembly grew a second shuffle ($exchanges):\n${plan.take(2000)}")
+  }
+
   test("q90 plan: bm25 is two scans + one broadcast — no per-term shuffle") {
     val plan = graft.operators.TextAnalysis.bm25Search(
         Tables.documents(spark, sf), "doc_id", "text",
