@@ -26,7 +26,8 @@ object Sf1Bench {
   private val Queries = Seq("q01_pricing_summary", "q18_star_join",
     "q45_minhash_pairs", "q75_near_dup_clusters", "q76_curation_v2",
     "q81_substring_dups", "q83_contamination",
-    "q87_chunk_documents", "q89_pack_sequences", "q90_bm25_search")
+    "q87_chunk_documents", "q89_pack_sequences", "q90_bm25_search",
+    "q91_assemble_sequences")
 
   def main(args: Array[String]): Unit = {
     val runs = if (args.nonEmpty) args(0).toInt else 3
