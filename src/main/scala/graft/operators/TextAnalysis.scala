@@ -154,32 +154,51 @@ object TextAnalysis {
         array_join(flatten(col("parts").getField("part")), " ").as("seq_text"))
   }
 
-  /** BM25 ranked retrieval over the corpus for a FIXED small query — the
-    * relevance-scoring primitive of corpus search / query-based filtering.
-    * For a handful of terms, per-term tf is a per-row array projection (no
-    * explode, no per-(doc,term) shuffle); the corpus stats (N, avgdl,
-    * per-term df) reduce to ONE broadcast scalar row; scoring is then a
-    * second scan-bound projection. Two narrow passes total at any corpus
-    * size. k1/b are the Robertson defaults; idf is the +1-guarded form
-    * (never negative, as in Lucene). */
-  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty && queryTerms.size <= 16,
-      s"bm25Search inlines per-term projections; got ${queryTerms.size} terms")
-    // tokenize ONCE: the aliased array is non-cheap and multiply referenced,
-    // so CollapseProject keeps it materialized instead of inlining the
-    // regex split into every tf projection
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("ts"))
+  // BM25 ranked retrieval for a FIXED small query — the relevance-scoring
+  // primitive of corpus search / query-based filtering. Per-term tf is a
+  // per-row array projection (no explode, no per-(doc,term) shuffle); the
+  // corpus stats reduce to ONE broadcast scalar row; scoring is a second
+  // scan-bound projection. k1/b are the Robertson defaults; idf is the
+  // +1-guarded form (never negative, as in Lucene).
+
+  /** Per-doc term frequencies + doc length for a fixed query — the shared
+    * first stage of [[bm25Search]]. Tokenizes ONCE: the aliased array is
+    * non-cheap and multiply referenced, so CollapseProject keeps it
+    * materialized instead of inlining the regex split into every tf
+    * projection. */
+  private def bm25TermFreqs(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("ts"))
       .select(
         col(idCol) +: size(col("ts")).cast("double").as("dl") +:
           queryTerms.zipWithIndex.map { case (t, i) =>
             size(filter(col("ts"), x => x === lit(t))).cast("double").as(s"tf_$i")
           }: _*)
+
+  /** One-row corpus statistics (N, avgdl, per-term df) for [[bm25Search]].
+    * The repeated-query / streaming-ingest path: compute (or load) these
+    * ONCE from the frozen corpus, then score any batch in a single
+    * scan-bound pass with [[bm25SearchWithStats]] — the same
+    * freeze-then-probe discipline as the minhash / IVF / eval-window
+    * indexes. */
+  def bm25CorpusStats(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    val base = bm25TermFreqs(docs, idCol, textCol, queryTerms)
     val statCols = count(lit(1)).cast("double").as("n_docs") +: avg("dl").as("avgdl") +:
       queryTerms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
-    val stats = base.agg(statCols.head, statCols.tail: _*)
-    val scored = base.join(broadcast(stats))
+    base.agg(statCols.head, statCols.tail: _*)
+  }
+
+  /** Score `docs` against PRECOMPUTED corpus stats (one broadcast row from
+    * [[bm25CorpusStats]], possibly persisted): a single scan-bound pass. */
+  def bm25SearchWithStats(docs: DataFrame, stats: DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 16,
+      s"bm25 inlines per-term projections; got ${queryTerms.size} terms")
+    val scored = bm25TermFreqs(docs, idCol, textCol, queryTerms)
+      .join(broadcast(stats))
     val perTerm = queryTerms.indices.map { i =>
       val idf = log(((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5)) + 1.0)
       val tf = col(s"tf_$i")
@@ -191,6 +210,12 @@ object TextAnalysis {
       .select(col(idCol), nMatch.as("n_match_terms"),
         perTerm.reduce(_ + _).cast("decimal(18,6)").cast("double").as("score"))
   }
+
+  /** One-shot convenience: stats pass + scoring pass over the same corpus. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25SearchWithStats(docs, bm25CorpusStats(docs, idCol, textCol, queryTerms),
+      idCol, textCol, queryTerms, k1, b)
 
   // ---- declared queries ----
 

@@ -113,6 +113,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L)._2 == r6(term(1, 2, 3)), s"got ${got(2L)._2}")
   }
 
+  test("bm25SearchWithStats: frozen stats reproduce the one-shot scores and price a new batch") {
+    val corpus = Seq((1L, "cat cat dog"), (2L, "cat fish fish"), (3L, "bird bird"))
+      .toDF("doc_id", "text")
+    val terms = Seq("cat", "dog")
+    val stats = TextAnalysis.bm25CorpusStats(corpus, "doc_id", "text", terms)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rows(TextAnalysis.bm25SearchWithStats(corpus, stats, "doc_id", "text", terms))
+      == rows(TextAnalysis.bm25Search(corpus, "doc_id", "text", terms)))
+    // an unseen ingest batch scores under the FROZEN stats: same formula,
+    // df/N/avgdl unchanged by the batch itself
+    val batch = Seq((9L, "cat dog dog")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.bm25SearchWithStats(batch, stats, "doc_id", "text", terms))
+    val (k1, b, n, avgdl) = (1.2, 0.75, 3.0, 8.0 / 3.0)
+    def term(tf: Double, df: Double, dl: Double) =
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0) *
+        (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((9L, 2L, r6(term(1, 2, 3) + term(2, 1, 3)))))
+  }
+
   test("langId picks the stopword-majority language") {
     val df = Seq(
       "the cat and the dog of a house",          // en
