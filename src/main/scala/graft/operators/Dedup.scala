@@ -365,6 +365,28 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Quality-priority representative dedup: where [[dedupByPairs]] keeps a
+    * cluster's min-id member, this keeps its BEST member — highest `ordCol`
+    * (ties → smallest id, so exact duplicates inside a cluster still break
+    * deterministically for any orderable id type). Two comp-keyed
+    * aggregations and a comp join, all riding ONE shuffle (each reuses the
+    * previous stage's hash partitioning); no per-cluster sort. The cluster
+    * state is the edge set's, so the 100 TB posture is
+    * [[connectedComponents]]'s. */
+  def dedupByPairsBest(docs: DataFrame, idCol: String, ordCol: String,
+      edges: DataFrame): DataFrame = {
+    val members = connectedComponents(edges)
+      .join(docs.select(col(idCol).as("id"), col(ordCol).as("__ord")), "id")
+    val best = members.groupBy("comp").agg(max(col("__ord")).as("__best"))
+    val winners = members.join(best, "comp")
+      .filter(col("__ord") === col("__best"))
+      .groupBy("comp").agg(min(col("id")).as("__keep_id"))
+    val losers = members.join(winners,
+        members("id") === winners("__keep_id"), "left_anti")
+      .select(col("id").as("__drop_id"))
+    docs.join(losers, docs(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Near-dup cluster report: minhash pairs (the q45 edge set, which the
     * q45 oracle proves equals the exact Jaccard ≥ 0.5 pair set) clustered
     * into connected components; one row per cluster with its representative
@@ -668,7 +690,23 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Near-dup cluster dedup keeping each cluster's HIGHEST-quality member
+    * (ties → min id). The oracle recomputes the clusters via recursive
+    * transitive closure AND the quality scores from first principles, so
+    * the kept set — including every argmax decision — is hash-gated. */
+  def q92QualityDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = minhashNearDupPairs(docs, "doc_id", "text", bands = 32)
+      .select("id_a", "id_b")
+    val scored = docs.withColumn("quality",
+      TextAnalysis.qualityScore(col("text")))
+    dedupByPairsBest(scored, "doc_id", "quality", edges)
+      .select("doc_id", "quality")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_quality_dedup" -> (q92QualityDedup _),
     "q81_substring_dups" -> (q81SubstringDups _),
     "q83_contamination" -> (q83Contamination _),
     "q56_corpus_pipeline" -> (q56CorpusPipeline _),
@@ -681,6 +719,54 @@ object Dedup {
     "q76_curation_v2" -> (q76CurationV2 _))
 
   val oracles: Map[String, String] = Map(
+    // clusters via recursive closure over the exact jaccard pair set;
+    // quality recomputed from first principles; winner = (quality DESC,
+    // id ASC) per cluster — the full argmax decision is hash-gated
+    "q92_quality_dedup" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN 0.0
+        |         ELSE (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+        |               + LENGTH(regexp_replace(text, '[^\p{L}]', '', 'g'))
+        |                 / CAST(LENGTH(text) AS DOUBLE)) / 2
+        |    END AS quality
+        |  FROM d0),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             FOR i IN range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM d0),
+        |pairs AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM t x JOIN t y ON x.doc_id < y.doc_id
+        |  WHERE 2 * len(list_intersect(x.sh, y.sh)) >=
+        |        len(list_distinct(list_concat(x.sh, y.sh)))),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |comp AS (
+        |  SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src),
+        |winners AS (
+        |  SELECT id FROM (
+        |    SELECT c.id, ROW_NUMBER() OVER (PARTITION BY c.comp
+        |        ORDER BY mq.quality DESC, c.id ASC) AS rn
+        |    FROM comp c JOIN q mq ON mq.doc_id = c.id)
+        |  WHERE rn = 1),
+        |kept AS (
+        |  SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)
+        |  UNION ALL
+        |  SELECT id FROM winners)
+        |SELECT k.doc_id, q.quality FROM kept k JOIN q ON q.doc_id = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
     // distinct shared 8-token windows per pair, from plain window STRINGS
     // (no engine hash in the contract), with the same df <= 256 cutoff
     "q81_substring_dups" ->

@@ -94,6 +94,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupByPairsBest keeps the argmax member, ties break to min id, strings ids work") {
+    // cluster {a,b,c}: b has top quality; cluster {d,e}: tie -> keep d; f alone
+    val docs = Seq(("a", 0.3), ("b", 0.9), ("c", 0.5), ("d", 0.7), ("e", 0.7), ("f", 0.1))
+      .toDF("id", "q")
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByPairsBest(docs, "id", "q", edges)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(kept == Seq("b", "d", "f"))
+    // min-id convention of dedupByPairs differs on the first cluster
+    val keptMin = Dedup.dedupByPairs(docs, "id", edges)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(keptMin == Seq("a", "d", "f"))
+  }
+
   test("bm25Search: hand-computed score on a three-doc corpus") {
     val docs = Seq(
       (1L, "cat cat dog"),    // tf(cat)=2, dl=3
