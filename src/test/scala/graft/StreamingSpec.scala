@@ -505,6 +505,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static bm25: micro-batches score against frozen corpus stats") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // freeze the stats from a static corpus once
+    val corpus = Seq((1L, "cat cat dog"), (2L, "cat fish fish"), (3L, "bird bird"))
+      .toDF("doc_id", "text")
+    val terms = Seq("cat", "dog")
+    val stats = graft.operators.TextAnalysis
+      .bm25CorpusStats(corpus, "doc_id", "text", terms)
+    // score a stream of incoming docs against them (stateless stream-static
+    // broadcast join — the ingest-relevance-gate shape)
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.operators.TextAnalysis.bm25SearchWithStats(
+      mem.toDF().toDF("doc_id", "text"), stats, "doc_id", "text", terms)
+    val q = scored.writeStream.format("memory").queryName("bm25_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((9L, "cat dog dog"), (10L, "nothing relevant here"))
+      q.processAllAvailable()
+      mem.addData((11L, "cat"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_match_terms, score FROM bm25_stream")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      // batch twin over the same rows must agree row-for-row
+      val twin = graft.operators.TextAnalysis.bm25SearchWithStats(
+          Seq((9L, "cat dog dog"), (10L, "nothing relevant here"), (11L, "cat"))
+            .toDF("doc_id", "text"), stats, "doc_id", "text", terms)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got == twin && got.map(_._1) == Seq(9L, 11L), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
