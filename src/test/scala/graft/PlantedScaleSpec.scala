@@ -100,6 +100,30 @@ class PlantedScaleSpec extends AnyFunSuite {
       Base + 10 -> (Base + 10), Base + 11 -> (Base + 10)), comps.toString)
   }
 
+  test("planted quality-dedup ground truth at sf0.1: each cluster keeps its argmax-quality member") {
+    // local first-principles quality (same formula as QualityScore)
+    def quality(toks: Seq[String]): Double = {
+      val s = toks.mkString(" ")
+      if (toks.length < 3) 0.0
+      else (toks.distinct.size.toDouble / toks.length
+        + s.count(Character.isLetter).toDouble / s.length) / 2.0
+    }
+    val clusters = Seq(Seq(Base + 0, Base + 1, Base + 2), Seq(Base + 10, Base + 11))
+    val byId = planted.toMap
+    val expectedKept = clusters.map(c =>
+      c.map(id => (id, quality(byId(id)))).sortBy { case (id, q) => (-q, id) }.head._1).toSet ++
+      Seq(Base + 20, Base + 21) // unclustered negative controls survive
+    val edges = Dedup.minhashNearDupPairs(corpus, "doc_id", "text", bands = 32)
+      .select("id_a", "id_b")
+    val scored = corpus.withColumn("quality",
+      graft.operators.TextAnalysis.qualityScore(col("text")))
+    val keptPlanted = Dedup.dedupByPairsBest(scored, "doc_id", "quality", edges)
+      .filter(col("doc_id") >= Base)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptPlanted == expectedKept,
+      s"kept $keptPlanted expected $expectedKept")
+  }
+
   test("planted simhash ground truth at sf0.1: blocking finds every hamming<=3 pair at the default cap") {
     GraftFunctions.register(spark)
     // engine fingerprints of the planted docs only (tiny), then local
