@@ -111,6 +111,38 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** QUOTA resampling — down-sample each stratum to ≈ a target row budget:
+    * rate_s = min(1, quota_s / n_s) with n_s the stratum's CURRENT count,
+    * membership the same deterministic key-hash draw as every sampler here.
+    * This is training-mix rebalancing ("cap web crawl at N docs, keep all
+    * of wikipedia") where the caller states the TARGET, not the rate — the
+    * rate falls out of the data.
+    *
+    * Strata absent from `quotas` keep nothing (explicit budget or drop —
+    * the safe default for curation). Two passes at scale: a column-pruned
+    * count of the strata column (tiny agg — stratum cardinality rows —
+    * broadcast back), then the scan-level membership filter; no row-level
+    * shuffle ever carries the data. Both the counts and the division are
+    * exact (IEEE double of exact longs), so an oracle recomputes the EXACT
+    * member set. */
+  def quotaSample(df: DataFrame, strataCol: String, keyCol: String,
+      quotas: Map[String, Long], seed: Long = 42L): DataFrame = {
+    require(quotas.nonEmpty, "at least one stratum quota required")
+    require(quotas.values.forall(_ >= 0), "quotas must be >= 0")
+    val quotaCol = quotas.foldLeft(lit(null).cast("double")) { case (acc, (s, q)) =>
+      when(col(strataCol) === s, lit(q.toDouble)).otherwise(acc)
+    }
+    // NOTE: least() skips NULLs in both Spark and DuckDB, so a missing
+    // quota must become rate 0 BEFORE the clamp, not after
+    val rates = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__rate", when(quotaCol.isNull, lit(0.0))
+        .otherwise(least(lit(1.0), quotaCol / col("__n").cast("double"))))
+      .select(col(strataCol), col("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(uniformFromKey(col(keyCol), seed) < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Stratified document sample — 50% of en, 20% of every other language —
     * emitting the member ids themselves: the oracle recomputes the EXACT
     * member set from first principles (md5 → uniform → threshold), so the
@@ -150,20 +182,31 @@ object Sampling {
       .select(col("lang"), col("doc_id"))
       .orderBy("lang", "doc_id")
 
+  /** Budget-targeted source rebalance: keep ~10 docs of src0, ~40 of src1
+    * (above the sf0.01 stratum size — clamps to keep-all), ~15 of src2, ~5
+    * of src3, nothing else. The oracle recomputes counts, rates, and the
+    * EXACT member set from first principles — strict hash gate. */
+  def q94QuotaSample(spark: SparkSession, dir: String): DataFrame =
+    quotaSample(Tables.documents(spark, dir), "source", "doc_id",
+        Map("src0" -> 10L, "src1" -> 40L, "src2" -> 15L, "src3" -> 5L))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_split_by_key" -> (q71SplitByKey _),
     "q79_weighted_sample" -> (q79WeightedSample _),
-    "q84_fixed_size_sample" -> (q84FixedSizeSample _))
+    "q84_fixed_size_sample" -> (q84FixedSizeSample _),
+    "q94_quota_sample" -> (q94QuotaSample _))
 
   /** CTE computing the uniform draw per document, reproduced from first
     * principles (same md5 derivation as the q46 simhash oracle). */
   private def uniformCte(seed: Long): String =
     s"""WITH h AS (
-       |  SELECT doc_id, lang, n_chars, substr(md5(doc_id::VARCHAR || ':$seed'), 1, 16) AS s
+       |  SELECT doc_id, lang, source, n_chars, substr(md5(doc_id::VARCHAR || ':$seed'), 1, 16) AS s
        |  FROM documents),
        |d AS (
-       |  SELECT doc_id, lang, n_chars,
+       |  SELECT doc_id, lang, source, n_chars,
        |    ((list_sum([ (strpos('0123456789abcdef', s[i]) - 1)::HUGEINT * (1::HUGEINT << (4*(16-i)))
        |                 FOR i IN range(1, 17) ]) >> 11))::DOUBLE / 9007199254740992.0 AS u
        |  FROM h)""".stripMargin
@@ -193,5 +236,17 @@ object Sampling {
          |  SELECT lang, doc_id,
          |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
          |  FROM d)
-         |WHERE rn <= 30 ORDER BY lang, doc_id""".stripMargin)
+         |WHERE rn <= 30 ORDER BY lang, doc_id""".stripMargin,
+    "q94_quota_sample" ->
+      s"""${uniformCte(42L)},
+         |n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+         |r AS (SELECT source,
+         |  CASE WHEN q IS NULL THEN 0.0
+         |       ELSE LEAST(1.0, q / cnt::DOUBLE) END AS rate
+         |  FROM (SELECT source, cnt,
+         |    CASE source WHEN 'src0' THEN 10.0 WHEN 'src1' THEN 40.0
+         |                WHEN 'src2' THEN 15.0 WHEN 'src3' THEN 5.0 END AS q
+         |  FROM n))
+         |SELECT d.doc_id, d.source FROM d JOIN r USING (source)
+         |WHERE d.u < r.rate ORDER BY d.doc_id""".stripMargin)
 }

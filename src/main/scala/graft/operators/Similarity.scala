@@ -366,6 +366,161 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  // ---- product quantization (PQ) ----
+
+  /** PQ codebook: `m` subspaces × `ksub` sub-centroids × `dsub = dim/m`
+    * doubles, flat. Model parameters (a few KiB), not data. */
+  final case class PqModel(dim: Int, m: Int, ksub: Int, codebook: Array[Double]) {
+    val dsub: Int = dim / m
+
+    /** Per-query ADC lookup tables for [[graft.functions.PqAdcCosine]]:
+      * ipLut[j·ksub+c] = ⟨q_j, centroid_{j,c}⟩, sqLut = ‖centroid‖². */
+    def adcLuts(q: Array[Double]): (Array[Double], Array[Double]) = {
+      val ip = new Array[Double](m * ksub)
+      val sq = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ksub) {
+          val off = (j * ksub + c) * dsub
+          var s = 0.0
+          var n2 = 0.0
+          var t = 0
+          while (t < dsub) {
+            val cv = codebook(off + t)
+            s += q(j * dsub + t) * cv
+            n2 += cv * cv
+            t += 1
+          }
+          ip(j * ksub + c) = s
+          sq(j * ksub + c) = n2
+          c += 1
+        }
+        j += 1
+      }
+      (ip, sq)
+    }
+  }
+
+  /** Train a PQ codebook per subspace on a BOUNDED sample — the same
+    * deterministic hash-ordered reservoir as [[ivfTrain]] (smallest
+    * `xxhash64(id)` vectors, one TakeOrdered pass), so training costs
+    * O(sampleN · ksub · iters · dim) regardless of corpus size. The
+    * per-subspace Lloyd runs driver-side over the collected sample —
+    * sampleN × dim doubles, legitimately driver-sized (the fit/transform
+    * boundary, exactly like [[ivfTrain]]'s centroid materialization).
+    * Deterministic: seeds are the hash-order sample prefix, no RNG. */
+  def pqTrain(emb: DataFrame, idCol: String, embCol: String, dim: Int,
+      m: Int, ksub: Int, sampleN: Int = 4096, iters: Int = 10): PqModel = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val sample: Array[Array[Double]] = emb
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h").limit(math.max(sampleN, ksub))
+      .select("v").collect().map(rowToVec(_, 0))
+    require(sample.nonEmpty, "pqTrain needs a non-empty corpus")
+    val codebook = new Array[Double](m * ksub * dsub)
+    val assign = new Array[Int](sample.length)
+    var j = 0
+    while (j < m) {
+      // seeds: subvectors of the first ksub sample rows (wraps if tiny)
+      var c = 0
+      while (c < ksub) {
+        val src = sample(c % sample.length)
+        System.arraycopy(src, j * dsub, codebook, (j * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      var it = 0
+      while (it < iters) {
+        // assignment
+        var i = 0
+        while (i < sample.length) {
+          val v = sample(i)
+          var best = 0
+          var bestD = Double.MaxValue
+          c = 0
+          while (c < ksub) {
+            val off = (j * ksub + c) * dsub
+            var d2 = 0.0
+            var t = 0
+            while (t < dsub) {
+              val diff = v(j * dsub + t) - codebook(off + t)
+              d2 += diff * diff
+              t += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          assign(i) = best
+          i += 1
+        }
+        // update (empty clusters keep their previous centroid)
+        val sums = new Array[Double](ksub * dsub)
+        val cnts = new Array[Int](ksub)
+        i = 0
+        while (i < sample.length) {
+          val v = sample(i)
+          val a = assign(i)
+          cnts(a) += 1
+          var t = 0
+          while (t < dsub) { sums(a * dsub + t) += v(j * dsub + t); t += 1 }
+          i += 1
+        }
+        c = 0
+        while (c < ksub) {
+          if (cnts(c) > 0) {
+            var t = 0
+            while (t < dsub) {
+              codebook((j * ksub + c) * dsub + t) = sums(c * dsub + t) / cnts(c)
+              t += 1
+            }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      j += 1
+    }
+    PqModel(dim, m, ksub, codebook)
+  }
+
+  /** PQ ANN top-k: encode the corpus to m-int codes (map-only), ADC-score
+    * every code row against the query's lookup tables (m table reads per
+    * row, no vector access), shortlist the top `rerank` by approximate
+    * score (TakeOrderedAndProject), then fetch ONLY the shortlist's raw
+    * vectors by id for the exact cosine rerank.
+    *
+    * 100 TB shape: the scored pass touches 8-byte codes instead of 256-byte
+    * vectors (32× less I/O), scoring is m lookups not a dim-length dot, the
+    * shortlist is k-bounded driver-broadcastable, and the raw-vector fetch
+    * is a broadcast semi-join touching `rerank` rows — the PQ + rerank
+    * pipeline of Jégou et al. 2011 in Spark plan shapes. */
+  def pqTopK(emb: DataFrame, idCol: String, embCol: String, dim: Int,
+      queryId: Long, k: Int, m: Int = 8, ksub: Int = 16, rerank: Int = 64,
+      sampleN: Int = 4096, iters: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graft.GraftBridge
+    val base = emb.select(col(idCol).as("id"), col(embCol).as("v"))
+    val model = pqTrain(emb, idCol, embCol, dim, m, ksub, sampleN, iters)
+    val qRows = base.filter(col("id") === queryId)
+      .select(col("v").cast("array<double>")).collect()
+    require(qRows.nonEmpty, s"query id $queryId not found")
+    val qv = rowToVec(qRows(0), 0)
+    val (ipLut, sqLut) = model.adcLuts(qv)
+    val qNorm = math.sqrt(qv.map(x => x * x).sum)
+    val codes = base.select(col("id"),
+      GraftBridge.column(graft.functions.PqEncode(
+        GraftBridge.expression(col("v")), model.codebook, dim, m, ksub)).as("codes"))
+    val shortlist = codes
+      .withColumn("adc", GraftBridge.column(graft.functions.PqAdcCosine(
+        GraftBridge.expression(col("codes")), ipLut, sqLut, m, ksub, qNorm)))
+      .orderBy(desc("adc"), col("id")).limit(rerank)
+      .select("id")
+    val scored = base.join(broadcast(shortlist), "id")
+      .withColumn("sim", cosine(col("v"), typedLit(qv)))
+    topKRanked(scored, k)
+  }
+
   // ---- declared queries ----
 
   /** Brute-force cosine top-10 for the vec_id=0 query vector. */
@@ -434,11 +589,24 @@ object Similarity {
           col("n_exact_pairs").cast("double") * 0.5).as("recall_ok"))
   }
 
+  /** PQ+rerank ANN top-5 vs exact top-5 (same gate family as q51/q53).
+    * The ADC shortlist is approximate by design; "returns 5 results of
+    * which ≥4 sit in the exact top-5" is the deterministic, oracle-checkable
+    * fact. Both paths execute inside the query. */
+  def q93AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annRecallGate(
+      pqTopK(emb, "vec_id", "embedding", 64, 0L, 5).select("id"),
+      bruteForceTopK(emb, "vec_id", "embedding", 0L, 5).select("id"),
+      minHits = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_knn_brute" -> (q50KnnBrute _),
     "q51_ann_lsh" -> (q51AnnLsh _),
     "q52_embedding_near_dup" -> (q52EmbeddingNearDup _),
-    "q53_ann_ivf" -> (q53AnnIvf _))
+    "q53_ann_ivf" -> (q53AnnIvf _),
+    "q93_ann_pq" -> (q93AnnPq _))
 
   val oracles: Map[String, String] = Map(
     "q50_knn_brute" ->
@@ -453,6 +621,8 @@ object Similarity {
     "q51_ann_lsh" ->
       "SELECT CAST(5 AS BIGINT) AS n_results, true AS recall_ok",
     "q53_ann_ivf" ->
+      "SELECT CAST(5 AS BIGINT) AS n_results, true AS recall_ok",
+    "q93_ann_pq" ->
       "SELECT CAST(5 AS BIGINT) AS n_results, true AS recall_ok",
     "q52_embedding_near_dup" ->
       """SELECT COUNT(*) AS n_exact_pairs, true AS recall_ok

@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.{PqAdcCosine, PqEncode}
+import graft.operators.Similarity
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftBridge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: codebook training determinism, encode/ADC kernel
+  * laws, self-recall, and end-to-end recall against brute force. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** Deterministic pseudo-random unit-ish vectors (no RNG state). */
+  private def vec(id: Long, dim: Int): Array[Float] =
+    Array.tabulate(dim) { d =>
+      val h = ((id * 1048573L + d * 131L) * 0x9E3779B97F4A7C15L)
+      (h >>> 11).toDouble.toFloat / (1L << 53).toFloat - 0.5f
+    }
+
+  private def corpus(n: Int, dim: Int) =
+    (0L until n.toLong).map(i => (i, vec(i, dim))).toDF("vec_id", "embedding")
+
+  test("pqTrain is deterministic and codebook has the right geometry") {
+    val df = corpus(300, 32)
+    val m1 = Similarity.pqTrain(df, "vec_id", "embedding", 32, 4, 8)
+    val m2 = Similarity.pqTrain(df.repartition(7), "vec_id", "embedding", 32, 4, 8)
+    assert(m1.codebook.length == 4 * 8 * 8)
+    assert(m1.codebook.toSeq == m2.codebook.toSeq,
+      "training changed under repartition")
+  }
+
+  test("PqEncode assigns each subvector to its nearest sub-centroid") {
+    val dim = 8; val m = 2; val ksub = 2; val dsub = 4
+    // hand-built codebook: subspace 0 centroids at 0-vector and 1-vector,
+    // subspace 1 centroids at 2-vector and 3-vector
+    val cb = Array.fill(ksub * dsub)(0.0) ++ Array.fill(ksub * dsub)(0.0)
+    for (t <- 0 until dsub) {
+      cb(0 * dsub + t) = 0.0; cb(1 * dsub + t) = 1.0
+      cb((ksub + 0) * dsub + t) = 2.0; cb((ksub + 1) * dsub + t) = 3.0
+    }
+    val df = Seq(
+      (1L, Array(0.1f, 0.1f, 0.1f, 0.1f, 2.9f, 2.9f, 2.9f, 2.9f)), // -> [0, 1]
+      (2L, Array(0.9f, 0.9f, 0.9f, 0.9f, 2.1f, 2.1f, 2.1f, 2.1f))  // -> [1, 0]
+    ).toDF("id", "v")
+    val got = df.select(col("id"), GraftBridge.column(
+        PqEncode(GraftBridge.expression(col("v")), cb, dim, m, ksub)).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(1L) == Seq(0, 1))
+    assert(got(2L) == Seq(1, 0))
+  }
+
+  test("ADC score equals the cosine of query vs the reconstructed vector") {
+    val dim = 8; val m = 2; val ksub = 2; val dsub = 4
+    val cb = Array.tabulate(m * ksub * dsub)(i => (i % 7).toDouble / 7.0 + 0.1)
+    val q = Array.tabulate(dim)(i => 0.3 + 0.1 * i)
+    val model = Similarity.PqModel(dim, m, ksub, cb)
+    val (ip, sq) = model.adcLuts(q)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val codes = Seq(0, 1)
+    // reconstruct x from the codebook entries the codes name
+    val recon = (0 until dim).map { i =>
+      val j = i / dsub; cb((j * ksub + codes(j)) * dsub + (i % dsub))
+    }
+    val expected = {
+      val dot = recon.zip(q).map { case (a, b) => a * b }.sum
+      dot / (qNorm * math.sqrt(recon.map(x => x * x).sum))
+    }
+    val got = Seq(Tuple1(codes)).toDF("codes")
+      .select(GraftBridge.column(PqAdcCosine(
+        GraftBridge.expression(col("codes")), ip, sq, m, ksub, qNorm)).as("s"))
+      .as[Double].head()
+    assert(math.abs(got - expected) < 1e-12, s"adc $got vs recon-cosine $expected")
+  }
+
+  test("pqTopK finds the query itself at rank 1 and hits brute-force top-5") {
+    val dim = 32
+    val df = corpus(400, dim)
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding", dim, 7L, 5,
+      m = 4, ksub = 16, rerank = 48)
+      .as[(Long, Long)].collect().toMap // id -> rank
+    assert(pq.size == 5)
+    assert(pq(7L) == 1L, s"query not at rank 1: $pq")
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", 7L, 5)
+      .select("id").as[Long].collect().toSet
+    val hits = pq.keySet.count(brute.contains)
+    assert(hits >= 4, s"recall $hits/5 vs brute force")
+  }
+
+  test("mixed float/double arrays and null vectors are handled") {
+    val dim = 8; val m = 2; val ksub = 2
+    val cb = Array.fill(m * ksub * (dim / m))(0.5)
+    val d = Seq((1L, Some(Array.fill(dim)(0.5))), (2L, None))
+      .toDF("id", "v") // array<double>
+    val out = d.select(GraftBridge.column(
+        PqEncode(GraftBridge.expression(col("v")), cb, dim, m, ksub)).as("c"))
+      .collect()
+    assert(out(0).getSeq[Int](0) == Seq(0, 0))
+    assert(out(1).isNullAt(0), "null vector must encode to null")
+  }
+}

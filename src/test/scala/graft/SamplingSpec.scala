@@ -102,4 +102,37 @@ class SamplingSpec extends AnyFunSuite {
       .filter($"lang" === "de").count()
     assert(none == 0L)
   }
+
+  test("quota sample targets per-stratum budgets and clamps at keep-all") {
+    // 10k "web", 200 "wiki", 300 "books"
+    val df = (1L to 10500L).map { k =>
+      (k, if (k <= 10000) "web" else if (k <= 10200) "wiki" else "books")
+    }.toDF("k", "src")
+    val got = Sampling.quotaSample(df, "src", "k",
+        Map("web" -> 1000L, "wiki" -> 5000L))
+      .as[(Long, String)].collect()
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // web: rate 0.1 of 10k -> ~1000 (Bernoulli, not exact-k)
+    assert(math.abs(bySrc("web") - 1000) < 150, s"web ${bySrc("web")}")
+    // wiki: quota 5000 > 200 rows -> rate clamps to 1, keep ALL
+    assert(bySrc("wiki") == 200, s"wiki ${bySrc.get("wiki")}")
+    // books has no quota -> keep nothing
+    assert(!bySrc.contains("books"), s"books leaked: ${bySrc.get("books")}")
+    // deterministic + partition-invariant like every sampler here
+    val again = Sampling.quotaSample(df.repartition(13), "src", "k",
+        Map("web" -> 1000L, "wiki" -> 5000L))
+      .as[(Long, String)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("quota membership is consistent with deterministicSample's draw") {
+    // same seed + same key => quota keeps exactly the rows whose uniform
+    // draw is below quota/n: cross-check against the base sampler
+    val df = (1L to 4000L).map(k => (k, "s")).toDF("k", "src")
+    val viaQuota = Sampling.quotaSample(df, "src", "k", Map("s" -> 1000L))
+      .select("k").as[Long].collect().toSet
+    val viaFraction = Sampling.deterministicSample(df, "k", 1000.0 / 4000.0)
+      .select("k").as[Long].collect().toSet
+    assert(viaQuota == viaFraction)
+  }
 }
