@@ -47,7 +47,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","stat":"median_of_3"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","stat":"median_of_3"}"""
+    println(line)
+    // the driver's stdout-tail capture is lossy past ~4 KB, which truncated
+    // the per-query map in earlier rounds — persist the complete artifact
+    // too, so round-over-round comparison never needs reconstruction
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -139,8 +139,10 @@ object Dedup {
     val offsets = widths.scanLeft(0)(_ + _)
     (0 until m).combinations(m - maxHamming).map { s =>
       s.foldLeft(lit(0L)) { (acc, c) =>
+        // mask via unsigned shift: (1L << 64) - 1 would be 0 (Java shifts
+        // mod 64), but -1L >>> (64 - w) is all-ones even at w = 64
         shiftleft(acc, widths(c)).bitwiseOR(
-          shiftright(sim, offsets(c)).bitwiseAND(lit((1L << widths(c)) - 1)))
+          shiftright(sim, offsets(c)).bitwiseAND(lit(-1L >>> (64 - widths(c)))))
       }
     }.toSeq
   }
@@ -705,7 +707,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide span-level (paragraph) dedup, oracle-gated end to end.
+    * The synthetic docs are single-line word soup, so the query first
+    * re-paragraphs each doc into aligned 32-token spans (a pure projection
+    * — the shape a crawl corpus arrives in already), then runs
+    * [[spanDedup]] with its default `\n{2,}` delimiter. The oracle
+    * recomputes the spans, the corpus-wide first-occurrence choice AND the
+    * verbatim reassembled text in SQL — strict hash gate on the rebuilt
+    * documents (31 cross/intra-doc duplicate spans at sf0.01). */
+  def q97SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ts = filter(split(col("text"), "\\s+"), x => x =!= "")
+    val nSpans = ceil(size(ts).cast("double") / 32.0).cast("int")
+    val paraed = docs.select(col("doc_id"),
+      when(size(ts) > 0,
+        array_join(transform(sequence(lit(0), nSpans - 1),
+          i => array_join(slice(ts, i * 32 + 1, lit(32)), " ")), "\n\n"))
+        .otherwise(lit("")).as("text"))
+    spanDedup(paraed, "doc_id", "text").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_span_dedup" -> (q97SpanDedup _),
     "q92_quality_dedup" -> (q92QualityDedup _),
     "q81_substring_dups" -> (q81SubstringDups _),
     "q83_contamination" -> (q83Contamination _),
@@ -719,6 +742,35 @@ object Dedup {
     "q76_curation_v2" -> (q76CurationV2 _))
 
   val oracles: Map[String, String] = Map(
+    // spans, first-occurrence choice, and verbatim reassembly all
+    // recomputed from first principles; strict hash gate on rebuilt text
+    "q97_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(unnest(range(0, len(ts), 32)) AS BIGINT) AS st, ts
+        |  FROM t WHERE len(ts) > 0),
+        |w AS (
+        |  SELECT doc_id, st // 32 AS pos,
+        |    array_to_string(list_slice(ts, st + 1, st + 32), ' ') AS span
+        |  FROM s),
+        |k AS (
+        |  SELECT doc_id, pos, span,
+        |    ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1 AS keep
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id,
+        |    string_agg(span, e'\n\n' ORDER BY pos) FILTER (WHERE keep) AS text,
+        |    COUNT(*) FILTER (WHERE keep) AS n_spans_kept,
+        |    COUNT(*) FILTER (WHERE NOT keep) AS n_spans_dropped
+        |  FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(r.text, '') AS text,
+        |  COALESCE(r.n_spans_kept, 0) AS n_spans_kept,
+        |  COALESCE(r.n_spans_dropped, 0) AS n_spans_dropped
+        |FROM documents d LEFT JOIN r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // clusters via recursive closure over the exact jaccard pair set;
     // quality recomputed from first principles; winner = (quality DESC,
     // id ASC) per cluster — the full argmax decision is hash-gated

@@ -27,19 +27,29 @@ object Layout {
 
   /** Morton-interleave the low `bitsPerCol` bits of each column: bit `i` of
     * column `j` lands at position `i·n + j` (column 0 = least-significant
-    * lane). Columns must be non-negative and fit `bitsPerCol` bits —
-    * `require`d at plan build for the caller's declared width. Composed
-    * bitwise ops on longs → whole-stage codegen, no UDF. */
+    * lane). The width budget (`bitsPerCol · n ≤ 63`) is `require`d at plan
+    * build; each VALUE is guarded at runtime — a value that is negative or
+    * exceeds `bitsPerCol` bits raises rather than silently aliasing distant
+    * keys into the same z-range (which would quietly destroy the clustering
+    * the operator exists for). Composed bitwise ops on longs → whole-stage
+    * codegen, no UDF (`raise_error` sits on the never-taken branch). */
   def zValue(cols: Seq[Column], bitsPerCol: Int): Column = {
     require(cols.nonEmpty, "zValue needs at least one column")
     val n = cols.size
     require(bitsPerCol >= 1 && bitsPerCol * n <= 63,
       s"bitsPerCol * nCols must fit a long: got $bitsPerCol * $n")
+    def checked(c: Column): Column = {
+      val lc = c.cast("long")
+      when(shiftright(lc, bitsPerCol) =!= 0L,
+        raise_error(concat(
+          lit(s"zValue: value out of [0, 2^$bitsPerCol) range: "),
+          lc.cast("string"))).cast("long"))
+        .otherwise(lc)
+    }
     val terms = for {
-      (c, j) <- cols.zipWithIndex
+      (c, j) <- cols.map(checked).zipWithIndex
       i <- 0 until bitsPerCol
-    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
-      i * n + j)
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
     terms.reduce(_.bitwiseOR(_))
   }
 
@@ -67,14 +77,15 @@ object Layout {
 
   // ---- declared query ----
 
-  private val zBits = 16
+  private val zBits = 20
 
   /** Z-values of the lineitem (l_partkey, l_suppkey) pair — the clustering
     * key a part×supplier workload would lay the fact table out by. Emits
     * the 500 smallest z-values with their coordinates; the oracle rebuilds
     * the interleave bit-for-bit in SQL, so the gate is strict hash
-    * equality. 16 bits/column covers the keys at every test SF ('require'd
-    * in [[zValue]]'s contract by the width check below). */
+    * equality. 20 bits/column covers l_partkey up to sf≈5 (200k·sf keys);
+    * beyond that [[zValue]]'s runtime guard raises rather than silently
+    * aliasing — widen zBits at the call site. */
   def q95Zorder(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.select(col("l_orderkey"), col("l_linenumber"),

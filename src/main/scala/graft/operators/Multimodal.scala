@@ -148,7 +148,25 @@ object Multimodal {
 
   /** STUB decoder for the formats with no codec in this environment
     * (audio/video): features are a folded byte histogram, normalized. The
-    * signature — bytes in, fixed-dim float vector out — is the real one. */
+    * signature — bytes in, fixed-dim float vector out — is the real one.
+    *
+    * == What a real codec drop-in needs (the complete boundary) ==
+    *
+    * Everything Spark-side is already in place; a future environment with
+    * media libraries closes the gap in THIS FILE ONLY, by replacing this
+    * function the way [[decodeImage]] replaced the image stub in round 6:
+    *
+    * | piece | status | where |
+    * |---|---|---|
+    * | bytes → decoded samples/frames | STUB (this fn) | audio: e.g. `javax.sound.sampled` for WAV-PCM, or a JNI codec; video: a JavaCV/FFmpeg binding |
+    * | decoded → fixed-dim features | real (histogram shape) | fold samples/pixels into [[FeatureDim]] bins exactly as [[decodeImage]] does |
+    * | failure handling | real | return None/stub on undecodable bytes — corrupt files degrade, never fail the job ([[extractFeatures]]) |
+    * | batch seam | real | [[extractFeatures]]'s grouped-`mapPartitions`: hand a whole batch to a vectorized/native decoder in one call |
+    * | schema & partitioning | real | opaque `binary` + typed metadata ([[loadMediaDir]]); codec parallelism pinned against AQE coalescing (MultimodalSpec) |
+    * | frame sampling plumbing | real | [[sampleFrames]] explodes engine-side; only `frame_bytes` extraction is the stub slice |
+    *
+    * No other file participates: sources, queries (q60/q61), specs, and the
+    * oracle gates all flow through this one bytes→features seam. */
   private def stubDecode(media: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](FeatureDim)
     var i = 0

@@ -140,7 +140,7 @@ object Sampling {
       .select(col(strataCol), col("__rate"))
     df.join(broadcast(rates), Seq(strataCol))
       .filter(uniformFromKey(col(keyCol), seed) < col("__rate"))
-      .drop("__rate")
+      .select(df.columns.map(col): _*)
   }
 
   /** Stratified document sample — 50% of en, 20% of every other language —

@@ -521,6 +521,102 @@ object Similarity {
     topKRanked(scored, k)
   }
 
+  // ---- persisted PQ index (the fit-once / query-many path) ----
+
+  /** Persist a PQ index, mirroring the [[ivfBuildIndex]] discipline: the
+    * trained codebook — model parameters, one row `(dim, m, ksub,
+    * codebook)`, a few KiB — at `path/codebook`, and the encoded corpus —
+    * `(id, codes)`, m small ints per row instead of the raw vectors — at
+    * `path/codes`, partitioned by `batch_id` (the base build is batch 0;
+    * ingest appends land as later batches via [[pqAppendBatch]]).
+    *
+    * This closes the inline-vs-persisted gap [[pqTopK]] documents: build
+    * cost is one bounded-sample training pass plus one map-only encode pass
+    * over the corpus; every [[pqQueryTopK]] after that reads the tiny model
+    * row plus the codes table only — no retraining, no re-encoding, and the
+    * ADC scan touches ~m bytes per row instead of 4·dim. */
+  def pqBuildIndex(emb: DataFrame, idCol: String, embCol: String,
+      path: String, dim: Int, m: Int = 8, ksub: Int = 16,
+      sampleN: Int = 4096, iters: Int = 10): Unit = {
+    import org.apache.spark.sql.graft.GraftBridge
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val model = pqTrain(emb, idCol, embCol, dim, m, ksub, sampleN, iters)
+    Seq((model.dim, model.m, model.ksub, model.codebook.toSeq))
+      .toDF("dim", "m", "ksub", "codebook").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    emb.select(col(idCol).as("id"),
+        GraftBridge.column(graft.functions.PqEncode(
+          GraftBridge.expression(col(embCol)), model.codebook, dim, m, ksub))
+          .as("codes"))
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(s"$path/codes")
+  }
+
+  /** Load the persisted codebook row back into a [[PqModel]]. */
+  private[graft] def pqReadModel(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(s"$path/codebook").collect()
+    require(rows.nonEmpty, s"no PQ codebook at $path/codebook")
+    val r = rows(0)
+    PqModel(r.getAs[Int]("dim"), r.getAs[Int]("m"), r.getAs[Int]("ksub"),
+      r.getSeq[Double](r.fieldIndex("codebook")).toArray)
+  }
+
+  /** Append one ingest batch to a persisted PQ index WITHOUT retraining —
+    * the same maintenance shape as [[ivfAppendBatch]]: encode the batch
+    * against the STORED codebook (one small parquet read + one map-only
+    * encode + one write of just the batch) into its own `batch_id=`
+    * partition; dynamic-partition overwrite makes a replayed batch
+    * overwrite itself instead of duplicating codes. Queries see appended
+    * vectors immediately; retrain ([[pqBuildIndex]]) only when drift makes
+    * the frozen codebook a bad quantizer. */
+  def pqAppendBatch(newEmb: DataFrame, idCol: String, embCol: String,
+      path: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.graft.GraftBridge
+    require(batchId > 0L,
+      s"batch_id 0 is the base build; appends start at 1 (got $batchId)")
+    val spark = newEmb.sparkSession
+    val model = pqReadModel(spark, path)
+    newEmb.select(col(idCol).as("id"),
+        GraftBridge.column(graft.functions.PqEncode(
+          GraftBridge.expression(col(embCol)), model.codebook,
+          model.dim, model.m, model.ksub)).as("codes"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$path/codes")
+  }
+
+  /** ANN top-k against a PERSISTED PQ index ([[pqBuildIndex]]): read the
+    * codebook row (KiB), build the query's ADC lookup tables driver-side,
+    * ADC-score the codes table (a column-pruned scan of m-int codes — the
+    * raw vectors are never touched), shortlist the top `rerank`
+    * (TakeOrderedAndProject), then fetch ONLY the shortlist's raw vectors
+    * from `corpus` by id — a broadcast semi-join touching `rerank` rows —
+    * for the exact cosine rerank. Zero training work per query: the model
+    * is frozen on disk, exactly like [[ivfQueryTopK]]'s centroids. */
+  def pqQueryTopK(spark: SparkSession, path: String, corpus: DataFrame,
+      idCol: String, embCol: String, qv: Array[Double], k: Int,
+      rerank: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.GraftBridge
+    val model = pqReadModel(spark, path)
+    require(qv.length == model.dim,
+      s"query dim ${qv.length} != index dim ${model.dim}")
+    val (ipLut, sqLut) = model.adcLuts(qv)
+    val qNorm = math.sqrt(qv.map(x => x * x).sum)
+    val shortlist = spark.read.parquet(s"$path/codes")
+      .withColumn("adc", GraftBridge.column(graft.functions.PqAdcCosine(
+        GraftBridge.expression(col("codes")), ipLut, sqLut,
+        model.m, model.ksub, qNorm)))
+      .orderBy(desc("adc"), col("id")).limit(rerank)
+      .select("id")
+    val scored = corpus.select(col(idCol).as("id"), col(embCol).as("v"))
+      .join(broadcast(shortlist), "id")
+      .withColumn("sim", cosine(col("v"), typedLit(qv)))
+    topKRanked(scored, k)
+  }
+
   // ---- declared queries ----
 
   /** Brute-force cosine top-10 for the vec_id=0 query vector. */
@@ -601,12 +697,32 @@ object Similarity {
       minHits = 4)
   }
 
+  /** PQ ANN through the PERSISTED index: build once into a scratch dir,
+    * query through the on-disk codebook + codes (the fit-once/query-many
+    * path — no inline retraining), same recall gate as q93. The persisted
+    * and inline paths share the deterministic trainer, so this also pins
+    * that serialize→read round-trips the model bit-exactly. */
+  def q96PqIndexQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+    pqBuildIndex(emb, "vec_id", "embedding", path, dim = 64)
+    val qRows = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).limit(1).collect()
+    require(qRows.nonEmpty, "query vector vec_id=0 not found")
+    val qv = rowToVec(qRows(0), 0)
+    annRecallGate(
+      pqQueryTopK(spark, path, emb, "vec_id", "embedding", qv, 5).select("id"),
+      bruteForceTopK(emb, "vec_id", "embedding", 0L, 5).select("id"),
+      minHits = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_knn_brute" -> (q50KnnBrute _),
     "q51_ann_lsh" -> (q51AnnLsh _),
     "q52_embedding_near_dup" -> (q52EmbeddingNearDup _),
     "q53_ann_ivf" -> (q53AnnIvf _),
-    "q93_ann_pq" -> (q93AnnPq _))
+    "q93_ann_pq" -> (q93AnnPq _),
+    "q96_pq_index_query" -> (q96PqIndexQuery _))
 
   val oracles: Map[String, String] = Map(
     "q50_knn_brute" ->
@@ -623,6 +739,8 @@ object Similarity {
     "q53_ann_ivf" ->
       "SELECT CAST(5 AS BIGINT) AS n_results, true AS recall_ok",
     "q93_ann_pq" ->
+      "SELECT CAST(5 AS BIGINT) AS n_results, true AS recall_ok",
+    "q96_pq_index_query" ->
       "SELECT CAST(5 AS BIGINT) AS n_results, true AS recall_ok",
     "q52_embedding_near_dup" ->
       """SELECT COUNT(*) AS n_exact_pairs, true AS recall_ok

@@ -363,6 +363,70 @@ object StreamOps {
     checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
   }
 
+  /** Streaming QUOTA ingest — [[graft.operators.Sampling.quotaSample]]'s
+    * training-mix rebalancing running in an ingest loop: each micro-batch
+    * is down-sampled so the CUMULATIVE per-stratum admit count approaches
+    * the caller's budget ("cap web crawl at N docs total, keep all of
+    * wikipedia"), re-rating the admit rate per batch from what earlier
+    * batches already admitted.
+    *
+    * Per batch: remaining_s = max(0, quota_s − admitted_s) where
+    * admitted_s comes from a TINY per-batch stratum-count stats table
+    * (`path/stats`, #strata rows per batch — never a rescan of the kept
+    * data); rate_s = min(1, remaining_s / n_s) against the batch's own
+    * stratum counts; membership is the engine's deterministic key-hash
+    * draw ([[graft.operators.Sampling.uniformFromKey]]). Kept rows and the
+    * batch's admit counts land under `batch_id=` partitions with
+    * dynamic-partition overwrite, and a replayed batch reads only STRICTLY
+    * EARLIER batches' stats — so replay recomputes the same rates, the
+    * same deterministic member set, and overwrites itself: exactly-once
+    * output from an at-least-once `foreachBatch`, the engine's standard
+    * store discipline. Strata absent from `quotas` keep nothing.
+    *
+    * The asymptotic admit count per stratum overshoots the budget by at
+    * most one batch's Bernoulli draw (each batch rates against counts
+    * frozen BEFORE it) — the same cumulative-targeting contract a
+    * distributed quota ingest can actually honor without a serial
+    * admission log. */
+  def streamingQuotaIngest(docs: DataFrame, strataCol: String, keyCol: String,
+      quotas: Map[String, Long], path: String, seed: Long = 42L,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(quotas.nonEmpty, "at least one stratum quota required")
+    require(quotas.values.forall(_ >= 0), "quotas must be >= 0")
+    val writer = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        quotaIngestBatch(batch.toDF(), strataCol, keyCol, quotas, path,
+          seed, batchId)
+      }
+    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
+  }
+
+  /** One [[streamingQuotaIngest]] micro-batch — exposed so the replay
+    * contract (same batchId → same rates → same member set → overwrite,
+    * not append) is directly testable. Deterministic in (batch contents,
+    * strictly-earlier stats), never in its own prior partial write. */
+  private[graft] def quotaIngestBatch(batch: DataFrame, strataCol: String,
+      keyCol: String, quotas: Map[String, Long], path: String, seed: Long,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val admitted: Map[String, Long] =
+      try spark.read.parquet(s"$path/stats")
+        .filter(col("batch_id") < batchId)
+        .groupBy(strataCol).agg(sum("n_admitted").as("n"))
+        .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") => Map.empty }
+    val remaining = quotas.map { case (s, q) =>
+      s -> math.max(0L, q - admitted.getOrElse(s, 0L)) }
+    val kept = graft.operators.Sampling.quotaSample(batch, strataCol, keyCol,
+      remaining, seed)
+    idempotentBatchWrite(kept, s"$path/kept", batchId)
+    idempotentBatchWrite(
+      kept.groupBy(strataCol).agg(count(lit(1)).as("n_admitted")),
+      s"$path/stats", batchId)
+  }
+
   /** Stream → theta store: per-(window, key) serialized theta sketches.
     * The canonical-KMV merge is a join-semilattice — IDEMPOTENT like
     * HLL/LC union, unlike additive SpaceSaving/KLL — so this runs in

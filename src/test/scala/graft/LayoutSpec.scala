@@ -48,7 +48,6 @@ class LayoutSpec extends AnyFunSuite {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
         reader.getFooter.getBlocks.forEach { block =>
-          val colMeta = block.getColumns.asScala ensureing(_ => true)
           val c = block.getColumns.asScala
             .find(_.getPath.toDotString == column)
             .getOrElse(fail(s"column $column not in footer"))
@@ -64,11 +63,16 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("z-order layout localizes BOTH dimensions; single-column sort does not") {
-    // controlled 2-D uniform data: 200k points over [0, 65536)^2
-    def h(k: Long, salt: Long): Long =
-      ((k * 0x9E3779B97F4A7C15L + salt * 0xC2B2AE3D27D4EB4FL) >>> 40) & 0xFFFFL
-    val pts = spark.range(200000L).select(
-      GraftFunctionsTestShim.noop(col("id")).as("id"))
+    // controlled 2-D uniform data: 200k points over [0, 65536)^2.
+    // splitmix64 finalizer per salt — a mere affine shift of one hash would
+    // leave x and y correlated and the x-sort would localize y too
+    def h(k: Long, salt: Long): Long = {
+      var z = k + salt * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)) & 0xFFFFL
+    }
+    val pts = spark.range(200000L)
       .select($"id",
         udf((k: Long) => h(k, 1)).apply($"id").as("x"),
         udf((k: Long) => h(k, 2)).apply($"id").as("y"))

@@ -89,6 +89,64 @@ class PqSpec extends AnyFunSuite {
     assert(hits >= 4, s"recall $hits/5 vs brute force")
   }
 
+  test("persisted PQ index: query through the on-disk model, no retraining") {
+    val dim = 32
+    val df = corpus(400, dim)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-idx").toString
+    Similarity.pqBuildIndex(df, "vec_id", "embedding", path, dim,
+      m = 4, ksub = 16)
+    // the on-disk model round-trips the deterministic trainer bit-exactly —
+    // pqQueryTopK reads THIS, so a query can never retrain
+    val trained = Similarity.pqTrain(df, "vec_id", "embedding", dim, 4, 16)
+    val stored = Similarity.pqReadModel(spark, path)
+    assert(stored.codebook.toSeq == trained.codebook.toSeq &&
+      stored.dim == dim && stored.m == 4 && stored.ksub == 16)
+
+    val qv = vec(7L, dim).map(_.toDouble)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = Similarity.pqQueryTopK(spark, path, df, "vec_id", "embedding",
+          qv, 5, rerank = 48)
+        .as[(Long, Long)].collect().toMap
+      Thread.sleep(500) // listener events post async; bound check below is one-sided
+      assert(got(7L) == 1L, s"query not at rank 1: $got")
+      val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", 7L, 5)
+        .select("id").as[Long].collect().toSet
+      assert(got.keySet.count(brute.contains) >= 4, s"recall vs brute: $got")
+      // model read + shortlist + rerank only — a retrain (sample TakeOrdered
+      // + corpus re-encode) would at least double this
+      assert(jobs <= 8, s"query ran $jobs jobs — is it retraining?")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("pqAppendBatch is replay-idempotent and appended vectors are queryable") {
+    val dim = 32
+    val base = corpus(300, dim)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-app").toString
+    Similarity.pqBuildIndex(base, "vec_id", "embedding", path, dim,
+      m = 4, ksub = 16)
+    val batch = (1000L until 1020L).map(i => (i, vec(i, dim)))
+      .toDF("vec_id", "embedding")
+    Similarity.pqAppendBatch(batch, "vec_id", "embedding", path, batchId = 1L)
+    Similarity.pqAppendBatch(batch, "vec_id", "embedding", path, batchId = 1L) // replay
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() == 320L, "replayed append duplicated codes")
+    assert(codes.select("id").distinct().count() == 320L)
+
+    val corpusAll = base.unionByName(batch)
+    val qv = vec(1005L, dim).map(_.toDouble)
+    val got = Similarity.pqQueryTopK(spark, path, corpusAll, "vec_id",
+        "embedding", qv, 3, rerank = 48)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1005L) == 1L, s"appended vector not found at rank 1: $got")
+  }
+
   test("mixed float/double arrays and null vectors are handled") {
     val dim = 8; val m = 2; val ksub = 2
     val cb = Array.fill(m * ksub * (dim / m))(0.5)

@@ -11,6 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+case class QDoc(doc_id: Long, src: String)
+
 /** Structured Streaming tests (SURVEY §5.6): the sketch aggregate as
   * streaming state, watermark-governed lateness, session windows, stream
   * dedup. MemoryStream drives micro-batches synchronously. */
@@ -535,6 +537,52 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
       assert(got == twin && got.map(_._1) == Seq(9L, 11L), s"got $got")
     } finally q.stop()
+  }
+
+  test("streaming quota ingest: budgets re-rate against cumulative admits; replay overwrites") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-quota-ingest").toString
+    val quotas = Map("web" -> 150L, "wiki" -> 1000L)
+    val b1 = (1L to 1000L).map(QDoc(_, "web")) ++
+      (100001L to 100050L).map(QDoc(_, "wiki"))
+    val b2 = (2001L to 3000L).map(QDoc(_, "web")) ++
+      (100051L to 100080L).map(QDoc(_, "wiki"))
+    val mem = MemoryStream[QDoc]
+    val q = StreamOps.streamingQuotaIngest(mem.toDF(), "src", "doc_id",
+      quotas, dir)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // the whole run is deterministic: recompute both batches' expected
+    // member sets from the operator's own batch semantics
+    val exp1 = graft.operators.Sampling.quotaSample(
+        b1.toDF("doc_id", "src"), "src", "doc_id", quotas)
+      .select("doc_id").as[Long].collect().toSet
+    val admittedWeb = exp1.count(_ <= 1000L).toLong
+    val exp2 = graft.operators.Sampling.quotaSample(
+        b2.toDF("doc_id", "src"), "src", "doc_id",
+        Map("web" -> math.max(0L, 150L - admittedWeb), "wiki" -> (1000L - 50L)))
+      .select("doc_id").as[Long].collect().toSet
+    def keptSet() = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet
+    val got = keptSet()
+    assert(got == (exp1 ++ exp2), s"kept ${got.size} vs expected ${(exp1 ++ exp2).size}")
+    // wiki is far under budget in both batches: every row admitted
+    assert((100001L to 100080L).forall(got.contains), "under-budget stratum lost rows")
+    // web re-rates DOWN in batch 2: cumulative admits stay near the budget
+    val webKept = got.count(_ <= 10000L).toLong
+    assert(webKept >= admittedWeb && webKept <= 150L + 60L,
+      s"web cumulative admits $webKept vs budget 150 (batch1 $admittedWeb)")
+
+    // failure replay: batch 1 runs again with the SAME id — stats for batch
+    // 0 only are visible to it, so it recomputes the same member set and
+    // overwrites its own partitions instead of appending
+    StreamOps.quotaIngestBatch(b1.toDF("doc_id", "src"), "src", "doc_id",
+      quotas, dir, 42L, batchId = 0L)
+    assert(keptSet() == got, "replayed batch changed the kept store")
   }
 
   test("streaming dedup keeps first occurrence within watermark") {
