@@ -84,6 +84,52 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(ids.join(brute, Seq("id"), "left_semi").count() >= 3L)
   }
 
+  test("IVF-PQ: probe is partition-pruned AND code-only; append replays idempotently") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.ivfPqBuildIndex(emb, "vec_id", "embedding", dir, dim = 64,
+      nCentroids = 8, m = 8, ksub = 16)
+
+    // the codes store carries PQ codes, never the raw vectors
+    val codesSchema = spark.read.parquet(s"$dir/codes").schema
+    assert(codesSchema.fieldNames.toSet == Set("id", "codes", "batch_id", "cid"),
+      s"unexpected codes schema: ${codesSchema.treeString}")
+
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val nProbe = 3
+    val res = Similarity.ivfPqQueryTopK(spark, dir, emb, "vec_id",
+      "embedding", qv, 5, nProbe = nProbe, rerank = 48)
+    res.collect()
+
+    // pruned: the codes scan touches exactly the probed cid partitions
+    val probes = Similarity.ivfProbeCids(spark, dir, qv, nProbe)
+    val scans = fileScans(res.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("codes")))
+    assert(scans.nonEmpty, "no codes scan in the executed plan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    val probedFiles = probes.map(c =>
+      parquetFilesUnder(new java.io.File(s"$dir/codes/batch_id=0/cid=$c")).size).sum
+    val allFiles = parquetFilesUnder(new java.io.File(s"$dir/codes")).size
+    assert(scanned == probedFiles && scanned < allFiles,
+      s"scan touched $scanned files; probed=$probedFiles all=$allFiles")
+
+    // the query vector's own id survives the coarse probe + ADC shortlist
+    // + rerank chain at rank 1 (its own cid is always the top probe)
+    val got = res.as[(Long, Long)].collect().toMap
+    assert(got(0L) == 1L, s"query not at rank 1: $got")
+
+    // append replay: same batch id twice -> no duplicate codes
+    val batch = emb.filter(col("vec_id").between(1L, 20L))
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val base = spark.read.parquet(s"$dir/codes").count()
+    Similarity.ivfPqAppendBatch(batch, "vec_id", "embedding", dir, batchId = 1L)
+    Similarity.ivfPqAppendBatch(batch, "vec_id", "embedding", dir, batchId = 1L)
+    assert(spark.read.parquet(s"$dir/codes").count() == base + 20L,
+      "replayed IVF-PQ append duplicated codes")
+  }
+
   test("ivfAppendBatch: new batch lands in the stored layout, probes find it pruned, replay is idempotent") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
