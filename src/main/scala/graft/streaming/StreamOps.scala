@@ -427,6 +427,68 @@ object StreamOps {
       s"$path/stats", batchId)
   }
 
+  /** Streaming SEQUENCE-PACKING ingest —
+    * [[graft.operators.TextAnalysis.packSequences]]'s concat-and-chunk
+    * running in an ingest loop: each micro-batch's documents extend the
+    * per-(stream, shard) token streams exactly where the previous batches
+    * left off, so the packed assignment over the whole ingest history is
+    * IDENTICAL to one batch pass over the concatenated corpus (same
+    * tok_start, same sequence ids — asserted by the spec).
+    *
+    * The only cross-batch state is one running token total per
+    * (stream, shard) — a TINY stats table (`path/offsets`, #shards rows
+    * per batch), the same shape as [[streamingQuotaIngest]]'s admit
+    * counts: per-batch cost is O(batch) plus a broadcast of the offsets,
+    * never a rescan of packed history. Replay reads strictly-earlier
+    * offsets only, so a replayed batch recomputes the same spans and
+    * overwrites its own `batch_id=` partitions. */
+  def streamingPackIngest(docs: DataFrame, idCol: String, textCol: String,
+      streamCol: String, budget: Long, nShards: Int, path: String,
+      seed: Long = 42L,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(budget > 0 && nShards > 0, s"need budget>0, nShards>0; got $budget, $nShards")
+    val writer = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        packIngestBatch(batch.toDF(), idCol, textCol, streamCol, budget,
+          nShards, path, seed, batchId)
+      }
+    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
+  }
+
+  /** One [[streamingPackIngest]] micro-batch (exposed for the replay
+    * test): pack the batch alone, shift every tok_start by the
+    * (stream, shard)'s cumulative token total from strictly-earlier
+    * batches, recompute the sequence ids, land packed rows and this
+    * batch's per-shard token sums under idempotent `batch_id=`
+    * partitions. */
+  private[graft] def packIngestBatch(batch: DataFrame, idCol: String,
+      textCol: String, streamCol: String, budget: Long, nShards: Int,
+      path: String, seed: Long, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val prior =
+      try spark.read.parquet(s"$path/offsets")
+        .filter(col("batch_id") < batchId)
+        .groupBy("stream", "shard")
+        .agg(sum("n_tokens_batch").as("__prior"))
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") =>
+        spark.emptyDataFrame.select(lit("").as("stream"),
+          lit(0).as("shard"), lit(0L).as("__prior")).limit(0) }
+    val packed = graft.operators.TextAnalysis.packSequences(batch, idCol,
+        textCol, streamCol, budget, nShards, seed)
+      .join(broadcast(prior), Seq("stream", "shard"), "left")
+      .withColumn("tok_start", col("tok_start") + coalesce(col("__prior"), lit(0L)))
+      .withColumn("seq_first", expr(s"tok_start div $budget"))
+      .withColumn("seq_last", expr(s"(tok_start + n_tokens - 1) div $budget"))
+      .drop("__prior")
+    idempotentBatchWrite(packed, s"$path/packed", batchId)
+    idempotentBatchWrite(
+      packed.groupBy("stream", "shard")
+        .agg(sum("n_tokens").as("n_tokens_batch")),
+      s"$path/offsets", batchId)
+  }
+
   /** Stream → theta store: per-(window, key) serialized theta sketches.
     * The canonical-KMV merge is a join-semilattice — IDEMPOTENT like
     * HLL/LC union, unlike additive SpaceSaving/KLL — so this runs in

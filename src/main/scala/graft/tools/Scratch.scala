@@ -4,31 +4,44 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Throwaway analysis main (not part of the library surface). Current
-  * experiment: PQ shortlist (rerank) size vs exact-top-5 recall at one SF,
-  * to size the auto-rerank formula.
-  * Usage: runMain graft.tools.Scratch <sfDir> <rerank1> [rerank2 ...]
+  * drive: streamingPackIngest over a REAL file-source stream of the
+  * documents table, checked against one-shot packSequences of the same
+  * corpus.
+  * Usage: runMain graft.tools.Scratch <sfDir>
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val reranks = args.tail.map(_.toInt)
-    val spark = SparkSession.builder().master("local[32]").appName("graft-scratch")
-      .config("spark.sql.shuffle.partitions", "32")
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[8]").appName("graft-scratch")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val emb = graft.sources.Tables.embeddings(spark, sfDir)
-    val n = emb.count()
-    val brute = graft.operators.Similarity
-      .bruteForceTopK(emb, "vec_id", "embedding", 0L, 5)
-      .select("id").collect().map(_.getLong(0)).toSet
-    for (r <- reranks) {
-      val pq = graft.operators.Similarity
-        .pqTopK(emb, "vec_id", "embedding", 64, 0L, 5, rerank = r)
-        .select("id").collect().map(_.getLong(0)).toSet
-      println(s"SCRATCH n=$n rerank=$r hits=${pq.count(brute.contains)}/5")
-    }
+
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-drive-pack").toString
+    val src = s"$out/src"
+    // land the corpus as files, then ingest them through a real
+    // file-source stream (one batch per file trigger here)
+    docs.repartition(1).write.parquet(src)
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    val q = graft.streaming.StreamOps.streamingPackIngest(stream, "doc_id",
+      "text", "lang", budget = 256L, nShards = 8, s"$out/pack")
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(s"$out/pack/packed")
+      .select("stream", "shard", "doc_id", "tok_start", "seq_first", "seq_last")
+    val oneShot = graft.operators.TextAnalysis.packSequences(docs, "doc_id",
+        "text", "lang", budget = 256L, nShards = 8)
+      .select("stream", "shard", "doc_id", "tok_start", "seq_first", "seq_last")
+    val nGot = got.count()
+    val diff = got.exceptAll(oneShot).count() + oneShot.exceptAll(got).count()
+    println(s"SCRATCH packed_rows=$nGot one_shot_rows=${oneShot.count()} sym_diff=$diff")
+    println(s"SCRATCH offsets=" + spark.read.parquet(s"$out/pack/offsets")
+      .groupBy("stream").agg(sum("n_tokens_batch")).collect().toSeq)
     spark.stop()
   }
 }

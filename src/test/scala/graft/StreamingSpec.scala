@@ -13,6 +13,8 @@ case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
 case class QDoc(doc_id: Long, src: String)
 
+case class PDoc(doc_id: Long, lang: String, text: String)
+
 /** Structured Streaming tests (SURVEY §5.6): the sketch aggregate as
   * streaming state, watermark-governed lateness, session windows, stream
   * dedup. MemoryStream drives micro-batches synchronously. */
@@ -583,6 +585,49 @@ class StreamingSpec extends AnyFunSuite {
     StreamOps.quotaIngestBatch(b1.toDF("doc_id", "src"), "src", "doc_id",
       quotas, dir, 42L, batchId = 0L)
     assert(keptSet() == got, "replayed batch changed the kept store")
+  }
+
+  test("streaming pack ingest: batches continue each shard's token stream; equals one-shot packing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack-ingest").toString
+    // deterministic variable-length docs over two languages
+    def doc(i: Long) = PDoc(i, if (i % 3 == 0) "de" else "en",
+      (0L until (i % 17 + 3)).map(t => s"w${(i * 31 + t) % 97}").mkString(" "))
+    val b1 = (1L to 200L).map(doc)
+    val b2 = (201L to 400L).map(doc)
+    val mem = MemoryStream[PDoc]
+    val q = StreamOps.streamingPackIngest(mem.toDF(), "doc_id", "text",
+      "lang", budget = 64L, nShards = 4, dir)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // ids ascend across batches, so per-(stream, shard) arrival order ==
+    // the one-shot window order: the incremental assignment must be
+    // IDENTICAL to packing the concatenated corpus in one batch pass
+    val got = spark.read.parquet(s"$dir/packed")
+      .select("stream", "shard", "doc_id", "n_tokens", "tok_start",
+        "seq_first", "seq_last")
+      .as[(String, Int, Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    val oneShot = graft.operators.TextAnalysis.packSequences(
+        (b1 ++ b2).toDF("doc_id", "lang", "text"), "doc_id", "text", "lang",
+        budget = 64L, nShards = 4)
+      .select("stream", "shard", "doc_id", "n_tokens", "tok_start",
+        "seq_first", "seq_last")
+      .as[(String, Int, Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    assert(got == oneShot, s"incremental pack diverged: ${got.size} vs ${oneShot.size} rows")
+
+    // failure replay: batch 1 (id 0) reruns — earlier-batch offsets only,
+    // same spans, overwrite not append
+    StreamOps.packIngestBatch(b1.toDF("doc_id", "lang", "text"), "doc_id",
+      "text", "lang", 64L, 4, dir, 42L, batchId = 0L)
+    val again = spark.read.parquet(s"$dir/packed")
+      .select("stream", "shard", "doc_id", "n_tokens", "tok_start",
+        "seq_first", "seq_last")
+      .as[(String, Int, Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    assert(again == oneShot, "replayed batch changed the packed store")
   }
 
   test("streaming dedup keeps first occurrence within watermark") {
