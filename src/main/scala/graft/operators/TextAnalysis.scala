@@ -217,6 +217,54 @@ object TextAnalysis {
     bm25SearchWithStats(docs, bm25CorpusStats(docs, idCol, textCol, queryTerms),
       idCol, textCol, queryTerms, k1, b)
 
+  // Corpus-trained bigram-LM perplexity — the CCNet-style quality signal
+  // (Wenzek et al. 2020): score each document by how surprising its word
+  // transitions are under a language model fit on the corpus itself.
+  // Repetitive/boilerplate text scores low bits, unusual garbage scores
+  // high, and the tails of either side are what a curation pass drops.
+
+  /** Per-document mean negative log2-likelihood under an add-one-smoothed
+    * bigram MLE trained on `docs` itself: P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V)
+    * with c from corpus bigram counts and V the corpus vocabulary size.
+    * Documents under 2 tokens carry no transition and are excluded (both
+    * engines apply the same filter).
+    *
+    * Scores pass through DECIMAL(18,6) so the ln/division ulp gap between
+    * engines can't flip a comparison (the q90 discipline).
+    *
+    * 100 TB shape: the model is the bigram count table — vocabulary-
+    * bounded, built by one count shuffle and re-aggregated (not re-counted)
+    * for the w₁ marginals; scoring joins each doc's bigram rows against it
+    * on the bigram key (AQE picks broadcast when the model is small) and
+    * reduces per doc. No driver-side state beyond the single V scalar. */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withToks = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bg = withToks.select(col("id"),
+      explode(wordShingles(array_join(col("ts"), " "), 2)).as("g"))
+    val bigramCounts = bg.groupBy("g").agg(count(lit(1)).as("c"))
+    // w1 marginals from the COUNTS table (vocab-bounded), not a re-count
+    // of the corpus; tokens never contain whitespace, so the prefix split
+    // is exact
+    val w1Counts = bigramCounts
+      .groupBy(split(col("g"), " ").getItem(0).as("w1"))
+      .agg(sum("c").as("c1"))
+    // V from the MODEL table, not a second corpus pass: every token of a
+    // >=2-token doc appears in at least one bigram (as w1 or w2), so the
+    // distinct words of the counts table ARE the vocabulary
+    val vocab = bigramCounts.select(explode(split(col("g"), " ")).as("u"))
+      .agg(countDistinct("u").as("v"))
+    bg.join(bigramCounts, "g")
+      .join(broadcast(vocab))
+      .join(w1Counts, split(col("g"), " ").getItem(0) === col("w1"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log((col("c") + 1.0) / (col("c1") + col("v"))) / log(lit(2.0)))
+          .cast("decimal(18,6)").cast("double").as("avg_nll_bits"))
+      .withColumnRenamed("id", idCol)
+  }
+
   // ---- declared queries ----
 
   def q41TokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -286,6 +334,13 @@ object TextAnalysis {
     org.apache.spark.sql.graft.GraftBridge.column(
       graft.functions.WordShingles(
         org.apache.spark.sql.graft.GraftBridge.expression(c), k))
+
+  /** Bigram-LM perplexity of every (≥2-token) document, model trained on
+    * the corpus itself; the oracle refits the identical smoothed MLE and
+    * recomputes every score — strict hash gate at 6 decimal places. */
+  def q99LmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    lmPerplexity(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
 
   /** Corpus-wide top-20 bigrams with counts. */
   def q49TopBigrams(spark: SparkSession, dir: String): DataFrame =
@@ -508,6 +563,7 @@ object TextAnalysis {
     "q91_assemble_sequences" -> (q91AssembleSequences _),
     "q48_top_terms" -> (q48TopTerms _),
     "q49_top_bigrams" -> (q49TopBigrams _),
+    "q99_lm_perplexity" -> (q99LmPerplexity _),
     "q41_token_count" -> (q41TokenCount _),
     "q42_text_quality" -> (q42TextQuality _),
     "q43_langid" -> (q43LangId _),
@@ -777,6 +833,30 @@ object TextAnalysis {
         |      ORDER BY tf.tf DESC, df.df, tf.term) AS BIGINT) AS rank
         |  FROM tf JOIN df ON tf.term = df.term WHERE tf.doc_id < 30) t
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // identical smoothed bigram MLE refit from scratch: same >= 2-token
+    // filter, same add-one smoothing, same vocabulary, same 6-dp rounding
+    "q99_lm_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |d AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 2),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(ts[i:i+1], ' ') FOR i IN range(1, len(ts))]) AS g
+        |  FROM d),
+        |cb AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g),
+        |c1 AS (SELECT split_part(g, ' ', 1) AS w1, SUM(c) AS c1 FROM cb GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(ts) AS u FROM d)),
+        |s AS (
+        |  SELECT bg.doc_id, cb.c, c1.c1, v.v
+        |  FROM bg JOIN cb USING (g)
+        |  JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(CAST(AVG(-LN((c + 1.0) / (c1 + v)) / LN(2.0))
+        |       AS DECIMAL(18,6)) AS DOUBLE) AS avg_nll_bits
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q49_top_bigrams" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts

@@ -552,4 +552,25 @@ class OperatorsSpec extends AnyFunSuite {
     val sigma = (1.04 / math.sqrt(1 << 16)) * math.sqrt(20000.0 * 20000 + 20000.0 * 20000 + 35000.0 * 35000)
     assert(math.abs(est - exact) <= 3 * sigma, s"est=$est exact=$exact 3sigma=${3 * sigma}")
   }
+
+  test("lmPerplexity scores match the hand-computed smoothed bigram MLE") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b", "b a", "a b"
+      (2L, "a b"),     // bigram:  "a b"
+      (3L, "c")        // 1 token: excluded from model AND output
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmPerplexity(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // model over docs 1,2: c("a b")=3, c("b a")=1; c1(a)=3, c1(b)=1; V=2
+    val pAB = (3.0 + 1) / (3 + 2) // P(b|a) = 0.8
+    val pBA = (1.0 + 1) / (1 + 2) // P(a|b) = 2/3
+    def bits(p: Double) = -math.log(p) / math.log(2.0)
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L), s"1-token doc leaked: $got")
+    assert(got(1L)._1 == 3L && got(2L)._1 == 1L)
+    assert(got(1L)._2 == round6((2 * bits(pAB) + bits(pBA)) / 3), s"doc1 ${got(1L)}")
+    assert(got(2L)._2 == round6(bits(pAB)), s"doc2 ${got(2L)}")
+  }
 }
