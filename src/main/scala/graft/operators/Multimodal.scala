@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * or as object-store pointers; metadata queryable without decoding). The
   * Spark-side plumbing — schema, partitioning, batched per-partition
   * processing, frame explosion — is real and tested. The IMAGE codec is
-  * real too: JDK `javax.imageio.ImageIO` (PNG/JPEG, zero extra
-  * dependencies) decodes bytes into true dimensions and a pixel-derived
-  * feature vector. Audio/video decode stays a clearly marked deterministic
-  * STUB (no media libraries in this environment); swapping it in changes
+  * real: JDK `javax.imageio.ImageIO` (PNG/JPEG, zero extra dependencies)
+  * decodes bytes into true dimensions and a pixel-derived feature vector.
+  * The AUDIO codec is real for WAV-PCM: JDK `javax.sound.sampled` parses
+  * the container and the features come from the actual samples. VIDEO
+  * decode (and compressed audio) stays a clearly marked deterministic
+  * STUB (no codec libraries in this environment); swapping it in changes
   * no plan shape — decode is a per-partition, batch-at-a-time map with no
   * shuffle either way.
   */
@@ -28,8 +30,10 @@ object Multimodal {
   case class MediaRow(media_id: Long, format: String, media: Array[Byte],
       width: Int, height: Int, n_frames: Int)
 
-  /** `width`/`height` are DECODED dimensions (from the bytes, not metadata);
-    * -1 where the codec is stubbed (audio/video) or the bytes don't parse. */
+  /** `width`/`height` are DECODED geometry (from the bytes, not metadata):
+    * pixel dimensions for images, (sample rate Hz, frame count) for audio;
+    * -1 where the codec is stubbed (video, compressed audio) or the bytes
+    * don't parse. */
   case class MediaFeatures(media_id: Long, format: String,
       width: Int, height: Int, features: Array[Float], n_bytes: Long)
 
@@ -64,6 +68,74 @@ object Multimodal {
 
   private val makePngUdf = udf(makePng _)
 
+  /** Fixed sample rate for the synthetic WAV fixtures (8 kHz mono PCM16). */
+  private[graft] val WavRate = 8000
+
+  /** Deterministic synthetic WAV: a real RIFF/WAVE PCM16 mono file whose
+    * sample `i` is a fixed function of (id, i) — the audio analogue of
+    * [[makePng]]: decodable only by actually parsing the container, with
+    * frame count and content known by construction. */
+  private[graft] def makeWav(id: Long, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)             // PCM
+      .putShort(1.toShort)             // mono
+      .putInt(WavRate)
+      .putInt(WavRate * 2)             // byte rate
+      .putShort(2.toShort)             // block align
+      .putShort(16.toShort)            // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort((((id * 31 + i * 17) % 65536) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  private val makeWavUdf = udf(makeWav _)
+
+  /** REAL audio decode via JDK `javax.sound.sampled` (WAV-PCM — the
+    * container the JDK ships a parser for, zero extra dependencies):
+    * parses the RIFF header through `AudioSystem`, reads the PCM frames,
+    * and returns (sampleRateHz, frameCount, L1-normalized [[FeatureDim]]-bin
+    * amplitude histogram) computed from the actual samples. None when the
+    * bytes are not parseable audio — callers fall back to the stub, same
+    * degradation contract as [[decodeImage]]. Compressed codecs (mp3 etc.)
+    * have no JDK parser and take the stub path — see the boundary table at
+    * [[stubDecode]]. */
+  private[graft] def decodeAudio(media: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(media))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels < 1) None
+        else {
+          val bytes = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val hist = new Array[Float](FeatureDim)
+          var n = 0
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort.toInt
+            hist((s + 32768) * FeatureDim / 65536) += 1f
+            n += 1
+          }
+          if (n == 0) None
+          else {
+            val frames = n / fmt.getChannels
+            Some((fmt.getSampleRate.toInt, frames, hist.map(_ / n)))
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** Deterministic synthetic media table derived from `documents`: image
     * rows carry REAL PNG bytes (decodable only by actually parsing them —
     * [[extractFeatures]] never sees the metadata columns), audio/video rows
@@ -84,11 +156,14 @@ object Multimodal {
       // compute-bound codec behind it — the count pins codec parallelism
       // to the cores, not the shuffle bytes
       .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
-      // when() evaluates lazily per row: the PNG encoder runs only on image
-      // rows, and not at all in plans that filter them out (e.g. q61)
+      // when() evaluates lazily per row: the PNG/WAV encoders run only on
+      // their formats' rows, and not at all in plans that filter them out
+      // (e.g. q61 sees only video rows)
       .withColumn("media",
         when(col("format") === "image",
           makePngUdf(col("media_id"), col("width"), col("height")))
+          .when(col("format") === "audio",
+            makeWavUdf(col("media_id"), (col("media_id") % 500 + 100).cast("int")))
           .otherwise(encode(col("text"), "UTF-8")))
       .select("media_id", "format", "media", "width", "height", "n_frames")
 
@@ -147,19 +222,22 @@ object Multimodal {
     } catch { case _: Exception => None }
 
   /** STUB decoder for the formats with no codec in this environment
-    * (audio/video): features are a folded byte histogram, normalized. The
-    * signature — bytes in, fixed-dim float vector out — is the real one.
+    * (video, compressed audio): features are a folded byte histogram,
+    * normalized. The signature — bytes in, fixed-dim float vector out — is
+    * the real one.
     *
     * == What a real codec drop-in needs (the complete boundary) ==
     *
     * Everything Spark-side is already in place; a future environment with
-    * media libraries closes the gap in THIS FILE ONLY, by replacing this
-    * function the way [[decodeImage]] replaced the image stub in round 6:
+    * codec libraries closes the gap in THIS FILE ONLY, by replacing this
+    * function the way [[decodeImage]] (round 6, ImageIO) and
+    * [[decodeAudio]] (round 7, javax.sound.sampled WAV-PCM) replaced
+    * their stubs:
     *
     * | piece | status | where |
     * |---|---|---|
-    * | bytes → decoded samples/frames | STUB (this fn) | audio: e.g. `javax.sound.sampled` for WAV-PCM, or a JNI codec; video: a JavaCV/FFmpeg binding |
-    * | decoded → fixed-dim features | real (histogram shape) | fold samples/pixels into [[FeatureDim]] bins exactly as [[decodeImage]] does |
+    * | bytes → decoded samples/frames | image REAL, WAV-PCM audio REAL, video/mp3 STUB (this fn) | video: a JavaCV/FFmpeg binding; compressed audio: an mp3/opus SPI |
+    * | decoded → fixed-dim features | real (histogram shape) | fold samples/pixels into [[FeatureDim]] bins exactly as the real decoders do |
     * | failure handling | real | return None/stub on undecodable bytes — corrupt files degrade, never fail the job ([[extractFeatures]]) |
     * | batch seam | real | [[extractFeatures]]'s grouped-`mapPartitions`: hand a whole batch to a vectorized/native decoder in one call |
     * | schema & partitioning | real | opaque `binary` + typed metadata ([[loadMediaDir]]); codec parallelism pinned against AQE coalescing (MultimodalSpec) |
@@ -193,7 +271,13 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // a real native decoder would process the whole batch in one call
           batch.iterator.map { case (id, fmt, bytes) =>
-            val decoded = if (fmt == "image") decodeImage(bytes) else None
+            // audio reuses (width, height) as (sample rate Hz, frame count)
+            // — the decoded-geometry slots of its modality
+            val decoded = fmt match {
+              case "image" => decodeImage(bytes)
+              case "audio" => decodeAudio(bytes)
+              case _ => None
+            }
             decoded match {
               case Some((w, h, f)) => MediaFeatures(id, fmt, w, h, f, bytes.length.toLong)
               case None => MediaFeatures(id, fmt, -1, -1, stubDecode(bytes), bytes.length.toLong)
@@ -222,14 +306,16 @@ object Multimodal {
 
   // ---- declared queries ----
 
-  /** Oracle-gated INCLUDING the real decode: image rows' decoded_width /
-    * decoded_height come out of ImageIO parsing the actual PNG bytes —
-    * [[extractFeatures]] never sees the metadata columns, so matching the
-    * oracle's formula proves the codec genuinely decoded the image. Non-
-    * image rows (stub codec) report -1. A validity check on the feature
-    * vector (fixed dim, L1-normalized — true for both codec paths) is
-    * folded in as a boolean; exact pixel-level feature values are pinned
-    * by MultimodalSpec. */
+  /** Oracle-gated INCLUDING the real decodes: image rows' decoded_width /
+    * decoded_height come out of ImageIO parsing the actual PNG bytes, and
+    * audio rows' (sample rate, frame count) out of javax.sound.sampled
+    * parsing the actual WAV bytes — [[extractFeatures]] never sees the
+    * metadata columns, so matching the oracle's formulas proves both
+    * codecs genuinely decoded the containers. Video rows (stub codec)
+    * report -1. A validity check on the feature vector (fixed dim,
+    * L1-normalized — true for every codec path) is folded in as a
+    * boolean; exact pixel/sample-level feature values are pinned by
+    * MultimodalSpec. */
   def q60MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(syntheticMediaTable(spark, dir))
@@ -252,18 +338,22 @@ object Multimodal {
     "q60_media_features" -> (q60MediaFeatures _),
     "q61_frame_sample" -> (q61FrameSample _))
 
-  /** The decoded image dimensions are SQL-expressible because the fixture
-    * PNGs are generated FROM the metadata formula — the oracle recomputes
-    * the formula, the engine must recover the same numbers by actually
-    * parsing the PNG. Stub-path feature values are engine-specific; vector
-    * validity is the SQL-checkable part. */
+  /** The decoded image dimensions and audio (rate, frames) are
+    * SQL-expressible because the fixture PNGs/WAVs are generated FROM the
+    * metadata formulas — the oracle recomputes the formulas, the engine
+    * must recover the same numbers by actually parsing the containers.
+    * Stub-path feature values are engine-specific; vector validity is the
+    * SQL-checkable part. */
   val oracles: Map[String, String] = Map(
     "q60_media_features" ->
-      """SELECT doc_id AS media_id,
+      s"""SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
-        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 16 AS INT) ELSE -1 END AS decoded_width,
-        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 12 AS INT) ELSE -1 END AS decoded_height,
-        |  CASE WHEN doc_id % 3 = 0 THEN TRUE ELSE LENGTH(text) > 0 END AS features_valid
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 16 AS INT)
+        |       WHEN doc_id % 3 = 1 THEN $WavRate ELSE -1 END AS decoded_width,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 12 AS INT)
+        |       WHEN doc_id % 3 = 1 THEN CAST(doc_id % 500 + 100 AS INT)
+        |       ELSE -1 END AS decoded_height,
+        |  CASE WHEN doc_id % 3 = 2 THEN LENGTH(text) > 0 ELSE TRUE END AS features_valid
         |FROM documents ORDER BY media_id""".stripMargin,
     "q61_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,

@@ -40,15 +40,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
   }
 
-  test("image rows decode to true dimensions; stub formats report -1") {
+  test("image/audio rows decode to true geometry; stub formats report -1") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMediaTable(spark, sf))
       .collect()
     feats.foreach { r =>
       if (r.format == "image") {
         assert(r.width == (r.media_id % 64 + 16).toInt, s"media ${r.media_id}")
         assert(r.height == (r.media_id % 48 + 12).toInt, s"media ${r.media_id}")
+      } else if (r.format == "audio") {
+        assert(r.width == 8000, s"media ${r.media_id}: rate ${r.width}")
+        assert(r.height == (r.media_id % 500 + 100).toInt, s"media ${r.media_id}")
       } else assert(r.width == -1 && r.height == -1, s"media ${r.media_id}")
     }
+  }
+
+  test("javax.sound decodes a generated WAV bit-exactly (rate, frames, sample histogram)") {
+    // expected features straight from the sample formula, never touching
+    // WAV bytes; decode must reproduce them after a full encode -> parse
+    // round trip through the real RIFF container
+    val (id, n) = (11L, 257)
+    val hist = new Array[Float](Multimodal.FeatureDim)
+    for (i <- 0 until n) {
+      val s = (((id * 31 + i * 17) % 65536) - 32768).toInt
+      hist((s + 32768) * Multimodal.FeatureDim / 65536) += 1f
+    }
+    val expected = hist.map(_ / n.toFloat).toSeq
+    val Some((rate, frames, feats)) =
+      Multimodal.decodeAudio(Multimodal.makeWav(id, n))
+    assert((rate, frames) == ((8000, n)))
+    assert(feats.toSeq == expected, s"got ${feats.toSeq} want $expected")
+    // non-audio bytes degrade to None, not a throw
+    assert(Multimodal.decodeAudio(Array[Byte](9, 9, 9, 9)).isEmpty)
+    assert(Multimodal.decodeAudio(Multimodal.makePng(1L, 4, 4)).isEmpty)
   }
 
   test("feature extraction: fixed dim, normalized, deterministic") {
