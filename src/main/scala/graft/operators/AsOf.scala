@@ -52,6 +52,59 @@ object AsOf {
         payload.map(p => col("__pay").getField(p).as(p)): _*)
   }
 
+  /** Time-series RESAMPLE with last-observation-carried-forward: emit one
+    * row per key per `stepSeconds` grid instant, carrying the value of the
+    * latest observation at or before that instant. The grid is per-key,
+    * from the first step-aligned instant ≥ the key's first observation
+    * (so every emitted point has a value — no leading NULLs) to the last
+    * aligned instant ≤ its last observation. Ties at one instant resolve
+    * to the highest `tieCol` (e.g. event id) — a total order both engines
+    * share.
+    *
+    * Shape: the [[asofJoin]] discipline applied to a GENERATED left side —
+    * per-key min/max (one partial-agg pass) → `sequence` explode builds
+    * the grid (bounded by span/step per key, never a global range), then
+    * grid markers and observations union, hash once on the key, and a
+    * running `last(struct, ignoreNulls)` window carries the newest
+    * observation into each grid row. All time arithmetic is in exact
+    * integer MICROseconds (`unix_micros`/`timestamp_micros`), so the
+    * oracle reproduces the grid and every carried double bit-exactly. */
+  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long, tieCol: String): DataFrame = {
+    require(stepSeconds > 0, s"step must be positive, got $stepSeconds")
+    val stepUs = stepSeconds * 1000000L
+    val obs = events.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__us"),
+      col(tieCol).cast("long").as("__tie"),
+      col(valueCol).as("__v"))
+    // ceil/floor division in INTEGER arithmetic (`div`, not `/` — long
+    // division through doubles can lose a ulp at exact multiples); epoch
+    // micros are positive, so ceil(a/b) = (a + b - 1) div b
+    val grid = obs.groupBy("__k")
+      .agg(min("__us").as("__mn"), max("__us").as("__mx"))
+      .select(col("__k"), expr(s"(__mn + ${stepUs - 1}) div $stepUs").as("__g0"),
+        expr(s"__mx div $stepUs").as("__g1"))
+      // a key whose span contains no aligned instant gets NO rows —
+      // sequence(start > stop) would silently count DOWN, not come back empty
+      .filter(col("__g1") >= col("__g0"))
+      .select(col("__k"), explode(sequence(col("__g0"), col("__g1"))).as("__g"))
+      .select(col("__k"), (col("__g") * stepUs).as("__us"),
+        lit(Long.MaxValue).as("__tie"), lit(1).as("__side"),
+        lit(null).cast(events.schema(valueCol).dataType).as("__v"))
+    // observations sort before the grid marker at the same (us, tie): an
+    // observation exactly ON a grid instant is visible to it
+    val w = Window.partitionBy("__k").orderBy(col("__us"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.withColumn("__side", lit(0)).unionByName(grid)
+      .withColumn("__pay",
+        last(when(col("__side") === 0, struct(col("__tie"), col("__v"))),
+          ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__k").as(keyCol),
+        timestamp_micros(col("__us")).as(tsCol),
+        col("__pay").getField("__v").as(valueCol))
+  }
+
   /** Declared query: each event joined to the user's most recent order as of
     * the event time. The right side is deduped to one order per
     * (custkey, date) — max orderkey — so ties are deterministic in both
@@ -68,8 +121,19 @@ object AsOf {
       .orderBy("event_id")
   }
 
+  /** Hourly per-user LOCF resample of the event value series. The oracle
+    * regenerates the per-user grid from the same exact integer-microsecond
+    * arithmetic and picks each instant's newest (ts, event_id) observation
+    * — every carried double is an exact event value, so the gate is strict
+    * hash equality. */
+  def q100ResampleLocf(spark: SparkSession, dir: String): DataFrame =
+    resampleLocf(Tables.events(spark, dir), "user_id", "ts", "value",
+        stepSeconds = 3600L, tieCol = "event_id")
+      .orderBy("user_id", "ts")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q23_asof_join" -> (q23AsofJoin _))
+    "q23_asof_join" -> (q23AsofJoin _),
+    "q100_resample_locf" -> (q100ResampleLocf _))
 
   val oracles: Map[String, String] = Map(
     "q23_asof_join" ->
@@ -78,5 +142,24 @@ object AsOf {
         |  (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
         |   FROM orders GROUP BY o_custkey, o_orderdate) o
         |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+    "q100_resample_locf" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
+        |b AS (
+        |  SELECT user_id,
+        |    (MIN(us) + 3599999999) // 3600000000 AS g0,
+        |    MAX(us) // 3600000000 AS g1
+        |  FROM e GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id, CAST(unnest(range(g0, g1 + 1)) * 3600000000 AS BIGINT) AS us
+        |  FROM b WHERE g1 >= g0),
+        |s AS (
+        |  SELECT g.user_id, g.us, e.value,
+        |    ROW_NUMBER() OVER (PARTITION BY g.user_id, g.us
+        |      ORDER BY e.us DESC, e.event_id DESC) AS rn
+        |  FROM g JOIN e ON e.user_id = g.user_id AND e.us <= g.us)
+        |SELECT user_id, make_timestamp(us) AS ts, value
+        |FROM s WHERE rn = 1
+        |ORDER BY user_id, ts""".stripMargin)
 }

@@ -410,6 +410,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("b") == None)
   }
 
+  test("resampleLocf: hour-aligned grid carries the newest observation; ties to max id") {
+    import java.sql.Timestamp
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, t(9, 30), 1L, 10.0), // before the first aligned instant (10:00)
+      (1L, t(10, 0), 2L, 20.0), // exactly ON the 10:00 instant — visible to it
+      (1L, t(10, 0), 3L, 25.0), // same instant, higher id: the tie winner
+      (1L, t(11, 40), 4L, 30.0), // 11:00 carries 25.0; 12:00+ would carry 30.0
+      (2L, t(10, 20), 5L, 7.0)  // span < 1 step after alignment: no grid rows
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = graft.operators.AsOf.resampleLocf(ev, "user_id", "ts", "value",
+        3600L, "event_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    // user 1: grid = 10:00 (ceil of 9:30) .. 11:00 (floor of 11:40)
+    assert(got == Set((1L, t(10, 0), 25.0), (1L, t(11, 0), 25.0)), s"got $got")
+  }
+
   // ---- hot-bucket caps ----
 
   test("hot-bucket cap bounds a degenerate bucket and reports the drop") {
