@@ -38,7 +38,9 @@ object Multimodal {
       width: Int, height: Int, features: Array[Float], n_bytes: Long)
 
   // ImageIO's default stream cache is a temp FILE per decode — pure
-  // overhead for in-memory byte arrays on executors
+  // overhead for in-memory byte arrays on executors; Graphics2D (resize)
+  // must never look for a display on an executor
+  java.lang.System.setProperty("java.awt.headless", "true")
   javax.imageio.ImageIO.setUseCache(false)
 
   /** Deterministic synthetic PNG: a real, decodable image whose pixel at
@@ -304,6 +306,53 @@ object Multimodal {
   def declareResize(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("target_width", lit(w)).withColumn("target_height", lit(h))
 
+  /** REAL image resize: decode (ImageIO) → bilinear rescale (Graphics2D,
+    * headless) → re-encode PNG. None when the bytes are not a parseable
+    * image — same degradation contract as the decoders. */
+  private[graft] def resizePng(media: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Materialized image resize over a media table — the realization of
+    * [[declareResize]]'s declared dims: image rows come back with
+    * re-encoded `(w × h)` PNG bytes and updated metadata; non-image rows
+    * and undecodable bytes pass through untouched. Same per-partition
+    * batched seam as [[extractFeatures]] — no shuffle, codec-bound. */
+  def resizeImages(media: DataFrame, w: Int, h: Int,
+      batchSize: Int = DefaultBatchSize): Dataset[MediaRow] = {
+    require(w > 0 && h > 0, s"target dims must be positive, got $w x $h")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "format", "media", "width", "height", "n_frames")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            if (r.format != "image") r
+            else resizePng(r.media, w, h) match {
+              case Some(bytes) => r.copy(media = bytes, width = w, height = h)
+              case None => r
+            }
+          }
+        }
+      }
+  }
+
   // ---- declared queries ----
 
   /** Oracle-gated INCLUDING the real decodes: image rows' decoded_width /
@@ -334,9 +383,29 @@ object Multimodal {
         length(col("frame_bytes")).cast("long").as("n_frame_bytes"))
       .orderBy("media_id", "frame_idx")
 
+  /** Resize-then-decode round trip, oracle-gated: image rows pass through
+    * the REAL decode → bilinear rescale → re-encode pipeline to 24×18 and
+    * the reported dims come from RE-PARSING the resized bytes — the only
+    * way to match the oracle's constants. Non-image rows pass through
+    * [[resizeImages]] untouched, so their decoded geometry still matches
+    * their own fixture formulas (audio rate/frames, video -1). */
+  def q101ResizeImages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(resizeImages(
+        syntheticMediaTable(spark, dir), w = 24, h = 18).toDF())
+      .toDF()
+      .select(col("media_id"), col("format"),
+        col("width").as("decoded_width"), col("height").as("decoded_height"),
+        (size(col("features")) === FeatureDim &&
+          abs(aggregate(col("features").cast("array<double>"), lit(0.0d),
+            (acc, x) => acc + x) - 1.0d) < 0.001d).as("features_valid"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_features" -> (q60MediaFeatures _),
-    "q61_frame_sample" -> (q61FrameSample _))
+    "q61_frame_sample" -> (q61FrameSample _),
+    "q101_resize_images" -> (q101ResizeImages _))
 
   /** The decoded image dimensions and audio (rate, frames) are
     * SQL-expressible because the fixture PNGs/WAVs are generated FROM the
@@ -351,6 +420,16 @@ object Multimodal {
         |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 16 AS INT)
         |       WHEN doc_id % 3 = 1 THEN $WavRate ELSE -1 END AS decoded_width,
         |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 12 AS INT)
+        |       WHEN doc_id % 3 = 1 THEN CAST(doc_id % 500 + 100 AS INT)
+        |       ELSE -1 END AS decoded_height,
+        |  CASE WHEN doc_id % 3 = 2 THEN LENGTH(text) > 0 ELSE TRUE END AS features_valid
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q101_resize_images" ->
+      s"""SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+        |  CASE WHEN doc_id % 3 = 0 THEN 24
+        |       WHEN doc_id % 3 = 1 THEN $WavRate ELSE -1 END AS decoded_width,
+        |  CASE WHEN doc_id % 3 = 0 THEN 18
         |       WHEN doc_id % 3 = 1 THEN CAST(doc_id % 500 + 100 AS INT)
         |       ELSE -1 END AS decoded_height,
         |  CASE WHEN doc_id % 3 = 2 THEN LENGTH(text) > 0 ELSE TRUE END AS features_valid

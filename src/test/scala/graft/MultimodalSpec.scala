@@ -74,6 +74,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(Multimodal.makePng(1L, 4, 4)).isEmpty)
   }
 
+  test("resizePng: real decode -> rescale -> re-encode round trip") {
+    val src = Multimodal.makePng(3L, 40, 30)
+    val Some(resized) = Multimodal.resizePng(src, 24, 18)
+    // the resized bytes are a REAL PNG that decodes to the target geometry
+    val Some((w, h, feats)) = Multimodal.decodeImage(resized)
+    assert((w, h) == ((24, 18)))
+    assert(feats.length == Multimodal.FeatureDim)
+    assert(math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-5)
+    // deterministic: same input -> byte-identical output
+    assert(Multimodal.resizePng(src, 24, 18).get.toSeq == resized.toSeq)
+    // non-image bytes degrade to None
+    assert(Multimodal.resizePng(Array[Byte](5, 5, 5), 8, 8).isEmpty)
+    // operator: image rows resized, others untouched
+    val table = Multimodal.syntheticMediaTable(spark, sf)
+    val out = Multimodal.resizeImages(table, 24, 18).collect()
+    out.foreach { r =>
+      if (r.format == "image") assert(r.width == 24 && r.height == 18)
+    }
+    val audioBefore = table.filter(org.apache.spark.sql.functions.col("format") === "audio")
+      .selectExpr("sum(crc32(media))").head().getLong(0)
+    val audioAfter = Multimodal.resizeImages(table, 24, 18).toDF()
+      .filter(org.apache.spark.sql.functions.col("format") === "audio")
+      .selectExpr("sum(crc32(media))").head().getLong(0)
+    assert(audioBefore == audioAfter, "non-image bytes must pass through untouched")
+  }
+
   test("feature extraction: fixed dim, normalized, deterministic") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMediaTable(spark, sf))
     val rows = feats.collect()
