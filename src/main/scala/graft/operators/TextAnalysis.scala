@@ -238,32 +238,69 @@ object TextAnalysis {
     * on the bigram key (AQE picks broadcast when the model is small) and
     * reduces per doc. No driver-side state beyond the single V scalar. */
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withToks = docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+    val (bigrams, marginals, vocab) = lmFitModel(docs, idCol, textCol)
+    lmScoreWithModel(docs, idCol, textCol, bigrams, marginals, vocab)
+  }
+
+  /** Per-doc bigram rows (id, g) for docs with ≥ 2 tokens. */
+  private def lmBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
       .filter(size(col("ts")) >= 2)
-    val bg = withToks.select(col("id"),
-      explode(wordShingles(array_join(col("ts"), " "), 2)).as("g"))
-    val bigramCounts = bg.groupBy("g").agg(count(lit(1)).as("c"))
-    // w1 marginals from the COUNTS table (vocab-bounded), not a re-count
-    // of the corpus; tokens never contain whitespace, so the prefix split
-    // is exact
+      .select(col("id"), explode(wordShingles(array_join(col("ts"), " "), 2)).as("g"))
+
+  /** Fit the LM: (bigram counts, w1 marginals, vocab-size scalar). The
+    * marginals and V derive from the COUNTS table (vocab-bounded), not
+    * second corpus passes — every token of a ≥2-token doc appears in at
+    * least one bigram, so the counts table's distinct words ARE the
+    * vocabulary; tokens never contain whitespace, so the prefix split is
+    * exact. */
+  def lmFitModel(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val bigramCounts = lmBigrams(docs, idCol, textCol)
+      .groupBy("g").agg(count(lit(1)).as("c"))
     val w1Counts = bigramCounts
       .groupBy(split(col("g"), " ").getItem(0).as("w1"))
       .agg(sum("c").as("c1"))
-    // V from the MODEL table, not a second corpus pass: every token of a
-    // >=2-token doc appears in at least one bigram (as w1 or w2), so the
-    // distinct words of the counts table ARE the vocabulary
     val vocab = bigramCounts.select(explode(split(col("g"), " ")).as("u"))
       .agg(countDistinct("u").as("v"))
-    bg.join(bigramCounts, "g")
+    (bigramCounts, w1Counts, vocab)
+  }
+
+  /** Persist a fitted LM — the freeze-then-probe path ([[bm25CorpusStats]]'
+    * discipline): fit once on a frozen corpus, score any batch or stream
+    * against the stored tables with [[lmScoreWithModel]] forever after. */
+  def lmWriteModel(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val (bigrams, marginals, vocab) = lmFitModel(docs, idCol, textCol)
+    bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    marginals.write.mode("overwrite").parquet(s"$path/marginals")
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  def lmReadModel(spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/marginals"),
+      spark.read.parquet(s"$path/vocab"))
+
+  /** Score `docs` against a FITTED model (possibly persisted/frozen):
+    * bigrams and w1s the model never saw take the smoothed floor —
+    * c = 0 and c1 = 0 fall out of the same (c+1)/(c1+V) formula, so
+    * scoring an unseen batch (the streaming ingest case) needs no special
+    * path. Left joins keep every batch bigram; AQE broadcasts the model
+    * sides when they are small. */
+  def lmScoreWithModel(docs: DataFrame, idCol: String, textCol: String,
+      bigrams: DataFrame, marginals: DataFrame, vocab: DataFrame): DataFrame =
+    lmBigrams(docs, idCol, textCol)
+      .join(bigrams, Seq("g"), "left")
       .join(broadcast(vocab))
-      .join(w1Counts, split(col("g"), " ").getItem(0) === col("w1"))
+      .join(marginals, split(col("g"), " ").getItem(0) === col("w1"), "left")
+      .select(col("id"), coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("c1"), lit(0L)).as("c1"), col("v"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"),
         avg(-log((col("c") + 1.0) / (col("c1") + col("v"))) / log(lit(2.0)))
           .cast("decimal(18,6)").cast("double").as("avg_nll_bits"))
       .withColumnRenamed("id", idCol)
-  }
 
   // ---- declared queries ----
 

@@ -541,6 +541,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static LM: micro-batches score against a frozen persisted model; unseen floors") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c a"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-model").toString
+    graft.operators.TextAnalysis.lmWriteModel(corpus, "doc_id", "text", dir)
+    val (bg, mg, v) = graft.operators.TextAnalysis.lmReadModel(spark, dir)
+
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.operators.TextAnalysis.lmScoreWithModel(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", bg, mg, v)
+    // per-doc aggregation state: update mode (a doc's bigrams arrive in one
+    // batch, so each group emits once, when its batch lands)
+    val q = scored.writeStream.format("memory").queryName("lm_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData((9L, "a b c"), (10L, "z z z")) // 10: fully unseen bigrams
+      q.processAllAvailable()
+      mem.addData((11L, "b a"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_bigrams, avg_nll_bits FROM lm_stream")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      // batch twin over the same rows, same frozen model, must agree exactly
+      val twin = graft.operators.TextAnalysis.lmScoreWithModel(
+          Seq((9L, "a b c"), (10L, "z z z"), (11L, "b a")).toDF("doc_id", "text"),
+          "doc_id", "text", bg, mg, v)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got == twin, s"stream $got vs batch $twin")
+      // the unseen doc hits the smoothed floor: P = 1/V per bigram, V = 3
+      val floorBits = BigDecimal(-math.log(1.0 / 3) / math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got.find(_._1 == 10L).get._3 == floorBits, s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming quota ingest: budgets re-rate against cumulative admits; replay overwrites") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
