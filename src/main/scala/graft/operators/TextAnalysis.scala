@@ -256,12 +256,19 @@ object TextAnalysis {
     * exact. */
   def lmFitModel(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    // fit = training action (the ivfTrain discipline): materialize the
+    // vocab-bounded counts ONCE — marginals, vocab, and the scoring join
+    // all read the materialized table, so the corpus is exploded exactly
+    // once per fit no matter how many consumers (AQE exchange reuse is not
+    // relied on; ScaleSpec pins the explode count)
     val bigramCounts = lmBigrams(docs, idCol, textCol)
       .groupBy("g").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val w1Counts = bigramCounts
       .groupBy(split(col("g"), " ").getItem(0).as("w1"))
       .agg(sum("c").as("c1"))
-    val vocab = bigramCounts.select(explode(split(col("g"), " ")).as("u"))
+    val vocab = bigramCounts
+      .select(explode(split(col("g"), " ")).as("u"))
       .agg(countDistinct("u").as("v"))
     (bigramCounts, w1Counts, vocab)
   }

@@ -27,7 +27,8 @@ object Sf1Bench {
     "q45_minhash_pairs", "q75_near_dup_clusters", "q76_curation_v2",
     "q81_substring_dups", "q83_contamination",
     "q87_chunk_documents", "q89_pack_sequences", "q90_bm25_search",
-    "q91_assemble_sequences")
+    "q91_assemble_sequences",
+    "q97_span_dedup", "q99_lm_perplexity", "q100_resample_locf")
 
   def main(args: Array[String]): Unit = {
     val runs = if (args.nonEmpty) args(0).toInt else 3
@@ -39,6 +40,7 @@ object Sf1Bench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (!new java.io.File(s"$Out/lineitem.parquet").exists()) generate(spark)
+    if (!new java.io.File(s"$Out/events.parquet").exists()) generateEvents(spark)
 
     val results = Queries.map { name =>
       val times = (1 to runs).map { _ =>
@@ -95,5 +97,18 @@ object Sf1Bench {
     // small dims pass through unchanged
     for (t <- Seq("nation", "region"))
       Tables.load(spark, Src, t).write.mode("overwrite").parquet(s"$Out/$t.parquet")
+  }
+
+  /** 10x events: shifted ids and users, timestamps kept — 10x the users
+    * over the same month, the per-key fan-out q100's grid scales with. */
+  private def generateEvents(spark: SparkSession): Unit = {
+    val events = Tables.events(spark, Src)
+    val eShift = events.agg(max("event_id")).head().getLong(0) + 1
+    val uShift = events.agg(max("user_id")).head().getLong(0) + 1
+    (0 until 10).map(i => events
+        .withColumn("event_id", col("event_id") + lit(i.toLong) * eShift)
+        .withColumn("user_id", col("user_id") + lit(i.toLong) * uShift))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$Out/events.parquet")
   }
 }

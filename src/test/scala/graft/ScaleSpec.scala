@@ -254,6 +254,47 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), "bm25 must not explode tokens")
   }
 
+  /** The FINAL adaptive plan only — AQE's toString appends the initial
+    * plan, which double-counts every node for string assertions. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q97 plan: span window hashes span HASHES, not strings; no extra shuffles") {
+    val plan = finalPlan(graft.operators.Dedup.spanDedup(
+      Tables.documents(spark, sf), "doc_id", "text"))
+    // the first-occurrence window partitions on the 128-bit span hashes —
+    // the raw span strings must never be a shuffle key (they would ride
+    // the wire twice)
+    assert(plan.contains("xxhash64"), s"span hashes missing:\n${plan.take(2000)}")
+    assert(!"hashpartitioning\\(span".r.findFirstIn(plan).isDefined,
+      s"shuffle keyed on raw span strings:\n${plan.take(2000)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 3, s"span dedup grew extra shuffles ($shuffles):\n${plan.take(2000)}")
+  }
+
+  test("q99 plan: the model materializes one corpus explode; scoring adds the only other") {
+    val plan = finalPlan(graft.operators.TextAnalysis.lmPerplexity(
+      Tables.documents(spark, sf), "doc_id", "text"))
+    // the fit checkpoints the counts table, so the SCORING plan contains
+    // exactly one corpus explode (the doc bigrams); marginals and vocab
+    // read the materialized counts, never the corpus
+    val corpusExplodes = "Generate explode\\(word_shingles".r.findAllIn(plan).size
+    assert(corpusExplodes == 1,
+      s"LM consumers re-explode the corpus ($corpusExplodes):\n${plan.take(3000)}")
+  }
+
+  test("q100 plan: resample is one span agg + one key-hashed window — no join blow-up") {
+    val plan = graft.operators.AsOf.resampleLocf(
+        Tables.events(spark, sf), "user_id", "ts", "value", 3600L, "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"resample must not join grid x events:\n${plan.take(2000)}")
+    assert(plan.contains("windowspecdefinition(__k"),
+      s"LOCF window must partition on the key:\n${plan.take(2000)}")
+  }
+
   test("q64 plan: bloom probe filters the fact scan before the join") {
     val plan = graft.operators.RuntimeFilter.q64BloomSemiJoin(spark, sf)
       .queryExecution.executedPlan.toString
