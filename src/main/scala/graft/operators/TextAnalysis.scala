@@ -373,11 +373,75 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Sparse TF-IDF doc-doc similarity — the sparse-retrieval complement of
+    * the dense ANN paths (and of BM25, which scores a FIXED query):
+    * find each probe document's most similar corpus document by cosine
+    * over L2-normalized tf·idf vectors, candidates from a POSTINGS join
+    * (docs sharing a term), never an all-pairs product.
+    *
+    * Semantics (one consistent rule, recomputed verbatim by the oracle):
+    * terms with df > `maxDfFrac · N` are dropped from the ENTIRE
+    * computation — weights, norms, and the join (stopword pruning; at
+    * scale the df cutoff is also what bounds posting-list fan-out, the
+    * [[graft.operators.Dedup.substringDupPairs]] discipline — a FRACTION
+    * so the rule is corpus-size-portable). idf = ln(N/df) with N = docs
+    * carrying ≥1 token; weights normalize per doc BEFORE the pair sum;
+    * docs whose surviving terms all have idf 0 drop out (zero norm).
+    * Scores pass through DECIMAL(18,6) BEFORE the argmax, so engine ulp
+    * differences can't flip the winner; ties break to the lower
+    * candidate id.
+    *
+    * Shape: tf one (id, term) shuffle; df + N from the tf table; the
+    * probe-side postings join shuffles on the term key; the pair sum
+    * reduces on (probe, candidate). Probe-bounded output keeps the pair
+    * space at O(probes · postings), and the df cutoff caps each posting
+    * list. */
+  def tfidfNearestDoc(docs: DataFrame, idCol: String, textCol: String,
+      probeBound: Long, maxDfFrac: Double = 0.9): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    val tf = toks.groupBy("id", "t").agg(count(lit(1)).cast("double").as("tf"))
+    val nDocs = tf.select(countDistinct("id").as("n"))
+    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs))
+      .filter(col("df").cast("double") <= lit(maxDfFrac) * col("n").cast("double"))
+      .select("t", "df")
+    val w = tf.join(dfT, "t").join(broadcast(nDocs))
+      .withColumn("w", col("tf") * log(col("n").cast("double") / col("df").cast("double")))
+    val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .filter(col("nrm") > 0.0)
+    val wn = w.join(norms, "id")
+      .select(col("id"), col("t"), (col("w") / col("nrm")).as("wn"))
+    val probe = wn.filter(col("id") < probeBound)
+      .select(col("id").as("id_a"), col("t"), col("wn").as("wa"))
+    val pairs = probe
+      .join(wn.select(col("id").as("id_b"), col("t"), col("wn").as("wb")), "t")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("wa") * col("wb")).cast("decimal(18,6)").cast("double").as("sim"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("id_a")
+      .orderBy(desc("sim"), col("id_b"))
+    pairs.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Word k-shingle strings with multiplicity — single-pass expression. */
   def wordShingles(c: Column, k: Int): Column =
     org.apache.spark.sql.graft.GraftBridge.column(
       graft.functions.WordShingles(
         org.apache.spark.sql.graft.GraftBridge.expression(c), k))
+
+  /** Most-similar corpus document for each of the first 25 docs, by
+    * stopword-pruned TF-IDF cosine (df ≤ 0.9·N prunes near-universal
+    * filler at any SF — the synthetic vocabulary is tiny and common, so
+    * the signal is idf weighting, not vocabulary disjointness); the
+    * oracle rebuilds the vectors, the postings join, and the rounded
+    * argmax from first principles — strict hash gate. */
+  def q102TfidfNearest(spark: SparkSession, dir: String): DataFrame =
+    tfidfNearestDoc(Tables.documents(spark, dir), "doc_id", "text",
+        probeBound = 25L, maxDfFrac = 0.9)
+      .orderBy("id_a")
 
   /** Bigram-LM perplexity of every (≥2-token) document, model trained on
     * the corpus itself; the oracle refits the identical smoothed MLE and
@@ -608,6 +672,7 @@ object TextAnalysis {
     "q48_top_terms" -> (q48TopTerms _),
     "q49_top_bigrams" -> (q49TopBigrams _),
     "q99_lm_perplexity" -> (q99LmPerplexity _),
+    "q102_tfidf_nearest" -> (q102TfidfNearest _),
     "q41_token_count" -> (q41TokenCount _),
     "q42_text_quality" -> (q42TextQuality _),
     "q43_langid" -> (q43LangId _),
@@ -877,6 +942,36 @@ object TextAnalysis {
         |      ORDER BY tf.tf DESC, df.df, tf.term) AS BIGINT) AS rank
         |  FROM tf JOIN df ON tf.term = df.term WHERE tf.doc_id < 30) t
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // vectors, postings join, and rounded argmax refit from scratch:
+    // same df cutoff, same per-posting normalization, same 6-dp rounding
+    // BEFORE the argmax, same (sim DESC, id ASC) tie-break
+    "q102_tfidf_nearest" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |tf AS (SELECT id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks GROUP BY id, t),
+        |n AS (SELECT COUNT(DISTINCT id) AS n FROM tf),
+        |dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+        |        HAVING CAST(COUNT(*) AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM n)),
+        |w AS (
+        |  SELECT tf.id, tf.t, tf.tf * LN(CAST(n.n AS DOUBLE) / CAST(dft.df AS DOUBLE)) AS w
+        |  FROM tf JOIN dft USING (t) CROSS JOIN n),
+        |norms AS (
+        |  SELECT id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY id HAVING SQRT(SUM(w * w)) > 0),
+        |wn AS (
+        |  SELECT w.id, w.t, w.w / norms.nrm AS wn FROM w JOIN norms USING (id)),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(CAST(SUM(a.wn * b.wn) AS DECIMAL(18,6)) AS DOUBLE) AS sim
+        |  FROM wn a JOIN wn b ON a.t = b.t AND a.id <> b.id
+        |  WHERE a.id < 25
+        |  GROUP BY a.id, b.id),
+        |ranked AS (
+        |  SELECT id_a, id_b, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn
+        |  FROM pairs)
+        |SELECT id_a, id_b, sim FROM ranked WHERE rn = 1 ORDER BY id_a""".stripMargin,
     // identical smoothed bigram MLE refit from scratch: same >= 2-token
     // filter, same add-one smoothing, same vocabulary, same 6-dp rounding
     "q99_lm_perplexity" ->

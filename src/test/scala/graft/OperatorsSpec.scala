@@ -570,6 +570,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(est - exact) <= 3 * sigma, s"est=$est exact=$exact 3sigma=${3 * sigma}")
   }
 
+  test("tfidfNearestDoc finds the sharing-rare-terms neighbor; df cutoff prunes universal terms") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "common rare1 rare1"),  // probe: shares rare1 with doc 2 only
+      (1L, "common other"),
+      (2L, "common rare1"),
+      (3L, "common other")         // "common" is in every doc -> pruned at 0.7
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfNearestDoc(docs, "doc_id", "text",
+        probeBound = 1L, maxDfFrac = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // with "common" pruned (df 4 of 4), doc 0's only candidate sharing a
+    // surviving term is doc 2 (rare1)
+    assert(got == Seq((0L, 2L)), s"got $got")
+    // without pruning, "common" links doc 0 to everything, but rare1 still
+    // dominates the cosine: the winner stays doc 2, now among 3 candidates
+    val all = TextAnalysis.tfidfNearestDoc(docs, "doc_id", "text",
+        probeBound = 1L, maxDfFrac = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(all == Seq((0L, 2L)), s"got $all")
+  }
+
   test("lmPerplexity scores match the hand-computed smoothed bigram MLE") {
     import graft.operators.TextAnalysis
     val docs = Seq(
