@@ -367,6 +367,25 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** LEAKAGE-PROOF train/eval/test split: near-duplicate documents (any
+    * connected component of `edges`) land in the SAME split, always — the
+    * deterministic split draw ([[graft.operators.Sampling.splitByKey]])
+    * keys on the component REPRESENTATIVE (min id), not the document, so
+    * a near-copy of a training doc can never leak into eval/test. Docs
+    * with no near-dup edge split on their own id (identical to the plain
+    * split). Same determinism contract as every sampler here: stable
+    * under partitioning, reruns, and corpus growth; externally
+    * recomputable (the oracle rebuilds clusters AND draws). */
+  def clusterAwareSplit(docs: DataFrame, idCol: String, edges: DataFrame,
+      fractions: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    val comps = connectedComponents(edges)
+      .select(col("id").as("__cc_id"), col("comp").as("__cc_rep"))
+    val withRep = docs.join(comps, docs(idCol) === col("__cc_id"), "left")
+      .withColumn("__rep", coalesce(col("__cc_rep"), col(idCol)))
+      .drop("__cc_id", "__cc_rep")
+    Sampling.splitByKey(withRep, "__rep", fractions, seed).drop("__rep")
+  }
+
   /** Quality-priority representative dedup: where [[dedupByPairs]] keeps a
     * cluster's min-id member, this keeps its BEST member — highest `ordCol`
     * (ties → smallest id, so exact duplicates inside a cluster still break
@@ -727,7 +746,22 @@ object Dedup {
     spanDedup(paraed, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** Leakage-proof split of the corpus: near-dup clusters (minhash pairs →
+    * CC) split atomically on their min-id representative. The oracle
+    * recomputes the exact pair set, the recursive closure, the
+    * representative, AND the md5 split draw — every assignment hash-gated. */
+  def q103ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = minhashNearDupPairs(docs, "doc_id", "text", bands = 32)
+      .select("id_a", "id_b")
+    clusterAwareSplit(docs, "doc_id", edges,
+        Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_cluster_split" -> (q103ClusterSplit _),
     "q97_span_dedup" -> (q97SpanDedup _),
     "q92_quality_dedup" -> (q92QualityDedup _),
     "q81_substring_dups" -> (q81SubstringDups _),
@@ -742,6 +776,48 @@ object Dedup {
     "q76_curation_v2" -> (q76CurationV2 _))
 
   val oracles: Map[String, String] = Map(
+    // exact pair set -> recursive closure -> min-id representative -> the
+    // engine's own md5 split draw on the REP: every assignment hash-gated
+    "q103_cluster_split" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             FOR i IN range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM d0),
+        |pairs AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM t x JOIN t y ON x.doc_id < y.doc_id
+        |  WHERE 2 * len(list_intersect(x.sh, y.sh)) >=
+        |        len(list_distinct(list_concat(x.sh, y.sh)))),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |comp AS (
+        |  SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src),
+        |rep AS (
+        |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |h AS (
+        |  SELECT doc_id, substr(md5(rep::VARCHAR || ':42'), 1, 16) AS s FROM rep),
+        |u AS (
+        |  SELECT doc_id,
+        |    ((list_sum([ (strpos('0123456789abcdef', s[i]) - 1)::HUGEINT
+        |                 * (1::HUGEINT << (4*(16-i)))
+        |                 FOR i IN range(1, 17) ]) >> 11))::DOUBLE
+        |      / 9007199254740992.0 AS u
+        |  FROM h)
+        |SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'eval' ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin,
     // spans, first-occurrence choice, and verbatim reassembly all
     // recomputed from first principles; strict hash gate on rebuilt text
     "q97_span_dedup" ->

@@ -570,6 +570,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(est - exact) <= 3 * sigma, s"est=$est exact=$exact 3sigma=${3 * sigma}")
   }
 
+  test("clusterAwareSplit: every near-dup cluster lands atomically in ONE split") {
+    import graft.operators.{Dedup, Sampling}
+    val docs = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain clusters {1..5}, {100,101}, plus a far-apart pair {7, 1999}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (100L, 101L),
+      (7L, 1999L)).toDF("id_a", "id_b")
+    val fr = Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1)
+    val got = Dedup.clusterAwareSplit(docs, "doc_id", edges, fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 2000)
+    // atomicity: each cluster one split, keyed by its min id's draw
+    for (cluster <- Seq(Seq(1L, 2L, 3L, 4L, 5L), Seq(100L, 101L), Seq(7L, 1999L))) {
+      assert(cluster.map(got).toSet.size == 1, s"cluster $cluster split apart")
+    }
+    // unclustered docs split exactly as the plain key split would
+    val plain = Sampling.splitByKey(docs, "doc_id", fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val clustered = Set(1L, 2L, 3L, 4L, 5L, 100L, 101L, 7L, 1999L)
+    assert((1L to 2000L).filterNot(clustered).forall(i => got(i) == plain(i)))
+    // and a clustered doc follows its REPRESENTATIVE's plain draw
+    assert(got(1999L) == plain(7L))
+  }
+
   test("tfidfNearestDoc finds the sharing-rare-terms neighbor; df cutoff prunes universal terms") {
     import graft.operators.TextAnalysis
     val docs = Seq(
