@@ -100,6 +100,29 @@ class PlantedScaleSpec extends AnyFunSuite {
       Base + 10 -> (Base + 10), Base + 11 -> (Base + 10)), comps.toString)
   }
 
+  test("planted cluster-split ground truth at sf0.1: clusters split atomically on the rep's draw") {
+    val pairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text", bands = 32)
+      .select("id_a", "id_b")
+    val split = Dedup.clusterAwareSplit(corpus, "doc_id", pairs,
+        Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+      .filter(col("doc_id") >= Base)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split.size == planted.size)
+    // the A chain (3 docs) and the B pair land atomically; C/Y split on
+    // their own ids (no edge)
+    assert(Set(split(Base + 0), split(Base + 1), split(Base + 2)).size == 1,
+      s"cluster A split apart: $split")
+    assert(split(Base + 10) == split(Base + 11), s"pair B split apart: $split")
+    // atomic = keyed on the MIN-ID representative's draw, exactly the plain
+    // split of that single id
+    val repDraw = graft.operators.Sampling.splitByKey(
+        Seq((Base + 0, "x"), (Base + 10, "x")).toDF("doc_id", "text"), "doc_id",
+        Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split(Base + 2) == repDraw(Base + 0) &&
+      split(Base + 11) == repDraw(Base + 10), s"split not keyed on rep: $split")
+  }
+
   test("planted quality-dedup ground truth at sf0.1: each cluster keeps its argmax-quality member") {
     // local first-principles quality (same formula as QualityScore)
     def quality(toks: Seq[String]): Double = {

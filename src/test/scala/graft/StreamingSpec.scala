@@ -541,6 +541,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunking: the stateless projection runs per-batch in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val chunks = graft.operators.TextAnalysis.chunkTokens(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+    val q = chunks.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "a b c d e f"), (2L, "x y"))
+      q.processAllAvailable()
+      mem.addData((3L, "p q r s t"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, chunk_idx, chunk_text FROM chunk_stream ORDER BY doc_id, chunk_idx")
+        .as[(Long, Long, String)].collect().toSeq
+      val twin = graft.operators.TextAnalysis.chunkTokens(
+          Seq((1L, "a b c d e f"), (2L, "x y"), (3L, "p q r s t"))
+            .toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == twin, s"stream $got vs batch $twin")
+    } finally q.stop()
+  }
+
   test("stream-static LM: micro-batches score against a frozen persisted model; unseen floors") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
