@@ -760,7 +760,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Curation pipeline v3 — THIS round's operators composed end-to-end the
+    * way a training-data pipeline runs them: re-paragraph → corpus-wide
+    * SPAN dedup (drop repeated paragraphs, q97) → corpus-fit LM PERPLEXITY
+    * gate on the REBUILT text (drop the most surprising tail, q99) →
+    * per-source QUOTA rebalance (q94) → per-source doc/token totals. The
+    * oracle recomputes every stage — the span first-occurrence choice, the
+    * verbatim reassembly, the LM refit ON THE REBUILT CORPUS, the gate,
+    * the re-rated quotas over gated counts, and the md5 membership draw —
+    * in one SQL statement: the whole composition is hash-gated. */
+  def q104CurationV3(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ts = filter(split(col("text"), "\\s+"), x => x =!= "")
+    val nSpans = ceil(size(ts).cast("double") / 32.0).cast("int")
+    val paraed = docs.select(col("doc_id"),
+      when(size(ts) > 0,
+        array_join(transform(sequence(lit(0), nSpans - 1),
+          i => array_join(slice(ts, i * 32 + 1, lit(32)), " ")), "\n\n"))
+        .otherwise(lit("")).as("text"))
+    val deduped = spanDedup(paraed, "doc_id", "text")
+      .filter(col("n_spans_kept") > 0)
+      .select("doc_id", "text")
+    val gated = deduped.join(
+      TextAnalysis.lmPerplexity(deduped, "doc_id", "text")
+        .filter(col("avg_nll_bits") <= 5.0).select("doc_id"), "doc_id")
+    val withSource = gated.join(docs.select("doc_id", "source"), "doc_id")
+    val rebal = Sampling.quotaSample(withSource, "source", "doc_id",
+      Map("src0" -> 10L, "src1" -> 100L, "src2" -> 5L, "src3" -> 15L))
+    rebal.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_curation_v3" -> (q104CurationV3 _),
     "q103_cluster_split" -> (q103ClusterSplit _),
     "q97_span_dedup" -> (q97SpanDedup _),
     "q92_quality_dedup" -> (q92QualityDedup _),
@@ -776,6 +810,83 @@ object Dedup {
     "q76_curation_v2" -> (q76CurationV2 _))
 
   val oracles: Map[String, String] = Map(
+    // every stage refit from first principles in ONE statement: span
+    // dedup verbatim reassembly -> LM refit on the REBUILT corpus ->
+    // perplexity gate -> quotas re-rated over gated counts -> md5 draw
+    "q104_curation_v3" ->
+      """WITH sp_t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |sp_s AS (
+        |  SELECT doc_id, CAST(unnest(range(0, len(ts), 32)) AS BIGINT) AS st, ts
+        |  FROM sp_t WHERE len(ts) > 0),
+        |sp_w AS (
+        |  SELECT doc_id, st // 32 AS pos,
+        |    array_to_string(list_slice(ts, st + 1, st + 32), ' ') AS span
+        |  FROM sp_s),
+        |sp_k AS (
+        |  SELECT doc_id, pos, span,
+        |    ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1 AS keep
+        |  FROM sp_w),
+        |sp_r AS (
+        |  SELECT doc_id,
+        |    string_agg(span, e'\n\n' ORDER BY pos) FILTER (WHERE keep) AS text,
+        |    COUNT(*) FILTER (WHERE keep) AS n_spans_kept
+        |  FROM sp_k GROUP BY doc_id),
+        |d0 AS (SELECT doc_id, text FROM sp_r WHERE n_spans_kept > 0),
+        |lm_t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+        |  FROM d0),
+        |lm_d AS (SELECT doc_id, ts FROM lm_t WHERE len(ts) >= 2),
+        |lm_bg AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(ts[i:i+1], ' ') FOR i IN range(1, len(ts))]) AS g
+        |  FROM lm_d),
+        |lm_cb AS (SELECT g, COUNT(*) AS c FROM lm_bg GROUP BY g),
+        |lm_c1 AS (SELECT split_part(g, ' ', 1) AS w1, SUM(c) AS c1 FROM lm_cb GROUP BY 1),
+        |lm_v AS (SELECT COUNT(DISTINCT u) AS v FROM (SELECT unnest(ts) AS u FROM lm_d)),
+        |lm_s AS (
+        |  SELECT lm_bg.doc_id, lm_cb.c, lm_c1.c1, lm_v.v
+        |  FROM lm_bg JOIN lm_cb USING (g)
+        |  JOIN lm_c1 ON split_part(lm_bg.g, ' ', 1) = lm_c1.w1
+        |  CROSS JOIN lm_v),
+        |lm_score AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(AVG(-LN((c + 1.0) / (c1 + v)) / LN(2.0))
+        |         AS DECIMAL(18,6)) AS DOUBLE) AS bits
+        |  FROM lm_s GROUP BY doc_id),
+        |gated AS (
+        |  SELECT d0.doc_id, d0.text FROM d0
+        |  JOIN lm_score USING (doc_id) WHERE bits <= 5.0),
+        |src AS (
+        |  SELECT g.doc_id, g.text, d.source
+        |  FROM gated g JOIN documents d USING (doc_id)),
+        |qh AS (SELECT doc_id, substr(md5(doc_id::VARCHAR || ':42'), 1, 16) AS s FROM src),
+        |qu AS (
+        |  SELECT doc_id,
+        |    ((list_sum([ (strpos('0123456789abcdef', s[i]) - 1)::HUGEINT
+        |                 * (1::HUGEINT << (4*(16-i)))
+        |                 FOR i IN range(1, 17) ]) >> 11))::DOUBLE
+        |      / 9007199254740992.0 AS u
+        |  FROM qh),
+        |qn AS (SELECT source, COUNT(*) AS cnt FROM src GROUP BY source),
+        |qr AS (
+        |  SELECT source,
+        |    CASE WHEN q IS NULL THEN 0.0 ELSE LEAST(1.0, q / cnt::DOUBLE) END AS rate
+        |  FROM (SELECT source, cnt,
+        |    CASE source WHEN 'src0' THEN 10.0 WHEN 'src1' THEN 100.0
+        |                WHEN 'src2' THEN 5.0 WHEN 'src3' THEN 15.0 END AS q
+        |  FROM qn)),
+        |rebal AS (
+        |  SELECT src.source, src.text
+        |  FROM src JOIN qu USING (doc_id) JOIN qr USING (source)
+        |  WHERE qu.u < qr.rate)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> ''))) AS BIGINT) AS n_tokens
+        |FROM rebal GROUP BY source ORDER BY source""".stripMargin,
     // exact pair set -> recursive closure -> min-id representative -> the
     // engine's own md5 split draw on the REP: every assignment hash-gated
     "q103_cluster_split" ->
