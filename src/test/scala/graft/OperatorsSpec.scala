@@ -296,6 +296,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bm.map(_.getLong(0)).toSet == Set(3L), s"NULL/empty doc scored: ${bm.toSeq}")
   }
 
+  test("round-7 operators survive NULL/empty text and degenerate inputs") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "r r a"),
+      (4L, "r b"), (5L, "q b"))
+      .toDF("doc_id", "text")
+    // LM: NULL/empty/1-token docs are excluded, never crash; others score
+    val lm = TextAnalysis.lmPerplexity(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(lm == Set(3L, 4L, 5L), s"LM scored degenerate docs: $lm")
+    // TF-IDF: NULL/empty docs can't be probes or candidates; idf-weighted
+    // shared terms pick 4's neighbor as 3 (shares rare-ish r), not 5
+    val nn = TextAnalysis.tfidfNearestDoc(docs, "doc_id", "text",
+        probeBound = 10L, maxDfFrac = 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toMap
+    assert(nn == Map(3L -> 4L, 4L -> 3L, 5L -> 4L), s"got $nn")
+    // cluster split: every doc (incl. NULL text) gets exactly one split
+    val cs = Dedup.clusterAwareSplit(docs, "doc_id",
+        Seq((3L, 4L)).toDF("id_a", "id_b"),
+        Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(cs.size == 5 && cs(3L) == cs(4L))
+    // resample: NULL values carry through LOCF as the observation's value
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq((1L, t(0), 1L, Some(5.0)), (1L, t(30), 2L, None),
+      (1L, t(90), 3L, Some(7.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val rs = graft.operators.AsOf.resampleLocf(ev, "user_id", "ts", "value",
+        3600L, "event_id")
+      .collect().map(r => (r.getTimestamp(1), Option(r.get(2)))).toMap
+    // 10:00 grid sees the 10:00 obs (5.0); 11:00 sees the NULL obs at
+    // 10:30 — the newest observation's NULL value, not the older 5.0
+    assert(rs(t(0)) == Some(5.0) && rs(t(60)) == None, s"got $rs")
+  }
+
   test("fingerprint is word-order and whitespace invariant") {
     val df = Seq("alpha beta gamma", "gamma  alpha\tbeta", "alpha beta delta")
       .toDF("t").select(TextAnalysis.fingerprint($"t").as("fp"))
