@@ -168,28 +168,39 @@ object Dedup {
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 256,
       md5Hash: Boolean = false, numChunks: Int = 0): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val simFn: Column => Column =
+      if (md5Hash) GraftFunctions.simhash_md5 else GraftFunctions.simhash
+    hammingNearDupPairs(
+      docs.select(col(idCol).as("id"),
+        simFn(TextAnalysis.tokens(col(textCol))).as("fp")),
+      maxHamming, maxBucketSize, numChunks, "simhash_bucket_cap")
+  }
+
+  /** Exact Hamming ≤ `maxHamming` pairs over ANY 64-bit fingerprint
+    * relation `(id, fp)` — the fingerprint-agnostic core of
+    * [[simhashNearDupPairs]], shared with perceptual-hash image dedup
+    * ([[Multimodal.imageNearDupPairs]]): chunk-subset multi-index
+    * blocking, capped buckets, re-join by id, bit_count verify. */
+  private[graft] def hammingNearDupPairs(fps: DataFrame, maxHamming: Int,
+      maxBucketSize: Int, numChunks: Int, capName: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 13,
       s"maxHamming must be in [0, 13], got $maxHamming")
     val m = if (numChunks == 0) maxHamming + 3 else numChunks
     require(m > maxHamming && m <= 16,
       s"numChunks ($m) must satisfy maxHamming < numChunks <= 16")
-    GraftFunctions.register(docs.sparkSession)
-    val simFn: Column => Column =
-      if (md5Hash) GraftFunctions.simhash_md5 else GraftFunctions.simhash
-    val withSim = docs.select(col(idCol).as("id"),
-      simFn(TextAnalysis.tokens(col(textCol))).as("sim"))
-    val keys = withSim.select(col("id"),
-      posexplode(array(hammingBlockKeys(col("sim"), m, maxHamming): _*))
+    val keys = fps.select(col("id"),
+      posexplode(array(hammingBlockKeys(col("fp"), m, maxHamming): _*))
         .as(Seq("blk", "bkey")))
     val cand = Buckets.candidatePairs(keys, Seq("blk", "bkey"), "id",
-      maxBucketSize, "simhash_bucket_cap")
-    // simhashes re-joined by id for the Hamming verify (payload never rides
-    // the pair explosion)
+      maxBucketSize, capName)
+    // fingerprints re-joined by id for the Hamming verify (payload never
+    // rides the pair explosion)
     cand
-      .join(withSim.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
-      .join(withSim.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -301,6 +301,110 @@ object Multimodal {
         expr(s"substring(media, CAST(frame_idx % 8 + 1 AS INT), 32)"))
       .select("media_id", "frame_idx", "frame_bytes", "width", "height")
 
+  /** 64-bit difference-hash (dHash) perceptual fingerprint of an image:
+    * decode → bilinear-resize to 9×8 grayscale → bit i·8+j = (pixel(j,i) >
+    * pixel(j+1,i)). Resize-/re-encode-invariant BY CONSTRUCTION (the 9×8
+    * reduction discards exactly the detail a rescale changes), so a
+    * resized or recompressed copy lands within a small Hamming distance
+    * of its original — the standard image near-dup fingerprint. None for
+    * unparseable bytes. */
+  private[graft] def dhash64(media: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      if (img == null) None
+      else {
+        val small = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 9, 8, null)
+        } finally g.dispose()
+        var h = 0L
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            def lum(x: Int, y: Int): Int = {
+              val rgb = small.getRGB(x, y)
+              (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+            }
+            if (lum(j, i) > lum(j + 1, i)) h |= 1L << (i * 8 + j)
+            j += 1
+          }
+          i += 1
+        }
+        Some(h)
+      }
+    } catch { case _: Exception => None }
+
+  /** Aspect-preserving resize by `factor` (the thumbnail path): target
+    * dims come from the DECODED image (metadata may lie), floored at 1px.
+    * None for unparseable bytes. */
+  private[graft] def resizePngBy(media: Array[Byte], factor: Double): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      if (img == null) None
+      else resizePng(media,
+        math.max(1, math.round(img.getWidth * factor).toInt),
+        math.max(1, math.round(img.getHeight * factor).toInt))
+    } catch { case _: Exception => None }
+
+  /** [[resizeImages]]'s aspect-preserving sibling: every image scaled by
+    * `factor` (thumbnails at 0.5, previews at 0.25, …); metadata follows
+    * the actual re-decoded dims. Non-image rows pass through untouched. */
+  def resizeImagesBy(media: DataFrame, factor: Double,
+      batchSize: Int = DefaultBatchSize): Dataset[MediaRow] = {
+    require(factor > 0.0, s"scale factor must be positive, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "format", "media", "width", "height", "n_frames")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            if (r.format != "image") r
+            else resizePngBy(r.media, factor) match {
+              case Some(bytes) => decodeImage(bytes) match {
+                case Some((w, h, _)) => r.copy(media = bytes, width = w, height = h)
+                case None => r.copy(media = bytes)
+              }
+              case None => r
+            }
+          }
+        }
+      }
+  }
+
+  /** IMAGE near-duplicate pairs: perceptual dHash fingerprints (batched
+    * per-partition decode — the codec seam) fed through the engine's
+    * chunk-subset Hamming blocking
+    * ([[graft.operators.Dedup.hammingNearDupPairs]] — the same exact-recall
+    * multi-index machinery SimHash text dedup uses). Finds resized,
+    * recompressed, and lightly-edited copies; undecodable rows drop out.
+    * Returns (id_a, id_b, hamming). */
+  def imageNearDupPairs(media: DataFrame, idCol: String,
+      maxHamming: Int = 6, maxBucketSize: Int = 256,
+      batchSize: Int = DefaultBatchSize): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fps = media.filter(col("format") === "image")
+      .select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            dhash64(bytes).map(h => (id, h))
+          }
+        }
+      }
+      .toDF("id", "fp")
+    Dedup.hammingNearDupPairs(fps, maxHamming, maxBucketSize,
+      numChunks = 0, "image_near_dup_bucket_cap")
+  }
+
   /** Metadata-level resize: plan-only transform (real resize happens in the
     * decoder at materialization time; the lake keeps declared target dims). */
   def declareResize(media: DataFrame, w: Int, h: Int): DataFrame =
@@ -402,10 +506,40 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Image near-dup, gated: ≥ 95% of the base images' HALF-SIZE thumbnail
+    * twins (re-encoded at different dimensions — different bytes,
+    * different exact hash) must be found by the perceptual-hash pairing
+    * at Hamming ≤ 8. The q52 recall-gate convention: the pair set is
+    * perceptual by design, but the recall fraction over planted twins IS
+    * a deterministic, oracle-checkable fact. 95%, not 100%: the synthetic
+    * pixel formula's (x XOR y) checkerboard is adversarial high-frequency
+    * content that can alias under halving — real photographs sit far
+    * inside the bound. Extra base-base pairs (smooth synthetic gradients
+    * cluster in dHash space) don't enter the gate. */
+  def q105ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val TwinOffset = 10000000L
+    val imgs = syntheticMediaTable(spark, dir).filter(col("format") === "image")
+    val twins = resizeImagesBy(imgs, 0.5).toDF()
+      .withColumn("media_id", col("media_id") + TwinOffset)
+    // a generous bucket cap keeps the cap out of the GATE's way (drops
+    // stay observable, q45-style)
+    val pairs = imageNearDupPairs(imgs.unionByName(twins), "media_id",
+      maxHamming = 8, maxBucketSize = 4096)
+    val twinPairs = pairs.filter(
+      greatest(col("id_a"), col("id_b")) - least(col("id_a"), col("id_b"))
+        === TwinOffset)
+    imgs.agg(count(lit(1)).as("n_images"))
+      .join(twinPairs.agg(count(lit(1)).as("__t")))
+      .select(col("n_images"),
+        (col("__t").cast("double") >= col("n_images").cast("double") * 0.95)
+          .as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_features" -> (q60MediaFeatures _),
     "q61_frame_sample" -> (q61FrameSample _),
-    "q101_resize_images" -> (q101ResizeImages _))
+    "q101_resize_images" -> (q101ResizeImages _),
+    "q105_image_near_dup" -> (q105ImageNearDup _))
 
   /** The decoded image dimensions and audio (rate, frames) are
     * SQL-expressible because the fixture PNGs/WAVs are generated FROM the
@@ -434,6 +568,9 @@ object Multimodal {
         |       ELSE -1 END AS decoded_height,
         |  CASE WHEN doc_id % 3 = 2 THEN LENGTH(text) > 0 ELSE TRUE END AS features_valid
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q105_image_near_dup" ->
+      """SELECT COUNT(*) AS n_images, true AS recall_ok
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "q61_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  CAST(LENGTH(SUBSTRING(text, CAST(frame_idx % 8 + 1 AS INT), 32)) AS BIGINT) AS n_frame_bytes

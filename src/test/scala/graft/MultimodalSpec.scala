@@ -100,6 +100,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(audioBefore == audioAfter, "non-image bytes must pass through untouched")
   }
 
+  test("dHash: stable under re-encode and half-size; distinct images far; pairs found") {
+    val a = Multimodal.makePng(5L, 40, 30)
+    val h = Multimodal.dhash64(a).get
+    // byte-identical input -> identical hash; resize-to-same-dims
+    // re-encode (different bytes) -> identical hash
+    assert(Multimodal.dhash64(a).get == h)
+    assert(Multimodal.dhash64(Multimodal.resizePng(a, 40, 30).get).get == h)
+    // half-size thumbnail stays within the near-dup bound
+    val half = Multimodal.dhash64(Multimodal.resizePngBy(a, 0.5).get).get
+    assert(java.lang.Long.bitCount(h ^ half) <= 8,
+      s"thumbnail drifted ${java.lang.Long.bitCount(h ^ half)} bits")
+    // structurally different content is far (the FIXTURE formula is a
+    // per-id constant shift — dHash's neighbor comparisons cancel it, so
+    // same-dims fixture images hash identically; build a coarse
+    // checkerboard for real structural difference)
+    def checker(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 30; x <- 0 until 40)
+        img.setRGB(x, y, if (((x / 10) + (y / 10)) % 2 == 0) 0xFFFFFF else 0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val otherBytes = checker()
+    val other = Multimodal.dhash64(otherBytes).get
+    assert(java.lang.Long.bitCount(h ^ other) > 8)
+    assert(Multimodal.dhash64(Array[Byte](1, 2, 3)).isEmpty)
+    // operator end-to-end: a planted thumbnail pair is found through the
+    // Hamming blocking; the undecodable row drops out silently
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, "image", a),
+      (2L, "image", Multimodal.resizePngBy(a, 0.5).get),
+      (3L, "image", otherBytes),
+      (4L, "image", Array[Byte](9, 9))).toDF("media_id", "format", "media")
+    val pairs = Multimodal.imageNearDupPairs(rows, "media_id", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("feature extraction: fixed dim, normalized, deterministic") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMediaTable(spark, sf))
     val rows = feats.collect()
