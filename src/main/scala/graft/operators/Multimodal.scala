@@ -73,12 +73,9 @@ object Multimodal {
   /** Fixed sample rate for the synthetic WAV fixtures (8 kHz mono PCM16). */
   private[graft] val WavRate = 8000
 
-  /** Deterministic synthetic WAV: a real RIFF/WAVE PCM16 mono file whose
-    * sample `i` is a fixed function of (id, i) — the audio analogue of
-    * [[makePng]]: decodable only by actually parsing the container, with
-    * frame count and content known by construction. */
-  private[graft] def makeWav(id: Long, nSamples: Int): Array[Byte] = {
-    val dataLen = nSamples * 2
+  /** RIFF/WAVE PCM16 mono container around `samples` at `rate` Hz. */
+  private[graft] def wavBytes(samples: Array[Short], rate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -86,17 +83,141 @@ object Multimodal {
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1.toShort)             // PCM
       .putShort(1.toShort)             // mono
-      .putInt(WavRate)
-      .putInt(WavRate * 2)             // byte rate
+      .putInt(rate)
+      .putInt(rate * 2)                // byte rate
       .putShort(2.toShort)             // block align
       .putShort(16.toShort)            // bits/sample
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < nSamples) {
-      buf.putShort((((id * 31 + i * 17) % 65536) - 32768).toShort)
-      i += 1
-    }
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
     buf.array()
+  }
+
+  /** Deterministic synthetic WAV: a real RIFF/WAVE PCM16 mono file whose
+    * sample `i` is a fixed function of (id, i) — the audio analogue of
+    * [[makePng]]: decodable only by actually parsing the container, with
+    * frame count and content known by construction. A triangular
+    * amplitude envelope with an id-dependent period count gives each
+    * clip loudness STRUCTURE (a flat-envelope fixture would make every
+    * clip identical to an envelope fingerprint — degenerate for the
+    * near-dup gate). */
+  private[graft] def makeWav(id: Long, nSamples: Int): Array[Byte] = {
+    val m = (id % 13 + 3).toInt
+    wavBytes(Array.tabulate(nSamples) { i =>
+      val base = (((id * 31 + i * 17) % 65536) - 32768).toInt
+      val p = (i.toLong * m % nSamples).toInt
+      val tri = if (2 * p < nSamples) 2 * p else 2 * (nSamples - p)
+      val amp = 32 + 224 * tri / nSamples // 32..256
+      (base * amp / 256).toShort
+    }, WavRate)
+  }
+
+  /** PCM16 samples of a parseable WAV (mono-folds multi-channel by taking
+    * channel 0), with the container's sample rate. */
+  private[graft] def wavSamples(media: Array[Byte]): Option[(Array[Short], Int)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(media))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels < 1) None
+        else {
+          val bytes = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val ch = fmt.getChannels
+          val n = bytes.length / 2 / ch
+          if (n == 0) None
+          else {
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              out(i) = bb.getShort(i * 2 * ch)
+              i += 1
+            }
+            Some((out, fmt.getSampleRate.toInt))
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Naive decimation resample: keep every `factor`-th sample, rate drops
+    * by `factor` — a REAL audio transform (the thumbnail analogue) whose
+    * output is a valid, decodable WAV. None for unparseable bytes. */
+  private[graft] def decimateWav(media: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    require(factor >= 1, s"decimation factor must be >= 1, got $factor")
+    wavSamples(media).flatMap { case (s, rate) =>
+      val n = (s.length + factor - 1) / factor
+      if (n == 0 || rate < factor) None
+      else Some(wavBytes(Array.tabulate(n)(i => s(i * factor)), rate / factor))
+    }
+  }
+
+  /** Gain change + 16-bit requantization: sample' = round(sample · gain),
+    * clamped — the volume-normalization transform an ingest pipeline
+    * applies. Output is a valid, decodable WAV. */
+  private[graft] def scaleWav(media: Array[Byte], gain: Double): Option[Array[Byte]] = {
+    require(gain > 0.0, s"gain must be positive, got $gain")
+    wavSamples(media).map { case (s, rate) =>
+      wavBytes(s.map(x => math.max(Short.MinValue.toLong,
+        math.min(Short.MaxValue.toLong, math.round(x * gain))).toShort), rate)
+    }
+  }
+
+  /** 64-bit audio envelope fingerprint ("audio dHash"): decode → 65-window
+    * RMS loudness envelope → bit i = (rms(i+1) > rms(i)). The envelope's
+    * SHAPE survives resampling/requantization the way an image's 9×8
+    * reduction survives rescaling, so a decimated or re-encoded copy sits
+    * within a small Hamming distance. None for unparseable bytes. */
+  private[graft] def awash64(media: Array[Byte]): Option[Long] =
+    wavSamples(media).flatMap { case (s, _) =>
+      if (s.length < 66) None
+      else {
+        val rms = new Array[Double](65)
+        var w = 0
+        while (w < 65) {
+          val lo = (s.length.toLong * w / 65).toInt
+          val hi = (s.length.toLong * (w + 1) / 65).toInt
+          var acc = 0.0
+          var i = lo
+          while (i < hi) { acc += s(i).toDouble * s(i); i += 1 }
+          rms(w) = math.sqrt(acc / math.max(1, hi - lo))
+          w += 1
+        }
+        var h = 0L
+        var i = 0
+        while (i < 64) {
+          if (rms(i + 1) > rms(i)) h |= 1L << i
+          i += 1
+        }
+        Some(h)
+      }
+    }
+
+  /** AUDIO near-duplicate pairs — the audio sibling of
+    * [[imageNearDupPairs]]: envelope fingerprints from the batched codec
+    * seam, pairs from the shared chunk-subset Hamming blocking
+    * ([[graft.operators.Dedup.hammingNearDupPairs]]). Finds decimated,
+    * re-encoded, and requantized copies; undecodable rows drop out. */
+  def audioNearDupPairs(media: DataFrame, idCol: String,
+      maxHamming: Int = 8, maxBucketSize: Int = 256,
+      batchSize: Int = DefaultBatchSize): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fps = media.filter(col("format") === "audio")
+      .select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            awash64(bytes).map(h => (id, h))
+          }
+        }
+      }
+      .toDF("id", "fp")
+    Dedup.hammingNearDupPairs(fps, maxHamming, maxBucketSize,
+      numChunks = 0, "audio_near_dup_bucket_cap")
   }
 
   private val makeWavUdf = udf(makeWav _)
@@ -535,11 +656,41 @@ object Multimodal {
           .as("recall_ok"))
   }
 
+  /** Audio near-dup, gated: EVERY base clip's volume-normalized twin
+    * (gain 0.5 + requantization — different bytes, same loudness SHAPE)
+    * must be found by the envelope fingerprinting at Hamming ≤ 4. Unlike
+    * q105's 95%, this gate is exact: gain scaling preserves every
+    * envelope comparison, so a missed twin is a bug, not aliasing. Extra
+    * same-envelope-class pairs (the fixture has 13 AM classes) don't
+    * enter the gate. */
+  def q106AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val TwinOffset = 10000000L
+    val spark2 = spark
+    import spark2.implicits._
+    val auds = syntheticMediaTable(spark, dir).filter(col("format") === "audio")
+    val twins = auds.select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        scaleWav(bytes, 0.5).map(b => (id + TwinOffset, "audio", b))
+      })
+      .toDF("media_id", "format", "media")
+    val all = auds.select("media_id", "format", "media").unionByName(twins)
+    val pairs = audioNearDupPairs(all, "media_id",
+      maxHamming = 4, maxBucketSize = 8192)
+    val twinPairs = pairs.filter(
+      greatest(col("id_a"), col("id_b")) - least(col("id_a"), col("id_b"))
+        === TwinOffset)
+    auds.agg(count(lit(1)).as("n_clips"))
+      .join(twinPairs.agg(count(lit(1)).as("__t")))
+      .select(col("n_clips"), (col("__t") === col("n_clips")).as("all_twins_found"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_features" -> (q60MediaFeatures _),
     "q61_frame_sample" -> (q61FrameSample _),
     "q101_resize_images" -> (q101ResizeImages _),
-    "q105_image_near_dup" -> (q105ImageNearDup _))
+    "q105_image_near_dup" -> (q105ImageNearDup _),
+    "q106_audio_near_dup" -> (q106AudioNearDup _))
 
   /** The decoded image dimensions and audio (rate, frames) are
     * SQL-expressible because the fixture PNGs/WAVs are generated FROM the
@@ -571,6 +722,9 @@ object Multimodal {
     "q105_image_near_dup" ->
       """SELECT COUNT(*) AS n_images, true AS recall_ok
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    "q106_audio_near_dup" ->
+      """SELECT COUNT(*) AS n_clips, true AS all_twins_found
+        |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
     "q61_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  CAST(LENGTH(SUBSTRING(text, CAST(frame_idx % 8 + 1 AS INT), 32)) AS BIGINT) AS n_frame_bytes

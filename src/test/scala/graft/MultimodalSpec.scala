@@ -59,9 +59,13 @@ class MultimodalSpec extends AnyFunSuite {
     // WAV bytes; decode must reproduce them after a full encode -> parse
     // round trip through the real RIFF container
     val (id, n) = (11L, 257)
+    val m = (id % 13 + 3).toInt
     val hist = new Array[Float](Multimodal.FeatureDim)
     for (i <- 0 until n) {
-      val s = (((id * 31 + i * 17) % 65536) - 32768).toInt
+      val base = (((id * 31 + i * 17) % 65536) - 32768).toInt
+      val p = (i.toLong * m % n).toInt
+      val tri = if (2 * p < n) 2 * p else 2 * (n - p)
+      val s = base * (32 + 224 * tri / n) / 256
       hist((s + 32768) * Multimodal.FeatureDim / 65536) += 1f
     }
     val expected = hist.map(_ / n.toFloat).toSeq
@@ -138,6 +142,36 @@ class MultimodalSpec extends AnyFunSuite {
       (3L, "image", otherBytes),
       (4L, "image", Array[Byte](9, 9))).toDF("media_id", "format", "media")
     val pairs = Multimodal.imageNearDupPairs(rows, "media_id", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("audio envelope fingerprint: gain-invariant, decimation-stable, classes separate") {
+    val wav = Multimodal.makeWav(7L, 400)
+    val h = Multimodal.awash64(wav).get
+    // attenuation preserves every envelope comparison exactly (gain-UP can
+    // clip at Short.MaxValue, which distorts the envelope — by design)
+    assert(Multimodal.awash64(Multimodal.scaleWav(wav, 0.5).get).get == h)
+    assert(Multimodal.awash64(Multimodal.scaleWav(wav, 0.25).get).get == h)
+    // halving the sample rate keeps the loudness SHAPE nearby
+    val dec = Multimodal.awash64(Multimodal.decimateWav(wav, 2).get).get
+    assert(java.lang.Long.bitCount(h ^ dec) <= 8,
+      s"decimated drifted ${java.lang.Long.bitCount(h ^ dec)} bits")
+    // a different AM class is far
+    val other = Multimodal.awash64(Multimodal.makeWav(8L, 400)).get
+    assert(java.lang.Long.bitCount(h ^ other) > 8)
+    // too-short or non-audio bytes degrade to None
+    assert(Multimodal.awash64(Multimodal.makeWav(7L, 50)).isEmpty)
+    assert(Multimodal.awash64(Array[Byte](1, 2, 3)).isEmpty)
+    // operator end-to-end: the planted volume twin is found; junk drops out
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, "audio", wav),
+      (2L, "audio", Multimodal.scaleWav(wav, 0.5).get),
+      (3L, "audio", Multimodal.makeWav(8L, 400)),
+      (4L, "audio", Array[Byte](9, 9))).toDF("media_id", "format", "media")
+    val pairs = Multimodal.audioNearDupPairs(rows, "media_id", maxHamming = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
