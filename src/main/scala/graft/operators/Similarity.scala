@@ -71,7 +71,7 @@ object Similarity {
     * The post-limit window partitions on a constant: all k rows meet in one
     * task by construction — which is fine, because k rows is the whole
     * input — and no un-partitioned global window ever touches the corpus. */
-  private def topKRanked(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKRanked(scored: DataFrame, k: Int): DataFrame = {
     val topk = scored.select(col("id"), col("sim"))
       .orderBy(desc("sim"), col("id")).limit(k)
     // constant-but-not-foldable partition key: a literal would be constant-
@@ -720,6 +720,27 @@ object Similarity {
     topKRanked(scored, k)
   }
 
+  // ---- hybrid retrieval: reciprocal-rank fusion ----
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of independently ranked
+    * candidate lists — THE standard hybrid-search combiner (sparse BM25 +
+    * dense ANN): fused score = Σ_lists 1/(k + rank), absent-from-a-list
+    * contributes nothing. Rank-based, so the lists' raw scores never need
+    * calibrating against each other. Each input is a k-bounded (id, rank)
+    * relation, so the union + per-id sum is list-sized work no matter the
+    * corpus; scores pass through DECIMAL(18,6) (sums of >2 reciprocals
+    * are order-sensitive in the last ulp). Ties break to the lower id. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 60, topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k >= 1 && topK >= 1, s"need k >= 1 and topK >= 1, got $k/$topK")
+    val contrib = lists.map(_.select(col("id"),
+        (lit(1.0) / (lit(k.toDouble) + col("rank").cast("double"))).as("__c")))
+      .reduce(_ unionByName _)
+    contrib.groupBy("id")
+      .agg(sum("__c").cast("decimal(18,6)").cast("double").as("rrf"))
+      .orderBy(desc("rrf"), col("id")).limit(topK)
+  }
+
   // ---- declared queries ----
 
   /** Brute-force cosine top-10 for the vec_id=0 query vector. */
@@ -857,7 +878,26 @@ object Similarity {
       minHits = 3)
   }
 
+  /** Hybrid search over the corpus: the fixed BM25 text query's ranks
+    * fused with the vec_id=0 dense query's cosine ranks (documents and
+    * embeddings share the id space), top-10 by RRF. Fully ORACLE-EXACT —
+    * both component rankings are deterministic and SQL-expressible, so
+    * unlike the ANN recall gates the fused list itself is hash-gated. */
+  def q107HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val n = 50
+    val sparse = topKRanked(
+      TextAnalysis.bm25Search(Tables.documents(spark, dir), "doc_id", "text",
+          TextAnalysis.Bm25QueryTerms)
+        .select(col("doc_id").as("id"), col("score").as("sim")), n)
+    val dense = bruteForceTopK(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", 0L, n)
+    rrfFuse(Seq(sparse, dense), k = 60, topK = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_hybrid_rrf" -> (q107HybridRrf _),
     "q98_ann_ivfpq" -> (q98AnnIvfPq _),
     "q50_knn_brute" -> (q50KnnBrute _),
     "q51_ann_lsh" -> (q51AnnLsh _),
@@ -867,6 +907,34 @@ object Similarity {
     "q96_pq_index_query" -> (q96PqIndexQuery _))
 
   val oracles: Map[String, String] = Map(
+    // both component rankings rebuilt from first principles (the generated
+    // BM25 twin + list_cosine_similarity), fused with the same reciprocal
+    // formula and rounding — the fused top-10 is hash-exact
+    "q107_hybrid_rrf" ->
+      s"""WITH sparse AS (
+        |  SELECT id, rank FROM (
+        |    SELECT doc_id AS id,
+        |      CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |    FROM (
+        |${TextAnalysis.bm25ScoredSql}
+        |    ) bm) r WHERE rank <= 50),
+        |dense AS (
+        |  SELECT vec_id AS id, rank FROM (
+        |    SELECT e.vec_id,
+        |      CAST(ROW_NUMBER() OVER (ORDER BY
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |        e.vec_id) AS BIGINT) AS rank
+        |    FROM embeddings e) t WHERE rank <= 50),
+        |contrib AS (
+        |  SELECT id, 1.0 / (60 + rank) AS c FROM sparse
+        |  UNION ALL
+        |  SELECT id, 1.0 / (60 + rank) AS c FROM dense),
+        |fused AS (
+        |  SELECT id, CAST(CAST(SUM(c) AS DECIMAL(18,6)) AS DOUBLE) AS rrf
+        |  FROM contrib GROUP BY id),
+        |top AS (SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10)
+        |SELECT id AS doc_id, rrf FROM top ORDER BY doc_id""".stripMargin,
     "q50_knn_brute" ->
       """SELECT vec_id, rank FROM (
         |  SELECT e.vec_id,

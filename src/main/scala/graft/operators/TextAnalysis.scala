@@ -727,7 +727,10 @@ object TextAnalysis {
   /** DuckDB twin of the q90 BM25 scoring — generated from [[Bm25QueryTerms]]
     * and the same k1/b constants so the two can never drift. Scores compare
     * after DECIMAL(18,6) rounding (absorbs the cross-engine ln/avg ulp gap). */
-  private def q90OracleSql: String = {
+  /** Generated DuckDB twin of the BM25 scorer as a bare SELECT over
+    * `documents` (doc_id, n_match_terms, score — DECIMAL-rounded, no
+    * ordering), shared by the q90 oracle and the hybrid-fusion oracle. */
+  private[operators] def bm25ScoredSql: String = {
     val terms = Bm25QueryTerms.zipWithIndex
     val tfs = terms.map { case (t, i) =>
       s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) AS tf_$i" }.mkString(",\n    ")
@@ -755,9 +758,12 @@ object TextAnalysis {
        |SELECT doc_id, CAST($nMatch AS BIGINT) AS n_match_terms,
        |  CAST(CAST($score AS DECIMAL(18,6)) AS DOUBLE) AS score
        |FROM b, s
-       |WHERE $anyHit
-       |ORDER BY doc_id""".stripMargin
+       |WHERE $anyHit""".stripMargin
   }
+
+  private def q90OracleSql: String =
+    s"""$bm25ScoredSql
+       |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q89_pack_sequences" ->

@@ -604,6 +604,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(est - exact) <= 3 * sigma, s"est=$est exact=$exact 3sigma=${3 * sigma}")
   }
 
+  test("rrfFuse: reciprocal-rank law, single-list presence, tie-break") {
+    import graft.operators.Similarity
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
+    val b = Seq((11L, 1L), (13L, 2L)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), k = 60, topK = 10)
+      .as[(Long, Double)].collect().toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // in both lists: contributions add; in one: that list alone
+    assert(got(11L) == r6(1.0 / 62 + 1.0 / 61), s"got $got")
+    assert(got(10L) == r6(1.0 / 61) && got(13L) == r6(1.0 / 62))
+    assert(got(12L) == r6(1.0 / 63))
+    assert(got.size == 4)
+    // the doubly-ranked doc outranks every singly-ranked one
+    assert(got(11L) > got.removed(11L).values.max)
+    // topK truncates by (rrf DESC, id ASC)
+    val top2 = Similarity.rrfFuse(Seq(a, b), k = 60, topK = 2)
+      .select("id").as[Long].collect().toSet
+    assert(top2 == Set(11L, 10L), s"got $top2")
+  }
+
   test("clusterAwareSplit: every near-dup cluster lands atomically in ONE split") {
     import graft.operators.{Dedup, Sampling}
     val docs = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
