@@ -489,6 +489,46 @@ object StreamOps {
       s"$path/offsets", batchId)
   }
 
+  /** Streaming LM-MODEL ingest — keeps the
+    * [[graft.operators.TextAnalysis.lmWriteModel]] count tables growing as
+    * a corpus streams in, making the LM a MAINTAINED index like the
+    * minhash/IVF/eval-window stores: each micro-batch's bigram counts
+    * land under their own `batch_id=` partition (idempotent replay
+    * overwrite), and readers re-aggregate the additive counts at load
+    * time ([[readLmModelStore]]) — marginals and vocabulary derive from
+    * the summed table, so they are always consistent with it. Per-batch
+    * cost is O(batch); the stored model is never rewritten, only
+    * appended. */
+  def streamingLmIngest(docs: DataFrame, idCol: String, textCol: String,
+      path: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val (bigrams, _, _) = graft.operators.TextAnalysis.lmFitModel(
+          batch.toDF(), idCol, textCol)
+        idempotentBatchWrite(bigrams, s"$path/bigrams", batchId)
+      }
+    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
+  }
+
+  /** Load a streamed LM model store: per-batch bigram counts summed into
+    * one counts table (addition is the bigram monoid — replayed batches
+    * were overwritten, so the sum is exact), with marginals and vocab
+    * derived from it exactly as the one-shot fit does. The result plugs
+    * straight into [[graft.operators.TextAnalysis.lmScoreWithModel]]. */
+  def readLmModelStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame, DataFrame) = {
+    val bigrams = spark.read.parquet(s"$path/bigrams")
+      .groupBy("g").agg(sum("c").as("c"))
+    val marginals = bigrams
+      .groupBy(split(col("g"), " ").getItem(0).as("w1"))
+      .agg(sum("c").as("c1"))
+    val vocab = bigrams.select(explode(split(col("g"), " ")).as("u"))
+      .agg(count_distinct(col("u")).as("v"))
+    (bigrams, marginals, vocab)
+  }
+
   /** Stream → theta store: per-(window, key) serialized theta sketches.
     * The canonical-KMV merge is a join-semilattice — IDEMPOTENT like
     * HLL/LC union, unlike additive SpaceSaving/KLL — so this runs in

@@ -566,6 +566,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM ingest: per-batch counts sum to the one-shot model; replay overwrites") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-ingest").toString
+    val b1 = Seq((1L, "a b a b"), (2L, "a b c"))
+    val b2 = Seq((3L, "c a b"), (4L, "b c"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingLmIngest(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def modelTriple(bg: org.apache.spark.sql.DataFrame,
+        mg: org.apache.spark.sql.DataFrame, v: org.apache.spark.sql.DataFrame) =
+      (bg.as[(String, Long)].collect().toMap,
+        mg.as[(String, Long)].collect().toMap,
+        v.as[Long].head())
+    val (sb, sm, sv) = StreamOps.readLmModelStore(spark, dir)
+    val (ob, om, ov) = graft.operators.TextAnalysis.lmFitModel(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+    assert(modelTriple(sb, sm, sv) == modelTriple(ob, om, ov),
+      "streamed model diverged from the one-shot fit")
+
+    // scoring through the streamed store equals scoring through the
+    // one-shot model, row for row
+    val probe = Seq((9L, "a b c"), (10L, "z z")).toDF("doc_id", "text")
+    val viaStore = graft.operators.TextAnalysis.lmScoreWithModel(
+        probe, "doc_id", "text", sb, sm, sv)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val viaFit = graft.operators.TextAnalysis.lmScoreWithModel(
+        probe, "doc_id", "text", ob, om, ov)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(viaStore == viaFit, s"store $viaStore vs fit $viaFit")
+
+    // failure replay: batch 0 again — overwrites its partition, sums unchanged
+    val before = modelTriple(sb, sm, sv)
+    val (bg1, _, _) = graft.operators.TextAnalysis.lmFitModel(
+      b1.toDF("doc_id", "text"), "doc_id", "text")
+    StreamOps.idempotentBatchWrite(bg1, s"$dir/bigrams", 0L)
+    val (rb, rm, rv) = StreamOps.readLmModelStore(spark, dir)
+    assert(modelTriple(rb, rm, rv) == before, "replayed batch changed the model")
+  }
+
   test("stream-static LM: micro-batches score against a frozen persisted model; unseen floors") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
