@@ -628,6 +628,29 @@ object TextAnalysis {
       .select("doc_id", "n_emails", "n_ips", "redacted")
       .orderBy("doc_id")
 
+  /** Per-language corpus DATASHEET — the one-pass profile a dataset card
+    * reports, every column an exact, engine-neutral fact: doc and token
+    * totals, exact interpolated token-count percentiles (the q25 parity),
+    * exact-duplicate count via the sorted-token canonical string (no
+    * engine hash in the contract), and PII incidence (the q82 regexes).
+    * One scan + one group-by; at 100 TB this is the cheapest query in the
+    * suite — which is the point of a datasheet. */
+  def q108CorpusProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        tokenCount(col("text")).as("nt"),
+        array_join(array_sort(tokens(col("text"))), " ").as("canon"),
+        (regexp_count(col("text"), lit(EmailPattern)) +
+          regexp_count(col("text"), lit(Ipv4Pattern)) > 0).as("has_pii"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        expr("percentile(nt, 0.5)").as("p50_tokens"),
+        expr("percentile(nt, 0.95)").as("p95_tokens"),
+        (count(lit(1)) - countDistinct(col("canon"))).as("n_dup_docs"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"))
+      .orderBy("lang")
+
   /** Context-window chunking over the corpus: 64-token windows every 48
     * tokens (25% overlap). VERBATIM oracle — DuckDB re-derives every chunk's
     * text from the same tokenization and slice arithmetic. */
@@ -666,6 +689,7 @@ object TextAnalysis {
     "q80_gopher_quality" -> (q80GopherQuality _),
     "q82_pii_scrub" -> (q82PiiScrub _),
     "q87_chunk_documents" -> (q87ChunkDocuments _),
+    "q108_corpus_profile" -> (q108CorpusProfile _),
     "q89_pack_sequences" -> (q89PackSequences _),
     "q90_bm25_search" -> (q90Bm25Search _),
     "q91_assemble_sequences" -> (q91AssembleSequences _),
@@ -948,6 +972,24 @@ object TextAnalysis {
         |      ORDER BY tf.tf DESC, df.df, tf.term) AS BIGINT) AS rank
         |  FROM tf JOIN df ON tf.term = df.term WHERE tf.doc_id < 30) t
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // every datasheet column recomputed from first principles: counts,
+    // continuous quantiles, sorted-token canonical duplicates, PII regexes
+    "q108_corpus_profile" ->
+      s"""WITH d AS (
+        |  SELECT lang,
+        |    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS nt,
+        |    array_to_string(list_sort(
+        |      list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), ' ') AS canon,
+        |    (len(regexp_extract_all(text, '$EmailPattern'))
+        |      + len(regexp_extract_all(text, '$Ipv4Pattern'))) > 0 AS has_pii
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  quantile_cont(nt, 0.5) AS p50_tokens,
+        |  quantile_cont(nt, 0.95) AS p95_tokens,
+        |  COUNT(*) - COUNT(DISTINCT canon) AS n_dup_docs,
+        |  CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     // vectors, postings join, and rounded argmax refit from scratch:
     // same df cutoff, same per-posting normalization, same 6-dp rounding
     // BEFORE the argmax, same (sim DESC, id ASC) tie-break
