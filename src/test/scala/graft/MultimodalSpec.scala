@@ -176,6 +176,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("fingerprint kernel laws over random media (deterministic seeds)") {
+    val rnd = new scala.util.Random(20260813)
+    // image laws: decode recovers exact dims; dHash is deterministic and
+    // EXACTLY invariant under a same-dims re-encode round trip
+    for (_ <- 0 until 25) {
+      val (id, w, h) = (rnd.nextLong(100000), 10 + rnd.nextInt(70), 9 + rnd.nextInt(50))
+      val png = Multimodal.makePng(id, w, h)
+      val Some((dw, dh, _)) = Multimodal.decodeImage(png)
+      assert((dw, dh) == ((w, h)), s"dims for id=$id")
+      val hh = Multimodal.dhash64(png).get
+      assert(Multimodal.dhash64(png).get == hh, s"dHash nondeterministic id=$id")
+      assert(Multimodal.dhash64(Multimodal.resizePng(png, w, h).get).get == hh,
+        s"dHash not re-encode-invariant id=$id ${w}x$h")
+    }
+    // audio laws: decode recovers exact frame count; envelope hash is
+    // deterministic and EXACTLY invariant under any attenuation in (0, 1]
+    for (_ <- 0 until 25) {
+      val (id, n) = (rnd.nextLong(100000), 80 + rnd.nextInt(500))
+      val wav = Multimodal.makeWav(id, n)
+      val Some((rate, frames, _)) = Multimodal.decodeAudio(wav)
+      assert((rate, frames) == ((8000, n)), s"audio geometry id=$id")
+      val hh = Multimodal.awash64(wav).get
+      assert(Multimodal.awash64(wav).get == hh, s"awash nondeterministic id=$id")
+      // exact equality holds for these FIXED seeds; in general int16
+      // requantization can flip a near-tied window comparison, which is
+      // why the q106 gate allows Hamming <= 4 rather than 0
+      val gain = 0.1 + rnd.nextDouble() * 0.9
+      assert(Multimodal.awash64(Multimodal.scaleWav(wav, gain).get).get == hh,
+        s"awash not attenuation-invariant id=$id gain=$gain")
+    }
+    // corrupt bytes: every kernel degrades to None, never throws
+    val junk = Array.fill(64)(rnd.nextInt(256).toByte)
+    assert(Multimodal.dhash64(junk).isEmpty && Multimodal.awash64(junk).isEmpty &&
+      Multimodal.resizePng(junk, 4, 4).isEmpty && Multimodal.decodeImage(junk).isEmpty &&
+      Multimodal.decodeAudio(junk).isEmpty)
+  }
+
   test("feature extraction: fixed dim, normalized, deterministic") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMediaTable(spark, sf))
     val rows = feats.collect()
