@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOf, Dedup, Layout, Multimodal, Relational, RuntimeFilter, Sampling, Similarity, SketchQueries, Skew, TextAnalysis}
+import graft.operators.{AsOf, Audit, Cdc, Dedup, Layout, Multimodal, Relational, RuntimeFilter, Sampling, Similarity, SketchQueries, Skew, TextAnalysis}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -28,7 +28,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ SketchQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ AsOf.queries ++
-      RuntimeFilter.queries ++ Sampling.queries ++ Skew.queries ++ Layout.queries
+      RuntimeFilter.queries ++ Sampling.queries ++ Skew.queries ++ Layout.queries ++
+      Cdc.queries ++ Audit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -36,5 +37,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ SketchQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
-      RuntimeFilter.oracles ++ Sampling.oracles ++ Skew.oracles ++ Layout.oracles
+      RuntimeFilter.oracles ++ Sampling.oracles ++ Skew.oracles ++ Layout.oracles ++
+      Cdc.oracles ++ Audit.oracles
 }

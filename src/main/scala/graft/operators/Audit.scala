@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality auditing and robust anomaly detection.
+  *
+  * Before 100 TB of raw data feeds a training pipeline it gets AUDITED:
+  * declared expectations (non-null, value ranges, domains, key uniqueness,
+  * referential integrity) are evaluated corpus-wide and the violation counts
+  * become the gate a batch must pass before promotion — the
+  * Deequ/Great-Expectations shape, expressed as plain Spark aggregates.
+  *
+  * Scale posture: every ROW-LEVEL constraint over one table is a 0/1 flag
+  * summed in a SINGLE full scan (one job, map-side partials, no shuffle of
+  * the data — only the 1-row partial aggregates move). Set-level constraints
+  * (uniqueness, referential integrity) each cost one shuffle on their key —
+  * the minimum possible, since both are genuinely distributive-but-keyed.
+  * The violation report itself is O(#constraints) rows.
+  */
+object Audit {
+
+  /** One named row-level constraint: `ok` must be a boolean Column over the
+    * audited table's rows; violations = rows where `ok` is false OR null
+    * (a null check result is a violation — unknown is not a pass). */
+  final case class RowCheck(name: String, ok: Column)
+
+  /** Sum all row-level checks in one scan: each check becomes a
+    * `sum(1 - ok)` flag, so N constraints cost exactly one pass over the
+    * table and one 1-row result, then unpivot to (check_name, violations,
+    * checked) rows via `stack`. */
+  def rowChecks(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    require(checks.nonEmpty, "rowChecks needs at least one constraint")
+    val flagged = df.agg(
+      count(lit(1)).as("__n"),
+      checks.map(c => c.flag.as(c.name)): _*)
+    val stackExpr = checks.map(c => s"'${c.name}', `${c.name}`")
+      .mkString(s"stack(${checks.size}, ", ", ", ")")
+    flagged.select(expr(s"$stackExpr as (check_name, violations)"),
+      col("__n").as("checked"))
+      .select("check_name", "violations", "checked")
+  }
+
+  private implicit class RichCheck(val c: RowCheck) {
+    /** violations = NOT coalesce(ok, false), summed as 0/1. */
+    def flag: Column =
+      sum(when(coalesce(c.ok, lit(false)), 0L).otherwise(1L))
+  }
+
+  /** Duplicate-key audit: number of key groups with more than one row, and
+    * the total surplus rows those groups carry. One shuffle on the key. */
+  def uniquenessCheck(df: DataFrame, key: Seq[String], name: String): DataFrame =
+    df.groupBy(key.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(when(col("__c") > 1, 1L)), lit(0L)).as("violations"),
+        count(lit(1)).as("checked"))
+      .select(lit(name).as("check_name"), col("violations"), col("checked"))
+
+  /** Referential-integrity audit: child rows whose key has no parent.
+    * A LEFT ANTI join on the key — AQE broadcasts the parent key set while
+    * it fits, shuffle-joins beyond that; either way the child table is
+    * scanned once with only the key column read. */
+  def referentialCheck(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String, name: String): DataFrame = {
+    val total = child.agg(count(lit(1)).as("checked"))
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey),
+        "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    orphans.crossJoin(total)
+      .select(lit(name).as("check_name"), col("violations"), col("checked"))
+  }
+
+  /** Robust per-key anomaly flags: a point is anomalous when its absolute
+    * deviation from the KEY's median exceeds `k · 1.4826 · MAD` (the MAD-
+    * z-score rule — median/MAD instead of mean/stddev so the thresholds
+    * themselves don't move when the anomalies pollute the estimate).
+    *
+    * Two exact-percentile aggregations on the same key (median, then median
+    * of absolute deviations) and two joins back; the per-key stats table is
+    * tiny (one row per key), so both joins broadcast and the events table
+    * streams through scan-side. Exact `percentile` is deliberate — it
+    * matches any engine bit-for-bit; swap in `percentile_approx`/KLL
+    * ([[graft.sketch.KllDoubles]]) when keys carry billions of points. */
+  def madAnomalies(df: DataFrame, key: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(key))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = df.join(broadcast(med), key)
+    val mad = withMed.groupBy(col(key))
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), key)
+      .filter(abs(col(valueCol) - col("med")) > lit(k) * lit(1.4826) * col("mad"))
+  }
+
+  // ---- declared queries ----
+
+  /** The lineitem/orders expectation suite: four row-level constraints in
+    * one scan, plus line-number uniqueness and the order-key foreign key.
+    * Passing constraints report 0 — the audit's job is the COUNT, not a
+    * filter; the oracle recomputes every count independently in SQL. */
+  def q112DqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val row = rowChecks(li, Seq(
+      RowCheck("l_quantity_in_1_50",
+        col("l_quantity") >= 1 && col("l_quantity") <= 50),
+      RowCheck("l_discount_in_0_0p1",
+        col("l_discount") >= 0 && col("l_discount") <= 0.1),
+      RowCheck("l_returnflag_domain",
+        col("l_returnflag").isin("A", "N", "R")),
+      RowCheck("l_shipdate_not_null", col("l_shipdate").isNotNull)))
+    val uniq = uniquenessCheck(li, Seq("l_orderkey", "l_linenumber"),
+      "l_orderkey_linenumber_unique")
+    val fk = referentialCheck(li, "l_orderkey", o, "o_orderkey",
+      "l_orderkey_fk_orders")
+    row.unionByName(uniq).unionByName(fk)
+      .select(col("check_name"), col("violations").cast("long"),
+        col("checked").cast("long"))
+      .orderBy("check_name")
+  }
+
+  /** MAD anomalies over the events stream, per user: the oracle rebuilds
+    * median and MAD with DuckDB's exact `median` (both engines interpolate
+    * even-count medians identically). */
+  def q113MadAnomaly(spark: SparkSession, dir: String): DataFrame =
+    madAnomalies(Tables.events(spark, dir), "user_id", "value", k = 3.0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("med"), col("mad"))
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_dq_audit" -> (q112DqAudit _),
+    "q113_mad_anomaly" -> (q113MadAnomaly _))
+
+  val oracles: Map[String, String] = Map(
+    "q112_dq_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity_in_1_50' AS check_name,
+        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+        |      l_quantity >= 1 AND l_quantity <= 50, false)) AS BIGINT)
+        |      AS violations,
+        |    CAST(COUNT(*) AS BIGINT) AS checked FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount_in_0_0p1',
+        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+        |      l_discount >= 0 AND l_discount <= 0.1, false)) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag_domain',
+        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+        |      l_returnflag IN ('A','N','R'), false)) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate_not_null',
+        |    CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_orderkey_linenumber_unique',
+        |    CAST(COUNT(*) FILTER (WHERE c > 1) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'l_orderkey_fk_orders',
+        |    CAST(COUNT(*) FILTER (WHERE NOT EXISTS (
+        |      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |      AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM lineitem l)
+        |ORDER BY check_name""".stripMargin,
+    "q113_mad_anomaly" ->
+      """WITH med AS (
+        |  SELECT user_id, median(value) AS med FROM events GROUP BY user_id),
+        |mad AS (
+        |  SELECT e.user_id, median(abs(e.value - m.med)) AS mad
+        |  FROM events e JOIN med m USING (user_id) GROUP BY e.user_id)
+        |SELECT e.event_id, e.user_id, e.value, m.med, d.mad
+        |FROM events e JOIN med m USING (user_id) JOIN mad d USING (user_id)
+        |WHERE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
+        |ORDER BY e.event_id""".stripMargin)
+}

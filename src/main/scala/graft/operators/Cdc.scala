@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture maintenance: snapshot merge (MERGE INTO / upsert) and
+  * type-2 slowly-changing-dimension history builds.
+  *
+  * A 100 TB corpus is never rebuilt from scratch — it is MAINTAINED: nightly
+  * changesets (inserts / updates / deletes) merge into the previous snapshot,
+  * and dimension history is tracked as validity intervals. The reference's
+  * host engine (Hive 0.9) had no MERGE; these are the lakehouse-era
+  * equivalents expressed as plain declarative Spark plans, so the same code
+  * is the batch merge AND the `foreachBatch` body of the streaming
+  * maintenance loop ([[graft.streaming.StreamOps]]).
+  *
+  * Scale posture: the base snapshot (the 100 TB side) is shuffled AT MOST
+  * ONCE, on the merge key; the changeset is reduced to latest-per-key first
+  * (one shuffle of the SMALL side), and AQE picks broadcast vs shuffle for
+  * the anti join by the reduced changeset's actual size. With the base
+  * stored bucketed by the key ([[graft.sources.Tables]] bucketed writes),
+  * the base-side exchange disappears entirely.
+  */
+object Cdc {
+
+  /** Merge one changeset batch into a base snapshot (last-writer-wins).
+    *
+    * `changes` carries the base's payload columns plus `opCol`
+    * (`'I' | 'U' | 'D'`) and `seqCol` (a monotone change-sequence number;
+    * ties broken by op so replays are deterministic). Per key, only the
+    * highest-`seq` change applies: `D` removes the key, `I`/`U` replace the
+    * payload. Keys untouched by the changeset pass through unchanged.
+    *
+    * Equivalent to ANSI `MERGE INTO base USING latest-change ON key WHEN
+    * MATCHED [AND op='D'] THEN DELETE / UPDATE ... WHEN NOT MATCHED THEN
+    * INSERT ...` — expressed as latest-per-key → anti-join → union, the
+    * shape Catalyst plans without a MERGE node.
+    */
+  def mergeSnapshot(base: DataFrame, changes: DataFrame, key: Seq[String],
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    require(key.nonEmpty, "mergeSnapshot needs at least one key column")
+    val payload = base.columns.toSeq
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val survivors = base.join(latest.select(key.map(col): _*), key, "left_anti")
+    val upserts = latest.filter(col(opCol) =!= lit("D"))
+      .select(payload.map(col): _*)
+    survivors.unionByName(upserts)
+  }
+
+  /** Type-2 SCD history from a change log: per key, consecutive rows (in
+    * `tsCol, tieCol` order) with an UNCHANGED tracked attribute are
+    * compressed into one version row carrying `[valid_from, valid_to)`
+    * (open `valid_to` = current version) and a 1-based `version` ordinal.
+    *
+    * Gaps-and-islands: a lag-compare flags attribute changes, a running sum
+    * over the flags numbers the islands, and a group-by collapses each
+    * island to its first timestamp. All three passes partition by the SAME
+    * key, so Catalyst plans ONE exchange and the windows + aggregation ride
+    * it — the log is shuffled once regardless of corpus size.
+    */
+  def scd2(log: DataFrame, key: Seq[String], attr: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val kc = key.map(col)
+    val ord = Window.partitionBy(kc: _*).orderBy(col(tsCol), col(tieCol))
+    val islands = log
+      .withColumn("__chg",
+        when(lag(col(attr), 1).over(ord).isNull ||
+          lag(col(attr), 1).over(ord) =!= col(attr), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__chg")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val versions = islands
+      .groupBy((kc :+ col("__island")): _*)
+      // attr is constant within an island (that's what defines it) and
+      // min(ts) is the island's first row under the window order — min, not
+      // first(), keeps the aggregate deterministic under any partitioning
+      .agg(min(col(attr)).as(attr), min(col(tsCol)).as("valid_from"))
+      .select((kc :+ col(attr) :+ col("valid_from") :+
+        col("__island").as("version")): _*)
+    val vw = Window.partitionBy(kc: _*).orderBy(col("version"))
+    versions.withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
+  }
+
+  // ---- declared queries ----
+
+  /** The deterministic changeset q109 derives from `orders` (so the oracle
+    * can rebuild it verbatim in SQL): keys ending in 0 are deleted; keys
+    * ending in 1 or 2 are updated to price×1.10 at seq 1; keys ending in 1
+    * get a SECOND update to price×1.20 at seq 2 (exercising
+    * last-writer-wins); keys ending in 3 spawn an insert under key+10^8. */
+  private def derivedChanges(o: DataFrame): DataFrame = {
+    val m = col("o_orderkey") % 10
+    def priced(factor: String): Column =
+      (col("o_totalprice").cast("decimal(18,2)") *
+        lit(factor).cast("decimal(4,2)")).cast("double")
+    val payload = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    def sel(df: DataFrame, op: String, seq: Int): DataFrame =
+      df.select(payload.map(col) :+ lit(op).as("op") :+
+        lit(seq).cast("long").as("seq"): _*)
+    val deletes = sel(o.filter(m === 0), "D", 1)
+    val upd1 = sel(o.filter(m === 1 || m === 2)
+      .withColumn("o_totalprice", priced("1.10")), "U", 1)
+    val upd2 = sel(o.filter(m === 1)
+      .withColumn("o_totalprice", priced("1.20")), "U", 2)
+    val ins = sel(o.filter(m === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)), "I", 1)
+    deletes.unionByName(upd1).unionByName(upd2).unionByName(ins)
+  }
+
+  /** CDC snapshot merge over `orders`: the derived I/U/D changeset applied
+    * with last-writer-wins; the oracle replays the same MERGE semantics in
+    * SQL (anti-join + union over the latest change per key). */
+  def q109MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    mergeSnapshot(o, derivedChanges(o), Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** SCD2 dimension history: each customer's order-priority timeline from
+    * the orders log, change-compressed into validity intervals. */
+  def q110Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    scd2(o, Seq("o_custkey"), "o_orderpriority", "o_orderdate", "o_orderkey")
+      .select(col("o_custkey"), col("o_orderpriority"), col("valid_from"),
+        col("valid_to"), col("version").cast("long").as("version"))
+      .orderBy("o_custkey", "version")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_merge_upsert" -> (q109MergeUpsert _),
+    "q110_scd2" -> (q110Scd2 _))
+
+  val oracles: Map[String, String] = Map(
+    "q109_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 'D' AS op, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |              CAST(1.10 AS DECIMAL(4,2)) AS DOUBLE),
+        |         o_orderdate, o_orderpriority, 'U', 1
+        |  FROM orders WHERE o_orderkey % 10 IN (1, 2)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |              CAST(1.20 AS DECIMAL(4,2)) AS DOUBLE),
+        |         o_orderdate, o_orderpriority, 'U', 2
+        |  FROM orders WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority, 'I', 1
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |      ORDER BY seq DESC, op DESC) AS rn
+        |    FROM changes) t WHERE rn = 1)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders b WHERE NOT EXISTS (
+        |  SELECT 1 FROM latest c WHERE c.o_orderkey = b.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM latest WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q110_scd2" ->
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+        |           OR LAG(o_orderpriority) OVER w <> o_orderpriority
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |islands AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flagged),
+        |versions AS (
+        |  SELECT o_custkey, island AS version,
+        |    MIN(o_orderpriority) AS o_orderpriority,
+        |    MIN(o_orderdate) AS valid_from
+        |  FROM islands GROUP BY o_custkey, island)
+        |SELECT o_custkey, o_orderpriority, valid_from,
+        |  LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+        |    AS valid_to,
+        |  CAST(version AS BIGINT) AS version
+        |FROM versions ORDER BY o_custkey, version""".stripMargin)
+}

@@ -75,6 +75,29 @@ object Layout {
       .sortWithinPartitions(zCol)
       .write.options(options).mode("overwrite").parquet(path)
 
+  /** Compact a small-file dataset into ~`targetBytes` files.
+    *
+    * The 100 TB failure mode this exists for: streaming ingest and
+    * fine-grained partitioning leave millions of KB-scale files, and every
+    * downstream scan pays a task + open + footer-read per file — metadata
+    * cost dwarfing data cost. Compaction rewrites to target-size files:
+    * the file count comes from plan-statistics input size (zero extra
+    * jobs — no count() pass), a round-robin `repartition(n)` balances
+    * bytes evenly, and `maxRecordsPerFile` caps the tail. Plain open
+    * Spark's answer to OPTIMIZE / rewriteDataFiles of the table formats.
+    *
+    * Returns the file count written. Layout-preserving variants compose:
+    * compact-then-zorder is [[zorderWrite]] with `nFiles = planFileCount`.
+    */
+  def compact(df: DataFrame, path: String, targetBytes: Long = 128L << 20,
+      options: Map[String, String] = Map.empty): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((bytes + targetBytes - 1) / targetBytes).max(1).min(1 << 20).toInt
+    df.repartition(n).write.options(options).mode("overwrite").parquet(path)
+    n
+  }
+
   // ---- declared query ----
 
   private val zBits = 20
@@ -95,10 +118,35 @@ object Layout {
       .limit(500)
   }
 
+  /** Small-file compaction round trip: the events table shattered into 64
+    * tiny files (the ingest-debris fixture), compacted back to target-size
+    * files, then aggregated FROM THE COMPACTED LAYOUT. The oracle computes
+    * the same aggregate from the pristine table — the gate is content
+    * preservation through the rewrite; LayoutSpec pins the file counts. */
+  def q111Compact(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val shardDir = java.nio.file.Files.createTempDirectory("graft-shatter").toString
+    val compactDir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    ev.repartition(64).write.mode("overwrite").parquet(shardDir)
+    compact(spark.read.parquet(shardDir), compactDir, targetBytes = 64L << 20)
+    spark.read.parquet(compactDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q95_zorder" -> (q95Zorder _))
+    "q95_zorder" -> (q95Zorder _),
+    "q111_compact" -> (q111Compact _))
 
   val oracles: Map[String, String] = Map(
+    "q111_compact" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q95_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |  ${zValueSql(Seq("l_partkey", "l_suppkey"), zBits)} AS zval

@@ -150,6 +150,31 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** The ranking/distribution window battery q08/q09/q88 don't cover:
+    * ntile, percent_rank, cume_dist, lag/lead with defaults, and
+    * first/last_value over an explicit full-partition ROWS frame — one
+    * query completes the window-function surface. The window order
+    * (o_totalprice, o_orderkey) is a total order per partition, so every
+    * rank/tile/offset is cross-engine deterministic; one shuffle on the
+    * partition key, all eight functions ride the same Window exec. */
+  def q114WindowBattery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 150)
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1, -1.0).over(w).as("next_price"),
+        first(col("o_orderkey")).over(full).as("cheapest_key"),
+        last(col("o_orderkey")).over(full).as("dearest_key"))
+      .orderBy("o_orderkey")
+  }
+
   /** Global top-k (TakeOrderedAndProject — no full sort at scale). */
   def q10TopK(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -412,9 +437,27 @@ object Relational {
     "q20_year_agg" -> (q20YearAgg _),
     "q85_full_outer_join" -> (q85FullOuterJoin _),
     "q86_multiset_ops" -> (q86MultisetOps _),
-    "q88_time_range_window" -> (q88TimeRangeWindow _))
+    "q88_time_range_window" -> (q88TimeRangeWindow _),
+    "q114_window_battery" -> (q114WindowBattery _))
 
   val oracles: Map[String, String] = Map(
+    "q114_window_battery" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume,
+        |  LAG(o_totalprice, 1, -1.0) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1, -1.0) OVER w AS next_price,
+        |  FIRST_VALUE(o_orderkey) OVER wf AS cheapest_key,
+        |  LAST_VALUE(o_orderkey) OVER wf AS dearest_key
+        |FROM orders WHERE o_custkey < 150
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey),
+        |       wf AS (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "q29_date_string_fns" ->
       """SELECT o_orderkey,
         |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,

@@ -1,0 +1,203 @@
+package graft
+
+import graft.operators.{Audit, Cdc, Layout}
+import graft.sources.Tables
+import graft.streaming.StreamOps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CDC maintenance (merge/upsert, SCD2, streaming snapshot versions),
+  * small-file compaction, and the data-quality audit operators. */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  private val sf = "/root/testdata/sf0.001"
+
+  import scala.jdk.CollectionConverters._
+
+  private def snap(rows: Seq[(Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "name", "price")
+  }
+
+  private def chg(rows: Seq[(Long, String, Double, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "name", "price", "op", "seq")
+  }
+
+  test("mergeSnapshot: insert, update, delete, pass-through") {
+    val base = snap(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    val changes = chg(Seq(
+      (2L, "b2", 2.5, "U", 1L),   // update key 2
+      (3L, "c", 3.0, "D", 1L),    // delete key 3
+      (4L, "d", 4.0, "I", 1L)))   // insert key 4
+    val out = Cdc.mergeSnapshot(base, changes, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a", 1.0), (2L, "b2", 2.5), (4L, "d", 4.0)))
+  }
+
+  test("mergeSnapshot: last-writer-wins within a batch, delete beats stale update") {
+    val base = snap(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val changes = chg(Seq(
+      (1L, "a1", 1.1, "U", 1L),
+      (1L, "a2", 1.2, "U", 2L),   // wins over seq 1
+      (2L, "bx", 9.9, "U", 1L),
+      (2L, "b", 2.0, "D", 2L)))   // delete at seq 2 wins over the update
+    val out = Cdc.mergeSnapshot(base, changes, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a2", 1.2)))
+  }
+
+  test("mergeSnapshot: empty changeset returns the base unchanged; delete of absent key is a no-op") {
+    val base = snap(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    val none = chg(Seq.empty)
+    assert(Cdc.mergeSnapshot(base, none, Seq("k")).count() == 2L)
+    val ghostDelete = chg(Seq((99L, "x", 0.0, "D", 1L)))
+    assert(Cdc.mergeSnapshot(base, ghostDelete, Seq("k")).count() == 2L)
+  }
+
+  test("scd2: consecutive-equal compression, version chain, open current interval") {
+    import spark.implicits._
+    val log = Seq(
+      // key 1: A,A,B,A -> 3 versions (A, B, A)
+      (1L, "A", 10L, 100L), (1L, "A", 20L, 101L),
+      (1L, "B", 30L, 102L), (1L, "A", 40L, 103L),
+      // key 2: single row -> one open version
+      (2L, "Z", 15L, 200L)
+    ).toDF("k", "attr", "ts", "tie")
+    val hist = Cdc.scd2(log, Seq("k"), "attr", "ts", "tie")
+      .orderBy("k", "version")
+      .select("k", "attr", "valid_from", "valid_to", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    assert(hist.toSeq == Seq(
+      (1L, "A", 10L, 30L, 1L),
+      (1L, "B", 30L, 40L, 2L),
+      (1L, "A", 40L, -1L, 3L),
+      (2L, "Z", 15L, -1L, 1L)))
+  }
+
+  test("scd2 plan: one exchange — both windows and the aggregate ride the key partitioning") {
+    import spark.implicits._
+    val log = Seq((1L, "A", 10L, 1L)).toDF("k", "attr", "ts", "tie")
+    val plan = Cdc.scd2(log, Seq("k"), "attr", "ts", "tie")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one shuffle, plan:\n$plan")
+  }
+
+  test("streaming merge ingest: snapshot versions match sequential batch merges; replay overwrites") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-ingest").toString
+    val base = snap(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    val b0 = Seq((2L, "b2", 2.5, "U", 1L), (4L, "d", 4.0, "I", 1L))
+    val b1 = Seq((1L, "a", 1.0, "D", 1L), (4L, "d2", 4.4, "U", 1L))
+
+    val mem = MemoryStream[(Long, String, Double, String, Long)]
+    val q = StreamOps.streamingMergeIngest(
+      mem.toDF().toDF("k", "name", "price", "op", "seq"), base, Seq("k"), dir)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def version(v: Long): Set[(Long, String, Double)] =
+      spark.read.parquet(s"$dir/snap").filter(col("batch_id") === v)
+        .select("k", "name", "price")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+    val exp0 = Cdc.mergeSnapshot(base, chg(b0), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val exp1 = Cdc.mergeSnapshot(Cdc.mergeSnapshot(base, chg(b0), Seq("k")),
+        chg(b1), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(version(0L) == exp0, "version 0 diverged from batch merge")
+    assert(version(1L) == exp1, "version 1 diverged from sequential merges")
+    assert(exp1 == Set((2L, "b2", 2.5), (3L, "c", 3.0), (4L, "d2", 4.4)))
+
+    // replay batch 1: reads version 0 (strictly earlier), recomputes the
+    // same merge, overwrites its own partition — no duplicate rows
+    StreamOps.mergeIngestBatch(chg(b1), base, Seq("k"), dir, "op", "seq", 1L)
+    assert(version(1L) == exp1, "replayed batch changed the snapshot")
+    val total = spark.read.parquet(s"$dir/snap")
+      .filter(col("batch_id") === 1L).count()
+    assert(total == exp1.size.toLong, "replay appended instead of overwriting")
+  }
+
+  test("compact: file count collapses to the computed target; content survives byte-for-byte") {
+    val ev = Tables.events(spark, sf)
+    val shard = java.nio.file.Files.createTempDirectory("graft-shard-t").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-t").toString
+    ev.repartition(32).write.mode("overwrite").parquet(shard)
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(shard) == 32)
+
+    val small = spark.read.parquet(shard)
+    val n = Layout.compact(small, out, targetBytes = 256L << 20)
+    assert(parquetFiles(out) == n, "written file count != computed target")
+    assert(n < 32, s"compaction did not reduce file count (n=$n)")
+
+    val a = ev.orderBy("event_id").collect().map(_.toString)
+    val b = spark.read.parquet(out).orderBy("event_id").collect().map(_.toString)
+    assert(a.sameElements(b), "compaction changed the data")
+  }
+
+  test("compact: file count scales with plan-stats size / targetBytes") {
+    val ev = Tables.events(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-n").toString
+    val bytes = ev.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (bytes / 4).max(1).toLong
+    val n = Layout.compact(ev, out, targetBytes = target)
+    assert(n >= 4 && n <= 5, s"expected ~4 files for a 1/4-size target, got $n")
+  }
+
+  test("rowChecks: null check results count as violations") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 5.0), (2L, 50.0), (3L, null), (null, 7.0))
+      .toDF("id", "v")
+    val m = Audit.rowChecks(df, Seq(
+      Audit.RowCheck("id_not_null", col("id").isNotNull),
+      Audit.RowCheck("v_in_range", col("v") >= 0 && col("v") <= 10)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m("id_not_null") == ((1L, 4L)))
+    // 50.0 out of range AND the null v row both violate (null is not a pass)
+    assert(m("v_in_range") == ((2L, 4L)))
+  }
+
+  test("uniqueness and referential checks count duplicate groups and orphans") {
+    import spark.implicits._
+    val child = Seq((1L, 1), (1L, 1), (1L, 2), (2L, 1), (9L, 1))
+      .toDF("k", "ln")
+    val parent = Seq(1L, 2L).toDF("k")
+    val uniq = Audit.uniquenessCheck(child, Seq("k", "ln"), "u")
+      .collect().head
+    assert((uniq.getString(0), uniq.getLong(1), uniq.getLong(2)) == (("u", 1L, 4L)))
+    val fk = Audit.referentialCheck(child, "k", parent, "k", "fk")
+      .collect().head
+    assert((fk.getString(0), fk.getLong(1), fk.getLong(2)) == (("fk", 1L, 5L)))
+  }
+
+  test("madAnomalies: planted outlier flagged, inliers pass, constant key yields none") {
+    import spark.implicits._
+    val rows =
+      (1 to 20).map(i => (1L, i.toLong, 10.0 + (i % 5))) ++ // inliers 10..14
+      Seq((1L, 99L, 500.0)) ++                              // planted outlier
+      (1 to 10).map(i => (2L, 1000L + i, 7.0))              // constant key
+    val df = rows.toDF("user", "eid", "v")
+    val out = Audit.madAnomalies(df, "user", "v", k = 3.0)
+      .select("eid").collect().map(_.getLong(0)).toSet
+    assert(out == Set(99L), s"expected only the planted outlier, got $out")
+  }
+
+  test("q114 window battery plan: all seven window functions ride one shuffle") {
+    val df = graft.operators.Relational.q114WindowBattery(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one shuffle for the window battery:\n$plan")
+  }
+}
