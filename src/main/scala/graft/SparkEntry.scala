@@ -24,7 +24,12 @@ object SparkEntry {
       .select(col("l_returnflag"), col("d.cardinality").as("approx_orders"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Numbering note: q39/q54/q55/q58/q59 were never declared — the numbers
+    * were skipped during rounds 3–4 planning and the gaps are kept stable so
+    * query names stay comparable across rounds' CORRECTNESS/BENCH artifacts.
+    * They are not missing operators. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ SketchQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ AsOf.queries ++

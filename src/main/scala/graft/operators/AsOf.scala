@@ -125,11 +125,15 @@ object AsOf {
     * regenerates the per-user grid from the same exact integer-microsecond
     * arithmetic and picks each instant's newest (ts, event_id) observation
     * — every carried double is an exact event value, so the gate is strict
-    * hash equality. */
+    * hash equality. The grid instant surfaces as epoch MICROseconds
+    * (`ts_us`, same convention as q88): a raw timestamp column would hash
+    * differently across engines on tz-flavor alone (Spark writes
+    * isAdjustedToUTC=true, DuckDB's make_timestamp is naive). */
   def q100ResampleLocf(spark: SparkSession, dir: String): DataFrame =
     resampleLocf(Tables.events(spark, dir), "user_id", "ts", "value",
         stepSeconds = 3600L, tieCol = "event_id")
-      .orderBy("user_id", "ts")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy("user_id", "ts_us")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_asof_join" -> (q23AsofJoin _),
@@ -159,7 +163,7 @@ object AsOf {
         |    ROW_NUMBER() OVER (PARTITION BY g.user_id, g.us
         |      ORDER BY e.us DESC, e.event_id DESC) AS rn
         |  FROM g JOIN e ON e.user_id = g.user_id AND e.us <= g.us)
-        |SELECT user_id, make_timestamp(us) AS ts, value
+        |SELECT user_id, us AS ts_us, value
         |FROM s WHERE rn = 1
-        |ORDER BY user_id, ts""".stripMargin)
+        |ORDER BY user_id, ts_us""".stripMargin)
 }

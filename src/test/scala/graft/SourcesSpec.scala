@@ -48,6 +48,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(fingerprint(back).sameElements(fingerprint(sample)))
   }
 
+  test("Tables.load normalizes every timestamp fixture flavor to TimestampType") {
+    import org.apache.spark.sql.types._
+    // The driver's fixtures have shipped events.ts as parquet TIMESTAMP(NANOS)
+    // (reads as Long under nanosAsLong) and as TIMESTAMP(MICROS, ntz). Both
+    // flavors must surface as plain TimestampType with identical epoch micros,
+    // or every ts consumer (q23/q36-38/q67/q68/q88/q100) breaks on a fixture
+    // regeneration — exactly the round-7 regression.
+    val micros = Seq(1704067200000000L, 1704070800123456L, 1735689599999999L)
+    val rows = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+    val base = spark.createDataFrame(rows).toDF("event_id", "us")
+
+    val ntzDir = tmp()
+    base.select(col("event_id"),
+        // timestamp_micros first: a Long cast straight to a timestamp type is
+        // interpreted as epoch SECONDS. TZ→NTZ is identity under the UTC session.
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.mode(SaveMode.Overwrite).parquet(ntzDir + "/events.parquet")
+
+    val nanosDir = tmp()
+    base.select(col("event_id"), (col("us") * 1000L).as("ts"))
+      .write.mode(SaveMode.Overwrite).parquet(nanosDir + "/events.parquet")
+
+    for (dir <- Seq(ntzDir, nanosDir)) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$dir: got ${ev.schema("ts").dataType}")
+      val got = ev.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == micros.sorted, s"$dir: micros drifted")
+    }
+  }
+
   test("binary sketch columns survive a parquet store-and-merge cycle") {
     import GraftFunctions._
     GraftFunctions.register(spark)
