@@ -426,6 +426,95 @@ object TextAnalysis {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Corpus-wide TF-IDF top-k similarity — [[tfidfNearestDoc]] with
+    * probeBound = ∞, made safe by construction instead of by probe count.
+    * Every document gets its k most cosine-similar neighbours over
+    * L2-normalized tf·idf vectors in a word-SHINGLE term space
+    * ([[wordShingles]], default shingleK = 3 — the unigram space of the
+    * synthetic corpus is ~31 near-universal tokens, so unigram postings
+    * are the corpus itself; w-shingling is what makes sparse all-pairs
+    * similarity actually sparse: measured at sf0.1, trigram max df is 25
+    * vs 3923 for unigrams, and the pair space drops 26× vs bigrams).
+    *
+    * Scale discipline (the [[graft.operators.Dedup.substringDupPairs]]
+    * cap-and-observe shape): a term participates in weights, norms AND
+    * pair generation only if its posting list is short enough —
+    * df ≤ maxDfFrac·N (corpus-size-portable stopword rule) and
+    * df ≤ maxPosting (absolute fan-out bound: each term contributes at
+    * most C(df, 2) ≤ C(maxPosting, 2) pair products, so the pair space is
+    * O(vocab · maxPosting²) REGARDLESS of corpus size). Exclusion is part
+    * of the operator's exact semantics — the oracle applies the identical
+    * cutoffs — and excluded volume rides the query as an observed metric
+    * (`tfidf_posting_cap`: dropped_terms / dropped_posting_rows /
+    * max_posting_len), so a 100 TB run SEES what the cap cost instead of
+    * silently losing recall. At the test scales the caps drop nothing.
+    *
+    * Pair generation is term-at-a-time, not a postings self-join: each
+    * term's (id, weight) posting list is collected once (sorted, bounded
+    * by maxPosting) and its C(df, 2) products exploded in place — half
+    * the rows of the df² join and the normalized-weight subtree is
+    * evaluated ONCE instead of twice. Cosine is symmetric, so the
+    * unordered pair sums fan back out to both directions only AFTER the
+    * (id_a, id_b) reduce. Scores pass through DECIMAL(18,6) before
+    * ranking (engine-ulp-proof argmax, same as [[tfidfNearestDoc]]); ties
+    * break to the lower neighbour id. */
+  def tfidfAllPairsTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleK: Int = 3, maxDfFrac: Double = 0.5,
+      maxPosting: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    require(maxPosting >= 2, s"maxPosting must be >= 2, got $maxPosting")
+    val terms = docs.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleK)).as("t"))
+    val tf = terms.groupBy("id", "t").agg(count(lit(1)).cast("double").as("tf"))
+    val nDocs = tf.select(countDistinct("id").as("n"))
+    val dropped = col("df").cast("double") > lit(maxDfFrac) * col("n").cast("double") ||
+      col("df") > lit(maxPosting)
+    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs))
+      .observe("tfidf_posting_cap",
+        coalesce(sum(when(dropped, 1L).otherwise(0L)), lit(0L)).as("dropped_terms"),
+        coalesce(sum(when(dropped, col("df"))), lit(0L)).as("dropped_posting_rows"),
+        coalesce(max(col("df")), lit(0L)).as("max_posting_len"))
+      .filter(!dropped)
+      .select("t", "df")
+    val w = tf.join(dfT, "t").join(broadcast(nDocs))
+      .withColumn("w", col("tf") * log(col("n").cast("double") / col("df").cast("double")))
+    val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .filter(col("nrm") > 0.0)
+    val wn = w.join(norms, "id")
+      .select(col("id"), col("t"), (col("w") / col("nrm")).as("wn"))
+    // sort_array on (id, wn) orders by id (unique per posting) — the i<j
+    // explosion below is deterministic and emits each unordered pair once
+    val sym = wn.groupBy("t")
+      .agg(sort_array(collect_list(struct(col("id"), col("wn")))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (a, i) =>
+        transform(slice(col("ps"), i + lit(2), lit(maxPosting)), b =>
+          struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+            (a.getField("wn") * b.getField("wn")).as("p")))))).as("pr"))
+      .groupBy(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
+      .agg(sum(col("pr.p")).as("s"))
+    val pairs = sym.unionByName(
+        sym.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("s")))
+      .select(col("id_a"), col("id_b"),
+        col("s").cast("decimal(18,6)").cast("double").as("sim"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("id_a")
+      .orderBy(desc("sim"), col("id_b"))
+    pairs.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("rank"), col("id_b"), col("sim"))
+  }
+
+  /** Every document's 3 nearest neighbours by trigram-shingle TF-IDF
+    * cosine — corpus-wide sparse retrieval with the posting caps live but
+    * (by measured df distribution: max trigram df 25@sf0.1) dropping
+    * nothing at test scale; the oracle rebuilds the shingle vectors, both
+    * cutoffs, and the rounded ranking from first principles. */
+  def q115TfidfAllPairsTopK(spark: SparkSession, dir: String): DataFrame =
+    tfidfAllPairsTopK(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+      .orderBy("id_a", "rank")
+
   /** Word k-shingle strings with multiplicity — single-pass expression. */
   def wordShingles(c: Column, k: Int): Column =
     org.apache.spark.sql.graft.GraftBridge.column(
@@ -697,6 +786,7 @@ object TextAnalysis {
     "q49_top_bigrams" -> (q49TopBigrams _),
     "q99_lm_perplexity" -> (q99LmPerplexity _),
     "q102_tfidf_nearest" -> (q102TfidfNearest _),
+    "q115_tfidf_all_pairs_topk" -> (q115TfidfAllPairsTopK _),
     "q41_token_count" -> (q41TokenCount _),
     "q42_text_quality" -> (q42TextQuality _),
     "q43_langid" -> (q43LangId _),
@@ -1020,6 +1110,43 @@ object TextAnalysis {
         |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn
         |  FROM pairs)
         |SELECT id_a, id_b, sim FROM ranked WHERE rn = 1 ORDER BY id_a""".stripMargin,
+    // full rebuild of the trigram-shingle tf-idf vectors (q49's shingle
+    // convention: a <k-token doc contributes its whole token string as one
+    // shingle), BOTH posting cutoffs (df <= 0.5*N, df <= 4096), norms,
+    // pair sums, and the decimal-rounded per-doc top-3 — strict hash gate
+    "q115_tfidf_all_pairs_topk" ->
+      """WITH toksArr AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |terms AS (
+        |  SELECT id, unnest([array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]) AS t
+        |  FROM toksArr WHERE len(ts) >= 3
+        |  UNION ALL
+        |  SELECT id, array_to_string(ts, ' ') AS t FROM toksArr WHERE len(ts) < 3),
+        |tf AS (SELECT id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM terms GROUP BY id, t),
+        |n AS (SELECT COUNT(DISTINCT id) AS n FROM tf),
+        |dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+        |        HAVING CAST(COUNT(*) AS DOUBLE) <= 0.5 * (SELECT CAST(n AS DOUBLE) FROM n)
+        |           AND COUNT(*) <= 4096),
+        |w AS (
+        |  SELECT tf.id, tf.t, tf.tf * LN(CAST(n.n AS DOUBLE) / CAST(dft.df AS DOUBLE)) AS w
+        |  FROM tf JOIN dft USING (t) CROSS JOIN n),
+        |norms AS (
+        |  SELECT id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY id HAVING SQRT(SUM(w * w)) > 0),
+        |wn AS (
+        |  SELECT w.id, w.t, w.w / norms.nrm AS wn FROM w JOIN norms USING (id)),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(CAST(SUM(a.wn * b.wn) AS DECIMAL(18,6)) AS DOUBLE) AS sim
+        |  FROM wn a JOIN wn b ON a.t = b.t AND a.id <> b.id
+        |  GROUP BY a.id, b.id),
+        |ranked AS (
+        |  SELECT id_a, id_b, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS BIGINT) AS rank
+        |  FROM pairs)
+        |SELECT id_a, rank, id_b, sim FROM ranked WHERE rank <= 3
+        |ORDER BY id_a, rank""".stripMargin,
     // identical smoothed bigram MLE refit from scratch: same >= 2-token
     // filter, same add-one smoothing, same vocabulary, same 6-dp rounding
     "q99_lm_perplexity" ->

@@ -670,6 +670,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == Seq((0L, 2L)), s"got $all")
   }
 
+  test("tfidfAllPairsTopK: symmetric neighbours, posting caps drop hot terms, drops observed") {
+    import graft.operators.TextAnalysis
+    // shingleK = 1 makes the term space the tokens themselves, so the
+    // hand-case is readable; "hot" is in all 4 docs -> dropped at frac 0.7
+    // AND counted by the observed metric
+    val docs = Seq(
+      (0L, "hot aa aa"),
+      (1L, "hot bb"),
+      (2L, "hot aa"),
+      (3L, "hot bb")
+    ).toDF("doc_id", "text")
+    val df = TextAnalysis.tfidfAllPairsTopK(docs, "doc_id", "text",
+      k = 1, shingleK = 1, maxDfFrac = 0.7, maxPosting = 4096)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // with "hot" pruned: 0-2 share aa, 1-3 share bb; every doc still gets
+    // its neighbour and the relation is symmetric
+    assert(got == Map(0L -> 2L, 2L -> 0L, 1L -> 3L, 3L -> 1L), s"got $got")
+    val m = df.queryExecution.observedMetrics("tfidf_posting_cap")
+    assert(m.getAs[Long]("dropped_terms") == 1L, m.toString)
+    assert(m.getAs[Long]("dropped_posting_rows") == 4L, m.toString)
+    assert(m.getAs[Long]("max_posting_len") == 4L, m.toString)
+    // absolute posting cap alone (maxPosting = 3 < df("hot") = 4) prunes
+    // the same term even with the fraction wide open
+    val capped = TextAnalysis.tfidfAllPairsTopK(docs, "doc_id", "text",
+        k = 1, shingleK = 1, maxDfFrac = 1.0, maxPosting = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(capped == got, s"got $capped")
+  }
+
   test("lmPerplexity scores match the hand-computed smoothed bigram MLE") {
     import graft.operators.TextAnalysis
     val docs = Seq(
