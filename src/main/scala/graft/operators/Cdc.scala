@@ -95,7 +95,7 @@ object Cdc {
     * ending in 1 or 2 are updated to price×1.10 at seq 1; keys ending in 1
     * get a SECOND update to price×1.20 at seq 2 (exercising
     * last-writer-wins); keys ending in 3 spawn an insert under key+10^8. */
-  private def derivedChanges(o: DataFrame): DataFrame = {
+  private[graft] def derivedChanges(o: DataFrame): DataFrame = {
     val m = col("o_orderkey") % 10
     def priced(factor: String): Column =
       (col("o_totalprice").cast("decimal(18,2)") *
@@ -113,6 +113,30 @@ object Cdc {
     val ins = sel(o.filter(m === 3)
       .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)), "I", 1)
     deletes.unionByName(upd1).unionByName(upd2).unionByName(ins)
+  }
+
+  /** Second-night changeset for the maintenance loop (q116): keys ending
+    * in 4 are deleted at seq 3; the keys batch 1 INSERTED (key ≥ 10^8) are
+    * re-priced ×0.95 at seq 3 (a batch-2 change to a batch-1 row —
+    * exercises that version N really builds on version N−1, not on the
+    * initial snapshot); keys ending in 5 are re-priced ×1.30 at seq 3. */
+  private[graft] def derivedChanges2(o: DataFrame): DataFrame = {
+    val m = col("o_orderkey") % 10
+    def priced(factor: String): Column =
+      (col("o_totalprice").cast("decimal(18,2)") *
+        lit(factor).cast("decimal(4,2)")).cast("double")
+    val payload = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    def sel(df: DataFrame, op: String, seq: Int): DataFrame =
+      df.select(payload.map(col) :+ lit(op).as("op") :+
+        lit(seq).cast("long").as("seq"): _*)
+    val deletes = sel(o.filter(m === 4), "D", 3)
+    val reprice = sel(o.filter(m === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_totalprice", priced("0.95")), "U", 3)
+    val upd5 = sel(o.filter(m === 5)
+      .withColumn("o_totalprice", priced("1.30")), "U", 3)
+    deletes.unionByName(reprice).unionByName(upd5)
   }
 
   /** CDC snapshot merge over `orders`: the derived I/U/D changeset applied
@@ -135,9 +159,40 @@ object Cdc {
       .orderBy("o_custkey", "version")
   }
 
+  /** Batch twin of [[graft.streaming.StreamOps.streamingMaintenance]] —
+    * the composed maintenance loop (CDC merge → compaction-sized → z-order
+    * write) run for two nights over `orders`: batch 0 applies the q109
+    * changeset, batch 1 applies [[derivedChanges2]] ON TOP of version 0
+    * (including an update to a key version 0 INSERTED, so the chain is
+    * provably incremental), each version landing z-ordered on
+    * (o_custkey, o_orderkey) under its own `snap/batch_id=` directory.
+    * The declared result is the FINAL snapshot read back from the
+    * maintained store — the oracle replays both MERGEs sequentially in
+    * SQL, so the gate covers the loop's content end-to-end; the layout
+    * (file count, disjoint z-ranges, replay idempotence) is pinned by
+    * StreamingSpec. */
+  def q116MaintenanceLoop(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val key = Seq("o_orderkey")
+    val zc = Seq("o_custkey", "o_orderkey")
+    // 27 bits: inserted keys are orderkey + 10^8 < 2^27 up to sf≈5; the
+    // zValue runtime guard raises beyond that rather than aliasing
+    graft.streaming.StreamOps.maintenanceBatch(derivedChanges(o), o, key,
+      zc, 27, path, 1L << 20, "op", "seq", 0L)
+    graft.streaming.StreamOps.maintenanceBatch(derivedChanges2(o), o, key,
+      zc, 27, path, 1L << 20, "op", "seq", 1L)
+    spark.read.parquet(s"$path/snap")
+      .filter(col("batch_id") === 1L)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_merge_upsert" -> (q109MergeUpsert _),
-    "q110_scd2" -> (q110Scd2 _))
+    "q110_scd2" -> (q110Scd2 _),
+    "q116_maintenance_loop" -> (q116MaintenanceLoop _))
 
   val oracles: Map[String, String] = Map(
     "q109_merge_upsert" ->
@@ -174,6 +229,74 @@ object Cdc {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       o_orderdate, o_orderpriority
         |FROM latest WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    // both nights' MERGEs replayed sequentially from first principles:
+    // version 1 is built FROM version 0 (CTE m1), not from the base —
+    // the snapshot-chain semantics of the maintained store
+    "q116_maintenance_loop" ->
+      """WITH c1 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 'D' AS op, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |              CAST(1.10 AS DECIMAL(4,2)) AS DOUBLE),
+        |         o_orderdate, o_orderpriority, 'U', 1
+        |  FROM orders WHERE o_orderkey % 10 IN (1, 2)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |              CAST(1.20 AS DECIMAL(4,2)) AS DOUBLE),
+        |         o_orderdate, o_orderpriority, 'U', 2
+        |  FROM orders WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority, 'I', 1
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |l1 AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |      ORDER BY seq DESC, op DESC) AS rn
+        |    FROM c1) t WHERE rn = 1),
+        |m1 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders b WHERE NOT EXISTS (
+        |    SELECT 1 FROM l1 c WHERE c.o_orderkey = b.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM l1 WHERE op <> 'D'),
+        |c2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 'D' AS op, 3 AS seq
+        |  FROM orders WHERE o_orderkey % 10 = 4
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |              CAST(0.95 AS DECIMAL(4,2)) AS DOUBLE),
+        |         o_orderdate, o_orderpriority, 'U', 3
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |              CAST(1.30 AS DECIMAL(4,2)) AS DOUBLE),
+        |         o_orderdate, o_orderpriority, 'U', 3
+        |  FROM orders WHERE o_orderkey % 10 = 5),
+        |l2 AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |      ORDER BY seq DESC, op DESC) AS rn
+        |    FROM c2) t WHERE rn = 1)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM m1 b WHERE NOT EXISTS (
+        |  SELECT 1 FROM l2 c WHERE c.o_orderkey = b.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM l2 WHERE op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
     "q110_scd2" ->
       """WITH flagged AS (

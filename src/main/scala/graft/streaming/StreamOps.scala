@@ -621,9 +621,70 @@ object StreamOps {
     idempotentBatchWrite(merged, snapPath, batchId)
   }
 
+  /** The full maintenance loop in ONE streaming query — what a lakehouse
+    * table's nightly OPTIMIZE pipeline looks like as a single
+    * `foreachBatch`: each micro-batch of I/U/D change rows
+    *
+    *  1. MERGES into the latest maintained snapshot
+    *     ([[graft.operators.Cdc.mergeSnapshot]] — base shuffled once on the
+    *     key, changeset latest-per-key reduced first),
+    *  2. sizes the rewrite like [[graft.operators.Layout.compact]] (file
+    *     count from plan-statistics bytes / `targetBytes` — no count()
+    *     pass), and
+    *  3. writes the new snapshot version Z-ORDERED on `zCols`
+    *     ([[graft.operators.Layout.zValue]] + range partition + local
+    *     sort), so every snapshot version is born with multi-dimensional
+    *     row-group skipping instead of needing a separate OPTIMIZE pass.
+    *
+    * Replay discipline, same as [[streamingMergeIngest]]: a batch reads
+    * only the latest STRICTLY EARLIER `snap/batch_id=` version and
+    * overwrites its own version directory (plain directory overwrite — the
+    * writer must not `partitionBy`, whose required ordering would let the
+    * file writer re-sort and silently undo the z-clustering), so an
+    * at-least-once replay recomputes the identical snapshot bit-for-bit.
+    * Exactly-once versioned snapshots, compacted and clustered, without a
+    * transaction log. */
+  def streamingMaintenance(changes: DataFrame, initial: DataFrame,
+      key: Seq[String], zCols: Seq[String], zBits: Int, path: String,
+      targetBytes: Long = 128L << 20, opCol: String = "op",
+      seqCol: String = "seq", checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        maintenanceBatch(batch.toDF(), initial, key, zCols, zBits, path,
+          targetBytes, opCol, seqCol, batchId)
+      }
+    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
+  }
+
+  /** One [[streamingMaintenance]] micro-batch — exposed so the replay
+    * contract and the written layout (file count, disjoint per-file
+    * z-ranges) are directly testable, and so a batch driver can run the
+    * identical body without a stream. */
+  private[graft] def maintenanceBatch(batch: DataFrame, initial: DataFrame,
+      key: Seq[String], zCols: Seq[String], zBits: Int, path: String,
+      targetBytes: Long, opCol: String, seqCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val snapPath = s"$path/snap"
+    val prev = latestVersionBefore(spark, snapPath, batchId) match {
+      case Some(v) =>
+        spark.read.parquet(snapPath)
+          .filter(col("batch_id") === v)
+          .select(initial.columns.map(col): _*)
+      case None => initial
+    }
+    val merged = graft.operators.Cdc.mergeSnapshot(prev, batch, key, opCol, seqCol)
+    val bytes = merged.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((bytes + targetBytes - 1) / targetBytes).max(1).min(1 << 20).toInt
+    graft.operators.Layout.zorderWrite(merged,
+      graft.operators.Layout.zValue(zCols.map(col), zBits),
+      s"$snapPath/batch_id=$batchId", n)
+  }
+
   /** Largest `batch_id=` partition strictly below `batchId`, from a driver
     * directory listing (no Spark job). None when no earlier version. */
-  private def latestVersionBefore(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def latestVersionBefore(spark: org.apache.spark.sql.SparkSession,
       snapPath: String, batchId: Long): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(snapPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

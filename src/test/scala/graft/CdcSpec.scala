@@ -127,6 +127,66 @@ class CdcSpec extends AnyFunSuite {
     assert(total == exp1.size.toLong, "replay appended instead of overwriting")
   }
 
+  test("streaming maintenance: merged + z-ordered snapshot chain, layout pinned, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-stream").toString
+    // keys double as z-coordinates: (k % 16, k) under 6-bit lanes
+    val base = snap((0L until 48L).map(k => (k, s"n$k", k * 1.0)))
+    val b0 = Seq((3L, "u3", 3.3, "U", 1L), (50L, "i50", 50.0, "I", 1L))
+    val b1 = Seq((3L, "u3b", 3.6, "U", 2L), (7L, "n7", 7.0, "D", 2L))
+    val zc = Seq("k2", "k")
+    def withK2(df: DataFrame): DataFrame = df.withColumn("k2", col("k") % 16)
+
+    val mem = MemoryStream[(Long, String, Double, String, Long)]
+    val q = StreamOps.streamingMaintenance(
+      withK2(mem.toDF().toDF("k", "name", "price", "op", "seq")),
+      withK2(base), Seq("k"), zc, 6, dir, targetBytes = 1L << 10)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def version(v: Long): Set[(Long, String, Double)] =
+      spark.read.parquet(s"$dir/snap").filter(col("batch_id") === v)
+        .select("k", "name", "price")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+    val m0 = Cdc.mergeSnapshot(base, chg(b0), Seq("k"))
+    val exp0 = m0.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val exp1 = Cdc.mergeSnapshot(m0, chg(b1), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(version(0L) == exp0, "version 0 diverged from batch merge")
+    assert(version(1L) == exp1, "version 1 diverged from sequential merges")
+    assert(exp1.contains((3L, "u3b", 3.6)) && !exp1.exists(_._1 == 7L),
+      "batch 1 must build on version 0")
+
+    // layout: each version's files carry DISJOINT z-ranges (range
+    // partitioning) and are locally sorted — the written snapshot is born
+    // clustered, no separate OPTIMIZE pass
+    val zv = Layout.zValue(Seq(col("k") % 16, col("k")), 6)
+    import org.apache.spark.sql.Row
+    val ranges = spark.read.parquet(s"$dir/snap")
+      .filter(col("batch_id") === 1L)
+      .select(input_file_name().as("f"), zv.as("z"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map { case Row(_, lo: Long, hi: Long) => (lo, hi) }
+      .sortBy(_._1)
+    assert(ranges.nonEmpty)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping z-ranges across files: $ranges")
+      case _ =>
+    }
+
+    // replay batch 1: reads version 0, recomputes, overwrites its own dir
+    StreamOps.maintenanceBatch(withK2(chg(b1)), withK2(base), Seq("k"), zc, 6,
+      dir, 1L << 10, "op", "seq", 1L)
+    assert(version(1L) == exp1, "replayed batch changed the snapshot")
+    assert(spark.read.parquet(s"$dir/snap").filter(col("batch_id") === 1L)
+      .count() == exp1.size.toLong, "replay appended instead of overwriting")
+  }
+
   test("compact: file count collapses to the computed target; content survives byte-for-byte") {
     val ev = Tables.events(spark, sf)
     val shard = java.nio.file.Files.createTempDirectory("graft-shard-t").toString
