@@ -314,6 +314,84 @@ object SketchQueries {
       .orderBy("event_type")
   }
 
+  /** Sketch aggregation over an ARBITRARY sliding frame — the two-phase
+    * groupBy rewrite of "approx_distinct OVER (RANGE N·slide PRECEDING)",
+    * which Spark cannot express directly (imperative aggregates are
+    * forbidden in window frames; SURVEY §2b). q36 covers tumbling and q38
+    * running frames; this closes the general case:
+    *
+    *  1. Phase 1 reduces events to ONE mergeable sketch per (key,
+    *     slide-bucket) — the full data volume crosses the wire exactly
+    *     once, map-side-combined into sketch partials.
+    *  2. Phase 2 explodes each bucket SKETCH (bytes, not events) to the
+    *     `frameBuckets` trailing frames it covers and merge-aggregates per
+    *     (key, frame) — shuffle volume is frameBuckets · #buckets · sketch
+    *     bytes, independent of event count. A frame materializes only at
+    *     OCCUPIED grid instants (left-semi on phase-1 buckets), mirroring
+    *     window-function evaluation rows.
+    *
+    * This is the classic sliding-window-as-bucket-union rewrite: any frame
+    * length that is an integer multiple of the slide works, the sketches'
+    * merge law ([[graft.sketch.Sketch]], union = register-max / bitmap-OR)
+    * makes the union exact w.r.t. the sketch semantics, and both phases
+    * stay declarative groupBys that Catalyst plans with partial
+    * aggregation. Grid arithmetic is integer epoch-micros div, so an
+    * external engine reproduces the buckets bit-exactly. */
+  def slidingSketchDistinct(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, slideSeconds: Long, frameBuckets: Int,
+      algo: String = "hll", precision: Int = -1): DataFrame = {
+    require(slideSeconds > 0, s"slide must be positive, got $slideSeconds")
+    require(frameBuckets >= 1, s"frameBuckets must be >= 1, got $frameBuckets")
+    GraftFunctions.register(events.sparkSession)
+    val slideUs = slideSeconds * 1000000L
+    val bucketed = events.select(col(keyCol).as("k"),
+      expr(s"unix_micros($tsCol) div $slideUs").as("bucket"),
+      col(valueCol).as("v"))
+    val perBucket = bucketed.groupBy("k", "bucket")
+      .agg(approx_distinct(col("v"), algo, precision).as("d"))
+      .select(col("k"), col("bucket"), col("d.binary").as("sk"))
+    val contributions = perBucket.select(col("k"), col("sk"),
+      explode(sequence(col("bucket"), col("bucket") + lit(frameBuckets - 1)))
+        .as("frame"))
+    contributions
+      .join(perBucket.select(col("k"), col("bucket").as("frame")).distinct(),
+        Seq("k", "frame"), "left_semi")
+      .groupBy("k", "frame")
+      .agg(sketch_estimate(sketch_merge_agg(col("sk"))).as("est"))
+      .select((col("frame") * lit(slideSeconds)).as("frame_epoch"),
+        col("k").as(keyCol), col("est"))
+  }
+
+  /** Trailing 6-hour distinct users per event type at every occupied hour
+    * grid instant — the arbitrary-frame sketch-over-window case. The gate
+    * follows q36: the exact trailing count rides along (computed by the
+    * same explode-to-covering-frames rewrite over raw events, which the
+    * oracle reproduces as a range self-join) plus the envelope boolean;
+    * LC with a 64 KiB bitmap at these per-frame cardinalities needs only
+    * the q36 collision slack. */
+  def q117SlidingSketchWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = 6
+    val est = slidingSketchDistinct(ev, "ts", "event_type", "user_id",
+      slideSeconds = 3600L, frameBuckets = w, algo = "lc", precision = 65536)
+    val bucketed = ev.select(col("event_type"),
+      expr("unix_micros(ts) div 3600000000").as("bucket"), col("user_id"))
+    val exact = bucketed
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("bucket"), col("bucket") + lit(w - 1))).as("frame"))
+      .join(bucketed.select(col("event_type"), col("bucket").as("frame")).distinct(),
+        Seq("event_type", "frame"), "left_semi")
+      .groupBy("event_type", "frame")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select((col("frame") * 3600L).as("frame_epoch"), col("event_type"),
+        col("n_users"))
+    est.join(exact, Seq("frame_epoch", "event_type"))
+      .select(col("frame_epoch"), col("event_type"), col("n_users"),
+        (abs(col("est").cast("double") - col("n_users").cast("double"))
+          <= greatest(lit(3.0), col("n_users").cast("double") * envelope)).as("est_ok"))
+      .orderBy("frame_epoch", "event_type")
+  }
+
   /** SpaceSaving heavy hitters over event types. The domain (5 event types)
     * is far below the summary capacity, so the sketch path is provably
     * EXACT — no eviction ever fires — and the gate is a strict hash match
@@ -465,6 +543,7 @@ object SketchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_windowed_approx_users" -> (q36WindowedApproxUsers _),
+    "q117_sliding_sketch_window" -> (q117SlidingSketchWindow _),
     "q37_sessions" -> (q37Sessions _),
     "q38_running_approx_users" -> (q38RunningApproxUsers _),
     "q30_approx_distinct_global" -> (q30ApproxGlobal _),
@@ -490,6 +569,22 @@ object SketchQueries {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
         |  event_type, COUNT(DISTINCT user_id) AS n_users, true AS est_ok
         |FROM events GROUP BY 1, 2 ORDER BY window_epoch, event_type""".stripMargin,
+    // trailing-frame distinct as a range self-join over occupied grid
+    // instants — the window-frame twin of the two-phase bucket rewrite
+    "q117_sliding_sketch_window" ->
+      """WITH b AS (
+        |  SELECT event_type, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS bucket
+        |  FROM events),
+        |occ AS (SELECT DISTINCT event_type, bucket FROM b),
+        |ex AS (
+        |  SELECT o.event_type, o.bucket AS frame,
+        |    COUNT(DISTINCT e.user_id) AS n_users
+        |  FROM occ o JOIN b e ON e.event_type = o.event_type
+        |    AND e.bucket BETWEEN o.bucket - 5 AND o.bucket
+        |  GROUP BY 1, 2)
+        |SELECT frame * 3600 AS frame_epoch, event_type, n_users, true AS est_ok
+        |FROM ex ORDER BY frame_epoch, event_type""".stripMargin,
     "q37_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

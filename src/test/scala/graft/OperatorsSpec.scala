@@ -670,6 +670,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == Seq((0L, 2L)), s"got $all")
   }
 
+  test("slidingSketchDistinct: trailing frames union the right buckets, only occupied frames emit") {
+    import graft.operators.SketchQueries
+    // buckets (10s slide): u1@b0, u2@b0, u2@b1, u3@b3; frame = 2 buckets
+    val ev = Seq(
+      (1L, 5_000_000L), (2L, 9_000_000L),     // bucket 0
+      (2L, 15_000_000L),                      // bucket 1
+      (3L, 35_000_000L)                       // bucket 3 (bucket 2 empty)
+    ).toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        lit("e").as("event_type"))
+    val got = SketchQueries.slidingSketchDistinct(ev, "ts", "event_type",
+        "user_id", slideSeconds = 10L, frameBuckets = 2,
+        algo = "lc", precision = 65536)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // frame@0: {u1,u2}; frame@10: b0∪b1 = {u1,u2}; frame@30: b2∪b3 = {u3};
+    // NO frame@20 (bucket 2 unoccupied, trailing window not evaluated there)
+    assert(got == Map(0L -> 2L, 10L -> 2L, 30L -> 1L), s"got $got")
+  }
+
   test("tfidfAllPairsTopK: symmetric neighbours, posting caps drop hot terms, drops observed") {
     import graft.operators.TextAnalysis
     // shingleK = 1 makes the term space the tokens themselves, so the
