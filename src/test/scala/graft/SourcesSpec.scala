@@ -79,6 +79,38 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("every ts-consuming declared query runs identically on NTZ-micros and long-nanos fixtures") {
+    import org.apache.spark.sql.types._
+    // Re-encode sf0.001's events table in BOTH timestamp flavors the driver
+    // has shipped, alongside the other tables, and run every declared query
+    // that consumes events.ts. Row counts must agree across flavors (the
+    // values agree because Tables.load normalizes both to the same micros).
+    val tsQueries = Seq("q23_asof_join", "q36_windowed_approx_users",
+      "q37_sessions", "q38_running_approx_users", "q67_windowed_topk",
+      "q68_interval_join", "q88_time_range_window", "q100_resample_locf",
+      "q117_sliding_sketch_window")
+    val real = Tables.events(spark, sf)  // already normalized TimestampType
+    def fixtureDir(encode: org.apache.spark.sql.Column): String = {
+      val dir = tmp()
+      for (t <- Seq("lineitem", "orders", "customer", "supplier", "part",
+          "nation", "region", "documents", "embeddings"))
+        spark.read.parquet(s"$sf/$t.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+      real.withColumn("ts", encode)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+      dir
+    }
+    val ntzDir = fixtureDir(col("ts").cast(TimestampNTZType))
+    val nanosDir = fixtureDir((unix_micros(col("ts")) * 1000L).as("ts"))
+    for (q <- tsQueries) {
+      val nNtz = SparkEntry.queries(q)(spark, ntzDir).count()
+      val nNanos = SparkEntry.queries(q)(spark, nanosDir).count()
+      assert(nNtz == nNanos, s"$q: ntz=$nNtz nanos=$nNanos — fixture-flavor drift")
+      // q68's 2-minute interval join is legitimately empty at sf0.001
+      assert(nNtz > 0 || q == "q68_interval_join", s"$q: empty result")
+    }
+  }
+
   test("binary sketch columns survive a parquet store-and-merge cycle") {
     import GraftFunctions._
     GraftFunctions.register(spark)
