@@ -27,6 +27,14 @@ for q in sorted(oracles):
         exp = con.execute(oracles[q]).fetchdf()
     except Exception as e:
         fails.append((q, f"oracle SQL error: {e}")); continue
+    # Spark writes UTC-adjusted timestamps (tz-aware after the NTZ source
+    # normalization), the DuckDB oracle produces naive ones — same instants.
+    # Strip tz on both sides before comparing, like the driver's gate.
+    for df in (got, exp):
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime64") and \
+                    getattr(df[c].dt, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
         fails.append((q, f"columns differ: spark={gcols} oracle={ecols}")); continue
