@@ -392,6 +392,74 @@ object SketchQueries {
       .orderBy("frame_epoch", "event_type")
   }
 
+  /** Quantiles over an arbitrary sliding frame — the [[slidingSketchDistinct]]
+    * two-phase rewrite applied to the KLL family: one serialized KLL sketch
+    * per (key, slide-bucket), bucket sketches exploded to their covering
+    * trailing frames and merge-aggregated per occupied (key, frame), the
+    * merged sketch answering all `probs` at once. Proves the rewrite is a
+    * general harness for ANY mergeable sketch, not an HLL special case:
+    * phase-2 volume stays frameBuckets · buckets · sketch bytes. Returns
+    * `(frame_epoch, key, prob, vhat)`, one row per requested quantile. */
+  def slidingKllQuantile(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, slideSeconds: Long, frameBuckets: Int,
+      probs: Seq[Double],
+      k: Int = graft.sketch.KllDoubles.DefaultK): DataFrame = {
+    require(slideSeconds > 0, s"slide must be positive, got $slideSeconds")
+    require(frameBuckets >= 1, s"frameBuckets must be >= 1, got $frameBuckets")
+    require(probs.nonEmpty, "need at least one quantile probability")
+    GraftFunctions.register(events.sparkSession)
+    val slideUs = slideSeconds * 1000000L
+    val bucketed = events.select(col(keyCol).as("k"),
+      expr(s"unix_micros($tsCol) div $slideUs").as("bucket"),
+      col(valueCol).as("v"))
+    val perBucket = bucketed.groupBy("k", "bucket")
+      .agg(kll_sketch_agg(col("v"), k).as("sk"))
+    perBucket.select(col("k"), col("sk"),
+        explode(sequence(col("bucket"), col("bucket") + lit(frameBuckets - 1)))
+          .as("frame"))
+      .join(perBucket.select(col("k"), col("bucket").as("frame")),
+        Seq("k", "frame"), "left_semi")
+      .groupBy("k", "frame")
+      .agg(kll_merge_agg(col("sk"), probs, k).as("qs"))
+      .select(col("k"), col("frame"), posexplode(col("qs")).as(Seq("pi", "vhat")))
+      .select((col("frame") * lit(slideSeconds)).as("frame_epoch"),
+        col("k").as(keyCol),
+        element_at(typedLit(probs), col("pi") + 1).as("prob"), col("vhat"))
+  }
+
+  /** Trailing 6-hour p50/p95 of event value per event type at every
+    * occupied hour — the sliding-quantile case of the two-phase rewrite.
+    * Gate follows q65: each merged-sketch estimate is rank-checked against
+    * the TRUE trailing-window rows (r_le/r_lt within ε·n of the target
+    * rank, ε = 0.04 ≫ the KLL k=200 bound), with the exact row count
+    * riding along for the oracle to reproduce. */
+  def q118SlidingQuantileWindow(spark: SparkSession, dir: String): DataFrame = {
+    val probs = Seq(0.5, 0.95)
+    val eps = 0.04
+    val ev = Tables.events(spark, dir)
+    val w = 6
+    val est = slidingKllQuantile(ev, "ts", "event_type", "value",
+      slideSeconds = 3600L, frameBuckets = w, probs = probs)
+    val bucketed = ev.select(col("event_type"),
+      expr("unix_micros(ts) div 3600000000").as("bucket"), col("value"))
+    val members = bucketed
+      .select(col("event_type"), col("value"),
+        explode(sequence(col("bucket"), col("bucket") + lit(w - 1))).as("frame"))
+      .join(bucketed.select(col("event_type"), col("bucket").as("frame")).distinct(),
+        Seq("event_type", "frame"), "left_semi")
+      .withColumn("frame_epoch", col("frame") * 3600L)
+    members.join(est, Seq("frame_epoch", "event_type"))
+      .groupBy("frame_epoch", "event_type", "prob", "vhat")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("vhat"), 1L).otherwise(0L)).as("r_le"),
+        sum(when(col("value") < col("vhat"), 1L).otherwise(0L)).as("r_lt"))
+      .select(col("frame_epoch"), col("event_type"), col("prob"), col("n"),
+        (col("r_le").cast("double") >= col("prob") * col("n") - lit(eps) * col("n") &&
+          col("r_lt").cast("double") <= col("prob") * col("n") + lit(eps) * col("n"))
+          .as("rank_ok"))
+      .orderBy("frame_epoch", "event_type", "prob")
+  }
+
   /** SpaceSaving heavy hitters over event types. The domain (5 event types)
     * is far below the summary capacity, so the sketch path is provably
     * EXACT — no eviction ever fires — and the gate is a strict hash match
@@ -544,6 +612,7 @@ object SketchQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_windowed_approx_users" -> (q36WindowedApproxUsers _),
     "q117_sliding_sketch_window" -> (q117SlidingSketchWindow _),
+    "q118_sliding_quantile_window" -> (q118SlidingQuantileWindow _),
     "q37_sessions" -> (q37Sessions _),
     "q38_running_approx_users" -> (q38RunningApproxUsers _),
     "q30_approx_distinct_global" -> (q30ApproxGlobal _),
@@ -585,6 +654,24 @@ object SketchQueries {
         |  GROUP BY 1, 2)
         |SELECT frame * 3600 AS frame_epoch, event_type, n_users, true AS est_ok
         |FROM ex ORDER BY frame_epoch, event_type""".stripMargin,
+    // exact trailing row counts per occupied instant x requested prob;
+    // the rank booleans are true when the KLL estimates hold their bound
+    "q118_sliding_quantile_window" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS bucket
+        |  FROM events),
+        |occ AS (SELECT DISTINCT event_type, bucket FROM b),
+        |ex AS (
+        |  SELECT o.event_type, o.bucket AS frame, COUNT(*) AS n
+        |  FROM occ o JOIN b e ON e.event_type = o.event_type
+        |    AND e.bucket BETWEEN o.bucket - 5 AND o.bucket
+        |  GROUP BY 1, 2)
+        |SELECT frame * 3600 AS frame_epoch, event_type,
+        |  p.prob, n, true AS rank_ok
+        |FROM ex CROSS JOIN (
+        |  SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS prob) p
+        |ORDER BY frame_epoch, event_type, prob""".stripMargin,
     "q37_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

@@ -29,7 +29,9 @@ object Sf1Bench {
     "q87_chunk_documents", "q89_pack_sequences", "q90_bm25_search",
     "q91_assemble_sequences",
     "q97_span_dedup", "q99_lm_perplexity", "q100_resample_locf",
-    "q102_tfidf_nearest", "q103_cluster_split", "q104_curation_v3")
+    "q102_tfidf_nearest", "q103_cluster_split", "q104_curation_v3",
+    "q115_tfidf_all_pairs_topk", "q116_maintenance_loop",
+    "q117_sliding_sketch_window")
 
   def main(args: Array[String]): Unit = {
     val runs = if (args.nonEmpty) args(0).toInt else 3

@@ -689,6 +689,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(0L -> 2L, 10L -> 2L, 30L -> 1L), s"got $got")
   }
 
+  test("slidingKllQuantile: merged trailing frames answer min/max exactly in the uncompacted regime") {
+    import graft.operators.SketchQueries
+    val ev = Seq((5.0, 5_000_000L), (9.0, 15_000_000L))
+      .toDF("value", "us")
+      .select(col("value"), timestamp_micros(col("us")).as("ts"),
+        lit("e").as("event_type"))
+    val got = SketchQueries.slidingKllQuantile(ev, "ts", "event_type",
+        "value", slideSeconds = 10L, frameBuckets = 2, probs = Seq(0.0, 1.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)) -> r.getDouble(3)).toMap
+    // frame@0 sees only bucket 0 {5}; frame@10 is the MERGED b0 ∪ b1 {5, 9}
+    assert(got == Map((0L, 0.0) -> 5.0, (0L, 1.0) -> 5.0,
+      (10L, 0.0) -> 5.0, (10L, 1.0) -> 9.0), s"got $got")
+  }
+
   test("tfidfAllPairsTopK: symmetric neighbours, posting caps drop hot terms, drops observed") {
     import graft.operators.TextAnalysis
     // shingleK = 1 makes the term space the tokens themselves, so the
