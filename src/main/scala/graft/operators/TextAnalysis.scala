@@ -495,9 +495,14 @@ object TextAnalysis {
             (a.getField("wn") * b.getField("wn")).as("p")))))).as("pr"))
       .groupBy(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
       .agg(sum(col("pr.p")).as("s"))
-    val pairs = sym.unionByName(
-        sym.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("s")))
-      .select(col("id_a"), col("id_b"),
+    // both directions by exploding a 2-element array, NOT a union of the
+    // reversed selection — a union would duplicate the whole pair subtree
+    // (plan-level CSE doesn't cross union branches)
+    val pairs = sym.select(explode(array(
+        struct(col("id_a"), col("id_b")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("pp"),
+        col("s"))
+      .select(col("pp.id_a").as("id_a"), col("pp.id_b").as("id_b"),
         col("s").cast("decimal(18,6)").cast("double").as("sim"))
     val win = org.apache.spark.sql.expressions.Window.partitionBy("id_a")
       .orderBy(desc("sim"), col("id_b"))

@@ -295,6 +295,50 @@ class ScaleSpec extends AnyFunSuite {
       s"LOCF window must partition on the key:\n${plan.take(2000)}")
   }
 
+  test("q115 plan: all-pairs tf-idf has no cartesian/BNLJ; pair space is slice-capped") {
+    val plan = graft.operators.TextAnalysis.tfidfAllPairsTopK(
+        Tables.documents(spark, sf), "doc_id", "text", k = 3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // (BroadcastNestedLoopJoin appears legitimately: the 1-row broadcast
+    // of the corpus count N is the standard scalar-join shape)
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-wide similarity must never go all-pairs:\n${plan.take(2000)}")
+    // the pair explosion is the bounded slice(ps, i+2, maxPosting) kernel,
+    // not a postings self-join of the weighted table
+    assert(plan.contains("slice(") && plan.contains(", 4096)"),
+      s"pair generation must be the capped term-at-a-time explode:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") ||
+      "SortMergeJoin".r.findAllIn(plan).size <= 2,
+      s"unexpected join blow-up in the pair path:\n${plan.take(2000)}")
+  }
+
+  test("q117/q118 plan: frame explode runs over bucket SKETCHES, not raw events") {
+    // the frame Generate must consume the per-bucket sketch column (events
+    // reduced to one sketch per bucket BEFORE the fan-out to covering
+    // frames) and never a raw value column — the property that makes
+    // phase-2 volume independent of event count
+    for ((name, df) <- Seq(
+        "q117" -> graft.operators.SketchQueries.slidingSketchDistinct(
+          Tables.events(spark, sf), "ts", "event_type", "user_id", 3600L, 6,
+          algo = "lc", precision = 65536),
+        "q118" -> graft.operators.SketchQueries.slidingKllQuantile(
+          Tables.events(spark, sf), "ts", "event_type", "value", 3600L, 6,
+          probs = Seq(0.5)))) {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val genInputs = "(?m)^\\(\\d+\\) Generate\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(genInputs.nonEmpty, s"$name: no Generate in plan:\n${plan.take(2000)}")
+      // the frame explode itself carries the sketch; q118 adds a second,
+      // benign posexplode of the per-frame quantile ARRAY (post-merge)
+      assert(genInputs.exists(_.contains("sk#")),
+        s"$name: no explode consumes the bucket sketches: $genInputs")
+      assert(genInputs.forall(i => !i.contains("v#")),
+        s"$name: raw values cross the frame fan-out: $genInputs")
+    }
+  }
+
   test("q64 plan: bloom probe filters the fact scan before the join") {
     val plan = graft.operators.RuntimeFilter.q64BloomSemiJoin(spark, sf)
       .queryExecution.executedPlan.toString
