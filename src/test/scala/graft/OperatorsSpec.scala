@@ -330,6 +330,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rs(t(0)) == Some(5.0) && rs(t(60)) == None, s"got $rs")
   }
 
+  test("round-8 operators survive NULL/empty text and degenerate inputs") {
+    import graft.operators.SketchQueries
+    // all-pairs tf-idf: NULL and empty docs never pair (their only term is
+    // the empty shingle, which links ONLY to other degenerate docs — both
+    // here, so they pair with each other; idf 0 terms give them zero norm?
+    // no: df=2 of 4 docs with shingles -> idf > 0, they are each other's
+    // neighbours with sim 1.0 — degenerate-but-defined, no crash)
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "r r a"),
+      (4L, "r b x y z w")).toDF("doc_id", "text")
+    val ap = graft.operators.TextAnalysis.tfidfAllPairsTopK(
+        docs, "doc_id", "text", k = 2, shingleK = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // NULL text never reaches the term space (explode of NULL drops the
+    // row); doc 2's "" shingle matches nothing else -> only 3,4 can pair
+    assert(ap.forall { case (a, b) => Set(3L, 4L)(a) && Set(3L, 4L)(b) },
+      s"degenerate docs paired: ${ap.toSeq}")
+    // sliding sketches: empty input -> empty output, no crash
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    assert(SketchQueries.slidingSketchDistinct(noEvents, "ts", "event_type",
+      "user_id", 3600L, 6, algo = "lc", precision = 65536).count() == 0)
+    val noVals = Seq.empty[(Double, java.sql.Timestamp, String)]
+      .toDF("value", "ts", "event_type")
+    assert(SketchQueries.slidingKllQuantile(noVals, "ts", "event_type",
+      "value", 3600L, 6, probs = Seq(0.5)).count() == 0)
+    // maintenance batch: an EMPTY changeset still writes a complete,
+    // identical snapshot version (the nightly no-op run)
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-deg").toString
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price")
+      .withColumn("k2", col("k") % 16)
+    val emptyChg = Seq.empty[(Long, Double, String, Long)]
+      .toDF("k", "price", "op", "seq").withColumn("k2", col("k") % 16)
+    graft.streaming.StreamOps.maintenanceBatch(emptyChg, base, Seq("k"),
+      Seq("k2", "k"), 6, dir, 1L << 10, "op", "seq", 0L)
+    val back = spark.read.parquet(s"$dir/snap").filter(col("batch_id") === 0L)
+      .select("k", "price").as[(Long, Double)].collect().toSet
+    assert(back == Set((1L, 10.0), (2L, 20.0)), s"no-op maintenance lost rows: $back")
+  }
+
   test("fingerprint is word-order and whitespace invariant") {
     val df = Seq("alpha beta gamma", "gamma  alpha\tbeta", "alpha beta delta")
       .toDF("t").select(TextAnalysis.fingerprint($"t").as("fp"))
