@@ -682,6 +682,23 @@ object StreamOps {
       s"$snapPath/batch_id=$batchId", n)
   }
 
+  /** Read the newest complete snapshot version of a maintained store
+    * ([[streamingMergeIngest]] / [[streamingMaintenance]]): partition-prunes
+    * to the max `batch_id=` directory (found by driver listing, no job) —
+    * what every consumer of the maintained table should call. Pass
+    * `asOf = Some(v)` for time travel to version ≤ v. Throws if the store
+    * has no versions yet. */
+  def readLatestSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOf: Option[Long] = None): DataFrame = {
+    val snapPath = s"$path/snap"
+    val v = latestVersionBefore(spark, snapPath,
+        asOf.map(_ + 1L).getOrElse(Long.MaxValue))
+      .getOrElse(throw new IllegalStateException(
+        s"no snapshot versions under $snapPath" +
+          asOf.map(v => s" at or below batch_id=$v").getOrElse("")))
+    spark.read.parquet(snapPath).filter(col("batch_id") === v).drop("batch_id")
+  }
+
   /** Largest `batch_id=` partition strictly below `batchId`, from a driver
     * directory listing (no Spark job). None when no earlier version. */
   private[graft] def latestVersionBefore(spark: org.apache.spark.sql.SparkSession,

@@ -185,6 +185,17 @@ class CdcSpec extends AnyFunSuite {
     assert(version(1L) == exp1, "replayed batch changed the snapshot")
     assert(spark.read.parquet(s"$dir/snap").filter(col("batch_id") === 1L)
       .count() == exp1.size.toLong, "replay appended instead of overwriting")
+
+    // the consumer entry point: latest version + time travel
+    def asSet(df: DataFrame): Set[(Long, String, Double)] =
+      df.select("k", "name", "price")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(asSet(StreamOps.readLatestSnapshot(spark, dir)) == exp1)
+    assert(asSet(StreamOps.readLatestSnapshot(spark, dir, asOf = Some(0L))) == exp0)
+    intercept[IllegalStateException] {
+      StreamOps.readLatestSnapshot(spark,
+        java.nio.file.Files.createTempDirectory("graft-empty").toString)
+    }
   }
 
   test("compact: file count collapses to the computed target; content survives byte-for-byte") {

@@ -330,6 +330,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rs(t(0)) == Some(5.0) && rs(t(60)) == None, s"got $rs")
   }
 
+  test("two-phase sliding rewrite equals native window(dur, slide) aggregation bit-for-bit") {
+    import graft.operators.SketchQueries
+    import graft.GraftFunctions
+    // LC merge is a bitmap OR over deterministic hashes: merging 6
+    // per-bucket sketches MUST give the identical bitmap (hence identical
+    // estimate) as inserting the same values into one sketch directly —
+    // so the rewrite agrees with Spark's native sliding window wherever
+    // both are defined (native also emits windows anchored at unoccupied
+    // instants; the rewrite's occupied frames are a subset)
+    GraftFunctions.register(spark)
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val rewrite = SketchQueries.slidingSketchDistinct(ev, "ts", "event_type",
+        "user_id", slideSeconds = 3600L, frameBuckets = 6,
+        algo = "lc", precision = 65536)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val native = ev
+      .groupBy(window(col("ts"), "6 hours", "1 hour").as("w"), col("event_type"))
+      .agg(GraftFunctions.approx_distinct(col("user_id"), "lc", 65536).as("d"))
+      // window [s, s+6h) is the rewrite's frame ending at s+6h-1h: f = s/3600+5
+      .select((unix_timestamp(col("w.start")) + 5L * 3600L).as("frame_epoch"),
+        col("event_type"), col("d.cardinality").as("est"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rewrite.nonEmpty)
+    assert(rewrite.keySet.subsetOf(native.keySet),
+      s"rewrite emitted a frame native never saw: ${rewrite.keySet -- native.keySet}")
+    val diff = rewrite.collect { case (k, v) if native(k) != v => (k, v, native(k)) }
+    assert(diff.isEmpty, s"estimates diverge: ${diff.take(5)}")
+  }
+
   test("round-8 operators survive NULL/empty text and degenerate inputs") {
     import graft.operators.SketchQueries
     // all-pairs tf-idf: NULL and empty docs never pair (their only term is
