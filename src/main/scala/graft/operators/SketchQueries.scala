@@ -460,6 +460,94 @@ object SketchQueries {
       .orderBy("frame_epoch", "event_type", "prob")
   }
 
+  /** Rolling NEW-user counts — theta SET ALGEBRA over the two-phase
+    * sliding frames (the third sketch family through the rewrite, and the
+    * one that buys an operation HLL/LC cannot express): per (key, frame),
+    * |users in the trailing window at f| − |… at f−1| as a theta
+    * DIFFERENCE of the two merged frame sketches. Phase 1 reduces events
+    * to one theta sketch per (key, slide-bucket); phase 2 merges covering
+    * buckets per occupied frame (`theta_merge_agg` — bytes only); the
+    * difference joins each frame to its predecessor ON SKETCH ROWS
+    * (frames × sketch bytes, never events). Emitted only for frames whose
+    * predecessor instant is occupied (new-vs-what must be defined).
+    *
+    * Below the sketch capacity k the theta sample is the full hash set
+    * (θ = 1) and the difference is EXACT; beyond it the estimate carries
+    * the q72 error bound — the declared gate emits the exact count plus
+    * the bound boolean, so the same query stays green at any SF. */
+  def slidingNewKeys(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, slideSeconds: Long, frameBuckets: Int,
+      k: Int = graft.sketch.ThetaSketch.DefaultK): DataFrame = {
+    require(slideSeconds > 0, s"slide must be positive, got $slideSeconds")
+    require(frameBuckets >= 1, s"frameBuckets must be >= 1, got $frameBuckets")
+    GraftFunctions.register(events.sparkSession)
+    val slideUs = slideSeconds * 1000000L
+    val bucketed = events.select(col(keyCol).as("k"),
+      expr(s"unix_micros($tsCol) div $slideUs").as("bucket"),
+      col(valueCol).as("v"))
+    val perBucket = bucketed.groupBy("k", "bucket")
+      .agg(GraftFunctions.theta_sketch_agg(col("v"), k).as("sk"))
+    val frames = perBucket.select(col("k"), col("sk"),
+        explode(sequence(col("bucket"), col("bucket") + lit(frameBuckets - 1)))
+          .as("frame"))
+      .join(perBucket.select(col("k"), col("bucket").as("frame")),
+        Seq("k", "frame"), "left_semi")
+      .groupBy("k", "frame")
+      .agg(GraftFunctions.theta_merge_agg(col("sk")).as("th"))
+    val prev = frames.select(col("k"), (col("frame") + 1L).as("frame"),
+      col("th").as("th_prev"))
+    frames.join(prev, Seq("k", "frame"))
+      .select(col("k"), col("frame"),
+        GraftFunctions.theta_difference(col("th"), col("th_prev")).as("d"))
+      .select((col("frame") * lit(slideSeconds)).as("frame_epoch"),
+        col("k").as(keyCol),
+        theta_estimate(col("d")).as("est_new"),
+        theta_retained(col("d")).as("c_new"),
+        theta_fraction(col("d")).as("f_new"))
+  }
+
+  /** New users entering each event type's trailing 6-hour window at every
+    * occupied hour (vs the window one hour earlier) — churn/retention's
+    * building block. Exact twin computed by frame-membership anti-join;
+    * the theta estimate passes the q72 bound gate (exact below k=4096
+    * retained, which test scales are). A frame where NO user is new drops
+    * out of the result (the exact side's empty anti-join group produces no
+    * row; the inner gate join then drops the estimate row too) — both
+    * engines share the rule, so the gate is unaffected. */
+  def q119RollingNewUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = 6
+    val est = slidingNewKeys(ev, "ts", "event_type", "user_id",
+      slideSeconds = 3600L, frameBuckets = w)
+    val bucketed = ev.select(col("event_type"),
+      expr("unix_micros(ts) div 3600000000").as("bucket"), col("user_id"))
+    val occupied = bucketed.select(col("event_type"), col("bucket")).distinct()
+    val members = bucketed
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("bucket"), col("bucket") + lit(w - 1))).as("frame"))
+      .join(occupied.withColumnRenamed("bucket", "frame"),
+        Seq("event_type", "frame"), "left_semi")
+      .distinct()
+    val newExact = members
+      .join(members.select(col("event_type"), (col("frame") + 1L).as("frame"),
+        col("user_id")), Seq("event_type", "frame", "user_id"), "left_anti")
+      .groupBy("event_type", "frame")
+      .agg(count(lit(1)).as("n_new"))
+      // defined only where the predecessor frame exists (is occupied)
+      .join(occupied.select(col("event_type"),
+        (col("bucket") + 1L).as("frame")).distinct(),
+        Seq("event_type", "frame"), "left_semi")
+      .select((col("frame") * 3600L).as("frame_epoch"), col("event_type"),
+        col("n_new"))
+    val gate = abs(col("est_new").cast("double") - col("n_new").cast("double")) <=
+      lit(4.0) * col("n_new").cast("double") * sqrt(lit(1.0) - col("f_new")) /
+        sqrt(greatest(col("c_new").cast("double") - 1.0, lit(1.0))) + lit(0.5)
+    est.join(newExact, Seq("frame_epoch", "event_type"))
+      .select(col("frame_epoch"), col("event_type"), col("n_new"),
+        gate.as("est_ok"))
+      .orderBy("frame_epoch", "event_type")
+  }
+
   /** SpaceSaving heavy hitters over event types. The domain (5 event types)
     * is far below the summary capacity, so the sketch path is provably
     * EXACT — no eviction ever fires — and the gate is a strict hash match
@@ -613,6 +701,7 @@ object SketchQueries {
     "q36_windowed_approx_users" -> (q36WindowedApproxUsers _),
     "q117_sliding_sketch_window" -> (q117SlidingSketchWindow _),
     "q118_sliding_quantile_window" -> (q118SlidingQuantileWindow _),
+    "q119_rolling_new_users" -> (q119RollingNewUsers _),
     "q37_sessions" -> (q37Sessions _),
     "q38_running_approx_users" -> (q38RunningApproxUsers _),
     "q30_approx_distinct_global" -> (q30ApproxGlobal _),
@@ -654,6 +743,31 @@ object SketchQueries {
         |  GROUP BY 1, 2)
         |SELECT frame * 3600 AS frame_epoch, event_type, n_users, true AS est_ok
         |FROM ex ORDER BY frame_epoch, event_type""".stripMargin,
+    // exact new-member counts per (occupied frame with occupied
+    // predecessor): trailing-window membership minus the previous
+    // instant's membership, by NOT EXISTS
+    "q119_rolling_new_users" ->
+      """WITH b AS (
+        |  SELECT event_type, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS bucket
+        |  FROM events),
+        |occ AS (SELECT DISTINCT event_type, bucket FROM b),
+        |mem AS (
+        |  SELECT DISTINCT o.event_type, o.bucket AS frame, e.user_id
+        |  FROM occ o JOIN b e ON e.event_type = o.event_type
+        |    AND e.bucket BETWEEN o.bucket - 5 AND o.bucket),
+        |nw AS (
+        |  SELECT m.event_type, m.frame, COUNT(*) AS n_new
+        |  FROM mem m WHERE NOT EXISTS (
+        |    SELECT 1 FROM mem p WHERE p.event_type = m.event_type
+        |      AND p.frame = m.frame - 1 AND p.user_id = m.user_id)
+        |  GROUP BY 1, 2)
+        |SELECT n.frame * 3600 AS frame_epoch, n.event_type, n.n_new,
+        |  true AS est_ok
+        |FROM nw n WHERE EXISTS (
+        |  SELECT 1 FROM occ o WHERE o.event_type = n.event_type
+        |    AND o.bucket + 1 = n.frame)
+        |ORDER BY frame_epoch, event_type""".stripMargin,
     // exact trailing row counts per occupied instant x requested prob;
     // the rank booleans are true when the KLL estimates hold their bound
     "q118_sliding_quantile_window" ->

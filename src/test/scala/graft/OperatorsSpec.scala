@@ -359,6 +359,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(diff.isEmpty, s"estimates diverge: ${diff.take(5)}")
   }
 
+  test("slidingNewKeys: theta frame difference counts exactly the entering members") {
+    import graft.operators.SketchQueries
+    // buckets (10s slide, frame = 2): b0 {1,2}, b1 {2,3}, b2 {3}
+    // frames: f0 {1,2}, f1 = b0∪b1 {1,2,3}, f2 = b1∪b2 {2,3}
+    // new@f1 = {3} (vs f0); new@f2 = ∅ (f2 ⊂ f1)
+    val ev = Seq((1L, 5L), (2L, 9L), (2L, 15L), (3L, 19L), (3L, 25L))
+      .toDF("user_id", "s")
+      .select(col("user_id"), timestamp_micros(col("s") * 1000000L).as("ts"),
+        lit("e").as("event_type"))
+    val got = SketchQueries.slidingNewKeys(ev, "ts", "event_type", "user_id",
+        slideSeconds = 10L, frameBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // below capacity θ = 1: the difference is exact; f0 has no
+    // predecessor and is absent
+    assert(got == Map(10L -> 1L, 20L -> 0L), s"got $got")
+  }
+
   test("round-8 operators survive NULL/empty text and degenerate inputs") {
     import graft.operators.SketchQueries
     // all-pairs tf-idf: NULL and empty docs never pair (their only term is
