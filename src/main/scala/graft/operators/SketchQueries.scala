@@ -337,9 +337,20 @@ object SketchQueries {
     * stay declarative groupBys that Catalyst plans with partial
     * aggregation. Grid arithmetic is integer epoch-micros div, so an
     * external engine reproduces the buckets bit-exactly. */
-  def slidingSketchDistinct(events: DataFrame, tsCol: String, keyCol: String,
-      valueCol: String, slideSeconds: Long, frameBuckets: Int,
-      algo: String = "hll", precision: Int = -1): DataFrame = {
+  /** Shared phase-1 skeleton of the sliding-frame rewrite: reduce events
+    * to ONE sketch row per (key `k`, slide-bucket) with `phase1Agg`, then
+    * explode each bucket SKETCH to the `frameBuckets` trailing frames it
+    * covers, keeping only frames anchored at occupied instants. The
+    * caller's phase 2 is a `groupBy("k", "frame")` over the returned
+    * `(k, frame, sk)` rows — sketch bytes only, never events. One harness,
+    * any mergeable family (LC/HLL distinct: [[slidingSketchDistinct]];
+    * KLL quantiles: [[slidingKllQuantile]]; theta set algebra:
+    * [[slidingNewKeys]]). */
+  private def slideFrameSketches(events: DataFrame, tsCol: String,
+      keyCol: String, valueCol: String, slideSeconds: Long,
+      frameBuckets: Int)(
+      phase1Agg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     require(slideSeconds > 0, s"slide must be positive, got $slideSeconds")
     require(frameBuckets >= 1, s"frameBuckets must be >= 1, got $frameBuckets")
     GraftFunctions.register(events.sparkSession)
@@ -348,19 +359,23 @@ object SketchQueries {
       expr(s"unix_micros($tsCol) div $slideUs").as("bucket"),
       col(valueCol).as("v"))
     val perBucket = bucketed.groupBy("k", "bucket")
-      .agg(approx_distinct(col("v"), algo, precision).as("d"))
-      .select(col("k"), col("bucket"), col("d.binary").as("sk"))
-    val contributions = perBucket.select(col("k"), col("sk"),
-      explode(sequence(col("bucket"), col("bucket") + lit(frameBuckets - 1)))
-        .as("frame"))
-    contributions
-      .join(perBucket.select(col("k"), col("bucket").as("frame")).distinct(),
+      .agg(phase1Agg(col("v")).as("sk"))
+    perBucket.select(col("k"), col("sk"),
+        explode(sequence(col("bucket"), col("bucket") + lit(frameBuckets - 1)))
+          .as("frame"))
+      .join(perBucket.select(col("k"), col("bucket").as("frame")),
         Seq("k", "frame"), "left_semi")
+  }
+
+  def slidingSketchDistinct(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, slideSeconds: Long, frameBuckets: Int,
+      algo: String = "hll", precision: Int = -1): DataFrame =
+    slideFrameSketches(events, tsCol, keyCol, valueCol, slideSeconds,
+        frameBuckets)(v => approx_distinct(v, algo, precision).getField("binary"))
       .groupBy("k", "frame")
       .agg(sketch_estimate(sketch_merge_agg(col("sk"))).as("est"))
       .select((col("frame") * lit(slideSeconds)).as("frame_epoch"),
         col("k").as(keyCol), col("est"))
-  }
 
   /** Trailing 6-hour distinct users per event type at every occupied hour
     * grid instant — the arbitrary-frame sketch-over-window case. The gate
@@ -404,21 +419,9 @@ object SketchQueries {
       valueCol: String, slideSeconds: Long, frameBuckets: Int,
       probs: Seq[Double],
       k: Int = graft.sketch.KllDoubles.DefaultK): DataFrame = {
-    require(slideSeconds > 0, s"slide must be positive, got $slideSeconds")
-    require(frameBuckets >= 1, s"frameBuckets must be >= 1, got $frameBuckets")
     require(probs.nonEmpty, "need at least one quantile probability")
-    GraftFunctions.register(events.sparkSession)
-    val slideUs = slideSeconds * 1000000L
-    val bucketed = events.select(col(keyCol).as("k"),
-      expr(s"unix_micros($tsCol) div $slideUs").as("bucket"),
-      col(valueCol).as("v"))
-    val perBucket = bucketed.groupBy("k", "bucket")
-      .agg(kll_sketch_agg(col("v"), k).as("sk"))
-    perBucket.select(col("k"), col("sk"),
-        explode(sequence(col("bucket"), col("bucket") + lit(frameBuckets - 1)))
-          .as("frame"))
-      .join(perBucket.select(col("k"), col("bucket").as("frame")),
-        Seq("k", "frame"), "left_semi")
+    slideFrameSketches(events, tsCol, keyCol, valueCol, slideSeconds,
+        frameBuckets)(v => kll_sketch_agg(v, k))
       .groupBy("k", "frame")
       .agg(kll_merge_agg(col("sk"), probs, k).as("qs"))
       .select(col("k"), col("frame"), posexplode(col("qs")).as(Seq("pi", "vhat")))
@@ -478,20 +481,8 @@ object SketchQueries {
   def slidingNewKeys(events: DataFrame, tsCol: String, keyCol: String,
       valueCol: String, slideSeconds: Long, frameBuckets: Int,
       k: Int = graft.sketch.ThetaSketch.DefaultK): DataFrame = {
-    require(slideSeconds > 0, s"slide must be positive, got $slideSeconds")
-    require(frameBuckets >= 1, s"frameBuckets must be >= 1, got $frameBuckets")
-    GraftFunctions.register(events.sparkSession)
-    val slideUs = slideSeconds * 1000000L
-    val bucketed = events.select(col(keyCol).as("k"),
-      expr(s"unix_micros($tsCol) div $slideUs").as("bucket"),
-      col(valueCol).as("v"))
-    val perBucket = bucketed.groupBy("k", "bucket")
-      .agg(GraftFunctions.theta_sketch_agg(col("v"), k).as("sk"))
-    val frames = perBucket.select(col("k"), col("sk"),
-        explode(sequence(col("bucket"), col("bucket") + lit(frameBuckets - 1)))
-          .as("frame"))
-      .join(perBucket.select(col("k"), col("bucket").as("frame")),
-        Seq("k", "frame"), "left_semi")
+    val frames = slideFrameSketches(events, tsCol, keyCol, valueCol,
+        slideSeconds, frameBuckets)(v => GraftFunctions.theta_sketch_agg(v, k))
       .groupBy("k", "frame")
       .agg(GraftFunctions.theta_merge_agg(col("sk")).as("th"))
     val prev = frames.select(col("k"), (col("frame") + 1L).as("frame"),
