@@ -539,6 +539,48 @@ object SketchQueries {
       .orderBy("frame_epoch", "event_type")
   }
 
+  /** Heavy hitters over an arbitrary trailing frame — the SpaceSaving
+    * family through the two-phase sliding rewrite (fourth family through
+    * [[slideFrameSketches]], after LC/HLL, KLL, and theta). Phase 1 reduces
+    * events to ONE serialized SpaceSaving summary per (key, slide-bucket);
+    * phase 2 merges the covering buckets per occupied frame and extracts
+    * top-`k` with the library's deterministic (count desc, item asc)
+    * tie-break. Phase-2 volume is frames × buckets × summary bytes — the
+    * summary is capacity-capped, so a bucket with millions of distinct
+    * items still ships a bounded object. Below `capacity` the summary is
+    * eviction-free and the counts are EXACT (the q62 regime); above it the
+    * SpaceSaving n/m guarantee applies. */
+  def slidingTopK(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, slideSeconds: Long, frameBuckets: Int, k: Int,
+      capacity: Int): DataFrame =
+    slideFrameSketches(events, tsCol, keyCol, valueCol, slideSeconds,
+        frameBuckets)(v => topk_sketch_agg(v, capacity))
+      .groupBy("k", "frame")
+      .agg(topk_merge_agg(col("sk"), k, capacity).as("tk"))
+      .select((col("frame") * lit(slideSeconds)).as("frame_epoch"),
+        col("k").as(keyCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("frame_epoch"), col(keyCol),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("e.item").as("item"), col("e.est").as("est"))
+
+  /** Top-3 users per event type over the trailing 6-hour window at every
+    * occupied hour. Capacity 8192 ≫ per-frame distinct users at every test
+    * SF (≤ a few hundred), so the summaries never evict and the counts are
+    * exact — the gate is a strict hash match against the oracle's trailing
+    * range self-join with the library's (count desc, user asc) tie-break.
+    * At 100 TB per-frame user counts exceed capacity and the same query
+    * degrades to the guaranteed-error SpaceSaving regime — the summary
+    * size, not the data, stays the shipped unit either way. */
+  def q120SlidingTopK(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("user_s", col("user_id").cast("string"))
+    slidingTopK(ev, "ts", "event_type", "user_s",
+        slideSeconds = 3600L, frameBuckets = 6, k = 3, capacity = 8192)
+      .select(col("frame_epoch"), col("event_type"), col("rnk"),
+        col("item").as("user_id"), col("est").as("n_events"))
+      .orderBy("frame_epoch", "event_type", "rnk")
+  }
+
   /** SpaceSaving heavy hitters over event types. The domain (5 event types)
     * is far below the summary capacity, so the sketch path is provably
     * EXACT — no eviction ever fires — and the gate is a strict hash match
@@ -693,6 +735,7 @@ object SketchQueries {
     "q117_sliding_sketch_window" -> (q117SlidingSketchWindow _),
     "q118_sliding_quantile_window" -> (q118SlidingQuantileWindow _),
     "q119_rolling_new_users" -> (q119RollingNewUsers _),
+    "q120_sliding_topk" -> (q120SlidingTopK _),
     "q37_sessions" -> (q37Sessions _),
     "q38_running_approx_users" -> (q38RunningApproxUsers _),
     "q30_approx_distinct_global" -> (q30ApproxGlobal _),
@@ -759,6 +802,27 @@ object SketchQueries {
         |  SELECT 1 FROM occ o WHERE o.event_type = n.event_type
         |    AND o.bucket + 1 = n.frame)
         |ORDER BY frame_epoch, event_type""".stripMargin,
+    // exact trailing top-3 per occupied instant with the library's
+    // (count desc, user asc) tie-break — strict because the summaries
+    // stay in the eviction-free exact regime at test SFs
+    "q120_sliding_topk" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS bucket
+        |  FROM events),
+        |occ AS (SELECT DISTINCT event_type, bucket FROM b),
+        |cnt AS (
+        |  SELECT o.event_type, o.bucket AS frame, e.user_id,
+        |    COUNT(*) AS n_events
+        |  FROM occ o JOIN b e ON e.event_type = o.event_type
+        |    AND e.bucket BETWEEN o.bucket - 5 AND o.bucket
+        |  GROUP BY 1, 2, 3)
+        |SELECT frame * 3600 AS frame_epoch, event_type,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type, frame
+        |    ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk,
+        |  user_id, n_events
+        |FROM cnt QUALIFY rnk <= 3
+        |ORDER BY frame_epoch, event_type, rnk""".stripMargin,
     // exact trailing row counts per occupied instant x requested prob;
     // the rank booleans are true when the KLL estimates hold their bound
     "q118_sliding_quantile_window" ->

@@ -788,6 +788,26 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 0.0) -> 5.0, (10L, 1.0) -> 9.0), s"got $got")
   }
 
+  test("slidingTopK: merged trailing counts rank with the (count desc, item asc) tie-break") {
+    import graft.operators.SketchQueries
+    // bucket 0: a,a,b; bucket 1: b. frame = 2 buckets.
+    // frame@0: a=2,b=1 -> ranks a,b. frame@10 (b0∪b1): a=2,b=2 -> tie,
+    // item order puts a first.
+    val ev = Seq(
+      ("a", 1_000_000L), ("a", 2_000_000L), ("b", 3_000_000L), // bucket 0
+      ("b", 15_000_000L)                                       // bucket 1
+    ).toDF("item", "us")
+      .select(col("item"), timestamp_micros(col("us")).as("ts"),
+        lit("e").as("event_type"))
+    val got = SketchQueries.slidingTopK(ev, "ts", "event_type", "item",
+        slideSeconds = 10L, frameBuckets = 2, k = 2, capacity = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getString(3), r.getLong(4))).toMap
+    assert(got == Map(
+      (0L, 1L) -> ("a", 2L), (0L, 2L) -> ("b", 1L),
+      (10L, 1L) -> ("a", 2L), (10L, 2L) -> ("b", 2L)), s"got $got")
+  }
+
   test("tfidfAllPairsTopK: symmetric neighbours, posting caps drop hot terms, drops observed") {
     import graft.operators.TextAnalysis
     // shingleK = 1 makes the term space the tokens themselves, so the

@@ -324,7 +324,11 @@ class ScaleSpec extends AnyFunSuite {
           algo = "lc", precision = 65536),
         "q118" -> graft.operators.SketchQueries.slidingKllQuantile(
           Tables.events(spark, sf), "ts", "event_type", "value", 3600L, 6,
-          probs = Seq(0.5)))) {
+          probs = Seq(0.5)),
+        "q120" -> graft.operators.SketchQueries.slidingTopK(
+          Tables.events(spark, sf).withColumn("user_s",
+            org.apache.spark.sql.functions.col("user_id").cast("string")),
+          "ts", "event_type", "user_s", 3600L, 6, k = 3, capacity = 8192))) {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val genInputs = "(?m)^\\(\\d+\\) Generate\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
