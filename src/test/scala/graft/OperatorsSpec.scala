@@ -788,6 +788,46 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 0.0) -> 5.0, (10L, 1.0) -> 9.0), s"got $got")
   }
 
+  test("funnelUserSteps: strictly-after + horizon semantics on the dependent chain") {
+    import graft.operators.Behavior
+    // u1: view@10, click@20 (in 100s horizon), buy@500 (>20+100 -> breaks)
+    // u2: click@5 BEFORE first view@10 -> step2 never fires
+    // u3: view@10, click@110 exactly at horizon edge (10+100 inclusive), buy@111
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 500L),
+      (2L, "click", 5L), (2L, "view", 10L),
+      (3L, "view", 10L), (3L, "click", 110L), (3L, "purchase", 111L)
+    ).toDF("user_id", "event_type", "s")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("s") * 1000000L).as("ts"))
+    val got = Behavior.funnelUserSteps(ev, "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase"), horizonSeconds = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    def us(s: Long) = Some(s * 1000000L)
+    assert(got(1L) == (us(10), us(20), None), s"u1: ${got(1L)}")
+    assert(got(2L) == (us(10), None, None), s"u2: ${got(2L)}")
+    assert(got(3L) == (us(10), us(110), us(111)), s"u3: ${got(3L)}")
+  }
+
+  test("retentionCohorts: cohort from first bucket, offsets deduped, rate vs day-0 size") {
+    import graft.operators.Behavior
+    // u1 first seen bucket 0, active 0 and 2 (its bucket-2 activity counts
+    // toward COHORT 0 at offset 2, not toward cohort 2); u2 bucket 0 only
+    // (twice -> deduped); u3 first seen bucket 2, active 2 and 3
+    val ev = Seq(
+      (1L, 5L), (1L, 25L), (2L, 1L), (2L, 2L), (3L, 21L), (3L, 35L)
+    ).toDF("user_id", "s")
+      .select(col("user_id"), timestamp_micros(col("s") * 1000000L).as("ts"))
+    val got = Behavior.retentionCohorts(ev, "ts", "user_id",
+        bucketSeconds = 10L, maxOffset = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      (0L, 0L) -> (2L, 1.0), (0L, 2L) -> (1L, 0.5),
+      (20L, 0L) -> (1L, 1.0), (20L, 1L) -> (1L, 1.0)), s"got $got")
+  }
+
   test("slidingTopK: merged trailing counts rank with the (count desc, item asc) tie-break") {
     import graft.operators.SketchQueries
     // bucket 0: a,a,b; bucket 1: b. frame = 2 buckets.

@@ -343,6 +343,27 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q121 plan: the whole funnel chain rides ONE user-key exchange") {
+    // every step's running-conditional-min shares the same (partition,
+    // sort), so Catalyst must plan a single hash Exchange on user_id and
+    // a single Sort for the entire dependent window chain — the property
+    // that keeps an n-step funnel one shuffle instead of n self-joins.
+    // (The final few-row step aggregate may add a SinglePartition
+    // exchange; only count the hash-partitioned ones.)
+    val df = graft.operators.Behavior.funnelUserSteps(
+      Tables.events(spark, sf), "ts", "user_id", "event_type",
+      Seq("view", "click", "purchase"), horizonSeconds = 24 * 3600L)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected one user_id exchange, got $hashExchanges:\n${plan.take(3000)}")
+    // dependent steps may print as chained Window operators, but they all
+    // share the one sort — a second Sort would mean a spec mismatch
+    val sorts = "(?m)Sort \\[user_id".r.findAllIn(plan).size
+    assert(sorts == 1,
+      s"expected the window chain to share one sort, got $sorts:\n${plan.take(3000)}")
+  }
+
   test("q64 plan: bloom probe filters the fact scan before the join") {
     val plan = graft.operators.RuntimeFilter.q64BloomSemiJoin(spark, sf)
       .queryExecution.executedPlan.toString
