@@ -788,6 +788,27 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 0.0) -> 5.0, (10L, 1.0) -> 9.0), s"got $got")
   }
 
+  test("blockedFuzzyJoin: block gates candidates, argmin ties break on (dist, key)") {
+    import graft.operators.Linkage
+    // block = first letter. "kitten" matches "kitchen" (dist 2) over
+    // "killer" (dist 4); "xray" has no same-block master -> dropped;
+    // "tie" is dist 1 from both "ties"(id 5) and "tien"(id 7) -> id 5 wins
+    val probe = Seq((1L, "kitten"), (2L, "xray"), (3L, "tie"))
+      .toDF("pid", "pname")
+    val master = Seq((4L, "kitchen"), (6L, "killer"), (5L, "ties"), (7L, "tien"))
+      .toDF("mid", "mname")
+    val got = Linkage.blockedFuzzyJoin(probe, "pid", "pname",
+        master, "mid", "mname", n => substring(n, 1, 1))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> (4L, 2L), 3L -> (5L, 1L)), s"got $got")
+
+    val prof = Linkage.blockProfile(probe, "pname", master, "mname",
+        n => substring(n, 1, 1)).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // k-block: 1 probe x 2 masters; t-block: 1 x 2; x-block: 1 x 0
+    assert(prof == Map("k" -> 2L, "t" -> 2L, "x" -> 0L), s"got $prof")
+  }
+
   test("funnelUserSteps: strictly-after + horizon semantics on the dependent chain") {
     import graft.operators.Behavior
     // u1: view@10, click@20 (in 100s horizon), buy@500 (>20+100 -> breaks)
