@@ -98,6 +98,37 @@ object Layout {
     n
   }
 
+  /** File-level min/max zone map of `zcol` over a written parquet dataset:
+    * one row per file, built in a single column-pruned scan. This is the
+    * open-Spark stand-in for a table format's file-statistics manifest —
+    * at 100 TB it would be built incrementally at write time (per batch,
+    * the q109/q116 `batch_id` discipline) and stored as a table, not
+    * recomputed; the build below is one pass over just the zone column. */
+  def zoneMap(spark: SparkSession, path: String, zcol: String): DataFrame =
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(zcol).as("z"))
+      .groupBy("file")
+      .agg(min("z").as("zmin"), max("z").as("zmax"), count(lit(1)).as("n_rows"))
+
+  /** Scan only the files whose `[zmin, zmax]` zone intersects `[lo, hi)`,
+    * re-applying the predicate on the survivors. The collect is the
+    * FILE LIST, never data — O(selected files), the same driver-side
+    * scale as Spark's own file-index listing; a deployment past millions
+    * of files keeps the zone map as a table and feeds the path list via
+    * the metastore instead. Skipping is correct for any `zcol` the layout
+    * clustered ([[zorderWrite]] / range-partitioned writes): a file whose
+    * zone misses the range can contain no matching row. */
+  def zoneMapPrunedScan(spark: SparkSession, path: String, zcol: String,
+      lo: Column, hi: Column): DataFrame = {
+    val files = zoneMap(spark, path, zcol)
+      .filter(col("zmax") >= lo && col("zmin") < hi)
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    base.filter(col(zcol) >= lo && col(zcol) < hi)
+  }
+
   // ---- declared query ----
 
   private val zBits = 20
@@ -137,11 +168,44 @@ object Layout {
       .orderBy("event_type")
   }
 
+  /** Zone-map skipping round trip: lineitem laid out range-partitioned +
+    * locally sorted on l_shipdate (24 files), a file-level zone map built
+    * in one pass, and a one-year range query answered FROM THE PRUNED
+    * FILE SET only. The gate is content equivalence — the oracle runs the
+    * same range aggregate on the pristine table, so a zone map that
+    * skipped a file it needed (or double-read one) hash-mismatches.
+    * LayoutSpec pins the skipping itself: the pruned scan touches a
+    * strict subset of the written files. */
+  def q124ZonemapSkip(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-zonemap").toString
+    li.repartitionByRange(24, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(path)
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    zoneMapPrunedScan(spark, path, "l_shipdate", lo, hi)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_zorder" -> (q95Zorder _),
-    "q111_compact" -> (q111Compact _))
+    "q111_compact" -> (q111Compact _),
+    "q124_zonemap_skip" -> (q124ZonemapSkip _))
 
   val oracles: Map[String, String] = Map(
+    "q124_zonemap_skip" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q111_compact" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

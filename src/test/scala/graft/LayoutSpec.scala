@@ -112,6 +112,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
   }
 
+  test("zone map prunes files: the ranged scan reads a strict subset, content-exact") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm-test").toString
+    li.repartitionByRange(12, $"l_shipdate").sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(dir)
+    val total = spark.read.parquet(dir).inputFiles.length
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val pruned = Layout.zoneMapPrunedScan(spark, dir, "l_shipdate", lo, hi)
+    // ~1 year of a 7-year span clustered into 12 range files -> most skip
+    assert(pruned.inputFiles.length < total,
+      s"no files skipped: ${pruned.inputFiles.length} of $total")
+    val expected = li.filter($"l_shipdate" >= lo && $"l_shipdate" < hi).count()
+    assert(pruned.count() == expected, "pruned scan lost or duplicated rows")
+    // an empty range prunes everything and still evaluates
+    val none = Layout.zoneMapPrunedScan(spark, dir, "l_shipdate",
+      lit("2100-01-01").cast("timestamp"), lit("2101-01-01").cast("timestamp"))
+    assert(none.count() == 0L)
+  }
+
   private implicit class JListAsScala[A](l: java.util.List[A]) {
     def asScala: Seq[A] = {
       val b = Seq.newBuilder[A]
