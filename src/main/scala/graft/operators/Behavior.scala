@@ -118,6 +118,59 @@ object Behavior {
       .orderBy("cohort_epoch", "offs")
   }
 
+  /** Last-touch attribution: credit each conversion event to the most
+    * recent preceding touch event by the same user within
+    * `windowSeconds`, or to `"none"`. One user-key shuffle, one window
+    * pass (`last(..., ignoreNulls)` over a ROWS frame that EXCLUDES the
+    * current row); the (time, tiebreakCol) sort makes equal-timestamp
+    * behavior deterministic in any engine. Returns the conversion rows
+    * with `touch_type` / `touch_age_us` attached. */
+  def lastTouchAttribution(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, touchTypes: Seq[String], convType: String,
+      windowSeconds: Long, tiebreakCol: String): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    val w = Window.partitionBy(userCol).orderBy(col("__us"), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isInCollection(touchTypes),
+      struct(col("__us").as("us"), col(typeCol).as("t")))
+    events
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .withColumn("touch_type",
+        when(col("__last_touch").isNotNull &&
+          col("__us") - col("__last_touch.us") <= windowSeconds * 1000000L,
+          col("__last_touch.t")).otherwise(lit("none")))
+      .withColumn("touch_age_us",
+        when(col("touch_type") =!= "none", col("__us") - col("__last_touch.us")))
+      .drop("__us", "__last_touch")
+  }
+
+  /** Recency-decayed engagement score per user: Σ value · 2^(−⌊age/half⌋)
+    * over the user's events, ages measured in buckets back from the
+    * corpus max bucket. The weight is an exact power of two and each term
+    * is DECIMAL-quantized before the sum, so the aggregate is
+    * order-independent and bit-identical across engines — the standard
+    * trick this engine uses to keep floating aggregates hash-gateable.
+    * The corpus max instant is a scalar aggregate broadcast into the
+    * projection (no per-row subquery). */
+  def decayScores(events: DataFrame, tsCol: String, userCol: String,
+      valueCol: String, bucketSeconds: Long, halfLifeBuckets: Int): DataFrame = {
+    require(bucketSeconds > 0 && halfLifeBuckets > 0, "bad decay grid")
+    val bucketUs = bucketSeconds * 1000000L
+    val b = events.select(col(userCol), col(valueCol).as("v"),
+      expr(s"unix_micros($tsCol) div $bucketUs").as("b"))
+    val maxB = b.agg(max("b").as("maxb"))
+    b.join(broadcast(maxB))
+      .withColumn("w", pow(lit(2.0),
+        -((col("maxb") - col("b")) / halfLifeBuckets).cast("long").cast("double")))
+      .groupBy(userCol)
+      .agg(sum((col("v") * col("w")).cast("decimal(28,10)")).as("score_dec"),
+        count(lit(1)).as("n_events"))
+      .select(col(userCol), col("score_dec").cast("double").as("score"),
+        col("n_events"))
+  }
+
   // ---- declared queries ----
 
   /** view → click → purchase within 24 h per hop, over the events table.
@@ -133,9 +186,32 @@ object Behavior {
     retentionCohorts(Tables.events(spark, dir), "ts", "user_id",
       bucketSeconds = 86400L, maxOffset = 7)
 
+  /** Purchases credited to the latest view/click touch within 6 h,
+    * summarized per touch type. Strict hash gate; value sums are
+    * DECIMAL-stabilized like every money aggregate in the engine. */
+  def q125Attribution(spark: SparkSession, dir: String): DataFrame =
+    lastTouchAttribution(Tables.events(spark, dir), "ts", "user_id",
+        "event_type", Seq("view", "click"), "purchase",
+        windowSeconds = 6 * 3600L, tiebreakCol = "event_id")
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("touch_type")
+
+  /** Top-100 users by daily-bucket, weekly-half-life decayed engagement.
+    * The (score desc, user) order is total, so the limit is
+    * deterministic; strict hash gate. */
+  def q126DecayScore(spark: SparkSession, dir: String): DataFrame =
+    decayScores(Tables.events(spark, dir), "ts", "user_id", "value",
+        bucketSeconds = 86400L, halfLifeBuckets = 7)
+      .orderBy(desc("score"), col("user_id"))
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_funnel_steps" -> (q121FunnelSteps _),
-    "q122_retention_cohorts" -> (q122RetentionCohorts _))
+    "q122_retention_cohorts" -> (q122RetentionCohorts _),
+    "q125_attribution" -> (q125Attribution _),
+    "q126_decay_score" -> (q126DecayScore _))
 
   val oracles: Map[String, String] = Map(
     // the same running-conditional-min window chain, in ANSI SQL
@@ -166,6 +242,41 @@ object Behavior {
         |FROM t CROSS JOIN (VALUES (1, 'view'), (2, 'click'),
         |  (3, 'purchase')) AS s(step, event_type)
         |ORDER BY step""".stripMargin,
+    // two IGNORE-NULLS last_value calls over the same frame necessarily
+    // pick the same (latest touch) row, so no struct portability issues
+    "q125_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS us
+        |  FROM events),
+        |t AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type IN ('view', 'click') THEN us END
+        |      IGNORE NULLS) OVER w AS lus,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |      THEN event_type END IGNORE NULLS) OVER w AS ltype
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sel AS (
+        |  SELECT CASE WHEN lus IS NOT NULL AND us - lus <= 21600000000
+        |    THEN ltype ELSE 'none' END AS touch_type, value
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sel GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+    "q126_decay_score" ->
+      """WITH b AS (
+        |  SELECT user_id, value,
+        |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS b FROM events),
+        |m AS (SELECT MAX(b) AS maxb FROM b),
+        |t AS (
+        |  SELECT user_id,
+        |    CAST(value * power(2.0, -CAST((maxb - b) // 7 AS DOUBLE))
+        |      AS DECIMAL(28,10)) AS term
+        |  FROM b CROSS JOIN m)
+        |SELECT user_id, CAST(SUM(term) AS DOUBLE) AS score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM t GROUP BY user_id
+        |ORDER BY score DESC, user_id LIMIT 100""".stripMargin,
     "q122_retention_cohorts" ->
       """WITH b AS (
         |  SELECT user_id,

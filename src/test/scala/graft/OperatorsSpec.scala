@@ -849,6 +849,44 @@ class OperatorsSpec extends AnyFunSuite {
       (20L, 0L) -> (1L, 1.0), (20L, 1L) -> (1L, 1.0)), s"got $got")
   }
 
+  test("lastTouchAttribution: latest touch wins, window expires, conversions don't touch") {
+    import graft.operators.Behavior
+    // u1: view@10, click@20, buy@30 -> click (latest). second buy@25h
+    //     after click -> outside 6h window -> none (a PURCHASE at 30 is
+    //     not a touch for it either)
+    // u2: buy@5 with no preceding touch -> none
+    val ev = Seq(
+      (1L, "view", 10L, 101L), (1L, "click", 20L, 102L),
+      (1L, "purchase", 30L, 103L), (1L, "purchase", 90030L, 104L),
+      (2L, "purchase", 5L, 201L)
+    ).toDF("user_id", "event_type", "s", "event_id")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_micros(col("s") * 1000000L).as("ts"))
+    val got = Behavior.lastTouchAttribution(ev, "ts", "user_id", "event_type",
+        Seq("view", "click"), "purchase", windowSeconds = 6 * 3600L,
+        tiebreakCol = "event_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[String]("touch_type")).toMap
+    assert(got == Map(103L -> "click", 104L -> "none", 201L -> "none"),
+      s"got $got")
+  }
+
+  test("decayScores: staircase power-of-two weights, exact below half-life") {
+    import graft.operators.Behavior
+    // max bucket = 14. ages 0, 7, 14 -> weights 1, 1/2, 1/4.
+    // u1: 8.0@b14 + 8.0@b7 + 8.0@b0 = 8 + 4 + 2 = 14. u2: 4.0@b13 (age 1,
+    // same staircase step as age 0 -> weight 1) = 4.
+    val ev = Seq(
+      (1L, 8.0, 14L), (1L, 8.0, 7L), (1L, 8.0, 0L), (2L, 4.0, 13L)
+    ).toDF("user_id", "value", "b")
+      .select(col("user_id"), col("value"),
+        timestamp_micros(col("b") * 10L * 1000000L).as("ts"))
+    val got = Behavior.decayScores(ev, "ts", "user_id", "value",
+        bucketSeconds = 10L, halfLifeBuckets = 7)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (14.0, 3L), 2L -> (4.0, 1L)), s"got $got")
+  }
+
   test("slidingTopK: merged trailing counts rank with the (count desc, item asc) tie-break") {
     import graft.operators.SketchQueries
     // bucket 0: a,a,b; bucket 1: b. frame = 2 buckets.
