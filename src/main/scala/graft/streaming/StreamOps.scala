@@ -89,6 +89,60 @@ object StreamOps {
         col(keyCol), col("n_events"), col("total_value"))
   }
 
+  /** Streaming ordered funnel: the q121 dependent chain as per-user
+    * streaming state. State per user is the fixed-size array of step
+    * instants (O(steps) longs — bounded however long the stream runs or
+    * however hot the user); each micro-batch folds its rows in event-time
+    * order into the chain greedily: step i fires at the first
+    * `stepTypes(i)` event strictly after step i−1's instant and within
+    * `horizonSeconds` of it.
+    *
+    * Contract (the streaming-vs-batch law StreamingSpec pins): on a
+    * stream whose per-user rows arrive in event-time order — any
+    * time-partitioned replay of a log — the greedy fold equals the batch
+    * [[graft.operators.Behavior.funnelUserSteps]] result exactly, because
+    * the first qualifying event in time order IS the minimum. Under
+    * cross-batch disorder an earlier-timestamped late event cannot
+    * retroactively re-open a chain (that would need unbounded event
+    * retention); the greedy result is then the standard
+    * arrival-order funnel semantics. Emits `(user, steps_reached)` per
+    * update, monotone per user. */
+  def streamingFunnel(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, stepTypes: Seq[String],
+      horizonSeconds: Long): DataFrame = {
+    require(stepTypes.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val steps = stepTypes.toArray
+    val n = steps.length
+    val horizonUs = horizonSeconds * 1000000L
+    val unset = Long.MinValue
+    val out = events
+      .select(col(userCol).cast("long").as("u"), col(typeCol).as("et"),
+        expr(s"unix_micros($tsCol)").as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (Long, Int)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          val t = if (state.exists) state.get else Array.fill(n)(unset)
+          // fold in (event-time, type) order; per-group volume is bounded
+          // by the micro-batch, not the stream
+          rows.toArray.sortBy(r => (r._3, r._2)).foreach { case (_, et, us) =>
+            val i = steps.indices.find(i => steps(i) == et && t(i) == unset &&
+              (i == 0 || (t(i - 1) != unset && us > t(i - 1) &&
+                us <= t(i - 1) + horizonUs)))
+            i.foreach(t(_) = us)
+          }
+          state.update(t)
+          (user, t.indexWhere(_ == unset) match {
+            case -1 => n
+            case k => k
+          })
+      }
+    out.toDF(userCol, "steps_reached")
+  }
+
   /** Streaming dedup: first occurrence wins within the watermark horizon —
     * state is bounded by the watermark, which is what keeps it viable on an
     * unbounded stream. */

@@ -151,6 +151,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel equals the batch funnel on a time-ordered two-batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("ts")
+      .as[Ev].collect()
+    val split = ev.length / 2
+    val mem = MemoryStream[Ev]
+    val run = StreamOps.streamingFunnel(mem.toDF(), "ts", "user_id",
+      "event_type", Seq("view", "click", "purchase"), horizonSeconds = 24 * 3600L)
+    val q = run.writeStream.outputMode("update")
+      .format("memory").queryName("sfun").start()
+    try {
+      mem.addData(ev.take(split).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(ev.drop(split).toIndexedSeq)
+      q.processAllAvailable()
+      // last update per user is the final chain state (monotone)
+      val streamed = spark.sql(
+        """SELECT s.steps_reached, COUNT(*) AS n FROM (
+          |  SELECT user_id, MAX(steps_reached) AS steps_reached
+          |  FROM sfun GROUP BY user_id) s
+          |GROUP BY s.steps_reached""".stripMargin)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def reachedAtLeast(k: Int) =
+        streamed.filter(_._1 >= k).values.sum
+      val batch = graft.operators.Behavior.funnelCounts(
+        graft.sources.Tables.events(spark, sf), "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase"), horizonSeconds = 24 * 3600L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert((1 to 3).map(reachedAtLeast) == (1 to 3).map(batch(_)),
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("TTL-state streaming dedup emits only first-seen content across restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
