@@ -581,6 +581,57 @@ object SketchQueries {
       .orderBy("frame_epoch", "event_type", "rnk")
   }
 
+  /** Point-frequency estimates over an arbitrary trailing frame — the
+    * Count-Min family through [[slideFrameSketches]], completing the set:
+    * every mergeable family the engine ships (LC/HLL, KLL, theta,
+    * SpaceSaving, CM) now runs through the one sliding rewrite. One CM
+    * per (key, slide-bucket); covering buckets merge per occupied frame
+    * (counter-wise ADD — CM's merge law); the merged sketch answers any
+    * point query over the frame. */
+  def slidingCmEstimate(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, slideSeconds: Long, frameBuckets: Int,
+      probe: String): DataFrame =
+    slideFrameSketches(events, tsCol, keyCol, valueCol, slideSeconds,
+        frameBuckets)(v => cm_sketch_agg(v))
+      .groupBy("k", "frame")
+      .agg(cm_merge_agg(col("sk")).as("cm"))
+      .select((col("frame") * lit(slideSeconds)).as("frame_epoch"),
+        col("k").as(keyCol),
+        cm_estimate(col("cm"), lit(probe)).as("est"),
+        cm_total(col("cm")).as("n_frame"))
+
+  /** Trailing 6-hour event count of ONE probe user per event type at every
+    * occupied hour, answered by the merged frame CM. Gate: the exact count
+    * rides along (oracle reproduces it with a range self-join) plus the
+    * Count-Min guarantee booleans — never-undercount, and overshoot within
+    * ε·N of the frame (ε = e/width; frame cardinalities at test SFs are
+    * far below width, so the estimate is in practice exact). */
+  def q127SlidingCmFreq(spark: SparkSession, dir: String): DataFrame = {
+    val probe = "42"
+    val eps = math.E / graft.sketch.CountMin.DefaultWidth
+    val ev = Tables.events(spark, dir)
+      .withColumn("user_s", col("user_id").cast("string"))
+    val est = slidingCmEstimate(ev, "ts", "event_type", "user_s",
+      slideSeconds = 3600L, frameBuckets = 6, probe = probe)
+    val bucketed = ev.select(col("event_type"),
+      expr("unix_micros(ts) div 3600000000").as("bucket"), col("user_s"))
+    val exact = bucketed
+      .select(col("event_type"), col("user_s"),
+        explode(sequence(col("bucket"), col("bucket") + lit(5))).as("frame"))
+      .join(bucketed.select(col("event_type"), col("bucket").as("frame")).distinct(),
+        Seq("event_type", "frame"), "left_semi")
+      .groupBy("event_type", "frame")
+      .agg(sum(when(col("user_s") === probe, 1L).otherwise(0L)).as("n_probe"))
+      .select((col("frame") * 3600L).as("frame_epoch"), col("event_type"),
+        col("n_probe"))
+    est.join(exact, Seq("frame_epoch", "event_type"))
+      .select(col("frame_epoch"), col("event_type"), col("n_probe"),
+        (col("est") >= col("n_probe") &&
+          col("est").cast("double") <= col("n_probe").cast("double") +
+            lit(eps) * col("n_frame").cast("double")).as("est_ok"))
+      .orderBy("frame_epoch", "event_type")
+  }
+
   /** SpaceSaving heavy hitters over event types. The domain (5 event types)
     * is far below the summary capacity, so the sketch path is provably
     * EXACT — no eviction ever fires — and the gate is a strict hash match
@@ -736,6 +787,7 @@ object SketchQueries {
     "q118_sliding_quantile_window" -> (q118SlidingQuantileWindow _),
     "q119_rolling_new_users" -> (q119RollingNewUsers _),
     "q120_sliding_topk" -> (q120SlidingTopK _),
+    "q127_sliding_cm_freq" -> (q127SlidingCmFreq _),
     "q37_sessions" -> (q37Sessions _),
     "q38_running_approx_users" -> (q38RunningApproxUsers _),
     "q30_approx_distinct_global" -> (q30ApproxGlobal _),
@@ -823,6 +875,23 @@ object SketchQueries {
         |  user_id, n_events
         |FROM cnt QUALIFY rnk <= 3
         |ORDER BY frame_epoch, event_type, rnk""".stripMargin,
+    // exact trailing probe-user counts per occupied frame; the CM
+    // guarantee booleans are computed by the sketch side
+    "q127_sliding_cm_freq" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS user_s,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS bucket
+        |  FROM events),
+        |occ AS (SELECT DISTINCT event_type, bucket FROM b),
+        |ex AS (
+        |  SELECT o.event_type, o.bucket AS frame,
+        |    CAST(SUM(CASE WHEN e.user_s = '42' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_probe
+        |  FROM occ o JOIN b e ON e.event_type = o.event_type
+        |    AND e.bucket BETWEEN o.bucket - 5 AND o.bucket
+        |  GROUP BY 1, 2)
+        |SELECT frame * 3600 AS frame_epoch, event_type, n_probe, true AS est_ok
+        |FROM ex ORDER BY frame_epoch, event_type""".stripMargin,
     // exact trailing row counts per occupied instant x requested prob;
     // the rank booleans are true when the KLL estimates hold their bound
     "q118_sliding_quantile_window" ->

@@ -907,6 +907,21 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 1L) -> ("a", 2L), (10L, 2L) -> ("b", 2L)), s"got $got")
   }
 
+  test("slidingCmEstimate: merged frame CM answers the probe exactly in the no-collision regime") {
+    import graft.operators.SketchQueries
+    // probe "a": 2x in bucket 0, 1x in bucket 1 -> frame@0: 2, frame@10: 3
+    val ev = Seq(
+      ("a", 1_000_000L), ("a", 2_000_000L), ("b", 3_000_000L), // bucket 0
+      ("a", 15_000_000L)                                       // bucket 1
+    ).toDF("item", "us")
+      .select(col("item"), timestamp_micros(col("us")).as("ts"),
+        lit("e").as("event_type"))
+    val got = SketchQueries.slidingCmEstimate(ev, "ts", "event_type", "item",
+        slideSeconds = 10L, frameBuckets = 2, probe = "a")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(0L -> (2L, 3L), 10L -> (3L, 4L)), s"got $got")
+  }
+
   test("tfidfAllPairsTopK: symmetric neighbours, posting caps drop hot terms, drops observed") {
     import graft.operators.TextAnalysis
     // shingleK = 1 makes the term space the tokens themselves, so the

@@ -328,7 +328,11 @@ class ScaleSpec extends AnyFunSuite {
         "q120" -> graft.operators.SketchQueries.slidingTopK(
           Tables.events(spark, sf).withColumn("user_s",
             org.apache.spark.sql.functions.col("user_id").cast("string")),
-          "ts", "event_type", "user_s", 3600L, 6, k = 3, capacity = 8192))) {
+          "ts", "event_type", "user_s", 3600L, 6, k = 3, capacity = 8192),
+        "q127" -> graft.operators.SketchQueries.slidingCmEstimate(
+          Tables.events(spark, sf).withColumn("user_s",
+            org.apache.spark.sql.functions.col("user_id").cast("string")),
+          "ts", "event_type", "user_s", 3600L, 6, probe = "42"))) {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val genInputs = "(?m)^\\(\\d+\\) Generate\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
