@@ -189,10 +189,42 @@ object Cdc {
       .orderBy("o_orderkey")
   }
 
+  /** The q116 maintenance loop with its zone-map manifest maintained
+    * incrementally per batch, then a customer-range aggregate answered
+    * THROUGH the maintained manifest on the final version: only snapshot
+    * files whose o_custkey zone intersects the range are opened (the
+    * z-order on (o_custkey, o_orderkey) is what makes the zones
+    * selective). Gate: the oracle replays both MERGEs and filters — a
+    * manifest that skipped a needed file (or a replay that duplicated
+    * one) hash-mismatches. */
+  def q128MaintainedZonemap(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-maintzm").toString
+    val key = Seq("o_orderkey")
+    val zc = Seq("o_custkey", "o_orderkey")
+    graft.streaming.StreamOps.maintenanceBatch(derivedChanges(o), o, key,
+      zc, 27, path, 1L << 20, "op", "seq", 0L, zmapCol = Some("o_custkey"))
+    graft.streaming.StreamOps.maintenanceBatch(derivedChanges2(o), o, key,
+      zc, 27, path, 1L << 20, "op", "seq", 1L, zmapCol = Some("o_custkey"))
+    graft.streaming.StreamOps.zoneMapPrunedSnapshot(spark, path, 1L,
+        "o_custkey", lit(200L), lit(400L))
+      .groupBy("o_orderstatus")
+      // scale 4, not 2: merged prices are exact scale-4 decimals (2-dec
+      // price x 2-dec factor); re-rounding to scale 2 would hit .xx5
+      // rounding-mode ties between engines, scale 4 recovers the exact
+      // value with no tie to break
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_merge_upsert" -> (q109MergeUpsert _),
     "q110_scd2" -> (q110Scd2 _),
-    "q116_maintenance_loop" -> (q116MaintenanceLoop _))
+    "q116_maintenance_loop" -> (q116MaintenanceLoop _),
+    "q128_maintained_zonemap" -> (q128MaintainedZonemap _))
 
   val oracles: Map[String, String] = Map(
     "q109_merge_upsert" ->
@@ -233,7 +265,48 @@ object Cdc {
     // both nights' MERGEs replayed sequentially from first principles:
     // version 1 is built FROM version 0 (CTE m1), not from the base —
     // the snapshot-chain semantics of the maintained store
-    "q116_maintenance_loop" ->
+    "q116_maintenance_loop" -> (maintChainSql +
+      """
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM m2 ORDER BY o_orderkey""".stripMargin),
+    // the same final version, range-filtered and aggregated — what the
+    // maintained zone map answers from the pruned file subset
+    "q128_maintained_zonemap" -> (maintChainSql +
+      """
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM m2 WHERE o_custkey >= 200 AND o_custkey < 400
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    "q110_scd2" ->
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+        |           OR LAG(o_orderpriority) OVER w <> o_orderpriority
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |islands AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flagged),
+        |versions AS (
+        |  SELECT o_custkey, island AS version,
+        |    MIN(o_orderpriority) AS o_orderpriority,
+        |    MIN(o_orderdate) AS valid_from
+        |  FROM islands GROUP BY o_custkey, island)
+        |SELECT o_custkey, o_orderpriority, valid_from,
+        |  LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+        |    AS valid_to,
+        |  CAST(version AS BIGINT) AS version
+        |FROM versions ORDER BY o_custkey, version""".stripMargin)
+
+  /** The two-night merge chain as shared oracle CTEs (final version = m2). */
+  private lazy val maintChainSql: String =
       """WITH c1 AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |         o_orderdate, o_orderpriority, 'D' AS op, 1 AS seq
@@ -288,38 +361,14 @@ object Cdc {
         |  SELECT * FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
         |      ORDER BY seq DESC, op DESC) AS rn
-        |    FROM c2) t WHERE rn = 1)
-        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |       o_orderdate, o_orderpriority
-        |FROM m1 b WHERE NOT EXISTS (
-        |  SELECT 1 FROM l2 c WHERE c.o_orderkey = b.o_orderkey)
-        |UNION ALL
-        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |       o_orderdate, o_orderpriority
-        |FROM l2 WHERE op <> 'D'
-        |ORDER BY o_orderkey""".stripMargin,
-    "q110_scd2" ->
-      """WITH flagged AS (
-        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-        |    CASE WHEN LAG(o_orderpriority) OVER w IS NULL
-        |           OR LAG(o_orderpriority) OVER w <> o_orderpriority
-        |         THEN 1 ELSE 0 END AS chg
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey
-        |               ORDER BY o_orderdate, o_orderkey)),
-        |islands AS (
-        |  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM flagged),
-        |versions AS (
-        |  SELECT o_custkey, island AS version,
-        |    MIN(o_orderpriority) AS o_orderpriority,
-        |    MIN(o_orderdate) AS valid_from
-        |  FROM islands GROUP BY o_custkey, island)
-        |SELECT o_custkey, o_orderpriority, valid_from,
-        |  LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
-        |    AS valid_to,
-        |  CAST(version AS BIGINT) AS version
-        |FROM versions ORDER BY o_custkey, version""".stripMargin)
+        |    FROM c2) t WHERE rn = 1),
+        |m2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM m1 b WHERE NOT EXISTS (
+        |    SELECT 1 FROM l2 c WHERE c.o_orderkey = b.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM l2 WHERE op <> 'D')""".stripMargin
 }

@@ -701,13 +701,14 @@ object StreamOps {
   def streamingMaintenance(changes: DataFrame, initial: DataFrame,
       key: Seq[String], zCols: Seq[String], zBits: Int, path: String,
       targetBytes: Long = 128L << 20, opCol: String = "op",
-      seqCol: String = "seq", checkpoint: Option[String] = None)
+      seqCol: String = "seq", checkpoint: Option[String] = None,
+      zmapCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = changes.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
         maintenanceBatch(batch.toDF(), initial, key, zCols, zBits, path,
-          targetBytes, opCol, seqCol, batchId)
+          targetBytes, opCol, seqCol, batchId, zmapCol)
       }
     checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
   }
@@ -718,7 +719,8 @@ object StreamOps {
     * identical body without a stream. */
   private[graft] def maintenanceBatch(batch: DataFrame, initial: DataFrame,
       key: Seq[String], zCols: Seq[String], zBits: Int, path: String,
-      targetBytes: Long, opCol: String, seqCol: String, batchId: Long): Unit = {
+      targetBytes: Long, opCol: String, seqCol: String, batchId: Long,
+      zmapCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val snapPath = s"$path/snap"
     val prev = latestVersionBefore(spark, snapPath, batchId) match {
@@ -734,6 +736,32 @@ object StreamOps {
     graft.operators.Layout.zorderWrite(merged,
       graft.operators.Layout.zValue(zCols.map(col), zBits),
       s"$snapPath/batch_id=$batchId", n)
+    // the zone-map manifest maintained INCREMENTALLY: one column-pruned
+    // pass over just the files this batch wrote, landed under the same
+    // batch_id so a replayed batch overwrites its own manifest version
+    zmapCol.foreach { c =>
+      graft.operators.Layout.zoneMap(spark, s"$snapPath/batch_id=$batchId", c)
+        .write.mode("overwrite").parquet(s"$path/zonemap/batch_id=$batchId")
+    }
+  }
+
+  /** Range scan of a maintained snapshot version answered through its
+    * MAINTAINED zone map ([[maintenanceBatch]] with `zmapCol`): only the
+    * files whose zone intersects `[lo, hi)` are opened. The collect is
+    * the selected file list — O(files of one version), the
+    * [[graft.operators.Layout.zoneMapPrunedScan]] boundedness argument. */
+  def zoneMapPrunedSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: Long, zcol: String,
+      lo: Column, hi: Column): DataFrame = {
+    val files = spark.read.parquet(s"$path/zonemap")
+      .filter(col("batch_id") === batchId)
+      .filter(col("zmax") >= lo && col("zmin") < hi)
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(s"$path/snap").filter(lit(false)).drop("batch_id")
+      else spark.read.parquet(files: _*)
+    base.filter(col(zcol) >= lo && col(zcol) < hi)
   }
 
   /** Read the newest complete snapshot version of a maintained store

@@ -141,7 +141,8 @@ class CdcSpec extends AnyFunSuite {
     val mem = MemoryStream[(Long, String, Double, String, Long)]
     val q = StreamOps.streamingMaintenance(
       withK2(mem.toDF().toDF("k", "name", "price", "op", "seq")),
-      withK2(base), Seq("k"), zc, 6, dir, targetBytes = 1L << 10)
+      withK2(base), Seq("k"), zc, 6, dir, targetBytes = 1L << 10,
+      zmapCol = Some("k"))
     try {
       mem.addData(b0: _*); q.processAllAvailable()
       mem.addData(b1: _*); q.processAllAvailable()
@@ -179,9 +180,32 @@ class CdcSpec extends AnyFunSuite {
       case _ =>
     }
 
+    // the maintained zone map: one manifest version per batch, and the
+    // pruned read of a k-range opens a strict file subset with exact content
+    val zmVersions = spark.read.parquet(s"$dir/zonemap")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(zmVersions == Set(0L, 1L), s"zonemap versions: $zmVersions")
+    val prunedLo = StreamOps.zoneMapPrunedSnapshot(spark, dir, 1L, "k",
+      lit(0L), lit(8L))
+    val allFiles = spark.read.parquet(s"$dir/snap")
+      .filter(col("batch_id") === 1L).inputFiles.length
+    assert(prunedLo.inputFiles.length < allFiles,
+      s"zone map pruned nothing: ${prunedLo.inputFiles.length} of $allFiles")
+    assert(prunedLo.select("k").collect().map(_.getLong(0)).toSet ==
+      exp1.map(_._1).filter(k => k >= 0L && k < 8L),
+      "pruned snapshot scan diverged from the version content")
+
     // replay batch 1: reads version 0, recomputes, overwrites its own dir
     StreamOps.maintenanceBatch(withK2(chg(b1)), withK2(base), Seq("k"), zc, 6,
-      dir, 1L << 10, "op", "seq", 1L)
+      dir, 1L << 10, "op", "seq", 1L, zmapCol = Some("k"))
+    // the manifest describes exactly the version's ROW-BEARING files (an
+    // empty part-file has nothing a skip could miss)
+    assert(spark.read.parquet(s"$dir/zonemap")
+      .filter(col("batch_id") === 1L).count() ==
+      spark.read.parquet(s"$dir/snap").filter(col("batch_id") === 1L)
+        .select(input_file_name()).distinct().count(),
+      "replayed zonemap must describe exactly the replayed version's files")
     assert(version(1L) == exp1, "replayed batch changed the snapshot")
     assert(spark.read.parquet(s"$dir/snap").filter(col("batch_id") === 1L)
       .count() == exp1.size.toLong, "replay appended instead of overwriting")
