@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOf, Audit, Behavior, Cdc, Dedup, Layout, Linkage, Multimodal, Relational, RuntimeFilter, Sampling, Similarity, SketchQueries, Skew, TextAnalysis}
+import graft.operators.{AsOf, Audit, Behavior, Cdc, Dedup, Layout, Linkage, Multimodal, Relational, RuntimeFilter, Sampling, Similarity, SketchQueries, Skew, Skyline, TextAnalysis}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,7 +34,8 @@ object SparkEntry {
     Relational.queries ++ SketchQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ AsOf.queries ++
       RuntimeFilter.queries ++ Sampling.queries ++ Skew.queries ++ Layout.queries ++
-      Cdc.queries ++ Audit.queries ++ Behavior.queries ++ Linkage.queries
+      Cdc.queries ++ Audit.queries ++ Behavior.queries ++ Linkage.queries ++
+      Skyline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -43,5 +44,6 @@ object SparkEntry {
     Relational.oracles ++ SketchQueries.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
       RuntimeFilter.oracles ++ Sampling.oracles ++ Skew.oracles ++ Layout.oracles ++
-      Cdc.oracles ++ Audit.oracles ++ Behavior.oracles ++ Linkage.oracles
+      Cdc.oracles ++ Audit.oracles ++ Behavior.oracles ++ Linkage.oracles ++
+      Skyline.oracles
 }

@@ -788,6 +788,31 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 0.0) -> 5.0, (10L, 1.0) -> 9.0), s"got $got")
   }
 
+  test("skyline2d: duplicates kept, x-ties resolved, cross-bucket dominance pruned; equals brute force") {
+    import graft.operators.Skyline
+    // (1,5) dominates (2,4) and (3,5); (1,5) duplicated -> multiplicity 2;
+    // (1,7) and (1,5): same x, higher y dominates -> only (1,7) survives
+    // at x=1... but (1,5)=(1,5) duplicates don't dominate each other —
+    // (1,7) dominates BOTH copies of (1,5)
+    val pts = Seq((1.0, 5.0), (1.0, 5.0), (1.0, 7.0), (2.0, 4.0),
+      (3.0, 5.0), (2.0, 9.0), (0.5, 1.0))
+    val got = Skyline.skyline2d(pts.toDF("x", "y"), "x", "y", nBuckets = 2)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == Set((0.5, 1.0, 1L), (1.0, 7.0, 1L), (2.0, 9.0, 1L)),
+      s"got $got")
+
+    // randomized cross-check vs the O(n^2) definition (fixed seed)
+    val rnd = new scala.util.Random(7)
+    val rpts = Seq.fill(300)((rnd.nextInt(40).toDouble, rnd.nextInt(40).toDouble))
+    val expect = rpts.groupBy(identity).map { case ((x, y), g) => (x, y, g.size.toLong) }
+      .filter { case (x, y, _) =>
+        !rpts.exists(p => (p._1 <= x && p._2 >= y) && p != ((x, y))) }
+      .toSet
+    val rgot = Skyline.skyline2d(rpts.toDF("x", "y"), "x", "y", nBuckets = 5)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(rgot == expect, s"random cross-check diverged: got $rgot expect $expect")
+  }
+
   test("blockedFuzzyJoin: block gates candidates, argmin ties break on (dist, key)") {
     import graft.operators.Linkage
     // block = first letter. "kitten" matches "kitchen" (dist 2) over
