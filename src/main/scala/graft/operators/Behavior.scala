@@ -171,6 +171,38 @@ object Behavior {
         col("n_events"))
   }
 
+  /** Within-session event-type transition matrix (first-order Markov
+    * counts): sessions cut by `gapSeconds` inactivity (the q37 rule),
+    * consecutive events paired with `lead`, transitions counted and
+    * normalized per source type. The session numbering, the lead, and the
+    * per-user sort all cluster by the user key, so the whole chain rides
+    * ONE hash exchange (the session-id window's (user, sid) requirement
+    * is satisfied by the user partitioning); the final (from, to) count
+    * is a few-dozen-row reduction. */
+  def sessionTransitions(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, tieCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gap must be positive: $gapSeconds")
+    val wOrd = Window.partitionBy(userCol).orderBy(col("__us"), col(tieCol))
+    val gapUs = gapSeconds * 1000000L
+    val sessioned = events
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__new", when(lag(col("__us"), 1).over(wOrd).isNull ||
+        col("__us") - lag(col("__us"), 1).over(wOrd) > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col(userCol), col("__sid"))
+      .orderBy(col("__us"), col(tieCol))
+    val counts = sessioned
+      .withColumn("__next", lead(col(typeCol), 1).over(wSess))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
   // ---- declared queries ----
 
   /** view → click → purchase within 24 h per hop, over the events table.
@@ -207,11 +239,19 @@ object Behavior {
       .orderBy(desc("score"), col("user_id"))
       .limit(100)
 
+  /** Event-type transitions within 30-minute-gap sessions. Strict hash
+    * gate: counts are exact, and each probability is one long/long double
+    * division (exactly rounded identically in any IEEE engine). */
+  def q130SessionTransitions(spark: SparkSession, dir: String): DataFrame =
+    sessionTransitions(Tables.events(spark, dir), "ts", "user_id",
+      "event_type", "event_id", gapSeconds = 30 * 60L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_funnel_steps" -> (q121FunnelSteps _),
     "q122_retention_cohorts" -> (q122RetentionCohorts _),
     "q125_attribution" -> (q125Attribution _),
-    "q126_decay_score" -> (q126DecayScore _))
+    "q126_decay_score" -> (q126DecayScore _),
+    "q130_session_transitions" -> (q130SessionTransitions _))
 
   val oracles: Map[String, String] = Map(
     // the same running-conditional-min window chain, in ANSI SQL
@@ -277,6 +317,32 @@ object Behavior {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM t GROUP BY user_id
         |ORDER BY score DESC, user_id LIMIT 100""".stripMargin,
+    // q37's session rule, then lead() within (user, session), then the
+    // count matrix with per-source normalization
+    "q130_session_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+        |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |pairs AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY us, event_id) AS to_type
+        |  FROM sess),
+        |cnt AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type)
+        |    AS DOUBLE) AS p
+        |FROM cnt ORDER BY from_type, to_type""".stripMargin,
     "q122_retention_cohorts" ->
       """WITH b AS (
         |  SELECT user_id,

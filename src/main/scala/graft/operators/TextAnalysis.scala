@@ -779,7 +779,49 @@ object TextAnalysis {
   /** Fixed demo query for q90 — common synthetic-corpus words. */
   val Bm25QueryTerms: Seq[String] = Seq("the", "data", "quick", "maison")
 
+  /** Exact phrase search over a positional inverted index.
+    *
+    * BM25 (q90) answers bag-of-words relevance; a PHRASE needs token
+    * POSITIONS. The index is `(term, doc, pos)` postings — built here
+    * inline by `posexplode`, stored bucketed-by-term in a deployment —
+    * and an n-word phrase is n-1 equi-joins on `(doc, pos + i)`,
+    * restricted to the PHRASE'S OWN terms before any join (term
+    * selectivity is what makes positional intersection cheap at scale;
+    * the join keys are (doc, pos), so the fan-out per posting is the
+    * phrase length, never the corpus). Overlapping occurrences count
+    * individually, the standard positional-index semantics. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val postings = docs
+      .select(col(idCol).as("doc"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isInCollection(phrase.distinct))
+    val anchor = postings.filter(col("term") === phrase.head)
+      .select(col("doc"), col("pos"))
+    val matches = phrase.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (w, i)) =>
+        acc.join(
+          postings.filter(col("term") === w)
+            .select(col("doc"), (col("pos") - i).as("pos")),
+          Seq("doc", "pos"))
+    }
+    matches.groupBy("doc").agg(count(lit(1)).as("n_matches"))
+      .select(col("doc").as(idCol), col("n_matches"))
+  }
+
+  /** Docs containing the exact phrase "table table" with per-doc
+    * occurrence counts (overlaps count — "table table table" is two).
+    * The repeated-word phrase exercises the positional join's overlap
+    * semantics; strict hash gate against the oracle's WITH-ORDINALITY
+    * positional twin. */
+  def q131PhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(Tables.documents(spark, dir), "doc_id", "text",
+        Seq("table", "table"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_phrase_search" -> (q131PhraseSearch _),
     "q80_gopher_quality" -> (q80GopherQuality _),
     "q82_pii_scrub" -> (q82PiiScrub _),
     "q87_chunk_documents" -> (q87ChunkDocuments _),
@@ -885,6 +927,21 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // positional postings via an indexed list_transform (1-based there,
+    // 0-based in Spark's posexplode — the self-join offsets cancel it out)
+    "q131_phrase_search" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> '') AS l
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, u.s['pos'] AS pos, u.s['tok'] AS tok
+        |  FROM d, unnest(list_transform(l,
+        |    (x, i) -> struct_pack(tok := x, pos := i))) AS u(s)),
+        |p AS (SELECT doc_id, pos FROM toks WHERE tok = 'table')
+        |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        |FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "q89_pack_sequences" ->
       """WITH h AS (
         |  SELECT doc_id, lang,

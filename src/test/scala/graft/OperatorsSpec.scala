@@ -788,6 +788,43 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 0.0) -> 5.0, (10L, 1.0) -> 9.0), s"got $got")
   }
 
+  test("phraseSearch: overlaps count, distinct-word phrases need adjacency, absent phrase drops doc") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "table table table big"),    // "table table" x2 (overlap)
+      (1L, "big table small table"),    // x0; "big table" x1
+      (2L, "table big table")           // x0; "big table" x1
+    ).toDF("doc_id", "text")
+    def run(p: String*) = TextAnalysis.phraseSearch(docs, "doc_id", "text", p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run("table", "table") == Map(0L -> 2L))
+    assert(run("big", "table") == Map(1L -> 1L, 2L -> 1L))
+    assert(run("table", "big", "table") == Map(2L -> 1L))
+    assert(run("small", "big").isEmpty)
+  }
+
+  test("sessionTransitions: pairs stop at session boundaries, probabilities normalize per source") {
+    import graft.operators.Behavior
+    // u1 session A: a->b->a ; (gap) session B: b->c. u2: a->c.
+    val ev = Seq(
+      (1L, "a", 0L, 1L), (1L, "b", 60L, 2L), (1L, "a", 120L, 3L),
+      (1L, "b", 10000L, 4L), (1L, "c", 10060L, 5L),
+      (2L, "a", 0L, 6L), (2L, "c", 30L, 7L)
+    ).toDF("user_id", "event_type", "s", "event_id")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_micros(col("s") * 1000000L).as("ts"))
+    val got = Behavior.sessionTransitions(ev, "ts", "user_id", "event_type",
+        "event_id", gapSeconds = 1800L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // u1's 120s -> 10000s gap (9880s > 1800s) ends session A at the
+    // 'a'@120, so no a->b pair crosses it. from a: b once, c once
+    // (p=0.5 each); from b: a once (in A), c once (in B)
+    assert(got == Map(
+      ("a", "b") -> (1L, 0.5), ("a", "c") -> (1L, 0.5),
+      ("b", "a") -> (1L, 0.5), ("b", "c") -> (1L, 0.5)), s"got $got")
+  }
+
   test("skyline2d: duplicates kept, x-ties resolved, cross-bucket dominance pruned; equals brute force") {
     import graft.operators.Skyline
     // (1,5) dominates (2,4) and (3,5); (1,5) duplicated -> multiplicity 2;
