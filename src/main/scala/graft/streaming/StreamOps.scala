@@ -143,6 +143,55 @@ object StreamOps {
     out.toDF(userCol, "steps_reached")
   }
 
+  /** Streaming last-touch attribution: the q125 operator as per-user
+    * streaming state. State per user is ONE (instant, type) pair — the
+    * most recent touch — so state is O(1) per user forever. Each
+    * micro-batch folds its rows in (event-time, tiebreak) order: touches
+    * update the state, conversions emit immediately with the credit
+    * decision (`touch_type` or `"none"` when no touch within
+    * `windowSeconds` precedes them).
+    *
+    * Law (StreamingSpec): on per-user (ts, tie)-ordered arrival the
+    * emissions equal the batch
+    * [[graft.operators.Behavior.lastTouchAttribution]] rows exactly —
+    * the running last-touch IS the window's ignore-nulls last() over the
+    * preceding frame. Under disorder, a late touch cannot re-credit an
+    * already-emitted conversion (that would be retraction, not
+    * streaming append). */
+  def streamingLastTouch(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, touchTypes: Seq[String], convType: String,
+      windowSeconds: Long, tieCol: String): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = touchTypes.toSet
+    val windowUs = windowSeconds * 1000000L
+    val out = events
+      .select(col(userCol).cast("long").as("u"), col(typeCol).as("et"),
+        expr(s"unix_micros($tsCol)").as("us"), col(tieCol).cast("long").as("tie"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String), (Long, Long, String)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          var (lastUs, lastType) = state.getOption.getOrElse((Long.MinValue, ""))
+          val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+          rows.toArray.sortBy(r => (r._3, r._4)).foreach { case (_, et, us, _) =>
+            if (touches(et)) { lastUs = us; lastType = et }
+            else if (et == convType) {
+              val credit =
+                if (lastUs != Long.MinValue && us - lastUs <= windowUs) lastType
+                else "none"
+              emitted += ((user, us, credit))
+            }
+          }
+          state.update((lastUs, lastType))
+          emitted.iterator
+      }
+    out.toDF(userCol, "conv_us", "touch_type")
+  }
+
   /** Streaming dedup: first occurrence wins within the watermark horizon —
     * state is bounded by the watermark, which is what keeps it viable on an
     * unbounded stream. */

@@ -188,6 +188,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming last-touch attribution equals the batch operator on an ordered replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val evDf = graft.sources.Tables.events(spark, sf)
+    case class EvId(ts: Timestamp, user_id: Long, event_type: String, event_id: Long)
+    val ev = evDf.select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+      .orderBy("ts", "event_id")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val split = ev.length / 2
+    val mem = MemoryStream[(Timestamp, Long, String, Long)]
+    val run = StreamOps.streamingLastTouch(
+      mem.toDF().toDF("ts", "user_id", "event_type", "event_id"),
+      "ts", "user_id", "event_type", Seq("view", "click"), "purchase",
+      windowSeconds = 6 * 3600L, tieCol = "event_id")
+    val q = run.writeStream.outputMode("update")
+      .format("memory").queryName("slt").start()
+    try {
+      mem.addData(ev.take(split).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(ev.drop(split).toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT user_id, conv_us, touch_type FROM slt")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+      val batch = graft.operators.Behavior.lastTouchAttribution(evDf, "ts",
+          "user_id", "event_type", Seq("view", "click"), "purchase",
+          windowSeconds = 6 * 3600L, tiebreakCol = "event_id")
+        .select(col("user_id"), expr("unix_micros(ts)"), col("touch_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+      assert(streamed == batch,
+        s"streamed ${streamed.size} rows, batch ${batch.size}; first diff: " +
+          streamed.zip(batch).find { case (a, b) => a != b })
+    } finally q.stop()
+  }
+
   test("TTL-state streaming dedup emits only first-seen content across restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
