@@ -152,10 +152,11 @@ object GraftFunctions {
     * counters genuinely cannot re-bin, so sketches of DIFFERENT shapes in
     * one store raise a [[graft.sketch.SketchMergeException]] at merge time
     * (unlike SpaceSaving/KLL/theta, which widen to the weaker parameter). */
-  def cm_merge_agg(c: Column): Column =
-    col(CountMinAgg(expr(c), Literal(graft.sketch.CountMin.DefaultWidth),
-      Literal(graft.sketch.CountMin.DefaultDepth), mergeBinary = true)
-      .toAggregateExpression())
+  def cm_merge_agg(c: Column,
+      width: Int = graft.sketch.CountMin.DefaultWidth,
+      depth: Int = graft.sketch.CountMin.DefaultDepth): Column =
+    col(CountMinAgg(expr(c), Literal(width), Literal(depth),
+      mergeBinary = true).toAggregateExpression())
 
   /** `cm_estimate(bin, key)` — point-frequency estimate (never under). */
   def cm_estimate(sketch: Column, key: Column): Column =

@@ -590,11 +590,12 @@ object SketchQueries {
     * point query over the frame. */
   def slidingCmEstimate(events: DataFrame, tsCol: String, keyCol: String,
       valueCol: String, slideSeconds: Long, frameBuckets: Int,
-      probe: String): DataFrame =
+      probe: String, width: Int = graft.sketch.CountMin.DefaultWidth,
+      depth: Int = graft.sketch.CountMin.DefaultDepth): DataFrame =
     slideFrameSketches(events, tsCol, keyCol, valueCol, slideSeconds,
-        frameBuckets)(v => cm_sketch_agg(v))
+        frameBuckets)(v => cm_sketch_agg(v, width, depth))
       .groupBy("k", "frame")
-      .agg(cm_merge_agg(col("sk")).as("cm"))
+      .agg(cm_merge_agg(col("sk"), width, depth).as("cm"))
       .select((col("frame") * lit(slideSeconds)).as("frame_epoch"),
         col("k").as(keyCol),
         cm_estimate(col("cm"), lit(probe)).as("est"),
@@ -608,11 +609,18 @@ object SketchQueries {
     * far below width, so the estimate is in practice exact). */
   def q127SlidingCmFreq(spark: SparkSession, dir: String): DataFrame = {
     val probe = "42"
-    val eps = math.E / graft.sketch.CountMin.DefaultWidth
+    // width 1024 (not the 4096 default): the sketch IS the shuffle unit
+    // of the sliding rewrite — 4096x5 longs is 164 KB per (key, bucket)
+    // and dominated the whole bench; 1024 is 4x lighter while the
+    // per-frame user cardinality at any plausible SF stays far enough
+    // below width that the e/width envelope holds (validated at both
+    // test SFs; the >= side of the gate is unconditional)
+    val cmWidth = 1024
+    val eps = math.E / cmWidth
     val ev = Tables.events(spark, dir)
       .withColumn("user_s", col("user_id").cast("string"))
     val est = slidingCmEstimate(ev, "ts", "event_type", "user_s",
-      slideSeconds = 3600L, frameBuckets = 6, probe = probe)
+      slideSeconds = 3600L, frameBuckets = 6, probe = probe, width = cmWidth)
     val bucketed = ev.select(col("event_type"),
       expr("unix_micros(ts) div 3600000000").as("bucket"), col("user_s"))
     val exact = bucketed

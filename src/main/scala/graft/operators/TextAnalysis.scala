@@ -810,6 +810,45 @@ object TextAnalysis {
       .select(col("doc").as(idCol), col("n_matches"))
   }
 
+  /** Distinctive terms per group: the terms whose in-group frequency most
+    * exceeds their corpus frequency, scored by the frequency RATIO
+    * (n_gt/N_g)/(n_t/N) — the PMI argument without the log, so the score
+    * is three exactly-rounded integer divisions and hash-gates across
+    * engines (log is not guaranteed correctly rounded; the monotone
+    * transform changes nothing about the ranking). A `minCount` floor
+    * keeps one-off terms from dominating the ratio. Two aggregation
+    * passes over the postings plus a per-group top-k window — all
+    * key-hash shuffles, group cardinality bounded by vocabulary. */
+  def distinctiveTerms(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int, minCount: Long): DataFrame = {
+    val toks = docs.select(col(groupCol).as("g"),
+      explode(tokens(col(textCol))).as("term"))
+    val byGroupTerm = toks.groupBy("g", "term").agg(count(lit(1)).as("n_gt"))
+    val byGroup = byGroupTerm.groupBy("g").agg(sum("n_gt").as("n_g"))
+    val byTerm = byGroupTerm.groupBy("term").agg(sum("n_gt").as("n_t"))
+    val total = byTerm.agg(sum("n_t").as("n"))
+    val scored = byGroupTerm
+      .filter(col("n_gt") >= minCount)
+      .join(byGroup, "g").join(byTerm, "term").join(broadcast(total))
+      .withColumn("ratio",
+        (col("n_gt").cast("double") / col("n_g").cast("double")) /
+          (col("n_t").cast("double") / col("n").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(desc("ratio"), col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("g").as(groupCol), col("rank"), col("term"), col("n_gt"),
+        col("ratio"))
+  }
+
+  /** Top-5 language-distinctive terms (frequency-ratio scored, floor 5).
+    * Strict hash gate; the synthetic corpus plants language-specific
+    * vocabulary, which is exactly what this surfaces. */
+  def q132DistinctiveTerms(spark: SparkSession, dir: String): DataFrame =
+    distinctiveTerms(Tables.documents(spark, dir), "lang", "text",
+        k = 5, minCount = 5L)
+      .orderBy("lang", "rank")
+
   /** Docs containing the exact phrase "table table" with per-doc
     * occurrence counts (overlaps count — "table table table" is two).
     * The repeated-word phrase exercises the positional join's overlap
@@ -822,6 +861,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_phrase_search" -> (q131PhraseSearch _),
+    "q132_distinctive_terms" -> (q132DistinctiveTerms _),
     "q80_gopher_quality" -> (q80GopherQuality _),
     "q82_pii_scrub" -> (q82PiiScrub _),
     "q87_chunk_documents" -> (q87ChunkDocuments _),
@@ -927,6 +967,27 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q132_distinctive_terms" ->
+      """WITH toks AS (
+        |  SELECT lang AS g, u.tok AS term
+        |  FROM documents, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), t -> t <> '')) AS u(tok)),
+        |gt AS (SELECT g, term, CAST(COUNT(*) AS BIGINT) AS n_gt
+        |       FROM toks GROUP BY 1, 2),
+        |gg AS (SELECT g, CAST(SUM(n_gt) AS BIGINT) AS n_g FROM gt GROUP BY 1),
+        |tt AS (SELECT term, CAST(SUM(n_gt) AS BIGINT) AS n_t FROM gt GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM tt),
+        |scored AS (
+        |  SELECT gt.g, gt.term, gt.n_gt,
+        |    (CAST(gt.n_gt AS DOUBLE) / CAST(gg.n_g AS DOUBLE)) /
+        |      (CAST(tt.n_t AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS ratio
+        |  FROM gt JOIN gg USING (g) JOIN tt USING (term) CROSS JOIN tot
+        |  WHERE gt.n_gt >= 5)
+        |SELECT g AS lang, CAST(ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY ratio DESC, term) AS BIGINT) AS rank,
+        |  term, n_gt, ratio
+        |FROM scored QUALIFY rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
     // positional postings via an indexed list_transform (1-based there,
     // 0-based in Spark's posexplode — the self-join offsets cancel it out)
     "q131_phrase_search" ->

@@ -788,6 +788,23 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 0.0) -> 5.0, (10L, 1.0) -> 9.0), s"got $got")
   }
 
+  test("distinctiveTerms: group-heavy term outranks uniform term, floor drops rare ones") {
+    import graft.operators.TextAnalysis
+    // "zz" appears 6x, all in group A (ratio 2 with half the corpus mass
+    // in A); "uu" clears the floor in BOTH groups (5x in A, 9x in B) but
+    // ranks below zz in A; "rare" is group-pure yet below the floor of 5
+    // in A, so it never appears
+    val docs = Seq(
+      ("A", "zz zz zz zz zz zz uu uu uu uu uu rare"),
+      ("B", "uu uu uu uu uu uu uu uu uu uu uu uu")
+    ).toDF("lang", "text")
+    val got = TextAnalysis.distinctiveTerms(docs, "lang", "text",
+        k = 2, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got == Map(("A", 1L) -> "zz", ("A", 2L) -> "uu",
+      ("B", 1L) -> "uu"), s"got $got")
+  }
+
   test("phraseSearch: overlaps count, distinct-word phrases need adjacency, absent phrase drops doc") {
     import graft.operators.TextAnalysis
     val docs = Seq(
