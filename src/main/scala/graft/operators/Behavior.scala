@@ -246,16 +246,35 @@ object Behavior {
     sessionTransitions(Tables.events(spark, dir), "ts", "user_id",
       "event_type", "event_id", gapSeconds = 30 * 60L)
 
+  /** The q121 funnel answered by the STREAMING state implementation run
+    * on the batch frame (state starts empty, each user's full ordered
+    * history folds in one group pass — the q38 batch-twin move): greedy
+    * fold and window chain provably agree through the DuckDB gate, since
+    * this query reuses q121's oracle verbatim. */
+  def q133FunnelState(spark: SparkSession, dir: String): DataFrame = {
+    val per = graft.streaming.StreamOps.streamingFunnel(
+      Tables.events(spark, dir), "ts", "user_id", "event_type",
+      Seq("view", "click", "purchase"), horizonSeconds = 24 * 3600L)
+    per.agg(
+        count(when(col("steps_reached") >= 1, 1)).as("n0"),
+        count(when(col("steps_reached") >= 2, 1)).as("n1"),
+        count(when(col("steps_reached") >= 3, 1)).as("n2"))
+      .selectExpr("stack(3, 1L, 'view', n0, 2L, 'click', n1, " +
+        "3L, 'purchase', n2) AS (step, event_type, n_users)")
+      .orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_funnel_steps" -> (q121FunnelSteps _),
+    "q133_funnel_state" -> (q133FunnelState _),
     "q122_retention_cohorts" -> (q122RetentionCohorts _),
     "q125_attribution" -> (q125Attribution _),
     "q126_decay_score" -> (q126DecayScore _),
     "q130_session_transitions" -> (q130SessionTransitions _))
 
-  val oracles: Map[String, String] = Map(
-    // the same running-conditional-min window chain, in ANSI SQL
-    "q121_funnel_steps" ->
+  // the same running-conditional-min window chain, in ANSI SQL; shared
+  // verbatim with q133 (the state-fold twin must match it exactly)
+  private val oraclesQ121: String =
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |w1 AS (
@@ -281,7 +300,10 @@ object Behavior {
         |  CASE s.step WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS n_users
         |FROM t CROSS JOIN (VALUES (1, 'view'), (2, 'click'),
         |  (3, 'purchase')) AS s(step, event_type)
-        |ORDER BY step""".stripMargin,
+        |ORDER BY step""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q121_funnel_steps" -> oraclesQ121,
     // two IGNORE-NULLS last_value calls over the same frame necessarily
     // pick the same (latest touch) row, so no struct portability issues
     "q125_attribution" ->
@@ -317,6 +339,9 @@ object Behavior {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM t GROUP BY user_id
         |ORDER BY score DESC, user_id LIMIT 100""".stripMargin,
+    // the state fold and the window chain must produce identical step
+    // counts — same oracle as q121 by construction
+    "q133_funnel_state" -> oraclesQ121,
     // q37's session rule, then lead() within (user, session), then the
     // count matrix with per-source normalization
     "q130_session_transitions" ->
