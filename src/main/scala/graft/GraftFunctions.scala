@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.{ApproxDistinct, ApproxQuantiles, ApproxTopK, BloomAgg, CosineSimilarity, HyperplaneLsh, LangId, MightContain, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion, ThetaDifference, ThetaEstimate, ThetaFraction, ThetaIntersect, ThetaJaccard, ThetaRetained, ThetaSketchAgg, ThetaUnion}
 import graft.functions.{CmEstimate, CmTotal, CountMinAgg}
+import graft.functions.{AgmsAgg, AgmsF2, AgmsJoinSize}
 import graft.sketch.{KllDoubles, ThetaSketch}
 
 import org.apache.spark.sql.{Column, SparkSession}
@@ -157,6 +158,25 @@ object GraftFunctions {
       depth: Int = graft.sketch.CountMin.DefaultDepth): Column =
     col(CountMinAgg(expr(c), Literal(width), Literal(depth),
       mergeBinary = true).toAggregateExpression())
+
+  /** `agms_sketch_agg(x[, width[, depth]])` — serialized Count-Sketch of a
+    * join-key column ([[graft.functions.AgmsAgg]]). */
+  def agms_sketch_agg(c: Column,
+      width: Int = graft.sketch.CountSketch.DefaultWidth,
+      depth: Int = graft.sketch.CountSketch.DefaultDepth): Column =
+    col(AgmsAgg(expr(c), Literal(width), Literal(depth)).toAggregateExpression())
+
+  /** Aggregate-merge of BINARY serialized count-sketches. */
+  def agms_merge_agg(c: Column): Column =
+    col(new AgmsAgg(expr(c)).copy(mergeBinary = true).toAggregateExpression())
+
+  /** `agms_join_size(a, b)` — equi-join cardinality estimate from two
+    * parallel count-sketches. */
+  def agms_join_size(a: Column, b: Column): Column =
+    col(AgmsJoinSize(expr(a), expr(b)))
+
+  /** `agms_f2(bin)` — second-moment (self-join size) estimate. */
+  def agms_f2(c: Column): Column = col(AgmsF2(expr(c)))
 
   /** `cm_estimate(bin, key)` — point-frequency estimate (never under). */
   def cm_estimate(sketch: Column, key: Column): Column =
@@ -327,6 +347,24 @@ object GraftFunctions {
       }).toAggregateExpression()),
     ("cm_estimate", "cm_estimate(bin, key) - point-frequency estimate from a Count-Min sketch",
       arity("cm_estimate", 2)(e => CmEstimate(e(0), e(1)))),
+    ("agms_sketch_agg", "agms_sketch_agg(x[, width[, depth]]) - serialized Count-Sketch (AGMS) of a join-key column",
+      es => (es.length match {
+        case 1 => new AgmsAgg(es.head)
+        case 2 => new AgmsAgg(es(0), es(1))
+        case 3 => AgmsAgg(es(0), es(1), es(2))
+        case _ => throw new IllegalArgumentException(
+          "agms_sketch_agg requires 1 to 3 arguments: (x[, width[, depth]])")
+      }).toAggregateExpression()),
+    ("agms_merge_agg", "agms_merge_agg(bin) - merge stored count-sketches (shapes must match)",
+      es => (es.length match {
+        case 1 => new AgmsAgg(es.head).copy(mergeBinary = true)
+        case _ => throw new IllegalArgumentException(
+          "agms_merge_agg requires exactly 1 argument: (bin)")
+      }).toAggregateExpression()),
+    ("agms_join_size", "agms_join_size(a, b) - equi-join cardinality estimate from two parallel count-sketches",
+      arity("agms_join_size", 2)(e => AgmsJoinSize(e(0), e(1)))),
+    ("agms_f2", "agms_f2(bin) - second-moment (self-join size) estimate of a count-sketch",
+      arity("agms_f2", 1)(e => AgmsF2(e.head))),
     ("cm_total", "cm_total(bin) - total offered weight of a Count-Min sketch",
       arity("cm_total", 1)(e => CmTotal(e.head))),
     ("bloom_agg", "bloom_agg(x[, numBits[, numHashes]]) - build a Bloom filter of a column",

@@ -640,6 +640,42 @@ object SketchQueries {
       .orderBy("frame_epoch", "event_type")
   }
 
+  /** Join-size estimation WITHOUT running the join — the Count-Sketch /
+    * AGMS family ([[graft.sketch.CountSketch]]): each table's join-key
+    * column collapses to one `depth × width` signed-counter sketch (a
+    * map-side-combined scan, no shuffle of the keys), and the bucket
+    * inner product of the two sketches estimates Σ_k f_A(k)·f_B(k) — the
+    * equi-join cardinality. This is what a planner consults to pick join
+    * order/strategy at 100 TB: pricing a join for the cost of two column
+    * scans and a width-sized dot product.
+    *
+    * Gate: the EXACT join size and both exact second moments ride along
+    * (all SQL-reproducible), and the boolean asserts the estimate within
+    * 4·sqrt((F2_A·F2_B + J²)/width) — four times the AGMS per-row
+    * standard deviation, which the median-of-depth estimate clears with
+    * overwhelming probability (validated deterministic at both SFs). */
+  def q134JoinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val width = graft.sketch.CountSketch.DefaultWidth
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val sk = o.agg(agms_sketch_agg(col("o_orderkey")).as("sa"))
+      .join(li.agg(agms_sketch_agg(col("l_orderkey")).as("sb")))
+      .select(agms_join_size(col("sa"), col("sb")).as("est"))
+    val j = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n_join"))
+    val f2a = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("f2a"))
+    val f2b = li.groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("f2b"))
+    sk.join(j).join(f2a).join(f2b)
+      .select(col("n_join"), col("f2a"), col("f2b"),
+        (abs(col("est") - col("n_join").cast("double")) <=
+          lit(4.0) * sqrt((col("f2a").cast("double") * col("f2b").cast("double") +
+            col("n_join").cast("double") * col("n_join").cast("double")) /
+            lit(width.toDouble))).as("est_ok"))
+  }
+
   /** SpaceSaving heavy hitters over event types. The domain (5 event types)
     * is far below the summary capacity, so the sketch path is provably
     * EXACT — no eviction ever fires — and the gate is a strict hash match
@@ -796,6 +832,7 @@ object SketchQueries {
     "q119_rolling_new_users" -> (q119RollingNewUsers _),
     "q120_sliding_topk" -> (q120SlidingTopK _),
     "q127_sliding_cm_freq" -> (q127SlidingCmFreq _),
+    "q134_join_size_estimate" -> (q134JoinSizeEstimate _),
     "q37_sessions" -> (q37Sessions _),
     "q38_running_approx_users" -> (q38RunningApproxUsers _),
     "q30_approx_distinct_global" -> (q30ApproxGlobal _),
@@ -883,6 +920,17 @@ object SketchQueries {
         |  user_id, n_events
         |FROM cnt QUALIFY rnk <= 3
         |ORDER BY frame_epoch, event_type, rnk""".stripMargin,
+    // exact join size + exact second moments; the AGMS bound boolean is
+    // computed by the sketch side
+    "q134_join_size_estimate" ->
+      """SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        |     JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS n_join,
+        |  (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+        |     SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)) AS f2a,
+        |  (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+        |     SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)) AS f2b,
+        |  true AS est_ok""".stripMargin,
     // exact trailing probe-user counts per occupied frame; the CM
     // guarantee booleans are computed by the sketch side
     "q127_sliding_cm_freq" ->
