@@ -39,20 +39,62 @@ object Cdc {
     * INSERT ...` — expressed as latest-per-key → anti-join → union, the
     * shape Catalyst plans without a MERGE node.
     */
+  /** Latest change per key: highest `seqCol`, ties broken by op so
+    * replays are deterministic. Shared by the snapshot merge and the
+    * incremental aggregate maintenance. */
+  def latestPerKey(changes: DataFrame, key: Seq[String],
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    require(key.nonEmpty, "latestPerKey needs at least one key column")
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   def mergeSnapshot(base: DataFrame, changes: DataFrame, key: Seq[String],
       opCol: String = "op", seqCol: String = "seq"): DataFrame = {
     require(key.nonEmpty, "mergeSnapshot needs at least one key column")
     val payload = base.columns.toSeq
-    val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col(seqCol).desc, col(opCol).desc)
-    val latest = changes
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val latest = latestPerKey(changes, key, opCol, seqCol)
     val survivors = base.join(latest.select(key.map(col): _*), key, "left_anti")
     val upserts = latest.filter(col(opCol) =!= lit("D"))
       .select(payload.map(col): _*)
     survivors.unionByName(upserts)
+  }
+
+  /** Incremental maintenance of a grouped (count, sum) aggregate under a
+    * CDC changeset — the aggregate is UPDATED from deltas, never
+    * recomputed from the base:
+    *
+    *   agg'(g) = agg(g) − Σ old rows of changed keys + Σ applied upserts
+    *
+    * The base table is touched only to fetch the CHANGED keys' old rows
+    * (a semi-join probe — with the base bucketed/zone-mapped by key, a
+    * pruned read, not a scan), the aggregate table is touched only at
+    * the affected group keys, and all other groups pass through. This is
+    * classic delta-propagation IVM (self-maintainable for SUM/COUNT);
+    * groups whose count reaches zero are dropped. `sumExpr` must be an
+    * expression whose group sum is order-independent (the engine's
+    * DECIMAL-quantization discipline) or the gate loses bit-exactness.
+    *
+    * Returns the maintained `(groupCols, n, total)` aggregate. */
+  def maintainGroupedAgg(baseAgg: DataFrame, base: DataFrame,
+      changes: DataFrame, key: Seq[String], groupCols: Seq[String],
+      sumExpr: Column, opCol: String = "op", seqCol: String = "seq")
+      : DataFrame = {
+    val latest = latestPerKey(changes, key, opCol, seqCol)
+    val changedKeys = latest.select(key.map(col): _*)
+    val removed = base.join(changedKeys, key, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg((-count(lit(1))).as("n"), (-sum(sumExpr)).as("total"))
+    val added = latest.filter(col(opCol) =!= lit("D"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(sumExpr).as("total"))
+    baseAgg.unionByName(removed).unionByName(added)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("n").as("n"), sum("total").as("total"))
+      .filter(col("n") > 0)
   }
 
   /** Type-2 SCD history from a change log: per key, consecutive rows (in
@@ -220,8 +262,27 @@ object Cdc {
       .orderBy("o_orderstatus")
   }
 
+  /** Per-customer order (count, revenue) aggregate maintained
+    * INCREMENTALLY under the q109 changeset — deltas only, the base
+    * probed just at changed keys, no recompute. The oracle recomputes
+    * the same aggregate from the full merge, so the gate proves
+    * delta-propagation ≡ recomputation (sum in DECIMAL(18,4), the
+    * changed prices' exact scale). */
+  def q135IvmAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val priced = col("o_totalprice").cast("decimal(18,4)")
+    val baseAgg = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum(priced).as("total"))
+    maintainGroupedAgg(baseAgg, o, derivedChanges(o), Seq("o_orderkey"),
+        Seq("o_custkey"), priced)
+      .select(col("o_custkey"), col("n"),
+        col("total").cast("double").as("total"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_merge_upsert" -> (q109MergeUpsert _),
+    "q135_ivm_agg" -> (q135IvmAgg _),
     "q110_scd2" -> (q110Scd2 _),
     "q116_maintenance_loop" -> (q116MaintenanceLoop _),
     "q128_maintained_zonemap" -> (q128MaintainedZonemap _))
@@ -262,6 +323,13 @@ object Cdc {
         |       o_orderdate, o_orderpriority
         |FROM latest WHERE op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+    // the merged night-1 state (CTE m1) recomputed and re-aggregated —
+    // what the incremental delta path must equal exactly
+    "q135_ivm_agg" -> (maintChainSql +
+      """
+        |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM m1 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
     // both nights' MERGEs replayed sequentially from first principles:
     // version 1 is built FROM version 0 (CTE m1), not from the base —
     // the snapshot-chain semantics of the maintained store

@@ -58,6 +58,34 @@ class CdcSpec extends AnyFunSuite {
     assert(Cdc.mergeSnapshot(base, ghostDelete, Seq("k")).count() == 2L)
   }
 
+  test("maintainGroupedAgg: delta path equals recompute incl. emptied, new, and moved groups") {
+    import spark.implicits._
+    // groups via name: g1 = {k1, k2}, g2 = {k3}. changes: delete k3
+    // (empties g2), update k2 MOVING it to g3 with a new price, insert
+    // k4 into g1, stale update of k1 beaten by a delete at higher seq
+    val base = Seq((1L, "g1", 10.0), (2L, "g1", 20.0), (3L, "g2", 30.0))
+      .toDF("k", "name", "price")
+    val changes = Seq(
+      (3L, "g2", 30.0, "D", 1L),
+      (2L, "g3", 25.0, "U", 1L),
+      (4L, "g1", 40.0, "I", 1L),
+      (1L, "g1", 99.0, "U", 1L), (1L, "g1", 10.0, "D", 2L)
+    ).toDF("k", "name", "price", "op", "seq")
+    val priced = col("price").cast("decimal(18,2)")
+    val baseAgg = base.groupBy("name")
+      .agg(count(lit(1)).as("n"), sum(priced).as("total"))
+    val got = Cdc.maintainGroupedAgg(baseAgg, base, changes, Seq("k"),
+        Seq("name"), priced)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    val recomputed = Cdc.mergeSnapshot(base, changes, Seq("k"))
+      .groupBy("name").agg(count(lit(1)).as("n"), sum(priced).as("total"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    assert(got == recomputed, s"delta $got vs recompute $recomputed")
+    assert(got == Map("g1" -> (1L, 40.0), "g3" -> (1L, 25.0)), s"got $got")
+  }
+
   test("scd2: consecutive-equal compression, version chain, open current interval") {
     import spark.implicits._
     val log = Seq(
