@@ -130,6 +130,43 @@ object Cdc {
     versions.withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
   }
 
+  /** Snapshot DIFF — the inverse of [[mergeSnapshot]]: given two versions
+    * of a table, derive the minimal changeset (`I`/`U`/`D` per key) that
+    * turns the old one into the new one. One full-outer join on the key
+    * (the key partitioning both versions already share when stored
+    * bucketed), payload equality decided column-wise with
+    * NULL-safe `<=>`. Rows identical in both versions produce NO change
+    * row, and `mergeSnapshot(old, diff(old, new))` reproduces `new` —
+    * the round-trip law CdcSpec pins. Key columns must be non-null on
+    * both sides (presence is detected through them). This is how a
+    * deployment derives CDC from full-table drops, audits a replication
+    * pipeline, or reconstructs a night's changes from two snapshot
+    * versions. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      key: Seq[String]): DataFrame = {
+    require(key.nonEmpty, "snapshotDiff needs at least one key column")
+    require(oldSnap.columns.toSeq == newSnap.columns.toSeq,
+      "snapshotDiff requires identical schemas: " +
+        s"${oldSnap.columns.toSeq} vs ${newSnap.columns.toSeq}")
+    val payload = oldSnap.columns.toSeq
+    val valueCols = payload.filterNot(key.contains)
+    val o = oldSnap.select(payload.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newSnap.select(payload.map(c => col(c).as(s"__n_$c")): _*)
+    val joinCond = key.map(k => col(s"__o_$k") === col(s"__n_$k")).reduce(_ && _)
+    val same = valueCols.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val inOld = col(s"__o_${key.head}").isNotNull
+    val inNew = col(s"__n_${key.head}").isNotNull
+    o.join(n, joinCond, "full_outer")
+      .withColumn("op",
+        when(inOld && !inNew, "D")
+          .when(!inOld && inNew, "I")
+          .when(!same, "U"))
+      .filter(col("op").isNotNull)
+      .select(payload.map(c =>
+        coalesce(col(s"__n_$c"), col(s"__o_$c")).as(c)) :+ col("op"): _*)
+  }
+
   // ---- declared queries ----
 
   /** The deterministic changeset q109 derives from `orders` (so the oracle
@@ -280,9 +317,22 @@ object Cdc {
       .orderBy("o_custkey")
   }
 
+  /** Diff of the two maintained nightly versions (m1 → m2): every change
+    * night 2 EFFECTIVELY applied, derived back from the states alone.
+    * Strict hash gate: the oracle full-outer-diffs the same two CTE
+    * states. */
+  def q136SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val m1 = mergeSnapshot(o, derivedChanges(o), Seq("o_orderkey"))
+    val m2 = mergeSnapshot(m1, derivedChanges2(o), Seq("o_orderkey"))
+    snapshotDiff(m1, m2, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_merge_upsert" -> (q109MergeUpsert _),
     "q135_ivm_agg" -> (q135IvmAgg _),
+    "q136_snapshot_diff" -> (q136SnapshotDiff _),
     "q110_scd2" -> (q110Scd2 _),
     "q116_maintenance_loop" -> (q116MaintenanceLoop _),
     "q128_maintained_zonemap" -> (q128MaintainedZonemap _))
@@ -323,6 +373,28 @@ object Cdc {
         |       o_orderdate, o_orderpriority
         |FROM latest WHERE op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+    // full-outer diff of the two recomputed nightly states; payload
+    // equality via IS NOT DISTINCT FROM, same as the engine's <=>
+    "q136_snapshot_diff" -> (maintChainSql +
+      """
+        |SELECT
+        |  COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |  COALESCE(n.o_custkey, o.o_custkey) AS o_custkey,
+        |  COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+        |  COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice,
+        |  COALESCE(n.o_orderdate, o.o_orderdate) AS o_orderdate,
+        |  COALESCE(n.o_orderpriority, o.o_orderpriority) AS o_orderpriority,
+        |  CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NULL THEN 'D'
+        |       WHEN o.o_orderkey IS NULL AND n.o_orderkey IS NOT NULL THEN 'I'
+        |       ELSE 'U' END AS op
+        |FROM m1 o FULL OUTER JOIN m2 n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |  OR NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |    AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |    AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        |    AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+        |    AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin),
     // the merged night-1 state (CTE m1) recomputed and re-aggregated —
     // what the incremental delta path must equal exactly
     "q135_ivm_agg" -> (maintChainSql +

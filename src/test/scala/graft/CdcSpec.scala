@@ -86,6 +86,30 @@ class CdcSpec extends AnyFunSuite {
     assert(got == Map("g1" -> (1L, 40.0), "g3" -> (1L, 25.0)), s"got $got")
   }
 
+  test("snapshotDiff: I/U/D classification, no-op rows silent, merge(old, diff) round-trips") {
+    import spark.implicits._
+    val old = snap(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    val neu = snap(Seq((1L, "a", 1.0),            // unchanged -> no row
+      (2L, "b2", 2.0),                            // payload changed -> U
+      (4L, "d", 4.0)))                            // new key -> I ; 3 gone -> D
+    val d = Cdc.snapshotDiff(old, neu, Seq("k"))
+    val got = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(got == Set((2L, "b2", 2.0, "U"), (4L, "d", 4.0, "I"),
+      (3L, "c", 3.0, "D")), s"got $got")
+
+    // round trip: applying the derived diff reproduces the new snapshot
+    val applied = Cdc.mergeSnapshot(old, d.withColumn("seq", lit(1L)), Seq("k"))
+    assert(applied.exceptAll(neu).isEmpty && neu.exceptAll(applied).isEmpty,
+      "merge(old, diff(old, new)) must equal new")
+
+    // NULL-safe payload compare: NULL == NULL is not a change
+    val withNullOld = snap(Seq((1L, "a", 1.0))).withColumn("name", lit(null).cast("string"))
+    val withNullNew = snap(Seq((1L, "x", 1.0))).withColumn("name", lit(null).cast("string"))
+    assert(Cdc.snapshotDiff(withNullOld, withNullNew, Seq("k")).isEmpty)
+  }
+
   test("scd2: consecutive-equal compression, version chain, open current interval") {
     import spark.implicits._
     val log = Seq(
