@@ -130,11 +130,80 @@ object Audit {
         col("med"), col("mad"))
       .orderBy("event_id")
 
+  /** Seasonal-baseline anomalies: per (key, hour-of-day) the volume
+    * baseline over all days, cells flagged where the day-hour count sits
+    * more than `k` standard deviations off ITS OWN hour's baseline — the
+    * day-of-week/hour-of-day normalization that keeps a nightly peak from
+    * drowning a 3 a.m. incident. Two aggregations (cells, then baselines
+    * keyed by a strict subset of the cell key, so the second groupBy
+    * rides the first's partitioning) and a broadcast-sized join back.
+    *
+    * Float discipline: mean and variance are computed from EXACT integer
+    * sums with one fixed expression shape — `m = s/c`,
+    * `var = sq/c − m·m`, `z = (n − m)/sqrt(var)` — every step an
+    * exactly-rounded IEEE op on identical inputs, so the z-scores and
+    * the flag set hash-gate across engines (the same discipline as the
+    * decay scores; no epsilon needed). Zero-variance baselines are
+    * excluded by the shared `var > 0` guard. */
+  def seasonalAnomalies(events: DataFrame, tsCol: String, keyCol: String,
+      bucketSeconds: Long, seasonBuckets: Int, k: Double): DataFrame = {
+    require(bucketSeconds > 0 && seasonBuckets > 1, "bad seasonal grid")
+    val bucketUs = bucketSeconds * 1000000L
+    val cells = events
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros($tsCol) div $bucketUs").as("b"))
+      .groupBy(col("key"), (col("b") % seasonBuckets).as("season"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val base = cells.groupBy("key", "season")
+      .agg(sum("n").as("s"), sum(col("n") * col("n")).as("sq"),
+        count(lit(1)).as("c"))
+    val m = col("s").cast("double") / col("c").cast("double")
+    val v = col("sq").cast("double") / col("c").cast("double") - m * m
+    cells.join(base, Seq("key", "season"))
+      .withColumn("z", (col("n").cast("double") - m) / sqrt(v))
+      .filter(v > 0 && abs(col("z")) > k)
+      .select(col("key").as(keyCol), (col("b") * bucketSeconds).as("bucket_epoch"),
+        col("season"), col("n"), col("z"))
+  }
+
+  /** Hourly event volume vs each event type's same-hour-of-day baseline,
+    * |z| > 3 flagged. Strict hash gate (z bit-identical by the fixed
+    * expression shape). */
+  def q137SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
+    seasonalAnomalies(Tables.events(spark, dir), "ts", "event_type",
+        bucketSeconds = 3600L, seasonBuckets = 24, k = 3.0)
+      .orderBy("event_type", "bucket_epoch")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_dq_audit" -> (q112DqAudit _),
-    "q113_mad_anomaly" -> (q113MadAnomaly _))
+    "q113_mad_anomaly" -> (q113MadAnomaly _),
+    "q137_seasonal_anomaly" -> (q137SeasonalAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    // the same fixed expression shape: m = s/c, var = sq/c - m*m,
+    // z = (n - m)/sqrt(var) — bit-identical IEEE ops in both engines
+    "q137_seasonal_anomaly" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS season,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |base AS (
+        |  SELECT event_type, season, CAST(SUM(n) AS BIGINT) AS s,
+        |    CAST(SUM(n * n) AS BIGINT) AS sq, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1, 2),
+        |j AS (
+        |  SELECT cells.event_type, cells.b, cells.season, cells.n,
+        |    CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS m,
+        |    CAST(sq AS DOUBLE) / CAST(c AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+        |      * (CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) AS v
+        |  FROM cells JOIN base USING (event_type, season))
+        |SELECT event_type, b * 3600 AS bucket_epoch, season, n,
+        |  (CAST(n AS DOUBLE) - m) / sqrt(v) AS z
+        |FROM j WHERE v > 0 AND abs((CAST(n AS DOUBLE) - m) / sqrt(v)) > 3
+        |ORDER BY event_type, bucket_epoch""".stripMargin,
     "q112_dq_audit" ->
       """SELECT * FROM (
         |  SELECT 'l_quantity_in_1_50' AS check_name,

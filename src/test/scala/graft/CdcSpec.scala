@@ -329,6 +329,25 @@ class CdcSpec extends AnyFunSuite {
     assert((fk.getString(0), fk.getLong(1), fk.getLong(2)) == (("fk", 1L, 5L)))
   }
 
+  test("seasonalAnomalies: spike flagged against ITS OWN hour's baseline, constant seasons silent") {
+    import spark.implicits._
+    // season grid: 10s buckets, 2 seasons. season 0 baseline = 2 events
+    // per bucket across 10 days + ONE bucket with 30 (the spike; z ≈ 3.16
+    // — note 9 baseline cells would put the spike at z = 3.0 EXACTLY,
+    // which the strict > correctly leaves unflagged); season 1 constant 5
+    // -> zero variance -> silent even though 5 != 2
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (d <- 0 until 10; _ <- 0 until 2) rows += d * 20L         // season 0, n=2
+    for (_ <- 0 until 30) rows += 10 * 20L                        // season 0 spike
+    for (d <- 0 until 11; _ <- 0 until 5) rows += d * 20L + 10L   // season 1, n=5
+    val ev = rows.toSeq.toDF("s")
+      .select(timestamp_micros(col("s") * 1000000L).as("ts"), lit("e").as("k"))
+    val got = Audit.seasonalAnomalies(ev, "ts", "k", bucketSeconds = 10L,
+        seasonBuckets = 2, k = 3.0)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((200L, 0L, 30L)), s"got ${got.toSeq}")
+  }
+
   test("madAnomalies: planted outlier flagged, inliers pass, constant key yields none") {
     import spark.implicits._
     val rows =
