@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on edge lists. The engine already ships
+  * connected components ([[Dedup]]'s one-action-per-round loop); this adds
+  * the power-iteration family.
+  *
+  * PageRank here is the fixed-iteration declarative form: each round is
+  * one (edge ⋈ rank) join + a destination-keyed aggregation — at scale,
+  * one shuffle per iteration on the dst key, with the rank vector the
+  * SMALL side (nodes, not edges) that AQE broadcasts. Fixed iteration
+  * count keeps the plan static and the result deterministic (the
+  * convergence-threshold variant trades that for a driver-side loop; at
+  * 100 TB you run k rounds and checkpoint, exactly this shape).
+  *
+  * Float discipline: per-round edge contributions `r(u)·p(u,v)` are
+  * DECIMAL-quantized before the destination sum, so the one
+  * order-sensitive step (summing a node's in-edges) is exact decimal
+  * addition and the whole iteration is bit-reproducible in any engine —
+  * the same move as the decay scores and the seasonal z-scores. */
+object Graph {
+
+  /** `iters` rounds of damped PageRank over `(srcCol, dstCol, probCol)`
+    * edges (`probCol` row-stochastic per src, e.g.
+    * [[Behavior.sessionTransitions]]' `p`). Nodes are the union of edge
+    * endpoints; dangling nodes (no out-edges) contribute only teleport
+    * mass — callers with dangling nodes and mass-conservation needs
+    * should redistribute explicitly. Returns `(node, rank)`. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      probCol: String, iters: Int, damping: Double): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(probCol).as("p"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
+    var rank = nodes.join(broadcast(nRow))
+      .select(col("node"),
+        (lit(1.0) / col("n_nodes").cast("double")).as("rank"), col("n_nodes"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank, e("src") === rank("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum((col("rank") * col("p")).cast("decimal(38,18)"))
+          .cast("double").as("inflow"))
+      rank = nodes.join(broadcast(nRow))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - damping) / col("n_nodes").cast("double") +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"),
+          col("n_nodes"))
+    }
+    rank.select("node", "rank")
+  }
+
+  // ---- declared query ----
+
+  /** 5 rounds of PageRank (d = 0.85) over the session-transition graph —
+    * "which event type does behavior flow toward". The fixture's
+    * transition matrix is complete (no dangling nodes), so the oracle's
+    * unrolled-iteration twin computes the same recursion; the declared
+    * rank is quantized to DECIMAL(20,12) because the engines' only
+    * disagreement is the final ulp of double→wide-decimal quantization
+    * inside the iteration (observed ≤ 3e-17) — twelve digits are five
+    * orders below any real ranking signal and the decimal compare is
+    * exact. */
+  def q138PageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRank(
+      Behavior.sessionTransitions(Tables.events(spark, dir), "ts", "user_id",
+        "event_type", "event_id", gapSeconds = 30 * 60L),
+      "from_type", "to_type", "p", iters = 5, damping = 0.85)
+      .select(col("node").as("event_type"),
+        col("rank").cast("decimal(20,12)").as("rank"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_pagerank" -> (q138PageRank _))
+
+  private val transitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+      |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |pairs AS (
+      |  SELECT event_type AS src,
+      |    LEAD(event_type) OVER (PARTITION BY user_id, sid
+      |      ORDER BY us, event_id) AS dst
+      |  FROM sess),
+      |cnt AS (
+      |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT src, dst, CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+      |  FROM cnt),
+      |nodes AS (SELECT src AS node FROM edges
+      |          UNION SELECT dst FROM edges),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)""".stripMargin
+
+  /** One unrolled iteration: `rK = teleport + d·Σ r(K−1)·p`, the edge
+    * contributions DECIMAL-quantized exactly like the engine side. */
+  private def iterSql(k: Int): String =
+    s"""c$k AS (
+       |  SELECT e.dst AS node,
+       |    CAST(SUM(CAST(r.rank * e.p AS DECIMAL(38,18))) AS DOUBLE)
+       |      AS inflow
+       |  FROM edges e JOIN r${k - 1} r ON e.src = r.node GROUP BY e.dst),
+       |r$k AS (
+       |  SELECT n.node,
+       |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+       |        / CAST(nn.n_nodes AS DOUBLE)
+       |      + CAST(0.85 AS DOUBLE) * COALESCE(c.inflow, 0.0) AS rank
+       |  FROM nodes n CROSS JOIN nn LEFT JOIN c$k c ON c.node = n.node)"""
+      .stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q138_pagerank" -> (transitionsSql + ",\n" +
+      """r0 AS (
+        |  SELECT node, 1.0 / CAST(nn.n_nodes AS DOUBLE) AS rank
+        |  FROM nodes CROSS JOIN nn),""".stripMargin + "\n" +
+      (1 to 5).map(iterSql).mkString(",\n") + "\n" +
+      """SELECT node AS event_type,
+        |  CAST(rank AS DECIMAL(20,12)) AS rank
+        |FROM r5 ORDER BY event_type""".stripMargin))
+}

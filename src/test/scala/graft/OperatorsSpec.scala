@@ -788,6 +788,24 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 0.0) -> 5.0, (10L, 1.0) -> 9.0), s"got $got")
   }
 
+  test("pageRank: symmetric 2-cycle fixes at 1/2 each; asymmetric flow ranks the sink higher") {
+    import graft.operators.Graph
+    val sym = Seq(("a", "b", 1.0), ("b", "a", 1.0)).toDF("s", "d", "p")
+    val gotSym = Graph.pageRank(sym, "s", "d", "p", iters = 5, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotSym("a") == 0.5 && gotSym("b") == 0.5, s"got $gotSym")
+
+    // a and b both send 90% of their mass to c; c returns it evenly
+    val asym = Seq(("a", "c", 0.9), ("a", "b", 0.1), ("b", "c", 0.9),
+      ("b", "a", 0.1), ("c", "a", 0.5), ("c", "b", 0.5)).toDF("s", "d", "p")
+    val gotAsym = Graph.pageRank(asym, "s", "d", "p", iters = 8, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotAsym("c") > gotAsym("a") && gotAsym("c") > gotAsym("b"),
+      s"sink must dominate: $gotAsym")
+    assert(math.abs(gotAsym.values.sum - 1.0) < 1e-9,
+      s"row-stochastic graph must conserve mass: ${gotAsym.values.sum}")
+  }
+
   test("distinctiveTerms: group-heavy term outranks uniform term, floor drops rare ones") {
     import graft.operators.TextAnalysis
     // "zz" appears 6x, all in group A (ratio 2 with half the corpus mass
