@@ -264,9 +264,31 @@ object Behavior {
       .orderBy("step")
   }
 
+  /** Time-to-convert distribution for the q121 funnel: exact p25/p50/p95
+    * of the first-view → purchase delay over converting users, plus the
+    * per-hop medians. Rides the same single funnel pass; the percentile
+    * is Spark's exact interpolating `percentile` (the q25-matched twin of
+    * DuckDB's `quantile_cont`). */
+  def q139FunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val steps = funnelUserSteps(Tables.events(spark, dir), "ts", "user_id",
+      "event_type", Seq("view", "click", "purchase"),
+      horizonSeconds = 24 * 3600L)
+    steps.filter(col("t2").isNotNull)
+      .select((col("t2") - col("t0")).as("d_total"),
+        (col("t1") - col("t0")).as("d_click"),
+        (col("t2") - col("t1")).as("d_buy"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(d_total, 0.25)").as("p25_us"),
+        expr("percentile(d_total, 0.5)").as("p50_us"),
+        expr("percentile(d_total, 0.95)").as("p95_us"),
+        expr("percentile(d_click, 0.5)").as("p50_click_us"),
+        expr("percentile(d_buy, 0.5)").as("p50_buy_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_funnel_steps" -> (q121FunnelSteps _),
     "q133_funnel_state" -> (q133FunnelState _),
+    "q139_funnel_latency" -> (q139FunnelLatency _),
     "q122_retention_cohorts" -> (q122RetentionCohorts _),
     "q125_attribution" -> (q125Attribution _),
     "q126_decay_score" -> (q126DecayScore _),
@@ -274,7 +296,8 @@ object Behavior {
 
   // the same running-conditional-min window chain, in ANSI SQL; shared
   // verbatim with q133 (the state-fold twin must match it exactly)
-  private val oraclesQ121: String =
+  /** The per-user (t0, t1, t2) funnel chain as shared oracle CTEs. */
+  private val funnelUserSql: String =
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |w1 AS (
@@ -293,8 +316,10 @@ object Behavior {
         |  FROM w2),
         |u AS (
         |  SELECT user_id, MIN(c0) AS t0, MIN(c1) AS t1, MIN(c2) AS t2
-        |  FROM w3 GROUP BY user_id),
-        |t AS (
+        |  FROM w3 GROUP BY user_id)""".stripMargin
+
+  private val oraclesQ121: String = funnelUserSql + ",\n" +
+      """t AS (
         |  SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2 FROM u)
         |SELECT CAST(s.step AS BIGINT) AS step, s.event_type,
         |  CASE s.step WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS n_users
@@ -342,6 +367,16 @@ object Behavior {
     // the state fold and the window chain must produce identical step
     // counts — same oracle as q121 by construction
     "q133_funnel_state" -> oraclesQ121,
+    // conversion-delay distribution over the same per-user chain;
+    // quantile_cont is DuckDB's exact interpolating twin of percentile()
+    "q139_funnel_latency" -> (funnelUserSql + "\n" +
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  quantile_cont(t2 - t0, 0.25) AS p25_us,
+        |  quantile_cont(t2 - t0, 0.5) AS p50_us,
+        |  quantile_cont(t2 - t0, 0.95) AS p95_us,
+        |  quantile_cont(t1 - t0, 0.5) AS p50_click_us,
+        |  quantile_cont(t2 - t1, 0.5) AS p50_buy_us
+        |FROM u WHERE t2 IS NOT NULL""".stripMargin),
     // q37's session rule, then lead() within (user, session), then the
     // count matrix with per-source normalization
     "q130_session_transitions" ->
