@@ -3,6 +3,7 @@ package graft.operators
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality auditing and robust anomaly detection.
@@ -174,12 +175,99 @@ object Audit {
         bucketSeconds = 3600L, seasonBuckets = 24, k = 3.0)
       .orderBy("event_type", "bucket_epoch")
 
+  /** Distribution drift per group: Kolmogorov–Smirnov distance between
+    * each group's value distribution and the corpus-wide one, evaluated
+    * on an equi-width bucket grid (the KS statistic of the BUCKETED
+    * distributions — exact w.r.t. the grid, off the true KS by at most
+    * the largest bucket mass). The exact-at-every-point KS needs a
+    * global value sort (single-partition at scale); the grid version is
+    * one bucketed aggregation + a (groups × buckets) CDF frame — the
+    * trade every monitoring system makes. Empty buckets are
+    * materialized from the grid so cumulative sums never skip steps.
+    * All arithmetic is exact counts + exactly-rounded divisions, so the
+    * distances hash-gate bit-identically. */
+  def ksDrift(df: DataFrame, keyCol: String, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val spark = df.sparkSession
+    val bounds = df.agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+    val bucketed = df.join(broadcast(bounds))
+      .select(col(keyCol).as("k"),
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col(valueCol) - col("lo")) / (col("hi") - col("lo")) *
+              nBuckets).cast("int"))).as("b"))
+    val counts = bucketed.groupBy("k", "b").agg(count(lit(1)).as("n"))
+    val grid = counts.select("k").distinct()
+      .crossJoin(spark.range(nBuckets).select(col("id").cast("int").as("b")))
+    val filled = grid.join(counts, Seq("k", "b"), "left")
+      .na.fill(0L, Seq("n"))
+    val wKey = Window.partitionBy("k").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gl = filled.groupBy("b").agg(sum("n").as("gn"))
+      .withColumn("gcum", sum("gn").over(wAll))
+    val totals = filled.groupBy("k").agg(sum("n").as("nk"))
+    val nAll = filled.agg(sum("n").as("nall"))
+    filled
+      .withColumn("cum", sum("n").over(wKey))
+      .join(broadcast(gl), "b")
+      .join(totals, "k")
+      .join(broadcast(nAll))
+      .withColumn("d", abs(col("cum").cast("double") / col("nk").cast("double") -
+        col("gcum").cast("double") / col("nall").cast("double")))
+      .groupBy(col("k").as(keyCol))
+      .agg(max("d").as("ks_distance"), max("nk").as("n_values"))
+  }
+
+  /** Per-event-type drift of the value distribution vs the whole stream,
+    * 256-bucket grid. Strict hash gate on the bit-identical distances. */
+  def q141KsDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDrift(Tables.events(spark, dir), "event_type", "value", nBuckets = 256)
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_dq_audit" -> (q112DqAudit _),
     "q113_mad_anomaly" -> (q113MadAnomaly _),
-    "q137_seasonal_anomaly" -> (q137SeasonalAnomaly _))
+    "q137_seasonal_anomaly" -> (q137SeasonalAnomaly _),
+    "q141_ks_drift" -> (q141KsDrift _))
 
   val oracles: Map[String, String] = Map(
+    // the same bucket grid, fills, running sums, and exactly-rounded
+    // CDF divisions
+    "q141_ks_drift" ->
+      """WITH bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+        |bk AS (
+        |  SELECT event_type AS k,
+        |    CASE WHEN hi = lo THEN 0
+        |         ELSE LEAST(255, CAST(FLOOR((value - lo) / (hi - lo) * 256)
+        |           AS INT)) END AS b
+        |  FROM events CROSS JOIN bounds),
+        |counts AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM bk GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT k, gs.b FROM (SELECT DISTINCT k FROM counts)
+        |  CROSS JOIN (SELECT CAST(generate_series AS INT) AS b
+        |              FROM generate_series(0, 255)) gs),
+        |filled AS (
+        |  SELECT g.k, g.b, COALESCE(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN counts c ON c.k = g.k AND c.b = g.b),
+        |glc AS (
+        |  SELECT b, SUM(gn) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS gcum
+        |  FROM (SELECT b, SUM(n) AS gn FROM filled GROUP BY b)),
+        |tot AS (SELECT k, CAST(SUM(n) AS BIGINT) AS nk FROM filled GROUP BY k),
+        |na AS (SELECT CAST(SUM(n) AS BIGINT) AS nall FROM filled),
+        |cdf AS (
+        |  SELECT k, b, SUM(n) OVER (PARTITION BY k ORDER BY b
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM filled)
+        |SELECT k AS event_type,
+        |  MAX(ABS(CAST(cum AS DOUBLE) / CAST(nk AS DOUBLE)
+        |    - CAST(gcum AS DOUBLE) / CAST(nall AS DOUBLE))) AS ks_distance,
+        |  CAST(MAX(nk) AS BIGINT) AS n_values
+        |FROM cdf JOIN glc USING (b) JOIN tot USING (k) CROSS JOIN na
+        |GROUP BY k ORDER BY event_type""".stripMargin,
     // the same fixed expression shape: m = s/c, var = sq/c - m*m,
     // z = (n - m)/sqrt(var) — bit-identical IEEE ops in both engines
     "q137_seasonal_anomaly" ->

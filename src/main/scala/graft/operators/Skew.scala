@@ -51,12 +51,63 @@ object Skew {
       .orderBy("event_type")
   }
 
+  /** Skew PROFILE of a prospective join/shuffle key: distinct keys, the
+    * hottest key's share, and the salting factor [[saltedJoin]] would
+    * need to spread that key across average-sized reducer units
+    * (`ceil(max_n / avg_n)`). One aggregation per key column — the
+    * measurement a 100 TB job runs BEFORE picking a join strategy, so
+    * the straggler is priced from a scan instead of discovered at hour
+    * three of the shuffle. */
+  def skewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "skewProfile needs at least one key column")
+    keyCols.map { kc =>
+      df.groupBy(col(kc).as("k")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"),
+          max("n").as("max_n"))
+        .select(lit(kc).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_n"),
+          (col("max_n").cast("double") / col("n_rows").cast("double"))
+            .as("max_share"),
+          ceil(col("max_n").cast("double") /
+            (col("n_rows").cast("double") / col("n_keys").cast("double")))
+            .cast("long").as("rec_salts"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Join-key skew report over the events stream: `event_type` (5 keys —
+    * pathologically hot, every key ~20%) vs `user_id` (near-uniform,
+    * rec_salts 1-ish). Strict hash gate; the shares and the ceil ride
+    * exactly-rounded divisions of exact counts. */
+  def q140SkewProfile(spark: SparkSession, dir: String): DataFrame =
+    skewProfile(Tables.events(spark, dir), Seq("event_type", "user_id"))
+      .orderBy("key_col")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q73_salted_skew_join" -> (q73SaltedSkewJoin _))
+    "q73_salted_skew_join" -> (q73SaltedSkewJoin _),
+    "q140_skew_profile" -> (q140SkewProfile _))
 
   val oracles: Map[String, String] = Map(
     "q73_salted_skew_join" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * LENGTH(event_type) AS weighted
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q140_skew_profile" ->
+      """WITH et AS (
+        |  SELECT COUNT(*) AS n FROM events GROUP BY event_type),
+        |uid AS (
+        |  SELECT COUNT(*) AS n FROM events GROUP BY user_id),
+        |p AS (
+        |  SELECT 'event_type' AS key_col, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(MAX(n) AS BIGINT) AS max_n
+        |  FROM et
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(SUM(n) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(MAX(n) AS BIGINT)
+        |  FROM uid)
+        |SELECT key_col, n_rows, n_keys, max_n,
+        |  CAST(max_n AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+        |  CAST(CEIL(CAST(max_n AS DOUBLE) /
+        |    (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))) AS BIGINT)
+        |    AS rec_salts
+        |FROM p ORDER BY key_col""".stripMargin)
 }

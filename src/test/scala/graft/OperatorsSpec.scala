@@ -788,6 +788,35 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 0.0) -> 5.0, (10L, 1.0) -> 9.0), s"got $got")
   }
 
+  test("skewProfile: hot key drives rec_salts, uniform key needs one") {
+    import graft.operators.Skew
+    // hot: key "h" owns 8 of 12 rows over 3 keys -> avg 4, rec_salts 2;
+    // unif: 4 keys x 3 rows -> rec_salts 1
+    val df = (Seq.fill(8)("h") ++ Seq("a", "a", "b", "b")).map(h => (h, h))
+      .zipWithIndex.map { case ((h, _), i) => (h, (i % 4).toString) }
+      .toDF("hot", "unif")
+    val got = Skew.skewProfile(df, Seq("hot", "unif"))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(5))).toMap
+    assert(got("hot") == (8L, 2L), s"hot: ${got("hot")}")
+    assert(got("unif") == (3L, 1L), s"unif: ${got("unif")}")
+  }
+
+  test("ksDrift: matching distribution scores 0, disjoint halves score ~1/2 vs global") {
+    import graft.operators.Audit
+    // "lo" uniform on [0,1), "hi" uniform on [1,2): each group's CDF is
+    // half a step away from the pooled CDF at the midpoint -> D = 0.5;
+    // "all" mirrors the pooled distribution -> D = 0
+    val rows =
+      (0 until 50).map(i => ("lo", i / 50.0)) ++
+      (0 until 50).map(i => ("hi", 1.0 + i / 50.0)) ++
+      (0 until 50).map(i => ("all", i / 25.0 * 0.999))
+    val got = Audit.ksDrift(rows.toDF("k", "v"), "k", "v", nBuckets = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("lo") > 0.3 && got("hi") > 0.3,
+      s"disjoint halves must drift: $got")
+    assert(got("all") < 0.1, s"pooled-shaped group must not drift: $got")
+  }
+
   test("pageRank: symmetric 2-cycle fixes at 1/2 each; asymmetric flow ranks the sink higher") {
     import graft.operators.Graph
     val sym = Seq(("a", "b", 1.0), ("b", "a", 1.0)).toDF("s", "d", "p")
