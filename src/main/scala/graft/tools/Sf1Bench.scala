@@ -31,7 +31,13 @@ object Sf1Bench {
     "q97_span_dedup", "q99_lm_perplexity", "q100_resample_locf",
     "q102_tfidf_nearest", "q103_cluster_split", "q104_curation_v3",
     "q115_tfidf_all_pairs_topk", "q116_maintenance_loop",
-    "q117_sliding_sketch_window")
+    "q117_sliding_sketch_window",
+    // round-8 continuation heavies: the sliding CM (sketch-byte-bound),
+    // blocked ER scoring, maintained zonemap loop, funnel window chain,
+    // IVM delta path, join-size sketches
+    "q127_sliding_cm_freq", "q123_entity_resolution",
+    "q128_maintained_zonemap", "q121_funnel_steps", "q135_ivm_agg",
+    "q134_join_size_estimate")
 
   def main(args: Array[String]): Unit = {
     val runs = if (args.nonEmpty) args(0).toInt else 3
