@@ -221,19 +221,116 @@ object Audit {
       .agg(max("d").as("ks_distance"), max("nk").as("n_values"))
   }
 
+  /** Bucket a value column onto a FIXED `[lo, hi)` grid — the shared
+    * discretization of the KS machinery. Fixed bounds (not data min/max)
+    * are what make two count tables comparable: a monitor buckets every
+    * batch on the BASELINE's grid. */
+  def bucketCounts(df: DataFrame, keyCol: String, valueCol: String,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(hi > lo, s"need hi > lo: [$lo, $hi)")
+    df.select(col(keyCol).as("k"),
+        least(lit(nBuckets - 1), greatest(lit(0),
+          floor((col(valueCol) - lit(lo)) / lit(hi - lo) * nBuckets)
+            .cast("int"))).as("b"))
+      .groupBy("k", "b").agg(count(lit(1)).as("n"))
+  }
+
+  /** KS distance per key between two `(k, b, n)` bucket-count tables on
+    * the same grid (e.g. a live batch vs a frozen baseline). Keys present
+    * on only one side are skipped — a monitor alerts on coverage
+    * separately. Same exactness discipline as [[ksDrift]]. */
+  def ksCompare(left: DataFrame, right: DataFrame, nBuckets: Int): DataFrame = {
+    val spark = left.sparkSession
+    val keys = left.select("k").distinct()
+      .join(right.select("k").distinct(), Seq("k"), "inner")
+    val grid = keys.crossJoin(
+      spark.range(nBuckets).select(col("id").cast("int").as("b")))
+    def filled(c: DataFrame, n: String) =
+      grid.join(c.withColumnRenamed("n", n), Seq("k", "b"), "left")
+        .na.fill(0L, Seq(n))
+        .select(col("k"), col("b"), col(n))
+    val w = Window.partitionBy("k").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val l = filled(left, "ln").withColumn("lcum", sum("ln").over(w))
+    val r = filled(right, "rn").withColumn("rcum", sum("rn").over(w))
+    val lt = left.groupBy("k").agg(sum("n").as("lnk"))
+    val rt = right.groupBy("k").agg(sum("n").as("rnk"))
+    l.join(r, Seq("k", "b")).join(lt, "k").join(rt, "k")
+      .withColumn("d",
+        abs(col("lcum").cast("double") / col("lnk").cast("double") -
+          col("rcum").cast("double") / col("rnk").cast("double")))
+      .groupBy("k")
+      .agg(max("d").as("ks_distance"), max("lnk").as("n_left"),
+        max("rnk").as("n_right"))
+  }
+
   /** Per-event-type drift of the value distribution vs the whole stream,
     * 256-bucket grid. Strict hash gate on the bit-identical distances. */
   def q141KsDrift(spark: SparkSession, dir: String): DataFrame =
     ksDrift(Tables.events(spark, dir), "event_type", "value", nBuckets = 256)
       .orderBy("event_type")
 
+  /** The drift monitor's batch body as an oracle-gated query: the
+    * month's first half is the frozen baseline, the second half the
+    * "live" side, both bucketed on the same fixed [0, 100) grid, KS
+    * per event type. Strict hash gate on the bit-identical distances. */
+  def q142KsBaselineCompare(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cut = lit("2024-01-16").cast("timestamp")
+    def counts(df: DataFrame) =
+      bucketCounts(df, "event_type", "value", lo = 0.0, hi = 100.0,
+        nBuckets = 64)
+    ksCompare(counts(ev.filter(col("ts") >= cut)),
+        counts(ev.filter(col("ts") < cut)), nBuckets = 64)
+      .select(col("k").as("event_type"), col("ks_distance"),
+        col("n_left"), col("n_right"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_dq_audit" -> (q112DqAudit _),
     "q113_mad_anomaly" -> (q113MadAnomaly _),
     "q137_seasonal_anomaly" -> (q137SeasonalAnomaly _),
-    "q141_ks_drift" -> (q141KsDrift _))
+    "q141_ks_drift" -> (q141KsDrift _),
+    "q142_ks_baseline_compare" -> (q142KsBaselineCompare _))
 
   val oracles: Map[String, String] = Map(
+    // two halves bucketed on the same FIXED grid, per-key CDF compare
+    "q142_ks_baseline_compare" ->
+      """WITH lv AS (
+        |  SELECT event_type AS k,
+        |    LEAST(63, GREATEST(0, CAST(FLOOR((value - 0.0) / 100.0 * 64)
+        |      AS INT))) AS b
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+        |bs AS (
+        |  SELECT event_type AS k,
+        |    LEAST(63, GREATEST(0, CAST(FLOOR((value - 0.0) / 100.0 * 64)
+        |      AS INT))) AS b
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+        |lc AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM lv GROUP BY 1, 2),
+        |bc AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM bs GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT k FROM lc INTERSECT SELECT DISTINCT k FROM bc),
+        |grid AS (
+        |  SELECT k, gs.b FROM keys CROSS JOIN
+        |    (SELECT CAST(generate_series AS INT) AS b
+        |     FROM generate_series(0, 63)) gs),
+        |lf AS (SELECT g.k, g.b, COALESCE(c.n, 0) AS n
+        |       FROM grid g LEFT JOIN lc c ON c.k = g.k AND c.b = g.b),
+        |bf AS (SELECT g.k, g.b, COALESCE(c.n, 0) AS n
+        |       FROM grid g LEFT JOIN bc c ON c.k = g.k AND c.b = g.b),
+        |lcd AS (SELECT k, b, SUM(n) OVER (PARTITION BY k ORDER BY b
+        |    ROWS UNBOUNDED PRECEDING) AS lcum FROM lf),
+        |bcd AS (SELECT k, b, SUM(n) OVER (PARTITION BY k ORDER BY b
+        |    ROWS UNBOUNDED PRECEDING) AS rcum FROM bf),
+        |lt AS (SELECT k, CAST(SUM(n) AS BIGINT) AS lnk FROM lc GROUP BY k),
+        |rt AS (SELECT k, CAST(SUM(n) AS BIGINT) AS rnk FROM bc GROUP BY k)
+        |SELECT k AS event_type,
+        |  MAX(ABS(CAST(lcum AS DOUBLE) / CAST(lnk AS DOUBLE)
+        |    - CAST(rcum AS DOUBLE) / CAST(rnk AS DOUBLE))) AS ks_distance,
+        |  CAST(MAX(lnk) AS BIGINT) AS n_left,
+        |  CAST(MAX(rnk) AS BIGINT) AS n_right
+        |FROM lcd JOIN bcd USING (k, b) JOIN lt USING (k) JOIN rt USING (k)
+        |GROUP BY k ORDER BY event_type""".stripMargin,
     // the same bucket grid, fills, running sums, and exactly-rounded
     // CDF divisions
     "q141_ks_drift" ->

@@ -192,6 +192,31 @@ object StreamOps {
     out.toDF(userCol, "conv_us", "touch_type")
   }
 
+  /** Streaming distribution-drift monitor: every micro-batch's per-key
+    * value distribution is bucketed ON THE BASELINE'S FIXED GRID and
+    * KS-compared against the frozen baseline counts
+    * ([[graft.operators.Audit.ksCompare]]); each batch's
+    * `(key, ks_distance, n_left, n_right)` report lands under its own
+    * `batch_id` partition (replay overwrites, the store discipline).
+    * The baseline is a `(k, b, n)` table built once with
+    * [[graft.operators.Audit.bucketCounts]] from a reference corpus —
+    * the "training distribution" a 100 TB ingest guards against
+    * drifting away from. */
+  def streamingDriftMonitor(events: DataFrame, keyCol: String,
+      valueCol: String, baseline: DataFrame, lo: Double, hi: Double,
+      nBuckets: Int, path: String, checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val counts = graft.operators.Audit.bucketCounts(batch.toDF(),
+          keyCol, valueCol, lo, hi, nBuckets)
+        val report = graft.operators.Audit.ksCompare(counts, baseline, nBuckets)
+        idempotentBatchWrite(report, path, batchId)
+      }
+    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
+  }
+
   /** Streaming dedup: first occurrence wins within the watermark horizon —
     * state is bounded by the watermark, which is what keeps it viable on an
     * unbounded stream. */

@@ -225,6 +225,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: in-distribution batch quiet, shifted batch loud, replay overwrites") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    // baseline: uniform on [0, 10) for key "e"
+    val baseRows = (0 until 100).map(i => ("e", i / 10.0)).toDF("k", "v")
+    val baseline = graft.operators.Audit.bucketCounts(baseRows, "k", "v",
+      lo = 0.0, hi = 10.0, nBuckets = 20)
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamingDriftMonitor(
+      mem.toDF().select(col("event_type"), col("value")),
+      "event_type", "value", baseline, lo = 0.0, hi = 10.0, nBuckets = 20,
+      path = dir)
+    try {
+      // batch 0: same uniform shape -> small D
+      mem.addData((0 until 100).map(i => Ev(t(1), i.toLong, "e", i / 10.0)): _*)
+      q.processAllAvailable()
+      // batch 1: everything piled at the top of the range -> large D
+      mem.addData((0 until 100).map(i => Ev(t(2), i.toLong, "e", 9.5)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def report(b: Long): Double =
+      spark.read.parquet(dir).filter(col("batch_id") === b)
+        .select("ks_distance").head().getDouble(0)
+    assert(report(0L) < 0.05, s"in-distribution batch drifted: ${report(0L)}")
+    assert(report(1L) > 0.5, s"shifted batch must alarm: ${report(1L)}")
+    // replay batch 1 via the same body: report overwritten, not duplicated
+    val counts = graft.operators.Audit.bucketCounts(
+      (0 until 100).map(i => ("e", 9.5)).toDF("k", "v"), "k", "v",
+      0.0, 10.0, 20)
+    StreamOps.idempotentBatchWrite(
+      graft.operators.Audit.ksCompare(counts, baseline, 20), dir, 1L)
+    assert(spark.read.parquet(dir).filter(col("batch_id") === 1L).count() == 1L)
+    assert(report(1L) > 0.5)
+  }
+
   test("TTL-state streaming dedup emits only first-seen content across restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
