@@ -34,8 +34,12 @@ object Graph {
       probCol: String, iters: Int, damping: Double): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    // the edge list feeds every iteration: truncate its lineage ONCE so
+    // k rounds don't re-derive it k times (the Dedup CC discipline —
+    // localCheckpoint, not cache, so the plan is cut, not just memoized)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(probCol).as("p"))
+    val e = if (iters > 1) e0.localCheckpoint() else e0
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
