@@ -4,6 +4,7 @@ import graft.GraftFunctions
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed to
@@ -256,6 +257,73 @@ object Dedup {
         size(array_union(col("x.sh"), col("y.sh"))).cast("long").as("n_total"))
       .orderBy("id_a", "id_b")
   }
+
+  /** EXACT threshold set-similarity join (SSJoin / PPJoin prefix filter,
+    * Chaudhuri'06 / Xiao'08) — all pairs with shingle-set Jaccard ≥
+    * `tNum/tDen`, no approximation. The complement of [[minhashNearDupPairs]]:
+    * MinHash buys probabilistic candidates at any similarity; the prefix
+    * filter buys EXACT results when the threshold is high enough to
+    * prune.
+    *
+    * The machinery, all integer-exact (the threshold is a RATIONAL, so
+    * every ceil/compare is integer arithmetic — a float threshold would
+    * round ⌈t·n⌉ up through the double error and silently shrink the
+    * prefix below the theorem's bound):
+    *
+    *   1. order the universe by (df, shingle) — rarest first;
+    *   2. each set exposes only its first `n − ⌈t·n⌉ + 1` elements: any
+    *      pair with J ≥ t must share an element within BOTH prefixes
+    *      (if c = |x∩y| ≥ ⌈t·max⌉, the globally-first common element sits
+    *      within the first |x| − c + 1 ≤ prefix of each side);
+    *   3. candidates = prefix-postings self-join (+ the length filter
+    *      den·min ≥ num·max), verified by an exact intersection count.
+    *
+    * Candidate volume is Σ_prefix-token df² — bounded by the rare-first
+    * order, never all-pairs; the verify join ships candidate × set-size
+    * rows. Returns `(id_a, id_b, n_common, n_union)` — the exact Jaccard
+    * as a fraction, no doubles anywhere. */
+  def setSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
+      tNum: Int, tDen: Int, shingleK: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0,1]: $tNum/$tDen")
+    val sets = docs.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)),
+          shingleK))).as("sh"))
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("n"))
+    val dfreq = sets.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy(col("df"), col("sh"))
+    // minOverlap(n) = ceil(tNum*n/tDen), exactly
+    val prefix = sets.join(dfreq, "sh").join(sizes, "id")
+      .withColumn("r", row_number().over(wDoc))
+      .filter(col("r") <= col("n") -
+        expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select("id", "sh", "n")
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .filter(lit(tDen) * least(col("a.n"), col("b.n")) >=
+        lit(tNum) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") * tDen >=
+        lit(tNum) * (col("n_a") + col("n_b") - col("n_common")))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("n_a") + col("n_b") - col("n_common")).as("n_union"))
+  }
+
+  /** All document pairs with exact 3-gram Jaccard ≥ 3/5, via the prefix
+    * filter; the oracle brute-forces ground truth through an inverted
+    * index (pairs sharing any shingle + exact intersection counts), so a
+    * missed or phantom pair hash-mismatches. */
+  def q143SetSimilarityJoin(spark: SparkSession, dir: String): DataFrame =
+    setSimilarityJoin(Tables.documents(spark, dir), "doc_id", "text",
+        tNum = 3, tDen = 5)
+      .orderBy("id_a", "id_b")
 
   /** Composite training-data pipeline: length gate → exact dedup (min-id
     * representative) → per-language corpus stats. Each stage is one of the
@@ -817,6 +885,7 @@ object Dedup {
     "q45_minhash_pairs" -> (q45MinhashPairs _),
     "q46_simhash_pairs" -> (q46SimhashPairs _),
     "q47_ngram_jaccard_sample" -> (q47NgramJaccardSample _),
+    "q143_set_similarity_join" -> (q143SetSimilarityJoin _),
     "q75_near_dup_clusters" -> (q75NearDupClusters _),
     "q76_curation_v2" -> (q76CurationV2 _))
 
@@ -1204,6 +1273,29 @@ object Dedup {
         |  bit_count(xor(x.sim, y.sim))::BIGINT AS hamming
         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.sim, y.sim)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // ground truth by brute force through the inverted index: every pair
+    // sharing ANY shingle gets an exact intersection count, thresholded
+    // with the same integer-rational compare as the engine
+    "q143_set_similarity_join" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, len(toks) - 1)])) AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |          x -> x <> '') AS toks
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM t GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_common,
+        |  sa.n + sb.n - n_common AS n_union
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE n_common * 5 >= 3 * (sa.n + sb.n - n_common)
         |ORDER BY id_a, id_b""".stripMargin,
     "q47_ngram_jaccard_sample" ->
       """WITH t AS (

@@ -788,6 +788,33 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 0.0) -> 5.0, (10L, 1.0) -> 9.0), s"got $got")
   }
 
+  test("setSimilarityJoin: prefix filter equals brute force, boundary pair included exactly") {
+    import graft.operators.Dedup
+    // doc 0/1: J = 3/5 exactly (boundary, must be INCLUDED at t = 3/5);
+    // doc 2: disjoint-ish; doc 3: near-identical to 0
+    val docs = Seq(
+      (0L, "a b c d e f"),   // shingles: abc bcd cde def
+      (1L, "a b c d e zz"),  // abc bcd cde dezz... -> overlap 3 of 5? see below
+      (2L, "q r s t u v"),
+      (3L, "a b c d e f")    // identical to 0 -> J = 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.setSimilarityJoin(docs, "doc_id", "text", tNum = 3, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // brute force over the same shingle sets
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = Seq(0L -> sh("a b c d e f"), 1L -> sh("a b c d e zz"),
+      2L -> sh("q r s t u v"), 3L -> sh("a b c d e f"))
+    val expect = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      c = (sa & sb).size; u = (sa | sb).size if c * 5 >= 3 * u
+    } yield (ia, ib) -> (c.toLong, u.toLong)).toMap
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.contains((0L, 1L)) &&
+      got((0L, 1L))._1 * 5 == 3 * got((0L, 1L))._2,
+      "the exact-threshold boundary pair must be included")
+  }
+
   test("skewProfile: hot key drives rec_salts, uniform key needs one") {
     import graft.operators.Skew
     // hot: key "h" owns 8 of 12 rows over 3 keys -> avg 4, rec_salts 2;
