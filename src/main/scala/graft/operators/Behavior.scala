@@ -203,6 +203,36 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  /** Interval union per key: each event opens a `[ts, ts + durSeconds)`
+    * presence interval; overlapping/touching intervals merge into
+    * islands (gaps-and-islands via the running max of prior interval
+    * ends — the [[Cdc.scd2]] move on intervals), and each key reports
+    * island count, total covered time, and total gap time inside its
+    * active span. The SLA/uptime/presence primitive. One key-hash
+    * shuffle; both windows and the aggregate ride it; all arithmetic on
+    * exact epoch-micros longs. */
+  def intervalCoverage(events: DataFrame, tsCol: String, keyCol: String,
+      durSeconds: Long): DataFrame = {
+    require(durSeconds > 0, s"duration must be positive: $durSeconds")
+    val durUs = durSeconds * 1000000L
+    val ord = Window.partitionBy(keyCol).orderBy(col("__s"))
+    val prevMaxEnd = max(col("__e")).over(
+      ord.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = events
+      .select(col(keyCol), expr(s"unix_micros($tsCol)").as("__s"))
+      .withColumn("__e", col("__s") + durUs)
+      .withColumn("__new",
+        when(prevMaxEnd.isNull || col("__s") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col(keyCol), col("__isl"))
+      .agg(min(col("__s")).as("s"), max(col("__e")).as("e"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("covered_us"),
+        (max("e") - min("s") - sum(col("e") - col("s"))).as("gap_us"))
+  }
+
   // ---- declared queries ----
 
   /** view → click → purchase within 24 h per hop, over the events table.
@@ -292,7 +322,15 @@ object Behavior {
     "q122_retention_cohorts" -> (q122RetentionCohorts _),
     "q125_attribution" -> (q125Attribution _),
     "q126_decay_score" -> (q126DecayScore _),
-    "q130_session_transitions" -> (q130SessionTransitions _))
+    "q130_session_transitions" -> (q130SessionTransitions _),
+    "q144_interval_coverage" -> (q144IntervalCoverage _))
+
+  /** Per-user presence coverage with 30-minute activity intervals.
+    * Strict hash gate on exact microsecond totals. */
+  def q144IntervalCoverage(spark: SparkSession, dir: String): DataFrame =
+    intervalCoverage(Tables.events(spark, dir), "ts", "user_id",
+        durSeconds = 30 * 60L)
+      .orderBy("user_id")
 
   // the same running-conditional-min window chain, in ANSI SQL; shared
   // verbatim with q133 (the state-fold twin must match it exactly)
@@ -377,6 +415,29 @@ object Behavior {
         |  quantile_cont(t1 - t0, 0.5) AS p50_click_us,
         |  quantile_cont(t2 - t1, 0.5) AS p50_buy_us
         |FROM u WHERE t2 IS NOT NULL""".stripMargin),
+    // gaps-and-islands over [ts, ts+30min) intervals: running max of
+    // prior ends cuts islands, exact micros arithmetic throughout
+    "q144_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_i
+        |  FROM iv),
+        |isl AS (
+        |  SELECT *, SUM(new_i) OVER (PARTITION BY user_id ORDER BY s
+        |    ROWS UNBOUNDED PRECEDING) AS i FROM flagged),
+        |spans AS (
+        |  SELECT user_id, i, MIN(s) AS s, MAX(e) AS e
+        |  FROM isl GROUP BY user_id, i)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(e - s) AS BIGINT) AS covered_us,
+        |  CAST(MAX(e) - MIN(s) - SUM(e - s) AS BIGINT) AS gap_us
+        |FROM spans GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q37's session rule, then lead() within (user, session), then the
     // count matrix with per-source normalization
     "q130_session_transitions" ->

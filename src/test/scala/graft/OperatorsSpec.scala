@@ -788,6 +788,22 @@ class OperatorsSpec extends AnyFunSuite {
       (10L, 0.0) -> 5.0, (10L, 1.0) -> 9.0), s"got $got")
   }
 
+  test("intervalCoverage: overlapping merges, touching merges, gaps measured exactly") {
+    import graft.operators.Behavior
+    // dur 10s. u1: [0,10) [5,15) merge; [30,40) separate -> 2 islands,
+    // covered 25s, gap 15s. u2: [0,10) [10,20) TOUCH (s == prev end,
+    // strict > means not new) -> 1 island, covered 20s, gap 0.
+    val ev = Seq((1L, 0L), (1L, 5L), (1L, 30L), (2L, 0L), (2L, 10L))
+      .toDF("user_id", "s")
+      .select(col("user_id"), timestamp_micros(col("s") * 1000000L).as("ts"))
+    val got = Behavior.intervalCoverage(ev, "ts", "user_id", durSeconds = 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> (2L, 25000000L, 15000000L),
+      2L -> (1L, 20000000L, 0L)), s"got $got")
+  }
+
   test("setSimilarityJoin: prefix filter equals brute force, boundary pair included exactly") {
     import graft.operators.Dedup
     // doc 0/1: J = 3/5 exactly (boundary, must be INCLUDED at t = 3/5);
