@@ -270,6 +270,34 @@ object Audit {
     ksDrift(Tables.events(spark, dir), "event_type", "value", nBuckets = 256)
       .orderBy("event_type")
 
+  /** ANALYZE-style catalog statistics in ONE scan: per column — row
+    * count, non-null count, HLL distinct estimate, lexical min/max
+    * (values stringified so one report covers any schema). The stats a
+    * cost-based planner feeds on, gathered with a single pass of
+    * map-side-combined aggregates; the NDV is the engine's own mergeable
+    * sketch, so per-partition stats roll up to table stats by sketch
+    * merge (the incremental-ANALYZE shape). The declared gate rides the
+    * exact NDV next to the estimate's envelope boolean — the exact side
+    * costs one Expand pass and exists for the ORACLE, not the operator. */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableStats needs at least one column")
+    graft.GraftFunctions.register(df.sparkSession)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        graft.GraftFunctions.approx_distinct(col(c))
+          .getField("cardinality").as(s"__ndv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      one.select(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"), col(s"__ndv_$c").as("ndv_est"),
+        col(s"__min_$c").as("min_s"), col(s"__max_$c").as("max_s"))
+    }.reduce(_ unionByName _)
+    stacked
+  }
+
   /** The drift monitor's batch body as an oracle-gated query: the
     * month's first half is the frozen baseline, the second half the
     * "live" side, both bucketed on the same fixed [0, 100) grid, KS
@@ -292,9 +320,42 @@ object Audit {
     "q113_mad_anomaly" -> (q113MadAnomaly _),
     "q137_seasonal_anomaly" -> (q137SeasonalAnomaly _),
     "q141_ks_drift" -> (q141KsDrift _),
-    "q142_ks_baseline_compare" -> (q142KsBaselineCompare _))
+    "q142_ks_baseline_compare" -> (q142KsBaselineCompare _),
+    "q145_table_stats" -> (q145TableStats _))
+
+  private val statsCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderpriority")
+
+  /** Catalog stats over `orders`: exact NDV rides along (the oracle
+    * recomputes it), the HLL estimate gates through the BASELINE.md
+    * envelope boolean, min/max/lengths are exact strings. */
+  def q145TableStats(spark: SparkSession, dir: String): DataFrame = {
+    val envelope = 3 * 1.04 / math.sqrt(1 << 16)
+    val o = Tables.orders(spark, dir)
+    val est = tableStats(o, statsCols)
+    val exact = statsCols.map { c =>
+      o.agg(countDistinct(col(c)).as("ndv")).select(lit(c).as("column"),
+        col("ndv"))
+    }.reduce(_ unionByName _)
+    est.join(exact, "column")
+      .select(col("column"), col("n_rows"), col("n_nonnull"), col("ndv"),
+        (abs(col("ndv_est").cast("double") - col("ndv").cast("double")) <=
+          greatest(lit(1.0), col("ndv").cast("double") * envelope))
+          .as("est_ok"),
+        col("min_s"), col("max_s"))
+      .orderBy("column")
+  }
 
   val oracles: Map[String, String] = Map(
+    // one UNION ALL branch per column; exact NDV, stringified min/max
+    // (value ranges here stay inside both engines' plain-notation zone)
+    "q145_table_stats" -> statsCols.map(c =>
+      s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv, true AS est_ok,
+         |  CAST(MIN($c) AS VARCHAR) AS min_s,
+         |  CAST(MAX($c) AS VARCHAR) AS max_s FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
     // two halves bucketed on the same FIXED grid, per-key CDF compare
     "q142_ks_baseline_compare" ->
       """WITH lv AS (
