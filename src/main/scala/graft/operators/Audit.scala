@@ -270,6 +270,64 @@ object Audit {
     ksDrift(Tables.events(spark, dir), "event_type", "value", nBuckets = 256)
       .orderBy("event_type")
 
+  /** The q113 MAD anomaly machinery with KLL medians — the documented
+    * swap for keys too large for exact percentiles: [[madAnomalies]]'
+    * exact `percentile` sorts each key's values (fine to millions, wrong
+    * at billions); this variant estimates the median and the residual
+    * median from mergeable KLL sketches (two map-side-combined passes,
+    * the second because the residual depends on the first's result), so
+    * per-key cost is O(sketch) regardless of key size. Same flag rule on
+    * the estimated centre/scale. */
+  def madAnomaliesApprox(df: DataFrame, key: String, valueCol: String,
+      k: Double = 3.0,
+      kllK: Int = graft.sketch.KllDoubles.DefaultK): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val med = df.groupBy(col(key))
+      .agg(element_at(graft.GraftFunctions.approx_quantiles(
+        col(valueCol), Seq(0.5), kllK), 1).as("med"))
+    val withMed = df.join(broadcast(med), key)
+    val mad = withMed.groupBy(col(key))
+      .agg(element_at(graft.GraftFunctions.approx_quantiles(
+        abs(col(valueCol) - col("med")), Seq(0.5), kllK), 1).as("mad"))
+    withMed.join(broadcast(mad), key)
+      .filter(abs(col(valueCol) - col("med")) > lit(k) * lit(1.4826) * col("mad"))
+  }
+
+  /** KLL-MAD rank gate (the q118 discipline): per key, the estimated
+    * median and residual-median are rank-checked against the TRUE rows —
+    * r_le/r_lt within ε·n of rank n/2 — with the exact count riding
+    * along for the oracle; the flag semantics themselves are pinned
+    * against exact-percentile MAD in the unit tests, where borderline
+    * rows can be controlled. */
+  def q146ApproxMad(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.04
+    val ev = Tables.events(spark, dir)
+    val med = ev.groupBy("user_id")
+      .agg(element_at(graft.GraftFunctions.approx_quantiles(
+        col("value"), Seq(0.5)), 1).as("med"))
+    val withMed = ev.join(broadcast(med), "user_id")
+    val mad = withMed.groupBy("user_id")
+      .agg(element_at(graft.GraftFunctions.approx_quantiles(
+        abs(col("value") - col("med")), Seq(0.5)), 1).as("mad"))
+    withMed.join(broadcast(mad), "user_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("med"), 1L).otherwise(0L)).as("mle"),
+        sum(when(col("value") < col("med"), 1L).otherwise(0L)).as("mlt"),
+        sum(when(abs(col("value") - col("med")) <= col("mad"), 1L)
+          .otherwise(0L)).as("rle"),
+        sum(when(abs(col("value") - col("med")) < col("mad"), 1L)
+          .otherwise(0L)).as("rlt"))
+      .select(col("user_id"), col("n"),
+        (col("mle").cast("double") >= lit(0.5) * col("n") - lit(eps) * col("n") &&
+          col("mlt").cast("double") <= lit(0.5) * col("n") + lit(eps) * col("n"))
+          .as("med_rank_ok"),
+        (col("rle").cast("double") >= lit(0.5) * col("n") - lit(eps) * col("n") &&
+          col("rlt").cast("double") <= lit(0.5) * col("n") + lit(eps) * col("n"))
+          .as("mad_rank_ok"))
+      .orderBy("user_id")
+  }
+
   /** ANALYZE-style catalog statistics in ONE scan: per column — row
     * count, non-null count, HLL distinct estimate, lexical min/max
     * (values stringified so one report covers any schema). The stats a
@@ -321,7 +379,8 @@ object Audit {
     "q137_seasonal_anomaly" -> (q137SeasonalAnomaly _),
     "q141_ks_drift" -> (q141KsDrift _),
     "q142_ks_baseline_compare" -> (q142KsBaselineCompare _),
-    "q145_table_stats" -> (q145TableStats _))
+    "q145_table_stats" -> (q145TableStats _),
+    "q146_approx_mad" -> (q146ApproxMad _))
 
   private val statsCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderpriority")
@@ -347,6 +406,11 @@ object Audit {
   }
 
   val oracles: Map[String, String] = Map(
+    // exact per-key counts; the KLL rank booleans are engine-side
+    "q146_approx_mad" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  true AS med_rank_ok, true AS mad_rank_ok
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // one UNION ALL branch per column; exact NDV, stringified min/max
     // (value ranges here stay inside both engines' plain-notation zone)
     "q145_table_stats" -> statsCols.map(c =>

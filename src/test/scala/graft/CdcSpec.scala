@@ -358,6 +358,10 @@ class CdcSpec extends AnyFunSuite {
     val out = Audit.madAnomalies(df, "user", "v", k = 3.0)
       .select("eid").collect().map(_.getLong(0)).toSet
     assert(out == Set(99L), s"expected only the planted outlier, got $out")
+    // the KLL variant, uncompacted regime (n << k): identical flag set
+    val approx = Audit.madAnomaliesApprox(df, "user", "v", k = 3.0)
+      .select("eid").collect().map(_.getLong(0)).toSet
+    assert(approx == Set(99L), s"approx MAD diverged, got $approx")
   }
 
   test("q114 window battery plan: all seven window functions ride one shuffle") {
