@@ -368,6 +368,18 @@ class ScaleSpec extends AnyFunSuite {
       s"expected the window chain to share one sort, got $sorts:\n${plan.take(3000)}")
   }
 
+  test("q143 plan: candidates come from the prefix-postings equi-join, never a cross join") {
+    val df = graft.operators.Dedup.setSimilarityJoin(
+      Tables.documents(spark, sf), "doc_id", "text", tNum = 3, tDen = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"set-similarity join must never go all-pairs:\n${plan.take(2000)}")
+    // the prefix filter (rank vs n - ceil(t*n) + 1) must sit BELOW the
+    // candidate join — i.e. appear in the plan at all
+    assert(plan.contains("div"), "integer-exact prefix bound missing from plan")
+  }
+
   test("q64 plan: bloom probe filters the fact scan before the join") {
     val plan = graft.operators.RuntimeFilter.q64BloomSemiJoin(spark, sf)
       .queryExecution.executedPlan.toString

@@ -70,6 +70,28 @@ class SketchPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("CountSketch: merge of any split is counter-identical to one-shot; join size unbiased-ish") {
+    import graft.sketch.CountSketch
+    def csOf(s: Seq[Long], w: Int = 256) = {
+      val cs = new CountSketch(5, w)
+      s.foreach(v => cs.offerHash(XXH64.hashLong(v,
+        graft.functions.AgmsFunctions.HashSeed)))
+      cs
+    }
+    for ((vs, i) <- samples(dupHeavy).zipWithIndex) {
+      val k = if (vs.isEmpty) 0 else i % (vs.length + 1)
+      val (a, b) = vs.splitAt(k)
+      val ca = csOf(a); ca.mergeInPlace(csOf(b))
+      assert(java.util.Arrays.equals(ca.serialize(), csOf(vs).serialize()),
+        s"split at $k diverged")
+      // self inner product vs true F2 within the 4-sigma AGMS bound
+      val f2 = vs.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      val bound = 4.0 * math.sqrt(2.0 * f2.toDouble * f2.toDouble / 256)
+      assert(math.abs(csOf(vs).f2() - f2) <= math.max(bound, 1.0),
+        s"F2 est ${csOf(vs).f2()} vs $f2 (bound $bound)")
+    }
+  }
+
   test("LC merge of any split equals one-shot") {
     for ((vs, i) <- samples(dupHeavy).zipWithIndex) {
       val k = if (vs.isEmpty) 0 else i % (vs.length + 1)
