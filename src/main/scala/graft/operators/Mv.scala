@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.plans.MvRewrite
+import graft.sources.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the materialized-view aggregate rewrite
+  * ([[graft.plans.MvRewrite]]): a dashboard aggregate written against the
+  * BASE fact table, answered from a maintained summary by a Catalyst
+  * optimizer rule.
+  */
+object Mv {
+
+  /** The q147 MV geometry, shared with the plan-pin spec. */
+  val dims: Seq[String] = Seq("l_returnflag", "l_linestatus")
+  val sumCols: Seq[String] = Seq("l_quantity", "l_extendedprice")
+  val minMaxCols: Seq[String] = Seq("l_discount", "l_tax")
+
+  /** Copy the base table under its own temp root, build + install the MV
+    * for it, and return (basePath, base DF, mvPath). The copy is a
+    * test-isolation device ONLY: the rewrite rule stays scoped to this
+    * query's private base path, so the other 140+ queries sharing the
+    * Verify/Bench session keep their own plans (a production deploy would
+    * register the real fact path once, deliberately, for every session).
+    */
+  def installLineitemMv(spark: SparkSession, dir: String):
+      (String, DataFrame, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    val basePath = s"$root/fact_lineitem.parquet"
+    val mvPath = s"$root/mv_lineitem_rfls"
+    Tables.lineitem(spark, dir).write.mode("overwrite").parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    MvRewrite.buildSummary(base, dims, sumCols, sumScale = 2, minMaxCols,
+      mvPath)
+    MvRewrite.install(spark, mvPath, "/fact_lineitem.parquet", dims,
+      sumCols, sumScale = 2, minMaxCols)
+    (basePath, base, mvPath)
+  }
+
+  /** The q147 aggregate, written against whatever `base` frame is given —
+    * the declared query runs it over the MV-registered base (rewrite
+    * fires); the spec also runs it over the raw table (rewrite can't
+    * match) to pin bit-equality of the two plans. */
+  def q147Shape(base: DataFrame): DataFrame =
+    base.filter(col("l_linestatus") === "F")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        min(col("l_discount")).as("min_disc"),
+        max(col("l_tax")).as("max_tax"))
+      .orderBy("l_returnflag")
+
+  /** Fact-table dashboard aggregate transparently answered from the MV.
+    * Strict hash gate: the oracle computes the same aggregate from the raw
+    * lineitem rows in DuckDB, so a rewrite that dropped rows, double
+    * counted a partial, or mis-merged a partial sum hash-mismatches. The
+    * DECIMAL casts make every sum (and the avg's Σsum/Σcnt) exact, so
+    * re-association through the MV cannot move a bit. The plan-pin spec
+    * asserts the physical scan under the aggregate reads the MV files,
+    * not the fact files. */
+  def q147MvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val (_, base, _) = installLineitemMv(spark, dir)
+    q147Shape(base)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_mv_rewrite" -> (q147MvRewrite _))
+
+  val oracles: Map[String, String] = Map(
+    "q147_mv_rewrite" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(l_discount) AS min_disc, MAX(l_tax) AS max_tax
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}
