@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining: frequent item pairs + lift.
+  *
+  * The classic A-priori candidate explosion is avoided structurally: pairs
+  * are generated WITHIN each basket from its sorted, cap-bounded item set
+  * (the [[Buckets.candidatePairs]] explosion shape), so the pair space is
+  * Σ|basket|² — bounded by basket geometry, never items². One shuffle
+  * builds the baskets (`groupBy(basket).collect_set`, map-side combined);
+  * everything downstream (pair counts, item supports, the basket total)
+  * re-reads the basket table, which is `localCheckpoint`ed once — the
+  * 100 TB plan is scan → basket shuffle → three cheap reductions over the
+  * (much smaller) basket table.
+  *
+  * Basket capping keeps the `cap` smallest items (deterministic) and the
+  * dropped-item count rides the query as an observed metric — no silent
+  * caps. Supports are computed AFTER capping, so support and pair counts
+  * stay mutually consistent under a cap.
+  *
+  * Lift = n(p1,p2)·N / (s(p1)·s(p2)) over exact integer counts: the one
+  * double multiply + divide is evaluated in the same order in any IEEE
+  * engine, so the declared query hash-gates exactly.
+  */
+object Basket {
+
+  /** Frequent co-occurring item pairs with support ≥ `minSupport`, with
+    * lift, top `topK` by (count desc, p1, p2) — a total order, so the
+    * limit is deterministic. */
+  def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, basketCap: Int, topK: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    require(basketCap >= 2, s"basketCap must be >= 2: $basketCap")
+    val baskets = df
+      .groupBy(col(basketCol).as("__b"))
+      .agg(sort_array(collect_set(col(itemCol))).as("__items"))
+      .observe("basket_cap",
+        coalesce(sum(greatest(size(col("__items")) - basketCap, lit(0)))
+          .cast("long"), lit(0L)).as("dropped_items"),
+        coalesce(max(size(col("__items"))).cast("long"), lit(0L))
+          .as("max_basket_size"))
+      .withColumn("__items", slice(col("__items"), 1, basketCap))
+      .localCheckpoint(true)
+
+    val pairs = baskets.select(explode(flatten(transform(col("__items"),
+        (a, i) => transform(
+          slice(col("__items"), i + lit(2), lit(basketCap)),
+          b => struct(a.as("p1"), b.as("p2")))))).as("__p"))
+      .select(col("__p.p1"), col("__p.p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+    val sup = baskets.select(explode(col("__items")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("s"))
+    val totals = baskets.agg(count(lit(1)).as("n_baskets"))
+
+    pairs
+      .join(sup.select(col("p").as("p1"), col("s").as("s1")), "p1")
+      .join(sup.select(col("p").as("p2"), col("s").as("s2")), "p2")
+      .crossJoin(totals) // 1-row build side: a broadcast of one long
+      .select(col("p1"), col("p2"), col("n"),
+        (col("n").cast("double") * col("n_baskets") /
+          (col("s1") * col("s2"))).as("lift"))
+      .orderBy(desc("n"), col("p1"), col("p2"))
+      .limit(topK)
+  }
+
+  /** Parts co-ordered in the same order at least twice, top 50 by
+    * co-order count, with lift against the parts' independent order
+    * frequencies. Strict hash gate: counts are exact and the lift is a
+    * single identically-ordered double expression over exact longs. */
+  def q148FrequentPairs(spark: SparkSession, dir: String): DataFrame =
+    frequentPairs(Tables.lineitem(spark, dir), "l_orderkey", "l_partkey",
+      minSupport = 2L, basketCap = 64, topK = 50)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_frequent_pairs" -> (q148FrequentPairs _))
+
+  val oracles: Map[String, String] = Map(
+    "q148_frequent_pairs" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |tot AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM op),
+        |sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM op GROUP BY p),
+        |pr AS (
+        |  SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pr.p1, pr.p2, pr.cnt AS n,
+        |  CAST(pr.cnt AS DOUBLE) * tot.n_baskets / (s1.s * s2.s) AS lift
+        |FROM pr
+        |JOIN sup s1 ON pr.p1 = s1.p
+        |JOIN sup s2 ON pr.p2 = s2.p
+        |CROSS JOIN tot
+        |ORDER BY n DESC, pr.p1, pr.p2 LIMIT 50""".stripMargin)
+}

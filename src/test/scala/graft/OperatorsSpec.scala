@@ -1141,4 +1141,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L)._2 == round6((2 * bits(pAB) + bits(pBA)) / 3), s"doc1 ${got(1L)}")
     assert(got(2L)._2 == round6(bits(pAB)), s"doc2 ${got(2L)}")
   }
+
+  // ---- market basket (q148) ----
+
+  test("frequentPairs: hand-checked supports, lift, dup rows deduped, minSupport cut") {
+    import graft.operators.Basket
+    val rows = Seq( // basket 1 lists item 10 twice: collect_set dedupes
+      (1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L),
+      (4L, 30L)).toDF("b", "i")
+    val got = Basket.frequentPairs(rows, "b", "i", minSupport = 2L,
+        basketCap = 64, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // pair (10,20) in baskets 1,2,3; (10,30) and (20,30) only in basket 1
+    // lift(10,20) = 3 * 4 baskets / (s10=3 * s20=3)
+    assert(got.toSeq == Seq((10L, 20L, 3L, 3.0 * 4 / 9)))
+  }
+
+  test("frequentPairs: basket cap keeps smallest items and observes drops") {
+    import graft.operators.Basket
+    val rows = Seq((1L, 30L), (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L)).toDF("b", "i")
+    val got = Basket.frequentPairs(rows, "b", "i", minSupport = 2L,
+      basketCap = 2, topK = 10)
+    // cap=2 keeps {10,20} in basket 1 (smallest), drops 30
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((10L, 20L, 2L)))
+  }
 }
