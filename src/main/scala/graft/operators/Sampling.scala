@@ -192,12 +192,58 @@ object Sampling {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** Training-mixture weights over corpus domains: temperature-scaled
+    * (α = 0.5) sampling weights from per-domain token mass, plus the token
+    * allocation and implied epoch count under a fixed training budget.
+    *
+    * w_d ∝ T_d^α — α = 0.5 keeps head domains from drowning the tail (the
+    * UniMax/multilingual-sampling move) while still favoring bigger pools.
+    * α is fixed at 0.5 deliberately: T^0.5 is `sqrt`, which IEEE requires
+    * correctly rounded in every engine, whereas a general `pow` is not —
+    * so the declared query can hash-gate bit-exactly. The per-domain
+    * sqrt terms are DECIMAL-quantized before the denominator sum, making
+    * the normalization order-independent (the q126 discipline).
+    *
+    * One aggregation pass over the corpus (token counting folds into the
+    * groupBy's partial aggregates); the domain table is tiny, so the
+    * denominator cross-join broadcasts one row. epochs_d > 1 flags domains
+    * the budget would force to repeat — the signal mixture designers act
+    * on. */
+  def mixtureWeights(df: DataFrame, domainCols: Seq[String],
+      textCol: String, budgetTokens: Long): DataFrame = {
+    require(domainCols.nonEmpty, "at least one domain column")
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    val dom = df.groupBy(domainCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))).as("n_tokens"))
+      .withColumn("__s",
+        sqrt(col("n_tokens").cast("double")).cast("decimal(28,12)"))
+    val denom = dom.agg(sum(col("__s")).as("__denom"))
+    dom.crossJoin(denom) // 1-row build side
+      .withColumn("weight",
+        col("__s").cast("double") / col("__denom").cast("double"))
+      .select(domainCols.map(col) ++ Seq(
+        col("n_docs"), col("n_tokens"), col("weight"),
+        (col("weight") * lit(budgetTokens)).as("alloc_tokens"),
+        (col("weight") * lit(budgetTokens) / col("n_tokens"))
+          .as("epochs")): _*)
+      .orderBy(domainCols.map(col): _*)
+  }
+
+  /** Mixture weights per (source, lang) under a 10M-token budget. Strict
+    * hash gate: exact integer token mass, correctly-rounded sqrt, decimal
+    * denominator, identically-ordered double expressions. */
+  def q149MixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeights(Tables.documents(spark, dir), Seq("source", "lang"),
+      "text", budgetTokens = 10000000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_split_by_key" -> (q71SplitByKey _),
     "q79_weighted_sample" -> (q79WeightedSample _),
     "q84_fixed_size_sample" -> (q84FixedSizeSample _),
-    "q94_quota_sample" -> (q94QuotaSample _))
+    "q94_quota_sample" -> (q94QuotaSample _),
+    "q149_mixture_weights" -> (q149MixtureWeights _))
 
   /** CTE computing the uniform draw per document, reproduced from first
     * principles (same md5 derivation as the q46 simhash oracle). */
@@ -248,5 +294,24 @@ object Sampling {
          |                WHEN 'src2' THEN 15.0 WHEN 'src3' THEN 5.0 END AS q
          |  FROM n))
          |SELECT d.doc_id, d.source FROM d JOIN r USING (source)
-         |WHERE d.u < r.rate ORDER BY d.doc_id""".stripMargin)
+         |WHERE d.u < r.rate ORDER BY d.doc_id""".stripMargin,
+    // same expression shapes: exact long token sums, sqrt (correctly
+    // rounded), DECIMAL(28,12) quantized terms, exact decimal denominator,
+    // left-associated double arithmetic for weight/alloc/epochs
+    "q149_mixture_weights" ->
+      """WITH d AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |s AS (
+        |  SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12))
+        |    AS sd FROM d),
+        |t AS (SELECT SUM(sd) AS denom FROM s)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(sd AS DOUBLE) / CAST(denom AS DOUBLE) AS weight,
+        |  CAST(sd AS DOUBLE) / CAST(denom AS DOUBLE) * 10000000 AS alloc_tokens,
+        |  CAST(sd AS DOUBLE) / CAST(denom AS DOUBLE) * 10000000 / n_tokens
+        |    AS epochs
+        |FROM s CROSS JOIN t ORDER BY source, lang""".stripMargin)
 }

@@ -135,4 +135,23 @@ class SamplingSpec extends AnyFunSuite {
       .select("k").as[Long].collect().toSet
     assert(viaQuota == viaFraction)
   }
+
+  test("mixtureWeights: sqrt temperature scaling, weights sum to 1, epochs math") {
+    // domains: a has 9 tokens, b has 1 -> sqrt scaling gives 3:1, so raw
+    // proportions 0.9/0.1 become 0.75/0.25 — the tail is lifted
+    val df = Seq(("a", "t1 t2 t3 t4 t5 t6 t7 t8 t9"), ("b", "x"))
+      .toDF("src", "text")
+    val got = Sampling.mixtureWeights(df, Seq("src"), "text", 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got("a")._1 == 9L && got("b")._1 == 1L)
+    assert(math.abs(got("a")._2 - 0.75) < 1e-12)
+    assert(math.abs(got("b")._2 - 0.25) < 1e-12)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+    // alloc = w*B; epochs = alloc / tokens: b gets 25 tokens over a
+    // 1-token pool -> 25 epochs
+    assert(math.abs(got("b")._3 - 25.0) < 1e-9)
+    assert(math.abs(got("b")._4 - 25.0) < 1e-9)
+    assert(math.abs(got("a")._4 - 75.0 / 9) < 1e-9)
+  }
 }
