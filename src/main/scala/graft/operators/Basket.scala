@@ -28,34 +28,46 @@ import org.apache.spark.sql.functions._
   */
 object Basket {
 
-  /** Frequent co-occurring item pairs with support ≥ `minSupport`, with
-    * lift, top `topK` by (count desc, p1, p2) — a total order, so the
-    * limit is deterministic. */
-  def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long, basketCap: Int, topK: Int): DataFrame = {
-    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+  /** The capped, deduped, sorted basket table — one shuffle, then
+    * localCheckpointed for its (typically several) downstream consumers. */
+  def baskets(df: DataFrame, basketCol: String, itemCol: String,
+      basketCap: Int, metricName: String = "basket_cap"): DataFrame = {
     require(basketCap >= 2, s"basketCap must be >= 2: $basketCap")
-    val baskets = df
-      .groupBy(col(basketCol).as("__b"))
+    df.groupBy(col(basketCol).as("__b"))
       .agg(sort_array(collect_set(col(itemCol))).as("__items"))
-      .observe("basket_cap",
+      .observe(metricName,
         coalesce(sum(greatest(size(col("__items")) - basketCap, lit(0)))
           .cast("long"), lit(0L)).as("dropped_items"),
         coalesce(max(size(col("__items"))).cast("long"), lit(0L))
           .as("max_basket_size"))
       .withColumn("__items", slice(col("__items"), 1, basketCap))
       .localCheckpoint(true)
+  }
 
-    val pairs = baskets.select(explode(flatten(transform(col("__items"),
+  /** Co-occurrence counts per unordered item pair (p1 < p2) from a basket
+    * table, with support ≥ `minSupport`. */
+  def pairCounts(basketTable: DataFrame, basketCap: Int,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    basketTable.select(explode(flatten(transform(col("__items"),
         (a, i) => transform(
           slice(col("__items"), i + lit(2), lit(basketCap)),
           b => struct(a.as("p1"), b.as("p2")))))).as("__p"))
       .select(col("__p.p1"), col("__p.p2"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSupport)
-    val sup = baskets.select(explode(col("__items")).as("p"))
+  }
+
+  /** Frequent co-occurring item pairs with support ≥ `minSupport`, with
+    * lift, top `topK` by (count desc, p1, p2) — a total order, so the
+    * limit is deterministic. */
+  def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, basketCap: Int, topK: Int): DataFrame = {
+    val bk = baskets(df, basketCol, itemCol, basketCap)
+    val pairs = pairCounts(bk, basketCap, minSupport)
+    val sup = bk.select(explode(col("__items")).as("p"))
       .groupBy("p").agg(count(lit(1)).as("s"))
-    val totals = baskets.agg(count(lit(1)).as("n_baskets"))
+    val totals = bk.agg(count(lit(1)).as("n_baskets"))
 
     pairs
       .join(sup.select(col("p").as("p1"), col("s").as("s1")), "p1")

@@ -81,8 +81,69 @@ object Graph {
         col("rank").cast("decimal(20,12)").as("rank"))
       .orderBy("event_type")
 
+  /** Exact triangle census of an undirected graph given as (possibly
+    * directed / duplicated) edge pairs, plus the global clustering
+    * coefficient.
+    *
+    * The join uses the degree-ordered orientation (each edge points from
+    * its (degree, id)-smaller endpoint), the standard scale trick: every
+    * triangle materializes exactly once as src→mid→dst, and the join
+    * fan-out per node is bounded by its ORIENTED out-degree — O(√m) on
+    * arbitrary graphs — so one hub node (a part in every order, a stopword
+    * token) cannot produce a quadratic wedge explosion the way id-ordering
+    * would. Wedge counts come from the raw degrees (Σ d(d−1)/2, exact
+    * integers). The oriented edge table feeds three join sides and is
+    * localCheckpointed once. */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+      .localCheckpoint(true)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val totals = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        expr("sum(d * (d - 1)) div 2").as("n_wedges")))
+    totals.crossJoin(tri) // three 1-row frames
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(col("n_triangles").cast("double") * 3 / col("n_wedges"))
+          .as("global_cc"))
+  }
+
+  /** Triangle census of the part co-order graph (parts co-ordered ≥ 2
+    * times are adjacent — q148's pair counts). Strict hash gate: exact
+    * counts; the clustering coefficient is one identically-ordered double
+    * expression. */
+  def q150Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", basketCap = 64)
+    triangleStats(Basket.pairCounts(bk, basketCap = 64, minSupport = 2L),
+      "p1", "p2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q138_pagerank" -> (q138PageRank _))
+    "q138_pagerank" -> (q138PageRank _),
+    "q150_triangles" -> (q150Triangles _))
 
   private val transitionsSql: String =
     """WITH e AS (
@@ -136,5 +197,31 @@ object Graph {
       (1 to 5).map(iterSql).mkString(",\n") + "\n" +
       """SELECT node AS event_type,
         |  CAST(rank AS DECIMAL(20,12)) AS rank
-        |FROM r5 ORDER BY event_type""".stripMargin))
+        |FROM r5 ORDER BY event_type""".stripMargin),
+    // id-ordered triangle join — orientation changes the join's cost, not
+    // the triangle set, so the oracle can use the simple form
+    "q150_triangles" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM ed e1 JOIN ed e2 ON e2.u = e1.v
+        |    JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tot AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
+        |    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+        |  FROM deg)
+        |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+        |  CASE WHEN n_wedges = 0 THEN 0.0
+        |    ELSE CAST(n_triangles AS DOUBLE) * 3 / n_wedges END AS global_cc
+        |FROM tot CROSS JOIN tri""".stripMargin)
 }

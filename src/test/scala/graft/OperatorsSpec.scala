@@ -1169,4 +1169,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq == Seq((10L, 20L, 2L)))
   }
+
+  // ---- triangle census (q150) ----
+
+  test("triangleStats: K4 plus a pendant, duplicate/reversed/self edges normalized") {
+    import graft.operators.Graph
+    // K4 on {1,2,3,4} (4 triangles), pendant 5-1, plus noise: a reversed
+    // duplicate, an exact duplicate, and a self loop
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L), (2L, 1L), (1L, 2L), (3L, 3L)).toDF("a", "b")
+    val got = Graph.triangleStats(edges, "a", "b").collect()(0)
+    assert(got.getLong(0) == 5, "nodes")     // {1..5}
+    assert(got.getLong(1) == 7, "edges")     // K4's 6 + pendant
+    assert(got.getLong(2) == 4, "triangles") // C(4,3)
+    // degrees: 1->4, 2..4->3, 5->1; wedges = 6 + 3*3 + 0 = 15
+    assert(got.getLong(3) == 15, "wedges")
+    assert(got.getDouble(4) == 4.0 * 3 / 15, "global cc")
+  }
+
+  test("triangleStats: triangle-free bipartite graph counts zero") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)).toDF("a", "b")
+    val got = Graph.triangleStats(edges, "a", "b").collect()(0)
+    assert(got.getLong(2) == 0 && got.getLong(3) == 4)
+  }
 }
