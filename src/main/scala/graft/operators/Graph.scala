@@ -141,9 +141,66 @@ object Graph {
       "p1", "p2")
   }
 
+  /** Breadth-first hop distances from the rows of `seed` (a 1-column
+    * frame of node ids) over an undirected edge list, to at most
+    * `maxHops`. Returns `(node, hop)` with hop = shortest distance.
+    *
+    * Classic distributed BFS: each round expands the CURRENT FRONTIER
+    * only (one hash join frontier ⋈ adjacency + one anti-join against the
+    * visited set), so total work is O(Σ frontier-adjacency), not
+    * rounds × edges. Adjacency and per-round frontiers are
+    * localCheckpointed — the Dedup-CC iteration discipline — and the loop
+    * exits early when a frontier empties. At 100 TB the adjacency join is
+    * the only edge-scale shuffle and reuses one hash partitioning on the
+    * source endpoint across all rounds. */
+  def bfsHops(edges: DataFrame, aCol: String, bCol: String,
+      seed: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val bi = edges
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var visited = seed.toDF("node").distinct()
+      .withColumn("hop", lit(0)).localCheckpoint(true)
+    var frontier = visited
+    var k = 1
+    var done = maxHops == 0
+    while (!done) {
+      val next = frontier.join(bi, frontier("node") === bi("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(k))
+        .localCheckpoint(true)
+      val emptied = next.isEmpty
+      if (emptied || k == maxHops) done = true
+      if (!emptied) {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      k += 1
+    }
+    visited
+  }
+
+  /** Hop distances from the smallest part id in the co-order graph
+    * (edges = parts co-ordered ≥ 2 times), depth ≤ 6 — "how tightly is
+    * the catalog knit around its most-connected corner". Strict hash
+    * gate against a DuckDB recursive-CTE BFS. */
+  def q151BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", basketCap = 64)
+    val ed = Basket.pairCounts(bk, basketCap = 64, minSupport = 2L)
+    val seed = ed.agg(min(col("p1")).as("node"))
+    bfsHops(ed, "p1", "p2", seed, maxHops = 6)
+      .select(col("node"), col("hop").cast("long").as("hop"))
+      .orderBy("hop", "node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_pagerank" -> (q138PageRank _),
-    "q150_triangles" -> (q150Triangles _))
+    "q150_triangles" -> (q150Triangles _),
+    "q151_bfs_hops" -> (q151BfsHops _))
 
   private val transitionsSql: String =
     """WITH e AS (
@@ -223,5 +280,22 @@ object Graph {
         |SELECT n_nodes, n_edges, n_triangles, n_wedges,
         |  CASE WHEN n_wedges = 0 THEN 0.0
         |    ELSE CAST(n_triangles AS DOUBLE) * 3 / n_wedges END AS global_cc
-        |FROM tot CROSS JOIN tri""".stripMargin)
+        |FROM tot CROSS JOIN tri""".stripMargin,
+    // textbook recursive-CTE BFS; UNION (not ALL) dedupes (node, hop)
+    // pairs and the hop < 6 guard bounds the recursion
+    "q151_bfs_hops" ->
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |bi AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+        |bfs AS (
+        |  SELECT (SELECT MIN(u) FROM bi) AS node, 0 AS hop
+        |  UNION
+        |  SELECT bi.v, bfs.hop + 1
+        |  FROM bfs JOIN bi ON bi.u = bfs.node WHERE bfs.hop < 6)
+        |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+        |FROM bfs GROUP BY node ORDER BY hop, node""".stripMargin)
 }

@@ -1193,4 +1193,28 @@ class OperatorsSpec extends AnyFunSuite {
     val got = Graph.triangleStats(edges, "a", "b").collect()(0)
     assert(got.getLong(2) == 0 && got.getLong(3) == 4)
   }
+
+  // ---- BFS hop distances (q151) ----
+
+  test("bfsHops: path graph distances, disconnected component unreached, early exit") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val seed = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, "a", "b", seed, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("bfsHops: maxHops truncates, hop is shortest distance on a cycle") {
+    import graft.operators.Graph
+    // 4-cycle: node 3 reachable in 2 hops both ways, counted once
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val seed = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, "a", "b", seed, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    val full = Graph.bfsHops(edges, "a", "b", seed, maxHops = 9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
 }
