@@ -373,6 +373,48 @@ object Audit {
       .orderBy("event_type")
   }
 
+  /** Per-group winsorized statistics: exact interpolated [lo, hi]
+    * percentiles, clip counts, and the winsorized mean — the robust
+    * location estimate feature pipelines use before normalizing a
+    * heavy-tailed column.
+    *
+    * Two aggregation passes, both group-keyed: pass 1 reduces to one
+    * (p_lo, p_hi) row per group (a broadcast-sized frame), pass 2 clips
+    * against the broadcast and aggregates. No window over row-level data,
+    * so no per-group sort at scale. Clipped values are DECIMAL-quantized
+    * before the mean's sum (order-independent); the percentile itself is
+    * Spark's exact interpolating `percentile` — swap to the KLL sketch
+    * (q146's move) at billion-row groups. */
+  def winsorizedStats(df: DataFrame, groupCols: Seq[String], valCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, s"need 0 <= lo < hi <= 1: $lo $hi")
+    val gc = groupCols.map(col)
+    val q = df.groupBy(gc: _*).agg(
+      expr(s"percentile($valCol, $lo)").as("__plo"),
+      expr(s"percentile($valCol, $hi)").as("__phi"))
+    df.join(broadcast(q), groupCols)
+      .withColumn("__clip",
+        least(greatest(col(valCol), col("__plo")), col("__phi")))
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("__plo")).as("p_lo"),
+        min(col("__phi")).as("p_hi"),
+        sum(when(col(valCol) < col("__plo"), 1L).otherwise(0L))
+          .as("n_clip_low"),
+        sum(when(col(valCol) > col("__phi"), 1L).otherwise(0L))
+          .as("n_clip_high"),
+        (sum(col("__clip").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("mean_winsor"))
+      .orderBy(gc: _*)
+  }
+
+  /** 5/95-winsorized `l_extendedprice` per return flag. Gate: percentiles
+    * match `quantile_cont`, clip counts are exact integers, the mean's
+    * sum is decimal-stabilized. */
+  def q152Winsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorizedStats(graft.sources.Tables.lineitem(spark, dir),
+      Seq("l_returnflag"), "l_extendedprice", lo = 0.05, hi = 0.95)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_dq_audit" -> (q112DqAudit _),
     "q113_mad_anomaly" -> (q113MadAnomaly _),
@@ -380,7 +422,8 @@ object Audit {
     "q141_ks_drift" -> (q141KsDrift _),
     "q142_ks_baseline_compare" -> (q142KsBaselineCompare _),
     "q145_table_stats" -> (q145TableStats _),
-    "q146_approx_mad" -> (q146ApproxMad _))
+    "q146_approx_mad" -> (q146ApproxMad _),
+    "q152_winsorize" -> (q152Winsorize _))
 
   private val statsCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderpriority")
@@ -557,5 +600,25 @@ object Audit {
         |SELECT e.event_id, e.user_id, e.value, m.med, d.mad
         |FROM events e JOIN med m USING (user_id) JOIN mad d USING (user_id)
         |WHERE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+    // quantile_cont = percentile()'s exact interpolating twin (q139);
+    // same clip expression, same DECIMAL-stabilized mean
+    "q152_winsorize" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS plo,
+        |    quantile_cont(l_extendedprice, 0.95) AS phi
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT l.l_returnflag, l.l_extendedprice AS v, q.plo, q.phi
+        |  FROM lineitem l JOIN q USING (l_returnflag))
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(plo) AS p_lo, MIN(phi) AS p_hi,
+        |  CAST(SUM(CASE WHEN v < plo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_low,
+        |  CAST(SUM(CASE WHEN v > phi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_high,
+        |  CAST(SUM(CAST(LEAST(GREATEST(v, plo), phi) AS DECIMAL(28,10)))
+        |    AS DOUBLE) / COUNT(*) AS mean_winsor
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -370,4 +370,18 @@ class CdcSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected one shuffle for the window battery:\n$plan")
   }
+
+  test("winsorizedStats: hand-checked percentiles, clip counts, winsorized mean") {
+    import graft.operators.Audit
+    val spark2 = spark; import spark2.implicits._
+    val df = (1 to 10).map(v => ("a", v.toDouble)).toDF("g", "v")
+    val r = Audit.winsorizedStats(df, Seq("g"), "v", 0.05, 0.95).collect()(0)
+    // interpolated p05 over 1..10 = 1.45, p95 = 9.55
+    assert(r.getLong(1) == 10)
+    assert(math.abs(r.getDouble(2) - 1.45) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 9.55) < 1e-12)
+    assert(r.getLong(4) == 1 && r.getLong(5) == 1) // 1 clipped, 10 clipped
+    // mean of (1.45, 2..9, 9.55) = (1.45 + 44 + 9.55) / 10
+    assert(math.abs(r.getDouble(6) - 5.5) < 1e-12)
+  }
 }
