@@ -68,8 +68,50 @@ object Mv {
     q147Shape(base)
   }
 
+  // ---- fk join elimination (q153) ----
+
+  /** Copy orders/customer under a private root and declare the
+    * customer pk + orders.o_custkey RI constraint for it (same
+    * test-isolation scoping as the MV registration above). */
+  def installOrdersCustomerFk(spark: SparkSession, dir: String):
+      (DataFrame, DataFrame) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-fk").toString
+    Tables.orders(spark, dir).write.mode("overwrite")
+      .parquet(s"$root/fact_orders.parquet")
+    Tables.customer(spark, dir).write.mode("overwrite")
+      .parquet(s"$root/dim_customer.parquet")
+    graft.plans.JoinElimination.install(spark, Seq(
+      graft.plans.JoinElimination.FkConstraint(
+        "/dim_customer.parquet", "c_custkey", Set("o_custkey"))))
+    (spark.read.parquet(s"$root/fact_orders.parquet"),
+      spark.read.parquet(s"$root/dim_customer.parquet"))
+  }
+
+  /** The q153 aggregate: a BI-style star join whose select list touches
+    * only fact columns. */
+  def q153Shape(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+
+  /** Star join eliminated under declared constraints: the query joins
+    * orders to customer but aggregates only order columns, so
+    * [[graft.plans.FkJoinElimination]] drops the join (plan-pinned in
+    * JoinEliminationSpec). Strict gate: the oracle EXECUTES the join —
+    * if the declared uniqueness/RI ever stopped holding, elimination and
+    * oracle would diverge and this query would go red. */
+  def q153JoinElimination(spark: SparkSession, dir: String): DataFrame = {
+    val (orders, customer) = installOrdersCustomerFk(spark, dir)
+    q153Shape(orders, customer)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q147_mv_rewrite" -> (q147MvRewrite _))
+    "q147_mv_rewrite" -> (q147MvRewrite _),
+    "q153_join_elimination" -> (q153JoinElimination _))
 
   val oracles: Map[String, String] = Map(
     "q147_mv_rewrite" ->
@@ -79,5 +121,11 @@ object Mv {
         |    AS sum_price,
         |  MIN(l_discount) AS min_disc, MAX(l_tax) AS max_tax
         |FROM lineitem WHERE l_linestatus = 'F'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q153_join_elimination" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }
