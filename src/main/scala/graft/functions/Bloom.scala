@@ -149,8 +149,10 @@ case class MightContain(bloomExpr: Expression, child: Expression)
     val v = bloomExpr.eval(null)
     if (v == null) null else BloomFilter.deserialize(v.asInstanceOf[Array[Byte]])
   }
-  @transient private lazy val isStatic: Boolean =
-    bloomExpr.references.isEmpty && bloomExpr.deterministic
+  // foldable, NOT references.isEmpty: a BoundReference (per-row bloom
+  // column, e.g. probing a bloom manifest) also has no references but
+  // cannot be evaluated against a null row
+  @transient private lazy val isStatic: Boolean = bloomExpr.foldable
 
   // per-row fallback: cache keyed on the byte array reference
   @transient private var lastRef: Array[Byte] = _

@@ -192,12 +192,75 @@ object Layout {
       .orderBy("l_returnflag")
   }
 
+  /** File-level Bloom-filter manifest of `keyCol` over a written parquet
+    * dataset: one (file, bloom, n_rows) row per file, built in a single
+    * column-pruned pass with the engine's own `bloom_agg`. The complement
+    * to [[zoneMap]]: min/max zones prune RANGE predicates on clustered
+    * columns, Blooms prune POINT lookups on high-cardinality keys whose
+    * values scatter across every file's min/max span (user ids, order
+    * keys) — the table-format "bloom filter index". Same maintenance
+    * story: at 100 TB this is built per ingest batch under the `batch_id`
+    * discipline, not recomputed. */
+  def bloomManifest(spark: SparkSession, path: String, keyCol: String,
+      numBits: Int, numHashes: Int): DataFrame =
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(keyCol).as("k"))
+      .groupBy("file")
+      .agg(graft.GraftFunctions.bloom_agg(col("k"), numBits, numHashes)
+        .as("bloom"), count(lit(1)).as("n_rows"))
+
+  /** Scan only the files whose Bloom filter might contain one of `keys`,
+    * re-applying the exact IN-list on the survivors (no false negatives ⇒
+    * no lost rows; false positives only cost extra file reads at the
+    * declared fpp). The collect is the file list — O(selected files),
+    * like [[zoneMapPrunedScan]]. */
+  def bloomPrunedScan(spark: SparkSession, path: String, manifest: DataFrame,
+      keyCol: String, keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "at least one probe key")
+    val probe = keys.map(k =>
+      graft.GraftFunctions.might_contain(col("bloom"), lit(k)))
+      .reduce(_ || _)
+    val files = manifest.filter(probe)
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(keyCol).isin(keys: _*))
+  }
+
+  /** Bloom-skipping round trip: orders hash-laid-out into 32 files on
+    * o_orderkey (point-lookup layout: no column clusters the key range,
+    * so zone maps cannot prune), a per-file Bloom manifest built in one
+    * pass, and a 12-key IN lookup answered from the pruned file set. The
+    * oracle runs the same IN-list on the pristine table — a Bloom with a
+    * false NEGATIVE (lost row) hash-mismatches; LayoutSpec pins that the
+    * pruned scan reads a strict subset of the files. */
+  def q154BloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-bloomidx").toString
+    o.repartition(32, col("o_custkey")).write.mode("overwrite").parquet(path)
+    val manifest = bloomManifest(spark, path, "o_orderkey",
+      numBits = 1 << 17, numHashes = 5)
+    val keys = (1 to 12).map(i => i * 512L)
+    bloomPrunedScan(spark, path, manifest, "o_orderkey", keys)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_zorder" -> (q95Zorder _),
     "q111_compact" -> (q111Compact _),
-    "q124_zonemap_skip" -> (q124ZonemapSkip _))
+    "q124_zonemap_skip" -> (q124ZonemapSkip _),
+    "q154_bloom_skip" -> (q154BloomSkip _))
 
   val oracles: Map[String, String] = Map(
+    // the same IN-list on the pristine table: a false-negative bloom (or
+    // a file list that dropped a needed file) loses rows and mismatches
+    "q154_bloom_skip" ->
+      ("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey IN (""".stripMargin +
+        (1 to 12).map(i => i * 512L).mkString(", ") +
+        ")\nORDER BY o_orderkey"),
     "q124_zonemap_skip" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -132,6 +132,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(none.count() == 0L)
   }
 
+  test("bloom manifest prunes files for point lookups, content-exact") {
+    val o = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-test").toString
+    // hash layout on a DIFFERENT column: the key scatters across files,
+    // so only the blooms (not zones) can prune this lookup
+    o.repartition(16, $"o_custkey").write.mode("overwrite").parquet(dir)
+    val total = spark.read.parquet(dir).inputFiles.length
+    val manifest = Layout.bloomManifest(spark, dir, "o_orderkey",
+      numBits = 1 << 17, numHashes = 5)
+    val keys = Seq(1L, 7L, 4000L)
+    val pruned = Layout.bloomPrunedScan(spark, dir, manifest, "o_orderkey", keys)
+    // 3 keys over 16 files at fpp << 1: nearly all files skip
+    assert(pruned.inputFiles.length < total,
+      s"no files skipped: ${pruned.inputFiles.length} of $total")
+    val expected = o.filter($"o_orderkey".isin(keys: _*)).count()
+    assert(expected > 0 && pruned.count() == expected,
+      "bloom pruning lost or duplicated rows")
+    // keys absent from the table: may or may not read files (fp), but
+    // returns zero rows either way
+    val none = Layout.bloomPrunedScan(spark, dir, manifest, "o_orderkey",
+      Seq(-12345L))
+    assert(none.count() == 0L)
+  }
+
   private implicit class JListAsScala[A](l: java.util.List[A]) {
     def asScala: Seq[A] = {
       val b = Seq.newBuilder[A]
