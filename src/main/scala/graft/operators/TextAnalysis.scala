@@ -859,7 +859,57 @@ object TextAnalysis {
         Seq("table", "table"))
       .orderBy("doc_id")
 
+  /** Corpus-wide bigram collocations: adjacent-token pairs with count ≥
+    * `minCount`, scored by pointwise mutual information
+    * PMI = log₂(p(ab) / (p(a)·p(b))) = log₂(c(ab)·N₁² / (N₂·c(a)·c(b))).
+    *
+    * Three corpus passes, all map-side-combining aggregations (token
+    * totals, unigram counts, bigram counts); the PMI join probes the
+    * minCount-filtered bigram table against the unigram counts — at
+    * corpus scale both sides shuffle on the token key once. The declared
+    * ranking is (count desc, bigram): counts are exact integers, so the
+    * top-k cut is engine-independent; PMI (whose log may differ in the
+    * last ulp between engines) rides as a scored column under the float
+    * tolerance, never as a sort key. */
+  def collocationsPmi(docs: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad args: $minCount $topK")
+    val tl = tokens(col(textCol))
+    val tot = docs.select(size(tl).as("k"))
+      .agg(sum(col("k")).as("n1"),
+        sum(greatest(col("k") - 1, lit(0))).as("n2"))
+    val uni = docs.select(explode(tl).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    // true adjacent pairs — NOT wordShingles, whose <k-token fallback
+    // (whole text as one shingle) would count short docs as bigrams
+    val big = docs.select(tl.as("__ts"))
+      .select(explode(expr(
+        """CASE WHEN size(__ts) < 2 THEN array()
+          |ELSE transform(slice(__ts, 1, size(__ts) - 1),
+          |  (t, i) -> struct(t AS p1, __ts[i + 1] AS p2)) END"""
+          .stripMargin)).as("__b"))
+      .select(col("__b.p1"), col("__b.p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("bigram", concat_ws(" ", col("p1"), col("p2")))
+    big
+      .join(uni.select(col("t").as("p1"), col("c").as("c1")), "p1")
+      .join(uni.select(col("t").as("p2"), col("c").as("c2")), "p2")
+      .crossJoin(tot) // 1-row totals
+      .select(col("bigram"), col("n"),
+        log2((col("n").cast("double") * col("n1") * col("n1")) /
+          (col("n2").cast("double") * col("c1") * col("c2"))).as("pmi"))
+      .orderBy(desc("n"), col("bigram"))
+      .limit(topK)
+  }
+
+  /** Top-50 document bigrams (count ≥ 5) with PMI association scores. */
+  def q155Collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsPmi(Tables.documents(spark, dir), "text", minCount = 5L,
+      topK = 50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_collocations" -> (q155Collocations _),
     "q131_phrase_search" -> (q131PhraseSearch _),
     "q132_distinctive_terms" -> (q132DistinctiveTerms _),
     "q80_gopher_quality" -> (q80GopherQuality _),
@@ -967,6 +1017,30 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // 1-based list comprehension: range(1, len) pairs tl[i] with tl[i+1]
+    // and is empty for docs under 2 tokens; identical PMI expression shape
+    "q155_collocations" ->
+      """WITH d AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> '') AS tl FROM documents),
+        |tot AS (
+        |  SELECT CAST(SUM(len(tl)) AS BIGINT) AS n1,
+        |    CAST(SUM(GREATEST(len(tl) - 1, 0)) AS BIGINT) AS n2 FROM d),
+        |uni AS (
+        |  SELECT u.t AS t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d, unnest(tl) AS u(t) GROUP BY 1),
+        |big AS (
+        |  SELECT u.s['p1'] AS p1, u.s['p2'] AS p2,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d, unnest([{'p1': tl[i], 'p2': tl[i+1]}
+        |    FOR i IN range(1, len(tl))]) AS u(s)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT big.p1 || ' ' || big.p2 AS bigram, big.n,
+        |  log2((CAST(big.n AS DOUBLE) * tot.n1 * tot.n1)
+        |    / (CAST(tot.n2 AS DOUBLE) * u1.c * u2.c)) AS pmi
+        |FROM big JOIN uni u1 ON big.p1 = u1.t
+        |  JOIN uni u2 ON big.p2 = u2.t CROSS JOIN tot
+        |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
     "q132_distinctive_terms" ->
       """WITH toks AS (
         |  SELECT lang AS g, u.tok AS term

@@ -1194,6 +1194,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.getLong(2) == 0 && got.getLong(3) == 4)
   }
 
+  // ---- collocations (q155) ----
+
+  test("collocationsPmi: hand-checked PMI, minCount cut, short docs skipped") {
+    val docs = Seq("a b", "a b", "a c", "x").toDF("text")
+    val got = TextAnalysis.collocationsPmi(docs, "text", minCount = 2L,
+        topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // N1 = 7 tokens, N2 = 3 bigrams; c(a)=3, c(b)=2; only "a b" (n=2)
+    // survives; PMI = log2(2*49 / (3*3*2)) = log2(49/9)
+    assert(got.length == 1 && got(0)._1 == "a b" && got(0)._2 == 2L)
+    assert(math.abs(got(0)._3 - math.log(49.0 / 9) / math.log(2)) < 1e-12)
+  }
+
   // ---- BFS hop distances (q151) ----
 
   test("bfsHops: path graph distances, disconnected component unreached, early exit") {
