@@ -203,6 +203,41 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  /** Most common full session paths: each gap-cut session reduced to its
+    * ordered event-type sequence ("view>click>purchase"), counted across
+    * the corpus with session and user frequencies.
+    *
+    * Same single user-key exchange as [[sessionTransitions]]; the path
+    * build is `array_sort(collect_list(struct(us, tie, type)))` — the
+    * struct sort gives a deterministic in-session order ((us, tie) is
+    * unique) without a second window pass, then one small reduction on
+    * the path string. Per-session state is the session's OWN event list:
+    * bounded by session length (gap-cut), not user history. */
+  def sessionPaths(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, tieCol: String, gapSeconds: Long,
+      topK: Int): DataFrame = {
+    require(gapSeconds > 0, s"gap must be positive: $gapSeconds")
+    require(topK >= 1, s"topK must be positive: $topK")
+    val wOrd = Window.partitionBy(userCol).orderBy(col("__us"), col(tieCol))
+    val gapUs = gapSeconds * 1000000L
+    val sessioned = events
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__new", when(lag(col("__us"), 1).over(wOrd).isNull ||
+        col("__us") - lag(col("__us"), 1).over(wOrd) > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessioned
+      .groupBy(col(userCol), col("__sid"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("__us"), col(tieCol),
+          col(typeCol).as("t")))), s => s("t"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col(userCol)).as("n_users"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(topK)
+  }
+
   /** Interval union per key: each event opens a `[ts, ts + durSeconds)`
     * presence interval; overlapping/touching intervals merge into
     * islands (gaps-and-islands via the running max of prior interval
@@ -323,7 +358,14 @@ object Behavior {
     "q125_attribution" -> (q125Attribution _),
     "q126_decay_score" -> (q126DecayScore _),
     "q130_session_transitions" -> (q130SessionTransitions _),
-    "q144_interval_coverage" -> (q144IntervalCoverage _))
+    "q144_interval_coverage" -> (q144IntervalCoverage _),
+    "q156_session_paths" -> (q156SessionPaths _))
+
+  /** Top-25 full session paths under the 30-minute-gap rule. Strict hash
+    * gate: exact counts; the (n_sessions desc, path) order is total. */
+  def q156SessionPaths(spark: SparkSession, dir: String): DataFrame =
+    sessionPaths(Tables.events(spark, dir), "ts", "user_id", "event_type",
+      "event_id", gapSeconds = 30 * 60L, topK = 25)
 
   /** Per-user presence coverage with 30-minute activity intervals.
     * Strict hash gate on exact microsecond totals. */
@@ -464,6 +506,27 @@ object Behavior {
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type)
         |    AS DOUBLE) AS p
         |FROM cnt ORDER BY from_type, to_type""".stripMargin,
+    // q130's session rule, then an ORDER BY string_agg per session
+    "q156_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+        |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM paths GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin,
     "q122_retention_cohorts" ->
       """WITH b AS (
         |  SELECT user_id,
