@@ -335,7 +335,38 @@ object Cdc {
     "q136_snapshot_diff" -> (q136SnapshotDiff _),
     "q110_scd2" -> (q110Scd2 _),
     "q116_maintenance_loop" -> (q116MaintenanceLoop _),
-    "q128_maintained_zonemap" -> (q128MaintainedZonemap _))
+    "q128_maintained_zonemap" -> (q128MaintainedZonemap _),
+    "q157_maintained_bloom" -> (q157MaintainedBloom _))
+
+  /** q157 probe keys: an updated key (…1), a deleted key (…0 — must NOT
+    * come back), a batch-1-inserted key, and untouched keys. */
+  private[graft] val bloomProbeKeys: Seq[Long] =
+    Seq(1L, 7L, 10L, 21L, 512L, 100000003L, 4000L)
+
+  /** The q116/q128 maintenance loop with a per-batch-maintained BLOOM
+    * index on o_orderkey, then a point IN-lookup answered on the final
+    * version THROUGH the maintained index only ([[graft.streaming
+    * .StreamOps.bloomPrunedSnapshot]]). The zone map prunes ranges on the
+    * z-ordered dims; the bloom index prunes point probes on the
+    * high-cardinality key — this query pins the latter end-to-end: the
+    * oracle replays both MERGEs and applies the same IN-list, so a false
+    * negative (lost row), a resurrected deleted key, or a stale manifest
+    * version hash-mismatches. */
+  def q157MaintainedBloom(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-maintbl").toString
+    val key = Seq("o_orderkey")
+    val zc = Seq("o_custkey", "o_orderkey")
+    val bloom = Some(("o_orderkey", 1 << 17, 5))
+    graft.streaming.StreamOps.maintenanceBatch(derivedChanges(o), o, key,
+      zc, 27, path, 1L << 20, "op", "seq", 0L, bloomSpec = bloom)
+    graft.streaming.StreamOps.maintenanceBatch(derivedChanges2(o), o, key,
+      zc, 27, path, 1L << 20, "op", "seq", 1L, bloomSpec = bloom)
+    graft.streaming.StreamOps.bloomPrunedSnapshot(spark, path, 1L,
+        "o_orderkey", bloomProbeKeys)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
 
   val oracles: Map[String, String] = Map(
     "q109_merge_upsert" ->
@@ -412,6 +443,13 @@ object Cdc {
         |FROM m2 ORDER BY o_orderkey""".stripMargin),
     // the same final version, range-filtered and aggregated — what the
     // maintained zone map answers from the pruned file subset
+    // the same final version, point-probed — what the maintained bloom
+    // index answers from the pruned file subset
+    "q157_maintained_bloom" -> (maintChainSql +
+      s"""
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM m2 WHERE o_orderkey IN (${bloomProbeKeys.mkString(", ")})
+        |ORDER BY o_orderkey""".stripMargin),
     "q128_maintained_zonemap" -> (maintChainSql +
       """
         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

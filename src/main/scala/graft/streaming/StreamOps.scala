@@ -776,13 +776,14 @@ object StreamOps {
       key: Seq[String], zCols: Seq[String], zBits: Int, path: String,
       targetBytes: Long = 128L << 20, opCol: String = "op",
       seqCol: String = "seq", checkpoint: Option[String] = None,
-      zmapCol: Option[String] = None)
+      zmapCol: Option[String] = None,
+      bloomSpec: Option[(String, Int, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = changes.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
         maintenanceBatch(batch.toDF(), initial, key, zCols, zBits, path,
-          targetBytes, opCol, seqCol, batchId, zmapCol)
+          targetBytes, opCol, seqCol, batchId, zmapCol, bloomSpec)
       }
     checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
   }
@@ -794,7 +795,8 @@ object StreamOps {
   private[graft] def maintenanceBatch(batch: DataFrame, initial: DataFrame,
       key: Seq[String], zCols: Seq[String], zBits: Int, path: String,
       targetBytes: Long, opCol: String, seqCol: String, batchId: Long,
-      zmapCol: Option[String] = None): Unit = {
+      zmapCol: Option[String] = None,
+      bloomSpec: Option[(String, Int, Int)] = None): Unit = {
     val spark = batch.sparkSession
     val snapPath = s"$path/snap"
     val prev = latestVersionBefore(spark, snapPath, batchId) match {
@@ -817,6 +819,13 @@ object StreamOps {
       graft.operators.Layout.zoneMap(spark, s"$snapPath/batch_id=$batchId", c)
         .write.mode("overwrite").parquet(s"$path/zonemap/batch_id=$batchId")
     }
+    // the bloom index maintained the same way: per-file filters for THIS
+    // batch's files only, landed under the batch_id (replay-idempotent)
+    bloomSpec.foreach { case (c, bits, hashes) =>
+      graft.operators.Layout.bloomManifest(spark,
+          s"$snapPath/batch_id=$batchId", c, bits, hashes)
+        .write.mode("overwrite").parquet(s"$path/bloomidx/batch_id=$batchId")
+    }
   }
 
   /** Range scan of a maintained snapshot version answered through its
@@ -836,6 +845,29 @@ object StreamOps {
         spark.read.parquet(s"$path/snap").filter(lit(false)).drop("batch_id")
       else spark.read.parquet(files: _*)
     base.filter(col(zcol) >= lo && col(zcol) < hi)
+  }
+
+  /** Point lookup on a maintained snapshot version answered through its
+    * MAINTAINED bloom index ([[maintenanceBatch]] with `bloomSpec`): only
+    * the version's files whose bloom might contain a probe key are opened,
+    * with the exact IN-list re-applied (no false negatives — the
+    * [[graft.operators.Layout.bloomPrunedScan]] contract). */
+  def bloomPrunedSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: Long, keyCol: String,
+      keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "at least one probe key")
+    val probe = keys.map(k =>
+      graft.GraftFunctions.might_contain(col("bloom"), lit(k)))
+      .reduce(_ || _)
+    val files = spark.read.parquet(s"$path/bloomidx")
+      .filter(col("batch_id") === batchId)
+      .filter(probe)
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(s"$path/snap").filter(lit(false)).drop("batch_id")
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(keyCol).isin(keys: _*))
   }
 
   /** Read the newest complete snapshot version of a maintained store

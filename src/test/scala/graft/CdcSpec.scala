@@ -371,6 +371,48 @@ class CdcSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected one shuffle for the window battery:\n$plan")
   }
 
+  test("maintained bloom index: per-version manifests, pruned point lookup, replay idempotent") {
+    import graft.streaming.StreamOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-bloom").toString
+    val base = snap((0L until 48L).map(k => (k, s"n$k", k * 1.0)))
+    val b0 = chg(Seq((3L, "u3", 3.3, "U", 1L), (50L, "i50", 50.0, "I", 1L)))
+    val b1 = chg(Seq((3L, "u3b", 3.6, "U", 2L), (7L, "n7", 7.0, "D", 2L)))
+    def withK2(df: DataFrame): DataFrame = df.withColumn("k2", col("k") % 16)
+    val zc = Seq("k2", "k")
+    val bloom = Some(("k", 1 << 12, 5))
+    StreamOps.maintenanceBatch(withK2(b0), withK2(base), Seq("k"), zc, 6,
+      dir, 1L << 10, "op", "seq", 0L, bloomSpec = bloom)
+    StreamOps.maintenanceBatch(withK2(b1), withK2(base), Seq("k"), zc, 6,
+      dir, 1L << 10, "op", "seq", 1L, bloomSpec = bloom)
+    val versions = spark.read.parquet(s"$dir/bloomidx")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(versions == Set(0L, 1L), s"bloomidx versions: $versions")
+    // point lookup through the index: updated key present with batch-1
+    // value, deleted key absent, file subset strictly pruned
+    val probe = StreamOps.bloomPrunedSnapshot(spark, dir, 1L, "k",
+      Seq(3L, 7L, 50L))
+    val allFiles = spark.read.parquet(s"$dir/snap")
+      .filter(col("batch_id") === 1L).inputFiles.length
+    assert(probe.inputFiles.length < allFiles,
+      s"bloom pruned nothing: ${probe.inputFiles.length} of $allFiles")
+    val got = probe.select("k", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(3L -> "u3b", 50L -> "i50"), s"lookup content: $got")
+    // replay batch 1: manifest version overwritten, describes exactly the
+    // replayed version's row-bearing files
+    StreamOps.maintenanceBatch(withK2(b1), withK2(base), Seq("k"), zc, 6,
+      dir, 1L << 10, "op", "seq", 1L, bloomSpec = bloom)
+    assert(spark.read.parquet(s"$dir/bloomidx")
+      .filter(col("batch_id") === 1L).count() ==
+      spark.read.parquet(s"$dir/snap").filter(col("batch_id") === 1L)
+        .select(input_file_name()).distinct().count())
+    val again = StreamOps.bloomPrunedSnapshot(spark, dir, 1L, "k",
+      Seq(3L, 7L, 50L)).select("k", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got, "replayed bloom index changed the lookup")
+  }
+
   test("winsorizedStats: hand-checked percentiles, clip counts, winsorized mean") {
     import graft.operators.Audit
     val spark2 = spark; import spark2.implicits._
