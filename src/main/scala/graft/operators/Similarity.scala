@@ -203,6 +203,18 @@ object Similarity {
     -bestNegCid
   }
 
+  /** The `n` nearest centroids per ROW as an array<long>, map-only like
+    * [[ivfAssignCol]]: per-row array of (sim, -cid) structs, sorted, top n
+    * (ties to the lower cid — the same rule as the argmax). */
+  private def ivfAssignTopNCol(model: Array[(Long, Array[Double])],
+      n: Int): Column = {
+    val structs = model.map { case (cid, cv) =>
+      struct(cosine(col("v"), typedLit(cv)).as("s"), lit(-cid).as("negcid"))
+    }
+    transform(slice(reverse(array_sort(array(structs.toIndexedSeq: _*))),
+      1, n), s => -s.getField("negcid"))
+  }
+
   /** The `nProbe` centroids nearest a query vector, by descending cosine
     * (ties to the lower cid) — a loop over the driver-side model rows. */
   private def probeFor(model: Array[(Long, Array[Double])],
@@ -896,7 +908,88 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): k-means-cluster the embeddings, generate candidate
+    * pairs only WITHIN a cluster, exact-cosine gate them, and keep one
+    * representative (min id) per connected component.
+    *
+    * The cluster assignment is the scale move: the pair space collapses
+    * from corpus² to Σ|cluster|², and the per-cluster explosion runs
+    * through [[Buckets.candidatePairs]] — capped membership (smallest ids
+    * stay, drops ride as an observed metric), no self-join. Assignment
+    * itself is the IVF map-only argmax against broadcast centroid
+    * literals; training is sample-bounded Lloyd ([[ivfTrain]]). Precision
+    * is 1.0 by construction (every merged pair passed the exact cosine
+    * filter); recall is what clustering trades away — a twin whose
+    * endpoints land in different clusters is missed, which the declared
+    * query's recall gate measures against exact ground truth.
+    *
+    * Returns `(id, cid, rep, kept)`: `rep` is the component
+    * representative (= own id when kept). */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, iters: Int, trainSample: Int,
+      simThreshold: Double, bucketCap: Int, assignProbes: Int = 2): DataFrame = {
+    require(nClusters >= 1 && simThreshold > 0 && simThreshold <= 1,
+      s"bad args: $nClusters $simThreshold")
+    require(assignProbes >= 1, s"assignProbes must be >= 1: $assignProbes")
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val model = ivfTrain(base, nClusters, iters, trainSample)
+    // multi-probe assignment: a row generates candidates in its
+    // `assignProbes` nearest clusters (recall against boundary-straddling
+    // pairs), but reports its top-1 cluster; candidatePairs' distinct
+    // collapses pairs found through both probes
+    val assigned = base
+      .withColumn("cids", ivfAssignTopNCol(model, assignProbes))
+      .withColumn("cid", col("cids").getItem(0))
+      .localCheckpoint(true) // feeds pairs, two vector join-backs, output
+    val pairs = Buckets.candidatePairs(
+        assigned.select(col("id"), explode(col("cids")).as("cid")),
+        Seq("cid"), "id", bucketCap, "semdedup_bucket_cap")
+      .join(assigned.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(assigned.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .filter(cosine(col("va"), col("vb")) >= simThreshold)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+    assigned.select("id", "cid")
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(col("comp"), col("id")).as("rep"),
+        (coalesce(col("comp"), col("id")) === col("id")).as("kept"))
+  }
+
+  /** SemDeDup over the embeddings table at cosine ≥ 0.4, 64 clusters.
+    * The q52 gate convention: `n_exact_pairs` comes from the oracle's
+    * exact probe-bounded scan, and `recall_ok` asserts ≥ 50% of those
+    * exact near-dup pairs ended under one representative — clustering's
+    * recall loss is measured, never hidden. Precision needs no gate
+    * (exact cosine filter inside the operator). */
+  def q158SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val probeBound = 500
+    val emb = Tables.embeddings(spark, dir)
+    val out = semDedup(emb, "vec_id", "embedding", nClusters = 16,
+      iters = 3, trainSample = 2048, simThreshold = 0.4, bucketCap = 256,
+      assignProbes = 2)
+    val base = emb.filter(col("vec_id") < probeBound)
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val exact = base.as("x").join(base.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        cosine(col("x.v"), col("y.v")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select("id_a", "id_b")
+    exact
+      .join(out.select(col("id").as("id_a"), col("rep").as("ra")), "id_a")
+      .join(out.select(col("id").as("id_b"), col("rep").as("rb")), "id_b")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("__hit"))
+      .select(col("n_exact_pairs"),
+        (col("__hit").cast("double") >=
+          col("n_exact_pairs").cast("double") * 0.5).as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_semdedup" -> (q158SemDedup _),
     "q107_hybrid_rrf" -> (q107HybridRrf _),
     "q98_ann_ivfpq" -> (q98AnnIvfPq _),
     "q50_knn_brute" -> (q50KnnBrute _),
@@ -955,6 +1048,14 @@ object Similarity {
     "q98_ann_ivfpq" ->
       "SELECT CAST(5 AS BIGINT) AS n_results, true AS recall_ok",
     "q52_embedding_near_dup" ->
+      """SELECT COUNT(*) AS n_exact_pairs, true AS recall_ok
+        |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        |WHERE x.vec_id < 500 AND y.vec_id < 500
+        |  AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |  CAST(y.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    // same exact probe-bounded ground truth as q52; the engine side must
+    // re-find >= 50% of these pairs through its cluster-bucketed pipeline
+    "q158_semdedup" ->
       """SELECT COUNT(*) AS n_exact_pairs, true AS recall_ok
         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
         |WHERE x.vec_id < 500 AND y.vec_id < 500

@@ -150,4 +150,27 @@ class NearDupRecallSpec extends AnyFunSuite {
     assert(viaStats.collect().toSet == viaHint.collect().toSet,
       s"stats-sized (vs trueBits=$trueBits) and count-sized runs disagree")
   }
+
+  test("semDedup merges planted identical twins and keeps the min id") {
+    val spark2 = spark; import spark2.implicits._
+    // 20 well-separated base directions, each duplicated: (2i, 2i+1)
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0 until 20).flatMap { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      Seq((2L * i, v), (2L * i + 1, v))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.semDedup(emb, "vec_id", "embedding",
+        nClusters = 4, iters = 2, trainSample = 64, simThreshold = 0.99,
+        bucketCap = 64, assignProbes = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // identical vectors share every cluster assignment -> every twin pair
+    // must merge under the even (min) id; evens kept, odds dropped
+    (0 until 20).foreach { i =>
+      assert(out(2L * i) == (2L * i, true), s"rep of even ${2 * i}")
+      assert(out(2L * i + 1) == (2L * i, false), s"odd ${2 * i + 1} not merged")
+    }
+  }
 }
