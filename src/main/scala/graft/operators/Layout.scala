@@ -247,13 +247,59 @@ object Layout {
       .orderBy("o_orderkey")
   }
 
+  /** Schema-evolution round trip: ingest batches written BEFORE a column
+    * existed coexist with batches written after, and one merged-schema
+    * read answers aggregates across both (old rows surface NULL for the
+    * new column — the COUNT(col)/SUM(col) null semantics make the
+    * aggregate correct with no backfill).
+    *
+    * This is the ingest reality at 100 TB: producers add fields without
+    * rewriting history. The engine-side cost model: `mergeSchema` unions
+    * footers at planning time (per-file metadata, no data read); a
+    * petabyte deployment promotes the merged schema into the
+    * metastore/manifest instead of re-deriving it per query — same
+    * semantics, amortized footer work. */
+  def q159SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // era 0: written before `vip` existed
+    ev.filter(col("event_id") % 2 === 0)
+      .select("event_type", "user_id")
+      .write.mode("overwrite").parquet(s"$path/era=0")
+    // era 1: the producer added a derived column
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 7).as("vip"))
+      .write.mode("overwrite").parquet(s"$path/era=1")
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("vip")).as("n_vip"),
+        sum(col("vip")).as("sum_vip"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_zorder" -> (q95Zorder _),
     "q111_compact" -> (q111Compact _),
     "q124_zonemap_skip" -> (q124ZonemapSkip _),
-    "q154_bloom_skip" -> (q154BloomSkip _))
+    "q154_bloom_skip" -> (q154BloomSkip _),
+    "q159_schema_evolution" -> (q159SchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
+    // the two eras reproduced as a UNION with an explicit NULL column
+    "q159_schema_evolution" ->
+      """WITH v0 AS (
+        |  SELECT event_type, user_id, CAST(NULL AS BIGINT) AS vip
+        |  FROM events WHERE event_id % 2 = 0),
+        |v1 AS (
+        |  SELECT event_type, user_id, user_id % 7 AS vip
+        |  FROM events WHERE event_id % 2 = 1),
+        |m AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(vip) AS BIGINT) AS n_vip,
+        |  CAST(SUM(vip) AS BIGINT) AS sum_vip
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same IN-list on the pristine table: a false-negative bloom (or
     // a file list that dropped a needed file) loses rows and mismatches
     "q154_bloom_skip" ->
