@@ -109,9 +109,31 @@ object Mv {
     q153Shape(orders, customer)
   }
 
+  /** The q160 rollup shape: subtotals + grand total answered from the MV
+    * through the grouping-sets rewrite (Aggregate-over-Expand re-based on
+    * the summary with identical per-set nulling and grouping ids). */
+  def q160Shape(base: DataFrame): DataFrame =
+    base.rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        min(col("l_discount")).as("min_disc"),
+        max(col("l_tax")).as("max_tax"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  /** ROLLUP over the fact table answered from the MV. Strict gate: the
+    * oracle computes GROUP BY ROLLUP on the raw rows, so any per-set
+    * nulling or grouping-id drift in the rewritten Expand mismatches. */
+  def q160RollupMv(spark: SparkSession, dir: String): DataFrame = {
+    val (_, base, _) = installLineitemMv(spark, dir)
+    q160Shape(base)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_mv_rewrite" -> (q147MvRewrite _),
-    "q153_join_elimination" -> (q153JoinElimination _))
+    "q153_join_elimination" -> (q153JoinElimination _),
+    "q160_rollup_mv" -> (q160RollupMv _))
 
   val oracles: Map[String, String] = Map(
     "q147_mv_rewrite" ->
@@ -127,5 +149,13 @@ object Mv {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q160_rollup_mv" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  MIN(l_discount) AS min_disc, MAX(l_tax) AS max_tax
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin)
 }

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -208,7 +208,103 @@ final case class MvAggregateRewrite(spec: MvRewrite.SummarySpec)
     case a: AttributeReference => mvAttr(a.name)
   }
 
+  // ---- grouping sets (ROLLUP / CUBE / GROUPING SETS) ----
+  //
+  // Catalyst plans these as Aggregate over Expand: measures pass through
+  // the Expand unchanged in every projection row, dims are re-aliased and
+  // nulled per grouping set, and spark_grouping_id is a literal per row.
+  // The rewrite keeps the Expand STRUCTURE (same per-set nulling, same
+  // gid literals, same dim/gid output attrs — so groupings and parents
+  // resolve untouched) but re-bases it on the MV: measure passthroughs
+  // become the MV's partial-aggregate columns and the aggregates above
+  // re-aggregate them exactly as in the flat case. A base-NULL dim value
+  // is a distinct MV row and flows through the same (dim, gid) grouping,
+  // so Spark's null-vs-nulled-by-expand semantics are preserved verbatim.
+
+  private sealed trait ExpandRole
+  private case class MeasurePass(out: Attribute) extends ExpandRole
+  private case class DimPos(out: Attribute, entries: Seq[Expression])
+      extends ExpandRole
+  private case class GidPos(out: Attribute, entries: Seq[Expression])
+      extends ExpandRole
+
+  private def classify(ex: Expand): Option[Seq[ExpandRole]] = {
+    val childOut = ex.child.outputSet
+    val roles = ex.output.zipWithIndex.map { case (o, i) =>
+      val entries = ex.projections.map(_(i))
+      if (childOut.contains(o) && entries.forall {
+          case a: AttributeReference => a.exprId == o.exprId
+          case _ => false
+        }) MeasurePass(o)
+      else if (entries.forall { e =>
+          e.isInstanceOf[Literal] && e.asInstanceOf[Literal].value != null
+        }) GidPos(o, entries)
+      else if (entries.forall {
+          case a: AttributeReference => spec.dims.contains(a.name)
+          case l: Literal => l.value == null
+          case _ => false
+        }) DimPos(o, entries)
+      else null
+    }
+    if (roles.contains(null)) None else Some(roles.toSeq)
+  }
+
+  private def rewriteGroupingSets(agg: Aggregate, ex: Expand):
+      Option[LogicalPlan] = {
+    val Aggregate(gs, aggs, _, hint) = agg
+    for {
+      filterOpt <- matchChild(ex.child)
+      roles <- classify(ex)
+      dimGidAttrs = AttributeSet(roles.collect {
+        case DimPos(o, _) => o
+        case GidPos(o, _) => o
+      })
+      // groupings must be Expand-produced dim/gid attrs only
+      if gs.forall {
+        case a: AttributeReference => dimGidAttrs.contains(a)
+        case _ => false
+      }
+      newAggs <- {
+        val rewritten = aggs.map {
+          case a: AttributeReference if dimGidAttrs.contains(a) => Some(a)
+          case ne => rewriteAgg(ne)
+        }
+        if (rewritten.forall(_.isDefined)) Some(rewritten.map(_.get))
+        else None
+      }
+    } yield {
+      // MV columns the rewritten aggregates read — pass them through the
+      // new Expand unchanged (their own exprIds), like measures were
+      val needed = spec.mvPlan.output.filter(
+        AttributeSet(newAggs.flatMap(_.references)).contains)
+      val keptRoles = roles.filter(!_.isInstanceOf[MeasurePass])
+      val newOutput: Seq[Attribute] = needed ++ keptRoles.map {
+        case DimPos(o, _) => o
+        case GidPos(o, _) => o
+        case MeasurePass(o) => o
+      }
+      val newProjections: Seq[Seq[Expression]] =
+        ex.projections.indices.map { r =>
+          needed.map(identity[Expression]) ++ keptRoles.map {
+            case DimPos(_, entries) => entries(r) match {
+              case a: AttributeReference => mvAttr(a.name)
+              case l: Literal => l
+            }
+            case GidPos(_, entries) => entries(r)
+            case MeasurePass(o) => o
+          }
+        }
+      val scan = filterOpt match {
+        case Some(cond) => Filter(remapToMv(cond), spec.mvPlan)
+        case None => spec.mvPlan
+      }
+      Aggregate(gs, newAggs, Expand(newProjections, newOutput, scan), hint)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case a @ Aggregate(_, _, ex: Expand, _) =>
+      rewriteGroupingSets(a, ex).getOrElse(a)
     case Aggregate(groupings, aggExprs, child, hint)
         if groupings.forall {
           case a: AttributeReference => spec.dims.contains(a.name)

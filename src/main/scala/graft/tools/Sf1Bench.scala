@@ -37,7 +37,10 @@ object Sf1Bench {
     // IVM delta path, join-size sketches
     "q127_sliding_cm_freq", "q123_entity_resolution",
     "q128_maintained_zonemap", "q121_funnel_steps", "q135_ivm_agg",
-    "q134_join_size_estimate")
+    "q134_join_size_estimate",
+    // round-8 late additions with super-linear candidate spaces
+    "q148_frequent_pairs", "q150_triangles", "q155_collocations",
+    "q157_maintained_bloom", "q158_semdedup")
 
   def main(args: Array[String]): Unit = {
     val runs = if (args.nonEmpty) args(0).toInt else 3

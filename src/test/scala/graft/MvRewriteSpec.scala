@@ -81,6 +81,40 @@ class MvRewriteSpec extends AnyFunSuite {
       .contains("fact_lineitem.parquet"))
   }
 
+  test("rollup (grouping sets) is answered from the MV, bit-equal") {
+    val (_, base, _) = installed
+    val viaMv = Mv.q160Shape(base)
+    val plan = planOf(viaMv)
+    assert(plan.contains("mv_lineitem_rfls"), s"rollup rewrite did not fire:\n$plan")
+    assert(!plan.contains("fact_lineitem.parquet"))
+    assert(plan.contains("Expand"), "grouping-sets structure must survive")
+    val raw = Mv.q160Shape(Tables.lineitem(spark, sfDir))
+    assert(viaMv.collect().toSeq == raw.collect().toSeq)
+  }
+
+  test("cube with a dim filter is answered from the MV, bit-equal") {
+    val (_, base, _) = installed
+    def shape(df: DataFrame): DataFrame =
+      df.filter(col("l_linestatus") === "F")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("s"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    val viaMv = shape(base)
+    assert(planOf(viaMv).contains("mv_lineitem_rfls"))
+    assert(viaMv.collect().toSeq
+      == shape(Tables.lineitem(spark, sfDir)).collect().toSeq)
+  }
+
+  test("rollup with a non-answerable aggregate keeps the fact scan") {
+    val (_, base, _) = installed
+    val df = base.rollup("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("d"))
+    assert(planOf(df).contains("fact_lineitem.parquet"))
+  }
+
   test("downstream operators resolve against rewritten output (exprIds kept)") {
     val (_, base, _) = installed
     val top = Mv.q147Shape(base).filter(col("n") > 0)
