@@ -825,7 +825,63 @@ object SketchQueries {
     df.join(perGroup, partitionCols, "left")
   }
 
+  /** One batch of a MAINTAINED sketch MV: per-group HLL binaries under
+    * the `batch_id=` replay discipline. Batch 0 sketches the initial
+    * corpus; batch k ≥ 1 sketches ONLY its delta (insert-only — HLL
+    * merges unions, it cannot retract) and merges register-wise into the
+    * latest earlier version. At 100 TB this is the q135 IVM story for
+    * the reference's own aggregate: grouped distinct counts stay
+    * queryable from a group-count-sized sketch table, each refresh
+    * touching only the new rows, and merge associativity makes the
+    * maintained estimate BIT-IDENTICAL to a from-scratch sketch of the
+    * full data (pinned in SketchSpec). */
+  def sketchMvBatch(batch: DataFrame, groupCol: String, valueCol: String,
+      path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val partial = batch.groupBy(col(groupCol))
+      .agg(approx_distinct(col(valueCol)).getField("binary").as("sk"))
+    val merged = graft.streaming.StreamOps
+      .latestVersionBefore(spark, path, batchId) match {
+      case None => partial
+      case Some(v) =>
+        spark.read.parquet(path).filter(col("batch_id") === v)
+          .select(col(groupCol), col("sk"))
+          .unionByName(partial)
+          .groupBy(col(groupCol))
+          // keep the stored column BINARY across versions (the merge
+          // aggregate surfaces the full result struct)
+          .agg(sketch_merge_agg(col("sk")).getField("binary").as("sk"))
+    }
+    merged.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+  }
+
+  /** Grouped approx-distinct answered from the maintained sketch MV
+    * after an insert-only delta (new customers on a third of order
+    * keys), with the exact count riding along — q30's gate convention:
+    * the oracle recomputes the exact distinct over base+delta, the
+    * envelope boolean pins the estimate. */
+  def q161SketchMv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-skmv").toString
+    val delta = o.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_custkey", col("o_custkey") + 1000000L)
+    sketchMvBatch(o, "o_orderstatus", "o_custkey", path, 0L)
+    sketchMvBatch(delta, "o_orderstatus", "o_custkey", path, 1L)
+    val est = spark.read.parquet(path).filter(col("batch_id") === 1L)
+      .select(col("o_orderstatus"), sketch_estimate(col("sk")).as("est"))
+    val exact = o.select(col("o_orderstatus"), col("o_custkey"))
+      .unionByName(delta.select(col("o_orderstatus"), col("o_custkey")))
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    exact.join(est, "o_orderstatus")
+      .select(col("o_orderstatus"), col("n_exact"),
+        withinEnvelope(col("est"), col("n_exact")).as("est_ok"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_sketch_mv" -> (q161SketchMv _),
     "q36_windowed_approx_users" -> (q36WindowedApproxUsers _),
     "q117_sliding_sketch_window" -> (q117SlidingSketchWindow _),
     "q118_sliding_quantile_window" -> (q118SlidingQuantileWindow _),
@@ -854,6 +910,16 @@ object SketchQueries {
 
   /** Oracles are exact counts; the driver applies the approx envelope. */
   val oracles: Map[String, String] = Map(
+    "q161_sketch_mv" ->
+      """WITH delta AS (
+        |  SELECT o_orderstatus, o_custkey + 1000000 AS c
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |all_rows AS (
+        |  SELECT o_orderstatus, o_custkey AS c FROM orders
+        |  UNION ALL SELECT * FROM delta)
+        |SELECT o_orderstatus, CAST(COUNT(DISTINCT c) AS BIGINT) AS n_exact,
+        |  true AS est_ok
+        |FROM all_rows GROUP BY 1 ORDER BY 1""".stripMargin,
     "q36_windowed_approx_users" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
         |  event_type, COUNT(DISTINCT user_id) AS n_users, true AS est_ok

@@ -176,4 +176,29 @@ class ApproxDistinctSpec extends AnyFunSuite {
     // built-in HLL++ default rsd 5%: just sanity-band it
     assert(math.abs(r.getLong(1) - exact).toDouble / exact < 0.15)
   }
+
+  test("maintained sketch MV == from-scratch sketch, bit-exact; replay idempotent") {
+    import graft.operators.SketchQueries
+    val path = java.nio.file.Files.createTempDirectory("graft-skmv-test").toString
+    val base = events.select(col("event_type"), col("user_id"))
+    val delta = events.limit(200)
+      .select(col("event_type"), (col("user_id") + 5000L).as("user_id"))
+    SketchQueries.sketchMvBatch(base, "event_type", "user_id", path, 0L)
+    SketchQueries.sketchMvBatch(delta, "event_type", "user_id", path, 1L)
+    def mvEst(): Map[String, Long] =
+      spark.read.parquet(path).filter(col("batch_id") === 1L)
+        .select(col("event_type"), sketch_estimate(col("sk")).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = base.unionByName(delta)
+      .groupBy("event_type")
+      .agg(approx_distinct(col("user_id")).getField("cardinality").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = mvEst()
+    // merge associativity: incremental merge must equal the one-shot
+    // sketch EXACTLY, not just within the envelope
+    assert(got == oneShot, s"mv=$got oneShot=$oneShot")
+    // replaying the delta batch overwrites its own version, same result
+    SketchQueries.sketchMvBatch(delta, "event_type", "user_id", path, 1L)
+    assert(mvEst() == got, "replay changed the maintained estimate")
+  }
 }
