@@ -88,24 +88,84 @@ object Basket {
     frequentPairs(Tables.lineitem(spark, dir), "l_orderkey", "l_partkey",
       minSupport = 2L, basketCap = 64, topK = 50)
 
+  /** One batch of a MAINTAINED co-occurrence table: pair counts are
+    * additive, so each batch counts ONLY its own (whole) baskets and
+    * sums into the latest earlier version under the `batch_id` replay
+    * discipline — the q135/q161 IVM shape for the pair miner. The batch
+    * boundary must not split a basket (count additivity is per basket);
+    * minSupport belongs at QUERY time, never per batch (a pair reaching
+    * support 2 across two batches would be lost). */
+  def basketMvBatch(batch: DataFrame, basketCol: String, itemCol: String,
+      basketCap: Int, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = pairCounts(baskets(batch, basketCol, itemCol, basketCap),
+      basketCap, minSupport = 1L)
+    val merged = graft.streaming.StreamOps
+      .latestVersionBefore(spark, path, batchId) match {
+      case None => delta
+      case Some(v) =>
+        spark.read.parquet(path).filter(col("batch_id") === v)
+          .select("p1", "p2", "n")
+          .unionByName(delta)
+          .groupBy("p1", "p2").agg(sum(col("n")).as("n"))
+    }
+    merged.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+  }
+
+  /** q148's top-50 answered from the maintained pair table after two
+    * ingest batches (orders split by key parity — whole baskets per
+    * batch). Supports and the basket total come from the batches'
+    * union; the maintained counts are EXACTLY the from-scratch counts
+    * (additivity), so the same strict hash gate as q148 applies — the
+    * oracle recomputes everything from the raw table. */
+  def q163BasketMv(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-bktmv").toString
+    basketMvBatch(li.filter(col("l_orderkey") % 2 === 0), "l_orderkey",
+      "l_partkey", 64, path, 0L)
+    basketMvBatch(li.filter(col("l_orderkey") % 2 === 1), "l_orderkey",
+      "l_partkey", 64, path, 1L)
+    val bk = baskets(li, "l_orderkey", "l_partkey", 64,
+      metricName = "basket_cap_q163")
+    val sup = bk.select(explode(col("__items")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("s"))
+    val totals = bk.agg(count(lit(1)).as("n_baskets"))
+    spark.read.parquet(path).filter(col("batch_id") === 1L)
+      .filter(col("n") >= 2L)
+      .join(sup.select(col("p").as("p1"), col("s").as("s1")), "p1")
+      .join(sup.select(col("p").as("p2"), col("s").as("s2")), "p2")
+      .crossJoin(totals)
+      .select(col("p1"), col("p2"), col("n"),
+        (col("n").cast("double") * col("n_baskets") /
+          (col("s1") * col("s2"))).as("lift"))
+      .orderBy(desc("n"), col("p1"), col("p2"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q148_frequent_pairs" -> (q148FrequentPairs _))
+    "q148_frequent_pairs" -> (q148FrequentPairs _),
+    "q163_basket_mv" -> (q163BasketMv _))
+
+  private val pairsSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |tot AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM op),
+      |sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM op GROUP BY p),
+      |pr AS (
+      |  SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT pr.p1, pr.p2, pr.cnt AS n,
+      |  CAST(pr.cnt AS DOUBLE) * tot.n_baskets / (s1.s * s2.s) AS lift
+      |FROM pr
+      |JOIN sup s1 ON pr.p1 = s1.p
+      |JOIN sup s2 ON pr.p2 = s2.p
+      |CROSS JOIN tot
+      |ORDER BY n DESC, pr.p1, pr.p2 LIMIT 50""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q148_frequent_pairs" ->
-      """WITH op AS (
-        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |tot AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM op),
-        |sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM op GROUP BY p),
-        |pr AS (
-        |  SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
-        |SELECT pr.p1, pr.p2, pr.cnt AS n,
-        |  CAST(pr.cnt AS DOUBLE) * tot.n_baskets / (s1.s * s2.s) AS lift
-        |FROM pr
-        |JOIN sup s1 ON pr.p1 = s1.p
-        |JOIN sup s2 ON pr.p2 = s2.p
-        |CROSS JOIN tot
-        |ORDER BY n DESC, pr.p1, pr.p2 LIMIT 50""".stripMargin)
+    // maintained counts are exactly the from-scratch counts (additive
+    // per-basket increments), so the q148 oracle applies verbatim
+    "q163_basket_mv" -> pairsSql,
+    "q148_frequent_pairs" -> pairsSql)
 }

@@ -286,9 +286,13 @@ object Dedup {
       tNum: Int, tDen: Int, shingleK: Int = 3): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
+    // five consumers (sizes, dfs, the prefix build, both verify joins):
+    // materialize the exploded shingle relation ONCE, or the tokenizer +
+    // shingler re-run per consumer (measured 11 s -> ~3 s at sf0.1)
     val sets = docs.select(col(idCol).as("id"),
         explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)),
           shingleK))).as("sh"))
+      .localCheckpoint(true)
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("n"))
     val dfreq = sets.groupBy("sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("id").orderBy(col("df"), col("sh"))

@@ -17,6 +17,7 @@ object Mv {
   val dims: Seq[String] = Seq("l_returnflag", "l_linestatus")
   val sumCols: Seq[String] = Seq("l_quantity", "l_extendedprice")
   val minMaxCols: Seq[String] = Seq("l_discount", "l_tax")
+  val sketchCols: Seq[String] = Seq("l_orderkey")
 
   /** Copy the base table under its own temp root, build + install the MV
     * for it, and return (basePath, base DF, mvPath). The copy is a
@@ -33,9 +34,9 @@ object Mv {
     Tables.lineitem(spark, dir).write.mode("overwrite").parquet(basePath)
     val base = spark.read.parquet(basePath)
     MvRewrite.buildSummary(base, dims, sumCols, sumScale = 2, minMaxCols,
-      mvPath)
+      mvPath, sketchCols = sketchCols)
     MvRewrite.install(spark, mvPath, "/fact_lineitem.parquet", dims,
-      sumCols, sumScale = 2, minMaxCols)
+      sumCols, sumScale = 2, minMaxCols, sketchCols = sketchCols)
     (basePath, base, mvPath)
   }
 
@@ -130,10 +131,33 @@ object Mv {
     q160Shape(base)
   }
 
+  /** Grouped `approx_distinct` transparently answered by MERGING the
+    * MV's stored partial sketches — the approximate-aggregate pushdown.
+    * By merge associativity the rewritten estimate is bit-identical to
+    * sketching the fact rows (pinned in MvRewriteSpec), so the usual
+    * exact-count + envelope gate applies unchanged; the exact count is
+    * deliberately computed on the RAW table so its countDistinct cannot
+    * block the est aggregate's rewrite. */
+  def q162ApproxMv(spark: SparkSession, dir: String): DataFrame = {
+    val (_, base, _) = installLineitemMv(spark, dir)
+    val envelope = 3 * 1.04 / math.sqrt(1 << 16)
+    val est = base.groupBy("l_returnflag")
+      .agg(graft.GraftFunctions.approx_distinct(col("l_orderkey"))
+        .getField("cardinality").as("est"))
+    val exact = Tables.lineitem(spark, dir).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    exact.join(est, "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("est").cast("double") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double") <= lit(envelope)).as("est_ok"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_mv_rewrite" -> (q147MvRewrite _),
     "q153_join_elimination" -> (q153JoinElimination _),
-    "q160_rollup_mv" -> (q160RollupMv _))
+    "q160_rollup_mv" -> (q160RollupMv _),
+    "q162_approx_mv" -> (q162ApproxMv _))
 
   val oracles: Map[String, String] = Map(
     "q147_mv_rewrite" ->
@@ -157,5 +181,11 @@ object Mv {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
-        .stripMargin)
+        .stripMargin,
+    // exact distinct per flag; the driver's envelope convention (q30)
+    "q162_approx_mv" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+        |  true AS est_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Expression, GetStructField, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -66,7 +66,8 @@ object MvRewrite {
       sums: Seq[SumMeasure],
       mins: Map[String, String],
       maxs: Map[String, String],
-      mvPlan: LogicalPlan)
+      mvPlan: LogicalPlan,
+      sketches: Map[String, String] = Map.empty)
 
   /** Build + write the summary parquet for `base` grouped by `dims`:
     * `cnt` (row count), `sum_<c>` as DECIMAL-cast exact sums, `min_<c>` /
@@ -74,13 +75,20 @@ object MvRewrite {
     * re-aggregable partial-state table [[MvAggregateRewrite]] consumes and
     * `Cdc.ivmAgg` maintains. */
   def buildSummary(base: DataFrame, dims: Seq[String], sumCols: Seq[String],
-      sumScale: Int, minMaxCols: Seq[String], path: String): Unit = {
+      sumScale: Int, minMaxCols: Seq[String], path: String,
+      sketchCols: Seq[String] = Nil): Unit = {
+    if (sketchCols.nonEmpty)
+      graft.GraftFunctions.register(base.sparkSession)
     val aggs =
       Seq(count(lit(1)).as("cnt")) ++
         sumCols.map(c => sum(col(c).cast(s"decimal(18,$sumScale)"))
           .as(s"sum_$c")) ++
         minMaxCols.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+        // default-geometry (hll, b=16) partial sketches: a distinct-count
+        // MV column, mergeable — the q161 store, queryable via rewrite
+        sketchCols.map(c => graft.GraftFunctions.approx_distinct(col(c))
+          .getField("binary").as(s"sk_$c"))
     base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(path)
   }
@@ -89,7 +97,7 @@ object MvRewrite {
     * any previous registration for the same base). Returns the spec. */
   def install(spark: SparkSession, mvPath: String, basePathSuffix: String,
       dims: Seq[String], sumCols: Seq[String], sumScale: Int,
-      minMaxCols: Seq[String]): SummarySpec = {
+      minMaxCols: Seq[String], sketchCols: Seq[String] = Nil): SummarySpec = {
     val mv = spark.read.parquet(mvPath)
     val spec = SummarySpec(
       basePathSuffix, dims, "cnt",
@@ -98,7 +106,8 @@ object MvRewrite {
         s"sum_$c")),
       minMaxCols.map(c => c -> s"min_$c").toMap,
       minMaxCols.map(c => c -> s"max_$c").toMap,
-      mv.queryExecution.optimizedPlan)
+      mv.queryExecution.optimizedPlan,
+      sketchCols.map(c => c -> s"sk_$c").toMap)
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot {
         case MvAggregateRewrite(s) => s.basePathSuffix == basePathSuffix
@@ -160,6 +169,11 @@ final case class MvAggregateRewrite(spec: MvRewrite.SummarySpec)
       case al @ Alias(c @ Cast(ae: AggregateExpression, _, _, _), name) =>
         rewriteAggExpr(ae).map(e =>
           Alias(c.withNewChildren(Seq(e)), name)(exprId = al.exprId))
+      // struct-field projection over the aggregate (approx_distinct(x)
+      // .cardinality) — rewrite inside, keep the field access
+      case al @ Alias(g @ GetStructField(ae: AggregateExpression, _, _), name) =>
+        rewriteAggExpr(ae).map(e =>
+          Alias(g.withNewChildren(Seq(e)), name)(exprId = al.exprId))
       case _ => None
     }
 
@@ -191,10 +205,34 @@ final case class MvAggregateRewrite(spec: MvRewrite.SummarySpec)
                   Cast(agg(Sum(mvAttr(m.mvCol))), ae.dataType),
                   Cast(agg(Sum(mvAttr(spec.cntCol))), ae.dataType))
               }
+          // approx-distinct pushdown: union the MV's stored partial
+          // sketches instead of re-hashing the fact rows — bit-identical
+          // by merge associativity, so this is exact wrt the original
+          // plan, not an approximation of it. Only the MV's own sketch
+          // geometry (default hll, b=16) is answerable.
+          case ad: graft.functions.ApproxDistinct
+              if !ad.mergeBinary && defaultHllGeometry(ad) =>
+            ad.child match {
+              case a: AttributeReference =>
+                spec.sketches.get(a.name).map(c =>
+                  agg(graft.functions.ApproxDistinct(mvAttr(c),
+                    Literal("hll"), Literal(-1), mergeBinary = true)))
+              case _ => None
+            }
           case _ => None
         }
         rewritten.map(e => castIfNeeded(e, ae.dataType))
     }
+
+  private def defaultHllGeometry(
+      ad: graft.functions.ApproxDistinct): Boolean = {
+    val algoOk = ad.algoExpr.foldable &&
+      Option(ad.algoExpr.eval()).forall(_.toString.equalsIgnoreCase("hll"))
+    val precOk = ad.precisionExpr.foldable &&
+      Option(ad.precisionExpr.eval())
+        .forall(_.asInstanceOf[Number].intValue == -1)
+    algoOk && precOk
+  }
 
   /** The measure identity of an aggregate's child: (base column, cast). */
   private def measureOf(e: Expression): Option[(String, Option[DataType])] =

@@ -1,5 +1,6 @@
 package graft
 
+import graft.GraftFunctions
 import graft.operators.Mv
 import graft.sources.Tables
 
@@ -106,6 +107,31 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(planOf(viaMv).contains("mv_lineitem_rfls"))
     assert(viaMv.collect().toSeq
       == shape(Tables.lineitem(spark, sfDir)).collect().toSeq)
+  }
+
+  test("approx_distinct rewrites to a merge of the MV's stored sketches, bit-exact") {
+    val (_, base, _) = installed
+    def shape(df: DataFrame): DataFrame =
+      df.groupBy("l_returnflag")
+        .agg(GraftFunctions.approx_distinct(col("l_orderkey"))
+          .getField("cardinality").as("est"))
+        .orderBy("l_returnflag")
+    val viaMv = shape(base)
+    assert(planOf(viaMv).contains("mv_lineitem_rfls"),
+      "sketch pushdown did not fire")
+    // merge associativity: the merged-partials estimate must EQUAL the
+    // from-scratch sketch of the fact rows, not just sit in the envelope
+    val raw = shape(Tables.lineitem(spark, sfDir))
+    assert(viaMv.collect().toSeq == raw.collect().toSeq)
+  }
+
+  test("non-default sketch geometry blocks the sketch pushdown") {
+    val (_, base, _) = installed
+    // lc algo: the MV stores hll(b=16) partials - not answerable
+    val df = base.groupBy("l_returnflag")
+      .agg(GraftFunctions.approx_distinct(col("l_orderkey"), "lc")
+        .getField("cardinality").as("est"))
+    assert(planOf(df).contains("fact_lineitem.parquet"))
   }
 
   test("rollup with a non-answerable aggregate keeps the fact scan") {

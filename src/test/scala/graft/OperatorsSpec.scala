@@ -1170,6 +1170,23 @@ class OperatorsSpec extends AnyFunSuite {
       .toSeq == Seq((10L, 20L, 2L)))
   }
 
+  test("basketMvBatch: maintained counts == from-scratch; replay idempotent") {
+    import graft.operators.Basket
+    val path = java.nio.file.Files.createTempDirectory("graft-bktmv-t").toString
+    val b0 = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)).toDF("b", "i")
+    val b1 = Seq((3L, 10L), (3L, 20L), (3L, 30L)).toDF("b", "i")
+    Basket.basketMvBatch(b0, "b", "i", 64, path, 0L)
+    Basket.basketMvBatch(b1, "b", "i", 64, path, 1L)
+    def v1(): Map[(Long, Long), Long] =
+      spark.read.parquet(path).filter(col("batch_id") === 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = v1()
+    assert(got == Map((10L, 20L) -> 3L, (10L, 30L) -> 1L, (20L, 30L) -> 1L),
+      s"maintained counts: $got")
+    Basket.basketMvBatch(b1, "b", "i", 64, path, 1L) // replay overwrites
+    assert(v1() == got, "replay changed the maintained counts")
+  }
+
   // ---- triangle census (q150) ----
 
   test("triangleStats: K4 plus a pendant, duplicate/reversed/self edges normalized") {
