@@ -392,6 +392,8 @@ object GraftFunctions {
       arity("simhash_md5", 1)(e => SimHash(e.head, SimHash.Md5))),
     ("md5_hash64", "md5_hash64(s) - cross-engine-reproducible 64-bit hash (first 8 md5 bytes)",
       arity("md5_hash64", 1)(e => functions.Md5Hash64(e.head))),
+    ("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]",
+      arity("jaro_winkler", 2)(e => functions.JaroWinkler(e(0), e(1)))),
     ("cosine_similarity", "cosine_similarity(a, b) - cosine of numeric arrays",
       arity("cosine_similarity", 2)(e => CosineSimilarity(e(0), e(1)))),
     ("shingle_hashes", "shingle_hashes(text, k) - distinct k-shingle hashes",

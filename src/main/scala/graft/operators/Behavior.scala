@@ -268,6 +268,64 @@ object Behavior {
         (max("e") - min("s") - sum(col("e") - col("s"))).as("gap_us"))
   }
 
+  /** Time-weighted average of a piecewise-constant signal per key: each
+    * event's value holds until the key's NEXT event (`lead` over the
+    * per-key time order); the last event has no duration and is excluded
+    * — the standard TWAP/telemetry-averaging convention, where a plain
+    * AVG would over-weight bursts of rapid updates.
+    *
+    * One key-hash shuffle (window + aggregate ride it), and the whole
+    * computation on exact integers: values snapped to a centi-unit grid
+    * (exact for money-like inputs) by an exact decimal shift, value·µs
+    * accumulated as wide decimal integers, and the average produced by
+    * ONE truncating integer division onto a 10⁻⁶ grid (Spark `div` ≡
+    * DuckDB hugeint `//`) — so the result is bit-identical in any engine
+    * with no double rounding anywhere. (Doubles mid-stream lose: JVM and
+    * DuckDB round a double's shortest vs exact decimal form when casting
+    * to DECIMAL, and int128→double conversion double-rounds above 2⁵³.) */
+  def timeWeightedAvg(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("__us"), col(tieCol))
+    events
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__dur", lead(col("__us"), 1).over(w) - col("__us"))
+      .filter(col("__dur").isNotNull)
+      .withColumn("__v100",
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+      .groupBy(keyCol)
+      .agg(
+        sum(col("__v100").cast("decimal(38,0)") * col("__dur")).as("__wv"),
+        sum(col("__dur")).as("span_us"),
+        count(lit(1)).as("n_intervals"))
+      // centi·µs × 10⁴ / µs = value in 10⁻⁶ units, truncated — exact
+      .withColumn("__twu", expr("(__wv * 10000) div span_us"))
+      .select(col(keyCol),
+        (col("__twu").cast("double") / lit(1e6)).as("twavg"),
+        col("span_us"), col("n_intervals"))
+  }
+
+  /** State dwell time: treating each event as entering state `typeCol`
+    * until the same key's next event, total time and interval count spent
+    * in each state across all keys (plus the share of observed time) —
+    * "where does user time actually go". Same lead/exclude-last
+    * convention and single key-hash shuffle as [[timeWeightedAvg]]; the
+    * final per-state reduction is a handful of rows. */
+  def timeInState(events: DataFrame, tsCol: String, keyCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("__us"), col(tieCol))
+    events
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__dur", lead(col("__us"), 1).over(w) - col("__us"))
+      .filter(col("__dur").isNotNull)
+      .groupBy(typeCol)
+      .agg(sum(col("__dur")).as("total_us"), count(lit(1)).as("n_intervals"))
+      // the grand total comes from a window over the ALREADY-reduced
+      // per-state frame (a handful of rows), not a second event scan
+      .withColumn("share", col("total_us").cast("double") /
+        sum(col("total_us")).over(Window.partitionBy()).cast("double"))
+      .orderBy(typeCol)
+  }
+
   // ---- declared queries ----
 
   /** view → click → purchase within 24 h per hop, over the events table.
@@ -350,7 +408,24 @@ object Behavior {
         expr("percentile(d_buy, 0.5)").as("p50_buy_us"))
   }
 
+  /** Per-user time-weighted average of `value` (piecewise-constant hold
+    * until the next event). Strict hash gate: DECIMAL-quantized terms,
+    * one final double division. */
+  def q164Twap(spark: SparkSession, dir: String): DataFrame =
+    timeWeightedAvg(Tables.events(spark, dir), "ts", "user_id", "value",
+        "event_id")
+      .orderBy("user_id")
+
+  /** Corpus-wide dwell time per event-type state. Strict hash gate on
+    * exact microsecond totals; the share is one exact-long double
+    * division. */
+  def q165TimeInState(spark: SparkSession, dir: String): DataFrame =
+    timeInState(Tables.events(spark, dir), "ts", "user_id", "event_type",
+      "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_twap" -> (q164Twap _),
+    "q165_time_in_state" -> (q165TimeInState _),
     "q121_funnel_steps" -> (q121FunnelSteps _),
     "q133_funnel_state" -> (q133FunnelState _),
     "q139_funnel_latency" -> (q139FunnelLatency _),
@@ -408,6 +483,46 @@ object Behavior {
         |ORDER BY step""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // lead() per user, last event excluded; exact centi-unit · µs integer
+    // accumulation, one truncating // onto the 10⁻⁶ grid (≡ Spark div)
+    "q164_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, v100,
+        |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+        |      AS dur
+        |  FROM e),
+        |t AS (
+        |  SELECT user_id,
+        |    SUM(CAST(v100 AS HUGEINT) * dur) AS wv,
+        |    CAST(SUM(dur) AS BIGINT) AS span_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_intervals
+        |  FROM d WHERE dur IS NOT NULL GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(CAST((wv * 10000) // span_us AS BIGINT) AS DOUBLE)
+        |    / 1000000.0 AS twavg,
+        |  span_us, n_intervals
+        |FROM t ORDER BY user_id""".stripMargin,
+    "q165_time_in_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type,
+        |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+        |      AS dur
+        |  FROM e),
+        |s AS (
+        |  SELECT event_type, CAST(SUM(dur) AS BIGINT) AS total_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_intervals
+        |  FROM d WHERE dur IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, total_us, n_intervals,
+        |  CAST(total_us AS DOUBLE) /
+        |    CAST((SELECT SUM(total_us) FROM s) AS DOUBLE) AS share
+        |FROM s ORDER BY event_type""".stripMargin,
     "q121_funnel_steps" -> oraclesQ121,
     // two IGNORE-NULLS last_value calls over the same frame necessarily
     // pick the same (latest touch) row, so no struct portability issues

@@ -197,10 +197,121 @@ object Graph {
       .orderBy("hop", "node")
   }
 
+  /** Bounded-hop single-source shortest paths (Bellman–Ford with a
+    * frontier delta) over an undirected weighted edge list: distances are
+    * exact minima over paths of ≤ `rounds` edges from `seed`.
+    *
+    * Each round relaxes ONLY the frontier (nodes improved last round) —
+    * the classic early-skip: a node relaxed in round j propagated its
+    * (then-final) distance already, so re-relaxing it is a no-op. Total
+    * work is O(Σ frontier-adjacency), not rounds × edges, and the loop
+    * exits when no node improves. Same localCheckpoint iteration
+    * discipline as [[bfsHops]]; all distance arithmetic on exact longs. */
+  def boundedSssp(edges: DataFrame, aCol: String, bCol: String, wCol: String,
+      seed: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val bi = edges
+      .select(col(aCol).as("u"), col(bCol).as("v"), col(wCol).as("w"))
+      .union(edges.select(col(bCol).as("u"), col(aCol).as("v"), col(wCol).as("w")))
+      .filter(col("u") =!= col("v"))
+      .localCheckpoint(true)
+    var dist = seed.toDF("node").distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var k = 0
+    var done = rounds == 0
+    while (!done) {
+      val cand = frontier.join(bi, frontier("node") === bi("u"))
+        .groupBy(col("v").as("node"))
+        .agg(min(col("dist") + col("w")).as("__nd"))
+      val improved = cand.join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("__nd") < col("dist"))
+        .select(col("node"), col("__nd").as("dist"))
+        .localCheckpoint(true)
+      k += 1
+      if (improved.isEmpty || k == rounds) done = true
+      if (!improved.isEmpty) {
+        dist = dist.union(improved).groupBy("node")
+          .agg(min(col("dist")).as("dist")).localCheckpoint(true)
+        frontier = improved
+      }
+    }
+    dist
+  }
+
+  /** `iters` rounds of HITS (Kleinberg) over a DIRECTED edge list:
+    * authority(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each
+    * half-step L1-normalized. Returns the stacked
+    * `(kind ∈ {hub, auth}, id, score)` frame.
+    *
+    * Same float discipline as [[pageRank]]: contributions are
+    * DECIMAL-quantized before the order-sensitive per-node sum, the L1
+    * total is an exact decimal sum of those sums, and each normalization
+    * is one double division — bit-reproducible anywhere. Each half-step
+    * is one edge-keyed join + aggregation with the score vector the
+    * node-sized small side; the edge list feeds every round and is
+    * localCheckpointed once. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .distinct().localCheckpoint(true)
+    var h = e.select("u").distinct().withColumn("h", lit(1.0))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ar = e.join(h, "u").groupBy("v")
+        .agg(sum(col("h").cast("decimal(38,18)")).as("raw"))
+      a = ar.join(broadcast(ar.agg(sum(col("raw")).as("t"))))
+        .select(col("v"),
+          (col("raw").cast("double") / col("t").cast("double")).as("a"))
+      val hr = e.join(a, "v").groupBy("u")
+        .agg(sum(col("a").cast("decimal(38,18)")).as("raw"))
+      h = hr.join(broadcast(hr.agg(sum(col("raw")).as("t"))))
+        .select(col("u"),
+          (col("raw").cast("double") / col("t").cast("double")).as("h"))
+    }
+    h.select(lit("hub").as("kind"), col("u").as("id"),
+        col("h").cast("decimal(20,12)").as("score"))
+      .union(a.select(lit("auth"), col("v"),
+        col("a").cast("decimal(20,12)")))
+  }
+
+  /** Bounded SSSP (≤ 4 hops) from the highest-degree part (ties → min
+    * id; the min-id seed lands in a 2-node component at some SFs) over
+    * the co-order graph, edge length `max(1, 10 − co-order count)`
+    * (strong co-ordering ⇒ short distance). Strict hash gate against a
+    * DuckDB hop-bounded recursive walk. */
+  def q170Sssp(spark: SparkSession, dir: String): DataFrame = {
+    val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", basketCap = 64)
+    val ed = Basket.pairCounts(bk, basketCap = 64, minSupport = 2L)
+      .withColumn("w", greatest(lit(1L), lit(10L) - col("n")))
+    val seed = ed.select(col("p1").as("node"))
+      .union(ed.select(col("p2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .orderBy(desc("d"), col("node")).limit(1).select("node")
+    boundedSssp(ed, "p1", "p2", "w", seed, rounds = 4)
+      .orderBy("node")
+  }
+
+  /** 2 HITS iterations over the customer→part purchase graph: hub
+    * customers (broad, heavy buyers) and authority parts (bought by the
+    * hubs). Scores quantized DECIMAL(20,12) — the engines' only
+    * disagreement is final-ulp quantization, five orders below signal. */
+  def q171Hits(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+    hits(e, "c", "p", iters = 2).orderBy("kind", "id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_pagerank" -> (q138PageRank _),
     "q150_triangles" -> (q150Triangles _),
-    "q151_bfs_hops" -> (q151BfsHops _))
+    "q151_bfs_hops" -> (q151BfsHops _),
+    "q170_sssp" -> (q170Sssp _),
+    "q171_hits" -> (q171Hits _))
 
   private val transitionsSql: String =
     """WITH e AS (
@@ -297,5 +408,66 @@ object Graph {
         |  SELECT bi.v, bfs.hop + 1
         |  FROM bfs JOIN bi ON bi.u = bfs.node WHERE bfs.hop < 6)
         |SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
-        |FROM bfs GROUP BY node ORDER BY hop, node""".stripMargin)
+        |FROM bfs GROUP BY node ORDER BY hop, node""".stripMargin,
+    // hop-bounded weighted walk: distinct (node, dist, hop) triples are
+    // bounded by nodes × reachable-distance values × 4, so the UNION
+    // recursion terminates; MIN over hop ≤ 4 = 4-round Bellman-Ford
+    "q170_sssp" ->
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS (
+        |  SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |bi AS (
+        |  SELECT u, v, GREATEST(1, 10 - n) AS w FROM ed
+        |  UNION ALL SELECT v, u, GREATEST(1, 10 - n) FROM ed),
+        |seed AS (
+        |  SELECT u AS node FROM (SELECT u, COUNT(*) AS d FROM bi GROUP BY u)
+        |  ORDER BY d DESC, u LIMIT 1),
+        |walk AS (
+        |  SELECT (SELECT node FROM seed) AS node, CAST(0 AS BIGINT) AS dist,
+        |    0 AS hop
+        |  UNION
+        |  SELECT bi.v, walk.dist + bi.w, walk.hop + 1
+        |  FROM walk JOIN bi ON bi.u = walk.node WHERE walk.hop < 4)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    // two unrolled HITS iterations, same quantized-term + one-division
+    // normalization shape as the engine
+    "q171_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS v
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |h0 AS (SELECT DISTINCT u, 1.0 AS h FROM e),
+        |a1r AS (
+        |  SELECT v, SUM(CAST(h AS DECIMAL(38,18))) AS raw
+        |  FROM e JOIN h0 USING (u) GROUP BY v),
+        |a1 AS (
+        |  SELECT v, CAST(raw AS DOUBLE) /
+        |    CAST((SELECT SUM(raw) FROM a1r) AS DOUBLE) AS a FROM a1r),
+        |h1r AS (
+        |  SELECT u, SUM(CAST(a AS DECIMAL(38,18))) AS raw
+        |  FROM e JOIN a1 USING (v) GROUP BY u),
+        |h1 AS (
+        |  SELECT u, CAST(raw AS DOUBLE) /
+        |    CAST((SELECT SUM(raw) FROM h1r) AS DOUBLE) AS h FROM h1r),
+        |a2r AS (
+        |  SELECT v, SUM(CAST(h AS DECIMAL(38,18))) AS raw
+        |  FROM e JOIN h1 USING (u) GROUP BY v),
+        |a2 AS (
+        |  SELECT v, CAST(raw AS DOUBLE) /
+        |    CAST((SELECT SUM(raw) FROM a2r) AS DOUBLE) AS a FROM a2r),
+        |h2r AS (
+        |  SELECT u, SUM(CAST(a AS DECIMAL(38,18))) AS raw
+        |  FROM e JOIN a2 USING (v) GROUP BY u),
+        |h2 AS (
+        |  SELECT u, CAST(raw AS DOUBLE) /
+        |    CAST((SELECT SUM(raw) FROM h2r) AS DOUBLE) AS h FROM h2r)
+        |SELECT kind, id, score FROM (
+        |  SELECT 'hub' AS kind, u AS id, CAST(h AS DECIMAL(20,12)) AS score
+        |  FROM h2
+        |  UNION ALL
+        |  SELECT 'auth', v, CAST(a AS DECIMAL(20,12)) FROM a2)
+        |ORDER BY kind, id""".stripMargin)
 }

@@ -66,6 +66,31 @@ object Linkage {
       .orderBy(desc("n_pairs"))
   }
 
+  /** Best master match per probe under an arbitrary similarity scorer
+    * (HIGHER = better), same blocked shape as [[blockedFuzzyJoin]]:
+    * block-equijoin, score within blocks, arg-MAX per probe with the
+    * deterministic (score desc, master key asc) tie-break — again ONE
+    * hash aggregation via a `min(struct(-score, key))`, no window sort.
+    * Callers should pass a scorer quantized to a fixed DECIMAL so the
+    * tie-break domain is engine-independent. */
+  def blockedBestMatch(probe: DataFrame, probeId: String, probeName: String,
+      master: DataFrame, masterId: String, masterName: String,
+      blockKey: Column => Column,
+      scorer: (Column, Column) => Column): DataFrame = {
+    val p = probe.select(col(probeId).as("__pid"), col(probeName).as("__pname"),
+      blockKey(col(probeName)).as("__blk"))
+    val m = master.select(col(masterId).as("__mid"), col(masterName).as("__mname"),
+      blockKey(col(masterName)).as("__blk"))
+    p.join(m, "__blk")
+      .select(col("__pid"), col("__pname"),
+        struct((-scorer(col("__pname"), col("__mname"))).as("negsim"),
+          col("__mid").as("mid")).as("__cand"))
+      .groupBy("__pid", "__pname")
+      .agg(min(col("__cand")).as("best"))
+      .select(col("__pid").as(probeId), col("__pname").as(probeName),
+        col("best.mid").as(masterId), (-col("best.negsim")).as("sim"))
+  }
+
   // ---- declared query ----
 
   /** ER round trip on the customer master: every customer name perturbed
@@ -95,8 +120,39 @@ object Linkage {
       .orderBy("dirty_id")
   }
 
+  /** The q123 resolution re-scored with the engine's codegen'd
+    * [[graft.functions.JaroWinkler]] expression instead of levenshtein —
+    * the scorer census matching actually uses (transposition-tolerant,
+    * prefix-boosted), which Spark lacks natively. Similarities are
+    * quantized DECIMAL(10,6) BEFORE the arg-max so the tie-break domain
+    * is identical in both engines; the oracle is DuckDB's own
+    * `jaro_winkler_similarity` (semantics fuzz-pinned bit-exact, see the
+    * expression's doc). */
+  def q172JwLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val master = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    val dirty = master.select(col("c_custkey").as("dirty_id"),
+      concat(substring(col("c_name"), 1, 15),
+        reverse(substring(col("c_name"), 16, 3))).as("dirty_name"))
+    val blk: Column => Column = n => concat(
+      substring(n, 1, 15), lit("|"),
+      (ascii(substring(n, 16, 1)) + ascii(substring(n, 17, 1)) +
+        ascii(substring(n, 18, 1))).cast("string"))
+    val jw: (Column, Column) => Column = (a, b) =>
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.JaroWinkler(
+          org.apache.spark.sql.graft.GraftBridge.expression(a),
+          org.apache.spark.sql.graft.GraftBridge.expression(b)))
+        .cast("decimal(10,6)")
+    blockedBestMatch(dirty, "dirty_id", "dirty_name",
+        master, "c_custkey", "c_name", blk, jw)
+      .select(col("dirty_id"), col("c_custkey"), col("sim"),
+        (col("c_custkey") === col("dirty_id")).as("self_match"))
+      .orderBy("dirty_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q123_entity_resolution" -> (q123EntityResolution _))
+    "q123_entity_resolution" -> (q123EntityResolution _),
+    "q172_jw_linkage" -> (q172JwLinkage _))
 
   val oracles: Map[String, String] = Map(
     // same perturbation, same block key, same (dist, key) tie-break
@@ -122,5 +178,30 @@ object Linkage {
         |FROM blocked
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY dirty_id
         |  ORDER BY dist, c_custkey) = 1
+        |ORDER BY dirty_id""".stripMargin,
+    // same block key; DuckDB's native jaro_winkler_similarity, quantized
+    // to the same DECIMAL(10,6) before the (sim desc, key) arg-max
+    "q172_jw_linkage" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS dirty_id,
+        |    substring(c_name, 1, 15) || reverse(substring(c_name, 16, 3))
+        |      AS dirty_name
+        |  FROM customer),
+        |blocked AS (
+        |  SELECT d.dirty_id, m.c_custkey,
+        |    CAST(jaro_winkler_similarity(d.dirty_name, m.c_name)
+        |      AS DECIMAL(10,6)) AS sim
+        |  FROM dirty d JOIN customer m
+        |    ON substring(d.dirty_name, 1, 15) = substring(m.c_name, 1, 15)
+        |    AND ascii(substring(d.dirty_name, 16, 1))
+        |      + ascii(substring(d.dirty_name, 17, 1))
+        |      + ascii(substring(d.dirty_name, 18, 1))
+        |      = ascii(substring(m.c_name, 16, 1))
+        |      + ascii(substring(m.c_name, 17, 1))
+        |      + ascii(substring(m.c_name, 18, 1)))
+        |SELECT dirty_id, c_custkey, sim, c_custkey = dirty_id AS self_match
+        |FROM blocked
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY dirty_id
+        |  ORDER BY sim DESC, c_custkey) = 1
         |ORDER BY dirty_id""".stripMargin)
 }

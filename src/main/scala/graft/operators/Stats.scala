@@ -1,0 +1,308 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical testing and profiling over distributed frames: contingency
+  * independence (χ²), equi-depth histograms, two-proportion experiment
+  * tests, and CUSUM changepoint detection.
+  *
+  * Every operator reduces the fact table to a SMALL statistic frame first
+  * (cells, buckets, per-variant counts, per-key prefixes) and does the
+  * numerically delicate part there — the engine's standard float
+  * discipline applies throughout: order-sensitive double sums are
+  * DECIMAL-quantized term-wise, every division is a single double op on
+  * exact inputs, so the declared queries are strict hash gates, not
+  * tolerance checks.
+  *
+  * CUSUM's recursion S⁺_i = max(0, S⁺_{i−1} + dev_i) looks inherently
+  * sequential, but has the classic prefix-scan closed form
+  * `S⁺_i = P_i − min(0, min_{j≤i} P_j)` over the deviation prefix sums
+  * P — so it runs as two running windows on ONE key-hash exchange, the
+  * same shape every engine sequence operator here uses (no per-key
+  * iteration, no UDAF state).
+  */
+object Stats {
+
+  /** Pearson χ² independence test between two categorical columns, with
+    * Cramér's V. The full r×c grid (including observed-zero cells, which
+    * a bare groupBy would silently drop from the statistic) is built by
+    * crossing the two marginal frames — both already reduced to distinct
+    * category values, so the cross join is cells-sized, never data-sized.
+    * One scan, one groupBy shuffle; χ² terms are DECIMAL-quantized so the
+    * cell-order sum is exact. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val ra = obs.groupBy("__a").agg(sum("__o").as("__ra"))
+    val cb = obs.groupBy("__b").agg(sum("__o").as("__cb"))
+    val grid = ra.crossJoin(cb)
+      .join(obs, Seq("__a", "__b"), "left")
+      .na.fill(0L, Seq("__o"))
+      .withColumn("__n", sum(col("__o")).over(Window.partitionBy()))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("__n").cast("double")
+    val dev = col("__o").cast("double") - col("__e")
+    grid.withColumn("__e", e)
+      .withColumn("__term", (dev * dev / col("__e")).cast("decimal(38,12)"))
+      .agg(
+        sum(col("__term")).cast("double").as("chi2"),
+        ((countDistinct(col("__a")) - 1) *
+          (countDistinct(col("__b")) - 1)).as("dof"),
+        max(col("__n")).as("n"),
+        least(countDistinct(col("__a")), countDistinct(col("__b")))
+          .as("__minrc"))
+      .select(col("chi2"), col("dof"), col("n"),
+        sqrt(col("chi2") / (col("n").cast("double") *
+          (col("__minrc") - 1).cast("double"))).as("cramers_v"))
+  }
+
+  /** Equi-depth (equal-frequency) histogram of `valCol` per group: `k`
+    * buckets of near-equal row count via `ntile` over the (value, tie)
+    * total order — the optimizer-statistics primitive (selectivity
+    * estimation wants equal-mass, not equal-width, buckets). The tie
+    * column makes the order total, so bucket assignment — and therefore
+    * the gate — is deterministic in any engine. One window sort per
+    * group key (at 100 TB: a range-partitioned sort, Spark's standard
+    * window path; no driver-side quantile pass). */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valCol: String,
+      tieCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"bucket count must be positive: $k")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(valCol) +: tieCols.map(col): _*)
+    df.withColumn("__bkt", ntile(k).over(w))
+      .groupBy(col(groupCol), col("__bkt").as("bucket"))
+      .agg(min(col(valCol)).as("lo"), max(col(valCol)).as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy(col(groupCol), col("bucket"))
+  }
+
+  /** Two-proportion z-test between two experiment variants on a per-unit
+    * binary outcome: pooled p̂, z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)).
+    * `unitOutcomes` must be one row per unit with `variantCol` ∈ two
+    * values and a boolean `successCol`. The reduction to (n, x) per
+    * variant is one groupBy; the test statistic is a fixed expression
+    * shape over four exact integers, so it is bit-identical in any IEEE
+    * engine (quantize downstream if composing further). */
+  def twoProportionZ(unitOutcomes: DataFrame, variantCol: String,
+      successCol: String): DataFrame = {
+    val per = unitOutcomes.groupBy(variantCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("x"))
+    // two rows → one: deterministic variant order via min/max tags
+    val ab = per.agg(
+      min(struct(col(variantCol).as("v"), col("n"), col("x"))).as("a"),
+      max(struct(col(variantCol).as("v"), col("n"), col("x"))).as("b"))
+    val n1 = col("a.n").cast("double")
+    val n2 = col("b.n").cast("double")
+    val p1 = col("a.x").cast("double") / n1
+    val p2 = col("b.x").cast("double") / n2
+    val pp = (col("a.x") + col("b.x")).cast("double") /
+      (col("a.n") + col("b.n")).cast("double")
+    ab.select(
+      col("a.v").as("variant_a"), col("a.n").as("n_a"), col("a.x").as("x_a"),
+      col("b.v").as("variant_b"), col("b.n").as("n_b"), col("b.x").as("x_b"),
+      p1.as("p_a"), p2.as("p_b"),
+      ((p1 - p2) / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2)))
+        .cast("decimal(20,12)").as("z"))
+  }
+
+  /** One-sided CUSUM changepoint scan per key: deviations
+    * `dev = x − μ_key − slack` against the key's own mean, folded through
+    * `S⁺_i = max(0, S⁺_{i−1} + dev_i)`, alarms where S⁺ exceeds
+    * `threshold`. Computed via the prefix closed form (see object doc):
+    * running sum + running min over the per-key time order — ONE
+    * key-hash exchange carries the mean window, both scans, and the
+    * final per-key report.
+    *
+    * The whole state machine runs on exact 64-bit integers: values are
+    * snapped to a 10⁻⁶ grid (exact for money-like inputs; a documented
+    * quantization otherwise) via an exact decimal shift, μ is a
+    * TRUNCATING integer division (`div` / hugeint `//` agree in any
+    * engine), and S⁺/alarms/peak are plain long arithmetic — no double
+    * enters until the final peak/10⁶ report, whose inputs are < 2⁵³, so
+    * nothing can ulp-flip between engines. (The first draft quantized
+    * doubles to DECIMAL mid-stream; JVM and DuckDB round a double's
+    * SHORTEST vs EXACT decimal form respectively, which drifts one
+    * scaled unit on ~0.04% of values — integers close that door.)
+    * Returns per-key: alarms, peak S⁺, first alarm instant. */
+  def cusum(events: DataFrame, tsCol: String, keyCol: String, valCol: String,
+      tieCol: String, slack: Double, threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val slackU = math.round(slack * 1e6)
+    val thresholdU = math.round(threshold * 1e6)
+    val wKey = Window.partitionBy(keyCol)
+    val wOrd = wKey.orderBy(col("__us"), col(tieCol))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__vu",
+        (col(valCol).cast("decimal(18,6)") * 1000000).cast("long"))
+      .withColumn("__muu",
+        expr(s"sum(__vu) over (partition by $keyCol) div " +
+          s"count(1) over (partition by $keyCol)"))
+      .withColumn("__dev", col("__vu") - col("__muu") - lit(slackU))
+      .withColumn("__p", sum(col("__dev")).over(wRun))
+      .withColumn("__s",
+        col("__p") - least(lit(0L), min(col("__p")).over(wRun)))
+      .withColumn("__alarm", col("__s") > lit(thresholdU))
+      .groupBy(keyCol)
+      .agg(
+        sum(when(col("__alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        (max(col("__s")).cast("double") / lit(1e6)).as("peak_cusum"),
+        min(when(col("__alarm"), col("__us"))).as("first_alarm_us"))
+      .orderBy(keyCol)
+  }
+
+  // ---- declared queries ----
+
+  /** Independence of return flag × line status on lineitem. Strict hash
+    * gate: exact cell counts, quantized χ² terms, fixed expression shape
+    * for E, V. */
+  def q166ChiSquare(spark: SparkSession, dir: String): DataFrame =
+    chiSquare(Tables.lineitem(spark, dir), "l_returnflag", "l_linestatus")
+
+  /** 8-bucket equi-depth histogram of extended price per return flag.
+    * The (price, orderkey, linenumber) order is total, so ntile — and
+    * the gate — is deterministic. */
+  def q167EquidepthHist(spark: SparkSession, dir: String): DataFrame =
+    equiDepthHistogram(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_extendedprice", Seq("l_orderkey", "l_linenumber"), k = 8)
+
+  /** A/B test: users split by id parity (the deterministic assignment any
+    * engine reproduces), success = the user purchases more than they
+    * click (a scale-free outcome — "ever purchases" saturates to p = 1
+    * on this fixture, making the pooled variance 0). z quantized
+    * DECIMAL(20,12) — the engines' only disagreement is final-ulp. */
+  def q168AbTest(spark: SparkSession, dir: String): DataFrame = {
+    val units = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)))
+        .as("converted"))
+      .select(when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B")
+        .as("variant"), col("converted"))
+    twoProportionZ(units, "variant", "converted")
+  }
+
+  /** CUSUM scan of event values per event type (slack 0.5σ-ish in fixture
+    * units, threshold 40): which event streams drifted above their own
+    * mean, when. Strict hash gate on exact decimal CUSUM state. */
+  def q169Cusum(spark: SparkSession, dir: String): DataFrame =
+    cusum(Tables.events(spark, dir), "ts", "event_type", "value",
+      "event_id", slack = 5.0, threshold = 40.0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_chi_square" -> (q166ChiSquare _),
+    "q167_equidepth_hist" -> (q167EquidepthHist _),
+    "q168_ab_test" -> (q168AbTest _),
+    "q169_cusum" -> (q169Cusum _))
+
+  val oracles: Map[String, String] = Map(
+    // full r×c grid (zero cells included), same quantized term shape
+    "q166_chi_square" ->
+      """WITH obs AS (
+        |  SELECT l_returnflag AS a, l_linestatus AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY a),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM obs GROUP BY b),
+        |grid AS (
+        |  SELECT ra.a, cb.b, ra.ra, cb.cb, COALESCE(obs.o, 0) AS o
+        |  FROM ra CROSS JOIN cb LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b),
+        |t AS (
+        |  SELECT *, CAST(SUM(o) OVER () AS BIGINT) AS n,
+        |    CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(SUM(o) OVER ()
+        |      AS DOUBLE) AS e
+        |  FROM grid),
+        |terms AS (
+        |  SELECT n, CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+        |    / e AS DECIMAL(38,12)) AS term,
+        |    a, b
+        |  FROM t)
+        |SELECT CAST(SUM(term) AS DOUBLE) AS chi2,
+        |  CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
+        |    AS dof,
+        |  MAX(n) AS n,
+        |  sqrt(CAST(SUM(term) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) *
+        |    CAST(LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) - 1 AS DOUBLE)))
+        |    AS cramers_v
+        |FROM terms""".stripMargin,
+    "q167_equidepth_hist" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    ntile(8) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+        |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY l_returnflag, bucket""".stripMargin,
+    "q168_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+        |      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |v AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    converted
+        |  FROM u),
+        |per AS (
+        |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM v GROUP BY variant),
+        |ab AS (
+        |  SELECT MIN(variant) AS va, MAX(variant) AS vb FROM per),
+        |j AS (
+        |  SELECT ab.va, ab.vb, pa.n AS n_a, pa.x AS x_a, pb.n AS n_b,
+        |    pb.x AS x_b
+        |  FROM ab JOIN per pa ON pa.variant = ab.va
+        |    JOIN per pb ON pb.variant = ab.vb)
+        |SELECT va AS variant_a, n_a, x_a, vb AS variant_b, n_b, x_b,
+        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |  CAST((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |    AS DECIMAL(20,12)) AS z
+        |FROM j""".stripMargin,
+    // prefix closed form of the max(0, ·) fold, S⁺ = P − min(0, run-min P),
+    // in exact integer micro-units; HUGEINT // = Spark's div (truncating)
+    "q169_cusum" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vu
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CAST(CAST(SUM(vu) OVER (PARTITION BY event_type)
+        |      AS HUGEINT)
+        |    // (COUNT(*) OVER (PARTITION BY event_type)) AS BIGINT) AS muu
+        |  FROM e),
+        |d AS (
+        |  SELECT *, vu - muu - 5000000 AS dev
+        |  FROM m),
+        |p AS (
+        |  SELECT *, CAST(SUM(dev) OVER (PARTITION BY event_type
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pf
+        |  FROM d),
+        |r AS (
+        |  SELECT *, MIN(pf) OVER (PARTITION BY event_type
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS runmin
+        |  FROM p),
+        |s AS (
+        |  SELECT event_type, us, pf - LEAST(0, runmin) AS sp
+        |  FROM r)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN sp > 40000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms,
+        |  CAST(MAX(sp) AS DOUBLE) / 1000000.0 AS peak_cusum,
+        |  MIN(CASE WHEN sp > 40000000 THEN us END) AS first_alarm_us
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -908,7 +908,42 @@ object TextAnalysis {
     collocationsPmi(Tables.documents(spark, dir), "text", minCount = 5L,
       topK = 50)
 
+  /** N-gram novelty per document: the fraction of a doc's DISTINCT
+    * word-k-grams that appear in NO other document — the complement of
+    * the span-duplication signal, scoring how much genuinely new text a
+    * doc contributes to the corpus (a data-mixing weight in dedup-aware
+    * sampling). Documents shorter than k tokens contribute their whole
+    * text as one shingle (the [[graft.functions.WordShingles]] / q81
+    * convention).
+    *
+    * Shape: explode distinct shingles, count corpus frequency per shingle
+    * (one shuffle on the shingle hash — strings reduced to two 64-bit
+    * lanes before shuffling, the [[Dedup.substringDupPairs]] trick), join
+    * the counts back, reduce per doc. No pair join anywhere, so no df
+    * cutoff is needed — cost is linear in total shingle volume. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val wins = docs.select(col(idCol).as("id"),
+      explode(array_distinct(wordShingles(col(textCol), k))).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h1"),
+        xxhash64(lit(1), col("w")).as("h2"))
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy("h1", "h2")
+    wins.withColumn("__df", count(lit(1)).over(dfw))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Per-doc 3-gram novelty over the corpus. Strict hash gate: exact
+    * counts, one exact-integer double division. */
+  def q173NgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_ngram_novelty" -> (q173NgramNovelty _),
     "q155_collocations" -> (q155Collocations _),
     "q131_phrase_search" -> (q131PhraseSearch _),
     "q132_distinctive_terms" -> (q132DistinctiveTerms _),
@@ -1017,6 +1052,28 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // distinct 3-gram windows per doc (whole text when < 3 tokens — the
+    // q81 convention), corpus df per window, df = 1 ⇒ novel
+    "q173_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                             FOR i IN range(1, len(ts) - 1)])
+        |    END AS ws
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |                x -> x <> '') AS ts
+        |        FROM documents)),
+        |wn AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |dfc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM wn GROUP BY w),
+        |per AS (
+        |  SELECT wn.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unique
+        |  FROM wn JOIN dfc USING (w) GROUP BY wn.doc_id)
+        |SELECT doc_id, n_grams, n_unique,
+        |  CAST(n_unique AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+        |FROM per ORDER BY doc_id""".stripMargin,
     // 1-based list comprehension: range(1, len) pairs tl[i] with tl[i+1]
     // and is empty for docs under 2 tokens; identical PMI expression shape
     "q155_collocations" ->

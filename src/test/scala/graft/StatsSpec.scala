@@ -1,0 +1,234 @@
+package graft
+
+import graft.functions.JaroWinkler
+import graft.operators.{Graph, Linkage, Stats, TextAnalysis}
+import graft.operators.Behavior
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The statistics family (χ², equi-depth histogram, two-proportion z,
+  * CUSUM), the Jaro–Winkler expression, the exact-integer time-weighted
+  * operators, and the new graph iterators (bounded SSSP, HITS). */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  // ---- Jaro–Winkler: reference values pinned against DuckDB's
+  // jaro_winkler_similarity (the q172 oracle; fuzzed bit-exact on 200k
+  // random pairs during development) ----
+
+  private def jw(a: String, b: String): Double = JaroWinkler.similarity(a, b)
+
+  test("jaro_winkler matches the pinned oracle reference values bit-exactly") {
+    assert(jw("MARTHA", "MARHTA") == 0.9611111111111111)       // transposition
+    assert(jw("DIXON", "DICKSONX") == 0.8133333333333332)      // prefix boost
+    assert(jw("abcd", "abce") == 0.8833333333333334)
+    assert(jw("PREFIXaaaa", "PREFIXbbbb") == 0.8400000000000001) // prefix cap 4
+    assert(jw("abcdefgh", "abcdefgh") == 1.0)
+    assert(jw("hello world", "hello wrold") == 0.9818181818181818)
+  }
+
+  test("jaro_winkler edge semantics: empties, no-match, boost threshold") {
+    assert(jw("", "") == 0.0)          // the linkage convention, not 1.0
+    assert(jw("", "ABC") == 0.0)
+    assert(jw("x", "y") == 0.0)
+    assert(jw("AB", "BA") == 0.0)      // window 0: no same-position match
+    // jaro = 0.4667 ≤ 0.7 ⇒ the common AA prefix earns NO boost (strict >)
+    assert(jw("AAXXXXXXXX", "AAYYYYYYYY") == 0.4666666666666666)
+  }
+
+  test("jaro_winkler SQL surface evaluates via the registered function") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq(("MARTHA", "MARHTA")).toDF("a", "b")
+      .selectExpr("jaro_winkler(a, b) AS s").head().getDouble(0)
+    assert(r == 0.9611111111111111)
+    // null propagation
+    val n = Seq((Option.empty[String], Option("x"))).toDF("a", "b")
+      .selectExpr("jaro_winkler(a, b) AS s").head()
+    assert(n.isNullAt(0))
+  }
+
+  test("blockedBestMatch resolves by highest similarity with deterministic ties") {
+    import spark.implicits._
+    val probe = Seq((1L, "marhta")).toDF("pid", "pname")
+    val master = Seq((10L, "martha"), (11L, "marxxx"), (12L, "zzzzzz"))
+      .toDF("mid", "mname")
+    val jwCol: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column = (a, b) =>
+      org.apache.spark.sql.graft.GraftBridge.column(JaroWinkler(
+        org.apache.spark.sql.graft.GraftBridge.expression(a),
+        org.apache.spark.sql.graft.GraftBridge.expression(b)))
+        .cast("decimal(10,6)")
+    val out = Linkage.blockedBestMatch(probe, "pid", "pname",
+      master, "mid", "mname", n => substring(n, 1, 3), jwCol)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("mid") == 10L) // martha beats marxxx
+  }
+
+  // ---- CUSUM: the closed form must equal the sequential fold ----
+
+  test("cusum equals the direct sequential max(0, s + dev) fold") {
+    import spark.implicits._
+    val vals = Seq(10.0, 10.0, 25.0, 30.0, 9.0, 45.0, 50.0, 8.0, 7.0, 60.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1000L + i)),
+        "k", v, i.toLong)
+    }
+    val df = rows.toDF("ts", "key", "value", "id")
+    val out = Stats.cusum(df, "ts", "key", "value", "id",
+      slack = 2.0, threshold = 15.0).collect()
+    assert(out.length == 1)
+    // reference fold in exact micro-units (mu via truncating division)
+    val vu = vals.map(v => math.round(v * 1e6))
+    val muu = vu.sum / vu.length
+    var s = 0L
+    var alarms = 0L
+    var peak = 0L
+    var firstUs = Option.empty[Long]
+    for ((v, i) <- vu.zipWithIndex) {
+      s = math.max(0L, s + (v - muu - 2000000L))
+      if (s > 15000000L) {
+        alarms += 1
+        if (firstUs.isEmpty) firstUs = Some((1000L + i) * 1000000L)
+      }
+      peak = math.max(peak, s)
+    }
+    val r = out.head
+    assert(r.getAs[Long]("n_alarms") == alarms)
+    assert(r.getAs[Double]("peak_cusum") == peak.toDouble / 1e6)
+    assert(r.getAs[Long]("first_alarm_us") == firstUs.get)
+  }
+
+  // ---- χ², histogram, z-test on hand-computable fixtures ----
+
+  test("chiSquare on a known 2x2 table, including an observed-zero cell") {
+    import spark.implicits._
+    // a=x: 30 p / 10 q ; a=y: 10 p / 0 q  (the zero cell must contribute E)
+    val df = (Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p"))).toDF("a", "b")
+    val r = Stats.chiSquare(df, "a", "b").head()
+    // totals: rx=40 ry=10 cp=40 cq=10 n=50
+    val e = Map(("x","p") -> 32.0, ("x","q") -> 8.0, ("y","p") -> 8.0, ("y","q") -> 2.0)
+    val o = Map(("x","p") -> 30.0, ("x","q") -> 10.0, ("y","p") -> 10.0, ("y","q") -> 0.0)
+    // keys.toSeq: mapping a key SET would dedupe the two equal 0.5 terms
+    val chi2 = e.keys.toSeq.map(k => (o(k) - e(k)) * (o(k) - e(k)) / e(k)).sum
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-9)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Long]("n") == 50L)
+    assert(math.abs(r.getAs[Double]("cramers_v") -
+      math.sqrt(chi2 / 50.0)) < 1e-9)
+  }
+
+  test("equiDepthHistogram: bucket counts differ by at most 1, boundaries nest") {
+    import spark.implicits._
+    val df = (1 to 103).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val h = Stats.equiDepthHistogram(df, "g", "v", Seq("id"), k = 8)
+      .orderBy("bucket").collect()
+    assert(h.length == 8)
+    val ns = h.map(_.getAs[Long]("n"))
+    assert(ns.sum == 103L && ns.max - ns.min <= 1)
+    // buckets tile the sorted domain: next lo follows previous hi
+    val los = h.map(_.getAs[Double]("lo"))
+    val his = h.map(_.getAs[Double]("hi"))
+    for (i <- 1 until 8) assert(los(i) == his(i - 1) + 1.0)
+  }
+
+  test("twoProportionZ on a known contingency") {
+    import spark.implicits._
+    // A: 60/100 convert, B: 40/100
+    val df = ((1 to 100).map(i => ("A", i <= 60)) ++
+      (1 to 100).map(i => ("B", i <= 40))).toDF("variant", "ok")
+    val r = Stats.twoProportionZ(df, "variant", "ok").head()
+    assert(r.getAs[String]("variant_a") == "A")
+    assert(r.getAs[Long]("x_a") == 60L && r.getAs[Long]("x_b") == 40L)
+    val pp = 0.5
+    val z = (0.6 - 0.4) / math.sqrt(pp * (1 - pp) * (1.0 / 100 + 1.0 / 100))
+    assert(math.abs(r.getAs[java.math.BigDecimal]("z").doubleValue() - z) < 1e-9)
+  }
+
+  // ---- exact time-weighted operators ----
+
+  test("timeWeightedAvg: piecewise-constant hold, last event excluded") {
+    import spark.implicits._
+    // value 10 for 3s, value 20 for 1s -> twavg = (30+20)/4 = 12.5
+    val rows = Seq((0L, 10.0), (3L, 20.0), (4L, 99.0)).zipWithIndex.map {
+      case ((sec, v), i) =>
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)),
+          "u", v, i.toLong)
+    }
+    val r = Behavior.timeWeightedAvg(rows.toDF("ts", "key", "value", "id"),
+      "ts", "key", "value", "id").head()
+    assert(r.getAs[Double]("twavg") == 12.5)
+    assert(r.getAs[Long]("span_us") == 4000000L)
+    assert(r.getAs[Long]("n_intervals") == 2L)
+  }
+
+  test("timeInState: dwell shares sum to 1 and split by the held state") {
+    import spark.implicits._
+    val rows = Seq((0L, "view"), (2L, "click"), (3L, "view"), (7L, "buy"))
+      .zipWithIndex.map { case ((sec, t), i) =>
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)),
+          "u", t, i.toLong)
+      }
+    val out = Behavior.timeInState(rows.toDF("ts", "key", "et", "id"),
+      "ts", "key", "et", "id").collect()
+    val m = out.map(r => r.getAs[String]("et") ->
+      (r.getAs[Long]("total_us"), r.getAs[Double]("share"))).toMap
+    assert(m("view")._1 == 6000000L)  // 2s + 4s
+    assert(m("click")._1 == 1000000L)
+    assert(!m.contains("buy"))        // last event holds nothing
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+  }
+
+  // ---- graph iterators ----
+
+  test("boundedSssp: weighted distances within the hop bound, unreachable absent") {
+    import spark.implicits._
+    // path graph a-b-c-d-e with weights 1,5,1,1 plus shortcut a-c weight 3
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 5L), (3L, 4L, 1L), (4L, 5L, 1L),
+      (1L, 3L, 3L)).toDF("a", "b", "w")
+    val seed = Seq(1L).toDF("node")
+    val d2 = Graph.boundedSssp(edges, "a", "b", "w", seed, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+    val d4 = Graph.boundedSssp(edges, "a", "b", "w", seed, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d4 == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("hits: L1-normalized, degree-dominant bipartite case") {
+    import spark.implicits._
+    // hub 1 points at p1,p2,p3; hub 2 at p1 only
+    val e = Seq((1L, 101L), (1L, 102L), (1L, 103L), (2L, 101L))
+      .toDF("c", "p")
+    val out = Graph.hits(e, "c", "p", iters = 2).collect()
+    val hubs = out.filter(_.getString(0) == "hub")
+      .map(r => r.getLong(1) -> r.getDecimal(2).doubleValue()).toMap
+    val auths = out.filter(_.getString(0) == "auth")
+      .map(r => r.getLong(1) -> r.getDecimal(2).doubleValue()).toMap
+    assert(math.abs(hubs.values.sum - 1.0) < 1e-9)
+    assert(math.abs(auths.values.sum - 1.0) < 1e-9)
+    assert(hubs(1L) > hubs(2L))
+    assert(auths(101L) > auths(102L))
+    assert(auths(102L) == auths(103L))
+  }
+
+  test("ngramNovelty: shared vs unique trigrams, short-doc whole-text rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),      // trigrams: "a b c", "b c d"
+      (2L, "a b c x"),      // trigrams: "a b c", "b c x"
+      (3L, "zz yy")         // < 3 tokens -> whole text "zz yy"
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_unique"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))  // "a b c" shared with doc 2
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+  }
+}
