@@ -95,6 +95,42 @@ object Audit {
       .filter(abs(col(valueCol) - col("med")) > lit(k) * lit(1.4826) * col("mad"))
   }
 
+  /** Benford's-law first-digit profile of a positive money-like column —
+    * the classic fabricated-numbers audit signal (synthetic or tampered
+    * figures rarely follow the logarithmic first-digit law real
+    * transaction data does). Returns one row per leading digit with the
+    * observed share, Benford's expected share, and the absolute
+    * deviation.
+    *
+    * Exactness: the first digit comes from the value's EXACT centi-unit
+    * integer rendered as a string (no float log10 anywhere — a value at
+    * a power-of-ten boundary cannot misclassify), shares are single
+    * divisions of exact longs, and the Benford probabilities are
+    * hardcoded double literals shared verbatim with the oracle SQL (both
+    * engines parse a decimal literal to the same nearest double). One
+    * scan, one 9-row aggregate. Digits that never occur are absent (the
+    * oracle mirrors this). */
+  def benfordProfile(df: DataFrame, valCol: String): DataFrame = {
+    val v100 = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
+    val p = element_at(array(Audit.BenfordP.map(lit): _*), col("digit"))
+    df.filter(col(valCol) > 0)
+      .select(substring(v100.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("obs_share", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy()).cast("double"))
+      .withColumn("benford_p", p)
+      .withColumn("abs_dev", abs(col("obs_share") - col("benford_p")))
+      .orderBy("digit")
+  }
+
+  /** log10(1 + 1/d), d = 1..9, as exact double literals (shared with the
+    * oracle SQL text — never recomputed through an engine's libm). */
+  private[graft] val BenfordP: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
   // ---- declared queries ----
 
   /** The lineitem/orders expectation suite: four row-level constraints in
@@ -415,7 +451,17 @@ object Audit {
     winsorizedStats(graft.sources.Tables.lineitem(spark, dir),
       Seq("l_returnflag"), "l_extendedprice", lo = 0.05, hi = 0.95)
 
+  /** Benford first-digit audit of `l_extendedprice`. Strict hash gate:
+    * exact digit counts, shared-literal expectations, pure-double
+    * deviations. (TPC-H-ish prices are range-bounded, so the profile
+    * deviating from Benford is itself the expected, reproducible
+    * finding.) */
+  def q177Benford(spark: SparkSession, dir: String): DataFrame =
+    benfordProfile(graft.sources.Tables.lineitem(spark, dir),
+      "l_extendedprice")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_benford" -> (q177Benford _),
     "q112_dq_audit" -> (q112DqAudit _),
     "q113_mad_anomaly" -> (q113MadAnomaly _),
     "q137_seasonal_anomaly" -> (q137SeasonalAnomaly _),
@@ -449,6 +495,28 @@ object Audit {
   }
 
   val oracles: Map[String, String] = Map(
+    // first digit from the exact centi-unit integer's string form; the
+    // Benford constants are the same double literals the engine carries
+    "q177_benford" -> ("""WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(CAST(l_extendedprice
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+        |    AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |c AS (
+        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |t AS (
+        |  SELECT *, CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+        |    AS obs_share,
+        |    CASE digit
+        |""".stripMargin +
+      BenfordP.zipWithIndex
+        .map { case (pv, i) => s"      WHEN ${i + 1} THEN $pv" }
+        .mkString("\n") + "\n" +
+      """    END AS benford_p
+        |  FROM c)
+        |SELECT digit, n, obs_share, benford_p,
+        |  ABS(obs_share - benford_p) AS abs_dev
+        |FROM t ORDER BY digit""".stripMargin),
     // exact per-key counts; the KLL rank booleans are engine-side
     "q146_approx_mad" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,

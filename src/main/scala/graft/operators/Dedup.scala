@@ -508,6 +508,31 @@ object Dedup {
       .orderBy("cluster_rep")
   }
 
+  /** Duplicate-cluster size distribution — the corpus-level dedup report:
+    * near-dup clusters ([[q75NearDupClusters]]'s components) histogrammed
+    * by size, with singletons (docs in NO near-dup pair) reported as the
+    * `cluster_size = 1` row so the rows sum to the corpus. The numbers a
+    * pipeline monitors per ingest: what fraction of the corpus is
+    * duplicated, and whether mass sits in a few huge clusters (template
+    * spam) or many pairs. Rides the same pair/CC machinery plus two
+    * tiny reductions. */
+  def q178DupClusterHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = minhashNearDupPairs(docs, "doc_id", "text", bands = 32)
+    val sizes = connectedComponents(pairs.select("id_a", "id_b"))
+      .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+    val single = docs.agg(count(lit(1)).as("__nd"))
+      .crossJoin(sizes.agg(coalesce(sum(col("cluster_size")), lit(0L))
+        .as("__ni"))) // two 1-row frames
+      .select(lit(1L).as("cluster_size"),
+        (col("__nd") - col("__ni")).as("n_clusters"))
+    hist.union(single)
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
   /** Verbatim-span duplicate detection (the exact-substring complement of
     * Jaccard near-dup — Lee et al. 2021, "Deduplicating Training Data
     * Makes Language Models Better": cross-document COPIED RUNS matter even
@@ -891,6 +916,7 @@ object Dedup {
     "q47_ngram_jaccard_sample" -> (q47NgramJaccardSample _),
     "q143_set_similarity_join" -> (q143SetSimilarityJoin _),
     "q75_near_dup_clusters" -> (q75NearDupClusters _),
+    "q178_dup_cluster_histogram" -> (q178DupClusterHistogram _),
     "q76_curation_v2" -> (q76CurationV2 _))
 
   val oracles: Map[String, String] = Map(
@@ -1206,6 +1232,41 @@ object Dedup {
     // the same exact pair set as the q45 oracle, then a RECURSIVE
     // transitive closure: comp(n) = min over n's reachability set — the
     // fixed point hash-min label propagation converges to
+    "q178_dup_cluster_histogram" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             FOR i IN range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM t x JOIN t y ON x.doc_id < y.doc_id
+        |  WHERE 2 * len(list_intersect(x.sh, y.sh)) >=
+        |        len(list_distinct(list_concat(x.sh, y.sh)))),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |comp AS (
+        |  SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src),
+        |cl AS (
+        |  SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |  FROM comp GROUP BY comp),
+        |hist AS (
+        |  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |  FROM cl GROUP BY cluster_size),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        |cd AS (SELECT COALESCE(CAST(SUM(cluster_size) AS BIGINT), 0) AS ni
+        |       FROM cl)
+        |SELECT cluster_size, n_clusters, cluster_size * n_clusters AS n_docs
+        |FROM (SELECT * FROM hist UNION ALL
+        |      SELECT 1, nd - ni FROM tot CROSS JOIN cd)
+        |ORDER BY cluster_size""".stripMargin,
     "q75_near_dup_clusters" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,

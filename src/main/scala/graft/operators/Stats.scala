@@ -157,6 +157,62 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** RFM segmentation: per entity, quintile scores for Recency (last
+    * activity instant), Frequency (order count), and Monetary (total
+    * spend on the exact centi-unit grid), each via `ntile(5)` over a
+    * TOTAL order (metric, entity key) so assignment is deterministic in
+    * any engine; returns per-(r,f,m)-cell counts and exact spend totals.
+    * Higher score = more recent / frequent / valuable.
+    *
+    * The ntile windows run over the already-reduced per-entity frame
+    * (one row per customer, not per order), so the unpartitioned sorts
+    * are entity-count-sized — at 100 TB of orders that frame is the
+    * small output of the first aggregation, and if even IT outgrows one
+    * partition the move is range-partitioned rank arithmetic, not a
+    * bigger window. */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+      amountCol: String): DataFrame = {
+    val per = orders.groupBy(col(custCol).as("__cust"))
+      .agg(max(expr(s"unix_micros($dateCol)")).as("__last_us"),
+        count(lit(1)).as("__n_orders"),
+        sum((col(amountCol).cast("decimal(18,2)") * 100).cast("long"))
+          .as("__spend_c"))
+    val scored = per
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("__last_us"), col("__cust"))))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("__n_orders"), col("__cust"))))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("__spend_c"), col("__cust"))))
+    scored.groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("__spend_c")).cast("double") / lit(100.0)).as("total_spend"))
+      .orderBy("r", "f", "m")
+  }
+
+  /** Gini concentration coefficient of a non-negative per-entity value
+    * within each group, from the closed form over the ascending sort:
+    * G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ), i = 1-based rank under the
+    * total (x, entity) order. Everything is exact long arithmetic on the
+    * centi-unit values until one final double division of two < 2⁵³
+    * integers — the engine's integer-exactness discipline. One group-key
+    * exchange carries the rank window and the aggregate. */
+  def giniByGroup(perEntity: DataFrame, groupCol: String, entityCol: String,
+      valueCentsCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(valueCentsCol), col(entityCol))
+    perEntity
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCentsCol)).as("__sx"),
+        sum(col("__i") * col(valueCentsCol)).as("__six"))
+      .select(col(groupCol), col("n"),
+        ((lit(2L) * col("__six") - (col("n") + 1) * col("__sx"))
+          .cast("double") /
+          (col("n") * col("__sx")).cast("double")).as("gini"))
+  }
+
   // ---- declared queries ----
 
   /** Independence of return flag × line status on lineitem. Strict hash
@@ -195,11 +251,57 @@ object Stats {
     cusum(Tables.events(spark, dir), "ts", "event_type", "value",
       "event_id", slack = 5.0, threshold = 40.0)
 
+  /** The q169 CUSUM answered by the STREAMING per-key state fold run on
+    * the batch frame (the q133 batch-twin move), against the same
+    * data-derived baseline means: greedy fold and prefix closed form
+    * provably agree through the DuckDB gate, since this query reuses
+    * q169's oracle verbatim. The baseline collect is key-cardinality
+    * rows (event types — model-sized, the documented driver-boundedness
+    * argument for every frozen-baseline monitor here). */
+  def q174CusumState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mu = ev
+      .withColumn("__vu",
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+      .groupBy("event_type")
+      .agg(expr("sum(__vu) div count(1)").as("__muu"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.streaming.StreamOps.streamingCusum(ev, "ts", "event_type", "value",
+        "event_id", mu, slackU = 5000000L, thresholdU = 40000000L)
+      .orderBy("event_type")
+  }
+
+  /** RFM quintiles over the orders fact. Strict hash gate: exact counts,
+    * centi-exact spend, ntile over total orders. */
+  def q175Rfm(spark: SparkSession, dir: String): DataFrame =
+    rfmSegments(Tables.orders(spark, dir), "o_custkey", "o_orderdate",
+      "o_totalprice")
+
+  /** Per-nation Gini of customer spend, INCLUDING zero-spend customers
+    * (a concentration measure over the whole customer base, not only
+    * buyers). Strict hash gate: exact integer sums, one double division. */
+  def q176Gini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("__spend_c"))
+    val per = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_custkey"),
+        coalesce(col("__spend_c"), lit(0L)).as("spend_c"))
+    giniByGroup(per, "c_nationkey", "c_custkey", "spend_c")
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_chi_square" -> (q166ChiSquare _),
     "q167_equidepth_hist" -> (q167EquidepthHist _),
     "q168_ab_test" -> (q168AbTest _),
-    "q169_cusum" -> (q169Cusum _))
+    "q169_cusum" -> (q169Cusum _),
+    "q174_cusum_state" -> (q174CusumState _),
+    "q175_rfm" -> (q175Rfm _),
+    "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
     // full r×c grid (zero cells included), same quantized term shape
@@ -275,7 +377,56 @@ object Stats {
         |FROM j""".stripMargin,
     // prefix closed form of the max(0, ·) fold, S⁺ = P − min(0, run-min P),
     // in exact integer micro-units; HUGEINT // = Spark's div (truncating)
-    "q169_cusum" ->
+    "q169_cusum" -> cusumSql,
+    // the state fold and the closed form must produce identical reports —
+    // same oracle as q169 by construction
+    "q174_cusum_state" -> cusumSql,
+    // same total (metric, custkey) ntile orders, centi-exact spend
+    "q175_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS cust,
+        |    MAX(epoch_us(o_orderdate)) AS last_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS spend_c
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (
+        |  SELECT ntile(5) OVER (ORDER BY last_us, cust) AS r,
+        |    ntile(5) OVER (ORDER BY n_orders, cust) AS f,
+        |    ntile(5) OVER (ORDER BY spend_c, cust) AS m,
+        |    spend_c
+        |  FROM per)
+        |SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(spend_c) AS DOUBLE) / 100.0 AS total_spend
+        |FROM scored GROUP BY r, f, m ORDER BY r, f, m""".stripMargin,
+    // same rank window and closed form on exact centi-longs
+    "q176_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS spend_c
+        |  FROM orders GROUP BY o_custkey),
+        |per AS (
+        |  SELECT c.c_nationkey, c.c_custkey,
+        |    COALESCE(s.spend_c, 0) AS spend_c
+        |  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |    ORDER BY spend_c, c_custkey) AS BIGINT) AS i
+        |  FROM per),
+        |agg AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(spend_c) AS BIGINT) AS sx,
+        |    CAST(SUM(i * spend_c) AS BIGINT) AS six
+        |  FROM ranked GROUP BY c_nationkey)
+        |SELECT c_nationkey, n,
+        |  CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)
+        |    AS gini
+        |FROM agg ORDER BY c_nationkey""".stripMargin)
+
+  // lazy: referenced by `oracles` above in object-initialization order
+  private lazy val cusumSql: String =
       """WITH e AS (
         |  SELECT event_type, event_id, epoch_us(ts) AS us,
         |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vu
@@ -304,5 +455,5 @@ object Stats {
         |    AS n_alarms,
         |  CAST(MAX(sp) AS DOUBLE) / 1000000.0 AS peak_cusum,
         |  MIN(CASE WHEN sp > 40000000 THEN us END) AS first_alarm_us
-        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -903,6 +903,92 @@ object StreamOps {
     }
   }
 
+  /** Streaming one-sided CUSUM monitor per key against a FROZEN baseline
+    * mean (exact integer micro-units — the
+    * [[graft.operators.Stats.cusum]] grid): per-key state is four longs
+    * (S⁺, alarm count, first-alarm instant, peak), so state is O(1) per
+    * key forever. Each micro-batch folds its rows in (event-time, tie)
+    * order through `S⁺ = max(0, S⁺ + (v − μ − slack))` and re-emits the
+    * key's updated report.
+    *
+    * Law (StreamingSpec): on per-key time-ordered arrival the final
+    * emission per key equals the batch [[graft.operators.Stats.cusum]]
+    * closed form computed with the same baseline means — the fold IS the
+    * recursion the closed form solves. The baseline map is
+    * key-cardinality-sized (the frozen-training-distribution discipline
+    * of [[streamingDriftMonitor]]); at 100 TB it is a broadcast of a few
+    * hundred monitored keys, never data-sized. */
+  def streamingCusum(events: DataFrame, tsCol: String, keyCol: String,
+      valCol: String, tieCol: String, baselineMuU: Map[String, Long],
+      slackU: Long, thresholdU: Long): DataFrame = {
+    require(thresholdU > 0, s"threshold must be positive: $thresholdU")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val unset = Long.MinValue
+    val out = events
+      .select(col(keyCol).cast("string").as("k"),
+        col(valCol).cast("double").as("v"),
+        expr(s"unix_micros($tsCol)").as("us"),
+        col(tieCol).cast("long").as("tie"))
+      .as[(String, Double, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long, Double, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val st = if (state.exists) state.get
+            else Array(0L, 0L, unset, 0L) // s, alarms, firstUs, peak
+          val mu = baselineMuU.getOrElse(key, 0L)
+          rows.toArray.sortBy(r => (r._3, r._4)).foreach { case (_, v, us, _) =>
+            st(0) = math.max(0L, st(0) + (microUnits(v) - mu - slackU))
+            if (st(0) > thresholdU) {
+              st(1) += 1
+              if (st(2) == unset) st(2) = us
+            }
+            if (st(0) > st(3)) st(3) = st(0)
+          }
+          state.update(st)
+          (key, st(1), st(3).toDouble / 1e6, st(2))
+      }
+    out.toDF(keyCol, "n_alarms", "peak_cusum", "first_alarm_us")
+      .withColumn("first_alarm_us",
+        when(col("first_alarm_us") === unset, lit(null).cast("long"))
+          .otherwise(col("first_alarm_us")))
+  }
+
+  /** Exactly Spark's `CAST(v AS DECIMAL(18,6)) * 10⁶ → long` snap onto
+    * the micro-unit grid (HALF_UP on the double's shortest decimal form,
+    * the JVM cast semantics) — shared by the streaming fold so it cannot
+    * drift from the batch operator's quantization. */
+  private[graft] def microUnits(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact
+
+  /** VACUUM a maintained store ([[maintenanceBatch]] layout): keep the
+    * newest `keepVersions` snapshot versions, delete every older
+    * `batch_id=` partition across the snapshot AND its maintained
+    * indexes (zonemap / bloomidx). Driver-side listing + recursive
+    * delete — O(versions) metadata ops, no Spark job, the lakehouse
+    * VACUUM shape. Returns the deleted version ids (ascending). Time
+    * travel ([[readLatestSnapshot]] `asOf`) older than the horizon is
+    * gone after this — that is the operation's contract. */
+  def vacuumVersions(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepVersions: Int): Seq[Long] = {
+    require(keepVersions >= 1, s"must keep at least 1 version: $keepVersions")
+    val snap = new org.apache.hadoop.fs.Path(s"$path/snap")
+    val fs = snap.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(snap)) return Nil
+    val ids = fs.listStatus(snap).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+    val drop = ids.dropRight(keepVersions)
+    for (root <- Seq("snap", "zonemap", "bloomidx"); v <- drop) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$root/batch_id=$v")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    drop.toIndexedSeq
+  }
+
   /** Stream → quantile store: one serialized KLL sketch per finalized
     * window. Same additive-merge discipline as [[topkStoreSink]]: append
     * mode + required watermark (exactly one write per window) + idempotent

@@ -231,4 +231,43 @@ class StatsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 0.5)))
     assert(out(3L) == ((1L, 1L, 1.0)))
   }
+
+  test("giniByGroup: uniform is 0, fully concentrated approaches 1") {
+    import spark.implicits._
+    val uniform = (1 to 10).map(i => ("g", i.toLong, 500L)).toDF("g", "e", "x")
+    val g0 = Stats.giniByGroup(uniform, "g", "e", "x").head().getAs[Double]("gini")
+    assert(g0 == 0.0)
+    // one entity holds everything: G = (n-1)/n
+    val conc = (1 to 10).map(i => ("g", i.toLong, if (i == 10) 1000L else 0L))
+      .toDF("g", "e", "x")
+    val g1 = Stats.giniByGroup(conc, "g", "e", "x").head().getAs[Double]("gini")
+    assert(g1 == 0.9)
+  }
+
+  test("rfmSegments: totals and extreme cells on a hand fixture") {
+    import spark.implicits._
+    // 10 customers, customer i places i orders of 100.00 each on day i
+    val orders = (1 to 10).flatMap(i => (1 to i).map(_ =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$i%02d 00:00:00"), 100.0)))
+      .toDF("cust", "d", "amt")
+    val out = Stats.rfmSegments(orders, "cust", "d", "amt").collect()
+    assert(out.map(_.getAs[Long]("n_customers")).sum == 10L)
+    assert(out.map(_.getAs[Double]("total_spend")).sum == 5500.0)
+    // customer 10 is most recent, most frequent, highest spend -> (5,5,5)
+    val top = out.filter(r => r.getAs[Int]("r") == 5 && r.getAs[Int]("f") == 5 &&
+      r.getAs[Int]("m") == 5)
+    assert(top.length == 1 && top.head.getAs[Long]("n_customers") == 2L)
+  }
+
+  test("benfordProfile: exact first digits from the centi-grid, shares sum to 1") {
+    import spark.implicits._
+    // 19.99 -> digit 1, 0.02 -> digit 2 (centi-int 2), 900.00 -> digit 9
+    val df = Seq(19.99, 0.02, 900.0, 1.0, 0.0).toDF("v") // 0 excluded
+    val out = graft.operators.Audit.benfordProfile(df, "v")
+      .collect().map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n")).toMap
+    assert(out == Map(1 -> 2L, 2 -> 1L, 9 -> 1L))
+    val shares = graft.operators.Audit.benfordProfile(df, "v")
+      .collect().map(_.getAs[Double]("obs_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-12)
+  }
 }

@@ -860,4 +860,87 @@ class StreamingSpec extends AnyFunSuite {
       assert(vals == Seq((1L, "a"), (2L, "c")), s"got $vals")
     } finally q.stop()
   }
+
+  test("streaming CUSUM equals the batch closed form on an ordered two-batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val evDf = graft.sources.Tables.events(spark, sf)
+    // frozen baseline = the batch frame's own per-key means on the same
+    // micro-unit grid the batch operator uses
+    val mu = evDf
+      .withColumn("__vu",
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+      .groupBy("event_type")
+      .agg(expr("sum(__vu) div count(1)").as("muu"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = evDf.select(col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("event_id"))
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    val split = ev.length / 2
+    val mem = MemoryStream[(Timestamp, Long, String, Double, Long)]
+    val run = StreamOps.streamingCusum(
+      mem.toDF().toDF("ts", "user_id", "event_type", "value", "event_id"),
+      "ts", "event_type", "value", "event_id", mu,
+      slackU = 5000000L, thresholdU = 40000000L)
+    val q = run.writeStream.outputMode("update")
+      .format("memory").queryName("scusum").start()
+    try {
+      mem.addData(ev.take(split).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(ev.drop(split).toIndexedSeq)
+      q.processAllAvailable()
+      // the LAST update per key is the final fold state: alarms and peak
+      // grow monotonically, so max() selects the final emission
+      val streamed = spark.sql(
+        """SELECT event_type, MAX(n_alarms) AS n_alarms,
+          |  MAX(peak_cusum) AS peak_cusum, MIN(first_alarm_us) AS f
+          |FROM scusum GROUP BY event_type""".stripMargin)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      val batch = graft.operators.Stats.cusum(evDf, "ts", "event_type",
+          "value", "event_id", slack = 5.0, threshold = 40.0)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
+  test("vacuumVersions keeps the newest versions and the latest read still works") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price")
+    def chg(rows: Seq[(Long, Double, String, Long)]) =
+      rows.toDF("k", "price", "op", "seq")
+    StreamOps.maintenanceBatch(chg(Seq((3L, 30.0, "I", 1L))), base,
+      Seq("k"), Seq("k"), 8, path, 1L << 20, "op", "seq", 0L,
+      zmapCol = Some("k"))
+    StreamOps.maintenanceBatch(chg(Seq((1L, 11.0, "U", 2L))), base,
+      Seq("k"), Seq("k"), 8, path, 1L << 20, "op", "seq", 1L,
+      zmapCol = Some("k"))
+    StreamOps.maintenanceBatch(chg(Seq((2L, 20.0, "D", 3L))), base,
+      Seq("k"), Seq("k"), 8, path, 1L << 20, "op", "seq", 2L,
+      zmapCol = Some("k"))
+    val dropped = StreamOps.vacuumVersions(spark, path, keepVersions = 1)
+    assert(dropped == Seq(0L, 1L))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/snap"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSeq
+    assert(left == Seq("batch_id=2"))
+    // the maintained zonemap was vacuumed in lockstep
+    val zleft = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/zonemap"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).toSeq
+    assert(zleft == Seq("batch_id=2"))
+    val latest = StreamOps.readLatestSnapshot(spark, path)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(latest.toSeq == Seq((1L, 11.0), (3L, 30.0)))
+    // time travel below the horizon is gone — the documented contract
+    intercept[Exception] {
+      StreamOps.readLatestSnapshot(spark, path, asOf = Some(0L)).collect()
+    }
+  }
 }
