@@ -326,6 +326,35 @@ object Behavior {
       .orderBy(typeCol)
   }
 
+  /** Longest same-type streak per key: the maximal run of consecutive
+    * events (in (time, tie) order) sharing one `typeCol` value, with the
+    * run's type and start instant — the MATCH_RECOGNIZE-style
+    * consecutive-pattern primitive, done as gaps-and-islands (change
+    * flag → running island id → per-island reduce → per-key arg-max).
+    * One key-hash exchange carries both windows and both reductions; the
+    * arg-max is a `min(struct(-len, start, type))`, so ties break to the
+    * EARLIEST streak deterministically in any engine. */
+  def longestStreaks(events: DataFrame, tsCol: String, keyCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val ord = Window.partitionBy(keyCol).orderBy(col("__us"), col(tieCol))
+    val islands = events
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__new",
+        when(lag(col(typeCol), 1).over(ord).isNull ||
+          lag(col(typeCol), 1).over(ord) =!= col(typeCol), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col(keyCol), col("__isl"))
+      .agg(count(lit(1)).as("len"), min(col("__us")).as("start_us"),
+        first(col(typeCol)).as("__t"))
+      .groupBy(keyCol)
+      .agg(min(struct((-col("len")).as("nl"), col("start_us").as("s"),
+        col("__t").as("t"))).as("best"))
+      .select(col(keyCol), (-col("best.nl")).as("streak_len"),
+        col("best.t").as("event_type"), col("best.s").as("start_us"))
+      .orderBy(keyCol)
+  }
+
   // ---- declared queries ----
 
   /** view → click → purchase within 24 h per hop, over the events table.
@@ -423,7 +452,14 @@ object Behavior {
     timeInState(Tables.events(spark, dir), "ts", "user_id", "event_type",
       "event_id")
 
+  /** Longest same-event-type streak per user. Strict hash gate: exact
+    * counts and instants, deterministic earliest-streak tie-break. */
+  def q180LongestStreak(spark: SparkSession, dir: String): DataFrame =
+    longestStreaks(Tables.events(spark, dir), "ts", "user_id", "event_type",
+      "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_longest_streak" -> (q180LongestStreak _),
     "q164_twap" -> (q164Twap _),
     "q165_time_in_state" -> (q165TimeInState _),
     "q121_funnel_steps" -> (q121FunnelSteps _),
@@ -483,6 +519,29 @@ object Behavior {
         |ORDER BY step""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same change-flag islands, per-island reduce, (len desc, start) argmin
+    "q180_longest_streak" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
+        |      OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |    AS new_i
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |isl AS (
+        |  SELECT *, SUM(new_i) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS i
+        |  FROM flagged),
+        |runs AS (
+        |  SELECT user_id, i, CAST(COUNT(*) AS BIGINT) AS len,
+        |    MIN(us) AS start_us, MIN(event_type) AS event_type
+        |  FROM isl GROUP BY user_id, i)
+        |SELECT user_id, len AS streak_len, event_type, start_us
+        |FROM runs
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |  ORDER BY len DESC, start_us) = 1
+        |ORDER BY user_id""".stripMargin,
     // lead() per user, last event excluded; exact centi-unit · µs integer
     // accumulation, one truncating // onto the 10⁻⁶ grid (≡ Spark div)
     "q164_twap" ->

@@ -508,6 +508,62 @@ object Dedup {
       .orderBy("cluster_rep")
   }
 
+  /** Asymmetric containment duplicate pairs: pairs where the SMALLER
+    * document's distinct k-shingle set is ≥ `tau` contained in the
+    * larger's — the quotation/subset class symmetric Jaccard misses (a
+    * tweet quoted inside an article has near-zero Jaccard but full
+    * containment; Broder's resemblance-vs-containment distinction).
+    * Returns `(id_a, id_b, n_common, size_a, size_b, containment)` with
+    * containment = |A∩B| / min(|A|,|B|).
+    *
+    * Same scale machinery as [[substringDupPairs]]: shingles leave rows
+    * as two 64-bit hash lanes, the pair space is generated inside
+    * df-bounded shingle buckets (shingles in > `maxDf` docs are EXCLUDED
+    * with an observed drop metric — boilerplate counts toward neither
+    * numerator nor denominator, which is the principled containment for
+    * curation), sizes measured post-cap so both engines score the same
+    * universe. */
+  def containmentDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, tau: Double = 0.6, maxDf: Int = 256): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    val wins = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.wordShingles(col(textCol), k)))
+        .as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h1"),
+        xxhash64(lit(1), col("w")).as("h2"))
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy("h1", "h2")
+    val kept = wins.withColumn("__df", count(lit(1)).over(dfw))
+      .observe("containment_df_cutoff",
+        coalesce(sum(when(col("__df") > maxDf, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_rows"),
+        coalesce(max(col("__df")).cast("long"), lit(0L)).as("max_window_df"))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+      .localCheckpoint(true) // feeds both the size agg and the pair join
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val pairs = kept.groupBy("h1", "h2")
+      .agg(sort_array(collect_list(col("id"))).as("__ids"))
+      .select(explode(flatten(transform(col("__ids"), (a, i) =>
+        transform(slice(col("__ids"), i + lit(2), lit(maxDf)), b =>
+          struct(a.as("id_a"), b.as("id_b")))))).as("__p"))
+      .groupBy(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")), "id_b")
+      .withColumn("containment", col("n_common").cast("double") /
+        least(col("size_a"), col("size_b")).cast("double"))
+      .filter(col("containment") >= lit(tau))
+      .select("id_a", "id_b", "n_common", "size_a", "size_b", "containment")
+  }
+
+  /** Containment ≥ 0.6 duplicate pairs over the documents corpus. Strict
+    * hash gate: exact post-cap intersection counts and sizes, one
+    * exact-long double division each. */
+  def q179ContainmentDups(spark: SparkSession, dir: String): DataFrame =
+    containmentDupPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
   /** Duplicate-cluster size distribution — the corpus-level dedup report:
     * near-dup clusters ([[q75NearDupClusters]]'s components) histogrammed
     * by size, with singletons (docs in NO near-dup pair) reported as the
@@ -917,6 +973,7 @@ object Dedup {
     "q143_set_similarity_join" -> (q143SetSimilarityJoin _),
     "q75_near_dup_clusters" -> (q75NearDupClusters _),
     "q178_dup_cluster_histogram" -> (q178DupClusterHistogram _),
+    "q179_containment_dups" -> (q179ContainmentDups _),
     "q76_curation_v2" -> (q76CurationV2 _))
 
   val oracles: Map[String, String] = Map(
@@ -1232,6 +1289,34 @@ object Dedup {
     // the same exact pair set as the q45 oracle, then a RECURSIVE
     // transitive closure: comp(n) = min over n's reachability set — the
     // fixed point hash-min label propagation converges to
+    "q179_containment_dups" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct([array_to_string(ts[i:i+2], ' ')
+        |                             FOR i IN range(1, len(ts) - 1)])
+        |    END AS ws
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '"""+"\\"+"""s+'), x -> x <> '') AS ts
+        |        FROM documents)),
+        |wn AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |dfc AS (SELECT w, COUNT(*) AS df FROM wn GROUP BY w),
+        |keep AS (SELECT wn.doc_id, wn.w FROM wn JOIN dfc USING (w)
+        |         WHERE dfc.df <= 256),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        |       FROM keep GROUP BY doc_id),
+        |pc AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM keep x JOIN keep y ON x.w = y.w AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_common, sa.sz AS size_a, sb.sz AS size_b,
+        |  CAST(n_common AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE)
+        |    AS containment
+        |FROM pc JOIN sz sa ON sa.doc_id = pc.id_a
+        |  JOIN sz sb ON sb.doc_id = pc.id_b
+        |WHERE CAST(n_common AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE)
+        |  >= 0.6
+        |ORDER BY id_a, id_b""").stripMargin,
     "q178_dup_cluster_histogram" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,

@@ -270,4 +270,40 @@ class StatsSpec extends AnyFunSuite {
       .collect().map(_.getAs[Double]("obs_share"))
     assert(math.abs(shares.sum - 1.0) < 1e-12)
   }
+
+  test("containmentDupPairs: full subset containment found, disjoint pair absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),              // trigrams: abc bcd cde def
+      (2L, "a b c d e f g h i j"),      // superset of doc 1's trigrams
+      (3L, "x y z w v u")               // disjoint
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.containmentDupPairs(docs, "doc_id", "text",
+      k = 3, tau = 0.6, maxDf = 256).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0) // doc 1 fully inside doc 2
+  }
+
+  test("longestStreaks: runs cut on type change, earliest wins ties") {
+    import spark.implicits._
+    // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
+    // user 2: C C | D D    -> tie of 2; earliest (C at t=0) wins
+    val rows = Seq(
+      (1L, 0L, "A"), (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "B"),
+      (1L, 4L, "B"), (1L, 5L, "A"),
+      (2L, 0L, "C"), (2L, 1L, "C"), (2L, 2L, "D"), (2L, 3L, "D")
+    ).zipWithIndex.map { case ((u, sec, t), i) =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)),
+        u, t, i.toLong)
+    }
+    val out = Behavior.longestStreaks(rows.toDF("ts", "u", "et", "id"),
+      "ts", "u", "et", "id")
+      .collect().map(r => r.getAs[Long]("u") ->
+        (r.getAs[Long]("streak_len"), r.getAs[String]("event_type"),
+          r.getAs[Long]("start_us"))).toMap
+    assert(out(1L) == ((3L, "B", 2000000L)))
+    assert(out(2L) == ((2L, "C", 0L)))
+  }
 }
