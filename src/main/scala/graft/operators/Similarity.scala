@@ -753,7 +753,48 @@ object Similarity {
       .orderBy(desc("rrf"), col("id")).limit(topK)
   }
 
+  /** k-NN majority-vote label prediction for a bounded probe set: each
+    * probe's label is the mode of its `k` nearest (cosine) neighbors'
+    * labels, ties broken (votes desc, label asc) — deterministic in any
+    * engine. The vote count rides along as prediction confidence.
+    *
+    * Probe-bounded like [[graft.operators.TextAnalysis.tfidfNearestDoc]]:
+    * the probe frame broadcasts and the pair space is |probes| · N with
+    * NO corpus-side self-join — the labeling-by-neighbors shape
+    * (semi-supervised label propagation's first hop) at the cost of one
+    * corpus scan per probe batch. Ranking (not raw scores) is the
+    * output, the q50 determinism contract: ranks agree across engines
+    * wherever no two similarities collide within an ulp. */
+  def knnClassify(emb: DataFrame, idCol: String, embCol: String,
+      labelCol: String, probeBound: Long, k: Int): DataFrame = {
+    require(probeBound > 0 && k >= 1, s"bad knn params: $probeBound/$k")
+    val probes = emb.filter(col(idCol) < probeBound)
+      .select(col(idCol).as("pid"), col(embCol).as("qv"))
+    val scored = emb.select(col(idCol).as("id"), col(embCol).as("v"),
+        col(labelCol).as("lbl"))
+      .join(broadcast(probes))
+      .filter(col("id") =!= col("pid"))
+      .withColumn("sim", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy("pid").orderBy(desc("sim"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("pid"), col("lbl"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("pid")
+      .agg(min(struct((-col("votes")).as("nv"), col("lbl").as("l"))).as("best"))
+      .select(col("pid").as(idCol), col("best.l").as("predicted_label"),
+        (-col("best.nv")).as("votes"))
+      .orderBy(idCol)
+  }
+
   // ---- declared queries ----
+
+  /** 10-NN majority-vote labels for the first 25 vectors (self excluded).
+    * Strict hash gate: the oracle recomputes ranks, votes, and the
+    * (votes desc, label) arg-max from first principles. */
+  def q181KnnClassify(spark: SparkSession, dir: String): DataFrame =
+    knnClassify(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      "label", probeBound = 25L, k = 10)
 
   /** Brute-force cosine top-10 for the vec_id=0 query vector. */
   def q50KnnBrute(spark: SparkSession, dir: String): DataFrame =
@@ -993,6 +1034,7 @@ object Similarity {
     "q107_hybrid_rrf" -> (q107HybridRrf _),
     "q98_ann_ivfpq" -> (q98AnnIvfPq _),
     "q50_knn_brute" -> (q50KnnBrute _),
+    "q181_knn_classify" -> (q181KnnClassify _),
     "q51_ann_lsh" -> (q51AnnLsh _),
     "q52_embedding_near_dup" -> (q52EmbeddingNearDup _),
     "q53_ann_ivf" -> (q53AnnIvf _),
@@ -1028,6 +1070,29 @@ object Similarity {
         |  FROM contrib GROUP BY id),
         |top AS (SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10)
         |SELECT id AS doc_id, rrf FROM top ORDER BY doc_id""".stripMargin,
+    "q181_knn_classify" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 25),
+        |scored AS (
+        |  SELECT p.pid, e.vec_id AS id, e.label AS lbl,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.qv)
+        |      AS sim
+        |  FROM embeddings e CROSS JOIN probes p WHERE e.vec_id <> p.pid),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+        |      ORDER BY sim DESC, id) AS rank
+        |    FROM scored) t
+        |  WHERE rank <= 10),
+        |votes AS (
+        |  SELECT pid, lbl, CAST(COUNT(*) AS BIGINT) AS votes
+        |  FROM top GROUP BY 1, 2)
+        |SELECT pid AS vec_id, lbl AS predicted_label, votes
+        |FROM votes
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY pid
+        |  ORDER BY votes DESC, lbl) = 1
+        |ORDER BY vec_id""".stripMargin,
     "q50_knn_brute" ->
       """SELECT vec_id, rank FROM (
         |  SELECT e.vec_id,
