@@ -20,5 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.sqlFunctions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    // the engine's custom physical operators (whole-operator tier):
+    // plans AsOfJoinNode -> AsOfJoinExec; a no-op on every other plan
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

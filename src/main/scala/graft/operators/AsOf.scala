@@ -52,6 +52,38 @@ object AsOf {
         payload.map(p => col("__pay").getField(p).as(p)): _*)
   }
 
+  /** The as-of join through the engine's CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsOfJoinExec]]) instead of the union + carry-forward
+    * window composition: each side hash-clusters on its own key and sorts
+    * (key, time) — the SortMergeJoin requirement contract — then one
+    * O(n+m) per-partition merge with a single buffered right row attaches
+    * the latest `rightTime <= leftTime` payload. Returns ALL left columns
+    * plus ALL right columns (nullable); column names must not collide.
+    * Right side should be unique per (key, time) for total determinism
+    * (same contract as [[asofJoin]]).
+    *
+    * Registers [[graft.plans.AsOfJoinStrategy]] with the session's
+    * experimental strategies on first use (idempotent);
+    * [[graft.GraftExtensions]] injects it cluster-wide. */
+  def asofJoinExec(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val collisions = left.columns.toSet.intersect(right.columns.toSet)
+    require(collisions.isEmpty, s"colliding column names: $collisions")
+    val spark = left.sparkSession
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ graft.plans.AsOfJoinStrategy
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n in ${p.output}"))
+    org.apache.spark.sql.graft.GraftBridge.ofRows(spark,
+      graft.plans.AsOfJoinNode(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTime), attr(rp, rightTime)))
+  }
+
   /** Time-series RESAMPLE with last-observation-carried-forward: emit one
     * row per key per `stepSeconds` grid instant, carrying the value of the
     * latest observation at or before that instant. The grid is per-key,
@@ -135,18 +167,39 @@ object AsOf {
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
       .orderBy("user_id", "ts_us")
 
+  /** The q23 as-of join answered by the CUSTOM PHYSICAL OPERATOR — same
+    * oracle (DuckDB's native ASOF LEFT JOIN), so the exec's merge
+    * semantics are gated against an independent native implementation,
+    * and provably agree with the window composition (both hash-match the
+    * same oracle). */
+  def q182AsofExec(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id")
+    val orders = Tables.orders(spark, dir)
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+    asofJoinExec(events, orders, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select("event_id", "o_orderkey")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_asof_join" -> (q23AsofJoin _),
+    "q182_asof_exec" -> (q182AsofExec _),
     "q100_resample_locf" -> (q100ResampleLocf _))
 
-  val oracles: Map[String, String] = Map(
-    "q23_asof_join" ->
+  private val asofSql: String =
       """SELECT e.event_id, o.o_orderkey
         |FROM events e ASOF LEFT JOIN
         |  (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
         |   FROM orders GROUP BY o_custkey, o_orderdate) o
         |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin,
+        |ORDER BY e.event_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q23_asof_join" -> asofSql,
+    // the custom exec must reproduce the native ASOF JOIN bit-for-bit
+    "q182_asof_exec" -> asofSql,
     "q100_resample_locf" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),

@@ -14,4 +14,13 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def isAtomic(dt: DataType): Boolean = dt.isInstanceOf[AtomicType]
+
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
+    * private[sql]) — the entry point for the engine's custom logical
+    * nodes (e.g. [[graft.plans.AsOfJoinNode]]). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
