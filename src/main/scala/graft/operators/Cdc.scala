@@ -329,7 +329,33 @@ object Cdc {
       .orderBy("o_orderkey")
   }
 
+  /** Point-in-time lookup ("what did the dimension say THEN") over the
+    * [[scd2]] history: each customer's tracked attribute as of the
+    * corpus-midpoint instant — one interval-containment filter on the
+    * version table, the query every SCD2 consumer runs. The pivot instant
+    * is derived from the data ((min+max) div 2 in exact epoch micros), so
+    * the query is self-contained at any SF; customers whose history
+    * starts after the pivot are correctly absent. One key-hash exchange
+    * (the history build) + a broadcast 1-row pivot. */
+  def q183PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    val hist = scd2(o, Seq("o_custkey"), "o_orderpriority", "o_orderdate",
+      "o_orderkey")
+    val mid = o.agg((min(unix_micros(col("o_orderdate"))) +
+        max(unix_micros(col("o_orderdate")))).as("__s"))
+      .select(expr("__s div 2").as("as_of_us"))
+    hist.join(broadcast(mid))
+      .filter(unix_micros(col("valid_from")) <= col("as_of_us") &&
+        (col("valid_to").isNull ||
+          unix_micros(col("valid_to")) > col("as_of_us")))
+      .select(col("o_custkey"), col("o_orderpriority"),
+        col("version").cast("long").as("version"), col("as_of_us"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_point_in_time" -> (q183PointInTime _),
     "q109_merge_upsert" -> (q109MergeUpsert _),
     "q135_ivm_agg" -> (q135IvmAgg _),
     "q136_snapshot_diff" -> (q136SnapshotDiff _),
@@ -458,6 +484,42 @@ object Cdc {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
         |FROM m2 WHERE o_custkey >= 200 AND o_custkey < 400
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    // the q110 history CTEs + the corpus-midpoint pivot + interval filter
+    "q183_point_in_time" ->
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+        |           OR LAG(o_orderpriority) OVER w <> o_orderpriority
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |islands AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flagged),
+        |versions AS (
+        |  SELECT o_custkey, island AS version,
+        |    MIN(o_orderpriority) AS o_orderpriority,
+        |    MIN(o_orderdate) AS valid_from
+        |  FROM islands GROUP BY o_custkey, island),
+        |hist AS (
+        |  SELECT o_custkey, o_orderpriority, valid_from,
+        |    LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+        |      AS valid_to,
+        |    CAST(version AS BIGINT) AS version
+        |  FROM versions),
+        |mid AS (
+        |  SELECT CAST((CAST(MIN(epoch_us(o_orderdate)) AS BIGINT)
+        |    + CAST(MAX(epoch_us(o_orderdate)) AS BIGINT)) // 2 AS BIGINT)
+        |    AS as_of_us
+        |  FROM orders)
+        |SELECT o_custkey, o_orderpriority, version, as_of_us
+        |FROM hist CROSS JOIN mid
+        |WHERE epoch_us(valid_from) <= as_of_us
+        |  AND (valid_to IS NULL OR epoch_us(valid_to) > as_of_us)
+        |ORDER BY o_custkey""".stripMargin,
     "q110_scd2" ->
       """WITH flagged AS (
         |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
