@@ -237,7 +237,52 @@ object Sampling {
     mixtureWeights(Tables.documents(spark, dir), Seq("source", "lang"),
       "text", budgetTokens = 10000000L)
 
+  /** Approximate query processing (AQP): per-group COUNT/SUM estimated by
+    * Horvitz–Thompson scale-up (x/p) of the deterministic `fraction`
+    * hash-sample, reported next to the exact aggregates with relative
+    * errors — the "answer the dashboard from 10% of the scan" primitive,
+    * with its accuracy report attached.
+    *
+    * This REPORT query computes both sides in one conditional-aggregate
+    * scan (the gate needs the exact twin); a production AQP call runs
+    * only the sampled branch, where the hash predicate is a projection
+    * pushed to the scan — a 1/p cost reduction with zero extra shuffle.
+    * Money values ride the exact centi-unit grid; the only doubles are
+    * the final scale-up divisions and error ratios, expression-shape
+    * pinned. */
+  def sampleAggregateEstimate(df: DataFrame, keyCol: Column, groupCol: String,
+      valueCol: String, fraction: Double, seed: Long = 42L): DataFrame = {
+    require(fraction > 0.0 && fraction < 1.0,
+      s"fraction must be in (0,1): $fraction")
+    val in = uniformFromKey(keyCol, seed) < lit(fraction)
+    val v100 = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    df.withColumn("__in", in).withColumn("__v100", v100)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_exact"),
+        sum(col("__v100")).as("__sx"),
+        sum(when(col("__in"), 1L).otherwise(0L)).as("n_sample"),
+        sum(when(col("__in"), col("__v100")).otherwise(0L)).as("__ss"))
+      .select(col(groupCol), col("n_exact"), col("n_sample"),
+        (col("n_sample").cast("double") / lit(fraction)).as("n_est"),
+        (col("__sx").cast("double") / lit(100.0)).as("sum_exact"),
+        (col("__ss").cast("double") / lit(100.0) / lit(fraction))
+          .as("sum_est"))
+      .withColumn("rel_err_sum",
+        abs(col("sum_est") - col("sum_exact")) / col("sum_exact"))
+      .orderBy(groupCol)
+  }
+
+  /** Revenue per return flag estimated from the deterministic 10% sample,
+    * with exact twins and relative errors. Strict hash gate: the oracle
+    * recomputes the md5 sample membership and every division from first
+    * principles. */
+  def q184SampleEstimate(spark: SparkSession, dir: String): DataFrame =
+    sampleAggregateEstimate(Tables.lineitem(spark, dir),
+      concat(col("l_orderkey"), lit("_"), col("l_linenumber")),
+      "l_returnflag", "l_extendedprice", fraction = 0.1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_sample_estimate" -> (q184SampleEstimate _),
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_split_by_key" -> (q71SplitByKey _),
     "q79_weighted_sample" -> (q79WeightedSample _),
@@ -258,6 +303,39 @@ object Sampling {
        |  FROM h)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // md5 membership from first principles, centi-exact sums, the same
+    // scale-up division chain
+    "q184_sample_estimate" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v100,
+        |    substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR
+        |      || ':42'), 1, 16) AS s
+        |  FROM lineitem),
+        |d AS (
+        |  SELECT l_returnflag, v100,
+        |    ((list_sum([ (strpos('0123456789abcdef', s[i]) - 1)::HUGEINT
+        |                 * (1::HUGEINT << (4*(16-i)))
+        |                 FOR i IN range(1, 17) ]) >> 11))::DOUBLE
+        |      / 9007199254740992.0 AS u
+        |  FROM h),
+        |a AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |    CAST(SUM(v100) AS BIGINT) AS sx,
+        |    CAST(SUM(CASE WHEN u < 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sample,
+        |    CAST(SUM(CASE WHEN u < 0.1 THEN v100 ELSE 0 END) AS BIGINT)
+        |      AS ss
+        |  FROM d GROUP BY 1)
+        |SELECT l_returnflag, n_exact, n_sample,
+        |  CAST(n_sample AS DOUBLE) / 0.1 AS n_est,
+        |  CAST(sx AS DOUBLE) / 100.0 AS sum_exact,
+        |  CAST(ss AS DOUBLE) / 100.0 / 0.1 AS sum_est,
+        |  ABS(CAST(ss AS DOUBLE) / 100.0 / 0.1 - CAST(sx AS DOUBLE) / 100.0)
+        |    / (CAST(sx AS DOUBLE) / 100.0) AS rel_err_sum
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "q70_stratified_sample" ->
       s"""${uniformCte(42L)}
          |SELECT doc_id, lang FROM d
