@@ -364,6 +364,43 @@ object Behavior {
     funnelCounts(Tables.events(spark, dir), "ts", "user_id", "event_type",
       Seq("view", "click", "purchase"), horizonSeconds = 24 * 3600L)
 
+  /** Cohort LTV curves: users grouped by first-seen bucket (the q122
+    * cohort rule), their monetary value accumulated per age offset and
+    * CUMULATIVELY along each cohort's life — "how much has the March
+    * cohort been worth by week 4", the revenue twin of retention. Money
+    * rides the exact centi-unit grid end-to-end; the cumulative window
+    * runs over the already-reduced (cohort, offset) frame; per-user LTV
+    * is cum/size, one exact-long double division. One user-key window
+    * pass + one small reduction. */
+  def cohortLtv(events: DataFrame, tsCol: String, userCol: String,
+      valueCol: String, bucketSeconds: Long, maxOffset: Int): DataFrame = {
+    require(bucketSeconds > 0 && maxOffset >= 0, "bad ltv grid")
+    val bucketUs = bucketSeconds * 1000000L
+    val per = events
+      .select(col(userCol),
+        expr(s"unix_micros($tsCol) div $bucketUs").as("b"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("__v100"))
+      .withColumn("cohort", min(col("b")).over(Window.partitionBy(userCol)))
+      .select(col(userCol), col("cohort"), (col("b") - col("cohort")).as("offs"),
+        col("__v100"))
+      .filter(col("offs") <= maxOffset)
+    val sizes = per.groupBy("cohort")
+      .agg(countDistinct(col(userCol)).as("cohort_users"))
+    val curve = per.groupBy("cohort", "offs")
+      .agg(sum(col("__v100")).as("__rev_c"))
+      .withColumn("__cum_c", sum(col("__rev_c")).over(
+        Window.partitionBy("cohort").orderBy("offs")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    curve.join(sizes, "cohort")
+      .select((col("cohort") * bucketSeconds).as("cohort_epoch"), col("offs"),
+        (col("__rev_c").cast("double") / lit(100.0)).as("revenue"),
+        (col("__cum_c").cast("double") / lit(100.0)).as("cum_revenue"),
+        col("cohort_users"),
+        (col("__cum_c").cast("double") / lit(100.0) /
+          col("cohort_users").cast("double")).as("ltv_per_user"))
+      .orderBy("cohort_epoch", "offs")
+  }
+
   /** Daily cohorts, activity offsets 0–7 days. Strict hash gate; the
     * rate is an exact integer-ratio double, bit-identical in any engine. */
   def q122RetentionCohorts(spark: SparkSession, dir: String): DataFrame =
@@ -458,7 +495,15 @@ object Behavior {
     longestStreaks(Tables.events(spark, dir), "ts", "user_id", "event_type",
       "event_id")
 
+  /** Daily-cohort LTV curve to offset 7 over event values. Strict hash
+    * gate: centi-exact revenue, exact cumulative window, pinned division
+    * shapes. */
+  def q185CohortLtv(spark: SparkSession, dir: String): DataFrame =
+    cohortLtv(Tables.events(spark, dir), "ts", "user_id", "value",
+      bucketSeconds = 86400L, maxOffset = 7)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_cohort_ltv" -> (q185CohortLtv _),
     "q180_longest_streak" -> (q180LongestStreak _),
     "q164_twap" -> (q164Twap _),
     "q165_time_in_state" -> (q165TimeInState _),
@@ -519,6 +564,38 @@ object Behavior {
         |ORDER BY step""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q122's cohort rule + centi-exact revenue + cumulative window
+    "q185_cohort_ltv" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS b,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, b, v100,
+        |    MIN(b) OVER (PARTITION BY user_id) AS cohort FROM b),
+        |per AS (
+        |  SELECT user_id, cohort, b - cohort AS offs, v100
+        |  FROM c WHERE b - cohort <= 7),
+        |sizes AS (
+        |  SELECT cohort, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS cohort_users
+        |  FROM per GROUP BY cohort),
+        |curve AS (
+        |  SELECT cohort, offs, CAST(SUM(v100) AS BIGINT) AS rev_c
+        |  FROM per GROUP BY cohort, offs),
+        |cum AS (
+        |  SELECT *, CAST(SUM(rev_c) OVER (PARTITION BY cohort ORDER BY offs
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        |  FROM curve)
+        |SELECT cohort * 86400 AS cohort_epoch, offs,
+        |  CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(cum_c AS DOUBLE) / 100.0 AS cum_revenue,
+        |  cohort_users,
+        |  CAST(cum_c AS DOUBLE) / 100.0 / CAST(cohort_users AS DOUBLE)
+        |    AS ltv_per_user
+        |FROM cum JOIN sizes USING (cohort)
+        |ORDER BY cohort_epoch, offs""".stripMargin,
     // same change-flag islands, per-island reduce, (len desc, start) argmin
     "q180_longest_streak" ->
       """WITH e AS (

@@ -213,6 +213,76 @@ object Stats {
           (col("n") * col("__sx")).cast("double")).as("gini"))
   }
 
+  /** ABC (Pareto) classification: items ranked by revenue descending,
+    * classified by cumulative revenue share — A carries the first `cutA`
+    * of revenue, B up to `cutB`, C the tail (the 80/15/5 inventory rule).
+    * Returns per-class item counts, revenue, and share. Revenue on the
+    * exact centi grid; the rank/cumulative windows run over the
+    * already-reduced per-item frame (same posture note as
+    * [[rfmSegments]]); shares are single divisions of exact longs. */
+  def abcClassification(df: DataFrame, itemCol: String, valueCol: String,
+      cutA: Double = 0.8, cutB: Double = 0.95): DataFrame = {
+    require(cutA > 0 && cutA < cutB && cutB < 1, s"bad cuts: $cutA/$cutB")
+    val per = df.groupBy(col(itemCol).as("__item"))
+      .agg(sum((col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+        .as("__rev_c"))
+    val ord = Window.orderBy(desc("__rev_c"), col("__item"))
+    val all = Window.partitionBy()
+    per
+      .withColumn("__cum_c", sum(col("__rev_c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot_c", sum(col("__rev_c")).over(all))
+      .withColumn("__share",
+        col("__cum_c").cast("double") / col("__tot_c").cast("double"))
+      .withColumn("abc_class",
+        when(col("__share") <= cutA, "A")
+          .when(col("__share") <= cutB, "B").otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("__rev_c")).cast("double") / lit(100.0)).as("revenue"))
+      .withColumn("share_of_total", col("revenue") /
+        sum(col("revenue")).over(all))
+      .orderBy("abc_class")
+  }
+
+  /** Moving-average crossover detection over a counted time series: daily
+    * volumes, `shortN`- vs `longN`-bucket trailing means, and the buckets
+    * where the short mean crosses the long one ("golden"/"death" cross).
+    * The comparison is the exact integer cross-multiplication
+    * `Σshort·n_long > Σlong·n_short` — never a double compare, so a
+    * crossing can't ulp-flip between engines; the reported means are
+    * exact-ratio doubles. Trailing frames are ROWS-based over OBSERVED
+    * buckets (empty buckets don't emit rows — the observed-series MA).
+    * The series frame is the day-count reduction of the fact table, so
+    * the global-order windows are calendar-sized, never data-sized. */
+  def maCrossovers(events: DataFrame, tsCol: String, bucketSeconds: Long,
+      shortN: Int, longN: Int): DataFrame = {
+    require(0 < shortN && shortN < longN, s"need 0 < short < long: $shortN/$longN")
+    val bucketUs = bucketSeconds * 1000000L
+    val daily = events
+      .select(expr(s"unix_micros($tsCol) div $bucketUs").as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__n"))
+    val ord = Window.orderBy("__b")
+    val wS = ord.rowsBetween(-(shortN - 1), 0)
+    val wL = ord.rowsBetween(-(longN - 1), 0)
+    val above = col("__ss") * col("__cl") > col("__sl") * col("__cs")
+    daily
+      .withColumn("__ss", sum(col("__n")).over(wS))
+      .withColumn("__cs", count(lit(1)).over(wS))
+      .withColumn("__sl", sum(col("__n")).over(wL))
+      .withColumn("__cl", count(lit(1)).over(wL))
+      .withColumn("__above", above)
+      .withColumn("__prev", lag(col("__above"), 1).over(ord))
+      .filter(col("__prev").isNotNull && col("__prev") =!= col("__above"))
+      .select((col("__b") * bucketSeconds).as("bucket_epoch"),
+        when(col("__above"), "golden").otherwise("death").as("signal"),
+        (col("__ss").cast("double") / col("__cs").cast("double"))
+          .as("ma_short"),
+        (col("__sl").cast("double") / col("__cl").cast("double"))
+          .as("ma_long"))
+      .orderBy("bucket_epoch")
+  }
+
   // ---- declared queries ----
 
   /** Independence of return flag × line status on lineitem. Strict hash
@@ -294,7 +364,21 @@ object Stats {
       .orderBy("c_nationkey")
   }
 
+  /** ABC classes over parts by lineitem revenue. Strict hash gate:
+    * centi-exact revenue, deterministic (revenue desc, part) rank. */
+  def q186Abc(spark: SparkSession, dir: String): DataFrame =
+    abcClassification(Tables.lineitem(spark, dir), "l_partkey",
+      "l_extendedprice")
+
+  /** Golden/death crossovers of the 7- vs 28-day event-volume means.
+    * Strict hash gate: exact integer cross-multiplied comparisons. */
+  def q187MaCross(spark: SparkSession, dir: String): DataFrame =
+    maCrossovers(Tables.events(spark, dir), "ts", bucketSeconds = 86400L,
+      shortN = 7, longN = 28)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_abc_classes" -> (q186Abc _),
+    "q187_ma_crossover" -> (q187MaCross _),
     "q166_chi_square" -> (q166ChiSquare _),
     "q167_equidepth_hist" -> (q167EquidepthHist _),
     "q168_ab_test" -> (q168AbTest _),
@@ -304,6 +388,58 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q186_abc_classes" ->
+      """WITH per AS (
+        |  SELECT l_partkey AS item,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY l_partkey),
+        |ranked AS (
+        |  SELECT *, CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, item
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+        |    CAST(SUM(rev_c) OVER () AS BIGINT) AS tot_c
+        |  FROM per),
+        |classed AS (
+        |  SELECT *, CASE
+        |    WHEN CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE) <= 0.8
+        |      THEN 'A'
+        |    WHEN CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE) <= 0.95
+        |      THEN 'B'
+        |    ELSE 'C' END AS abc_class
+        |  FROM ranked),
+        |agg AS (
+        |  SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(rev_c) AS DOUBLE) / 100.0 AS revenue
+        |  FROM classed GROUP BY abc_class)
+        |SELECT abc_class, n_items, revenue,
+        |  revenue / SUM(revenue) OVER () AS share_of_total
+        |FROM agg ORDER BY abc_class""".stripMargin,
+    "q187_ma_crossover" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT b,
+        |    CAST(SUM(n) OVER (ORDER BY b ROWS BETWEEN 6 PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS ss,
+        |    CAST(COUNT(*) OVER (ORDER BY b ROWS BETWEEN 6 PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cs,
+        |    CAST(SUM(n) OVER (ORDER BY b ROWS BETWEEN 27 PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS sl,
+        |    CAST(COUNT(*) OVER (ORDER BY b ROWS BETWEEN 27 PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cl
+        |  FROM daily),
+        |sig AS (
+        |  SELECT *, ss * cl > sl * cs AS above,
+        |    LAG(ss * cl > sl * cs) OVER (ORDER BY b) AS prev
+        |  FROM w)
+        |SELECT b * 86400 AS bucket_epoch,
+        |  CASE WHEN above THEN 'golden' ELSE 'death' END AS signal,
+        |  CAST(ss AS DOUBLE) / CAST(cs AS DOUBLE) AS ma_short,
+        |  CAST(sl AS DOUBLE) / CAST(cl AS DOUBLE) AS ma_long
+        |FROM sig WHERE prev IS NOT NULL AND prev <> above
+        |ORDER BY bucket_epoch""".stripMargin,
     // full r×c grid (zero cells included), same quantized term shape
     "q166_chi_square" ->
       """WITH obs AS (
