@@ -131,6 +131,64 @@ object Audit {
     0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
     0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
 
+  /** Calendar-completeness audit: buckets of the time axis with NO rows,
+    * reported as gap islands (start epoch, length in buckets) between the
+    * corpus's first and last observed bucket — "which days are missing
+    * from the feed", the ingestion-completeness check every pipeline runs
+    * before trusting a daily aggregate. The expected grid is generated
+    * from the observed min/max (calendar-sized, one `sequence` explode of
+    * a 1-row aggregate, never data-sized); islands come from the classic
+    * `bucket − row_number` run collapse. */
+  def calendarGaps(df: DataFrame, tsCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucket must be positive: $bucketSeconds")
+    val bucketUs = bucketSeconds * 1000000L
+    val obs = df.select(expr(s"unix_micros($tsCol) div $bucketUs").as("__b"))
+      .distinct()
+    val grid = obs.agg(min("__b").as("__mn"), max("__b").as("__mx"))
+      .select(explode(sequence(col("__mn"), col("__mx"))).as("__b"))
+    val missing = grid.join(obs, Seq("__b"), "left_anti")
+    missing
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("__b")).cast("long"))
+      .groupBy((col("__b") - col("__rn")).as("__grp"))
+      .agg(min(col("__b")).as("__g0"), count(lit(1)).as("gap_buckets"))
+      .select((col("__g0") * bucketSeconds).as("gap_start_epoch"),
+        col("gap_buckets"))
+      .orderBy("gap_start_epoch")
+  }
+
+  /** Duplicate-payment audit: pairs of orders by the SAME customer with
+    * SIMILAR amounts (same `amountBucketCents` block of the exact
+    * centi-amount) within `windowSeconds` of each other — the classic
+    * accounts-payable double-charge sweep, with the amount match bucketed
+    * the way AP reviews run it (a re-keyed duplicate rarely repeats to
+    * the cent). Blocked self-join on the (customer, amount-block) key, so
+    * the pair space is Σ block² over same-block-same-customer groups
+    * (tiny), never |orders|²; the time filter and pair dedup (k1 < k2)
+    * run inside blocks. Both pair amounts are reported for review. */
+  def duplicatePayments(orders: DataFrame, custCol: String, keyCol: String,
+      amountCol: String, tsCol: String, windowSeconds: Long,
+      amountBucketCents: Long): DataFrame = {
+    require(windowSeconds > 0, s"window must be positive: $windowSeconds")
+    require(amountBucketCents >= 1, s"bad amount bucket: $amountBucketCents")
+    val prep = orders.select(col(custCol).as("cust"),
+      (col(amountCol).cast("decimal(18,2)") * 100).cast("long").as("__amt_c"),
+      col(keyCol).as("__k"), expr(s"unix_micros($tsCol)").as("__us"))
+      .withColumn("__blk", expr(s"__amt_c div $amountBucketCents"))
+    prep.as("a").join(prep.as("b"),
+        col("a.cust") === col("b.cust") &&
+          col("a.__blk") === col("b.__blk") &&
+          col("a.__k") < col("b.__k") &&
+          abs(col("a.__us") - col("b.__us")) <= windowSeconds * 1000000L)
+      .select(col("a.cust").as(custCol),
+        (col("a.__amt_c").cast("double") / lit(100.0)).as("amount_1"),
+        (col("b.__amt_c").cast("double") / lit(100.0)).as("amount_2"),
+        col("a.__k").as("key_1"), col("b.__k").as("key_2"),
+        abs(col("a.__us") - col("b.__us")).as("gap_us"))
+      .orderBy(custCol, "key_1", "key_2")
+  }
+
   // ---- declared queries ----
 
   /** The lineitem/orders expectation suite: four row-level constraints in
@@ -460,7 +518,24 @@ object Audit {
     benfordProfile(graft.sources.Tables.lineitem(spark, dir),
       "l_extendedprice")
 
+  /** Missing-minute islands in the events feed (the minute grid is the
+    * sparse one at every SF — hourly is complete). Strict hash gate:
+    * exact grid arithmetic. */
+  def q188CalendarGaps(spark: SparkSession, dir: String): DataFrame =
+    calendarGaps(graft.sources.Tables.events(spark, dir), "ts",
+      bucketSeconds = 60L)
+
+  /** Same-customer similar-amount ($1000 block) order pairs within 90
+    * days. Strict hash gate: exact centi-amount blocks and microsecond
+    * gaps. */
+  def q189DuplicatePayments(spark: SparkSession, dir: String): DataFrame =
+    duplicatePayments(graft.sources.Tables.orders(spark, dir), "o_custkey",
+      "o_orderkey", "o_totalprice", "o_orderdate",
+      windowSeconds = 90L * 86400L, amountBucketCents = 100000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_calendar_gaps" -> (q188CalendarGaps _),
+    "q189_duplicate_payments" -> (q189DuplicatePayments _),
     "q177_benford" -> (q177Benford _),
     "q112_dq_audit" -> (q112DqAudit _),
     "q113_mad_anomaly" -> (q113MadAnomaly _),
@@ -495,6 +570,41 @@ object Audit {
   }
 
   val oracles: Map[String, String] = Map(
+    // expected hourly grid from observed min/max, anti-joined, islands
+    // via the bucket - row_number run collapse
+    "q188_calendar_gaps" ->
+      """WITH obs AS (
+        |  SELECT DISTINCT CAST(epoch_us(ts) AS BIGINT) // 60000000 AS b
+        |  FROM events),
+        |grid AS (
+        |  SELECT CAST(unnest(range((SELECT MIN(b) FROM obs),
+        |    (SELECT MAX(b) FROM obs) + 1)) AS BIGINT) AS b),
+        |missing AS (
+        |  SELECT g.b FROM grid g LEFT JOIN obs o ON o.b = g.b
+        |  WHERE o.b IS NULL),
+        |runs AS (
+        |  SELECT b, b - ROW_NUMBER() OVER (ORDER BY b) AS grp
+        |  FROM missing)
+        |SELECT CAST(MIN(b) * 60 AS BIGINT) AS gap_start_epoch,
+        |  CAST(COUNT(*) AS BIGINT) AS gap_buckets
+        |FROM runs GROUP BY grp ORDER BY gap_start_epoch""".stripMargin,
+    // blocked self-join on (customer, $1000 amount block), k1 < k2
+    "q189_duplicate_payments" ->
+      """WITH p AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS amt_c,
+        |    o_orderkey AS k, epoch_us(o_orderdate) AS us
+        |  FROM orders)
+        |SELECT a.cust AS o_custkey,
+        |  CAST(a.amt_c AS DOUBLE) / 100.0 AS amount_1,
+        |  CAST(b.amt_c AS DOUBLE) / 100.0 AS amount_2,
+        |  a.k AS key_1, b.k AS key_2,
+        |  CAST(ABS(a.us - b.us) AS BIGINT) AS gap_us
+        |FROM p a JOIN p b ON a.cust = b.cust
+        |  AND a.amt_c // 100000 = b.amt_c // 100000
+        |  AND a.k < b.k AND ABS(a.us - b.us) <= 7776000000000
+        |ORDER BY o_custkey, key_1, key_2""".stripMargin,
     // first digit from the exact centi-unit integer's string form; the
     // Benford constants are the same double literals the engine carries
     "q177_benford" -> ("""WITH d AS (
