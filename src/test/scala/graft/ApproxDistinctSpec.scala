@@ -175,6 +175,12 @@ class ApproxDistinctSpec extends AnyFunSuite {
     within(ours, exact)
     // built-in HLL++ default rsd 5%: just sanity-band it
     assert(math.abs(r.getLong(1) - exact).toDouble / exact < 0.15)
+    // third engine: Spark's DataSketches HLL surface (SURVEY §2b) — all
+    // three independent estimators must bracket the same truth
+    val ds = lineitem.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))").as("ds"))
+      .head().getLong(0)
+    assert(math.abs(ds - exact).toDouble / exact < 0.15)
   }
 
   test("maintained sketch MV == from-scratch sketch, bit-exact; replay idempotent") {
