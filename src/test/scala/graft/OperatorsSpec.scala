@@ -831,6 +831,38 @@ class OperatorsSpec extends AnyFunSuite {
       "the exact-threshold boundary pair must be included")
   }
 
+  test("setSimilarityJoin: random corpus equals brute force across a threshold sweep") {
+    import graft.operators.Dedup
+    // small vocab forces heavy shingle collisions — the regime where a
+    // prefix-bound off-by-one (the ceil, the length filter, the rare-first
+    // tie order) would drop or phantom a pair
+    val rnd = new scala.util.Random(421L)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0L until 25L).map { i =>
+      val n = 1 + rnd.nextInt(9)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }
+    for ((tNum, tDen) <- Seq((1, 2), (3, 5), (2, 3), (4, 5), (1, 1))) {
+      val got = Dedup.setSimilarityJoin(df, "doc_id", "text", tNum, tDen)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val expect = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        c = (sa & sb).size; u = (sa | sb).size if c * tDen >= tNum * u
+      } yield (ia, ib) -> (c.toLong, u.toLong)).toMap
+      assert(got == expect, s"t=$tNum/$tDen: got ${got.size} pairs, " +
+        s"expect ${expect.size}; diff=${(got.keySet diff expect.keySet) ++
+          (expect.keySet diff got.keySet)}")
+    }
+  }
+
   test("skewProfile: hot key drives rec_salts, uniform key needs one") {
     import graft.operators.Skew
     // hot: key "h" owns 8 of 12 rows over 3 keys -> avg 4, rec_salts 2;
