@@ -286,6 +286,45 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("containment") == 1.0) // doc 1 fully inside doc 2
   }
 
+  test("containmentDupPairs: random corpus equals brute force UNDER the df cap") {
+    import spark.implicits._
+    // tiny vocab + tiny maxDf: many windows exceed the cap, so the
+    // post-cap universe (sizes AND intersections both computed on KEPT
+    // windows only) is what brute force must reproduce — the cap is
+    // part of the declared semantics, not an approximation knob
+    val rnd = new scala.util.Random(99L)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = (0L until 20L).map { i =>
+      val n = 1 + rnd.nextInt(8)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val (tau, maxDf) = (0.5, 4)
+    val out = graft.operators.Dedup.containmentDupPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, tau = tau, maxDf = maxDf)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("n_common"), r.getAs[Long]("size_a"),
+          r.getAs[Long]("size_b"))).toMap
+    def wins(text: String): Set[String] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = docs.map { case (id, t) => id -> wins(t) }
+    val df_ = all.flatMap(_._2).groupBy(identity).map { case (w, ws) =>
+      w -> all.count(_._2.contains(w)) }
+    val kept = all.map { case (id, ws) =>
+      id -> ws.filter(w => df_(w) <= maxDf) }
+    val expect = (for {
+      (ia, sa) <- kept; (ib, sb) <- kept if ia < ib
+      c = (sa & sb).size if c > 0
+      m = math.min(sa.size, sb.size) if c.toDouble / m >= tau
+    } yield (ia, ib) -> (c.toLong, sa.size.toLong, sb.size.toLong)).toMap
+    assert(out == expect, s"got ${out.size} expect ${expect.size}; " +
+      s"diff=${(out.keySet diff expect.keySet) ++ (expect.keySet diff out.keySet)}")
+    assert(expect.nonEmpty, "sweep degenerate: no pairs survived")
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
