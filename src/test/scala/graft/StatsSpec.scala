@@ -199,6 +199,33 @@ class StatsSpec extends AnyFunSuite {
     assert(d4 == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
   }
 
+  test("boundedSssp: random weighted graph equals hop-bounded Bellman-Ford") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(7L)
+    val n = 12
+    val edges = Seq.fill(30) {
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, (1 + rnd.nextInt(5)).toLong)
+    }.filter { case (a, b, _) => a != b }.distinct
+    val rounds = 4
+    val got = Graph.boundedSssp(edges.toDF("a", "b", "w"),
+        "a", "b", "w", Seq(0L).toDF("node"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hop-bounded Bellman-Ford over the UNDIRECTED edge view
+    val bi = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    var dist = Map(0L -> 0L)
+    for (_ <- 1 to rounds) {
+      val relaxed = bi.flatMap { case (u, v, w) =>
+        dist.get(u).map(d => v -> (d + w)) }
+        .groupBy(_._1).map { case (v, ds) => v -> ds.map(_._2).min }
+      dist = (dist.keySet ++ relaxed.keySet).map { v =>
+        v -> math.min(dist.getOrElse(v, Long.MaxValue),
+          relaxed.getOrElse(v, Long.MaxValue)) }.toMap
+    }
+    assert(got == dist, s"got $got expect $dist")
+    assert(dist.size > 5, "sweep degenerate: graph mostly unreachable")
+  }
+
   test("hits: L1-normalized, degree-dominant bipartite case") {
     import spark.implicits._
     // hub 1 points at p1,p2,p3; hub 2 at p1 only
