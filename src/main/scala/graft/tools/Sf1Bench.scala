@@ -40,7 +40,14 @@ object Sf1Bench {
     "q134_join_size_estimate",
     // round-8 late additions with super-linear candidate spaces
     "q148_frequent_pairs", "q150_triangles", "q155_collocations",
-    "q157_maintained_bloom", "q158_semdedup")
+    "q157_maintained_bloom", "q158_semdedup",
+    // final-continuation heavies: iterative graph passes, the exact
+    // similarity joins (prefix-filter / JW-blocked / containment), the
+    // maintained-MV loops, and the custom as-of physical operator
+    "q138_pagerank", "q143_set_similarity_join", "q162_approx_mv",
+    "q163_basket_mv", "q170_sssp", "q171_hits", "q172_jw_linkage",
+    "q173_ngram_novelty", "q179_containment_dups", "q181_knn_classify",
+    "q182_asof_exec")
 
   def main(args: Array[String]): Unit = {
     val runs = if (args.nonEmpty) args(0).toInt else 3
@@ -53,6 +60,8 @@ object Sf1Bench {
     spark.sparkContext.setLogLevel("WARN")
     if (!new java.io.File(s"$Out/lineitem.parquet").exists()) generate(spark)
     if (!new java.io.File(s"$Out/events.parquet").exists()) generateEvents(spark)
+    if (!new java.io.File(s"$Out/embeddings.parquet").exists())
+      generateEmbeddings(spark)
 
     val results = Queries.map { name =>
       val times = (1 to runs).map { _ =>
@@ -109,6 +118,19 @@ object Sf1Bench {
     // small dims pass through unchanged
     for (t <- Seq("nation", "region"))
       Tables.load(spark, Src, t).write.mode("overwrite").parquet(s"$Out/$t.parquet")
+  }
+
+  /** 10x embeddings: shifted ids, vectors kept — every vector gains 9
+    * EXACT semantic duplicates, the dense analogue of the documents'
+    * near-dup replicas (q158 semdedup / q181 knn see 10-strong duplicate
+    * clusters). */
+  private def generateEmbeddings(spark: SparkSession): Unit = {
+    val embeddings = Tables.embeddings(spark, Src)
+    val vShift = embeddings.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until 10).map(i => embeddings
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong) * vShift))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$Out/embeddings.parquet")
   }
 
   /** 10x events: shifted ids and users, timestamps kept — 10x the users
