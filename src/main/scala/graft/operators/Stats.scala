@@ -376,7 +376,104 @@ object Stats {
     maCrossovers(Tables.events(spark, dir), "ts", bucketSeconds = 86400L,
       shortN = 7, longN = 28)
 
+  /** Seasonal-naive forecast backtest: forecast(bucket) = actual(bucket −
+    * season), evaluated on every bucket where BOTH sides are occupied;
+    * per-key MAE and bias. The baseline every real forecaster must beat —
+    * and the same machinery backtests any stored forecast column.
+    *
+    * Shape: one (key, bucket) count aggregation, then a self-join at
+    * lag `season` ON THE SAME (k, b) hash partitioning — co-partitioned,
+    * no second exchange at scale. Errors are exact long sums; MAE/bias
+    * are each one double division. */
+  def seasonalNaiveBacktest(events: DataFrame, tsCol: String, keyCol: String,
+      bucketSeconds: Long, season: Int): DataFrame = {
+    require(bucketSeconds > 0 && season >= 1, s"bad args: $bucketSeconds $season")
+    val buck = events.select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}").as("b"))
+      .groupBy("k", "b").agg(count(lit(1)).as("n"))
+    val fc = buck.select(col("k"), (col("b") + season).as("b"),
+      col("n").as("n_fc"))
+    buck.join(fc, Seq("k", "b"))
+      .groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(abs(col("n") - col("n_fc"))).as("abs_err_sum"),
+        sum(col("n") - col("n_fc")).as("err_sum"))
+      .select(col(keyCol), col("n_buckets"), col("abs_err_sum"),
+        col("err_sum"),
+        (col("abs_err_sum").cast("double") / col("n_buckets")).as("mae"),
+        (col("err_sum").cast("double") / col("n_buckets")).as("bias"))
+      .orderBy(keyCol)
+  }
+
+  /** Hourly event volume per type forecast by "same hour yesterday". */
+  def q190SeasonalNaive(spark: SparkSession, dir: String): DataFrame =
+    seasonalNaiveBacktest(Tables.events(spark, dir), "ts", "event_type",
+      bucketSeconds = 3600L, season = 24)
+
+  /** First threshold crossing of a per-key running total — reorder-point /
+    * quota-alert analytics: WHEN did each key's cumulative flow first
+    * reach the threshold, and at what exact total. One window over one
+    * key-hash exchange; the running sum is exact integer cents (the
+    * measure is a double fixture column, quantized DECIMAL(18,2)·100
+    * before accumulation), and the order (date, orderkey, linenumber) is
+    * a total order, so the crossing row is engine-independent. */
+  def thresholdCrossing(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      measureCol: String, thresholdCents: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    df.withColumn("__c",
+        (col(measureCol).cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("cum_cents", sum(col("__c")).over(w))
+      .filter(col("cum_cents") >= thresholdCents)
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col(orderCols.head).as("cross_at"),
+        col("cum_cents"))
+      .orderBy(keyCol)
+  }
+
+  /** Per part: first ship event at which cumulative shipped quantity
+    * reaches 500 units. */
+  def q191ThresholdCrossing(spark: SparkSession, dir: String): DataFrame =
+    thresholdCrossing(Tables.lineitem(spark, dir), "l_partkey",
+      Seq("l_shipdate", "l_orderkey", "l_linenumber"), "l_quantity",
+      thresholdCents = 50000L)
+
+  /** Rank-migration report: deterministic revenue ranks per quarter
+    * (exact-cents revenue, ties broken by item id), consecutive quarters
+    * joined, top movers by |rank delta|. The league-table analytics shape:
+    * two windowed rankings on one (quarter)-partitioned exchange, then a
+    * self-join at lag 1 on the (item) key. Output bounded to topK with a
+    * total-order tiebreak. */
+  def rankMigration(df: DataFrame, itemCol: String, dateCol: String,
+      priceCol: String, topK: Int): DataFrame = {
+    val per = df.select(col(itemCol).as("item"),
+        (year(col(dateCol)) * 4 + quarter(col(dateCol)) - 1)
+          .cast("long").as("yq"),
+        (col(priceCol).cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy("item", "yq").agg(sum(col("c")).as("rev_c"))
+    val wq = Window.partitionBy("yq").orderBy(desc("rev_c"), col("item"))
+    val ranked = per.withColumn("rnk", row_number().over(wq).cast("long"))
+    val prev = ranked.select(col("item"), (col("yq") + 1).as("yq"),
+      col("rnk").as("rnk_prev"))
+    ranked.join(prev, Seq("item", "yq"))
+      .select(col("yq"), col("item"), col("rnk_prev"), col("rnk"),
+        (col("rnk_prev") - col("rnk")).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("item"), col("yq"))
+      .limit(topK)
+  }
+
+  /** Top-25 part revenue-rank movers between consecutive ship quarters. */
+  def q192RankMigration(spark: SparkSession, dir: String): DataFrame =
+    rankMigration(Tables.lineitem(spark, dir), "l_partkey", "l_shipdate",
+      "l_extendedprice", topK = 25)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_seasonal_naive" -> (q190SeasonalNaive _),
+    "q191_threshold_crossing" -> (q191ThresholdCrossing _),
+    "q192_rank_migration" -> (q192RankMigration _),
     "q186_abc_classes" -> (q186Abc _),
     "q187_ma_crossover" -> (q187MaCross _),
     "q166_chi_square" -> (q166ChiSquare _),
@@ -388,6 +485,51 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q190_seasonal_naive" ->
+      """WITH buck AS (
+        |  SELECT event_type AS k,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.k AS event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(ABS(a.n - f.n)) AS BIGINT) AS abs_err_sum,
+        |  CAST(SUM(a.n - f.n) AS BIGINT) AS err_sum,
+        |  CAST(SUM(ABS(a.n - f.n)) AS DOUBLE) / COUNT(*) AS mae,
+        |  CAST(SUM(a.n - f.n) AS DOUBLE) / COUNT(*) AS bias
+        |FROM buck a JOIN buck f ON a.k = f.k AND f.b = a.b - 24
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q191_threshold_crossing" ->
+      """WITH r AS (
+        |  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |        AS BIGINT)) OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM r WHERE cum_cents >= 50000)
+        |SELECT l_partkey, l_shipdate AS cross_at, cum_cents
+        |FROM f WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
+    "q192_rank_migration" ->
+      """WITH per AS (
+        |  SELECT l_partkey AS item,
+        |    year(l_shipdate) * 4 + quarter(l_shipdate) - 1 AS yq,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY yq
+        |    ORDER BY rev_c DESC, item) AS BIGINT) AS rnk
+        |  FROM per)
+        |SELECT a.yq, a.item, b.rnk AS rnk_prev, a.rnk,
+        |  b.rnk - a.rnk AS delta
+        |FROM ranked a JOIN ranked b
+        |  ON a.item = b.item AND a.yq = b.yq + 1
+        |ORDER BY ABS(b.rnk - a.rnk) DESC, a.item, a.yq
+        |LIMIT 25""".stripMargin,
     "q186_abc_classes" ->
       """WITH per AS (
         |  SELECT l_partkey AS item,

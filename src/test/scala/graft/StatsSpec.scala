@@ -352,6 +352,58 @@ class StatsSpec extends AnyFunSuite {
     assert(expect.nonEmpty, "sweep degenerate: no pairs survived")
   }
 
+  test("seasonalNaiveBacktest: lagged self-join evaluates only doubly-occupied buckets") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // bucketSeconds=10, season=2; counts per bucket: b0=2, b1=1, b2=3, b3=1
+    // evaluated: (b2 vs b0): |3-2|=1; (b3 vs b1): 0 -> n=2, mae=0.5, bias=0.5
+    val ts = Seq(0L, 5L, 12L, 21L, 22L, 28L, 31L)
+    val ev = ts.map(s => ("a", s)).toDF("k", "s")
+      .select(col("k"), timestamp_seconds(col("s")).as("ts"))
+    val r = Stats.seasonalNaiveBacktest(ev, "ts", "k",
+      bucketSeconds = 10L, season = 2).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_buckets") == 2L)
+    assert(r.head.getAs[Long]("abs_err_sum") == 1L)
+    assert(r.head.getAs[Long]("err_sum") == 1L)
+    assert(r.head.getAs[Double]("mae") == 0.5)
+    assert(r.head.getAs[Double]("bias") == 0.5)
+  }
+
+  test("thresholdCrossing: first crossing row per key, exact cents, non-crossers absent") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // key A: 2.00 + 2.50 + 1.00 -> crosses 450 cents at the 2nd row (450)
+    // key B: total 3.00 -> never crosses
+    val df = Seq(("A", 1L, 2.00), ("A", 2L, 2.50), ("A", 3L, 1.00),
+        ("B", 1L, 3.00))
+      .toDF("k", "seq", "amt")
+    val r = Stats.thresholdCrossing(df, "k", Seq("seq"), "amt",
+      thresholdCents = 450L).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("k") == "A")
+    assert(r.head.getAs[Long]("cross_at") == 2L)
+    assert(r.head.getAs[Long]("cum_cents") == 450L)
+  }
+
+  test("rankMigration: rank deltas between consecutive quarters, absent items drop") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // Q1 (2024-02): item 1 rev 300 (rank 1), item 2 rev 200 (rank 2)
+    // Q2 (2024-05): item 2 rev 500 (rank 1), item 1 rev 100 (rank 2), item 3 new
+    val df = Seq(
+      (1L, "2024-02-01", 300.0), (2L, "2024-02-15", 200.0),
+      (2L, "2024-05-01", 500.0), (1L, "2024-05-10", 100.0),
+      (3L, "2024-05-20", 50.0))
+      .toDF("item", "d", "price")
+      .select(col("item"), to_timestamp(col("d")).as("d"), col("price"))
+    val r = Stats.rankMigration(df, "item", "d", "price", topK = 10)
+      .collect().map(x => x.getAs[Long]("item") ->
+        (x.getAs[Long]("rnk_prev"), x.getAs[Long]("rnk"),
+          x.getAs[Long]("delta"))).toMap
+    assert(r == Map(1L -> (1L, 2L, -1L), 2L -> (2L, 1L, 1L)), s"got $r")
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
