@@ -238,6 +238,43 @@ object Behavior {
       .limit(topK)
   }
 
+  /** Bounce rate by entry event type: sessions under the gap-cut rule,
+    * a session "bounces" when it holds exactly one event; rate grouped by
+    * the session's FIRST event type (deterministic — the (ts, tie) order
+    * is total). Rides the [[sessionPaths]] session chain: the whole
+    * computation is one user-key exchange + one small per-entry-type
+    * aggregation; the entry type falls out of a struct-min, no second
+    * window pass. */
+  def bounceRate(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, tieCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gap must be positive: $gapSeconds")
+    val wOrd = Window.partitionBy(userCol).orderBy(col("__us"), col(tieCol))
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__new", when(lag(col("__us"), 1).over(wOrd).isNull ||
+        col("__us") - lag(col("__us"), 1).over(wOrd) > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(count(lit(1)).as("sz"),
+        min(struct(col("__us"), col(tieCol), col(typeCol).as("t")))
+          .as("__first"))
+      .select(col("__first.t").as("entry_type"), col("sz"))
+      .groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("sz") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        (col("n_bounces").cast("double") / col("n_sessions"))
+          .as("bounce_rate"))
+      .orderBy("entry_type")
+  }
+
+  /** 30-minute-gap session bounce rate by entry event type. */
+  def q194BounceRate(spark: SparkSession, dir: String): DataFrame =
+    bounceRate(Tables.events(spark, dir), "ts", "user_id", "event_type",
+      "event_id", gapSeconds = 30 * 60L)
+
   /** Interval union per key: each event opens a `[ts, ts + durSeconds)`
     * presence interval; overlapping/touching intervals merge into
     * islands (gaps-and-islands via the running max of prior interval
@@ -515,7 +552,8 @@ object Behavior {
     "q126_decay_score" -> (q126DecayScore _),
     "q130_session_transitions" -> (q130SessionTransitions _),
     "q144_interval_coverage" -> (q144IntervalCoverage _),
-    "q156_session_paths" -> (q156SessionPaths _))
+    "q156_session_paths" -> (q156SessionPaths _),
+    "q194_bounce_rate" -> (q194BounceRate _))
 
   /** Top-25 full session paths under the 30-minute-gap rule. Strict hash
     * gate: exact counts; the (n_sessions desc, path) order is total. */
@@ -564,6 +602,35 @@ object Behavior {
         |ORDER BY step""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the q156 session CTEs + an rn=1 entry-type pick
+    "q194_bounce_rate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+        |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |sess2 AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+        |    ORDER BY us, event_id) AS rn
+        |  FROM sess),
+        |s AS (
+        |  SELECT user_id, sid,
+        |    MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+        |    COUNT(*) AS sz
+        |  FROM sess2 GROUP BY 1, 2)
+        |SELECT entry_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS bounce_rate
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // q122's cohort rule + centi-exact revenue + cumulative window
     "q185_cohort_ltv" ->
       """WITH b AS (

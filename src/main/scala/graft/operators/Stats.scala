@@ -470,7 +470,36 @@ object Stats {
     rankMigration(Tables.lineitem(spark, dir), "l_partkey", "l_shipdate",
       "l_extendedprice", topK = 25)
 
+  /** Percentile time series — the latency-dashboard staple: exact
+    * interpolated quantiles of a measure per (key, time bucket). One
+    * (key, bucket) aggregation; `percentile` buffers per-group values
+    * (fine at dashboard granularities — a bucket holds one key's slice of
+    * one period; swap to KLL per the q146 pattern for billion-row
+    * buckets). Spark's interpolating `percentile` and DuckDB's
+    * `quantile_cont` share the R-7 definition, so the gate is exact (the
+    * q152 precedent). */
+  def bucketPercentileSeries(events: DataFrame, tsCol: String, keyCol: String,
+      valCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive: $bucketSeconds")
+    events.select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}").as("b"),
+        col(valCol).as("v"))
+      .groupBy("k", "b")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(v, array(0.5D, 0.95D))").as("pq"))
+      .select(col("k").as(keyCol),
+        (col("b") * bucketSeconds).as("bucket_epoch"), col("n"),
+        col("pq")(0).as("p50"), col("pq")(1).as("p95"))
+      .orderBy(col(keyCol), col("bucket_epoch"))
+  }
+
+  /** Six-hourly p50/p95 of event `value` per type. */
+  def q193PercentileSeries(spark: SparkSession, dir: String): DataFrame =
+    bucketPercentileSeries(Tables.events(spark, dir), "ts", "event_type",
+      "value", bucketSeconds = 6 * 3600L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_percentile_series" -> (q193PercentileSeries _),
     "q190_seasonal_naive" -> (q190SeasonalNaive _),
     "q191_threshold_crossing" -> (q191ThresholdCrossing _),
     "q192_rank_migration" -> (q192RankMigration _),
@@ -485,6 +514,14 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q193_percentile_series" ->
+      """SELECT event_type,
+        |  (CAST(epoch_us(ts) AS BIGINT) // 21600000000) * 21600
+        |    AS bucket_epoch,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q190_seasonal_naive" ->
       """WITH buck AS (
         |  SELECT event_type AS k,

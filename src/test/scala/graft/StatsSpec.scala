@@ -404,6 +404,41 @@ class StatsSpec extends AnyFunSuite {
     assert(r == Map(1L -> (1L, 2L, -1L), 2L -> (2L, 1L, 1L)), s"got $r")
   }
 
+  test("bucketPercentileSeries: R-7 interpolation per (key, bucket)") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // one key, one 10s bucket, values 1..4: p50 = 2.5, p95 = 3 + .85 = 3.85
+    val ev = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) }.toDF("k", "s", "v")
+      .select(col("k"), timestamp_seconds(col("s")).as("ts"), col("v"))
+    val r = Stats.bucketPercentileSeries(ev, "ts", "k", "v",
+      bucketSeconds = 10L).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n") == 4L)
+    assert(r.head.getAs[Double]("p50") == 2.5)
+    // 0.95·(n−1) carries double rounding; the cross-ENGINE gate is exact
+    // (DuckDB reproduces the same bits), the hand literal is not
+    assert(math.abs(r.head.getAs[Double]("p95") - 3.85) < 1e-12)
+  }
+
+  test("bounceRate: single-event sessions counted by deterministic entry type") {
+    import spark.implicits._
+    import graft.operators.Behavior
+    // u1: [view@0, click@10] one session (entry view), [view@10000] bounce;
+    // u2: [click@5] bounce
+    val ev = Seq((1L, 0L, "view", 1L), (1L, 10L, "click", 2L),
+        (1L, 10000L, "view", 3L), (2L, 5L, "click", 4L))
+      .toDF("user_id", "s", "event_type", "event_id")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("event_id"))
+    val r = Behavior.bounceRate(ev, "ts", "user_id", "event_type",
+        "event_id", gapSeconds = 1800L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r == Map("view" -> (2L, 1L, 0.5), "click" -> (1L, 1L, 1.0)),
+      s"got $r")
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
