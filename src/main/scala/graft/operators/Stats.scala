@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -498,7 +498,48 @@ object Stats {
     bucketPercentileSeries(Tables.events(spark, dir), "ts", "event_type",
       "value", bucketSeconds = 6 * 3600L)
 
+  /** Supervised equi-depth binning — the feature-engineering report:
+    * exact decile cutpoints over the measure, every row assigned
+    * `bin = #{cutpoints < v}` (so ties with a cutpoint fall LEFT — both
+    * engines share the rule because the comparison is on identical
+    * doubles), then per-bin volume, positive-target count/rate, and the
+    * observed value range. The q167 histogram plus the supervised layer
+    * (per-bin target rate) that binned-feature pipelines actually want.
+    *
+    * Scale shape: ONE aggregation row of cutpoints (exact interpolated
+    * percentile — swap to KLL at billion-row inputs, the q146 move),
+    * broadcast to the scan; binning is a scalar expression, the per-bin
+    * reduce is map-side combined. No global sort, no single-partition
+    * window — the NTILE formulation would need exactly that. */
+  def supervisedBins(df: DataFrame, valCol: String, posCond: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    val cuts = df.agg(
+      expr(s"percentile($valCol, array(${ps.mkString(",")}))").as("__cs"))
+    val bin = (0 until nBins - 1).map(i =>
+        when(col(valCol) > col("__cs")(i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(cuts)) // 1-row build side: the cutpoint vector
+      .withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(posCond, 1L).otherwise(0L)).as("n_pos"),
+        min(col(valCol)).as("v_min"), max(col(valCol)).as("v_max"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"),
+        col("v_min"), col("v_max"))
+      .orderBy("bin")
+  }
+
+  /** Return-rate by extended-price decile: does price band predict
+    * returns. */
+  def q195SupervisedBins(spark: SparkSession, dir: String): DataFrame =
+    supervisedBins(Tables.lineitem(spark, dir), "l_extendedprice",
+      col("l_returnflag") === "R", nBins = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_supervised_bins" -> (q195SupervisedBins _),
     "q193_percentile_series" -> (q193PercentileSeries _),
     "q190_seasonal_naive" -> (q190SeasonalNaive _),
     "q191_threshold_crossing" -> (q191ThresholdCrossing _),
@@ -514,6 +555,38 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q195_supervised_bins" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.1) AS c1,
+        |    quantile_cont(l_extendedprice, 0.2) AS c2,
+        |    quantile_cont(l_extendedprice, 0.3) AS c3,
+        |    quantile_cont(l_extendedprice, 0.4) AS c4,
+        |    quantile_cont(l_extendedprice, 0.5) AS c5,
+        |    quantile_cont(l_extendedprice, 0.6) AS c6,
+        |    quantile_cont(l_extendedprice, 0.7) AS c7,
+        |    quantile_cont(l_extendedprice, 0.8) AS c8,
+        |    quantile_cont(l_extendedprice, 0.9) AS c9
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CAST(
+        |      (CASE WHEN l_extendedprice > c1 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > c2 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > c3 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > c4 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > c5 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > c6 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > c7 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > c8 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > c9 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bin,
+        |    l_extendedprice AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        |  FROM lineitem, cuts)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS pos_rate,
+        |  MIN(v) AS v_min, MAX(v) AS v_max
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q193_percentile_series" ->
       """SELECT event_type,
         |  (CAST(epoch_us(ts) AS BIGINT) // 21600000000) * 21600

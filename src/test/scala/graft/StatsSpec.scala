@@ -439,6 +439,26 @@ class StatsSpec extends AnyFunSuite {
       s"got $r")
   }
 
+  test("supervisedBins: cutpoint-tie rows fall left, per-bin target rates exact") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // values 1..4, nBins=2: the single cutpoint is the median 2.5;
+    // bin 0 = {1,2} (1 positive), bin 1 = {3,4} (0 positive)
+    val df = Seq((1.0, true), (2.0, false), (3.0, false), (4.0, false))
+      .toDF("v", "y")
+    val r = Stats.supervisedBins(df, "v", col("y"), nBins = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4),
+          x.getDouble(5))).toMap
+    assert(r == Map(0L -> (2L, 1L, 0.5, 1.0, 2.0),
+      1L -> (2L, 0L, 0.0, 3.0, 4.0)), s"got $r")
+    // exact-boundary tie: a row AT the cutpoint stays in the lower bin
+    val df2 = Seq((1.0, false), (2.0, false), (3.0, false)).toDF("v", "y")
+    val r2 = Stats.supervisedBins(df2, "v", col("y"), nBins = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 == Map(0L -> 2L, 1L -> 1L), s"got $r2") // median 2 -> {1,2}|{3}
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
