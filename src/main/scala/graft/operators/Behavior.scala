@@ -275,6 +275,49 @@ object Behavior {
     bounceRate(Tables.events(spark, dir), "ts", "user_id", "event_type",
       "event_id", gapSeconds = 30 * 60L)
 
+  /** Linear multi-touch attribution: every non-conversion touch inside
+    * the lookback before a user's NEXT conversion shares that
+    * conversion's credit equally (1/n each). The fair-share complement
+    * of [[lastTouchAttribution]].
+    *
+    * No touch⋈conversion range join: the next conversion instant is a
+    * per-user forward-looking window min, and the per-conversion touch
+    * count is a second window on the derived (user, conversion) key —
+    * both ride ONE user-key exchange (per-user event counts bound the
+    * frame, the q121 funnel discipline). Credits are doubles quantized
+    * DECIMAL(20,12) BEFORE the per-channel sum, so the order-sensitive
+    * reduction is exact decimal addition (the engine's standard float
+    * discipline). */
+  def linearAttribution(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, tieCol: String, convType: String,
+      lookbackSeconds: Long): DataFrame = {
+    require(lookbackSeconds > 0, s"lookback must be positive: $lookbackSeconds")
+    val wFwd = Window.partitionBy(userCol).orderBy(col("__us"), col(tieCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val touches = events
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__nxt", min(when(col(typeCol) === convType,
+        col("__us"))).over(wFwd))
+      .filter(col(typeCol) =!= convType && col("__nxt").isNotNull &&
+        col("__nxt") - col("__us") <= lookbackSeconds * 1000000L)
+    val wConv = Window.partitionBy(col(userCol), col("__nxt"))
+    touches
+      .withColumn("__nt", count(lit(1)).over(wConv))
+      .withColumn("credit",
+        (lit(1.0) / col("__nt")).cast("decimal(20,12)"))
+      .groupBy(col(typeCol).as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).cast("decimal(20,12)").as("credit"))
+      .orderBy("channel")
+  }
+
+  /** 7-day-lookback linear attribution of purchases across the other
+    * event channels. */
+  def q196LinearAttribution(spark: SparkSession, dir: String): DataFrame =
+    linearAttribution(Tables.events(spark, dir), "ts", "user_id",
+      "event_type", "event_id", convType = "purchase",
+      lookbackSeconds = 7L * 86400L)
+
   /** Interval union per key: each event opens a `[ts, ts + durSeconds)`
     * presence interval; overlapping/touching intervals merge into
     * islands (gaps-and-islands via the running max of prior interval
@@ -553,7 +596,8 @@ object Behavior {
     "q130_session_transitions" -> (q130SessionTransitions _),
     "q144_interval_coverage" -> (q144IntervalCoverage _),
     "q156_session_paths" -> (q156SessionPaths _),
-    "q194_bounce_rate" -> (q194BounceRate _))
+    "q194_bounce_rate" -> (q194BounceRate _),
+    "q196_linear_attribution" -> (q196LinearAttribution _))
 
   /** Top-25 full session paths under the 30-minute-gap rule. Strict hash
     * gate: exact counts; the (n_sessions desc, path) order is total. */
@@ -602,6 +646,30 @@ object Behavior {
         |ORDER BY step""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // next-conversion window + equal-share credit, decimal-quantized
+    "q196_linear_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |t AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        |  FROM e),
+        |q AS (
+        |  SELECT user_id, nxt, event_type FROM t
+        |  WHERE event_type <> 'purchase' AND nxt IS NOT NULL
+        |    AND nxt - us <= 604800000000),
+        |n AS (
+        |  SELECT user_id, nxt, COUNT(*) AS nt FROM q GROUP BY 1, 2),
+        |c AS (
+        |  SELECT q.event_type,
+        |    CAST(CAST(1.0 AS DOUBLE) / nt AS DECIMAL(20,12)) AS credit
+        |  FROM q JOIN n USING (user_id, nxt))
+        |SELECT event_type AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(credit) AS DECIMAL(20,12)) AS credit
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q156 session CTEs + an rn=1 entry-type pick
     "q194_bounce_rate" ->
       """WITH e AS (

@@ -459,6 +459,29 @@ class StatsSpec extends AnyFunSuite {
     assert(r2 == Map(0L -> 2L, 1L -> 1L), s"got $r2") // median 2 -> {1,2}|{3}
   }
 
+  test("linearAttribution: equal shares per conversion, lookback and next-conversion scoping") {
+    import spark.implicits._
+    import graft.operators.Behavior
+    // u1: view@0, click@10, purchase@20 -> 2 touches share 1/2 each;
+    //     view@30, purchase@40          -> 1 touch, full credit;
+    // u2: view@0, purchase@{8 days}     -> outside lookback, no credit;
+    // u3: click@0 (no purchase)         -> no credit
+    val day = 86400L
+    val ev = Seq((1L, 0L, "view", 1L), (1L, 10L, "click", 2L),
+        (1L, 20L, "purchase", 3L), (1L, 30L, "view", 4L),
+        (1L, 40L, "purchase", 5L),
+        (2L, 0L, "view", 6L), (2L, 8 * day, "purchase", 7L),
+        (3L, 0L, "click", 8L))
+      .toDF("user_id", "s", "event_type", "event_id")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("event_id"))
+    val r = Behavior.linearAttribution(ev, "ts", "user_id", "event_type",
+        "event_id", convType = "purchase", lookbackSeconds = 7 * day)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDecimal(2).doubleValue)).toMap
+    assert(r == Map("view" -> (2L, 1.5), "click" -> (1L, 0.5)), s"got $r")
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
