@@ -538,7 +538,62 @@ object Stats {
     supervisedBins(Tables.lineitem(spark, dir), "l_extendedprice",
       col("l_returnflag") === "R", nBins = 10)
 
+  /** Lag-k autocorrelation of the per-key bucket-count series — the
+    * seasonality-strength detector (r at lag 24h ≈ daily periodicity).
+    * The series is DENSIFIED first (per-key bucket grid from min to max,
+    * missing buckets = 0 — the q100 resample move; skipping the fill
+    * would silently correlate only co-occupied hours), then paired with
+    * itself at lag k on the same (key, bucket) hash partitioning.
+    *
+    * Float discipline: all five moment sums are exact integers
+    * (DECIMAL(38,0) products — BIGINT·BIGINT overflows at warehouse
+    * volumes), and Pearson r is ONE fixed-shape double expression over
+    * them, so the gate is exact. Zero-variance sides are excluded (r
+    * undefined). Per-key grid length is bounded by the observed span —
+    * the q100 scale argument. */
+  def laggedAutocorrelation(events: DataFrame, tsCol: String, keyCol: String,
+      bucketSeconds: Long, lagBuckets: Int): DataFrame = {
+    require(bucketSeconds > 0 && lagBuckets >= 1,
+      s"bad args: $bucketSeconds $lagBuckets")
+    val buck = events.select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}").as("b"))
+      .groupBy("k", "b").agg(count(lit(1)).as("n"))
+    val grid = buck.groupBy("k").agg(min("b").as("b0"), max("b").as("b1"))
+      .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val dense = grid.join(buck, Seq("k", "b"), "left")
+      .select(col("k"), col("b"), coalesce(col("n"), lit(0L)).as("x"))
+    val lagged = dense.select(col("k"), (col("b") + lagBuckets).as("b"),
+      col("x").as("y"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    dense.join(lagged, Seq("k", "b"))
+      .groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d(col("x")) * d(col("y"))).cast("decimal(38,0)").as("sxy"),
+        sum(d(col("x")) * d(col("x"))).cast("decimal(38,0)").as("sxx"),
+        sum(d(col("y")) * d(col("y"))).cast("decimal(38,0)").as("syy"))
+      .withColumn("num", d(col("n_pairs")) * col("sxy") -
+        d(col("sx")) * d(col("sy")))
+      .withColumn("d1", d(col("n_pairs")) * col("sxx") -
+        d(col("sx")) * d(col("sx")))
+      .withColumn("d2", d(col("n_pairs")) * col("syy") -
+        d(col("sy")) * d(col("sy")))
+      .filter(col("d1") > 0 && col("d2") > 0)
+      .select(col(keyCol), col("n_pairs"),
+        (col("num").cast("double") /
+          sqrt(col("d1").cast("double") * col("d2").cast("double")))
+          .as("r"))
+      .orderBy(keyCol)
+  }
+
+  /** Daily-seasonality strength: hourly volume autocorrelation at lag 24
+    * per event type. */
+  def q197Autocorrelation(spark: SparkSession, dir: String): DataFrame =
+    laggedAutocorrelation(Tables.events(spark, dir), "ts", "event_type",
+      bucketSeconds = 3600L, lagBuckets = 24)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_autocorrelation" -> (q197Autocorrelation _),
     "q195_supervised_bins" -> (q195SupervisedBins _),
     "q193_percentile_series" -> (q193PercentileSeries _),
     "q190_seasonal_naive" -> (q190SeasonalNaive _),
@@ -555,6 +610,44 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q197_autocorrelation" ->
+      """WITH buck AS (
+        |  SELECT event_type AS k,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT k, unnest(range(MIN(b), MAX(b) + 1)) AS b
+        |  FROM buck GROUP BY k),
+        |dense AS (
+        |  SELECT g.k, g.b, COALESCE(buck.n, 0) AS x
+        |  FROM grid g LEFT JOIN buck ON g.k = buck.k AND g.b = buck.b),
+        |pairs AS (
+        |  SELECT a.k, a.x, l.x AS y
+        |  FROM dense a JOIN dense l ON a.k = l.k AND l.b = a.b - 24),
+        |m AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS syy
+        |  FROM pairs GROUP BY 1),
+        |f AS (
+        |  SELECT k, n_pairs,
+        |    CAST(n_pairs AS DECIMAL(38,0)) * sxy
+        |      - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS num,
+        |    CAST(n_pairs AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS d1,
+        |    CAST(n_pairs AS DECIMAL(38,0)) * syy
+        |      - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS d2
+        |  FROM m)
+        |SELECT k AS event_type, n_pairs,
+        |  CAST(num AS DOUBLE)
+        |    / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) AS r
+        |FROM f WHERE d1 > 0 AND d2 > 0 ORDER BY 1""".stripMargin,
     "q195_supervised_bins" ->
       """WITH cuts AS (
         |  SELECT quantile_cont(l_extendedprice, 0.1) AS c1,

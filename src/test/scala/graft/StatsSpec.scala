@@ -482,6 +482,29 @@ class StatsSpec extends AnyFunSuite {
     assert(r == Map("view" -> (2L, 1.5), "click" -> (1L, 0.5)), s"got $r")
   }
 
+  test("laggedAutocorrelation: perfect periodicity gives r=1, gaps densified to zero") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // bucket=10s, lag=2: key "p" emits 2 events in every EVEN bucket
+    // 0,2,4,6,8 and none in odd buckets -> the densified series
+    // [2,0,2,0,...] is exactly periodic at lag 2 -> r = 1.0.
+    // Without the zero-fill only occupied buckets would pair and the
+    // series would be constant (filtered as zero-variance).
+    val ev = (0 until 10 by 2).flatMap(b =>
+        Seq(("p", b * 10L), ("p", b * 10L + 5L)))
+      .toDF("k", "s")
+      .select(col("k"), timestamp_seconds(col("s")).as("ts"))
+    val r = Stats.laggedAutocorrelation(ev, "ts", "k",
+      bucketSeconds = 10L, lagBuckets = 2).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_pairs") == 7L) // buckets 2..8 pair back
+    assert(r.head.getAs[Double]("r") == 1.0)
+    // anti-periodic at lag 1: [2,0,2,0,...] -> r = -1
+    val r1 = Stats.laggedAutocorrelation(ev, "ts", "k",
+      bucketSeconds = 10L, lagBuckets = 1).collect()
+    assert(r1.head.getAs[Double]("r") == -1.0)
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
