@@ -318,6 +318,49 @@ object Behavior {
       "event_type", "event_id", convType = "purchase",
       lookbackSeconds = 7L * 86400L)
 
+  /** Session-level co-occurrence with lift: which event types appear in
+    * the SAME gap-cut session more often than their independent session
+    * frequencies predict ([[Basket]]'s lift, with sessions as baskets).
+    * Small-domain pair space (event-type pairs, not item pairs), so the
+    * per-session distinct-type sets explode into pairs directly; all
+    * counts exact, lift one double expression over exact longs. One
+    * user-key exchange builds sessions, one (type, type) reduce. */
+  def sessionCooccurrence(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, tieCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gap must be positive: $gapSeconds")
+    val wOrd = Window.partitionBy(userCol).orderBy(col("__us"), col(tieCol))
+    val gapUs = gapSeconds * 1000000L
+    val s = events
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__new", when(lag(col("__us"), 1).over(wOrd).isNull ||
+        col("__us") - lag(col("__us"), 1).over(wOrd) > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(userCol).as("u"), col("__sid").as("sid"),
+        col(typeCol).as("t"))
+      .distinct()
+    val totals = s.select("u", "sid").distinct().agg(count(lit(1)).as("n_s"))
+    val per = s.groupBy("t").agg(count(lit(1)).as("n_t"))
+    val pairs = s.as("a").join(s.as("b"),
+        col("a.u") === col("b.u") && col("a.sid") === col("b.sid") &&
+          col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(per.select(col("t").as("t1"), col("n_t").as("n1")), "t1")
+      .join(per.select(col("t").as("t2"), col("n_t").as("n2")), "t2")
+      .crossJoin(totals) // 1-row build side
+      .select(col("t1"), col("t2"), col("n_both"),
+        (col("n_both").cast("double") * col("n_s") /
+          (col("n1") * col("n2"))).as("lift"))
+      .orderBy("t1", "t2")
+  }
+
+  /** Event-type co-occurrence inside 30-minute-gap sessions, with lift. */
+  def q198SessionCooccurrence(spark: SparkSession, dir: String): DataFrame =
+    sessionCooccurrence(Tables.events(spark, dir), "ts", "user_id",
+      "event_type", "event_id", gapSeconds = 30 * 60L)
+
   /** Interval union per key: each event opens a `[ts, ts + durSeconds)`
     * presence interval; overlapping/touching intervals merge into
     * islands (gaps-and-islands via the running max of prior interval
@@ -597,7 +640,8 @@ object Behavior {
     "q144_interval_coverage" -> (q144IntervalCoverage _),
     "q156_session_paths" -> (q156SessionPaths _),
     "q194_bounce_rate" -> (q194BounceRate _),
-    "q196_linear_attribution" -> (q196LinearAttribution _))
+    "q196_linear_attribution" -> (q196LinearAttribution _),
+    "q198_session_cooccurrence" -> (q198SessionCooccurrence _))
 
   /** Top-25 full session paths under the 30-minute-gap rule. Strict hash
     * gate: exact counts; the (n_sessions desc, path) order is total. */
@@ -670,6 +714,36 @@ object Behavior {
         |  CAST(COUNT(*) AS BIGINT) AS n_touches,
         |  CAST(SUM(credit) AS DECIMAL(20,12)) AS credit
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q156 session CTEs + distinct-type pair explosion + lift
+    "q198_session_cooccurrence" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+        |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |s AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_s
+        |  FROM (SELECT DISTINCT user_id, sid FROM s)),
+        |per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+        |  FROM s GROUP BY 1),
+        |pr AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM s a JOIN s b ON a.user_id = b.user_id AND a.sid = b.sid
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, n_both,
+        |  CAST(n_both AS DOUBLE) * n_s / (p1.n_t * p2.n_t) AS lift
+        |FROM pr
+        |JOIN per p1 ON p1.event_type = t1
+        |JOIN per p2 ON p2.event_type = t2, tot
+        |ORDER BY 1, 2""".stripMargin,
     // the q156 session CTEs + an rn=1 entry-type pick
     "q194_bounce_rate" ->
       """WITH e AS (

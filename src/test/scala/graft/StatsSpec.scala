@@ -505,6 +505,25 @@ class StatsSpec extends AnyFunSuite {
     assert(r1.head.getAs[Double]("r") == -1.0)
   }
 
+  test("sessionCooccurrence: pairs within one session only, lift from session frequencies") {
+    import spark.implicits._
+    import graft.operators.Behavior
+    // u1 session1: {A, B}; u1 session2 (after the gap): {A};
+    // u2 session1: {B}  -> n_s = 3, n_A = 2, n_B = 2, n_AB = 1
+    // lift(A,B) = 1 * 3 / (2 * 2) = 0.75
+    val ev = Seq((1L, 0L, "A", 1L), (1L, 10L, "B", 2L),
+        (1L, 10000L, "A", 3L), (2L, 0L, "B", 4L))
+      .toDF("user_id", "s", "event_type", "event_id")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("event_id"))
+    val r = Behavior.sessionCooccurrence(ev, "ts", "user_id", "event_type",
+      "event_id", gapSeconds = 1800L).collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "A" && r.head.getString(1) == "B")
+    assert(r.head.getLong(2) == 1L)
+    assert(r.head.getDouble(3) == 0.75)
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
