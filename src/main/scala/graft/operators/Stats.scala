@@ -592,7 +592,83 @@ object Stats {
     laggedAutocorrelation(Tables.events(spark, dir), "ts", "event_type",
       bucketSeconds = 3600L, lagBuckets = 24)
 
+  /** Survival curve over entity lifetimes (Kaplan-Meier without
+    * censoring): lifetime = whole days between an entity's first and last
+    * event; S(t) = fraction of entities surviving ≥ t, evaluated at every
+    * observed lifetime. One key reduce to lifetimes, then the curve is a
+    * reverse running sum over the LIFETIME HISTOGRAM — a frame whose row
+    * count is bounded by the observation span in days, so the global
+    * (unpartitioned) window is over a statistic, never over entities. */
+  def survivalCurve(events: DataFrame, tsCol: String,
+      keyCol: String): DataFrame = {
+    val lt = events.withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .groupBy(col(keyCol))
+      .agg(expr("(max(__us) - min(__us)) div 86400000000").as("t_days"))
+    val hist = lt.groupBy("t_days").agg(count(lit(1)).as("n_t"))
+    val total = lt.agg(count(lit(1)).as("n_total"))
+    val wRev = Window.orderBy(desc("t_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("n_survivors", sum(col("n_t")).over(wRev))
+      .crossJoin(broadcast(total)) // 1-row build side
+      .select(col("t_days"), col("n_survivors"),
+        (col("n_survivors").cast("double") / col("n_total")).as("s"))
+      .orderBy("t_days")
+  }
+
+  /** User survival: fraction of users active ≥ t days after first
+    * being seen. */
+  def q199SurvivalCurve(spark: SparkSession, dir: String): DataFrame =
+    survivalCurve(Tables.events(spark, dir), "ts", "user_id")
+
+  /** Per-group simple OLS — distributed regression as exact moment sums:
+    * slope/intercept of y on x and r², with both measures quantized to
+    * integer centi-units first (the fixtures' 2-dp doubles), so the five
+    * moments are exact DECIMAL(38,0) sums and the fit is a fixed-shape
+    * double finish (the q197 discipline). Map-side-combined aggregation,
+    * one shuffle; zero-variance-x groups excluded (undefined slope).
+    * Slope/intercept/r² come out in the ORIGINAL units (the 100×
+    * quantization cancels: slope = cov_c/var_c, intercept rescaled by
+    * /100). */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val xc = (col(xCol).cast("decimal(18,2)") * 100).cast("long")
+    val yc = (col(yCol).cast("decimal(18,2)") * 100).cast("long")
+    df.select(col(groupCol).as("g"), xc.as("x"), yc.as("y"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d(col("x")) * d(col("y"))).cast("decimal(38,0)").as("sxy"),
+        sum(d(col("x")) * d(col("x"))).cast("decimal(38,0)").as("sxx"),
+        sum(d(col("y")) * d(col("y"))).cast("decimal(38,0)").as("syy"))
+      .withColumn("cov", d(col("n")) * col("sxy") -
+        d(col("sx")) * d(col("sy")))
+      .withColumn("vx", d(col("n")) * col("sxx") -
+        d(col("sx")) * d(col("sx")))
+      .withColumn("vy", d(col("n")) * col("syy") -
+        d(col("sy")) * d(col("sy")))
+      .filter(col("vx") > 0)
+      .select(col("g").as(groupCol), col("n"),
+        (col("cov").cast("double") / col("vx").cast("double")).as("slope"),
+        ((col("sy").cast("double") - col("cov").cast("double") /
+            col("vx").cast("double") * col("sx").cast("double")) /
+          col("n").cast("double") / 100.0).as("intercept"),
+        when(col("vy") > 0,
+          (col("cov").cast("double") * col("cov").cast("double")) /
+            (col("vx").cast("double") * col("vy").cast("double")))
+          .as("r2"))
+      .orderBy(groupCol)
+  }
+
+  /** Does discount predict quantity, per return flag: the price-
+    * sensitivity regression. */
+  def q200GroupOls(spark: SparkSession, dir: String): DataFrame =
+    groupOls(Tables.lineitem(spark, dir), "l_returnflag", "l_discount",
+      "l_quantity")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_survival_curve" -> (q199SurvivalCurve _),
+    "q200_group_ols" -> (q200GroupOls _),
     "q197_autocorrelation" -> (q197Autocorrelation _),
     "q195_supervised_bins" -> (q195SupervisedBins _),
     "q193_percentile_series" -> (q193PercentileSeries _),
@@ -610,6 +686,55 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q199_survival_curve" ->
+      """WITH lt AS (
+        |  SELECT user_id,
+        |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000
+        |      AS t_days
+        |  FROM events GROUP BY 1),
+        |hist AS (
+        |  SELECT t_days, CAST(COUNT(*) AS BIGINT) AS n_t
+        |  FROM lt GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lt)
+        |SELECT t_days,
+        |  CAST(SUM(n_t) OVER (ORDER BY t_days DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_survivors,
+        |  CAST(SUM(n_t) OVER (ORDER BY t_days DESC
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_total AS s
+        |FROM hist, tot ORDER BY t_days""".stripMargin,
+    "q200_group_ols" ->
+      """WITH q AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS syy
+        |  FROM q GROUP BY 1),
+        |f AS (
+        |  SELECT g, n, sx, sy,
+        |    CAST(n AS DECIMAL(38,0)) * sxy
+        |      - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS cov,
+        |    CAST(n AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS vx,
+        |    CAST(n AS DECIMAL(38,0)) * syy
+        |      - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS vy
+        |  FROM m)
+        |SELECT g AS l_returnflag, n,
+        |  CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE) - CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE)
+        |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
+        |    AS intercept,
+        |  CASE WHEN vy > 0 THEN (CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE))
+        |    / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END AS r2
+        |FROM f WHERE vx > 0 ORDER BY 1""".stripMargin,
     "q197_autocorrelation" ->
       """WITH buck AS (
         |  SELECT event_type AS k,

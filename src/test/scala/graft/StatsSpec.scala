@@ -524,6 +524,37 @@ class StatsSpec extends AnyFunSuite {
     assert(r.head.getDouble(3) == 0.75)
   }
 
+  test("survivalCurve: reverse-cumulative survivors at observed lifetimes") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val day = 86400L
+    // lifetimes: u1 = 0d, u2 = 2d, u3 = 2d -> S(0)=1, S(2)=2/3
+    val ev = Seq((1L, 0L), (2L, 0L), (2L, 2 * day), (3L, day),
+        (3L, 3 * day))
+      .toDF("user_id", "s")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"))
+    val r = Stats.survivalCurve(ev, "ts", "user_id")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    assert(r == Map(0L -> (3L, 1.0), 2L -> (2L, 2.0 / 3.0)), s"got $r")
+  }
+
+  test("groupOls: exact fit on a known line, zero-variance-x group excluded") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // group a: y = 2x + 1 exactly -> slope 2, intercept 1, r2 = 1
+    // group b: x constant -> excluded
+    val df = Seq(("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0),
+        ("b", 1.0, 1.0), ("b", 1.0, 2.0))
+      .toDF("g", "x", "y")
+    val r = Stats.groupOls(df, "g", "x", "y").collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "a")
+    assert(r.head.getDouble(2) == 2.0)   // slope
+    assert(r.head.getDouble(3) == 1.0)   // intercept
+    assert(r.head.getDouble(4) == 1.0)   // r2
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
