@@ -361,6 +361,44 @@ object Behavior {
     sessionCooccurrence(Tables.events(spark, dir), "ts", "user_id",
       "event_type", "event_id", gapSeconds = 30 * 60L)
 
+  /** Sequential pattern mining, fixed length: the top event-type
+    * TRIGRAMS occurring inside gap-cut sessions — [[sessionPaths]] counts
+    * whole paths (sparse at scale), this counts their sliding length-3
+    * windows (dense, the n-gram view of behavior). Two `lead`s on the
+    * session-scoped window — no per-session list materialization — then
+    * one count reduce; (n desc, trigram) is a total order so the top-k
+    * cut is engine-independent. */
+  def eventTrigrams(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, tieCol: String, gapSeconds: Long,
+      topK: Int): DataFrame = {
+    require(gapSeconds > 0 && topK >= 1, s"bad args: $gapSeconds $topK")
+    val wOrd = Window.partitionBy(userCol).orderBy(col("__us"), col(tieCol))
+    val gapUs = gapSeconds * 1000000L
+    val sessioned = events
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__new", when(lag(col("__us"), 1).over(wOrd).isNull ||
+        col("__us") - lag(col("__us"), 1).over(wOrd) > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wS = Window.partitionBy(col(userCol), col("__sid"))
+      .orderBy(col("__us"), col(tieCol))
+    sessioned
+      .withColumn("__t2", lead(col(typeCol), 1).over(wS))
+      .withColumn("__t3", lead(col(typeCol), 2).over(wS))
+      .filter(col("__t2").isNotNull && col("__t3").isNotNull)
+      .select(concat_ws(">", col(typeCol), col("__t2"), col("__t3"))
+        .as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("trigram"))
+      .limit(topK)
+  }
+
+  /** Top-25 in-session event-type trigrams under the 30-minute gap
+    * rule. */
+  def q201EventTrigrams(spark: SparkSession, dir: String): DataFrame =
+    eventTrigrams(Tables.events(spark, dir), "ts", "user_id", "event_type",
+      "event_id", gapSeconds = 30 * 60L, topK = 25)
+
   /** Interval union per key: each event opens a `[ts, ts + durSeconds)`
     * presence interval; overlapping/touching intervals merge into
     * islands (gaps-and-islands via the running max of prior interval
@@ -641,7 +679,8 @@ object Behavior {
     "q156_session_paths" -> (q156SessionPaths _),
     "q194_bounce_rate" -> (q194BounceRate _),
     "q196_linear_attribution" -> (q196LinearAttribution _),
-    "q198_session_cooccurrence" -> (q198SessionCooccurrence _))
+    "q198_session_cooccurrence" -> (q198SessionCooccurrence _),
+    "q201_event_trigrams" -> (q201EventTrigrams _))
 
   /** Top-25 full session paths under the 30-minute-gap rule. Strict hash
     * gate: exact counts; the (n_sessions desc, path) order is total. */
@@ -714,6 +753,29 @@ object Behavior {
         |  CAST(COUNT(*) AS BIGINT) AS n_touches,
         |  CAST(SUM(credit) AS DECIMAL(20,12)) AS credit
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q156 session CTEs + two LEADs inside the session scope
+    "q201_event_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+        |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |tri AS (
+        |  SELECT event_type || '>' ||
+        |    LEAD(event_type, 1) OVER w2 || '>' ||
+        |    LEAD(event_type, 2) OVER w2 AS trigram,
+        |    LEAD(event_type, 2) OVER w2 AS t3
+        |  FROM sess WINDOW w2 AS (PARTITION BY user_id, sid
+        |    ORDER BY us, event_id))
+        |SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM tri WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 25""".stripMargin,
     // the q156 session CTEs + distinct-type pair explosion + lift
     "q198_session_cooccurrence" ->
       """WITH e AS (

@@ -555,6 +555,23 @@ class StatsSpec extends AnyFunSuite {
     assert(r.head.getDouble(4) == 1.0)   // r2
   }
 
+  test("eventTrigrams: windows never cross the session boundary") {
+    import spark.implicits._
+    import graft.operators.Behavior
+    // u1 session1: A B C D -> trigrams A>B>C, B>C>D; session2: E F G
+    // (after the gap) -> E>F>G; a cross-boundary D>E>F must NOT appear
+    val ev = Seq((1L, 0L, "A", 1L), (1L, 1L, "B", 2L), (1L, 2L, "C", 3L),
+        (1L, 3L, "D", 4L), (1L, 10000L, "E", 5L), (1L, 10001L, "F", 6L),
+        (1L, 10002L, "G", 7L))
+      .toDF("user_id", "s", "event_type", "event_id")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("event_id"))
+    val r = Behavior.eventTrigrams(ev, "ts", "user_id", "event_type",
+        "event_id", gapSeconds = 1800L, topK = 10)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("A>B>C" -> 1L, "B>C>D" -> 1L, "E>F>G" -> 1L), s"got $r")
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
