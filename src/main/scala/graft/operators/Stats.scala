@@ -666,7 +666,97 @@ object Stats {
     groupOls(Tables.lineitem(spark, dir), "l_returnflag", "l_discount",
       "l_quantity")
 
+  /** Exact weighted percentile per group (lower weighted median for
+    * p = 1/2): the smallest value v whose cumulative weight reaches
+    * p·W. The threshold is a RATIONAL (pNum/pDen) and weights are
+    * quantized to integer centi-units, so the crossing test
+    * `cumw·pDen ≥ pNum·W` is pure integer arithmetic — no float
+    * boundary. Values are pre-aggregated per (group, v) BEFORE the
+    * running sum, so the window runs over the value histogram (bounded
+    * by distinct values per group), not over rows, and no tiebreak
+    * order is needed. */
+  def weightedPercentile(df: DataFrame, groupCol: String, valCol: String,
+      weightCol: String, pNum: Int, pDen: Int): DataFrame = {
+    require(pNum > 0 && pDen > 0 && pNum <= pDen,
+      s"p must be a rational in (0,1]: $pNum/$pDen")
+    val perV = df.select(col(groupCol).as("g"), col(valCol).as("v"),
+        (col(weightCol).cast("decimal(18,2)") * 100).cast("long").as("w"))
+      .groupBy("g", "v").agg(sum(col("w")).as("wv"))
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("g")
+    perV
+      .withColumn("cumw", sum(col("wv")).over(wCum))
+      .withColumn("tw", sum(col("wv")).over(wTot))
+      .filter(col("cumw") * pDen >= lit(pNum) * col("tw"))
+      .groupBy(col("g").as(groupCol))
+      .agg(min(col("v")).as("p_value"), min(col("tw")).as("total_w_cents"))
+      .orderBy(groupCol)
+  }
+
+  /** Quantity-weighted median extended price per return flag. */
+  def q202WeightedMedian(spark: SparkSession, dir: String): DataFrame =
+    weightedPercentile(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_extendedprice", "l_quantity", pNum = 1, pDen = 2)
+
+  /** Lead-lag cross-correlation profile between two keys' bucket-count
+    * series: r(l) = corr(x_t, y_{t+l}) for every lag in [−L, L] — does
+    * one signal LEAD the other, and by how much. Both series densify
+    * onto the SHARED observation span (zero-filled, the q197 rule);
+    * the lag fan-out is a tiny literal table cross-joined before one
+    * co-partitioned bucket join; per-lag moments follow the exact
+    * DECIMAL(38,0) discipline with the one-double-expression Pearson
+    * finish. */
+  def leadLagCorrelation(events: DataFrame, tsCol: String, keyCol: String,
+      keyX: String, keyY: String, bucketSeconds: Long,
+      maxLag: Int): DataFrame = {
+    require(bucketSeconds > 0 && maxLag >= 1, s"bad args: $bucketSeconds $maxLag")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val buck = events
+      .filter(col(keyCol) === keyX || col(keyCol) === keyY)
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}").as("b"))
+      .groupBy("k", "b").agg(count(lit(1)).as("n"))
+    val span = buck.agg(min("b").as("b0"), max("b").as("b1"))
+    val grid = span.select(explode(sequence(col("b0"), col("b1"))).as("b"))
+    def dense(key: String, out: String) =
+      grid.join(buck.filter(col("k") === key).drop("k"), Seq("b"), "left")
+        .select(col("b"), coalesce(col("n"), lit(0L)).as(out))
+    val lags = (-maxLag to maxLag).toDF("lag")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    dense(keyX, "x").crossJoin(broadcast(lags)) // small literal fan-out
+      .join(dense(keyY, "y").select((col("b")).as("by"), col("y")),
+        col("by") === col("b") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d(col("x")) * d(col("y"))).cast("decimal(38,0)").as("sxy"),
+        sum(d(col("x")) * d(col("x"))).cast("decimal(38,0)").as("sxx"),
+        sum(d(col("y")) * d(col("y"))).cast("decimal(38,0)").as("syy"))
+      .withColumn("num", d(col("n_pairs")) * col("sxy") -
+        d(col("sx")) * d(col("sy")))
+      .withColumn("d1", d(col("n_pairs")) * col("sxx") -
+        d(col("sx")) * d(col("sx")))
+      .withColumn("d2", d(col("n_pairs")) * col("syy") -
+        d(col("sy")) * d(col("sy")))
+      .filter(col("d1") > 0 && col("d2") > 0)
+      .select(col("lag"), col("n_pairs"),
+        (col("num").cast("double") /
+          sqrt(col("d1").cast("double") * col("d2").cast("double")))
+          .as("r"))
+      .orderBy("lag")
+  }
+
+  /** Does 'view' volume lead 'purchase' volume: hourly cross-correlation
+    * at lags −12h..+12h. */
+  def q203LeadLag(spark: SparkSession, dir: String): DataFrame =
+    leadLagCorrelation(Tables.events(spark, dir), "ts", "event_type",
+      keyX = "view", keyY = "purchase", bucketSeconds = 3600L, maxLag = 12)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_weighted_median" -> (q202WeightedMedian _),
+    "q203_lead_lag" -> (q203LeadLag _),
     "q199_survival_curve" -> (q199SurvivalCurve _),
     "q200_group_ols" -> (q200GroupOls _),
     "q197_autocorrelation" -> (q197Autocorrelation _),
@@ -686,6 +776,61 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q202_weighted_median" ->
+      """WITH perv AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS wv
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *, CAST(SUM(wv) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+        |    CAST(SUM(wv) OVER (PARTITION BY g) AS BIGINT) AS tw
+        |  FROM perv)
+        |SELECT g AS l_returnflag, MIN(v) AS p_value,
+        |  MIN(tw) AS total_w_cents
+        |FROM c WHERE cumw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q203_lead_lag" ->
+      """WITH buck AS (
+        |  SELECT event_type AS k,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |span AS (SELECT MIN(b) AS b0, MAX(b) AS b1 FROM buck),
+        |grid AS (SELECT unnest(range(b0, b1 + 1)) AS b FROM span),
+        |dx AS (SELECT g.b, COALESCE(buck.n, 0) AS x FROM grid g
+        |  LEFT JOIN buck ON buck.k = 'view' AND buck.b = g.b),
+        |dy AS (SELECT g.b, COALESCE(buck.n, 0) AS y FROM grid g
+        |  LEFT JOIN buck ON buck.k = 'purchase' AND buck.b = g.b),
+        |lags AS (SELECT unnest(range(-12, 13)) AS lag),
+        |pairs AS (
+        |  SELECT l.lag, dx.x, dy.y
+        |  FROM dx CROSS JOIN lags l
+        |  JOIN dy ON dy.b = dx.b + l.lag),
+        |m AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS syy
+        |  FROM pairs GROUP BY 1),
+        |f AS (
+        |  SELECT lag, n_pairs,
+        |    CAST(n_pairs AS DECIMAL(38,0)) * sxy
+        |      - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS num,
+        |    CAST(n_pairs AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS d1,
+        |    CAST(n_pairs AS DECIMAL(38,0)) * syy
+        |      - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS d2
+        |  FROM m)
+        |SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+        |  CAST(num AS DOUBLE)
+        |    / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) AS r
+        |FROM f WHERE d1 > 0 AND d2 > 0 ORDER BY 1""".stripMargin,
     "q199_survival_curve" ->
       """WITH lt AS (
         |  SELECT user_id,

@@ -572,6 +572,36 @@ class StatsSpec extends AnyFunSuite {
     assert(r == Map("A>B>C" -> 1L, "B>C>D" -> 1L, "E>F>G" -> 1L), s"got $r")
   }
 
+  test("weightedPercentile: integer crossing picks the lower weighted median") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // g: values 1(w=1), 2(w=1), 3(w=2): W=4, half=2 -> cumw at v=2 is 2,
+    // 2*2 >= 4 -> median 2 (the LOWER median; an interpolating engine
+    // would say 2.5)
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0))
+      .toDF("k", "v", "w")
+    val r = Stats.weightedPercentile(df, "k", "v", "w", 1, 2).collect()
+    assert(r.length == 1)
+    assert(r.head.getDouble(1) == 2.0)
+    assert(r.head.getLong(2) == 400L)
+  }
+
+  test("leadLagCorrelation: a shifted copy peaks exactly at its lag") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // y is x delayed by 2 buckets: x bursts in buckets {0, 4, 8},
+    // y bursts in {2, 6, 10} -> r(+2) = 1.0 exactly
+    val xs = Seq(0, 4, 8).flatMap(b => Seq.fill(3)(("a", b * 10L)))
+    val ys = Seq(2, 6, 10).flatMap(b => Seq.fill(3)(("b", b * 10L)))
+    val ev = (xs ++ ys).toDF("k", "s")
+      .select(col("k"), timestamp_seconds(col("s")).as("ts"))
+    val r = Stats.leadLagCorrelation(ev, "ts", "k", "a", "b",
+        bucketSeconds = 10L, maxLag = 3)
+      .collect().map(x => x.getInt(0) -> x.getDouble(2)).toMap
+    assert(r(2) == 1.0, s"got $r")
+    assert(r.keySet == (-3 to 3).toSet)
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
