@@ -754,9 +754,85 @@ object Stats {
     leadLagCorrelation(Tables.events(spark, dir), "ts", "event_type",
       keyX = "view", keyY = "purchase", bucketSeconds = 3600L, maxLag = 12)
 
+  /** Shannon entropy of a categorical mix per entity (how DIVERSE is
+    * each entity's behavior), plus the [0,1]-normalized variant
+    * H / ln(#distinct categories seen). Two aggregations on the SAME
+    * entity-hash partitioning (per-(entity,category) counts, then the
+    * per-entity term sum), so the entropy arithmetic runs over the
+    * entity×category histogram — never over raw rows. Each −p·ln p term
+    * is DECIMAL(38,12)-quantized before the order-sensitive sum (the
+    * chiSquare float discipline), keeping the gate a hash check. */
+  def categoricalEntropy(df: DataFrame, entityCol: String,
+      catCol: String): DataFrame = {
+    val counts = df.groupBy(col(entityCol).as("e"), col(catCol).as("c"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy("e")
+    val p = col("n").cast("double") / col("nt").cast("double")
+    counts
+      .withColumn("nt", sum(col("n")).over(tot))
+      .withColumn("term", (-p * log(p)).cast("decimal(38,12)"))
+      .groupBy(col("e").as(entityCol))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_cats"),
+        sum(col("term")).as("entropy_q"))
+      .select(col(entityCol), col("n_events"), col("n_cats"),
+        col("entropy_q").cast("double").as("entropy_nats"),
+        when(col("n_cats") > 1, col("entropy_q").cast("double") /
+          log(col("n_cats").cast("double"))).otherwise(lit(0.0))
+          .as("norm_entropy"))
+      .orderBy(entityCol)
+  }
+
+  /** Per-user event-type mix entropy: behavioral-diversity scores. */
+  def q204MixEntropy(spark: SparkSession, dir: String): DataFrame =
+    categoricalEntropy(Tables.events(spark, dir), "user_id", "event_type")
+
+  /** Inter-arrival-time profile per category: gaps are measured WITHIN
+    * each (entity, category) stream (the fine partitioning key — never
+    * a one-partition global sort per category), then reduced to exact
+    * integer-µs moment sums per category, finishing with one double
+    * expression each for mean, coefficient of variation, and the
+    * Goh–Barabási burstiness index B = (σ−μ)/(σ+μ) ∈ [−1, 1]
+    * (B→1 bursty, B≈0 Poisson, B<0 regular/periodic). Equal-timestamp
+    * ties contribute 0-gaps regardless of tie order, so the result is
+    * order-deterministic. */
+  def interArrivalProfile(events: DataFrame, tsCol: String,
+      entityCol: String, catCol: String): DataFrame = {
+    val w = Window.partitionBy("e", "c").orderBy("us")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    events
+      .select(col(entityCol).as("e"), col(catCol).as("c"),
+        unix_micros(col(tsCol)).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("c").as(catCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(d(col("gap"))).cast("decimal(38,0)").as("sg"),
+        sum(d(col("gap")) * d(col("gap"))).cast("decimal(38,0)").as("sgg"))
+      .withColumn("mean_us",
+        col("sg").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("var_us",
+        (d(col("n_gaps")) * col("sgg") - col("sg") * col("sg"))
+          .cast("double") /
+          (col("n_gaps").cast("double") * col("n_gaps").cast("double")))
+      .withColumn("sd_us", sqrt(col("var_us")))
+      .select(col(catCol), col("n_gaps"), col("mean_us"), col("sd_us"),
+        (col("sd_us") / col("mean_us")).as("cv"),
+        ((col("sd_us") - col("mean_us")) / (col("sd_us") + col("mean_us")))
+          .as("burstiness"))
+      .orderBy(catCol)
+  }
+
+  /** How bursty is each event type within user streams. */
+  def q205Interarrival(spark: SparkSession, dir: String): DataFrame =
+    interArrivalProfile(Tables.events(spark, dir), "ts", "user_id",
+      "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_weighted_median" -> (q202WeightedMedian _),
     "q203_lead_lag" -> (q203LeadLag _),
+    "q204_mix_entropy" -> (q204MixEntropy _),
+    "q205_interarrival" -> (q205Interarrival _),
     "q199_survival_curve" -> (q199SurvivalCurve _),
     "q200_group_ols" -> (q200GroupOls _),
     "q197_autocorrelation" -> (q197Autocorrelation _),
@@ -776,6 +852,56 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q204_mix_entropy" ->
+      """WITH cnt AS (
+        |  SELECT user_id AS e, event_type AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, CAST(SUM(n) OVER (PARTITION BY e) AS BIGINT) AS nt
+        |  FROM cnt),
+        |terms AS (
+        |  SELECT e, n, nt,
+        |    CAST(-(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      AS DECIMAL(38,12)) AS term
+        |  FROM t),
+        |agg AS (
+        |  SELECT e AS user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cats,
+        |    CAST(SUM(term) AS DECIMAL(38,12)) AS hq
+        |  FROM terms GROUP BY 1)
+        |SELECT user_id, n_events, n_cats,
+        |  CAST(hq AS DOUBLE) AS entropy_nats,
+        |  CASE WHEN n_cats > 1
+        |    THEN CAST(hq AS DOUBLE) / ln(CAST(n_cats AS DOUBLE))
+        |    ELSE 0.0 END AS norm_entropy
+        |FROM agg ORDER BY 1""".stripMargin,
+    "q205_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type AS c,
+        |    CAST(epoch_us(ts) AS BIGINT)
+        |      - LAG(CAST(epoch_us(ts) AS BIGINT)) OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY epoch_us(ts)) AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT c AS event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sg,
+        |    CAST(SUM(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sgg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n_gaps,
+        |    CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_us,
+        |    sqrt(CAST(CAST(n_gaps AS DECIMAL(38,0)) * sgg - sg * sg
+        |        AS DOUBLE)
+        |      / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE))) AS sd_us
+        |  FROM m)
+        |SELECT event_type, n_gaps, mean_us, sd_us,
+        |  sd_us / mean_us AS cv,
+        |  (sd_us - mean_us) / (sd_us + mean_us) AS burstiness
+        |FROM f ORDER BY 1""".stripMargin,
     "q202_weighted_median" ->
       """WITH perv AS (
         |  SELECT l_returnflag AS g, l_extendedprice AS v,

@@ -602,6 +602,37 @@ class StatsSpec extends AnyFunSuite {
     assert(r.keySet == (-3 to 3).toSet)
   }
 
+  test("categoricalEntropy: uniform mix is ln k, single category is 0") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // u1: 2+2 uniform over 2 cats -> H = ln 2, norm 1; u2: one cat -> 0
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a")).toDF("u", "c")
+    val r = Stats.categoricalEntropy(df, "u", "c").collect()
+      .map(x => x.getLong(0) -> (x.getDouble(3), x.getDouble(4))).toMap
+    assert(math.abs(r(1L)._1 - math.log(2)) < 1e-9, s"got $r")
+    assert(math.abs(r(1L)._2 - 1.0) < 1e-9)
+    assert(r(2L) == ((0.0, 0.0)))
+  }
+
+  test("interArrivalProfile: periodic gaps give B = -1, gaps stay per-entity") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // cat p: entity 1 at t=0,10,20 -> gaps {10,10}, sd=0 -> B=-1, cv=0.
+    // entity 2 at t=1000 contributes NO gap (its stream has one event) —
+    // a global-ordered implementation would wrongly see gap 980.
+    val df = Seq((1L, "p", 0L), (1L, "p", 10L), (1L, "p", 20L),
+      (2L, "p", 1000L)).toDF("e", "c", "s")
+      .select(col("e"), col("c"), timestamp_seconds(col("s")).as("ts"))
+    val r = Stats.interArrivalProfile(df, "ts", "e", "c").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 2L) // n_gaps
+    assert(row.getDouble(2) == 1e7) // mean 10 s in µs
+    assert(row.getDouble(3) == 0.0) // sd
+    assert(row.getDouble(5) == -1.0, s"got $row") // burstiness
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
