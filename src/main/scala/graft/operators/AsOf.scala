@@ -167,6 +167,60 @@ object AsOf {
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
       .orderBy("user_id", "ts_us")
 
+  /** Bucket-series gap-fill by LINEAR INTERPOLATION (the two-sided
+    * complement of [[resampleLocf]]'s carry-forward): the value series is
+    * bucketed per key (`value` sums DECIMAL-quantized so the per-bucket
+    * aggregate is order-exact), densified onto the key's own span grid,
+    * and every empty bucket is filled by interpolating between the
+    * nearest observed buckets on each side —
+    * v = v_prev + (v_next − v_prev)·(b − b_prev)/(b_next − b_prev),
+    * one double expression on exact inputs. Leading/trailing gaps fall
+    * back to the single available neighbor. Shape: one groupBy and two
+    * framed windows on the SAME key-hash partitioning, all over the
+    * bucket histogram (span/step bounded), never raw rows. */
+  def interpolateGaps(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"step must be positive, got $stepSeconds")
+    val stepUs = stepSeconds * 1000000L
+    val buck = events
+      .select(col(keyCol).as("__k"),
+        expr(s"unix_micros($tsCol) div $stepUs").as("__b"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+      .groupBy("__k", "__b").agg(sum("__v").cast("decimal(38,6)").as("__v"))
+    val dense = buck.groupBy("__k")
+      .agg(min("__b").as("__g0"), max("__b").as("__g1"))
+      .select(col("__k"), explode(sequence(col("__g0"), col("__g1"))).as("__b"))
+      .join(buck, Seq("__k", "__b"), "left")
+    val wPrev = Window.partitionBy("__k").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("__k").orderBy("__b")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsB = when(col("__v").isNotNull, col("__b"))
+    val obsV = when(col("__v").isNotNull, col("__v"))
+    val dd = (c: Column) => c.cast("double")
+    dense
+      .withColumn("__pb", last(obsB, ignoreNulls = true).over(wPrev))
+      .withColumn("__pv", last(obsV, ignoreNulls = true).over(wPrev))
+      .withColumn("__nb", first(obsB, ignoreNulls = true).over(wNext))
+      .withColumn("__nv", first(obsV, ignoreNulls = true).over(wNext))
+      .select(col("__k").as(keyCol), (col("__b") * stepUs).as("ts_us"),
+        col("__v").isNotNull.as("observed"),
+        when(col("__v").isNotNull, dd(col("__v")))
+          .when(col("__pb").isNotNull && col("__nb").isNotNull,
+            dd(col("__pv")) + (dd(col("__nv")) - dd(col("__pv"))) *
+              dd(col("__b") - col("__pb")) / dd(col("__nb") - col("__pb")))
+          .when(col("__pb").isNotNull, dd(col("__pv")))
+          .otherwise(dd(col("__nv")))
+          .as(valueCol))
+      .orderBy(keyCol, "ts_us")
+  }
+
+  /** Hourly per-event-type value series with empty hours linearly
+    * interpolated. */
+  def q207InterpolateGaps(spark: SparkSession, dir: String): DataFrame =
+    interpolateGaps(Tables.events(spark, dir), "event_type", "ts", "value",
+      stepSeconds = 3600L)
+
   /** The q23 as-of join answered by the CUSTOM PHYSICAL OPERATOR — same
     * oracle (DuckDB's native ASOF LEFT JOIN), so the exec's merge
     * semantics are gated against an independent native implementation,
@@ -186,7 +240,8 @@ object AsOf {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_asof_join" -> (q23AsofJoin _),
     "q182_asof_exec" -> (q182AsofExec _),
-    "q100_resample_locf" -> (q100ResampleLocf _))
+    "q100_resample_locf" -> (q100ResampleLocf _),
+    "q207_interpolate_gaps" -> (q207InterpolateGaps _))
 
   private val asofSql: String =
       """SELECT e.event_id, o.o_orderkey
@@ -218,5 +273,40 @@ object AsOf {
         |  FROM g JOIN e ON e.user_id = g.user_id AND e.us <= g.us)
         |SELECT user_id, us AS ts_us, value
         |FROM s WHERE rn = 1
-        |ORDER BY user_id, ts_us""".stripMargin)
+        |ORDER BY user_id, ts_us""".stripMargin,
+    "q207_interpolate_gaps" ->
+      """WITH buck AS (
+        |  SELECT event_type AS k,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS b,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT k, MIN(b) AS g0, MAX(b) AS g1 FROM buck GROUP BY 1),
+        |grid AS (SELECT k, unnest(range(g0, g1 + 1)) AS b FROM span),
+        |dense AS (
+        |  SELECT g.k, g.b, buck.v
+        |  FROM grid g LEFT JOIN buck ON buck.k = g.k AND buck.b = g.b),
+        |n AS (
+        |  SELECT k, b, v,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY b
+        |        ROWS UNBOUNDED PRECEDING) AS pb,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY b
+        |        ROWS UNBOUNDED PRECEDING) AS pv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY b
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY b
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM dense)
+        |SELECT k AS event_type, CAST(b * 3600000000 AS BIGINT) AS ts_us,
+        |  v IS NOT NULL AS observed,
+        |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |    WHEN pb IS NOT NULL AND nb IS NOT NULL THEN
+        |      CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+        |        * CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)
+        |    WHEN pb IS NOT NULL THEN CAST(pv AS DOUBLE)
+        |    ELSE CAST(nv AS DOUBLE) END AS value
+        |FROM n ORDER BY 1, 2""".stripMargin)
 }

@@ -828,11 +828,70 @@ object Stats {
     interArrivalProfile(Tables.events(spark, dir), "ts", "user_id",
       "event_type")
 
+  /** Single best changepoint per key over its zero-filled bucket-count
+    * series: the split t maximizing the between-segment SSE reduction
+    * G(t) = S_t²/t + (S_n−S_t)²/(n−t) − S_n²/n (binary-segmentation
+    * step 1, the offline twin of the CUSUM monitors q169/q174). Prefix
+    * sums are exact DECIMAL over integer counts; each gain is one fixed
+    * double expression on those exact inputs, so the argmax (earliest t
+    * wins ties via a total-order ROW_NUMBER) is engine-deterministic.
+    * All windows run over the per-key bucket HISTOGRAM — span/step
+    * bounded, never raw events. */
+  def changepoint(events: DataFrame, tsCol: String, keyCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucket must be positive: $bucketSeconds")
+    val stepUs = bucketSeconds * 1000000L
+    val buck = events
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div $stepUs").as("b"))
+      .groupBy("k", "b").agg(count(lit(1)).as("n"))
+    val wRun = Window.partitionBy("k").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("k")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val base = buck.groupBy("k").agg(min("b").as("b0"), max("b").as("b1"))
+      .select(col("k"), col("b0"),
+        explode(sequence(col("b0"), col("b1"))).as("b"))
+      .join(buck.withColumnRenamed("k", "k2").withColumnRenamed("b", "bb"),
+        col("k") === col("k2") && col("b") === col("bb"), "left")
+      .select(col("k"), col("b0"), col("b"),
+        coalesce(col("n"), lit(0L)).as("x"))
+      .withColumn("t", row_number().over(Window.partitionBy("k").orderBy("b")))
+      .withColumn("st", sum(d(col("x"))).over(wRun).cast("decimal(38,0)"))
+      .withColumn("nb", count(lit(1)).over(wAll))
+      .withColumn("sn", sum(d(col("x"))).over(wAll).cast("decimal(38,0)"))
+    val gains = base.filter(col("t") < col("nb"))
+      .withColumn("gain",
+        dd(col("st")) * dd(col("st")) / dd(col("t")) +
+        (dd(col("sn")) - dd(col("st"))) * (dd(col("sn")) - dd(col("st"))) /
+          (dd(col("nb")) - dd(col("t"))) -
+        dd(col("sn")) * dd(col("sn")) / dd(col("nb")))
+    gains
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("k").orderBy(col("gain").desc, col("t"))))
+      .filter(col("rk") === 1)
+      .select(col("k").as(keyCol), col("nb").as("n_buckets"),
+        // first bucket of the right segment, as epoch µs (the q100 rule:
+        // raw timestamps hash differently across engines on tz flavor)
+        ((col("b") + 1) * stepUs).as("cp_us"),
+        (dd(col("st")) / dd(col("t"))).as("mean_before"),
+        ((dd(col("sn")) - dd(col("st"))) / (dd(col("nb")) - dd(col("t"))))
+          .as("mean_after"),
+        col("gain"))
+      .orderBy(keyCol)
+  }
+
+  /** Where does each event type's hourly volume shift most sharply. */
+  def q206Changepoint(spark: SparkSession, dir: String): DataFrame =
+    changepoint(Tables.events(spark, dir), "ts", "event_type", 3600L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q202_weighted_median" -> (q202WeightedMedian _),
     "q203_lead_lag" -> (q203LeadLag _),
     "q204_mix_entropy" -> (q204MixEntropy _),
     "q205_interarrival" -> (q205Interarrival _),
+    "q206_changepoint" -> (q206Changepoint _),
     "q199_survival_curve" -> (q199SurvivalCurve _),
     "q200_group_ols" -> (q200GroupOls _),
     "q197_autocorrelation" -> (q197Autocorrelation _),
@@ -852,6 +911,47 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q206_changepoint" ->
+      """WITH buck AS (
+        |  SELECT event_type AS k,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT k, MIN(b) AS b0, MAX(b) AS b1 FROM buck GROUP BY 1),
+        |grid AS (SELECT k, unnest(range(b0, b1 + 1)) AS b FROM span),
+        |dense AS (
+        |  SELECT g.k, g.b, COALESCE(buck.n, 0) AS x
+        |  FROM grid g LEFT JOIN buck ON buck.k = g.k AND buck.b = g.b),
+        |pre AS (
+        |  SELECT k, b,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY b) AS BIGINT)
+        |      AS t,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) OVER (PARTITION BY k
+        |      ORDER BY b ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS st,
+        |    CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS nb,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) OVER (PARTITION BY k)
+        |      AS DECIMAL(38,0)) AS sn
+        |  FROM dense),
+        |gains AS (
+        |  SELECT *,
+        |    CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(t AS DOUBLE)
+        |    + (CAST(sn AS DOUBLE) - CAST(st AS DOUBLE))
+        |      * (CAST(sn AS DOUBLE) - CAST(st AS DOUBLE))
+        |      / (CAST(nb AS DOUBLE) - CAST(t AS DOUBLE))
+        |    - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(nb AS DOUBLE)
+        |      AS gain
+        |  FROM pre WHERE t < nb),
+        |best AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+        |    ORDER BY gain DESC, t) AS rk
+        |  FROM gains)
+        |SELECT k AS event_type, nb AS n_buckets,
+        |  CAST((b + 1) * 3600000000 AS BIGINT) AS cp_us,
+        |  CAST(st AS DOUBLE) / CAST(t AS DOUBLE) AS mean_before,
+        |  (CAST(sn AS DOUBLE) - CAST(st AS DOUBLE))
+        |    / (CAST(nb AS DOUBLE) - CAST(t AS DOUBLE)) AS mean_after,
+        |  gain
+        |FROM best WHERE rk = 1 ORDER BY 1""".stripMargin,
     "q204_mix_entropy" ->
       """WITH cnt AS (
         |  SELECT user_id AS e, event_type AS c,

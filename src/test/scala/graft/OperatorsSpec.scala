@@ -546,6 +546,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, t(10, 0), 25.0), (1L, t(11, 0), 25.0)), s"got $got")
   }
 
+  test("interpolateGaps: two-sided fill is linear, edges fall back to neighbor") {
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      ("a", t(10), 1.0), ("a", t(13), 4.0), // gap at 11, 12 -> 2.0, 3.0
+      ("b", t(9), 5.0)                      // single bucket: emitted as-is
+    ).toDF("k", "ts", "value")
+    val got = graft.operators.AsOf.interpolateGaps(ev, "k", "ts", "value", 3600L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000L % 24,
+        r.getBoolean(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("a", 10L, true, 1.0), ("a", 11L, false, 2.0),
+      ("a", 12L, false, 3.0), ("a", 13L, true, 4.0),
+      ("b", 9L, true, 5.0)), s"got $got")
+  }
+
   // ---- hot-bucket caps ----
 
   test("hot-bucket cap bounds a degenerate bucket and reports the drop") {

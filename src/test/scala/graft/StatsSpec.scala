@@ -633,6 +633,23 @@ class StatsSpec extends AnyFunSuite {
     assert(row.getDouble(5) == -1.0, s"got $row") // burstiness
   }
 
+  test("changepoint: a clean step splits exactly at the jump") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // hourly counts 1,1,1,11,11 (bucket b gets b%... build by event
+    // multiplicity): buckets 0-2 one event, buckets 3-4 eleven events
+    val rows = (0 to 2).flatMap(b => Seq.fill(1)(("k", b * 3600L))) ++
+      (3 to 4).flatMap(b => Seq.fill(11)(("k", b * 3600L)))
+    val ev = rows.toDF("k", "s")
+      .select(col("k"), timestamp_seconds(col("s")).as("ts"))
+    val r = Stats.changepoint(ev, "ts", "k", 3600L).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 5L) // n_buckets
+    assert(row.getLong(2) == 3L * 3600000000L, s"got $row") // cp at bucket 3
+    assert(row.getDouble(3) == 1.0 && row.getDouble(4) == 11.0)
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
