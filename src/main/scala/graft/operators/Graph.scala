@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on edge lists. The engine already ships
@@ -306,7 +306,59 @@ object Graph {
     hits(e, "c", "p", iters = 2).orderBy("kind", "id")
   }
 
+  /** Degree assortativity of an undirected edge list: the Pearson
+    * correlation of endpoint degrees over the BI-DIRECTED edge set (each
+    * undirected edge contributes both orientations, the standard Newman
+    * mixing formulation on full degrees). r > 0: hubs attach to hubs;
+    * r < 0: hub-and-spoke. By symmetry Σx = Σy and Σx² = Σy², so
+    * r = (M·Σxy − Σx²ₛᵤₘ) / (M·Σx² − (Σx)²) — numerator and denominator
+    * are EXACT integer-DECIMAL sums (degrees are ints), the final
+    * division is the single double op. Shape: one degree aggregation,
+    * two broadcast-joinable degree lookups, one global reduce — no
+    * iteration, edge-linear. */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val bi = e.union(e.select(col("v"), col("u")).toDF("u", "v"))
+      .join(deg.select(col("node").as("u"), col("d").as("dx")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dy")), "v")
+    val dc = (c: Column) => c.cast("decimal(38,0)")
+    val stats = bi.agg(count(lit(1)).as("m"),
+      sum(dc(col("dx"))).cast("decimal(38,0)").as("sx"),
+      sum(dc(col("dx")) * dc(col("dy"))).cast("decimal(38,0)").as("sxy"),
+      sum(dc(col("dx")) * dc(col("dx"))).cast("decimal(38,0)").as("sxx"))
+    val shape = deg.agg(count(lit(1)).as("n_nodes"), max("d").as("max_degree"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges"))) // two 1-row frames
+    shape.crossJoin(stats)
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        (col("n_edges").cast("double") * 2 / col("n_nodes").cast("double"))
+          .as("mean_degree"),
+        when(dc(col("m")) * col("sxx") === col("sx") * col("sx"), lit(0.0))
+          .otherwise(
+            (dc(col("m")) * col("sxy") - col("sx") * col("sx"))
+              .cast("double") /
+            (dc(col("m")) * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+          .as("assortativity"))
+  }
+
+  /** Is the part co-order graph hub-attracts-hub or hub-and-spoke. */
+  def q208Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", basketCap = 64)
+    degreeAssortativity(Basket.pairCounts(bk, basketCap = 64,
+      minSupport = 2L), "p1", "p2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_assortativity" -> (q208Assortativity _),
     "q138_pagerank" -> (q138PageRank _),
     "q150_triangles" -> (q150Triangles _),
     "q151_bfs_hops" -> (q151BfsHops _),
@@ -366,6 +418,45 @@ object Graph {
       """SELECT node AS event_type,
         |  CAST(rank AS DECIMAL(20,12)) AS rank
         |FROM r5 ORDER BY event_type""".stripMargin),
+    // same ed CTE as q150; the bi-directed endpoint-degree moments are
+    // exact integers, the final division is the one double op
+    "q208_assortativity" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed)
+        |  GROUP BY 1),
+        |bi AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+        |j AS (
+        |  SELECT du.d AS dx, dv.d AS dy
+        |  FROM bi JOIN deg du ON du.node = bi.u
+        |    JOIN deg dv ON dv.node = bi.v),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(dx AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(dx AS DECIMAL(38,0)) * CAST(dx AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxx
+        |  FROM j),
+        |shape AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+        |    (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree,
+        |    CAST(COUNT(*) AS BIGINT) AS n_edges
+        |  FROM ed)
+        |SELECT n_nodes, n_edges, max_degree,
+        |  CAST(n_edges AS DOUBLE) * 2 / CAST(n_nodes AS DOUBLE)
+        |    AS mean_degree,
+        |  CASE WHEN CAST(m AS DECIMAL(38,0)) * sxx = sx * sx THEN 0.0
+        |    ELSE CAST(CAST(m AS DECIMAL(38,0)) * sxy - sx * sx AS DOUBLE)
+        |      / CAST(CAST(m AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+        |  END AS assortativity
+        |FROM shape CROSS JOIN st""".stripMargin,
     // id-ordered triangle join — orientation changes the join's cost, not
     // the triangle set, so the oracle can use the simple form
     "q150_triangles" ->

@@ -796,6 +796,53 @@ object Similarity {
     knnClassify(Tables.embeddings(spark, dir), "vec_id", "embedding",
       "label", probeBound = 25L, k = 10)
 
+  /** Centroid-based (simplified) silhouette per label cluster — the
+    * embedding-space quality report for a labeled/clustered corpus:
+    * a(i) = ‖xᵢ − c(own)‖, b(i) = min over other labels ‖xᵢ − c(other)‖,
+    * s(i) = (b − a)/max(a, b), averaged per label. O(n · #labels · dim)
+    * — never the O(n²) pairwise silhouette.
+    *
+    * Scale shape: centroids are a labels×dims frame (model-sized, AQE
+    * broadcasts it into the distance join), so the only data-sized pass
+    * is one explode + groupBy per vector. Float discipline: components
+    * pass float→double (exact) →DECIMAL(38,12) before the order-
+    * sensitive centroid sum; each squared-diff term is DECIMAL(38,18)-
+    * quantized before the per-vector sum; every division/sqrt is a
+    * single double op on exact inputs — binary fractions can never tie
+    * at a decimal rounding boundary, so both engines quantize
+    * identically and the gate is a strict hash check. */
+  def clusterSilhouette(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dq = (c: Column) => c.cast("double").cast("decimal(38,12)")
+    val ex = vecs.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val cent = ex.groupBy(col("lbl").as("clbl"), col("pos").as("cpos"))
+      .agg((sum(dq(col("x"))).cast("decimal(38,12)").cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+    val terms = ex.join(cent, col("pos") === col("cpos"))
+      .withColumn("t",
+        ((col("x") - col("c")) * (col("x") - col("c"))).cast("decimal(38,18)"))
+      .groupBy("id", "lbl", "clbl")
+      .agg(sum(col("t")).cast("decimal(38,18)").cast("double").as("d2"))
+    val per = terms.groupBy("id", "lbl")
+      .agg(sqrt(min(when(col("clbl") === col("lbl"), col("d2")))).as("a"),
+        sqrt(min(when(col("clbl") =!= col("lbl"), col("d2")))).as("b"))
+      .withColumn("s", when(col("a") === col("b"), lit(0.0))
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+    per.groupBy(col("lbl").as(labelCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("s").cast("decimal(38,12)")).cast("decimal(38,12)")
+          .cast("double") / count(lit(1)).cast("double"))
+          .as("avg_silhouette"))
+      .orderBy(labelCol)
+  }
+
+  /** How separable are the embedding label clusters. */
+  def q209Silhouette(spark: SparkSession, dir: String): DataFrame =
+    clusterSilhouette(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      "label")
+
   /** Brute-force cosine top-10 for the vec_id=0 query vector. */
   def q50KnnBrute(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables.embeddings(spark, dir), "vec_id", "embedding", 0L, 10)
@@ -1035,6 +1082,7 @@ object Similarity {
     "q98_ann_ivfpq" -> (q98AnnIvfPq _),
     "q50_knn_brute" -> (q50KnnBrute _),
     "q181_knn_classify" -> (q181KnnClassify _),
+    "q209_silhouette" -> (q209Silhouette _),
     "q51_ann_lsh" -> (q51AnnLsh _),
     "q52_embedding_near_dup" -> (q52EmbeddingNearDup _),
     "q53_ann_ivf" -> (q53AnnIvf _),
@@ -1042,6 +1090,38 @@ object Similarity {
     "q96_pq_index_query" -> (q96PqIndexQuery _))
 
   val oracles: Map[String, String] = Map(
+    // DuckDB lists are 1-based; positions only need to be internally
+    // consistent on each side. Same quantization ladder as the Spark plan.
+    "q209_silhouette" ->
+      """WITH ex AS (
+        |  SELECT e.vec_id AS id, e.label AS lbl, r.pos,
+        |    CAST(e.embedding[r.pos] AS DOUBLE) AS x
+        |  FROM embeddings e,
+        |    (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS pos) r),
+        |cent AS (
+        |  SELECT lbl AS clbl, pos AS cpos,
+        |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM ex GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT ex.id, ex.lbl, c.clbl,
+        |    CAST(SUM(CAST((ex.x - c.c) * (ex.x - c.c) AS DECIMAL(38,18)))
+        |      AS DECIMAL(38,18)) AS d2
+        |  FROM ex JOIN cent c ON c.cpos = ex.pos
+        |  GROUP BY 1, 2, 3),
+        |per AS (
+        |  SELECT id, lbl,
+        |    sqrt(CAST(MIN(CASE WHEN clbl = lbl THEN d2 END) AS DOUBLE)) AS a,
+        |    sqrt(CAST(MIN(CASE WHEN clbl <> lbl THEN d2 END) AS DOUBLE)) AS b
+        |  FROM terms GROUP BY 1, 2),
+        |sil AS (
+        |  SELECT lbl, CASE WHEN a = b THEN 0.0
+        |    ELSE (b - a) / greatest(a, b) END AS s
+        |  FROM per)
+        |SELECT lbl AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_silhouette
+        |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin,
     // both component rankings rebuilt from first principles (the generated
     // BM25 twin + list_cosine_similarity), fused with the same reciprocal
     // formula and rounding — the fused top-10 is hash-exact

@@ -563,6 +563,26 @@ class OperatorsSpec extends AnyFunSuite {
       ("b", 9L, true, 5.0)), s"got $got")
   }
 
+  test("clusterSilhouette: separated clusters score near 1, symmetric case exact") {
+    import spark.implicits._
+    // two clusters on a line: label 0 at x=0 y∈{0,2}, label 1 at x=10.
+    // centroids (0,1) and (10,1); every point: a=1, b=sqrt(101),
+    // s = (sqrt(101)-1)/sqrt(101) — identical for all four by symmetry.
+    val vecs = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(0f, 2f), 0),
+      (3L, Array(10f, 0f), 1), (4L, Array(10f, 2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Similarity
+      .clusterSilhouette(vecs, "vec_id", "embedding", "label")
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    val expected = (math.sqrt(101) - 1) / math.sqrt(101)
+    assert(r.keySet == Set(0, 1))
+    r.values.foreach { case (n, s) =>
+      assert(n == 2L)
+      assert(math.abs(s - expected) < 1e-9, s"got $s want $expected")
+    }
+  }
+
   // ---- hot-bucket caps ----
 
   test("hot-bucket cap bounds a degenerate bucket and reports the drop") {
@@ -1251,6 +1271,20 @@ class OperatorsSpec extends AnyFunSuite {
     // degrees: 1->4, 2..4->3, 5->1; wedges = 6 + 3*3 + 0 = 15
     assert(got.getLong(3) == 15, "wedges")
     assert(got.getDouble(4) == 4.0 * 3 / 15, "global cc")
+  }
+
+  test("degreeAssortativity: a star is exactly -1, a clique degenerates to 0") {
+    import graft.operators.Graph
+    // K1,3: every edge joins degree 3 to degree 1 -> r = -1 exactly
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val gs = Graph.degreeAssortativity(star, "a", "b").collect()(0)
+    assert(gs.getLong(0) == 4 && gs.getLong(1) == 3)
+    assert(gs.getLong(2) == 3) // max degree
+    assert(gs.getDouble(4) == -1.0, s"got $gs")
+    // K3: all degrees equal -> zero variance -> guarded to 0.0
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val gt = Graph.degreeAssortativity(tri, "a", "b").collect()(0)
+    assert(gt.getDouble(4) == 0.0, s"got $gt")
   }
 
   test("triangleStats: triangle-free bipartite graph counts zero") {
