@@ -843,6 +843,85 @@ object Similarity {
     clusterSilhouette(Tables.embeddings(spark, dir), "vec_id", "embedding",
       "label")
 
+  /** First principal component of an embedding corpus by POWER ITERATION
+    * on the covariance matrix — the exact-reproducible PCA kernel.
+    *
+    * Scale shape: the only data-sized pass is the second-moment
+    * aggregation Σ xⱼxₖ — a groupBy over n·d² exploded pairs whose
+    * partial aggregation (map-side combine) reduces every partition to
+    * d² rows before the shuffle, so the exchange is d²·partitions no
+    * matter how large n is. Everything after runs on the d×d matrix
+    * (model-sized frames, a few tiny jobs per iteration; lineage
+    * truncated per round).
+    *
+    * Determinism: every order-sensitive sum (moments, matrix-vector
+    * products, norms, Rayleigh quotient) is DECIMAL-quantized term-wise;
+    * divisions/sqrts are single double ops; the init vector 1/√d is a
+    * power of two for d a power of 4 — the oracle unrolls the identical
+    * ladder, so the gate is strict hash equality. Fixed `iters` rounds,
+    * no convergence test (run-count IS the spec, the q151 bounded-round
+    * rule). */
+  def pcaFirstComponent(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int): DataFrame = {
+    require(dim > 0 && iters >= 1, s"bad args: dim=$dim iters=$iters")
+    val q12 = (c: Column) => c.cast("double").cast("decimal(38,12)")
+    val q18 = (c: Column) => c.cast("decimal(38,18)")
+    val dd = (c: Column) => c.cast("double")
+    val ex = vecs.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("p", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val n = vecs.count().toDouble
+    val means = ex.groupBy(col("p").as("mp"))
+      .agg((sum(q12(col("x"))).cast("decimal(38,12)").cast("double") /
+        lit(n)).as("m"))
+    // second moments: the one data-sized aggregation (d² groups,
+    // map-side combined)
+    val moments = ex.toDF("id", "j", "xj")
+      .join(ex.toDF("id2", "k", "xk"), col("id") === col("id2"))
+      .groupBy("j", "k")
+      .agg(sum(q18(col("xj") * col("xk"))).cast("decimal(38,18)").as("sjk"))
+    val cov = moments
+      .join(means.withColumnRenamed("mp", "j").withColumnRenamed("m", "mj"), "j")
+      .join(means.withColumnRenamed("mp", "k").withColumnRenamed("m", "mk"), "k")
+      .select(col("j"), col("k"),
+        (dd(col("sjk")) / lit(n) - col("mj") * col("mk")).as("cval"))
+      .localCheckpoint(true)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var v = (0 until dim).map(k => (k, 1.0 / math.sqrt(dim.toDouble)))
+      .toDF("k", "v").localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val w = cov.join(v, "k").groupBy("j")
+        .agg(sum(q18(col("cval") * col("v"))).cast("decimal(38,18)").as("wq"))
+        .select(col("j"), dd(col("wq")).as("wd"))
+      val norm = w.agg(sqrt(dd(
+        sum(q18(col("wd") * col("wd"))).cast("decimal(38,18)"))).as("nrm"))
+      v = w.crossJoin(norm)
+        .select(col("j").as("k"), (col("wd") / col("nrm")).as("v"))
+        .localCheckpoint(true)
+    }
+    // Rayleigh quotient λ = vᵀCv and trace — both on the d×d frame
+    val cv = cov.join(v, "k").groupBy("j")
+      .agg(sum(q18(col("cval") * col("v"))).cast("decimal(38,18)").as("wq"))
+      .select(col("j").as("k"), dd(col("wq")).as("wd"))
+    val lam = cv.join(v, "k")
+      .agg(dd(sum(q18(col("v") * col("wd"))).cast("decimal(38,18)"))
+        .as("eigenvalue"))
+    val tr = cov.filter(col("j") === col("k"))
+      .agg(dd(sum(q18(col("cval"))).cast("decimal(38,18)")).as("trace"))
+    v.crossJoin(lam).crossJoin(tr)
+      .select(col("k").as("pos"), col("v").as("loading"),
+        col("eigenvalue"),
+        (col("eigenvalue") / col("trace")).as("explained_frac"))
+      .orderBy("pos")
+  }
+
+  /** Dominant direction of the embedding corpus: PC1 loadings +
+    * explained-variance share, 8 power-iteration rounds. */
+  def q210PcaPower(spark: SparkSession, dir: String): DataFrame =
+    pcaFirstComponent(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      dim = 64, iters = 8)
+
   /** Brute-force cosine top-10 for the vec_id=0 query vector. */
   def q50KnnBrute(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables.embeddings(spark, dir), "vec_id", "embedding", 0L, 10)
@@ -1083,13 +1162,70 @@ object Similarity {
     "q50_knn_brute" -> (q50KnnBrute _),
     "q181_knn_classify" -> (q181KnnClassify _),
     "q209_silhouette" -> (q209Silhouette _),
+    "q210_pca_power" -> (q210PcaPower _),
     "q51_ann_lsh" -> (q51AnnLsh _),
     "q52_embedding_near_dup" -> (q52EmbeddingNearDup _),
     "q53_ann_ivf" -> (q53AnnIvf _),
     "q93_ann_pq" -> (q93AnnPq _),
     "q96_pq_index_query" -> (q96PqIndexQuery _))
 
+  /** One unrolled power-iteration round (the q138 iterSql pattern): the
+    * matrix-vector product and norm share the Spark plan's quantization
+    * ladder exactly. */
+  private def pcaIterSql(i: Int): String =
+    s"""w$i AS MATERIALIZED (
+       |  SELECT c.j, CAST(CAST(SUM(CAST(c.cval * v.v AS DECIMAL(38,18)))
+       |    AS DECIMAL(38,18)) AS DOUBLE) AS wd
+       |  FROM cov c JOIN v${i - 1} v ON v.k = c.k GROUP BY 1),
+       |n$i AS (
+       |  SELECT sqrt(CAST(CAST(SUM(CAST(wd * wd AS DECIMAL(38,18)))
+       |    AS DECIMAL(38,18)) AS DOUBLE)) AS nrm FROM w$i),
+       |v$i AS MATERIALIZED (
+       |  SELECT j AS k, wd / (SELECT nrm FROM n$i) AS v FROM w$i)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q210_pca_power" ->
+      ("""WITH ex AS (
+        |  SELECT e.vec_id AS id, r.pos AS p,
+        |    CAST(e.embedding[r.pos] AS DOUBLE) AS x
+        |  FROM embeddings e,
+        |    (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS pos) r),
+        |cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+        |means AS (
+        |  SELECT p AS mp,
+        |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |      AS DOUBLE) / (SELECT n FROM cnt) AS m
+        |  FROM ex GROUP BY 1),
+        |mom AS (
+        |  SELECT a.p AS j, b.p AS k,
+        |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DECIMAL(38,18))
+        |      AS sjk
+        |  FROM ex a JOIN ex b ON a.id = b.id GROUP BY 1, 2),
+        |cov AS MATERIALIZED (
+        |  SELECT j, k,
+        |    CAST(sjk AS DOUBLE) / (SELECT n FROM cnt) - mj.m * mk.m AS cval
+        |  FROM mom JOIN means mj ON mj.mp = j JOIN means mk ON mk.mp = k),
+        |v0 AS (
+        |  SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS k,
+        |    1.0 / sqrt(64.0) AS v),
+        |""".stripMargin +
+        (1 to 8).map(pcaIterSql).mkString(",\n") + ",\n" +
+        """cv AS (
+        |  SELECT c.j AS k, CAST(CAST(SUM(CAST(c.cval * v.v
+        |    AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE) AS wd
+        |  FROM cov c JOIN v8 v ON v.k = c.k GROUP BY 1),
+        |lam AS (
+        |  SELECT CAST(CAST(SUM(CAST(v.v * cv.wd AS DECIMAL(38,18)))
+        |    AS DECIMAL(38,18)) AS DOUBLE) AS eigenvalue
+        |  FROM cv JOIN v8 v ON v.k = cv.k),
+        |tr AS (
+        |  SELECT CAST(CAST(SUM(CAST(cval AS DECIMAL(38,18)))
+        |    AS DECIMAL(38,18)) AS DOUBLE) AS trace
+        |  FROM cov WHERE j = k)
+        |SELECT CAST(v.k - 1 AS INTEGER) AS pos, v.v AS loading,
+        |  eigenvalue, eigenvalue / trace AS explained_frac
+        |FROM v8 v CROSS JOIN lam CROSS JOIN tr
+        |ORDER BY 1""".stripMargin),
     // DuckDB lists are 1-based; positions only need to be internally
     // consistent on each side. Same quantization ladder as the Spark plan.
     "q209_silhouette" ->

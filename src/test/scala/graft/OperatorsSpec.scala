@@ -583,6 +583,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pcaFirstComponent: rank-1 data recovers the diagonal direction exactly") {
+    import spark.implicits._
+    // points on the line y = x: C = [[2/3,2/3],[2/3,2/3]], PC1 = (1,1)/√2,
+    // λ = 4/3 = trace -> explained_frac 1
+    val vecs = Seq((1L, Array(1f, 1f)), (2L, Array(2f, 2f)),
+      (3L, Array(3f, 3f))).toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity
+      .pcaFirstComponent(vecs, "vec_id", "embedding", dim = 2, iters = 4)
+      .collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(1) - 1 / math.sqrt(2)) < 1e-9, s"got $row")
+      assert(math.abs(row.getDouble(2) - 4.0 / 3) < 1e-9)
+      assert(math.abs(row.getDouble(3) - 1.0) < 1e-9)
+    }
+  }
+
   // ---- hot-bucket caps ----
 
   test("hot-bucket cap bounds a degenerate bucket and reports the drop") {
