@@ -349,6 +349,56 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** Bounded-round k-CORE: iteratively peel nodes of degree < k and
+    * return the surviving nodes with their in-core degrees. Classic
+    * distributed peeling — each round is edge-linear (one degree
+    * aggregation + two semi joins), lineage cut per round, and the loop
+    * exits early once a round removes nothing (a stable round is
+    * idempotent, so the early exit is an optimization, not a semantic
+    * fork: the result equals exactly-`maxRounds` rounds, which is what
+    * the oracle unrolls — the q151 bounded-round rule). The true k-core
+    * needs peel-depth rounds; `maxRounds` IS the spec. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      maxRounds: Int): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"bad args: k=$k rounds=$maxRounds")
+    var e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var nEdges = e.count()
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val keep = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("node")
+      val e2 = e
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      stable = n2 == nEdges
+      e = e2; nEdges = n2; round += 1
+    }
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
+      .orderBy("node")
+  }
+
+  /** The 80-core of the (all-pairs) part co-order graph after ≤ 6 peel
+    * rounds: the densely co-ordered part nucleus. k = 80 sits just
+    * under the ~119 mean degree, so the peel is active for 5 rounds and
+    * stable by 6 at both verification SFs (measured). */
+  def q211KCore(spark: SparkSession, dir: String): DataFrame = {
+    val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", basketCap = 64)
+    kCore(Basket.pairCounts(bk, basketCap = 64, minSupport = 1L),
+      "p1", "p2", k = 80, maxRounds = 6)
+  }
+
   /** Is the part co-order graph hub-attracts-hub or hub-and-spoke. */
   def q208Assortativity(spark: SparkSession, dir: String): DataFrame = {
     val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
@@ -359,6 +409,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q208_assortativity" -> (q208Assortativity _),
+    "q211_kcore" -> (q211KCore _),
     "q138_pagerank" -> (q138PageRank _),
     "q150_triangles" -> (q150Triangles _),
     "q151_bfs_hops" -> (q151BfsHops _),
@@ -409,6 +460,18 @@ object Graph {
        |  FROM nodes n CROSS JOIN nn LEFT JOIN c$k c ON c.node = n.node)"""
       .stripMargin
 
+  /** One unrolled k-core peel round over ed{i-1} (k = 80). */
+  private def kCoreIterSql(i: Int): String =
+    s"""k$i AS MATERIALIZED (
+       |  SELECT node FROM (
+       |    SELECT node, COUNT(*) AS d FROM (
+       |      SELECT u AS node FROM ed${i - 1}
+       |      UNION ALL SELECT v FROM ed${i - 1}) GROUP BY 1)
+       |  WHERE d >= 80),
+       |ed$i AS MATERIALIZED (
+       |  SELECT e.u, e.v FROM ed${i - 1} e
+       |  JOIN k$i a ON a.node = e.u JOIN k$i b ON b.node = e.v)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q138_pagerank" -> (transitionsSql + ",\n" +
       """r0 AS (
@@ -418,6 +481,21 @@ object Graph {
       """SELECT node AS event_type,
         |  CAST(rank AS DECIMAL(20,12)) AS rank
         |FROM r5 ORDER BY event_type""".stripMargin),
+    // same ed CTE as q150, then exactly 6 unrolled peel rounds
+    // (MATERIALIZED: each round feeds three references — inlining would
+    // blow up 3^rounds). A converged round is a no-op, matching the
+    // Spark loop's early exit.
+    "q211_kcore" ->
+      ("""WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |""".stripMargin +
+        (1 to 6).map(kCoreIterSql).mkString(",\n") + "\n" +
+        """SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+        |FROM (SELECT u AS node FROM ed6 UNION ALL SELECT v FROM ed6)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // same ed CTE as q150; the bi-directed endpoint-degree moments are
     // exact integers, the final division is the one double op
     "q208_assortativity" ->

@@ -311,6 +311,31 @@ object TextAnalysis {
 
   // ---- declared queries ----
 
+  /** Lexical-diversity datasheet per language: token/type counts,
+    * type-token ratio, hapax-legomenon fraction, and the Shannon entropy
+    * of the term distribution (via [[Stats.categoricalEntropy]]'s
+    * quantized ladder — the two aggregations and the hapax pass all hash
+    * on `lang`, so AQE reuses one exchange). The whole computation runs
+    * over the language×term histogram, never raw token rows, after the
+    * first groupBy. */
+  def q212LexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+    val ent = Stats.categoricalEntropy(toks, "lang", "term")
+    val hapax = toks.groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    ent.join(hapax, "lang")
+      .select(col("lang"), col("n_events").as("n_tokens"),
+        col("n_cats").as("n_types"),
+        (col("n_cats").cast("double") / col("n_events").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_cats").cast("double"))
+          .as("hapax_frac"),
+        col("entropy_nats"), col("norm_entropy"))
+      .orderBy("lang")
+  }
+
   def q41TokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -963,7 +988,8 @@ object TextAnalysis {
     "q42_text_quality" -> (q42TextQuality _),
     "q43_langid" -> (q43LangId _),
     "q44_fingerprint_dedup" -> (q44FingerprintDedup _),
-    "q74_repetition_metrics" -> (q74RepetitionMetrics _))
+    "q74_repetition_metrics" -> (q74RepetitionMetrics _),
+    "q212_lexical_diversity" -> (q212LexicalDiversity _))
 
   /** DuckDB twin of [[graft.functions.LangId]] + [[graft.functions.QualityScore]],
     * generated from the same [[stopwords]] tables so the two can never drift:
@@ -1052,6 +1078,39 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the q48 tokenizer + the q204 entropy quantization ladder
+    "q212_lexical_diversity" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM toks GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS nt
+        |  FROM cnt),
+        |terms AS (
+        |  SELECT lang, n, nt,
+        |    CAST(-(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      AS DECIMAL(38,12)) AS term_q
+        |  FROM t),
+        |agg AS (
+        |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax,
+        |    CAST(SUM(term_q) AS DECIMAL(38,12)) AS hq
+        |  FROM terms GROUP BY 1)
+        |SELECT lang, n_tokens, n_types,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac,
+        |  CAST(hq AS DOUBLE) AS entropy_nats,
+        |  CASE WHEN n_types > 1
+        |    THEN CAST(hq AS DOUBLE) / ln(CAST(n_types AS DOUBLE))
+        |    ELSE 0.0 END AS norm_entropy
+        |FROM agg ORDER BY 1""".stripMargin,
     // distinct 3-gram windows per doc (whole text when < 3 tokens — the
     // q81 convention), corpus df per window, df = 1 ⇒ novel
     "q173_ngram_novelty" ->

@@ -1304,6 +1304,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gt.getDouble(4) == 0.0, s"got $gt")
   }
 
+  test("kCore: pendant peels off K4; a chain peels to nothing in two rounds") {
+    import graft.operators.Graph
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L)).toDF("a", "b")
+    val core = Graph.kCore(k4p, "a", "b", k = 3, maxRounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core")
+    // path 1-2-3-4: endpoints peel, then the middle edge peels -> empty
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.kCore(chain, "a", "b", k = 2, maxRounds = 6).collect().isEmpty)
+  }
+
   test("triangleStats: triangle-free bipartite graph counts zero") {
     import graft.operators.Graph
     val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)).toDF("a", "b")
