@@ -843,6 +843,44 @@ object Similarity {
     clusterSilhouette(Tables.embeddings(spark, dir), "vec_id", "embedding",
       "label")
 
+  /** Label-noise candidates: vectors whose distance to their OWN label
+    * centroid exceeds that label's p-quantile of distances — the
+    * mislabel/outlier sweep a labeled-embedding corpus needs before
+    * training. Same exact quantization ladder as [[clusterSilhouette]]
+    * (only the own-label distance is needed, so no cross-label fan-out);
+    * the cutoff is the EXACT R-7 percentile per label (documented
+    * KLL-sketch swap at billion-point labels, the q113 rule), broadcast
+    * back against the scan. */
+  def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, p: Double): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1): $p")
+    val dq = (c: Column) => c.cast("double").cast("decimal(38,12)")
+    val ex = vecs.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val cent = ex.groupBy(col("lbl").as("clbl"), col("pos").as("cpos"))
+      .agg((sum(dq(col("x"))).cast("decimal(38,12)").cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+    val dist = ex.join(cent,
+        col("pos") === col("cpos") && col("lbl") === col("clbl"))
+      .withColumn("t",
+        ((col("x") - col("c")) * (col("x") - col("c"))).cast("decimal(38,18)"))
+      .groupBy("id", "lbl")
+      .agg(sqrt(sum(col("t")).cast("decimal(38,18)").cast("double")).as("dist"))
+    val cut = dist.groupBy(col("lbl").as("plbl"))
+      .agg(expr(s"percentile(dist, $p)").as("p_cut"))
+    dist.join(cut, col("lbl") === col("plbl"))
+      .filter(col("dist") > col("p_cut"))
+      .select(col("id").as(idCol), col("lbl").as(labelCol), col("dist"),
+        col("p_cut"))
+      .orderBy(idCol)
+  }
+
+  /** Vectors suspiciously far from their own label's centroid (> p95). */
+  def q214LabelOutliers(spark: SparkSession, dir: String): DataFrame =
+    centroidOutliers(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      "label", p = 0.95)
+
   /** First principal component of an embedding corpus by POWER ITERATION
     * on the covariance matrix — the exact-reproducible PCA kernel.
     *
@@ -1163,6 +1201,7 @@ object Similarity {
     "q181_knn_classify" -> (q181KnnClassify _),
     "q209_silhouette" -> (q209Silhouette _),
     "q210_pca_power" -> (q210PcaPower _),
+    "q214_label_outliers" -> (q214LabelOutliers _),
     "q51_ann_lsh" -> (q51AnnLsh _),
     "q52_embedding_near_dup" -> (q52EmbeddingNearDup _),
     "q53_ann_ivf" -> (q53AnnIvf _),
@@ -1184,6 +1223,32 @@ object Similarity {
        |  SELECT j AS k, wd / (SELECT nrm FROM n$i) AS v FROM w$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // own-label centroid distances on the silhouette ladder; the cutoff
+    // is quantile_cont (== Spark's exact R-7 percentile, the q193 rule)
+    "q214_label_outliers" ->
+      """WITH ex AS (
+        |  SELECT e.vec_id AS id, e.label AS lbl, r.pos,
+        |    CAST(e.embedding[r.pos] AS DOUBLE) AS x
+        |  FROM embeddings e,
+        |    (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS pos) r),
+        |cent AS (
+        |  SELECT lbl AS clbl, pos AS cpos,
+        |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM ex GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT ex.id, ex.lbl,
+        |    sqrt(CAST(CAST(SUM(CAST((ex.x - c.c) * (ex.x - c.c)
+        |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE)) AS dist
+        |  FROM ex JOIN cent c ON c.cpos = ex.pos AND c.clbl = ex.lbl
+        |  GROUP BY 1, 2),
+        |cut AS (
+        |  SELECT lbl AS plbl, quantile_cont(dist, 0.95) AS p_cut
+        |  FROM dist GROUP BY 1)
+        |SELECT d.id AS vec_id, d.lbl AS label, d.dist, c.p_cut
+        |FROM dist d JOIN cut c ON c.plbl = d.lbl
+        |WHERE d.dist > c.p_cut
+        |ORDER BY 1""".stripMargin,
     "q210_pca_power" ->
       ("""WITH ex AS (
         |  SELECT e.vec_id AS id, r.pos AS p,

@@ -754,6 +754,63 @@ object Stats {
     leadLagCorrelation(Tables.events(spark, dir), "ts", "event_type",
       keyX = "view", keyY = "purchase", bucketSeconds = 3600L, maxLag = 12)
 
+  /** ROLLING Pearson correlation between two keys' bucket-count series
+    * over a trailing window of `windowBuckets` buckets — the continuous
+    * monitor version of [[leadLagCorrelation]] (is the co-movement
+    * stable or regime-switching?). Series densify onto the SHARED span
+    * (q197 rule); all five co-moments are DECIMAL(38,0) window sums over
+    * the bucket histogram, each r one double expression; warm-up rows
+    * (window not yet full) are suppressed so every emitted r is over
+    * exactly `windowBuckets` points. The global-ordered window runs over
+    * the span/step-bounded series — a statistic, never raw events. */
+  def rollingCorrelation(events: DataFrame, tsCol: String, keyCol: String,
+      keyX: String, keyY: String, bucketSeconds: Long,
+      windowBuckets: Int): DataFrame = {
+    require(bucketSeconds > 0 && windowBuckets >= 2,
+      s"bad args: $bucketSeconds $windowBuckets")
+    val stepUs = bucketSeconds * 1000000L
+    val buck = events
+      .filter(col(keyCol) === keyX || col(keyCol) === keyY)
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div $stepUs").as("b"))
+      .groupBy("k", "b").agg(count(lit(1)).as("n"))
+    val grid = buck.agg(min("b").as("b0"), max("b").as("b1"))
+      .select(explode(sequence(col("b0"), col("b1"))).as("b"))
+    def dense(key: String, out: String) =
+      grid.join(buck.filter(col("k") === key).drop("k"), Seq("b"), "left")
+        .select(col("b"), coalesce(col("n"), lit(0L)).as(out))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val w = Window.orderBy("b")
+      .rowsBetween(-(windowBuckets - 1), Window.currentRow)
+    val nD = lit(windowBuckets.toLong).cast("decimal(38,0)")
+    dense(keyX, "x").join(dense(keyY, "y"), "b")
+      .withColumn("rn", count(lit(1)).over(w))
+      .withColumn("sx", sum(d(col("x"))).over(w).cast("decimal(38,0)"))
+      .withColumn("sy", sum(d(col("y"))).over(w).cast("decimal(38,0)"))
+      .withColumn("sxy",
+        sum(d(col("x")) * d(col("y"))).over(w).cast("decimal(38,0)"))
+      .withColumn("sxx",
+        sum(d(col("x")) * d(col("x"))).over(w).cast("decimal(38,0)"))
+      .withColumn("syy",
+        sum(d(col("y")) * d(col("y"))).over(w).cast("decimal(38,0)"))
+      .filter(col("rn") === windowBuckets.toLong)
+      .withColumn("num", nD * col("sxy") - col("sx") * col("sy"))
+      .withColumn("d1", nD * col("sxx") - col("sx") * col("sx"))
+      .withColumn("d2", nD * col("syy") - col("sy") * col("sy"))
+      .select((col("b") * stepUs).as("ts_us"),
+        when(col("d1") > 0 && col("d2") > 0,
+          dd(col("num")) / sqrt(dd(col("d1")) * dd(col("d2"))))
+          .as("r"))
+      .orderBy("ts_us")
+  }
+
+  /** 24-hour rolling view/purchase correlation: regime monitor. */
+  def q213RollingCorr(spark: SparkSession, dir: String): DataFrame =
+    rollingCorrelation(Tables.events(spark, dir), "ts", "event_type",
+      keyX = "view", keyY = "purchase", bucketSeconds = 3600L,
+      windowBuckets = 24)
+
   /** Shannon entropy of a categorical mix per entity (how DIVERSE is
     * each entity's behavior), plus the [0,1]-normalized variant
     * H / ln(#distinct categories seen). Two aggregations on the SAME
@@ -892,6 +949,7 @@ object Stats {
     "q204_mix_entropy" -> (q204MixEntropy _),
     "q205_interarrival" -> (q205Interarrival _),
     "q206_changepoint" -> (q206Changepoint _),
+    "q213_rolling_corr" -> (q213RollingCorr _),
     "q199_survival_curve" -> (q199SurvivalCurve _),
     "q200_group_ols" -> (q200GroupOls _),
     "q197_autocorrelation" -> (q197Autocorrelation _),
@@ -911,6 +969,47 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q213_rolling_corr" ->
+      """WITH buck AS (
+        |  SELECT event_type AS k,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |span AS (SELECT MIN(b) AS b0, MAX(b) AS b1 FROM buck),
+        |grid AS (SELECT unnest(range(b0, b1 + 1)) AS b FROM span),
+        |xy AS (
+        |  SELECT g.b,
+        |    COALESCE(bx.n, 0) AS x, COALESCE(by.n, 0) AS y
+        |  FROM grid g
+        |  LEFT JOIN buck bx ON bx.k = 'view' AND bx.b = g.b
+        |  LEFT JOIN buck by ON by.k = 'purchase' AND by.b = g.b),
+        |mom AS (
+        |  SELECT b,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS rn,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) OVER w
+        |      AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) OVER w
+        |      AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      OVER w AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      OVER w AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      OVER w AS DECIMAL(38,0)) AS syy
+        |  FROM xy
+        |  WINDOW w AS (ORDER BY b ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT b,
+        |    CAST(24 AS DECIMAL(38,0)) * sxy - sx * sy AS num,
+        |    CAST(24 AS DECIMAL(38,0)) * sxx - sx * sx AS d1,
+        |    CAST(24 AS DECIMAL(38,0)) * syy - sy * sy AS d2
+        |  FROM mom WHERE rn = 24)
+        |SELECT CAST(b * 3600000000 AS BIGINT) AS ts_us,
+        |  CASE WHEN d1 > 0 AND d2 > 0 THEN
+        |    CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
+        |  END AS r
+        |FROM f ORDER BY 1""".stripMargin,
     "q206_changepoint" ->
       """WITH buck AS (
         |  SELECT event_type AS k,

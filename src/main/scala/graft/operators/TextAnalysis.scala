@@ -336,6 +336,48 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Readability profile per language: Flesch-reading-ease from the
+    * classic heuristics — sentences split on [.!?]+ runs (≥1), syllables
+    * = vowel-letter groups per lowercased token clamped to ≥1. Whole
+    * battery is higher-order array functions inside one projection
+    * (codegen, no UDFs); per-doc counts are exact integers, the per-doc
+    * score one double expression, and the per-language mean
+    * DECIMAL(38,12)-quantizes each doc score before the sum. */
+  def readabilityByLang(docs: DataFrame): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val nWords = size(words).cast("long")
+    val nSent = greatest(lit(1L),
+      size(filter(split(col("text"), "[.!?]+"), s => trim(s) =!= ""))
+        .cast("long"))
+    val nSyll = aggregate(
+      transform(words, w => greatest(lit(1),
+        size(filter(split(lower(w), "[^aeiouy]+"), g => g =!= "")))),
+      lit(0L), (acc, x) => acc + x)
+    val perDoc = docs
+      .filter(length(col("text")) > 0)
+      .select(col("lang"), nWords.as("nw"), nSent.as("ns"), nSyll.as("sy"))
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("nw").cast("double") / col("ns").cast("double")) -
+          lit(84.6) * (col("sy").cast("double") / col("nw").cast("double")))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nw").as("tw"), sum("ns").as("ts"), sum("sy").as("tsy"),
+        sum(col("flesch").cast("decimal(38,12)")).cast("decimal(38,12)")
+          .as("fq"))
+      .select(col("lang"), col("n_docs"),
+        (col("tw").cast("double") / col("ts").cast("double"))
+          .as("words_per_sentence"),
+        (col("tsy").cast("double") / col("tw").cast("double"))
+          .as("syllables_per_word"),
+        (col("fq").cast("double") / col("n_docs").cast("double"))
+          .as("avg_flesch"))
+      .orderBy("lang")
+  }
+
+  def q215Readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityByLang(Tables.documents(spark, dir))
+
   def q41TokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -989,7 +1031,8 @@ object TextAnalysis {
     "q43_langid" -> (q43LangId _),
     "q44_fingerprint_dedup" -> (q44FingerprintDedup _),
     "q74_repetition_metrics" -> (q74RepetitionMetrics _),
-    "q212_lexical_diversity" -> (q212LexicalDiversity _))
+    "q212_lexical_diversity" -> (q212LexicalDiversity _),
+    "q215_readability" -> (q215Readability _))
 
   /** DuckDB twin of [[graft.functions.LangId]] + [[graft.functions.QualityScore]],
     * generated from the same [[stopwords]] tables so the two can never drift:
@@ -1078,6 +1121,36 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same token/sentence/vowel-group heuristics in DuckDB list functions
+    "q215_readability" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS words,
+        |    greatest(1, len(list_filter(
+        |      regexp_split_to_array(text, '[.!?]+'),
+        |      s -> trim(s) <> ''))) AS ns
+        |  FROM documents WHERE length(text) > 0),
+        |c AS (
+        |  SELECT lang, CAST(len(words) AS BIGINT) AS nw,
+        |    CAST(ns AS BIGINT) AS ns,
+        |    CAST(list_sum(list_transform(words, w -> greatest(1,
+        |      len(list_filter(regexp_split_to_array(lower(w), '[^aeiouy]+'),
+        |        g -> g <> ''))))) AS BIGINT) AS sy
+        |  FROM d),
+        |f AS (
+        |  SELECT lang, nw, ns, sy,
+        |    206.835 - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+        |      - 84.6 * (CAST(sy AS DOUBLE) / CAST(nw AS DOUBLE)) AS flesch
+        |  FROM c)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nw) AS DOUBLE) / CAST(SUM(ns) AS DOUBLE)
+        |    AS words_per_sentence,
+        |  CAST(SUM(sy) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE)
+        |    AS syllables_per_word,
+        |  CAST(CAST(SUM(CAST(flesch AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_flesch
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q48 tokenizer + the q204 entropy quantization ladder
     "q212_lexical_diversity" ->
       """WITH toks AS (

@@ -600,6 +600,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("centroidOutliers: the one far point crosses the exact R-7 p95 cut") {
+    import spark.implicits._
+    // label 0, 1-D in 2-dim: xs = 0,0,0,0,10 -> centroid 2, dists
+    // [2,2,2,2,8]; R-7 p95 = 2 + 0.8*(8-2) = 6.8 -> only the far point
+    val vecs = Seq((1L, 0f), (2L, 0f), (3L, 0f), (4L, 0f), (5L, 10f))
+      .map { case (id, x) => (id, Array(x, 0f), 0) }
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Similarity
+      .centroidOutliers(vecs, "vec_id", "embedding", "label", 0.95)
+      .collect()
+    assert(r.length == 1 && r.head.getLong(0) == 5L, s"got ${r.toSeq}")
+    assert(r.head.getDouble(2) == 8.0)
+    assert(math.abs(r.head.getDouble(3) - 6.8) < 1e-9)
+  }
+
+  test("readabilityByLang: hand-counted words/sentences/syllables") {
+    import spark.implicits._
+    // "Hello world. Nice day." -> 4 words, 2 sentences, syllables
+    // he-llo:2 world:1 nice:2 day:1 = 6
+    val docs = Seq(("en", "Hello world. Nice day.")).toDF("lang", "text")
+    val r = graft.operators.TextAnalysis.readabilityByLang(docs).collect()(0)
+    assert(r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 2.0, s"wps ${r.getDouble(2)}")   // 4/2
+    assert(r.getDouble(3) == 1.5, s"spw ${r.getDouble(3)}")   // 6/4
+    val flesch = 206.835 - 1.015 * 2.0 - 84.6 * 1.5
+    assert(math.abs(r.getDouble(4) - flesch) < 1e-9)
+  }
+
   // ---- hot-bucket caps ----
 
   test("hot-bucket cap bounds a degenerate bucket and reports the drop") {

@@ -650,6 +650,23 @@ class StatsSpec extends AnyFunSuite {
     assert(row.getDouble(3) == 1.0 && row.getDouble(4) == 11.0)
   }
 
+  test("rollingCorrelation: lockstep series give r=1, flat window gives null") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // counts per bucket: a = [1,2,2], b = [1,2,2]; window of 2:
+    // (1,2)->r=1; (2,2)->zero variance->null
+    def burst(k: String, b: Int, n: Int) = Seq.fill(n)((k, b * 10L))
+    val ev = (burst("a", 0, 1) ++ burst("a", 1, 2) ++ burst("a", 2, 2) ++
+      burst("b", 0, 1) ++ burst("b", 1, 2) ++ burst("b", 2, 2))
+      .toDF("k", "s")
+      .select(col("k"), timestamp_seconds(col("s")).as("ts"))
+    val r = Stats.rollingCorrelation(ev, "ts", "k", "a", "b",
+        bucketSeconds = 10L, windowBuckets = 2)
+      .collect().map(x => x.getLong(0) / 10000000L ->
+        (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r == Map(1L -> Some(1.0), 2L -> None), s"got $r")
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
