@@ -892,65 +892,69 @@ object Similarity {
     * (model-sized frames, a few tiny jobs per iteration; lineage
     * truncated per round).
     *
-    * Determinism: every order-sensitive sum (moments, matrix-vector
-    * products, norms, Rayleigh quotient) is DECIMAL-quantized term-wise;
-    * divisions/sqrts are single double ops; the init vector 1/√d is a
-    * power of two for d a power of 4 — the oracle unrolls the identical
-    * ladder, so the gate is strict hash equality. Fixed `iters` rounds,
-    * no convergence test (run-count IS the spec, the q151 bounded-round
-    * rule). */
+    * Determinism: the DATA-SIZED sums (means, second moments) quantize
+    * each term to a 1e-12 fixed-point grid — `floor(v·1e12 + 0.5)` is
+    * pure double math, the long→DECIMAL(38,0) cast stays on Spark's
+    * compact-long fast path (a per-row double→DECIMAL cast measures 20×
+    * slower — it allocates a BigDecimal from a string), and the DECIMAL
+    * sum is exact and order-free. The MODEL-SIZED sums (matrix-vector
+    * products, norms, Rayleigh quotient) use the full DECIMAL(38,18)
+    * ladder. Divisions/sqrts are single double ops; the oracle unrolls
+    * the identical ladder, so the gate is strict hash equality. Fixed
+    * `iters` rounds, no convergence test (run-count IS the spec, the
+    * q151 bounded-round rule). */
   def pcaFirstComponent(vecs: DataFrame, idCol: String, vecCol: String,
       dim: Int, iters: Int): DataFrame = {
     require(dim > 0 && iters >= 1, s"bad args: dim=$dim iters=$iters")
-    val q12 = (c: Column) => c.cast("double").cast("decimal(38,12)")
-    val q18 = (c: Column) => c.cast("decimal(38,18)")
+    val fx = (c: Column) =>
+      floor(c * lit(1e12) + lit(0.5)).cast("long").cast("decimal(38,0)")
     val dd = (c: Column) => c.cast("double")
     val ex = vecs.select(col(idCol).as("id"),
         posexplode(col(vecCol)).as(Seq("p", "x")))
       .withColumn("x", col("x").cast("double"))
     val n = vecs.count().toDouble
     val means = ex.groupBy(col("p").as("mp"))
-      .agg((sum(q12(col("x"))).cast("decimal(38,12)").cast("double") /
-        lit(n)).as("m"))
+      .agg((sum(fx(col("x"))).cast("decimal(38,0)").cast("double") /
+        lit(1e12 * n)).as("m"))
     // second moments: the one data-sized aggregation (d² groups,
     // map-side combined)
     val moments = ex.toDF("id", "j", "xj")
       .join(ex.toDF("id2", "k", "xk"), col("id") === col("id2"))
       .groupBy("j", "k")
-      .agg(sum(q18(col("xj") * col("xk"))).cast("decimal(38,18)").as("sjk"))
+      .agg(sum(fx(col("xj") * col("xk"))).cast("decimal(38,0)").as("sjk"))
     val cov = moments
       .join(means.withColumnRenamed("mp", "j").withColumnRenamed("m", "mj"), "j")
       .join(means.withColumnRenamed("mp", "k").withColumnRenamed("m", "mk"), "k")
       .select(col("j"), col("k"),
-        (dd(col("sjk")) / lit(n) - col("mj") * col("mk")).as("cval"))
-      .localCheckpoint(true)
+        (dd(col("sjk")) / lit(1e12 * n) - col("mj") * col("mk")).as("cval"))
+    // The iteration runs on the DRIVER over the collected d×d matrix —
+    // model-sized (the centroid/codebook collect precedent: d² doubles,
+    // input-independent). quant18 reproduces Spark's double→DECIMAL(38,18)
+    // cast bit-for-bit (BigDecimal.valueOf = shortest-repr string, then
+    // HALF_UP — ties are impossible for binary fractions, see the class
+    // doc), BigDecimal addition is exact, so driver and SQL ladders agree.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def quant18(x: Double): JBD =
+      JBD.valueOf(x).setScale(18, RoundingMode.HALF_UP)
+    def qsum(xs: Iterator[Double]): Double =
+      xs.foldLeft(JBD.ZERO)((acc, x) => acc.add(quant18(x))).doubleValue
+    val c = Array.ofDim[Double](dim, dim)
+    cov.collect().foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    def matVec(u: Array[Double]): Array[Double] =
+      Array.tabulate(dim)(j => qsum((0 until dim).iterator.map(k => c(j)(k) * u(k))))
+    for (_ <- 1 to iters) {
+      val w = matVec(v)
+      val nrm = math.sqrt(qsum(w.iterator.map(x => x * x)))
+      v = w.map(_ / nrm)
+    }
+    val cvF = matVec(v)
+    val eigenvalue = qsum((0 until dim).iterator.map(j => v(j) * cvF(j)))
+    val trace = qsum((0 until dim).iterator.map(j => c(j)(j)))
     val spark = vecs.sparkSession
     import spark.implicits._
-    var v = (0 until dim).map(k => (k, 1.0 / math.sqrt(dim.toDouble)))
-      .toDF("k", "v").localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val w = cov.join(v, "k").groupBy("j")
-        .agg(sum(q18(col("cval") * col("v"))).cast("decimal(38,18)").as("wq"))
-        .select(col("j"), dd(col("wq")).as("wd"))
-      val norm = w.agg(sqrt(dd(
-        sum(q18(col("wd") * col("wd"))).cast("decimal(38,18)"))).as("nrm"))
-      v = w.crossJoin(norm)
-        .select(col("j").as("k"), (col("wd") / col("nrm")).as("v"))
-        .localCheckpoint(true)
-    }
-    // Rayleigh quotient λ = vᵀCv and trace — both on the d×d frame
-    val cv = cov.join(v, "k").groupBy("j")
-      .agg(sum(q18(col("cval") * col("v"))).cast("decimal(38,18)").as("wq"))
-      .select(col("j").as("k"), dd(col("wq")).as("wd"))
-    val lam = cv.join(v, "k")
-      .agg(dd(sum(q18(col("v") * col("wd"))).cast("decimal(38,18)"))
-        .as("eigenvalue"))
-    val tr = cov.filter(col("j") === col("k"))
-      .agg(dd(sum(q18(col("cval"))).cast("decimal(38,18)")).as("trace"))
-    v.crossJoin(lam).crossJoin(tr)
-      .select(col("k").as("pos"), col("v").as("loading"),
-        col("eigenvalue"),
-        (col("eigenvalue") / col("trace")).as("explained_frac"))
+    (0 until dim).map(j => (j, v(j), eigenvalue, eigenvalue / trace))
+      .toDF("pos", "loading", "eigenvalue", "explained_frac")
       .orderBy("pos")
   }
 
@@ -1258,17 +1262,19 @@ object Similarity {
         |cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
         |means AS (
         |  SELECT p AS mp,
-        |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DECIMAL(38,12))
-        |      AS DOUBLE) / (SELECT n FROM cnt) AS m
+        |    CAST(CAST(SUM(CAST(CAST(floor(x * 1e12 + 0.5) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE)
+        |      / (1e12 * (SELECT n FROM cnt)) AS m
         |  FROM ex GROUP BY 1),
         |mom AS (
         |  SELECT a.p AS j, b.p AS k,
-        |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DECIMAL(38,18))
-        |      AS sjk
+        |    CAST(SUM(CAST(CAST(floor(a.x * b.x * 1e12 + 0.5) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sjk
         |  FROM ex a JOIN ex b ON a.id = b.id GROUP BY 1, 2),
         |cov AS MATERIALIZED (
         |  SELECT j, k,
-        |    CAST(sjk AS DOUBLE) / (SELECT n FROM cnt) - mj.m * mk.m AS cval
+        |    CAST(sjk AS DOUBLE) / (1e12 * (SELECT n FROM cnt))
+        |      - mj.m * mk.m AS cval
         |  FROM mom JOIN means mj ON mj.mp = j JOIN means mk ON mk.mp = k),
         |v0 AS (
         |  SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS k,
