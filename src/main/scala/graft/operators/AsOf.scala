@@ -221,6 +221,60 @@ object AsOf {
     interpolateGaps(Tables.events(spark, dir), "event_type", "ts", "value",
       stepSeconds = 3600L)
 
+  /** FORWARD as-of join: each left row matched to the EARLIEST right row
+    * at or after its time (time-to-next-event analytics — the mirror of
+    * [[asofJoin]]'s carry-backward). Same union-then-window shape, with
+    * the frame flipped to `first(struct, ignoreNulls)` over
+    * currentRow→unboundedFollowing: one key-hash exchange, no range
+    * join, no per-key iteration. At one instant, left rows sort BEFORE
+    * right rows so an exactly-simultaneous right row IS visible
+    * (inclusive ≥). Right-side ties at one (key, time) must be
+    * pre-deduped by the caller (the q23 rule). */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTime: String,
+      rightTime: String, payload: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val obsL = left.withColumn("__us", unix_micros(col(leftTime)))
+      .withColumn("__side", lit(0))
+      .withColumn("__k", col(leftKey))
+    val obsR = right.select(
+      (Seq(col(rightKey).as("__k"),
+        unix_micros(col(rightTime)).as("__us"), lit(1).as("__side")) ++
+        payload.map(col)): _*)
+    val both = obsL.select(
+      (Seq(col("__k"), col("__us"), col("__side")) ++
+        lCols.map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+      .unionByName(obsR.select(
+        (Seq(col("__k"), col("__us"), col("__side")) ++
+          lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map(col)): _*))
+    val w = Window.partitionBy("__k").orderBy(col("__us"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = both.withColumn("__pay",
+      first(when(col("__side") === 1,
+        struct(col("__us").as("__rus") +: payload.map(col): _*)),
+        ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 0)
+      .select((lCols.map(col) :+
+        (col("__pay.__rus") - col("__us")).as("wait_us")) ++
+        payload.map(c => col(s"__pay.$c").as(c)): _*)
+  }
+
+  /** Each event joined to the user's NEXT order at-or-after the event:
+    * time-to-next-purchase. Right side deduped to min orderkey per
+    * (custkey, date) so simultaneous orders are deterministic. */
+  def q217AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir).select("event_id", "ts", "user_id")
+    val orders = Tables.orders(spark, dir)
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(min("o_orderkey").as("o_orderkey"))
+    asofJoinForward(events, orders, "user_id", "o_custkey", "ts",
+        "o_orderdate", payload = Seq("o_orderkey"))
+      .select("event_id", "o_orderkey", "wait_us")
+      .orderBy("event_id")
+  }
+
   /** The q23 as-of join answered by the CUSTOM PHYSICAL OPERATOR — same
     * oracle (DuckDB's native ASOF LEFT JOIN), so the exec's merge
     * semantics are gated against an independent native implementation,
@@ -241,7 +295,8 @@ object AsOf {
     "q23_asof_join" -> (q23AsofJoin _),
     "q182_asof_exec" -> (q182AsofExec _),
     "q100_resample_locf" -> (q100ResampleLocf _),
-    "q207_interpolate_gaps" -> (q207InterpolateGaps _))
+    "q207_interpolate_gaps" -> (q207InterpolateGaps _),
+    "q217_asof_forward" -> (q217AsofForward _))
 
   private val asofSql: String =
       """SELECT e.event_id, o.o_orderkey
@@ -274,6 +329,24 @@ object AsOf {
         |SELECT user_id, us AS ts_us, value
         |FROM s WHERE rn = 1
         |ORDER BY user_id, ts_us""".stripMargin,
+    // row_number emulation of the forward ASOF (DuckDB's native ASOF
+    // supports >= one way; the explicit form keeps the ≥-inclusive
+    // semantics and min-orderkey tie rule visible)
+    "q217_asof_forward" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) AS ous,
+        |    MIN(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, epoch_us(ts) AS eus FROM events),
+        |m AS (
+        |  SELECT e.event_id, o.o_orderkey, o.ous - e.eus AS wait_us,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.ous) AS rn
+        |  FROM e JOIN o ON o.o_custkey = e.user_id AND o.ous >= e.eus)
+        |SELECT ev.event_id, m.o_orderkey, m.wait_us
+        |FROM (SELECT event_id FROM e) ev
+        |LEFT JOIN m ON m.event_id = ev.event_id AND m.rn = 1
+        |ORDER BY ev.event_id""".stripMargin,
     "q207_interpolate_gaps" ->
       """WITH buck AS (
         |  SELECT event_type AS k,

@@ -903,8 +903,12 @@ object Similarity {
     * the identical ladder, so the gate is strict hash equality. Fixed
     * `iters` rounds, no convergence test (run-count IS the spec, the
     * q151 bounded-round rule). */
-  def pcaFirstComponent(vecs: DataFrame, idCol: String, vecCol: String,
-      dim: Int, iters: Int): DataFrame = {
+  /** The fitted PC1 model: per-dim means, unit loading vector, λ, trace. */
+  private[operators] case class Pc1Model(means: Array[Double],
+    loadings: Array[Double], eigenvalue: Double, trace: Double)
+
+  private[operators] def pcaFit(vecs: DataFrame, idCol: String,
+      vecCol: String, dim: Int, iters: Int): Pc1Model = {
     require(dim > 0 && iters >= 1, s"bad args: dim=$dim iters=$iters")
     val fx = (c: Column) =>
       floor(c * lit(1e12) + lit(0.5)).cast("long").cast("decimal(38,0)")
@@ -951,17 +955,56 @@ object Similarity {
     val cvF = matVec(v)
     val eigenvalue = qsum((0 until dim).iterator.map(j => v(j) * cvF(j)))
     val trace = qsum((0 until dim).iterator.map(j => c(j)(j)))
+    val meanArr = Array.ofDim[Double](dim)
+    means.collect().foreach(r => meanArr(r.getInt(0)) = r.getDouble(1))
+    Pc1Model(meanArr, v, eigenvalue, trace)
+  }
+
+  def pcaFirstComponent(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int): DataFrame = {
+    val m = pcaFit(vecs, idCol, vecCol, dim, iters)
     val spark = vecs.sparkSession
     import spark.implicits._
-    (0 until dim).map(j => (j, v(j), eigenvalue, eigenvalue / trace))
+    (0 until dim).map(j =>
+        (j, m.loadings(j), m.eigenvalue, m.eigenvalue / m.trace))
       .toDF("pos", "loading", "eigenvalue", "explained_frac")
       .orderBy("pos")
+  }
+
+  /** PC1 SCORES — fit-and-transform: every vector projected onto the
+    * dominant direction, score = Σⱼ q((xⱼ − μⱼ)·vⱼ) on the same 1e-12
+    * fixed-point grid as the fit (order-free exact sum, one double
+    * divide at the end). The model (2d doubles) broadcasts as a literal
+    * frame into the projection join; the projection is one explode +
+    * groupBy per vector — embarrassingly data-parallel. */
+  def pc1Scores(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int): DataFrame = {
+    val m = pcaFit(vecs, idCol, vecCol, dim, iters)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val model = (0 until dim).map(j => (j, m.means(j), m.loadings(j)))
+      .toDF("mp", "mu", "ld")
+    val fx = (c: Column) =>
+      floor(c * lit(1e12) + lit(0.5)).cast("long").cast("decimal(38,0)")
+    vecs.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("p", "x")))
+      .withColumn("x", col("x").cast("double"))
+      .join(broadcast(model), col("p") === col("mp"))
+      .groupBy(col("id").as(idCol))
+      .agg((sum(fx((col("x") - col("mu")) * col("ld")))
+        .cast("decimal(38,0)").cast("double") / lit(1e12)).as("pc1_score"))
+      .orderBy(idCol)
   }
 
   /** Dominant direction of the embedding corpus: PC1 loadings +
     * explained-variance share, 8 power-iteration rounds. */
   def q210PcaPower(spark: SparkSession, dir: String): DataFrame =
     pcaFirstComponent(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      dim = 64, iters = 8)
+
+  /** Every embedding projected onto the corpus PC1 (fit + transform). */
+  def q216Pc1Scores(spark: SparkSession, dir: String): DataFrame =
+    pc1Scores(Tables.embeddings(spark, dir), "vec_id", "embedding",
       dim = 64, iters = 8)
 
   /** Brute-force cosine top-10 for the vec_id=0 query vector. */
@@ -1206,11 +1249,45 @@ object Similarity {
     "q209_silhouette" -> (q209Silhouette _),
     "q210_pca_power" -> (q210PcaPower _),
     "q214_label_outliers" -> (q214LabelOutliers _),
+    "q216_pc1_scores" -> (q216Pc1Scores _),
     "q51_ann_lsh" -> (q51AnnLsh _),
     "q52_embedding_near_dup" -> (q52EmbeddingNearDup _),
     "q53_ann_ivf" -> (q53AnnIvf _),
     "q93_ann_pq" -> (q93AnnPq _),
     "q96_pq_index_query" -> (q96PqIndexQuery _))
+
+  /** Shared PCA oracle core — the Spark fit's exact ladder through the
+    * converged v8: fixed-point data-sized moments, DECIMAL(38,18)
+    * model-sized iteration (MATERIALIZED per round; inlining would blow
+    * up 3^rounds). */
+  private def pcaCoreSql: String =
+      """WITH ex AS MATERIALIZED (
+        |  SELECT e.vec_id AS id, r.pos AS p,
+        |    CAST(e.embedding[r.pos] AS DOUBLE) AS x
+        |  FROM embeddings e,
+        |    (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS pos) r),
+        |cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+        |means AS MATERIALIZED (
+        |  SELECT p AS mp,
+        |    CAST(CAST(SUM(CAST(CAST(floor(x * 1e12 + 0.5) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE)
+        |      / (1e12 * (SELECT n FROM cnt)) AS m
+        |  FROM ex GROUP BY 1),
+        |mom AS (
+        |  SELECT a.p AS j, b.p AS k,
+        |    CAST(SUM(CAST(CAST(floor(a.x * b.x * 1e12 + 0.5) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sjk
+        |  FROM ex a JOIN ex b ON a.id = b.id GROUP BY 1, 2),
+        |cov AS MATERIALIZED (
+        |  SELECT j, k,
+        |    CAST(sjk AS DOUBLE) / (1e12 * (SELECT n FROM cnt))
+        |      - mj.m * mk.m AS cval
+        |  FROM mom JOIN means mj ON mj.mp = j JOIN means mk ON mk.mp = k),
+        |v0 AS (
+        |  SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS k,
+        |    1.0 / sqrt(64.0) AS v),
+        |""".stripMargin +
+        (1 to 8).map(pcaIterSql).mkString(",\n")
 
   /** One unrolled power-iteration round (the q138 iterSql pattern): the
     * matrix-vector product and norm share the Spark plan's quantization
@@ -1253,34 +1330,18 @@ object Similarity {
         |FROM dist d JOIN cut c ON c.plbl = d.lbl
         |WHERE d.dist > c.p_cut
         |ORDER BY 1""".stripMargin,
+    "q216_pc1_scores" ->
+      (pcaCoreSql + ",\n" +
+        """proj AS (
+        |  SELECT ex.id,
+        |    CAST(CAST(SUM(CAST(CAST(floor((ex.x - m.m) * v.v * 1e12 + 0.5)
+        |      AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE)
+        |      / 1e12 AS pc1_score
+        |  FROM ex JOIN means m ON m.mp = ex.p JOIN v8 v ON v.k = ex.p
+        |  GROUP BY 1)
+        |SELECT id AS vec_id, pc1_score FROM proj ORDER BY 1""".stripMargin),
     "q210_pca_power" ->
-      ("""WITH ex AS (
-        |  SELECT e.vec_id AS id, r.pos AS p,
-        |    CAST(e.embedding[r.pos] AS DOUBLE) AS x
-        |  FROM embeddings e,
-        |    (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS pos) r),
-        |cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
-        |means AS (
-        |  SELECT p AS mp,
-        |    CAST(CAST(SUM(CAST(CAST(floor(x * 1e12 + 0.5) AS BIGINT)
-        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE)
-        |      / (1e12 * (SELECT n FROM cnt)) AS m
-        |  FROM ex GROUP BY 1),
-        |mom AS (
-        |  SELECT a.p AS j, b.p AS k,
-        |    CAST(SUM(CAST(CAST(floor(a.x * b.x * 1e12 + 0.5) AS BIGINT)
-        |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sjk
-        |  FROM ex a JOIN ex b ON a.id = b.id GROUP BY 1, 2),
-        |cov AS MATERIALIZED (
-        |  SELECT j, k,
-        |    CAST(sjk AS DOUBLE) / (1e12 * (SELECT n FROM cnt))
-        |      - mj.m * mk.m AS cval
-        |  FROM mom JOIN means mj ON mj.mp = j JOIN means mk ON mk.mp = k),
-        |v0 AS (
-        |  SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS k,
-        |    1.0 / sqrt(64.0) AS v),
-        |""".stripMargin +
-        (1 to 8).map(pcaIterSql).mkString(",\n") + ",\n" +
+      (pcaCoreSql + ",\n" +
         """cv AS (
         |  SELECT c.j AS k, CAST(CAST(SUM(CAST(c.cval * v.v
         |    AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE) AS wd

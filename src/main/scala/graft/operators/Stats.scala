@@ -811,6 +811,64 @@ object Stats {
       keyX = "view", keyY = "purchase", bucketSeconds = 3600L,
       windowBuckets = 24)
 
+  /** Period-over-period REVENUE BRIDGE per group: the classic
+    * price/volume/mix decomposition — for every item present in both
+    * periods, volume effect = (q₂−q₁)·p₁ and price effect = (p₂−p₁)·q₂
+    * (their sum telescopes exactly to Δrevenue per item); items only in
+    * P2 are "new", only in P1 "discontinued" (exact cents). Quantities
+    * and revenues are quantized to integer centi-units at the scan (the
+    * q202 rule); the two float effects quantize per-item on a 1e-4 grid
+    * before the group sum. One join + two hash aggregations on the same
+    * (group, item) partitioning; the FULL OUTER item alignment is
+    * item-histogram-sized. */
+  def revenueBridge(lineitem: DataFrame, part: DataFrame, y1: Int,
+      y2: Int): DataFrame = {
+    val li = lineitem
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("yr", year(col("l_shipdate")))
+      .filter(col("yr") === y1 || col("yr") === y2)
+      .select(col("p_brand").as("brand"), col("l_partkey").as("pk"),
+        col("yr"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("rev"))
+    val per = li.groupBy("brand", "pk", "yr")
+      .agg(sum("q").as("q"), sum("rev").as("rev"))
+    val a = per.filter(col("yr") === y1)
+      .select(col("brand"), col("pk"), col("q").as("q1"), col("rev").as("rev1"))
+    val b = per.filter(col("yr") === y2)
+      .select(col("brand"), col("pk"), col("q").as("q2"), col("rev").as("rev2"))
+    val dd = (c: Column) => c.cast("double")
+    val fxg = (c: Column) =>
+      floor(c * lit(1e4) + lit(0.5)).cast("long").cast("decimal(38,0)")
+    val both = col("q1").isNotNull && col("q2").isNotNull
+    a.join(b, Seq("brand", "pk"), "full_outer")
+      .withColumn("p1", dd(col("rev1")) / dd(col("q1")))
+      .withColumn("p2", dd(col("rev2")) / dd(col("q2")))
+      .withColumn("vol",
+        when(both, (dd(col("q2")) - dd(col("q1"))) * col("p1")))
+      .withColumn("prc",
+        when(both, (col("p2") - col("p1")) * dd(col("q2"))))
+      .groupBy("brand")
+      .agg(sum(coalesce(col("rev1"), lit(0L))).as("rev1_cents"),
+        sum(coalesce(col("rev2"), lit(0L))).as("rev2_cents"),
+        (sum(fxg(col("vol"))).cast("decimal(38,0)").cast("double") /
+          lit(1e4)).as("volume_effect_cents"),
+        (sum(fxg(col("prc"))).cast("decimal(38,0)").cast("double") /
+          lit(1e4)).as("price_effect_cents"),
+        sum(when(col("q1").isNull, col("rev2")).otherwise(0L))
+          .as("new_cents"),
+        sum(when(col("q2").isNull, -col("rev1")).otherwise(0L))
+          .as("discontinued_cents"))
+      .orderBy("brand")
+  }
+
+  /** 1997→1998 revenue bridge per part brand. */
+  def q218RevenueBridge(spark: SparkSession, dir: String): DataFrame =
+    revenueBridge(Tables.lineitem(spark, dir), Tables.part(spark, dir),
+      1997, 1998)
+
   /** Shannon entropy of a categorical mix per entity (how DIVERSE is
     * each entity's behavior), plus the [0,1]-normalized variant
     * H / ln(#distinct categories seen). Two aggregations on the SAME
@@ -950,6 +1008,7 @@ object Stats {
     "q205_interarrival" -> (q205Interarrival _),
     "q206_changepoint" -> (q206Changepoint _),
     "q213_rolling_corr" -> (q213RollingCorr _),
+    "q218_revenue_bridge" -> (q218RevenueBridge _),
     "q199_survival_curve" -> (q199SurvivalCurve _),
     "q200_group_ols" -> (q200GroupOls _),
     "q197_autocorrelation" -> (q197Autocorrelation _),
@@ -969,6 +1028,47 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q218_revenue_bridge" ->
+      """WITH li AS (
+        |  SELECT p.p_brand AS brand, l.l_partkey AS pk,
+        |    year(l.l_shipdate) AS yr,
+        |    CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+        |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS rev
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE year(l.l_shipdate) IN (1997, 1998)),
+        |per AS (
+        |  SELECT brand, pk, yr, CAST(SUM(q) AS BIGINT) AS q,
+        |    CAST(SUM(rev) AS BIGINT) AS rev
+        |  FROM li GROUP BY 1, 2, 3),
+        |a AS (SELECT brand, pk, q AS q1, rev AS rev1 FROM per WHERE yr = 1997),
+        |b AS (SELECT brand, pk, q AS q2, rev AS rev2 FROM per WHERE yr = 1998),
+        |j AS (
+        |  SELECT COALESCE(a.brand, b.brand) AS brand, q1, rev1, q2, rev2,
+        |    CAST(rev1 AS DOUBLE) / CAST(q1 AS DOUBLE) AS p1,
+        |    CAST(rev2 AS DOUBLE) / CAST(q2 AS DOUBLE) AS p2
+        |  FROM a FULL OUTER JOIN b ON a.brand = b.brand AND a.pk = b.pk),
+        |e AS (
+        |  SELECT brand, q1, rev1, q2, rev2,
+        |    CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN
+        |      (CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE)) * p1 END AS vol,
+        |    CASE WHEN q1 IS NOT NULL AND q2 IS NOT NULL THEN
+        |      (p2 - p1) * CAST(q2 AS DOUBLE) END AS prc
+        |  FROM j)
+        |SELECT brand,
+        |  CAST(SUM(COALESCE(rev1, 0)) AS BIGINT) AS rev1_cents,
+        |  CAST(SUM(COALESCE(rev2, 0)) AS BIGINT) AS rev2_cents,
+        |  CAST(CAST(SUM(CAST(CAST(floor(vol * 1e4 + 0.5) AS BIGINT)
+        |    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1e4
+        |    AS volume_effect_cents,
+        |  CAST(CAST(SUM(CAST(CAST(floor(prc * 1e4 + 0.5) AS BIGINT)
+        |    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) / 1e4
+        |    AS price_effect_cents,
+        |  CAST(SUM(CASE WHEN q1 IS NULL THEN rev2 ELSE 0 END) AS BIGINT)
+        |    AS new_cents,
+        |  CAST(SUM(CASE WHEN q2 IS NULL THEN -rev1 ELSE 0 END) AS BIGINT)
+        |    AS discontinued_cents
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q213_rolling_corr" ->
       """WITH buck AS (
         |  SELECT event_type AS k,

@@ -628,6 +628,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - flesch) < 1e-9)
   }
 
+  test("pc1Scores: projections onto the diagonal direction, centered") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1f, 1f)), (2L, Array(2f, 2f)),
+      (3L, Array(3f, 3f))).toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity
+      .pc1Scores(vecs, "vec_id", "embedding", dim = 2, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) + math.sqrt(2)) < 1e-9, s"got $r")
+    assert(math.abs(r(2L)) < 1e-9)
+    assert(math.abs(r(3L) - math.sqrt(2)) < 1e-9)
+  }
+
+  test("asofJoinForward: earliest at-or-after match, inclusive ties, null tail") {
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq((1L, t(10), 7L), (2L, t(20), 7L), (3L, t(30), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val or = Seq((7L, t(20), 100L))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey")
+    val got = graft.operators.AsOf.asofJoinForward(ev, or, "user_id",
+        "o_custkey", "ts", "o_orderdate", payload = Seq("o_orderkey"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(r.fieldIndex("o_orderkey"))),
+        Option(r.get(r.fieldIndex("wait_us"))))).toSet
+    assert(got == Set(
+      (1L, Some(100L), Some(10000000L)), // 10 s ahead
+      (2L, Some(100L), Some(0L)),        // simultaneous: inclusive
+      (3L, None, None)), s"got $got")    // nothing follows
+  }
+
+  test("revenueBridge: hand-computed volume/price/new/discontinued effects") {
+    import java.sql.Timestamp
+    def d(y: Int) = Timestamp.valueOf(s"$y-06-01 00:00:00")
+    // X both years: q 2->3 units, price 10->12 $/unit; Y new ($5); Z gone ($7)
+    val li = Seq(
+      (10L, 2.0, 20.0, d(1997)), (10L, 3.0, 36.0, d(1998)),
+      (20L, 1.0, 5.0, d(1998)), (30L, 1.0, 7.0, d(1997))
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+    val part = Seq((10L, "B1"), (20L, "B1"), (30L, "B1"))
+      .toDF("p_partkey", "p_brand")
+    val r = graft.operators.Stats.revenueBridge(li, part, 1997, 1998)
+      .collect()(0)
+    assert(r.getString(0) == "B1")
+    assert(r.getLong(1) == 2700L && r.getLong(2) == 4100L)
+    assert(r.getDouble(3) == 1000.0, s"vol ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 600.0, s"prc ${r.getDouble(4)}")
+    assert(r.getLong(5) == 500L && r.getLong(6) == -700L)
+  }
+
   // ---- hot-bucket caps ----
 
   test("hot-bucket cap bounds a degenerate bucket and reports the drop") {
