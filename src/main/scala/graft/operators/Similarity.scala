@@ -904,33 +904,53 @@ object Similarity {
     * `iters` rounds, no convergence test (run-count IS the spec, the
     * q151 bounded-round rule). */
   /** The fitted PC1 model: per-dim means, unit loading vector, λ, trace. */
-  private[operators] case class Pc1Model(means: Array[Double],
+  private[graft] case class Pc1Model(means: Array[Double],
     loadings: Array[Double], eigenvalue: Double, trace: Double)
 
-  private[operators] def pcaFit(vecs: DataFrame, idCol: String,
-      vecCol: String, dim: Int, iters: Int): Pc1Model = {
-    require(dim > 0 && iters >= 1, s"bad args: dim=$dim iters=$iters")
+  /** MERGEABLE PCA sufficient statistics of a vector batch: one frame of
+    * exact DECIMAL(38,0) fixed-point sums keyed (j, k) — second moments
+    * Σ q(xⱼxₖ) at (j,k ≥ 0), first moments Σ q(xⱼ) at (j, −1), and the
+    * row count at (−1, −1). Merging batches = groupBy(j,k).sum — the
+    * same partial-aggregation law every sketch family here obeys, so an
+    * incrementally maintained moments table refits PC1 without
+    * re-scanning history. */
+  def pcaMoments(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val fx = (c: Column) =>
       floor(c * lit(1e12) + lit(0.5)).cast("long").cast("decimal(38,0)")
-    val dd = (c: Column) => c.cast("double")
     val ex = vecs.select(col(idCol).as("id"),
         posexplode(col(vecCol)).as(Seq("p", "x")))
       .withColumn("x", col("x").cast("double"))
-    val n = vecs.count().toDouble
-    val means = ex.groupBy(col("p").as("mp"))
-      .agg((sum(fx(col("x"))).cast("decimal(38,0)").cast("double") /
-        lit(1e12 * n)).as("m"))
     // second moments: the one data-sized aggregation (d² groups,
     // map-side combined)
-    val moments = ex.toDF("id", "j", "xj")
+    val second = ex.toDF("id", "j", "xj")
       .join(ex.toDF("id2", "k", "xk"), col("id") === col("id2"))
       .groupBy("j", "k")
-      .agg(sum(fx(col("xj") * col("xk"))).cast("decimal(38,0)").as("sjk"))
-    val cov = moments
+      .agg(sum(fx(col("xj") * col("xk"))).cast("decimal(38,0)").as("s"))
+    val first = ex.groupBy(col("p").as("j"))
+      .agg(sum(fx(col("x"))).cast("decimal(38,0)").as("s"))
+      .select(col("j"), lit(-1).as("k"), col("s"))
+    val cnt = vecs.agg(count(lit(1)).cast("decimal(38,0)").as("s"))
+      .select(lit(-1).as("j"), lit(-1).as("k"), col("s"))
+    second.unionByName(first).unionByName(cnt)
+  }
+
+  /** Solve PC1 from a (possibly merged) [[pcaMoments]] frame. */
+  private[graft] def pcaSolveMoments(moments: DataFrame, dim: Int,
+      iters: Int): Pc1Model = {
+    require(dim > 0 && iters >= 1, s"bad args: dim=$dim iters=$iters")
+    val dd = (c: Column) => c.cast("double")
+    val merged = moments.groupBy("j", "k")
+      .agg(sum(col("s")).cast("decimal(38,0)").as("s"))
+      .localCheckpoint(true)
+    val n = merged.filter(col("j") === -1 && col("k") === -1)
+      .head().getDecimal(2).doubleValue()
+    val means = merged.filter(col("j") >= 0 && col("k") === -1)
+      .select(col("j").as("mp"), (dd(col("s")) / lit(1e12 * n)).as("m"))
+    val cov = merged.filter(col("k") >= 0)
       .join(means.withColumnRenamed("mp", "j").withColumnRenamed("m", "mj"), "j")
-      .join(means.withColumnRenamed("mp", "k").withColumnRenamed("m", "mk"), "k")
+      .join(means.select(col("mp").as("k"), col("m").as("mk")), "k")
       .select(col("j"), col("k"),
-        (dd(col("sjk")) / lit(1e12 * n) - col("mj") * col("mk")).as("cval"))
+        (dd(col("s")) / lit(1e12 * n) - col("mj") * col("mk")).as("cval"))
     // The iteration runs on the DRIVER over the collected d×d matrix —
     // model-sized (the centroid/codebook collect precedent: d² doubles,
     // input-independent). quant18 reproduces Spark's double→DECIMAL(38,18)
@@ -959,6 +979,10 @@ object Similarity {
     means.collect().foreach(r => meanArr(r.getInt(0)) = r.getDouble(1))
     Pc1Model(meanArr, v, eigenvalue, trace)
   }
+
+  private[graft] def pcaFit(vecs: DataFrame, idCol: String,
+      vecCol: String, dim: Int, iters: Int): Pc1Model =
+    pcaSolveMoments(pcaMoments(vecs, idCol, vecCol), dim, iters)
 
   def pcaFirstComponent(vecs: DataFrame, idCol: String, vecCol: String,
       dim: Int, iters: Int): DataFrame = {
@@ -1006,6 +1030,26 @@ object Similarity {
   def q216Pc1Scores(spark: SparkSession, dir: String): DataFrame =
     pc1Scores(Tables.embeddings(spark, dir), "vec_id", "embedding",
       dim = 64, iters = 8)
+
+  /** INCREMENTAL PCA: the corpus split into two ingest batches, each
+    * reduced to its own [[pcaMoments]] sufficient-statistics frame; the
+    * solve runs on the MERGED tables and must reproduce the one-shot
+    * whole-corpus fit bit-for-bit (the oracle is the full recompute) —
+    * the mergeable-moments law that lets a maintained moments MV refit
+    * PC1 per ingest batch without re-scanning history. */
+  def q219IncrementalPca(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(spark, dir)
+    val batchA = all.filter(col("vec_id") % 2 === 0)
+    val batchB = all.filter(col("vec_id") % 2 === 1)
+    val merged = pcaMoments(batchA, "vec_id", "embedding")
+      .unionByName(pcaMoments(batchB, "vec_id", "embedding"))
+    val m = pcaSolveMoments(merged, dim = 64, iters = 8)
+    import spark.implicits._
+    (0 until 64).map(j =>
+        (j, m.loadings(j), m.eigenvalue, m.eigenvalue / m.trace))
+      .toDF("pos", "loading", "eigenvalue", "explained_frac")
+      .orderBy("pos")
+  }
 
   /** Brute-force cosine top-10 for the vec_id=0 query vector. */
   def q50KnnBrute(spark: SparkSession, dir: String): DataFrame =
@@ -1250,11 +1294,32 @@ object Similarity {
     "q210_pca_power" -> (q210PcaPower _),
     "q214_label_outliers" -> (q214LabelOutliers _),
     "q216_pc1_scores" -> (q216Pc1Scores _),
+    "q219_incremental_pca" -> (q219IncrementalPca _),
     "q51_ann_lsh" -> (q51AnnLsh _),
     "q52_embedding_near_dup" -> (q52EmbeddingNearDup _),
     "q53_ann_ivf" -> (q53AnnIvf _),
     "q93_ann_pq" -> (q93AnnPq _),
     "q96_pq_index_query" -> (q96PqIndexQuery _))
+
+  /** The whole-corpus PC1 oracle (q210 and the q219 merge-law gate). */
+  private def pcaPowerSql: String =
+      (pcaCoreSql + ",\n" +
+        """cv AS (
+        |  SELECT c.j AS k, CAST(CAST(SUM(CAST(c.cval * v.v
+        |    AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE) AS wd
+        |  FROM cov c JOIN v8 v ON v.k = c.k GROUP BY 1),
+        |lam AS (
+        |  SELECT CAST(CAST(SUM(CAST(v.v * cv.wd AS DECIMAL(38,18)))
+        |    AS DECIMAL(38,18)) AS DOUBLE) AS eigenvalue
+        |  FROM cv JOIN v8 v ON v.k = cv.k),
+        |tr AS (
+        |  SELECT CAST(CAST(SUM(CAST(cval AS DECIMAL(38,18)))
+        |    AS DECIMAL(38,18)) AS DOUBLE) AS trace
+        |  FROM cov WHERE j = k)
+        |SELECT CAST(v.k - 1 AS INTEGER) AS pos, v.v AS loading,
+        |  eigenvalue, eigenvalue / trace AS explained_frac
+        |FROM v8 v CROSS JOIN lam CROSS JOIN tr
+        |ORDER BY 1""".stripMargin)
 
   /** Shared PCA oracle core — the Spark fit's exact ladder through the
     * converged v8: fixed-point data-sized moments, DECIMAL(38,18)
@@ -1340,24 +1405,10 @@ object Similarity {
         |  FROM ex JOIN means m ON m.mp = ex.p JOIN v8 v ON v.k = ex.p
         |  GROUP BY 1)
         |SELECT id AS vec_id, pc1_score FROM proj ORDER BY 1""".stripMargin),
-    "q210_pca_power" ->
-      (pcaCoreSql + ",\n" +
-        """cv AS (
-        |  SELECT c.j AS k, CAST(CAST(SUM(CAST(c.cval * v.v
-        |    AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE) AS wd
-        |  FROM cov c JOIN v8 v ON v.k = c.k GROUP BY 1),
-        |lam AS (
-        |  SELECT CAST(CAST(SUM(CAST(v.v * cv.wd AS DECIMAL(38,18)))
-        |    AS DECIMAL(38,18)) AS DOUBLE) AS eigenvalue
-        |  FROM cv JOIN v8 v ON v.k = cv.k),
-        |tr AS (
-        |  SELECT CAST(CAST(SUM(CAST(cval AS DECIMAL(38,18)))
-        |    AS DECIMAL(38,18)) AS DOUBLE) AS trace
-        |  FROM cov WHERE j = k)
-        |SELECT CAST(v.k - 1 AS INTEGER) AS pos, v.v AS loading,
-        |  eigenvalue, eigenvalue / trace AS explained_frac
-        |FROM v8 v CROSS JOIN lam CROSS JOIN tr
-        |ORDER BY 1""".stripMargin),
+    "q210_pca_power" -> pcaPowerSql,
+    // merged batch moments must reproduce the ONE-SHOT fit exactly —
+    // the oracle is the full recompute
+    "q219_incremental_pca" -> pcaPowerSql,
     // DuckDB lists are 1-based; positions only need to be internally
     // consistent on each side. Same quantization ladder as the Spark plan.
     "q209_silhouette" ->

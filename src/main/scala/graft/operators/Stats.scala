@@ -869,6 +869,60 @@ object Stats {
     revenueBridge(Tables.lineitem(spark, dir), Tables.part(spark, dir),
       1997, 1998)
 
+  /** POPULATION STABILITY INDEX per key between the first and second
+    * half of the observation span (the q110 corpus-midpoint pivot):
+    * bins are the reference period's exact deciles (the q195 broadcast-
+    * cutpoint rule, bin = #{cuts < v}), both periods' bin shares are
+    * Laplace-smoothed (c+½)/(n+½·B) so empty bins stay finite, and
+    * PSI = Σ (p₂−p₁)·ln(p₂/p₁) with each term DECIMAL(38,12)-quantized.
+    * The industry drift score (PSI > 0.2 ⇒ investigate), complementing
+    * the nonparametric KS gate (q141): one scan for cuts, one binned
+    * aggregation, a bins×keys histogram after that. */
+  def psiDrift(events: DataFrame, tsCol: String, keyCol: String,
+      valCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val mm = events.agg(min(unix_micros(col(tsCol))).as("mn"),
+        max(unix_micros(col(tsCol))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val ev = events.crossJoin(broadcast(mm)) // 1-row build side
+      .select(col(keyCol).as("k"), col(valCol).as("v"),
+        (unix_micros(col(tsCol)) < col("mid")).as("isA"))
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    val cuts = ev.filter(col("isA")).groupBy("k")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("cs"))
+    val binExpr = (0 until nBins - 1).map(i =>
+        when(col("v") > col("cs")(i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val counts = ev.join(broadcast(cuts), "k")
+      .withColumn("bin", binExpr)
+      .groupBy("k", "bin")
+      .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
+    val grid = cuts.select(col("k"),
+      explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
+    val tot = Window.partitionBy("k")
+    grid.join(counts, Seq("k", "bin"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+      .withColumn("na", sum("ca").over(tot))
+      .withColumn("nb", sum("cb").over(tot))
+      .withColumn("pa", (col("ca").cast("double") + lit(0.5)) /
+        (col("na").cast("double") + lit(0.5 * nBins)))
+      .withColumn("pb", (col("cb").cast("double") + lit(0.5)) /
+        (col("nb").cast("double") + lit(0.5 * nBins)))
+      .withColumn("term",
+        ((col("pb") - col("pa")) * log(col("pb") / col("pa")))
+          .cast("decimal(38,12)"))
+      .groupBy(col("k").as(keyCol))
+      .agg(min("na").as("n_ref"), min("nb").as("n_cur"),
+        sum("term").cast("decimal(38,12)").cast("double").as("psi"))
+      .orderBy(keyCol)
+  }
+
+  /** Has each event type's value distribution drifted half-over-half. */
+  def q220PsiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDrift(Tables.events(spark, dir), "ts", "event_type", "value",
+      nBins = 10)
+
   /** Shannon entropy of a categorical mix per entity (how DIVERSE is
     * each entity's behavior), plus the [0,1]-normalized variant
     * H / ln(#distinct categories seen). Two aggregations on the SAME
@@ -1009,6 +1063,7 @@ object Stats {
     "q206_changepoint" -> (q206Changepoint _),
     "q213_rolling_corr" -> (q213RollingCorr _),
     "q218_revenue_bridge" -> (q218RevenueBridge _),
+    "q220_psi_drift" -> (q220PsiDrift _),
     "q199_survival_curve" -> (q199SurvivalCurve _),
     "q200_group_ols" -> (q200GroupOls _),
     "q197_autocorrelation" -> (q197Autocorrelation _),
@@ -1028,6 +1083,61 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q220_psi_drift" ->
+      """WITH mid AS (
+        |  SELECT (MIN(CAST(epoch_us(ts) AS BIGINT))
+        |    + MAX(CAST(epoch_us(ts) AS BIGINT))) // 2 AS mid
+        |  FROM events),
+        |ev AS (
+        |  SELECT event_type AS k, value AS v,
+        |    CAST(epoch_us(ts) AS BIGINT) < (SELECT mid FROM mid) AS isa
+        |  FROM events),
+        |cuts AS (
+        |  SELECT k,
+        |    quantile_cont(v, 0.1) AS c1, quantile_cont(v, 0.2) AS c2,
+        |    quantile_cont(v, 0.3) AS c3, quantile_cont(v, 0.4) AS c4,
+        |    quantile_cont(v, 0.5) AS c5, quantile_cont(v, 0.6) AS c6,
+        |    quantile_cont(v, 0.7) AS c7, quantile_cont(v, 0.8) AS c8,
+        |    quantile_cont(v, 0.9) AS c9
+        |  FROM ev WHERE isa GROUP BY 1),
+        |binned AS (
+        |  SELECT ev.k,
+        |    CAST((CASE WHEN v > c1 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN v > c2 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN v > c3 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN v > c4 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN v > c5 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN v > c6 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN v > c7 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN v > c8 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN v > c9 THEN 1 ELSE 0 END) AS BIGINT) AS bin,
+        |    isa
+        |  FROM ev JOIN cuts ON cuts.k = ev.k),
+        |counts AS (
+        |  SELECT k, bin,
+        |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM binned GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT k, CAST(unnest(range(0, 10)) AS BIGINT) AS bin FROM cuts),
+        |dense AS (
+        |  SELECT g.k, g.bin, COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+        |  FROM grid g LEFT JOIN counts c ON c.k = g.k AND c.bin = g.bin),
+        |t AS (
+        |  SELECT *, CAST(SUM(ca) OVER (PARTITION BY k) AS BIGINT) AS na,
+        |    CAST(SUM(cb) OVER (PARTITION BY k) AS BIGINT) AS nb
+        |  FROM dense),
+        |terms AS (
+        |  SELECT k, na, nb,
+        |    CAST(((CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0)
+        |      - (CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0))
+        |      * ln(((CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0))
+        |        / ((CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0)))
+        |      AS DECIMAL(38,12)) AS term
+        |  FROM t)
+        |SELECT k AS event_type, MIN(na) AS n_ref, MIN(nb) AS n_cur,
+        |  CAST(CAST(SUM(term) AS DECIMAL(38,12)) AS DOUBLE) AS psi
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "q218_revenue_bridge" ->
       """WITH li AS (
         |  SELECT p.p_brand AS brand, l.l_partkey AS pk,

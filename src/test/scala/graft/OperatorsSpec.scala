@@ -628,6 +628,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - flesch) < 1e-9)
   }
 
+  test("pcaMoments merge law: split-batch moments refit == one-shot fit") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecs = Seq((1L, Array(1f, 2f)), (2L, Array(2f, 1f)),
+      (3L, Array(3f, 4f)), (4L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val whole = Similarity.pcaFit(vecs, "vec_id", "embedding", 2, 4)
+    val merged = Similarity.pcaSolveMoments(
+      Similarity.pcaMoments(vecs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+        .unionByName(Similarity.pcaMoments(vecs.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding")), 2, 4)
+    assert(whole.loadings.toSeq == merged.loadings.toSeq)
+    assert(whole.eigenvalue == merged.eigenvalue && whole.trace == merged.trace)
+  }
+
   test("pc1Scores: projections onto the diagonal direction, centered") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1f, 1f)), (2L, Array(2f, 2f)),

@@ -667,6 +667,23 @@ class StatsSpec extends AnyFunSuite {
     assert(r == Map(1L -> Some(1.0), 2L -> None), s"got $r")
   }
 
+  test("psiDrift: identical halves score exactly 0, a full shift scores high") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // key s: same values both halves -> every bin share equal -> psi 0.
+    // key d: values jump by +100 in the second half -> top-bin mass
+    val stable = (1 to 10).flatMap(v =>
+      Seq(("s", 0L + v, v.toDouble), ("s", 1000L + v, v.toDouble)))
+    val drift = (1 to 10).flatMap(v =>
+      Seq(("d", 0L + v, v.toDouble), ("d", 1000L + v, v + 100.0)))
+    val ev = (stable ++ drift).toDF("k", "s", "value")
+      .select(col("k"), timestamp_seconds(col("s")).as("ts"), col("value"))
+    val r = Stats.psiDrift(ev, "ts", "k", "value", nBins = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r("s") == 0.0, s"got $r")
+    assert(r("d") > 0.5, s"got $r")
+  }
+
   test("longestStreaks: runs cut on type change, earliest wins ties") {
     import spark.implicits._
     // user 1: A A B B B A  -> longest B-run of 3 starting at t=2
