@@ -995,28 +995,32 @@ object Similarity {
       .orderBy("pos")
   }
 
+  /** The PC1 projection as a STATELESS per-row column: score =
+    * Σⱼ q((xⱼ − μⱼ)·vⱼ) on the fit's 1e-12 fixed-point grid, summed by
+    * an array `aggregate` in a LONG accumulator — exact because the sum
+    * is d-bounded (64 terms × ~1e13 grid units ≪ 2⁶³), never n-bounded.
+    * No explode, no shuffle, codegen-friendly, and streaming-safe (used
+    * by the stream-static scoring twin). The model rides along as array
+    * literals. */
+  def pc1ScoreColumn(vec: Column, m: Pc1Model): Column = {
+    val mu = typedLit(m.means.toSeq)
+    val ld = typedLit(m.loadings.toSeq)
+    aggregate(
+      transform(vec, (x, i) =>
+        floor(((x.cast("double") - element_at(mu, i + 1)) *
+          element_at(ld, i + 1)) * lit(1e12) + lit(0.5)).cast("long")),
+      lit(0L), (acc, t) => acc + t
+    ).cast("double") / lit(1e12)
+  }
+
   /** PC1 SCORES — fit-and-transform: every vector projected onto the
-    * dominant direction, score = Σⱼ q((xⱼ − μⱼ)·vⱼ) on the same 1e-12
-    * fixed-point grid as the fit (order-free exact sum, one double
-    * divide at the end). The model (2d doubles) broadcasts as a literal
-    * frame into the projection join; the projection is one explode +
-    * groupBy per vector — embarrassingly data-parallel. */
+    * dominant direction via [[pc1ScoreColumn]] (pure projection after
+    * the fit — embarrassingly data-parallel). */
   def pc1Scores(vecs: DataFrame, idCol: String, vecCol: String,
       dim: Int, iters: Int): DataFrame = {
     val m = pcaFit(vecs, idCol, vecCol, dim, iters)
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val model = (0 until dim).map(j => (j, m.means(j), m.loadings(j)))
-      .toDF("mp", "mu", "ld")
-    val fx = (c: Column) =>
-      floor(c * lit(1e12) + lit(0.5)).cast("long").cast("decimal(38,0)")
-    vecs.select(col(idCol).as("id"),
-        posexplode(col(vecCol)).as(Seq("p", "x")))
-      .withColumn("x", col("x").cast("double"))
-      .join(broadcast(model), col("p") === col("mp"))
-      .groupBy(col("id").as(idCol))
-      .agg((sum(fx((col("x") - col("mu")) * col("ld")))
-        .cast("decimal(38,0)").cast("double") / lit(1e12)).as("pc1_score"))
+    vecs.select(col(idCol),
+        pc1ScoreColumn(col(vecCol), m).as("pc1_score"))
       .orderBy(idCol)
   }
 

@@ -651,6 +651,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static PC1: micro-batches score against a frozen model, equals batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // freeze the model on a static reference corpus
+    val corpus = Seq((1L, Array(1f, 2f)), (2L, Array(2f, 1f)),
+      (3L, Array(3f, 4f)), (4L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val model = graft.operators.Similarity.pcaFit(corpus, "vec_id",
+      "embedding", dim = 2, iters = 4)
+    // score an incoming vector stream with the stateless projection column
+    val mem = MemoryStream[(Long, Array[Float])]
+    val scored = mem.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.operators.Similarity.pc1ScoreColumn(col("embedding"), model)
+          .as("pc1_score"))
+    val q = scored.writeStream.format("memory").queryName("pc1_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((9L, Array(5f, 5f)), (10L, Array(-1f, 0f)))
+      q.processAllAvailable()
+      mem.addData((11L, Array(0f, 0f)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT vec_id, pc1_score FROM pc1_stream")
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      val twin = Seq((9L, Array(5f, 5f)), (10L, Array(-1f, 0f)),
+          (11L, Array(0f, 0f))).toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          graft.operators.Similarity.pc1ScoreColumn(col("embedding"), model)
+            .as("pc1_score"))
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got == twin && got.map(_._1) == Seq(9L, 10L, 11L), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming chunking: the stateless projection runs per-batch in append mode") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
