@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOf, Audit, Basket, Behavior, Cdc, Dedup, Graph, Layout, Linkage, Multimodal, Mv, Relational, RuntimeFilter, Sampling, Similarity, SketchQueries, Skew, Skyline, Stats, TextAnalysis}
+import graft.operators.{AsOf, Audit, Basket, Behavior, Cdc, Dedup, Graph, Layout, Linkage, Ml, Multimodal, Mv, Relational, RuntimeFilter, Sampling, Similarity, SketchQueries, Skew, Skyline, Stats, TextAnalysis}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -35,7 +35,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ AsOf.queries ++
       RuntimeFilter.queries ++ Sampling.queries ++ Skew.queries ++ Layout.queries ++
       Cdc.queries ++ Audit.queries ++ Behavior.queries ++ Linkage.queries ++
-      Skyline.queries ++ Graph.queries ++ Mv.queries ++ Basket.queries ++ Stats.queries
+      Skyline.queries ++ Graph.queries ++ Mv.queries ++ Basket.queries ++
+      Stats.queries ++ Ml.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -45,5 +46,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
       RuntimeFilter.oracles ++ Sampling.oracles ++ Skew.oracles ++ Layout.oracles ++
       Cdc.oracles ++ Audit.oracles ++ Behavior.oracles ++ Linkage.oracles ++
-      Skyline.oracles ++ Graph.oracles ++ Mv.oracles ++ Basket.oracles ++ Stats.oracles
+      Skyline.oracles ++ Graph.oracles ++ Mv.oracles ++ Basket.oracles ++
+      Stats.oracles ++ Ml.oracles
 }

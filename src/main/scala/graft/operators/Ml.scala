@@ -1,0 +1,528 @@
+package graft.operators
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering and model-diagnostics operators for training-data
+  * pipelines: leakage-proof target encoding, rank statistics (Spearman),
+  * and information-theoretic feature association (mutual information).
+  *
+  * The shared scale discipline: every operator reduces the fact table to a
+  * SMALL statistic frame first (category×fold cells, contingency cells,
+  * per-key moment rows) and does the numerically delicate part there.
+  * Order-sensitive double sums are DECIMAL-quantized term-wise (the
+  * [[Stats]] float discipline), integer/decimal arithmetic is exact until
+  * a single fixed-shape double finish, so the declared queries hash-gate
+  * against the DuckDB oracle.
+  */
+object Ml {
+
+  private def dd(c: Column): Column = c.cast("double")
+  private def d380(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Out-of-fold (OOF) target mean encoding — the leakage-proof way to
+    * turn a categorical column into a numeric feature: each fold's rows
+    * are encoded with the target mean computed from the OTHER folds only,
+    * so a model trained on the encoded column never sees its own row's
+    * target. Folds are deterministic (`keyCol % nFolds`), so the encoding
+    * is reproducible and incremental-friendly.
+    *
+    * Shape: ONE groupBy to the (category × fold) cell frame (map-side
+    * combined), then per-category totals as a window over that statistic
+    * frame — no second scan, no join back to the fact table. The output
+    * is the encoding TABLE (category, fold → oof_mean), which downstream
+    * joins back to rows as a broadcast (cells = |categories|·nFolds).
+    * Target sums are exact centi-unit DECIMALs; the mean is one double
+    * division. */
+  def targetEncoding(df: DataFrame, catCol: String, targetCol: String,
+      foldKeyCol: String, nFolds: Int): DataFrame = {
+    require(nFolds >= 2, s"need at least 2 folds: $nFolds")
+    val cents = (col(targetCol).cast("decimal(18,2)") * 100).cast("long")
+    val cells = df
+      .select(col(catCol).as("cat"), (col(foldKeyCol) % nFolds).as("fold"),
+        cents.as("t"))
+      .groupBy("cat", "fold")
+      .agg(count(lit(1)).as("n_fold"), sum(d380(col("t"))).as("s_fold"))
+    val w = Window.partitionBy("cat")
+    cells
+      .withColumn("n_all", sum("n_fold").over(w))
+      .withColumn("s_all", sum("s_fold").over(w))
+      .filter(col("n_all") > col("n_fold")) // OOF undefined if fold = all
+      .select(col("cat").as(catCol), col("fold"), col("n_fold"),
+        (dd(col("s_all") - col("s_fold")) /
+          dd(col("n_all") - col("n_fold")) / 100.0).as("oof_mean"))
+      .orderBy(catCol, "fold")
+  }
+
+  /** Encode order priority with the out-of-fold mean order value:
+    * the feature a GBM would want for `o_orderpriority`, built without
+    * target leakage. */
+  def q221TargetEncoding(spark: SparkSession, dir: String): DataFrame =
+    targetEncoding(Tables.orders(spark, dir), "o_orderpriority",
+      "o_totalprice", "o_orderkey", nFolds = 5)
+
+  /** Spearman rank correlation per group between two measures — the
+    * monotonic-trend test (robust to outliers and any monotone rescaling,
+    * unlike Pearson). Ties get average ranks, carried as the INTEGER
+    * 2·rank_avg = 2·rank() + ties − 1 so every moment below is exact.
+    *
+    * Shape: both rank windows share ONE key-hash exchange (same
+    * partitioning, two sort orders), then one groupBy reduces to per-key
+    * moment rows; ρ is a fixed-shape double finish over exact DECIMAL
+    * moments (the q200 OLS discipline). Per-key window sorts are Spark's
+    * standard range-sort path at scale. */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val byK = (o: Column) => Window.partitionBy("g").orderBy(o)
+    val tiesX = Window.partitionBy("g", "x")
+    val tiesY = Window.partitionBy("g", "y")
+    val ranked = df
+      .select(col(groupCol).as("g"), col(xCol).as("x"), col(yCol).as("y"))
+      .withColumn("rx2",
+        lit(2) * rank().over(byK(col("x"))) + count(lit(1)).over(tiesX) - 1)
+      .withColumn("ry2",
+        lit(2) * rank().over(byK(col("y"))) + count(lit(1)).over(tiesY) - 1)
+    val m = ranked.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum("rx2").as("sx"), sum("ry2").as("sy"),
+      sum(d380(col("rx2")) * d380(col("ry2"))).cast("decimal(38,0)").as("sxy"),
+      sum(d380(col("rx2")) * d380(col("rx2"))).cast("decimal(38,0)").as("sxx"),
+      sum(d380(col("ry2")) * d380(col("ry2"))).cast("decimal(38,0)").as("syy"))
+    val cov = d380(col("n")) * col("sxy") - d380(col("sx")) * d380(col("sy"))
+    val vx = d380(col("n")) * col("sxx") - d380(col("sx")) * d380(col("sx"))
+    val vy = d380(col("n")) * col("syy") - d380(col("sy")) * d380(col("sy"))
+    m.withColumn("vx", vx).withColumn("vy", vy).withColumn("cov", cov)
+      .filter(col("vx") > 0 && col("vy") > 0)
+      .select(col("g").as(groupCol), col("n"),
+        (dd(col("cov")) / sqrt(dd(col("vx")) * dd(col("vy")))).as("rho"))
+      .orderBy(groupCol)
+  }
+
+  /** Is each event type's value drifting monotonically over time:
+    * Spearman ρ between timestamp and value per type (ρ near ±1 = steady
+    * trend, near 0 = stationary). */
+  def q222SpearmanTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("t_us"),
+        col("value"))
+    spearman(ev, "event_type", "t_us", "value")
+  }
+
+  /** Mutual information between two categorical columns, with the
+    * entropies and the [0,1] normalized MI = I/√(H_a·H_b) — the feature-
+    * selection / redundancy measure a training pipeline runs over feature
+    * pairs. Computed entirely on the contingency-cell statistic frame
+    * (one groupBy shuffle; marginals are windows over cells): each
+    * p·ln-term is DECIMAL(38,12)-quantized before its sum (the chiSquare
+    * discipline). Observed-zero cells contribute exactly 0 to I by
+    * definition, so the sparse cell frame is the correct support. */
+  def mutualInformation(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("nab"))
+    val wa = Window.partitionBy("a")
+    val wb = Window.partitionBy("b")
+    val wAll = Window.partitionBy()
+    val g = cells
+      .withColumn("na", sum("nab").over(wa))
+      .withColumn("nb", sum("nab").over(wb))
+      .withColumn("n", sum("nab").over(wAll))
+    val miTerm = (dd(col("nab")) / dd(col("n"))) *
+      log(dd(col("nab")) * dd(col("n")) / (dd(col("na")) * dd(col("nb"))))
+    // entropy terms counted once per marginal value: only on the cell
+    // where this `a` (resp. `b`) first appears in its partition's order
+    val firstA = row_number().over(wa.orderBy("b")) === 1
+    val firstB = row_number().over(wb.orderBy("a")) === 1
+    val pa = dd(col("na")) / dd(col("n"))
+    val pb = dd(col("nb")) / dd(col("n"))
+    g.withColumn("mi_t", miTerm.cast("decimal(38,12)"))
+      .withColumn("ha_t",
+        when(firstA, (-pa * log(pa)).cast("decimal(38,12)"))
+          .otherwise(lit(0).cast("decimal(38,12)")))
+      .withColumn("hb_t",
+        when(firstB, (-pb * log(pb)).cast("decimal(38,12)"))
+          .otherwise(lit(0).cast("decimal(38,12)")))
+      .agg(max(col("n")).as("n"),
+        sum("mi_t").cast("decimal(38,12)").as("mi_q"),
+        sum("ha_t").cast("decimal(38,12)").as("ha_q"),
+        sum("hb_t").cast("decimal(38,12)").as("hb_q"))
+      .select(col("n"), dd(col("mi_q")).as("mi_nats"),
+        dd(col("ha_q")).as("h_a"), dd(col("hb_q")).as("h_b"),
+        when(col("ha_q") > 0 && col("hb_q") > 0,
+          dd(col("mi_q")) / sqrt(dd(col("ha_q")) * dd(col("hb_q"))))
+          .otherwise(lit(0.0)).as("nmi"))
+  }
+
+  /** How much does order priority tell you about order status: the
+    * feature-pair association scan's unit cell. */
+  def q223MutualInformation(spark: SparkSession, dir: String): DataFrame =
+    mutualInformation(Tables.orders(spark, dir), "o_orderpriority",
+      "o_orderstatus")
+
+  /** Mann–Whitney U test per group between two samples (`sideCol` true =
+    * sample A) — the nonparametric two-sample location test (no normality
+    * assumption; the rank-based complement to the KS-drift gate q141).
+    * Average-tie ranks are carried as the integer 2·rank_avg, the tie
+    * correction Σ(t³−t) is exact, and z is one fixed-shape double finish
+    * over exact integers:
+    * U₁ = R₁ − n₁(n₁+1)/2,  z = (U₁ − n₁n₂/2) / √var,
+    * var = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))).
+    *
+    * Shape: one key-hash exchange carries the rank window and the tie
+    * window (same partitioning), then one groupBy to per-key scalars. */
+  def mannWhitney(df: DataFrame, groupCol: String, valCol: String,
+      sideCol: String): DataFrame = {
+    val wRank = Window.partitionBy("g").orderBy(col("v"))
+    val wTies = Window.partitionBy("g", "v")
+    val ranked = df
+      .select(col(groupCol).as("g"), col(valCol).as("v"),
+        col(sideCol).cast("boolean").as("isa"))
+      .withColumn("t", count(lit(1)).over(wTies))
+      .withColumn("r2", lit(2) * rank().over(wRank) + col("t") - 1)
+      // tie-group cube term counted once per (g, v) run
+      .withColumn("tfirst",
+        row_number().over(wTies.orderBy("isa")) === 1)
+    val m = ranked.groupBy("g").agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("isa"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("isa"), col("r2")).otherwise(lit(0L))).as("r1x2"),
+      sum(when(col("tfirst"),
+        d380(col("t")) * d380(col("t")) * d380(col("t")) - d380(col("t")))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").as("tcube"))
+    val n = col("n1") + col("n2")
+    val u1 = (dd(col("r1x2")) - dd(col("n1")) * dd(col("n1") + 1)) / 2.0
+    val varU = dd(col("n1")) * dd(col("n2")) / 12.0 *
+      (dd(n + 1) - dd(col("tcube")) / (dd(n) * dd(n - 1)))
+    m.filter(col("n1") > 0 && col("n2") > 0 && n > 1)
+      .select(col("g").as(groupCol), col("n1"), col("n2"), u1.as("u"),
+        when(varU > 0,
+          (u1 - dd(col("n1")) * dd(col("n2")) / 2.0) / sqrt(varU))
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy(groupCol)
+  }
+
+  /** Did each event type's value distribution shift half-over-half:
+    * the rank-based drift test (first time-half = sample A, the q220
+    * split rule). */
+  def q224MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        expr("unix_micros(ts)").as("us"))
+    val mid = ev.agg(((min("us") + max("us")) / lit(2L)).cast("long")
+      .as("mid"))
+    mannWhitney(
+      ev.crossJoin(broadcast(mid)).withColumn("isa", col("us") < col("mid")),
+      "event_type", "value", "isa")
+  }
+
+  /** One-way ANOVA of a numeric target across the levels of a categorical
+    * factor: F = (SSB/(k−1)) / (SSW/(n−k)) — is the between-class
+    * variance real. Class moments (n_c, Σt, Σt²) are exact centi-unit
+    * DECIMALs from ONE map-side-combined groupBy; the sums of squares are
+    * per-class DECIMAL(38,6)-quantized double terms (each one division on
+    * exact inputs), so the statistic hash-gates. Output in original
+    * target units (the 100× quantization divides out). */
+  def anovaF(df: DataFrame, catCol: String, targetCol: String): DataFrame = {
+    val cents = (col(targetCol).cast("decimal(18,2)") * 100).cast("long")
+    val cls = df.select(col(catCol).as("c"), cents.as("t"))
+      .groupBy("c")
+      .agg(count(lit(1)).as("nc"), sum(d380(col("t"))).as("sc"),
+        sum(d380(col("t")) * d380(col("t"))).cast("decimal(38,0)").as("sqc"))
+    // per-class term s_c²/n_c : one double division on exact decimals
+    val term = (dd(col("sc")) * dd(col("sc")) / dd(col("nc")))
+      .cast("decimal(38,6)")
+    cls.withColumn("term", term)
+      .agg(count(lit(1)).as("k"), sum("nc").as("n"),
+        sum(d380(col("sc"))).cast("decimal(38,0)").as("s"),
+        sum(col("sqc")).cast("decimal(38,0)").as("sq"),
+        sum(col("term")).cast("decimal(38,6)").as("tsum"))
+      .filter(col("k") > 1 && col("n") > col("k"))
+      .select(col("k"), col("n"),
+        ((dd(col("tsum")) - dd(col("s")) * dd(col("s")) / dd(col("n"))) /
+          1e4).as("ssb"),
+        ((dd(col("sq")) - dd(col("tsum"))) / 1e4).as("ssw"),
+        (((dd(col("tsum")) - dd(col("s")) * dd(col("s")) / dd(col("n"))) /
+          dd(col("k") - 1)) /
+          ((dd(col("sq")) - dd(col("tsum"))) / dd(col("n") - col("k"))))
+          .as("f"))
+  }
+
+  /** Does order priority explain order value: the one-way ANOVA gate. */
+  def q225AnovaF(spark: SparkSession, dir: String): DataFrame =
+    anovaF(Tables.orders(spark, dir), "o_orderpriority", "o_totalprice")
+
+  /** Distribution-free confidence interval for a per-group mean via a
+    * DETERMINISTIC Poisson-style bootstrap: replicate `b`'s weight for a
+    * row is the number of `md5(key:b)` leading hex digits in {0,1} —
+    * Binomial(8, 1/8), mean 1 (the Poisson(1) surrogate every engine can
+    * compute bit-identically; no RNG state, so replicas are reproducible
+    * and shard-order-independent — the property that matters on a
+    * cluster). The B-fold fan-out happens under ONE map-side-combined
+    * aggregation to (group × replicate) cells, so executor state is
+    * G·B scalars regardless of input size; the CI is exact order
+    * statistics over each group's B replicate means.
+    *
+    * At 100 TB: B× scan CPU (tunable), no extra shuffle beyond the cell
+    * frame — the standard scale-out bootstrap shape (Poisson bootstrap,
+    * Chamandy et al. 2012). */
+  def bootstrapMeanCI(df: DataFrame, groupCol: String, valCol: String,
+      keyCol: String, b: Int, loRank: Int, hiRank: Int): DataFrame = {
+    require(b >= 4 && loRank >= 1 && hiRank <= b && loRank < hiRank,
+      s"bad bootstrap geometry: b=$b ranks=[$loRank,$hiRank]")
+    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
+    val h = md5(concat(col("k").cast("string"), lit(":"),
+      col("b").cast("string")))
+    val weight = (1 to 8).map(i =>
+      when(substring(h, i, 1).isin("0", "1"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val cells = df
+      .select(col(groupCol).as("g"), col(keyCol).as("k"), cents.as("t"))
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("w", weight)
+      .groupBy("g", "b")
+      .agg(sum(col("w")).as("wsum"),
+        sum(d380(col("w")) * d380(col("t"))).cast("decimal(38,0)")
+          .as("wt"),
+        // exact unweighted moments ride along for the point estimate
+        sum(when(col("b") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("b") === 0, d380(col("t")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("s0"))
+    val reps = cells.filter(col("wsum") > 0)
+      .withColumn("rmean", dd(col("wt")) / dd(col("wsum")) / 100.0)
+    val wOrd = Window.partitionBy("g").orderBy(col("rmean"), col("b"))
+    val wG = Window.partitionBy("g")
+    reps
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("nb", count(lit(1)).over(wG))
+      .withColumn("mean",
+        (dd(sum(col("s0")).over(wG)) / dd(sum(col("n0")).over(wG)) / 100.0))
+      .filter(col("rk") === loRank || col("rk") === hiRank)
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("mean")).as("mean"),
+        min(when(col("rk") === loRank, col("rmean"))).as("ci_lo"),
+        min(when(col("rk") === hiRank, col("rmean"))).as("ci_hi"),
+        max(col("nb")).as("n_replicates"))
+      .orderBy(groupCol)
+  }
+
+  /** 90%-ish CI (2nd..31st of 32 replicate means) for mean order value
+    * per order status — the error bar every dashboard aggregate should
+    * carry, computed without distributional assumptions. */
+  def q226BootstrapCI(spark: SparkSession, dir: String): DataFrame =
+    bootstrapMeanCI(Tables.orders(spark, dir), "o_orderstatus",
+      "o_totalprice", "o_orderkey", b = 32, loRank = 2, hiRank = 31)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_target_encoding" -> (q221TargetEncoding _),
+    "q222_spearman_trend" -> (q222SpearmanTrend _),
+    "q223_mutual_information" -> (q223MutualInformation _),
+    "q224_mann_whitney" -> (q224MannWhitney _),
+    "q225_anova_f" -> (q225AnovaF _),
+    "q226_bootstrap_ci" -> (q226BootstrapCI _))
+
+  val oracles: Map[String, String] = Map(
+    "q224_mann_whitney" ->
+      """WITH mid AS (
+        |  SELECT (MIN(CAST(epoch_us(ts) AS BIGINT))
+        |    + MAX(CAST(epoch_us(ts) AS BIGINT))) // 2 AS mid FROM events),
+        |ev AS (
+        |  SELECT event_type AS g, value AS v,
+        |    CAST(epoch_us(ts) AS BIGINT) < (SELECT mid FROM mid) AS isa
+        |  FROM events),
+        |ranked AS (
+        |  SELECT g, v, isa,
+        |    COUNT(*) OVER (PARTITION BY g, v) AS t,
+        |    2 * RANK() OVER (PARTITION BY g ORDER BY v)
+        |      + COUNT(*) OVER (PARTITION BY g, v) - 1 AS r2,
+        |    ROW_NUMBER() OVER (PARTITION BY g, v ORDER BY isa) = 1
+        |      AS tfirst
+        |  FROM ev),
+        |m AS (
+        |  SELECT g,
+        |    SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS n2,
+        |    SUM(CASE WHEN isa THEN r2 ELSE 0 END) AS r1x2,
+        |    CAST(SUM(CASE WHEN tfirst THEN
+        |      CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+        |        * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS tcube
+        |  FROM ranked GROUP BY g)
+        |SELECT g AS event_type, n1, n2,
+        |  (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0 AS u,
+        |  CASE WHEN CAST(n1 AS DOUBLE) * n2 / 12.0
+        |      * ((n1 + n2 + 1) - CAST(tcube AS DOUBLE)
+        |        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) > 0
+        |    THEN ((CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1))
+        |        / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+        |      / SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0
+        |        * ((n1 + n2 + 1) - CAST(tcube AS DOUBLE)
+        |          / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
+        |    ELSE 0.0 END AS z
+        |FROM m WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+        |ORDER BY event_type""".stripMargin,
+    "q225_anova_f" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority AS c,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+        |  FROM orders),
+        |cls AS (
+        |  SELECT c, COUNT(*) AS nc,
+        |    CAST(SUM(CAST(t AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sc,
+        |    CAST(SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sqc
+        |  FROM q GROUP BY c),
+        |terms AS (
+        |  SELECT *, CAST(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |    / CAST(nc AS DOUBLE) AS DECIMAL(38,6)) AS term
+        |  FROM cls),
+        |tot AS (
+        |  SELECT COUNT(*) AS k, SUM(nc) AS n,
+        |    CAST(SUM(sc) AS DECIMAL(38,0)) AS s,
+        |    CAST(SUM(sqc) AS DECIMAL(38,0)) AS sq,
+        |    CAST(SUM(term) AS DECIMAL(38,6)) AS tsum
+        |  FROM terms)
+        |SELECT k, n,
+        |  (CAST(tsum AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / 1e4 AS ssb,
+        |  (CAST(sq AS DOUBLE) - CAST(tsum AS DOUBLE)) / 1e4 AS ssw,
+        |  ((CAST(tsum AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        |    / ((CAST(sq AS DOUBLE) - CAST(tsum AS DOUBLE))
+        |      / CAST(n - k AS DOUBLE)) AS f
+        |FROM tot WHERE k > 1 AND n > k""".stripMargin,
+    "q226_bootstrap_ci" ->
+      """WITH q AS (
+        |  SELECT o_orderstatus AS g, o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+        |  FROM orders),
+        |fan AS (
+        |  SELECT q.*, b.b,
+        |    md5(CAST(k AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
+        |  FROM q, (SELECT unnest(range(0, 32)) AS b) b),
+        |wtd AS (
+        |  SELECT g, b, t,
+        |    (CASE WHEN substring(h, 1, 1) IN ('0','1') THEN 1 ELSE 0 END +
+        |     CASE WHEN substring(h, 2, 1) IN ('0','1') THEN 1 ELSE 0 END +
+        |     CASE WHEN substring(h, 3, 1) IN ('0','1') THEN 1 ELSE 0 END +
+        |     CASE WHEN substring(h, 4, 1) IN ('0','1') THEN 1 ELSE 0 END +
+        |     CASE WHEN substring(h, 5, 1) IN ('0','1') THEN 1 ELSE 0 END +
+        |     CASE WHEN substring(h, 6, 1) IN ('0','1') THEN 1 ELSE 0 END +
+        |     CASE WHEN substring(h, 7, 1) IN ('0','1') THEN 1 ELSE 0 END +
+        |     CASE WHEN substring(h, 8, 1) IN ('0','1') THEN 1 ELSE 0 END)
+        |      AS w
+        |  FROM fan),
+        |cells AS (
+        |  SELECT g, b, SUM(w) AS wsum,
+        |    CAST(SUM(CAST(w AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS wt,
+        |    SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS n0,
+        |    CAST(SUM(CASE WHEN b = 0 THEN CAST(t AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s0
+        |  FROM wtd GROUP BY g, b),
+        |reps AS (
+        |  SELECT g, b, CAST(wt AS DOUBLE) / CAST(wsum AS DOUBLE) / 100.0
+        |      AS rmean, n0, s0,
+        |    ROW_NUMBER() OVER (PARTITION BY g
+        |      ORDER BY CAST(wt AS DOUBLE) / CAST(wsum AS DOUBLE) / 100.0, b)
+        |      AS rk,
+        |    COUNT(*) OVER (PARTITION BY g) AS nb,
+        |    CAST(SUM(s0) OVER (PARTITION BY g) AS DOUBLE)
+        |      / CAST(SUM(n0) OVER (PARTITION BY g) AS DOUBLE) / 100.0
+        |      AS mean
+        |  FROM cells WHERE wsum > 0)
+        |SELECT g AS o_orderstatus, MAX(mean) AS mean,
+        |  MIN(CASE WHEN rk = 2 THEN rmean END) AS ci_lo,
+        |  MIN(CASE WHEN rk = 31 THEN rmean END) AS ci_hi,
+        |  MAX(nb) AS n_replicates
+        |FROM reps WHERE rk = 2 OR rk = 31
+        |GROUP BY g ORDER BY g""".stripMargin,
+    "q221_target_encoding" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS cat, o_orderkey % 5 AS fold,
+        |    COUNT(*) AS n_fold,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS s_fold
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT *, SUM(n_fold) OVER (PARTITION BY cat) AS n_all,
+        |    SUM(s_fold) OVER (PARTITION BY cat) AS s_all
+        |  FROM cells)
+        |SELECT cat AS o_orderpriority, fold, n_fold,
+        |  CAST(s_all - s_fold AS DOUBLE) / CAST(n_all - n_fold AS DOUBLE)
+        |    / 100.0 AS oof_mean
+        |FROM tot WHERE n_all > n_fold
+        |ORDER BY o_orderpriority, fold""".stripMargin,
+    "q222_spearman_trend" ->
+      """WITH ev AS (
+        |  SELECT event_type AS g, CAST(epoch_us(ts) AS BIGINT) AS x,
+        |    value AS y
+        |  FROM events),
+        |ranked AS (
+        |  SELECT g,
+        |    2 * RANK() OVER (PARTITION BY g ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY g, x) - 1 AS rx2,
+        |    2 * RANK() OVER (PARTITION BY g ORDER BY y)
+        |      + COUNT(*) OVER (PARTITION BY g, y) - 1 AS ry2
+        |  FROM ev),
+        |m AS (
+        |  SELECT g, COUNT(*) AS n, SUM(rx2) AS sx, SUM(ry2) AS sy,
+        |    CAST(SUM(CAST(rx2 AS DECIMAL(38,0)) * CAST(ry2 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(rx2 AS DECIMAL(38,0)) * CAST(rx2 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(ry2 AS DECIMAL(38,0)) * CAST(ry2 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS syy
+        |  FROM ranked GROUP BY g)
+        |SELECT g AS event_type, n,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * sxy
+        |      - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+        |    AS DOUBLE)
+        |    / SQRT(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |        - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+        |      AS DOUBLE)
+        |      * CAST(CAST(n AS DECIMAL(38,0)) * syy
+        |        - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+        |      AS DOUBLE)) AS rho
+        |FROM m
+        |WHERE CAST(n AS DECIMAL(38,0)) * sxx
+        |    - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) > 0
+        |  AND CAST(n AS DECIMAL(38,0)) * syy
+        |    - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) > 0
+        |ORDER BY event_type""".stripMargin,
+    "q223_mutual_information" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS nab
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (
+        |  SELECT *, SUM(nab) OVER (PARTITION BY a) AS na,
+        |    SUM(nab) OVER (PARTITION BY b) AS nb,
+        |    SUM(nab) OVER () AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS rna,
+        |    ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rnb
+        |  FROM cells),
+        |t AS (
+        |  SELECT n,
+        |    CAST((CAST(nab AS DOUBLE) / n) * LN(CAST(nab AS DOUBLE) * n
+        |      / (CAST(na AS DOUBLE) * nb)) AS DECIMAL(38,12)) AS mi_t,
+        |    CASE WHEN rna = 1 THEN CAST(-(CAST(na AS DOUBLE) / n)
+        |      * LN(CAST(na AS DOUBLE) / n) AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END AS ha_t,
+        |    CASE WHEN rnb = 1 THEN CAST(-(CAST(nb AS DOUBLE) / n)
+        |      * LN(CAST(nb AS DOUBLE) / n) AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END AS hb_t
+        |  FROM g)
+        |SELECT MAX(n) AS n,
+        |  CAST(SUM(mi_t) AS DOUBLE) AS mi_nats,
+        |  CAST(SUM(ha_t) AS DOUBLE) AS h_a,
+        |  CAST(SUM(hb_t) AS DOUBLE) AS h_b,
+        |  CASE WHEN SUM(ha_t) > 0 AND SUM(hb_t) > 0
+        |    THEN CAST(SUM(mi_t) AS DOUBLE)
+        |      / SQRT(CAST(SUM(ha_t) AS DOUBLE) * CAST(SUM(hb_t) AS DOUBLE))
+        |    ELSE 0.0 END AS nmi
+        |FROM t""".stripMargin)
+}

@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators.Ml
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Feature-engineering operators: out-of-fold target encoding, Spearman
+  * rank correlation, mutual information — hand-checkable laws on tiny
+  * frames (the DuckDB gate covers fixture-scale values). */
+class MlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  test("targetEncoding: each fold's encoding excludes its own rows") {
+    import spark.implicits._
+    // cat A: fold0 rows {10.00, 30.00}, fold1 row {20.00}
+    val df = Seq((0L, "A", 10.0), (5L, "A", 30.0), (1L, "A", 20.0))
+      .toDF("k", "cat", "t")
+    val enc = Ml.targetEncoding(df, "cat", "t", "k", nFolds = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    assert(enc(0L) == 20.0) // leaves out folds-0 rows → mean(20) = 20
+    assert(enc(1L) == 20.0) // leaves out 20 → mean(10,30) = 20
+  }
+
+  test("targetEncoding: single-fold category drops (OOF undefined)") {
+    import spark.implicits._
+    val df = Seq((0L, "A", 10.0), (5L, "A", 30.0)).toDF("k", "cat", "t")
+    assert(Ml.targetEncoding(df, "cat", "t", "k", 5).count() == 0)
+  }
+
+  test("spearman: perfect monotone = 1, reversed = -1, invariant to " +
+      "monotone rescaling") {
+    import spark.implicits._
+    val up = Seq(("g", 1L, 1.0), ("g", 2L, 100.0), ("g", 3L, 101.0),
+      ("g", 4L, 1e9)).toDF("g", "x", "y")
+    val r1 = Ml.spearman(up, "g", "x", "y").head().getDouble(2)
+    assert(r1 == 1.0)
+    val down = up.selectExpr("g", "x", "-y AS y")
+    assert(Ml.spearman(down, "g", "x", "y").head().getDouble(2) == -1.0)
+  }
+
+  test("spearman: ties get average ranks (known small case)") {
+    import spark.implicits._
+    // x = 1,2,3,4 ; y = 1,1,2,3: ranks y = 1.5,1.5,3,4 vs x = 1,2,3,4
+    // → cov = 4.5, vx = 5, vy = 4.5 → rho = √0.9
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 1.0), ("g", 3L, 2.0),
+      ("g", 4L, 3.0)).toDF("g", "x", "y")
+    val rho = Ml.spearman(df, "g", "x", "y").head().getDouble(2)
+    assert(math.abs(rho - 0.9486832980505138) < 1e-12)
+  }
+
+  test("spearman: zero-variance group is excluded") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 5.0)).toDF("g", "x", "y")
+    assert(Ml.spearman(df, "g", "x", "y").count() == 0)
+  }
+
+  test("mutualInformation: independent columns → MI 0, identical → H") {
+    import spark.implicits._
+    // perfectly independent 2×2 uniform grid
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "v")
+    val r0 = Ml.mutualInformation(ind, "u", "v").head()
+    assert(math.abs(r0.getAs[Double]("mi_nats")) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("h_a") - math.log(2)) < 1e-12)
+    // identical columns: MI = H(a), NMI = 1
+    val same = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("c", "c"))
+      .toDF("u", "v")
+    val r1 = Ml.mutualInformation(same, "u", "v").head()
+    assert(math.abs(r1.getAs[Double]("mi_nats") -
+      r1.getAs[Double]("h_a")) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("nmi") - 1.0) < 1e-12)
+  }
+
+  test("mannWhitney: hand-checked no-tie case") {
+    import spark.implicits._
+    // A = {1,2}, B = {3,4,5}: R1 = 1+2 = 3, U1 = 3 - 3 = 0
+    val df = Seq(("g", 1.0, true), ("g", 2.0, true), ("g", 3.0, false),
+      ("g", 4.0, false), ("g", 5.0, false)).toDF("g", "v", "isa")
+    val r = Ml.mannWhitney(df, "g", "v", "isa").head()
+    assert(r.getLong(1) == 2 && r.getLong(2) == 3)
+    assert(r.getDouble(3) == 0.0) // U1
+    // z = (0 - 3) / sqrt(2*3/12 * 6) = -3/sqrt(3)
+    assert(math.abs(r.getDouble(4) - (-3.0 / math.sqrt(3.0))) < 1e-12)
+  }
+
+  test("mannWhitney: identical samples give U = n1*n2/2, z = 0 " +
+      "(all-tie correction)") {
+    import spark.implicits._
+    val df = Seq(("g", 7.0, true), ("g", 7.0, true), ("g", 7.0, false),
+      ("g", 7.0, false)).toDF("g", "v", "isa")
+    val r = Ml.mannWhitney(df, "g", "v", "isa").head()
+    assert(r.getDouble(3) == 2.0) // n1*n2/2 with average ranks
+    assert(r.getDouble(4) == 0.0) // varU = 0 → z pinned 0
+  }
+
+  test("anovaF: two classes reduces to the squared t-test decomposition") {
+    import spark.implicits._
+    // class a = {1,2,3}, class b = {4,5,6}: SSB = 13.5, SSW = 4
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0),
+      ("b", 5.0), ("b", 6.0)).toDF("c", "t")
+    val r = Ml.anovaF(df, "c", "t").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 6)
+    assert(math.abs(r.getDouble(2) - 13.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 4.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 13.5) < 1e-9) // F = 13.5/(4/4)
+  }
+
+  test("bootstrapMeanCI: deterministic replicas, ordered CI bounds") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Ml.q226BootstrapCI(spark, dir).collect()
+    val b = Ml.q226BootstrapCI(spark, dir).collect()
+    assert(a.toSeq == b.toSeq) // hash-derived weights: no RNG state
+    a.foreach { r =>
+      assert(r.getLong(4) == 32)
+      assert(r.getDouble(2) < r.getDouble(3)) // ci_lo < ci_hi
+      assert(r.getDouble(2) < r.getDouble(1) && // CI brackets the mean
+        r.getDouble(1) < r.getDouble(3))
+    }
+  }
+
+  test("declared ML queries run at sf0.001 with sane shapes") {
+    val dir = "/root/testdata/sf0.001"
+    val enc = Ml.q221TargetEncoding(spark, dir)
+    assert(enc.count() == 25) // 5 priorities × 5 folds
+    val sp = Ml.q222SpearmanTrend(spark, dir).collect()
+    assert(sp.nonEmpty && sp.forall(r =>
+      math.abs(r.getDouble(2)) <= 1.0))
+    val mi = Ml.q223MutualInformation(spark, dir).head()
+    assert(mi.getAs[Double]("mi_nats") >= 0.0 ||
+      math.abs(mi.getAs[Double]("mi_nats")) < 1e-9)
+    assert(mi.getAs[Double]("nmi") <= 1.0 + 1e-12)
+  }
+}
