@@ -317,7 +317,137 @@ object Ml {
     bootstrapMeanCI(Tables.orders(spark, dir), "o_orderstatus",
       "o_totalprice", "o_orderkey", b = 32, loRank = 2, hiRank = 31)
 
+  /** Out-of-vocabulary rate per corpus slice: the tokenizer-coverage
+    * audit a training pipeline runs before committing to a vocabulary —
+    * what fraction of each slice's tokens fall outside the corpus
+    * top-`vocabSize` vocabulary (by document frequency, term-asc
+    * tiebreak). High-OOV slices are where a tokenizer will shatter text
+    * into bytes.
+    *
+    * Shape: one tokenize pass → (doc, term) frame; the vocabulary is a
+    * distributed top-V (TakeOrdered — no single-partition window) and
+    * joins back as a BROADCAST build side; per-slice rates are exact
+    * long ratios. The token frame shuffles once for the df count and
+    * once for the slice rollup. */
+  def oovRate(docs: DataFrame, sliceCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")
+    val toks = docs.select(col(sliceCol).as("slice"), col("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val vocab = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("term")).limit(vocabSize)
+      .select("term")
+    toks.join(broadcast(vocab.withColumn("iv", lit(1L))), Seq("term"), "left")
+      .groupBy("slice")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("slice").as(sliceCol), col("n_docs"), col("n_tokens"),
+        col("n_oov"),
+        (dd(col("n_oov")) / dd(col("n_tokens"))).as("oov_rate"))
+      .orderBy(sliceCol)
+  }
+
+  /** Which language slices does a 500-term vocabulary cover worst. */
+  def q227OovRate(spark: SparkSession, dir: String): DataFrame =
+    oovRate(Tables.documents(spark, dir), "lang", "text", vocabSize = 500)
+
+  /** EWMA smoothing of a per-key hourly series with α = 1/2 and a
+    * 16-bucket truncated horizon — EXACT: the weights 2^−d are exact
+    * decimals, the bucket means are (exact-sum / exact-count) doubles
+    * quantized to DECIMAL(18,8), so the weighted sum is decimal
+    * arithmetic and the smoothed value one double finish. Missing hours
+    * simply don't contribute (weights renormalize over observed buckets)
+    * — the sparse-series convention.
+    *
+    * Shape: raw events reduce to the per-(key, hour) statistic frame
+    * FIRST (one map-side-combined groupBy); the 16-lag horizon is an
+    * EQUI-join of that small frame against itself via an exploded lag
+    * offset (bucket + d = target) — never a range join, never a window
+    * whose weights depend on position (which plain window aggs can't
+    * express). At 100 TB the fan-out is 16× the HOURLY frame, not the
+    * event count. */
+  def ewmaHourly(events: DataFrame, tsCol: String, keyCol: String,
+      valCol: String): DataFrame = {
+    val bucketUs = 3600L * 1000000L
+    val hourly = events
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div $bucketUs").as("b"),
+        (col(valCol).cast("decimal(18,6)") * 1000000L).cast("long").as("vq"))
+      .groupBy("k", "b")
+      .agg(count(lit(1)).as("c"), sum(d380(col("vq"))).as("s"))
+      .withColumn("m",
+        (dd(col("s")) / dd(col("c")) / 1e6).cast("decimal(16,8)"))
+    val lagged = hourly
+      .withColumn("d", explode(sequence(lit(0), lit(15))))
+      .withColumn("tb", col("b") + col("d"))
+      .withColumn("w", expr("cast(power(0.5d, d) as decimal(16,15))"))
+    lagged.join(hourly.select(col("k"), col("b").as("tb")), Seq("k", "tb"))
+      .groupBy(col("k"), col("tb"))
+      .agg(count(lit(1)).as("n_lags"),
+        sum(col("m") * col("w")).as("num"),
+        sum(col("w")).as("den"))
+      .select(col("k").as(keyCol), col("tb").as("bucket"), col("n_lags"),
+        (dd(col("num")) / dd(col("den"))).as("ewma"))
+      .orderBy(keyCol, "bucket")
+  }
+
+  /** Smoothed hourly value level per event type (the monitoring
+    * dashboard's EWMA line), exactly reproducible. */
+  def q228Ewma(spark: SparkSession, dir: String): DataFrame =
+    ewmaHourly(Tables.events(spark, dir), "ts", "event_type", "value")
+
+  /** Purged forward-chaining time-series cross-validation folds: k
+    * equal-width time slices; fold i's training set is everything
+    * STRICTLY before the slice start minus an embargo gap — the split
+    * that keeps look-ahead AND boundary leakage (autocorrelated rows
+    * straddling the cut) out of a temporal model's backtest.
+    *
+    * Shape: one scan reduced against a broadcast 1-row (min, max) frame
+    * with k unrolled conditional counters, then the 1-row result explodes
+    * to the k-row fold report — integer-µs grid arithmetic throughout,
+    * no shuffle beyond the scalar aggregate. */
+  def purgedTimeFolds(events: DataFrame, tsCol: String, k: Int,
+      embargoUs: Long): DataFrame = {
+    require(k >= 2 && embargoUs >= 0, s"bad fold geometry k=$k g=$embargoUs")
+    val us = expr(s"unix_micros($tsCol)")
+    val span = events.agg(min(us).as("mn"), max(us).as("mx"))
+      .withColumn("width", expr(s"(mx - mn) div $k + 1"))
+    val withFold = events.select(us.as("us")).crossJoin(broadcast(span))
+      .withColumn("fold", expr("(us - mn) div width"))
+    val counters = (0 until k).flatMap { i =>
+      val start = col("mn") + lit(i.toLong) * col("width")
+      Seq(
+        sum(when(col("fold") === i, 1L).otherwise(0L)).as(s"test_$i"),
+        sum(when(col("us") < start - embargoUs, 1L).otherwise(0L))
+          .as(s"train_$i"))
+    }
+    val one = withFold.groupBy("mn", "width")
+      .agg(counters.head, counters.tail: _*)
+    one.select(col("mn"), col("width"),
+        explode(array((0 until k).map { i =>
+          struct(lit(i.toLong).as("fold"), col(s"test_$i").as("n_test"),
+            col(s"train_$i").as("n_train"))
+        }: _*)).as("f"))
+      .select(col("f.fold").as("fold"),
+        (col("mn") + col("f.fold").cast("long") * col("width"))
+          .as("test_start_us"),
+        (col("mn") + (col("f.fold").cast("long") + 1) * col("width"))
+          .as("test_end_us"),
+        col("f.n_test").as("n_test"), col("f.n_train").as("n_train"))
+      .orderBy("fold")
+  }
+
+  /** 5-fold purged time CV over the event stream with a 1-hour embargo. */
+  def q229PurgedCv(spark: SparkSession, dir: String): DataFrame =
+    purgedTimeFolds(Tables.events(spark, dir), "ts", k = 5,
+      embargoUs = 3600L * 1000000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_oov_rate" -> (q227OovRate _),
+    "q228_ewma" -> (q228Ewma _),
+    "q229_purged_cv" -> (q229PurgedCv _),
     "q221_target_encoding" -> (q221TargetEncoding _),
     "q222_spearman_trend" -> (q222SpearmanTrend _),
     "q223_mutual_information" -> (q223MutualInformation _),
@@ -326,6 +456,66 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q227_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, COUNT(*) AS df
+        |    FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term)
+        |  ORDER BY df DESC, term LIMIT 500)
+        |SELECT t.lang, COUNT(DISTINCT t.doc_id) AS n_docs,
+        |  COUNT(*) AS n_tokens,
+        |  SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
+    "q228_ewma" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS k,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS b,
+        |    COUNT(*) AS c,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT)) AS DECIMAL(38,0)) AS s
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT k, b,
+        |    CAST(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) / 1e6
+        |      AS DECIMAL(16,8)) AS m
+        |  FROM hourly),
+        |lagged AS (
+        |  SELECT m.k, m.b + d.d AS tb,
+        |    m.m, CAST(POWER(0.5, d.d) AS DECIMAL(16,15)) AS w
+        |  FROM m, (SELECT unnest(range(0, 16)) AS d) d)
+        |SELECT l.k AS event_type, l.tb AS bucket,
+        |  COUNT(*) AS n_lags,
+        |  CAST(SUM(l.m * l.w) AS DOUBLE) / CAST(SUM(l.w) AS DOUBLE)
+        |    AS ewma
+        |FROM lagged l JOIN m a ON l.k = a.k AND l.tb = a.b
+        |GROUP BY l.k, l.tb ORDER BY event_type, bucket""".stripMargin,
+    "q229_purged_cv" ->
+      """WITH span AS (
+        |  SELECT MIN(CAST(epoch_us(ts) AS BIGINT)) AS mn,
+        |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS mx,
+        |    (MAX(CAST(epoch_us(ts) AS BIGINT))
+        |      - MIN(CAST(epoch_us(ts) AS BIGINT))) // 5 + 1 AS width
+        |  FROM events),
+        |rows_us AS (
+        |  SELECT CAST(epoch_us(ts) AS BIGINT) AS us, span.*
+        |  FROM events, span),
+        |folds AS (SELECT unnest(range(0, 5)) AS fold)
+        |SELECT f.fold,
+        |  s.mn + f.fold * s.width AS test_start_us,
+        |  s.mn + (f.fold + 1) * s.width AS test_end_us,
+        |  (SELECT COUNT(*) FROM rows_us r
+        |    WHERE (r.us - r.mn) // r.width = f.fold) AS n_test,
+        |  (SELECT COUNT(*) FROM rows_us r
+        |    WHERE r.us < r.mn + f.fold * r.width - 3600000000) AS n_train
+        |FROM folds f, span s ORDER BY f.fold""".stripMargin,
     "q224_mann_whitney" ->
       """WITH mid AS (
         |  SELECT (MIN(CAST(epoch_us(ts) AS BIGINT))

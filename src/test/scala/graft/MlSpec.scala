@@ -119,6 +119,51 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("oovRate: tokens outside the top-V vocabulary are counted, " +
+      "inside are not") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "a a b"), (2L, "en", "a c"),
+      (3L, "de", "zz zz zz")).toDF("doc_id", "lang", "text")
+    // vocabSize 2 → vocab by df: a (df 2), then tie df=1 broken
+    // term-asc: b. So c and zz are OOV.
+    val rows = Ml.oovRate(docs, "lang", "text", 2).collect()
+    val en = rows.find(_.getString(0) == "en").get
+    val de = rows.find(_.getString(0) == "de").get
+    assert(en.getLong(2) == 5 && en.getLong(3) == 1) // only "c" OOV
+    assert(de.getLong(2) == 3 && de.getLong(3) == 3) // all "zz" OOV
+  }
+
+  test("ewmaHourly: single observed bucket = its own mean; dense run " +
+      "halves weights") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:30:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:30:00")
+    val df = Seq(("k", t0, 2.0), ("k", t0, 4.0), ("k", t1, 6.0))
+      .toDF("k", "ts", "v")
+    val r = Ml.ewmaHourly(df, "ts", "k", "v").collect()
+      .map(x => (x.getLong(1), x.getDouble(3))).toMap
+    val b0 = r.keys.min
+    assert(r(b0) == 3.0) // mean(2,4), no earlier buckets
+    // bucket 1: (6*1 + 3*0.5) / 1.5 = 5.0
+    assert(r(b0 + 1) == 5.0)
+  }
+
+  test("purgedTimeFolds: counts partition the stream and the embargo " +
+      "shrinks training sets") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+    val total = ev.count()
+    val folds = Ml.purgedTimeFolds(ev, "ts", 5, 3600L * 1000000L).collect()
+    assert(folds.length == 5)
+    assert(folds.map(_.getLong(3)).sum == total) // test sets partition
+    assert(folds.head.getLong(4) == 0)           // fold 0 has no past
+    // n_train is nondecreasing in fold and below the no-embargo prefix
+    val tr = folds.map(_.getLong(4))
+    assert(tr.sliding(2).forall(p => p(0) <= p(1)))
+    val prefix = folds.scanLeft(0L)(_ + _.getLong(3)).init
+    tr.zip(prefix).foreach { case (t, p) => assert(t <= p) }
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
