@@ -444,7 +444,146 @@ object Ml {
     purgedTimeFolds(Tables.events(spark, dir), "ts", k = 5,
       embargoUs = 3600L * 1000000L)
 
+  /** Categorical Naive Bayes, trained and applied in one plan: class
+    * priors and per-feature likelihoods (Laplace α = 1) from three
+    * map-side-combined count aggregations, then the score grid =
+    * (observed feature combos) × (classes) — every frame cells-sized,
+    * so the argmax is a tiny window, never a data-sized sort. The score
+    *   P(c)·P(f₁|c)·P(f₂|c)
+    *   = nc(n₁+1)(n₂+1) / (n·(nc+V₁)·(nc+V₂))
+    * is ONE fixed-shape double expression over exact counts (no logs, no
+    * accumulation order), and the argmax tiebreaks class-asc, so the
+    * prediction table hash-gates. */
+  def naiveBayes2(df: DataFrame, f1Col: String, f2Col: String,
+      classCol: String): DataFrame = {
+    val base = df.select(col(f1Col).as("f1"), col(f2Col).as("f2"),
+      col(classCol).as("c"))
+    val cls = base.groupBy("c").agg(count(lit(1)).as("nc"))
+    val l1 = base.groupBy("f1", "c").agg(count(lit(1)).as("n1"))
+    val l2 = base.groupBy("f2", "c").agg(count(lit(1)).as("n2"))
+    val scal = base.agg(count(lit(1)).as("n"),
+      countDistinct("f1").as("v1"), countDistinct("f2").as("v2"))
+    val combos = base.select("f1", "f2").distinct()
+    val grid = combos.crossJoin(broadcast(cls))
+      .join(l1, Seq("f1", "c"), "left").na.fill(0L, Seq("n1"))
+      .join(l2, Seq("f2", "c"), "left").na.fill(0L, Seq("n2"))
+      .crossJoin(broadcast(scal))
+    val score = dd(col("nc")) * dd(col("n1") + 1) * dd(col("n2") + 1) /
+      (dd(col("n")) * dd(col("nc") + col("v1")) *
+        dd(col("nc") + col("v2")))
+    grid.withColumn("score", score)
+      .withColumn("rk", row_number().over(Window.partitionBy("f1", "f2")
+        .orderBy(desc("score"), asc("c"))))
+      .filter(col("rk") === 1)
+      .select(col("f1").as(f1Col), col("f2").as(f2Col),
+        col("c").as("predicted"), col("score"), col("n").as("n_train"))
+      .orderBy(f1Col, f2Col)
+  }
+
+  /** Predict order priority from (market segment, order status): the
+    * canonical categorical NB — trained distributed, applied to the
+    * observed feature grid. */
+  def q230NaiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    naiveBayes2(
+      o.join(c, o("o_custkey") === c("c_custkey")),
+      "c_mktsegment", "o_orderstatus", "o_orderpriority")
+  }
+
+  /** Stratified average treatment effect — the covariate-adjusted
+    * difference in means: within each stratum compare treated vs control
+    * means, then weight the differences by stratum mass (over strata
+    * with BOTH arms supported). The observational-data replacement for
+    * q168's randomized two-proportion test.
+    *
+    * Shape: one groupBy to per-stratum arm moments (exact centi-unit
+    * sums), the ATE is a window sum of DECIMAL(38,12)-quantized
+    * per-stratum terms over that tiny frame. */
+  def stratifiedAte(df: DataFrame, stratumCol: String, treatedCond: Column,
+      outcomeCol: String): DataFrame = {
+    val cents = (col(outcomeCol).cast("decimal(18,2)") * 100).cast("long")
+    val arms = df
+      .select(col(stratumCol).as("s"), treatedCond.as("t"), cents.as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("t"), d380(col("y")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("s1"),
+        sum(when(!col("t"), d380(col("y")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("s0"))
+      .withColumn("n0", col("n") - col("n1"))
+      .filter(col("n1") > 0 && col("n0") > 0)
+    val w = Window.partitionBy()
+    val meanT = dd(col("s1")) / dd(col("n1")) / 100.0
+    val meanC = dd(col("s0")) / dd(col("n0")) / 100.0
+    arms
+      .withColumn("nn", sum("n").over(w))
+      .withColumn("term",
+        ((dd(col("n")) * (meanT - meanC)) / dd(col("nn")))
+          .cast("decimal(38,12)"))
+      .withColumn("ate", sum("term").over(w).cast("double"))
+      .select(col("s").as(stratumCol), col("n"), col("n1").as("n_treated"),
+        meanT.as("mean_treated"), meanC.as("mean_control"),
+        (meanT - meanC).as("diff"), col("ate"))
+      .orderBy(stratumCol)
+  }
+
+  /** Does a deep discount (≥ 5%) move quantity, controlling for return
+    * flag: the stratified ATE over the lineitem stream. */
+  def q231StratifiedAte(spark: SparkSession, dir: String): DataFrame =
+    stratifiedAte(Tables.lineitem(spark, dir), "l_returnflag",
+      col("l_discount") >= 0.05, "l_quantity")
+
+  /** Cumulative gains / lift curve of a score against a binary outcome:
+    * rank the population by score deciles (percentile cutpoints
+    * BROADCAST to the scan — the q195 move; a global ntile would be a
+    * single-partition sort), walk bins best-first, report capture rate
+    * and lift vs random. The model-eval primitive for any propensity /
+    * churn / risk ranking. All counts exact; capture and lift are
+    * one-division doubles over the 10-row bin frame. */
+  def gainsCurve(df: DataFrame, scoreCol: String, posCond: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    val cuts = df.agg(
+      expr(s"percentile($scoreCol, array(${ps.mkString(",")}))").as("__cs"))
+    val bin = (0 until nBins - 1).map(i =>
+        when(col(scoreCol) > col("__cs")(i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val bins = df.crossJoin(broadcast(cuts))
+      .withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(posCond, 1L).otherwise(0L)).as("n_pos"))
+    val wCum = Window.orderBy(desc("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    bins
+      .withColumn("cum_n", sum("n").over(wCum))
+      .withColumn("cum_pos", sum("n_pos").over(wCum))
+      .withColumn("nn", sum("n").over(wAll))
+      .withColumn("np", sum("n_pos").over(wAll))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (dd(col("cum_n")) / dd(col("nn"))).as("cum_frac"),
+        (dd(col("cum_pos")) / dd(col("np"))).as("capture"),
+        ((dd(col("cum_pos")) / dd(col("np"))) /
+          (dd(col("cum_n")) / dd(col("nn")))).as("lift"))
+      .orderBy(desc("bin"))
+  }
+
+  /** If order value ranked a "will end up F-status" model, how much of
+    * the F mass do the top deciles capture. */
+  def q232GainsCurve(spark: SparkSession, dir: String): DataFrame =
+    gainsCurve(Tables.orders(spark, dir), "o_totalprice",
+      col("o_orderstatus") === "F", nBins = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_naive_bayes" -> (q230NaiveBayes _),
+    "q231_stratified_ate" -> (q231StratifiedAte _),
+    "q232_gains_curve" -> (q232GainsCurve _),
     "q227_oov_rate" -> (q227OovRate _),
     "q228_ewma" -> (q228Ewma _),
     "q229_purged_cv" -> (q229PurgedCv _),
@@ -456,6 +595,111 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q230_naive_bayes" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS f1, o_orderstatus AS f2,
+        |    o_orderpriority AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cls AS (SELECT c, COUNT(*) AS nc FROM base GROUP BY c),
+        |l1 AS (SELECT f1, c, COUNT(*) AS n1 FROM base GROUP BY 1, 2),
+        |l2 AS (SELECT f2, c, COUNT(*) AS n2 FROM base GROUP BY 1, 2),
+        |scal AS (
+        |  SELECT COUNT(*) AS n, COUNT(DISTINCT f1) AS v1,
+        |    COUNT(DISTINCT f2) AS v2
+        |  FROM base),
+        |combos AS (SELECT DISTINCT f1, f2 FROM base),
+        |grid AS (
+        |  SELECT co.f1, co.f2, cls.c, cls.nc,
+        |    COALESCE(l1.n1, 0) AS n1, COALESCE(l2.n2, 0) AS n2,
+        |    s.n, s.v1, s.v2
+        |  FROM combos co CROSS JOIN cls
+        |  LEFT JOIN l1 ON l1.f1 = co.f1 AND l1.c = cls.c
+        |  LEFT JOIN l2 ON l2.f2 = co.f2 AND l2.c = cls.c
+        |  CROSS JOIN scal s),
+        |scored AS (
+        |  SELECT f1, f2, c, n,
+        |    CAST(nc AS DOUBLE) * CAST(n1 + 1 AS DOUBLE)
+        |      * CAST(n2 + 1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(nc + v1 AS DOUBLE)
+        |        * CAST(nc + v2 AS DOUBLE)) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY f1, f2 ORDER BY
+        |      CAST(nc AS DOUBLE) * CAST(n1 + 1 AS DOUBLE)
+        |        * CAST(n2 + 1 AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(nc + v1 AS DOUBLE)
+        |          * CAST(nc + v2 AS DOUBLE)) DESC, c) AS rk
+        |  FROM grid)
+        |SELECT f1 AS c_mktsegment, f2 AS o_orderstatus, c AS predicted,
+        |  score, n AS n_train
+        |FROM scored WHERE rk = 1
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+    "q231_stratified_ate" ->
+      """WITH arms AS (
+        |  SELECT l_returnflag AS s, COUNT(*) AS n,
+        |    SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n1,
+        |    CAST(SUM(CASE WHEN l_discount >= 0.05 THEN
+        |      CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(CASE WHEN NOT (l_discount >= 0.05) THEN
+        |      CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s0
+        |  FROM lineitem GROUP BY 1),
+        |kept AS (
+        |  SELECT *, n - n1 AS n0 FROM arms WHERE n1 > 0 AND n - n1 > 0),
+        |tot AS (SELECT *, SUM(n) OVER () AS nn FROM kept),
+        |terms AS (
+        |  SELECT *,
+        |    CAST((CAST(n AS DOUBLE)
+        |      * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0
+        |        - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0))
+        |      / CAST(nn AS DOUBLE) AS DECIMAL(38,12)) AS term
+        |  FROM tot)
+        |SELECT s AS l_returnflag, n, n1 AS n_treated,
+        |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS mean_treated,
+        |  CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0 AS mean_control,
+        |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0
+        |    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0 AS diff,
+        |  CAST(SUM(term) OVER () AS DOUBLE) AS ate
+        |FROM terms ORDER BY 1""".stripMargin,
+    "q232_gains_curve" ->
+      """WITH cuts AS (
+        |  SELECT [quantile_cont(o_totalprice, 0.1),
+        |    quantile_cont(o_totalprice, 0.2), quantile_cont(o_totalprice, 0.3),
+        |    quantile_cont(o_totalprice, 0.4), quantile_cont(o_totalprice, 0.5),
+        |    quantile_cont(o_totalprice, 0.6), quantile_cont(o_totalprice, 0.7),
+        |    quantile_cont(o_totalprice, 0.8), quantile_cont(o_totalprice, 0.9)]
+        |    AS cs
+        |  FROM orders),
+        |b AS (
+        |  SELECT CAST(
+        |      (CASE WHEN o_totalprice > cs[1] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[2] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[3] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[4] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[5] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[6] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[7] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[8] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[9] THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bin,
+        |    o_orderstatus = 'F' AS pos
+        |  FROM orders, cuts),
+        |bins AS (
+        |  SELECT bin, COUNT(*) AS n,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos
+        |  FROM b GROUP BY bin),
+        |cum AS (
+        |  SELECT *, SUM(n) OVER (ORDER BY bin DESC) AS cum_n,
+        |    SUM(n_pos) OVER (ORDER BY bin DESC) AS cum_pos,
+        |    SUM(n) OVER () AS nn, SUM(n_pos) OVER () AS np
+        |  FROM bins)
+        |SELECT bin, n, n_pos,
+        |  CAST(cum_n AS DOUBLE) / CAST(nn AS DOUBLE) AS cum_frac,
+        |  CAST(cum_pos AS DOUBLE) / CAST(np AS DOUBLE) AS capture,
+        |  (CAST(cum_pos AS DOUBLE) / CAST(np AS DOUBLE))
+        |    / (CAST(cum_n AS DOUBLE) / CAST(nn AS DOUBLE)) AS lift
+        |FROM cum ORDER BY bin DESC""".stripMargin,
     "q227_oov_rate" ->
       """WITH toks AS (
         |  SELECT lang, doc_id,

@@ -3,6 +3,7 @@ package graft
 import graft.operators.Ml
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Feature-engineering operators: out-of-fold target encoding, Spearman
@@ -162,6 +163,65 @@ class MlSpec extends AnyFunSuite {
     assert(tr.sliding(2).forall(p => p(0) <= p(1)))
     val prefix = folds.scanLeft(0L)(_ + _.getLong(3)).init
     tr.zip(prefix).foreach { case (t, p) => assert(t <= p) }
+  }
+
+  test("naiveBayes2: deterministic class on a separable toy table") {
+    import spark.implicits._
+    // f1 perfectly determines the class; f2 is noise
+    val df = Seq(
+      ("hot", "x", "summer"), ("hot", "y", "summer"),
+      ("hot", "x", "summer"), ("cold", "x", "winter"),
+      ("cold", "y", "winter")).toDF("f1", "f2", "c")
+    val pred = Ml.naiveBayes2(df, "f1", "f2", "c").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getString(2))).toMap
+    assert(pred(("hot", "x")) == "summer")
+    assert(pred(("hot", "y")) == "summer")
+    assert(pred(("cold", "x")) == "winter")
+    assert(pred(("cold", "y")) == "winter")
+  }
+
+  test("naiveBayes2: unseen (f, c) pairs get the Laplace floor, not zero") {
+    import spark.implicits._
+    // f2 = "z" never co-occurs with class b; score must stay positive
+    val df = Seq(("p", "z", "a"), ("p", "w", "b"), ("q", "z", "a"),
+      ("q", "w", "b")).toDF("f1", "f2", "c")
+    val out = Ml.naiveBayes2(df, "f1", "f2", "c").collect()
+    assert(out.forall(_.getDouble(3) > 0.0))
+  }
+
+  test("stratifiedAte: hand-checked two-stratum effect") {
+    import spark.implicits._
+    // stratum s1: treated {10}, control {6} → diff 4; n = 2
+    // stratum s2: treated {8}, control {2}  → diff 6; n = 2
+    // ATE = 0.5*4 + 0.5*6 = 5
+    val df = Seq(("s1", true, 10.0), ("s1", false, 6.0),
+      ("s2", true, 8.0), ("s2", false, 2.0)).toDF("s", "t", "y")
+    val r = Ml.stratifiedAte(df, "s", col("t"), "y").collect()
+    assert(r.length == 2)
+    assert(r.forall(x => math.abs(x.getDouble(6) - 5.0) < 1e-9))
+    val s1 = r.find(_.getString(0) == "s1").get
+    assert(s1.getDouble(5) == 4.0)
+  }
+
+  test("stratifiedAte: single-arm strata are excluded from the estimate") {
+    import spark.implicits._
+    val df = Seq(("only_t", true, 9.0), ("both", true, 4.0),
+      ("both", false, 2.0)).toDF("s", "t", "y")
+    val r = Ml.stratifiedAte(df, "s", col("t"), "y").collect()
+    assert(r.length == 1 && r.head.getString(0) == "both")
+    assert(r.head.getDouble(6) == 2.0)
+  }
+
+  test("gainsCurve: monotone capture, lift ends at 1, counts total") {
+    val dir = "/root/testdata/sf0.001"
+    val g = Ml.q232GainsCurve(spark, dir).collect()
+    assert(g.length == 10)
+    val caps = g.map(_.getDouble(4))
+    assert(caps.sliding(2).forall(p => p(0) <= p(1) + 1e-15))
+    assert(math.abs(caps.last - 1.0) < 1e-12)      // all mass captured
+    assert(math.abs(g.last.getDouble(5) - 1.0) < 1e-12) // full-pop lift = 1
+    assert(g.map(_.getLong(1)).sum ==
+      graft.sources.Tables.orders(spark, dir).count())
   }
 
   test("declared ML queries run at sf0.001 with sane shapes") {
