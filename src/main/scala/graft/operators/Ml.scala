@@ -580,7 +580,172 @@ object Ml {
     gainsCurve(Tables.orders(spark, dir), "o_totalprice",
       col("o_orderstatus") === "F", nBins = 10)
 
+  /** Int8 scalar-quantization audit for an embedding column: per-vector
+    * symmetric quantization (scale = max|x|/127, q = round(x/scale)),
+    * reconstruction error rolled up per label — the "can we ship int8
+    * embeddings" report (4× memory / bandwidth for ANN serving).
+    *
+    * Exactness: element errors are computed in double from exact
+    * float→double promotions with one fixed expression shape, each
+    * squared-error term is DECIMAL-quantized before the per-vector sum,
+    * and per-vector MSEs are DECIMAL-quantized before the per-label mean
+    * — no order-sensitive double accumulation anywhere.
+    *
+    * Shape: posexplode to the element frame, ONE vec-hash exchange
+    * carries the per-vector max window and the per-vector reduce, then a
+    * label rollup of the tiny per-vector frame. The 64× element fan-out
+    * is the audit's honest cost (it reads every element exactly once —
+    * the same work any quantizer must do). */
+  def int8QuantAudit(emb: DataFrame, idCol: String, embCol: String,
+      labelCol: String): DataFrame = {
+    val el = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      posexplode(col(embCol)).as(Seq("pos", "x")))
+    val wVec = Window.partitionBy("id")
+    val xd = dd(col("x"))
+    val scale = dd(col("mx")) / 127.0
+    val qv = round(xd / scale)
+    val err = xd - qv * scale
+    val perVec = el
+      .withColumn("mx", max(abs(col("x"))).over(wVec))
+      .withColumn("term",
+        when(col("mx") > 0, (err * err).cast("decimal(28,18)"))
+          .otherwise(lit(0).cast("decimal(28,18)")))
+      .withColumn("aerr", when(col("mx") > 0, abs(err)).otherwise(lit(0.0)))
+      .groupBy("id", "lbl")
+      .agg(count(lit(1)).as("dim"),
+        sum(col("term")).cast("decimal(38,18)").as("sse"),
+        max(col("aerr")).as("amax"))
+      .withColumn("mse", (dd(col("sse")) / dd(col("dim")))
+        .cast("decimal(28,18)"))
+    perVec.groupBy(col("lbl").as(labelCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("mse")).cast("decimal(38,18)").cast("double") /
+          count(lit(1)).cast("double")).as("mean_mse"),
+        max(col("amax")).as("max_abs_err"))
+      .orderBy(labelCol)
+  }
+
+  /** Per-label int8 reconstruction-error report for the embedding
+    * corpus. */
+  def q233Int8Quant(spark: SparkSession, dir: String): DataFrame =
+    int8QuantAudit(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      "label")
+
+  /** Multiplicative seasonal decomposition of a per-key hourly count
+    * series: x ≈ trend · seasonal, residual = x / (trend · s_h). Trend
+    * is a centered 25-hour moving average over the DENSIFIED grid
+    * (missing hours = 0 — the q197 rule; skipping the fill would bend
+    * the trend toward busy hours), the seasonal index s_h is each
+    * hour-of-day's mean over the key's grand mean. The monitoring
+    * primitive behind q137's anomaly flags, exposed as a full
+    * decomposition.
+    *
+    * All means are single divisions of exact integer sums; the residual
+    * is one fixed-shape double expression, so the gate is strict. Full
+    * 25-bucket windows only (partial edges excluded by count) keep the
+    * trend well-defined. */
+  def seasonalDecompose(events: DataFrame, tsCol: String, keyCol: String)
+      : DataFrame = {
+    val bucketUs = 3600L * 1000000L
+    val buck = events.select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div $bucketUs").as("b"))
+      .groupBy("k", "b").agg(count(lit(1)).as("n"))
+    val grid = buck.groupBy("k").agg(min("b").as("b0"), max("b").as("b1"))
+      .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val dense = grid.join(buck, Seq("k", "b"), "left")
+      .select(col("k"), col("b"), coalesce(col("n"), lit(0L)).as("x"))
+    val wTrend = Window.partitionBy("k").orderBy("b")
+      .rowsBetween(-12, 12)
+    val withTrend = dense
+      .withColumn("ts_", sum("x").over(wTrend))
+      .withColumn("tc_", count(lit(1)).over(wTrend))
+      .withColumn("h", pmod(col("b"), lit(24L)))
+    val hod = dense.withColumn("h", pmod(col("b"), lit(24L)))
+      .groupBy("k", "h").agg(sum("x").as("sh"), count(lit(1)).as("ch"))
+    val grand = dense.groupBy("k")
+      .agg(sum("x").as("sg"), count(lit(1)).as("cg"))
+    val trend = dd(col("ts_")) / dd(col("tc_"))
+    val seasonal = (dd(col("sh")) / dd(col("ch"))) /
+      (dd(col("sg")) / dd(col("cg")))
+    withTrend
+      .join(hod, Seq("k", "h"))
+      .join(grand, Seq("k"))
+      .filter(col("tc_") === 25) // full centered windows only
+      .select(col("k").as(keyCol), col("b").as("bucket"), col("x"),
+        trend.as("trend"), seasonal.as("seasonal"),
+        when(trend > 0 && seasonal > 0, dd(col("x")) / (trend * seasonal))
+          .as("residual"))
+      .orderBy(keyCol, "bucket")
+  }
+
+  /** Hourly volume per event type split into trend × daily-seasonal ×
+    * residual. */
+  def q234SeasonalDecompose(spark: SparkSession, dir: String): DataFrame =
+    seasonalDecompose(Tables.events(spark, dir), "ts", "event_type")
+
+  /** NDCG@k of cosine retrieval against same-label relevance — the
+    * ranking-quality eval for the ANN/embedding stack: for each probe,
+    * rank the corpus by cosine, mark neighbors sharing the probe's label
+    * relevant, and score the top-k list with the standard log2 discount;
+    * the ideal DCG uses the probe label's true support (capped at k), so
+    * NDCG = 1 means "every retrievable relevant met the top of the
+    * list".
+    *
+    * Shape: probes broadcast against the corpus (probe-bounded brute
+    * force — the q50 pattern), one probe-hash window for ranks, DCG
+    * terms DECIMAL-quantized; the IDCG lookup is a k-row literal frame
+    * joined broadcast. */
+  def ndcgAtK(emb: DataFrame, idCol: String, embCol: String,
+      labelCol: String, nProbes: Int, k: Int): DataFrame = {
+    require(nProbes >= 1 && k >= 1, s"bad geometry: $nProbes $k")
+    val probes = emb.filter(col(idCol) < nProbes)
+      .select(col(idCol).as("pid"), col(embCol).as("pv"),
+        col(labelCol).as("plbl"))
+    val corpus = emb.select(col(idCol).as("id"), col(embCol).as("v"),
+      col(labelCol).as("lbl"))
+    val ranked = corpus.crossJoin(broadcast(probes))
+      .filter(col("id") =!= col("pid"))
+      .withColumn("sim", Similarity.cosine(col("v"), col("pv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("pid").orderBy(desc("sim"), asc("id"))))
+      .filter(col("rank") <= k)
+      .withColumn("rel", when(col("lbl") === col("plbl"), 1L)
+        .otherwise(0L))
+    val dcg = ranked.groupBy("pid", "plbl")
+      .agg(sum("rel").as("n_rel_topk"),
+        sum((dd(col("rel")) / log2(dd(col("rank")) + 1.0))
+          .cast("decimal(38,12)")).cast("decimal(38,12)").as("dcg_q"))
+    val support = corpus.groupBy(col("lbl").as("plbl"))
+      .agg(count(lit(1)).as("n_lbl"))
+    // cumulative ideal DCG for r = 1..k, as a k-row literal frame
+    val spark0 = emb.sparkSession
+    import spark0.implicits._
+    // ascending-i double sum, the shape the oracle's ordered cumsum
+    // reproduces; ≤ k terms, so cross-engine log ulps stay ≪ 1e-9
+    val idcg = (1 to k).map { r =>
+      (r.toLong, (1 to r).map(i =>
+        1.0 / (math.log(i + 1.0) / math.log(2.0))).sum)
+    }.toDF("r", "idcg")
+    dcg.join(support, Seq("plbl"))
+      .withColumn("r", least(lit(k.toLong), col("n_lbl") - 1))
+      .join(broadcast(idcg), Seq("r"))
+      .select(col("pid").as(idCol), col("plbl").as(labelCol),
+        col("n_rel_topk"), dd(col("dcg_q")).as("dcg"), col("idcg"),
+        when(col("idcg") > 0, dd(col("dcg_q")) / col("idcg"))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy(idCol)
+  }
+
+  /** Retrieval quality of raw cosine search over the embedding corpus:
+    * NDCG@10 with same-label relevance for the first 20 probes. */
+  def q235Ndcg(spark: SparkSession, dir: String): DataFrame =
+    ndcgAtK(Tables.embeddings(spark, dir), "vec_id", "embedding", "label",
+      nProbes = 20, k = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_int8_quant" -> (q233Int8Quant _),
+    "q234_seasonal_decompose" -> (q234SeasonalDecompose _),
+    "q235_ndcg" -> (q235Ndcg _),
     "q230_naive_bayes" -> (q230NaiveBayes _),
     "q231_stratified_ate" -> (q231StratifiedAte _),
     "q232_gains_curve" -> (q232GainsCurve _),
@@ -595,6 +760,119 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q233_int8_quant" ->
+      """WITH el AS (
+        |  SELECT vec_id AS id, label AS lbl, t.x AS x
+        |  FROM embeddings, unnest(embedding) AS t(x)),
+        |wm AS (
+        |  SELECT *, MAX(ABS(x)) OVER (PARTITION BY id) AS mx FROM el),
+        |terms AS (
+        |  SELECT id, lbl,
+        |    CASE WHEN mx > 0 THEN CAST(
+        |      (CAST(x AS DOUBLE)
+        |        - ROUND(CAST(x AS DOUBLE) / (CAST(mx AS DOUBLE) / 127.0))
+        |          * (CAST(mx AS DOUBLE) / 127.0))
+        |      * (CAST(x AS DOUBLE)
+        |        - ROUND(CAST(x AS DOUBLE) / (CAST(mx AS DOUBLE) / 127.0))
+        |          * (CAST(mx AS DOUBLE) / 127.0)) AS DECIMAL(28,18))
+        |      ELSE CAST(0 AS DECIMAL(28,18)) END AS term,
+        |    CASE WHEN mx > 0 THEN ABS(CAST(x AS DOUBLE)
+        |      - ROUND(CAST(x AS DOUBLE) / (CAST(mx AS DOUBLE) / 127.0))
+        |        * (CAST(mx AS DOUBLE) / 127.0)) ELSE 0.0 END AS aerr
+        |  FROM wm),
+        |pv AS (
+        |  SELECT id, lbl, COUNT(*) AS dim,
+        |    CAST(SUM(term) AS DECIMAL(38,18)) AS sse, MAX(aerr) AS amax
+        |  FROM terms GROUP BY 1, 2),
+        |pm AS (
+        |  SELECT id, lbl, amax,
+        |    CAST(CAST(sse AS DOUBLE) / CAST(dim AS DOUBLE)
+        |      AS DECIMAL(28,18)) AS mse
+        |  FROM pv)
+        |SELECT lbl AS label, COUNT(*) AS n_vecs,
+        |  CAST(CAST(SUM(mse) AS DECIMAL(38,18)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_mse,
+        |  MAX(amax) AS max_abs_err
+        |FROM pm GROUP BY lbl ORDER BY label""".stripMargin,
+    "q234_seasonal_decompose" ->
+      """WITH buck AS (
+        |  SELECT event_type AS k,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS b,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT k, unnest(range(MIN(b), MAX(b) + 1)) AS b
+        |  FROM buck GROUP BY k),
+        |dense AS (
+        |  SELECT g.k, g.b, COALESCE(buck.n, 0) AS x
+        |  FROM grid g LEFT JOIN buck ON g.k = buck.k AND g.b = buck.b),
+        |tr AS (
+        |  SELECT *,
+        |    SUM(x) OVER (PARTITION BY k ORDER BY b
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS ts_,
+        |    COUNT(*) OVER (PARTITION BY k ORDER BY b
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tc_,
+        |    b % 24 AS h
+        |  FROM dense),
+        |hod AS (
+        |  SELECT k, b % 24 AS h, SUM(x) AS sh, COUNT(*) AS ch
+        |  FROM dense GROUP BY 1, 2),
+        |grand AS (
+        |  SELECT k, SUM(x) AS sg, COUNT(*) AS cg FROM dense GROUP BY k)
+        |SELECT tr.k AS event_type, tr.b AS bucket, tr.x,
+        |  CAST(ts_ AS DOUBLE) / CAST(tc_ AS DOUBLE) AS trend,
+        |  (CAST(sh AS DOUBLE) / CAST(ch AS DOUBLE))
+        |    / (CAST(sg AS DOUBLE) / CAST(cg AS DOUBLE)) AS seasonal,
+        |  CASE WHEN CAST(ts_ AS DOUBLE) / CAST(tc_ AS DOUBLE) > 0
+        |      AND (CAST(sh AS DOUBLE) / CAST(ch AS DOUBLE))
+        |        / (CAST(sg AS DOUBLE) / CAST(cg AS DOUBLE)) > 0
+        |    THEN CAST(tr.x AS DOUBLE)
+        |      / ((CAST(ts_ AS DOUBLE) / CAST(tc_ AS DOUBLE))
+        |        * ((CAST(sh AS DOUBLE) / CAST(ch AS DOUBLE))
+        |          / (CAST(sg AS DOUBLE) / CAST(cg AS DOUBLE))))
+        |    END AS residual
+        |FROM tr
+        |JOIN hod ON tr.k = hod.k AND tr.h = hod.h
+        |JOIN grand ON tr.k = grand.k
+        |WHERE tc_ = 25
+        |ORDER BY event_type, bucket""".stripMargin,
+    "q235_ndcg" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv,
+        |    label AS plbl
+        |  FROM embeddings WHERE vec_id < 20),
+        |ranked AS (
+        |  SELECT p.pid, p.plbl, e.label AS lbl,
+        |    ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv)
+        |        DESC, e.vec_id) AS rank
+        |  FROM embeddings e CROSS JOIN probes p
+        |  WHERE e.vec_id <> p.pid),
+        |top AS (
+        |  SELECT pid, plbl,
+        |    CASE WHEN lbl = plbl THEN 1 ELSE 0 END AS rel, rank
+        |  FROM ranked WHERE rank <= 10),
+        |dcg AS (
+        |  SELECT pid, plbl, CAST(SUM(rel) AS BIGINT) AS n_rel_topk,
+        |    CAST(SUM(CAST(CAST(rel AS DOUBLE)
+        |      / log2(CAST(rank AS DOUBLE) + 1.0) AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS dcg_q
+        |  FROM top GROUP BY 1, 2),
+        |support AS (
+        |  SELECT label AS plbl, COUNT(*) AS n_lbl
+        |  FROM embeddings GROUP BY 1),
+        |iterms AS (
+        |  SELECT i, SUM(1.0 / log2(CAST(i AS DOUBLE) + 1.0))
+        |    OVER (ORDER BY i) AS idcg
+        |  FROM (SELECT unnest(range(1, 11)) AS i))
+        |SELECT d.pid AS vec_id, d.plbl AS label, d.n_rel_topk,
+        |  CAST(d.dcg_q AS DOUBLE) AS dcg, it.idcg,
+        |  CASE WHEN it.idcg > 0 THEN CAST(d.dcg_q AS DOUBLE) / it.idcg
+        |    ELSE 0.0 END AS ndcg
+        |FROM dcg d
+        |JOIN support s ON d.plbl = s.plbl
+        |JOIN iterms it ON it.i = LEAST(10, s.n_lbl - 1)
+        |ORDER BY vec_id""".stripMargin,
     "q230_naive_bayes" ->
       """WITH base AS (
         |  SELECT c_mktsegment AS f1, o_orderstatus AS f2,

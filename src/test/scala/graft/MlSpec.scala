@@ -224,6 +224,67 @@ class MlSpec extends AnyFunSuite {
       graft.sources.Tables.orders(spark, dir).count())
   }
 
+  test("int8QuantAudit: exactly-representable vectors reconstruct with " +
+      "zero error") {
+    import spark.implicits._
+    // elements are multiples of max/127 → round-trips exactly
+    val v = Array(127.0f, -127.0f, 64.0f, 0.0f)
+    val df = Seq((1L, v, 0), (2L, v.map(_ * 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Ml.int8QuantAudit(df, "vec_id", "embedding", "label").collect()
+    r.foreach { row =>
+      assert(row.getDouble(2) == 0.0 && row.getDouble(3) == 0.0)
+    }
+  }
+
+  test("int8QuantAudit: error bounded by half a quantization step") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Ml.q233Int8Quant(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getDouble(2) >= 0.0)
+      // embeddings are unit-scale floats: step = mx/127 ≤ ~0.1
+      assert(row.getDouble(3) < 0.05)
+    }
+  }
+
+  test("seasonalDecompose: constant series → trend = level, seasonal " +
+      "= 1, residual = 1") {
+    import spark.implicits._
+    // 72 hourly events, exactly one per hour: x ≡ 1 everywhere
+    val rows = (0 until 72).map { h =>
+      ("k", new java.sql.Timestamp(1700000000000L + h * 3600000L))
+    }
+    val df = rows.toDF("k", "ts")
+    val r = Ml.seasonalDecompose(df, "ts", "k").collect()
+    assert(r.length == 72 - 24) // edges without full windows drop
+    r.foreach { row =>
+      assert(row.getLong(2) == 1L)
+      assert(row.getDouble(3) == 1.0)
+      assert(row.getDouble(4) == 1.0)
+      assert(row.getDouble(5) == 1.0)
+    }
+  }
+
+  test("ndcgAtK: values in [0,1]; a probe whose whole label cluster is " +
+      "retrieved scores 1") {
+    import spark.implicits._
+    // two tight clusters: probe 0's label-0 twins are its top matches
+    def vec(base: Float): Array[Float] =
+      Array.tabulate(8)(i => base + i * 0.001f)
+    val df = (Seq((0L, vec(1.0f), 0), (1L, vec(1.0f), 0),
+      (2L, vec(1.01f), 0)) ++
+      (10 to 15).map(i => (i.toLong, vec(-5.0f + i), 1))).toDF(
+      "vec_id", "embedding", "label")
+    val r = Ml.ndcgAtK(df, "vec_id", "embedding", "label",
+      nProbes = 1, k = 10).collect()
+    assert(r.length == 1)
+    val ndcg = r.head.getDouble(5)
+    assert(r.head.getLong(2) == 2)  // both label-0 twins in top-10
+    // 1.0 up to the 1e-12 DCG term quantization vs the raw IDCG sum
+    assert(math.abs(ndcg - 1.0) < 1e-11)
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
