@@ -742,7 +742,182 @@ object Ml {
     ndcgAtK(Tables.embeddings(spark, dir), "vec_id", "embedding", "label",
       nProbes = 20, k = 10)
 
+  /** Engine-portable token hash: the numeric value of the first 6 hex
+    * digits of md5(term), mod `nBuckets` — cryptographic spread, exact
+    * same integer in any engine with md5 (the deterministic alternative
+    * to engine-private hash functions, which never agree across
+    * engines). 6 digits = 24 bits, plenty above any practical bucket
+    * count. */
+  private def md5Bucket(term: Column, nBuckets: Int): Column = {
+    val h = md5(term)
+    // hex digit value via ascii: '0'-'9' → a−48, 'a'-'f' → a−87
+    val v = (1 to 6).map { i =>
+      val a = ascii(substring(h, i, 1))
+      when(a >= 97, a - 87).otherwise(a - 48).cast("long") *
+        lit(1L << (4 * (6 - i)))
+    }.reduce(_ + _)
+    pmod(v, lit(nBuckets.toLong))
+  }
+
+  /** Feature-hashing (hashing-trick) audit: project the corpus
+    * vocabulary into `nBuckets` hash buckets and report each bucket's
+    * load — distinct terms (collisions), token mass, and the share of
+    * mass owned by the bucket's dominant term. The go/no-go report
+    * before replacing an unbounded vocabulary with a fixed-width hashed
+    * feature space (the standard trick for streaming featurization —
+    * no vocabulary state at all).
+    *
+    * Shape: one tokenize pass → per-(bucket, term) counts (map-side
+    * combined), then a bucket rollup; every frame after the first
+    * groupBy is vocabulary-sized. The hash is [[md5Bucket]], so the
+    * bucket assignment — and the gate — is engine-exact. */
+  def featureHashingAudit(docs: DataFrame, textCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val termCounts = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .withColumn("bucket", md5Bucket(col("term"), nBuckets))
+    termCounts.groupBy("bucket")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("n").as("n_tokens"),
+        max("n").as("max_term_tokens"))
+      .select(col("bucket"), col("n_terms"), col("n_tokens"),
+        (dd(col("max_term_tokens")) / dd(col("n_tokens")))
+          .as("dominant_share"))
+      .orderBy("bucket")
+  }
+
+  /** 64-bucket hashed-vocabulary load report over the document corpus. */
+  def q236FeatureHashing(spark: SparkSession, dir: String): DataFrame =
+    featureHashingAudit(Tables.documents(spark, dir), "text", nBuckets = 64)
+
+  /** ROC AUC of a numeric score against a binary outcome, per group —
+    * computed exactly via the rank-sum identity
+    * AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋) with average-tie ranks (the
+    * probabilistic AUC definition, ties counted half). The same integer
+    * rank machinery as [[mannWhitney]]; AUC is its U normalized — the
+    * model-ranking metric every score column should be able to report
+    * in one pass.
+    *
+    * One key-hash exchange (rank + tie windows), one groupBy finish. */
+  def rocAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      posCond: Column): DataFrame = {
+    val wRank = Window.partitionBy("g").orderBy(col("v"))
+    val wTies = Window.partitionBy("g", "v")
+    val ranked = df
+      .select(col(groupCol).as("g"), col(scoreCol).as("v"),
+        posCond.as("pos"))
+      .withColumn("r2",
+        lit(2) * rank().over(wRank) + count(lit(1)).over(wTies) - 1)
+    ranked.groupBy("g")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"),
+        sum(when(col("pos"), col("r2")).otherwise(lit(0L))).as("rpx2"))
+      .filter(col("np") > 0 && col("nn") > 0)
+      .select(col("g").as(groupCol), col("np").as("n_pos"),
+        col("nn").as("n_neg"),
+        ((dd(col("rpx2")) / 2.0 -
+          dd(col("np")) * dd(col("np") + 1) / 2.0) /
+          (dd(col("np")) * dd(col("nn")))).as("auc"))
+      .orderBy(groupCol)
+  }
+
+  /** How well does order value rank F-status orders, per market
+    * segment: the exact per-slice AUC audit. */
+  def q237RocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    rocAuc(o.join(c, o("o_custkey") === c("c_custkey")),
+      "c_mktsegment", "o_totalprice", col("o_orderstatus") === "F")
+  }
+
+  /** Per-class evaluation of the [[naiveBayes2]] classifier ON its
+    * training table (apparent error — the sanity floor every model
+    * report starts from): confusion-derived precision, recall, F1 and
+    * support per class. The prediction table is combo-sized and joins
+    * back BROADCAST; per-class measures come off one (actual,
+    * predicted) contingency aggregation. Macro metrics are exact count
+    * ratios. */
+  def classifierReport(df: DataFrame, f1Col: String, f2Col: String,
+      classCol: String): DataFrame = {
+    val pred = naiveBayes2(df, f1Col, f2Col, classCol)
+      .select(col(f1Col).as("f1"), col(f2Col).as("f2"), col("predicted"))
+    val joined = df
+      .select(col(f1Col).as("f1"), col(f2Col).as("f2"),
+        col(classCol).as("actual"))
+      .join(broadcast(pred), Seq("f1", "f2"))
+    val cells = joined.groupBy("actual", "predicted")
+      .agg(count(lit(1)).as("n"))
+    val byActual = cells.groupBy(col("actual").as("cls"))
+      .agg(sum("n").as("support"),
+        sum(when(col("predicted") === col("actual"), col("n"))
+          .otherwise(lit(0L))).as("tp"))
+    val byPred = cells.groupBy(col("predicted").as("cls"))
+      .agg(sum("n").as("n_predicted"))
+    byActual.join(byPred, Seq("cls"), "left")
+      .na.fill(0L, Seq("n_predicted"))
+      .select(col("cls").as(classCol), col("support"), col("tp"),
+        col("n_predicted"),
+        when(col("n_predicted") > 0, dd(col("tp")) / dd(col("n_predicted")))
+          .otherwise(lit(0.0)).as("prec"),
+        (dd(col("tp")) / dd(col("support"))).as("recall"),
+        when(col("n_predicted") > 0 && col("tp") > 0,
+          lit(2.0) * (dd(col("tp")) / dd(col("n_predicted"))) *
+            (dd(col("tp")) / dd(col("support"))) /
+            (dd(col("tp")) / dd(col("n_predicted")) +
+              dd(col("tp")) / dd(col("support"))))
+          .otherwise(lit(0.0)).as("f1"))
+      .orderBy(classCol)
+  }
+
+  /** Confusion-matrix report for the q230 priority classifier. */
+  def q238ClassifierReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    classifierReport(o.join(c, o("o_custkey") === c("c_custkey")),
+      "c_mktsegment", "o_orderstatus", "o_orderpriority")
+  }
+
+  /** Leave-one-group-out influence: how much does dropping each group
+    * move the global mean of a measure — the group-granular data-
+    * valuation scan (which sources/tenants/shards is the statistic
+    * leaning on). Exact: per-group sums, the global totals as a window
+    * over the group frame, both means single divisions of exact
+    * DECIMALs. */
+  def looGroupInfluence(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
+    val g = df.select(col(groupCol).as("g"), cents.as("t"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(d380(col("t"))).as("s"))
+    val w = Window.partitionBy()
+    val base = dd(col("sn")) / dd(col("nn")) / 100.0
+    val without = (dd(col("sn") - col("s"))) /
+      dd(col("nn") - col("n")) / 100.0
+    g.withColumn("nn", sum("n").over(w))
+      .withColumn("sn", sum("s").over(w))
+      .filter(col("nn") > col("n")) // dropping the only group: undefined
+      .select(col("g").as(groupCol), col("n"),
+        base.as("mean_all"), without.as("mean_without"),
+        (base - without).as("influence"))
+      .orderBy(groupCol)
+  }
+
+  /** Which market segment is the global average order value leaning
+    * on. */
+  def q239LooInfluence(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    looGroupInfluence(o.join(c, o("o_custkey") === c("c_custkey")),
+      "c_mktsegment", "o_totalprice")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_feature_hashing" -> (q236FeatureHashing _),
+    "q237_roc_auc" -> (q237RocAuc _),
+    "q238_classifier_report" -> (q238ClassifierReport _),
+    "q239_loo_influence" -> (q239LooInfluence _),
     "q233_int8_quant" -> (q233Int8Quant _),
     "q234_seasonal_decompose" -> (q234SeasonalDecompose _),
     "q235_ndcg" -> (q235Ndcg _),
@@ -760,6 +935,122 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q236_feature_hashing" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+        |tb AS (
+        |  SELECT *, CAST((
+        |    (strpos('0123456789abcdef', substring(md5(term), 1, 1)) - 1)
+        |      * 1048576 +
+        |    (strpos('0123456789abcdef', substring(md5(term), 2, 1)) - 1)
+        |      * 65536 +
+        |    (strpos('0123456789abcdef', substring(md5(term), 3, 1)) - 1)
+        |      * 4096 +
+        |    (strpos('0123456789abcdef', substring(md5(term), 4, 1)) - 1)
+        |      * 256 +
+        |    (strpos('0123456789abcdef', substring(md5(term), 5, 1)) - 1)
+        |      * 16 +
+        |    (strpos('0123456789abcdef', substring(md5(term), 6, 1)) - 1))
+        |    % 64 AS BIGINT) AS bucket
+        |  FROM tc)
+        |SELECT bucket, COUNT(*) AS n_terms, SUM(n) AS n_tokens,
+        |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+        |    AS dominant_share
+        |FROM tb GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q237_roc_auc" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS g, o_totalprice AS v,
+        |    o_orderstatus = 'F' AS pos
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |ranked AS (
+        |  SELECT g, pos,
+        |    2 * RANK() OVER (PARTITION BY g ORDER BY v)
+        |      + COUNT(*) OVER (PARTITION BY g, v) - 1 AS r2
+        |  FROM j),
+        |m AS (
+        |  SELECT g, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn,
+        |    SUM(CASE WHEN pos THEN r2 ELSE 0 END) AS rpx2
+        |  FROM ranked GROUP BY g)
+        |SELECT g AS c_mktsegment, np AS n_pos, nn AS n_neg,
+        |  (CAST(rpx2 AS DOUBLE) / 2.0
+        |    - CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE) / 2.0)
+        |  / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc
+        |FROM m WHERE np > 0 AND nn > 0 ORDER BY 1""".stripMargin,
+    "q238_classifier_report" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS f1, o_orderstatus AS f2,
+        |    o_orderpriority AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cls AS (SELECT c, COUNT(*) AS nc FROM base GROUP BY c),
+        |l1 AS (SELECT f1, c, COUNT(*) AS n1 FROM base GROUP BY 1, 2),
+        |l2 AS (SELECT f2, c, COUNT(*) AS n2 FROM base GROUP BY 1, 2),
+        |scal AS (
+        |  SELECT COUNT(*) AS n, COUNT(DISTINCT f1) AS v1,
+        |    COUNT(DISTINCT f2) AS v2 FROM base),
+        |combos AS (SELECT DISTINCT f1, f2 FROM base),
+        |grid AS (
+        |  SELECT co.f1, co.f2, cls.c, cls.nc,
+        |    COALESCE(l1.n1, 0) AS n1, COALESCE(l2.n2, 0) AS n2,
+        |    s.n, s.v1, s.v2
+        |  FROM combos co CROSS JOIN cls
+        |  LEFT JOIN l1 ON l1.f1 = co.f1 AND l1.c = cls.c
+        |  LEFT JOIN l2 ON l2.f2 = co.f2 AND l2.c = cls.c
+        |  CROSS JOIN scal s),
+        |scored AS (
+        |  SELECT f1, f2, c,
+        |    ROW_NUMBER() OVER (PARTITION BY f1, f2 ORDER BY
+        |      CAST(nc AS DOUBLE) * CAST(n1 + 1 AS DOUBLE)
+        |        * CAST(n2 + 1 AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(nc + v1 AS DOUBLE)
+        |          * CAST(nc + v2 AS DOUBLE)) DESC, c) AS rk
+        |  FROM grid),
+        |pred AS (SELECT f1, f2, c AS predicted FROM scored WHERE rk = 1),
+        |j AS (
+        |  SELECT b.c AS actual, p.predicted
+        |  FROM base b JOIN pred p ON b.f1 = p.f1 AND b.f2 = p.f2),
+        |cells AS (
+        |  SELECT actual, predicted, COUNT(*) AS n FROM j GROUP BY 1, 2),
+        |ba AS (
+        |  SELECT actual AS cls, SUM(n) AS support,
+        |    SUM(CASE WHEN predicted = actual THEN n ELSE 0 END) AS tp
+        |  FROM cells GROUP BY 1),
+        |bp AS (
+        |  SELECT predicted AS cls, SUM(n) AS n_predicted
+        |  FROM cells GROUP BY 1)
+        |SELECT ba.cls AS o_orderpriority, support, tp,
+        |  COALESCE(bp.n_predicted, 0) AS n_predicted,
+        |  CASE WHEN COALESCE(bp.n_predicted, 0) > 0
+        |    THEN CAST(tp AS DOUBLE) / CAST(bp.n_predicted AS DOUBLE)
+        |    ELSE 0.0 END AS prec,
+        |  CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) AS recall,
+        |  CASE WHEN COALESCE(bp.n_predicted, 0) > 0 AND tp > 0
+        |    THEN 2.0 * (CAST(tp AS DOUBLE) / CAST(bp.n_predicted AS DOUBLE))
+        |      * (CAST(tp AS DOUBLE) / CAST(support AS DOUBLE))
+        |      / (CAST(tp AS DOUBLE) / CAST(bp.n_predicted AS DOUBLE)
+        |        + CAST(tp AS DOUBLE) / CAST(support AS DOUBLE))
+        |    ELSE 0.0 END AS f1
+        |FROM ba LEFT JOIN bp ON ba.cls = bp.cls
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q239_loo_influence" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment AS g, COUNT(*) AS n,
+        |    CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |t AS (SELECT *, SUM(n) OVER () AS nn, SUM(s) OVER () AS sn FROM g)
+        |SELECT g AS c_mktsegment, n,
+        |  CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0 AS mean_all,
+        |  CAST(sn - s AS DOUBLE) / CAST(nn - n AS DOUBLE) / 100.0
+        |    AS mean_without,
+        |  CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0
+        |    - CAST(sn - s AS DOUBLE) / CAST(nn - n AS DOUBLE) / 100.0
+        |    AS influence
+        |FROM t WHERE nn > n ORDER BY 1""".stripMargin,
     "q233_int8_quant" ->
       """WITH el AS (
         |  SELECT vec_id AS id, label AS lbl, t.x AS x

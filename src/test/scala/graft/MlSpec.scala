@@ -285,6 +285,61 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(ndcg - 1.0) < 1e-11)
   }
 
+  test("featureHashingAudit: buckets partition the vocabulary and " +
+      "token mass") {
+    import spark.implicits._
+    val docs = Seq("a b c d", "a a e f g", "h i j").toDF("text")
+    val r = Ml.featureHashingAudit(docs, "text", nBuckets = 8).collect()
+    assert(r.map(_.getLong(1)).sum == 10) // 10 distinct terms
+    assert(r.map(_.getLong(2)).sum == 12) // 12 tokens
+    r.foreach { row =>
+      assert(row.getLong(0) >= 0 && row.getLong(0) < 8)
+      assert(row.getDouble(3) > 0.0 && row.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("rocAuc: perfect separation = 1, reversed = 0, random ties = 0.5") {
+    import spark.implicits._
+    val sep = Seq(("g", 1.0, false), ("g", 2.0, false), ("g", 3.0, true),
+      ("g", 4.0, true)).toDF("g", "v", "pos")
+    assert(Ml.rocAuc(sep, "g", "v", col("pos")).head().getDouble(3) == 1.0)
+    val rev = sep.selectExpr("g", "-v AS v", "pos")
+    assert(Ml.rocAuc(rev, "g", "v", col("pos")).head().getDouble(3) == 0.0)
+    // all scores tied → AUC is exactly 1/2 by the tie convention
+    val tied = Seq(("g", 7.0, true), ("g", 7.0, false), ("g", 7.0, true),
+      ("g", 7.0, false)).toDF("g", "v", "pos")
+    assert(Ml.rocAuc(tied, "g", "v", col("pos")).head().getDouble(3) == 0.5)
+  }
+
+  test("classifierReport: a separable table scores prec = recall = " +
+      "f1 = 1 on every class") {
+    import spark.implicits._
+    val df = Seq(("hot", "x", "summer"), ("hot", "y", "summer"),
+      ("cold", "x", "winter"), ("cold", "y", "winter"))
+      .toDF("f1c", "f2c", "c")
+    val r = Ml.classifierReport(df, "f1c", "f2c", "c").collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getDouble(4) == 1.0 && row.getDouble(5) == 1.0 &&
+        row.getDouble(6) == 1.0)
+      assert(row.getLong(1) == row.getLong(2)) // support == tp
+    }
+  }
+
+  test("looGroupInfluence: influences are mass-weighted deviations that " +
+      "cancel") {
+    import spark.implicits._
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 40.0)).toDF("g", "v")
+    val r = Ml.looGroupInfluence(df, "g", "v").collect()
+    // mean_all = 70/3; without a = 40, without b = 15
+    val byG = r.map(x => (x.getString(0), x)).toMap
+    assert(math.abs(byG("a").getDouble(3) - 40.0) < 1e-9)
+    assert(math.abs(byG("b").getDouble(3) - 15.0) < 1e-9)
+    // Σ (N - n_g) * influence_g = 0 exactly (algebraic identity)
+    val resid = r.map(x => (3 - x.getLong(1)) * x.getDouble(4)).sum
+    assert(math.abs(resid) < 1e-9)
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
