@@ -257,30 +257,34 @@ object Ml {
 
   /** Distribution-free confidence interval for a per-group mean via a
     * DETERMINISTIC Poisson-style bootstrap: replicate `b`'s weight for a
-    * row is the number of `md5(key:b)` leading hex digits in {0,1} —
-    * Binomial(8, 1/8), mean 1 (the Poisson(1) surrogate every engine can
-    * compute bit-identically; no RNG state, so replicas are reproducible
-    * and shard-order-independent — the property that matters on a
-    * cluster). The B-fold fan-out happens under ONE map-side-combined
-    * aggregation to (group × replicate) cells, so executor state is
-    * G·B scalars regardless of input size; the CI is exact order
-    * statistics over each group's B replicate means.
+    * row comes from the `b`-th hex digit of `md5(key)` — ONE hash per
+    * row feeds all B ≤ 32 replicates — mapped through the exact
+    * mean-1 / variance-1 integer law {0:6/16, 1:6/16, 2:2/16, 3:2/16}
+    * (the Poisson(1) surrogate every engine computes bit-identically;
+    * no RNG state, so replicas are reproducible and shard-order-
+    * independent — the property that matters on a cluster). The B-fold
+    * fan-out happens under ONE map-side-combined aggregation to
+    * (group × replicate) cells, so executor state is G·B scalars
+    * regardless of input size; the CI is exact order statistics over
+    * each group's B replicate means.
     *
-    * At 100 TB: B× scan CPU (tunable), no extra shuffle beyond the cell
-    * frame — the standard scale-out bootstrap shape (Poisson bootstrap,
-    * Chamandy et al. 2012). */
+    * At 100 TB: B× scan CPU (tunable, hash hoisted out of the fan-out),
+    * no extra shuffle beyond the cell frame — the standard scale-out
+    * bootstrap shape (Poisson bootstrap, Chamandy et al. 2012). */
   def bootstrapMeanCI(df: DataFrame, groupCol: String, valCol: String,
       keyCol: String, b: Int, loRank: Int, hiRank: Int): DataFrame = {
-    require(b >= 4 && loRank >= 1 && hiRank <= b && loRank < hiRank,
-      s"bad bootstrap geometry: b=$b ranks=[$loRank,$hiRank]")
+    require(b >= 4 && b <= 32 && loRank >= 1 && hiRank <= b &&
+      loRank < hiRank, s"bad bootstrap geometry: b=$b [$loRank,$hiRank]")
     val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
-    val h = md5(concat(col("k").cast("string"), lit(":"),
-      col("b").cast("string")))
-    val weight = (1 to 8).map(i =>
-      when(substring(h, i, 1).isin("0", "1"), 1L).otherwise(0L))
-      .reduce(_ + _)
+    // hex digit b+1 of the per-ROW hash → ascii → the mean-1 weight law:
+    // '0'-'5' → 0, '6'-'9','a','b' → 1, 'c','d' → 2, 'e','f' → 3
+    val a = ascii(col("h").substr(col("b") + 1, lit(1)))
+    val weight = when(a <= 53, 0L)
+      .when(a <= 57 || a <= 98 && a >= 97, 1L)
+      .when(a <= 100, 2L).otherwise(3L)
     val cells = df
       .select(col(groupCol).as("g"), col(keyCol).as("k"), cents.as("t"))
+      .withColumn("h", md5(col("k").cast("string")))
       .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("w", weight)
       .groupBy("g", "b")
@@ -369,16 +373,31 @@ object Ml {
     * express). At 100 TB the fan-out is 16× the HOURLY frame, not the
     * event count. */
   def ewmaHourly(events: DataFrame, tsCol: String, keyCol: String,
-      valCol: String): DataFrame = {
+      valCol: String): DataFrame =
+    ewmaFromHourlyCells(hourlyCells(events, tsCol, keyCol, valCol), keyCol)
+
+  /** Per-(key, hour) moment cells: count + exact micro-unit sum — the
+    * MERGEABLE sufficient statistics for [[ewmaFromHourlyCells]] (cells
+    * from disjoint batches add componentwise, which is what lets the
+    * streaming ingest maintain this frame under idempotent `batch_id`
+    * partitions and still reproduce the one-shot EWMA exactly). */
+  private[graft] def hourlyCells(events: DataFrame, tsCol: String,
+      keyCol: String, valCol: String): DataFrame = {
     val bucketUs = 3600L * 1000000L
-    val hourly = events
+    events
       .select(col(keyCol).as("k"),
         expr(s"unix_micros($tsCol) div $bucketUs").as("b"),
         (col(valCol).cast("decimal(18,6)") * 1000000L).cast("long").as("vq"))
       .groupBy("k", "b")
       .agg(count(lit(1)).as("c"), sum(d380(col("vq"))).as("s"))
-      .withColumn("m",
-        (dd(col("s")) / dd(col("c")) / 1e6).cast("decimal(16,8)"))
+  }
+
+  /** The exact EWMA finish over an hourly cell frame (see
+    * [[ewmaHourly]]); `cells` must carry (k, b, c, s). */
+  private[graft] def ewmaFromHourlyCells(cells: DataFrame,
+      keyCol: String): DataFrame = {
+    val hourly = cells.withColumn("m",
+      (dd(col("s")) / dd(col("c")) / 1e6).cast("decimal(16,8)"))
     val lagged = hourly
       .withColumn("d", explode(sequence(lit(0), lit(15))))
       .withColumn("tb", col("b") + col("d"))
@@ -1404,20 +1423,18 @@ object Ml {
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
         |  FROM orders),
         |fan AS (
-        |  SELECT q.*, b.b,
-        |    md5(CAST(k AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
+        |  SELECT q.*, b.b, md5(CAST(k AS VARCHAR)) AS h
         |  FROM q, (SELECT unnest(range(0, 32)) AS b) b),
         |wtd AS (
         |  SELECT g, b, t,
-        |    (CASE WHEN substring(h, 1, 1) IN ('0','1') THEN 1 ELSE 0 END +
-        |     CASE WHEN substring(h, 2, 1) IN ('0','1') THEN 1 ELSE 0 END +
-        |     CASE WHEN substring(h, 3, 1) IN ('0','1') THEN 1 ELSE 0 END +
-        |     CASE WHEN substring(h, 4, 1) IN ('0','1') THEN 1 ELSE 0 END +
-        |     CASE WHEN substring(h, 5, 1) IN ('0','1') THEN 1 ELSE 0 END +
-        |     CASE WHEN substring(h, 6, 1) IN ('0','1') THEN 1 ELSE 0 END +
-        |     CASE WHEN substring(h, 7, 1) IN ('0','1') THEN 1 ELSE 0 END +
-        |     CASE WHEN substring(h, 8, 1) IN ('0','1') THEN 1 ELSE 0 END)
-        |      AS w
+        |    CASE WHEN ascii(substring(h, CAST(b + 1 AS INTEGER), 1)) <= 53
+        |      THEN 0
+        |      WHEN ascii(substring(h, CAST(b + 1 AS INTEGER), 1)) <= 57
+        |        OR (ascii(substring(h, CAST(b + 1 AS INTEGER), 1)) >= 97
+        |          AND ascii(substring(h, CAST(b + 1 AS INTEGER), 1)) <= 98)
+        |      THEN 1
+        |      WHEN ascii(substring(h, CAST(b + 1 AS INTEGER), 1)) <= 100
+        |      THEN 2 ELSE 3 END AS w
         |  FROM fan),
         |cells AS (
         |  SELECT g, b, SUM(w) AS wsum,

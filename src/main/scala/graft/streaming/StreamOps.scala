@@ -657,6 +657,38 @@ object StreamOps {
     (bigrams, marginals, vocab)
   }
 
+  /** Streaming EWMA monitor — the [[graft.operators.Ml.ewmaHourly]]
+    * batch operator as a MAINTAINED index: each micro-batch reduces to
+    * per-(key, hour) moment cells (count + exact micro-unit sum — the
+    * mergeable sufficient statistics) under its own idempotent
+    * `batch_id=` partition. Readers ([[readHourlyEwma]]) sum cells
+    * across batches — addition is the moment monoid, replay overwrites
+    * its partition — and run the SAME exact decimal EWMA finish, so the
+    * streamed smoother reproduces the one-shot q228 result bit-for-bit
+    * no matter how ingest was batched. Per-batch cost is O(batch); the
+    * store grows by cells touched, never rewritten. */
+  def streamingEwmaIngest(events: DataFrame, tsCol: String, keyCol: String,
+      valCol: String, path: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        idempotentBatchWrite(graft.operators.Ml.hourlyCells(
+          batch.toDF(), tsCol, keyCol, valCol), path, batchId)
+      }
+    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
+  }
+
+  /** Load a streamed hourly-stats store and produce the exact EWMA
+    * series over the merged cells (see [[streamingEwmaIngest]]). */
+  def readHourlyEwma(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String): DataFrame = {
+    val cells = spark.read.parquet(path)
+      .groupBy("k", "b")
+      .agg(sum("c").as("c"), sum("s").cast("decimal(38,0)").as("s"))
+    graft.operators.Ml.ewmaFromHourlyCells(cells, keyCol)
+  }
+
   /** Stream → theta store: per-(window, key) serialized theta sketches.
     * The canonical-KMV merge is a join-semilattice — IDEMPOTENT like
     * HLL/LC union, unlike additive SpaceSaving/KLL — so this runs in

@@ -976,4 +976,40 @@ class StreamingSpec extends AnyFunSuite {
       StreamOps.readLatestSnapshot(spark, path, asOf = Some(0L)).collect()
     }
   }
+
+  test("streaming EWMA ingest: merged cell store reproduces the one-shot " +
+      "EWMA exactly; replay overwrites") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    // two batches that SPLIT hour buckets across batches (the merge law
+    // has to do real work: same (key, hour) cell from both batches)
+    val b1 = Seq(Ev(t(1), 1, "click", 2.0), Ev(t(2), 2, "click", 4.0),
+      Ev(t(5), 3, "view", 10.0))
+    val b2 = Seq(Ev(t(7), 4, "click", 6.0),
+      Ev(Timestamp.valueOf("2024-01-01 11:15:00"), 5, "click", 8.0))
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.streamingEwmaIngest(mem.toDF(), "ts", "event_type",
+      "value", dir)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val streamed = key(StreamOps.readHourlyEwma(spark, dir, "event_type"))
+    val oneShot = key(graft.operators.Ml.ewmaHourly(
+      (b1 ++ b2).toDF(), "ts", "event_type", "value"))
+    assert(streamed == oneShot,
+      s"streamed EWMA diverged:\n$streamed\nvs\n$oneShot")
+    // click hour 10: mean(2,4,6) = 4 exactly, across the batch split
+    assert(oneShot.exists(r => r._1 == "click" && r._4 == 4.0))
+
+    // failure replay: re-land batch 0 — overwrite keeps cells exact
+    StreamOps.idempotentBatchWrite(graft.operators.Ml.hourlyCells(
+      b1.toDF(), "ts", "event_type", "value"), dir, 0L)
+    assert(key(StreamOps.readHourlyEwma(spark, dir, "event_type"))
+      == oneShot, "replayed batch broke the cell store")
+  }
 }
