@@ -473,8 +473,11 @@ object Ml {
     * is ONE fixed-shape double expression over exact counts (no logs, no
     * accumulation order), and the argmax tiebreaks class-asc, so the
     * prediction table hash-gates. */
-  def naiveBayes2(df: DataFrame, f1Col: String, f2Col: String,
-      classCol: String): DataFrame = {
+  /** The full (combo × class) NB score grid behind [[naiveBayes2]] —
+    * columns (f1, f2, c, score, n); also feeds the calibration report,
+    * which needs every class's score, not just the argmax. */
+  private[graft] def nbScoredGrid(df: DataFrame, f1Col: String,
+      f2Col: String, classCol: String): DataFrame = {
     val base = df.select(col(f1Col).as("f1"), col(f2Col).as("f2"),
       col(classCol).as("c"))
     val cls = base.groupBy("c").agg(count(lit(1)).as("nc"))
@@ -490,7 +493,13 @@ object Ml {
     val score = dd(col("nc")) * dd(col("n1") + 1) * dd(col("n2") + 1) /
       (dd(col("n")) * dd(col("nc") + col("v1")) *
         dd(col("nc") + col("v2")))
-    grid.withColumn("score", score)
+    grid.select(col("f1"), col("f2"), col("c"), score.as("score"),
+      col("n"))
+  }
+
+  def naiveBayes2(df: DataFrame, f1Col: String, f2Col: String,
+      classCol: String): DataFrame = {
+    nbScoredGrid(df, f1Col, f2Col, classCol)
       .withColumn("rk", row_number().over(Window.partitionBy("f1", "f2")
         .orderBy(desc("score"), asc("c"))))
       .filter(col("rk") === 1)
@@ -932,7 +941,68 @@ object Ml {
       "c_mktsegment", "o_totalprice")
   }
 
+  /** Calibration report + expected calibration error (ECE) for the
+    * [[naiveBayes2]] classifier: the winning class's NORMALIZED posterior
+    * is its confidence; rows bucket into 10 equal-width confidence bins;
+    * each bin compares its mean confidence against its empirical
+    * accuracy; ECE is the support-weighted absolute gap. The go/no-go
+    * check before anyone treats a model score as a probability.
+    *
+    * Float discipline: per-class scores are DECIMAL-quantized before the
+    * per-combo normalizing sum (5-term double addition would be order-
+    * sensitive), confidences are DECIMAL-quantized before the per-bin
+    * mean, ECE terms before the bin sum — every gate-visible number is a
+    * fixed-shape division of exact decimals. Shape: the grid is
+    * combo-sized, rows join the prediction table BROADCAST, and the bin
+    * frame is 10 rows. */
+  def calibrationEce(df: DataFrame, f1Col: String, f2Col: String,
+      classCol: String): DataFrame = {
+    val grid = nbScoredGrid(df, f1Col, f2Col, classCol)
+      .withColumn("score_q", col("score").cast("decimal(28,18)"))
+    val wCombo = Window.partitionBy("f1", "f2")
+    val pred = grid
+      .withColumn("ssum", sum("score_q").over(wCombo))
+      .withColumn("rk", row_number().over(
+        wCombo.orderBy(desc("score"), asc("c"))))
+      .filter(col("rk") === 1)
+      .select(col("f1"), col("f2"), col("c").as("predicted"),
+        (dd(col("score_q")) / dd(col("ssum"))).cast("decimal(28,18)")
+          .as("conf_q"))
+    val rows = df.select(col(f1Col).as("f1"), col(f2Col).as("f2"),
+        col(classCol).as("actual"))
+      .join(broadcast(pred), Seq("f1", "f2"))
+      .withColumn("bin",
+        least(lit(9L), floor(dd(col("conf_q")) * 10.0).cast("long")))
+    val bins = rows.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("actual") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(col("conf_q")).cast("decimal(38,18)").as("conf_sum"))
+    val w = Window.partitionBy()
+    val acc = dd(col("n_correct")) / dd(col("n"))
+    val mconf = dd(col("conf_sum")) / dd(col("n"))
+    bins
+      .withColumn("nn", sum("n").over(w))
+      .withColumn("term",
+        ((dd(col("n")) * abs(acc - mconf)) / dd(col("nn")))
+          .cast("decimal(38,12)"))
+      .withColumn("ece", sum("term").over(w).cast("double"))
+      .select(col("bin"), col("n"), acc.as("accuracy"),
+        mconf.as("mean_conf"), col("ece"))
+      .orderBy("bin")
+  }
+
+  /** Is the q230 priority classifier's confidence honest: per-bin
+    * reliability plus the corpus ECE. */
+  def q240CalibrationEce(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    calibrationEce(o.join(c, o("o_custkey") === c("c_custkey")),
+      "c_mktsegment", "o_orderstatus", "o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_calibration_ece" -> (q240CalibrationEce _),
     "q236_feature_hashing" -> (q236FeatureHashing _),
     "q237_roc_auc" -> (q237RocAuc _),
     "q238_classifier_report" -> (q238ClassifierReport _),
@@ -954,6 +1024,63 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q240_calibration_ece" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS f1, o_orderstatus AS f2,
+        |    o_orderpriority AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cls AS (SELECT c, COUNT(*) AS nc FROM base GROUP BY c),
+        |l1 AS (SELECT f1, c, COUNT(*) AS n1 FROM base GROUP BY 1, 2),
+        |l2 AS (SELECT f2, c, COUNT(*) AS n2 FROM base GROUP BY 1, 2),
+        |scal AS (
+        |  SELECT COUNT(*) AS n, COUNT(DISTINCT f1) AS v1,
+        |    COUNT(DISTINCT f2) AS v2 FROM base),
+        |combos AS (SELECT DISTINCT f1, f2 FROM base),
+        |grid AS (
+        |  SELECT co.f1, co.f2, cls.c,
+        |    CAST(nc AS DOUBLE) * CAST(COALESCE(l1.n1, 0) + 1 AS DOUBLE)
+        |      * CAST(COALESCE(l2.n2, 0) + 1 AS DOUBLE)
+        |      / (CAST(s.n AS DOUBLE) * CAST(nc + v1 AS DOUBLE)
+        |        * CAST(nc + v2 AS DOUBLE)) AS score
+        |  FROM combos co CROSS JOIN cls
+        |  LEFT JOIN l1 ON l1.f1 = co.f1 AND l1.c = cls.c
+        |  LEFT JOIN l2 ON l2.f2 = co.f2 AND l2.c = cls.c
+        |  CROSS JOIN scal s),
+        |gq AS (
+        |  SELECT *, CAST(score AS DECIMAL(28,18)) AS score_q,
+        |    SUM(CAST(score AS DECIMAL(28,18)))
+        |      OVER (PARTITION BY f1, f2) AS ssum,
+        |    ROW_NUMBER() OVER (PARTITION BY f1, f2
+        |      ORDER BY score DESC, c) AS rk
+        |  FROM grid),
+        |pred AS (
+        |  SELECT f1, f2, c AS predicted,
+        |    CAST(CAST(score_q AS DOUBLE) / CAST(ssum AS DOUBLE)
+        |      AS DECIMAL(28,18)) AS conf_q
+        |  FROM gq WHERE rk = 1),
+        |rws AS (
+        |  SELECT b.c AS actual, p.predicted, p.conf_q,
+        |    LEAST(9, CAST(FLOOR(CAST(p.conf_q AS DOUBLE) * 10.0)
+        |      AS BIGINT)) AS bin
+        |  FROM base b JOIN pred p ON b.f1 = p.f1 AND b.f2 = p.f2),
+        |bins AS (
+        |  SELECT bin, COUNT(*) AS n,
+        |    SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+        |      AS n_correct,
+        |    CAST(SUM(conf_q) AS DECIMAL(38,18)) AS conf_sum
+        |  FROM rws GROUP BY bin),
+        |terms AS (
+        |  SELECT *, SUM(n) OVER () AS nn,
+        |    CAST((CAST(n AS DOUBLE)
+        |      * ABS(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(conf_sum AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      / CAST(SUM(n) OVER () AS DOUBLE) AS DECIMAL(38,12)) AS term
+        |  FROM bins)
+        |SELECT bin, n,
+        |  CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+        |  CAST(conf_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_conf,
+        |  CAST(SUM(term) OVER () AS DOUBLE) AS ece
+        |FROM terms ORDER BY bin""".stripMargin,
     "q236_feature_hashing" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),

@@ -340,6 +340,38 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(resid) < 1e-9)
   }
 
+  test("calibrationEce: a perfectly separable table is perfectly " +
+      "calibrated at its confidence") {
+    import spark.implicits._
+    // f1 determines the class deterministically; accuracy = 1 in every
+    // bin, so ECE = Σ w_b |1 − conf_b|
+    val df = Seq(("hot", "x", "summer"), ("hot", "y", "summer"),
+      ("cold", "x", "winter"), ("cold", "y", "winter"))
+      .toDF("f1c", "f2c", "c")
+    val r = Ml.calibrationEce(df, "f1c", "f2c", "c").collect()
+    assert(r.nonEmpty)
+    val n = r.map(_.getLong(1)).sum
+    assert(n == 4)
+    r.foreach { row =>
+      assert(row.getDouble(2) == 1.0) // accuracy 1 everywhere
+      assert(row.getDouble(3) > 0.5)  // NB is confident on separable data
+    }
+    val ece = r.head.getDouble(4)
+    val expected = r.map(row =>
+      row.getLong(1).toDouble / n * math.abs(1.0 - row.getDouble(3))).sum
+    assert(math.abs(ece - expected) < 1e-9)
+  }
+
+  test("calibrationEce: confidences are normalized posteriors in (0,1]") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Ml.q240CalibrationEce(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getDouble(3) > 0.0 && row.getDouble(3) <= 1.0)
+      assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
+    }
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
