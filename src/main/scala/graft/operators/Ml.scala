@@ -1001,7 +1001,83 @@ object Ml {
       "c_mktsegment", "o_orderstatus", "o_orderpriority")
   }
 
+  /** Zipf-law fit over the corpus term-frequency distribution: OLS of
+    * ln(freq) on ln(rank) across the top-`fitTerms` terms — the
+    * corpus-health scalar (natural-language corpora sit near slope −1;
+    * a flat slope says boilerplate/templating, a cliff says tiny
+    * vocabulary). Ranking is a distributed top-V (TakeOrdered with a
+    * term-asc tiebreak — no single-partition window over the
+    * vocabulary); the fit runs on the V-row statistic frame with
+    * ln-terms DECIMAL-quantized before the moment sums, finish in one
+    * fixed double shape (the q200 OLS discipline). */
+  def zipfFit(docs: DataFrame, textCol: String, fitTerms: Int): DataFrame = {
+    require(fitTerms >= 10, s"need a real fit window: $fitTerms")
+    val top = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("term")).limit(fitTerms)
+    val ranked = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("n"), asc("term"))))
+      .select(log(dd(col("rank"))).cast("decimal(18,12)").as("x"),
+        log(dd(col("n"))).cast("decimal(18,12)").as("y"))
+    val m = ranked.agg(count(lit(1)).as("nf"),
+      sum(col("x")).cast("decimal(38,12)").as("sx"),
+      sum(col("y")).cast("decimal(38,12)").as("sy"),
+      sum(col("x") * col("y")).cast("decimal(38,24)").as("sxy"),
+      sum(col("x") * col("x")).cast("decimal(38,24)").as("sxx"),
+      sum(col("y") * col("y")).cast("decimal(38,24)").as("syy"))
+    val cov = dd(col("nf")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
+    val vx = dd(col("nf")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+    val vy = dd(col("nf")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
+    m.select(col("nf").as("n_terms_fit"),
+        (cov / vx).as("slope"),
+        ((dd(col("sy")) - cov / vx * dd(col("sx"))) / dd(col("nf")))
+          .as("intercept"),
+        ((cov * cov) / (vx * vy)).as("r2"))
+  }
+
+  /** Does the corpus obey Zipf: rank-frequency power-law fit over the
+    * top 1000 terms. */
+  def q241ZipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFit(Tables.documents(spark, dir), "text", fitTerms = 1000)
+
+  /** Term burstiness — the index of dispersion (variance/mean) of a
+    * term's per-document count, over the documents that CONTAIN it:
+    * bursty terms (D ≫ 1) concentrate in few docs (topical/boilerplate
+    * markers), D ≈ 1 is Poisson background. The top-`k` burstiest terms
+    * above a df floor — the screen for template contamination that raw
+    * frequency ranking misses.
+    *
+    * One tokenize pass → (doc, term) counts (map-side combined), one
+    * term rollup to exact integer moments, a fixed-shape double finish,
+    * distributed TakeOrdered for the report. */
+  def termBurstiness(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long, k: Int): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("c"))
+    val m = perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("c").as("tf"),
+        sum(d380(col("c")) * d380(col("c"))).cast("decimal(38,0)")
+          .as("sq"))
+      .filter(col("df") >= minDf)
+    val mean = dd(col("tf")) / dd(col("df"))
+    val varc = dd(col("sq")) / dd(col("df")) - mean * mean
+    m.select(col("term"), col("df"), col("tf"),
+        (varc / mean).as("dispersion"))
+      .orderBy(desc("dispersion"), asc("term")).limit(k)
+  }
+
+  /** The 20 burstiest terms of the corpus (df ≥ 5). */
+  def q242TermBurstiness(spark: SparkSession, dir: String): DataFrame =
+    termBurstiness(Tables.documents(spark, dir), "doc_id", "text",
+      minDf = 5L, k = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_zipf_fit" -> (q241ZipfFit _),
+    "q242_term_burstiness" -> (q242TermBurstiness _),
     "q240_calibration_ece" -> (q240CalibrationEce _),
     "q236_feature_hashing" -> (q236FeatureHashing _),
     "q237_roc_auc" -> (q237RocAuc _),
@@ -1024,6 +1100,66 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q241_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS term
+        |  FROM documents),
+        |top AS (
+        |  SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+        |  ORDER BY n DESC, term LIMIT 1000),
+        |ranked AS (
+        |  SELECT
+        |    CAST(LN(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term)
+        |      AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+        |    CAST(LN(CAST(n AS DOUBLE)) AS DECIMAL(18,12)) AS y
+        |  FROM top),
+        |m AS (
+        |  SELECT COUNT(*) AS nf,
+        |    CAST(SUM(x) AS DECIMAL(38,12)) AS sx,
+        |    CAST(SUM(y) AS DECIMAL(38,12)) AS sy,
+        |    CAST(SUM(x * y) AS DECIMAL(38,24)) AS sxy,
+        |    CAST(SUM(x * x) AS DECIMAL(38,24)) AS sxx,
+        |    CAST(SUM(y * y) AS DECIMAL(38,24)) AS syy
+        |  FROM ranked)
+        |SELECT nf AS n_terms_fit,
+        |  (CAST(nf AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(nf AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |    - (CAST(nf AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(nf AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * CAST(sx AS DOUBLE)) / CAST(nf AS DOUBLE) AS intercept,
+        |  ((CAST(nf AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  * (CAST(nf AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  / ((CAST(nf AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |  * (CAST(nf AS DOUBLE) * CAST(syy AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+        |FROM m""".stripMargin,
+    "q242_term_burstiness" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |pd AS (SELECT doc, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |m AS (
+        |  SELECT term, COUNT(*) AS df, SUM(c) AS tf,
+        |    CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sq
+        |  FROM pd GROUP BY term HAVING COUNT(*) >= 5)
+        |SELECT term, df, tf,
+        |  (CAST(sq AS DOUBLE) / CAST(df AS DOUBLE)
+        |    - (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE))
+        |      * (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)))
+        |  / (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)) AS dispersion
+        |FROM m ORDER BY dispersion DESC, term LIMIT 20""".stripMargin,
     "q240_calibration_ece" ->
       """WITH base AS (
         |  SELECT c_mktsegment AS f1, o_orderstatus AS f2,

@@ -372,6 +372,35 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("zipfFit: an exact power-law vocabulary recovers its exponent " +
+      "with r2 = 1") {
+    import spark.implicits._
+    // terms t1..t40 where t_r appears round(1000/r) times → slope ≈ −1
+    val words = (1 to 40).flatMap(r =>
+      Seq.fill(math.max(1, math.round(1000.0 / r).toInt))(s"t$r"))
+    val docs = words.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val r = Ml.zipfFit(docs, "text", fitTerms = 40).head()
+    assert(r.getLong(0) == 40)
+    assert(math.abs(r.getDouble(1) + 1.0) < 0.01) // slope ≈ −1
+    assert(r.getDouble(3) > 0.999)                // near-perfect fit
+  }
+
+  test("termBurstiness: a term concentrated in one doc out-disperses a " +
+      "uniform one") {
+    import spark.implicits._
+    // "bursty" has counts (6,1,1,1,1); "flat" has (2,2,2,2,2)
+    val docs = Seq(
+      (1L, "bursty bursty bursty bursty bursty bursty flat flat"),
+      (2L, "bursty flat flat"), (3L, "bursty flat flat"),
+      (4L, "bursty flat flat"), (5L, "bursty flat flat")).toDF(
+      "doc_id", "text")
+    val r = Ml.termBurstiness(docs, "doc_id", "text", minDf = 5L, k = 10)
+      .collect().map(x => (x.getString(0), x.getDouble(3))).toMap
+    assert(r("bursty") > 1.5)
+    assert(r("flat") == 0.0) // constant per-doc count: zero dispersion
+    assert(r("bursty") > r("flat"))
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
