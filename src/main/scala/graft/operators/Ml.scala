@@ -1075,7 +1075,95 @@ object Ml {
     termBurstiness(Tables.documents(spark, dir), "doc_id", "text",
       minDf = 5L, k = 20)
 
+  /** First `digits` hex digits of md5(s) as a long — the engine-portable
+    * 4·digits-bit row hash (any engine with md5 + ascii computes the
+    * identical integer; engine-native hash functions never agree across
+    * engines, which is exactly what a cross-replica checksum cannot
+    * tolerate). */
+  private def md5Long(s: Column, digits: Int): Column = {
+    require(digits >= 1 && digits <= 15, s"md5Long digits: $digits")
+    val h = md5(s)
+    (1 to digits).map { i =>
+      val a = ascii(substring(h, i, 1))
+      when(a >= 97, a - 87).otherwise(a - 48).cast("long") *
+        lit(1L << (4 * (digits - i)))
+    }.reduce(_ + _)
+  }
+
+  /** Content checksum per partition-sized slice of a table: each row
+    * canonicalizes to a '|'-joined string (numerics as exact integers —
+    * cents, epoch-µs — NEVER engine-formatted floats/dates), hashes
+    * through [[md5Long]], and the per-slice SUM of row hashes is the
+    * checksum — commutative, so shard order, partitioning, and merge
+    * plan are all irrelevant. Equal checksums + equal counts ⇒ replicas
+    * agree slice-by-slice; a mismatch localizes the diff to a slice (the
+    * reconciliation primitive behind CDC pipelines — pairs with the q136
+    * snapshot diff, which then finds the exact rows). One scan, one
+    * map-side-combined groupBy. */
+  def tableChecksum(df: DataFrame, sliceCol: Column,
+      canonicalCols: Seq[Column]): DataFrame = {
+    val row = concat_ws("|", canonicalCols: _*)
+    df.select(sliceCol.as("slice"), md5Long(row, 12).as("h"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(d380(col("h"))).cast("decimal(38,0)").as("checksum"))
+      .orderBy("slice")
+  }
+
+  /** Monthly content checksums of the orders table (canonical integer
+    * encoding: cents + epoch-µs). */
+  def q243TableChecksum(spark: SparkSession, dir: String): DataFrame =
+    tableChecksum(Tables.orders(spark, dir),
+      expr("date_trunc('month', o_orderdate)").cast("date").cast("string"),
+      Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        expr("unix_micros(o_orderdate)"), col("o_orderpriority")))
+
+  /** Histogram-intersection similarity between every pair of per-key
+    * value distributions: HI(a,b) = Σ_bins min(p_a, p_b) ∈ [0,1] — the
+    * cheap, bounded distribution-similarity matrix (1 = identical mix,
+    * 0 = disjoint support) that complements the two-sample TESTS (KS,
+    * MW) with a similarity VIEW. Bins are an equi-width grid over the
+    * global [min, max] (broadcast 1-row frame). The pair space is
+    * |keys|², but over the (key × bins) STATISTIC frame — never over
+    * rows.
+    *
+    * min(p_a, p_b) terms: each p is an exact-count ratio; the min of
+    * two identical-input doubles agrees across engines, and terms are
+    * DECIMAL-quantized before the bin sum. */
+  def histogramIntersection(df: DataFrame, keyCol: String, valCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins: $nBins")
+    val span = df.agg(min(col(valCol)).as("mn"), max(col(valCol)).as("mx"))
+    val binned = df.select(col(keyCol).as("k"), col(valCol).as("v"))
+      .crossJoin(broadcast(span))
+      .withColumn("bin", least(lit(nBins - 1),
+        floor((col("v") - col("mn")) / (col("mx") - col("mn")) * nBins)
+          .cast("int")))
+      .groupBy("k", "bin").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("k")))
+    val a = binned.select(col("k").as("ka"), col("bin"),
+      (dd(col("c")) / dd(col("n"))).as("pa"))
+    val b = binned.select(col("k").as("kb"), col("bin"),
+      (dd(col("c")) / dd(col("n"))).as("pb"))
+    a.join(b, Seq("bin"))
+      .filter(col("ka") < col("kb"))
+      .withColumn("term", least(col("pa"), col("pb"))
+        .cast("decimal(38,12)"))
+      .groupBy("ka", "kb")
+      .agg(sum("term").cast("decimal(38,12)").cast("double")
+        .as("hist_intersection"))
+      .orderBy("ka", "kb")
+  }
+
+  /** How alike are the event types' value distributions, pairwise. */
+  def q244HistIntersection(spark: SparkSession, dir: String): DataFrame =
+    histogramIntersection(Tables.events(spark, dir), "event_type", "value",
+      nBins = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_table_checksum" -> (q243TableChecksum _),
+    "q244_hist_intersection" -> (q244HistIntersection _),
     "q241_zipf_fit" -> (q241ZipfFit _),
     "q242_term_burstiness" -> (q242TermBurstiness _),
     "q240_calibration_ece" -> (q240CalibrationEce _),
@@ -1100,6 +1188,75 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q243_table_checksum" ->
+      """WITH rows_c AS (
+        |  SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+        |      AS VARCHAR) AS slice,
+        |    md5(CAST(o_orderkey AS VARCHAR) || '|'
+        |      || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+        |      || CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT) AS VARCHAR) || '|'
+        |      || CAST(CAST(epoch_us(o_orderdate) AS BIGINT) AS VARCHAR)
+        |      || '|' || o_orderpriority) AS h
+        |  FROM orders),
+        |hashed AS (
+        |  SELECT slice,
+        |    CAST(CASE WHEN ascii(substring(h,1,1)) >= 97
+        |      THEN ascii(substring(h,1,1)) - 87
+        |      ELSE ascii(substring(h,1,1)) - 48 END AS BIGINT) * 17592186044416 +
+        |    CAST(CASE WHEN ascii(substring(h,2,1)) >= 97
+        |      THEN ascii(substring(h,2,1)) - 87
+        |      ELSE ascii(substring(h,2,1)) - 48 END AS BIGINT) * 1099511627776 +
+        |    CAST(CASE WHEN ascii(substring(h,3,1)) >= 97
+        |      THEN ascii(substring(h,3,1)) - 87
+        |      ELSE ascii(substring(h,3,1)) - 48 END AS BIGINT) * 68719476736 +
+        |    CAST(CASE WHEN ascii(substring(h,4,1)) >= 97
+        |      THEN ascii(substring(h,4,1)) - 87
+        |      ELSE ascii(substring(h,4,1)) - 48 END AS BIGINT) * 4294967296 +
+        |    CAST(CASE WHEN ascii(substring(h,5,1)) >= 97
+        |      THEN ascii(substring(h,5,1)) - 87
+        |      ELSE ascii(substring(h,5,1)) - 48 END AS BIGINT) * 268435456 +
+        |    CAST(CASE WHEN ascii(substring(h,6,1)) >= 97
+        |      THEN ascii(substring(h,6,1)) - 87
+        |      ELSE ascii(substring(h,6,1)) - 48 END AS BIGINT) * 16777216 +
+        |    CAST(CASE WHEN ascii(substring(h,7,1)) >= 97
+        |      THEN ascii(substring(h,7,1)) - 87
+        |      ELSE ascii(substring(h,7,1)) - 48 END AS BIGINT) * 1048576 +
+        |    CAST(CASE WHEN ascii(substring(h,8,1)) >= 97
+        |      THEN ascii(substring(h,8,1)) - 87
+        |      ELSE ascii(substring(h,8,1)) - 48 END AS BIGINT) * 65536 +
+        |    CAST(CASE WHEN ascii(substring(h,9,1)) >= 97
+        |      THEN ascii(substring(h,9,1)) - 87
+        |      ELSE ascii(substring(h,9,1)) - 48 END AS BIGINT) * 4096 +
+        |    CAST(CASE WHEN ascii(substring(h,10,1)) >= 97
+        |      THEN ascii(substring(h,10,1)) - 87
+        |      ELSE ascii(substring(h,10,1)) - 48 END AS BIGINT) * 256 +
+        |    CAST(CASE WHEN ascii(substring(h,11,1)) >= 97
+        |      THEN ascii(substring(h,11,1)) - 87
+        |      ELSE ascii(substring(h,11,1)) - 48 END AS BIGINT) * 16 +
+        |    CAST(CASE WHEN ascii(substring(h,12,1)) >= 97
+        |      THEN ascii(substring(h,12,1)) - 87
+        |      ELSE ascii(substring(h,12,1)) - 48 END AS BIGINT) AS h
+        |  FROM rows_c)
+        |SELECT slice, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+        |FROM hashed GROUP BY slice ORDER BY slice""".stripMargin,
+    "q244_hist_intersection" ->
+      """WITH span AS (
+        |  SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+        |binned AS (
+        |  SELECT event_type AS k,
+        |    LEAST(19, CAST(FLOOR((value - mn) / (mx - mn) * 20)
+        |      AS INTEGER)) AS bin, COUNT(*) AS c
+        |  FROM events, span GROUP BY 1, 2),
+        |withn AS (
+        |  SELECT *, SUM(c) OVER (PARTITION BY k) AS n FROM binned)
+        |SELECT a.k AS ka, b.k AS kb,
+        |  CAST(SUM(CAST(LEAST(CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE),
+        |    CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS hist_intersection
+        |FROM withn a JOIN withn b ON a.bin = b.bin AND a.k < b.k
+        |GROUP BY a.k, b.k ORDER BY ka, kb""".stripMargin,
     "q241_zipf_fit" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),

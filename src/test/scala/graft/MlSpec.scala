@@ -401,6 +401,39 @@ class MlSpec extends AnyFunSuite {
     assert(r("bursty") > r("flat"))
   }
 
+  test("tableChecksum: order- and partitioning-invariant; any cell edit " +
+      "moves the slice checksum") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 100L), (2L, "b", 200L), (3L, "a", 300L))
+    def sum3(rows: Seq[(Long, String, Long)], parts: Int) = {
+      val df = rows.toDF("id", "s", "v").repartition(parts)
+      Ml.tableChecksum(df, col("s"),
+          Seq(col("id"), col("s"), col("v")))
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getDecimal(2)))).toMap
+    }
+    val a = sum3(base, 1)
+    assert(sum3(base.reverse, 7) == a) // row order + layout irrelevant
+    val edited = sum3(Seq((1L, "a", 100L), (2L, "b", 200L),
+      (3L, "a", 301L)), 1)
+    assert(edited("b") == a("b"))      // untouched slice agrees
+    assert(edited("a") != a("a"))      // edited slice detected
+  }
+
+  test("histogramIntersection: identical distributions = 1, disjoint " +
+      "supports = 0") {
+    import spark.implicits._
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("k", "v")
+    val r1 = Ml.histogramIntersection(same, "k", "v", 4).head()
+    assert(r1.getDouble(2) == 1.0)
+    val disj = (Seq.fill(5)(("a", 1.0)) ++ Seq.fill(5)(("b", 100.0)))
+      .toDF("k", "v")
+    // disjoint supports → no shared bin → pair row absent or 0
+    val rows = Ml.histogramIntersection(disj, "k", "v", 4).collect()
+    assert(rows.isEmpty || rows.forall(_.getDouble(2) == 0.0))
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
