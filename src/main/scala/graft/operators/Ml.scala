@@ -1161,7 +1161,104 @@ object Ml {
     histogramIntersection(Tables.events(spark, dir), "event_type", "value",
       nBins = 20)
 
+  /** Split-conformal prediction interval per category, evaluated
+    * honestly on a held-out fold: fold 0 trains the predictor (the
+    * category mean), fold 1 calibrates (the ⌈(n+1)(1−α)⌉-th smallest
+    * absolute residual becomes the interval half-width — the standard
+    * split-conformal quantile), fold 2 measures empirical coverage.
+    * The distribution-free "how wide must the error bar be" machine —
+    * conformal guarantees ≥ 1−α coverage regardless of the data law.
+    *
+    * EXACT throughout: with pred = s/n a rational, residual ordering
+    * and the coverage test both run on the integer |y·n − s| (common
+    * denominator per category) — no float boundary anywhere; doubles
+    * appear only in the report columns. Shape: one groupBy for the
+    * fold moments, one key-hash window for the order statistic, exact
+    * conditional counts for coverage. */
+  def conformalInterval(df: DataFrame, catCol: String, targetCol: String,
+      foldKeyCol: String, alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be in (0,1): $alphaNum/$alphaDen")
+    val cents = (col(targetCol).cast("decimal(18,2)") * 100).cast("long")
+    val base = df.select(col(catCol).as("cat"),
+      (col(foldKeyCol) % 3).as("fold"), cents.as("y"),
+      col(foldKeyCol).as("tie"))
+    val train = base.filter(col("fold") === 0).groupBy("cat")
+      .agg(count(lit(1)).as("n_train"), sum(d380(col("y"))).as("s"))
+    val cal = base.filter(col("fold") === 1)
+      .join(broadcast(train), Seq("cat"))
+      .withColumn("num",
+        abs(d380(col("y")) * d380(col("n_train")) - col("s"))
+          .cast("decimal(38,0)"))
+    val wCal = Window.partitionBy("cat")
+    // k = ceil((n_cal + 1) * (1 - alpha)) as exact integer arithmetic:
+    // ceil(a·(den−num)/den) = (a·(den−num) + den − 1) div den
+    val calRanked = cal
+      .withColumn("n_cal", count(lit(1)).over(wCal))
+      .withColumn("kNum",
+        ((col("n_cal") + 1) * (alphaDen - alphaNum) + alphaDen - 1)
+          .cast("long"))
+      .withColumn("k", expr(s"kNum div $alphaDen"))
+      .withColumn("rk", row_number().over(
+        wCal.orderBy(col("num"), col("tie"))))
+    val qhat = calRanked
+      .filter(col("rk") === least(col("k"), col("n_cal")))
+      .select(col("cat"), col("n_cal"), col("num").as("qnum"))
+    val test = base.filter(col("fold") === 2)
+      .join(broadcast(train), Seq("cat"))
+      .join(broadcast(qhat), Seq("cat"))
+      .groupBy("cat")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(d380(col("y")) * d380(col("n_train")) - col("s"))
+          <= col("qnum"), 1L).otherwise(0L)).as("n_covered"))
+    train.join(qhat, Seq("cat")).join(test, Seq("cat"))
+      .select(col("cat").as(catCol), col("n_train"), col("n_cal"),
+        col("n_test"),
+        (dd(col("s")) / dd(col("n_train")) / 100.0).as("pred"),
+        (dd(col("qnum")) / dd(col("n_train")) / 100.0).as("q_hat"),
+        (dd(col("n_covered")) / dd(col("n_test"))).as("coverage"))
+      .orderBy(catCol)
+  }
+
+  /** 90% conformal interval for order value by priority — trained,
+    * calibrated, and coverage-audited on disjoint folds. */
+  def q245ConformalInterval(spark: SparkSession, dir: String): DataFrame =
+    conformalInterval(Tables.orders(spark, dir), "o_orderpriority",
+      "o_totalprice", "o_orderkey", alphaNum = 1, alphaDen = 10)
+
+  /** Hard-negative mining for embedding training: for each probe, the
+    * top-k most-similar vectors with a DIFFERENT label — the negatives
+    * a contrastive loss learns most from (random negatives are too
+    * easy; these sit right at the decision boundary). Probe-bounded
+    * brute force (the q50/q235 pattern: probes broadcast, one rank
+    * window), rank-deterministic output. */
+  def hardNegatives(emb: DataFrame, idCol: String, embCol: String,
+      labelCol: String, nProbes: Int, k: Int): DataFrame = {
+    require(nProbes >= 1 && k >= 1, s"bad geometry: $nProbes $k")
+    val probes = emb.filter(col(idCol) < nProbes)
+      .select(col(idCol).as("pid"), col(embCol).as("pv"),
+        col(labelCol).as("plbl"))
+    emb.select(col(idCol).as("neg_id"), col(embCol).as("v"),
+        col(labelCol).as("neg_label"))
+      .crossJoin(broadcast(probes))
+      .filter(col("neg_label") =!= col("plbl"))
+      .withColumn("sim", Similarity.cosine(col("v"), col("pv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("pid").orderBy(desc("sim"), asc("neg_id"))))
+      .filter(col("rank") <= k)
+      .select(col("pid").as(idCol), col("rank").cast("long").as("rank"),
+        col("neg_id"), col("neg_label"))
+      .orderBy(idCol, "rank")
+  }
+
+  /** Top-5 boundary negatives for the first 20 probes. */
+  def q246HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      "label", nProbes = 20, k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_conformal_interval" -> (q245ConformalInterval _),
+    "q246_hard_negatives" -> (q246HardNegatives _),
     "q243_table_checksum" -> (q243TableChecksum _),
     "q244_hist_intersection" -> (q244HistIntersection _),
     "q241_zipf_fit" -> (q241ZipfFit _),
@@ -1188,6 +1285,63 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q245_conformal_interval" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS cat, o_orderkey % 3 AS fold,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    o_orderkey AS tie
+        |  FROM orders),
+        |train AS (
+        |  SELECT cat, COUNT(*) AS n_train,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s
+        |  FROM base WHERE fold = 0 GROUP BY cat),
+        |cal AS (
+        |  SELECT b.cat, b.tie,
+        |    CAST(ABS(CAST(b.y AS DECIMAL(38,0))
+        |      * CAST(t.n_train AS DECIMAL(38,0)) - t.s)
+        |      AS DECIMAL(38,0)) AS num
+        |  FROM base b JOIN train t ON b.cat = t.cat WHERE b.fold = 1),
+        |ranked AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY cat) AS n_cal,
+        |    ((COUNT(*) OVER (PARTITION BY cat) + 1) * 9 + 9) // 10 AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY cat ORDER BY num, tie) AS rk
+        |  FROM cal),
+        |qhat AS (
+        |  SELECT cat, n_cal, num AS qnum FROM ranked
+        |  WHERE rk = LEAST(k, n_cal)),
+        |test AS (
+        |  SELECT b.cat, COUNT(*) AS n_test,
+        |    SUM(CASE WHEN CAST(ABS(CAST(b.y AS DECIMAL(38,0))
+        |        * CAST(t.n_train AS DECIMAL(38,0)) - t.s)
+        |        AS DECIMAL(38,0)) <= q.qnum THEN 1 ELSE 0 END)
+        |      AS n_covered
+        |  FROM base b JOIN train t ON b.cat = t.cat
+        |  JOIN qhat q ON b.cat = q.cat
+        |  WHERE b.fold = 2 GROUP BY b.cat)
+        |SELECT t.cat AS o_orderpriority, t.n_train, q.n_cal, e.n_test,
+        |  CAST(t.s AS DOUBLE) / CAST(t.n_train AS DOUBLE) / 100.0 AS pred,
+        |  CAST(q.qnum AS DOUBLE) / CAST(t.n_train AS DOUBLE) / 100.0
+        |    AS q_hat,
+        |  CAST(e.n_covered AS DOUBLE) / CAST(e.n_test AS DOUBLE)
+        |    AS coverage
+        |FROM train t JOIN qhat q ON t.cat = q.cat
+        |JOIN test e ON t.cat = e.cat
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q246_hard_negatives" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv,
+        |    label AS plbl
+        |  FROM embeddings WHERE vec_id < 20),
+        |ranked AS (
+        |  SELECT p.pid, e.vec_id AS neg_id, e.label AS neg_label,
+        |    ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv)
+        |        DESC, e.vec_id) AS rank
+        |  FROM embeddings e CROSS JOIN probes p
+        |  WHERE e.label <> p.plbl)
+        |SELECT pid AS vec_id, CAST(rank AS BIGINT) AS rank, neg_id,
+        |  neg_label
+        |FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
     "q243_table_checksum" ->
       """WITH rows_c AS (
         |  SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE)

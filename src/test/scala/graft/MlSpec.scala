@@ -434,6 +434,50 @@ class MlSpec extends AnyFunSuite {
     assert(rows.isEmpty || rows.forall(_.getDouble(2) == 0.0))
   }
 
+  test("conformalInterval: empirical coverage lands near the 1-alpha " +
+      "target on the held-out fold") {
+    val dir = "/root/testdata/sf0.01"
+    val r = Ml.q245ConformalInterval(spark, dir).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(row.getDouble(5) > 0.0) // q_hat positive
+      // conformal guarantee: coverage ≥ 1−α − slack; and not degenerate 1
+      val cov = row.getDouble(6)
+      assert(cov > 0.82 && cov <= 1.0, s"coverage $cov out of band")
+    }
+  }
+
+  test("conformalInterval: coverage test is the exact integer residual " +
+      "comparison (hand case)") {
+    import spark.implicits._
+    // cat X: train {10,20} (keys 0,3) → pred 15; cal {12,30,15} (keys
+    // 1,4,7) → residuals {3,15,0}, k = ceil(4*0.9) = 4 > n → clamp to
+    // max = 15; test {29,31} (keys 2,5) → covered: |29-15|=14 ≤ 15 yes,
+    // |31-15|=16 > 15 no → coverage 0.5
+    val df = Seq((0L, 10.0), (3L, 20.0), (1L, 12.0), (4L, 30.0),
+      (7L, 15.0), (2L, 29.0), (5L, 31.0)).map { case (k, v) =>
+      (k, "X", v)
+    }.toDF("k", "cat", "t")
+    val r = Ml.conformalInterval(df, "cat", "t", "k", 1, 10).head()
+    assert(r.getDouble(4) == 15.0) // pred
+    assert(r.getDouble(5) == 15.0) // q_hat clamped to max residual
+    assert(r.getDouble(6) == 0.5)  // coverage
+  }
+
+  test("hardNegatives: never returns the probe's own label, ranks are " +
+      "dense per probe") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r = Ml.q246HardNegatives(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getLong(0)).foreach { case (pid, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 5L))
+      rows.foreach(x => assert(x.getInt(3) != labels(pid)))
+    }
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
