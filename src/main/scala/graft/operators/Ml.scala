@@ -1256,7 +1256,85 @@ object Ml {
     hardNegatives(Tables.embeddings(spark, dir), "vec_id", "embedding",
       "label", nProbes = 20, k = 5)
 
+  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes
+    * of the hourly-mean series — the slope estimator a single wild hour
+    * cannot move (29% breakdown point; OLS breaks at one outlier).
+    * Runs over the per-key HOURLY statistic frame, so the pair space is
+    * O(B²) in the key's bucket count, never in rows — bounded by the
+    * observation span. (At a multi-year span, the standard scale path is
+    * hash-sampling the pair space; the estimator is median-stable under
+    * uniform pair sampling.)
+    *
+    * Determinism: bucket means are identical-input doubles, each slope
+    * is one double op, the median is an exact order statistic with a
+    * (b1, b2) tiebreak — no accumulation anywhere. */
+  def theilSen(events: DataFrame, tsCol: String, keyCol: String,
+      valCol: String): DataFrame = {
+    val cells = hourlyCells(events, tsCol, keyCol, valCol)
+      .withColumn("m", dd(col("s")) / dd(col("c")) / 1e6)
+      .select("k", "b", "m")
+    val pairs = cells.select(col("k"), col("b").as("b1"), col("m").as("m1"))
+      .join(cells.select(col("k"), col("b").as("b2"), col("m").as("m2")),
+        Seq("k"))
+      .filter(col("b1") < col("b2"))
+      .withColumn("slope",
+        (col("m2") - col("m1")) / dd(col("b2") - col("b1")))
+    val w = Window.partitionBy("k")
+    pairs
+      .withColumn("np", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("slope"), col("b1"), col("b2"))))
+      .filter(col("rk") === expr("(np + 1) div 2")) // lower median
+      .select(col("k").as(keyCol), col("np").as("n_pairs"),
+        col("slope").as("theil_sen_slope"))
+      .orderBy(keyCol)
+  }
+
+  /** Robust hourly-value trend per event type (µ-units per hour). */
+  def q247TheilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSen(Tables.events(spark, dir), "ts", "event_type", "value")
+
+  /** Item-item kNN from co-occurrence — the classic collaborative-
+    * filtering similarity: items sharing many baskets score
+    * co / √(n_a·n_b) (cosine over binary basket vectors). The pair
+    * space comes from the WITHIN-BASKET self-join, so it is
+    * Σ_baskets k², bounded by basket size — the shape that scales to
+    * billions of baskets (never an item × item cross join). Probe-
+    * bounded report: top-k neighbors for items below `probeMax`.
+    *
+    * Exact counts; cosine is one fixed double shape; ranking tiebreaks
+    * (cos desc, neighbor asc). */
+  def itemKnn(baskets: DataFrame, basketCol: String, itemCol: String,
+      probeMax: Long, k: Int): DataFrame = {
+    val bi = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val counts = bi.groupBy("it").agg(count(lit(1)).as("n"))
+    val co = bi.select(col("bk"), col("it").as("ia"))
+      .join(bi.select(col("bk"), col("it").as("ib")), Seq("bk"))
+      .filter(col("ia") =!= col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("co"))
+      .filter(col("ia") < probeMax)
+    co.join(counts.select(col("it").as("ia"), col("n").as("na")), Seq("ia"))
+      .join(counts.select(col("it").as("ib"), col("n").as("nb")), Seq("ib"))
+      .withColumn("cosine",
+        dd(col("co")) / sqrt(dd(col("na")) * dd(col("nb"))))
+      .withColumn("rank", row_number().over(Window.partitionBy("ia")
+        .orderBy(desc("cosine"), asc("ib"))))
+      .filter(col("rank") <= k)
+      .select(col("ia").as(itemCol), col("rank").cast("long").as("rank"),
+        col("ib").as("neighbor"), col("co"), col("cosine"))
+      .orderBy(itemCol, "rank")
+  }
+
+  /** "Parts bought together": top-10 co-purchase neighbors for the
+    * first 50 parts. */
+  def q248ItemKnn(spark: SparkSession, dir: String): DataFrame =
+    itemKnn(Tables.lineitem(spark, dir), "l_orderkey", "l_partkey",
+      probeMax = 50L, k = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_theil_sen" -> (q247TheilSen _),
+    "q248_item_knn" -> (q248ItemKnn _),
     "q245_conformal_interval" -> (q245ConformalInterval _),
     "q246_hard_negatives" -> (q246HardNegatives _),
     "q243_table_checksum" -> (q243TableChecksum _),
@@ -1285,6 +1363,50 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q247_theil_sen" ->
+      """WITH cells AS (
+        |  SELECT event_type AS k,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS b,
+        |    CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT)) AS DECIMAL(38,0)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / 1e6 AS m
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.k, a.b AS b1, b.b AS b2,
+        |    (b.m - a.m) / CAST(b.b - a.b AS DOUBLE) AS slope
+        |  FROM cells a JOIN cells b ON a.k = b.k AND a.b < b.b),
+        |ranked AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY k) AS np,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY slope, b1, b2)
+        |      AS rk
+        |  FROM pairs)
+        |SELECT k AS event_type, np AS n_pairs, slope AS theil_sen_slope
+        |FROM ranked WHERE rk = (np + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+    "q248_item_knn" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem),
+        |counts AS (SELECT it, COUNT(*) AS n FROM bi GROUP BY it),
+        |co AS (
+        |  SELECT a.it AS ia, b.it AS ib, COUNT(*) AS co
+        |  FROM bi a JOIN bi b ON a.bk = b.bk AND a.it <> b.it
+        |  WHERE a.it < 50 GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT co.ia, co.ib, co.co,
+        |    CAST(co.co AS DOUBLE)
+        |      / SQRT(CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE))
+        |      AS cosine
+        |  FROM co JOIN counts ca ON co.ia = ca.it
+        |  JOIN counts cb ON co.ib = cb.it),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY ia
+        |    ORDER BY cosine DESC, ib) AS rank
+        |  FROM scored)
+        |SELECT ia AS l_partkey, CAST(rank AS BIGINT) AS rank,
+        |  ib AS neighbor, co, cosine
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY l_partkey, rank""".stripMargin,
     "q245_conformal_interval" ->
       """WITH base AS (
         |  SELECT o_orderpriority AS cat, o_orderkey % 3 AS fold,

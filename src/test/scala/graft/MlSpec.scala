@@ -478,6 +478,32 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("theilSen: immune to a single wild hour that would wreck OLS") {
+    import spark.implicits._
+    // clean slope +1/hour, with one 1000x outlier hour injected
+    val base = (0 until 24).map { h =>
+      ("k", new java.sql.Timestamp(1700000000000L + h * 3600000L),
+        if (h == 10) 100000.0 else h.toDouble)
+    }
+    val df = base.toDF("k", "ts", "v")
+    val r = Ml.theilSen(df, "ts", "k", "v").head()
+    // median pairwise slope stays ~1 despite the outlier
+    assert(math.abs(r.getDouble(2) - 1.0) < 0.1,
+      s"theil-sen moved: ${r.getDouble(2)}")
+  }
+
+  test("itemKnn: cosine is exactly co/sqrt(na*nb) on a hand basket set") {
+    import spark.implicits._
+    // item 1 in baskets {A,B}; item 2 in {A,B,C}; item 3 in {C}
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L), ("C", 2L),
+      ("C", 3L)).toDF("bk", "it")
+    val r = Ml.itemKnn(df, "bk", "it", probeMax = 10L, k = 5).collect()
+    val m = r.map(x => ((x.getLong(0), x.getLong(2)), x.getDouble(4))).toMap
+    assert(m((1L, 2L)) == 2.0 / math.sqrt(2.0 * 3.0))
+    assert(m((3L, 2L)) == 1.0 / math.sqrt(1.0 * 3.0))
+    assert(!m.contains((1L, 3L))) // never co-occur → no pair row
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
