@@ -1332,7 +1332,132 @@ object Ml {
     itemKnn(Tables.lineitem(spark, dir), "l_orderkey", "l_partkey",
       probeMax = 50L, k = 10)
 
+  /** Two-way ANOVA with interaction: does factor A, factor B, or their
+    * INTERACTION explain the target — the screen that tells a feature
+    * pipeline whether two categoricals are worth crossing. Sums of
+    * squares via the standard cell-moment identities
+    * (SSA = Σ s_a²/n_a − S²/N, SSAB = Σ s_ab²/n_ab − Σ s_a²/n_a −
+    * Σ s_b²/n_b + S²/N, SSW = Σy² − Σ s_ab²/n_ab), every s²/n term a
+    * single division on exact DECIMAL cell moments, quantized before
+    * its sum (the q225 discipline). One scan → cell frame; everything
+    * after is cells-sized. */
+  def twoWayAnova(df: DataFrame, aCol: String, bCol: String,
+      targetCol: String): DataFrame = {
+    val cents = (col(targetCol).cast("decimal(18,2)") * 100).cast("long")
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"),
+        cents.as("t"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n"), sum(d380(col("t"))).as("s"),
+        sum(d380(col("t")) * d380(col("t"))).cast("decimal(38,0)")
+          .as("sq"))
+    val term = (c: Column, n: Column) =>
+      (dd(c) * dd(c) / dd(n)).cast("decimal(38,6)")
+    val byA = cells.groupBy("a").agg(sum("n").as("na"),
+        sum(d380(col("s"))).cast("decimal(38,0)").as("sa"))
+      .agg(count(lit(1)).as("ka"),
+        sum(term(col("sa"), col("na"))).cast("decimal(38,6)").as("ta"))
+    val byB = cells.groupBy("b").agg(sum("n").as("nb"),
+        sum(d380(col("s"))).cast("decimal(38,0)").as("sb"))
+      .agg(count(lit(1)).as("kb"),
+        sum(term(col("sb"), col("nb"))).cast("decimal(38,6)").as("tb"))
+    val byCell = cells.agg(count(lit(1)).as("kab"), sum("n").as("nn"),
+      sum(d380(col("s"))).cast("decimal(38,0)").as("ss"),
+      sum(col("sq")).cast("decimal(38,0)").as("sqq"),
+      sum(term(col("s"), col("n"))).cast("decimal(38,6)").as("tab"))
+    val j = byCell.crossJoin(broadcast(byA)).crossJoin(broadcast(byB))
+    val corr = dd(col("ss")) * dd(col("ss")) / dd(col("nn"))
+    val ssa = (dd(col("ta")) - corr) / 1e4
+    val ssb = (dd(col("tb")) - corr) / 1e4
+    val ssab = (dd(col("tab")) - dd(col("ta")) - dd(col("tb")) + corr) / 1e4
+    val ssw = (dd(col("sqq")) - dd(col("tab"))) / 1e4
+    val dfw = dd(col("nn")) - dd(col("kab"))
+    j.select(col("ka"), col("kb"), col("nn").as("n"),
+      ssa.as("ssa"), ssb.as("ssb"), ssab.as("ssab"), ssw.as("ssw"),
+      when(ssw > 0, (ssa / (dd(col("ka")) - 1.0)) / (ssw / dfw))
+        .as("f_a"),
+      when(ssw > 0, (ssb / (dd(col("kb")) - 1.0)) / (ssw / dfw))
+        .as("f_b"),
+      when(ssw > 0, (ssab / ((dd(col("ka")) - 1.0) *
+        (dd(col("kb")) - 1.0))) / (ssw / dfw)).as("f_ab"))
+  }
+
+  /** Priority × market-segment effects on order value, with the
+    * interaction term. */
+  def q249TwoWayAnova(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    twoWayAnova(o.join(c, o("o_custkey") === c("c_custkey")),
+      "o_orderpriority", "c_mktsegment", "o_totalprice")
+  }
+
+  /** CUPED variance reduction for experiment metrics: adjust each
+    * unit's metric by its PRE-PERIOD covariate, y_cv = y − θ(x − x̄)
+    * with θ = cov(x,y)/var(x) — the industry-standard trick that cuts
+    * experiment runtimes by the metric's pre-period predictability
+    * (variance shrinks by ρ², Deng et al. WSDM'13). Units here are
+    * users, the pre/post split is the stream's time midpoint, variants
+    * a deterministic unit hash.
+    *
+    * Everything reduces to exact per-variant DECIMAL moments (one
+    * groupBy over the per-user frame); θ, the adjusted means, and the
+    * pooled ρ² are fixed-shape double finishes — the adjusted mean
+    * needs NO second pass (ȳ_v − θ(x̄_v − x̄) is moment algebra). */
+  def cuped(events: DataFrame, tsCol: String, unitCol: String,
+      valCol: String): DataFrame = {
+    val us = expr(s"unix_micros($tsCol)")
+    val mid = events.agg(((min(us) + max(us)) / lit(2L)).cast("long")
+      .as("mid"))
+    val cents = (col(valCol).cast("decimal(18,6)") * 1000000L).cast("long")
+    val perUnit = events.select(col(unitCol).as("u"), us.as("t"),
+        cents.as("v"))
+      .crossJoin(broadcast(mid))
+      .groupBy("u")
+      .agg(sum(when(col("t") < col("mid"), d380(col("v")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("x"),
+        sum(when(col("t") >= col("mid"), d380(col("v")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("y"))
+      .withColumn("variant", pmod(col("u"), lit(2L)))
+    val m = perUnit.groupBy("variant").agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+      sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+      sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
+    val w = Window.partitionBy()
+    val g = m
+      .withColumn("gn", sum("n").over(w))
+      .withColumn("gsx", sum("sx").over(w).cast("decimal(38,0)"))
+      .withColumn("gsy", sum("sy").over(w).cast("decimal(38,0)"))
+      .withColumn("gsxy", sum("sxy").over(w).cast("decimal(38,0)"))
+      .withColumn("gsxx", sum("sxx").over(w).cast("decimal(38,0)"))
+      .withColumn("gsyy", sum("syy").over(w).cast("decimal(38,0)"))
+    val cov = dd(col("gn")) * dd(col("gsxy")) -
+      dd(col("gsx")) * dd(col("gsy"))
+    val vx = dd(col("gn")) * dd(col("gsxx")) -
+      dd(col("gsx")) * dd(col("gsx"))
+    val vy = dd(col("gn")) * dd(col("gsyy")) -
+      dd(col("gsy")) * dd(col("gsy"))
+    val theta = cov / vx
+    val meanY = dd(col("sy")) / dd(col("n")) / 1e6
+    val meanX = dd(col("sx")) / dd(col("n")) / 1e6
+    val gMeanX = dd(col("gsx")) / dd(col("gn")) / 1e6
+    val rho2 = (cov * cov) / (vx * vy)
+    g.select(col("variant"), col("n"), meanY.as("mean_y"),
+        (meanY - theta * (meanX - gMeanX)).as("mean_y_cuped"),
+        rho2.as("rho2"), rho2.as("var_reduction"))
+      .orderBy("variant")
+  }
+
+  /** Pre/post CUPED adjustment of per-user event value, variants by
+    * user-id parity. */
+  def q250Cuped(spark: SparkSession, dir: String): DataFrame =
+    cuped(Tables.events(spark, dir), "ts", "user_id", "value")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_two_way_anova" -> (q249TwoWayAnova _),
+    "q250_cuped" -> (q250Cuped _),
     "q247_theil_sen" -> (q247TheilSen _),
     "q248_item_knn" -> (q248ItemKnn _),
     "q245_conformal_interval" -> (q245ConformalInterval _),
@@ -1363,6 +1488,129 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q249_two_way_anova" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority AS a, c_mktsegment AS b,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (
+        |  SELECT a, b, COUNT(*) AS n,
+        |    CAST(SUM(CAST(t AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+        |    CAST(SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sq
+        |  FROM q GROUP BY 1, 2),
+        |bya AS (
+        |  SELECT COUNT(*) AS ka,
+        |    CAST(SUM(CAST(CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      / CAST(na AS DOUBLE) AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |      AS ta
+        |  FROM (SELECT a, SUM(n) AS na,
+        |    CAST(SUM(s) AS DECIMAL(38,0)) AS sa FROM cells GROUP BY a)),
+        |byb AS (
+        |  SELECT COUNT(*) AS kb,
+        |    CAST(SUM(CAST(CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE) AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |      AS tb
+        |  FROM (SELECT b, SUM(n) AS nb,
+        |    CAST(SUM(s) AS DECIMAL(38,0)) AS sb FROM cells GROUP BY b)),
+        |bycell AS (
+        |  SELECT COUNT(*) AS kab, SUM(n) AS nn,
+        |    CAST(SUM(s) AS DECIMAL(38,0)) AS ss,
+        |    CAST(SUM(sq) AS DECIMAL(38,0)) AS sqq,
+        |    CAST(SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |      AS tab
+        |  FROM cells),
+        |j AS (SELECT * FROM bycell, bya, byb)
+        |SELECT ka, kb, nn AS n,
+        |  (CAST(ta AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+        |    / CAST(nn AS DOUBLE)) / 1e4 AS ssa,
+        |  (CAST(tb AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+        |    / CAST(nn AS DOUBLE)) / 1e4 AS ssb,
+        |  (CAST(tab AS DOUBLE) - CAST(ta AS DOUBLE) - CAST(tb AS DOUBLE)
+        |    + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    / 1e4 AS ssab,
+        |  (CAST(sqq AS DOUBLE) - CAST(tab AS DOUBLE)) / 1e4 AS ssw,
+        |  CASE WHEN CAST(sqq AS DOUBLE) - CAST(tab AS DOUBLE) > 0 THEN
+        |  (((CAST(ta AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+        |    / CAST(nn AS DOUBLE)) / 1e4) / (CAST(ka AS DOUBLE) - 1.0))
+        |  / (((CAST(sqq AS DOUBLE) - CAST(tab AS DOUBLE)) / 1e4)
+        |    / (CAST(nn AS DOUBLE) - CAST(kab AS DOUBLE))) END AS f_a,
+        |  CASE WHEN CAST(sqq AS DOUBLE) - CAST(tab AS DOUBLE) > 0 THEN
+        |  (((CAST(tb AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+        |    / CAST(nn AS DOUBLE)) / 1e4) / (CAST(kb AS DOUBLE) - 1.0))
+        |  / (((CAST(sqq AS DOUBLE) - CAST(tab AS DOUBLE)) / 1e4)
+        |    / (CAST(nn AS DOUBLE) - CAST(kab AS DOUBLE))) END AS f_b,
+        |  CASE WHEN CAST(sqq AS DOUBLE) - CAST(tab AS DOUBLE) > 0 THEN
+        |  (((CAST(tab AS DOUBLE) - CAST(ta AS DOUBLE) - CAST(tb AS DOUBLE)
+        |    + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    / 1e4) / ((CAST(ka AS DOUBLE) - 1.0)
+        |      * (CAST(kb AS DOUBLE) - 1.0)))
+        |  / (((CAST(sqq AS DOUBLE) - CAST(tab AS DOUBLE)) / 1e4)
+        |    / (CAST(nn AS DOUBLE) - CAST(kab AS DOUBLE))) END AS f_ab
+        |FROM j""".stripMargin,
+    "q250_cuped" ->
+      """WITH mid AS (
+        |  SELECT (MIN(CAST(epoch_us(ts) AS BIGINT))
+        |    + MAX(CAST(epoch_us(ts) AS BIGINT))) // 2 AS mid FROM events),
+        |pu AS (
+        |  SELECT user_id AS u,
+        |    CAST(SUM(CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+        |        < (SELECT mid FROM mid)
+        |      THEN CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+        |        AS BIGINT) AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS x,
+        |    CAST(SUM(CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+        |        >= (SELECT mid FROM mid)
+        |      THEN CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+        |        AS BIGINT) AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS y,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT variant, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+        |  FROM pu GROUP BY variant),
+        |g AS (
+        |  SELECT *, SUM(n) OVER () AS gn,
+        |    CAST(SUM(sx) OVER () AS DECIMAL(38,0)) AS gsx,
+        |    CAST(SUM(sy) OVER () AS DECIMAL(38,0)) AS gsy,
+        |    CAST(SUM(sxy) OVER () AS DECIMAL(38,0)) AS gsxy,
+        |    CAST(SUM(sxx) OVER () AS DECIMAL(38,0)) AS gsxx,
+        |    CAST(SUM(syy) OVER () AS DECIMAL(38,0)) AS gsyy
+        |  FROM m)
+        |SELECT variant, n,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean_y,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+        |    - ((CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE)
+        |        - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE))
+        |      / (CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+        |        - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)))
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+        |        - CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE) / 1e6)
+        |    AS mean_y_cuped,
+        |  ((CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE)
+        |      - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE))
+        |    * (CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE)
+        |      - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)))
+        |  / ((CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+        |      - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE))
+        |    * (CAST(gn AS DOUBLE) * CAST(gsyy AS DOUBLE)
+        |      - CAST(gsy AS DOUBLE) * CAST(gsy AS DOUBLE))) AS rho2,
+        |  ((CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE)
+        |      - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE))
+        |    * (CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE)
+        |      - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)))
+        |  / ((CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+        |      - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE))
+        |    * (CAST(gn AS DOUBLE) * CAST(gsyy AS DOUBLE)
+        |      - CAST(gsy AS DOUBLE) * CAST(gsy AS DOUBLE)))
+        |    AS var_reduction
+        |FROM g ORDER BY variant""".stripMargin,
     "q247_theil_sen" ->
       """WITH cells AS (
         |  SELECT event_type AS k,

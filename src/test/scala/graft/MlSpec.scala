@@ -504,6 +504,41 @@ class MlSpec extends AnyFunSuite {
     assert(!m.contains((1L, 3L))) // never co-occur → no pair row
   }
 
+  test("twoWayAnova: additive balanced design has zero interaction SS; " +
+      "decomposition sums to total") {
+    import spark.implicits._
+    // y = rowEffect + colEffect, fully balanced → SSAB = 0
+    val df = (for (a <- Seq(0, 10); b <- Seq(0, 1, 2); r <- 0 to 1)
+      yield (s"a$a", s"b$b", (a + b).toDouble)).toDF("a", "b", "t")
+    val r = Ml.twoWayAnova(df, "a", "b", "t").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 3)
+    assert(math.abs(r.getDouble(5)) < 1e-9)  // SSAB = 0
+    assert(math.abs(r.getDouble(6)) < 1e-9)  // SSW = 0 (exact replicate)
+    // SSA = 12·(5²·2)/... check total: Σ(y−ȳ)² = SSA+SSB+SSAB+SSW
+    val ys = (for (a <- Seq(0, 10); b <- Seq(0, 1, 2); _ <- 0 to 1)
+      yield (a + b).toDouble)
+    val mean = ys.sum / ys.size
+    val sst = ys.map(y => (y - mean) * (y - mean)).sum
+    val parts = r.getDouble(3) + r.getDouble(4) + r.getDouble(5) +
+      r.getDouble(6)
+    assert(math.abs(parts - sst) < 1e-6)
+  }
+
+  test("cuped: adjusted variant means preserve the overall mean and " +
+      "rho2 is within [0,1]") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Ml.q250Cuped(spark, dir).collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0)
+    }
+    // Σ n_v·(ȳ_cv − ȳ_v) = −θ·Σ n_v(x̄_v − x̄) = 0: CUPED is unbiased
+    val shift = r.map(x =>
+      x.getLong(1) * (x.getDouble(3) - x.getDouble(2))).sum
+    val scale = r.map(x => x.getLong(1) * math.abs(x.getDouble(2))).sum
+    assert(math.abs(shift) < 1e-6 * math.max(1.0, scale))
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
