@@ -1455,7 +1455,100 @@ object Ml {
   def q250Cuped(spark: SparkSession, dir: String): DataFrame =
     cuped(Tables.events(spark, dir), "ts", "user_id", "value")
 
+  /** Experiment power analysis from pilot moments: the per-variant
+    * sample size needed to detect the PILOT's observed effect (and a
+    * grid of relative MDEs) at α = 0.05 two-sided, 80% power —
+    * n = 2σ̂²(z_{α/2}+z_β)²/δ². The "how long must this test run"
+    * calculator, computed from one exact-moment pass over the pilot
+    * (pooled variance from DECIMAL sums; z constants are IEEE literals,
+    * identical in any engine). Output: one row per MDE level. */
+  def powerAnalysis(df: DataFrame, variantCol: Column, valCol: String,
+      mdeRelPcts: Seq[Int]): DataFrame = {
+    require(mdeRelPcts.nonEmpty && mdeRelPcts.forall(p => p > 0),
+      s"bad MDE grid: $mdeRelPcts")
+    val zSum2 = lit(7.84888) // (z₀.₀₂₅ + z₀.₈)² = (1.959964 + 0.841621)²
+    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
+    val m = df.select(variantCol.as("v"), cents.as("y"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("n"), sum(d380(col("y"))).as("s"),
+        sum(d380(col("y")) * d380(col("y"))).cast("decimal(38,0)")
+          .as("sq"))
+    // pooled variance over both variants, exact sums → one double shape
+    val g = m.agg(sum("n").as("n"),
+      sum(d380(col("s"))).cast("decimal(38,0)").as("s"),
+      sum(col("sq")).cast("decimal(38,0)").as("sq"),
+      min(struct(col("v"), col("n"), col("s"))).as("a"),
+      max(struct(col("v"), col("n"), col("s"))).as("b"))
+    val mean = dd(col("s")) / dd(col("n"))
+    val variance = (dd(col("sq")) - dd(col("s")) * dd(col("s")) /
+      dd(col("n"))) / (dd(col("n")) - 1.0)
+    val obsDelta = dd(col("b.s")) / dd(col("b.n")) -
+      dd(col("a.s")) / dd(col("a.n"))
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val grid = mdeRelPcts.map(p => p.toLong).toDF("mde_rel_pct")
+    g.crossJoin(broadcast(grid))
+      .withColumn("delta", mean * dd(col("mde_rel_pct")) / 100.0)
+      .select(col("mde_rel_pct"), (mean / 100.0).as("pilot_mean"),
+        (variance / 1e4).as("pilot_var"),
+        (obsDelta / 100.0).as("observed_delta"),
+        ceil(lit(2.0) * variance * zSum2 /
+          (col("delta") * col("delta"))).cast("long")
+          .as("n_per_variant"),
+        when(obsDelta =!= 0.0,
+          ceil(lit(2.0) * variance * zSum2 / (obsDelta * obsDelta))
+            .cast("long")).as("n_for_observed"))
+      .orderBy("mde_rel_pct")
+  }
+
+  /** How many orders per arm would an order-value experiment need, for
+    * 1/2/5/10% relative MDEs (variants by order-key parity as the
+    * pilot split). */
+  def q251PowerAnalysis(spark: SparkSession, dir: String): DataFrame =
+    powerAnalysis(Tables.orders(spark, dir), pmod(col("o_orderkey"),
+      lit(2L)), "o_totalprice", Seq(1, 2, 5, 10))
+
+  /** Quantile treatment effects: the treated-vs-control difference at
+    * each decile of the outcome distribution — where in the
+    * distribution the treatment acts (a mean shift, a tail effect, or
+    * a spread change all look identical to the mean test q168 but
+    * separate cleanly here). Exact interpolated per-variant percentiles
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the q193 law), one
+    * aggregation per variant on centi-units. */
+  def quantileTreatmentEffect(df: DataFrame, treatedCond: Column,
+      valCol: String): DataFrame = {
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
+    val ps = (1 to 9).map(_ / 10.0)
+    val per = df.select(treatedCond.as("t"), cents.as("y"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile(y, array(${ps.mkString(",")}))").as("qs"))
+    val q = per.select(col("t"), col("n"),
+      posexplode(col("qs")).as(Seq("i", "qv")))
+    val tSide = q.filter(col("t")).select(col("i"),
+      col("n").as("n_treated"), col("qv").as("q_treated"))
+    val cSide = q.filter(!col("t")).select(col("i"),
+      col("n").as("n_control"), col("qv").as("q_control"))
+    tSide.join(cSide, Seq("i"))
+      .select(((col("i") + 1) * 10).cast("long").as("percentile"),
+        col("n_treated"), col("n_control"),
+        (col("q_treated") / 100.0).as("q_treated"),
+        (col("q_control") / 100.0).as("q_control"),
+        ((col("q_treated") - col("q_control")) / 100.0).as("qte"))
+      .orderBy("percentile")
+  }
+
+  /** Where in the order-value distribution does a deep discount act:
+    * decile-wise treatment effects on the lineitem outcome. */
+  def q252Qte(spark: SparkSession, dir: String): DataFrame =
+    quantileTreatmentEffect(Tables.lineitem(spark, dir),
+      col("l_discount") >= 0.05, "l_extendedprice")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_power_analysis" -> (q251PowerAnalysis _),
+    "q252_qte" -> (q252Qte _),
     "q249_two_way_anova" -> (q249TwoWayAnova _),
     "q250_cuped" -> (q250Cuped _),
     "q247_theil_sen" -> (q247TheilSen _),
@@ -1488,6 +1581,76 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q251_power_analysis" ->
+      """WITH q AS (
+        |  SELECT o_orderkey % 2 AS v,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM orders),
+        |m AS (
+        |  SELECT v, COUNT(*) AS n,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sq
+        |  FROM q GROUP BY v),
+        |g AS (
+        |  SELECT SUM(n) AS n, CAST(SUM(s) AS DECIMAL(38,0)) AS s,
+        |    CAST(SUM(sq) AS DECIMAL(38,0)) AS sq,
+        |    SUM(CASE WHEN v = 0 THEN n END) AS na,
+        |    CAST(SUM(CASE WHEN v = 0 THEN s END) AS DECIMAL(38,0)) AS sa,
+        |    SUM(CASE WHEN v = 1 THEN n END) AS nb,
+        |    CAST(SUM(CASE WHEN v = 1 THEN s END) AS DECIMAL(38,0)) AS sb
+        |  FROM m),
+        |grid AS (SELECT unnest([1, 2, 5, 10]) AS mde_rel_pct)
+        |SELECT CAST(mde_rel_pct AS BIGINT) AS mde_rel_pct,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS pilot_mean,
+        |  (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1e4
+        |    AS pilot_var,
+        |  (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |    - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / 100.0
+        |    AS observed_delta,
+        |  CAST(CEIL(2.0 * ((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)
+        |      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)) * 7.84888
+        |    / ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * CAST(mde_rel_pct AS DOUBLE) / 100.0)
+        |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * CAST(mde_rel_pct AS DOUBLE) / 100.0))) AS BIGINT)
+        |    AS n_per_variant,
+        |  CASE WHEN CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) <> 0.0 THEN
+        |    CAST(CEIL(2.0 * ((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)
+        |        * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0)) * 7.84888
+        |      / ((CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |          - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+        |        * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |          - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))))
+        |      AS BIGINT) END AS n_for_observed
+        |FROM g, grid ORDER BY mde_rel_pct""".stripMargin,
+    "q252_qte" ->
+      """WITH q AS (
+        |  SELECT l_discount >= 0.05 AS t,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM lineitem),
+        |per AS (
+        |  SELECT t, COUNT(*) AS n,
+        |    [quantile_cont(y, 0.1), quantile_cont(y, 0.2),
+        |     quantile_cont(y, 0.3), quantile_cont(y, 0.4),
+        |     quantile_cont(y, 0.5), quantile_cont(y, 0.6),
+        |     quantile_cont(y, 0.7), quantile_cont(y, 0.8),
+        |     quantile_cont(y, 0.9)] AS qs
+        |  FROM q GROUP BY t),
+        |e AS (
+        |  SELECT t, n, i.i AS i, qs[i.i] AS qv
+        |  FROM per, (SELECT unnest(range(1, 10)) AS i) i)
+        |SELECT CAST(a.i * 10 AS BIGINT) AS percentile,
+        |  a.n AS n_treated, b.n AS n_control,
+        |  a.qv / 100.0 AS q_treated, b.qv / 100.0 AS q_control,
+        |  (a.qv - b.qv) / 100.0 AS qte
+        |FROM e a JOIN e b ON a.i = b.i AND a.t AND NOT b.t
+        |ORDER BY percentile""".stripMargin,
     "q249_two_way_anova" ->
       """WITH q AS (
         |  SELECT o_orderpriority AS a, c_mktsegment AS b,

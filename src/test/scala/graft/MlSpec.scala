@@ -539,6 +539,27 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(shift) < 1e-6 * math.max(1.0, scale))
   }
 
+  test("powerAnalysis: n scales inverse-quadratically with the MDE") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Ml.q251PowerAnalysis(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getLong(4)).toMap
+    // halving the MDE quadruples the sample (up to ceil rounding)
+    assert(math.abs(r(1L).toDouble / r(2L) - 4.0) < 0.01)
+    assert(math.abs(r(2L).toDouble / r(10L) - 25.0) < 0.3)
+    assert(r(10L) > 0)
+  }
+
+  test("quantileTreatmentEffect: a pure location shift shows the same " +
+      "QTE at every decile") {
+    import spark.implicits._
+    val c = (1 to 100).map(i => (false, i.toDouble))
+    val t = (1 to 100).map(i => (true, i + 7.0)) // exact +7 shift
+    val df = (c ++ t).toDF("t", "y")
+    val r = Ml.quantileTreatmentEffect(df, col("t"), "y").collect()
+    assert(r.length == 9)
+    r.foreach(x => assert(math.abs(x.getDouble(5) - 7.0) < 1e-9))
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
