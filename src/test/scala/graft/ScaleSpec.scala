@@ -413,4 +413,49 @@ class ScaleSpec extends AnyFunSuite {
       .filter(year(col("l_shipdate")) === 1998).count()
     assert(pruned.count() == expected)
   }
+
+  test("q226 plan: the 32x bootstrap fan-out collapses under one " +
+      "map-side-combined aggregation — no shuffle of exploded rows") {
+    val plan = graft.operators.Ml.q226BootstrapCI(spark, sf)
+      .queryExecution.executedPlan.toString
+    // partial aggregate must sit BELOW (deeper than) the first exchange:
+    // the (group x replicate) cells shuffle, never the fanned-out rows
+    val partialAt = plan.indexOf("partial_")
+    val exchangeAt = plan.indexOf("Exchange")
+    assert(partialAt >= 0 && exchangeAt >= 0 && partialAt > exchangeAt,
+      s"no map-side combine below the shuffle (partial@$partialAt " +
+        s"exchange@$exchangeAt)")
+    assert(plan.contains("explode"), "replicate fan-out missing")
+  }
+
+  test("q248 plan: item-kNN pair space comes from the basket equi-join " +
+      "— no item-by-item cartesian") {
+    val plan = graft.operators.Ml.q248ItemKnn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "item-kNN fell back to a cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "item-kNN fell back to a nested-loop join")
+  }
+
+  test("q235 plan: NDCG probes broadcast against the corpus — the " +
+      "corpus side never shuffles for the rank window's input join") {
+    val plan = graft.operators.Ml.q235Ndcg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "probe frame not broadcast")
+  }
+
+  test("q243 checksum plan: one scan, one partial/final aggregate pair " +
+      "— the hash never shuffles row-wise") {
+    val df = graft.operators.Ml.q243TableChecksum(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      "checksum read the table more than once")
+    val partialAt = plan.indexOf("partial_")
+    val exchangeAt = plan.indexOf("Exchange")
+    assert(partialAt >= 0 && exchangeAt >= 0 && partialAt > exchangeAt,
+      "checksum rows shuffled before the map-side combine")
+  }
 }
