@@ -1546,7 +1546,95 @@ object Ml {
     quantileTreatmentEffect(Tables.lineitem(spark, dir),
       col("l_discount") >= 0.05, "l_extendedprice")
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs; each word scores
+    * degree/frequency (degree = Σ length of phrases containing it);
+    * a phrase scores the sum of its word scores — multi-word domain
+    * terms beat bare frequency ranking. Corpus-level report: top-k
+    * distinct phrases.
+    *
+    * Shape: ONE doc-hash exchange carries the boundary-numbering window
+    * and the phrase reassembly (same key); word scores are a
+    * vocabulary-sized frame joined back by token; phrase-score terms
+    * are DECIMAL-quantized before their sum, ranking tiebreaks
+    * phrase-asc, so the report is exact. */
+  def rakeKeyphrases(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], maxPhraseLen: Int, k: Int): DataFrame = {
+    require(maxPhraseLen >= 1 && k >= 1, s"bad rake: $maxPhraseLen $k")
+    val toks = docs.select(col(idCol).as("doc"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("isStop", col("tok").isin(stopwords: _*))
+    val wDoc = Window.partitionBy("doc").orderBy("pos")
+    val content = toks
+      .withColumn("pid",
+        sum(when(col("isStop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("isStop"))
+    val phrases = content.groupBy("doc", "pid")
+      .agg(count(lit(1)).as("plen"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("phrase"))
+      .filter(col("plen") <= maxPhraseLen)
+    val wordStats = content
+      .join(phrases.select("doc", "pid", "plen"), Seq("doc", "pid"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
+      .withColumn("wscore",
+        (dd(col("degree")) / dd(col("freq"))).cast("decimal(28,12)"))
+    val scored = content
+      .join(phrases.select("doc", "pid", "plen", "phrase"),
+        Seq("doc", "pid"))
+      .join(wordStats.select("tok", "wscore"), Seq("tok"))
+      .groupBy("doc", "pid", "phrase")
+      .agg(sum(col("wscore")).cast("decimal(38,12)").as("pscore"))
+    scored.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("pscore")).cast("double").as("score"))
+      .orderBy(desc("score"), asc("phrase")).limit(k)
+  }
+
+  /** Top-20 RAKE keyphrases of the English document slice. */
+  def q253RakeKeyphrases(spark: SparkSession, dir: String): DataFrame =
+    rakeKeyphrases(Tables.documents(spark, dir).filter(col("lang") === "en"),
+      "doc_id", "text", TextAnalysis.stopwords("en"), maxPhraseLen = 4,
+      k = 20)
+
+  /** Cross-source content-overlap matrix: for every source pair, how
+    * many distinct content keys (order-insensitive token bags — the q44
+    * fingerprint rule) appear in BOTH, plus the Jaccard overlap — the
+    * corpus-governance view that catches one feed mirroring another
+    * before dedup spends compute on it. Keys reduce per source first
+    * (DISTINCT), the pair space is the per-KEY self-join (fan-out
+    * bounded by sources-per-key), counts exact. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val keyed = docs.select(col(sourceCol).as("src"),
+        concat_ws(" ", sort_array(TextAnalysis.tokens(col(textCol))))
+          .as("key"))
+      .distinct()
+    val counts = keyed.groupBy("src").agg(count(lit(1)).as("n"))
+    val co = keyed.select(col("src").as("sa"), col("key"))
+      .join(keyed.select(col("src").as("sb"), col("key")), Seq("key"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("co"))
+    co.join(counts.select(col("src").as("sa"), col("n").as("na")),
+        Seq("sa"))
+      .join(counts.select(col("src").as("sb"), col("n").as("nb")),
+        Seq("sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("na"), col("nb"), col("co"),
+        (dd(col("co")) / dd(col("na") + col("nb") - col("co")))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Which document feeds mirror each other's content. */
+  def q254SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, dir), "source", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_rake_keyphrases" -> (q253RakeKeyphrases _),
+    "q254_source_overlap" -> (q254SourceOverlap _),
     "q251_power_analysis" -> (q251PowerAnalysis _),
     "q252_qte" -> (q252Qte _),
     "q249_two_way_anova" -> (q249TwoWayAnova _),
@@ -1581,6 +1669,68 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q253_rake_keyphrases" ->
+      """WITH d AS (
+        |  SELECT doc_id AS doc,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS arr
+        |  FROM documents WHERE lang = 'en'),
+        |toks AS (
+        |  SELECT doc, CAST(u.i AS BIGINT) AS pos,
+        |    arr[CAST(u.i AS INTEGER)] AS tok
+        |  FROM d, unnest(range(1, len(arr) + 1)) AS u(i)),
+        |marked AS (
+        |  SELECT *, tok IN ('the','a','and','of','to','in','is','that',
+        |    'it','for') AS isstop
+        |  FROM toks),
+        |numbered AS (
+        |  SELECT doc, pos, tok, isstop,
+        |    SUM(CASE WHEN isstop THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc ORDER BY pos) AS pid
+        |  FROM marked),
+        |content AS (SELECT doc, pos, tok, pid FROM numbered
+        |  WHERE NOT isstop),
+        |phrases AS (
+        |  SELECT doc, pid, COUNT(*) AS plen,
+        |    string_agg(tok, ' ' ORDER BY pos) AS phrase
+        |  FROM content GROUP BY doc, pid HAVING COUNT(*) <= 4),
+        |ws AS (
+        |  SELECT c.tok,
+        |    CAST(CAST(SUM(p.plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |      AS DECIMAL(28,12)) AS wscore
+        |  FROM content c JOIN phrases p
+        |    ON c.doc = p.doc AND c.pid = p.pid
+        |  GROUP BY c.tok),
+        |scored AS (
+        |  SELECT c.doc, c.pid, p.phrase,
+        |    CAST(SUM(w.wscore) AS DECIMAL(38,12)) AS pscore
+        |  FROM content c
+        |  JOIN phrases p ON c.doc = p.doc AND c.pid = p.pid
+        |  JOIN ws w ON c.tok = w.tok
+        |  GROUP BY 1, 2, 3)
+        |SELECT phrase, COUNT(*) AS n_occurrences,
+        |  CAST(MIN(pscore) AS DOUBLE) AS score
+        |FROM scored GROUP BY phrase
+        |ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
+    "q254_source_overlap" ->
+      """WITH keyed AS (
+        |  SELECT DISTINCT source AS src,
+        |    array_to_string(list_sort(list_filter(
+        |      regexp_split_to_array(text, '\s+'), x -> x <> '')), ' ')
+        |      AS key
+        |  FROM documents),
+        |counts AS (SELECT src, COUNT(*) AS n FROM keyed GROUP BY src),
+        |co AS (
+        |  SELECT a.src AS sa, b.src AS sb, COUNT(*) AS co
+        |  FROM keyed a JOIN keyed b ON a.key = b.key AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b, ca.n AS na, cb.n AS nb,
+        |  co.co,
+        |  CAST(co.co AS DOUBLE) / CAST(ca.n + cb.n - co.co AS DOUBLE)
+        |    AS jaccard
+        |FROM co JOIN counts ca ON co.sa = ca.src
+        |JOIN counts cb ON co.sb = cb.src
+        |ORDER BY source_a, source_b""".stripMargin,
     "q251_power_analysis" ->
       """WITH q AS (
         |  SELECT o_orderkey % 2 AS v,

@@ -560,6 +560,39 @@ class MlSpec extends AnyFunSuite {
     r.foreach(x => assert(math.abs(x.getDouble(5) - 7.0) < 1e-9))
   }
 
+  test("rakeKeyphrases: multi-word phrase outranks its frequent " +
+      "single-word parts (hand case)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "deep learning of the deep learning stack"),
+      (2L, "deep learning is the stack")).toDF("doc_id", "text")
+    val r = Ml.rakeKeyphrases(docs, "doc_id", "text",
+      Seq("the", "of", "is"), maxPhraseLen = 4, k = 10).collect()
+    val byPhrase = r.map(x => x.getString(0) ->
+      (x.getLong(1), x.getDouble(2))).toMap
+    // "deep learning" appears 3x as a phrase; its RAKE score (sum of
+    // word degree/freq) must beat the lone "stack"
+    assert(byPhrase.contains("deep learning"))
+    assert(byPhrase("deep learning")._2 > byPhrase("stack")._2)
+    // phrase boundaries respected: no phrase contains a stopword
+    r.foreach(x => assert(!x.getString(0).split(" ")
+      .exists(Seq("the", "of", "is").contains)))
+  }
+
+  test("sourceOverlap: shared content keys count once per pair, " +
+      "jaccard exact") {
+    import spark.implicits._
+    // key "a b" in both src1+src2; "c" only src1; "d d" only src2
+    val docs = Seq(("s1", "a b"), ("s1", "b a"), ("s1", "c"),
+      ("s2", "a b"), ("s2", "d d")).toDF("source", "text")
+    val r = Ml.sourceOverlap(docs, "source", "text").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(2) == 2 && row.getLong(3) == 2) // na, nb
+    assert(row.getLong(4) == 1)                        // co ("a b"≡"b a")
+    assert(row.getDouble(5) == 1.0 / 3.0)              // 1/(2+2-1)
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
