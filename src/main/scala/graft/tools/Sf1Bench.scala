@@ -47,10 +47,22 @@ object Sf1Bench {
     "q138_pagerank", "q143_set_similarity_join", "q162_approx_mv",
     "q163_basket_mv", "q170_sssp", "q171_hits", "q172_jw_linkage",
     "q173_ngram_novelty", "q179_containment_dups", "q181_knn_classify",
-    "q182_asof_exec")
+    "q182_asof_exec",
+    // q221+ era heavies: the 32x bootstrap fan-out, rank windows over the
+    // full fact table, the basket-bounded item-kNN pair join, RAKE's
+    // window+reassembly chain, the per-element int8 audit, the content-key
+    // self-join, and the corpus checksum scan
+    "q226_bootstrap_ci", "q222_spearman_trend", "q237_roc_auc",
+    "q248_item_knn", "q253_rake_keyphrases", "q233_int8_quant",
+    "q254_source_overlap", "q243_table_checksum", "q247_theil_sen",
+    "q227_oov_rate")
 
   def main(args: Array[String]): Unit = {
     val runs = if (args.nonEmpty) args(0).toInt else 3
+    // optional 2nd arg: comma-separated subset of the query list
+    val selected =
+      if (args.length > 1) Queries.filter(args(1).split(",").contains)
+      else Queries
     val spark = SparkSession.builder().master("local[32]").appName("graft-sf1")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -63,7 +75,7 @@ object Sf1Bench {
     if (!new java.io.File(s"$Out/embeddings.parquet").exists())
       generateEmbeddings(spark)
 
-    val results = Queries.map { name =>
+    val results = selected.map { name =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, Out)
@@ -82,7 +94,7 @@ object Sf1Bench {
       (name, median, times.last._2, aqe)
     }
     val total = results.map(_._2).sum
-    println(f"SF1BENCH total_median_sum=${total}%.3f s over ${Queries.size} queries")
+    println(f"SF1BENCH total_median_sum=${total}%.3f s over ${selected.size} queries")
     spark.stop()
   }
 
