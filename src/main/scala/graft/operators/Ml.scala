@@ -1632,7 +1632,104 @@ object Ml {
   def q254SourceOverlap(spark: SparkSession, dir: String): DataFrame =
     sourceOverlap(Tables.documents(spark, dir), "source", "text")
 
+  /** Covariate-balance audit for an observational comparison: the
+    * standardized mean difference SMD = (x̄₁ − x̄₀)/√((s₁²+s₀²)/2) of
+    * each numeric covariate between treated and control — the pre-test
+    * that decides whether q231's stratified ATE is even admissible
+    * (|SMD| ≤ 0.1 is the conventional balance bar). One pass computes
+    * ALL covariates' per-arm moments (exact centi-unit DECIMALs);
+    * each SMD is a fixed double shape; the output is one row per
+    * covariate with the flag. */
+  def covariateBalance(df: DataFrame, treatedCond: Column,
+      covariates: Seq[String]): DataFrame = {
+    require(covariates.nonEmpty, "need at least one covariate")
+    // ONE scan: fan each row out to its |covariates| (name, value) pairs
+    // under a map-side-combined (covariate × arm) aggregation
+    val fan = df.select(treatedCond.as("t"),
+        explode(array(covariates.map(c => struct(lit(c).as("cv"),
+          (col(c).cast("decimal(18,2)") * 100).cast("long").as("y"))): _*))
+          .as("e"))
+      .select(col("t"), col("e.cv").as("cv"), col("e.y").as("y"))
+    val per = fan.groupBy("cv", "t")
+      .agg(count(lit(1)).as("n"), sum(d380(col("y"))).as("s"),
+        sum(d380(col("y")) * d380(col("y"))).cast("decimal(38,0)")
+          .as("sq"))
+      .groupBy("cv")
+      .agg(min(struct(col("t"), col("n"), col("s"), col("sq"))).as("c0"),
+        max(struct(col("t"), col("n"), col("s"), col("sq"))).as("c1"))
+      .select(col("cv").as("covariate"),
+        col("c0.n").as("n_control"), col("c1.n").as("n_treated"),
+        (dd(col("c0.s")) / dd(col("c0.n")) / 100.0).as("mean_control"),
+        (dd(col("c1.s")) / dd(col("c1.n")) / 100.0).as("mean_treated"),
+        col("c0.sq").as("sq0"), col("c0.s").as("s0"),
+        col("c1.sq").as("sq1"), col("c1.s").as("s1"))
+    val v0 = (dd(col("sq0")) - dd(col("s0")) * dd(col("s0")) /
+      dd(col("n_control"))) / (dd(col("n_control")) - 1.0) / 1e4
+    val v1 = (dd(col("sq1")) - dd(col("s1")) * dd(col("s1")) /
+      dd(col("n_treated"))) / (dd(col("n_treated")) - 1.0) / 1e4
+    val smd = (col("mean_treated") - col("mean_control")) /
+      sqrt((v0 + v1) / 2.0)
+    per.select(col("covariate"), col("n_control"), col("n_treated"),
+        col("mean_control"), col("mean_treated"),
+        when(v0 + v1 > 0, smd).otherwise(lit(0.0)).as("smd"),
+        when(v0 + v1 > 0, abs(smd) <= 0.1).otherwise(lit(true))
+          .as("balanced"))
+      .orderBy("covariate")
+  }
+
+  /** Are deep-discount lineitems comparable to the rest on quantity,
+    * tax, and price BEFORE reading q231's effect: the balance table. */
+  def q255CovariateBalance(spark: SparkSession, dir: String): DataFrame =
+    covariateBalance(Tables.lineitem(spark, dir),
+      col("l_discount") >= 0.05,
+      Seq("l_extendedprice", "l_quantity", "l_tax"))
+
+  /** Log-log price elasticity per slice: OLS of ln(quantity) on
+    * ln(price) — the slope IS the elasticity (% demand change per 1%
+    * price change), the unit-free summary every pricing analysis
+    * reports. Observations aggregate to (slice, part) means first
+    * (price variation lives BETWEEN parts), ln terms are
+    * DECIMAL-quantized, and the fit reuses the exact-moment OLS
+    * discipline. */
+  def priceElasticity(li: DataFrame, sliceCol: String, priceCol: String,
+      qtyCol: String): DataFrame = {
+    val perPart = li
+      .select(col(sliceCol).as("g"), col("l_partkey").as("p"),
+        (col(priceCol).cast("decimal(18,2)") * 100).cast("long").as("pr"),
+        (col(qtyCol).cast("decimal(18,2)") * 100).cast("long").as("qy"))
+      .groupBy("g", "p")
+      .agg(count(lit(1)).as("n"), sum(d380(col("pr"))).as("spr"),
+        sum(d380(col("qy"))).as("sqy"))
+      .filter(col("spr") > 0 && col("sqy") > 0)
+      .select(col("g"),
+        log(dd(col("spr")) / dd(col("n")) / 100.0)
+          .cast("decimal(18,12)").as("x"),
+        log(dd(col("sqy")) / dd(col("n")) / 100.0)
+          .cast("decimal(18,12)").as("y"))
+    val m = perPart.groupBy("g").agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("decimal(38,12)").as("sx"),
+      sum(col("y")).cast("decimal(38,12)").as("sy"),
+      sum(col("x") * col("y")).cast("decimal(38,24)").as("sxy"),
+      sum(col("x") * col("x")).cast("decimal(38,24)").as("sxx"),
+      sum(col("y") * col("y")).cast("decimal(38,24)").as("syy"))
+    val cov = dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
+    val vx = dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+    val vy = dd(col("n")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
+    m.filter(vx > 0)
+      .select(col("g").as(sliceCol), col("n").as("n_parts"),
+        (cov / vx).as("elasticity"),
+        when(vy > 0, (cov * cov) / (vx * vy)).as("r2"))
+      .orderBy(sliceCol)
+  }
+
+  /** How price-sensitive is demand per return-flag slice. */
+  def q256PriceElasticity(spark: SparkSession, dir: String): DataFrame =
+    priceElasticity(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_extendedprice", "l_quantity")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_covariate_balance" -> (q255CovariateBalance _),
+    "q256_price_elasticity" -> (q256PriceElasticity _),
     "q253_rake_keyphrases" -> (q253RakeKeyphrases _),
     "q254_source_overlap" -> (q254SourceOverlap _),
     "q251_power_analysis" -> (q251PowerAnalysis _),
@@ -1669,6 +1766,91 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q255_covariate_balance" ->
+      """WITH fan AS (
+        |  SELECT l_discount >= 0.05 AS t,
+        |    unnest(['l_extendedprice', 'l_quantity', 'l_tax']) AS cv,
+        |    unnest([
+        |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |      CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |      CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)]) AS y
+        |  FROM lineitem),
+        |per AS (
+        |  SELECT cv, t, COUNT(*) AS n,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sq
+        |  FROM fan GROUP BY 1, 2),
+        |g AS (
+        |  SELECT cv,
+        |    SUM(CASE WHEN NOT t THEN n END) AS n0,
+        |    CAST(SUM(CASE WHEN NOT t THEN s END) AS DECIMAL(38,0)) AS s0,
+        |    CAST(SUM(CASE WHEN NOT t THEN sq END) AS DECIMAL(38,0)) AS sq0,
+        |    SUM(CASE WHEN t THEN n END) AS n1,
+        |    CAST(SUM(CASE WHEN t THEN s END) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(CASE WHEN t THEN sq END) AS DECIMAL(38,0)) AS sq1
+        |  FROM per GROUP BY cv),
+        |f AS (
+        |  SELECT cv, n0, n1,
+        |    CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0 AS m0,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS m1,
+        |    (CAST(sq0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+        |      / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0) / 1e4
+        |      AS v0,
+        |    (CAST(sq1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) / 1e4
+        |      AS v1
+        |  FROM g)
+        |SELECT cv AS covariate, n0 AS n_control, n1 AS n_treated,
+        |  m0 AS mean_control, m1 AS mean_treated,
+        |  CASE WHEN v0 + v1 > 0
+        |    THEN (m1 - m0) / SQRT((v0 + v1) / 2.0) ELSE 0.0 END AS smd,
+        |  CASE WHEN v0 + v1 > 0
+        |    THEN ABS((m1 - m0) / SQRT((v0 + v1) / 2.0)) <= 0.1
+        |    ELSE TRUE END AS balanced
+        |FROM f ORDER BY covariate""".stripMargin,
+    "q256_price_elasticity" ->
+      """WITH pp AS (
+        |  SELECT l_returnflag AS g, l_partkey AS p, COUNT(*) AS n,
+        |    CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS spr,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sqy
+        |  FROM lineitem GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT g,
+        |    CAST(LN(CAST(spr AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+        |      AS DECIMAL(18,12)) AS x,
+        |    CAST(LN(CAST(sqy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+        |      AS DECIMAL(18,12)) AS y
+        |  FROM pp WHERE spr > 0 AND sqy > 0),
+        |m AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DECIMAL(38,12)) AS sx,
+        |    CAST(SUM(y) AS DECIMAL(38,12)) AS sy,
+        |    CAST(SUM(x * y) AS DECIMAL(38,24)) AS sxy,
+        |    CAST(SUM(x * x) AS DECIMAL(38,24)) AS sxx,
+        |    CAST(SUM(y * y) AS DECIMAL(38,24)) AS syy
+        |  FROM xy GROUP BY g)
+        |SELECT g AS l_returnflag, n AS n_parts,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS elasticity,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+        |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r2
+        |FROM m
+        |WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |ORDER BY l_returnflag""".stripMargin,
     "q253_rake_keyphrases" ->
       """WITH d AS (
         |  SELECT doc_id AS doc,

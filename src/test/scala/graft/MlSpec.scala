@@ -593,6 +593,41 @@ class MlSpec extends AnyFunSuite {
     assert(row.getDouble(5) == 1.0 / 3.0)              // 1/(2+2-1)
   }
 
+  test("covariateBalance: identical arm distributions are balanced at " +
+      "SMD 0; a unit-σ shift scores SMD 1") {
+    import spark.implicits._
+    val ctl = (1 to 50).map(i => (false, (i % 10).toDouble))
+    val same = (1 to 50).map(i => (true, (i % 10).toDouble))
+    val dfSame = (ctl ++ same).toDF("t", "c1")
+    val r1 = Ml.covariateBalance(dfSame, col("t"), Seq("c1")).head()
+    assert(r1.getDouble(5) == 0.0 && r1.getBoolean(6))
+    // shifted by exactly one pooled SD
+    val sd = {
+      val vs = ctl.map(_._2); val m = vs.sum / vs.size
+      math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (vs.size - 1))
+    }
+    val shifted = (1 to 50).map(i => (true, (i % 10) + sd))
+    val r2 = Ml.covariateBalance((ctl ++ shifted).toDF("t", "c1"),
+      col("t"), Seq("c1")).head()
+    // the irrational shift is centi-quantized by the operator: 1e-3 band
+    assert(math.abs(r2.getDouble(5) - 1.0) < 1e-3)
+    assert(!r2.getBoolean(6))
+  }
+
+  test("priceElasticity: synthetic constant-elasticity demand recovers " +
+      "its exponent exactly") {
+    import spark.implicits._
+    // q = 1000 · price^(−2) over parts priced 1..40 → slope −2, r² = 1
+    val rows = (1 to 40).map { p =>
+      ("G", p.toLong, p.toDouble, 1000.0 / (p.toDouble * p))
+    }
+    val df = rows.toDF("l_returnflag", "l_partkey", "price", "qty")
+    val r = Ml.priceElasticity(df, "l_returnflag", "price", "qty").head()
+    // centi-unit quantization perturbs tiny quantities; stay loose-ish
+    assert(math.abs(r.getDouble(2) + 2.0) < 0.05)
+    assert(r.getDouble(3) > 0.99)
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
