@@ -1727,7 +1727,114 @@ object Ml {
     priceElasticity(Tables.lineitem(spark, dir), "l_returnflag",
       "l_extendedprice", "l_quantity")
 
+  /** Rolling-window OLS slope per key: the regression-based trend
+    * monitor — at each hour, the slope of the hourly-mean series over
+    * the trailing `windowBuckets` observed hours (a leading indicator
+    * where the EWMA q228 is a smoother). All five moments are window
+    * sums of EXACT decimals over the hourly statistic frame (bucket
+    * index × quantized mean products), the slope one fixed double
+    * finish — so a 100 TB deployment runs it as one key-hash window
+    * over cells, and the gate is strict. Windows shorter than 3 points
+    * are suppressed (slope meaningless). */
+  def rollingOls(events: DataFrame, tsCol: String, keyCol: String,
+      valCol: String, windowBuckets: Int): DataFrame = {
+    require(windowBuckets >= 3, s"window too short: $windowBuckets")
+    val cells = hourlyCells(events, tsCol, keyCol, valCol)
+      .withColumn("m",
+        (dd(col("s")) / dd(col("c")) / 1e6).cast("decimal(16,8)"))
+    val w = Window.partitionBy("k").orderBy("b")
+      .rowsBetween(-(windowBuckets - 1), 0)
+    val wKey = Window.partitionBy("k")
+    // center the regressor per key: slope is shift-invariant, and small
+    // b values keep EVERY product below 38 decimal digits, so cov and
+    // vx stay EXACT decimals (raw epoch-hour moments have ~18
+    // significant digits — double rounding there turns the cancellation
+    // n·Σxy − Σx·Σy into a 1e-9-level slope wobble)
+    val centered = cells
+      .withColumn("bb", (col("b") - min("b").over(wKey))
+        .cast("decimal(12,0)"))
+    val withM = centered
+      .withColumn("nw", count(lit(1)).over(w).cast("decimal(4,0)"))
+      .withColumn("sx", sum(col("bb")).over(w).cast("decimal(12,0)"))
+      .withColumn("sy", sum(col("m")).over(w).cast("decimal(20,8)"))
+      .withColumn("sxy", sum((col("bb") * col("m")).cast("decimal(28,8)"))
+        .over(w).cast("decimal(28,8)"))
+      .withColumn("sxx", sum((col("bb") * col("bb")).cast("decimal(25,0)"))
+        .over(w).cast("decimal(28,0)"))
+    val cov = (col("nw") * col("sxy") - col("sx") * col("sy"))
+    val vx = (col("nw") * col("sxx") - col("sx") * col("sx"))
+    withM.filter(col("nw") >= 3 && vx > 0)
+      .select(col("k").as(keyCol), col("b").as("bucket"),
+        col("nw").cast("long").as("n_window"),
+        (dd(cov) / dd(vx)).as("slope"))
+      .orderBy(keyCol, "bucket")
+  }
+
+  /** Trailing-24h value trend per event type, refreshed hourly. */
+  def q257RollingOls(spark: SparkSession, dir: String): DataFrame =
+    rollingOls(Tables.events(spark, dir), "ts", "event_type", "value",
+      windowBuckets = 24)
+
+  /** Qini uplift curve: walk the population best-score-first in decile
+    * steps and plot cumulative incremental conversions
+    * (treated-positives − control-positives rescaled to the treated
+    * volume) — the eval curve for "whom should we treat" models, where
+    * plain response curves (q232) mislead because they ignore the
+    * control arm. Deciles via broadcast percentile cutpoints (the q195
+    * move); per-decile arm counts exact; the curve is a 10-row window.
+    * The random-targeting baseline rides along so the uplift AUC gap
+    * is readable per row. */
+  def qiniCurve(df: DataFrame, scoreCol: String, treatedCond: Column,
+      posCond: Column, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins: $nBins")
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    val cuts = df.agg(
+      expr(s"percentile($scoreCol, array(${ps.mkString(",")}))").as("__cs"))
+    val bin = (0 until nBins - 1).map(i =>
+        when(col(scoreCol) > col("__cs")(i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val bins = df.crossJoin(broadcast(cuts))
+      .withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(sum(when(treatedCond, 1L).otherwise(0L)).as("nt"),
+        sum(when(treatedCond && posCond, 1L).otherwise(0L)).as("pt"),
+        sum(when(!treatedCond, 1L).otherwise(0L)).as("nc"),
+        sum(when(!treatedCond && posCond, 1L).otherwise(0L)).as("pc"))
+    val wCum = Window.orderBy(desc("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val b = bins
+      .withColumn("cnt", sum("nt").over(wCum))
+      .withColumn("cpt", sum("pt").over(wCum))
+      .withColumn("cnc", sum("nc").over(wCum))
+      .withColumn("cpc", sum("pc").over(wCum))
+      .withColumn("tnt", sum("nt").over(wAll))
+      .withColumn("tpt", sum("pt").over(wAll))
+      .withColumn("tnc", sum("nc").over(wAll))
+      .withColumn("tpc", sum("pc").over(wAll))
+      .filter(col("cnc") > 0)
+    val qini = dd(col("cpt")) -
+      dd(col("cpc")) * dd(col("cnt")) / dd(col("cnc"))
+    // random-targeting expectation at this depth: overall uplift × share
+    val qiniRand = (dd(col("tpt")) -
+      dd(col("tpc")) * dd(col("tnt")) / dd(col("tnc"))) *
+      (dd(col("cnt")) / dd(col("tnt")))
+    b.select(col("bin"), col("nt"), col("pt"), col("nc"), col("pc"),
+        qini.as("qini"), qiniRand.as("qini_random"),
+        (qini - qiniRand).as("qini_gap"))
+      .orderBy(desc("bin"))
+  }
+
+  /** If order value targeted the discount, how many incremental
+    * R-returns does each decile of targeting depth buy (the uplift
+    * read of the q232 population). */
+  def q258QiniCurve(spark: SparkSession, dir: String): DataFrame =
+    qiniCurve(Tables.lineitem(spark, dir), "l_extendedprice",
+      col("l_discount") >= 0.05, col("l_returnflag") === "R", nBins = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_rolling_ols" -> (q257RollingOls _),
+    "q258_qini_curve" -> (q258QiniCurve _),
     "q255_covariate_balance" -> (q255CovariateBalance _),
     "q256_price_elasticity" -> (q256PriceElasticity _),
     "q253_rake_keyphrases" -> (q253RakeKeyphrases _),
@@ -1766,6 +1873,91 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q257_rolling_ols" ->
+      """WITH cells AS (
+        |  SELECT event_type AS k,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS b,
+        |    CAST(CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6))
+        |      * 1000000 AS BIGINT)) AS DECIMAL(38,0)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / 1e6 AS DECIMAL(16,8)) AS m
+        |  FROM events GROUP BY 1, 2),
+        |centered AS (
+        |  SELECT *, CAST(b - MIN(b) OVER (PARTITION BY k)
+        |    AS DECIMAL(12,0)) AS bb
+        |  FROM cells),
+        |win AS (
+        |  SELECT k, b,
+        |    CAST(COUNT(*) OVER w AS DECIMAL(4,0)) AS nw,
+        |    CAST(SUM(bb) OVER w AS DECIMAL(12,0)) AS sx,
+        |    CAST(SUM(m) OVER w AS DECIMAL(20,8)) AS sy,
+        |    CAST(SUM(CAST(bb * m AS DECIMAL(28,8))) OVER w
+        |      AS DECIMAL(28,8)) AS sxy,
+        |    CAST(SUM(CAST(bb * bb AS DECIMAL(25,0))) OVER w
+        |      AS DECIMAL(28,0)) AS sxx
+        |  FROM centered
+        |  WINDOW w AS (PARTITION BY k ORDER BY b
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT k AS event_type, b AS bucket,
+        |  CAST(nw AS BIGINT) AS n_window,
+        |  CAST(nw * sxy - sx * sy AS DOUBLE)
+        |    / CAST(nw * sxx - sx * sx AS DOUBLE) AS slope
+        |FROM win
+        |WHERE nw >= 3 AND nw * sxx - sx * sx > 0
+        |ORDER BY event_type, bucket""".stripMargin,
+    "q258_qini_curve" ->
+      """WITH cuts AS (
+        |  SELECT [quantile_cont(l_extendedprice, 0.1),
+        |    quantile_cont(l_extendedprice, 0.2),
+        |    quantile_cont(l_extendedprice, 0.3),
+        |    quantile_cont(l_extendedprice, 0.4),
+        |    quantile_cont(l_extendedprice, 0.5),
+        |    quantile_cont(l_extendedprice, 0.6),
+        |    quantile_cont(l_extendedprice, 0.7),
+        |    quantile_cont(l_extendedprice, 0.8),
+        |    quantile_cont(l_extendedprice, 0.9)] AS cs
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CAST(
+        |      (CASE WHEN l_extendedprice > cs[1] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > cs[2] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > cs[3] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > cs[4] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > cs[5] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > cs[6] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > cs[7] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > cs[8] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN l_extendedprice > cs[9] THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bin,
+        |    l_discount >= 0.05 AS t, l_returnflag = 'R' AS pos
+        |  FROM lineitem, cuts),
+        |bins AS (
+        |  SELECT bin,
+        |    SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+        |    SUM(CASE WHEN t AND pos THEN 1 ELSE 0 END) AS pt,
+        |    SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc,
+        |    SUM(CASE WHEN NOT t AND pos THEN 1 ELSE 0 END) AS pc
+        |  FROM b GROUP BY bin),
+        |cum AS (
+        |  SELECT *,
+        |    SUM(nt) OVER (ORDER BY bin DESC) AS cnt,
+        |    SUM(pt) OVER (ORDER BY bin DESC) AS cpt,
+        |    SUM(nc) OVER (ORDER BY bin DESC) AS cnc,
+        |    SUM(pc) OVER (ORDER BY bin DESC) AS cpc,
+        |    SUM(nt) OVER () AS tnt, SUM(pt) OVER () AS tpt,
+        |    SUM(nc) OVER () AS tnc, SUM(pc) OVER () AS tpc
+        |  FROM bins)
+        |SELECT bin, nt, pt, nc, pc,
+        |  CAST(cpt AS DOUBLE) - CAST(cpc AS DOUBLE) * CAST(cnt AS DOUBLE)
+        |    / CAST(cnc AS DOUBLE) AS qini,
+        |  (CAST(tpt AS DOUBLE) - CAST(tpc AS DOUBLE) * CAST(tnt AS DOUBLE)
+        |    / CAST(tnc AS DOUBLE)) * (CAST(cnt AS DOUBLE)
+        |    / CAST(tnt AS DOUBLE)) AS qini_random,
+        |  (CAST(cpt AS DOUBLE) - CAST(cpc AS DOUBLE) * CAST(cnt AS DOUBLE)
+        |    / CAST(cnc AS DOUBLE))
+        |  - (CAST(tpt AS DOUBLE) - CAST(tpc AS DOUBLE)
+        |    * CAST(tnt AS DOUBLE) / CAST(tnc AS DOUBLE))
+        |    * (CAST(cnt AS DOUBLE) / CAST(tnt AS DOUBLE)) AS qini_gap
+        |FROM cum WHERE cnc > 0 ORDER BY bin DESC""".stripMargin,
     "q255_covariate_balance" ->
       """WITH fan AS (
         |  SELECT l_discount >= 0.05 AS t,

@@ -628,6 +628,33 @@ class MlSpec extends AnyFunSuite {
     assert(r.getDouble(3) > 0.99)
   }
 
+  test("rollingOls: exact +2/hour synthetic series recovers slope 2 at " +
+      "every full window") {
+    import spark.implicits._
+    val rows = (0 until 48).map { h =>
+      ("k", new java.sql.Timestamp(1700000000000L + h * 3600000L),
+        h * 2.0)
+    }
+    val r = Ml.rollingOls(rows.toDF("k", "ts", "v"), "ts", "k", "v", 24)
+      .collect()
+    assert(r.length == 48 - 2) // nw >= 3 suppresses the first two
+    r.foreach(x => assert(x.getDouble(3) == 2.0,
+      s"slope ${x.getDouble(3)} at ${x.getLong(1)}"))
+  }
+
+  test("qiniCurve: last row's qini equals the full-population uplift " +
+      "and the gap closes to zero") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Ml.q258QiniCurve(spark, dir).collect()
+    assert(r.length == 10)
+    val last = r.last // bin 0 row = full population
+    assert(math.abs(last.getDouble(5) - last.getDouble(6)) < 1e-9)
+    assert(math.abs(last.getDouble(7)) < 1e-9)
+    // cumulative treated counts monotone down the curve
+    val nt = r.map(_.getLong(1))
+    assert(nt.sum > 0)
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
