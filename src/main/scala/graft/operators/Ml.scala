@@ -1832,7 +1832,94 @@ object Ml {
     qiniCurve(Tables.lineitem(spark, dir), "l_extendedprice",
       col("l_discount") >= 0.05, col("l_returnflag") === "R", nBins = 10)
 
+  /** Weight-of-Evidence / Information-Value binning — the credit-risk
+    * feature-screening standard: per equi-depth bin of a numeric
+    * feature, WoE = ln(bin's share of positives / share of negatives);
+    * IV = Σ (share_pos − share_neg)·WoE grades the feature's predictive
+    * power (< 0.02 useless, > 0.3 strong). Bins via broadcast
+    * percentile cutpoints (q195), counts exact, WoE terms computed on
+    * the 10-row bin frame with the 0.5 Laplace guard for empty cells,
+    * DECIMAL-quantized before the IV sum. */
+  def woeIv(df: DataFrame, featureCol: String, posCond: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins: $nBins")
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    val cuts = df.agg(expr(
+      s"percentile($featureCol, array(${ps.mkString(",")}))").as("__cs"))
+    val bin = (0 until nBins - 1).map(i =>
+        when(col(featureCol) > col("__cs")(i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val bins = df.crossJoin(broadcast(cuts))
+      .withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(sum(when(posCond, 1L).otherwise(0L)).as("np"),
+        sum(when(!posCond, 1L).otherwise(0L)).as("nn"))
+    val w = Window.partitionBy()
+    val shareP = (dd(col("np")) + 0.5) / (dd(col("tp")) + 0.5)
+    val shareN = (dd(col("nn")) + 0.5) / (dd(col("tn")) + 0.5)
+    val woe = log(shareP / shareN)
+    bins
+      .withColumn("tp", sum("np").over(w))
+      .withColumn("tn", sum("nn").over(w))
+      .withColumn("woe", woe)
+      .withColumn("iv_term",
+        ((shareP - shareN) * woe).cast("decimal(38,12)"))
+      .withColumn("iv", sum("iv_term").over(w).cast("double"))
+      .select(col("bin"), col("np").as("n_pos"), col("nn").as("n_neg"),
+        col("woe"), col("iv"))
+      .orderBy("bin")
+  }
+
+  /** How predictive is order value of F-status, WoE-graded by decile. */
+  def q259WoeIv(spark: SparkSession, dir: String): DataFrame =
+    woeIv(Tables.orders(spark, dir), "o_totalprice",
+      col("o_orderstatus") === "F", nBins = 10)
+
+  /** Per-group bivariate moment cells — count and the five exact
+    * centi-unit sums (Σx, Σy, Σxy, Σx², Σy²): the MERGEABLE sufficient
+    * statistics behind the whole moment-algebra family here (OLS q200,
+    * Pearson, CUPED θ, ANOVA). Cells from disjoint batches add
+    * componentwise, which is what lets [[graft.streaming.StreamOps
+    * .streamingMomentsIngest]] maintain them under idempotent batch
+    * partitions and refit EXACTLY at read time. */
+  private[graft] def momentCells(df: DataFrame, groupCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val xc = (col(xCol).cast("decimal(18,2)") * 100).cast("long")
+    val yc = (col(yCol).cast("decimal(18,2)") * 100).cast("long")
+    df.select(col(groupCol).as("g"), xc.as("x"), yc.as("y"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(d380(col("x"))).cast("decimal(38,0)").as("sx"),
+        sum(d380(col("y"))).cast("decimal(38,0)").as("sy"),
+        sum(d380(col("x")) * d380(col("y"))).cast("decimal(38,0)")
+          .as("sxy"),
+        sum(d380(col("x")) * d380(col("x"))).cast("decimal(38,0)")
+          .as("sxx"),
+        sum(d380(col("y")) * d380(col("y"))).cast("decimal(38,0)")
+          .as("syy"))
+  }
+
+  /** The OLS finish over a (merged) moment-cell frame — identical
+    * arithmetic to [[groupOls]], so a streamed store refit reproduces
+    * the one-shot fit bit-for-bit. */
+  private[graft] def olsFromMomentCells(cells: DataFrame,
+      groupCol: String): DataFrame = {
+    val cov = d380(col("n")) * col("sxy") - col("sx") * col("sy")
+    val vx = d380(col("n")) * col("sxx") - col("sx") * col("sx")
+    val vy = d380(col("n")) * col("syy") - col("sy") * col("sy")
+    cells.withColumn("cov", cov).withColumn("vx", vx).withColumn("vy", vy)
+      .filter(col("vx") > 0)
+      .select(col("g").as(groupCol), col("n"),
+        (dd(col("cov")) / dd(col("vx"))).as("slope"),
+        ((dd(col("sy")) - dd(col("cov")) / dd(col("vx")) *
+          dd(col("sx"))) / dd(col("n")) / 100.0).as("intercept"),
+        when(col("vy") > 0, (dd(col("cov")) * dd(col("cov"))) /
+          (dd(col("vx")) * dd(col("vy")))).as("r2"))
+      .orderBy(groupCol)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_woe_iv" -> (q259WoeIv _),
     "q257_rolling_ols" -> (q257RollingOls _),
     "q258_qini_curve" -> (q258QiniCurve _),
     "q255_covariate_balance" -> (q255CovariateBalance _),
@@ -1873,6 +1960,52 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q259_woe_iv" ->
+      """WITH cuts AS (
+        |  SELECT [quantile_cont(o_totalprice, 0.1),
+        |    quantile_cont(o_totalprice, 0.2), quantile_cont(o_totalprice, 0.3),
+        |    quantile_cont(o_totalprice, 0.4), quantile_cont(o_totalprice, 0.5),
+        |    quantile_cont(o_totalprice, 0.6), quantile_cont(o_totalprice, 0.7),
+        |    quantile_cont(o_totalprice, 0.8), quantile_cont(o_totalprice, 0.9)]
+        |    AS cs
+        |  FROM orders),
+        |b AS (
+        |  SELECT CAST(
+        |      (CASE WHEN o_totalprice > cs[1] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[2] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[3] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[4] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[5] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[6] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[7] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[8] THEN 1 ELSE 0 END) +
+        |      (CASE WHEN o_totalprice > cs[9] THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bin,
+        |    o_orderstatus = 'F' AS pos
+        |  FROM orders, cuts),
+        |bins AS (
+        |  SELECT bin, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+        |  FROM b GROUP BY bin),
+        |t AS (
+        |  SELECT *, SUM(np) OVER () AS tp, SUM(nn) OVER () AS tn
+        |  FROM bins),
+        |woe AS (
+        |  SELECT *,
+        |    LN(((CAST(np AS DOUBLE) + 0.5) / (CAST(tp AS DOUBLE) + 0.5))
+        |      / ((CAST(nn AS DOUBLE) + 0.5)
+        |        / (CAST(tn AS DOUBLE) + 0.5))) AS woe,
+        |    CAST((((CAST(np AS DOUBLE) + 0.5) / (CAST(tp AS DOUBLE) + 0.5))
+        |      - ((CAST(nn AS DOUBLE) + 0.5) / (CAST(tn AS DOUBLE) + 0.5)))
+        |      * LN(((CAST(np AS DOUBLE) + 0.5)
+        |        / (CAST(tp AS DOUBLE) + 0.5))
+        |        / ((CAST(nn AS DOUBLE) + 0.5)
+        |          / (CAST(tn AS DOUBLE) + 0.5))) AS DECIMAL(38,12))
+        |      AS iv_term
+        |  FROM t)
+        |SELECT bin, np AS n_pos, nn AS n_neg, woe,
+        |  CAST(SUM(iv_term) OVER () AS DOUBLE) AS iv
+        |FROM woe ORDER BY bin""".stripMargin,
     "q257_rolling_ols" ->
       """WITH cells AS (
         |  SELECT event_type AS k,

@@ -689,6 +689,40 @@ object StreamOps {
     graft.operators.Ml.ewmaFromHourlyCells(cells, keyCol)
   }
 
+  /** Streaming bivariate-moments store — the generic maintained index
+    * for the moment-algebra statistics family (per-group OLS, Pearson,
+    * CUPED θ, variance): each micro-batch reduces to per-group
+    * (n, Σx, Σy, Σxy, Σx², Σy²) cells ([[graft.operators.Ml
+    * .momentCells]]) under an idempotent `batch_id=` partition. Moments
+    * add componentwise, replay overwrites, so [[readMomentsOls]]'s refit
+    * reproduces the one-shot [[graft.operators.Stats.groupOls]]
+    * bit-for-bit regardless of batching — ONE store, many finishes. */
+  def streamingMomentsIngest(events: DataFrame, groupCol: String,
+      xCol: String, yCol: String, path: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        idempotentBatchWrite(graft.operators.Ml.momentCells(
+          batch.toDF(), groupCol, xCol, yCol), path, batchId)
+      }
+    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
+  }
+
+  /** Merge a streamed moments store and run the exact OLS finish. */
+  def readMomentsOls(spark: org.apache.spark.sql.SparkSession,
+      path: String, groupCol: String): DataFrame = {
+    val cells = spark.read.parquet(path)
+      .groupBy("g")
+      .agg(sum("n").as("n"),
+        sum("sx").cast("decimal(38,0)").as("sx"),
+        sum("sy").cast("decimal(38,0)").as("sy"),
+        sum("sxy").cast("decimal(38,0)").as("sxy"),
+        sum("sxx").cast("decimal(38,0)").as("sxx"),
+        sum("syy").cast("decimal(38,0)").as("syy"))
+    graft.operators.Ml.olsFromMomentCells(cells, groupCol)
+  }
+
   /** Stream → theta store: per-(window, key) serialized theta sketches.
     * The canonical-KMV merge is a join-semilattice — IDEMPOTENT like
     * HLL/LC union, unlike additive SpaceSaving/KLL — so this runs in

@@ -1012,4 +1012,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(key(StreamOps.readHourlyEwma(spark, dir, "event_type"))
       == oneShot, "replayed batch broke the cell store")
   }
+
+  test("streaming moments store: merged refit equals the one-shot OLS " +
+      "bit-for-bit; replay overwrites") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mom").toString
+    // (group, x, y) rows split so every group spans both batches
+    val b1 = Seq(("A", 1.0, 2.1), ("A", 2.0, 3.9), ("B", 1.0, 9.0))
+    val b2 = Seq(("A", 3.0, 6.2), ("B", 2.0, 7.0), ("B", 3.0, 5.1))
+    val mem = MemoryStream[(String, Double, Double)]
+    val q = StreamOps.streamingMomentsIngest(
+      mem.toDF().toDF("g", "x", "y"), "g", "x", "y", dir)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val streamed = rows(StreamOps.readMomentsOls(spark, dir, "g"))
+    val oneShot = rows(graft.operators.Stats.groupOls(
+      (b1 ++ b2).toDF("g", "x", "y"), "g", "x", "y"))
+    assert(streamed == oneShot,
+      s"streamed OLS diverged:\n$streamed\nvs\n$oneShot")
+
+    // replay batch 0: componentwise-additive cells must not double-count
+    StreamOps.idempotentBatchWrite(graft.operators.Ml.momentCells(
+      b1.toDF("g", "x", "y"), "g", "x", "y"), dir, 0L)
+    assert(rows(StreamOps.readMomentsOls(spark, dir, "g")) == oneShot,
+      "replayed batch broke the moments store")
+  }
 }
