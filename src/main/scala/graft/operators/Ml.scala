@@ -1918,7 +1918,146 @@ object Ml {
       .orderBy(groupCol)
   }
 
+  /** Welch's unequal-variance two-sample t-test per slice — the
+    * default A/B significance test when arm variances differ (the
+    * Student pooled test is the special case nobody should assume).
+    * Per (slice, arm) the exact centi-unit moments (n, Σv, Σv²) are
+    * one map-side-combined aggregation; t and the Welch–Satterthwaite
+    * df are a fixed-shape double finish over those integers, so both
+    * engines compute identical IEEE ops: aᵢ = varᵢ/nᵢ from
+    * nᵢΣv²−(Σv)² (all DECIMAL-exact), t = Δmean/√(a₁+a₂),
+    * df = (a₁+a₂)²/(a₁²/(n₁−1)+a₂²/(n₂−1)). Slices missing an arm or
+    * with nᵢ < 2 are excluded (test undefined). */
+  def welchTTest(df: DataFrame, groupCol: String, armCond: Column,
+      valCol: String): DataFrame = {
+    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
+    val cells = df
+      .select(col(groupCol).as("g"), armCond.as("arm"), cents.as("v"))
+      .groupBy("g", "arm")
+      .agg(count(lit(1)).as("n"),
+        sum(d380(col("v"))).cast("decimal(38,0)").as("s"),
+        sum(d380(col("v")) * d380(col("v"))).cast("decimal(38,0)")
+          .as("ss"))
+    def pick(c: String, arm: Boolean) =
+      max(when(col("arm") === arm, col(c))).as(c + (if (arm) "1" else "2"))
+    val byG = cells.groupBy("g")
+      .agg(pick("n", true), pick("s", true), pick("ss", true),
+        pick("n", false), pick("s", false), pick("ss", false))
+      .filter(col("n1") >= 2 && col("n2") >= 2)
+    def a(i: Int) = // varᵢ/nᵢ in cents², exact integers until the division
+      dd(d380(col(s"n$i")) * col(s"ss$i") - col(s"s$i") * col(s"s$i")) /
+        (dd(col(s"n$i")) * dd(col(s"n$i") - 1) * dd(col(s"n$i")))
+    val se2 = a(1) + a(2)
+    byG
+      .withColumn("a1", a(1)).withColumn("a2", a(2))
+      .select(col("g").as(groupCol),
+        col("n1").as("n_arm"), col("n2").as("n_rest"),
+        ((dd(col("s1")) / dd(col("n1")) - dd(col("s2")) / dd(col("n2")))
+          / 100.0).as("mean_diff"),
+        ((dd(col("s1")) / dd(col("n1")) - dd(col("s2")) / dd(col("n2")))
+          / sqrt(col("a1") + col("a2"))).as("t_stat"),
+        ((col("a1") + col("a2")) * (col("a1") + col("a2")) /
+          (col("a1") * col("a1") / dd(col("n1") - 1) +
+            col("a2") * col("a2") / dd(col("n2") - 1))).as("welch_df"))
+      .orderBy(groupCol)
+  }
+
+  /** Does the promo arm (discount ≥ 5%) move revenue, per return
+    * flag — Welch-tested. */
+  def q260WelchTTest(spark: SparkSession, dir: String): DataFrame =
+    welchTTest(Tables.lineitem(spark, dir), "l_returnflag",
+      col("l_discount") >= 0.05, "l_extendedprice")
+
+  /** Average precision (the area under the precision–recall curve as
+    * rankers report it): AP = mean over positives of precision@their
+    * rank, under a TOTAL order (score desc, unique key asc tiebreak) so
+    * both engines rank identically. The right metric when positives are
+    * rare and ROC AUC (q237) flatters. One key-hash exchange for the
+    * per-slice ranking window; precision terms are exact-count ratios
+    * summed per slice. */
+  def averagePrecision(df: DataFrame, groupCol: String, scoreCol: String,
+      keyCol: String, posCond: Column): DataFrame = {
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("k"))
+    val ranked = df
+      .select(col(groupCol).as("g"), col(scoreCol).as("v"),
+        col(keyCol).as("k"), posCond.as("pos"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cp", sum(when(col("pos"), 1L).otherwise(0L)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.groupBy("g")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("n"),
+        sum(when(col("pos"),
+          (dd(col("cp")) / dd(col("rn"))).cast("decimal(38,15)"))
+          .otherwise(lit(null))).as("sp"))
+      .filter(col("np") > 0)
+      .select(col("g").as(groupCol), col("n"), col("np").as("n_pos"),
+        (dd(col("sp")) / dd(col("np"))).as("avg_precision"))
+      .orderBy(groupCol)
+  }
+
+  /** How well order value ranks F-status orders per market segment,
+    * PR-style — the rare-positive complement to the q237 AUC. */
+  def q261AvgPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    averagePrecision(o.join(c, o("o_custkey") === c("c_custkey")),
+      "c_mktsegment", "o_totalprice", "o_orderkey",
+      col("o_orderstatus") === "F")
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical labelings, κ = (p₀ − pₑ)/(1 − pₑ): the standard
+    * annotator-agreement / model-vs-heuristic audit. Computed entirely
+    * on the (a, b) contingency-cell frame: p₀ from the diagonal, pₑ
+    * from the marginal products — exact integer counts until the two
+    * final divisions. */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("nc"))
+    val w = Window.partitionBy()
+    val withM = cells
+      .withColumn("n", sum("nc").over(w))
+      .withColumn("ra", sum("nc").over(Window.partitionBy("a")))
+      .withColumn("cb", sum("nc").over(Window.partitionBy("b")))
+    withM.agg(
+      max(col("n")).as("n"),
+      sum(when(col("a") === col("b"), col("nc")).otherwise(lit(0L)))
+        .as("agree"),
+      sum(when(col("a") === col("b"),
+        d380(col("ra")) * d380(col("cb"))).otherwise(lit(null)))
+        .cast("decimal(38,0)").as("pe_num"))
+      .select(col("n"), col("agree"),
+        (dd(col("agree")) / dd(col("n"))).as("p_o"),
+        (dd(col("pe_num")) / (dd(col("n")) * dd(col("n")))).as("p_e"),
+        ((dd(col("agree")) / dd(col("n")) -
+          dd(col("pe_num")) / (dd(col("n")) * dd(col("n")))) /
+          (lit(1.0) - dd(col("pe_num")) / (dd(col("n")) * dd(col("n")))))
+          .as("kappa"))
+  }
+
+  /** Beyond-chance agreement between the NB-predicted priority (q230)
+    * and the actual one. */
+  def q262CohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val df = o.join(c, o("o_custkey") === c("c_custkey"))
+    val pred = naiveBayes2(df, "c_mktsegment", "o_orderstatus",
+        "o_orderpriority")
+      .select(col("c_mktsegment").as("f1"), col("o_orderstatus").as("f2"),
+        col("predicted"))
+    cohensKappa(
+      df.select(col("c_mktsegment").as("f1"),
+          col("o_orderstatus").as("f2"),
+          col("o_orderpriority").as("actual"))
+        .join(broadcast(pred), Seq("f1", "f2")),
+      "actual", "predicted")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_welch_ttest" -> (q260WelchTTest _),
+    "q261_avg_precision" -> (q261AvgPrecision _),
+    "q262_cohens_kappa" -> (q262CohensKappa _),
     "q259_woe_iv" -> (q259WoeIv _),
     "q257_rolling_ols" -> (q257RollingOls _),
     "q258_qini_curve" -> (q258QiniCurve _),
@@ -1960,6 +2099,122 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q260_welch_ttest" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS g, l_discount >= 0.05 AS arm,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+        |    CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT) AS DECIMAL(38,0))
+        |      * CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+        |  FROM lineitem GROUP BY 1, 2),
+        |g AS (
+        |  SELECT g,
+        |    MAX(CASE WHEN arm THEN n END) AS n1,
+        |    MAX(CASE WHEN arm THEN s END) AS s1,
+        |    MAX(CASE WHEN arm THEN ss END) AS ss1,
+        |    MAX(CASE WHEN NOT arm THEN n END) AS n2,
+        |    MAX(CASE WHEN NOT arm THEN s END) AS s2,
+        |    MAX(CASE WHEN NOT arm THEN ss END) AS ss2
+        |  FROM cells GROUP BY g),
+        |f AS (
+        |  SELECT *,
+        |    CAST(CAST(n1 AS DECIMAL(38,0)) * ss1 - s1 * s1 AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)
+        |        * CAST(n1 AS DOUBLE)) AS a1,
+        |    CAST(CAST(n2 AS DECIMAL(38,0)) * ss2 - s2 * s2 AS DOUBLE)
+        |      / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)
+        |        * CAST(n2 AS DOUBLE)) AS a2
+        |  FROM g WHERE n1 >= 2 AND n2 >= 2)
+        |SELECT g AS l_returnflag, n1 AS n_arm, n2 AS n_rest,
+        |  (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0
+        |    AS mean_diff,
+        |  (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / SQRT(a1 + a2)
+        |    AS t_stat,
+        |  (a1 + a2) * (a1 + a2) / (a1 * a1 / CAST(n1 - 1 AS DOUBLE)
+        |    + a2 * a2 / CAST(n2 - 1 AS DOUBLE)) AS welch_df
+        |FROM f ORDER BY 1""".stripMargin,
+    "q261_avg_precision" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS g, o_totalprice AS v, o_orderkey AS k,
+        |    o_orderstatus = 'F' AS pos
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT g, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, k) AS rn,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY g ORDER BY v DESC, k
+        |      ROWS UNBOUNDED PRECEDING) AS cp
+        |  FROM j),
+        |a AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN pos THEN CAST(CAST(cp AS DOUBLE)
+        |      / CAST(rn AS DOUBLE) AS DECIMAL(38,15)) END) AS sp
+        |  FROM r GROUP BY g)
+        |SELECT g AS c_mktsegment, n, np AS n_pos,
+        |  CAST(sp AS DOUBLE) / CAST(np AS DOUBLE) AS avg_precision
+        |FROM a WHERE np > 0 ORDER BY 1""".stripMargin,
+    "q262_cohens_kappa" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS f1, o_orderstatus AS f2,
+        |    o_orderpriority AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cls AS (SELECT c, COUNT(*) AS nc FROM base GROUP BY c),
+        |l1 AS (SELECT f1, c, COUNT(*) AS n1 FROM base GROUP BY 1, 2),
+        |l2 AS (SELECT f2, c, COUNT(*) AS n2 FROM base GROUP BY 1, 2),
+        |scal AS (
+        |  SELECT COUNT(*) AS n, COUNT(DISTINCT f1) AS v1,
+        |    COUNT(DISTINCT f2) AS v2
+        |  FROM base),
+        |combos AS (SELECT DISTINCT f1, f2 FROM base),
+        |grid AS (
+        |  SELECT co.f1, co.f2, cls.c, cls.nc,
+        |    COALESCE(l1.n1, 0) AS n1, COALESCE(l2.n2, 0) AS n2,
+        |    s.n, s.v1, s.v2
+        |  FROM combos co CROSS JOIN cls
+        |  LEFT JOIN l1 ON l1.f1 = co.f1 AND l1.c = cls.c
+        |  LEFT JOIN l2 ON l2.f2 = co.f2 AND l2.c = cls.c
+        |  CROSS JOIN scal s),
+        |pred AS (
+        |  SELECT f1, f2, c AS predicted FROM (
+        |    SELECT f1, f2, c,
+        |      ROW_NUMBER() OVER (PARTITION BY f1, f2 ORDER BY
+        |        CAST(nc AS DOUBLE) * CAST(n1 + 1 AS DOUBLE)
+        |          * CAST(n2 + 1 AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * CAST(nc + v1 AS DOUBLE)
+        |            * CAST(nc + v2 AS DOUBLE)) DESC, c) AS rk
+        |    FROM grid) WHERE rk = 1),
+        |cells AS (
+        |  SELECT b.c AS act, p.predicted AS prd, COUNT(*) AS ncell
+        |  FROM base b JOIN pred p ON b.f1 = p.f1 AND b.f2 = p.f2
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *, SUM(ncell) OVER () AS n,
+        |    SUM(ncell) OVER (PARTITION BY act) AS ra,
+        |    SUM(ncell) OVER (PARTITION BY prd) AS cb
+        |  FROM cells),
+        |agg AS (
+        |  SELECT MAX(n) AS n,
+        |    SUM(CASE WHEN act = prd THEN ncell ELSE 0 END) AS agree,
+        |    CAST(SUM(CASE WHEN act = prd THEN
+        |      CAST(ra AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)) END)
+        |      AS DECIMAL(38,0)) AS pe_num
+        |  FROM m)
+        |SELECT n, agree,
+        |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+        |  CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    AS p_e,
+        |  (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(pe_num AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    / (1.0 - CAST(pe_num AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
+        |FROM agg""".stripMargin,
     "q259_woe_iv" ->
       """WITH cuts AS (
         |  SELECT [quantile_cont(o_totalprice, 0.1),

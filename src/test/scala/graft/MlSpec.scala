@@ -655,6 +655,68 @@ class MlSpec extends AnyFunSuite {
     assert(nt.sum > 0)
   }
 
+  test("welchTTest: hand-checked two-sample case; equal samples give " +
+      "t = 0") {
+    import spark.implicits._
+    // arm {1, 2, 3} vs rest {2, 4}: m1=2, m2=3, v1=1, v2=2
+    // a1 = 1/3, a2 = 1, t = -1/sqrt(4/3), df = (4/3)^2/(1/18 + 1)
+    val df = Seq(("g", true, 1.0), ("g", true, 2.0), ("g", true, 3.0),
+      ("g", false, 2.0), ("g", false, 4.0)).toDF("g", "a", "v")
+    val r = Ml.welchTTest(df, "g", col("a"), "v").head()
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2)
+    assert(math.abs(r.getDouble(3) - (-1.0)) < 1e-12)
+    assert(math.abs(r.getDouble(4) - (-1.0 / math.sqrt(4.0 / 3))) < 1e-12)
+    assert(math.abs(r.getDouble(5) -
+      (4.0 / 3 * 4 / 3) / (1.0 / 18 + 1.0)) < 1e-12)
+    // identical arms: zero mean difference, t exactly 0
+    val same = Seq(("g", true, 1.0), ("g", true, 3.0),
+      ("g", false, 1.0), ("g", false, 3.0)).toDF("g", "a", "v")
+    val s = Ml.welchTTest(same, "g", col("a"), "v").head()
+    assert(s.getDouble(3) == 0.0 && s.getDouble(4) == 0.0)
+  }
+
+  test("welchTTest: slices missing an arm or with n < 2 are excluded") {
+    import spark.implicits._
+    val df = Seq(("one_arm", true, 1.0), ("one_arm", true, 2.0),
+      ("tiny", true, 1.0), ("tiny", false, 2.0), ("tiny", false, 3.0))
+      .toDF("g", "a", "v")
+    assert(Ml.welchTTest(df, "g", col("a"), "v").count() == 0)
+  }
+
+  test("averagePrecision: hand-checked ranking; perfect ranking = 1") {
+    import spark.implicits._
+    // score desc → pos at ranks 1 and 3: AP = (1/1 + 2/3)/2 = 5/6
+    val df = Seq(("g", 4.0, 1L, true), ("g", 3.0, 2L, false),
+      ("g", 2.0, 3L, true), ("g", 1.0, 4L, false))
+      .toDF("g", "v", "k", "pos")
+    val r = Ml.averagePrecision(df, "g", "v", "k", col("pos")).head()
+    assert(r.getLong(1) == 4 && r.getLong(2) == 2)
+    assert(math.abs(r.getDouble(3) - 5.0 / 6) < 1e-12)
+    // all positives ranked above all negatives → AP = 1
+    val perfect = Seq(("g", 4.0, 1L, true), ("g", 3.0, 2L, true),
+      ("g", 2.0, 3L, false)).toDF("g", "v", "k", "pos")
+    assert(math.abs(Ml.averagePrecision(perfect, "g", "v", "k",
+      col("pos")).head().getDouble(3) - 1.0) < 1e-12)
+    // score ties broken by the unique key, ascending
+    val tied = Seq(("g", 1.0, 2L, true), ("g", 1.0, 1L, false))
+      .toDF("g", "v", "k", "pos")
+    assert(math.abs(Ml.averagePrecision(tied, "g", "v", "k",
+      col("pos")).head().getDouble(3) - 0.5) < 1e-12)
+  }
+
+  test("cohensKappa: perfect agreement = 1; marginal-independent " +
+      "agreement ≈ 0") {
+    import spark.implicits._
+    val same = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    assert(math.abs(Ml.cohensKappa(same, "a", "b").head()
+      .getAs[Double]("kappa") - 1.0) < 1e-12)
+    // 2×2 with agreement exactly at chance: po = pe → κ = 0
+    val chance = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y"))
+      .toDF("a", "b")
+    assert(math.abs(Ml.cohensKappa(chance, "a", "b").head()
+      .getAs[Double]("kappa")) < 1e-12)
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
