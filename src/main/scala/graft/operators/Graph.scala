@@ -407,7 +407,125 @@ object Graph {
       minSupport = 2L), "p1", "p2")
   }
 
+  /** Adamic–Adar link prediction from a probe set: for each probe node
+    * u, score every non-neighbor v reachable in 2 hops by
+    * AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln d(w) — the classic "which edge
+    * forms next" baseline (Adamic & Adar 2003; Liben-Nowell &
+    * Kleinberg CIKM'03). Any common neighbor has d(w) ≥ 2, so ln is
+    * never 0.
+    *
+    * Scale shape: the 2-hop fan-out is PROBE-bounded (Σ_{w∈N(u)} d(w)
+    * per probe, never corpus²), middles above `maxMiddleDegree` are
+    * dropped with an `observe` metric (a stopword-grade hub would
+    * contribute ≤ 1/ln(cap) per pair anyway — the capped-bucket
+    * discipline of the dedup blockers), per-(u,v) terms are
+    * DECIMAL-quantized so the score is an exact sum ranked without a
+    * float boundary, and existing edges/self are removed by one
+    * anti-join against the (re-derivable) neighbor list. */
+  def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
+      probes: DataFrame, topK: Int,
+      maxMiddleDegree: Long = 1024L): DataFrame = {
+    val bi = edges
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = bi.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    val mid = bi.join(deg.withColumnRenamed("node", "v"), Seq("v"))
+      .observe("aa_middle_cap",
+        coalesce(sum(when(col("d") > maxMiddleDegree, 1L).otherwise(0L)),
+          lit(0L)).as("dropped_middle_edges"))
+      .filter(col("d") <= maxMiddleDegree)
+    val probeHop = probes.select(col(probes.columns.head).as("u"))
+      .join(mid, Seq("u"))
+      .select(col("u"), col("v").as("w"),
+        (lit(1.0) / log(dd(col("d")))).cast("decimal(38,15)").as("term"))
+    val twoHop = probeHop
+      .join(bi.select(col("u").as("w"), col("v").as("cand")), Seq("w"))
+      .filter(col("cand") =!= col("u"))
+    val scored = twoHop.groupBy(col("u"), col("cand").as("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum("term").cast("decimal(38,15)").as("aa"))
+      .join(bi, Seq("u", "v"), "left_anti") // already-linked pairs out
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("u")
+          .orderBy(desc("aa"), asc("v"))))
+      .filter(col("rk") <= topK)
+      .select(col("u").as("probe"), col("v").as("candidate"),
+        col("n_common"), dd(col("aa")).as("aa_score"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("probe", "rk")
+  }
+
+  private def dd(c: Column): Column = c.cast("double")
+
+  /** Which unlinked part pairs the co-order graph predicts next:
+    * Adamic–Adar top-3 per probe part (partkey ≡ 0 mod 100). */
+  def q264AdamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", basketCap = 64)
+    val edges = Basket.pairCounts(bk, basketCap = 64, minSupport = 1L)
+    adamicAdar(edges, "p1", "p2",
+      Tables.part(spark, dir).filter(col("p_partkey") % 100 === 0)
+        .select("p_partkey"),
+      topK = 3)
+  }
+
+  /** Synchronous label-propagation community detection, `rounds` fixed
+    * rounds: every node adopts the most frequent label among its
+    * neighbors AND itself (the self-vote damps the classic bipartite
+    * two-coloring oscillation), ties to the smallest label — fully
+    * deterministic, so any engine reproduces it exactly (Raghavan et
+    * al. 2007, the near-linear community baseline). Each round is one
+    * (edges ⋈ labels) shuffle + a per-node argmax — the PageRank
+    * iteration discipline with counts instead of doubles; the label
+    * frame is node-sized and localCheckpointed per round to keep the
+    * plan flat. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds: $rounds")
+    val bi = edges
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = bi.select("u").distinct()
+    var labels = nodes.select(col("u").as("node"), col("u").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = bi
+        .join(labels.select(col("node").as("v"), col("lbl")), Seq("v"))
+        .select(col("u").as("node"), col("lbl"))
+        .union(labels.select(col("node"), col("lbl"))) // self-vote
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+      labels = votes
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("node")
+            .orderBy(desc("c"), asc("lbl"))))
+        .filter(col("rk") === 1)
+        .select("node", "lbl")
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+      .orderBy("node")
+  }
+
+  /** 3-round label-propagation communities of the ≥ 2-support part
+    * co-order graph (the sparse backbone — minSupport 2 keeps real
+    * communities instead of one giant co-order blob). */
+  def q265LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", basketCap = 64)
+    labelPropagation(Basket.pairCounts(bk, basketCap = 64,
+      minSupport = 2L), "p1", "p2", rounds = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_adamic_adar" -> (q264AdamicAdar _),
+    "q265_label_propagation" -> (q265LabelPropagation _),
     "q208_assortativity" -> (q208Assortativity _),
     "q211_kcore" -> (q211KCore _),
     "q138_pagerank" -> (q138PageRank _),
@@ -472,7 +590,68 @@ object Graph {
        |  SELECT e.u, e.v FROM ed${i - 1} e
        |  JOIN k$i a ON a.node = e.u JOIN k$i b ON b.node = e.v)""".stripMargin
 
+  /** One unrolled synchronous label-propagation round over l{i-1}. */
+  private def lpaIterSql(i: Int): String =
+    s"""v$i AS (
+       |  SELECT node, lbl, COUNT(*) AS c FROM (
+       |    SELECT b.u AS node, l.lbl FROM bi b
+       |    JOIN l${i - 1} l ON l.node = b.v
+       |    UNION ALL SELECT node, lbl FROM l${i - 1})
+       |  GROUP BY 1, 2),
+       |l$i AS MATERIALIZED (
+       |  SELECT node, lbl FROM (
+       |    SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+       |      ORDER BY c DESC, lbl) AS rk
+       |    FROM v$i) WHERE rk = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q264_adamic_adar" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |bi AS MATERIALIZED (
+        |  SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+        |deg AS (SELECT u AS node, COUNT(*) AS d FROM bi GROUP BY 1),
+        |mid AS (
+        |  SELECT bi.u, bi.v, deg.d FROM bi
+        |  JOIN deg ON deg.node = bi.v WHERE deg.d <= 1024),
+        |ph AS (
+        |  SELECT p.p_partkey AS u, m.v AS w,
+        |    CAST(1.0 / LN(CAST(m.d AS DOUBLE)) AS DECIMAL(38,15)) AS term
+        |  FROM part p JOIN mid m ON m.u = p.p_partkey
+        |  WHERE p.p_partkey % 100 = 0),
+        |th AS (
+        |  SELECT ph.u, b.v AS cand, ph.term
+        |  FROM ph JOIN bi b ON b.u = ph.w WHERE b.v <> ph.u),
+        |sc AS (
+        |  SELECT u, cand AS v, COUNT(*) AS n_common,
+        |    CAST(SUM(term) AS DECIMAL(38,15)) AS aa
+        |  FROM th GROUP BY 1, 2),
+        |nolink AS (
+        |  SELECT sc.* FROM sc LEFT JOIN bi
+        |  ON bi.u = sc.u AND bi.v = sc.v WHERE bi.u IS NULL),
+        |rked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY u
+        |    ORDER BY aa DESC, v) AS rk
+        |  FROM nolink)
+        |SELECT u AS probe, v AS candidate, n_common,
+        |  CAST(aa AS DOUBLE) AS aa_score, rk
+        |FROM rked WHERE rk <= 3 ORDER BY probe, rk""".stripMargin,
+    "q265_label_propagation" ->
+      ("""WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |bi AS MATERIALIZED (
+        |  SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM bi),
+        |""".stripMargin +
+        (1 to 3).map(lpaIterSql).mkString(",\n") + "\n" +
+        """SELECT node, lbl AS community FROM l3 ORDER BY node"""),
     "q138_pagerank" -> (transitionsSql + ",\n" +
       """r0 AS (
         |  SELECT node, 1.0 / CAST(nn.n_nodes AS DOUBLE) AS rank

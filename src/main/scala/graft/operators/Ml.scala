@@ -2054,7 +2054,54 @@ object Ml {
       "actual", "predicted")
   }
 
+  /** Pairwise Jensen–Shannon divergence between per-key distributions
+    * over a FIXED bin domain (here: a categorical/bucketed column with
+    * a known range) — the symmetric, bounded [0, ln 2] distribution
+    * distance PSI (q220) and KS (q141) don't give. Bins are densified
+    * against the full domain first (a zero-mass bin still contributes
+    * p·ln 2 on the other side — an inner join would silently drop it),
+    * KL terms are 0-guarded and DECIMAL-quantized before the per-pair
+    * sum. The pair space is (keys² × bins) — a statistic frame, never
+    * row-data-sized. */
+  def jsDivergence(df: DataFrame, keyCol: String, binCol: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins: $nBins")
+    val cnt = df.select(col(keyCol).as("k"), binCol.cast("int").as("h"))
+      .groupBy("k", "h").agg(count(lit(1)).as("c"))
+    val grid = cnt.select("k").distinct()
+      .crossJoin(broadcast(binDomain(nBins)))
+    val full = grid.join(cnt, Seq("k", "h"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("p", dd(col("c")) / dd(sum("c")
+        .over(Window.partitionBy("k"))))
+    val a = full.select(col("k").as("ka"), col("h"), col("p").as("pa"))
+    val b = full.select(col("k").as("kb"), col("h"), col("p").as("pb"))
+    val m = (col("pa") + col("pb")) / 2.0
+    val kl = (p: Column) =>
+      when(p > 0, p * log(p / m)).otherwise(lit(0.0))
+    a.join(b, Seq("h"))
+      .filter(col("ka") < col("kb"))
+      .withColumn("term",
+        ((kl(col("pa")) + kl(col("pb"))) / 2.0).cast("decimal(38,15)"))
+      .groupBy("ka", "kb")
+      .agg(sum("term").cast("decimal(38,15)").cast("double")
+        .as("jsd_nats"))
+      .withColumn("jsd_bits", col("jsd_nats") / math.log(2.0))
+      .orderBy("ka", "kb")
+  }
+
+  /** The dense 0..nBins−1 bin domain as a broadcastable frame. */
+  private def binDomain(nBins: Int): DataFrame =
+    SparkSession.active.range(nBins).select(col("id").cast("int").as("h"))
+
+  /** Which event types have genuinely different hour-of-day usage
+    * profiles — JS divergence over the 24-bin diurnal histograms. */
+  def q263JsDivergence(spark: SparkSession, dir: String): DataFrame =
+    jsDivergence(Tables.events(spark, dir), "event_type",
+      hour(col("ts")), nBins = 24)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_js_divergence" -> (q263JsDivergence _),
     "q260_welch_ttest" -> (q260WelchTTest _),
     "q261_avg_precision" -> (q261AvgPrecision _),
     "q262_cohens_kappa" -> (q262CohensKappa _),
@@ -2099,6 +2146,38 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q263_js_divergence" ->
+      """WITH cnt AS (
+        |  SELECT event_type AS k, CAST(hour(ts) AS INT) AS h,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT k, CAST(gs.h AS INT) AS h
+        |  FROM (SELECT DISTINCT k FROM cnt)
+        |  CROSS JOIN (SELECT UNNEST(generate_series(0, 23)) AS h) gs),
+        |full_h AS (
+        |  SELECT g.k, g.h, COALESCE(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN cnt c ON c.k = g.k AND c.h = g.h),
+        |p AS (
+        |  SELECT k, h, CAST(c AS DOUBLE)
+        |    / CAST(SUM(c) OVER (PARTITION BY k) AS DOUBLE) AS p
+        |  FROM full_h),
+        |pairs AS (
+        |  SELECT a.k AS ka, b.k AS kb, a.p AS pa, b.p AS pb
+        |  FROM p a JOIN p b ON a.h = b.h AND a.k < b.k),
+        |terms AS (
+        |  SELECT ka, kb, CAST((
+        |    (CASE WHEN pa > 0
+        |      THEN pa * LN(pa / ((pa + pb) / 2.0)) ELSE 0.0 END) +
+        |    (CASE WHEN pb > 0
+        |      THEN pb * LN(pb / ((pa + pb) / 2.0)) ELSE 0.0 END)) / 2.0
+        |    AS DECIMAL(38,15)) AS term
+        |  FROM pairs)
+        |SELECT ka, kb,
+        |  CAST(CAST(SUM(term) AS DECIMAL(38,15)) AS DOUBLE) AS jsd_nats,
+        |  CAST(CAST(SUM(term) AS DECIMAL(38,15)) AS DOUBLE) / LN(2.0)
+        |    AS jsd_bits
+        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q260_welch_ttest" ->
       """WITH cells AS (
         |  SELECT l_returnflag AS g, l_discount >= 0.05 AS arm,

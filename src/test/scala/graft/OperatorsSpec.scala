@@ -1407,6 +1407,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Graph.kCore(chain, "a", "b", k = 2, maxRounds = 6).collect().isEmpty)
   }
 
+  test("adamicAdar: hand-checked path scores, direct edges excluded, " +
+      "middle-degree cap drops the hub") {
+    import graft.operators.Graph
+    // path 1-2-3 plus 2-4: from probe 1, candidates {3,4} via middle 2
+    // (deg 3): AA = 1/ln 3 each; pair (1,2) is a direct edge → excluded
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+    val probes = Seq(Tuple1(1L)).toDF("p")
+    val got = Graph.adamicAdar(edges, "a", "b", probes, topK = 5)
+      .collect()
+    assert(got.map(_.getLong(1)).toSet == Set(3L, 4L))
+    got.foreach { r =>
+      assert(r.getLong(2) == 1, "one common neighbor")
+      assert(math.abs(r.getDouble(3) - 1.0 / math.log(3.0)) < 1e-12)
+    }
+    // tie broken by candidate asc: rank 1 is node 3
+    assert(got.find(_.getLong(4) == 1L).get.getLong(1) == 3L)
+    // capping the middle's degree to 2 removes node 2 (deg 3) entirely
+    assert(Graph.adamicAdar(edges, "a", "b", probes, topK = 5,
+      maxMiddleDegree = 2L).count() == 0)
+  }
+
+  test("labelPropagation: two cliques joined by a bridge keep their " +
+      "own min-label communities") {
+    import graft.operators.Graph
+    // K3 {1,2,3} and K3 {4,5,6} bridged by 3-4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(5L) == 4L && got(6L) == 4L)
+  }
+
   test("triangleStats: triangle-free bipartite graph counts zero") {
     import graft.operators.Graph
     val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)).toDF("a", "b")
