@@ -2100,7 +2100,114 @@ object Ml {
     jsDivergence(Tables.events(spark, dir), "event_type",
       hour(col("ts")), nBins = 24)
 
+  /** Kendall's τ-b rank correlation per slice — EXACT on the full data
+    * via the contingency-cell identity: quantize both variables to
+    * centi-units, reduce to (x, y, count) cells, then count concordant/
+    * discordant pairs as Σ c₁·c₂ over ordered CELL pairs (x₁<x₂ with
+    * y₁<y₂ / y₁>y₂) and the tie corrections from the marginals —
+    * integer arithmetic end-to-end, one sqrt at the finish. The naive
+    * row-pair count is O(n²); the cell-pair space is (distinct value
+    * pairs)² — a statistic frame whenever the variables are discrete or
+    * quantized (here ≤ 50×11 cells per slice), independent of row
+    * count. Complements Spearman (q222): τ-b treats ties symmetrically
+    * and is the standard when the scale is ordinal. */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val xc = (col(xCol).cast("decimal(18,2)") * 100).cast("long")
+    val yc = (col(yCol).cast("decimal(18,2)") * 100).cast("long")
+    val cells = df.select(col(groupCol).as("g"), xc.as("x"), yc.as("y"))
+      .groupBy("g", "x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds 2 join sides + 3 marginal aggs
+    val a = cells.select(col("g"), col("x").as("x1"), col("y").as("y1"),
+      col("c").as("c1"))
+    val b = cells.select(col("g"), col("x").as("x2"), col("y").as("y2"),
+      col("c").as("c2"))
+    val cd = a.join(b, Seq("g")).filter(col("x1") < col("x2"))
+      .groupBy("g")
+      .agg(coalesce(sum(when(col("y1") < col("y2"),
+          d380(col("c1")) * d380(col("c2")))), lit(0))
+          .cast("decimal(38,0)").as("cc"),
+        coalesce(sum(when(col("y1") > col("y2"),
+          d380(col("c1")) * d380(col("c2")))), lit(0))
+          .cast("decimal(38,0)").as("dc"))
+    val n = cells.groupBy("g").agg(sum("c").as("n"))
+    val tx = cells.groupBy("g", "x").agg(sum("c").as("t"))
+      .groupBy("g").agg(sum(d380(col("t")) * d380(col("t") - 1))
+        .cast("decimal(38,0)").as("tx2"))
+    val ty = cells.groupBy("g", "y").agg(sum("c").as("t"))
+      .groupBy("g").agg(sum(d380(col("t")) * d380(col("t") - 1))
+        .cast("decimal(38,0)").as("ty2"))
+    // n0−n1 = (n(n−1) − Σtx(tx−1))/2 etc.; the /2 cancels inside sqrt
+    val vx = d380(col("n")) * d380(col("n") - 1) - col("tx2")
+    val vy = d380(col("n")) * d380(col("n") - 1) - col("ty2")
+    cd.join(n, "g").join(tx, "g").join(ty, "g")
+      .withColumn("vx", vx).withColumn("vy", vy)
+      .filter(col("vx") > 0 && col("vy") > 0)
+      .select(col("g").as(groupCol), col("n"),
+        col("cc").as("concordant"), col("dc").as("discordant"),
+        ((dd(col("cc")) - dd(col("dc"))) * 2.0 /
+          sqrt(dd(col("vx")) * dd(col("vy")))).as("tau_b"))
+      .orderBy(groupCol)
+  }
+
+  /** Ordinal association between quantity and discount per return
+    * flag — τ-b's tie-aware answer to q222's Spearman ρ. */
+  def q267KendallTau(spark: SparkSession, dir: String): DataFrame =
+    kendallTau(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_quantity", "l_discount")
+
+  /** Wasserstein-1 (earth-mover) distance between each key's first-half
+    * and second-half value distributions — the drift measure that knows
+    * HOW FAR mass moved, not just that it moved (PSI q220 and KS q141
+    * are both blind to displacement size). W1 = ∫|F_A − F_B| dv on the
+    * merged value grid: per (key, value) cells carry both halves'
+    * counts, the CDFs are running integer sums, and each segment's term
+    * |cumA·n_B − cumB·n_A|·gap/(n_A·n_B) keeps the CDF difference an
+    * exact integer cross-product before its one double scaling —
+    * DECIMAL-quantized, order-free sum. One value-histogram-sized
+    * shuffle per key; keys empty in either half are excluded
+    * (distance undefined). */
+  def wassersteinDrift(events: DataFrame, tsCol: String, keyCol: String,
+      valCol: String): DataFrame = {
+    val mm = events.agg(min(unix_micros(col(tsCol))).as("mn"),
+        max(unix_micros(col(tsCol))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val cells = events.crossJoin(broadcast(mm))
+      .select(col(keyCol).as("k"), col(valCol).as("v"),
+        (unix_micros(col(tsCol)) < col("mid")).as("isA"))
+      .groupBy("k", "v")
+      .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.partitionBy("k").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("k")
+    cells
+      .withColumn("cuma", sum("ca").over(wCum))
+      .withColumn("cumb", sum("cb").over(wCum))
+      .withColumn("na", sum("ca").over(wTot))
+      .withColumn("nb", sum("cb").over(wTot))
+      .withColumn("nextv",
+        lead("v", 1).over(Window.partitionBy("k").orderBy("v")))
+      .filter(col("nextv").isNotNull && col("na") > 0 && col("nb") > 0)
+      .withColumn("term", (dd(abs(d380(col("cuma")) * d380(col("nb")) -
+          d380(col("cumb")) * d380(col("na")))) /
+        (dd(col("na")) * dd(col("nb"))) * (col("nextv") - col("v")))
+        .cast("decimal(38,15)"))
+      .groupBy(col("k").as(keyCol))
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum("term").cast("decimal(38,15)").cast("double").as("w1"))
+      .orderBy(keyCol)
+  }
+
+  /** How far did each event type's value distribution MOVE half-over-
+    * half — the earth-mover companion to the q220 PSI gate. */
+  def q269Wasserstein(spark: SparkSession, dir: String): DataFrame =
+    wassersteinDrift(Tables.events(spark, dir), "ts", "event_type",
+      "value")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_kendall_tau" -> (q267KendallTau _),
+    "q269_wasserstein" -> (q269Wasserstein _),
     "q263_js_divergence" -> (q263JsDivergence _),
     "q260_welch_ttest" -> (q260WelchTTest _),
     "q261_avg_precision" -> (q261AvgPrecision _),
@@ -2146,6 +2253,81 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q267_kendall_tau" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |cd AS (
+        |  SELECT a.g,
+        |    CAST(COALESCE(SUM(CASE WHEN a.y < b.y THEN
+        |      CAST(a.c AS DECIMAL(38,0)) * CAST(b.c AS DECIMAL(38,0))
+        |      END), 0) AS DECIMAL(38,0)) AS cc,
+        |    CAST(COALESCE(SUM(CASE WHEN a.y > b.y THEN
+        |      CAST(a.c AS DECIMAL(38,0)) * CAST(b.c AS DECIMAL(38,0))
+        |      END), 0) AS DECIMAL(38,0)) AS dc
+        |  FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+        |  GROUP BY 1),
+        |nn AS (SELECT g, SUM(c) AS n FROM cells GROUP BY 1),
+        |tx AS (
+        |  SELECT g, CAST(SUM(CAST(t AS DECIMAL(38,0))
+        |    * CAST(t - 1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tx2
+        |  FROM (SELECT g, x, SUM(c) AS t FROM cells GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |ty AS (
+        |  SELECT g, CAST(SUM(CAST(t AS DECIMAL(38,0))
+        |    * CAST(t - 1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ty2
+        |  FROM (SELECT g, y, SUM(c) AS t FROM cells GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT cd.g, nn.n, cd.cc, cd.dc,
+        |    CAST(nn.n AS DECIMAL(38,0)) * CAST(nn.n - 1 AS DECIMAL(38,0))
+        |      - tx.tx2 AS vx,
+        |    CAST(nn.n AS DECIMAL(38,0)) * CAST(nn.n - 1 AS DECIMAL(38,0))
+        |      - ty.ty2 AS vy
+        |  FROM cd JOIN nn ON nn.g = cd.g JOIN tx ON tx.g = cd.g
+        |  JOIN ty ON ty.g = cd.g)
+        |SELECT g AS l_returnflag, n, cc AS concordant, dc AS discordant,
+        |  (CAST(cc AS DOUBLE) - CAST(dc AS DOUBLE)) * 2.0
+        |    / SQRT(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) AS tau_b
+        |FROM f WHERE vx > 0 AND vy > 0 ORDER BY 1""".stripMargin,
+    "q269_wasserstein" ->
+      """WITH mid AS (
+        |  SELECT (MIN(CAST(epoch_us(ts) AS BIGINT))
+        |    + MAX(CAST(epoch_us(ts) AS BIGINT))) // 2 AS mid
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type AS k, value AS v,
+        |    SUM(CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+        |      < (SELECT mid FROM mid) THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+        |      < (SELECT mid FROM mid) THEN 0 ELSE 1 END) AS cb
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT k, v, ca, cb,
+        |    SUM(ca) OVER (PARTITION BY k ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    SUM(cb) OVER (PARTITION BY k ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cumb,
+        |    SUM(ca) OVER (PARTITION BY k) AS na,
+        |    SUM(cb) OVER (PARTITION BY k) AS nb,
+        |    LEAD(v) OVER (PARTITION BY k ORDER BY v) AS nextv
+        |  FROM cells),
+        |terms AS (
+        |  SELECT k, na, nb,
+        |    CAST(CAST(ABS(CAST(cuma AS DECIMAL(38,0))
+        |        * CAST(nb AS DECIMAL(38,0))
+        |      - CAST(cumb AS DECIMAL(38,0)) * CAST(na AS DECIMAL(38,0)))
+        |      AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |      * (nextv - v) AS DECIMAL(38,15)) AS term
+        |  FROM cum
+        |  WHERE nextv IS NOT NULL AND na > 0 AND nb > 0)
+        |SELECT k AS event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |  CAST(CAST(SUM(term) AS DECIMAL(38,15)) AS DOUBLE) AS w1
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "q263_js_divergence" ->
       """WITH cnt AS (
         |  SELECT event_type AS k, CAST(hour(ts) AS INT) AS h,

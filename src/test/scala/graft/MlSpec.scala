@@ -717,6 +717,49 @@ class MlSpec extends AnyFunSuite {
       .getAs[Double]("kappa")) < 1e-12)
   }
 
+  test("kendallTau: perfect monotone = 1, reversed = -1; tied case " +
+      "matches the hand-computed tau-b") {
+    import spark.implicits._
+    val up = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 3.0))
+      .toDF("g", "x", "y")
+    assert(math.abs(Ml.kendallTau(up, "g", "x", "y").head()
+      .getAs[Double]("tau_b") - 1.0) < 1e-12)
+    val down = Seq(("g", 1.0, 3.0), ("g", 2.0, 2.0), ("g", 3.0, 1.0))
+      .toDF("g", "x", "y")
+    assert(math.abs(Ml.kendallTau(down, "g", "x", "y").head()
+      .getAs[Double]("tau_b") + 1.0) < 1e-12)
+    // x = (1,1,2), y = (1,2,2): only (1,1)-(2,2) is concordant, the
+    // other two pairs are x- resp. y-tied -> C=1, D=0, vx = vy = 4,
+    // tau_b = 2*1/sqrt(16) = 0.5 (scipy agrees)
+    val tied = Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0), ("g", 2.0, 2.0))
+      .toDF("g", "x", "y")
+    assert(math.abs(Ml.kendallTau(tied, "g", "x", "y").head()
+      .getAs[Double]("tau_b") - 0.5) < 1e-12)
+    // constant y excluded (vy = 0)
+    val const = Seq(("g", 1.0, 5.0), ("g", 2.0, 5.0)).toDF("g", "x", "y")
+    assert(Ml.kendallTau(const, "g", "x", "y").count() == 0)
+  }
+
+  test("wassersteinDrift: a pure location shift moves W1 by exactly " +
+      "the shift") {
+    import spark.implicits._
+    // key k: first half (ts < mid) values {0, 1}, second half {5, 6}:
+    // CDFs are equal shapes shifted by 5 -> W1 = 5
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(
+      t0.getTime + h * 3600L * 1000)
+    val df = Seq((ts(0), "k", 0.0), (ts(1), "k", 1.0),
+      (ts(22), "k", 5.0), (ts(23), "k", 6.0)).toDF("ts", "k", "v")
+    val r = Ml.wassersteinDrift(df, "ts", "k", "v").head()
+    assert(r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(math.abs(r.getDouble(3) - 5.0) < 1e-12)
+    // identical halves -> zero distance
+    val same = Seq((ts(0), "k", 1.0), (ts(1), "k", 2.0),
+      (ts(22), "k", 1.0), (ts(23), "k", 2.0)).toDF("ts", "k", "v")
+    assert(Ml.wassersteinDrift(same, "ts", "k", "v").head()
+      .getDouble(3) == 0.0)
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
