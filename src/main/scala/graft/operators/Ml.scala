@@ -2205,7 +2205,74 @@ object Ml {
     wassersteinDrift(Tables.events(spark, dir), "ts", "event_type",
       "value")
 
+  /** Two-sample log-rank test — THE censoring-aware "do these cohorts
+    * convert/churn at different speeds" test (Mantel 1966), the
+    * significance companion to the q199 Kaplan–Meier curve: comparing
+    * raw conversion rates ignores that slow converters are still
+    * at risk. Per subject: duration to first death-event (censored at
+    * last observation otherwise). At each death time t the
+    * hypergeometric terms E₁ₜ = dₜ·n₁ₜ/nₜ and
+    * Vₜ = dₜ·n₁ₜ·n₀ₜ·(nₜ−dₜ)/(nₜ²(nₜ−1)) are computed on the
+    * days×arms cell frame — at-risk counts are suffix sums realized as
+    * a (death-times ⋈ cells, d ≥ t) join, statistic-frame-sized —
+    * with integer numerators exact and each term DECIMAL-quantized.
+    * z = (O₁−E₁)/√V ≈ N(0,1) under "same hazard". */
+  def logRankTest(events: DataFrame, tsCol: String, userCol: String,
+      armCond: Column, deathCond: Column): DataFrame = {
+    val ev = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol)).as("us"), armCond.as("arm"),
+      deathCond.as("isd"))
+    val subj = ev.groupBy("u")
+      .agg(max("arm").as("arm"), min("us").as("t0"),
+        max("us").as("tend"),
+        min(when(col("isd"), col("us"))).as("tdeath"))
+      .select(col("arm"),
+        expr("(coalesce(tdeath, tend) - t0) div 86400000000").as("d"),
+        col("tdeath").isNotNull.as("event"))
+    val cells = subj.groupBy("arm", "d")
+      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("dth"),
+        count(lit(1)).as("tot"))
+      .localCheckpoint(true) // feeds risk join + death lookup + totals
+    val times = cells.groupBy("d").agg(sum("dth").as("dall"))
+      .filter(col("dall") > 0).select(col("d").as("t"))
+    val risk = times.join(cells, cells("d") >= times("t"))
+      .groupBy("t")
+      .agg(sum(when(col("arm"), col("tot")).otherwise(0L)).as("n1"),
+        sum(when(!col("arm"), col("tot")).otherwise(0L)).as("n0"))
+    val death = cells.groupBy(col("d").as("t"))
+      .agg(sum(when(col("arm"), col("dth")).otherwise(0L)).as("d1"),
+        sum(when(!col("arm"), col("dth")).otherwise(0L)).as("d0"))
+    val nt = col("n1") + col("n0")
+    val dt = col("d1") + col("d0")
+    val terms = risk.join(death, "t")
+      .filter(nt > 1)
+      .select(col("d1"),
+        ((dd(dt) * dd(col("n1"))) / dd(nt)).cast("decimal(38,12)")
+          .as("e1"),
+        (dd(d380(dt) * d380(col("n1")) * d380(col("n0")) *
+          d380(nt - dt)) / (dd(nt) * dd(nt) * dd(nt - 1)))
+          .cast("decimal(38,12)").as("v"))
+    val arms = subj.agg(
+      sum(when(col("arm"), 1L).otherwise(0L)).as("n_arm"),
+      sum(when(!col("arm"), 1L).otherwise(0L)).as("n_rest"))
+    terms.agg(sum("d1").as("observed_a"),
+        sum("e1").cast("decimal(38,12)").cast("double").as("expected_a"),
+        sum("v").cast("decimal(38,12)").cast("double").as("variance"))
+      .crossJoin(broadcast(arms)) // 1-row build side
+      .select(col("n_arm"), col("n_rest"), col("observed_a"),
+        col("expected_a"), col("variance"),
+        ((dd(col("observed_a")) - col("expected_a")) /
+          sqrt(col("variance"))).as("z"))
+  }
+
+  /** Do even- and odd-keyed users reach their first purchase at the
+    * same hazard — the experiment-arm log-rank gate. */
+  def q268LogRank(spark: SparkSession, dir: String): DataFrame =
+    logRankTest(Tables.events(spark, dir), "ts", "user_id",
+      col("user_id") % 2 === 0, col("event_type") === "purchase")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_log_rank" -> (q268LogRank _),
     "q267_kendall_tau" -> (q267KendallTau _),
     "q269_wasserstein" -> (q269Wasserstein _),
     "q263_js_divergence" -> (q263JsDivergence _),
@@ -2253,6 +2320,60 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q268_log_rank" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |    user_id % 2 = 0 AS arm, event_type = 'purchase' AS isd
+        |  FROM events),
+        |subj AS (
+        |  SELECT MAX(arm) AS arm,
+        |    (COALESCE(MIN(CASE WHEN isd THEN us END), MAX(us))
+        |      - MIN(us)) // 86400000000 AS d,
+        |    MIN(CASE WHEN isd THEN us END) IS NOT NULL AS event
+        |  FROM ev GROUP BY u),
+        |cells AS (
+        |  SELECT arm, d,
+        |    SUM(CASE WHEN event THEN 1 ELSE 0 END) AS dth,
+        |    COUNT(*) AS tot
+        |  FROM subj GROUP BY 1, 2),
+        |times AS (
+        |  SELECT d AS t FROM cells GROUP BY d
+        |  HAVING SUM(dth) > 0),
+        |risk AS (
+        |  SELECT t,
+        |    SUM(CASE WHEN arm THEN tot ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN NOT arm THEN tot ELSE 0 END) AS n0
+        |  FROM times JOIN cells ON cells.d >= times.t
+        |  GROUP BY 1),
+        |death AS (
+        |  SELECT d AS t,
+        |    SUM(CASE WHEN arm THEN dth ELSE 0 END) AS d1,
+        |    SUM(CASE WHEN NOT arm THEN dth ELSE 0 END) AS d0
+        |  FROM cells GROUP BY 1),
+        |terms AS (
+        |  SELECT d1,
+        |    CAST(CAST(d1 + d0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      / CAST(n1 + n0 AS DOUBLE) AS DECIMAL(38,12)) AS e1,
+        |    CAST(CAST(CAST(d1 + d0 AS DECIMAL(38,0))
+        |        * CAST(n1 AS DECIMAL(38,0)) * CAST(n0 AS DECIMAL(38,0))
+        |        * CAST(n1 + n0 - (d1 + d0) AS DECIMAL(38,0)) AS DOUBLE)
+        |      / (CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 AS DOUBLE)
+        |        * CAST(n1 + n0 - 1 AS DOUBLE)) AS DECIMAL(38,12)) AS v
+        |  FROM risk JOIN death USING (t)
+        |  WHERE n1 + n0 > 1),
+        |arms AS (
+        |  SELECT SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS n_arm,
+        |    SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS n_rest
+        |  FROM subj),
+        |agg AS (
+        |  SELECT SUM(d1) AS observed_a,
+        |    CAST(CAST(SUM(e1) AS DECIMAL(38,12)) AS DOUBLE)
+        |      AS expected_a,
+        |    CAST(CAST(SUM(v) AS DECIMAL(38,12)) AS DOUBLE) AS variance
+        |  FROM terms)
+        |SELECT n_arm, n_rest, observed_a, expected_a, variance,
+        |  (CAST(observed_a AS DOUBLE) - expected_a) / SQRT(variance) AS z
+        |FROM agg CROSS JOIN arms""".stripMargin,
     "q267_kendall_tau" ->
       """WITH cells AS (
         |  SELECT l_returnflag AS g,

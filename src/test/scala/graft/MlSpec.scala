@@ -760,6 +760,36 @@ class MlSpec extends AnyFunSuite {
       .getDouble(3) == 0.0)
   }
 
+  test("logRankTest: hand-computed two-subject case; identical arms " +
+      "give z = 0") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(d: Int) = new java.sql.Timestamp(
+      t0.getTime + d * 86400L * 1000)
+    // arm subject 2 purchases day 1, non-arm subject 1 purchases day 2:
+    // t=1: n1=n0=1, d1=1 -> e1 = 0.5, v = 0.25; t=2 has nt=1, skipped
+    // => O=1, E=0.5, V=0.25, z = 0.5/0.5 = 1
+    val df = Seq((2L, ts(0), "view"), (2L, ts(1), "purchase"),
+      (1L, ts(0), "view"), (1L, ts(2), "purchase"))
+      .toDF("u", "ts", "et")
+    val r = Ml.logRankTest(df, "ts", "u", col("u") % 2 === 0,
+      col("et") === "purchase").head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1)
+    assert(r.getLong(2) == 1)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.25) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 1.0) < 1e-12)
+    // symmetric arms (mirrored durations, one censored each) -> z = 0
+    val sym = Seq((2L, ts(0), "view"), (2L, ts(1), "purchase"),
+      (4L, ts(0), "view"), (4L, ts(3), "view"),
+      (1L, ts(0), "view"), (1L, ts(1), "purchase"),
+      (3L, ts(0), "view"), (3L, ts(3), "view"))
+      .toDF("u", "ts", "et")
+    val s = Ml.logRankTest(sym, "ts", "u", col("u") % 2 === 0,
+      col("et") === "purchase").head()
+    assert(s.getDouble(5) == 0.0, s"got $s")
+  }
+
   test("declared ML queries run at sf0.001 with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val enc = Ml.q221TargetEncoding(spark, dir)
