@@ -663,7 +663,127 @@ object Behavior {
     cohortLtv(Tables.events(spark, dir), "ts", "user_id", "value",
       bucketSeconds = 86400L, maxOffset = 7)
 
+  /** Markov-chain removal-effect attribution (Anderl et al. 2016) —
+    * the data-driven alternative to the positional rules (last-touch
+    * q125, linear q196, decay q126): model journeys as a first-order
+    * chain over touch channels with absorbing `conv`/`null` states,
+    * compute P(conv from start), and credit each channel by its REMOVAL
+    * EFFECT — how much conversion probability disappears when that
+    * channel is knocked out (its inbound transitions redirected to
+    * `null`).
+    *
+    * Journeys: per user, the ordered non-conversion events strictly
+    * before the first conversion (all events when none); empty-journey
+    * converters contribute `start→conv` directly. One user-key shuffle
+    * builds the transition counts; everything after runs on the
+    * channels²-sized transition frame. Absorption runs `iters`
+    * synchronous rounds for base + one knockout chain per channel IN
+    * ONE FRAME (chain-keyed) — the PageRank float discipline (double
+    * products, DECIMAL(38,18)-quantized sums, per-round checkpoint), so
+    * the recursion is bit-reproducible in any engine. Removal effects
+    * are quantized before the share normalization. */
+  def markovAttribution(events: DataFrame, tsCol: String, userCol: String,
+      channelCol: String, orderCol: String, convCond: Column,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters: $iters")
+    val d3818 = (c: Column) => c.cast("decimal(38,18)")
+    val ev = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol)).as("us"), col(orderCol).as("oid"),
+      col(channelCol).as("ch"), convCond.as("isconv"))
+    val pu = ev.filter(col("isconv")).groupBy("u")
+      .agg(min("us").as("pus"))
+    val j = ev.filter(!col("isconv"))
+      .join(pu, Seq("u"), "left")
+      .filter(col("pus").isNull || col("us") < col("pus"))
+      .withColumn("conv", col("pus").isNotNull)
+    val wSeq = Window.partitionBy("u").orderBy("us", "oid")
+    val seq = j
+      .withColumn("rn", row_number().over(wSeq))
+      .withColumn("len", count(lit(1)).over(Window.partitionBy("u")))
+      .withColumn("nxt", lead("ch", 1).over(wSeq))
+    val emptyConv = pu.join(j.select("u").distinct(), Seq("u"),
+      "left_anti")
+    val transRaw = seq.filter(col("rn") === 1)
+        .select(lit("start").as("src"), col("ch").as("dst"))
+      .union(seq.filter(col("nxt").isNotNull)
+        .select(col("ch").as("src"), col("nxt").as("dst")))
+      .union(seq.filter(col("rn") === col("len"))
+        .select(col("ch").as("src"),
+          when(col("conv"), "conv").otherwise("null").as("dst")))
+      .union(emptyConv.select(lit("start").as("src"),
+        lit("conv").as("dst")))
+    val tcnt = transRaw.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val chains = j.select(col("ch").as("chain")).distinct()
+      .union(SparkSession.active.sql("SELECT 'base' AS chain"))
+    // knockout: in chain c every transition INTO c becomes a null-exit
+    val tp = chains.crossJoin(tcnt)
+      .withColumn("dst2", when(col("dst") === col("chain"), "null")
+        .otherwise(col("dst")))
+      .groupBy(col("chain"), col("src"), col("dst2").as("dst"))
+      .agg(sum("n").as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("chain", "src"))
+          .cast("double"))
+      .localCheckpoint(true)
+    var v = chains.select(col("chain"), lit("start").as("state"),
+      lit(1.0).as("p")).localCheckpoint(true)
+    var acc = chains.select(col("chain"),
+      lit(0).cast("decimal(38,18)").as("acc")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val vv = v.select(col("chain").as("vchain"),
+        col("state").as("vstate"), col("p").as("vp"))
+      val joined = vv.join(tp,
+        col("chain") === col("vchain") && col("src") === col("vstate"))
+      val inc = joined.filter(col("dst") === "conv")
+        .groupBy(col("vchain").as("chain"))
+        .agg(sum(d3818(col("vp") * col("p"))).cast("decimal(38,18)")
+          .as("inc"))
+      acc = acc.join(inc, Seq("chain"), "left")
+        .select(col("chain"),
+          (col("acc") + coalesce(col("inc"),
+            lit(0).cast("decimal(38,18)"))).cast("decimal(38,18)")
+            .as("acc"))
+        .localCheckpoint(true)
+      v = joined.filter(col("dst") =!= "conv" && col("dst") =!= "null")
+        .groupBy(col("vchain").as("chain"), col("dst").as("state"))
+        .agg(sum(d3818(col("vp") * col("p"))).cast("decimal(38,18)")
+          .cast("double").as("p"))
+        .localCheckpoint(true)
+    }
+    val pconv = acc.select(col("chain"), col("acc").cast("double")
+      .as("pconv"))
+    val base = pconv.filter(col("chain") === "base")
+      .select(col("pconv").as("pb"))
+    val nconv = pu.agg(count(lit(1)).as("n_conversions"))
+    val re = pconv.filter(col("chain") =!= "base")
+      .crossJoin(broadcast(base)) // 1-row build side
+      .select(col("chain").as("channel"),
+        col("pconv").as("p_conv_removed"), col("pb").as("p_conv_base"),
+        (lit(1.0) - col("pconv") / col("pb")).cast("decimal(38,15)")
+          .as("re"))
+    re.withColumn("ret",
+        sum("re").over(Window.partitionBy()).cast("decimal(38,15)"))
+      .crossJoin(broadcast(nconv)) // 1-row build side
+      .select(col("channel"), col("p_conv_base"),
+        col("p_conv_removed"), col("re").cast("double")
+          .as("removal_effect"),
+        (col("re").cast("double") / col("ret").cast("double"))
+          .as("attribution_share"),
+        (col("re").cast("double") / col("ret").cast("double") *
+          col("n_conversions").cast("double"))
+          .as("attributed_conversions"))
+      .orderBy("channel")
+  }
+
+  /** Which touch channels actually DRIVE purchases: removal-effect
+    * attribution over 24 absorption rounds. */
+  def q266MarkovAttribution(spark: SparkSession, dir: String): DataFrame =
+    markovAttribution(Tables.events(spark, dir), "ts", "user_id",
+      "event_type", "event_id", col("event_type") === "purchase",
+      iters = 24)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_markov_attribution" -> (q266MarkovAttribution _),
     "q185_cohort_ltv" -> (q185CohortLtv _),
     "q180_longest_streak" -> (q180LongestStreak _),
     "q164_twap" -> (q164Twap _),
@@ -728,7 +848,101 @@ object Behavior {
         |  (3, 'purchase')) AS s(step, event_type)
         |ORDER BY step""".stripMargin
 
+  /** One unrolled absorption round: conv increment, accumulator add,
+    * transient-mass update — the engine's exact float discipline
+    * (double products, DECIMAL(38,18) sums). */
+  private def markovIterSql(i: Int): String =
+    s"""c$i AS (
+       |  SELECT v.chain,
+       |    CAST(SUM(CAST(v.p * t.p AS DECIMAL(38,18)))
+       |      AS DECIMAL(38,18)) AS inc
+       |  FROM v${i - 1} v JOIN tp t ON t.chain = v.chain
+       |    AND t.src = v.state AND t.dst = 'conv'
+       |  GROUP BY 1),
+       |a$i AS MATERIALIZED (
+       |  SELECT a.chain,
+       |    CAST(a.acc + COALESCE(c.inc, CAST(0 AS DECIMAL(38,18)))
+       |      AS DECIMAL(38,18)) AS acc
+       |  FROM a${i - 1} a LEFT JOIN c$i c ON c.chain = a.chain),
+       |v$i AS MATERIALIZED (
+       |  SELECT v.chain, t.dst AS state,
+       |    CAST(CAST(SUM(CAST(v.p * t.p AS DECIMAL(38,18)))
+       |      AS DECIMAL(38,18)) AS DOUBLE) AS p
+       |  FROM v${i - 1} v JOIN tp t ON t.chain = v.chain
+       |    AND t.src = v.state
+       |    AND t.dst <> 'conv' AND t.dst <> 'null'
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val markovAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS us,
+      |    event_id AS oid, event_type AS ch,
+      |    event_type = 'purchase' AS isconv
+      |  FROM events),
+      |pu AS (SELECT u, MIN(us) AS pus FROM ev WHERE isconv GROUP BY u),
+      |j AS (
+      |  SELECT e.u, e.us, e.oid, e.ch, pu.pus IS NOT NULL AS conv
+      |  FROM ev e LEFT JOIN pu ON pu.u = e.u
+      |  WHERE NOT e.isconv AND (pu.pus IS NULL OR e.us < pu.pus)),
+      |seq AS (
+      |  SELECT u, ch, conv,
+      |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY us, oid) AS rn,
+      |    COUNT(*) OVER (PARTITION BY u) AS len,
+      |    LEAD(ch) OVER (PARTITION BY u ORDER BY us, oid) AS nxt
+      |  FROM j),
+      |trans_raw AS (
+      |  SELECT 'start' AS src, ch AS dst FROM seq WHERE rn = 1
+      |  UNION ALL
+      |  SELECT ch, nxt FROM seq WHERE nxt IS NOT NULL
+      |  UNION ALL
+      |  SELECT ch, CASE WHEN conv THEN 'conv' ELSE 'null' END
+      |  FROM seq WHERE rn = len
+      |  UNION ALL
+      |  SELECT 'start', 'conv' FROM pu
+      |  LEFT JOIN (SELECT DISTINCT u FROM j) jj ON jj.u = pu.u
+      |  WHERE jj.u IS NULL),
+      |tcnt AS (
+      |  SELECT src, dst, COUNT(*) AS n FROM trans_raw GROUP BY 1, 2),
+      |chains AS (
+      |  SELECT DISTINCT ch AS chain FROM j
+      |  UNION ALL SELECT 'base'),
+      |tp AS MATERIALIZED (
+      |  SELECT chain, src, dst, CAST(n AS DOUBLE)
+      |    / CAST(SUM(n) OVER (PARTITION BY chain, src) AS DOUBLE) AS p
+      |  FROM (
+      |    SELECT c.chain, t.src,
+      |      CASE WHEN t.dst = c.chain THEN 'null' ELSE t.dst END AS dst,
+      |      SUM(t.n) AS n
+      |    FROM chains c CROSS JOIN tcnt t
+      |    GROUP BY 1, 2, 3)),
+      |v0 AS (
+      |  SELECT chain, 'start' AS state, CAST(1.0 AS DOUBLE) AS p
+      |  FROM chains),
+      |a0 AS (
+      |  SELECT chain, CAST(0 AS DECIMAL(38,18)) AS acc FROM chains),
+      |""".stripMargin +
+      (1 to 24).map(markovIterSql).mkString(",\n") + ",\n" +
+      """pc AS (SELECT chain, CAST(acc AS DOUBLE) AS pconv FROM a24),
+      |re AS (
+      |  SELECT chain AS channel, pconv AS p_conv_removed,
+      |    (SELECT pconv FROM pc WHERE chain = 'base') AS p_conv_base,
+      |    CAST(1.0 - pconv
+      |      / (SELECT pconv FROM pc WHERE chain = 'base')
+      |      AS DECIMAL(38,15)) AS re
+      |  FROM pc WHERE chain <> 'base'),
+      |ret AS (
+      |  SELECT *, CAST(SUM(re) OVER () AS DECIMAL(38,15)) AS ret
+      |  FROM re),
+      |nc AS (SELECT COUNT(*) AS n_conversions FROM pu)
+      |SELECT channel, p_conv_base, p_conv_removed,
+      |  CAST(re AS DOUBLE) AS removal_effect,
+      |  CAST(re AS DOUBLE) / CAST(ret AS DOUBLE) AS attribution_share,
+      |  CAST(re AS DOUBLE) / CAST(ret AS DOUBLE)
+      |    * CAST(n_conversions AS DOUBLE) AS attributed_conversions
+      |FROM ret CROSS JOIN nc ORDER BY channel""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q266_markov_attribution" -> markovAttributionSql,
     // next-conversion window + equal-share credit, decimal-quantized
     "q196_linear_attribution" ->
       """WITH e AS (

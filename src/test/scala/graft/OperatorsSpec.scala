@@ -1440,6 +1440,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L) == 4L && got(6L) == 4L)
   }
 
+  test("markovAttribution: the only channel on the converting path " +
+      "takes all the credit") {
+    import graft.operators.Behavior
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600L * 1000)
+    // u1: A then purchase; u2: B then nothing ->
+    // base P(conv) = 0.5 via start->A->conv; removing A kills it (RE 1),
+    // removing B changes nothing (RE 0)
+    val df = Seq((1L, ts(0), 10L, "A"), (1L, ts(1), 11L, "purchase"),
+      (2L, ts(0), 20L, "B"))
+      .toDF("u", "ts", "eid", "ch")
+    val got = Behavior.markovAttribution(df, "ts", "u", "ch", "eid",
+        col("ch") === "purchase", iters = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got("A")._1 == 1.0 && got("A")._2 == 1.0, s"got $got")
+    assert(got("A")._3 == 1.0) // 1 conversion, all credited to A
+    assert(got("B")._1 == 0.0 && got("B")._2 == 0.0)
+  }
+
   test("triangleStats: triangle-free bipartite graph counts zero") {
     import graft.operators.Graph
     val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)).toDF("a", "b")
