@@ -2271,7 +2271,335 @@ object Ml {
     logRankTest(Tables.events(spark, dir), "ts", "user_id",
       col("user_id") % 2 === 0, col("event_type") === "purchase")
 
+  /** Partial correlation r_xy·z per slice — the correlation between x
+    * and y with a confounder z linearly removed:
+    * r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). All nine
+    * cross-moments are exact centi-unit DECIMAL sums from ONE map-side-
+    * combined aggregation; each pairwise r and the final partial r are
+    * fixed-shape double finishes (centered second moments are cast to
+    * double BEFORE multiplying — their decimal product would overflow
+    * 38 digits at scale). Slices with a degenerate marginal (zero
+    * variance) or |r_xz| = 1 / |r_yz| = 1 are excluded (undefined). */
+  def partialCorrelation(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, zCol: String): DataFrame = {
+    val q = (c: String) => (col(c).cast("decimal(18,2)") * 100).cast("long")
+    val m = df.select(col(groupCol).as("g"), q(xCol).as("x"),
+        q(yCol).as("y"), q(zCol).as("z"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(d380(col("x"))).cast("decimal(38,0)").as("sx"),
+        sum(d380(col("y"))).cast("decimal(38,0)").as("sy"),
+        sum(d380(col("z"))).cast("decimal(38,0)").as("sz"),
+        sum(d380(col("x")) * d380(col("x"))).cast("decimal(38,0)").as("sxx"),
+        sum(d380(col("y")) * d380(col("y"))).cast("decimal(38,0)").as("syy"),
+        sum(d380(col("z")) * d380(col("z"))).cast("decimal(38,0)").as("szz"),
+        sum(d380(col("x")) * d380(col("y"))).cast("decimal(38,0)").as("sxy"),
+        sum(d380(col("x")) * d380(col("z"))).cast("decimal(38,0)").as("sxz"),
+        sum(d380(col("y")) * d380(col("z"))).cast("decimal(38,0)").as("syz"))
+    def cm(sab: String, sa: String, sb: String) = // centered co-moment
+      (d380(col("n")) * col(sab) - col(sa) * col(sb)).cast("decimal(38,0)")
+    val withV = m
+      .withColumn("cxy", cm("sxy", "sx", "sy"))
+      .withColumn("cxz", cm("sxz", "sx", "sz"))
+      .withColumn("cyz", cm("syz", "sy", "sz"))
+      .withColumn("vx", cm("sxx", "sx", "sx"))
+      .withColumn("vy", cm("syy", "sy", "sy"))
+      .withColumn("vz", cm("szz", "sz", "sz"))
+      .filter(col("vx") > 0 && col("vy") > 0 && col("vz") > 0)
+      .withColumn("rxy", dd(col("cxy")) / sqrt(dd(col("vx")) * dd(col("vy"))))
+      .withColumn("rxz", dd(col("cxz")) / sqrt(dd(col("vx")) * dd(col("vz"))))
+      .withColumn("ryz", dd(col("cyz")) / sqrt(dd(col("vy")) * dd(col("vz"))))
+      .filter(col("rxz") * col("rxz") < 1.0 && col("ryz") * col("ryz") < 1.0)
+    withV.select(col("g").as(groupCol), col("n"), col("rxy"), col("rxz"),
+        col("ryz"),
+        ((col("rxy") - col("rxz") * col("ryz")) /
+          sqrt((lit(1.0) - col("rxz") * col("rxz")) *
+            (lit(1.0) - col("ryz") * col("ryz")))).as("r_xy_z"))
+      .orderBy(groupCol)
+  }
+
+  /** Does revenue still track quantity once the discount level is
+    * controlled for, per return flag. */
+  def q274PartialCorr(spark: SparkSession, dir: String): DataFrame =
+    partialCorrelation(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_extendedprice", "l_quantity", "l_discount")
+
+  /** Two-regressor OLS per slice by the closed-form normal equations —
+    * the smallest genuinely multivariate regression, solved exactly from
+    * the same one-pass moment frame [[groupOls]] uses: centered moments
+    * S₁₁ S₂₂ S₁₂ S₁y S₂y (exact DECIMALs), Cramer's rule in doubles
+    * (decimal products of two centered moments would overflow — cast
+    * first, the [[partialCorrelation]] rule), R² from the explained-sum
+    * identity b₁S₁y + b₂S₂y over Syy. Collinear slices (det ≤ 0) are
+    * excluded. The 100× quantization cancels in the slopes; the
+    * intercept rescales by /100. */
+  def olsTwoFeatures(df: DataFrame, groupCol: String, x1Col: String,
+      x2Col: String, yCol: String): DataFrame = {
+    val q = (c: String) => (col(c).cast("decimal(18,2)") * 100).cast("long")
+    val m = df.select(col(groupCol).as("g"), q(x1Col).as("a"),
+        q(x2Col).as("b"), q(yCol).as("y"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(d380(col("a"))).cast("decimal(38,0)").as("sa"),
+        sum(d380(col("b"))).cast("decimal(38,0)").as("sb"),
+        sum(d380(col("y"))).cast("decimal(38,0)").as("sy"),
+        sum(d380(col("a")) * d380(col("a"))).cast("decimal(38,0)").as("saa"),
+        sum(d380(col("b")) * d380(col("b"))).cast("decimal(38,0)").as("sbb"),
+        sum(d380(col("a")) * d380(col("b"))).cast("decimal(38,0)").as("sab"),
+        sum(d380(col("a")) * d380(col("y"))).cast("decimal(38,0)").as("say"),
+        sum(d380(col("b")) * d380(col("y"))).cast("decimal(38,0)").as("sby"),
+        sum(d380(col("y")) * d380(col("y"))).cast("decimal(38,0)").as("syy"))
+    def cm(sab: String, sa: String, sb: String) =
+      (d380(col("n")) * col(sab) - col(sa) * col(sb)).cast("decimal(38,0)")
+    val withS = m
+      .withColumn("s11", cm("saa", "sa", "sa"))
+      .withColumn("s22", cm("sbb", "sb", "sb"))
+      .withColumn("s12", cm("sab", "sa", "sb"))
+      .withColumn("s1y", cm("say", "sa", "sy"))
+      .withColumn("s2y", cm("sby", "sb", "sy"))
+      .withColumn("syy_c", cm("syy", "sy", "sy"))
+      .withColumn("det", dd(col("s11")) * dd(col("s22")) -
+        dd(col("s12")) * dd(col("s12")))
+      .filter(col("det") > 0 && col("syy_c") > 0)
+      .withColumn("b1", (dd(col("s1y")) * dd(col("s22")) -
+        dd(col("s2y")) * dd(col("s12"))) / col("det"))
+      .withColumn("b2", (dd(col("s2y")) * dd(col("s11")) -
+        dd(col("s1y")) * dd(col("s12"))) / col("det"))
+    withS.select(col("g").as(groupCol), col("n"), col("b1"), col("b2"),
+        ((dd(col("sy")) - col("b1") * dd(col("sa")) -
+          col("b2") * dd(col("sb"))) / dd(col("n")) / 100.0)
+          .as("intercept"),
+        ((col("b1") * dd(col("s1y")) + col("b2") * dd(col("s2y"))) /
+          dd(col("syy_c"))).as("r2"))
+      .orderBy(groupCol)
+  }
+
+  /** Revenue modeled on quantity AND discount jointly, per return flag —
+    * the two-feature exact OLS. */
+  def q275OlsTwo(spark: SparkSession, dir: String): DataFrame =
+    olsTwoFeatures(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_quantity", "l_discount", "l_extendedprice")
+
+  /** Kruskal–Wallis H — the k-sample rank test (Mann–Whitney's ANOVA
+    * analogue, q224's k-group completion): H = 12/(N(N+1))·Σ R_g²/n_g −
+    * 3(N+1), tie-corrected by C = 1 − Σ(t³−t)/(N³−N). Average tie ranks
+    * are carried as the exact integer 2·rank = min(rn)+max(rn) over each
+    * tie block (the q222/q237 trick — no float ranks), so per-group rank
+    * sums are exact DECIMALs; the handful of per-group H terms are
+    * DECIMAL-quantized before summing and H/C is one double finish. One
+    * global rank window (at 100 TB: range-partitioned sort, the standard
+    * Spark window path), then cell-frame algebra. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val v = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
+    val ranked = df.select(col(groupCol).as("g"), v.as("v"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("g"))))
+      .withColumn("r2", min(col("rn")).over(Window.partitionBy("v")) +
+        max(col("rn")).over(Window.partitionBy("v")))
+    val grp = ranked.groupBy("g")
+      .agg(count(lit(1)).as("ng"),
+        sum(d380(col("r2"))).cast("decimal(38,0)").as("t2"))
+    val ties = ranked.groupBy("v").agg(count(lit(1)).as("t"))
+      .agg(sum(d380(col("t")) * d380(col("t")) * d380(col("t")) -
+        d380(col("t"))).cast("decimal(38,0)").as("tie_sum"))
+    val terms = grp
+      .withColumn("term", (dd(col("t2")) * dd(col("t2")) /
+        (lit(4.0) * dd(col("ng")))).cast("decimal(38,6)"))
+      .agg(count(lit(1)).as("k"), sum("ng").as("n"),
+        sum(col("term")).cast("decimal(38,6)").as("tsum"))
+      .filter(col("k") > 1)
+    terms.crossJoin(broadcast(ties)) // two 1-row statistic frames
+      .select(col("k"), col("n"),
+        (lit(12.0) / (dd(col("n")) * dd(col("n") + 1)) * dd(col("tsum")) -
+          lit(3.0) * dd(col("n") + 1)).as("h"),
+        (lit(1.0) - dd(col("tie_sum")) /
+          (dd(col("n")) * dd(col("n")) * dd(col("n")) - dd(col("n"))))
+          .as("tie_c"),
+        ((lit(12.0) / (dd(col("n")) * dd(col("n") + 1)) * dd(col("tsum")) -
+          lit(3.0) * dd(col("n") + 1)) /
+          (lit(1.0) - dd(col("tie_sum")) /
+            (dd(col("n")) * dd(col("n")) * dd(col("n")) - dd(col("n")))))
+          .as("h_adj"))
+  }
+
+  /** Do the five order priorities draw different order-value
+    * distributions — the rank-based k-sample gate. */
+  def q284KruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    kruskalWallis(Tables.orders(spark, dir), "o_orderpriority",
+      "o_totalprice")
+
+  /** Best single-feature threshold split (a depth-1 decision tree /
+    * "stump") by weighted Gini impurity — the primitive inside every
+    * boosted-tree trainer, and the fastest "is this feature predictive
+    * at all" screen. Candidate thresholds are the feature's DISTINCT
+    * quantized values, so the search frame is value-histogram-sized:
+    * cumulative (n, positives) over the value-ordered histogram give
+    * every split's left/right class counts exactly; the weighted
+    * impurity is a fixed-shape double over those integers, and the
+    * argmin is deterministic (impurity asc, threshold asc). Scales as
+    * one groupBy per feature + windows over histogram frames. */
+  def decisionStump(df: DataFrame, featureCols: Seq[String],
+      posCond: Column): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    val perFeature = featureCols.map { f =>
+      df.select(lit(f).as("feature"),
+        (col(f).cast("decimal(18,2)") * 100).cast("long").as("x"),
+        when(posCond, 1L).otherwise(0L).as("p"))
+    }.reduce(_ union _)
+    val hist = perFeature.groupBy("feature", "x")
+      .agg(count(lit(1)).as("nv"), sum("p").as("pv"))
+    val wCum = Window.partitionBy("feature").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("feature")
+    val splits = hist
+      .withColumn("nl", sum("nv").over(wCum))
+      .withColumn("pl", sum("pv").over(wCum))
+      .withColumn("nn", sum("nv").over(wAll))
+      .withColumn("pp", sum("pv").over(wAll))
+      .withColumn("nr", col("nn") - col("nl"))
+      .withColumn("pr", col("pp") - col("pl"))
+      .filter(col("nr") > 0) // the max value splits nothing off
+    val gini = (n: Column, p: Column) => // n·gini = n − (p² + (n−p)²)/n
+      dd(n) - (dd(p) * dd(p) + dd(n - p) * dd(n - p)) / dd(n)
+    val wPick = Window.partitionBy("feature")
+      .orderBy(col("wg"), col("x"))
+    splits
+      .withColumn("wg",
+        (gini(col("nl"), col("pl")) + gini(col("nr"), col("pr"))) /
+          dd(col("nn")))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("feature"), (dd(col("x")) / 100.0).as("threshold"),
+        col("wg").as("weighted_gini"), col("nl").as("n_left"),
+        col("nr").as("n_right"), col("pl").as("pos_left"),
+        col("pr").as("pos_right"))
+      .orderBy("feature")
+  }
+
+  /** Which lineitem feature best separates returned items in one split —
+    * quantity vs discount vs tax, stump-scored. */
+  def q272DecisionStump(spark: SparkSession, dir: String): DataFrame =
+    decisionStump(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_discount", "l_tax"),
+      col("l_returnflag") === "R")
+
+  /** Deterministic Bernoulli re-randomization test for a difference in
+    * per-slice means — the permutation-flavored significance check that
+    * needs NO distributional assumptions (the nonparametric cross-check
+    * for [[welchTTest]]): under the null, arm labels are exchangeable,
+    * so re-draw them R times and ask how often the null |Δmean| reaches
+    * the observed one; p = (1 + #{|Δ_r| ≥ |Δ_obs|})/(R + 1). Re-draws
+    * reuse the [[bootstrapMeanCI]] discipline: ONE md5 per row, hex
+    * digit r < '8' is replicate r's arm — reproducible, shard-order-
+    * independent, no RNG state (a Bernoulli(½) randomization design,
+    * documented as such — group sizes float, unlike a fixed-margins
+    * permutation). The R-fold fan-out collapses under one map-side-
+    * combined (slice × replicate × arm) aggregation; every mean is a
+    * double over exact centi-sums, and the comparison count is integer
+    * algebra on the replicate frame. */
+  def randomizationTest(df: DataFrame, groupCol: String, armCond: Column,
+      valCol: String, keyCol: String, r: Int): DataFrame = {
+    require(r >= 4 && r <= 32, s"replicates must be in [4, 32]: $r")
+    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
+    val base = df.select(col(groupCol).as("g"), armCond.as("arm"),
+        cents.as("v"), col(keyCol).as("k"))
+      .withColumn("h", md5(col("k").cast("string")))
+    // observed per-arm moments
+    val obs = base.groupBy("g")
+      .agg(sum(when(col("arm"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm"), d380(col("v")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("s1"),
+        sum(when(!col("arm"), 1L).otherwise(0L)).as("n0"),
+        sum(when(!col("arm"), d380(col("v")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("s0"))
+      .filter(col("n1") > 0 && col("n0") > 0)
+      .withColumn("d_obs", abs(dd(col("s1")) / dd(col("n1")) -
+        dd(col("s0")) / dd(col("n0"))))
+    // null replicates: hex digit b < '8' ⇔ pseudo-arm
+    val reps = base
+      .withColumn("b", explode(sequence(lit(0), lit(r - 1))))
+      .withColumn("parm", ascii(col("h").substr(col("b") + 1, lit(1))) <= 55)
+      .groupBy("g", "b")
+      .agg(sum(when(col("parm"), 1L).otherwise(0L)).as("m1"),
+        sum(when(col("parm"), d380(col("v")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("t1"),
+        sum(when(!col("parm"), 1L).otherwise(0L)).as("m0"),
+        sum(when(!col("parm"), d380(col("v")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("t0"))
+      .filter(col("m1") > 0 && col("m0") > 0)
+      .withColumn("d_null", abs(dd(col("t1")) / dd(col("m1")) -
+        dd(col("t0")) / dd(col("m0"))))
+    reps.join(obs, "g")
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n1")).as("n_arm"), max(col("n0")).as("n_rest"),
+        (max(col("d_obs")) / 100.0).as("obs_diff"),
+        count(lit(1)).as("n_replicates"),
+        sum(when(col("d_null") >= col("d_obs"), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .withColumn("p_value", (dd(col("n_extreme")) + 1.0) /
+        (dd(col("n_replicates")) + 1.0))
+      .orderBy(groupCol)
+  }
+
+  /** Is the promo-arm revenue shift (q260's Welch subject) bigger than
+    * label-shuffling noise, per return flag. */
+  def q279RandomizationTest(spark: SparkSession, dir: String): DataFrame =
+    randomizationTest(Tables.lineitem(spark, dir), "l_returnflag",
+      col("l_discount") >= 0.05, "l_extendedprice", // same contrast as q260
+      "l_orderkey", r = 32)
+
+  /** McNemar's test — the PAIRED classifier comparison (accuracy deltas
+    * on the same rows mislead when errors overlap): only the discordant
+    * counts matter, χ² = (b − c)²/(b + c) with b = A-wrong/B-right,
+    * c = A-right/B-wrong. Here classifier A is the trained NB (q230) and
+    * B is the majority-class baseline every model must beat. Counts are
+    * exact integers from one scan (the NB grid and the majority class
+    * are broadcast statistic frames); the statistic is one double. */
+  def mcnemarNbVsMajority(df: DataFrame, f1Col: String, f2Col: String,
+      classCol: String): DataFrame = {
+    val pred = naiveBayes2(df, f1Col, f2Col, classCol)
+      .select(col(f1Col).as("f1"), col(f2Col).as("f2"), col("predicted"))
+    val major = df.groupBy(col(classCol).as("c"))
+      .agg(count(lit(1)).as("nc"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("nc").desc, col("c"))))
+      .filter(col("rk") === 1)
+      .select(col("c").as("majority"))
+    df.select(col(f1Col).as("f1"), col(f2Col).as("f2"),
+        col(classCol).as("actual"))
+      .join(broadcast(pred), Seq("f1", "f2"))
+      .crossJoin(broadcast(major)) // 1-row build side
+      .withColumn("a_ok", col("predicted") === col("actual"))
+      .withColumn("b_ok", col("majority") === col("actual"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L)).as("b"),
+        sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L)).as("c"))
+      .filter(col("b") + col("c") > 0)
+      .select(col("n"), col("b"), col("c"),
+        ((dd(col("b")) - dd(col("c"))) * (dd(col("b")) - dd(col("c"))) /
+          (dd(col("b")) + dd(col("c")))).as("chi2_mcnemar"))
+  }
+
+  /** Does the NB priority model beat always-guess-the-mode, on paired
+    * rows — the discordant-pair gate. */
+  def q285Mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    mcnemarNbVsMajority(o.join(c, o("o_custkey") === c("c_custkey")),
+      "c_mktsegment", "o_orderstatus", "o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_partial_corr" -> (q274PartialCorr _),
+    "q275_ols_two" -> (q275OlsTwo _),
+    "q284_kruskal_wallis" -> (q284KruskalWallis _),
+    "q272_decision_stump" -> (q272DecisionStump _),
+    "q279_randomization_test" -> (q279RandomizationTest _),
+    "q285_mcnemar" -> (q285Mcnemar _),
     "q268_log_rank" -> (q268LogRank _),
     "q267_kendall_tau" -> (q267KendallTau _),
     "q269_wasserstein" -> (q269Wasserstein _),
@@ -2320,6 +2648,315 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q274_partial_corr" ->
+      """WITH rows_q AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS z
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sz,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS syy,
+        |    CAST(SUM(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS szz,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxz,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS syz
+        |  FROM rows_q GROUP BY g),
+        |c AS (
+        |  SELECT *,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy
+        |      AS DECIMAL(38,0)) AS cxy,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxz - sx * sz
+        |      AS DECIMAL(38,0)) AS cxz,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * syz - sy * sz
+        |      AS DECIMAL(38,0)) AS cyz,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+        |      AS DECIMAL(38,0)) AS vx,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+        |      AS DECIMAL(38,0)) AS vy,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * szz - sz * sz
+        |      AS DECIMAL(38,0)) AS vz
+        |  FROM m),
+        |r AS (
+        |  SELECT *,
+        |    CAST(cxy AS DOUBLE)
+        |      / SQRT(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) AS rxy,
+        |    CAST(cxz AS DOUBLE)
+        |      / SQRT(CAST(vx AS DOUBLE) * CAST(vz AS DOUBLE)) AS rxz,
+        |    CAST(cyz AS DOUBLE)
+        |      / SQRT(CAST(vy AS DOUBLE) * CAST(vz AS DOUBLE)) AS ryz
+        |  FROM c WHERE vx > 0 AND vy > 0 AND vz > 0)
+        |SELECT g AS l_returnflag, n, rxy, rxz, ryz,
+        |  (rxy - rxz * ryz)
+        |    / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) AS r_xy_z
+        |FROM r WHERE rxz * rxz < 1.0 AND ryz * ryz < 1.0
+        |ORDER BY 1""".stripMargin,
+    "q275_ols_two" ->
+      """WITH rows_q AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS a,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS b,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(CAST(a AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sa,
+        |    CAST(SUM(CAST(b AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sb,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(a AS DECIMAL(38,0)) * CAST(a AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS saa,
+        |    CAST(SUM(CAST(b AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sbb,
+        |    CAST(SUM(CAST(a AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sab,
+        |    CAST(SUM(CAST(a AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS say,
+        |    CAST(SUM(CAST(b AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sby,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS syy
+        |  FROM rows_q GROUP BY g),
+        |s AS (
+        |  SELECT *,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * saa - sa * sa
+        |      AS DECIMAL(38,0)) AS s11,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sbb - sb * sb
+        |      AS DECIMAL(38,0)) AS s22,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sab - sa * sb
+        |      AS DECIMAL(38,0)) AS s12,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * say - sa * sy
+        |      AS DECIMAL(38,0)) AS s1y,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sby - sb * sy
+        |      AS DECIMAL(38,0)) AS s2y,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+        |      AS DECIMAL(38,0)) AS syy_c
+        |  FROM m),
+        |d AS (
+        |  SELECT *, CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+        |    - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE) AS det
+        |  FROM s),
+        |bb AS (
+        |  SELECT *,
+        |    (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)
+        |      - CAST(s2y AS DOUBLE) * CAST(s12 AS DOUBLE)) / det AS b1,
+        |    (CAST(s2y AS DOUBLE) * CAST(s11 AS DOUBLE)
+        |      - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)) / det AS b2
+        |  FROM d WHERE det > 0 AND syy_c > 0)
+        |SELECT g AS l_returnflag, n, b1, b2,
+        |  (CAST(sy AS DOUBLE) - b1 * CAST(sa AS DOUBLE)
+        |    - b2 * CAST(sb AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
+        |    AS intercept,
+        |  (b1 * CAST(s1y AS DOUBLE) + b2 * CAST(s2y AS DOUBLE))
+        |    / CAST(syy_c AS DOUBLE) AS r2
+        |FROM bb ORDER BY 1""".stripMargin,
+    "q284_kruskal_wallis" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY v, g) AS rn FROM v),
+        |r2 AS (
+        |  SELECT *, MIN(rn) OVER (PARTITION BY v)
+        |    + MAX(rn) OVER (PARTITION BY v) AS r2
+        |  FROM r),
+        |grp AS (
+        |  SELECT g, COUNT(*) AS ng,
+        |    CAST(SUM(CAST(r2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t2
+        |  FROM r2 GROUP BY g),
+        |ties AS (
+        |  SELECT CAST(SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+        |      * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)) AS tie_sum
+        |  FROM (SELECT COUNT(*) AS t FROM r2 GROUP BY v)),
+        |terms AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+        |      / (4.0 * CAST(ng AS DOUBLE)) AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS tsum
+        |  FROM grp HAVING COUNT(*) > 1)
+        |SELECT k, n,
+        |  12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        |    * CAST(tsum AS DOUBLE) - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+        |  1.0 - CAST(tie_sum AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(n AS DOUBLE)) AS tie_c,
+        |  (12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        |    * CAST(tsum AS DOUBLE) - 3.0 * CAST(n + 1 AS DOUBLE))
+        |    / (1.0 - CAST(tie_sum AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE))) AS h_adj
+        |FROM terms CROSS JOIN ties""".stripMargin,
+    "q272_decision_stump" ->
+      """WITH pf AS (
+        |  SELECT 'l_quantity' AS feature,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS p
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount',
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax',
+        |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        |  FROM lineitem),
+        |hist AS (
+        |  SELECT feature, x, COUNT(*) AS nv, CAST(SUM(p) AS BIGINT) AS pv
+        |  FROM pf GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *,
+        |    CAST(SUM(nv) OVER (PARTITION BY feature ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+        |    CAST(SUM(pv) OVER (PARTITION BY feature ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+        |    CAST(SUM(nv) OVER (PARTITION BY feature) AS BIGINT) AS nn,
+        |    CAST(SUM(pv) OVER (PARTITION BY feature) AS BIGINT) AS pp
+        |  FROM hist),
+        |s AS (
+        |  SELECT *, nn - nl AS nr, pp - pl AS pr
+        |  FROM cum WHERE nn - nl > 0),
+        |wg AS (
+        |  SELECT *,
+        |    (CAST(nl AS DOUBLE) - (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+        |        + CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE))
+        |        / CAST(nl AS DOUBLE)
+        |      + CAST(nr AS DOUBLE) - (CAST(pr AS DOUBLE) * CAST(pr AS DOUBLE)
+        |        + CAST(nr - pr AS DOUBLE) * CAST(nr - pr AS DOUBLE))
+        |        / CAST(nr AS DOUBLE)) / CAST(nn AS DOUBLE) AS wg
+        |  FROM s),
+        |k AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+        |    ORDER BY wg, x) AS rk
+        |  FROM wg)
+        |SELECT feature, CAST(x AS DOUBLE) / 100.0 AS threshold,
+        |  wg AS weighted_gini, nl AS n_left, nr AS n_right,
+        |  pl AS pos_left, pr AS pos_right
+        |FROM k WHERE rk = 1 ORDER BY feature""".stripMargin,
+    "q279_randomization_test" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g, l_discount >= 0.05 AS arm,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    md5(CAST(l_orderkey AS VARCHAR)) AS h
+        |  FROM lineitem),
+        |obs AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(v AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN NOT arm THEN CAST(v AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s0
+        |  FROM base GROUP BY g
+        |  HAVING SUM(CASE WHEN arm THEN 1 ELSE 0 END) > 0
+        |    AND SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) > 0),
+        |obs2 AS (
+        |  SELECT *, ABS(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS d_obs
+        |  FROM obs),
+        |fan AS (
+        |  SELECT g, v, b,
+        |    ascii(substr(h, CAST(b AS INT) + 1, 1)) <= 55 AS parm
+        |  FROM base CROSS JOIN (SELECT UNNEST(range(0, 32)) AS b)),
+        |reps AS (
+        |  SELECT g, b,
+        |    CAST(SUM(CASE WHEN parm THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(SUM(CASE WHEN parm THEN CAST(v AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS t1,
+        |    CAST(SUM(CASE WHEN NOT parm THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+        |    CAST(SUM(CASE WHEN NOT parm THEN CAST(v AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS t0
+        |  FROM fan GROUP BY g, b
+        |  HAVING SUM(CASE WHEN parm THEN 1 ELSE 0 END) > 0
+        |    AND SUM(CASE WHEN NOT parm THEN 1 ELSE 0 END) > 0),
+        |nulls AS (
+        |  SELECT reps.g, ABS(CAST(t1 AS DOUBLE) / CAST(m1 AS DOUBLE)
+        |    - CAST(t0 AS DOUBLE) / CAST(m0 AS DOUBLE)) AS d_null,
+        |    obs2.n1, obs2.n0, obs2.d_obs
+        |  FROM reps JOIN obs2 ON obs2.g = reps.g)
+        |SELECT g AS l_returnflag, MAX(n1) AS n_arm, MAX(n0) AS n_rest,
+        |  MAX(d_obs) / 100.0 AS obs_diff,
+        |  CAST(COUNT(*) AS BIGINT) AS n_replicates,
+        |  CAST(SUM(CASE WHEN d_null >= d_obs THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_extreme,
+        |  (CAST(SUM(CASE WHEN d_null >= d_obs THEN 1 ELSE 0 END)
+        |      AS DOUBLE) + 1.0)
+        |    / (CAST(COUNT(*) AS DOUBLE) + 1.0) AS p_value
+        |FROM nulls GROUP BY g ORDER BY 1""".stripMargin,
+    "q285_mcnemar" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS f1, o_orderstatus AS f2,
+        |    o_orderpriority AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cls AS (SELECT c, COUNT(*) AS nc FROM base GROUP BY c),
+        |l1 AS (SELECT f1, c, COUNT(*) AS n1 FROM base GROUP BY 1, 2),
+        |l2 AS (SELECT f2, c, COUNT(*) AS n2 FROM base GROUP BY 1, 2),
+        |scal AS (
+        |  SELECT COUNT(*) AS n, COUNT(DISTINCT f1) AS v1,
+        |    COUNT(DISTINCT f2) AS v2
+        |  FROM base),
+        |combos AS (SELECT DISTINCT f1, f2 FROM base),
+        |grid AS (
+        |  SELECT co.f1, co.f2, cls.c, cls.nc,
+        |    COALESCE(l1.n1, 0) AS n1, COALESCE(l2.n2, 0) AS n2,
+        |    s.n, s.v1, s.v2
+        |  FROM combos co CROSS JOIN cls
+        |  LEFT JOIN l1 ON l1.f1 = co.f1 AND l1.c = cls.c
+        |  LEFT JOIN l2 ON l2.f2 = co.f2 AND l2.c = cls.c
+        |  CROSS JOIN scal s),
+        |pred AS (
+        |  SELECT f1, f2, c AS predicted FROM (
+        |    SELECT f1, f2, c,
+        |      ROW_NUMBER() OVER (PARTITION BY f1, f2 ORDER BY
+        |        CAST(nc AS DOUBLE) * CAST(n1 + 1 AS DOUBLE)
+        |          * CAST(n2 + 1 AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * CAST(nc + v1 AS DOUBLE)
+        |            * CAST(nc + v2 AS DOUBLE)) DESC, c) AS rk
+        |    FROM grid) WHERE rk = 1),
+        |major AS (
+        |  SELECT c AS majority FROM (
+        |    SELECT c, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c) AS rk
+        |    FROM base GROUP BY c) WHERE rk = 1),
+        |j AS (
+        |  SELECT base.c = pred.predicted AS a_ok,
+        |    base.c = major.majority AS b_ok
+        |  FROM base
+        |  JOIN pred ON pred.f1 = base.f1 AND pred.f2 = base.f2
+        |  CROSS JOIN major)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c,
+        |  (CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    - CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+        |      AS DOUBLE))
+        |  * (CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    - CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+        |      AS DOUBLE))
+        |  / (CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    + CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+        |      AS DOUBLE)) AS chi2_mcnemar
+        |FROM j
+        |HAVING SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+        |  + SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) > 0""".stripMargin,
     "q268_log_rank" ->
       """WITH ev AS (
         |  SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS us,

@@ -1055,7 +1055,210 @@ object Stats {
   def q206Changepoint(spark: SparkSession, dir: String): DataFrame =
     changepoint(Tables.events(spark, dir), "ts", "event_type", 3600L)
 
+  /** Maximum drawdown of a per-key cumulative "equity curve" — the
+    * risk-analytics staple (how far below its running peak did the
+    * cumulative measure fall, and when). The measure is micro-quantized
+    * (the q169 CUSUM rule) so the equity prefix sum and its running max
+    * are exact longs; drawdown is their exact difference, and only the
+    * final unit rescale is a double. The trough row is picked by a total
+    * order (drawdown desc, time, id), so the gate is deterministic. Two
+    * running windows + one rank window on ONE key-hash exchange. */
+  def maxDrawdown(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val wRun = Window.partitionBy("k").orderBy(col("us"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy("k")
+      .orderBy(col("dd").desc, col("us"), col("id"))
+    events
+      .select(col(keyCol).as("k"), expr(s"unix_micros($tsCol)").as("us"),
+        col(idCol).as("id"),
+        (col(valCol).cast("decimal(18,6)") * 1000000).cast("long").as("vu"))
+      .withColumn("eq", sum(col("vu")).over(wRun))
+      .withColumn("peak", max(col("eq")).over(wRun))
+      .withColumn("dd", col("peak") - col("eq"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("k")))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("k").as(keyCol), col("cnt").as("n_events"),
+        (col("dd").cast("double") / 1000000.0).as("max_drawdown"),
+        col("us").as("trough_us"),
+        (col("peak").cast("double") / 1000000.0).as("peak_equity"))
+      .orderBy(keyCol)
+  }
+
+  /** Worst peak-to-trough slide of each event type's cumulative value. */
+  def q271MaxDrawdown(spark: SparkSession, dir: String): DataFrame =
+    maxDrawdown(Tables.events(spark, dir), "event_type", "ts", "event_id",
+      "value")
+
+  /** Grubbs' outlier test per slice: G = max|x − mean| / sd, plus WHICH
+    * row achieves it. The centi-exact moment reduction (n, Σv, Σv²) is
+    * one map-side-combined aggregation; per-row deviations are the exact
+    * integers |n·x − Σv| (no float mean subtraction), the argmax is a
+    * total order (deviation desc, key), and G is a fixed-shape double
+    * finish over exact DECIMALs — the [[chiSquare]]/[[Ml.welchTTest]]
+    * float discipline. The join back to rows is stats-frame-sized
+    * (broadcast). Slices with n < 3 are excluded (test undefined). */
+  def grubbsTest(df: DataFrame, groupCol: String, valCol: String,
+      keyCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val per = df.select(col(groupCol).as("g"),
+      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("x"),
+      col(keyCol).as("key"))
+    val stats = per.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("x"))).cast("decimal(38,0)").as("s"),
+        sum(d(col("x")) * d(col("x"))).cast("decimal(38,0)").as("ss"))
+      .filter(col("n") >= 3)
+    val wPick = Window.partitionBy("g")
+      .orderBy(col("dev").desc, col("key"))
+    per.join(broadcast(stats), "g")
+      .withColumn("dev",
+        abs(d(col("x")) * d(col("n")) - col("s")).cast("decimal(38,0)"))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("g").as(groupCol), col("n"),
+        col("key").as("outlier_key"),
+        (dd(col("x")) / 100.0).as("outlier_value"),
+        (dd(col("s")) / dd(col("n")) / 100.0).as("mean"),
+        ((dd(col("dev")) / dd(col("n"))) /
+          sqrt(dd(d(col("n")) * col("ss") - col("s") * col("s")) /
+            (dd(col("n")) * dd(col("n") - 1)))).as("g_stat"))
+      .orderBy(groupCol)
+  }
+
+  /** Most extreme order value per priority class, Grubbs-scored. */
+  def q276Grubbs(spark: SparkSession, dir: String): DataFrame =
+    grubbsTest(Tables.orders(spark, dir), "o_orderpriority",
+      "o_totalprice", "o_orderkey")
+
+  /** Forecast-accuracy battery for the seasonal-naive backtest
+    * ([[seasonalNaiveBacktest]]'s MAE/bias, completed with RMSE, MAPE and
+    * MASE — the scale-free score forecasters actually compare on:
+    * MAE ÷ the in-sample naive-1 MAE, so "beat 1.0" means "beat persistence").
+    * Evaluation buckets are those where the actual, the season-lag and
+    * the 1-lag values ALL exist, so every metric sums over the same
+    * support. Error sums are exact longs; MAPE's per-bucket ratios are
+    * DECIMAL-quantized before summing (order-insensitive); each final
+    * metric is one double expression. The lag joins are self-joins on
+    * the same (key, bucket) hash partitioning — co-partitioned, no extra
+    * exchange at scale. */
+  def forecastAccuracy(events: DataFrame, tsCol: String, keyCol: String,
+      bucketSeconds: Long, season: Int): DataFrame = {
+    require(bucketSeconds > 0 && season >= 2, s"bad args: $bucketSeconds $season")
+    val dd = (c: Column) => c.cast("double")
+    val buck = events.select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}").as("b"))
+      .groupBy("k", "b").agg(count(lit(1)).as("n"))
+    val fc = buck.select(col("k"), (col("b") + season).as("b"),
+      col("n").as("n_fc"))
+    val prev = buck.select(col("k"), (col("b") + 1).as("b"),
+      col("n").as("n_prev"))
+    buck.join(fc, Seq("k", "b")).join(prev, Seq("k", "b"))
+      .groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(abs(col("n") - col("n_fc"))).as("sae"),
+        sum((col("n") - col("n_fc")) * (col("n") - col("n_fc"))).as("sse"),
+        sum((dd(abs(col("n") - col("n_fc"))) / dd(col("n")))
+          .cast("decimal(38,15)")).cast("decimal(38,15)").as("sape"),
+        sum(abs(col("n") - col("n_prev"))).as("sae1"))
+      .filter(col("sae1") > 0)
+      .select(col(keyCol), col("n_buckets"),
+        (dd(col("sae")) / dd(col("n_buckets"))).as("mae"),
+        sqrt(dd(col("sse")) / dd(col("n_buckets"))).as("rmse"),
+        (dd(col("sape")) * 100.0 / dd(col("n_buckets"))).as("mape_pct"),
+        (dd(col("sae")) / dd(col("sae1"))).as("mase"))
+      .orderBy(keyCol)
+  }
+
+  /** How good is "same hour yesterday" as an hourly volume forecast,
+    * per event type — MAE/RMSE/MAPE/MASE on the common support. */
+  def q277ForecastAccuracy(spark: SparkSession, dir: String): DataFrame =
+    forecastAccuracy(Tables.events(spark, dir), "ts", "event_type",
+      bucketSeconds = 3600L, season = 24)
+
+  /** Nelson–Aalen cumulative hazard over entity lifetimes — the
+    * estimator-of-choice companion to [[survivalCurve]]'s Kaplan–Meier
+    * shape: H(t) = Σ_{s ≤ t} d_s / n_s over the lifetime histogram, with
+    * n_s = entities surviving ≥ s (the reverse running sum). Per-time
+    * hazard increments are DECIMAL-quantized before the cumulative sum
+    * (order-exact), the final H and exp(−H) are double finishes. All
+    * windows run over the day-histogram STATISTIC frame, never over
+    * entities. */
+  def nelsonAalen(events: DataFrame, tsCol: String,
+      keyCol: String): DataFrame = {
+    val lt = events.withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .groupBy(col(keyCol))
+      .agg(expr("(max(__us) - min(__us)) div 86400000000").as("t_days"))
+    val hist = lt.groupBy("t_days").agg(count(lit(1)).as("d"))
+    val wRev = Window.orderBy(desc("t_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy("t_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("n_at_risk", sum(col("d")).over(wRev))
+      .withColumn("h_inc", (col("d").cast("double") /
+        col("n_at_risk").cast("double")).cast("decimal(38,15)"))
+      .withColumn("cum_hazard",
+        sum(col("h_inc")).over(wCum).cast("decimal(38,15)").cast("double"))
+      .select(col("t_days"), col("d"), col("n_at_risk"), col("cum_hazard"),
+        exp(-col("cum_hazard")).as("s_na"))
+      .orderBy("t_days")
+  }
+
+  /** Cumulative hazard of user churn by lifetime day (Nelson–Aalen). */
+  def q282NelsonAalen(spark: SparkSession, dir: String): DataFrame =
+    nelsonAalen(Tables.events(spark, dir), "ts", "user_id")
+
+  /** Lorenz curve of a per-entity measure by decile — the inequality
+    * curve behind [[giniByGroup]]'s scalar: decile d's share and
+    * cumulative share of the total. Entities are ranked by the exact
+    * centi-long measure with the entity id as tiebreak (total order →
+    * deterministic gate); shares are exact-integer ratios finished as
+    * doubles. The decile window is a global sort here (the q175 RFM
+    * shape); at 100 TB swap the ntile for broadcast percentile cutpoints
+    * (the q232 gains-curve move) — same output contract. */
+  def lorenzCurve(perEntity: DataFrame, entityCol: String,
+      measureCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"decile count must be >= 2: $k")
+    val dd = (c: Column) => c.cast("double")
+    val wRank = Window.orderBy(col("m"), col("e"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    perEntity.select(col(entityCol).as("e"), col(measureCol).as("m"))
+      .withColumn("decile", ntile(k).over(wRank))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_entities"), sum(col("m")).as("sc"))
+      .withColumn("total", sum(col("sc")).over(wAll))
+      .withColumn("cum", sum(col("sc")).over(wCum))
+      .select(col("decile").cast("int").as("decile"), col("n_entities"),
+        (dd(col("sc")) / 100.0).as("spend"),
+        (dd(col("sc")) / dd(col("total"))).as("share"),
+        (dd(col("cum")) / dd(col("total"))).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  /** Customer-spend concentration: the Lorenz curve over all customers
+    * (zero-spend customers included — the LEFT-join rule q176 uses). */
+  def q283LorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("__spend_c"))
+    val per = Tables.customer(spark, dir)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("__spend_c"), lit(0L)).as("spend_c"))
+    lorenzCurve(per, "c_custkey", "spend_c", 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_max_drawdown" -> (q271MaxDrawdown _),
+    "q276_grubbs" -> (q276Grubbs _),
+    "q277_forecast_accuracy" -> (q277ForecastAccuracy _),
+    "q282_nelson_aalen" -> (q282NelsonAalen _),
+    "q283_lorenz_curve" -> (q283LorenzCurve _),
     "q202_weighted_median" -> (q202WeightedMedian _),
     "q203_lead_lag" -> (q203LeadLag _),
     "q204_mix_entropy" -> (q204MixEntropy _),
@@ -1083,6 +1286,133 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q271_max_drawdown" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vu
+        |  FROM events),
+        |c AS (
+        |  SELECT *, CAST(SUM(vu) OVER (PARTITION BY event_type
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS eq
+        |  FROM e),
+        |r AS (
+        |  SELECT *, MAX(eq) OVER (PARTITION BY event_type
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS peak,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM c),
+        |d AS (SELECT *, peak - eq AS dd FROM r),
+        |k AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY dd DESC, us, event_id) AS rk
+        |  FROM d)
+        |SELECT event_type, CAST(cnt AS BIGINT) AS n_events,
+        |  CAST(dd AS DOUBLE) / 1000000.0 AS max_drawdown,
+        |  us AS trough_us,
+        |  CAST(peak AS DOUBLE) / 1000000.0 AS peak_equity
+        |FROM k WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "q276_grubbs" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    o_orderkey AS key
+        |  FROM orders),
+        |stats AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS ss
+        |  FROM per GROUP BY g HAVING COUNT(*) >= 3),
+        |j AS (
+        |  SELECT per.*, stats.n, stats.s, stats.ss,
+        |    CAST(ABS(CAST(x AS DECIMAL(38,0)) * CAST(stats.n AS DECIMAL(38,0))
+        |      - stats.s) AS DECIMAL(38,0)) AS dev
+        |  FROM per JOIN stats USING (g)),
+        |k AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY dev DESC, key) AS rk
+        |  FROM j)
+        |SELECT g AS o_orderpriority, n, key AS outlier_key,
+        |  CAST(x AS DOUBLE) / 100.0 AS outlier_value,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+        |  (CAST(dev AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / SQRT(CAST(CAST(n AS DECIMAL(38,0)) * ss - s * s AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS g_stat
+        |FROM k WHERE rk = 1 ORDER BY 1""".stripMargin,
+    "q277_forecast_accuracy" ->
+      """WITH buck AS (
+        |  SELECT event_type AS k,
+        |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS b,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.k, a.n, f.n AS n_fc, p.n AS n_prev
+        |  FROM buck a
+        |  JOIN buck f ON f.k = a.k AND f.b + 24 = a.b
+        |  JOIN buck p ON p.k = a.k AND p.b + 1 = a.b),
+        |agg AS (
+        |  SELECT k, COUNT(*) AS n_buckets,
+        |    CAST(SUM(ABS(n - n_fc)) AS BIGINT) AS sae,
+        |    CAST(SUM((n - n_fc) * (n - n_fc)) AS BIGINT) AS sse,
+        |    CAST(SUM(CAST(CAST(ABS(n - n_fc) AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS DECIMAL(38,15))) AS DECIMAL(38,15)) AS sape,
+        |    CAST(SUM(ABS(n - n_prev)) AS BIGINT) AS sae1
+        |  FROM j GROUP BY k HAVING SUM(ABS(n - n_prev)) > 0)
+        |SELECT k AS event_type, n_buckets,
+        |  CAST(sae AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS mae,
+        |  SQRT(CAST(sse AS DOUBLE) / CAST(n_buckets AS DOUBLE)) AS rmse,
+        |  CAST(sape AS DOUBLE) * 100.0 / CAST(n_buckets AS DOUBLE)
+        |    AS mape_pct,
+        |  CAST(sae AS DOUBLE) / CAST(sae1 AS DOUBLE) AS mase
+        |FROM agg ORDER BY 1""".stripMargin,
+    "q282_nelson_aalen" ->
+      """WITH lt AS (
+        |  SELECT user_id,
+        |    (MAX(CAST(epoch_us(ts) AS BIGINT))
+        |      - MIN(CAST(epoch_us(ts) AS BIGINT))) // 86400000000 AS t_days
+        |  FROM events GROUP BY user_id),
+        |hist AS (SELECT t_days, COUNT(*) AS d FROM lt GROUP BY t_days),
+        |r AS (
+        |  SELECT *, CAST(SUM(d) OVER (ORDER BY t_days DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+        |  FROM hist),
+        |inc AS (
+        |  SELECT *, CAST(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+        |    AS DECIMAL(38,15)) AS h_inc
+        |  FROM r),
+        |cum AS (
+        |  SELECT *, CAST(CAST(SUM(h_inc) OVER (ORDER BY t_days
+        |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,15)) AS DOUBLE)
+        |    AS cum_hazard
+        |  FROM inc)
+        |SELECT t_days, d, n_at_risk, cum_hazard,
+        |  EXP(-cum_hazard) AS s_na
+        |FROM cum ORDER BY t_days""".stripMargin,
+    "q283_lorenz_curve" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS spend_c
+        |  FROM orders GROUP BY o_custkey),
+        |per AS (
+        |  SELECT c.c_custkey AS e, COALESCE(s.spend_c, 0) AS m
+        |  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey),
+        |dec AS (
+        |  SELECT *, ntile(10) OVER (ORDER BY m, e) AS decile
+        |  FROM per),
+        |g AS (
+        |  SELECT decile, COUNT(*) AS n_entities,
+        |    CAST(SUM(m) AS BIGINT) AS sc
+        |  FROM dec GROUP BY decile),
+        |t AS (
+        |  SELECT *, CAST(SUM(sc) OVER () AS BIGINT) AS total,
+        |    CAST(SUM(sc) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM g)
+        |SELECT CAST(decile AS INT) AS decile, n_entities,
+        |  CAST(sc AS DOUBLE) / 100.0 AS spend,
+        |  CAST(sc AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        |FROM t ORDER BY decile""".stripMargin,
     "q220_psi_drift" ->
       """WITH mid AS (
         |  SELECT (MIN(CAST(epoch_us(ts) AS BIGINT))

@@ -802,4 +802,85 @@ class MlSpec extends AnyFunSuite {
       math.abs(mi.getAs[Double]("mi_nats")) < 1e-9)
     assert(mi.getAs[Double]("nmi") <= 1.0 + 1e-12)
   }
+
+  test("partialCorrelation: y = x gives partial 1; x = z slices are " +
+      "excluded as degenerate") {
+    import spark.implicits._
+    val same = Seq(("g", 1.0, 1.0, 3.0), ("g", 2.0, 2.0, 1.0),
+      ("g", 3.0, 3.0, 4.0), ("g", 4.0, 4.0, 2.0)).toDF("g", "x", "y", "z")
+    val r = Ml.partialCorrelation(same, "g", "x", "y", "z").head()
+    assert(math.abs(r.getAs[Double]("r_xy_z") - 1.0) < 1e-12)
+    // x == z -> r_xz = 1 -> the partial is undefined -> excluded
+    val conf = Seq(("g", 1.0, 2.0, 1.0), ("g", 2.0, 1.0, 2.0),
+      ("g", 3.0, 4.0, 3.0), ("g", 4.0, 3.0, 4.0)).toDF("g", "x", "y", "z")
+    assert(Ml.partialCorrelation(conf, "g", "x", "y", "z").count() == 0)
+  }
+
+  test("olsTwoFeatures: exact plane y = 2a + 3b + 5 is recovered with " +
+      "r2 = 1") {
+    import spark.implicits._
+    val rows = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 5.0))
+      .map { case (a, b) => ("g", a, b, 2 * a + 3 * b + 5) }
+      .toDF("g", "a", "b", "y")
+    val r = Ml.olsTwoFeatures(rows, "g", "a", "b", "y").head()
+    assert(math.abs(r.getAs[Double]("b1") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b2") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 5.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-12)
+    // collinear regressors (b = 2a) are excluded: det = 0
+    val col2 = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0))
+      .map { case (a, b) => ("g", a, b, a + b) }.toDF("g", "a", "b", "y")
+    assert(Ml.olsTwoFeatures(col2, "g", "a", "b", "y").count() == 0)
+  }
+
+  test("kruskalWallis: {1,2} vs {3,4} gives the textbook H = 2.4; no " +
+      "ties -> correction 1") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = Ml.kruskalWallis(df, "g", "v").head()
+    // H = 12/(4*5) * (3^2/2 + 7^2/2) - 3*5 = 0.6*29 - 15 = 2.4
+    assert(math.abs(r.getAs[Double]("h") - 2.4) < 1e-9)
+    assert(math.abs(r.getAs[Double]("tie_c") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("h_adj") - 2.4) < 1e-9)
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("k") == 2L)
+  }
+
+  test("decisionStump: a perfectly separable feature splits at gini 0 " +
+      "with the exact class counts") {
+    import spark.implicits._
+    val df = Seq((1.0, false), (1.0, false), (2.0, true), (2.0, true))
+      .toDF("x", "pos")
+    val r = Ml.decisionStump(df, Seq("x"), col("pos")).head()
+    assert(r.getAs[Double]("threshold") == 1.0)
+    assert(r.getAs[Double]("weighted_gini") == 0.0)
+    assert(r.getAs[Long]("n_left") == 2L && r.getAs[Long]("n_right") == 2L)
+    assert(r.getAs[Long]("pos_left") == 0L && r.getAs[Long]("pos_right") == 2L)
+  }
+
+  test("randomizationTest: a zero-effect contrast (constant outcome) " +
+      "is maximally insignificant, p = 1") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => ("g", i % 2 == 0, 7.0, i.toLong))
+      .toDF("g", "arm", "v", "k")
+    val r = Ml.randomizationTest(df, "g", col("arm"), "v", "k", r = 16)
+      .head()
+    assert(r.getAs[Double]("obs_diff") == 0.0)
+    assert(r.getAs[Double]("p_value") == 1.0)
+    assert(r.getAs[Long]("n_replicates") <= 16L)
+  }
+
+  test("mcnemarNbVsMajority: hand-checked discordant pairs — NB " +
+      "perfect, majority wrong on the minority class") {
+    import spark.implicits._
+    // f1 fully determines the class; majority class is A (3 vs 2).
+    // NB predicts both f1 blocks correctly (checked by hand with the
+    // +1-smoothed scores), so b = 0, c = 2, chi2 = (0-2)^2/2 = 2.
+    val df = Seq(("a", "x", "A"), ("a", "x", "A"), ("a", "x", "A"),
+      ("b", "x", "B"), ("b", "x", "B")).toDF("f1", "f2", "c")
+    val r = Ml.mcnemarNbVsMajority(df, "f1", "f2", "c").head()
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("b") == 0L && r.getAs[Long]("c") == 2L)
+    assert(math.abs(r.getAs[Double]("chi2_mcnemar") - 2.0) < 1e-12)
+  }
 }

@@ -704,4 +704,82 @@ class StatsSpec extends AnyFunSuite {
     assert(out(1L) == ((3L, "B", 2000000L)))
     assert(out(2L) == ((2L, "C", 0L)))
   }
+
+  private def tsRow(sec: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+
+  test("maxDrawdown: hand-built equity curve +1 +2 -3 +1 troughs 3 " +
+      "below the peak of 3") {
+    import spark.implicits._
+    val df = Seq((tsRow(0), 1L, 1.0), (tsRow(1), 2L, 2.0),
+      (tsRow(2), 3L, -3.0), (tsRow(3), 4L, 1.0))
+      .map { case (t, i, v) => ("k", t, i, v) }.toDF("k", "ts", "id", "v")
+    val r = Stats.maxDrawdown(df, "k", "ts", "id", "v").head()
+    assert(r.getAs[Long]("n_events") == 4L)
+    assert(r.getAs[Double]("max_drawdown") == 3.0)
+    assert(r.getAs[Long]("trough_us") == 2000000L)
+    assert(r.getAs[Double]("peak_equity") == 3.0)
+  }
+
+  test("grubbsTest: {1,2,3,10} flags the 10 with the textbook G") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 10.0).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("g", "v", "k")
+    val r = Stats.grubbsTest(df, "g", "v", "k").head()
+    assert(r.getAs[Long]("outlier_key") == 3L)
+    assert(r.getAs[Double]("outlier_value") == 10.0)
+    assert(math.abs(r.getAs[Double]("mean") - 4.0) < 1e-12)
+    // G = |10-4| / sqrt(50/3) = 1.4696938456699067
+    assert(math.abs(r.getAs[Double]("g_stat") - 1.4696938456699067) < 1e-12)
+    // n < 3 slices excluded
+    val tiny = Seq(("g", 1.0, 1L), ("g", 2.0, 2L)).toDF("g", "v", "k")
+    assert(Stats.grubbsTest(tiny, "g", "v", "k").count() == 0)
+  }
+
+  test("forecastAccuracy: hand-built hourly counts 1,2,3,4 at season 2 " +
+      "give MAE 2, MASE 2") {
+    import spark.implicits._
+    // hour h gets h+1 events
+    val rows = for (h <- 0 to 3; i <- 0 to h)
+      yield ("k", tsRow(h * 3600L + i))
+    val r = Stats.forecastAccuracy(rows.toDF("k", "ts"), "ts", "k",
+      bucketSeconds = 3600L, season = 2).head()
+    // eval hours 2,3: |3-1|=2, |4-2|=2 -> mae 2, rmse 2; naive-1
+    // errors |3-2|+|4-3| = 2 -> mase = 4/2 = 2
+    assert(r.getAs[Long]("n_buckets") == 2L)
+    assert(r.getAs[Double]("mae") == 2.0)
+    assert(r.getAs[Double]("rmse") == 2.0)
+    assert(math.abs(r.getAs[Double]("mape_pct") -
+      100.0 * (2.0 / 3 + 2.0 / 4) / 2) < 1e-9)
+    assert(r.getAs[Double]("mase") == 2.0)
+  }
+
+  test("nelsonAalen: lifetimes {0,0,1} give H = 2/3 then 5/3") {
+    import spark.implicits._
+    // users 1,2: single event (lifetime 0); user 3: 1-day span
+    val df = Seq((1L, tsRow(0)), (2L, tsRow(10)),
+      (3L, tsRow(0)), (3L, tsRow(86400L))).toDF("u", "ts")
+    val out = Stats.nelsonAalen(df, "ts", "u").collect()
+      .map(r => r.getAs[Long]("t_days") ->
+        (r.getAs[Long]("d"), r.getAs[Long]("n_at_risk"),
+          r.getAs[Double]("cum_hazard"))).toMap
+    assert(out(0L)._1 == 2L && out(0L)._2 == 3L)
+    assert(math.abs(out(0L)._3 - 2.0 / 3) < 1e-12)
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1L)
+    assert(math.abs(out(1L)._3 - 5.0 / 3) < 1e-12)
+  }
+
+  test("lorenzCurve: spends {0,1,1,2} in two halves give shares " +
+      "0.25/0.75 and cumulative 0.25/1.0") {
+    import spark.implicits._
+    val per = Seq((1L, 0L), (2L, 100L), (3L, 100L), (4L, 200L))
+      .toDF("e", "m")
+    val out = Stats.lorenzCurve(per, "e", "m", 2).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("share") == 0.25)
+    assert(out(0).getAs[Double]("cum_share") == 0.25)
+    assert(out(1).getAs[Double]("share") == 0.75)
+    assert(out(1).getAs[Double]("cum_share") == 1.0)
+    assert(out.map(_.getAs[Long]("n_entities")).sum == 4L)
+  }
 }
