@@ -142,7 +142,53 @@ object Basket {
       .limit(50)
   }
 
+  /** Association rules from the frequent pairs: each supported pair in
+    * BOTH directions antecedent → consequent, scored with the classic
+    * triple — confidence n/s(a), lift n·N/(s(a)s(c)), and conviction
+    * (1 − s(c)/N)/(1 − confidence) (how much more often the rule would
+    * have to fail if antecedent and consequent were independent; null
+    * for exact rules, where it diverges). Same basket machinery and
+    * exact-count discipline as [[frequentPairs]]; every score is a
+    * fixed-shape double over exact longs, the top-k order
+    * (confidence desc, antecedent, consequent) is total. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, basketCap: Int, topK: Int): DataFrame = {
+    val bk = baskets(df, basketCol, itemCol, basketCap,
+      metricName = "basket_cap_rules")
+    val pairs = pairCounts(bk, basketCap, minSupport)
+    val sup = bk.select(explode(col("__items")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("s"))
+    val totals = bk.agg(count(lit(1)).as("n_baskets"))
+    val dd = (c: Column) => c.cast("double")
+    val both = pairs.select(col("p1").as("antecedent"),
+        col("p2").as("consequent"), col("n"))
+      .union(pairs.select(col("p2").as("antecedent"),
+        col("p1").as("consequent"), col("n")))
+    both
+      .join(sup.select(col("p").as("antecedent"), col("s").as("sa")),
+        "antecedent")
+      .join(sup.select(col("p").as("consequent"), col("s").as("sc")),
+        "consequent")
+      .crossJoin(totals) // 1-row build side
+      .select(col("antecedent"), col("consequent"), col("n"),
+        (dd(col("n")) / dd(col("sa"))).as("confidence"),
+        (dd(col("n")) * col("n_baskets") / (col("sa") * col("sc")))
+          .as("lift"),
+        when(col("n") === col("sa"), lit(null).cast("double"))
+          .otherwise((lit(1.0) - dd(col("sc")) / dd(col("n_baskets"))) /
+            (lit(1.0) - dd(col("n")) / dd(col("sa")))).as("conviction"))
+      .orderBy(desc("confidence"), col("antecedent"), col("consequent"))
+      .limit(topK)
+  }
+
+  /** Top part-to-part recommendation rules by confidence from the ≥ 2
+    * co-order pairs. */
+  def q273AssociationRules(spark: SparkSession, dir: String): DataFrame =
+    associationRules(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", minSupport = 2L, basketCap = 64, topK = 50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_association_rules" -> (q273AssociationRules _),
     "q148_frequent_pairs" -> (q148FrequentPairs _),
     "q163_basket_mv" -> (q163BasketMv _))
 
@@ -163,9 +209,36 @@ object Basket {
       |CROSS JOIN tot
       |ORDER BY n DESC, pr.p1, pr.p2 LIMIT 50""".stripMargin
 
+  private val rulesSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |tot AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM op),
+      |sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM op GROUP BY p),
+      |pr AS (
+      |  SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |rl AS (
+      |  SELECT p1 AS antecedent, p2 AS consequent, cnt FROM pr
+      |  UNION ALL SELECT p2, p1, cnt FROM pr)
+      |SELECT b.antecedent, b.consequent, b.cnt AS n,
+      |  CAST(b.cnt AS DOUBLE) / CAST(sa.s AS DOUBLE) AS confidence,
+      |  CAST(b.cnt AS DOUBLE) * tot.n_baskets / (sa.s * sc.s) AS lift,
+      |  CASE WHEN b.cnt = sa.s THEN NULL
+      |    ELSE (1.0 - CAST(sc.s AS DOUBLE) / CAST(tot.n_baskets AS DOUBLE))
+      |      / (1.0 - CAST(b.cnt AS DOUBLE) / CAST(sa.s AS DOUBLE)) END
+      |    AS conviction
+      |FROM rl b
+      |JOIN sup sa ON b.antecedent = sa.p
+      |JOIN sup sc ON b.consequent = sc.p
+      |CROSS JOIN tot
+      |ORDER BY confidence DESC, b.antecedent, b.consequent
+      |LIMIT 50""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // maintained counts are exactly the from-scratch counts (additive
     // per-basket increments), so the q148 oracle applies verbatim
     "q163_basket_mv" -> pairsSql,
-    "q148_frequent_pairs" -> pairsSql)
+    "q148_frequent_pairs" -> pairsSql,
+    "q273_association_rules" -> rulesSql)
 }

@@ -318,6 +318,53 @@ object Behavior {
       "event_type", "event_id", convType = "purchase",
       lookbackSeconds = 7L * 86400L)
 
+  /** U-shaped (position-based) attribution — the 40/20/40 rule
+    * marketers default to when first and last touches matter most:
+    * first and last touch of each conversion journey get 0.4 each, the
+    * middle touches share the remaining 0.2; single-touch journeys get
+    * 1.0, two-touch 0.5/0.5 (the first∧last overlap). Same journey
+    * construction as [[linearAttribution]] (forward-min conversion
+    * window, lookback-bounded), two extra rank windows on the SAME
+    * (user, conversion) partitioning — no new exchange; credits are
+    * DECIMAL(20,12)-quantized so the per-channel sum is exact. */
+  def positionAttribution(events: DataFrame, tsCol: String, userCol: String,
+      typeCol: String, tieCol: String, convType: String,
+      lookbackSeconds: Long): DataFrame = {
+    require(lookbackSeconds > 0, s"lookback must be positive: $lookbackSeconds")
+    val wFwd = Window.partitionBy(userCol).orderBy(col("__us"), col(tieCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val touches = events
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__nxt", min(when(col(typeCol) === convType,
+        col("__us"))).over(wFwd))
+      .filter(col(typeCol) =!= convType && col("__nxt").isNotNull &&
+        col("__nxt") - col("__us") <= lookbackSeconds * 1000000L)
+    val wConv = Window.partitionBy(col(userCol), col("__nxt"))
+    val wAsc = wConv.orderBy(col("__us"), col(tieCol))
+    val wDesc = wConv.orderBy(col("__us").desc, col(tieCol).desc)
+    touches
+      .withColumn("__nt", count(lit(1)).over(wConv))
+      .withColumn("__ra", row_number().over(wAsc))
+      .withColumn("__rd", row_number().over(wDesc))
+      .withColumn("credit",
+        when(col("__nt") === 1, lit(1.0))
+          .when(col("__nt") === 2, lit(0.5))
+          .when(col("__ra") === 1 || col("__rd") === 1, lit(0.4))
+          .otherwise(lit(0.2) / (col("__nt") - 2))
+          .cast("decimal(20,12)"))
+      .groupBy(col(typeCol).as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).cast("decimal(20,12)").as("credit"))
+      .orderBy("channel")
+  }
+
+  /** 7-day U-shaped attribution of purchases — first/last-touch-heavy
+    * credit, same journeys as q196. */
+  def q278PositionAttribution(spark: SparkSession, dir: String): DataFrame =
+    positionAttribution(Tables.events(spark, dir), "ts", "user_id",
+      "event_type", "event_id", convType = "purchase",
+      lookbackSeconds = 7L * 86400L)
+
   /** Session-level co-occurrence with lift: which event types appear in
     * the SAME gap-cut session more often than their independent session
     * frequencies predict ([[Basket]]'s lift, with sessions as baskets).
@@ -799,6 +846,7 @@ object Behavior {
     "q156_session_paths" -> (q156SessionPaths _),
     "q194_bounce_rate" -> (q194BounceRate _),
     "q196_linear_attribution" -> (q196LinearAttribution _),
+    "q278_position_attribution" -> (q278PositionAttribution _),
     "q198_session_cooccurrence" -> (q198SessionCooccurrence _),
     "q201_event_trigrams" -> (q201EventTrigrams _))
 
@@ -944,6 +992,38 @@ object Behavior {
   val oracles: Map[String, String] = Map(
     "q266_markov_attribution" -> markovAttributionSql,
     // next-conversion window + equal-share credit, decimal-quantized
+    "q278_position_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |t AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        |  FROM e),
+        |q AS (
+        |  SELECT user_id, nxt, event_type, us, event_id FROM t
+        |  WHERE event_type <> 'purchase' AND nxt IS NOT NULL
+        |    AND nxt - us <= 604800000000),
+        |r AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY user_id, nxt) AS nt,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, nxt
+        |      ORDER BY us, event_id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, nxt
+        |      ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM q),
+        |c AS (
+        |  SELECT event_type,
+        |    CAST(CASE WHEN nt = 1 THEN CAST(1.0 AS DOUBLE)
+        |      WHEN nt = 2 THEN CAST(0.5 AS DOUBLE)
+        |      WHEN ra = 1 OR rd = 1 THEN CAST(0.4 AS DOUBLE)
+        |      ELSE CAST(0.2 AS DOUBLE) / (nt - 2) END
+        |      AS DECIMAL(20,12)) AS credit
+        |  FROM r)
+        |SELECT event_type AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(credit) AS DECIMAL(20,12)) AS credit
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q196_linear_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us

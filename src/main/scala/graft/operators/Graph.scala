@@ -523,7 +523,50 @@ object Graph {
       minSupport = 2L), "p1", "p2", rounds = 3)
   }
 
+  /** Local clustering coefficient per node — how tightly each node's
+    * neighborhood closes into triangles: lcc(v) = 2·tri(v)/(d(v)(d(v)−1)),
+    * the per-node refinement of [[triangleStats]]'s global ratio (a
+    * node-level "is this a hub or a clique member" signal). Wedges are
+    * enumerated per center from the symmetric adjacency (pair space
+    * Σd(v)² — degree-geometry-bounded, the documented cost of exact
+    * per-node counting) and closed against the canonical u<v edge set
+    * with one hash join; all counts exact, the coefficient is one double
+    * expression. Degree-1 nodes are excluded (lcc undefined). */
+  def localClustering(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val bi = e.select(col("u").as("c"), col("v").as("x"))
+      .union(e.select(col("v").as("c"), col("u").as("x")))
+    val deg = bi.groupBy(col("c").as("node")).agg(count(lit(1)).as("degree"))
+    val wedges = bi.as("a")
+      .join(bi.as("b"),
+        col("a.c") === col("b.c") && col("a.x") < col("b.x"))
+      .select(col("a.c").as("ctr"), col("a.x").as("u"), col("b.x").as("v"))
+    val tri = wedges.join(e, Seq("u", "v"))
+      .groupBy(col("ctr")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, deg("node") === tri("ctr"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .filter(col("degree") >= 2)
+      .select(col("node"), col("degree"), col("n_triangles"),
+        (col("n_triangles").cast("double") * 2 /
+          (col("degree").cast("double") * (col("degree").cast("double") - 1)))
+          .as("lcc"))
+      .orderBy("node")
+  }
+
+  /** Which parts sit in tightly-closed co-order neighborhoods — the
+    * per-node clustering profile of the q150 graph. */
+  def q270LocalClustering(spark: SparkSession, dir: String): DataFrame = {
+    val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", basketCap = 64)
+    localClustering(Basket.pairCounts(bk, basketCap = 64, minSupport = 2L),
+      "p1", "p2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_local_clustering" -> (q270LocalClustering _),
     "q264_adamic_adar" -> (q264AdamicAdar _),
     "q265_label_propagation" -> (q265LabelPropagation _),
     "q208_assortativity" -> (q208Assortativity _),
@@ -605,6 +648,31 @@ object Graph {
        |    FROM v$i) WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q270_local_clustering" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS MATERIALIZED (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |bi AS (
+        |  SELECT u AS c, v AS x FROM ed
+        |  UNION ALL SELECT v, u FROM ed),
+        |deg AS (
+        |  SELECT c AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        |  FROM bi GROUP BY c),
+        |wedges AS (
+        |  SELECT a.c AS ctr, a.x AS u, b.x AS v
+        |  FROM bi a JOIN bi b ON a.c = b.c AND a.x < b.x),
+        |tri AS (
+        |  SELECT ctr, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM wedges JOIN ed ON ed.u = wedges.u AND ed.v = wedges.v
+        |  GROUP BY ctr)
+        |SELECT node, degree, COALESCE(n_triangles, 0) AS n_triangles,
+        |  CAST(COALESCE(n_triangles, 0) AS DOUBLE) * 2
+        |    / (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1)) AS lcc
+        |FROM deg LEFT JOIN tri ON tri.ctr = deg.node
+        |WHERE degree >= 2 ORDER BY node""".stripMargin,
     "q264_adamic_adar" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

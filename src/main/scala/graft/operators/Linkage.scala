@@ -150,11 +150,55 @@ object Linkage {
       .orderBy("dirty_id")
   }
 
+  /** Edit-distance similarity join over the DISTINCT-name dictionary —
+    * the scalable shape for "which names are within d edits": dedupe the
+    * corpus to its name dictionary FIRST (vocabulary-sized, carries the
+    * per-name row count), then self-join the dictionary under a
+    * length-band pre-filter (|len(a) − len(b)| > d implies distance > d,
+    * so the codegen'd `levenshtein` only runs on band survivors). The
+    * corpus-scale work is one distinct aggregation; the quadratic part
+    * runs on the dictionary, which is the domain, not the data. Exact
+    * integer distances + total (name_a, name_b) order → strict gate. */
+  def nameEditDistancePairs(df: DataFrame, nameCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1: $maxDist")
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val a = names.select(col("name").as("name_a"), col("n_rows").as("n_a"))
+    val b = names.select(col("name").as("name_b"), col("n_rows").as("n_b"))
+    a.join(b, col("name_a") < col("name_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist &&
+        levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Part names within 2 edits of each other (typo-merge candidates),
+    * with how many parts carry each spelling. */
+  def q281EditDistancePairs(spark: SparkSession, dir: String): DataFrame =
+    nameEditDistancePairs(Tables.part(spark, dir), "p_name", maxDist = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_entity_resolution" -> (q123EntityResolution _),
+    "q281_edit_distance_pairs" -> (q281EditDistancePairs _),
     "q172_jw_linkage" -> (q172JwLinkage _))
 
   val oracles: Map[String, String] = Map(
+    // same length-band prefilter, same strict < pair canon, same order
+    "q281_edit_distance_pairs" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM part GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |  a.n_rows AS n_a, b.n_rows AS n_b
+        |FROM names a JOIN names b
+        |  ON a.name < b.name
+        |  AND ABS(LENGTH(a.name) - LENGTH(b.name)) <= 2
+        |  AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
     // same perturbation, same block key, same (dist, key) tie-break
     "q123_entity_resolution" ->
       """WITH dirty AS (

@@ -255,6 +255,57 @@ object Ml {
   def q225AnovaF(spark: SparkSession, dir: String): DataFrame =
     anovaF(Tables.orders(spark, dir), "o_orderpriority", "o_totalprice")
 
+  /** Brown–Forsythe variance-homogeneity test — [[anovaF]]'s missing
+    * precondition check, and the robust (median-centered) Levene
+    * variant: F over the absolute deviations z = |x − median_g|. The
+    * per-group median is exact-integer (2·median = lower + upper
+    * median of the centi-values, the q202 crossing discipline), so z
+    * rides as the exact long |2x − 2med| (the doubled scale cancels in
+    * F); the finish is [[anovaF]]'s fixed double shape over exact
+    * DECIMAL moments of z. One rank window per group + one broadcast
+    * of the k-row median frame + one moment aggregation. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val per = df.select(col(groupCol).as("g"),
+      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("x"))
+    val wOrd = Window.partitionBy("g").orderBy("x")
+    val wG = Window.partitionBy("g")
+    val med = per
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("ng", count(lit(1)).over(wG))
+      .withColumn("fl", expr("(ng + 1) div 2"))
+      .withColumn("ce", expr("(ng + 2) div 2"))
+      .filter(col("rn") === col("fl") || col("rn") === col("ce"))
+      .groupBy("g")
+      .agg((sum(when(col("rn") === col("fl"), col("x")).otherwise(0L)) +
+        sum(when(col("rn") === col("ce"), col("x")).otherwise(0L)))
+        .as("med2"))
+    val z = per.join(broadcast(med), "g")
+      .select(col("g"), abs(col("x") * 2 - col("med2")).as("z"))
+    val cls = z.groupBy("g")
+      .agg(count(lit(1)).as("nc"), sum(d380(col("z"))).as("sc"),
+        sum(d380(col("z")) * d380(col("z"))).cast("decimal(38,0)").as("sqc"))
+    val term = (dd(col("sc")) * dd(col("sc")) / dd(col("nc")))
+      .cast("decimal(38,6)")
+    cls.withColumn("term", term)
+      .agg(count(lit(1)).as("k"), sum("nc").as("n"),
+        sum(d380(col("sc"))).cast("decimal(38,0)").as("s"),
+        sum(col("sqc")).cast("decimal(38,0)").as("sq"),
+        sum(col("term")).cast("decimal(38,6)").as("tsum"))
+      .filter(col("k") > 1 && col("n") > col("k"))
+      .select(col("k"), col("n"),
+        (((dd(col("tsum")) - dd(col("s")) * dd(col("s")) / dd(col("n"))) /
+          dd(col("k") - 1)) /
+          ((dd(col("sq")) - dd(col("tsum"))) / dd(col("n") - col("k"))))
+          .as("f_bf"))
+  }
+
+  /** Are order-value spreads comparable across priorities — the
+    * variance-homogeneity gate ANOVA assumes. */
+  def q280BrownForsythe(spark: SparkSession, dir: String): DataFrame =
+    brownForsythe(Tables.orders(spark, dir), "o_orderpriority",
+      "o_totalprice")
+
   /** Distribution-free confidence interval for a per-group mean via a
     * DETERMINISTIC Poisson-style bootstrap: replicate `b`'s weight for a
     * row comes from the `b`-th hex digit of `md5(key)` — ONE hash per
@@ -2594,6 +2645,7 @@ object Ml {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_brown_forsythe" -> (q280BrownForsythe _),
     "q274_partial_corr" -> (q274PartialCorr _),
     "q275_ols_two" -> (q275OlsTwo _),
     "q284_kruskal_wallis" -> (q284KruskalWallis _),
@@ -2648,6 +2700,48 @@ object Ml {
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
   val oracles: Map[String, String] = Map(
+    "q280_brown_forsythe" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS ng
+        |  FROM per),
+        |med AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN rn = (ng + 1) // 2 THEN x ELSE 0 END)
+        |      + SUM(CASE WHEN rn = (ng + 2) // 2 THEN x ELSE 0 END)
+        |      AS BIGINT) AS med2
+        |  FROM rk WHERE rn = (ng + 1) // 2 OR rn = (ng + 2) // 2
+        |  GROUP BY g),
+        |z AS (
+        |  SELECT per.g, ABS(per.x * 2 - med.med2) AS z
+        |  FROM per JOIN med ON med.g = per.g),
+        |cls AS (
+        |  SELECT g, COUNT(*) AS nc,
+        |    CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sc,
+        |    CAST(SUM(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sqc
+        |  FROM z GROUP BY g),
+        |terms AS (
+        |  SELECT *, CAST(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |    / CAST(nc AS DOUBLE) AS DECIMAL(38,6)) AS term
+        |  FROM cls),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(nc) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(sc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+        |    CAST(SUM(sqc) AS DECIMAL(38,0)) AS sq,
+        |    CAST(SUM(term) AS DECIMAL(38,6)) AS tsum
+        |  FROM terms)
+        |SELECT k, n,
+        |  ((CAST(tsum AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        |    / ((CAST(sq AS DOUBLE) - CAST(tsum AS DOUBLE))
+        |      / CAST(n - k AS DOUBLE)) AS f_bf
+        |FROM agg WHERE k > 1 AND n > k""".stripMargin,
     "q274_partial_corr" ->
       """WITH rows_q AS (
         |  SELECT l_returnflag AS g,
