@@ -2431,6 +2431,230 @@ object Ml {
     olsTwoFeatures(Tables.lineitem(spark, dir), "l_returnflag",
       "l_quantity", "l_discount", "l_extendedprice")
 
+  /** Standardized ridge regression with two features, closed form —
+    * [[olsTwoFeatures]] with an L2 penalty on the CORRELATION-scale
+    * normal equations: solve [[1+λ, r12],[r12, 1+λ]]·b = [r1y, r2y].
+    * Working on correlations (not raw moments) makes the penalty
+    * scale-free — the textbook "standardize before ridge" rule — and
+    * the whole solve is three exact-decimal correlations followed by a
+    * fixed-shape 2×2 Cramer finish in doubles. The unpenalized (λ=0)
+    * standardized OLS coefficients ride along so the shrinkage is
+    * visible per slice. Same one-pass moment frame, one shuffle. */
+  def ridgeTwoFeatures(df: DataFrame, groupCol: String, x1Col: String,
+      x2Col: String, yCol: String, lambda: Double): DataFrame = {
+    require(lambda >= 0, s"lambda must be >= 0: $lambda")
+    val q = (c: String) => (col(c).cast("decimal(18,2)") * 100).cast("long")
+    val m = df.select(col(groupCol).as("g"), q(x1Col).as("a"),
+        q(x2Col).as("b"), q(yCol).as("y"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(d380(col("a"))).cast("decimal(38,0)").as("sa"),
+        sum(d380(col("b"))).cast("decimal(38,0)").as("sb"),
+        sum(d380(col("y"))).cast("decimal(38,0)").as("sy"),
+        sum(d380(col("a")) * d380(col("a"))).cast("decimal(38,0)").as("saa"),
+        sum(d380(col("b")) * d380(col("b"))).cast("decimal(38,0)").as("sbb"),
+        sum(d380(col("a")) * d380(col("b"))).cast("decimal(38,0)").as("sab"),
+        sum(d380(col("a")) * d380(col("y"))).cast("decimal(38,0)").as("say"),
+        sum(d380(col("b")) * d380(col("y"))).cast("decimal(38,0)").as("sby"),
+        sum(d380(col("y")) * d380(col("y"))).cast("decimal(38,0)").as("syy"))
+    def cm(sab: String, sa: String, sb: String) =
+      (d380(col("n")) * col(sab) - col(sa) * col(sb)).cast("decimal(38,0)")
+    val withR = m
+      .withColumn("v1", cm("saa", "sa", "sa"))
+      .withColumn("v2", cm("sbb", "sb", "sb"))
+      .withColumn("vy", cm("syy", "sy", "sy"))
+      .withColumn("c12", cm("sab", "sa", "sb"))
+      .withColumn("c1y", cm("say", "sa", "sy"))
+      .withColumn("c2y", cm("sby", "sb", "sy"))
+      .filter(col("v1") > 0 && col("v2") > 0 && col("vy") > 0)
+      .withColumn("r12", dd(col("c12")) / sqrt(dd(col("v1")) * dd(col("v2"))))
+      .withColumn("r1y", dd(col("c1y")) / sqrt(dd(col("v1")) * dd(col("vy"))))
+      .withColumn("r2y", dd(col("c2y")) / sqrt(dd(col("v2")) * dd(col("vy"))))
+    val lam = lit(lambda)
+    val detR = (lit(1.0) + lam) * (lit(1.0) + lam) - col("r12") * col("r12")
+    val detO = lit(1.0) - col("r12") * col("r12")
+    withR.filter(detO > 0)
+      .select(col("g").as(groupCol), col("n"), col("r12"),
+        ((col("r1y") * (lit(1.0) + lam) - col("r2y") * col("r12")) / detR)
+          .as("b1_ridge"),
+        ((col("r2y") * (lit(1.0) + lam) - col("r1y") * col("r12")) / detR)
+          .as("b2_ridge"),
+        ((col("r1y") - col("r2y") * col("r12")) / detO).as("b1_ols"),
+        ((col("r2y") - col("r1y") * col("r12")) / detO).as("b2_ols"))
+      .orderBy(groupCol)
+  }
+
+  /** Shrunk standardized quantity/discount coefficients for revenue,
+    * per return flag (λ = 0.1), next to their OLS twins. */
+  def q286RidgeTwo(spark: SparkSession, dir: String): DataFrame =
+    ridgeTwoFeatures(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_quantity", "l_discount", "l_extendedprice", lambda = 0.1)
+
+  /** Daily-revenue trend residuals per group — the shared frame for the
+    * residual-diagnostic tests ([[durbinWatson]], [[breuschPagan]]):
+    * day-bucket the measure (exact centi-long sums), fit the per-group
+    * day-index trend from exact DECIMAL moments (the [[Stats.groupOls]]
+    * shape), then broadcast the k-row (a, b) fit back and emit each
+    * day's residual e = rev − (a + b·x). Each consumer quantizes e to
+    * an integer scale of its choice BEFORE any squaring, so every
+    * downstream sum is exact decimal addition and the statistic is
+    * bit-reproducible in any engine. Day index x is days since the
+    * epoch base (small int); a and b are the ONLY doubles in e. */
+  private def dailyTrendResiduals(df: DataFrame, groupCol: String,
+      dateCol: String, valCol: String): DataFrame = {
+    val daily = df.select(col(groupCol).as("g"),
+        datediff(col(dateCol), lit("1992-01-01")).as("x"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("g", "x").agg(sum(col("vc")).as("rev"))
+    val fit = daily.groupBy("g")
+      .agg(count(lit(1)).as("nd"),
+        sum(col("x")).as("sx"),
+        sum(d380(col("rev"))).cast("decimal(38,0)").as("sy"),
+        sum(d380(col("x")) * d380(col("rev"))).cast("decimal(38,0)")
+          .as("sxy"),
+        sum(d380(col("x")) * d380(col("x"))).cast("decimal(38,0)").as("sxx"))
+      .withColumn("cov", (d380(col("nd")) * col("sxy") -
+        d380(col("sx")) * col("sy")).cast("decimal(38,0)"))
+      .withColumn("vx", (d380(col("nd")) * col("sxx") -
+        d380(col("sx")) * d380(col("sx"))).cast("decimal(38,0)"))
+      .filter(col("vx") > 0)
+      .withColumn("b", dd(col("cov")) / dd(col("vx")))
+      .withColumn("a", (dd(col("sy")) - col("b") * dd(col("sx"))) /
+        dd(col("nd")))
+      .select("g", "nd", "a", "b")
+    daily.join(broadcast(fit), "g")
+      .select(col("g"), col("nd"), col("x"),
+        (dd(col("rev")) - (col("a") + col("b") * dd(col("x")))).as("e"))
+  }
+
+  /** Durbin–Watson autocorrelation-of-residuals diagnostic per group:
+    * DW = Σ(e_t − e_{t−1})² / Σe_t² over the day-ordered residuals of
+    * the daily-revenue trend fit — the classic "is there serial
+    * structure the trend missed" test (DW ≈ 2 means none, → 0 positive,
+    * → 4 negative autocorrelation). Residuals are integer-quantized
+    * before differencing ([[dailyTrendResiduals]]), so both sums are
+    * exact decimals and the statistic is one double division; the lag
+    * runs in a per-group day-ordered window — one shuffle after the
+    * day-bucket aggregation. */
+  def durbinWatson(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val res = dailyTrendResiduals(df, groupCol, dateCol, valCol)
+      .withColumn("eq", col("e").cast("decimal(38,0)"))
+    val wDay = Window.partitionBy("g").orderBy("x")
+    res.withColumn("dq", col("eq") - lag(col("eq"), 1).over(wDay))
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum((col("dq") * col("dq")).cast("decimal(38,0)")).as("num"),
+        sum((col("eq") * col("eq")).cast("decimal(38,0)")).as("den"))
+      .filter(col("den") > 0)
+      .select(col(groupCol), col("n_days"),
+        (dd(col("num")) / dd(col("den"))).as("dw"))
+      .orderBy(groupCol)
+  }
+
+  /** Does daily revenue drift serially around its trend, per return
+    * flag — the DW autocorrelation gate. */
+  def q287DurbinWatson(spark: SparkSession, dir: String): DataFrame =
+    durbinWatson(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
+      "l_extendedprice")
+
+  /** Breusch–Pagan heteroskedasticity test per group: regress the
+    * SQUARED trend residuals on the day index and report LM = n·R² —
+    * "does the error variance itself trend over time". The squared
+    * residuals are exact integers ([[dailyTrendResiduals]] quantizes
+    * first), the auxiliary regression's R² is a Pearson correlation
+    * squared over exact DECIMAL moments, and the LM statistic is one
+    * double expression. Same single shuffle as [[durbinWatson]]. */
+  def breuschPagan(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    // residuals quantized to integer DOLLARS (not centi) here: the
+    // auxiliary Pearson needs (Σz)² and centi² units would push it past
+    // DECIMAL(38) at the sf1 stress scale
+    val res = dailyTrendResiduals(df, groupCol, dateCol, valCol)
+      .withColumn("ed", (col("e") / lit(100.0)).cast("decimal(38,0)"))
+      .withColumn("z", (col("ed") * col("ed")).cast("decimal(38,0)"))
+    res.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("z")).as("sz"),
+        sum((d380(col("x")) * col("z")).cast("decimal(38,0)")).as("sxz"),
+        sum(d380(col("x")) * d380(col("x"))).cast("decimal(38,0)").as("sxx"),
+        sum((col("z") * col("z")).cast("decimal(38,0)")).as("szz"))
+      .withColumn("cov", (d380(col("n_days")) * col("sxz") -
+        d380(col("sx")) * col("sz")).cast("decimal(38,0)"))
+      .withColumn("vx", (d380(col("n_days")) * col("sxx") -
+        d380(col("sx")) * d380(col("sx"))).cast("decimal(38,0)"))
+      .withColumn("vz", (d380(col("n_days")) * col("szz") -
+        col("sz") * col("sz")).cast("decimal(38,0)"))
+      .filter(col("vx") > 0 && col("vz") > 0)
+      .withColumn("r2_aux", (dd(col("cov")) * dd(col("cov"))) /
+        (dd(col("vx")) * dd(col("vz"))))
+      .select(col(groupCol), col("n_days"), col("r2_aux"),
+        (dd(col("n_days")) * col("r2_aux")).as("bp_lm"))
+      .orderBy(groupCol)
+  }
+
+  /** Is the day-to-day revenue noise getting louder over the years, per
+    * return flag — the BP heteroskedasticity screen. */
+  def q288BreuschPagan(spark: SparkSession, dir: String): DataFrame =
+    breuschPagan(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
+      "l_extendedprice")
+
+  /** Jarque–Bera normality test per group from EXACT centered power
+    * sums: skewness m₃/m₂^1.5, excess kurtosis m₄/m₂² − 3, and
+    * JB = n·(S²/6 + K²/24). Naive raw-moment formulas cancel
+    * catastrophically at Σx⁴ scale, so this is the two-pass stable
+    * shape made distributed: pass 1 takes each group's floor-mean as an
+    * integer offset c (k-row broadcast), pass 2 sums the exact integer
+    * deviations d = x − c to the fourth power (DECIMAL(38,0) — d⁴ fits
+    * with 10³ headroom at fixture scale), and the tiny residual shift
+    * δ = Σd/n < 1 enters only through the standard about-c → about-mean
+    * correction in doubles. Two scans, one k-row broadcast, no window. */
+  def jarqueBera(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val per = df.select(col(groupCol).as("g"),
+      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("xc"))
+    // integer div (not /): both engines' float division could round the
+    // quotient across an integer boundary before the truncating cast
+    val base = per.groupBy("g")
+      .agg(sum(col("xc")).as("sxc"), count(lit(1)).as("ng"))
+      .select(col("g"), expr("sxc div ng").as("c"))
+    val mom = per.join(broadcast(base), "g")
+      .select(col("g"), (col("xc") - col("c")).as("d"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(d380(col("d"))).cast("decimal(38,0)").as("s1"),
+        sum(d380(col("d")) * d380(col("d"))).cast("decimal(38,0)").as("s2"),
+        sum(d380(col("d")) * d380(col("d")) * d380(col("d")))
+          .cast("decimal(38,0)").as("s3"),
+        sum(d380(col("d")) * d380(col("d")) * d380(col("d")) * d380(col("d")))
+          .cast("decimal(38,0)").as("s4"))
+      .withColumn("delta", dd(col("s1")) / dd(col("n")))
+      .withColumn("m2", dd(col("s2")) / dd(col("n")) -
+        col("delta") * col("delta"))
+      .withColumn("m3", dd(col("s3")) / dd(col("n")) -
+        lit(3.0) * col("delta") * dd(col("s2")) / dd(col("n")) +
+        lit(2.0) * col("delta") * col("delta") * col("delta"))
+      .withColumn("m4", dd(col("s4")) / dd(col("n")) -
+        lit(4.0) * col("delta") * dd(col("s3")) / dd(col("n")) +
+        lit(6.0) * col("delta") * col("delta") * dd(col("s2")) / dd(col("n")) -
+        lit(3.0) * col("delta") * col("delta") * col("delta") * col("delta"))
+      .filter(col("m2") > 0)
+      .withColumn("skewness", col("m3") / sqrt(col("m2") * col("m2") *
+        col("m2")))
+      .withColumn("kurtosis_ex", col("m4") / (col("m2") * col("m2")) -
+        lit(3.0))
+    mom.select(col("g").as(groupCol), col("n"), col("skewness"),
+        col("kurtosis_ex"),
+        (dd(col("n")) * (col("skewness") * col("skewness") / lit(6.0) +
+          col("kurtosis_ex") * col("kurtosis_ex") / lit(24.0))).as("jb"))
+      .orderBy(groupCol)
+  }
+
+  /** Are order values normally distributed within each priority class —
+    * the JB moment-based normality screen. */
+  def q289JarqueBera(spark: SparkSession, dir: String): DataFrame =
+    jarqueBera(Tables.orders(spark, dir), "o_orderpriority", "o_totalprice")
+
   /** Kruskal–Wallis H — the k-sample rank test (Mann–Whitney's ANOVA
     * analogue, q224's k-group completion): H = 12/(N(N+1))·Σ R_g²/n_g −
     * 3(N+1), tie-corrected by C = 1 − Σ(t³−t)/(N³−N). Average tie ranks
@@ -2646,6 +2870,10 @@ object Ml {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q280_brown_forsythe" -> (q280BrownForsythe _),
+    "q286_ridge_two" -> (q286RidgeTwo _),
+    "q287_durbin_watson" -> (q287DurbinWatson _),
+    "q288_breusch_pagan" -> (q288BreuschPagan _),
+    "q289_jarque_bera" -> (q289JarqueBera _),
     "q274_partial_corr" -> (q274PartialCorr _),
     "q275_ols_two" -> (q275OlsTwo _),
     "q284_kruskal_wallis" -> (q284KruskalWallis _),
@@ -2699,6 +2927,43 @@ object Ml {
     "q225_anova_f" -> (q225AnovaF _),
     "q226_bootstrap_ci" -> (q226BootstrapCI _))
 
+  /** Shared daily-trend-residual CTE for q287/q288 — mirrors
+    * [[dailyTrendResiduals]] double-op for double-op. */
+  private val residualsSql: String =
+    """WITH daily AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+      |      AS BIGINT) AS x,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |fit AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS nd,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(rev AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(rev AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS sxy,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS sxx
+      |  FROM daily GROUP BY g),
+      |cv AS (
+      |  SELECT g, nd, sx, sy,
+      |    CAST(CAST(nd AS DECIMAL(38,0)) * sxy
+      |      - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS cov,
+      |    CAST(CAST(nd AS DECIMAL(38,0)) * sxx
+      |      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+      |      AS DECIMAL(38,0)) AS vx
+      |  FROM fit),
+      |ab AS (
+      |  SELECT g, nd, CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE) AS b,
+      |    (CAST(sy AS DOUBLE) - CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE)
+      |      * CAST(sx AS DOUBLE)) / CAST(nd AS DOUBLE) AS a
+      |  FROM cv WHERE vx > 0),
+      |res AS (
+      |  SELECT d.g, f.nd, d.x,
+      |    CAST(d.rev AS DOUBLE) - (f.a + f.b * CAST(d.x AS DOUBLE)) AS e
+      |  FROM daily d JOIN ab f ON f.g = d.g)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q280_brown_forsythe" ->
       """WITH per AS (
@@ -2742,6 +3007,165 @@ object Ml {
         |    / ((CAST(sq AS DOUBLE) - CAST(tsum AS DOUBLE))
         |      / CAST(n - k AS DOUBLE)) AS f_bf
         |FROM agg WHERE k > 1 AND n > k""".stripMargin,
+    // correlation-scale solve: same moment CTE as q275, then the
+    // (1+lambda)-diagonal Cramer finish; 1+0.1 is composed from DOUBLE
+    // literals exactly as the Spark side composes lit(1.0)+lit(0.1)
+    "q286_ridge_two" ->
+      """WITH rows_q AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS a,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS b,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(CAST(a AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sa,
+        |    CAST(SUM(CAST(b AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sb,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(a AS DECIMAL(38,0)) * CAST(a AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS saa,
+        |    CAST(SUM(CAST(b AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sbb,
+        |    CAST(SUM(CAST(a AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sab,
+        |    CAST(SUM(CAST(a AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS say,
+        |    CAST(SUM(CAST(b AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sby,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS syy
+        |  FROM rows_q GROUP BY g),
+        |s AS (
+        |  SELECT *,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * saa - sa * sa
+        |      AS DECIMAL(38,0)) AS v1,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sbb - sb * sb
+        |      AS DECIMAL(38,0)) AS v2,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+        |      AS DECIMAL(38,0)) AS vy,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sab - sa * sb
+        |      AS DECIMAL(38,0)) AS c12,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * say - sa * sy
+        |      AS DECIMAL(38,0)) AS c1y,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sby - sb * sy
+        |      AS DECIMAL(38,0)) AS c2y
+        |  FROM m WHERE CAST(n AS DECIMAL(38,0)) * saa - sa * sa > 0
+        |    AND CAST(n AS DECIMAL(38,0)) * sbb - sb * sb > 0
+        |    AND CAST(n AS DECIMAL(38,0)) * syy - sy * sy > 0),
+        |r AS (
+        |  SELECT g, n,
+        |    CAST(c12 AS DOUBLE)
+        |      / SQRT(CAST(v1 AS DOUBLE) * CAST(v2 AS DOUBLE)) AS r12,
+        |    CAST(c1y AS DOUBLE)
+        |      / SQRT(CAST(v1 AS DOUBLE) * CAST(vy AS DOUBLE)) AS r1y,
+        |    CAST(c2y AS DOUBLE)
+        |      / SQRT(CAST(v2 AS DOUBLE) * CAST(vy AS DOUBLE)) AS r2y
+        |  FROM s),
+        |lp AS (SELECT CAST(1.0 AS DOUBLE) + CAST(0.1 AS DOUBLE) AS l1)
+        |SELECT g AS l_returnflag, n, r12,
+        |  (r1y * l1 - r2y * r12) / (l1 * l1 - r12 * r12) AS b1_ridge,
+        |  (r2y * l1 - r1y * r12) / (l1 * l1 - r12 * r12) AS b2_ridge,
+        |  (r1y - r2y * r12) / (CAST(1.0 AS DOUBLE) - r12 * r12) AS b1_ols,
+        |  (r2y - r1y * r12) / (CAST(1.0 AS DOUBLE) - r12 * r12) AS b2_ols
+        |FROM r CROSS JOIN lp
+        |WHERE CAST(1.0 AS DOUBLE) - r12 * r12 > 0 ORDER BY 1""".stripMargin,
+    "q287_durbin_watson" -> (residualsSql + ",\n" +
+      """eqd AS (
+        |  SELECT g, x, CAST(e AS DECIMAL(38,0)) AS eq FROM res),
+        |dif AS (
+        |  SELECT g, eq,
+        |    eq - LAG(eq) OVER (PARTITION BY g ORDER BY x) AS dq
+        |  FROM eqd)
+        |SELECT g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(CAST(dq * dq AS DECIMAL(38,0))) AS DOUBLE)
+        |    / CAST(SUM(CAST(eq * eq AS DECIMAL(38,0))) AS DOUBLE) AS dw
+        |FROM dif GROUP BY 1
+        |HAVING SUM(CAST(eq * eq AS DECIMAL(38,0))) > 0
+        |ORDER BY 1""".stripMargin),
+    "q288_breusch_pagan" -> (residualsSql + ",\n" +
+      """zt AS (
+        |  SELECT g, x,
+        |    CAST(CAST(e / 100.0 AS DECIMAL(38,0))
+        |      * CAST(e / 100.0 AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS z
+        |  FROM res),
+        |mz AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(z) AS DECIMAL(38,0)) AS sz,
+        |    CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * z AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxz,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(z * z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS szz
+        |  FROM zt GROUP BY g),
+        |cvz AS (
+        |  SELECT g, n_days,
+        |    CAST(CAST(n_days AS DECIMAL(38,0)) * sxz
+        |      - CAST(sx AS DECIMAL(38,0)) * sz AS DECIMAL(38,0)) AS cov,
+        |    CAST(CAST(n_days AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+        |      AS DECIMAL(38,0)) AS vx,
+        |    CAST(CAST(n_days AS DECIMAL(38,0)) * szz - sz * sz
+        |      AS DECIMAL(38,0)) AS vz
+        |  FROM mz)
+        |SELECT g AS l_returnflag, n_days,
+        |  (CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE))
+        |    / (CAST(vx AS DOUBLE) * CAST(vz AS DOUBLE)) AS r2_aux,
+        |  CAST(n_days AS DOUBLE) * ((CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE))
+        |    / (CAST(vx AS DOUBLE) * CAST(vz AS DOUBLE))) AS bp_lm
+        |FROM cvz WHERE vx > 0 AND vz > 0 ORDER BY 1""".stripMargin),
+    "q289_jarque_bera" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+        |  FROM orders),
+        |base AS (
+        |  SELECT g, CAST(SUM(xc) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM per GROUP BY g),
+        |dev AS (
+        |  SELECT per.g, per.xc - base.c AS d
+        |  FROM per JOIN base ON base.g = per.g),
+        |mom AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s2,
+        |    CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))
+        |      * CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s3,
+        |    CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))
+        |      * CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s4
+        |  FROM dev GROUP BY g),
+        |ctr AS (
+        |  SELECT g, n,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(3.0 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + CAST(2.0 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(4.0 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + CAST(6.0 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(3.0 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m4
+        |  FROM mom),
+        |sk AS (
+        |  SELECT g, n, m3 / SQRT(m2 * m2 * m2) AS skewness,
+        |    m4 / (m2 * m2) - CAST(3.0 AS DOUBLE) AS kurtosis_ex
+        |  FROM ctr WHERE m2 > 0)
+        |SELECT g AS o_orderpriority, n, skewness, kurtosis_ex,
+        |  CAST(n AS DOUBLE) * (skewness * skewness / CAST(6.0 AS DOUBLE)
+        |    + kurtosis_ex * kurtosis_ex / CAST(24.0 AS DOUBLE)) AS jb
+        |FROM sk ORDER BY 1""".stripMargin,
     "q274_partial_corr" ->
       """WITH rows_q AS (
         |  SELECT l_returnflag AS g,
