@@ -2655,6 +2655,197 @@ object Ml {
   def q289JarqueBera(spark: SparkSession, dir: String): DataFrame =
     jarqueBera(Tables.orders(spark, dir), "o_orderpriority", "o_totalprice")
 
+  /** Mood's median test — the coarsest, most assumption-free k-sample
+    * location test: dichotomize every value against the GRAND median and
+    * chi-square the resulting k×2 above/at-or-below table. The grand
+    * median is exact-integer (2·median = lower+upper over the value
+    * HISTOGRAM's cumulative counts — the crossing runs over distinct
+    * values, not rows), the cell counts are exact longs via the strict
+    * `2x > med2` integer gate, and each group's chi-square contribution
+    * is a fixed-shape double over exact integers. Two scans + one
+    * histogram window + one 1-row broadcast. */
+  def moodsMedianTest(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val per = df.select(col(groupCol).as("g"),
+      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("x"))
+    val hist = per.groupBy("x").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(count(lit(1)).as("nn"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .crossJoin(broadcast(tot)) // 1-row build side
+      .withColumn("fl", expr("(nn + 1) div 2"))
+      .withColumn("ce", expr("(nn + 2) div 2"))
+    val med2 = cum
+      .agg((min(when(col("cum") >= col("fl"), col("x"))) +
+        min(when(col("cum") >= col("ce"), col("x")))).as("med2"))
+    val cells = per.crossJoin(broadcast(med2))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") * 2 > col("med2"), 1L).otherwise(0L)).as("above"))
+    val glob = cells.agg(sum(col("n")).as("nt"), sum(col("above")).as("at"))
+    cells.crossJoin(broadcast(glob)) // 1-row build side
+      .withColumn("ea", dd(col("n")) * dd(col("at")) / dd(col("nt")))
+      .withColumn("eb",
+        dd(col("n")) * dd(col("nt") - col("at")) / dd(col("nt")))
+      .select(col("g").as(groupCol), col("n"), col("above"),
+        (col("n") - col("above")).as("at_or_below"),
+        col("ea").as("exp_above"),
+        ((dd(col("above")) - col("ea")) * (dd(col("above")) - col("ea")) /
+          col("ea") +
+          (dd(col("n") - col("above")) - col("eb")) *
+          (dd(col("n") - col("above")) - col("eb")) / col("eb"))
+          .as("chi2_g"))
+      .orderBy(groupCol)
+  }
+
+  /** Do the priority classes straddle the overall median order value
+    * evenly — the median-split chi-square. */
+  def q290MoodsMedian(spark: SparkSession, dir: String): DataFrame =
+    moodsMedianTest(Tables.orders(spark, dir), "o_orderpriority",
+      "o_totalprice")
+
+  /** Wald–Wolfowitz runs test on the daily-revenue series per group —
+    * is the above/below-median sign sequence random, or does it clump
+    * (trend/regime) or alternate (overcorrection)? Signs come from the
+    * exact integer gate `2·rev ≠/> med2` against the per-group exact
+    * median (ties dropped, the standard treatment); the run count is a
+    * lag-window transition sum; z = (R − μ)/σ is the classic normal
+    * approximation over exact integer n₁, n₂, R. One day-bucket
+    * aggregation + two same-key windows + k-row broadcast. */
+  def runsTest(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val daily = df.select(col(groupCol).as("g"),
+        datediff(col(dateCol), lit("1992-01-01")).as("x"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("g", "x").agg(sum(col("vc")).as("rev"))
+    val wOrd = Window.partitionBy("g").orderBy("rev", "x")
+    val wG = Window.partitionBy("g")
+    val med = daily
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("ng", count(lit(1)).over(wG))
+      .withColumn("fl", expr("(ng + 1) div 2"))
+      .withColumn("ce", expr("(ng + 2) div 2"))
+      .filter(col("rn") === col("fl") || col("rn") === col("ce"))
+      .groupBy("g")
+      .agg((sum(when(col("rn") === col("fl"), col("rev")).otherwise(0L)) +
+        sum(when(col("rn") === col("ce"), col("rev")).otherwise(0L)))
+        .as("med2"))
+    val signed = daily.join(broadcast(med), "g")
+      .filter(col("rev") * 2 =!= col("med2"))
+      .withColumn("s", col("rev") * 2 > col("med2"))
+    val wDay = Window.partitionBy("g").orderBy("x")
+    val runs = signed
+      .withColumn("brk", when(lag(col("s"), 1).over(wDay).isNull ||
+        col("s") =!= lag(col("s"), 1).over(wDay), 1L).otherwise(0L))
+      .groupBy(col("g").as(groupCol))
+      .agg(sum(when(col("s"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("s"), 1L).otherwise(0L)).as("n2"),
+        sum(col("brk")).as("runs"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+    val twon = lit(2.0) * dd(col("n1")) * dd(col("n2"))
+    val nn = dd(col("n1")) + dd(col("n2"))
+    val mu = twon / nn + lit(1.0)
+    val sig2 = twon * (twon - nn) / (nn * nn * (nn - lit(1.0)))
+    runs.select(col(groupCol), col("n1"), col("n2"), col("runs"),
+        when(sig2 > 0, (dd(col("runs")) - mu) / sqrt(sig2))
+          .otherwise(lit(0.0)).as("z_runs"))
+      .orderBy(groupCol)
+  }
+
+  /** Does daily revenue wander above/below its median in random order,
+    * per return flag — the sign-sequence randomness check. */
+  def q291RunsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTest(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
+      "l_extendedprice")
+
+  /** Tukey–Kramer HSD pairwise comparisons — the post-hoc step one-way
+    * ANOVA (q225) demands before naming WHICH groups differ: for every
+    * class pair, q = |mean_i − mean_j| / √(MSE/2·(1/n_i + 1/n_j)).
+    * Class moments are the same exact one-pass DECIMALs as [[anovaF]];
+    * MSE's per-class within-SS terms are DECIMAL(38,6)-quantized
+    * doubles (exact summation — no order sensitivity); the k(k−1)/2
+    * pair frame is a self-join of the k-row class-stats frame, i.e.
+    * free at any data scale. Output in original units. */
+  def tukeyHsd(df: DataFrame, catCol: String,
+      targetCol: String): DataFrame = {
+    val cents = (col(targetCol).cast("decimal(18,2)") * 100).cast("long")
+    val cls = df.select(col(catCol).as("c"), cents.as("t"))
+      .groupBy("c")
+      .agg(count(lit(1)).as("nc"), sum(d380(col("t"))).as("sc"),
+        sum(d380(col("t")) * d380(col("t"))).cast("decimal(38,0)").as("sqc"))
+      .withColumn("ssw_t",
+        (dd((d380(col("nc")) * col("sqc") - col("sc") * col("sc"))
+          .cast("decimal(38,0)")) / dd(col("nc"))).cast("decimal(38,6)"))
+    val mse = cls.agg(count(lit(1)).as("k"), sum(col("nc")).as("n"),
+        sum(col("ssw_t")).cast("decimal(38,6)").as("ssw"))
+      .filter(col("n") > col("k"))
+      .select(col("k"), col("n"),
+        (dd(col("ssw")) / dd(col("n") - col("k")) / lit(1e4)).as("mse"))
+    val a = cls.select(col("c").as("class_a"), col("nc").as("n_a"),
+      (dd(col("sc")) / dd(col("nc")) / lit(100.0)).as("mean_a"))
+    val b = cls.select(col("c").as("class_b"), col("nc").as("n_b"),
+      (dd(col("sc")) / dd(col("nc")) / lit(100.0)).as("mean_b"))
+    a.join(b, col("class_a") < col("class_b"))
+      .crossJoin(broadcast(mse)) // 1-row build side
+      .select(col("class_a"), col("class_b"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        (abs(col("mean_a") - col("mean_b")) /
+          sqrt(col("mse") / lit(2.0) *
+            (lit(1.0) / dd(col("n_a")) + lit(1.0) / dd(col("n_b")))))
+          .as("q_stat"))
+      .orderBy("class_a", "class_b")
+  }
+
+  /** Which priority pairs actually differ in mean order value — the
+    * post-ANOVA pairwise q statistics. */
+  def q292TukeyHsd(spark: SparkSession, dir: String): DataFrame =
+    tukeyHsd(Tables.orders(spark, dir), "o_orderpriority", "o_totalprice")
+
+  /** Cliff's delta ordinal effect size per slice — how often does a
+    * draw from sample A beat a draw from B, minus the reverse:
+    * δ = (wins − losses)/(n₁n₂), computed WITHOUT the all-pairs product
+    * via the Mann–Whitney identity δ = 2U₁/(n₁n₂) − 1 (U₁ from exact
+    * half-unit tie ranks, [[mannWhitney]]'s 2·rank trick). The standard
+    * magnitude bands ride along (|δ| < .147 negligible / .33 small /
+    * .474 medium / else large) — band edges are doubles compared against
+    * an exactly-reproduced δ, so the labels hash-gate too. */
+  def cliffsDelta(df: DataFrame, groupCol: String, valCol: String,
+      sideCol: String): DataFrame = {
+    val wRank = Window.partitionBy("g").orderBy(col("v"))
+    val wTies = Window.partitionBy("g", "v")
+    val ranked = df
+      .select(col(groupCol).as("g"), col(valCol).as("v"),
+        col(sideCol).cast("boolean").as("isa"))
+      .withColumn("t", count(lit(1)).over(wTies))
+      .withColumn("r2", lit(2) * rank().over(wRank) + col("t") - 1)
+    val m = ranked.groupBy("g").agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("isa"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("isa"), col("r2")).otherwise(lit(0L))).as("r1x2"))
+    val u1 = (dd(col("r1x2")) - dd(col("n1")) * dd(col("n1") + 1)) / 2.0
+    val delta = lit(2.0) * u1 / (dd(col("n1")) * dd(col("n2"))) - lit(1.0)
+    m.filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("g").as(groupCol), col("n1"), col("n2"), u1.as("u"),
+        delta.as("delta"),
+        when(abs(delta) < 0.147, "negligible")
+          .when(abs(delta) < 0.33, "small")
+          .when(abs(delta) < 0.474, "medium")
+          .otherwise("large").as("magnitude"))
+      .orderBy(groupCol)
+  }
+
+  /** How strongly do urgent orders out-value low-priority ones within
+    * each order status — the scale-free effect size behind q224's z. */
+  def q293CliffsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .withColumn("isa", col("o_orderpriority") === "1-URGENT")
+      .withColumn("v",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    cliffsDelta(o, "o_orderstatus", "v", "isa")
+  }
+
   /** Kruskal–Wallis H — the k-sample rank test (Mann–Whitney's ANOVA
     * analogue, q224's k-group completion): H = 12/(N(N+1))·Σ R_g²/n_g −
     * 3(N+1), tie-corrected by C = 1 − Σ(t³−t)/(N³−N). Average tie ranks
@@ -2871,6 +3062,10 @@ object Ml {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q280_brown_forsythe" -> (q280BrownForsythe _),
     "q286_ridge_two" -> (q286RidgeTwo _),
+    "q290_moods_median" -> (q290MoodsMedian _),
+    "q291_runs_test" -> (q291RunsTest _),
+    "q292_tukey_hsd" -> (q292TukeyHsd _),
+    "q293_cliffs_delta" -> (q293CliffsDelta _),
     "q287_durbin_watson" -> (q287DurbinWatson _),
     "q288_breusch_pagan" -> (q288BreuschPagan _),
     "q289_jarque_bera" -> (q289JarqueBera _),
@@ -3166,6 +3361,166 @@ object Ml {
         |  CAST(n AS DOUBLE) * (skewness * skewness / CAST(6.0 AS DOUBLE)
         |    + kurtosis_ex * kurtosis_ex / CAST(24.0 AS DOUBLE)) AS jb
         |FROM sk ORDER BY 1""".stripMargin,
+    "q290_moods_median" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders),
+        |hist AS (
+        |  SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM per GROUP BY x),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM per),
+        |cum AS (
+        |  SELECT x, SUM(cnt) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    (nn + 1) // 2 AS fl, (nn + 2) // 2 AS ce
+        |  FROM hist CROSS JOIN tot),
+        |med AS (
+        |  SELECT MIN(CASE WHEN cum >= fl THEN x END)
+        |    + MIN(CASE WHEN cum >= ce THEN x END) AS med2 FROM cum),
+        |cells AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN per.x * 2 > med.med2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS above
+        |  FROM per CROSS JOIN med GROUP BY g),
+        |gtot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+        |    CAST(SUM(above) AS BIGINT) AS at_ FROM cells),
+        |ee AS (
+        |  SELECT g, n, above,
+        |    CAST(n AS DOUBLE) * CAST(at_ AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      AS ea,
+        |    CAST(n AS DOUBLE) * CAST(nt - at_ AS DOUBLE)
+        |      / CAST(nt AS DOUBLE) AS eb
+        |  FROM cells CROSS JOIN gtot)
+        |SELECT g AS o_orderpriority, n, above, n - above AS at_or_below,
+        |  ea AS exp_above,
+        |  (CAST(above AS DOUBLE) - ea) * (CAST(above AS DOUBLE) - ea) / ea
+        |    + (CAST(n - above AS DOUBLE) - eb)
+        |      * (CAST(n - above AS DOUBLE) - eb) / eb AS chi2_g
+        |FROM ee ORDER BY 1""".stripMargin,
+    "q291_runs_test" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY rev, x) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS ng
+        |  FROM daily),
+        |med AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN rn = (ng + 1) // 2 THEN rev ELSE 0 END)
+        |      + SUM(CASE WHEN rn = (ng + 2) // 2 THEN rev ELSE 0 END)
+        |      AS BIGINT) AS med2
+        |  FROM rk WHERE rn = (ng + 1) // 2 OR rn = (ng + 2) // 2
+        |  GROUP BY g),
+        |sg AS (
+        |  SELECT d.g, d.x, d.rev * 2 > m.med2 AS s
+        |  FROM daily d JOIN med m ON m.g = d.g
+        |  WHERE d.rev * 2 <> m.med2),
+        |br AS (
+        |  SELECT g, s,
+        |    CASE WHEN LAG(s) OVER (PARTITION BY g ORDER BY x) IS NULL
+        |      OR s <> LAG(s) OVER (PARTITION BY g ORDER BY x)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM sg),
+        |ag AS (
+        |  SELECT g, CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(brk) AS BIGINT) AS runs
+        |  FROM br GROUP BY g),
+        |zz AS (
+        |  SELECT g, n1, n2, runs,
+        |    CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      * CAST(n2 AS DOUBLE) AS twon,
+        |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn
+        |  FROM ag WHERE n1 > 0 AND n2 > 0),
+        |zf AS (
+        |  SELECT g, n1, n2, runs,
+        |    twon / nn + CAST(1.0 AS DOUBLE) AS mu,
+        |    twon * (twon - nn) / (nn * nn * (nn - CAST(1.0 AS DOUBLE)))
+        |      AS sig2
+        |  FROM zz)
+        |SELECT g AS l_returnflag, n1, n2, runs,
+        |  CASE WHEN sig2 > 0 THEN (CAST(runs AS DOUBLE) - mu) / SQRT(sig2)
+        |    ELSE CAST(0 AS DOUBLE) END AS z_runs
+        |FROM zf ORDER BY 1""".stripMargin,
+    "q292_tukey_hsd" ->
+      """WITH cls AS (
+        |  SELECT o_orderpriority AS c, CAST(COUNT(*) AS BIGINT) AS nc,
+        |    CAST(SUM(CAST(t AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sc,
+        |    CAST(SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sqc
+        |  FROM (SELECT o_orderpriority,
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+        |    FROM orders) GROUP BY 1),
+        |ct AS (
+        |  SELECT *, CAST(CAST(CAST(CAST(nc AS DECIMAL(38,0)) * sqc - sc * sc
+        |      AS DECIMAL(38,0)) AS DOUBLE) / CAST(nc AS DOUBLE)
+        |    AS DECIMAL(38,6)) AS ssw_t
+        |  FROM cls),
+        |mse0 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(nc) AS BIGINT) AS n,
+        |    CAST(SUM(ssw_t) AS DECIMAL(38,6)) AS ssw
+        |  FROM ct),
+        |ms2 AS (
+        |  SELECT k, n, CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE) / 1e4
+        |    AS mse
+        |  FROM mse0 WHERE n > k),
+        |pa AS (
+        |  SELECT c AS class_a, nc AS n_a,
+        |    CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)
+        |      / CAST(100.0 AS DOUBLE) AS mean_a
+        |  FROM ct),
+        |pb AS (
+        |  SELECT c AS class_b, nc AS n_b,
+        |    CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)
+        |      / CAST(100.0 AS DOUBLE) AS mean_b
+        |  FROM ct)
+        |SELECT class_a, class_b, n_a, n_b, mean_a, mean_b,
+        |  ABS(mean_a - mean_b) / SQRT(mse / CAST(2.0 AS DOUBLE)
+        |    * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS q_stat
+        |FROM pa JOIN pb ON class_a < class_b CROSS JOIN ms2
+        |ORDER BY 1, 2""".stripMargin,
+    "q293_cliffs_delta" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    o_orderpriority = '1-URGENT' AS isa
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |rk AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY g, v) AS t,
+        |    RANK() OVER (PARTITION BY g ORDER BY v) AS rnk
+        |  FROM base),
+        |r2 AS (SELECT g, isa, 2 * rnk + t - 1 AS r2 FROM rk),
+        |m AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN isa THEN r2 ELSE 0 END) AS BIGINT) AS r1x2
+        |  FROM r2 GROUP BY g),
+        |uu AS (
+        |  SELECT g, n1, n2,
+        |    (CAST(r1x2 AS DOUBLE)
+        |      - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE))
+        |      / CAST(2.0 AS DOUBLE) AS u
+        |  FROM m WHERE n1 > 0 AND n2 > 0),
+        |dl AS (
+        |  SELECT g, n1, n2, u,
+        |    CAST(2.0 AS DOUBLE) * u
+        |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |      - CAST(1.0 AS DOUBLE) AS delta
+        |  FROM uu)
+        |SELECT g AS o_orderstatus, n1, n2, u, delta,
+        |  CASE WHEN ABS(delta) < 0.147 THEN 'negligible'
+        |    WHEN ABS(delta) < 0.33 THEN 'small'
+        |    WHEN ABS(delta) < 0.474 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM dl ORDER BY 1""".stripMargin,
     "q274_partial_corr" ->
       """WITH rows_q AS (
         |  SELECT l_returnflag AS g,
