@@ -1253,7 +1253,146 @@ object Stats {
     lorenzCurve(per, "c_custkey", "spend_c", 10)
   }
 
+  /** Historical VaR + CVaR (expected shortfall) per group: the exact
+    * lower p-percentile of the value distribution and the exact mean of
+    * the tail at or below it. The percentile crossing runs on the
+    * per-(group, value) HISTOGRAM (bounded by distinct values, the
+    * [[weightedPercentile]] rule) with the pure-integer gate
+    * `pDen·cum ≥ pNum·total`, and the tail mean is an exact decimal
+    * sum over the same histogram — both sides of the gate see identical
+    * integers, so VaR and CVaR hash-gate. One histogram aggregation +
+    * one per-group window + one k-row broadcast back. */
+  def varCvar(df: DataFrame, groupCol: String, valCol: String,
+      pNum: Int, pDen: Int): DataFrame = {
+    require(pNum > 0 && pDen > 0 && pNum < pDen,
+      s"p must be a rational in (0,1): $pNum/$pDen")
+    val perV = df.select(col(groupCol).as("g"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("g")
+    val cum = perV
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("tw", sum(col("cnt")).over(wTot))
+    val cross = cum.filter(col("cum") * pDen >= lit(pNum) * col("tw"))
+      .groupBy("g").agg(min(col("v")).as("var_v"))
+    perV.join(broadcast(cross), "g")
+      .groupBy(col("g").as(groupCol))
+      .agg(sum(col("cnt")).as("n"),
+        min(col("var_v")).as("vv"),
+        sum(when(col("v") <= col("var_v"), col("cnt"))
+          .otherwise(0L)).as("tail_n"),
+        sum(when(col("v") <= col("var_v"),
+          (col("v") * col("cnt")).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("tail_sum"))
+      .select(col(groupCol), col("n"), col("tail_n"),
+        (col("vv").cast("double") / lit(100.0)).as("var_p"),
+        (col("tail_sum").cast("double") / col("tail_n").cast("double") /
+          lit(100.0)).as("cvar_p"))
+      .orderBy(groupCol)
+  }
+
+  /** 5th-percentile order value and the mean of that worst tail, per
+    * priority class — the historical VaR/ES pair. */
+  def q294VarCvar(spark: SparkSession, dir: String): DataFrame =
+    varCvar(Tables.orders(spark, dir), "o_orderpriority", "o_totalprice",
+      pNum = 1, pDen = 20)
+
+  /** OHLC resampling — the candlestick reduction every market/metrics
+    * store ships: per (key, day) the first/highest/lowest/last value
+    * plus count and exact mean. First/last are picked by a TOTAL
+    * (ts, tiebreak) order via two row_number windows on the SAME
+    * partitioning (one exchange); high/low are plain min/max; the mean
+    * rides exact centi sums. Day buckets keep each window partition
+    * tiny regardless of corpus size. */
+  def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String): DataFrame = {
+    val base = events.select(col(keyCol).as("k"),
+      date_format(col(tsCol), "yyyy-MM-dd").as("day"),
+      expr(s"unix_micros($tsCol)").as("us"), col(tieCol).as("tie"),
+      col(valCol).as("v"),
+      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    val wAsc = Window.partitionBy("k", "day").orderBy(col("us"), col("tie"))
+    val wDesc = Window.partitionBy("k", "day")
+      .orderBy(col("us").desc, col("tie").desc)
+    base
+      .withColumn("ra", row_number().over(wAsc))
+      .withColumn("rd", row_number().over(wDesc))
+      .groupBy(col("k").as(keyCol), col("day"))
+      .agg(max(when(col("ra") === 1, col("v"))).as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max(when(col("rd") === 1, col("v"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("vc")).as("sum_c"))
+      .select(col(keyCol), col("day"), col("open"), col("high"),
+        col("low"), col("close"), col("n_events"),
+        (col("sum_c").cast("double") / col("n_events").cast("double") /
+          lit(100.0)).as("mean_value"))
+      .orderBy(keyCol, "day")
+  }
+
+  /** Daily open/high/low/close/mean of event values per event type —
+    * the candlestick view of the event stream. */
+  def q295OhlcBars(spark: SparkSession, dir: String): DataFrame =
+    ohlcBars(Tables.events(spark, dir), "event_type", "ts", "event_id",
+      "value")
+
+  /** Dickey–Fuller unit-root regression per group: Δy_t = a + γ·y_{t−1}
+    * + ε over the day-bucketed series, reporting γ and its t statistic
+    * (the DF test statistic — strongly negative rejects a unit root,
+    * i.e. the series mean-reverts). The lag pair frame is one day-window
+    * lag on exact centi longs; γ, SSE and se(γ) all come from one
+    * exact-DECIMAL moment pass via the closed forms
+    * γ = cov/vx, SSE = (vy − cov²/vx)/n, se(γ)² = s²·n/vx with
+    * s² = SSE/(n−2) — a fixed-shape double finish on exact integers. */
+  def dickeyFuller(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val daily = df.select(col(groupCol).as("g"),
+        datediff(col(dateCol), lit("1992-01-01")).as("x"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("g", "x").agg(sum(col("vc")).as("rev"))
+    val wDay = Window.partitionBy("g").orderBy("x")
+    val pairs = daily
+      .withColumn("ylag", lag(col("rev"), 1).over(wDay))
+      .filter(col("ylag").isNotNull)
+      .withColumn("dy", col("rev") - col("ylag"))
+    val m = pairs.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ylag")).as("s1"), sum(col("dy")).as("sd"),
+        sum(d(col("ylag")) * d(col("ylag"))).cast("decimal(38,0)").as("s11"),
+        sum(d(col("ylag")) * d(col("dy"))).cast("decimal(38,0)").as("s1d"),
+        sum(d(col("dy")) * d(col("dy"))).cast("decimal(38,0)").as("sdd"))
+      .withColumn("cov", (d(col("n")) * col("s1d") -
+        d(col("s1")) * d(col("sd"))).cast("decimal(38,0)"))
+      .withColumn("vx", (d(col("n")) * col("s11") -
+        d(col("s1")) * d(col("s1"))).cast("decimal(38,0)"))
+      .withColumn("vy", (d(col("n")) * col("sdd") -
+        d(col("sd")) * d(col("sd"))).cast("decimal(38,0)"))
+      .filter(col("vx") > 0 && col("n") > 2)
+    val dd = (c: Column) => c.cast("double")
+    val gamma = dd(col("cov")) / dd(col("vx"))
+    val sse = (dd(col("vy")) - dd(col("cov")) * dd(col("cov")) /
+      dd(col("vx"))) / dd(col("n"))
+    val s2 = sse / dd(col("n") - 2)
+    val seG = sqrt(s2 * dd(col("n")) / dd(col("vx")))
+    m.select(col("g").as(groupCol), col("n").as("n_pairs"),
+        gamma.as("gamma"), (gamma / seG).as("t_df"))
+      .orderBy(groupCol)
+  }
+
+  /** Does daily revenue mean-revert or wander (unit root), per return
+    * flag — the DF regression's γ and t statistic. */
+  def q296DickeyFuller(spark: SparkSession, dir: String): DataFrame =
+    dickeyFuller(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
+      "l_extendedprice")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q294_var_cvar" -> (q294VarCvar _),
+    "q295_ohlc_bars" -> (q295OhlcBars _),
+    "q296_dickey_fuller" -> (q296DickeyFuller _),
     "q271_max_drawdown" -> (q271MaxDrawdown _),
     "q276_grubbs" -> (q276Grubbs _),
     "q277_forecast_accuracy" -> (q277ForecastAccuracy _),
@@ -1286,6 +1425,101 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q294_var_cvar" ->
+      """WITH perv AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY g) AS tw
+        |  FROM perv),
+        |crossing AS (
+        |  SELECT g, MIN(v) AS var_v FROM cum
+        |  WHERE cum * 20 >= 1 * tw GROUP BY g)
+        |SELECT p.g AS o_orderpriority,
+        |  CAST(SUM(p.cnt) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN p.v <= c.var_v THEN p.cnt ELSE 0 END)
+        |    AS BIGINT) AS tail_n,
+        |  CAST(MIN(c.var_v) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS var_p,
+        |  CAST(SUM(CASE WHEN p.v <= c.var_v
+        |      THEN CAST(p.v * p.cnt AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN p.v <= c.var_v THEN p.cnt ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(100.0 AS DOUBLE) AS cvar_p
+        |FROM perv p JOIN crossing c ON c.g = p.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q295_ohlc_bars" ->
+      """WITH base AS (
+        |  SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS day,
+        |    epoch_us(ts) AS us, event_id AS tie, value AS v,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |rk AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY k, day
+        |      ORDER BY us, tie) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY k, day
+        |      ORDER BY us DESC, tie DESC) AS rd
+        |  FROM base)
+        |SELECT k AS event_type, day,
+        |  MAX(CASE WHEN ra = 1 THEN v END) AS open,
+        |  MAX(v) AS high, MIN(v) AS low,
+        |  MAX(CASE WHEN rd = 1 THEN v END) AS close,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(vc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(100.0 AS DOUBLE) AS mean_value
+        |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q296_dickey_fuller" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT g, x, rev,
+        |    LAG(rev) OVER (PARTITION BY g ORDER BY x) AS ylag
+        |  FROM daily),
+        |pp AS (
+        |  SELECT g, ylag, rev - ylag AS dy FROM pr WHERE ylag IS NOT NULL),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(ylag) AS BIGINT) AS s1,
+        |    CAST(SUM(dy) AS BIGINT) AS sd,
+        |    CAST(SUM(CAST(ylag AS DECIMAL(38,0))
+        |      * CAST(ylag AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s11,
+        |    CAST(SUM(CAST(ylag AS DECIMAL(38,0))
+        |      * CAST(dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1d,
+        |    CAST(SUM(CAST(dy AS DECIMAL(38,0))
+        |      * CAST(dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sdd
+        |  FROM pp GROUP BY g),
+        |cv AS (
+        |  SELECT g, n,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * s1d
+        |      - CAST(s1 AS DECIMAL(38,0)) * CAST(sd AS DECIMAL(38,0))
+        |      AS DECIMAL(38,0)) AS cov,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * s11
+        |      - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))
+        |      AS DECIMAL(38,0)) AS vx,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sdd
+        |      - CAST(sd AS DECIMAL(38,0)) * CAST(sd AS DECIMAL(38,0))
+        |      AS DECIMAL(38,0)) AS vy
+        |  FROM m),
+        |ff AS (
+        |  SELECT g, n, vx,
+        |    CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE) AS gamma,
+        |    (CAST(vy AS DOUBLE) - CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
+        |      / CAST(vx AS DOUBLE)) / CAST(n AS DOUBLE) AS sse
+        |  FROM cv WHERE vx > 0 AND n > 2)
+        |SELECT g AS l_returnflag, n AS n_pairs, gamma,
+        |  gamma / SQRT(sse / CAST(n - 2 AS DOUBLE) * CAST(n AS DOUBLE)
+        |    / CAST(vx AS DOUBLE)) AS t_df
+        |FROM ff ORDER BY 1""".stripMargin,
     "q271_max_drawdown" ->
       """WITH e AS (
         |  SELECT event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
