@@ -565,7 +565,58 @@ object Graph {
       "p1", "p2")
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * concentrated on ONE restart node instead of spread uniformly:
+    * rank_k = (1−d)·1[node = restart] + d·Σ rank_{k−1}·p. The result
+    * ranks nodes by proximity-with-decay to the restart node — the
+    * random-walk-with-restart relevance score recommendation and
+    * similarity systems use. Same fixed-iteration declarative loop,
+    * same DECIMAL-quantized per-round contributions (bit-reproducible
+    * in any engine), same one-dst-keyed-shuffle-per-round shape with
+    * the rank vector the broadcastable small side. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      probCol: String, restartNode: String, iters: Int,
+      damping: Double): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(probCol).as("p"))
+    val e = if (iters > 1) e0.localCheckpoint() else e0
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .withColumn("r0", when(col("node") === restartNode, lit(1.0))
+        .otherwise(lit(0.0).cast("double")))
+    var rank = nodes.select(col("node"), col("r0"), col("r0").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank, e("src") === rank("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum((col("rank") * col("p")).cast("decimal(38,18)"))
+          .cast("double").as("inflow"))
+      rank = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("r0"),
+          ((lit(1.0) - lit(damping)) * col("r0") +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+    }
+    rank.select("node", "rank")
+  }
+
+  /** Random-walk-with-restart relevance of every event type to 'view'
+    * over the session-transition graph — which states a view-anchored
+    * walk actually spends time in (5 rounds, d = 0.85, the q138
+    * quantization contract). */
+  def q297PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame =
+    personalizedPageRank(
+      Behavior.sessionTransitions(Tables.events(spark, dir), "ts", "user_id",
+        "event_type", "event_id", gapSeconds = 30 * 60L),
+      "from_type", "to_type", "p", restartNode = "view", iters = 5,
+      damping = 0.85)
+      .select(col("node").as("event_type"),
+        col("rank").cast("decimal(20,12)").as("ppr"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_personalized_pagerank" -> (q297PersonalizedPagerank _),
     "q270_local_clustering" -> (q270LocalClustering _),
     "q264_adamic_adar" -> (q264AdamicAdar _),
     "q265_label_propagation" -> (q265LabelPropagation _),
@@ -619,6 +670,24 @@ object Graph {
        |        / CAST(nn.n_nodes AS DOUBLE)
        |      + CAST(0.85 AS DOUBLE) * COALESCE(c.inflow, 0.0) AS rank
        |  FROM nodes n CROSS JOIN nn LEFT JOIN c$k c ON c.node = n.node)"""
+      .stripMargin
+
+  /** One unrolled personalized-PageRank iteration: restart mass pinned
+    * to the probe node, contributions DECIMAL-quantized like the
+    * engine side. */
+  private def pprIterSql(k: Int): String =
+    s"""pc$k AS (
+       |  SELECT e.dst AS node,
+       |    CAST(SUM(CAST(r.rank * e.p AS DECIMAL(38,18))) AS DOUBLE)
+       |      AS inflow
+       |  FROM edges e JOIN pr${k - 1} r ON e.src = r.node GROUP BY e.dst),
+       |pr$k AS (
+       |  SELECT n.node,
+       |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+       |        * CASE WHEN n.node = 'view' THEN CAST(1.0 AS DOUBLE)
+       |          ELSE CAST(0 AS DOUBLE) END
+       |      + CAST(0.85 AS DOUBLE) * COALESCE(c.inflow, 0.0) AS rank
+       |  FROM nodes n LEFT JOIN pc$k c ON c.node = n.node)"""
       .stripMargin
 
   /** One unrolled k-core peel round over ed{i-1} (k = 80). */
@@ -720,6 +789,15 @@ object Graph {
         |""".stripMargin +
         (1 to 3).map(lpaIterSql).mkString(",\n") + "\n" +
         """SELECT node, lbl AS community FROM l3 ORDER BY node"""),
+    "q297_personalized_pagerank" -> (transitionsSql + ",\n" +
+      """pr0 AS (
+        |  SELECT node, CASE WHEN node = 'view' THEN CAST(1.0 AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS rank
+        |  FROM nodes),""".stripMargin + "\n" +
+      (1 to 5).map(pprIterSql).mkString(",\n") + "\n" +
+      """SELECT node AS event_type,
+        |  CAST(rank AS DECIMAL(20,12)) AS ppr
+        |FROM pr5 ORDER BY event_type""".stripMargin),
     "q138_pagerank" -> (transitionsSql + ",\n" +
       """r0 AS (
         |  SELECT node, 1.0 / CAST(nn.n_nodes AS DOUBLE) AS rank
