@@ -1303,35 +1303,53 @@ object Stats {
   /** OHLC resampling — the candlestick reduction every market/metrics
     * store ships: per (key, day) the first/highest/lowest/last value
     * plus count and exact mean. First/last are picked by a TOTAL
-    * (ts, tiebreak) order via two row_number windows on the SAME
-    * partitioning (one exchange); high/low are plain min/max; the mean
-    * rides exact centi sums. Day buckets keep each window partition
-    * tiny regardless of corpus size. */
+    * (ts, tiebreak) order via min/max STRUCT aggregates — fully
+    * map-side-combinable, no window exchange at all — over the
+    * mergeable [[ohlcCells]] sufficient statistics the streaming store
+    * shares. */
   def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
-      tieCol: String, valCol: String): DataFrame = {
+      tieCol: String, valCol: String): DataFrame =
+    ohlcFromCells(ohlcCells(events, keyCol, tsCol, tieCol, valCol), keyCol)
+
+  /** Per-(key, day) mergeable OHLC cells — the sufficient statistics
+    * behind [[ohlcBars]]: open/close ride as min/max STRUCTs over the
+    * total (us, tiebreak, value) order (struct min/max is an idempotent
+    * semilattice — merge-safe across any batching), high/low are plain
+    * min/max, count + exact centi sum are additive. One map-side-
+    * combinable aggregation, NO window exchange — and the same frame is
+    * the streaming store's unit ([[graft.streaming.StreamOps
+    * .streamingOhlcIngest]]). */
+  private[graft] def ohlcCells(events: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, valCol: String): DataFrame = {
     val base = events.select(col(keyCol).as("k"),
       date_format(col(tsCol), "yyyy-MM-dd").as("day"),
       expr(s"unix_micros($tsCol)").as("us"), col(tieCol).as("tie"),
       col(valCol).as("v"),
       (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
-    val wAsc = Window.partitionBy("k", "day").orderBy(col("us"), col("tie"))
-    val wDesc = Window.partitionBy("k", "day")
-      .orderBy(col("us").desc, col("tie").desc)
-    base
-      .withColumn("ra", row_number().over(wAsc))
-      .withColumn("rd", row_number().over(wDesc))
-      .groupBy(col("k").as(keyCol), col("day"))
-      .agg(max(when(col("ra") === 1, col("v"))).as("open"),
-        max(col("v")).as("high"), min(col("v")).as("low"),
-        max(when(col("rd") === 1, col("v"))).as("close"),
-        count(lit(1)).as("n_events"),
-        sum(col("vc")).as("sum_c"))
-      .select(col(keyCol), col("day"), col("open"), col("high"),
-        col("low"), col("close"), col("n_events"),
+    base.groupBy("k", "day").agg(
+      min(struct(col("us"), col("tie"), col("v"))).as("o"),
+      max(struct(col("us"), col("tie"), col("v"))).as("c"),
+      max(col("v")).as("high"), min(col("v")).as("low"),
+      count(lit(1)).as("n_events"),
+      sum(col("vc")).as("sum_c"))
+  }
+
+  /** Merge OHLC cells (possibly from many store batches) and finish to
+    * the candlestick frame — min/max structs pick the global first/last
+    * event, counts and sums add, so the finish is batching-invariant. */
+  private[graft] def ohlcFromCells(cells: DataFrame,
+      keyCol: String): DataFrame =
+    cells.groupBy("k", "day").agg(
+        min(col("o")).as("o"), max(col("c")).as("c"),
+        max(col("high")).as("high"), min(col("low")).as("low"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("sum_c")).as("sum_c"))
+      .select(col("k").as(keyCol), col("day"),
+        col("o.v").as("open"), col("high"), col("low"),
+        col("c.v").as("close"), col("n_events"),
         (col("sum_c").cast("double") / col("n_events").cast("double") /
           lit(100.0)).as("mean_value"))
       .orderBy(keyCol, "day")
-  }
 
   /** Daily open/high/low/close/mean of event values per event type —
     * the candlestick view of the event stream. */

@@ -689,6 +689,35 @@ object StreamOps {
     graft.operators.Ml.ewmaFromHourlyCells(cells, keyCol)
   }
 
+  /** Streaming OHLC store — [[graft.operators.Stats.ohlcBars]] as a
+    * MAINTAINED candlestick index: each micro-batch reduces to
+    * per-(key, day) OHLC cells (min/max (us, tie, value) structs for
+    * open/close — an idempotent semilattice — plus additive count and
+    * exact centi sum) under its own idempotent `batch_id=` partition.
+    * [[readOhlcBars]] merges cells across batches with the same
+    * semilattice/sum laws and runs the shared finish, so the streamed
+    * candles equal the one-shot frame bit-for-bit no matter how ingest
+    * was batched. Per-batch cost is O(batch); a day's bar converges as
+    * its late events arrive. */
+  def streamingOhlcIngest(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, path: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        idempotentBatchWrite(graft.operators.Stats.ohlcCells(
+          batch.toDF(), keyCol, tsCol, tieCol, valCol), path, batchId)
+      }
+    checkpoint.map(writer.option("checkpointLocation", _)).getOrElse(writer).start()
+  }
+
+  /** Merge a streamed OHLC cell store into the candlestick frame (see
+    * [[streamingOhlcIngest]]). */
+  def readOhlcBars(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String): DataFrame =
+    graft.operators.Stats.ohlcFromCells(
+      spark.read.parquet(path).drop("batch_id"), keyCol)
+
   /** Streaming bivariate-moments store — the generic maintained index
     * for the moment-algebra statistics family (per-group OLS, Pearson,
     * CUPED θ, variance): each micro-batch reduces to per-group
