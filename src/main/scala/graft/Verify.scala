@@ -1,9 +1,38 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Driver-hashable output contract, enforced at the ONE seam the gate
+    * reads. The driver hashes *rendered* values, so two dtype flavors can
+    * never match the DuckDB oracle no matter how exact the math is
+    * (VERDICT r8, classes 1–2, 15 red rows):
+    *   - tz-aware TIMESTAMP (Spark's `TimestampType` writes parquet
+    *     isAdjustedToUTC=true; the oracle's timestamps are naive) → cast
+    *     to `timestamp_ntz`. Session tz is pinned UTC, so the cast is a
+    *     type-tag change on identical micros — the exact inverse of the
+    *     NTZ→TZ input normalization in [[graft.sources.Tables.load]].
+    *   - DECIMAL (driver renders fixed-scale trailing zeros; the oracle
+    *     side arrives as float64) → cast to `double`. The driver's hash
+    *     rounds doubles (≥1e-12 rel tolerance proven), which absorbs the
+    *     cross-engine ulp that motivates exact-decimal *internal* math —
+    *     keep decimals inside operators, never in a declared output.
+    * Oracle SQL must match: naive timestamps and CAST(… AS DOUBLE) /
+    * CAST(… AS BIGINT) on every computed column (compare_oracle.py is
+    * dtype-strict since round 9 and red-flags any violation). */
+  private[graft] def hashableOutput(df: DataFrame): DataFrame = {
+    val fixes = df.schema.fields.toSeq.collect {
+      case f if f.dataType == TimestampType =>
+        f.name -> col(f.name).cast("timestamp_ntz")
+      case f if f.dataType.isInstanceOf[DecimalType] =>
+        f.name -> col(f.name).cast("double")
+    }
+    fixes.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, e) }
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,7 +47,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try hashableOutput(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

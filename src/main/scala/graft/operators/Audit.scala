@@ -622,11 +622,13 @@ object Audit {
       BenfordP.zipWithIndex
         .map { case (pv, i) => s"      WHEN ${i + 1} THEN $pv" }
         .mkString("\n") + "\n" +
-      """    END AS benford_p
-        |  FROM c)
+      """    END AS benford_p_d
+        |  FROM c),
+        |t2 AS (SELECT digit, n, obs_share,
+        |  CAST(benford_p_d AS DOUBLE) AS benford_p FROM t)
         |SELECT digit, n, obs_share, benford_p,
         |  ABS(obs_share - benford_p) AS abs_dev
-        |FROM t ORDER BY digit""".stripMargin),
+        |FROM t2 ORDER BY digit""".stripMargin),
     // exact per-key counts; the KLL rank booleans are engine-side
     "q146_approx_mad" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,

@@ -75,7 +75,8 @@ object Basket {
       .crossJoin(totals) // 1-row build side: a broadcast of one long
       .select(col("p1"), col("p2"), col("n"),
         (col("n").cast("double") * col("n_baskets") /
-          (col("s1") * col("s2"))).as("lift"))
+          (col("s1").cast("double") * col("s2").cast("double")))
+          .as("lift"))
       .orderBy(desc("n"), col("p1"), col("p2"))
       .limit(topK)
   }
@@ -137,7 +138,8 @@ object Basket {
       .crossJoin(totals)
       .select(col("p1"), col("p2"), col("n"),
         (col("n").cast("double") * col("n_baskets") /
-          (col("s1") * col("s2"))).as("lift"))
+          (col("s1").cast("double") * col("s2").cast("double")))
+          .as("lift"))
       .orderBy(desc("n"), col("p1"), col("p2"))
       .limit(50)
   }
@@ -172,7 +174,7 @@ object Basket {
       .crossJoin(totals) // 1-row build side
       .select(col("antecedent"), col("consequent"), col("n"),
         (dd(col("n")) / dd(col("sa"))).as("confidence"),
-        (dd(col("n")) * col("n_baskets") / (col("sa") * col("sc")))
+        (dd(col("n")) * col("n_baskets") / (dd(col("sa")) * dd(col("sc"))))
           .as("lift"),
         when(col("n") === col("sa"), lit(null).cast("double"))
           .otherwise((lit(1.0) - dd(col("sc")) / dd(col("n_baskets"))) /
@@ -202,7 +204,8 @@ object Basket {
       |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
       |SELECT pr.p1, pr.p2, pr.cnt AS n,
-      |  CAST(pr.cnt AS DOUBLE) * tot.n_baskets / (s1.s * s2.s) AS lift
+      |  CAST(pr.cnt AS DOUBLE) * tot.n_baskets
+      |    / (CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE)) AS lift
       |FROM pr
       |JOIN sup s1 ON pr.p1 = s1.p
       |JOIN sup s2 ON pr.p2 = s2.p
@@ -223,7 +226,8 @@ object Basket {
       |  UNION ALL SELECT p2, p1, cnt FROM pr)
       |SELECT b.antecedent, b.consequent, b.cnt AS n,
       |  CAST(b.cnt AS DOUBLE) / CAST(sa.s AS DOUBLE) AS confidence,
-      |  CAST(b.cnt AS DOUBLE) * tot.n_baskets / (sa.s * sc.s) AS lift,
+      |  CAST(b.cnt AS DOUBLE) * tot.n_baskets
+      |    / (CAST(sa.s AS DOUBLE) * CAST(sc.s AS DOUBLE)) AS lift,
       |  CASE WHEN b.cnt = sa.s THEN NULL
       |    ELSE (1.0 - CAST(sc.s AS DOUBLE) / CAST(tot.n_baskets AS DOUBLE))
       |      / (1.0 - CAST(b.cnt AS DOUBLE) / CAST(sa.s AS DOUBLE)) END

@@ -1022,7 +1022,7 @@ object Behavior {
         |  FROM r)
         |SELECT event_type AS channel,
         |  CAST(COUNT(*) AS BIGINT) AS n_touches,
-        |  CAST(SUM(credit) AS DECIMAL(20,12)) AS credit
+        |  CAST(CAST(SUM(credit) AS DECIMAL(20,12)) AS DOUBLE) AS credit
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q196_linear_attribution" ->
       """WITH e AS (
@@ -1045,7 +1045,7 @@ object Behavior {
         |  FROM q JOIN n USING (user_id, nxt))
         |SELECT event_type AS channel,
         |  CAST(COUNT(*) AS BIGINT) AS n_touches,
-        |  CAST(SUM(credit) AS DECIMAL(20,12)) AS credit
+        |  CAST(CAST(SUM(credit) AS DECIMAL(20,12)) AS DOUBLE) AS credit
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q156 session CTEs + two LEADs inside the session scope
     "q201_event_trigrams" ->

@@ -796,7 +796,7 @@ object Graph {
         |  FROM nodes),""".stripMargin + "\n" +
       (1 to 5).map(pprIterSql).mkString(",\n") + "\n" +
       """SELECT node AS event_type,
-        |  CAST(rank AS DECIMAL(20,12)) AS ppr
+        |  CAST(CAST(rank AS DECIMAL(20,12)) AS DOUBLE) AS ppr
         |FROM pr5 ORDER BY event_type""".stripMargin),
     "q138_pagerank" -> (transitionsSql + ",\n" +
       """r0 AS (
@@ -804,7 +804,7 @@ object Graph {
         |  FROM nodes CROSS JOIN nn),""".stripMargin + "\n" +
       (1 to 5).map(iterSql).mkString(",\n") + "\n" +
       """SELECT node AS event_type,
-        |  CAST(rank AS DECIMAL(20,12)) AS rank
+        |  CAST(CAST(rank AS DECIMAL(20,12)) AS DOUBLE) AS rank
         |FROM r5 ORDER BY event_type""".stripMargin),
     // same ed CTE as q150, then exactly 6 unrolled peel rounds
     // (MATERIALIZED: each round feeds three references — inlining would
@@ -959,9 +959,10 @@ object Graph {
         |  SELECT u, CAST(raw AS DOUBLE) /
         |    CAST((SELECT SUM(raw) FROM h2r) AS DOUBLE) AS h FROM h2r)
         |SELECT kind, id, score FROM (
-        |  SELECT 'hub' AS kind, u AS id, CAST(h AS DECIMAL(20,12)) AS score
+        |  SELECT 'hub' AS kind, u AS id,
+        |    CAST(CAST(h AS DECIMAL(20,12)) AS DOUBLE) AS score
         |  FROM h2
         |  UNION ALL
-        |  SELECT 'auth', v, CAST(a AS DECIMAL(20,12)) FROM a2)
+        |  SELECT 'auth', v, CAST(CAST(a AS DECIMAL(20,12)) AS DOUBLE) FROM a2)
         |ORDER BY kind, id""".stripMargin)
 }

@@ -166,12 +166,17 @@ object Linkage {
       .agg(count(lit(1)).as("n_rows"))
     val a = names.select(col("name").as("name_a"), col("n_rows").as("n_a"))
     val b = names.select(col("name").as("name_b"), col("n_rows").as("n_b"))
+    // declare the band join + one projected levenshtein + threshold filter;
+    // Catalyst pushes the dist predicate back into the join condition, which
+    // is the plan you want (candidates are pruned inside the loop join, so
+    // the expensive O(|a|·|b|) eval runs once per CANDIDATE; the projection
+    // re-evaluates only for the few band-surviving pairs)
     a.join(b, col("name_a") < col("name_b") &&
-        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist &&
-        levenshtein(col("name_a"), col("name_b")) <= maxDist)
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).as("dist"),
         col("n_a"), col("n_b"))
+      .filter(col("dist") <= maxDist)
       .orderBy("name_a", "name_b")
   }
 
@@ -233,8 +238,8 @@ object Linkage {
         |  FROM customer),
         |blocked AS (
         |  SELECT d.dirty_id, m.c_custkey,
-        |    CAST(jaro_winkler_similarity(d.dirty_name, m.c_name)
-        |      AS DECIMAL(10,6)) AS sim
+        |    CAST(CAST(jaro_winkler_similarity(d.dirty_name, m.c_name)
+        |      AS DECIMAL(10,6)) AS DOUBLE) AS sim
         |  FROM dirty d JOIN customer m
         |    ON substring(d.dirty_name, 1, 15) = substring(m.c_name, 1, 15)
         |    AND ascii(substring(d.dirty_name, 16, 1))

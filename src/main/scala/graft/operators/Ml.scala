@@ -171,27 +171,29 @@ object Ml {
     * U₁ = R₁ − n₁(n₁+1)/2,  z = (U₁ − n₁n₂/2) / √var,
     * var = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))).
     *
-    * Shape: one key-hash exchange carries the rank window and the tie
-    * window (same partitioning), then one groupBy to per-key scalars. */
+    * Shape: ranks come from the per-group VALUE HISTOGRAM (the q290
+    * algebra) — one (g, v)-cell aggregation, a (g)-partitioned running
+    * count over distinct values (2·rank_avg = 2·cum_below + t + 1), one
+    * groupBy to per-key scalars. No raw-row sort: per-task work scales
+    * with each group's distinct-value count, not its row count. */
   def mannWhitney(df: DataFrame, groupCol: String, valCol: String,
       sideCol: String): DataFrame = {
-    val wRank = Window.partitionBy("g").orderBy(col("v"))
-    val wTies = Window.partitionBy("g", "v")
-    val ranked = df
+    val pergv = df
       .select(col(groupCol).as("g"), col(valCol).as("v"),
         col(sideCol).cast("boolean").as("isa"))
-      .withColumn("t", count(lit(1)).over(wTies))
-      .withColumn("r2", lit(2) * rank().over(wRank) + col("t") - 1)
-      // tie-group cube term counted once per (g, v) run
-      .withColumn("tfirst",
-        row_number().over(wTies.orderBy("isa")) === 1)
+      .groupBy("g", "v")
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("isa"), 1L).otherwise(0L)).as("a"))
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = pergv
+      .withColumn("cumt", sum(col("t")).over(wCum))
+      .withColumn("r2", lit(2L) * (col("cumt") - col("t")) + col("t") + 1)
     val m = ranked.groupBy("g").agg(
-      sum(when(col("isa"), 1L).otherwise(0L)).as("n1"),
-      sum(when(!col("isa"), 1L).otherwise(0L)).as("n2"),
-      sum(when(col("isa"), col("r2")).otherwise(lit(0L))).as("r1x2"),
-      sum(when(col("tfirst"),
-        d380(col("t")) * d380(col("t")) * d380(col("t")) - d380(col("t")))
-        .otherwise(lit(0).cast("decimal(38,0)")))
+      sum(col("a")).as("n1"),
+      sum(col("t") - col("a")).as("n2"),
+      sum(col("a") * col("r2")).as("r1x2"),
+      sum(d380(col("t")) * d380(col("t")) * d380(col("t")) - d380(col("t")))
         .cast("decimal(38,0)").as("tcube"))
     val n = col("n1") + col("n2")
     val u1 = (dd(col("r1x2")) - dd(col("n1")) * dd(col("n1") + 1)) / 2.0
@@ -2669,10 +2671,9 @@ object Ml {
     val per = df.select(col(groupCol).as("g"),
       (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("x"))
     val hist = per.groupBy("x").agg(count(lit(1)).as("cnt"))
-    val wCum = Window.orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = per.agg(count(lit(1)).as("nn"))
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+    val cum = Rank.globalRankPrefix(hist, Seq(col("x")),
+        Seq("cum" -> col("cnt"))) // range-partitioned running count
       .crossJoin(broadcast(tot)) // 1-row build side
       .withColumn("fl", expr("(nn + 1) div 2"))
       .withColumn("ce", expr("(nn + 2) div 2"))
@@ -2685,6 +2686,10 @@ object Ml {
         sum(when(col("x") * 2 > col("med2"), 1L).otherwise(0L)).as("above"))
     val glob = cells.agg(sum(col("n")).as("nt"), sum(col("above")).as("at"))
     cells.crossJoin(broadcast(glob)) // 1-row build side
+      // degenerate split (every value on one side of the grand median):
+      // expected counts would be 0 → NaN/Inf chi2 — excluded, the same
+      // filtered-exclusion discipline as the vx>0 guards elsewhere
+      .filter(col("at") > 0 && col("at") < col("nt"))
       .withColumn("ea", dd(col("n")) * dd(col("at")) / dd(col("nt")))
       .withColumn("eb",
         dd(col("n")) * dd(col("nt") - col("at")) / dd(col("nt")))
@@ -2848,24 +2853,29 @@ object Ml {
 
   /** Kruskal–Wallis H — the k-sample rank test (Mann–Whitney's ANOVA
     * analogue, q224's k-group completion): H = 12/(N(N+1))·Σ R_g²/n_g −
-    * 3(N+1), tie-corrected by C = 1 − Σ(t³−t)/(N³−N). Average tie ranks
-    * are carried as the exact integer 2·rank = min(rn)+max(rn) over each
-    * tie block (the q222/q237 trick — no float ranks), so per-group rank
-    * sums are exact DECIMALs; the handful of per-group H terms are
-    * DECIMAL-quantized before summing and H/C is one double finish. One
-    * global rank window (at 100 TB: range-partitioned sort, the standard
-    * Spark window path), then cell-frame algebra. */
+    * 3(N+1), tie-corrected by C = 1 − Σ(t³−t)/(N³−N). Ranks come from the
+    * VALUE HISTOGRAM, never from raw rows (the q290 rank algebra): one
+    * (g, v)-cell aggregation, then the per-value average tie rank is the
+    * exact integer 2·rank = 2·cum_below + t + 1 from a range-partitioned
+    * running count over the distinct-value frame ([[Rank]] — no
+    * single-partition window anywhere), so per-group rank sums are exact
+    * DECIMAL Σ c·r2; the handful of per-group H terms are
+    * DECIMAL-quantized before summing and H/C is one double finish.
+    * Scales by the value domain (centi-quantized), not the row count. */
   def kruskalWallis(df: DataFrame, groupCol: String,
       valCol: String): DataFrame = {
     val v = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
-    val ranked = df.select(col(groupCol).as("g"), v.as("v"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("g"))))
-      .withColumn("r2", min(col("rn")).over(Window.partitionBy("v")) +
-        max(col("rn")).over(Window.partitionBy("v")))
-    val grp = ranked.groupBy("g")
-      .agg(count(lit(1)).as("ng"),
-        sum(d380(col("r2"))).cast("decimal(38,0)").as("t2"))
-    val ties = ranked.groupBy("v").agg(count(lit(1)).as("t"))
+    val pergv = df.select(col(groupCol).as("g"), v.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val hist = pergv.groupBy("v").agg(sum("c").as("t"))
+    val r2v = Rank.globalRankPrefix(hist, Seq(col("v")),
+        Seq("cumt" -> col("t")))
+      .withColumn("r2", lit(2L) * (col("cumt") - col("t")) + col("t") + 1)
+      .select("v", "r2")
+    val grp = pergv.join(r2v, "v").groupBy("g")
+      .agg(sum("c").as("ng"),
+        sum(d380(col("c")) * d380(col("r2"))).cast("decimal(38,0)").as("t2"))
+    val ties = hist
       .agg(sum(d380(col("t")) * d380(col("t")) * d380(col("t")) -
         d380(col("t"))).cast("decimal(38,0)").as("tie_sum"))
     val terms = grp
@@ -3391,7 +3401,8 @@ object Ml {
         |      AS ea,
         |    CAST(n AS DOUBLE) * CAST(nt - at_ AS DOUBLE)
         |      / CAST(nt AS DOUBLE) AS eb
-        |  FROM cells CROSS JOIN gtot)
+        |  FROM cells CROSS JOIN gtot
+        |  WHERE at_ > 0 AND at_ < nt)
         |SELECT g AS o_orderpriority, n, above, n - above AS at_or_below,
         |  ea AS exp_above,
         |  (CAST(above AS DOUBLE) - ea) * (CAST(above AS DOUBLE) - ea) / ea
@@ -3881,7 +3892,9 @@ object Ml {
         |      AS expected_a,
         |    CAST(CAST(SUM(v) AS DECIMAL(38,12)) AS DOUBLE) AS variance
         |  FROM terms)
-        |SELECT n_arm, n_rest, observed_a, expected_a, variance,
+        |SELECT CAST(n_arm AS BIGINT) AS n_arm,
+        |  CAST(n_rest AS BIGINT) AS n_rest,
+        |  CAST(observed_a AS BIGINT) AS observed_a, expected_a, variance,
         |  (CAST(observed_a AS DOUBLE) - expected_a) / SQRT(variance) AS z
         |FROM agg CROSS JOIN arms""".stripMargin,
     "q267_kendall_tau" ->
@@ -3920,7 +3933,8 @@ object Ml {
         |      - ty.ty2 AS vy
         |  FROM cd JOIN nn ON nn.g = cd.g JOIN tx ON tx.g = cd.g
         |  JOIN ty ON ty.g = cd.g)
-        |SELECT g AS l_returnflag, n, cc AS concordant, dc AS discordant,
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(cc AS DOUBLE) AS concordant, CAST(dc AS DOUBLE) AS discordant,
         |  (CAST(cc AS DOUBLE) - CAST(dc AS DOUBLE)) * 2.0
         |    / SQRT(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) AS tau_b
         |FROM f WHERE vx > 0 AND vy > 0 ORDER BY 1""".stripMargin,
@@ -3956,7 +3970,8 @@ object Ml {
         |      * (nextv - v) AS DECIMAL(38,15)) AS term
         |  FROM cum
         |  WHERE nextv IS NOT NULL AND na > 0 AND nb > 0)
-        |SELECT k AS event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |SELECT k AS event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+        |  CAST(MAX(nb) AS BIGINT) AS n_b,
         |  CAST(CAST(SUM(term) AS DECIMAL(38,15)) AS DOUBLE) AS w1
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "q263_js_divergence" ->
@@ -4048,7 +4063,7 @@ object Ml {
         |    SUM(CASE WHEN pos THEN CAST(CAST(cp AS DOUBLE)
         |      / CAST(rn AS DOUBLE) AS DECIMAL(38,15)) END) AS sp
         |  FROM r GROUP BY g)
-        |SELECT g AS c_mktsegment, n, np AS n_pos,
+        |SELECT g AS c_mktsegment, n, CAST(np AS BIGINT) AS n_pos,
         |  CAST(sp AS DOUBLE) / CAST(np AS DOUBLE) AS avg_precision
         |FROM a WHERE np > 0 ORDER BY 1""".stripMargin,
     "q262_cohens_kappa" ->
@@ -4097,7 +4112,7 @@ object Ml {
         |      CAST(ra AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)) END)
         |      AS DECIMAL(38,0)) AS pe_num
         |  FROM m)
-        |SELECT n, agree,
+        |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
         |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
         |  CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
         |    AS p_e,
@@ -4150,7 +4165,8 @@ object Ml {
         |          / (CAST(tn AS DOUBLE) + 0.5))) AS DECIMAL(38,12))
         |      AS iv_term
         |  FROM t)
-        |SELECT bin, np AS n_pos, nn AS n_neg, woe,
+        |SELECT bin, CAST(np AS BIGINT) AS n_pos,
+        |  CAST(nn AS BIGINT) AS n_neg, woe,
         |  CAST(SUM(iv_term) OVER () AS DOUBLE) AS iv
         |FROM woe ORDER BY bin""".stripMargin,
     "q257_rolling_ols" ->
@@ -4226,7 +4242,8 @@ object Ml {
         |    SUM(nt) OVER () AS tnt, SUM(pt) OVER () AS tpt,
         |    SUM(nc) OVER () AS tnc, SUM(pc) OVER () AS tpc
         |  FROM bins)
-        |SELECT bin, nt, pt, nc, pc,
+        |SELECT bin, CAST(nt AS BIGINT) AS nt, CAST(pt AS BIGINT) AS pt,
+        |  CAST(nc AS BIGINT) AS nc, CAST(pc AS BIGINT) AS pc,
         |  CAST(cpt AS DOUBLE) - CAST(cpc AS DOUBLE) * CAST(cnt AS DOUBLE)
         |    / CAST(cnc AS DOUBLE) AS qini,
         |  (CAST(tpt AS DOUBLE) - CAST(tpc AS DOUBLE) * CAST(tnt AS DOUBLE)
@@ -4273,7 +4290,8 @@ object Ml {
         |      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) / 1e4
         |      AS v1
         |  FROM g)
-        |SELECT cv AS covariate, n0 AS n_control, n1 AS n_treated,
+        |SELECT cv AS covariate, CAST(n0 AS BIGINT) AS n_control,
+        |  CAST(n1 AS BIGINT) AS n_treated,
         |  m0 AS mean_control, m1 AS mean_treated,
         |  CASE WHEN v0 + v1 > 0
         |    THEN (m1 - m0) / SQRT((v0 + v1) / 2.0) ELSE 0.0 END AS smd,
@@ -4489,7 +4507,7 @@ object Ml {
         |      AS tab
         |  FROM cells),
         |j AS (SELECT * FROM bycell, bya, byb)
-        |SELECT ka, kb, nn AS n,
+        |SELECT ka, kb, CAST(nn AS BIGINT) AS n,
         |  (CAST(ta AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
         |    / CAST(nn AS DOUBLE)) / 1e4 AS ssa,
         |  (CAST(tb AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
@@ -4730,7 +4748,8 @@ object Ml {
         |      ELSE ascii(substring(h,12,1)) - 48 END AS BIGINT) AS h
         |  FROM rows_c)
         |SELECT slice, COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+        |  CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS DOUBLE) AS checksum
         |FROM hashed GROUP BY slice ORDER BY slice""".stripMargin,
     "q244_hist_intersection" ->
       """WITH span AS (
@@ -4802,7 +4821,7 @@ object Ml {
         |    CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
         |      AS DECIMAL(38,0)) AS sq
         |  FROM pd GROUP BY term HAVING COUNT(*) >= 5)
-        |SELECT term, df, tf,
+        |SELECT term, df, CAST(tf AS BIGINT) AS tf,
         |  (CAST(sq AS DOUBLE) / CAST(df AS DOUBLE)
         |    - (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE))
         |      * (CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)))
@@ -4886,7 +4905,8 @@ object Ml {
         |    (strpos('0123456789abcdef', substring(md5(term), 6, 1)) - 1))
         |    % 64 AS BIGINT) AS bucket
         |  FROM tc)
-        |SELECT bucket, COUNT(*) AS n_terms, SUM(n) AS n_tokens,
+        |SELECT bucket, COUNT(*) AS n_terms,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
         |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
         |    AS dominant_share
         |FROM tb GROUP BY bucket ORDER BY bucket""".stripMargin,
@@ -4905,7 +4925,8 @@ object Ml {
         |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn,
         |    SUM(CASE WHEN pos THEN r2 ELSE 0 END) AS rpx2
         |  FROM ranked GROUP BY g)
-        |SELECT g AS c_mktsegment, np AS n_pos, nn AS n_neg,
+        |SELECT g AS c_mktsegment, CAST(np AS BIGINT) AS n_pos,
+        |  CAST(nn AS BIGINT) AS n_neg,
         |  (CAST(rpx2 AS DOUBLE) / 2.0
         |    - CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE) / 2.0)
         |  / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc
@@ -4951,8 +4972,9 @@ object Ml {
         |bp AS (
         |  SELECT predicted AS cls, SUM(n) AS n_predicted
         |  FROM cells GROUP BY 1)
-        |SELECT ba.cls AS o_orderpriority, support, tp,
-        |  COALESCE(bp.n_predicted, 0) AS n_predicted,
+        |SELECT ba.cls AS o_orderpriority,
+        |  CAST(support AS BIGINT) AS support, CAST(tp AS BIGINT) AS tp,
+        |  CAST(COALESCE(bp.n_predicted, 0) AS BIGINT) AS n_predicted,
         |  CASE WHEN COALESCE(bp.n_predicted, 0) > 0
         |    THEN CAST(tp AS DOUBLE) / CAST(bp.n_predicted AS DOUBLE)
         |    ELSE 0.0 END AS prec,
@@ -5154,7 +5176,7 @@ object Ml {
         |        - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0))
         |      / CAST(nn AS DOUBLE) AS DECIMAL(38,12)) AS term
         |  FROM tot)
-        |SELECT s AS l_returnflag, n, n1 AS n_treated,
+        |SELECT s AS l_returnflag, n, CAST(n1 AS BIGINT) AS n_treated,
         |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS mean_treated,
         |  CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0 AS mean_control,
         |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0
@@ -5193,7 +5215,7 @@ object Ml {
         |    SUM(n_pos) OVER (ORDER BY bin DESC) AS cum_pos,
         |    SUM(n) OVER () AS nn, SUM(n_pos) OVER () AS np
         |  FROM bins)
-        |SELECT bin, n, n_pos,
+        |SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos,
         |  CAST(cum_n AS DOUBLE) / CAST(nn AS DOUBLE) AS cum_frac,
         |  CAST(cum_pos AS DOUBLE) / CAST(np AS DOUBLE) AS capture,
         |  (CAST(cum_pos AS DOUBLE) / CAST(np AS DOUBLE))
@@ -5212,7 +5234,8 @@ object Ml {
         |  ORDER BY df DESC, term LIMIT 500)
         |SELECT t.lang, COUNT(DISTINCT t.doc_id) AS n_docs,
         |  COUNT(*) AS n_tokens,
-        |  SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
         |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
         |FROM toks t LEFT JOIN vocab v ON t.term = v.term
@@ -5285,7 +5308,8 @@ object Ml {
         |        * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))
         |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS tcube
         |  FROM ranked GROUP BY g)
-        |SELECT g AS event_type, n1, n2,
+        |SELECT g AS event_type, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n2 AS BIGINT) AS n2,
         |  (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0 AS u,
         |  CASE WHEN CAST(n1 AS DOUBLE) * n2 / 12.0
         |      * ((n1 + n2 + 1) - CAST(tcube AS DOUBLE)
@@ -5319,7 +5343,7 @@ object Ml {
         |    CAST(SUM(sqc) AS DECIMAL(38,0)) AS sq,
         |    CAST(SUM(term) AS DECIMAL(38,6)) AS tsum
         |  FROM terms)
-        |SELECT k, n,
+        |SELECT k, CAST(n AS BIGINT) AS n,
         |  (CAST(tsum AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
         |    / CAST(n AS DOUBLE)) / 1e4 AS ssb,
         |  (CAST(sq AS DOUBLE) - CAST(tsum AS DOUBLE)) / 1e4 AS ssw,
@@ -5447,7 +5471,7 @@ object Ml {
         |      * LN(CAST(nb AS DOUBLE) / n) AS DECIMAL(38,12))
         |      ELSE CAST(0 AS DECIMAL(38,12)) END AS hb_t
         |  FROM g)
-        |SELECT MAX(n) AS n,
+        |SELECT CAST(MAX(n) AS BIGINT) AS n,
         |  CAST(SUM(mi_t) AS DOUBLE) AS mi_nats,
         |  CAST(SUM(ha_t) AS DOUBLE) AS h_a,
         |  CAST(SUM(hb_t) AS DOUBLE) AS h_b,

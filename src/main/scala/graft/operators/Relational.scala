@@ -461,7 +461,7 @@ object Relational {
     "q29_date_string_fns" ->
       """SELECT o_orderkey,
         |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
-        |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
         |  REPLACE(o_orderpriority, '-', '_') AS pri_us,
         |  CAST(POSITION('-' IN o_orderpriority) AS BIGINT) AS pos_dash,
         |  TRIM('  ' || o_orderstatus || ' ') AS st,

@@ -407,6 +407,108 @@ object SketchQueries {
       .orderBy("frame_epoch", "event_type")
   }
 
+  /** Per-ROW sketch-over-window with an ARBITRARY trailing RANGE frame: the
+    * semantics of `approx_distinct(v) OVER (PARTITION BY k ORDER BY ts RANGE
+    * BETWEEN rangeUs PRECEDING AND CURRENT ROW)` — which Spark cannot plan
+    * (imperative aggregates are rejected over window frames, SURVEY §2b) and
+    * which the tumbling/running/sliding rewrites (q36/q38/q117) cannot
+    * express because this frame is anchored at each ROW's instant, not at a
+    * bucket-grid instant. Two-phase rewrite with exact frame edges:
+    *
+    *   - phase 1: one mergeable sketch per (key, bucket) — raw values leave
+    *     the pipeline here;
+    *   - phase 2: each output instant merges the phase-1 sketches of the
+    *     buckets its frame covers COMPLETELY (bounded `sequence` explode,
+    *     ≤ rangeUs/bucketUs + 1 rows per instant) and re-offers only the raw
+    *     values inside its ≤ 2 partially-covered EDGE buckets (an equi-join
+    *     on (key, bucket); volume = instants × per-bucket occupancy).
+    *
+    * Sketch updates and merges commute (LC bitmap-OR over hashed values /
+    * HLL register-max), so the merged sketch is bit-identical to sketching
+    * the frame's exact value set directly — per-row frames cost no accuracy
+    * over the one-shot aggregate. Output: one row per distinct (key,
+    * instant); RANGE-frame peers (equal timestamps) share a row, matching
+    * SQL RANGE semantics. Every exchange is keyed on (k) or (k, bucket) —
+    * nothing global, nothing driver-side. */
+  def rowRangeSketchDistinct(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, rangeUs: Long, bucketUs: Long,
+      algo: String = "lc", precision: Int = -1): DataFrame = {
+    require(rangeUs > 0 && bucketUs > 0, s"bad frame: $rangeUs/$bucketUs")
+    GraftFunctions.register(events.sparkSession)
+    val base = events.select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol)").as("us"), col(valueCol).as("v"))
+      .withColumn("bucket", expr(s"us div $bucketUs"))
+    val perBucket = base.groupBy("k", "bucket")
+      .agg(approx_distinct(col("v"), algo, precision)
+        .getField("binary").as("sk"))
+    val inst = base.select("k", "us").distinct()
+      .withColumn("s", col("us") - lit(rangeUs))
+      .withColumn("b_lo", expr(s"s div $bucketUs"))
+      .withColumn("b_hi", expr(s"us div $bucketUs"))
+      // first/last FULLY-covered bucket (bf_lo > bf_hi ⇒ no interior)
+      .withColumn("bf_lo", expr(s"(s + $bucketUs - 1) div $bucketUs"))
+      .withColumn("bf_hi", expr(s"(us + 1) div $bucketUs - 1"))
+    val interior = inst
+      .filter(col("bf_lo") <= col("bf_hi"))
+      .select(col("k"), col("us"),
+        explode(sequence(col("bf_lo"), col("bf_hi"))).as("bucket"))
+      .join(perBucket, Seq("k", "bucket"))
+      .select("k", "us", "sk")
+    // a touched bucket is an edge iff it is not fully covered; the two
+    // candidates coincide for sub-bucket frames → array_distinct
+    val edges = inst
+      .select(col("k"), col("us"), col("s"),
+        explode(array_distinct(filter(array(
+          when(col("b_lo") < col("bf_lo") || col("bf_lo") > col("bf_hi"),
+            col("b_lo")),
+          when(col("b_hi") > col("bf_hi") || col("bf_lo") > col("bf_hi"),
+            col("b_hi"))), x => x.isNotNull))).as("bucket"))
+      .join(base.select(col("k"), col("bucket"), col("us").as("eus"),
+        col("v")), Seq("k", "bucket"))
+      .filter(col("eus") >= col("s") && col("eus") <= col("us"))
+      .groupBy("k", "us")
+      .agg(approx_distinct(col("v"), algo, precision)
+        .getField("binary").as("sk"))
+    interior.unionByName(edges)
+      .groupBy("k", "us")
+      .agg(sketch_estimate(sketch_merge_agg(col("sk"))).as("est"))
+      .select(col("k").as(keyCol), col("us"), col("est"))
+  }
+
+  /** Trailing 6-hour distinct users at EVERY event instant per event type —
+    * the per-row arbitrary-RANGE-frame sketch window (the last §2b window
+    * sub-case: q36 tumbling, q38 running, q117 grid-sliding, and now
+    * row-anchored frames). Gate follows q117: the exact trailing count
+    * rides along, computed by the same bounded bucket-covering join over
+    * raw events (≤ 7 touched buckets per instant — never a raw range
+    * self-join), and the LC estimate must sit inside the envelope. */
+  def q298RowRangeSketchWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val rangeUs = 21600L * 1000000L
+    val bucketUs = 3600L * 1000000L
+    val est = rowRangeSketchDistinct(ev, "ts", "event_type", "user_id",
+      rangeUs, bucketUs, algo = "lc", precision = 65536)
+    val base = ev.select(col("event_type"), expr("unix_micros(ts)").as("us"),
+        col("user_id"))
+      .withColumn("bucket", expr(s"us div $bucketUs"))
+    val exact = base.select("event_type", "us").distinct()
+      .withColumn("s", col("us") - lit(rangeUs))
+      .select(col("event_type"), col("us"), col("s"),
+        explode(sequence(expr(s"s div $bucketUs"),
+          expr(s"us div $bucketUs"))).as("bucket"))
+      .join(base.select(col("event_type"), col("bucket"),
+        col("us").as("eus"), col("user_id")), Seq("event_type", "bucket"))
+      .filter(col("eus") >= col("s") && col("eus") <= col("us"))
+      .groupBy("event_type", "us")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    est.join(exact, Seq("event_type", "us"))
+      .select(col("event_type"), col("us"), col("n_users"),
+        (abs(col("est").cast("double") - col("n_users").cast("double"))
+          <= greatest(lit(3.0), col("n_users").cast("double") * envelope))
+          .as("est_ok"))
+      .orderBy("event_type", "us")
+  }
+
   /** Quantiles over an arbitrary sliding frame — the [[slidingSketchDistinct]]
     * two-phase rewrite applied to the KLL family: one serialized KLL sketch
     * per (key, slide-bucket), bucket sketches exploded to their covering
@@ -884,6 +986,7 @@ object SketchQueries {
     "q161_sketch_mv" -> (q161SketchMv _),
     "q36_windowed_approx_users" -> (q36WindowedApproxUsers _),
     "q117_sliding_sketch_window" -> (q117SlidingSketchWindow _),
+    "q298_rowframe_sketch_window" -> (q298RowRangeSketchWindow _),
     "q118_sliding_quantile_window" -> (q118SlidingQuantileWindow _),
     "q119_rolling_new_users" -> (q119RollingNewUsers _),
     "q120_sliding_topk" -> (q120SlidingTopK _),
@@ -910,6 +1013,19 @@ object SketchQueries {
 
   /** Oracles are exact counts; the driver applies the approx envelope. */
   val oracles: Map[String, String] = Map(
+    // per-instant trailing RANGE frame as a range self-join over distinct
+    // (key, instant) rows — the row-anchored twin of the q117 oracle
+    "q298_rowframe_sketch_window" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us, user_id
+        |  FROM events),
+        |inst AS (SELECT DISTINCT event_type, us FROM e)
+        |SELECT i.event_type, i.us,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  true AS est_ok
+        |FROM inst i JOIN e ON e.event_type = i.event_type
+        |  AND e.us BETWEEN i.us - 21600000000 AND i.us
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q161_sketch_mv" ->
       """WITH delta AS (
         |  SELECT o_orderstatus, o_custkey + 1000000 AS c

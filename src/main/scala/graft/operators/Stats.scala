@@ -164,12 +164,12 @@ object Stats {
     * any engine; returns per-(r,f,m)-cell counts and exact spend totals.
     * Higher score = more recent / frequent / valuable.
     *
-    * The ntile windows run over the already-reduced per-entity frame
-    * (one row per customer, not per order), so the unpartitioned sorts
-    * are entity-count-sized — at 100 TB of orders that frame is the
-    * small output of the first aggregation, and if even IT outgrows one
-    * partition the move is range-partitioned rank arithmetic, not a
-    * bigger window. */
+    * The three quintile assignments are range-partitioned rank
+    * composition ([[Rank.globalRankPrefix]] + the exact `ntile`
+    * arithmetic of [[Rank.ntileFromRank]]) over the already-reduced
+    * per-entity frame — three distributed sorts, zero single-partition
+    * windows, identical output to `ntile(5)` under the same total
+    * (metric, entity) order. */
   def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
       amountCol: String): DataFrame = {
     val per = orders.groupBy(col(custCol).as("__cust"))
@@ -177,13 +177,14 @@ object Stats {
         count(lit(1)).as("__n_orders"),
         sum((col(amountCol).cast("decimal(18,2)") * 100).cast("long"))
           .as("__spend_c"))
-    val scored = per
-      .withColumn("r", ntile(5).over(
-        Window.orderBy(col("__last_us"), col("__cust"))))
-      .withColumn("f", ntile(5).over(
-        Window.orderBy(col("__n_orders"), col("__cust"))))
-      .withColumn("m", ntile(5).over(
-        Window.orderBy(col("__spend_c"), col("__cust"))))
+    val n = per.agg(count(lit(1)).as("__n"))
+    def score(df: DataFrame, metric: String, out: String): DataFrame =
+      Rank.globalRankPrefix(df, Seq(col(metric), col("__cust")))
+        .crossJoin(broadcast(n)) // 1-row build side
+        .withColumn(out, Rank.ntileFromRank("__rn", "__n", 5))
+        .drop("__rn", "__n")
+    val scored = score(score(score(per, "__last_us", "r"),
+      "__n_orders", "f"), "__spend_c", "m")
     scored.groupBy("r", "f", "m")
       .agg(count(lit(1)).as("n_customers"),
         (sum(col("__spend_c")).cast("double") / lit(100.0)).as("total_spend"))
@@ -217,21 +218,21 @@ object Stats {
     * classified by cumulative revenue share — A carries the first `cutA`
     * of revenue, B up to `cutB`, C the tail (the 80/15/5 inventory rule).
     * Returns per-class item counts, revenue, and share. Revenue on the
-    * exact centi grid; the rank/cumulative windows run over the
-    * already-reduced per-item frame (same posture note as
-    * [[rfmSegments]]); shares are single divisions of exact longs. */
+    * exact centi grid; the descending cumulative is range-partitioned
+    * rank composition over the already-reduced per-item frame
+    * ([[Rank.globalRankPrefix]] — no single-partition window), the
+    * total a 1-row broadcast; shares are single divisions of exact
+    * longs. */
   def abcClassification(df: DataFrame, itemCol: String, valueCol: String,
       cutA: Double = 0.8, cutB: Double = 0.95): DataFrame = {
     require(cutA > 0 && cutA < cutB && cutB < 1, s"bad cuts: $cutA/$cutB")
     val per = df.groupBy(col(itemCol).as("__item"))
       .agg(sum((col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
         .as("__rev_c"))
-    val ord = Window.orderBy(desc("__rev_c"), col("__item"))
-    val all = Window.partitionBy()
-    per
-      .withColumn("__cum_c", sum(col("__rev_c")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__tot_c", sum(col("__rev_c")).over(all))
+    val tot = per.agg(sum(col("__rev_c")).as("__tot_c"))
+    Rank.globalRankPrefix(per, Seq(desc("__rev_c"), col("__item")),
+        Seq("__cum_c" -> col("__rev_c")))
+      .crossJoin(broadcast(tot)) // 1-row build side
       .withColumn("__share",
         col("__cum_c").cast("double") / col("__tot_c").cast("double"))
       .withColumn("abc_class",
@@ -239,9 +240,9 @@ object Stats {
           .when(col("__share") <= cutB, "B").otherwise("C"))
       .groupBy("abc_class")
       .agg(count(lit(1)).as("n_items"),
-        (sum(col("__rev_c")).cast("double") / lit(100.0)).as("revenue"))
-      .withColumn("share_of_total", col("revenue") /
-        sum(col("revenue")).over(all))
+        (sum(col("__rev_c")).cast("double") / lit(100.0)).as("revenue"),
+        (sum(col("__rev_c")).cast("double") /
+          first(col("__tot_c")).cast("double")).as("share_of_total"))
       .orderBy("abc_class")
   }
 
@@ -1215,23 +1216,28 @@ object Stats {
     * cumulative share of the total. Entities are ranked by the exact
     * centi-long measure with the entity id as tiebreak (total order →
     * deterministic gate); shares are exact-integer ratios finished as
-    * doubles. The decile window is a global sort here (the q175 RFM
-    * shape); at 100 TB swap the ntile for broadcast percentile cutpoints
-    * (the q232 gains-curve move) — same output contract. */
+    * doubles. The decile assignment is range-partitioned rank
+    * composition + exact ntile arithmetic (the q175 RFM shape — zero
+    * single-partition windows); the k-row decile frame's cumulative is a
+    * triangular broadcast self-join (k is a constant). */
   def lorenzCurve(perEntity: DataFrame, entityCol: String,
       measureCol: String, k: Int): DataFrame = {
     require(k >= 2, s"decile count must be >= 2: $k")
     val dd = (c: Column) => c.cast("double")
-    val wRank = Window.orderBy(col("m"), col("e"))
-    val wCum = Window.orderBy("decile")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    perEntity.select(col(entityCol).as("e"), col(measureCol).as("m"))
-      .withColumn("decile", ntile(k).over(wRank))
+    val ent = perEntity.select(col(entityCol).as("e"), col(measureCol).as("m"))
+    val n = ent.agg(count(lit(1)).as("__n"))
+    val tot = ent.agg(sum(col("m")).as("total"))
+    val byDec = Rank.globalRankPrefix(ent, Seq(col("m"), col("e")))
+      .crossJoin(broadcast(n)) // 1-row build side
+      .withColumn("decile", Rank.ntileFromRank("__rn", "__n", k))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_entities"), sum(col("m")).as("sc"))
-      .withColumn("total", sum(col("sc")).over(wAll))
-      .withColumn("cum", sum(col("sc")).over(wCum))
+    val lower = byDec.select(col("decile").as("__d2"), col("sc").as("__sc2"))
+    byDec
+      .join(broadcast(lower), col("__d2") <= col("decile"))
+      .groupBy("decile", "n_entities", "sc")
+      .agg(sum(col("__sc2")).as("cum"))
+      .crossJoin(broadcast(tot)) // 1-row build side
       .select(col("decile").cast("int").as("decile"), col("n_entities"),
         (dd(col("sc")) / 100.0).as("spend"),
         (dd(col("sc")) / dd(col("total"))).as("share"),
@@ -2236,12 +2242,12 @@ object Stats {
         |SELECT va AS variant_a, n_a, x_a, vb AS variant_b, n_b, x_b,
         |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
         |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
-        |  CAST((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |  CAST(CAST((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
         |      - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
         |    / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
         |      * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
         |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
-        |    AS DECIMAL(20,12)) AS z
+        |    AS DECIMAL(20,12)) AS DOUBLE) AS z
         |FROM j""".stripMargin,
     // prefix closed form of the max(0, ·) fold, S⁺ = P − min(0, run-min P),
     // in exact integer micro-units; HUGEINT // = Spark's div (truncating)

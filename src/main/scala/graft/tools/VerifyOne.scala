@@ -22,7 +22,7 @@ object VerifyOne {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
-      graft.SparkEntry.queries(name)(spark, sfDir)
+      graft.Verify.hashableOutput(graft.SparkEntry.queries(name)(spark, sfDir))
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       graft.SparkEntry.oracleSql.get(name).foreach { sql =>
         java.nio.file.Files.writeString(
