@@ -533,7 +533,78 @@ object Audit {
       "o_orderkey", "o_totalprice", "o_orderdate",
       windowSeconds = 90L * 86400L, amountBucketCents = 100000L)
 
+  /** Functional-dependency audit: for each candidate FD `lhs → rhs`, how
+    * badly the data violates it — the profiling primitive behind key
+    * discovery and normalization checks. Per candidate: distinct lhs
+    * groups, groups whose rhs is not single-valued, and the row mass
+    * inside violating groups. One map-side-combined (candidate, lhs)
+    * aggregation per candidate unioned into a single frame — row-linear,
+    * no joins. */
+  def fdViolations(df: DataFrame,
+      candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate FD")
+    candidates.map { case (lhs, rhs) =>
+      df.select(col(lhs).cast("string").as("__l"),
+          col(rhs).cast("string").as("__r"))
+        .groupBy("__l")
+        .agg(count(lit(1)).as("__rows"),
+          countDistinct(col("__r")).as("__ndv"))
+        .agg(lit(s"$lhs -> $rhs").as("fd"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("__ndv") > 1, 1L).otherwise(0L))
+            .as("n_violating_groups"),
+          sum(when(col("__ndv") > 1, col("__rows")).otherwise(0L))
+            .as("n_violating_rows"))
+    }.reduce(_ unionByName _).orderBy("fd")
+  }
+
+  /** Do orders' attributes functionally depend on their keys: the exact
+    * violation profile for three candidate dependencies (one real key,
+    * two deliberately false). */
+  def q302FdViolations(spark: SparkSession, dir: String): DataFrame =
+    fdViolations(Tables.orders(spark, dir),
+      Seq("o_orderkey" -> "o_orderpriority",
+        "o_custkey" -> "o_orderpriority",
+        "o_orderdate" -> "o_orderstatus"))
+
+  /** Referential-integrity audit after a CDC night: orphan counts per FK
+    * edge once the q109 changeset (which DELETES every order whose key
+    * ends in 0) is merged — child rows pointing at vanished parents are
+    * the delete-anomaly every warehouse reconciliation hunts. Per edge:
+    * child rows, orphaned rows, distinct orphaned keys. Each edge is one
+    * key-hash left-anti join against the merged snapshot — broadcast
+    * when the parent side fits, shuffle otherwise (no hint, AQE picks). */
+  def fkOrphans(edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(edges.nonEmpty, "need at least one FK edge")
+    edges.map { case (name, child, ck, parent, pk) =>
+      val orphans = child.select(col(ck).as("__k"))
+        .join(parent.select(col(pk).as("__k")), Seq("__k"), "left_anti")
+      val stats = orphans.agg(
+        count(lit(1)).as("n_orphan_rows"),
+        countDistinct(col("__k")).as("n_orphan_keys"))
+      child.agg(lit(name).as("fk_edge"), count(lit(1)).as("n_child_rows"))
+        .crossJoin(stats) // two 1-row frames
+    }.reduce(_ unionByName _).orderBy("fk_edge")
+  }
+
+  def q303FkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val merged = Cdc.mergeSnapshot(o, Cdc.derivedChanges(o),
+      Seq("o_orderkey"))
+    fkOrphans(Seq(
+      ("lineitem.l_orderkey -> orders_merged",
+        Tables.lineitem(spark, dir), "l_orderkey", merged, "o_orderkey"),
+      ("orders_merged.o_custkey -> customer",
+        merged, "o_custkey", Tables.customer(spark, dir), "c_custkey"),
+      ("lineitem.l_partkey -> part",
+        Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_fd_violations" -> (q302FdViolations _),
+    "q303_fk_orphans" -> (q303FkOrphans _),
     "q188_calendar_gaps" -> (q188CalendarGaps _),
     "q189_duplicate_payments" -> (q189DuplicatePayments _),
     "q177_benford" -> (q177Benford _),
@@ -570,6 +641,68 @@ object Audit {
   }
 
   val oracles: Map[String, String] = Map(
+    "q302_fd_violations" ->
+      """SELECT * FROM (
+        |SELECT 'o_custkey -> o_orderpriority' AS fd,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(SUM(CASE WHEN ndv > 1 THEN nr ELSE 0 END) AS BIGINT)
+        |    AS n_violating_rows
+        |FROM (SELECT o_custkey AS l, COUNT(*) AS nr,
+        |    COUNT(DISTINCT o_orderpriority) AS ndv
+        |  FROM orders GROUP BY 1)
+        |UNION ALL
+        |SELECT 'o_orderdate -> o_orderstatus',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN ndv > 1 THEN nr ELSE 0 END) AS BIGINT)
+        |FROM (SELECT o_orderdate AS l, COUNT(*) AS nr,
+        |    COUNT(DISTINCT o_orderstatus) AS ndv
+        |  FROM orders GROUP BY 1)
+        |UNION ALL
+        |SELECT 'o_orderkey -> o_orderpriority',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(SUM(CASE WHEN ndv > 1 THEN nr ELSE 0 END) AS BIGINT)
+        |FROM (SELECT o_orderkey AS l, COUNT(*) AS nr,
+        |    COUNT(DISTINCT o_orderpriority) AS ndv
+        |  FROM orders GROUP BY 1)
+        |) ORDER BY fd""".stripMargin,
+    // the q109 merge's delete set (keys ending in 0) leaves lineitem
+    // orphans; inserts (key+10^8 for keys ending in 3) keep custkeys valid
+    "q303_fk_orphans" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey FROM orders
+        |  WHERE o_orderkey % 10 = 3)
+        |SELECT * FROM (
+        |SELECT 'lineitem.l_orderkey -> orders_merged' AS fk_edge,
+        |  CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+        |  CAST(SUM(CASE WHEN m.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_orphan_rows,
+        |  CAST(COUNT(DISTINCT CASE WHEN m.o_orderkey IS NULL
+        |    THEN l.l_orderkey END) AS BIGINT) AS n_orphan_keys
+        |FROM lineitem l LEFT JOIN merged m ON l.l_orderkey = m.o_orderkey
+        |UNION ALL
+        |SELECT 'orders_merged.o_custkey -> customer',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+        |    THEN m.o_custkey END) AS BIGINT)
+        |FROM merged m LEFT JOIN customer c ON m.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey -> part',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(COUNT(DISTINCT CASE WHEN p.p_partkey IS NULL
+        |    THEN l.l_partkey END) AS BIGINT)
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |) ORDER BY fk_edge""".stripMargin,
     // expected hourly grid from observed min/max, anti-joined, islands
     // via the bucket - row_number run collapse
     "q188_calendar_gaps" ->

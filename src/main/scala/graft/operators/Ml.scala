@@ -3069,7 +3069,59 @@ object Ml {
       "c_mktsegment", "o_orderstatus", "o_orderpriority")
   }
 
+  /** Friedman test — the nonparametric repeated-measures ANOVA (the
+    * blocked completion of q284's Kruskal–Wallis): rank the k treatments
+    * WITHIN each block, then test whether mean ranks differ across
+    * treatments. Only COMPLETE blocks (all k treatments present) enter —
+    * the test's standard requirement. Average tie ranks come from the
+    * per-(block, value) histogram (2·rank_avg = 2·cum_below + t + 1, the
+    * q290/q224 algebra; the running count is block-partitioned over
+    * k-row frames), so per-treatment rank sums are exact integers and
+    *   Q = 3/(n·k·(k+1)) · Σ_j R2_j² − 3·n·(k+1)
+    * (R2_j = Σ 2·ranks of treatment j over n blocks) is one fixed
+    * double shape over exact integers. Returns one row per treatment
+    * with its mean rank plus the shared Q and dof. */
+  def friedman(df: DataFrame, blockCol: Column, treatCol: String,
+      valCol: String): DataFrame = {
+    val cell = df.select(blockCol.as("b"), col(treatCol).as("t"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("b", "t").agg(sum("vc").as("v"))
+    val kRow = cell.agg(countDistinct(col("t")).as("k"))
+    val complete = cell.groupBy("b").agg(count(lit(1)).as("nb"))
+      .crossJoin(broadcast(kRow)).filter(col("nb") === col("k"))
+      .select("b")
+    val cells = cell.join(complete, Seq("b"))
+    val pergv = cells.groupBy("b", "v").agg(count(lit(1)).as("tt"))
+    val wCum = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r2v = pergv.withColumn("cumt", sum(col("tt")).over(wCum))
+      .withColumn("r2", lit(2L) * (col("cumt") - col("tt")) + col("tt") + 1)
+      .select("b", "v", "r2")
+    val byT = cells.join(r2v, Seq("b", "v"))
+      .groupBy("t").agg(count(lit(1)).as("n"), sum(col("r2")).as("r2sum"))
+    val agg = byT.agg(
+      sum(d380(col("r2sum")) * d380(col("r2sum"))).cast("decimal(38,0)")
+        .as("ssum"),
+      max(col("n")).as("nn")) // n identical across treatments
+    byT.crossJoin(broadcast(agg)).crossJoin(broadcast(kRow))
+      .select(col("t").as(treatCol), col("n"),
+        (dd(col("r2sum")) / (lit(2.0) * dd(col("n")))).as("mean_rank"),
+        (lit(3.0) / (dd(col("nn")) * dd(col("k")) * dd(col("k") + 1))
+          * dd(col("ssum"))
+          - lit(3.0) * dd(col("nn")) * dd(col("k") + 1)).as("q"),
+        (col("k") - 1).cast("long").as("dof"))
+      .orderBy(treatCol)
+  }
+
+  /** Do the order statuses draw consistently different weekly revenue
+    * ranks — the week-blocked rank test. */
+  def q306Friedman(spark: SparkSession, dir: String): DataFrame =
+    friedman(Tables.orders(spark, dir),
+      expr("datediff(o_orderdate, date'1992-01-01') div 7"),
+      "o_orderstatus", "o_totalprice")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_friedman" -> (q306Friedman _),
     "q280_brown_forsythe" -> (q280BrownForsythe _),
     "q286_ridge_two" -> (q286RidgeTwo _),
     "q290_moods_median" -> (q290MoodsMedian _),
@@ -3170,6 +3222,43 @@ object Ml {
       |  FROM daily d JOIN ab f ON f.g = d.g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // average-tie ranks via 2*RANK() + tie-count - 1 (the same integer
+    // identity the engine derives from the per-(block, value) histogram)
+    "q306_friedman" ->
+      """WITH cell AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) // 7 AS b,
+        |    o_orderstatus AS t,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT COUNT(DISTINCT t) AS k FROM cell),
+        |complete AS (
+        |  SELECT b FROM cell GROUP BY b
+        |  HAVING COUNT(*) = (SELECT k FROM kk)),
+        |cells AS (SELECT c.* FROM cell c JOIN complete USING (b)),
+        |ranked AS (
+        |  SELECT b, t, 2 * RANK() OVER (PARTITION BY b ORDER BY v)
+        |    + COUNT(*) OVER (PARTITION BY b, v) - 1 AS r2
+        |  FROM cells),
+        |byt AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r2) AS BIGINT) AS r2sum
+        |  FROM ranked GROUP BY t),
+        |agg AS (
+        |  SELECT CAST(SUM(CAST(r2sum AS HUGEINT) * CAST(r2sum AS HUGEINT))
+        |      AS HUGEINT) AS ssum,
+        |    MAX(n) AS nn
+        |  FROM byt)
+        |SELECT t AS o_orderstatus, n,
+        |  CAST(r2sum AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) AS mean_rank,
+        |  3.0 / (CAST(nn AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * CAST(k + 1 AS DOUBLE))
+        |    * CAST(ssum AS DOUBLE)
+        |  - 3.0 * CAST(nn AS DOUBLE) * CAST(k + 1 AS DOUBLE) AS q,
+        |  CAST(k - 1 AS BIGINT) AS dof
+        |FROM byt CROSS JOIN agg CROSS JOIN kk
+        |ORDER BY 1""".stripMargin,
     "q280_brown_forsythe" ->
       """WITH per AS (
         |  SELECT o_orderpriority AS g,

@@ -406,7 +406,82 @@ object Relational {
         lpad(col("o_orderkey").cast("string"), 8, "0").as("key_padded"))
       .orderBy("o_orderkey")
 
+  /** Recursive CTE (`WITH RECURSIVE`, Spark 4.1 native): ancestor-path
+    * rollup over the 4-ary containment hierarchy parent(k) = k div 4
+    * derived from the part keys — every part's depth and cumulative
+    * exact-cents retail price along its path to a root (keys < 4). The
+    * engine executes the standard delta-iteration semantics (each round
+    * joins only the PREVIOUS round's rows to the parts table, so total
+    * work is parts × log₄(maxkey), never quadratic); the `node >= 4`
+    * guard is the termination edge (key 0 is its own div-4 parent). The
+    * oracle runs the identical recursion in DuckDB. */
+  def q299RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part_rc")
+    spark.sql(
+      """WITH RECURSIVE walk(pk, node, acc) AS (
+        |  SELECT p_partkey, p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  FROM part_rc
+        |  UNION ALL
+        |  SELECT w.pk, p.p_partkey,
+        |    w.acc + CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)
+        |  FROM walk w JOIN part_rc p ON p.p_partkey = w.node div 4
+        |  WHERE w.node >= 4)
+        |SELECT pk AS p_partkey, CAST(COUNT(*) AS BIGINT) AS depth,
+        |  CAST(MAX(acc) AS BIGINT) AS path_price_c
+        |FROM walk GROUP BY pk ORDER BY pk""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    * top-k-per-group idiom as SQL text (the DataFrame twin is a ranked
+    * window + filter; LATERAL proves the planner's correlated-subquery
+    * decorrelation end-to-end): the 3 richest customers of every region
+    * by exact-cents account balance, customer-key tiebreak. */
+  def q300LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_lt")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_lt")
+    Tables.region(spark, dir).createOrReplaceTempView("region_lt")
+    spark.sql(
+      """SELECT r.r_name, l.c_custkey, l.bal_c
+        |FROM region_lt r,
+        |LATERAL (
+        |  SELECT c.c_custkey,
+        |    CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS bal_c
+        |  FROM customer_lt c
+        |  JOIN nation_lt n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY bal_c DESC, c.c_custkey LIMIT 3) l
+        |ORDER BY r.r_name, l.bal_c DESC, l.c_custkey""".stripMargin)
+  }
+
+  /** UNPIVOT (wide → long): lineitem's four numeric measures melted to
+    * (measure, value) rows in ONE scan — the relational dual of q27's
+    * PIVOT — then profiled per measure on the exact centi grid. The
+    * unpivot is a projection-time explode, not a join: 4× row fan-out,
+    * zero extra exchanges before the group-by. */
+  def q301UnpivotMeasures(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_up")
+    spark.sql(
+      """SELECT k AS measure, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_c,
+        |  CAST(MIN(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS min_c,
+        |  CAST(MAX(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS max_c
+        |FROM (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+        |      FROM lineitem_up)
+        |  UNPIVOT (v FOR k IN (l_quantity, l_extendedprice, l_discount,
+        |    l_tax))
+        |GROUP BY k ORDER BY k""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_recursive_cte" -> (q299RecursiveCte _),
+    "q300_lateral_topk" -> (q300LateralTopk _),
+    "q301_unpivot_measures" -> (q301UnpivotMeasures _),
     "q29_date_string_fns" -> (q29DateStringFns _),
     "q21_cube" -> (q21Cube _),
     "q22_json_props" -> (q22JsonProps _),
@@ -441,6 +516,45 @@ object Relational {
     "q114_window_battery" -> (q114WindowBattery _))
 
   val oracles: Map[String, String] = Map(
+    // identical recursion in DuckDB (// = integral division)
+    "q299_recursive_cte" ->
+      """WITH RECURSIVE walk(pk, node, acc) AS (
+        |  SELECT p_partkey, p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  FROM part
+        |  UNION ALL
+        |  SELECT w.pk, p.p_partkey,
+        |    w.acc + CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)
+        |  FROM walk w JOIN part p ON p.p_partkey = w.node // 4
+        |  WHERE w.node >= 4)
+        |SELECT pk AS p_partkey, CAST(COUNT(*) AS BIGINT) AS depth,
+        |  CAST(MAX(acc) AS BIGINT) AS path_price_c
+        |FROM walk GROUP BY pk ORDER BY pk""".stripMargin,
+    "q300_lateral_topk" ->
+      """SELECT r.r_name, l.c_custkey, l.bal_c
+        |FROM region r,
+        |LATERAL (
+        |  SELECT c.c_custkey,
+        |    CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS bal_c
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY bal_c DESC, c.c_custkey LIMIT 3) l
+        |ORDER BY r.r_name, l.bal_c DESC, l.c_custkey""".stripMargin,
+    "q301_unpivot_measures" ->
+      """SELECT k AS measure, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_c,
+        |  CAST(MIN(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS min_c,
+        |  CAST(MAX(CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS max_c
+        |FROM (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+        |      FROM lineitem)
+        |  UNPIVOT (v FOR k IN (l_quantity, l_extendedprice, l_discount,
+        |    l_tax))
+        |GROUP BY k ORDER BY k""".stripMargin,
     "q114_window_battery" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,

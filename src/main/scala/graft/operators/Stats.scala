@@ -1413,7 +1413,128 @@ object Stats {
     dickeyFuller(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
       "l_extendedprice")
 
+  /** Autocorrelation function of a daily exact-cents series at lags
+    * 1..`maxLag`, plus the cumulative Ljung–Box portmanteau statistic —
+    * "is there ANY serial structure" (the all-lags complement of q287's
+    * lag-1 Durbin–Watson). The series is the zero-filled complete day
+    * grid (gaps are real zeros, so both engines see the identical
+    * vector). Everything up to the final divisions is exact DECIMAL(38,0)
+    * integer algebra — with S = Σx, n days:
+    *   n²·num_k = n²·Σ_{t≤n−k} x_t·x_{t+k} − n·S·(H_k + T_k) + (n−k)·S²
+    *   n²·den   = n²·Σx²  − n·S²
+    * (H_k/T_k = head/tail partial sums), r_k = num/den is one double
+    * division, and Q_ℓ = n(n+2)·Σ_{k≤ℓ} r_k²/(n−k) accumulates
+    * DECIMAL-quantized terms over the ≤maxLag-row statistic frame via a
+    * triangular broadcast self-join. Shape: one day-grid aggregation +
+    * maxLag equi-joins ON THE DAY HISTOGRAM (span-bounded, not
+    * row-bounded) — scales by calendar span, not data volume. */
+  def acfLjungBox(df: DataFrame, dateCol: String, valCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val daily0 = df
+      .select(datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("d").agg(sum("vc").as("x"))
+    val span = daily0.agg(min("d").as("mn"), max("d").as("mx"))
+    val daily = span.select(explode(sequence(col("mn"), col("mx"))).as("d"))
+      .join(daily0, Seq("d"), "left").na.fill(0L, Seq("x"))
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(d380(col("x"))).cast("decimal(38,0)").as("s"),
+      sum(d380(col("x")) * d380(col("x"))).cast("decimal(38,0)").as("sxx"))
+    val lags = daily.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("k"))
+    val pairs = daily.crossJoin(broadcast(lags)) // day grid × maxLag
+      .join(daily.select(col("d").as("d2"), col("x").as("x2")),
+        col("d2") === col("d") + col("k"))
+      .groupBy("k").agg(
+        sum(d380(col("x")) * d380(col("x2"))).cast("decimal(38,0)")
+          .as("sxy"),
+        sum(d380(col("x"))).cast("decimal(38,0)").as("hk"),
+        sum(d380(col("x2"))).cast("decimal(38,0)").as("tk"))
+    val terms = pairs.crossJoin(broadcast(m)) // 1-row statistic frame
+      .withColumn("num", (d380(col("n")) * d380(col("n")) * col("sxy")
+        - d380(col("n")) * col("s") * (col("hk") + col("tk"))
+        + (d380(col("n")) - d380(col("k"))) * col("s") * col("s"))
+        .cast("decimal(38,0)"))
+      .withColumn("den", (d380(col("n")) * d380(col("n")) * col("sxx")
+        - d380(col("n")) * col("s") * col("s")).cast("decimal(38,0)"))
+      .withColumn("r", dd(col("num")) / dd(col("den")))
+      .withColumn("lb_term",
+        (col("r") * col("r") / dd(col("n") - col("k")))
+          .cast("decimal(38,15)"))
+      .select(col("k"), col("n"), col("r"), col("lb_term"))
+    val lower = terms.select(col("k").as("__k2"), col("lb_term").as("__t2"))
+    terms.join(broadcast(lower), col("__k2") <= col("k"))
+      .groupBy("k", "n", "r")
+      .agg((dd(col("n")) * dd(col("n") + 2) *
+        dd(sum(col("__t2")).cast("decimal(38,15)"))).as("q_lb"))
+      .select(col("k").as("lag"), col("r"), col("q_lb"))
+      .orderBy("lag")
+  }
+
+  /** Serial structure of daily order revenue: ACF at lags 1..14 with the
+    * cumulative Ljung–Box Q. */
+  def q304AcfLjungBox(spark: SparkSession, dir: String): DataFrame =
+    acfLjungBox(Tables.orders(spark, dir), "o_orderdate", "o_totalprice",
+      maxLag = 14)
+
+  /** Seasonality detection by FOLDING, not Fourier: for each candidate
+    * period p, bucket the complete hourly count series by phase
+    * (hour − min) mod p and take the between-phase share of total
+    * variance, strength_p = SS_between / SS_total ∈ [0,1] — a strong
+    * periodic component at p concentrates variance between phases. No
+    * trigonometry crosses the engine boundary (cos/sin ulp differences
+    * are the classic cross-engine hash killer): SS_total is exact
+    * integer algebra (n²·SS_t = n²Σx² − nS²) and SS_between's per-phase
+    * terms s_r²/n_r are single divisions of exact integers,
+    * DECIMAL-quantized before the phase sum. One grid aggregation + one
+    * (period, phase) reduce per candidate — span-bounded frames. */
+  def seasonalStrength(df: DataFrame, tsCol: String,
+      periods: Seq[Int], bucketSeconds: Long): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2), s"bad periods")
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val bUs = bucketSeconds * 1000000L
+    val hourly0 = df
+      .select(expr(s"unix_micros($tsCol) div $bUs").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("x"))
+    val span = hourly0.agg(min("h").as("mn"), max("h").as("mx"))
+    val grid = span.select(col("mn"),
+        explode(sequence(col("mn"), col("mx"))).as("h"))
+      .join(hourly0, Seq("h"), "left").na.fill(0L, Seq("x"))
+    val m = grid.agg(count(lit(1)).as("n"),
+      sum(d380(col("x"))).cast("decimal(38,0)").as("s"),
+      sum(d380(col("x")) * d380(col("x"))).cast("decimal(38,0)").as("sxx"))
+    val perDf = df.sparkSession.createDataFrame(
+      periods.map(Tuple1(_))).toDF("p")
+    val phases = grid.crossJoin(broadcast(perDf))
+      .groupBy(col("p"), ((col("h") - col("mn")) % col("p")).as("ph"))
+      .agg(count(lit(1)).as("nr"),
+        sum(d380(col("x"))).cast("decimal(38,0)").as("sr"))
+      .withColumn("bt", (dd(col("sr")) * dd(col("sr")) / dd(col("nr")))
+        .cast("decimal(38,6)"))
+      .groupBy("p")
+      .agg(sum(col("bt")).cast("decimal(38,6)").as("btsum"))
+    phases.crossJoin(broadcast(m)) // 1-row statistic frame
+      .select(col("p").cast("long").as("period"),
+        ((dd(col("btsum")) - dd(col("s")) * dd(col("s")) / dd(col("n"))) /
+          (dd(col("sxx")) - dd(col("s")) * dd(col("s")) / dd(col("n"))))
+          .as("strength"))
+      .orderBy("period")
+  }
+
+  /** Which cycle drives event arrivals: fold the hourly event-count
+    * series by candidate periods (6 h … 2 d) and rank the between-phase
+    * variance shares. */
+  def q305SeasonalStrength(spark: SparkSession, dir: String): DataFrame =
+    seasonalStrength(Tables.events(spark, dir), "ts",
+      periods = Seq(4, 6, 8, 12, 24, 48), bucketSeconds = 3600L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_acf_ljung_box" -> (q304AcfLjungBox _),
+    "q305_seasonal_strength" -> (q305SeasonalStrength _),
     "q294_var_cvar" -> (q294VarCvar _),
     "q295_ohlc_bars" -> (q295OhlcBars _),
     "q296_dickey_fuller" -> (q296DickeyFuller _),
@@ -1449,6 +1570,86 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    // exact integer ACF algebra on HUGEINT (int128) — DuckDB's decimal
+    // multiply caps at precision 38 at bind time, so the oracle carries
+    // the same exact values in int128 instead; identical doubles out
+    "q304_acf_ljung_box" ->
+      """WITH daily0 AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |span AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily0),
+        |grid AS (
+        |  SELECT gs.d, CAST(COALESCE(daily0.x, 0) AS HUGEINT) AS x
+        |  FROM (SELECT unnest(generate_series((SELECT mn FROM span),
+        |    (SELECT mx FROM span))) AS d) gs
+        |  LEFT JOIN daily0 ON daily0.d = gs.d),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS s,
+        |    CAST(SUM(x * x) AS HUGEINT) AS sxx
+        |  FROM grid),
+        |pairs AS (
+        |  SELECT kk.k,
+        |    CAST(SUM(a.x * b.x) AS HUGEINT) AS sxy,
+        |    CAST(SUM(a.x) AS HUGEINT) AS hk,
+        |    CAST(SUM(b.x) AS HUGEINT) AS tk
+        |  FROM (SELECT unnest(range(1, 15)) AS k) kk
+        |  CROSS JOIN grid a
+        |  JOIN grid b ON b.d = a.d + kk.k
+        |  GROUP BY kk.k),
+        |terms AS (
+        |  SELECT k, n,
+        |    CAST(n*n*sxy - n*s*(hk + tk) + (n - CAST(k AS HUGEINT))*s*s
+        |      AS DOUBLE)
+        |    / CAST(n*n*sxx - n*s*s AS DOUBLE) AS r
+        |  FROM pairs CROSS JOIN m),
+        |t2 AS (
+        |  SELECT k, n, r,
+        |    CAST(r * r / CAST(n - CAST(k AS HUGEINT) AS DOUBLE)
+        |      AS DECIMAL(38,15)) AS t
+        |  FROM terms)
+        |SELECT a.k AS lag, a.r,
+        |  CAST(a.n AS DOUBLE) * CAST(a.n + 2 AS DOUBLE)
+        |    * CAST(CAST(SUM(b.t) AS DECIMAL(38,15)) AS DOUBLE) AS q_lb
+        |FROM t2 a JOIN t2 b ON b.k <= a.k
+        |GROUP BY a.k, a.n, a.r ORDER BY lag""".stripMargin,
+    "q305_seasonal_strength" ->
+      """WITH hourly0 AS (
+        |  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |span AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly0),
+        |grid AS (
+        |  SELECT gs.h, (SELECT mn FROM span) AS mn,
+        |    CAST(COALESCE(hourly0.x, 0) AS HUGEINT) AS x
+        |  FROM (SELECT unnest(generate_series((SELECT mn FROM span),
+        |    (SELECT mx FROM span))) AS h) gs
+        |  LEFT JOIN hourly0 ON hourly0.h = gs.h),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS s,
+        |    CAST(SUM(x * x) AS HUGEINT) AS sxx
+        |  FROM grid),
+        |phases AS (
+        |  SELECT pp.p, (g.h - g.mn) % pp.p AS ph,
+        |    CAST(COUNT(*) AS HUGEINT) AS nr,
+        |    CAST(SUM(g.x) AS HUGEINT) AS sr
+        |  FROM (SELECT unnest([4, 6, 8, 12, 24, 48]) AS p) pp
+        |  CROSS JOIN grid g
+        |  GROUP BY 1, 2),
+        |bt AS (
+        |  SELECT p, CAST(SUM(CAST(CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+        |      / CAST(nr AS DOUBLE) AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |    AS btsum
+        |  FROM phases GROUP BY p)
+        |SELECT CAST(p AS BIGINT) AS period,
+        |  (CAST(btsum AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |  / (CAST(sxx AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS strength
+        |FROM bt CROSS JOIN m ORDER BY period""".stripMargin,
     "q294_var_cvar" ->
       """WITH perv AS (
         |  SELECT o_orderpriority AS g,
