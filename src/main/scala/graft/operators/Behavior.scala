@@ -829,7 +829,71 @@ object Behavior {
       "event_type", "event_id", col("event_type") === "purchase",
       iters = 24)
 
+  /** Shapley-value channel attribution — the game-theoretic completion of
+    * the attribution family (q196 linear, q278 position, q266 Markov
+    * removal-effect): each channel's credit is its average marginal
+    * contribution over every coalition order. Characteristic function
+    * (the standard simplified-Shapley data game, Zhao et al. 2018):
+    * v(S) = conversion rate of users whose EXACT touched-channel set is S
+    * (0 for unobserved sets; v(∅) is the observed untouched-user baseline,
+    * so credits are marginal over organic conversion). With |C| = 4 channels the subset
+    * lattice is 16 rows, so the whole computation after one per-user
+    * scan is statistic-frame algebra:
+    *   φ_c = Σ_{S ⊆ C∖{c}} |S|!·(|C|−1−|S|)!/|C|! · (v(S∪{c}) − v(S))
+    * with the factorial weights as fixed-shape doubles and each term
+    * DECIMAL-quantized before the sum. One groupBy(user) + one
+    * groupBy(mask) exchange; everything after is ≤ 64-row broadcast
+    * joins — scales as one user-keyed reduce no matter the event
+    * volume. */
+  def shapleyAttribution(events: DataFrame, userCol: String,
+      typeCol: String, channels: Seq[String],
+      convType: String): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 8,
+      s"subset lattice is 2^|channels|; got ${channels.size}")
+    val nCh = channels.size
+    val bitOf = channels.zipWithIndex
+      .map { case (c, i) => when(col(typeCol) === c, lit(1L << i)) }
+      .reduce((a, b) => coalesce(a, b))
+    val um = events
+      .select(col(userCol).as("u"), coalesce(bitOf, lit(0L)).as("bit"),
+        when(col(typeCol) === convType, 1L).otherwise(0L).as("cv"))
+      .groupBy("u")
+      .agg(expr("bit_or(bit)").as("mask"), max(col("cv")).as("conv"))
+    val ss = um.groupBy("mask")
+      .agg(count(lit(1)).as("nu"), sum(col("conv")).as("nc"))
+    val spark = events.sparkSession
+    val lattice = spark.range(1L << nCh).select(col("id").as("s"))
+      .join(ss.withColumnRenamed("mask", "s"), Seq("s"), "left")
+      .select(col("s"),
+        coalesce(col("nc").cast("double") / col("nu").cast("double"),
+          lit(0.0)).as("v"))
+    val ch = spark.createDataFrame(
+        channels.zipWithIndex.map { case (c, i) => (c, 1L << i) })
+      .toDF("channel", "bit")
+    val v0 = lattice.select(col("s").as("s0"), col("v").as("va"))
+    val v1 = lattice.select(col("s").as("s1"), col("v").as("vb"))
+    // |S|!(n-1-|S|)!/n! as one fixed double shape on exact factorials
+    val w = (factorial(bit_count(col("s0")).cast("int")) *
+      factorial(lit(nCh - 1) - bit_count(col("s0")).cast("int"))).cast("double") /
+      lit((1L to nCh).product.toDouble)
+    broadcast(ch).crossJoin(v0)
+      .filter((col("s0").bitwiseAND(col("bit"))) === 0)
+      .join(v1, col("s1") === col("s0") + col("bit"))
+      .withColumn("term",
+        ((col("vb") - col("va")) * w).cast("decimal(38,12)"))
+      .groupBy("channel")
+      .agg(sum(col("term")).cast("decimal(38,12)").cast("double").as("phi"))
+      .orderBy("channel")
+  }
+
+  /** Conversion credit per touch channel under exact-set Shapley values
+    * over the four non-purchase event types. */
+  def q307ShapleyAttribution(spark: SparkSession, dir: String): DataFrame =
+    shapleyAttribution(Tables.events(spark, dir), "user_id", "event_type",
+      Seq("click", "error", "signup", "view"), "purchase")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_shapley_attribution" -> (q307ShapleyAttribution _),
     "q266_markov_attribution" -> (q266MarkovAttribution _),
     "q185_cohort_ltv" -> (q185CohortLtv _),
     "q180_longest_streak" -> (q180LongestStreak _),
@@ -990,6 +1054,41 @@ object Behavior {
       |FROM ret CROSS JOIN nc ORDER BY channel""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same 16-subset lattice: bit_or touch masks -> exact-set conversion
+    // rates -> factorial-weighted marginal sums
+    "q307_shapley_attribution" ->
+      """WITH um AS (
+        |  SELECT user_id,
+        |    BIT_OR(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |      WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id),
+        |ss AS (
+        |  SELECT mask, CAST(COUNT(*) AS BIGINT) AS nu,
+        |    CAST(SUM(conv) AS BIGINT) AS nc
+        |  FROM um GROUP BY mask),
+        |lat AS (
+        |  SELECT l.s,
+        |    COALESCE(CAST(ss.nc AS DOUBLE) / CAST(ss.nu AS DOUBLE), 0.0)
+        |      AS v
+        |  FROM (SELECT unnest(range(0, 16)) AS s) l
+        |  LEFT JOIN ss ON ss.mask = l.s),
+        |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+        |  ('signup', 4), ('view', 8)) AS t(channel, bit)),
+        |terms AS (
+        |  SELECT ch.channel,
+        |    CAST((v1.v - v0.v)
+        |      * (CAST(factorial(bit_count(CAST(v0.s AS BIGINT)))
+        |          * factorial(3 - bit_count(CAST(v0.s AS BIGINT)))
+        |          AS DOUBLE) / 24.0)
+        |      AS DECIMAL(38,12)) AS term
+        |  FROM ch
+        |  JOIN lat v0 ON (CAST(v0.s AS INTEGER) & ch.bit) = 0
+        |  JOIN lat v1 ON v1.s = v0.s + ch.bit)
+        |SELECT channel,
+        |  CAST(CAST(SUM(term) AS DECIMAL(38,12)) AS DOUBLE) AS phi
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "q266_markov_attribution" -> markovAttributionSql,
     // next-conversion window + equal-share credit, decimal-quantized
     "q278_position_attribution" ->

@@ -1532,9 +1532,102 @@ object Stats {
     seasonalStrength(Tables.events(spark, dir), "ts",
       periods = Seq(4, 6, 8, 12, 24, 48), bucketSeconds = 3600L)
 
+  /** Holt linear-trend exponential smoothing — the sequential-recurrence
+    * operator class (level/trend state carried day to day), which has no
+    * window/groupBy shape at all: it is a per-key ORDERED FOLD. Expressed
+    * Spark-natively as `aggregate()` (a codegen'd higher-order function)
+    * over each key's date-sorted value array — the array is CALENDAR-span
+    * bounded (one element per day), not data bounded, so the fold input
+    * is the same day histogram every series operator here reduces to,
+    * and keys fold in parallel.
+    *
+    * Cross-engine determinism: the recurrence runs on INTEGER cents with
+    * α = 1/2, β = 1/4 and explicit `floor(x / 2^k)` steps —
+    *   l_t = ⌊(x_t + l_{t−1} + b_{t−1}) / 2⌋
+    *   b_t = ⌊(l_t − l_{t−1}) / 4⌋ + ⌊3·b_{t−1} / 4⌋
+    * (floor of an exact-in-double quotient; no decimal re-scaling whose
+    * tie-rounding rule differs between engines, no float accumulation).
+    * Missing days are zero-filled so both engines fold the identical
+    * vector. Emits the full (key, day, level, trend) trajectory — the
+    * whole path is hash-gated, not just the final state. */
+  def holtLinear(df: DataFrame, keyCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("k"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("k", "d").agg(sum("vc").as("x"))
+    val span = daily.groupBy("k").agg(min("d").as("mn"), max("d").as("mx"))
+    val grid = span
+      .select(col("k"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      .join(daily, Seq("k", "d"), "left").na.fill(0L, Seq("x"))
+    grid.groupBy("k")
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("xs"))
+      .select(col("k"), explode(expr(
+        """aggregate(
+          |  slice(xs, 2, size(xs) - 1),
+          |  array(named_struct('d', xs[0].d, 'l', xs[0].x,
+          |    'b', CAST(0 AS BIGINT))),
+          |  (acc, e) -> array_append(acc, named_struct(
+          |    'd', e.d,
+          |    'l', CAST(FLOOR((e.x + element_at(acc, -1).l
+          |      + element_at(acc, -1).b) / 2.0) AS BIGINT),
+          |    'b', CAST(FLOOR((CAST(FLOOR((e.x + element_at(acc, -1).l
+          |        + element_at(acc, -1).b) / 2.0) AS BIGINT)
+          |        - element_at(acc, -1).l) / 4.0) AS BIGINT)
+          |      + CAST(FLOOR(3.0 * element_at(acc, -1).b / 4.0)
+          |        AS BIGINT))))""".stripMargin)).as("st"))
+      .select(col("k").as(keyCol), col("st.d").as("d"),
+        col("st.l").as("level_c"), col("st.b").as("trend_c"))
+      .orderBy(keyCol, "d")
+  }
+
+  /** Smoothed daily-revenue level and trend per return flag — the
+    * forecasting state every inventory planner carries. */
+  def q308HoltLinear(spark: SparkSession, dir: String): DataFrame =
+    holtLinear(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
+      "l_extendedprice")
+
+  /** Theil–Sen robust trend: the MEDIAN of all pairwise day-to-day
+    * slopes of the daily series — one gross outlier day cannot move it
+    * (the robust complement of the OLS slopes in q275/q287). The pair
+    * frame is the day histogram squared (span-bounded: C(days, 2) pairs
+    * regardless of row count); slopes are exact-integer differences
+    * finished by one correctly-rounded double division, so both engines
+    * order the identical doubles; the exact median picks the middle
+    * element(s) by [[Rank.globalRankPrefix]] under the total (slope, d1,
+    * d2) order — no single-partition sort. Returns n_pairs + slope in
+    * cents/day. */
+  def theilSen(df: DataFrame, dateCol: String, valCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val daily = df
+      .select(datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("d").agg(sum("vc").as("x"))
+    val a = daily.select(col("d").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("d").as("d2"), col("x").as("x2"))
+    val pairs = a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (dd(col("x2") - col("x1")) / dd(col("d2") - col("d1")))
+          .as("slope"))
+    val n = pairs.agg(count(lit(1)).as("nn"))
+    Rank.globalRankPrefix(pairs, Seq(col("slope"), col("d1"), col("d2")))
+      .crossJoin(broadcast(n)) // 1-row build side
+      .filter(col("__rn") === expr("(nn + 1) div 2") ||
+        col("__rn") === expr("(nn + 2) div 2"))
+      .agg(max(col("nn")).as("n_pairs"),
+        avg(col("slope")).as("slope_c_per_day"))
+  }
+
+  /** Robust daily-revenue trend of the order stream. */
+  def q309TheilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSen(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q304_acf_ljung_box" -> (q304AcfLjungBox _),
     "q305_seasonal_strength" -> (q305SeasonalStrength _),
+    "q308_holt_linear" -> (q308HoltLinear _),
+    "q309_theil_sen" -> (q309TheilSen _),
     "q294_var_cvar" -> (q294VarCvar _),
     "q295_ohlc_bars" -> (q295OhlcBars _),
     "q296_dickey_fuller" -> (q296DickeyFuller _),
@@ -1570,6 +1663,55 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    // the identical integer floor-recurrence as a recursive CTE: one
+    // step per day index, joined to the zero-filled per-key grid
+    "q308_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT l_returnflag AS k,
+        |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |      AS d,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1, 2),
+        |span AS (SELECT k, MIN(d) AS mn, MAX(d) AS mx FROM daily
+        |  GROUP BY k),
+        |gridd AS (
+        |  SELECT s.k, unnest(generate_series(s.mn, s.mx)) AS d
+        |  FROM span s),
+        |grid AS (
+        |  SELECT g.k, g.d, COALESCE(dd.x, 0) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY g.k ORDER BY g.d) AS rn
+        |  FROM gridd g LEFT JOIN daily dd ON dd.k = g.k AND dd.d = g.d),
+        |hw AS (
+        |  SELECT k, rn, d, x AS l, CAST(0 AS BIGINT) AS b
+        |  FROM grid WHERE rn = 1
+        |  UNION ALL
+        |  SELECT g.k, g.rn, g.d,
+        |    CAST(FLOOR((g.x + h.l + h.b) / 2.0) AS BIGINT),
+        |    CAST(FLOOR((CAST(FLOOR((g.x + h.l + h.b) / 2.0) AS BIGINT)
+        |        - h.l) / 4.0) AS BIGINT)
+        |      + CAST(FLOOR(3.0 * h.b / 4.0) AS BIGINT)
+        |  FROM hw h JOIN grid g ON g.k = h.k AND g.rn = h.rn + 1)
+        |SELECT k AS l_returnflag, d, l AS level_c, b AS trend_c
+        |FROM hw ORDER BY 1, 2""".stripMargin,
+    "q309_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.d AS d1, b.d AS d2,
+        |    CAST(b.x - a.x AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM pairs),
+        |ranked AS (
+        |  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, d1, d2) AS rn
+        |  FROM pairs)
+        |SELECT MAX(nn) AS n_pairs, AVG(slope) AS slope_c_per_day
+        |FROM ranked, n
+        |WHERE rn = (nn + 1) // 2 OR rn = (nn + 2) // 2""".stripMargin,
     // exact integer ACF algebra on HUGEINT (int128) — DuckDB's decimal
     // multiply caps at precision 38 at bind time, so the oracle carries
     // the same exact values in int128 instead; identical doubles out
