@@ -602,9 +602,42 @@ object Audit {
         Tables.part(spark, dir), "p_partkey")))
   }
 
+  /** Capture–recapture population estimation (Lincoln–Petersen /
+    * Chapman): estimate a table's true size from TWO cheap independent
+    * "capture" samples and their overlap — N̂ ≈ n_A·n_B / m. The
+    * profiling move when counting is expensive but sampling is cheap
+    * (cross-source corpus overlap, dedup-rate estimation before running
+    * the dedup). Here the captures are two coprime residue-class samples
+    * of the key, the overlap is exact, and the true N rides along so the
+    * gate checks the estimator's whole arithmetic. One scan, one 1-row
+    * aggregate — no joins at all. */
+  def captureRecapture(df: DataFrame, keyCol: String, inA: Column,
+      inB: Column): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    df.select(inA.as("a"), inB.as("b"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_both"))
+      .select(col("n_true"), col("n_a"), col("n_b"), col("n_both"),
+        when(col("n_both") > 0,
+          dd(col("n_a")) * dd(col("n_b")) / dd(col("n_both")))
+          .as("petersen"),
+        (dd(col("n_a") + 1) * dd(col("n_b") + 1) / dd(col("n_both") + 1)
+          - lit(1.0)).as("chapman"))
+  }
+
+  /** Corpus-size estimate of the documents table from two residue-class
+    * captures of doc_id (mod 7 and mod 11 — coprime, so jointly
+    * uniform). */
+  def q313CaptureRecapture(spark: SparkSession, dir: String): DataFrame =
+    captureRecapture(Tables.documents(spark, dir), "doc_id",
+      col("doc_id") % 7 < 2, col("doc_id") % 11 < 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_fd_violations" -> (q302FdViolations _),
     "q303_fk_orphans" -> (q303FkOrphans _),
+    "q313_capture_recapture" -> (q313CaptureRecapture _),
     "q188_calendar_gaps" -> (q188CalendarGaps _),
     "q189_duplicate_payments" -> (q189DuplicatePayments _),
     "q177_benford" -> (q177Benford _),
@@ -641,6 +674,23 @@ object Audit {
   }
 
   val oracles: Map[String, String] = Map(
+    "q313_capture_recapture" ->
+      """WITH t AS (
+        |  SELECT doc_id % 7 < 2 AS a, doc_id % 11 < 3 AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_both
+        |  FROM t)
+        |SELECT n_true, n_a, n_b, n_both,
+        |  CASE WHEN n_both > 0 THEN CAST(n_a AS DOUBLE)
+        |    * CAST(n_b AS DOUBLE) / CAST(n_both AS DOUBLE) END AS petersen,
+        |  CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+        |    / CAST(n_both + 1 AS DOUBLE) - 1.0 AS chapman
+        |FROM c""".stripMargin,
     "q302_fd_violations" ->
       """SELECT * FROM (
         |SELECT 'o_custkey -> o_orderpriority' AS fd,

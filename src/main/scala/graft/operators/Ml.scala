@@ -3120,8 +3120,45 @@ object Ml {
       expr("datediff(o_orderdate, date'1992-01-01') div 7"),
       "o_orderstatus", "o_totalprice")
 
+  /** Cochran–Armitage trend test — chi-square independence (q168/q290
+    * family) ignores category ORDER; this is the test for a MONOTONE
+    * dose-response: does the binary outcome rate trend across ordered
+    * exposure scores s_i. With per-score exact counts (n_i, r_i) and
+    * totals (N, R), A = Σs_i²n_i, B = Σs_i n_i, SR = Σs_i r_i, p = R/N:
+    *   z = (SR − p·B) / √(p·(1−p)·(A − B²/N))
+    * — one map-side-combined groupBy to the score frame, then a
+    * fixed-shape double finish over exact integers. Returns the
+    * per-score rates plus the shared z. */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+      posCond: Column): DataFrame = {
+    val per = df.select(scoreCol.cast("long").as("s"),
+        when(posCond, 1L).otherwise(0L).as("y"))
+      .groupBy("s").agg(count(lit(1)).as("n"), sum(col("y")).as("r"))
+    val tot = per.agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"),
+      sum(col("s") * col("s") * col("n")).as("a"),
+      sum(col("s") * col("n")).as("b"),
+      sum(col("s") * col("r")).as("sr"))
+    val p = dd(col("rr")) / dd(col("nn"))
+    per.crossJoin(broadcast(tot)) // 1-row statistic frame
+      .select(col("s").as("score"), col("n"), col("r"),
+        (dd(col("r")) / dd(col("n"))).as("rate"),
+        ((dd(col("sr")) - p * dd(col("b"))) /
+          sqrt(p * (lit(1.0) - p) *
+            (dd(col("a")) - dd(col("b")) * dd(col("b")) / dd(col("nn")))))
+          .as("z"))
+      .orderBy("score")
+  }
+
+  /** Does the finished-order rate trend monotonically across the five
+    * ordered priority classes. */
+  def q312CochranArmitage(spark: SparkSession, dir: String): DataFrame =
+    cochranArmitage(Tables.orders(spark, dir),
+      substring(col("o_orderpriority"), 1, 1).cast("long"),
+      col("o_orderstatus") === "F")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q306_friedman" -> (q306Friedman _),
+    "q312_cochran_armitage" -> (q312CochranArmitage _),
     "q280_brown_forsythe" -> (q280BrownForsythe _),
     "q286_ridge_two" -> (q286RidgeTwo _),
     "q290_moods_median" -> (q290MoodsMedian _),
@@ -3222,6 +3259,29 @@ object Ml {
       |  FROM daily d JOIN ab f ON f.g = d.g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q312_cochran_armitage" ->
+      """WITH per AS (
+        |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
+        |    CAST(SUM(s * s * n) AS BIGINT) AS a,
+        |    CAST(SUM(s * n) AS BIGINT) AS b,
+        |    CAST(SUM(s * r) AS BIGINT) AS sr
+        |  FROM per)
+        |SELECT s AS score, n, r,
+        |  CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |  (CAST(sr AS DOUBLE)
+        |    - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE) * CAST(b AS DOUBLE))
+        |  / sqrt(CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    * (CAST(a AS DOUBLE)
+        |      - CAST(b AS DOUBLE) * CAST(b AS DOUBLE)
+        |        / CAST(nn AS DOUBLE))) AS z
+        |FROM per CROSS JOIN tot ORDER BY score""".stripMargin,
     // average-tie ranks via 2*RANK() + tie-count - 1 (the same integer
     // identity the engine derives from the per-(block, value) histogram)
     "q306_friedman" ->

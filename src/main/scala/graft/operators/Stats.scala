@@ -1623,11 +1623,111 @@ object Stats {
   def q309TheilSen(spark: SparkSession, dir: String): DataFrame =
     theilSen(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
 
+  /** Level-shift changepoint (binary segmentation, depth 1): the split
+    * day t that best explains the daily series as two constant levels —
+    * since total Σx² is split-invariant, argmin SSE ⇔ argmax of
+    * f(t) = S_L²/n_L + S_R²/n_R, which needs ONLY the prefix sums (longs
+    * at any SF; no x² that would overflow), computed range-partitioned
+    * by [[Rank.globalRankPrefix]]. Per-day objectives are single double
+    * divisions of exact integers, DECIMAL(38,6)-quantized so the argmax
+    * is an exact comparison; deterministic tiebreak = earliest day. The
+    * candidate frame is the day grid — span-bounded. Returns the split
+    * day, both exact-cents level means, and the variance-explained
+    * gain. */
+  def changepoint(df: DataFrame, dateCol: String,
+      valCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val daily0 = df
+      .select(datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("d").agg(sum("vc").as("x"))
+    val span = daily0.agg(min("d").as("mn"), max("d").as("mx"))
+    val grid = span.select(explode(sequence(col("mn"), col("mx"))).as("d"))
+      .join(daily0, Seq("d"), "left").na.fill(0L, Seq("x"))
+    val tot = grid.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val objs = Rank.globalRankPrefix(grid, Seq(col("d")),
+        Seq("sl" -> col("x")))
+      .crossJoin(broadcast(tot)) // 1-row statistic frame
+      .filter(col("__rn") < col("n")) // split AFTER day t needs a right side
+      .withColumn("obj",
+        ((dd(d380(col("sl")) * d380(col("sl"))) / dd(col("__rn"))) +
+          (dd(d380(col("s") - col("sl")) * d380(col("s") - col("sl"))) /
+            dd(col("n") - col("__rn")))).cast("decimal(38,6)"))
+    // single-pass argmax: max over (obj, −d, …) picks the best objective
+    // with the EARLIEST-day tiebreak in one aggregation — no self-join
+    // whose inferred isnotnull(obj) predicate could be pushed past the
+    // rn < n guard and re-evaluate the division on the guarded row
+    objs.agg(max(struct(col("obj"), (-col("d")).as("negd"), col("d"),
+        col("__rn").as("rn"), col("sl"), col("n"), col("s"))).as("w"))
+      .select(col("w.d").as("split_day"),
+        (dd(col("w.sl")) / dd(col("w.rn")) / 100.0).as("mean_left"),
+        (dd(col("w.s") - col("w.sl")) / dd(col("w.n") - col("w.rn"))
+          / 100.0).as("mean_right"),
+        (dd(col("w.obj")) - dd(d380(col("w.s")) * d380(col("w.s"))) /
+          dd(col("w.n"))).as("gain_c2"))
+  }
+
+  /** When did daily order revenue shift level — the depth-1 binary
+    * segmentation every monitoring pipeline runs first. */
+  def q310Changepoint(spark: SparkSession, dir: String): DataFrame =
+    changepoint(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
+
+  /** STL-lite additive decomposition of a daily series into
+    * trend + weekday-seasonal + residual, ALL ON THE INTEGER CENT GRID:
+    * trend = centered 7-day moving average (sum of the 7-day window via
+    * a bounded ±3 offset self-join on the zero-filled day grid, then
+    * ⌊·/7⌋); seasonal = per-weekday mean of the detrended series
+    * (⌊Σ/n_w⌋); residual closes the identity exactly. Floor of an
+    * exact-in-double quotient is the one cross-engine-safe rounding
+    * (decimal rescaling ties differ between engines); the quotients here
+    * sit ≥ 7 orders of magnitude away from the nearest representable
+    * boundary. Interior days only (the centered window must be full).
+    * Every frame is the day histogram. */
+  def stlDecompose(df: DataFrame, dateCol: String,
+      valCol: String): DataFrame = {
+    val daily0 = df
+      .select(datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("d").agg(sum("vc").as("x"))
+    val span = daily0.agg(min("d").as("mn"), max("d").as("mx"))
+    val grid = span.select(col("mn"), col("mx"),
+        explode(sequence(col("mn"), col("mx"))).as("d"))
+      .join(daily0, Seq("d"), "left").na.fill(0L, Seq("x"))
+    val offs = df.sparkSession.range(-3, 4).select(col("id").as("o"))
+    val trend = grid.crossJoin(broadcast(offs))
+      .filter(col("d") + col("o") >= col("mn") &&
+        col("d") + col("o") <= col("mx"))
+      .select((col("d") + col("o")).as("dc"), col("x"))
+      .groupBy(col("dc").as("d"))
+      .agg(count(lit(1)).as("nw"), sum(col("x")).as("s7"))
+      .filter(col("nw") === 7) // interior: full centered window
+      .select(col("d"),
+        expr("CAST(FLOOR(s7 / 7.0) AS BIGINT)").as("trend_c"))
+    val det = grid.join(trend, Seq("d"))
+      .withColumn("det", col("x") - col("trend_c"))
+      .withColumn("wd", pmod(col("d"), lit(7L)))
+    val seasonal = det.groupBy("wd")
+      .agg(expr("CAST(FLOOR(SUM(det) / CAST(COUNT(1) AS DOUBLE)) AS BIGINT)")
+        .as("seasonal_c"))
+    det.join(broadcast(seasonal), Seq("wd"))
+      .select(col("d"), col("x").as("x_c"), col("trend_c"),
+        col("seasonal_c"),
+        (col("det") - col("seasonal_c")).as("resid_c"))
+      .orderBy("d")
+  }
+
+  /** Daily revenue decomposed into trend / weekday cycle / residual. */
+  def q311StlDecompose(spark: SparkSession, dir: String): DataFrame =
+    stlDecompose(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q304_acf_ljung_box" -> (q304AcfLjungBox _),
     "q305_seasonal_strength" -> (q305SeasonalStrength _),
     "q308_holt_linear" -> (q308HoltLinear _),
     "q309_theil_sen" -> (q309TheilSen _),
+    "q310_changepoint" -> (q310Changepoint _),
+    "q311_stl_decompose" -> (q311StlDecompose _),
     "q294_var_cvar" -> (q294VarCvar _),
     "q295_ohlc_bars" -> (q295OhlcBars _),
     "q296_dickey_fuller" -> (q296DickeyFuller _),
@@ -1663,6 +1763,71 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q310_changepoint" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |span AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+        |grid AS (
+        |  SELECT gs.d, CAST(COALESCE(daily.x, 0) AS HUGEINT) AS x
+        |  FROM (SELECT unnest(generate_series((SELECT mn FROM span),
+        |    (SELECT mx FROM span))) AS d) gs
+        |  LEFT JOIN daily ON daily.d = gs.d),
+        |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |  CAST(SUM(x) AS HUGEINT) AS s FROM grid),
+        |cum AS (
+        |  SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d) AS HUGEINT) AS rn,
+        |    CAST(SUM(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+        |      AS HUGEINT) AS sl
+        |  FROM grid),
+        |objs AS (
+        |  SELECT d, rn, sl, n, s,
+        |    CAST(CAST(sl * sl AS DOUBLE) / CAST(rn AS DOUBLE)
+        |      + CAST((s - sl) * (s - sl) AS DOUBLE)
+        |        / CAST(n - rn AS DOUBLE) AS DECIMAL(38,6)) AS obj
+        |  FROM cum CROSS JOIN tot WHERE rn < n),
+        |best AS (SELECT MAX(obj) AS obj FROM objs),
+        |pick AS (
+        |  SELECT o.* FROM objs o JOIN best USING (obj)
+        |  ORDER BY d LIMIT 1)
+        |SELECT d AS split_day,
+        |  CAST(sl AS DOUBLE) / CAST(rn AS DOUBLE) / 100.0 AS mean_left,
+        |  CAST(s - sl AS DOUBLE) / CAST(n - rn AS DOUBLE) / 100.0
+        |    AS mean_right,
+        |  CAST(obj AS DOUBLE)
+        |    - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE) AS gain_c2
+        |FROM pick""".stripMargin,
+    "q311_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |span AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+        |grid AS (
+        |  SELECT gs.d, COALESCE(daily.x, 0) AS x
+        |  FROM (SELECT unnest(generate_series((SELECT mn FROM span),
+        |    (SELECT mx FROM span))) AS d) gs
+        |  LEFT JOIN daily ON daily.d = gs.d),
+        |trend AS (
+        |  SELECT g2.d, CAST(FLOOR(SUM(g.x) / 7.0) AS BIGINT) AS trend_c
+        |  FROM grid g2 JOIN grid g ON g.d BETWEEN g2.d - 3 AND g2.d + 3
+        |  GROUP BY g2.d HAVING COUNT(*) = 7),
+        |det AS (
+        |  SELECT g.d, g.x, t.trend_c, g.x - t.trend_c AS det,
+        |    g.d % 7 AS wd
+        |  FROM grid g JOIN trend t USING (d)),
+        |seasonal AS (
+        |  SELECT wd, CAST(FLOOR(SUM(det) / CAST(COUNT(*) AS DOUBLE))
+        |    AS BIGINT) AS seasonal_c
+        |  FROM det GROUP BY wd)
+        |SELECT d.d, d.x AS x_c, d.trend_c, s.seasonal_c,
+        |  d.det - s.seasonal_c AS resid_c
+        |FROM det d JOIN seasonal s USING (wd) ORDER BY d.d""".stripMargin,
     // the identical integer floor-recurrence as a recursive CTE: one
     // step per day index, joined to the zero-filled per-key grid
     "q308_holt_linear" ->
