@@ -1288,7 +1288,57 @@ object Similarity {
           col("n_exact_pairs").cast("double") * 0.5).as("recall_ok"))
   }
 
+  /** Embedding-distribution drift monitor: cosine and L2 distance between
+    * the MEAN vectors of two corpus slices — the cheapest "did my
+    * embedding distribution move" gate a training pipeline runs between
+    * snapshots (centroid drift catches encoder swaps, domain shift, and
+    * pipeline bugs before any ANN index is rebuilt). Exactness across
+    * engines: each float component is quantized to DECIMAL(20,9) ONCE
+    * (floats are ~7 significant digits, so the 9th-digit rounding is
+    * tie-free), per-dimension sums are exact decimal adds (order-proof —
+    * float accumulation would hash-differ run to run), means are single
+    * double divisions, and the dot/norm/shift reductions sum
+    * DECIMAL(38,18)-quantized per-dimension terms. One posexplode +
+    * one dim-keyed groupBy (64 rows) + a 1-row finish. */
+  def embeddingDrift(df: DataFrame, vecCol: String,
+      sideA: Column): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val d = df.select(sideA.as("a"), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .withColumn("q", col("v").cast("decimal(20,9)"))
+    val perDim = d.groupBy("i").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("a"), col("q")).otherwise(lit(0).cast("decimal(20,9)")))
+        .cast("decimal(38,9)").as("sa"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+      sum(when(!col("a"), col("q")).otherwise(lit(0).cast("decimal(20,9)")))
+        .cast("decimal(38,9)").as("sb"))
+    val m = perDim
+      .withColumn("ma", dd(col("sa")) / dd(col("na")))
+      .withColumn("mb", dd(col("sb")) / dd(col("nb")))
+      .agg(count(lit(1)).as("dims"), max(col("na")).as("n_a"),
+        max(col("nb")).as("n_b"),
+        sum((col("ma") * col("mb")).cast("decimal(38,18)"))
+          .cast("decimal(38,18)").as("dot"),
+        sum((col("ma") * col("ma")).cast("decimal(38,18)"))
+          .cast("decimal(38,18)").as("qa"),
+        sum((col("mb") * col("mb")).cast("decimal(38,18)"))
+          .cast("decimal(38,18)").as("qb"),
+        sum(((col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .cast("decimal(38,18)")).cast("decimal(38,18)").as("sh"))
+    m.select(col("dims"), col("n_a"), col("n_b"),
+      (dd(col("dot")) / (sqrt(dd(col("qa"))) * sqrt(dd(col("qb")))))
+        .as("centroid_cosine"),
+      sqrt(dd(col("sh"))).as("centroid_l2"))
+  }
+
+  /** Centroid drift between the even- and odd-id halves of the embedding
+    * corpus (the snapshot-vs-snapshot comparison shape). */
+  def q314EmbeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDrift(Tables.embeddings(spark, dir), "embedding",
+      col("vec_id") % 2 === 0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_embedding_drift" -> (q314EmbeddingDrift _),
     "q158_semdedup" -> (q158SemDedup _),
     "q107_hybrid_rrf" -> (q107HybridRrf _),
     "q98_ann_ivfpq" -> (q98AnnIvfPq _),
@@ -1373,6 +1423,49 @@ object Similarity {
        |  SELECT j AS k, wd / (SELECT nrm FROM n$i) AS v FROM w$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // 1-based generate_subscripts vs 0-based posexplode: the dim id is
+    // only a group key, so the offset is irrelevant to the result.
+    // float -> DOUBLE -> DECIMAL: DuckDB's direct float->decimal cast
+    // rounds the SHORTEST representation (0.1f -> 0.100000000) while
+    // Spark widens the exact binary value (-> 0.100000001); the explicit
+    // DOUBLE hop pins the exact-widening semantics on both engines
+    "q314_embedding_drift" ->
+      """WITH d AS (
+        |  SELECT vec_id % 2 = 0 AS a,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,9)) AS q
+        |  FROM embeddings),
+        |per AS (
+        |  SELECT i,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN a THEN q ELSE CAST(0 AS DECIMAL(20,9)) END)
+        |      AS DECIMAL(38,9)) AS sa,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN NOT a THEN q
+        |      ELSE CAST(0 AS DECIMAL(20,9)) END) AS DECIMAL(38,9)) AS sb
+        |  FROM d GROUP BY i),
+        |mm AS (
+        |  SELECT i, CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb, na, nb
+        |  FROM per),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS dims,
+        |    MAX(na) AS n_a, MAX(nb) AS n_b,
+        |    CAST(SUM(CAST(ma * mb AS DECIMAL(38,18))) AS DECIMAL(38,18))
+        |      AS dot,
+        |    CAST(SUM(CAST(ma * ma AS DECIMAL(38,18))) AS DECIMAL(38,18))
+        |      AS qa,
+        |    CAST(SUM(CAST(mb * mb AS DECIMAL(38,18))) AS DECIMAL(38,18))
+        |      AS qb,
+        |    CAST(SUM(CAST((ma - mb) * (ma - mb) AS DECIMAL(38,18)))
+        |      AS DECIMAL(38,18)) AS sh
+        |  FROM mm)
+        |SELECT dims, n_a, n_b,
+        |  CAST(dot AS DOUBLE)
+        |    / (sqrt(CAST(qa AS DOUBLE)) * sqrt(CAST(qb AS DOUBLE)))
+        |    AS centroid_cosine,
+        |  sqrt(CAST(sh AS DOUBLE)) AS centroid_l2
+        |FROM agg""".stripMargin,
     // own-label centroid distances on the silhouette ladder; the cutoff
     // is quantile_cont (== Spark's exact R-7 percentile, the q193 rule)
     "q214_label_outliers" ->
