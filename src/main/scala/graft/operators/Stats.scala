@@ -1588,9 +1588,15 @@ object Stats {
     holtLinear(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
       "l_extendedprice")
 
-  /** Theil–Sen robust trend: the MEDIAN of all pairwise day-to-day
-    * slopes of the daily series — one gross outlier day cannot move it
-    * (the robust complement of the OLS slopes in q275/q287). The pair
+  /** Theil–Sen robust trend, GLOBAL-series variant: the MEDIAN of all
+    * pairwise day-to-day slopes of the daily series — one gross outlier
+    * day cannot move it (the robust complement of the OLS slopes in
+    * q275/q287). [[Ml.theilSen]] (q247) is the per-KEY form whose median
+    * window partitions by key; a single global series has no partition
+    * key, which is exactly the single-partition-window trap — so this
+    * variant selects the exact AVERAGE median (both middle elements, the
+    * textbook estimator) through the range-partitioned rank helper
+    * instead. The pair
     * frame is the day histogram squared (span-bounded: C(days, 2) pairs
     * regardless of row count); slopes are exact-integer differences
     * finished by one correctly-rounded double division, so both engines
@@ -1673,8 +1679,12 @@ object Stats {
   def q310Changepoint(spark: SparkSession, dir: String): DataFrame =
     changepoint(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
 
-  /** STL-lite additive decomposition of a daily series into
-    * trend + weekday-seasonal + residual, ALL ON THE INTEGER CENT GRID:
+  /** STL-lite ADDITIVE decomposition of a daily series into
+    * trend + weekday-seasonal + residual (the additive/weekly twin of
+    * q234's multiplicative hour-of-day decomposition — additive is the
+    * right model when the seasonal swing doesn't scale with the level,
+    * and its identity closes EXACTLY in integers, which a multiplicative
+    * model cannot), ALL ON THE INTEGER CENT GRID:
     * trend = centered 7-day moving average (sum of the 7-day window via
     * a bounded ±3 offset self-join on the zero-filled day grid, then
     * ⌊·/7⌋); seasonal = per-weekday mean of the detrended series
