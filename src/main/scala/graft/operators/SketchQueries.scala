@@ -5,6 +5,7 @@ import graft.GraftFunctions._
 import graft.sources.Tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's own capability, as oracle-gated queries: approximate
@@ -475,32 +476,77 @@ object SketchQueries {
       .select(col("k").as(keyCol), col("us"), col("est"))
   }
 
+  /** EXACT trailing-RANGE-frame distinct count at every event instant —
+    * `COUNT(DISTINCT v) OVER (PARTITION BY k ORDER BY us RANGE rangeUs
+    * PRECEDING)` without either of the two shapes that die at scale (a raw
+    * range self-join is instants × window occupancy ≈ O(n²/buckets); a real
+    * window frame would re-scan the frame per row). Sweep-line algebra:
+    *
+    *   1. per (k, v): merge that value's event instants into COVERAGE
+    *     intervals — v is "in frame" at instant t iff some event lies in
+    *     [t − rangeUs, t], i.e. t ∈ [eus, eus + rangeUs]; consecutive events
+    *     ≤ rangeUs apart chain into one interval (a lag + running flag-sum
+    *     under the (k, v)-keyed window — high-cardinality partitions);
+    *   2. each interval [s, e] emits deltas (+1 at s, −1 at e+1); each
+    *     distinct (k, us) instant emits a reader row;
+    *   3. ONE global running sum over the (k, us, kind) order — via
+    *     [[Rank.globalRankPrefix]]'s range-partitioned prefix-sum
+    *     composition, NOT an unpartitioned window — read at the reader rows.
+    *
+    * Every key's deltas sum to zero (each +1 has its −1), so the running
+    * sum self-resets at key boundaries and needs no per-key offset. Cost:
+    * ≤ 3n rows through one range exchange — O(n log n) regardless of frame
+    * width, where the bucket-covering join the estimate path uses for its
+    * ≤ 2 EDGE buckets would be O(n · occupancy) if used for exact counts.
+    * NULL values are dropped (COUNT(DISTINCT) semantics). `valueCol` must
+    * be sort-comparable (it tiebreaks the total order). */
+  def trailingDistinctExact(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, rangeUs: Long): DataFrame = {
+    require(rangeUs > 0, s"bad frame: $rangeUs")
+    val base = events.select(col(keyCol).as("k"),
+      expr(s"unix_micros($tsCol)").as("us"), col(valueCol).as("v"))
+    val wVal = Window.partitionBy("k", "v").orderBy("us")
+    val intervals = base.filter(col("v").isNotNull)
+      .withColumn("prev", lag(col("us"), 1).over(wVal))
+      .withColumn("head",
+        (col("prev").isNull || col("us") > col("prev") + lit(rangeUs))
+          .cast("long"))
+      .withColumn("grp", sum(col("head"))
+        .over(wVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("k", "v", "grp")
+      .agg(min(col("us")).as("s"), (max(col("us")) + lit(rangeUs)).as("e"))
+    val deltas = intervals
+      .select(col("k"), col("s").as("us"), lit(0).as("kind"), col("v"),
+        lit(1L).as("d"))
+      .unionByName(intervals.select(col("k"), (col("e") + 1).as("us"),
+        lit(0).as("kind"), col("v"), lit(-1L).as("d")))
+    val readers = base.select("k", "us").distinct()
+      .select(col("k"), col("us"), lit(1).as("kind"), lit(null).cast(
+        deltas.schema("v").dataType).as("v"), lit(0L).as("d"))
+    Rank.globalRankPrefix(deltas.unionByName(readers),
+        sortCols = Seq(col("k"), col("us"), col("kind"), col("v"), col("d")),
+        prefixSums = Seq(("n_users", col("d"))))
+      .filter(col("kind") === 1)
+      .select(col("k"), col("us"), col("n_users"))
+  }
+
   /** Trailing 6-hour distinct users at EVERY event instant per event type —
     * the per-row arbitrary-RANGE-frame sketch window (the last §2b window
     * sub-case: q36 tumbling, q38 running, q117 grid-sliding, and now
     * row-anchored frames). Gate follows q117: the exact trailing count
-    * rides along, computed by the same bounded bucket-covering join over
-    * raw events (≤ 7 touched buckets per instant — never a raw range
-    * self-join), and the LC estimate must sit inside the envelope. */
+    * rides along — computed by [[trailingDistinctExact]]'s O(n log n)
+    * sweep-line (round 9 replaced the instants × bucket-occupancy join,
+    * which was this bench's 30 s heavy and quadratic in SF) — and the LC
+    * estimate must sit inside the envelope. */
   def q298RowRangeSketchWindow(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val rangeUs = 21600L * 1000000L
     val bucketUs = 3600L * 1000000L
     val est = rowRangeSketchDistinct(ev, "ts", "event_type", "user_id",
       rangeUs, bucketUs, algo = "lc", precision = 65536)
-    val base = ev.select(col("event_type"), expr("unix_micros(ts)").as("us"),
-        col("user_id"))
-      .withColumn("bucket", expr(s"us div $bucketUs"))
-    val exact = base.select("event_type", "us").distinct()
-      .withColumn("s", col("us") - lit(rangeUs))
-      .select(col("event_type"), col("us"), col("s"),
-        explode(sequence(expr(s"s div $bucketUs"),
-          expr(s"us div $bucketUs"))).as("bucket"))
-      .join(base.select(col("event_type"), col("bucket"),
-        col("us").as("eus"), col("user_id")), Seq("event_type", "bucket"))
-      .filter(col("eus") >= col("s") && col("eus") <= col("us"))
-      .groupBy("event_type", "us")
-      .agg(countDistinct(col("user_id")).as("n_users"))
+    val exact = trailingDistinctExact(ev, "ts", "event_type", "user_id",
+        rangeUs)
+      .select(col("k").as("event_type"), col("us"), col("n_users"))
     est.join(exact, Seq("event_type", "us"))
       .select(col("event_type"), col("us"), col("n_users"),
         (abs(col("est").cast("double") - col("n_users").cast("double"))
