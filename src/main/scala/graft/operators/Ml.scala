@@ -618,6 +618,125 @@ object Ml {
     stratifiedAte(Tables.lineitem(spark, dir), "l_returnflag",
       col("l_discount") >= 0.05, "l_quantity")
 
+  /** Offline (counterfactual) policy evaluation — "what would the NEW
+    * action policy have earned on the logged traffic" without an A/B
+    * test, the standard bandit-log primitive (Horvitz–Thompson /
+    * Li et al. WSDM'11):
+    *
+    *   - IPS:   V̂ = (1/n) Σ rᵢ · π(aᵢ|xᵢ) / μ(aᵢ|xᵢ)
+    *   - SNIPS: V̂ = Σ rᵢ·wᵢ / Σ wᵢ  (self-normalized — trades the
+    *     unbiasedness of IPS for bounded variance when weights are big)
+    *   - DM: the naive mean reward over matching rows (biased — rides
+    *     along so the report shows all three estimators side by side).
+    *
+    * `actions` maps each context to (logged-arm column already computed
+    * upstream). The logging propensities are KNOWN here (the md5-digit
+    * arms are 8/16, 4/16, 4/16 by construction), so the weights are the
+    * exact integers 2 and 4 — reward·weight sums stay in integer cents
+    * until the final divisions. One map-side-combined aggregation to a
+    * context-sized frame; no joins, no shuffle beyond the cell frame. */
+  def ipsPolicyValue(df: DataFrame, contextCol: String, armCol: Column,
+      targetArm: Column, propensityInv: Column, rewardCol: String)
+      : DataFrame = {
+    val cents = (col(rewardCol).cast("decimal(18,2)") * 100).cast("long")
+    df.select(col(contextCol).as("x"), armCol.as("a"), targetArm.as("pi"),
+        propensityInv.as("w"), cents.as("r"))
+      .withColumn("m", col("a") === col("pi"))
+      .groupBy("x")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("m"), d380(col("r")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("s_dm"),
+        sum(when(col("m"), d380(col("w")) * d380(col("r")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("s_ips"),
+        sum(when(col("m"), col("w")).otherwise(0L)).as("s_w"))
+      .select(col("x").as(contextCol), col("n"), col("n_match"),
+        when(col("n_match") > 0, dd(col("s_dm")) / dd(col("n_match")) / 100.0)
+          .as("dm_value"),
+        (dd(col("s_ips")) / dd(col("n")) / 100.0).as("ips_value"),
+        when(col("s_w") > 0, dd(col("s_ips")) / dd(col("s_w")) / 100.0)
+          .as("snips_value"))
+      .orderBy(contextCol)
+  }
+
+  /** Evaluate a "serve arm 1 to converters' contexts, arm 0 elsewhere"
+    * policy on the event log. Logged arms come from the first md5 hex
+    * digit of event_id (deterministic, engine-portable): '0'–'7' → arm 0
+    * (μ = 1/2, w = 2), '8'–'b' → arm 1, 'c'–'f' → arm 2 (μ = 1/4,
+    * w = 4). The target policy plays arm 1 on purchase/signup contexts
+    * and arm 0 otherwise, so both weight values exercise the estimator. */
+  def q316IpsPolicyValue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = ascii(substring(md5(col("event_id").cast("string")), 1, 1))
+    val arm = when(a <= 55, 0)
+      .when(a === 56 || a === 57 || a === 97 || a === 98, 1).otherwise(2)
+    val target = when(col("event_type").isin("purchase", "signup"), 1)
+      .otherwise(0)
+    val wInv = when(target === 0, 2L).otherwise(4L)
+    ipsPolicyValue(ev, "event_type", arm, target, wInv, "value")
+  }
+
+  /** Difference-in-differences — the workhorse quasi-experimental
+    * estimator when treatment wasn't randomized but a PRE period exists:
+    * parallel-trends baseline from the control group's pre→post drift,
+    * effect = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre). The four
+    * cell means come from one map-side-combined pass of exact integer
+    * cents (+ squared-cents for the Welch-style SE: se² = Σ s²ᵢ/nᵢ over
+    * the four cells); slices with any cell under 2 rows are excluded
+    * (the filtered-exclusion discipline — no NaN rows). Frame is
+    * slice-sized; everything before the final sqrt is exact. */
+  def diffInDiff(df: DataFrame, sliceCol: String, treatedCond: Column,
+      postCond: Column, outcomeCol: String): DataFrame = {
+    val cents = (col(outcomeCol).cast("decimal(18,2)") * 100).cast("long")
+    val cell = (t: Boolean, p: Boolean) => {
+      val in = col("t") === lit(t) && col("p") === lit(p)
+      val tag = (if (t) "t" else "c") + (if (p) "1" else "0")
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$tag"),
+        sum(when(in, d380(col("y"))).otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as(s"s_$tag"),
+        sum(when(in, d380(col("y")) * d380(col("y")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as(s"q_$tag"))
+    }
+    val aggs = Seq((true, false), (true, true), (false, false), (false, true))
+      .flatMap { case (t, p) => cell(t, p) }
+    val mean = (tag: String) => dd(col(s"s_$tag")) / dd(col(s"n_$tag"))
+    // unbiased cell variance of the MEAN: (q − s²/n) / (n−1) / n
+    val varM = (tag: String) =>
+      (dd(col(s"q_$tag")) - dd(col(s"s_$tag")) * dd(col(s"s_$tag")) /
+        dd(col(s"n_$tag"))) / dd(col(s"n_$tag") - 1) / dd(col(s"n_$tag"))
+    df.select(col(sliceCol).as("g"), treatedCond.as("t"), postCond.as("p"),
+        cents.as("y"))
+      .groupBy("g").agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_t0") >= 2 && col("n_t1") >= 2 &&
+        col("n_c0") >= 2 && col("n_c1") >= 2)
+      .withColumn("did", (mean("t1") - mean("t0") - (mean("c1") - mean("c0")))
+        / 100.0)
+      .withColumn("se",
+        sqrt(varM("t1") + varM("t0") + varM("c1") + varM("c0")) / 100.0)
+      .select(col("g").as(sliceCol), col("n_t0"), col("n_t1"), col("n_c0"),
+        col("n_c1"), col("did"), col("se"),
+        (col("did") / col("se")).as("t_stat"))
+      .orderBy(sliceCol)
+  }
+
+  /** Per event type: did the (md5-assigned) treated users' spend move
+    * differently across the mid-log cutover than controls'. Treatment is
+    * assigned at the USER grain (first md5 hex digit of user_id ≤ '7' —
+    * the unit that would actually be randomized), post is the global
+    * midpoint instant of the log. */
+  def q317DiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mm = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val au = ascii(substring(md5(col("user_id").cast("string")), 1, 1))
+    diffInDiff(ev.crossJoin(broadcast(mm)), "event_type",
+      au <= 55, unix_micros(col("ts")) >= col("mid"), "value")
+  }
+
   /** Cumulative gains / lift curve of a score against a binary outcome:
     * rank the population by score deciles (percentile cutpoints
     * BROADCAST to the scan — the q195 move; a global ntile would be a
@@ -3210,6 +3329,8 @@ object Ml {
     "q235_ndcg" -> (q235Ndcg _),
     "q230_naive_bayes" -> (q230NaiveBayes _),
     "q231_stratified_ate" -> (q231StratifiedAte _),
+    "q316_ips_policy_value" -> (q316IpsPolicyValue _),
+    "q317_diff_in_diff" -> (q317DiffInDiff _),
     "q232_gains_curve" -> (q232GainsCurve _),
     "q227_oov_rate" -> (q227OovRate _),
     "q228_ewma" -> (q228Ewma _),
@@ -5302,6 +5423,85 @@ object Ml {
         |  score, n AS n_train
         |FROM scored WHERE rk = 1
         |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+    "q316_ips_policy_value" ->
+      """WITH base AS (
+        |  SELECT event_type AS x,
+        |    ascii(substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) AS a,
+        |    CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END
+        |      AS pi,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+        |  FROM events),
+        |tagged AS (
+        |  SELECT x, r,
+        |    CASE WHEN a <= 55 THEN 0
+        |      WHEN a IN (56, 57, 97, 98) THEN 1 ELSE 2 END AS arm,
+        |    pi, CASE WHEN pi = 0 THEN 2 ELSE 4 END AS w
+        |  FROM base),
+        |cells AS (
+        |  SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN arm = pi THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_match,
+        |    CAST(SUM(CASE WHEN arm = pi THEN CAST(r AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s_dm,
+        |    CAST(SUM(CASE WHEN arm = pi
+        |      THEN CAST(w AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s_ips,
+        |    CAST(SUM(CASE WHEN arm = pi THEN w ELSE 0 END) AS BIGINT) AS s_w
+        |  FROM tagged GROUP BY x)
+        |SELECT x AS event_type, n, n_match,
+        |  CASE WHEN n_match > 0
+        |    THEN CAST(s_dm AS DOUBLE) / CAST(n_match AS DOUBLE) / 100.0 END
+        |    AS dm_value,
+        |  CAST(s_ips AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS ips_value,
+        |  CASE WHEN s_w > 0
+        |    THEN CAST(s_ips AS DOUBLE) / CAST(s_w AS DOUBLE) / 100.0 END
+        |    AS snips_value
+        |FROM cells ORDER BY event_type""".stripMargin,
+    "q317_diff_in_diff" ->
+      """WITH mm AS (
+        |  SELECT (MIN(CAST(epoch_us(ts) AS BIGINT))
+        |    + MAX(CAST(epoch_us(ts) AS BIGINT))) // 2 AS mid FROM events),
+        |base AS (
+        |  SELECT event_type AS g,
+        |    ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) <= 55 AS t,
+        |    CAST(epoch_us(ts) AS BIGINT) >= mid AS p,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events, mm),
+        |cells AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+        |    CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+        |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+        |    CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+        |    CAST(SUM(CASE WHEN t AND NOT p THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s_t0,
+        |    CAST(SUM(CASE WHEN t AND p THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s_t1,
+        |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s_c0,
+        |    CAST(SUM(CASE WHEN NOT t AND p THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s_c1,
+        |    CAST(SUM(CASE WHEN t AND NOT p THEN CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS q_t0,
+        |    CAST(SUM(CASE WHEN t AND p THEN CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS q_t1,
+        |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS q_c0,
+        |    CAST(SUM(CASE WHEN NOT t AND p THEN CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS q_c1
+        |  FROM base GROUP BY g
+        |  HAVING SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) >= 2
+        |    AND SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) >= 2
+        |    AND SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) >= 2
+        |    AND SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) >= 2),
+        |calc AS (
+        |  SELECT g, n_t0, n_t1, n_c0, n_c1,
+        |    (CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+        |      - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)
+        |      - (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)
+        |        - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE))) / 100.0 AS did,
+        |    sqrt(
+        |      (CAST(q_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)) / CAST(n_t1 - 1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+        |      + (CAST(q_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)) / CAST(n_t0 - 1 AS DOUBLE) / CAST(n_t0 AS DOUBLE)
+        |      + (CAST(q_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)) / CAST(n_c1 - 1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)
+        |      + (CAST(q_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) / CAST(n_c0 - 1 AS DOUBLE) / CAST(n_c0 AS DOUBLE)
+        |    ) / 100.0 AS se
+        |  FROM cells)
+        |SELECT g AS event_type, n_t0, n_t1, n_c0, n_c1, did, se,
+        |  did / se AS t_stat
+        |FROM calc ORDER BY event_type""".stripMargin,
     "q231_stratified_ate" ->
       """WITH arms AS (
         |  SELECT l_returnflag AS s, COUNT(*) AS n,

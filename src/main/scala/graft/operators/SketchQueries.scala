@@ -525,9 +525,9 @@ object SketchQueries {
         deltas.schema("v").dataType).as("v"), lit(0L).as("d"))
     Rank.globalRankPrefix(deltas.unionByName(readers),
         sortCols = Seq(col("k"), col("us"), col("kind"), col("v"), col("d")),
-        prefixSums = Seq(("n_users", col("d"))))
+        prefixSums = Seq(("n_distinct", col("d"))))
       .filter(col("kind") === 1)
-      .select(col("k"), col("us"), col("n_users"))
+      .select(col("k"), col("us"), col("n_distinct"))
   }
 
   /** Trailing 6-hour distinct users at EVERY event instant per event type —
@@ -546,7 +546,8 @@ object SketchQueries {
       rangeUs, bucketUs, algo = "lc", precision = 65536)
     val exact = trailingDistinctExact(ev, "ts", "event_type", "user_id",
         rangeUs)
-      .select(col("k").as("event_type"), col("us"), col("n_users"))
+      .select(col("k").as("event_type"), col("us"),
+        col("n_distinct").as("n_users"))
     est.join(exact, Seq("event_type", "us"))
       .select(col("event_type"), col("us"), col("n_users"),
         (abs(col("est").cast("double") - col("n_users").cast("double"))
@@ -554,6 +555,21 @@ object SketchQueries {
           .as("est_ok"))
       .orderBy("event_type", "us")
   }
+
+  /** The sweep-line trailing-distinct operator declared STANDALONE, in the
+    * orthogonal geometry to q298: per-USER (high-cardinality key — ~15 users
+    * per mille of events vs 5 event types) trailing 24-hour distinct event
+    * TYPES at every one of the user's instants. Exercises both keyed phases
+    * at opposite cardinality extremes: the interval-merge window sees many
+    * small (k, v) groups here, and the range-partitioned prefix sum carries
+    * many short key runs instead of 5 long ones. Exact — no sketch, no
+    * envelope; the oracle recomputes every instant's frame. */
+  def q315TrailingDistinctWindow(spark: SparkSession, dir: String): DataFrame =
+    trailingDistinctExact(Tables.events(spark, dir), "ts", "user_id",
+        "event_type", 86400L * 1000000L)
+      .select(col("k").as("user_id"), col("us"),
+        col("n_distinct").as("n_types"))
+      .orderBy("user_id", "us")
 
   /** Quantiles over an arbitrary sliding frame — the [[slidingSketchDistinct]]
     * two-phase rewrite applied to the KLL family: one serialized KLL sketch
@@ -1033,6 +1049,7 @@ object SketchQueries {
     "q36_windowed_approx_users" -> (q36WindowedApproxUsers _),
     "q117_sliding_sketch_window" -> (q117SlidingSketchWindow _),
     "q298_rowframe_sketch_window" -> (q298RowRangeSketchWindow _),
+    "q315_trailing_distinct_window" -> (q315TrailingDistinctWindow _),
     "q118_sliding_quantile_window" -> (q118SlidingQuantileWindow _),
     "q119_rolling_new_users" -> (q119RollingNewUsers _),
     "q120_sliding_topk" -> (q120SlidingTopK _),
@@ -1061,6 +1078,16 @@ object SketchQueries {
   val oracles: Map[String, String] = Map(
     // per-instant trailing RANGE frame as a range self-join over distinct
     // (key, instant) rows — the row-anchored twin of the q117 oracle
+    "q315_trailing_distinct_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_type
+        |  FROM events),
+        |inst AS (SELECT DISTINCT user_id, us FROM e)
+        |SELECT i.user_id, i.us,
+        |  CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types
+        |FROM inst i JOIN e ON e.user_id = i.user_id
+        |  AND e.us BETWEEN i.us - 86400000000 AND i.us
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q298_rowframe_sketch_window" ->
       """WITH e AS (
         |  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us, user_id
