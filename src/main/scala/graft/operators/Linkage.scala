@@ -185,12 +185,74 @@ object Linkage {
   def q281EditDistancePairs(spark: SparkSession, dir: String): DataFrame =
     nameEditDistancePairs(Tables.part(spark, dir), "p_name", maxDist = 2)
 
+  /** Sorted-neighborhood dedup blocking (Hernández–Stolfo 1995) — the
+    * THIRD blocking family next to equality blocks (q123/q172) and LSH
+    * banding (q45/q46): sort the corpus by a cheap similarity-clustering
+    * key, then compare each record only to its `w−1` successors in the
+    * sorted order. Catches near-dups that share a PREFIX but no exact
+    * block key, with a hard O(n·w) candidate bound (no block-size skew
+    * hazard at all — the "block" is the sliding rank window).
+    *
+    * Scalably: the global sort position comes from [[Rank]]'s
+    * range-partitioned rank composition (never a single-partition
+    * window), and the neighbor self-join is an EQUI-join on the rank
+    * block `rn div w` (each left row offers its own block and the next,
+    * so boundary-crossing neighbor pairs are found; a raw `rn_b − rn_a
+    * ≤ w−1` theta-join would be a nested loop). The expensive
+    * `levenshtein` runs once per surviving candidate on fixed-width
+    * prefixes. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+      keyLen: Int, cmpLen: Int, window: Int, maxDist: Int): DataFrame = {
+    require(window >= 2 && keyLen >= 1 && cmpLen >= keyLen && maxDist >= 0,
+      s"bad geometry: w=$window key=$keyLen cmp=$cmpLen d=$maxDist")
+    val base = df.select(col(idCol).as("id"),
+      lower(substring(col(textCol), 1, keyLen)).as("key"),
+      substring(col(textCol), 1, cmpLen).as("p"))
+    val ranked = Rank.globalRankPrefix(base,
+        Seq(col("key"), col("id")), rnCol = "rn")
+      .withColumn("blk", expr(s"rn div $window"))
+    val left = ranked.select(col("id").as("doc_a"), col("p").as("pa"),
+        col("rn").as("ra"),
+        explode(array(col("blk"), col("blk") + 1)).as("jb"))
+    val right = ranked.select(col("id").as("doc_b"), col("p").as("pb"),
+      col("rn").as("rb"), col("blk").as("jb"))
+    left.join(right, Seq("jb"))
+      .filter((col("rb") - col("ra")).between(lit(1), lit(window - 1)))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-dup candidates among documents whose lowercased 32-char prefix
+    * sorts them adjacent (window 4), flagged when the 64-char prefixes
+    * are within 20 edits. */
+  def q319SortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodPairs(Tables.documents(spark, dir), "doc_id", "text",
+      keyLen = 32, cmpLen = 64, window = 4, maxDist = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_entity_resolution" -> (q123EntityResolution _),
     "q281_edit_distance_pairs" -> (q281EditDistancePairs _),
+    "q319_sorted_neighborhood" -> (q319SortedNeighborhood _),
     "q172_jw_linkage" -> (q172JwLinkage _))
 
   val oracles: Map[String, String] = Map(
+    // same sort key, same rank-window candidates, same prefix distance
+    "q319_sorted_neighborhood" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(substr(text, 1, 32)) AS key,
+        |    substr(text, 1, 64) AS p
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, p,
+        |    row_number() OVER (ORDER BY key, doc_id) AS rn
+        |  FROM d)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+        |WHERE levenshtein(a.p, b.p) <= 20
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // same length-band prefilter, same strict < pair canon, same order
     "q281_edit_distance_pairs" ->
       """WITH names AS (

@@ -2829,6 +2829,101 @@ object Ml {
     moodsMedianTest(Tables.orders(spark, dir), "o_orderpriority",
       "o_totalprice")
 
+  /** Wilcoxon signed-rank test — THE paired pre/post test when normality
+    * can't be assumed (the matched-samples member of the nonparametric
+    * battery: q224 Mann–Whitney is two independent samples, q306
+    * Friedman is k blocked treatments). Each entity contributes one
+    * exact integer difference d (post − pre, in cents); zeros are
+    * dropped (Wilcoxon's treatment), |d| ties get average ranks from the
+    * VALUE HISTOGRAM (the q290 rank algebra — never a raw-row global
+    * window): with cum the inclusive running count over the |d|
+    * histogram, 2·rank_avg = 2·(cum − cnt) + cnt + 1 stays integer, so
+    * W⁺ accumulates in exact half-units (w2p = 2·W⁺). Normal
+    * approximation with the tie-corrected variance
+    * σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48. */
+  def wilcoxonSignedRank(df: DataFrame, entityCol: String, preCond: Column,
+      valCol: String): DataFrame = {
+    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
+    val diffs = df.select(col(entityCol).as("e"), preCond.as("pre"),
+        cents.as("y"))
+      .groupBy("e")
+      .agg((sum(when(!col("pre"), col("y")).otherwise(0L)) -
+        sum(when(col("pre"), col("y")).otherwise(0L))).as("d"))
+      .filter(col("d") =!= 0)
+    val hist = diffs.groupBy(abs(col("d")).as("a"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
+    Rank.globalRankPrefix(hist, Seq(col("a")), Seq("cum" -> col("cnt")))
+      // 2×average-rank of tie group = 2(cum − cnt) + cnt + 1
+      .withColumn("ar2", lit(2L) * (col("cum") - col("cnt")) + col("cnt")
+        + 1L)
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("pos")).as("n_pos"),
+        sum(col("pos") * col("ar2")).as("w2p"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+      .select(col("n"), col("n_pos"), (dd(col("w2p")) / 2.0).as("w_plus"),
+        ((dd(col("w2p")) / 2.0 -
+          dd(col("n")) * dd(col("n") + 1) / 4.0) /
+          sqrt(dd(col("n")) * dd(col("n") + 1) * dd(lit(2L) * col("n") + 1)
+            / 24.0 - dd(col("tie3")) / 48.0)).as("z"))
+  }
+
+  /** Did per-user spend move across the mid-log cutover — the paired
+    * (each user is their own control) companion to q317's DiD: one
+    * exact cents difference per user, signed ranks from the histogram. */
+  def q318WilcoxonSignedRank(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mm = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    wilcoxonSignedRank(ev.crossJoin(broadcast(mm)), "user_id",
+      unix_micros(col("ts")) < col("mid"), "value")
+  }
+
+  /** Isotonic (monotone) calibration of a binary rate against a score —
+    * the non-parametric alternative to Platt scaling (no logistic fit,
+    * no iterations): pool-adjacent-violators expressed through the
+    * CLOSED minimax identity fit(i) = max_{j≤i} min_{k≥i} rate(j..k)
+    * (Robertson–Wright–Dykstra 1988), which needs no sequential state —
+    * the PAVA recurrence would be a driver-side loop; the minimax form
+    * is three joins over the BIN frame. Rows reduce to `nBins`
+    * equal-width score bins in one map-side-combined pass (all raw-data
+    * cost is that single aggregation; the B³ minimax work is constant —
+    * a fixed-size statistic frame). Segment rates sp/sn are single
+    * divisions of exact integers, so min/max pick from bit-identical
+    * candidate sets in any engine. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, posCond: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 64, s"bad bin count: $nBins")
+    val cents = (col(scoreCol).cast("decimal(18,2)") * 100).cast("long")
+    val base = df.select(cents.as("v"),
+      when(posCond, 1L).otherwise(0L).as("y"))
+    val mm = base.agg(min("v").as("mn"), max("v").as("mx"))
+    val bins = base.crossJoin(broadcast(mm))
+      .withColumn("bin", expr(s"((v - mn) * $nBins) div (mx - mn + 1)"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val segs = bins.select(col("bin").as("j"))
+      .join(broadcast(bins.select(col("bin").as("k"))), col("j") <= col("k"))
+      .join(broadcast(bins.select(col("bin").as("b"), col("n"), col("pos"))),
+        col("b") >= col("j") && col("b") <= col("k"))
+      .groupBy("j", "k").agg(sum("n").as("sn"), sum("pos").as("sp"))
+      .withColumn("avg", dd(col("sp")) / dd(col("sn")))
+    val fit = bins.select(col("bin").as("i"))
+      .join(broadcast(segs), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min("avg").as("mjk"))
+      .groupBy("i").agg(max("mjk").as("iso_rate"))
+    bins.join(broadcast(fit), col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("pos"),
+        (dd(col("pos")) / dd(col("n"))).as("raw_rate"), col("iso_rate"))
+      .orderBy("bin")
+  }
+
+  /** Monotone-calibrated P(purchase | event value): 20 equal-width
+    * cent bins, raw rate vs isotonic fit side by side. */
+  def q321IsotonicCalibration(spark: SparkSession, dir: String): DataFrame =
+    isotonicCalibration(Tables.events(spark, dir), "value",
+      col("event_type") === "purchase", nBins = 20)
+
   /** Wald–Wolfowitz runs test on the daily-revenue series per group —
     * is the above/below-median sign sequence random, or does it clump
     * (trend/regime) or alternate (overcorrection)? Signs come from the
@@ -3331,6 +3426,8 @@ object Ml {
     "q231_stratified_ate" -> (q231StratifiedAte _),
     "q316_ips_policy_value" -> (q316IpsPolicyValue _),
     "q317_diff_in_diff" -> (q317DiffInDiff _),
+    "q318_wilcoxon_signed_rank" -> (q318WilcoxonSignedRank _),
+    "q321_isotonic_calibration" -> (q321IsotonicCalibration _),
     "q232_gains_curve" -> (q232GainsCurve _),
     "q227_oov_rate" -> (q227OovRate _),
     "q228_ewma" -> (q228Ewma _),
@@ -5423,6 +5520,70 @@ object Ml {
         |  score, n AS n_train
         |FROM scored WHERE rk = 1
         |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+    "q321_isotonic_calibration" ->
+      """WITH base AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM base),
+        |bins AS (
+        |  SELECT CAST(((v - mn) * 20) // (mx - mn + 1) AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM base, mm GROUP BY 1),
+        |segs AS (
+        |  SELECT j.bin AS j, k.bin AS k, CAST(SUM(b.n) AS BIGINT) AS sn,
+        |    CAST(SUM(b.pos) AS BIGINT) AS sp
+        |  FROM bins j JOIN bins k ON j.bin <= k.bin
+        |  JOIN bins b ON b.bin BETWEEN j.bin AND k.bin
+        |  GROUP BY 1, 2),
+        |avgs AS (
+        |  SELECT j, k, CAST(sp AS DOUBLE) / CAST(sn AS DOUBLE) AS avg
+        |  FROM segs),
+        |fitj AS (
+        |  SELECT i.bin AS i, a.j, MIN(a.avg) AS mjk
+        |  FROM bins i JOIN avgs a ON a.j <= i.bin AND a.k >= i.bin
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, MAX(mjk) AS iso_rate FROM fitj GROUP BY 1)
+        |SELECT b.bin, b.n, b.pos,
+        |  CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+        |  f.iso_rate
+        |FROM bins b JOIN fit f ON f.i = b.bin ORDER BY b.bin""".stripMargin,
+    "q318_wilcoxon_signed_rank" ->
+      """WITH mm AS (
+        |  SELECT (MIN(CAST(epoch_us(ts) AS BIGINT))
+        |    + MAX(CAST(epoch_us(ts) AS BIGINT))) // 2 AS mid FROM events),
+        |d AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN us >= mid THEN y ELSE 0 END)
+        |      - SUM(CASE WHEN us < mid THEN y ELSE 0 END) AS BIGINT) AS d
+        |  FROM (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |    FROM events), mm
+        |  GROUP BY user_id
+        |  HAVING SUM(CASE WHEN us >= mid THEN y ELSE 0 END)
+        |    - SUM(CASE WHEN us < mid THEN y ELSE 0 END) <> 0),
+        |hist AS (
+        |  SELECT ABS(d) AS a, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT a, cnt, pos,
+        |    CAST(SUM(cnt) OVER (ORDER BY a
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM hist),
+        |agg AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(pos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS w2p,
+        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+        |  FROM r)
+        |SELECT n, n_pos, CAST(w2p AS DOUBLE) / 2.0 AS w_plus,
+        |  (CAST(w2p AS DOUBLE) / 2.0
+        |    - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 4.0)
+        |  / sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+        |      * CAST(2 * n + 1 AS DOUBLE) / 24.0
+        |    - CAST(tie3 AS DOUBLE) / 48.0) AS z
+        |FROM agg""".stripMargin,
     "q316_ips_policy_value" ->
       """WITH base AS (
         |  SELECT event_type AS x,

@@ -1480,6 +1480,62 @@ object Stats {
     acfLjungBox(Tables.orders(spark, dir), "o_orderdate", "o_totalprice",
       maxLag = 14)
 
+  /** Cross-correlation function between TWO hourly series at lags
+    * −maxLag..maxLag — the lead/lag detector ("do clicks lead purchases,
+    * and by how many hours?"): r(k) = corr(x_t, y_{t+k}) over the
+    * overlapping stretch of the zero-filled complete hour grid. The q304
+    * shape generalized to a series PAIR with signed lags: one grid
+    * aggregation, then (2·maxLag+1) equi-joins on the span-bounded grid;
+    * per lag all five moments (Σx Σy Σxy Σx² Σy²) accumulate in exact
+    * DECIMAL(38,0) over the overlap rows and the Pearson quotient is the
+    * single double step. Scales by calendar span, not event volume. */
+  def crossCorrelation(events: DataFrame, tsCol: String, xCond: Column,
+      xVal: Column, yCond: Column, yVal: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val hourly0 = events
+      .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"),
+        when(xCond, xVal).otherwise(0L).as("xv"),
+        when(yCond, yVal).otherwise(0L).as("yv"))
+      .groupBy("h").agg(sum("xv").as("x"), sum("yv").as("y"))
+    val span = hourly0.agg(min("h").as("mn"), max("h").as("mx"))
+    val grid = span.select(explode(sequence(col("mn"), col("mx"))).as("h"))
+      .join(hourly0, Seq("h"), "left").na.fill(0L, Seq("x", "y"))
+    val lags = events.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").as("k"))
+    grid.crossJoin(broadcast(lags))
+      .join(grid.select(col("h").as("h2"), col("y").as("y2")),
+        col("h2") === col("h") + col("k"))
+      .groupBy("k").agg(count(lit(1)).as("m"),
+        sum(d380(col("x"))).cast("decimal(38,0)").as("sx"),
+        sum(d380(col("y2"))).cast("decimal(38,0)").as("sy"),
+        sum(d380(col("x")) * d380(col("y2"))).cast("decimal(38,0)").as("sxy"),
+        sum(d380(col("x")) * d380(col("x"))).cast("decimal(38,0)").as("sxx"),
+        sum(d380(col("y2")) * d380(col("y2"))).cast("decimal(38,0)")
+          .as("syy"))
+      .withColumn("num",
+        (d380(col("m")) * col("sxy") - col("sx") * col("sy"))
+          .cast("decimal(38,0)"))
+      .withColumn("dx", (d380(col("m")) * col("sxx") - col("sx") * col("sx"))
+        .cast("decimal(38,0)"))
+      .withColumn("dy", (d380(col("m")) * col("syy") - col("sy") * col("sy"))
+        .cast("decimal(38,0)"))
+      .filter(col("dx") > 0 && col("dy") > 0)
+      .select(col("k").as("lag"), col("m").as("n_hours"),
+        (dd(col("num")) / sqrt(dd(col("dx")) * dd(col("dy")))).as("ccf"))
+      .orderBy("lag")
+  }
+
+  /** Do clicks lead purchase revenue: hourly click counts vs hourly
+    * purchase cents, CCF at lags −6..+6. */
+  def q320CrossCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    crossCorrelation(Tables.events(spark, dir), "ts",
+      col("event_type") === "purchase", cents,
+      col("event_type") === "click", lit(1L), maxLag = 6)
+  }
+
   /** Seasonality detection by FOLDING, not Fourier: for each candidate
     * period p, bucket the complete hourly count series by phase
     * (hour − min) mod p and take the between-phase share of total
@@ -1733,6 +1789,7 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q304_acf_ljung_box" -> (q304AcfLjungBox _),
+    "q320_cross_correlation" -> (q320CrossCorrelation _),
     "q305_seasonal_strength" -> (q305SeasonalStrength _),
     "q308_holt_linear" -> (q308HoltLinear _),
     "q309_theil_sen" -> (q309TheilSen _),
@@ -1890,6 +1947,46 @@ object Stats {
     // exact integer ACF algebra on HUGEINT (int128) — DuckDB's decimal
     // multiply caps at precision 38 at bind time, so the oracle carries
     // the same exact values in int128 instead; identical doubles out
+    "q320_cross_correlation" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      ELSE 0 END AS xv,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS yv
+        |  FROM events),
+        |hourly AS (
+        |  SELECT h, CAST(SUM(xv) AS BIGINT) AS x, CAST(SUM(yv) AS BIGINT)
+        |    AS y FROM e GROUP BY h),
+        |span AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly),
+        |grid AS (
+        |  SELECT gs.h, COALESCE(hourly.x, 0) AS x, COALESCE(hourly.y, 0) AS y
+        |  FROM (SELECT UNNEST(generate_series(mn, mx)) AS h FROM span) gs
+        |  LEFT JOIN hourly ON hourly.h = gs.h),
+        |cells AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(a.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(b.y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(a.x AS DECIMAL(38,0)) * CAST(b.y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(a.x AS DECIMAL(38,0)) * CAST(a.x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(b.y AS DECIMAL(38,0)) * CAST(b.y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        |  FROM grid a
+        |  CROSS JOIN (SELECT UNNEST(range(-6, 7)) AS k)
+        |  JOIN grid b ON b.h = a.h + k
+        |  GROUP BY k),
+        |calc AS (
+        |  SELECT k, m,
+        |    CAST(CAST(m AS DECIMAL(38,0)) * sxy - sx * sy AS DECIMAL(38,0))
+        |      AS num,
+        |    CAST(CAST(m AS DECIMAL(38,0)) * sxx - sx * sx AS DECIMAL(38,0))
+        |      AS dx,
+        |    CAST(CAST(m AS DECIMAL(38,0)) * syy - sy * sy AS DECIMAL(38,0))
+        |      AS dy
+        |  FROM cells)
+        |SELECT CAST(k AS BIGINT) AS lag, m AS n_hours,
+        |  CAST(num AS DOUBLE) / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+        |    AS ccf
+        |FROM calc WHERE dx > 0 AND dy > 0 ORDER BY lag""".stripMargin,
     "q304_acf_ljung_box" ->
       """WITH daily0 AS (
         |  SELECT date_diff('day', DATE '1992-01-01',
