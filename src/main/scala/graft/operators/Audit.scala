@@ -634,7 +634,63 @@ object Audit {
     captureRecapture(Tables.documents(spark, dir), "doc_id",
       col("doc_id") % 7 < 2, col("doc_id") % 11 < 3)
 
+  /** Join-key fanout / skew audit — the numbers that decide whether a
+    * join on `keyCol` is safe at scale BEFORE running it: key count, row
+    * count, max and exact p50/p99 fanout, the hottest key's row share,
+    * the self-join output size Σc² (what a key-equijoin of this table
+    * with itself would produce — THE skew-explosion planning number),
+    * and the Shannon entropy of the key distribution (low entropy = a
+    * few keys own the table = salt or skew-hint before joining).
+    *
+    * Scale shape: one groupBy(key) scan, then everything runs over the
+    * FANOUT HISTOGRAM (distinct fanout values — domain-bounded, tiny);
+    * quantiles are integer threshold picks over the histogram's
+    * range-partitioned cumulative counts, never a sort of keys; Σc² and
+    * the entropy sum are exact wide-decimal accumulation, so the audit
+    * is bit-reproducible. Null keys are excluded (they never match an
+    * equijoin anyway). */
+  def joinFanoutAudit(df: DataFrame, keyCol: String,
+      edgeName: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val hist = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("nk"))
+    val tot = hist.agg(sum("nk").as("n_keys"),
+      sum(col("c") * col("nk")).as("n_rows"),
+      max("c").as("max_fanout"),
+      sum(col("c").cast("decimal(38,0)") * col("c") * col("nk")).as("sj"))
+    val quant = Rank.globalRankPrefix(hist, Seq(col("c")),
+        Seq("cum" -> col("nk")))
+      .crossJoin(broadcast(tot)) // 1-row build side
+      .agg(
+        min(when(col("cum") * 2 >= col("n_keys"), col("c")))
+          .as("p50_fanout"),
+        min(when(col("cum") * 100 >= col("n_keys") * 99, col("c")))
+          .as("p99_fanout"))
+    val ent = hist.crossJoin(broadcast(tot)) // 1-row build side
+      .agg(sum((dd(col("nk")) * (dd(col("c")) / dd(col("n_rows"))) *
+          log(dd(col("n_rows")) / dd(col("c")))).cast("decimal(38,12)"))
+        .cast("double").as("entropy_nats"))
+    tot.crossJoin(broadcast(quant)).crossJoin(broadcast(ent))
+      .select(lit(edgeName).as("edge"), col("n_keys"), col("n_rows"),
+        col("max_fanout"), col("p50_fanout"), col("p99_fanout"),
+        (dd(col("n_rows")) / dd(col("n_keys"))).as("avg_fanout"),
+        (dd(col("max_fanout")) / dd(col("n_rows"))).as("top1_share"),
+        col("sj").cast("double").as("selfjoin_rows"),
+        col("entropy_nats"))
+  }
+
+  /** Fanout audit of the two hot join keys: lineitem per order and
+    * events per user — would a key-equijoin on either explode. */
+  def q324JoinFanout(spark: SparkSession, dir: String): DataFrame =
+    joinFanoutAudit(Tables.lineitem(spark, dir), "l_orderkey",
+        "lineitem per order")
+      .unionByName(joinFanoutAudit(Tables.events(spark, dir), "user_id",
+        "events per user"))
+      .orderBy("edge")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_join_fanout" -> (q324JoinFanout _),
     "q302_fd_violations" -> (q302FdViolations _),
     "q303_fk_orphans" -> (q303FkOrphans _),
     "q313_capture_recapture" -> (q313CaptureRecapture _),
@@ -673,7 +729,49 @@ object Audit {
       .orderBy("column")
   }
 
+  /** One fanout-audit stanza of the q324 oracle (per-table twin of
+    * [[joinFanoutAudit]]). */
+  private def fanoutSql(table: String, key: String, name: String): String =
+    s"""(WITH kc AS (
+       |  SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM $table WHERE $key IS NOT NULL GROUP BY 1),
+       |h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nk FROM kc GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(SUM(nk) AS BIGINT) AS n_keys,
+       |    CAST(SUM(c * nk) AS BIGINT) AS n_rows,
+       |    CAST(MAX(c) AS BIGINT) AS max_fanout,
+       |    SUM(CAST(c AS HUGEINT) * c * nk) AS sj
+       |  FROM h),
+       |cu AS (
+       |  SELECT c, nk, SUM(nk) OVER (ORDER BY c
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM h),
+       |qs AS (
+       |  SELECT MIN(CASE WHEN cum * 2 >= t.n_keys THEN c END)
+       |      AS p50_fanout,
+       |    MIN(CASE WHEN cum * 100 >= t.n_keys * 99 THEN c END)
+       |      AS p99_fanout
+       |  FROM cu CROSS JOIN t),
+       |e AS (
+       |  SELECT CAST(SUM(CAST(
+       |      CAST(nk AS DOUBLE)
+       |        * (CAST(c AS DOUBLE) / CAST(t.n_rows AS DOUBLE))
+       |        * ln(CAST(t.n_rows AS DOUBLE) / CAST(c AS DOUBLE))
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS entropy_nats
+       |  FROM h CROSS JOIN t)
+       |SELECT '$name' AS edge, n_keys, n_rows, max_fanout,
+       |  p50_fanout, p99_fanout,
+       |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_fanout,
+       |  CAST(max_fanout AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share,
+       |  CAST(sj AS DOUBLE) AS selfjoin_rows, entropy_nats
+       |FROM t CROSS JOIN qs CROSS JOIN e)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q324_join_fanout" ->
+      (fanoutSql("lineitem", "l_orderkey", "lineitem per order") +
+        "\nUNION ALL\n" +
+        fanoutSql("events", "user_id", "events per user") +
+        "\nORDER BY edge"),
     "q313_capture_recapture" ->
       """WITH t AS (
         |  SELECT doc_id % 7 < 2 AS a, doc_id % 11 < 3 AS b

@@ -615,7 +615,76 @@ object Graph {
         col("rank").cast("decimal(20,12)").as("ppr"))
       .orderBy("event_type")
 
+  /** Newman modularity of a node partition over an undirected edge list:
+    * per community c,  Q_c = m_c/m − (d_c / 2m)²  and  Q = Σ_c Q_c —
+    * THE quality score for any community assignment (LPA output, a
+    * metadata partition, a blocking scheme), answering "are these
+    * communities denser than a degree-preserving random rewiring".
+    *
+    * Scale shape: one distinct-edge pass for m and degrees, two
+    * hash joins against the (node → community) map on the node key, one
+    * groupBy per community — no iteration, no per-pair work beyond the
+    * edge list itself. All inputs to the final expression are exact
+    * integer counts; each community's Q_c is a handful of IEEE-exact
+    * double ops on those integers, and the global Q is the sum of
+    * DECIMAL-quantized Q_c terms (the one order-sensitive step), so the
+    * result is bit-reproducible in any engine. Nodes absent from
+    * `communities` are kept under community NULL rather than dropped —
+    * silently losing their degree mass would misstate every other
+    * community's null-model term. */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+      communities: DataFrame, nodeCol: String, commCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true) // feeds m, intra-edge AND degree branches
+    val comm = communities
+      .select(col(nodeCol).as("node"), col(commCol).as("c"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val intra = e
+      .join(comm.select(col("node").as("u"), col("c").as("cu")), Seq("u"))
+      .join(comm.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
+      .filter(col("cu") <=> col("cv"))
+      .groupBy(col("cu").as("c")).agg(count(lit(1)).as("m_c"))
+    val degc = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .join(comm, Seq("node"), "left")
+      .groupBy("c")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_c"))
+    val dd = (c: Column) => c.cast("double")
+    val per = degc.join(intra, Seq("c"), "left")
+      .na.fill(0L, Seq("m_c"))
+      .crossJoin(broadcast(m)) // 1-row build side
+      .withColumn("q_c",
+        dd(col("m_c")) / dd(col("m")) -
+          (dd(col("d_c")) / (dd(col("m")) * 2.0)) *
+          (dd(col("d_c")) / (dd(col("m")) * 2.0)))
+    val total = per
+      .agg(sum(col("q_c").cast("decimal(38,15)")).cast("double").as("q_total"))
+    per.crossJoin(broadcast(total)) // 1-row build side
+      .select(col("c").as("community"), col("n_nodes"), col("m_c")
+          .as("intra_edges"), col("d_c").as("degree_sum"), col("q_c"),
+        col("q_total"))
+      .orderBy("community")
+  }
+
+  /** Does the catalog's brand structure explain the co-purchase graph —
+    * modularity of the p_brand partition over the ≥2-support co-purchase
+    * edges (the q150/q264 graph). A near-zero Q says brands do NOT form
+    * purchasing communities; the per-brand rows show which brands are
+    * (anti-)assortative. */
+  def q322GraphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", basketCap = 64)
+    modularity(Basket.pairCounts(bk, basketCap = 64, minSupport = 2L),
+      "p1", "p2",
+      Tables.part(spark, dir), "p_partkey", "p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_graph_modularity" -> (q322GraphModularity _),
     "q297_personalized_pagerank" -> (q297PersonalizedPagerank _),
     "q270_local_clustering" -> (q270LocalClustering _),
     "q264_adamic_adar" -> (q264AdamicAdar _),
@@ -717,6 +786,41 @@ object Graph {
        |    FROM v$i) WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q322_graph_modularity" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS MATERIALIZED (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ed),
+        |cm AS (SELECT p_partkey AS node, p_brand AS c FROM part),
+        |intra AS (
+        |  SELECT cu.c AS c, CAST(COUNT(*) AS BIGINT) AS m_c
+        |  FROM ed JOIN cm cu ON cu.node = ed.u
+        |  JOIN cm cv ON cv.node = ed.v
+        |  WHERE cu.c = cv.c GROUP BY 1),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed)
+        |  GROUP BY 1),
+        |degc AS (
+        |  SELECT cm.c AS c, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(d) AS BIGINT) AS d_c
+        |  FROM deg LEFT JOIN cm ON cm.node = deg.node GROUP BY 1),
+        |per AS (
+        |  SELECT degc.c, n_nodes, CAST(COALESCE(m_c, 0) AS BIGINT) AS m_c,
+        |    d_c,
+        |    CAST(COALESCE(m_c, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+        |      - (CAST(d_c AS DOUBLE) / (CAST(mm.m AS DOUBLE) * 2.0))
+        |        * (CAST(d_c AS DOUBLE) / (CAST(mm.m AS DOUBLE) * 2.0))
+        |      AS q_c
+        |  FROM degc LEFT JOIN intra ON intra.c = degc.c CROSS JOIN mm)
+        |SELECT c AS community, n_nodes, m_c AS intra_edges,
+        |  d_c AS degree_sum, q_c,
+        |  (SELECT CAST(SUM(CAST(q_c AS DECIMAL(38,15))) AS DOUBLE)
+        |   FROM per) AS q_total
+        |FROM per ORDER BY community""".stripMargin,
     "q270_local_clustering" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

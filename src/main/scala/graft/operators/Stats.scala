@@ -1787,7 +1787,61 @@ object Stats {
   def q311StlDecompose(spark: SparkSession, dir: String): DataFrame =
     stlDecompose(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
 
+  /** 1-D density clustering (single-linkage DBSCAN on a line): maximal
+    * runs of cent-quantized values where consecutive DISTINCT values are
+    * ≤ `epsCents` apart, kept as clusters when they carry ≥ `minPts`
+    * points. THE scalable special case of DBSCAN — on one dimension
+    * density-connectivity is exactly the gaps-and-islands structure, so
+    * no neighborhood join is ever needed.
+    *
+    * Scale shape: all work runs over the VALUE HISTOGRAM (groupBy value →
+    * counts), never raw rows, so per-task cost is domain-bounded; the two
+    * ordered passes (previous-value gap, then island prefix-sum) both go
+    * through [[Rank.globalRankPrefix]]'s range-partitioned rank
+    * composition — no single-partition window anywhere, including the
+    * final cluster numbering. The gap lookup is a self-equijoin on the
+    * dense global rank (rank n ⋈ rank n−1), a hash join on a unique key
+    * rather than a lag window. */
+  def densityIslands(df: DataFrame, valCol: String, epsCents: Long,
+      minPts: Long): DataFrame = {
+    require(epsCents >= 1, s"epsCents must be >= 1: $epsCents")
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val hist = df
+      .select((col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("vc").agg(count(lit(1)).as("cnt"))
+    val rk = Rank.globalRankPrefix(hist, Seq(col("vc")))
+      .localCheckpoint(false) // feeds both sides of the rank self-join
+    val brk = rk.join(
+        rk.select((col("__rn") + 1).as("__rn"), col("vc").as("prev")),
+        Seq("__rn"), "left")
+      .withColumn("brk",
+        when(col("prev").isNull || col("vc") - col("prev") > epsCents, 1L)
+          .otherwise(0L))
+    val isl = Rank.globalRankPrefix(brk, Seq(col("vc")),
+        Seq("island" -> col("brk")))
+      .groupBy("island")
+      .agg(min("vc").as("lo_cents"), max("vc").as("hi_cents"),
+        count(lit(1)).as("n_values"), sum("cnt").as("n_points"))
+      .filter(col("n_points") >= minPts)
+    Rank.globalRankPrefix(isl, Seq(col("lo_cents")), rnCol = "cluster_id")
+      .select(col("cluster_id").cast("int").as("cluster_id"),
+        col("lo_cents"), col("hi_cents"),
+        (col("hi_cents") - col("lo_cents")).as("width_cents"),
+        col("n_values"), col("n_points"))
+      .orderBy("cluster_id")
+  }
+
+  /** Where does event-value mass pool — density clusters over the
+    * event-amount line (eps = 10¢, minPts = 30): the amount modes an
+    * anomaly / pricing-tier analysis actually wants, without assuming a
+    * cluster count up front (13–15 data-driven clusters at both gated
+    * SFs; the long-tail amounts correctly fall out as noise). */
+  def q323DensityIslands(spark: SparkSession, dir: String): DataFrame =
+    densityIslands(Tables.events(spark, dir), "value",
+      epsCents = 10L, minPts = 30L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_density_islands" -> (q323DensityIslands _),
     "q304_acf_ljung_box" -> (q304AcfLjungBox _),
     "q320_cross_correlation" -> (q320CrossCorrelation _),
     "q305_seasonal_strength" -> (q305SeasonalStrength _),
@@ -1830,6 +1884,32 @@ object Stats {
     "q176_gini" -> (q176Gini _))
 
   val oracles: Map[String, String] = Map(
+    "q323_density_islands" ->
+      """WITH h AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS vc,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT vc, cnt,
+        |    CASE WHEN LAG(vc) OVER (ORDER BY vc) IS NULL
+        |      OR vc - LAG(vc) OVER (ORDER BY vc) > 10 THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM h),
+        |i AS (
+        |  SELECT vc, cnt, SUM(brk) OVER (ORDER BY vc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM s),
+        |g AS (
+        |  SELECT island, MIN(vc) AS lo_cents, MAX(vc) AS hi_cents,
+        |    CAST(COUNT(*) AS BIGINT) AS n_values,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_points
+        |  FROM i GROUP BY 1)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY lo_cents) AS INT)
+        |    AS cluster_id,
+        |  lo_cents, hi_cents, hi_cents - lo_cents AS width_cents,
+        |  n_values, n_points
+        |FROM g WHERE n_points >= 30 ORDER BY cluster_id""".stripMargin,
     "q310_changepoint" ->
       """WITH daily AS (
         |  SELECT date_diff('day', DATE '1992-01-01',
