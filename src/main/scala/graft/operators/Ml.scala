@@ -3370,7 +3370,120 @@ object Ml {
       substring(col("o_orderpriority"), 1, 1).cast("long"),
       col("o_orderstatus") === "F")
 
+  /** Binary linear classifier with a logistic-shaped link, fit by
+    * QUANTIZED fixed-step gradient descent — the engine's one genuinely
+    * iterative trainable model (naive Bayes is closed-form, isotonic is a
+    * pool step): k rounds of  β ← β − lr·(1/n)Σ(p−y)·z  over standardized
+    * integer features.
+    *
+    * Cross-engine determinism (the q308 recurrence discipline, lifted
+    * from a per-key fold to a GLOBAL iterative fit):
+    *   - the link is the ALGEBRAIC sigmoid p = ½(1 + u/√(1+u²)), so every
+    *     per-row op is an IEEE-correctly-rounded basic op (+,−,×,÷,√) —
+    *     no exp/ln whose libm rounding differs between engines;
+    *   - β lives on an integer 1e-9 grid, so u = β·z is computed from
+    *     bit-identical doubles in any engine;
+    *   - per-row gradient contributions are floor-quantized to the 1e-6
+    *     grid and summed as exact decimals, so the one order-sensitive
+    *     step (the gradient sum) is permutation-invariant;
+    *   - the update β ← β − ⌊lr·G/n⌋ is floor-of-exact-double arithmetic
+    *     back onto the integer grid.
+    * Net: the FULL k-round trajectory is bit-reproducible, and the oracle
+    * twin is the same recursion unrolled as k CTE pairs.
+    *
+    * Scale shape: the standardized feature frame is localCheckpointed
+    * once; each round is one map-side-combined aggregate over it (k
+    * scans, zero shuffles of the data — only 1-row gradient frames move);
+    * β updates chain 1-row broadcast frames with LINEAR plan growth (the
+    * previous β rides through the gradient aggregate as max(), never a
+    * second branch — a two-branch update doubles the plan per round).
+    * Fixed iteration count keeps the plan static (the 100 TB shape:
+    * k passes + checkpoint, exactly like [[Graph.pageRank]]). */
+  def logisticGd(df: DataFrame, labelCol: String, x1Col: String,
+      x2Col: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64]: $iters")
+    val raw = df.select(col(labelCol).cast("long").as("y"),
+      col(x1Col).cast("long").as("x1"), col(x2Col).cast("long").as("x2"))
+    val mom = raw.agg(count(lit(1)).as("n"),
+        sum(d380(col("x1"))).as("s1"),
+        sum(d380(col("x1")) * d380(col("x1"))).as("s11"),
+        sum(d380(col("x2"))).as("s2"),
+        sum(d380(col("x2")) * d380(col("x2"))).as("s22"))
+      .select(col("n"),
+        (dd(col("s1")) / dd(col("n"))).as("m1"),
+        sqrt(dd(col("s11")) / dd(col("n")) -
+          (dd(col("s1")) / dd(col("n"))) * (dd(col("s1")) / dd(col("n"))))
+          .as("sd1"),
+        (dd(col("s2")) / dd(col("n"))).as("m2"),
+        sqrt(dd(col("s22")) / dd(col("n")) -
+          (dd(col("s2")) / dd(col("n"))) * (dd(col("s2")) / dd(col("n"))))
+          .as("sd2"))
+    val base = raw.crossJoin(broadcast(mom)) // 1-row build side
+      .select(col("y"), col("n"),
+        ((dd(col("x1")) - col("m1")) / col("sd1")).as("z1"),
+        ((dd(col("x2")) - col("m2")) / col("sd2")).as("z2"))
+      .localCheckpoint(true) // feeds all k gradient rounds + the scorer
+    val u = col("b0").cast("double") / lit(1.0e9) +
+      col("b1").cast("double") / lit(1.0e9) * col("z1") +
+      col("b2").cast("double") / lit(1.0e9) * col("z2")
+    var beta = df.sparkSession.range(1).select(lit(0L).as("b0"),
+      lit(0L).as("b1"), lit(0L).as("b2"))
+    for (_ <- 1 to iters) {
+      val g = base.crossJoin(broadcast(beta)) // 1-row build side
+        .withColumn("u", u)
+        .withColumn("r", lit(0.5) + lit(0.5) * col("u") /
+          sqrt(lit(1.0) + col("u") * col("u")) - dd(col("y")))
+        .agg(max("b0").as("pb0"), max("b1").as("pb1"),
+          max("b2").as("pb2"), max("n").as("n"),
+          sum(floor(col("r") * lit(1.0e6)).cast("decimal(38,0)")).as("g0"),
+          sum(floor(col("r") * col("z1") * lit(1.0e6))
+            .cast("decimal(38,0)")).as("g1"),
+          sum(floor(col("r") * col("z2") * lit(1.0e6))
+            .cast("decimal(38,0)")).as("g2"))
+      beta = g.select(
+        (col("pb0") - floor(dd(col("g0")) * lit(2000.0) / dd(col("n"))))
+          .as("b0"),
+        (col("pb1") - floor(dd(col("g1")) * lit(2000.0) / dd(col("n"))))
+          .as("b1"),
+        (col("pb2") - floor(dd(col("g2")) * lit(2000.0) / dd(col("n"))))
+          .as("b2"))
+    }
+    base.crossJoin(broadcast(beta)) // 1-row build side
+      .withColumn("u", u)
+      .agg(max("n").as("n"), max("b0").as("b0"), max("b1").as("b1"),
+        max("b2").as("b2"),
+        sum(when((col("u") > lit(0.0)) === (col("y") === 1), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(col("n"),
+        (col("b0").cast("double") / lit(1.0e9)).as("beta0"),
+        (col("b1").cast("double") / lit(1.0e9)).as("beta1"),
+        (col("b2").cast("double") / lit(1.0e9)).as("beta2"),
+        col("n_correct"),
+        (dd(col("n_correct")) / dd(col("n"))).as("accuracy"))
+  }
+
+  /** Can order price + width predict priority class — 12 rounds of
+    * quantized GD on (cents, lineitem count) vs the URGENT/HIGH label.
+    * The betas AND the resubstitution accuracy are hash-gated, so the
+    * whole 12-round trajectory must match the oracle's unrolled
+    * recursion. */
+  def q325LogisticGd(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+    val o = Tables.orders(spark, dir)
+      .join(li, Seq("o_orderkey"), "left").na.fill(0L, Seq("n_lines"))
+      .select(
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("y"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("x1"),
+        col("n_lines").as("x2"))
+    logisticGd(o, "y", "x1", "x2", iters = 12)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_logistic_gd" -> (q325LogisticGd _),
     "q306_friedman" -> (q306Friedman _),
     "q312_cochran_armitage" -> (q312CochranArmitage _),
     "q280_brown_forsythe" -> (q280BrownForsythe _),
@@ -3476,7 +3589,96 @@ object Ml {
       |    CAST(d.rev AS DOUBLE) - (f.a + f.b * CAST(d.x AS DOUBLE)) AS e
       |  FROM daily d JOIN ab f ON f.g = d.g)""".stripMargin
 
+  /** One GD round of the q325 oracle: gradient aggregate g_k over the
+    * standardized frame at β from it_{k-1}, then the floor update it_k —
+    * the exact SQL twin of one [[logisticGd]] loop body. */
+  private def logitIterSql(k: Int): String = {
+    val j = k - 1
+    s"""g$k AS (
+       |  SELECT MAX(b0) AS pb0, MAX(b1) AS pb1, MAX(b2) AS pb2,
+       |    MAX(n) AS n,
+       |    SUM(CAST(FLOOR(r * 1000000.0) AS BIGINT)) AS g0,
+       |    SUM(CAST(FLOOR(r * z1 * 1000000.0) AS BIGINT)) AS g1,
+       |    SUM(CAST(FLOOR(r * z2 * 1000000.0) AS BIGINT)) AS g2
+       |  FROM (
+       |    SELECT b0, b1, b2, n, z1, z2,
+       |      0.5 + 0.5 * u / sqrt(1.0 + u * u) - CAST(y AS DOUBLE) AS r
+       |    FROM (
+       |      SELECT y, n, z1, z2, b0, b1, b2,
+       |        CAST(b0 AS DOUBLE) / 1000000000.0
+       |          + CAST(b1 AS DOUBLE) / 1000000000.0 * z1
+       |          + CAST(b2 AS DOUBLE) / 1000000000.0 * z2 AS u
+       |      FROM b CROSS JOIN it$j))),
+       |it$k AS (
+       |  SELECT
+       |    pb0 - CAST(FLOOR(CAST(g0 AS DOUBLE) * 2000.0
+       |      / CAST(n AS DOUBLE)) AS BIGINT) AS b0,
+       |    pb1 - CAST(FLOOR(CAST(g1 AS DOUBLE) * 2000.0
+       |      / CAST(n AS DOUBLE)) AS BIGINT) AS b1,
+       |    pb2 - CAST(FLOOR(CAST(g2 AS DOUBLE) * 2000.0
+       |      / CAST(n AS DOUBLE)) AS BIGINT) AS b2
+       |  FROM g$k)""".stripMargin
+  }
+
+  private val logisticOracle: String =
+    """WITH li AS (
+      |  SELECT l_orderkey AS o_orderkey, CAST(COUNT(*) AS BIGINT)
+      |    AS n_lines
+      |  FROM lineitem GROUP BY 1),
+      |raw AS (
+      |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END AS y,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1,
+      |    CAST(COALESCE(n_lines, 0) AS BIGINT) AS x2
+      |  FROM orders LEFT JOIN li USING (o_orderkey)),
+      |mom AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS m1,
+      |    sqrt(CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE)
+      |      - (CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE))
+      |      * (CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE))) AS sd1,
+      |    CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS m2,
+      |    sqrt(CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE)
+      |      - (CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE))
+      |      * (CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE))) AS sd2
+      |  FROM raw),
+      |b AS (
+      |  SELECT y, n,
+      |    (CAST(x1 AS DOUBLE) - m1) / sd1 AS z1,
+      |    (CAST(x2 AS DOUBLE) - m2) / sd2 AS z2
+      |  FROM raw CROSS JOIN mom),
+      |it0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
+      |  CAST(0 AS BIGINT) AS b2),
+      |""".stripMargin +
+      (1 to 12).map(logitIterSql).mkString(",\n") + ",\n" +
+      """fin AS (
+        |  SELECT MAX(n) AS n, MAX(b0) AS b0, MAX(b1) AS b1,
+        |    MAX(b2) AS b2,
+        |    CAST(SUM(CASE WHEN (u > 0.0) = (y = 1) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_correct
+        |  FROM (
+        |    SELECT y, n, b0, b1, b2,
+        |      CAST(b0 AS DOUBLE) / 1000000000.0
+        |        + CAST(b1 AS DOUBLE) / 1000000000.0 * z1
+        |        + CAST(b2 AS DOUBLE) / 1000000000.0 * z2 AS u
+        |    FROM b CROSS JOIN it12))
+        |SELECT n, CAST(b0 AS DOUBLE) / 1000000000.0 AS beta0,
+        |  CAST(b1 AS DOUBLE) / 1000000000.0 AS beta1,
+        |  CAST(b2 AS DOUBLE) / 1000000000.0 AS beta2,
+        |  n_correct,
+        |  CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
+        |FROM fin""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q325_logistic_gd" -> logisticOracle,
     "q312_cochran_armitage" ->
       """WITH per AS (
         |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
