@@ -1644,6 +1644,69 @@ object Stats {
     holtLinear(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
       "l_extendedprice")
 
+  /** Holt–Winters ADDITIVE seasonal smoothing (weekly cycle, m = 7) —
+    * [[holtLinear]]'s level/trend fold extended with a 7-slot seasonal
+    * state, completing the exponential-smoothing family: the state a
+    * demand forecaster actually carries when the series has a weekday
+    * cycle. Same Spark-native shape: a per-key ordered `aggregate()`
+    * fold over the calendar-bounded day array, keys folding in parallel.
+    *
+    * Cross-engine determinism (the q308 contract, plus a seasonal row):
+    * α = 1/2, β = 1/4, γ = 1/2 on INTEGER cents with explicit floors —
+    *   l_t = ⌊(x_t − s_{t−7} + l + b) / 2⌋
+    *   b_t = ⌊(l_t − l) / 4⌋ + ⌊3·b / 4⌋
+    *   s_t = ⌊(x_t − l_t + s_{t−7}) / 2⌋   (only phase d mod 7 updates)
+    * seeded l₁ = x₁, b₁ = 0, s ≡ 0. The full (key, day, level, trend,
+    * seasonal) trajectory is hash-gated against a recursive-CTE twin
+    * that carries the 7-slot state as a LIST column. */
+  def holtWinters(df: DataFrame, keyCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("k"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("k", "d").agg(sum("vc").as("x"))
+    val span = daily.groupBy("k").agg(min("d").as("mn"), max("d").as("mx"))
+    val grid = span
+      .select(col("k"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      .join(daily, Seq("k", "d"), "left").na.fill(0L, Seq("x"))
+    val prev = "element_at(acc, -1)"
+    val ph = "CAST(e.d % 7 AS INT)"
+    val sOld = s"element_at($prev.s, $ph + 1)"
+    val lNew = s"CAST(FLOOR((e.x - $sOld + $prev.l + $prev.b) / 2.0)" +
+      " AS BIGINT)"
+    val bNew = s"CAST(FLOOR(($lNew - $prev.l) / 4.0) AS BIGINT)" +
+      s" + CAST(FLOOR(3.0 * $prev.b / 4.0) AS BIGINT)"
+    val sNew = s"CAST(FLOOR((e.x - $lNew + $sOld) / 2.0) AS BIGINT)"
+    grid.groupBy("k")
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("xs"))
+      .select(col("k"), explode(expr(
+        s"""aggregate(
+           |  slice(xs, 2, size(xs) - 1),
+           |  array(named_struct('d', xs[0].d, 'l', xs[0].x,
+           |    'b', CAST(0 AS BIGINT),
+           |    's', array_repeat(CAST(0 AS BIGINT), 7))),
+           |  (acc, e) -> array_append(acc, named_struct(
+           |    'd', e.d,
+           |    'l', $lNew,
+           |    'b', $bNew,
+           |    's', transform($prev.s,
+           |      (sv, i) -> IF(i = $ph, $sNew, sv)))))""".stripMargin))
+        .as("st"))
+      .select(col("k").as(keyCol), col("st.d").as("d"),
+        col("st.l").as("level_c"), col("st.b").as("trend_c"),
+        expr("element_at(st.s, CAST(st.d % 7 AS INT) + 1)")
+          .as("seasonal_c"))
+      .orderBy(keyCol, "d")
+  }
+
+  /** Weekday-aware smoothed daily order revenue per priority class —
+    * level, trend AND the weekly seasonal component, the full
+    * forecasting state. */
+  def q326HoltWinters(spark: SparkSession, dir: String): DataFrame =
+    holtWinters(Tables.orders(spark, dir), "o_orderpriority",
+      "o_orderdate", "o_totalprice")
+
   /** Theil–Sen robust trend, GLOBAL-series variant: the MEDIAN of all
     * pairwise day-to-day slopes of the daily series — one gross outlier
     * day cannot move it (the robust complement of the OLS slopes in
@@ -1842,6 +1905,7 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q323_density_islands" -> (q323DensityIslands _),
+    "q326_holt_winters" -> (q326HoltWinters _),
     "q304_acf_ljung_box" -> (q304AcfLjungBox _),
     "q320_cross_correlation" -> (q320CrossCorrelation _),
     "q305_seasonal_strength" -> (q305SeasonalStrength _),
@@ -1977,6 +2041,51 @@ object Stats {
         |FROM det d JOIN seasonal s USING (wd) ORDER BY d.d""".stripMargin,
     // the identical integer floor-recurrence as a recursive CTE: one
     // step per day index, joined to the zero-filled per-key grid
+    "q326_holt_winters" -> {
+      // the recursive twin carries the 7-slot seasonal state as a LIST;
+      // the phase-selective update is an explicit 7-way list_value (no
+      // indexed-lambda dependence), each slot the exact CASE mirror of
+      // Spark's transform(..., (sv, i) -> IF(i = phase, sNew, sv))
+      val sOldD = "h.s[CAST(g.d % 7 AS INT) + 1]"
+      val lNewD = s"CAST(FLOOR((g.x - $sOldD + h.l + h.b) / 2.0) AS BIGINT)"
+      val bNewD = s"CAST(FLOOR(($lNewD - h.l) / 4.0) AS BIGINT)" +
+        " + CAST(FLOOR(3.0 * h.b / 4.0) AS BIGINT)"
+      val sNewD = s"CAST(FLOOR((g.x - $lNewD + $sOldD) / 2.0) AS BIGINT)"
+      val slots = (0 to 6).map(i =>
+        s"CASE WHEN g.d % 7 = $i THEN $sNewD ELSE h.s[${i + 1}] END")
+        .mkString(",\n|      ")
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT o_orderpriority AS k,
+         |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+         |      AS d,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1, 2),
+         |span AS (SELECT k, MIN(d) AS mn, MAX(d) AS mx FROM daily
+         |  GROUP BY k),
+         |gridd AS (
+         |  SELECT s.k, unnest(generate_series(s.mn, s.mx)) AS d
+         |  FROM span s),
+         |grid AS (
+         |  SELECT g.k, g.d, COALESCE(dd.x, 0) AS x,
+         |    ROW_NUMBER() OVER (PARTITION BY g.k ORDER BY g.d) AS rn
+         |  FROM gridd g LEFT JOIN daily dd ON dd.k = g.k AND dd.d = g.d),
+         |hw AS (
+         |  SELECT k, rn, d, x AS l, CAST(0 AS BIGINT) AS b,
+         |    [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |     CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |     CAST(0 AS BIGINT)] AS s
+         |  FROM grid WHERE rn = 1
+         |  UNION ALL
+         |  SELECT g.k, g.rn, g.d,
+         |    $lNewD,
+         |    $bNewD,
+         |    [$slots]
+         |  FROM hw h JOIN grid g ON g.k = h.k AND g.rn = h.rn + 1)
+         |SELECT k AS o_orderpriority, d, l AS level_c, b AS trend_c,
+         |  s[CAST(d % 7 AS INT) + 1] AS seasonal_c
+         |FROM hw ORDER BY 1, 2""".stripMargin
+    },
     "q308_holt_linear" ->
       """WITH RECURSIVE daily AS (
         |  SELECT l_returnflag AS k,
