@@ -3482,7 +3482,112 @@ object Ml {
     logisticGd(o, "y", "x1", "x2", iters = 12)
   }
 
+  /** Lloyd's k-means over two standardized features, k fixed centers and
+    * a FIXED iteration count — the clustering baseline every curation
+    * pipeline reaches for first. Points live on the integer 1e-6 grid of
+    * the standardized plane (floor-quantized z-scores), so squared
+    * distances are exact long arithmetic, the argmin over centers is an
+    * exact (dist, cid) struct-sort, and centroid updates are
+    * floor-of-exact-double-quotient back onto the grid — the whole
+    * k-round trajectory is bit-reproducible cross-engine (the q325
+    * discipline applied to an EM-style loop). Init is the four ±1σ
+    * corners of the standardized plane — deterministic constants, no
+    * sampled seeding. Empty clusters keep their previous center.
+    *
+    * Scale shape: the quantized point frame is localCheckpointed once;
+    * each round is one broadcast of the ≤ k-row center array + one
+    * map-side-combined aggregate (partial sums per cid) — no shuffle of
+    * the points, ever; center frames chain linearly like q325's betas.
+    * Returns per-cluster center, size and within-cluster sum of squares
+    * after `iters` rounds. */
+  def kmeans2d(df: DataFrame, x1Col: String, x2Col: String, k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2,64]: $k")
+    require(iters >= 1 && iters <= 32, s"iters must be in [1,32]: $iters")
+    val raw = df.select(col(x1Col).cast("long").as("x1"),
+      col(x2Col).cast("long").as("x2"))
+    val mom = raw.agg(count(lit(1)).as("n"),
+        sum(d380(col("x1"))).as("s1"),
+        sum(d380(col("x1")) * d380(col("x1"))).as("s11"),
+        sum(d380(col("x2"))).as("s2"),
+        sum(d380(col("x2")) * d380(col("x2"))).as("s22"))
+      .select(
+        (dd(col("s1")) / dd(col("n"))).as("m1"),
+        sqrt(dd(col("s11")) / dd(col("n")) -
+          (dd(col("s1")) / dd(col("n"))) * (dd(col("s1")) / dd(col("n"))))
+          .as("sd1"),
+        (dd(col("s2")) / dd(col("n"))).as("m2"),
+        sqrt(dd(col("s22")) / dd(col("n")) -
+          (dd(col("s2")) / dd(col("n"))) * (dd(col("s2")) / dd(col("n"))))
+          .as("sd2"))
+    val pts = raw.crossJoin(broadcast(mom)) // 1-row build side
+      .select(
+        floor((dd(col("x1")) - col("m1")) / col("sd1") * lit(1.0e6))
+          .as("z1"),
+        floor((dd(col("x2")) - col("m2")) / col("sd2") * lit(1.0e6))
+          .as("z2"))
+      .localCheckpoint(true) // feeds all rounds + the final scorer
+    // ±1σ corner init, cid in row-major order
+    val g = 1000000L
+    val init = Seq((0, -g, -g), (1, -g, g), (2, g, -g), (3, g, g))
+      .take(k.min(4)) ++ (4 until k).map(i => (i, (i - 1) * g, 0L))
+    var centers = df.sparkSession.range(1).select(expr(
+      init.map { case (cid, c1, c2) =>
+        s"named_struct('cid', $cid, 'c1', CAST($c1 AS BIGINT)," +
+          s" 'c2', CAST($c2 AS BIGINT))"
+      }.mkString("array(", ", ", ")")).as("cs"))
+    val assignExpr = expr(
+      """sort_array(transform(cs, c -> named_struct(
+        |  'd', (z1 - c.c1) * (z1 - c.c1) + (z2 - c.c2) * (z2 - c.c2),
+        |  'cid', c.cid)))[0]""".stripMargin)
+    for (_ <- 1 to iters) {
+      val na = pts.crossJoin(broadcast(centers)) // 1-row build side
+        .select(col("z1"), col("z2"), col("cs"),
+          assignExpr.getField("cid").as("cid"))
+        .groupBy("cid")
+        .agg(first(col("cs")).as("cs"), count(lit(1)).as("cnt"),
+          sum(d380(col("z1"))).as("s1"), sum(d380(col("z2"))).as("s2"))
+        .groupBy()
+        .agg(first(col("cs")).as("cs"),
+          collect_list(struct(col("cid"), col("cnt"), col("s1"),
+            col("s2"))).as("na"))
+      centers = na.select(expr(
+        """transform(cs, oc -> named_struct('cid', oc.cid,
+          |  'c1', coalesce(CAST(FLOOR(
+          |    CAST(filter(na, x -> x.cid = oc.cid)[0].s1 AS DOUBLE)
+          |    / CAST(filter(na, x -> x.cid = oc.cid)[0].cnt AS DOUBLE))
+          |    AS BIGINT), oc.c1),
+          |  'c2', coalesce(CAST(FLOOR(
+          |    CAST(filter(na, x -> x.cid = oc.cid)[0].s2 AS DOUBLE)
+          |    / CAST(filter(na, x -> x.cid = oc.cid)[0].cnt AS DOUBLE))
+          |    AS BIGINT), oc.c2)))""".stripMargin).as("cs"))
+    }
+    pts.crossJoin(broadcast(centers)) // 1-row build side
+      .select(assignExpr.as("a"), col("cs"))
+      .groupBy(col("a.cid").as("cid"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(d380(col("a.d"))).cast("double").as("wcss"),
+        first(expr("filter(cs, x -> x.cid = a.cid)[0].c1")).as("c1"),
+        first(expr("filter(cs, x -> x.cid = a.cid)[0].c2")).as("c2"))
+      .select(col("cid"), col("n_points"),
+        (dd(col("c1")) / lit(1.0e6)).as("center_z1"),
+        (dd(col("c2")) / lit(1.0e6)).as("center_z2"), col("wcss"))
+      .orderBy("cid")
+  }
+
+  /** Four behavioral clusters over (event amount, second-of-day) — does
+    * spend separate by time of day. The full 3-round Lloyd trajectory
+    * is hash-gated: centers, sizes AND the within-cluster scatter must
+    * match the oracle's unrolled recursion. */
+  def q327Kmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeans2d(Tables.events(spark, dir)
+        .select(
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("vc"),
+          (unix_timestamp(col("ts")) % 86400).as("sod")),
+      "vc", "sod", k = 4, iters = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_kmeans" -> (q327Kmeans _),
     "q325_logistic_gd" -> (q325LogisticGd _),
     "q306_friedman" -> (q306Friedman _),
     "q312_cochran_armitage" -> (q312CochranArmitage _),
@@ -3677,7 +3782,85 @@ object Ml {
         |  CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
         |FROM fin""".stripMargin
 
+  /** One Lloyd round of the q327 oracle: exact-integer argmin assignment
+    * (rn = 1 under the (dist, cid) order — the SQL twin of Spark's
+    * struct-sort argmin), partial sums per cluster, floor centroid
+    * update with empty-cluster carry-over. */
+  private def kmeansIterSql(k: Int): String = {
+    val j = k - 1
+    s"""a$k AS (
+       |  SELECT id, z1, z2, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+       |      (z1 - c1) * (z1 - c1) + (z2 - c2) * (z2 - c2), cid) AS rn
+       |  FROM b CROSS JOIN c$j),
+       |n$k AS (
+       |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    SUM(CAST(z1 AS HUGEINT)) AS s1,
+       |    SUM(CAST(z2 AS HUGEINT)) AS s2
+       |  FROM a$k WHERE rn = 1 GROUP BY 1),
+       |c$k AS (
+       |  SELECT o.cid,
+       |    COALESCE(CAST(FLOOR(CAST(n.s1 AS DOUBLE)
+       |      / CAST(n.cnt AS DOUBLE)) AS BIGINT), o.c1) AS c1,
+       |    COALESCE(CAST(FLOOR(CAST(n.s2 AS DOUBLE)
+       |      / CAST(n.cnt AS DOUBLE)) AS BIGINT), o.c2) AS c2
+       |  FROM c$j o LEFT JOIN n$k n USING (cid))""".stripMargin
+  }
+
+  private val kmeansOracle: String =
+    """WITH raw AS (
+      |  SELECT event_id AS id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1,
+      |    (epoch_us(ts) // 1000000) % 86400 AS x2
+      |  FROM events),
+      |mom AS (
+      |  SELECT
+      |    CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS m1,
+      |    sqrt(CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE)
+      |      - (CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE))
+      |      * (CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE))) AS sd1,
+      |    CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS m2,
+      |    sqrt(CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE)
+      |      - (CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE))
+      |      * (CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE))) AS sd2
+      |  FROM raw),
+      |b AS (
+      |  SELECT id,
+      |    CAST(FLOOR((CAST(x1 AS DOUBLE) - m1) / sd1 * 1000000.0)
+      |      AS BIGINT) AS z1,
+      |    CAST(FLOOR((CAST(x2 AS DOUBLE) - m2) / sd2 * 1000000.0)
+      |      AS BIGINT) AS z2
+      |  FROM raw CROSS JOIN mom),
+      |c0(cid, c1, c2) AS (VALUES
+      |  (0, CAST(-1000000 AS BIGINT), CAST(-1000000 AS BIGINT)),
+      |  (1, CAST(-1000000 AS BIGINT), CAST(1000000 AS BIGINT)),
+      |  (2, CAST(1000000 AS BIGINT), CAST(-1000000 AS BIGINT)),
+      |  (3, CAST(1000000 AS BIGINT), CAST(1000000 AS BIGINT))),
+      |""".stripMargin +
+      (1 to 3).map(kmeansIterSql).mkString(",\n") + ",\n" +
+      """fa AS (
+        |  SELECT id, cid, c1, c2,
+        |    (z1 - c1) * (z1 - c1) + (z2 - c2) * (z2 - c2) AS d,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY
+        |      (z1 - c1) * (z1 - c1) + (z2 - c2) * (z2 - c2), cid) AS rn
+        |  FROM b CROSS JOIN c3)
+        |SELECT CAST(cid AS INT) AS cid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(MAX(c1) AS DOUBLE) / 1000000.0 AS center_z1,
+        |  CAST(MAX(c2) AS DOUBLE) / 1000000.0 AS center_z2,
+        |  CAST(SUM(CAST(d AS HUGEINT)) AS DOUBLE) AS wcss
+        |FROM fa WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q327_kmeans" -> kmeansOracle,
     "q325_logistic_gd" -> logisticOracle,
     "q312_cochran_armitage" ->
       """WITH per AS (
