@@ -3586,7 +3586,171 @@ object Ml {
           (unix_timestamp(col("ts")) % 86400).as("sod")),
       "vc", "sod", k = 4, iters = 3)
 
+  /** Quantile normalization across slices — map each slice's value
+    * distribution onto the GLOBAL quantile scale (the cross-source
+    * length/score harmonization step before mixing corpora: after it,
+    * every slice has the same marginal distribution). For a value v in
+    * slice s, the normalized value is the global order statistic at the
+    * rank-proportional position  r = ⌈cum_s(v) · n_g / n_s⌉  — exact
+    * integer arithmetic, no interpolation to disagree on.
+    *
+    * Scale shape: both sides reduce to VALUE HISTOGRAMS first (per-slice
+    * and global); cumulatives run over the histograms (slice-partitioned
+    * window over domain-bounded rows; the global side through
+    * [[Rank.globalRankPrefix]]). The rank→value lookup is an EQUIJOIN:
+    * the global histogram is exploded to one row per rank (linear in
+    * row count, like any rank frame) instead of a cum-interval range
+    * join whose histogram² nested loop would not survive a wide domain.
+    * Returns the per-(slice, value) mapping table — the model-sized
+    * artifact a pipeline broadcast-joins onto the corpus to apply. */
+  def quantileNormalize(df: DataFrame, sliceCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.select(col(sliceCol).as("s"), col(valCol).as("v"))
+    val gh = Rank.globalRankPrefix(
+      vals.groupBy("v").agg(count(lit(1)).as("cnt")),
+      Seq(col("v")), Seq("gcum" -> col("cnt")))
+      .select(col("v").as("gv"),
+        explode(sequence(col("gcum") - col("cnt") + 1, col("gcum")))
+          .as("r"))
+    val ns = vals.groupBy("s").agg(count(lit(1)).as("ns"))
+    val ng = vals.agg(count(lit(1)).as("ng"))
+    val sh = vals.groupBy("s", "v").agg(count(lit(1)).as("n_in_slice"))
+      .withColumn("scum", sum(col("n_in_slice")).over(
+        Window.partitionBy("s").orderBy("v") // per-slice HISTOGRAM rows
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(ns, Seq("s"))
+      .crossJoin(broadcast(ng)) // 1-row build side
+      .withColumn("r", expr("(scum * ng + ns - 1) div ns"))
+    sh.join(gh, Seq("r"))
+      .select(col("s").as(sliceCol), col("v").as(valCol),
+        col("n_in_slice"), col("scum").as("rank_in_slice"),
+        col("gv").as("normalized"))
+      .orderBy(sliceCol, valCol)
+  }
+
+  /** Harmonize document lengths across sources: the (source, n_chars →
+    * global-quantile n_chars) mapping table, hash-gated row for row. */
+  def q328QuantileNormalize(spark: SparkSession, dir: String): DataFrame =
+    quantileNormalize(Tables.documents(spark, dir), "source", "n_chars")
+
+  /** Split-conformal prediction intervals (Mondrian / per-group): fit a
+    * point predictor on a calibration split, take the ⌈(n+1)(1−α)⌉-th
+    * order statistic of its absolute residuals as the interval
+    * half-width q̂, and audit the finite-sample coverage guarantee
+    * P(|y − ŷ| ≤ q̂) ≥ 1 − α on the held-out split — the
+    * distribution-free uncertainty wrapper every deployed regressor
+    * should ship with. The predictor here is the per-group calibration
+    * mean (floored to cents); richer models slot in without changing
+    * the conformal machinery.
+    *
+    * Determinism: residuals are exact integers, q̂ is an exact order
+    * statistic picked from the per-group RESIDUAL HISTOGRAM (cumulative
+    * counts over domain-bounded rows, the q290 rank algebra — never a
+    * raw-row sort), and the ceil rank is integer arithmetic:
+    * ⌈(n+1)·9/10⌉ = ((n+1)·9 + 9) div 10 for α = 0.1. */
+  def conformalIntervals(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("t"),
+      (col(idCol) % 2 === 0).as("is_cal"),
+      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    val model = base.filter(col("is_cal"))
+      .groupBy("t").agg(count(lit(1)).as("n_cal"),
+        sum(d380(col("vc"))).as("sv"))
+      .select(col("t"), col("n_cal"),
+        floor(dd(col("sv")) / dd(col("n_cal"))).as("mu_c"))
+    val withMu = base.join(broadcast(model), Seq("t"))
+    val qhat = withMu.filter(col("is_cal"))
+      .select(col("t"), col("n_cal"), abs(col("vc") - col("mu_c")).as("r"))
+      .groupBy("t", "n_cal", "r").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("t").orderBy("r") // per-group HISTOGRAM rows
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") >= expr("((n_cal + 1) * 9 + 9) div 10"))
+      .groupBy("t").agg(min(col("r")).as("qhat_c"))
+    withMu.filter(!col("is_cal"))
+      .join(broadcast(qhat), Seq("t"))
+      .groupBy(col("t"), col("n_cal"), col("mu_c"), col("qhat_c"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("vc") - col("mu_c")) <= col("qhat_c"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(col("t").as(groupCol), col("n_cal"), col("n_test"),
+        col("mu_c"), col("qhat_c"), col("n_covered"),
+        (dd(col("n_covered")) / dd(col("n_test"))).as("coverage"))
+      .orderBy(groupCol)
+  }
+
+  /** 90% conformal intervals around the per-event-type mean amount,
+    * calibrated on even event ids, coverage-audited on odd ones — the
+    * finite-sample ≥ 0.9 guarantee checked per type. */
+  def q329ConformalIntervals(spark: SparkSession, dir: String): DataFrame =
+    conformalIntervals(Tables.events(spark, dir), "event_type", "event_id",
+      "value")
+
+  /** Group-fairness audit of a binary classifier: per protected group —
+    * selection rate (demographic parity), TPR and FPR (equalized odds),
+    * each with its gap to the population rate, plus the disparate-impact
+    * ratio (group selection rate / population selection rate, the
+    * four-fifths-rule number). The responsible-AI gate a model must pass
+    * before its labels feed a curation pipeline.
+    *
+    * One scan builds the per-group confusion cells (exact counts,
+    * map-side combined); the population row broadcasts back over the
+    * ≤ |groups| frame. Degenerate groups surface as NULL rates (no
+    * positives → TPR undefined) rather than silently dropping. */
+  def fairnessAudit(df: DataFrame, groupCol: String, label: Column,
+      pred: Column): DataFrame = {
+    val cells = df
+      .select(col(groupCol).as("g"),
+        when(label, 1L).otherwise(0L).as("y"),
+        when(pred, 1L).otherwise(0L).as("p"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p")).as("n_sel"),
+        sum(col("y") * col("p")).as("tp"),
+        sum((lit(1L) - col("y")) * col("p")).as("fp"))
+    val pop = cells.agg(sum("n").as("tn_"), sum("n_pos").as("tpos"),
+      sum("n_sel").as("tsel"), sum("tp").as("ttp"), sum("fp").as("tfp"))
+    val rate = (num: Column, den: Column) =>
+      when(den > 0, dd(num) / dd(den))
+    cells.crossJoin(broadcast(pop)) // 1-row build side
+      .select(col("g").as(groupCol), col("n"), col("n_pos"), col("n_sel"),
+        rate(col("n_sel"), col("n")).as("selection_rate"),
+        (rate(col("n_sel"), col("n")) - rate(col("tsel"), col("tn_")))
+          .as("parity_gap"),
+        (rate(col("n_sel"), col("n")) / rate(col("tsel"), col("tn_")))
+          .as("disparate_impact"),
+        rate(col("tp"), col("n_pos")).as("tpr"),
+        (rate(col("tp"), col("n_pos")) - rate(col("ttp"), col("tpos")))
+          .as("tpr_gap"),
+        rate(col("fp"), col("n") - col("n_pos")).as("fpr"),
+        (rate(col("fp"), col("n") - col("n_pos")) -
+          rate(col("tfp"), col("tn_") - col("tpos"))).as("fpr_gap"))
+      .orderBy(groupCol)
+  }
+
+  /** Does the width-based priority classifier (≥ 4 lineitems ⇒ urgent)
+    * treat customer segments evenly — selection-rate parity, TPR/FPR
+    * gaps and the four-fifths disparate-impact ratio per mktsegment. */
+  def q330FairnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+    val base = Tables.orders(spark, dir)
+      .join(li, Seq("o_orderkey"), "left").na.fill(0L, Seq("n_lines"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+    fairnessAudit(base, "c_mktsegment",
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+      col("n_lines") >= 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q330_fairness_audit" -> (q330FairnessAudit _),
+    "q329_conformal_intervals" -> (q329ConformalIntervals _),
+    "q328_quantile_normalize" -> (q328QuantileNormalize _),
     "q327_kmeans" -> (q327Kmeans _),
     "q325_logistic_gd" -> (q325LogisticGd _),
     "q306_friedman" -> (q306Friedman _),
@@ -3860,6 +4024,120 @@ object Ml {
         |FROM fa WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q330_fairness_audit" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS o_orderkey, CAST(COUNT(*) AS BIGINT)
+        |    AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |base AS (
+        |  SELECT c.c_mktsegment AS g,
+        |    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN COALESCE(li.n_lines, 0) >= 4 THEN 1 ELSE 0 END AS p
+        |  FROM orders o
+        |  LEFT JOIN li USING (o_orderkey)
+        |  JOIN customer c ON c.c_custkey = o.o_custkey),
+        |cells AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(p) AS BIGINT) AS n_sel,
+        |    CAST(SUM(y * p) AS BIGINT) AS tp,
+        |    CAST(SUM((1 - y) * p) AS BIGINT) AS fp
+        |  FROM base GROUP BY 1),
+        |pop AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS tn_,
+        |    CAST(SUM(n_pos) AS BIGINT) AS tpos,
+        |    CAST(SUM(n_sel) AS BIGINT) AS tsel,
+        |    CAST(SUM(tp) AS BIGINT) AS ttp,
+        |    CAST(SUM(fp) AS BIGINT) AS tfp
+        |  FROM cells)
+        |SELECT g AS c_mktsegment, n, n_pos, n_sel,
+        |  CASE WHEN n > 0 THEN CAST(n_sel AS DOUBLE) / CAST(n AS DOUBLE)
+        |    END AS selection_rate,
+        |  (CASE WHEN n > 0 THEN CAST(n_sel AS DOUBLE) / CAST(n AS DOUBLE)
+        |    END) - (CASE WHEN tn_ > 0 THEN CAST(tsel AS DOUBLE)
+        |    / CAST(tn_ AS DOUBLE) END) AS parity_gap,
+        |  (CASE WHEN n > 0 THEN CAST(n_sel AS DOUBLE) / CAST(n AS DOUBLE)
+        |    END) / (CASE WHEN tn_ > 0 THEN CAST(tsel AS DOUBLE)
+        |    / CAST(tn_ AS DOUBLE) END) AS disparate_impact,
+        |  CASE WHEN n_pos > 0 THEN CAST(tp AS DOUBLE)
+        |    / CAST(n_pos AS DOUBLE) END AS tpr,
+        |  (CASE WHEN n_pos > 0 THEN CAST(tp AS DOUBLE)
+        |    / CAST(n_pos AS DOUBLE) END) - (CASE WHEN tpos > 0
+        |    THEN CAST(ttp AS DOUBLE) / CAST(tpos AS DOUBLE) END)
+        |    AS tpr_gap,
+        |  CASE WHEN n - n_pos > 0 THEN CAST(fp AS DOUBLE)
+        |    / CAST(n - n_pos AS DOUBLE) END AS fpr,
+        |  (CASE WHEN n - n_pos > 0 THEN CAST(fp AS DOUBLE)
+        |    / CAST(n - n_pos AS DOUBLE) END) - (CASE WHEN tn_ - tpos > 0
+        |    THEN CAST(tfp AS DOUBLE) / CAST(tn_ - tpos AS DOUBLE) END)
+        |    AS fpr_gap
+        |FROM cells CROSS JOIN pop ORDER BY 1""".stripMargin,
+    "q329_conformal_intervals" ->
+      """WITH base AS (
+        |  SELECT event_type AS t, event_id % 2 = 0 AS is_cal,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |model AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_cal,
+        |    CAST(FLOOR(CAST(SUM(CAST(vc AS HUGEINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mu_c
+        |  FROM base WHERE is_cal GROUP BY 1),
+        |rh AS (
+        |  SELECT b.t, m.n_cal, abs(b.vc - m.mu_c) AS r,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM base b JOIN model m USING (t) WHERE b.is_cal
+        |  GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT t, n_cal, r, CAST(SUM(cnt) OVER (PARTITION BY t
+        |    ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum
+        |  FROM rh),
+        |qhat AS (
+        |  SELECT t, MIN(r) AS qhat_c FROM cum
+        |  WHERE cum >= ((n_cal + 1) * 9 + 9) // 10 GROUP BY 1)
+        |SELECT b.t AS event_type, m.n_cal,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test, m.mu_c, q.qhat_c,
+        |  CAST(SUM(CASE WHEN abs(b.vc - m.mu_c) <= q.qhat_c
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST(CAST(SUM(CASE WHEN abs(b.vc - m.mu_c) <= q.qhat_c
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS coverage
+        |FROM base b JOIN model m USING (t) JOIN qhat q USING (t)
+        |WHERE NOT b.is_cal
+        |GROUP BY 1, 2, 4, 5 ORDER BY 1""".stripMargin,
+    "q328_quantile_normalize" ->
+      """WITH vals AS (SELECT source AS s, n_chars AS v FROM documents),
+        |ghist AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY 1),
+        |gcum AS (
+        |  SELECT v AS gv, cnt, CAST(SUM(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS gcum
+        |  FROM ghist),
+        |gh AS (
+        |  SELECT gv, unnest(generate_series(gcum - cnt + 1, gcum)) AS r
+        |  FROM gcum),
+        |ns AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ns FROM vals
+        |  GROUP BY 1),
+        |ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng FROM vals),
+        |sh AS (
+        |  SELECT s, v, CAST(COUNT(*) AS BIGINT) AS n_in_slice
+        |  FROM vals GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT s, v, n_in_slice, CAST(SUM(n_in_slice) OVER (
+        |    PARTITION BY s ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS scum
+        |  FROM sh),
+        |rr AS (
+        |  SELECT sc.*, ns.ns, ng.ng,
+        |    (scum * ng + ns - 1) // ns AS r
+        |  FROM sc JOIN ns USING (s) CROSS JOIN ng)
+        |SELECT rr.s AS source, rr.v AS n_chars, rr.n_in_slice,
+        |  rr.scum AS rank_in_slice, gh.gv AS normalized
+        |FROM rr JOIN gh USING (r)
+        |ORDER BY source, n_chars""".stripMargin,
     "q327_kmeans" -> kmeansOracle,
     "q325_logistic_gd" -> logisticOracle,
     "q312_cochran_armitage" ->
