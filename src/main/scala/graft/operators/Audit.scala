@@ -680,6 +680,61 @@ object Audit {
         col("entropy_nats"))
   }
 
+  /** Population Stability Index per key between two bucket-count tables
+    * on the same fixed grid — THE industry drift score for model inputs
+    * (rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken),
+    * complementing [[ksCompare]]'s max-gap view with a mass-weighted
+    * total:  PSI = Σ_b (p_b − q_b)·ln(p_b / q_b)  with add-one Laplace
+    * smoothing on the counts so empty buckets contribute finitely and
+    * deterministically (no dropped buckets, no ±∞).
+    *
+    * Same scale shape as the KS path: everything runs over the
+    * (key × bucket) count frame; per-bucket terms are DECIMAL-quantized
+    * so the one order-sensitive sum is exact. */
+  def psiCompare(live: DataFrame, baseline: DataFrame,
+      nBuckets: Int): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val spark = live.sparkSession
+    val keys = live.select("k").distinct()
+      .join(baseline.select("k").distinct(), Seq("k"), "inner")
+    val grid = keys.crossJoin(
+      spark.range(nBuckets).select(col("id").cast("int").as("b")))
+    def filled(c: DataFrame, n: String) =
+      grid.join(c.withColumnRenamed("n", n), Seq("k", "b"), "left")
+        .na.fill(0L, Seq(n))
+        .select(col("k"), col("b"), col(n))
+    val lt = live.groupBy("k").agg(sum("n").as("lnk"))
+    val rt = baseline.groupBy("k").agg(sum("n").as("rnk"))
+    filled(live, "ln").join(filled(baseline, "rn"), Seq("k", "b"))
+      .join(lt, "k").join(rt, "k")
+      // Laplace: p = (n_b + 1) / (n + nBuckets), both sides
+      .withColumn("p", dd(col("ln") + 1) /
+        dd(col("lnk") + lit(nBuckets.toLong)))
+      .withColumn("q", dd(col("rn") + 1) /
+        dd(col("rnk") + lit(nBuckets.toLong)))
+      .withColumn("term",
+        ((col("p") - col("q")) * log(col("p") / col("q")))
+          .cast("decimal(38,12)"))
+      .groupBy("k")
+      .agg(sum(col("term")).cast("double").as("psi"),
+        max("lnk").as("n_live"), max("rnk").as("n_baseline"))
+  }
+
+  /** Month-half PSI drift of event values per type on the q142 grid —
+    * the stability score a feature-store monitor pages on. */
+  def q331PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cut = lit("2024-01-16").cast("timestamp")
+    def counts(df: DataFrame) =
+      bucketCounts(df, "event_type", "value", lo = 0.0, hi = 100.0,
+        nBuckets = 64)
+    psiCompare(counts(ev.filter(col("ts") >= cut)),
+        counts(ev.filter(col("ts") < cut)), nBuckets = 64)
+      .select(col("k").as("event_type"), col("psi"), col("n_live"),
+        col("n_baseline"))
+      .orderBy("event_type")
+  }
+
   /** Fanout audit of the two hot join keys: lineitem per order and
     * events per user — would a key-equijoin on either explode. */
   def q324JoinFanout(spark: SparkSession, dir: String): DataFrame =
@@ -691,6 +746,7 @@ object Audit {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q324_join_fanout" -> (q324JoinFanout _),
+    "q331_psi_drift" -> (q331PsiDrift _),
     "q302_fd_violations" -> (q302FdViolations _),
     "q303_fk_orphans" -> (q303FkOrphans _),
     "q313_capture_recapture" -> (q313CaptureRecapture _),
@@ -925,6 +981,50 @@ object Audit {
          |  CAST(MAX($c) AS VARCHAR) AS max_s FROM orders""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
     // two halves bucketed on the same FIXED grid, per-key CDF compare
+    // the q142 grid/fill skeleton finished with the PSI mass-weighted
+    // sum instead of the KS max gap; Laplace +1 on counts, terms
+    // decimal-quantized before the one order-sensitive sum
+    "q331_psi_drift" ->
+      """WITH lv AS (
+        |  SELECT event_type AS k,
+        |    LEAST(63, GREATEST(0, CAST(FLOOR((value - 0.0) / 100.0 * 64)
+        |      AS INT))) AS b
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+        |bs AS (
+        |  SELECT event_type AS k,
+        |    LEAST(63, GREATEST(0, CAST(FLOOR((value - 0.0) / 100.0 * 64)
+        |      AS INT))) AS b
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+        |lc AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM lv
+        |  GROUP BY 1, 2),
+        |bc AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM bs
+        |  GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT k FROM lc
+        |  INTERSECT SELECT DISTINCT k FROM bc),
+        |grid AS (
+        |  SELECT k, gs.b FROM keys CROSS JOIN
+        |    (SELECT CAST(generate_series AS INT) AS b
+        |     FROM generate_series(0, 63)) gs),
+        |lf AS (SELECT g.k, g.b, COALESCE(c.n, 0) AS n
+        |       FROM grid g LEFT JOIN lc c ON c.k = g.k AND c.b = g.b),
+        |bf AS (SELECT g.k, g.b, COALESCE(c.n, 0) AS n
+        |       FROM grid g LEFT JOIN bc c ON c.k = g.k AND c.b = g.b),
+        |lt AS (SELECT k, CAST(SUM(n) AS BIGINT) AS lnk FROM lc GROUP BY k),
+        |rt AS (SELECT k, CAST(SUM(n) AS BIGINT) AS rnk FROM bc GROUP BY k),
+        |terms AS (
+        |  SELECT lf.k,
+        |    CAST((CAST(lf.n + 1 AS DOUBLE) / CAST(lnk + 64 AS DOUBLE)
+        |        - CAST(bf.n + 1 AS DOUBLE) / CAST(rnk + 64 AS DOUBLE))
+        |      * ln((CAST(lf.n + 1 AS DOUBLE) / CAST(lnk + 64 AS DOUBLE))
+        |        / (CAST(bf.n + 1 AS DOUBLE) / CAST(rnk + 64 AS DOUBLE)))
+        |      AS DECIMAL(38,12)) AS term,
+        |    lnk, rnk
+        |  FROM lf JOIN bf ON bf.k = lf.k AND bf.b = lf.b
+        |  JOIN lt ON lt.k = lf.k JOIN rt ON rt.k = lf.k)
+        |SELECT k AS event_type, CAST(SUM(term) AS DOUBLE) AS psi,
+        |  CAST(MAX(lnk) AS BIGINT) AS n_live,
+        |  CAST(MAX(rnk) AS BIGINT) AS n_baseline
+        |FROM terms GROUP BY k ORDER BY event_type""".stripMargin,
     "q142_ks_baseline_compare" ->
       """WITH lv AS (
         |  SELECT event_type AS k,

@@ -1337,8 +1337,62 @@ object Similarity {
     embeddingDrift(Tables.embeddings(spark, dir), "embedding",
       col("vec_id") % 2 === 0)
 
+  /** Matryoshka-truncation quality audit: for each dimension budget d,
+    * how much of every vector survives keeping only its FIRST d
+    * components — per-vector cosine(full, truncated) distilled to
+    * √(prefix energy / total energy) (truncation zeroes the tail, so the
+    * dot product IS the prefix energy), then the per-budget mean / min /
+    * ≥0.9 share. The go/no-go table for serving truncated embeddings
+    * from an MRL-style encoder at a fraction of the index cost.
+    *
+    * Determinism (the q314 contract): components quantize to
+    * DECIMAL(20,9) once, per-vector energies are exact decimal sums of
+    * double-exact squared terms, the cosine is two IEEE sqrt/÷ on those
+    * decimals, and the corpus mean sums DECIMAL(38,12)-quantized
+    * cosines. One posexplode + one vector-keyed groupBy + a 3-row
+    * finish per budget. */
+  def matryoshkaAudit(df: DataFrame, idCol: String, vecCol: String,
+      budgets: Seq[Int]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1),
+      s"budgets must be positive: $budgets")
+    val dd = (c: Column) => c.cast("double")
+    val e = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("i", "v")))
+      .withColumn("q", col("v").cast("decimal(20,9)"))
+      .withColumn("e", (dd(col("q")) * dd(col("q"))).cast("decimal(38,18)"))
+    val zero = lit(0).cast("decimal(38,18)")
+    val per = e.groupBy("id").agg(
+      sum(col("e")).cast("decimal(38,18)").as("s_all"),
+      budgets.map(b =>
+        sum(when(col("i") < b, col("e")).otherwise(zero))
+          .cast("decimal(38,18)").as(s"s_$b")): _*)
+    val stacked = per.select(col("id"), col("s_all"), explode(expr(
+        budgets.map(b => s"named_struct('d', $b, 'sd', s_$b)")
+          .mkString("array(", ", ", ")"))).as("bs"))
+      .select(col("bs.d").as("dim_budget"),
+        (sqrt(dd(col("bs.sd"))) / sqrt(dd(col("s_all")))).as("cos"))
+    stacked.groupBy("dim_budget")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("cos").cast("decimal(38,12)")).cast("decimal(38,12)")
+          .as("sc"),
+        min(col("cos")).as("min_cosine"),
+        sum(when(col("cos") >= 0.9, 1L).otherwise(0L)).as("nge"))
+      .select(col("dim_budget"), col("n_vectors"),
+        (dd(col("sc")) / dd(col("n_vectors"))).as("avg_cosine"),
+        col("min_cosine"),
+        (dd(col("nge")) / dd(col("n_vectors"))).as("share_ge_090"))
+      .orderBy("dim_budget")
+  }
+
+  /** Can the 64-dim corpus serve at 8/16/32 dims — the truncation
+    * quality table, hash-gated. */
+  def q332MatryoshkaAudit(spark: SparkSession, dir: String): DataFrame =
+    matryoshkaAudit(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      Seq(8, 16, 32))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q314_embedding_drift" -> (q314EmbeddingDrift _),
+    "q332_matryoshka_audit" -> (q332MatryoshkaAudit _),
     "q158_semdedup" -> (q158SemDedup _),
     "q107_hybrid_rrf" -> (q107HybridRrf _),
     "q98_ann_ivfpq" -> (q98AnnIvfPq _),
@@ -1429,6 +1483,37 @@ object Similarity {
     // rounds the SHORTEST representation (0.1f -> 0.100000000) while
     // Spark widens the exact binary value (-> 0.100000001); the explicit
     // DOUBLE hop pins the exact-widening semantics on both engines
+    // prefix-energy identity: cos(full, first-d-then-zeros) =
+    // sqrt(E_d / E_all); 1-based generate_subscripts i <= d mirrors the
+    // 0-based posexplode i < d. Same DOUBLE-hop decimal quantization as
+    // q314 (see that comment), per-vector energies exact decimal sums.
+    "q332_matryoshka_audit" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(CAST(CAST(unnest(embedding) AS DOUBLE)
+        |        AS DECIMAL(20,9)) AS DOUBLE)
+        |      * CAST(CAST(CAST(unnest(embedding) AS DOUBLE)
+        |        AS DECIMAL(20,9)) AS DOUBLE) AS DECIMAL(38,18)) AS e
+        |  FROM embeddings),
+        |per AS (
+        |  SELECT id, b.d,
+        |    CAST(SUM(e.e) AS DECIMAL(38,18)) AS s_all,
+        |    CAST(SUM(CASE WHEN e.i <= b.d THEN e.e
+        |      ELSE CAST(0 AS DECIMAL(38,18)) END) AS DECIMAL(38,18)) AS sd
+        |  FROM e CROSS JOIN
+        |    (SELECT CAST(unnest([8, 16, 32]) AS INTEGER) AS d) b
+        |  GROUP BY 1, 2),
+        |cs AS (
+        |  SELECT d, sqrt(CAST(sd AS DOUBLE)) / sqrt(CAST(s_all AS DOUBLE))
+        |    AS cos
+        |  FROM per)
+        |SELECT d AS dim_budget, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(CAST(SUM(CAST(cos AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_cosine,
+        |  MIN(cos) AS min_cosine,
+        |  CAST(CAST(SUM(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS share_ge_090
+        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q314_embedding_drift" ->
       """WITH d AS (
         |  SELECT vec_id % 2 = 0 AS a,
