@@ -683,7 +683,109 @@ object Graph {
       Tables.part(spark, dir), "p_partkey", "p_brand")
   }
 
+  /** Hop-bounded Brandes betweenness from `nSources` sampled sources —
+    * the standard k-source / k-hop approximation (Brandes 2001, §4;
+    * Brandes–Pich 2007 sampling): run a shortest-path-DAG BFS from each
+    * source (levels carry exact BIGINT path counts σ), then back-propagate
+    * dependencies depth-by-depth, δ(v) = Σ_{w ∈ succ(v)} (σv/σw)·(1+δw),
+    * and sum δ over sources per node. Sources are the `nSources`
+    * highest-degree nodes (node-id tie-break) — deterministic, no RNG,
+    * and pivotal by construction (Brandes–Pich: degree-biased source
+    * picks dominate uniform ones at small k); swap in any explicit
+    * source frame for production sampling.
+    *
+    * At scale: all K sources run SIMULTANEOUSLY in one (source, node)
+    * keyed frame — each BFS round and each backprop round is one
+    * edge-keyed join + one aggregation (shuffle on node), never per-source
+    * driver loops; rounds = 2·maxDepth regardless of K. State is
+    * O(K · reachable nodes), the hop cap bounds both rounds and frontier
+    * growth, and [[bfsHops]]' localCheckpoint discipline keeps lineage
+    * flat. Float discipline: the only non-integer step is the dependency
+    * sum — each (σv/σw)·(1+δw) term is a fixed IEEE op sequence on
+    * exactly representable inputs, quantized to pico-unit INTEGERS
+    * (⌊t·1e12 + ½⌋, the q216 rule — a decimal cast would hit the
+    * engines' differing double→decimal tie rounding) before the exact
+    * per-node and cross-source sums, so every δ and the final
+    * betweenness are bit-reproducible. */
+  def betweennessSampled(edges: DataFrame, aCol: String, bCol: String,
+      nSources: Int, maxDepth: Int): DataFrame = {
+    require(nSources >= 1, s"nSources must be >= 1: $nSources")
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val bi = edges
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val sources = bi.groupBy("u").agg(count(lit(1)).as("__d"))
+      .orderBy(desc("__d"), asc("u")).limit(nSources)
+      .select(col("u").as("s"))
+    // forward: levels(d) = (s, node, sigma) — σ = #shortest s→node paths
+    var levels = Vector(sources
+      .select(col("s"), col("s").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint(true))
+    var seen = levels(0).select("s", "node").localCheckpoint(true)
+    var done = false
+    while (!done && levels.size <= maxDepth) {
+      val prev = levels.last
+      val next = prev.join(bi, prev("node") === bi("u"))
+        .select(col("s"), col("v").as("node"), col("sigma"))
+        .join(seen, Seq("s", "node"), "left_anti")
+        .groupBy("s", "node").agg(sum("sigma").as("sigma"))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        levels :+= next
+        seen = seen.union(next.select("s", "node")).localCheckpoint(true)
+      }
+    }
+    val depth = levels.size - 1
+    // backward: deltas(d) = levels(d) + δ; deepest level has no
+    // successors inside the horizon → δ = 0 (both engines agree: the
+    // oracle's join against the empty next level yields the same zero)
+    var deltas = Map(depth -> levels(depth).withColumn("delta", lit(0.0)))
+    for (d <- (depth - 1) to 1 by -1) {
+      val cur = levels(d)
+      val nxt = deltas(d + 1).select(col("s").as("s2"), col("node").as("w"),
+        col("sigma").as("sw"), col("delta").as("dw"))
+      // pico-unit integer quantization (⌊t·1e12 + ½⌋, the q216 rule) —
+      // NOT a decimal cast, whose double→decimal tie-rounding differs
+      // between engines at exactly the 1e-12 place
+      val terms = cur.join(bi, cur("node") === bi("u"))
+        .join(nxt, col("s") === col("s2") && col("v") === col("w"))
+        .select(col("s"), col("node"),
+          floor((dd(col("sigma")) / dd(col("sw"))) * (lit(1.0) + col("dw"))
+            * 1e12 + 0.5).cast("decimal(38,0)").as("term"))
+        .groupBy("s", "node")
+        .agg((sum("term").cast("decimal(38,0)").cast("double") / 1e12)
+          .as("delta"))
+      deltas += d -> cur.join(terms, Seq("s", "node"), "left")
+        .na.fill(0.0, Seq("delta")).localCheckpoint(true)
+    }
+    // each reached node sits at exactly one depth per source; depth-0
+    // rows (the source itself) are excluded per Brandes (v ≠ s)
+    val contrib = (1 to depth)
+      .map(d => deltas(d).select(col("node"), col("delta")))
+      .reduce(_ union _)
+    contrib.groupBy("node")
+      .agg((sum(floor(col("delta") * 1e12 + 0.5).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("double") / 1e12).as("betweenness"),
+        count(lit(1)).as("n_sources"))
+      .orderBy("node")
+  }
+
+  /** Which parts broker the co-purchase graph — 4-hop Brandes dependency
+    * from the 8 smallest part ids over the ≥2-support co-order edges
+    * (the q150/q151 graph). Completes the centrality family
+    * (PageRank q138 / HITS q171 / k-core q211 / PPR q297). */
+  def q333Betweenness(spark: SparkSession, dir: String): DataFrame = {
+    val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", basketCap = 64)
+    betweennessSampled(Basket.pairCounts(bk, basketCap = 64, minSupport = 2L),
+      "p1", "p2", nSources = 8, maxDepth = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q333_betweenness" -> (q333Betweenness _),
     "q322_graph_modularity" -> (q322GraphModularity _),
     "q297_personalized_pagerank" -> (q297PersonalizedPagerank _),
     "q270_local_clustering" -> (q270LocalClustering _),
@@ -759,6 +861,35 @@ object Graph {
        |  FROM nodes n LEFT JOIN pc$k c ON c.node = n.node)"""
       .stripMargin
 
+  /** One unrolled BFS level with path counts: σ_i(v) = Σ σ_{i-1}(u) over
+    * edges u→v not yet seen (the Brandes forward pass). */
+  private def bfsSigmaLevelSql(i: Int): String =
+    s"""l$i AS MATERIALIZED (
+       |  SELECT p.s, bi.v AS node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+       |  FROM l${i - 1} p JOIN bi ON bi.u = p.node
+       |  LEFT JOIN s${i - 1} sv ON sv.s = p.s AND sv.node = bi.v
+       |  WHERE sv.node IS NULL
+       |  GROUP BY 1, 2),
+       |s$i AS (SELECT * FROM s${i - 1} UNION ALL SELECT s, node FROM l$i)"""
+      .stripMargin
+
+  /** One unrolled Brandes backprop level: δ_i(v) = Σ_{w ∈ level i+1}
+    * (σv/σw)(1+δw), terms quantized to pico-unit integers like the
+    * engine (⌊t·1e12 + ½⌋ — identical IEEE ops both sides). */
+  private def brandesBackSql(i: Int): String =
+    s"""d$i AS MATERIALIZED (
+       |  SELECT c.s, c.node, c.sigma, COALESCE(t.delta, 0.0) AS delta
+       |  FROM l$i c LEFT JOIN (
+       |    SELECT c2.s, c2.node,
+       |      CAST(SUM(CAST(FLOOR((CAST(c2.sigma AS DOUBLE)
+       |          / CAST(n.sigma AS DOUBLE))
+       |        * (1.0 + n.delta) * 1e12 + 0.5) AS DECIMAL(38,0)))
+       |        AS DOUBLE) / 1e12 AS delta
+       |    FROM l$i c2 JOIN bi ON bi.u = c2.node
+       |    JOIN d${i + 1} n ON n.s = c2.s AND n.node = bi.v
+       |    GROUP BY 1, 2) t ON t.s = c.s AND t.node = c.node)"""
+      .stripMargin
+
   /** One unrolled k-core peel round over ed{i-1} (k = 80). */
   private def kCoreIterSql(i: Int): String =
     s"""k$i AS MATERIALIZED (
@@ -786,6 +917,37 @@ object Graph {
        |    FROM v$i) WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // 8-source 4-hop Brandes, fully unrolled: 4 σ-level CTEs + 3
+    // backprop CTEs; the deepest level's δ = 0 on both sides (no
+    // successors inside the horizon), per-node totals are exact
+    // decimal sums of the quantized δ
+    "q333_betweenness" ->
+      ("""WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS MATERIALIZED (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |bi AS MATERIALIZED (
+        |  SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+        |src AS (
+        |  SELECT u AS s FROM (SELECT u, COUNT(*) AS d FROM bi GROUP BY u)
+        |  ORDER BY d DESC, u LIMIT 8),
+        |l0 AS (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma FROM src),
+        |s0 AS (SELECT s, node FROM l0),""".stripMargin + "\n" +
+        (1 to 4).map(bfsSigmaLevelSql).mkString(",\n") + ",\n" +
+        "d4 AS (SELECT s, node, sigma, 0.0 AS delta FROM l4),\n" +
+        (3 to 1 by -1).map(brandesBackSql).mkString(",\n") + ",\n" +
+        """contrib AS (
+        |  SELECT node, delta FROM d1 UNION ALL
+        |  SELECT node, delta FROM d2 UNION ALL
+        |  SELECT node, delta FROM d3 UNION ALL
+        |  SELECT node, delta FROM d4)
+        |SELECT node,
+        |  CAST(SUM(CAST(FLOOR(delta * 1e12 + 0.5) AS DECIMAL(38,0)))
+        |    AS DOUBLE) / 1e12 AS betweenness,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sources
+        |FROM contrib GROUP BY node ORDER BY node""".stripMargin),
     "q322_graph_modularity" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -3173,6 +3173,104 @@ object Ml {
       Seq("l_quantity", "l_discount", "l_tax"),
       col("l_returnflag") === "R")
 
+  /** L2 gradient boosting with depth-1 trees (Friedman 2001, squared
+    * loss, shrinkage ν = ½) — [[decisionStump]] upgraded from one split
+    * to an additive MODEL: start from F₀ = ⌊mean(y)⌋ cents, then each
+    * round fits a stump to the current residuals (best (feature,
+    * threshold) by exact SSE-reduction gain Sl²/nl + Sr²/nr over the
+    * residual histograms), adds ν·leaf-mean to every row's score, and
+    * reports the per-round model row plus the training SSE after the
+    * update — the end-to-end gate that the residual algebra, the argmax
+    * and the score updates are all right.
+    *
+    * Determinism: y, features and every F_t live on the integer cent
+    * grid — leaf updates are ⌊Sl/(2·nl)⌋ (floor of one IEEE quotient, the
+    * q308 rule), so residuals stay exact BIGINTs all the way down; gains
+    * are fixed-shape doubles over those integers (identical in any IEEE
+    * engine) and the SSE is an exact DECIMAL(38,0) sum cast once. The
+    * argmax is per-feature single-pass `max(struct(gain, −x, …))` (the
+    * q310 move — no unpartitioned window), then a driver-side pick over
+    * the ≤ |features| candidates under (gain desc, feature asc, x asc).
+    *
+    * At scale: each round is one union-of-features histogram groupBy
+    * (map-side combined, result bounded by Σ feature cardinalities, NOT
+    * rows), windows only over those histogram frames, one model-sized
+    * collect, and one narrow per-row score update; `rounds` is a small
+    * constant and the data never re-shuffles between rounds. */
+  def boostedStumps(df: DataFrame, featureCols: Seq[String],
+      targetCol: String, rounds: Int): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = df.sparkSession
+    val cents = (c: Column) => (c.cast("decimal(18,2)") * 100).cast("long")
+    val data0 = df.select(cents(col(targetCol)).as("y") +:
+      featureCols.map(f => cents(col(f)).as(f)): _*)
+    val f0 = data0
+      .agg(floor(dd(sum(col("y"))) / dd(count(lit(1)))).cast("long"))
+      .head.getLong(0)
+    var data = data0.withColumn("F", lit(f0)).localCheckpoint(true)
+    val wCum = Window.partitionBy("feature").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("feature")
+    val model = Seq.newBuilder[(Long, String, Double, Double, Long, Long,
+      Long, Long, Double)]
+    for (t <- 1 to rounds) {
+      val resid = data.withColumn("r", col("y") - col("F"))
+      val hist = featureCols.map(f => resid.select(lit(f).as("feature"),
+          col(f).as("x"), col("r")))
+        .reduce(_ union _)
+        .groupBy("feature", "x")
+        .agg(count(lit(1)).as("nv"), sum("r").as("sv"))
+      val cand = hist
+        .withColumn("nl", sum("nv").over(wCum))
+        .withColumn("sl", sum("sv").over(wCum))
+        .withColumn("nn", sum("nv").over(wAll))
+        .withColumn("ss", sum("sv").over(wAll))
+        .withColumn("nr", col("nn") - col("nl"))
+        .withColumn("sr", col("ss") - col("sl"))
+        .filter(col("nr") > 0) // the max value splits nothing off
+        .withColumn("gain",
+          dd(col("sl")) * dd(col("sl")) / dd(col("nl")) +
+            dd(col("sr")) * dd(col("sr")) / dd(col("nr")))
+        .groupBy("feature") // single-pass per-feature argmax, min-x ties
+        .agg(max(struct(col("gain"), (-col("x")).as("negx"), col("x"),
+          col("nl"), col("sl"), col("nr"), col("sr"))).as("w"))
+        .select(col("feature"), col("w.gain").as("gain"), col("w.x").as("x"),
+          col("w.nl").as("nl"), col("w.sl").as("sl"),
+          col("w.nr").as("nr"), col("w.sr").as("sr"))
+        .collect() // ≤ |features| candidate rows — model-sized
+      val best = cand.sortBy(r => (-r.getAs[Double]("gain"),
+        r.getAs[String]("feature"), r.getAs[Long]("x"))).head
+      val (bf, bx) = (best.getAs[String]("feature"), best.getAs[Long]("x"))
+      val (nl, sl) = (best.getAs[Long]("nl"), best.getAs[Long]("sl"))
+      val (nr, sr) = (best.getAs[Long]("nr"), best.getAs[Long]("sr"))
+      val leafL = math.floor(sl.toDouble / (2.0 * nl)).toLong
+      val leafR = math.floor(sr.toDouble / (2.0 * nr)).toLong
+      data = data.withColumn("F", col("F") +
+          when(col(bf) <= bx, lit(leafL)).otherwise(lit(leafR)))
+        .localCheckpoint(true)
+      val sse = data
+        .agg(sum(d380(col("y") - col("F")) * d380(col("y") - col("F")))
+          .cast("decimal(38,0)").cast("double"))
+        .head.getDouble(0)
+      model += ((t.toLong, bf, bx.toDouble / 100.0,
+        best.getAs[Double]("gain"), nl, nr, leafL, leafR, sse))
+    }
+    import spark.implicits._
+    model.result().toDF("round", "feature", "threshold", "gain", "n_left",
+      "n_right", "leaf_left_c", "leaf_right_c", "sse_after")
+      .orderBy("round")
+  }
+
+  /** 3-round boosted-stump fit of extended price from quantity /
+    * discount / tax — the additive-model upgrade of q272, whole model
+    * table + per-round training SSE hash-gated against an unrolled
+    * oracle. */
+  def q335BoostedStumps(spark: SparkSession, dir: String): DataFrame =
+    boostedStumps(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice",
+      rounds = 3)
+
   /** Deterministic Bernoulli re-randomization test for a difference in
     * per-slice means — the permutation-flavored significance check that
     * needs NO distributional assumptions (the nonparametric cross-check
@@ -3768,6 +3866,7 @@ object Ml {
     "q275_ols_two" -> (q275OlsTwo _),
     "q284_kruskal_wallis" -> (q284KruskalWallis _),
     "q272_decision_stump" -> (q272DecisionStump _),
+    "q335_boosted_stumps" -> (q335BoostedStumps _),
     "q279_randomization_test" -> (q279RandomizationTest _),
     "q285_mcnemar" -> (q285Mcnemar _),
     "q268_log_rank" -> (q268LogRank _),
@@ -4023,7 +4122,79 @@ object Ml {
         |  CAST(SUM(CAST(d AS HUGEINT)) AS DOUBLE) AS wcss
         |FROM fa WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
 
+  /** One unrolled L2-boosting round over state s{t-1}(y, fq, fd, ft, F):
+    * residual histograms → cumulative split stats → gain argmax (LIMIT 1
+    * under the engine's exact tie order) → floor-leaf update → exact
+    * HUGEINT SSE (the q320 int128 move — decimal multiply would cap at
+    * precision 38 at bind time). */
+  private def boostRoundSql(t: Int): String =
+    s"""h$t AS (
+       |  SELECT feature, x, CAST(COUNT(*) AS BIGINT) AS nv,
+       |    CAST(SUM(r) AS BIGINT) AS sv
+       |  FROM (
+       |    SELECT 'l_quantity' AS feature, fq AS x, y - F AS r
+       |    FROM s${t - 1}
+       |    UNION ALL SELECT 'l_discount', fd, y - F FROM s${t - 1}
+       |    UNION ALL SELECT 'l_tax', ft, y - F FROM s${t - 1})
+       |  GROUP BY 1, 2),
+       |c$t AS (
+       |  SELECT feature, x,
+       |    CAST(SUM(nv) OVER (PARTITION BY feature ORDER BY x
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+       |    CAST(SUM(sv) OVER (PARTITION BY feature ORDER BY x
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+       |    CAST(SUM(nv) OVER (PARTITION BY feature) AS BIGINT) AS nn,
+       |    CAST(SUM(sv) OVER (PARTITION BY feature) AS BIGINT) AS ss
+       |  FROM h$t),
+       |g$t AS (
+       |  SELECT feature, x, nl, sl, nn - nl AS nr, ss - sl AS sr,
+       |    CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+       |      + CAST(ss - sl AS DOUBLE) * CAST(ss - sl AS DOUBLE)
+       |        / CAST(nn - nl AS DOUBLE) AS gain
+       |  FROM c$t WHERE nn - nl > 0),
+       |b$t AS MATERIALIZED (
+       |  SELECT feature, x, gain, nl, nr,
+       |    CAST(FLOOR(CAST(sl AS DOUBLE) / (2.0 * CAST(nl AS DOUBLE)))
+       |      AS BIGINT) AS ll,
+       |    CAST(FLOOR(CAST(sr AS DOUBLE) / (2.0 * CAST(nr AS DOUBLE)))
+       |      AS BIGINT) AS lr
+       |  FROM g$t ORDER BY gain DESC, feature, x LIMIT 1),
+       |s$t AS MATERIALIZED (
+       |  SELECT y, fq, fd, ft,
+       |    F + CASE WHEN (CASE b.feature WHEN 'l_quantity' THEN fq
+       |        WHEN 'l_discount' THEN fd ELSE ft END) <= b.x
+       |      THEN b.ll ELSE b.lr END AS F
+       |  FROM s${t - 1} CROSS JOIN b$t b),
+       |e$t AS (
+       |  SELECT CAST(CAST(SUM(CAST(y - F AS HUGEINT)
+       |    * CAST(y - F AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS sse
+       |  FROM s$t)""".stripMargin
+
+  /** One boosted-stump model row from round t's best split + SSE. */
+  private def boostRowSql(t: Int): String =
+    s"""SELECT CAST($t AS BIGINT) AS round, feature,
+       |  CAST(x AS DOUBLE) / 100.0 AS threshold, gain,
+       |  nl AS n_left, nr AS n_right, ll AS leaf_left_c,
+       |  lr AS leaf_right_c, (SELECT sse FROM e$t) AS sse_after
+       |FROM b$t""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q335_boosted_stumps" ->
+      ("""WITH b0 AS MATERIALIZED (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS y,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS fq,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS fd,
+        |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS ft
+        |  FROM lineitem),
+        |s0 AS MATERIALIZED (
+        |  SELECT y, fq, fd, ft,
+        |    (SELECT CAST(FLOOR(CAST(SUM(y) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) FROM b0) AS F
+        |  FROM b0),""".stripMargin + "\n" +
+        (1 to 3).map(boostRoundSql).mkString(",\n") + "\n" +
+        (1 to 3).map(boostRowSql).mkString("", "\nUNION ALL\n",
+          "\nORDER BY round")),
     "q330_fairness_audit" ->
       """WITH li AS (
         |  SELECT l_orderkey AS o_orderkey, CAST(COUNT(*) AS BIGINT)

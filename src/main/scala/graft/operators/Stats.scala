@@ -1707,6 +1707,73 @@ object Stats {
     holtWinters(Tables.orders(spark, dir), "o_orderpriority",
       "o_orderdate", "o_totalprice")
 
+  /** Page's two-sided CUSUM drift detector (Page 1954) — the SEQUENTIAL
+    * complement to q310's retrospective binary segmentation: per key,
+    * carry the cumulative-deviation pair
+    *   S⁺_t = max(0, S⁺_{t−1} + x_t − μ₀ − k)
+    *   S⁻_t = max(0, S⁻_{t−1} + μ₀ − k − x_t)
+    * day to day and flag an alarm whenever either exceeds the decision
+    * threshold h — the page-on-drift monitor a feature store runs beside
+    * the retrospective PSI/KS views ([[Audit]] q142/q331).
+    *
+    * Calibration is self-contained and integer: μ₀ = ⌊Σ first-28-days /
+    * 28⌋ on the cent grid, allowance k = ⌊μ₀/20⌋ (0.05 μ₀), threshold
+    * h = ⌊μ₀/4⌋ (0.25 μ₀). Same Spark-native shape as [[holtLinear]]:
+    * a per-key ordered `aggregate()` fold over the calendar-bounded,
+    * zero-filled day array (keys fold in parallel; state is two longs).
+    * All arithmetic is exact BIGINT (max/add), the only quotients are
+    * floors of exact-in-double ratios, so the whole (key, day, S⁺, S⁻,
+    * alarms) trajectory is bit-reproducible and hash-gated against a
+    * recursive-CTE twin. Keys whose span is ≤ 28 days have no
+    * post-baseline trajectory and are dropped. */
+  def cusumDrift(df: DataFrame, keyCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("k"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("k", "d").agg(sum("vc").as("x"))
+    val span = daily.groupBy("k").agg(min("d").as("mn"), max("d").as("mx"))
+    val grid = span
+      .select(col("k"), explode(sequence(col("mn"), col("mx"))).as("d"))
+      .join(daily, Seq("k", "d"), "left").na.fill(0L, Seq("x"))
+    val prev = "element_at(acc, -1)"
+    grid.groupBy("k")
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("xs"))
+      .filter(size(col("xs")) > 28)
+      .withColumn("mu0", expr(
+        """CAST(FLOOR(aggregate(slice(xs, 1, 28), CAST(0 AS BIGINT),
+          |  (a, e) -> a + e.x) / 28.0) AS BIGINT)""".stripMargin))
+      .withColumn("kc", expr("CAST(FLOOR(mu0 / 20.0) AS BIGINT)"))
+      .withColumn("h", expr("CAST(FLOOR(mu0 / 4.0) AS BIGINT)"))
+      .select(col("k"), col("mu0"), col("kc"), col("h"), explode(expr(
+        s"""aggregate(
+           |  slice(xs, 29, size(xs) - 28),
+           |  array(named_struct('d', xs[27].d,
+           |    'sp', CAST(0 AS BIGINT), 'sn', CAST(0 AS BIGINT))),
+           |  (acc, e) -> array_append(acc, named_struct(
+           |    'd', e.d,
+           |    'sp', greatest(CAST(0 AS BIGINT),
+           |      $prev.sp + e.x - mu0 - kc),
+           |    'sn', greatest(CAST(0 AS BIGINT),
+           |      $prev.sn + mu0 - kc - e.x))))""".stripMargin)).as("st"))
+      // the first emitted row is the baseline-state anchor (day 28 of
+      // the key's span, S⁺ = S⁻ = 0) — kept: it pins where monitoring
+      // starts, and both engines seed it identically
+      .select(col("k").as(keyCol), col("st.d").as("d"),
+        col("mu0").as("mu0_c"), col("kc").as("k_c"), col("h").as("h_c"),
+        col("st.sp").as("sp_c"), col("st.sn").as("sn_c"),
+        when(col("st.sp") > col("h"), 1L).otherwise(0L).as("alarm_up"),
+        when(col("st.sn") > col("h"), 1L).otherwise(0L).as("alarm_dn"))
+      .orderBy(keyCol, "d")
+  }
+
+  /** Did daily revenue drift off its opening-month baseline, per return
+    * flag — the sequential CUSUM alarm trajectory. */
+  def q334CusumDrift(spark: SparkSession, dir: String): DataFrame =
+    cusumDrift(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
+      "l_extendedprice")
+
   /** Theil–Sen robust trend, GLOBAL-series variant: the MEDIAN of all
     * pairwise day-to-day slopes of the daily series — one gross outlier
     * day cannot move it (the robust complement of the OLS slopes in
@@ -1906,6 +1973,7 @@ object Stats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q323_density_islands" -> (q323DensityIslands _),
     "q326_holt_winters" -> (q326HoltWinters _),
+    "q334_cusum_drift" -> (q334CusumDrift _),
     "q304_acf_ljung_box" -> (q304AcfLjungBox _),
     "q320_cross_correlation" -> (q320CrossCorrelation _),
     "q305_seasonal_strength" -> (q305SeasonalStrength _),
@@ -2086,6 +2154,49 @@ object Stats {
          |  s[CAST(d % 7 AS INT) + 1] AS seasonal_c
          |FROM hw ORDER BY 1, 2""".stripMargin
     },
+    // Page CUSUM twin: same day grid as q308, recursion carries the
+    // (S⁺, S⁻) pair from the rn=28 baseline anchor; all-integer updates
+    "q334_cusum_drift" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT l_returnflag AS k,
+        |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |      AS d,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1, 2),
+        |span AS (SELECT k, MIN(d) AS mn, MAX(d) AS mx FROM daily
+        |  GROUP BY k),
+        |keys AS (SELECT k FROM span WHERE mx - mn + 1 > 28),
+        |gridd AS (
+        |  SELECT s.k, unnest(generate_series(s.mn, s.mx)) AS d
+        |  FROM span s JOIN keys USING (k)),
+        |grid AS (
+        |  SELECT g.k, g.d, COALESCE(dd.x, 0) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY g.k ORDER BY g.d) AS rn
+        |  FROM gridd g LEFT JOIN daily dd ON dd.k = g.k AND dd.d = g.d),
+        |params AS (
+        |  SELECT k, mu0, CAST(FLOOR(mu0 / 20.0) AS BIGINT) AS kc,
+        |    CAST(FLOOR(mu0 / 4.0) AS BIGINT) AS h
+        |  FROM (SELECT k, CAST(FLOOR(SUM(x) / 28.0) AS BIGINT) AS mu0
+        |        FROM grid WHERE rn <= 28 GROUP BY k)),
+        |cusum AS (
+        |  SELECT g.k, g.rn, g.d, CAST(0 AS BIGINT) AS sp,
+        |    CAST(0 AS BIGINT) AS sn
+        |  FROM grid g WHERE g.rn = 28
+        |  UNION ALL
+        |  SELECT g.k, g.rn, g.d,
+        |    GREATEST(CAST(0 AS BIGINT), c.sp + g.x - p.mu0 - p.kc),
+        |    GREATEST(CAST(0 AS BIGINT), c.sn + p.mu0 - p.kc - g.x)
+        |  FROM cusum c JOIN grid g ON g.k = c.k AND g.rn = c.rn + 1
+        |  JOIN params p ON p.k = c.k)
+        |SELECT c.k AS l_returnflag, c.d, p.mu0 AS mu0_c, p.kc AS k_c,
+        |  p.h AS h_c, c.sp AS sp_c, c.sn AS sn_c,
+        |  CAST(CASE WHEN c.sp > p.h THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alarm_up,
+        |  CAST(CASE WHEN c.sn > p.h THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alarm_dn
+        |FROM cusum c JOIN params p ON p.k = c.k
+        |ORDER BY 1, 2""".stripMargin,
     "q308_holt_linear" ->
       """WITH RECURSIVE daily AS (
         |  SELECT l_returnflag AS k,

@@ -125,4 +125,60 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(rows("A").getAs[Double]("disparate_impact") - 1.0)
       < 1e-12)
   }
+
+  test("betweennessSampled: exact Brandes dependencies on the 5-path") {
+    // path 1-2-3-4-5, all 5 nodes as sources: per-pair dependencies
+    // sum to [0, 6, 8, 6, 0]; every node is reached by the other 4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = Graph.betweennessSampled(edges, "a", "b", nSources = 5,
+        maxDepth = 4)
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Double]("betweenness"), r.getAs[Long]("n_sources"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    val want = Map(1L -> 0.0, 2L -> 6.0, 3L -> 8.0, 4L -> 6.0, 5L -> 0.0)
+    want.foreach { case (n, b) =>
+      assert(math.abs(out(n)._1 - b) < 1e-9, s"node $n: ${out(n)._1}")
+      assert(out(n)._2 == 4L, s"node $n n_sources: ${out(n)._2}")
+    }
+  }
+
+  test("cusumDrift: a clean step after the baseline alarms immediately") {
+    // 28 baseline days at 10.00 -> mu0 = 1000c, k = 50c, h = 250c;
+    // then 12 days at 20.00: S+ climbs 950c/day, alarms from day one
+    val df = (0 until 40).map { i =>
+      ("k", java.sql.Date.valueOf(java.time.LocalDate
+        .of(1992, 1, 1).plusDays(i)), if (i < 28) 10.00 else 20.00)
+    }.toDF("k", "dt", "v")
+    val rows = Stats.cusumDrift(df, "k", "dt", "v").collect()
+    assert(rows.length == 13) // anchor (day 28 of span) + 12 monitored
+    val first = rows.head
+    assert(first.getAs[Long]("mu0_c") == 1000L)
+    assert(first.getAs[Long]("k_c") == 50L)
+    assert(first.getAs[Long]("h_c") == 250L)
+    assert(first.getAs[Long]("sp_c") == 0L &&
+      first.getAs[Long]("sn_c") == 0L) // baseline anchor
+    rows.tail.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("sp_c") == 950L * (i + 1))
+      assert(r.getAs[Long]("sn_c") == 0L)
+      assert(r.getAs[Long]("alarm_up") == 1L)
+      assert(r.getAs[Long]("alarm_dn") == 0L)
+    }
+  }
+
+  test("boostedStumps: exact 3-round fit of a two-level target") {
+    // y = 1000c at x=1.00, 2000c at x=2.00; F0 = 1500, each round
+    // halves the residual via nu = 1/2 floor leaves
+    val df = Seq((1.00, 10.00), (1.00, 10.00), (2.00, 20.00),
+      (2.00, 20.00)).toDF("x", "y")
+    val rows = Ml.boostedStumps(df, Seq("x"), "y", rounds = 3).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[String]("feature") == "x"))
+    assert(rows.forall(_.getAs[Double]("threshold") == 1.0))
+    assert(rows.map(_.getAs[Long]("leaf_left_c")).toSeq ==
+      Seq(-250L, -125L, -63L))
+    assert(rows.map(_.getAs[Long]("leaf_right_c")).toSeq ==
+      Seq(250L, 125L, 62L))
+    assert(rows.map(_.getAs[Double]("sse_after")).toSeq ==
+      Seq(250000.0, 62500.0, 15626.0))
+  }
 }
