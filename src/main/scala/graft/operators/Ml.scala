@@ -1504,6 +1504,85 @@ object Ml {
     itemKnn(Tables.lineitem(spark, dir), "l_orderkey", "l_partkey",
       probeMax = 50L, k = 10)
 
+  /** Rank-2 ALS matrix factorization (Zhou et al. 2008, the canonical
+    * distributed recommender trainer) — alternate closed-form ridge
+    * solves between user and item factor tables: each half-step
+    * aggregates, per entity, the 2×2 normal equations A = Σ ffᵀ + λI,
+    * b = Σ r·f over that entity's ratings and solves them algebraically
+    * (det = (a11+λ)(a22+λ) − a12²; no iterative linear solver, no BLAS).
+    * Item factors seed deterministically at (1, ((i mod 97) − 48)/97) —
+    * no RNG, and the ridge makes every A positive definite so the solve
+    * never degenerates.
+    *
+    * This is exactly how ALS scales to 100 TB of interactions: each
+    * half-step is ONE join of the ratings fact against the model-sized
+    * factor table (broadcastable) + ONE groupBy shuffle on the entity
+    * key; rounds are a small constant, state is two doubles per entity,
+    * and nothing ever collects to the driver. Determinism: every
+    * order-sensitive Σ is pico-unit-quantized per term (⌊t·1e12 + ½⌋,
+    * the q216/q333 rule) and summed exactly in DECIMAL(38,0); the 2×2
+    * solve is a fixed IEEE op sequence on those sums, so both engines
+    * produce bit-identical factors round after round. λ = 0.125 (exactly
+    * representable). Returns the factors of the `topN` most-rated users
+    * and items (count-desc, id-asc — a total order). */
+  def alsFactors(ratings0: DataFrame, userCol: String, itemCol: String,
+      ratingCol: String, rounds: Int, topN: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val lambda = 0.125
+    val rt = ratings0
+      .select(col(userCol).as("u"), col(itemCol).as("i"),
+        col(ratingCol).cast("long").as("r"))
+      .groupBy("u", "i").agg(sum("r").as("r"))
+      .localCheckpoint(true)
+    val piq = (c: Column) => floor(c * 1e12 + 0.5).cast("decimal(38,0)")
+    val unq = (c: Column) => c.cast("decimal(38,0)").cast("double") / 1e12
+    def halfStep(entity: String, joinKey: String, f: DataFrame): DataFrame =
+      rt.join(f, joinKey)
+        .groupBy(entity)
+        .agg(unq(sum(piq(dd(col("f1")) * dd(col("f1"))))).as("a11"),
+          unq(sum(piq(dd(col("f1")) * dd(col("f2"))))).as("a12"),
+          unq(sum(piq(dd(col("f2")) * dd(col("f2"))))).as("a22"),
+          unq(sum(piq(dd(col("r")) * dd(col("f1"))))).as("b1"),
+          unq(sum(piq(dd(col("r")) * dd(col("f2"))))).as("b2"))
+        .withColumn("det", (col("a11") + lambda) * (col("a22") + lambda) -
+          col("a12") * col("a12"))
+        .select(col(entity),
+          (((col("a22") + lambda) * col("b1") - col("a12") * col("b2")) /
+            col("det")).as("f1"),
+          (((col("a11") + lambda) * col("b2") - col("a12") * col("b1")) /
+            col("det")).as("f2"))
+    var itemF = rt.select("i").distinct()
+      .select(col("i"), lit(1.0).as("f1"),
+        (((col("i") % 97) - 48).cast("double") / 97.0).as("f2"))
+      .localCheckpoint(true)
+    var userF: DataFrame = rt.sparkSession.emptyDataFrame
+    for (_ <- 1 to rounds) {
+      userF = halfStep("u", "i", itemF).localCheckpoint(true)
+      itemF = halfStep("i", "u", userF).localCheckpoint(true)
+    }
+    val ucnt = rt.groupBy("u").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("u")).limit(topN)
+    val icnt = rt.groupBy("i").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("i")).limit(topN)
+    userF.join(ucnt, "u")
+      .select(lit("user").as("kind"), col("u").as("id"),
+        col("n").as("n_interactions"), col("f1"), col("f2"))
+      .union(itemF.join(icnt, "i")
+        .select(lit("item").as("kind"), col("i").as("id"),
+          col("n").as("n_interactions"), col("f1"), col("f2")))
+      .orderBy("kind", "id")
+  }
+
+  /** Two ALS rounds over (customer, part, Σ quantity) purchase
+    * strengths — the factor table a recommender serves, hash-gated for
+    * the 10 most-active customers and parts. */
+  def q336AlsFactors(spark: SparkSession, dir: String): DataFrame =
+    alsFactors(
+      Tables.lineitem(spark, dir).join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey")),
+      "o_custkey", "l_partkey", "l_quantity", rounds = 2, topN = 10)
+
   /** Two-way ANOVA with interaction: does factor A, factor B, or their
     * INTERACTION explain the target — the screen that tells a feature
     * pipeline whether two categoricals are worth crossing. Sums of
@@ -3867,6 +3946,7 @@ object Ml {
     "q284_kruskal_wallis" -> (q284KruskalWallis _),
     "q272_decision_stump" -> (q272DecisionStump _),
     "q335_boosted_stumps" -> (q335BoostedStumps _),
+    "q336_als_factors" -> (q336AlsFactors _),
     "q279_randomization_test" -> (q279RandomizationTest _),
     "q285_mcnemar" -> (q285Mcnemar _),
     "q268_log_rank" -> (q268LogRank _),
@@ -4170,6 +4250,32 @@ object Ml {
        |    * CAST(y - F AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS sse
        |  FROM s$t)""".stripMargin
 
+  /** One unrolled ALS half-step: per-`key` 2×2 ridge normal equations
+    * from the ratings ⋈ `prev` factor join (terms pico-quantized like
+    * the engine), solved algebraically. */
+  private def alsStepSql(out: String, key: String, fkey: String,
+      prev: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT $key,
+       |    ((a22 + 0.125) * b1 - a12 * b2) / det AS f1,
+       |    ((a11 + 0.125) * b2 - a12 * b1) / det AS f2
+       |  FROM (
+       |    SELECT *, (a11 + 0.125) * (a22 + 0.125) - a12 * a12 AS det
+       |    FROM (
+       |      SELECT rt.$key,
+       |        CAST(SUM(CAST(FLOOR(f.f1 * f.f1 * 1e12 + 0.5)
+       |          AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS a11,
+       |        CAST(SUM(CAST(FLOOR(f.f1 * f.f2 * 1e12 + 0.5)
+       |          AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS a12,
+       |        CAST(SUM(CAST(FLOOR(f.f2 * f.f2 * 1e12 + 0.5)
+       |          AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS a22,
+       |        CAST(SUM(CAST(FLOOR(CAST(rt.r AS DOUBLE) * f.f1 * 1e12
+       |          + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS b1,
+       |        CAST(SUM(CAST(FLOOR(CAST(rt.r AS DOUBLE) * f.f2 * 1e12
+       |          + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS b2
+       |      FROM rt JOIN $prev f ON f.$fkey = rt.$fkey
+       |      GROUP BY rt.$key)))""".stripMargin
+
   /** One boosted-stump model row from round t's best split + SSE. */
   private def boostRowSql(t: Int): String =
     s"""SELECT CAST($t AS BIGINT) AS round, feature,
@@ -4179,6 +4285,30 @@ object Ml {
        |FROM b$t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q336_als_factors" ->
+      ("""WITH rt AS MATERIALIZED (
+        |  SELECT o_custkey AS u, l_partkey AS i,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |if0 AS (
+        |  SELECT i, 1.0 AS f1, CAST((i % 97) - 48 AS DOUBLE) / 97.0 AS f2
+        |  FROM (SELECT DISTINCT i FROM rt)),""".stripMargin + "\n" +
+        Seq(alsStepSql("uf1", "u", "i", "if0"),
+          alsStepSql("if1", "i", "u", "uf1"),
+          alsStepSql("uf2", "u", "i", "if1"),
+          alsStepSql("if2", "i", "u", "uf2")).mkString(",\n") + ",\n" +
+        """ucnt AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n FROM rt
+        |  GROUP BY u ORDER BY n DESC, u LIMIT 10),
+        |icnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM rt
+        |  GROUP BY i ORDER BY n DESC, i LIMIT 10)
+        |SELECT * FROM (
+        |  SELECT 'user' AS kind, uf2.u AS id, n AS n_interactions, f1, f2
+        |  FROM uf2 JOIN ucnt ON ucnt.u = uf2.u
+        |  UNION ALL
+        |  SELECT 'item', if2.i, n, f1, f2
+        |  FROM if2 JOIN icnt ON icnt.i = if2.i)
+        |ORDER BY kind, id""".stripMargin),
     "q335_boosted_stumps" ->
       ("""WITH b0 AS MATERIALIZED (
         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100

@@ -181,4 +181,29 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Double]("sse_after")).toSeq ==
       Seq(250000.0, 62500.0, 15626.0))
   }
+
+  test("alsFactors: a rank-1 ratings matrix is reconstructed") {
+    // r(u,i) = a_u * b_i is exactly rank 1 — two ALS rounds at rank 2
+    // must drive every prediction u·v close to the observed rating
+    val ratings = for {
+      (u, a) <- Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      (i, b) <- Seq((10L, 2L), (20L, 4L))
+    } yield (u, i, a * b)
+    val out = Ml.alsFactors(ratings.toDF("u", "i", "r"), "u", "i", "r",
+        rounds = 2, topN = 5)
+      .collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("id")) ->
+        (r.getAs[Double]("f1"), r.getAs[Double]("f2"))).toMap
+    assert(out.size == 5) // 3 users + 2 items
+    for {
+      (u, a) <- Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      (i, b) <- Seq((10L, 2L), (20L, 4L))
+    } {
+      val (u1, u2) = out(("user", u))
+      val (v1, v2) = out(("item", i))
+      val pred = u1 * v1 + u2 * v2
+      assert(math.abs(pred - a * b) < 0.75,
+        s"pred($u,$i) = $pred, want ${a * b}")
+    }
+  }
 }
