@@ -1009,7 +1009,77 @@ object TextAnalysis {
     ngramNovelty(Tables.documents(spark, dir), "doc_id", "text", k = 3)
       .orderBy("doc_id")
 
+  /** Byte-pair-encoding merge-rule training (Sennrich et al. 2016, §3.1;
+    * the GPT-2 tokenizer's training loop) — learn `merges` merge rules
+    * from the corpus itself: start from a character-level tokenization,
+    * then repeatedly (1) count adjacent-token pairs corpus-wide, (2) take
+    * the most frequent pair (count desc, pair asc — a total order), and
+    * (3) fuse every occurrence. Returns the learned merge table — the
+    * artifact a tokenizer ships.
+    *
+    * Representation: each doc is a space-delimited token string with
+    * sentinel spaces (`" a b c "`), so a merge is a literal
+    * `replace(s, " t1 t2 ", " t1t2 ")` — left-to-right non-overlapping in
+    * BOTH engines — applied TWICE: one pass skips an occurrence exactly
+    * when the preceding match consumed its leading space, and no two
+    * skipped occurrences can be adjacent (the first would have merged),
+    * so the second pass catches every survivor. Two passes therefore
+    * merge all non-overlapping occurrences left-to-right — exactly
+    * greedy BPE ("a a a" fuses only the first pair; "a b a b" fuses
+    * both). Docs are clipped to `clipChars` a–z chars (the fixture
+    * bound; at 100 TB you shard long docs instead). Each round is one
+    * map-side-combined pair-count groupBy (result bounded by vocab², not
+    * corpus), one model-sized top-1 collect, and one codegen'd per-doc
+    * replace — the same scan-count shape Spark's distributed BPE
+    * trainers use; `merges` is a small constant. All counting is exact
+    * integers: the whole merge table is hash-gated. */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
+      clipChars: Int): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1: $merges")
+    require(clipChars >= 2, s"clipChars must be >= 2: $clipChars")
+    val spark = docs.sparkSession
+    var corpus = docs.select(concat(lit(" "), regexp_replace(
+        regexp_replace(lower(substring(col(textCol), 1, clipChars)),
+          "[^a-z]", ""),
+        "(.)", "$1 ")).as("s"))
+      .localCheckpoint(true)
+    val model = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (k <- 1 to merges) {
+      val toks = corpus.select(filter(split(col("s"), " "), t => t =!= "")
+        .as("ts"))
+      val best = toks
+        .select(explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("t1"), b.as("t2")))).as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("t1"), asc("t2")).limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val (t1, t2) = (best(0).getAs[String]("t1"),
+          best(0).getAs[String]("t2"))
+        val n = best(0).getAs[Long]("n")
+        corpus = corpus.select(replace(replace(col("s"),
+            lit(s" $t1 $t2 "), lit(s" $t1$t2 ")),
+          lit(s" $t1 $t2 "), lit(s" $t1$t2 ")).as("s"))
+          .localCheckpoint(true)
+        model += ((k.toLong, t1, t2, t1 + t2, n))
+      }
+    }
+    import spark.implicits._
+    model.result().toDF("round", "left_tok", "right_tok", "merged_tok",
+      "pair_count").orderBy("round")
+  }
+
+  /** Six BPE merges learned from the document corpus (first 64 chars per
+    * doc) — the tokenizer-training loop as a declared operator. */
+  def q337BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(spark, dir), "text", merges = 6,
+      clipChars = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_bpe_train" -> (q337BpeTrain _),
     "q173_ngram_novelty" -> (q173NgramNovelty _),
     "q155_collocations" -> (q155Collocations _),
     "q131_phrase_search" -> (q131PhraseSearch _),
@@ -1120,7 +1190,42 @@ object TextAnalysis {
     s"""$bm25ScoredSql
        |ORDER BY doc_id""".stripMargin
 
+  /** One unrolled BPE merge round over corpus c{k-1}: pair counts via a
+    * per-doc LEAD window, top-1 under (n desc, pair asc), double-pass
+    * literal replace (exactly the engine's two-pass greedy merge). */
+  private def bpeRoundSql(k: Int): String =
+    s"""pc$k AS (
+       |  SELECT t AS t1, t2, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT d, t, LEAD(t) OVER (PARTITION BY d ORDER BY o) AS t2
+       |    FROM (
+       |      SELECT d, generate_subscripts(ts, 1) AS o, unnest(ts) AS t
+       |      FROM (SELECT d, list_filter(string_split(s, ' '),
+       |        x -> x <> '') AS ts FROM c${k - 1})))
+       |  WHERE t2 IS NOT NULL GROUP BY 1, 2),
+       |b$k AS MATERIALIZED (
+       |  SELECT t1, t2, n FROM pc$k ORDER BY n DESC, t1, t2 LIMIT 1),
+       |c$k AS MATERIALIZED (
+       |  SELECT d, REPLACE(REPLACE(s,
+       |      ' ' || b.t1 || ' ' || b.t2 || ' ', ' ' || b.t1 || b.t2 || ' '),
+       |    ' ' || b.t1 || ' ' || b.t2 || ' ', ' ' || b.t1 || b.t2 || ' ')
+       |    AS s
+       |  FROM c${k - 1} CROSS JOIN b$k b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q337_bpe_train" ->
+      ("""WITH c0 AS MATERIALIZED (
+        |  SELECT doc_id AS d,
+        |    ' ' || regexp_replace(regexp_replace(
+        |      lower(substr(text, 1, 64)), '[^a-z]', '', 'g'),
+        |      '(.)', '\1 ', 'g') AS s
+        |  FROM documents),""".stripMargin + "\n" +
+        (1 to 6).map(bpeRoundSql).mkString(",\n") + "\n" +
+        (1 to 6).map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS round, t1 AS left_tok,
+             |  t2 AS right_tok, t1 || t2 AS merged_tok, n AS pair_count
+             |FROM b$k""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY round")),
     // same token/sentence/vowel-group heuristics in DuckDB list functions
     "q215_readability" ->
       """WITH d AS (

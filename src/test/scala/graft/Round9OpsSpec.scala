@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Audit, Graph, Ml, Stats}
+import graft.operators.{Audit, Graph, Ml, Stats, TextAnalysis}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -205,5 +205,19 @@ class Round9OpsSpec extends AnyFunSuite {
       assert(math.abs(pred - a * b) < 0.75,
         s"pred($u,$i) = $pred, want ${a * b}")
     }
+  }
+
+  test("bpeTrain: exact greedy merges on a two-doc corpus") {
+    // "abab","aba": round 1 pair (a,b) count 3 -> both docs fuse every
+    // non-overlapping occurrence; round 2 ties (ab,ab) vs (ab,a) at 1,
+    // pair-asc tie-break picks (ab,a)
+    val docs = Seq("abab", "aba").toDF("text")
+    val rows = TextAnalysis.bpeTrain(docs, "text", merges = 2,
+        clipChars = 64)
+      .collect().map(r => (r.getAs[Long]("round"),
+        r.getAs[String]("left_tok"), r.getAs[String]("right_tok"),
+        r.getAs[String]("merged_tok"), r.getAs[Long]("pair_count")))
+    assert(rows.toSeq == Seq((1L, "a", "b", "ab", 3L),
+      (2L, "ab", "a", "aba", 1L)))
   }
 }
