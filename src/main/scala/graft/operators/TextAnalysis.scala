@@ -1035,14 +1035,25 @@ object TextAnalysis {
     * integers: the whole merge table is hash-gated. */
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
       clipChars: Int): DataFrame = {
+    val (model, _) = bpeLoop(docs, textCol, merges, clipChars)
+    import docs.sparkSession.implicits._
+    model.toDF("round", "left_tok", "right_tok", "merged_tok",
+      "pair_count").orderBy("round")
+  }
+
+  /** The shared BPE training loop: returns the merge-rule rows AND the
+    * corpus state after every round (index 0 = character-seeded). */
+  private def bpeLoop(docs: DataFrame, textCol: String, merges: Int,
+      clipChars: Int): (Seq[(Long, String, String, String, Long)],
+      Vector[DataFrame]) = {
     require(merges >= 1, s"merges must be >= 1: $merges")
     require(clipChars >= 2, s"clipChars must be >= 2: $clipChars")
-    val spark = docs.sparkSession
     var corpus = docs.select(concat(lit(" "), regexp_replace(
         regexp_replace(lower(substring(col(textCol), 1, clipChars)),
           "[^a-z]", ""),
         "(.)", "$1 ")).as("s"))
       .localCheckpoint(true)
+    var corpora = Vector(corpus)
     val model = Seq.newBuilder[(Long, String, String, String, Long)]
     for (k <- 1 to merges) {
       val toks = corpus.select(filter(split(col("s"), " "), t => t =!= "")
@@ -1064,13 +1075,43 @@ object TextAnalysis {
             lit(s" $t1 $t2 "), lit(s" $t1$t2 ")),
           lit(s" $t1 $t2 "), lit(s" $t1$t2 ")).as("s"))
           .localCheckpoint(true)
+        corpora :+= corpus
         model += ((k.toLong, t1, t2, t1 + t2, n))
       }
     }
-    import spark.implicits._
-    model.result().toDF("round", "left_tok", "right_tok", "merged_tok",
-      "pair_count").orderBy("round")
+    (model.result(), corpora)
   }
+
+  /** Tokenizer-fertility trajectory: after each of the `merges` BPE
+    * rounds (round 0 = raw characters), how many tokens does the clipped
+    * corpus need, how large is the vocabulary in use, and how many
+    * tokens per document — exactly the tokens-per-byte curve one reads
+    * before freezing a tokenizer for an LLM run. Pure integer counting
+    * over [[bpeLoop]]'s per-round corpus states; each round's stats are
+    * one map-side-combined aggregation. */
+  def bpeFertility(docs: DataFrame, textCol: String, merges: Int,
+      clipChars: Int): DataFrame = {
+    val (_, corpora) = bpeLoop(docs, textCol, merges, clipChars)
+    val stats = corpora.zipWithIndex.map { case (c, k) =>
+      val toksCol = filter(split(col("s"), " "), t => t =!= "")
+      val r = c.select(explode(toksCol).as("t"))
+        .agg(count(lit(1)).as("nt"),
+          countDistinct(col("t")).as("nv")).head
+      val nd = c.count()
+      (k.toLong, nd, r.getAs[Long]("nt"), r.getAs[Long]("nv"))
+    }
+    import docs.sparkSession.implicits._
+    stats.toDF("round", "n_docs", "corpus_tokens", "vocab_in_use")
+      .withColumn("tokens_per_doc",
+        col("corpus_tokens").cast("double") / col("n_docs").cast("double"))
+      .orderBy("round")
+  }
+
+  /** Token budget after each of the six q337 merges — the compression
+    * curve of the learned tokenizer over the same corpus. */
+  def q338BpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeFertility(Tables.documents(spark, dir), "text", merges = 6,
+      clipChars = 64)
 
   /** Six BPE merges learned from the document corpus (first 64 chars per
     * doc) — the tokenizer-training loop as a declared operator. */
@@ -1080,6 +1121,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q337_bpe_train" -> (q337BpeTrain _),
+    "q338_bpe_fertility" -> (q338BpeFertility _),
     "q173_ngram_novelty" -> (q173NgramNovelty _),
     "q155_collocations" -> (q155Collocations _),
     "q131_phrase_search" -> (q131PhraseSearch _),
@@ -1225,6 +1267,26 @@ object TextAnalysis {
           s"""SELECT CAST($k AS BIGINT) AS round, t1 AS left_tok,
              |  t2 AS right_tok, t1 || t2 AS merged_tok, n AS pair_count
              |FROM b$k""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY round")),
+    // same merge chain, then pure integer token/vocab counts per round
+    "q338_bpe_fertility" ->
+      ("""WITH c0 AS MATERIALIZED (
+        |  SELECT doc_id AS d,
+        |    ' ' || regexp_replace(regexp_replace(
+        |      lower(substr(text, 1, 64)), '[^a-z]', '', 'g'),
+        |      '(.)', '\1 ', 'g') AS s
+        |  FROM documents),""".stripMargin + "\n" +
+        (1 to 6).map(bpeRoundSql).mkString(",\n") + "\n" +
+        (0 to 6).map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS round,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c$k) AS n_docs,
+             |  CAST(COUNT(*) AS BIGINT) AS corpus_tokens,
+             |  CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_in_use,
+             |  CAST(COUNT(*) AS DOUBLE)
+             |    / CAST((SELECT COUNT(*) FROM c$k) AS DOUBLE)
+             |    AS tokens_per_doc
+             |FROM (SELECT unnest(list_filter(string_split(s, ' '),
+             |  x -> x <> '')) AS t FROM c$k)""".stripMargin)
           .mkString("", "\nUNION ALL\n", "\nORDER BY round")),
     // same token/sentence/vowel-group heuristics in DuckDB list functions
     "q215_readability" ->
