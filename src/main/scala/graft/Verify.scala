@@ -53,6 +53,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // stderr marker BEFORE each query so any engine warning between two
+      // markers (e.g. WindowExec "No Partition Defined") is attributable
+      // to a specific query when auditing a full run log
+      System.err.println(s"[verify] start $name")
       try hashableOutput(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
