@@ -230,6 +230,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("n_total"))
       .orderBy("id_a", "id_b")
 
+  /** Incremental corpus-ingestion dedup — the nightly-batch form every
+    * growing training corpus runs: score ONLY the arriving batch against
+    * the standing corpus (batch × corpus candidates, never the corpus
+    * self-join q45 does), verdict per new doc. Candidates come from the
+    * same MinHash band buckets as [[minhashNearDupPairs]], generated
+    * bipartite inside each bucket (new-ids × prior-ids lists — the
+    * corpus side never pairs with itself), verified by exact shingle
+    * Jaccard ≥ ½ as an integer cross-product test. At 100 TB the
+    * standing corpus's bucket table is the precomputed, bucketed-by-
+    * (band,hash) index a nightly batch probes — per-batch cost scales
+    * with the BATCH, not the corpus (the q128/q157 maintained-index
+    * posture); band recall at the ½ threshold is the documented q45
+    * trade (32 bands × 2 rows ⇒ ≥ 1−(1−½²)³² ≈ 0.9999 at J = ½, → 1
+    * above it).
+    *
+    * Returns ONE row per batch doc: match count, the smallest matching
+    * prior id (NULL when none), and a 0/1 keep verdict — the dedup
+    * decision a writer appends downstream. */
+  def incrementalDedup(docs: DataFrame, idCol: String, textCol: String,
+      batchPred: Column, k: Int = 3, numPerms: Int = 64, bands: Int = 32,
+      maxBucketSize: Int = 256): DataFrame = {
+    val flagged = docs.select(col(idCol).as("id"), col(textCol).as("text"),
+      batchPred.as("is_new"))
+    val buckets = flagged.select(col("id"), col("is_new"),
+      posexplode(minhashBandsCol(col("text"), k, numPerms, bands))
+        .as(Seq("band", "bhash")))
+    val capped = Buckets.cap(buckets, Seq("band", "bhash"), "id",
+      maxBucketSize, "incdedup_bucket_cap")
+    val pairs = capped.groupBy("band", "bhash")
+      .agg(
+        sort_array(collect_list(when(col("is_new"), col("id")))).as("nids"),
+        sort_array(collect_list(when(!col("is_new"), col("id"))))
+          .as("pids"))
+      .select(explode(flatten(transform(col("nids"), a =>
+        transform(col("pids"), b =>
+          struct(a.as("id_new"), b.as("id_prior")))))).as("__p"))
+      .select(col("__p.id_new"), col("__p.id_prior"))
+      .distinct()
+    val sh = flagged.select(col("id"), shingleHashes(col("text"), k).as("sh"))
+    val verified = pairs
+      .join(sh.select(col("id").as("id_new"), col("sh").as("sh_a")),
+        "id_new")
+      .join(sh.select(col("id").as("id_prior"), col("sh").as("sh_b")),
+        "id_prior")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 2 >=
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("id_new"), col("id_prior"))
+    flagged.filter(col("is_new")).select(col("id").as(idCol))
+      .join(verified.groupBy(col("id_new").as(idCol))
+        .agg(count(lit(1)).as("n_dups"), min("id_prior").as("dup_of")),
+        Seq(idCol), "left")
+      .na.fill(0L, Seq("n_dups"))
+      .withColumn("is_kept", (col("n_dups") === 0).cast("long"))
+      .orderBy(idCol)
+  }
+
+  /** Docs arriving as shard 7 (doc_id ≡ 7 mod 10) deduped against the
+    * other nine shards as the standing corpus. */
+  def q345IncrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedup(Tables.documents(spark, dir), "doc_id", "text",
+      col("doc_id") % 10 === 7)
+
   /** SimHash near-dup pairs, hash-exactly oracle-gated: with the MD5 token
     * hash the fingerprint is engine-independent, and chunk-subset
     * multi-index blocking provably finds every Hamming ≤ 3 pair — so the
@@ -979,6 +1041,7 @@ object Dedup {
     "q57_training_mix" -> (q57TrainingMix _),
     "q40_dedup_exact" -> (q40DedupExact _),
     "q45_minhash_pairs" -> (q45MinhashPairs _),
+    "q345_incremental_dedup" -> (q345IncrementalDedup _),
     "q46_simhash_pairs" -> (q46SimhashPairs _),
     "q47_ngram_jaccard_sample" -> (q47NgramJaccardSample _),
     "q143_set_similarity_join" -> (q143SetSimilarityJoin _),
@@ -1389,6 +1452,28 @@ object Dedup {
         |  CAST(COUNT(*) AS BIGINT) AS n_members,
         |  CAST(MAX(id) AS BIGINT) AS max_id
         |FROM comp GROUP BY comp ORDER BY cluster_rep""".stripMargin,
+    "q345_incremental_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             FOR i IN range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |b AS (SELECT * FROM t WHERE doc_id % 10 = 7),
+        |c AS (SELECT * FROM t WHERE doc_id % 10 <> 7),
+        |m AS (
+        |  SELECT b.doc_id AS id_new, c.doc_id AS id_prior
+        |  FROM b JOIN c ON 2 * len(list_intersect(b.sh, c.sh))
+        |    >= len(list_distinct(list_concat(b.sh, c.sh))))
+        |SELECT b.doc_id,
+        |  CAST(COUNT(m.id_prior) AS BIGINT) AS n_dups,
+        |  MIN(m.id_prior) AS dup_of,
+        |  CAST(CASE WHEN COUNT(m.id_prior) = 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_kept
+        |FROM b LEFT JOIN m ON m.id_new = b.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q45_minhash_pairs" ->
       """WITH t AS (
         |  SELECT doc_id,

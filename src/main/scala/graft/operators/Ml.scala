@@ -1525,10 +1525,10 @@ object Ml {
     * produce bit-identical factors round after round. λ = 0.125 (exactly
     * representable). Returns the factors of the `topN` most-rated users
     * and items (count-desc, id-asc — a total order). */
-  def alsFactors(ratings0: DataFrame, userCol: String, itemCol: String,
-      ratingCol: String, rounds: Int, topN: Int): DataFrame = {
+  private def alsTrain(ratings0: DataFrame, userCol: String,
+      itemCol: String, ratingCol: String, rounds: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    require(topN >= 1, s"topN must be >= 1: $topN")
     val lambda = 0.125
     val rt = ratings0
       .select(col(userCol).as("u"), col(itemCol).as("i"),
@@ -1561,6 +1561,14 @@ object Ml {
       userF = halfStep("u", "i", itemF).localCheckpoint(true)
       itemF = halfStep("i", "u", userF).localCheckpoint(true)
     }
+    (rt, userF, itemF)
+  }
+
+  def alsFactors(ratings0: DataFrame, userCol: String, itemCol: String,
+      ratingCol: String, rounds: Int, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val (rt, userF, itemF) =
+      alsTrain(ratings0, userCol, itemCol, ratingCol, rounds)
     val ucnt = rt.groupBy("u").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("u")).limit(topN)
     val icnt = rt.groupBy("i").agg(count(lit(1)).as("n"))
@@ -1582,6 +1590,54 @@ object Ml {
       Tables.lineitem(spark, dir).join(Tables.orders(spark, dir),
         col("l_orderkey") === col("o_orderkey")),
       "o_custkey", "l_partkey", "l_quantity", rounds = 2, topN = 10)
+
+  /** Top-k recommendation SERVING from the [[alsFactors]] model — the
+    * step a recommender actually ships: score(u, i) = u·f ⋅ i·f over the
+    * candidate item set, EXCLUDING items the user already interacted
+    * with, rank per user. Probe users are the `nUsers` most active
+    * (count-desc, id-asc — total order).
+    *
+    * Shape: the probe-user factor rows are a broadcast statistic frame
+    * crossed against the FULL item-factor table (items stream, users
+    * ride along), seen pairs leave via a left-anti join against the
+    * ratings keyed to the probe users, and the per-user top-k is a
+    * window over |probe| × |items| rows. At 100 TB this exact-scoring
+    * frame is the RERANKER tail of the funnel — candidate generation
+    * over the full catalog belongs to the ANN family (q50/q93/q98),
+    * this operator is the exact gate those candidates feed. The score
+    * is one fixed IEEE shape (two products, one add) on the
+    * bit-identical factor tables, so ranking and the gate are exact. */
+  def alsRecommendTopK(ratings0: DataFrame, userCol: String,
+      itemCol: String, ratingCol: String, rounds: Int, nUsers: Int,
+      k: Int): DataFrame = {
+    require(nUsers >= 1 && k >= 1, s"bad args: $nUsers $k")
+    val (rt, userF, itemF) =
+      alsTrain(ratings0, userCol, itemCol, ratingCol, rounds)
+    val probe = rt.groupBy("u").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("u")).limit(nUsers).select("u")
+    val uf = userF.join(probe, "u")
+      .select(col("u"), col("f1").as("uf1"), col("f2").as("uf2"))
+    val seen = rt.join(probe, "u").select("u", "i")
+    itemF.crossJoin(broadcast(uf))
+      .join(seen, Seq("u", "i"), "left_anti")
+      .withColumn("score",
+        col("uf1") * col("f1") + col("uf2") * col("f2"))
+      .withColumn("rank", row_number().over(Window.partitionBy("u")
+        .orderBy(desc("score"), asc("i"))))
+      .filter(col("rank") <= k)
+      .select(col("u").as("custkey"), col("rank").cast("long").as("rank"),
+        col("i").as("partkey"), col("score"))
+      .orderBy("custkey", "rank")
+  }
+
+  /** Five unseen parts per most-active customer, scored by the q336
+    * rank-2 model. */
+  def q339AlsRecommend(spark: SparkSession, dir: String): DataFrame =
+    alsRecommendTopK(
+      Tables.lineitem(spark, dir).join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey")),
+      "o_custkey", "l_partkey", "l_quantity", rounds = 2, nUsers = 10,
+      k = 5)
 
   /** Two-way ANOVA with interaction: does factor A, factor B, or their
     * INTERACTION explain the target — the screen that tells a feature
@@ -2454,6 +2510,126 @@ object Ml {
     * half — the earth-mover companion to the q220 PSI gate. */
   def q269Wasserstein(spark: SparkSession, dir: String): DataFrame =
     wassersteinDrift(Tables.events(spark, dir), "ts", "event_type",
+      "value")
+
+  /** Per-(key, value-cent) half-split histogram cells: counts of each
+    * key's first-half (`ca`) and second-half (`cb`) occurrences on the
+    * exact cent grid, the shared reduction for the two-sample distance
+    * family ([[wassersteinDrift]] / [[energyDistanceDrift]] /
+    * [[cramerVonMisesDrift]]). One groupBy to the value-histogram frame;
+    * everything downstream is histogram-sized. */
+  private def halfSplitCells(events: DataFrame, tsCol: String,
+      keyCol: String, valCol: String): DataFrame = {
+    val mm = events.agg(min(unix_micros(col(tsCol))).as("mn"),
+        max(unix_micros(col(tsCol))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    events.crossJoin(broadcast(mm))
+      .select(col(keyCol).as("k"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("v"),
+        (unix_micros(col(tsCol)) < col("mid")).as("isA"))
+      .groupBy("k", "v")
+      .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isA"), 1L).otherwise(0L)).as("cb"))
+  }
+
+  /** Energy distance between each key's first-half and second-half
+    * value distributions (Székely & Rizzo 2004): D² = 2E|X−Y| − E|X−X′|
+    * − E|Y−Y′| — zero iff the distributions are equal, sensitive to ANY
+    * difference (location, scale, shape), where Wasserstein (q269)
+    * measures displacement and KS (q141) only the max CDF gap. Each
+    * E|·| is an all-pairs |x−y| mean, but never materialized as pairs:
+    * on the sorted cent histogram, Σ_pairs |x−y| = Σ_k c_k·(v_k·C_{<k}
+    * − S_{<k}) via prefix counts/sums — histogram-sized windows keyed
+    * per event type, exact DECIMAL(38,0) integers throughout, one
+    * double finish per key. The same rank algebra that killed the
+    * raw-row windows (q284/q224): per-task work scales with the value
+    * DOMAIN, not the row count. */
+  def energyDistanceDrift(events: DataFrame, tsCol: String,
+      keyCol: String, valCol: String): DataFrame = {
+    val cells = halfSplitCells(events, tsCol, keyCol, valCol)
+    val wPrev = Window.partitionBy("k").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("pca", coalesce(sum(d380(col("ca"))).over(wPrev),
+        lit(0).cast("decimal(38,0)")))
+      .withColumn("pcb", coalesce(sum(d380(col("cb"))).over(wPrev),
+        lit(0).cast("decimal(38,0)")))
+      .withColumn("psa",
+        coalesce(sum(d380(col("ca")) * d380(col("v"))).over(wPrev),
+          lit(0).cast("decimal(38,0)")))
+      .withColumn("psb",
+        coalesce(sum(d380(col("cb")) * d380(col("v"))).over(wPrev),
+          lit(0).cast("decimal(38,0)")))
+      .groupBy(col("k").as(keyCol))
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+        // each cross pair (x∈A, y∈B) counted once at its larger value
+        sum(d380(col("ca")) * (d380(col("v")) * col("pcb") - col("psb")) +
+            d380(col("cb")) * (d380(col("v")) * col("pca") - col("psa")))
+          .cast("decimal(38,0)").as("sab"),
+        sum(d380(col("ca")) * (d380(col("v")) * col("pca") - col("psa")))
+          .cast("decimal(38,0)").as("saa"),
+        sum(d380(col("cb")) * (d380(col("v")) * col("pcb") - col("psb")))
+          .cast("decimal(38,0)").as("sbb"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col(keyCol), col("n_a"), col("n_b"),
+        // E|X−Y| − ordered-pair means in cents → dollars at /100
+        (dd(col("sab")) / (dd(col("n_a")) * dd(col("n_b"))) / 100.0)
+          .as("e_xy"),
+        (dd(col("saa")) * 2.0 / (dd(col("n_a")) * dd(col("n_a"))) / 100.0)
+          .as("e_xx"),
+        (dd(col("sbb")) * 2.0 / (dd(col("n_b")) * dd(col("n_b"))) / 100.0)
+          .as("e_yy"))
+      .withColumn("energy", col("e_xy") * 2.0 - col("e_xx") - col("e_yy"))
+      .orderBy(keyCol)
+  }
+
+  /** How differently is each event type's value distributed half-over-
+    * half, by the all-pairs energy metric — completes the drift battery
+    * (PSI q220 bins, KS q141 max-gap, W1 q269 displacement, JS q263
+    * information). */
+  def q342EnergyDistance(spark: SparkSession, dir: String): DataFrame =
+    energyDistanceDrift(Tables.events(spark, dir), "ts", "event_type",
+      "value")
+
+  /** Two-sample Cramér–von Mises criterion per key (Anderson 1962):
+    * T = nm/N² · Σ_{z ∈ pooled} (F_A(z) − F_B(z))² — the whole-CDF
+    * integral test where KS (q141) takes only the max gap, so T sees
+    * cumulative small departures KS misses. On the cent histogram the
+    * pooled-point sum is Σ_k (a_k+b_k)·(cumA_k·m − cumB_k·n)² / (nm)²,
+    * an exact integer cross-product per cell (the q269 CDF discipline);
+    * T = S/(N²·n·m) is the single double finish. Histogram-sized
+    * windows per key, never raw-row. */
+  def cramerVonMisesDrift(events: DataFrame, tsCol: String,
+      keyCol: String, valCol: String): DataFrame = {
+    val cells = halfSplitCells(events, tsCol, keyCol, valCol)
+    val wCum = Window.partitionBy("k").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("k")
+    cells
+      .withColumn("cuma", sum(d380(col("ca"))).over(wCum))
+      .withColumn("cumb", sum(d380(col("cb"))).over(wCum))
+      .withColumn("na", sum(d380(col("ca"))).over(wTot))
+      .withColumn("nb", sum(d380(col("cb"))).over(wTot))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("gap", (col("cuma") * col("nb") - col("cumb") * col("na"))
+        .cast("decimal(38,0)"))
+      .groupBy(col("k").as(keyCol))
+      .agg(max(col("na")).cast("long").as("n_a"),
+        max(col("nb")).cast("long").as("n_b"),
+        sum((d380(col("ca")) + d380(col("cb"))) * col("gap") * col("gap"))
+          .cast("decimal(38,0)").as("s"))
+      .select(col(keyCol), col("n_a"), col("n_b"),
+        (dd(col("s")) / (dd(col("n_a") + col("n_b")) *
+          dd(col("n_a") + col("n_b")) * dd(col("n_a")) * dd(col("n_b"))))
+          .as("t_stat"))
+      .orderBy(keyCol)
+  }
+
+  /** The CDF-integral drift test on the same half-split contrast as
+    * q269/q342 — flags the types whose whole value distribution moved,
+    * not just its extremes. */
+  def q346CramerVonMises(spark: SparkSession, dir: String): DataFrame =
+    cramerVonMisesDrift(Tables.events(spark, dir), "ts", "event_type",
       "value")
 
   /** Two-sample log-rank test — THE censoring-aware "do these cohorts
@@ -3419,6 +3595,59 @@ object Ml {
       col("l_discount") >= 0.05, "l_extendedprice", // same contrast as q260
       "l_orderkey", r = 32)
 
+  /** Benjamini–Hochberg step-up FDR control over a battery of per-slice
+    * p-values (Benjamini & Hochberg 1995) — the correction every
+    * metrics platform needs once it tests MANY slices at once: sort the
+    * m p-values ascending, p_adj(i) = min(1, min_{j≥i} p_j·m/j), reject
+    * where p_adj ≤ α. The inputs here are [[randomizationTest]]'s EXACT
+    * permutation p-values ((k+1)/(R+1) rationals — no distributional
+    * CDF crosses the engine boundary), so every BH quantity is a fixed
+    * double shape on exact integers and the gate is hash-strict.
+    *
+    * The p-value battery is one fact-table scan; BH itself runs on the
+    * m-row statistic frame (m = slice count — the windows are
+    * model-sized by construction, not data-scaled). */
+  def bhFdr(pvals: DataFrame, groupCol: String, pCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    // No global window anywhere (even an m-row one reads as a scale
+    // smell in the plan audit): the global rank is Rank's range-exchange
+    // composition, and the suffix-min behind the step-up is a triangular
+    // broadcast self-join over the m-row frame — the q304 lower-lag
+    // idiom. m stays a broadcast 1-row total.
+    val m = pvals.agg(count(lit(1)).cast("long").as("m"))
+    val ranked = Rank
+      .globalRankPrefix(pvals, Seq(col(pCol), col(groupCol)), Nil, "rank")
+      .crossJoin(broadcast(m))
+      .withColumn("bh_raw", col(pCol) * dd(col("m")) / dd(col("rank")))
+    val adj = ranked.select(col("rank"), col("bh_raw"))
+      .join(broadcast(ranked.select(col("rank").as("__r2"),
+        col("bh_raw").as("__b2"))), col("__r2") >= col("rank"))
+      .groupBy("rank")
+      .agg(least(lit(1.0), min(col("__b2"))).as("p_adj"))
+    ranked.join(broadcast(adj), "rank")
+      // 0/1 long, not boolean: no declared query outputs a BOOLEAN (the
+      // driver-hash rendering for bools is unproven; ints are)
+      .withColumn("reject", (col("p_adj") <= alpha).cast("long"))
+      .drop("m", "bh_raw") // carry the caller's payload columns through
+      .orderBy("rank")
+  }
+
+  /** The q279 discount contrast fanned out to EVERY part brand (25
+    * slices), BH-corrected at α = 0.10 — which brands' revenue really
+    * moves with discounting once multiplicity is paid for. */
+  def q341BhFdr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val joined = li.join(Tables.part(spark, dir),
+      col("l_partkey") === col("p_partkey"))
+    val p = randomizationTest(joined, "p_brand",
+      col("l_discount") >= 0.05, "l_extendedprice", "l_orderkey", r = 16)
+      .select(col("p_brand"), col("n_extreme"), col("p_value"))
+    bhFdr(p, "p_brand", "p_value", alpha = 0.10)
+      .select(col("p_brand"), col("rank"), col("n_extreme"),
+        col("p_value"), col("p_adj"), col("reject"))
+  }
+
   /** McNemar's test — the PAIRED classifier comparison (accuracy deltas
     * on the same rows mislead when errors overlap): only the discordant
     * counts matter, χ² = (b − c)²/(b + c) with b = A-wrong/B-right,
@@ -3947,6 +4176,10 @@ object Ml {
     "q272_decision_stump" -> (q272DecisionStump _),
     "q335_boosted_stumps" -> (q335BoostedStumps _),
     "q336_als_factors" -> (q336AlsFactors _),
+    "q339_als_recommend" -> (q339AlsRecommend _),
+    "q341_bh_fdr" -> (q341BhFdr _),
+    "q342_energy_distance" -> (q342EnergyDistance _),
+    "q346_cramer_von_mises" -> (q346CramerVonMises _),
     "q279_randomization_test" -> (q279RandomizationTest _),
     "q285_mcnemar" -> (q285Mcnemar _),
     "q268_log_rank" -> (q268LogRank _),
@@ -4309,6 +4542,183 @@ object Ml {
         |  SELECT 'item', if2.i, n, f1, f2
         |  FROM if2 JOIN icnt ON icnt.i = if2.i)
         |ORDER BY kind, id""".stripMargin),
+    "q339_als_recommend" ->
+      ("""WITH rt AS MATERIALIZED (
+        |  SELECT o_custkey AS u, l_partkey AS i,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |if0 AS (
+        |  SELECT i, 1.0 AS f1, CAST((i % 97) - 48 AS DOUBLE) / 97.0 AS f2
+        |  FROM (SELECT DISTINCT i FROM rt)),""".stripMargin + "\n" +
+        Seq(alsStepSql("uf1", "u", "i", "if0"),
+          alsStepSql("if1", "i", "u", "uf1"),
+          alsStepSql("uf2", "u", "i", "if1"),
+          alsStepSql("if2", "i", "u", "uf2")).mkString(",\n") + ",\n" +
+        """probe AS (SELECT u FROM rt GROUP BY u
+        |  ORDER BY COUNT(*) DESC, u LIMIT 10),
+        |sc AS (
+        |  SELECT uf.u, f.i, uf.f1 * f.f1 + uf.f2 * f.f2 AS score
+        |  FROM uf2 uf JOIN probe USING (u) CROSS JOIN if2 f
+        |  WHERE NOT EXISTS (SELECT 1 FROM rt
+        |                    WHERE rt.u = uf.u AND rt.i = f.i)),
+        |rk AS (
+        |  SELECT u, i, score, ROW_NUMBER() OVER
+        |    (PARTITION BY u ORDER BY score DESC, i) AS rnk
+        |  FROM sc)
+        |SELECT u AS custkey, CAST(rnk AS BIGINT) AS rank, i AS partkey,
+        |  score
+        |FROM rk WHERE rnk <= 5 ORDER BY custkey, rank""".stripMargin),
+    "q341_bh_fdr" ->
+      """WITH base AS (
+        |  SELECT p_brand AS g, l_discount >= 0.05 AS arm,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v,
+        |    md5(CAST(l_orderkey AS VARCHAR)) AS h
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |obs AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(v AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT arm THEN CAST(v AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS s0,
+        |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        |  FROM base GROUP BY g
+        |  HAVING SUM(CASE WHEN arm THEN 1 ELSE 0 END) > 0
+        |    AND SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) > 0),
+        |obs2 AS (
+        |  SELECT *, ABS(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS d_obs
+        |  FROM obs),
+        |fan AS (
+        |  SELECT g, v, b,
+        |    ascii(substr(h, CAST(b AS INT) + 1, 1)) <= 55 AS parm
+        |  FROM base CROSS JOIN (SELECT UNNEST(range(0, 16)) AS b)),
+        |reps AS (
+        |  SELECT g, b,
+        |    CAST(SUM(CASE WHEN parm THEN CAST(v AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS t1,
+        |    CAST(SUM(CASE WHEN parm THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(SUM(CASE WHEN NOT parm THEN CAST(v AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS t0,
+        |    CAST(SUM(CASE WHEN NOT parm THEN 1 ELSE 0 END) AS BIGINT) AS m0
+        |  FROM fan GROUP BY g, b
+        |  HAVING SUM(CASE WHEN parm THEN 1 ELSE 0 END) > 0
+        |    AND SUM(CASE WHEN NOT parm THEN 1 ELSE 0 END) > 0),
+        |pv AS (
+        |  SELECT reps.g,
+        |    CAST(SUM(CASE WHEN ABS(CAST(t1 AS DOUBLE) / CAST(m1 AS DOUBLE)
+        |        - CAST(t0 AS DOUBLE) / CAST(m0 AS DOUBLE)) >= d_obs
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+        |    (CAST(SUM(CASE WHEN ABS(CAST(t1 AS DOUBLE) / CAST(m1 AS DOUBLE)
+        |        - CAST(t0 AS DOUBLE) / CAST(m0 AS DOUBLE)) >= d_obs
+        |      THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+        |      / (CAST(COUNT(*) AS DOUBLE) + 1.0) AS p_value
+        |  FROM reps JOIN obs2 ON obs2.g = reps.g
+        |  GROUP BY reps.g),
+        |bh AS (
+        |  SELECT g, n_extreme, p_value,
+        |    ROW_NUMBER() OVER (ORDER BY p_value, g) AS rnk,
+        |    COUNT(*) OVER () AS m
+        |  FROM pv),
+        |adj AS (
+        |  SELECT g, rnk, n_extreme, p_value,
+        |    LEAST(1.0, MIN(p_value * CAST(m AS DOUBLE)
+        |        / CAST(rnk AS DOUBLE))
+        |      OVER (ORDER BY rnk DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS p_adj
+        |  FROM bh)
+        |SELECT g AS p_brand, CAST(rnk AS BIGINT) AS rank, n_extreme,
+        |  p_value, p_adj,
+        |  CAST(CASE WHEN p_adj <= 0.10 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reject
+        |FROM adj ORDER BY rank""".stripMargin,
+    "q342_energy_distance" ->
+      """WITH mm AS (
+        |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM events CROSS JOIN mm GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT *,
+        |    COALESCE(SUM(CAST(ca AS HUGEINT)) OVER w, 0) AS pca,
+        |    COALESCE(SUM(CAST(cb AS HUGEINT)) OVER w, 0) AS pcb,
+        |    COALESCE(SUM(CAST(ca AS HUGEINT)
+        |      * CAST(v AS HUGEINT)) OVER w, 0) AS psa,
+        |    COALESCE(SUM(CAST(cb AS HUGEINT)
+        |      * CAST(v AS HUGEINT)) OVER w, 0) AS psb
+        |  FROM cells
+        |  WINDOW w AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |agg AS (
+        |  SELECT k, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    SUM(CAST(ca AS HUGEINT)
+        |        * (CAST(v AS HUGEINT) * pcb - psb)
+        |      + CAST(cb AS HUGEINT)
+        |        * (CAST(v AS HUGEINT) * pca - psa)) AS sab,
+        |    SUM(CAST(ca AS HUGEINT)
+        |      * (CAST(v AS HUGEINT) * pca - psa)) AS saa,
+        |    SUM(CAST(cb AS HUGEINT)
+        |      * (CAST(v AS HUGEINT) * pcb - psb)) AS sbb
+        |  FROM pre GROUP BY k
+        |  HAVING SUM(ca) > 0 AND SUM(cb) > 0)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CAST(sab AS DOUBLE) / (CAST(n_a AS DOUBLE)
+        |    * CAST(n_b AS DOUBLE)) / 100.0 AS e_xy,
+        |  CAST(saa AS DOUBLE) * 2.0 / (CAST(n_a AS DOUBLE)
+        |    * CAST(n_a AS DOUBLE)) / 100.0 AS e_xx,
+        |  CAST(sbb AS DOUBLE) * 2.0 / (CAST(n_b AS DOUBLE)
+        |    * CAST(n_b AS DOUBLE)) / 100.0 AS e_yy,
+        |  (CAST(sab AS DOUBLE) / (CAST(n_a AS DOUBLE)
+        |    * CAST(n_b AS DOUBLE)) / 100.0) * 2.0
+        |  - CAST(saa AS DOUBLE) * 2.0 / (CAST(n_a AS DOUBLE)
+        |    * CAST(n_a AS DOUBLE)) / 100.0
+        |  - CAST(sbb AS DOUBLE) * 2.0 / (CAST(n_b AS DOUBLE)
+        |    * CAST(n_b AS DOUBLE)) / 100.0 AS energy
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "q346_cramer_von_mises" ->
+      """WITH mm AS (
+        |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM events CROSS JOIN mm GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT *,
+        |    SUM(CAST(ca AS HUGEINT)) OVER wc AS cuma,
+        |    SUM(CAST(cb AS HUGEINT)) OVER wc AS cumb,
+        |    SUM(CAST(ca AS HUGEINT)) OVER wt AS na,
+        |    SUM(CAST(cb AS HUGEINT)) OVER wt AS nb
+        |  FROM cells
+        |  WINDOW wc AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wt AS (PARTITION BY k)),
+        |agg AS (
+        |  SELECT k, CAST(MAX(na) AS BIGINT) AS n_a,
+        |    CAST(MAX(nb) AS BIGINT) AS n_b,
+        |    SUM((CAST(ca AS HUGEINT) + CAST(cb AS HUGEINT))
+        |      * (cuma * nb - cumb * na)
+        |      * (cuma * nb - cumb * na)) AS s
+        |  FROM pre WHERE na > 0 AND nb > 0 GROUP BY k)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CAST(s AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE)
+        |    * CAST(n_a + n_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |    * CAST(n_b AS DOUBLE)) AS t_stat
+        |FROM agg ORDER BY event_type""".stripMargin,
     "q335_boosted_stumps" ->
       ("""WITH b0 AS MATERIALIZED (
         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100

@@ -60,6 +60,35 @@ object Stats {
           (col("__minrc") - 1).cast("double"))).as("cramers_v"))
   }
 
+  /** G-test of independence (log-likelihood ratio, Sokal & Rohlf 1981)
+    * over the same contingency reduction as [[chiSquare]]:
+    * G = 2·Σ O·ln(O/E). Unlike χ², additive across partitions of the
+    * table (the property that makes it the right screen when cells
+    * will later be pooled or drilled), and unlike χ² the zero cells
+    * contribute EXACTLY 0 — so only observed cells are scanned, no
+    * zero-filled grid. Cell counts and margins are exact integers; each
+    * O·ln(O/E) term is DECIMAL-quantized before the order-free sum (the
+    * [[chiSquare]] float discipline; ln crosses the engine boundary at
+    * well under the quantization step). */
+  def gTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val obs = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val ra = obs.groupBy("__a").agg(sum("__o").as("__ra"))
+    val cb = obs.groupBy("__b").agg(sum("__o").as("__cb"))
+    val e = dd(col("__ra")) * dd(col("__cb")) / dd(col("__n"))
+    val tot = obs.agg(sum(col("__o")).cast("long").as("__n"))
+    obs.join(broadcast(ra), "__a").join(broadcast(cb), "__b")
+      .crossJoin(broadcast(tot)) // 1-row total — no global window
+      .withColumn("__term",
+        (lit(2.0) * dd(col("__o")) * log(dd(col("__o")) / e))
+          .cast("decimal(38,12)"))
+      .agg(sum(col("__term")).cast("double").as("g_stat"),
+        ((countDistinct(col("__a")) - 1) *
+          (countDistinct(col("__b")) - 1)).as("dof"),
+        max(col("__n")).as("n"))
+  }
+
   /** Equi-depth (equal-frequency) histogram of `valCol` per group: `k`
     * buckets of near-equal row count via `ntile` over the (value, tie)
     * total order — the optimizer-statistics primitive (selectivity
@@ -291,6 +320,11 @@ object Stats {
     * for E, V. */
   def q166ChiSquare(spark: SparkSession, dir: String): DataFrame =
     chiSquare(Tables.lineitem(spark, dir), "l_returnflag", "l_linestatus")
+
+  /** Independence of order priority × order status by log-likelihood
+    * ratio — the additive companion to q166's χ². */
+  def q340GTest(spark: SparkSession, dir: String): DataFrame =
+    gTest(Tables.orders(spark, dir), "o_orderpriority", "o_orderstatus")
 
   /** 8-bucket equi-depth histogram of extended price per return flag.
     * The (price, orderkey, linenumber) order is total, so ntile — and
@@ -1134,6 +1168,68 @@ object Stats {
     grubbsTest(Tables.orders(spark, dir), "o_orderpriority",
       "o_totalprice", "o_orderkey")
 
+  /** Generalized ESD outlier trajectory (Rosner 1983) — [[grubbsTest]]
+    * iterated: remove the most extreme point, recompute the moments
+    * WITHOUT it, test the next — the multi-outlier procedure Grubbs
+    * alone gets wrong through masking (a second outlier inflates s and
+    * hides the first). `rounds` is a small constant; each round is one
+    * exact-moment aggregation plus an argmax picked by a struct-max
+    * groupBy (max(dev), min(key) on ties — NO raw-row rank window), and
+    * removal is a broadcast anti-join on the (group, key) winners.
+    * Winners pin via localCheckpoint so the next round's exclusion sees
+    * exactly one materialization. R_i is the Grubbs shape on the
+    * post-removal moments; `keyCol` must be row-unique (tie-break and
+    * anti-join key). */
+  def esdOutliers(df: DataFrame, groupCol: String, valCol: String,
+      keyCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 5, s"rounds must be in [1,5]: $rounds")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val base = df.select(col(groupCol).as("g"),
+      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("x"),
+      col(keyCol).as("key"))
+    var cur = base
+    val outs = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val stats = cur.groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(d(col("x"))).cast("decimal(38,0)").as("s"),
+          sum(d(col("x")) * d(col("x"))).cast("decimal(38,0)").as("ss"))
+        .filter(col("n") >= 3)
+        .localCheckpoint(true) // read twice below: pick + score
+      val winner = cur.join(broadcast(stats), "g")
+        .withColumn("dev",
+          abs(d(col("x")) * d(col("n")) - col("s")).cast("decimal(38,0)"))
+        .groupBy("g")
+        .agg(max(struct(col("dev"), (-col("key")).as("nk"), col("x")))
+          .as("w"))
+        .select(col("g"), col("w.dev").as("dev"), (-col("w.nk")).as("key"),
+          col("w.x").as("x"))
+        .localCheckpoint(true)
+      outs += winner.join(broadcast(stats), "g")
+        .select(col("g"), lit(r.toLong).as("round"), col("n"),
+          col("key").as("outlier_key"),
+          (dd(col("x")) / 100.0).as("outlier_value"),
+          (dd(col("s")) / dd(col("n")) / 100.0).as("mean"),
+          // all-equal degenerate: s² = n·ss ⇒ zero spread, R undefined
+          when(d(col("n")) * col("ss") > col("s") * col("s"),
+            (dd(col("dev")) / dd(col("n"))) /
+              sqrt(dd(d(col("n")) * col("ss") - col("s") * col("s")) /
+                (dd(col("n")) * dd(col("n") - 1)))).as("r_stat"))
+      cur = cur.join(winner.select("g", "key"), Seq("g", "key"),
+        "left_anti")
+    }
+    outs.result().reduce(_ unionAll _)
+      .withColumnRenamed("g", groupCol)
+      .orderBy(groupCol, "round")
+  }
+
+  /** Three-round ESD sweep of order values per priority class — the
+    * masking-proof extension of q276. */
+  def q344EsdOutliers(spark: SparkSession, dir: String): DataFrame =
+    esdOutliers(Tables.orders(spark, dir), "o_orderpriority",
+      "o_totalprice", "o_orderkey", rounds = 3)
+
   /** Forecast-accuracy battery for the seasonal-naive backtest
     * ([[seasonalNaiveBacktest]]'s MAE/bias, completed with RMSE, MAPE and
     * MASE — the scale-free score forecasters actually compare on:
@@ -1534,6 +1630,171 @@ object Stats {
     crossCorrelation(Tables.events(spark, dir), "ts",
       col("event_type") === "purchase", cents,
       col("event_type") === "click", lit(1L), maxLag = 6)
+  }
+
+  /** AR(2) fit by Yule–Walker on the zero-filled daily grid, plus the
+    * 1/2/3-step-ahead forecasts — the minimal autoregressive forecaster
+    * (and the unit the Box–Jenkins loop iterates): biased
+    * autocovariances c_k share one exact integer numerator family
+    * A_k = n²·Σx_t x_{t+k} − n·s·(H_k+T_k) + (n−k)·s² (the q304 ACF
+    * algebra), so ρ₁, ρ₂ are ratios of exact DECIMAL(38,0) integers and
+    * φ₁ = ρ₁(1−ρ₂)/(1−ρ₁²), φ₂ = (ρ₂−ρ₁²)/(1−ρ₁²), the innovation-
+    * variance share 1−φ₁ρ₁−φ₂ρ₂ and the recursive forecasts are fixed
+    * double shapes on them. Scales with the calendar span (grid-sized
+    * joins), not the fact-table row count. */
+  def ar2YuleWalker(df: DataFrame, dateCol: String, valCol: String)
+      : DataFrame = {
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val daily0 = df
+      .select(datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("d").agg(sum("vc").as("x"))
+    val span = daily0.agg(min("d").as("mn"), max("d").as("mx"))
+    val daily = span.select(explode(sequence(col("mn"), col("mx"))).as("d"))
+      .join(daily0, Seq("d"), "left").na.fill(0L, Seq("x"))
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(d380(col("x"))).cast("decimal(38,0)").as("s"),
+      sum(d380(col("x")) * d380(col("x"))).cast("decimal(38,0)").as("sxx"))
+    val lags = daily.sparkSession.range(1, 3).select(col("id").as("k"))
+    val pairs = daily.crossJoin(broadcast(lags))
+      .join(daily.select(col("d").as("d2"), col("x").as("x2")),
+        col("d2") === col("d") + col("k"))
+      .groupBy("k").agg(
+        sum(d380(col("x")) * d380(col("x2"))).cast("decimal(38,0)")
+          .as("sxy"),
+        sum(d380(col("x"))).cast("decimal(38,0)").as("hk"),
+        sum(d380(col("x2"))).cast("decimal(38,0)").as("tk"))
+    val ak = (sxy: Column, hk: Column, tk: Column, k: Int) =>
+      (d380(col("n")) * d380(col("n")) * sxy
+        - d380(col("n")) * col("s") * (hk + tk)
+        + (d380(col("n")) - lit(k)) * col("s") * col("s"))
+        .cast("decimal(38,0)")
+    val l1 = pairs.filter(col("k") === 1)
+      .select(col("sxy").as("sxy1"), col("hk").as("h1"), col("tk").as("t1"))
+    val l2 = pairs.filter(col("k") === 2)
+      .select(col("sxy").as("sxy2"), col("hk").as("h2"), col("tk").as("t2"))
+    val tail = daily.crossJoin(broadcast(daily.agg(max("d").as("mx"))))
+      .filter(col("d") >= col("mx") - 1)
+      .agg(sum(when(col("d") === col("mx"), col("x")).otherwise(0L))
+        .as("xl"),
+        sum(when(col("d") === col("mx") - 1, col("x")).otherwise(0L))
+          .as("xl1"))
+    val one = m.crossJoin(broadcast(l1)).crossJoin(broadcast(l2))
+      .crossJoin(broadcast(tail))
+      .withColumn("a0", (d380(col("n")) * d380(col("n")) * col("sxx")
+        - d380(col("n")) * col("s") * col("s")).cast("decimal(38,0)"))
+      .withColumn("a1", ak(col("sxy1"), col("h1"), col("t1"), 1))
+      .withColumn("a2", ak(col("sxy2"), col("h2"), col("t2"), 2))
+      .withColumn("rho1", dd(col("a1")) / dd(col("a0")))
+      .withColumn("rho2", dd(col("a2")) / dd(col("a0")))
+      .withColumn("den", lit(1.0) - col("rho1") * col("rho1"))
+      .withColumn("phi1", col("rho1") * (lit(1.0) - col("rho2")) / col("den"))
+      .withColumn("phi2", (col("rho2") - col("rho1") * col("rho1")) / col("den"))
+      .withColumn("mu", dd(col("s")) / dd(col("n")))
+      .withColumn("f1", col("mu") + col("phi1") * (dd(col("xl")) - col("mu"))
+        + col("phi2") * (dd(col("xl1")) - col("mu")))
+      .withColumn("f2", col("mu") + col("phi1") * (col("f1") - col("mu"))
+        + col("phi2") * (dd(col("xl")) - col("mu")))
+      .withColumn("f3", col("mu") + col("phi1") * (col("f2") - col("mu"))
+        + col("phi2") * (col("f1") - col("mu")))
+    one.select(col("n"), col("rho1"), col("rho2"), col("phi1"), col("phi2"),
+      (lit(1.0) - col("phi1") * col("rho1") - col("phi2") * col("rho2"))
+        .as("innov_share"),
+      (dd(col("xl")) / 100.0).as("last_value"),
+      (col("f1") / 100.0).as("forecast_1"),
+      (col("f2") / 100.0).as("forecast_2"),
+      (col("f3") / 100.0).as("forecast_3"))
+  }
+
+  /** Tomorrow / day-after / day-3 revenue forecasts from the AR(2) the
+    * daily order series implies. */
+  def q343Ar2Forecast(spark: SparkSession, dir: String): DataFrame =
+    ar2YuleWalker(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
+
+  /** Granger-causality screen between two event series on the
+    * zero-filled hourly grid (Granger 1969): does x's past improve the
+    * 1-lag autoregression of y — F = (SSR_r − SSR_f)/(SSR_f/(m−3)) from
+    * the nested OLS pair y_t ~ y_{t−1} vs y_t ~ y_{t−1} + x_{t−1}, run
+    * in BOTH directions (the asymmetry is the signal; q320's CCF is
+    * symmetric and can't orient the arrow). All nine raw moments of
+    * (y, y₁, x₁) accumulate exactly in DECIMAL(38,0) over the lag-
+    * joined grid; centered sums, the 2×2 solve and both SSRs are fixed
+    * double shapes on them. Grid-sized work, two statistic rows out. */
+  def grangerScreen(events: DataFrame, tsCol: String, xCond: Column,
+      xVal: Column, yCond: Column, yVal: Column): DataFrame = {
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val hourly0 = events
+      .select(expr(s"unix_micros($tsCol) div 3600000000").as("h"),
+        when(xCond, xVal).otherwise(0L).as("xv"),
+        when(yCond, yVal).otherwise(0L).as("yv"))
+      .groupBy("h").agg(sum("xv").as("x"), sum("yv").as("y"))
+    val span = hourly0.agg(min("h").as("mn"), max("h").as("mx"))
+    val grid = span.select(explode(sequence(col("mn"), col("mx"))).as("h"))
+      .join(hourly0, Seq("h"), "left").na.fill(0L, Seq("x", "y"))
+      .localCheckpoint(true) // two directional frames read one grid
+    val lagged = grid.join(
+      grid.select(col("h").as("hp"), col("x").as("xp"), col("y").as("yp")),
+      col("hp") === col("h") - 1)
+    def direction(name: String, yc: Column, y1: Column, x1: Column)
+        : DataFrame =
+      lagged.agg(count(lit(1)).as("m"),
+          sum(d380(yc)).cast("decimal(38,0)").as("sy"),
+          sum(d380(y1)).cast("decimal(38,0)").as("sa"),
+          sum(d380(x1)).cast("decimal(38,0)").as("sb"),
+          sum(d380(yc) * d380(yc)).cast("decimal(38,0)").as("syy"),
+          sum(d380(yc) * d380(y1)).cast("decimal(38,0)").as("sya"),
+          sum(d380(yc) * d380(x1)).cast("decimal(38,0)").as("syb"),
+          sum(d380(y1) * d380(y1)).cast("decimal(38,0)").as("saa"),
+          sum(d380(y1) * d380(x1)).cast("decimal(38,0)").as("sab"),
+          sum(d380(x1) * d380(x1)).cast("decimal(38,0)").as("sbb"))
+        .withColumn("caa", (d380(col("m")) * col("saa") - col("sa") * col("sa"))
+          .cast("decimal(38,0)"))
+        .withColumn("cab", (d380(col("m")) * col("sab") - col("sa") * col("sb"))
+          .cast("decimal(38,0)"))
+        .withColumn("cbb", (d380(col("m")) * col("sbb") - col("sb") * col("sb"))
+          .cast("decimal(38,0)"))
+        .withColumn("cya", (d380(col("m")) * col("sya") - col("sy") * col("sa"))
+          .cast("decimal(38,0)"))
+        .withColumn("cyb", (d380(col("m")) * col("syb") - col("sy") * col("sb"))
+          .cast("decimal(38,0)"))
+        .withColumn("cyy", (d380(col("m")) * col("syy") - col("sy") * col("sy"))
+          .cast("decimal(38,0)"))
+        // restricted: y ~ y1; full adds x1. SSR×m² stays a fixed double
+        // shape on the exact centered sums (their squares pass 10³⁸).
+        .withColumn("ssr_r_m", dd(col("cyy")) - dd(col("cya")) * dd(col("cya"))
+          / dd(col("caa")))
+        .withColumn("det", dd(col("caa")) * dd(col("cbb"))
+          - dd(col("cab")) * dd(col("cab")))
+        .withColumn("b1", (dd(col("cbb")) * dd(col("cya"))
+          - dd(col("cab")) * dd(col("cyb"))) / col("det"))
+        .withColumn("b2", (dd(col("caa")) * dd(col("cyb"))
+          - dd(col("cab")) * dd(col("cya"))) / col("det"))
+        .withColumn("ssr_f_m", dd(col("cyy")) - col("b1") * dd(col("cya"))
+          - col("b2") * dd(col("cyb")))
+        .select(lit(name).as("direction"), col("m"),
+          // SSR = (Cyy − β·C)/m, reported in squared value units (/10⁴
+          // converts cents² → dollars²); the m and unit scales cancel
+          // inside F
+          (col("ssr_r_m") / dd(col("m")) / 1e4).as("ssr_restricted"),
+          (col("ssr_f_m") / dd(col("m")) / 1e4).as("ssr_full"),
+          // perfect-fit guard: ssr_f = 0 exactly would divide by zero
+          // (ANSI); an exact fit means unbounded evidence -> NULL
+          when(col("ssr_f_m") > 0, (col("ssr_r_m") - col("ssr_f_m")) /
+            (col("ssr_f_m") / (dd(col("m")) - 3.0))).as("f_stat"))
+    direction("x_to_y", col("y"), col("yp"), col("xp"))
+      .unionAll(direction("y_to_x", col("x"), col("xp"), col("yp")))
+      .orderBy("direction")
+  }
+
+  /** Do hourly clicks Granger-cause hourly purchase revenue, or the
+    * reverse — orients the q320 lead/lag arrow. */
+  def q347Granger(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    grangerScreen(Tables.events(spark, dir), "ts",
+      col("event_type") === "click", lit(1L),
+      col("event_type") === "purchase", cents)
   }
 
   /** Seasonality detection by FOLDING, not Fourier: for each candidate
@@ -2008,6 +2269,10 @@ object Stats {
     "q186_abc_classes" -> (q186Abc _),
     "q187_ma_crossover" -> (q187MaCross _),
     "q166_chi_square" -> (q166ChiSquare _),
+    "q340_g_test" -> (q340GTest _),
+    "q343_ar2_forecast" -> (q343Ar2Forecast _),
+    "q344_esd_outliers" -> (q344EsdOutliers _),
+    "q347_granger" -> (q347Granger _),
     "q167_equidepth_hist" -> (q167EquidepthHist _),
     "q168_ab_test" -> (q168AbTest _),
     "q169_cusum" -> (q169Cusum _),
@@ -2015,7 +2280,199 @@ object Stats {
     "q175_rfm" -> (q175Rfm _),
     "q176_gini" -> (q176Gini _))
 
+  /** One ESD oracle round: moments over the surviving rows b{r−1},
+    * winner pick by (dev desc, key), remainder b{r}. */
+  private def esdRoundSql(r: Int): String =
+    s"""s$r AS (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+       |    CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+       |      AS ss
+       |  FROM b${r - 1} GROUP BY g HAVING COUNT(*) >= 3),
+       |w$r AS (
+       |  SELECT * FROM (
+       |    SELECT b.g, b.k, b.x, s.n, s.s, s.ss,
+       |      ABS(CAST(b.x AS HUGEINT) * CAST(s.n AS HUGEINT) - s.s) AS dev,
+       |      ROW_NUMBER() OVER (PARTITION BY b.g
+       |        ORDER BY ABS(CAST(b.x AS HUGEINT) * CAST(s.n AS HUGEINT)
+       |          - s.s) DESC, b.k) AS rk
+       |    FROM b${r - 1} b JOIN s$r s USING (g)) z
+       |  WHERE rk = 1),
+       |b$r AS (
+       |  SELECT b.g, b.x, b.k FROM b${r - 1} b
+       |  LEFT JOIN w$r ON w$r.g = b.g AND w$r.k = b.k
+       |  WHERE w$r.k IS NULL)""".stripMargin
+
+  private def esdRowSql(r: Int): String =
+    s"""SELECT g AS o_orderpriority, CAST($r AS BIGINT) AS round, n,
+       |  k AS outlier_key, CAST(x AS DOUBLE) / 100.0 AS outlier_value,
+       |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+       |  CASE WHEN CAST(n AS HUGEINT) * ss > s * s THEN
+       |    (CAST(dev AS DOUBLE) / CAST(n AS DOUBLE))
+       |      / sqrt(CAST(CAST(n AS HUGEINT) * ss - s * s AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) END AS r_stat
+       |FROM w$r""".stripMargin
+
+  /** One Granger direction: exact moments of (y, y₁, x₁) over the
+    * lagged grid, centered sums in HUGEINT, double finish mirroring
+    * [[grangerScreen]]'s expression shapes. */
+  private def grangerDirSql(name: String, yc: String, y1: String,
+      x1: String): String =
+    s"""  SELECT '$name' AS direction, CAST(m AS BIGINT) AS m,
+       |    ssr_r_m / CAST(m AS DOUBLE) / 10000.0 AS ssr_restricted,
+       |    ssr_f_m / CAST(m AS DOUBLE) / 10000.0 AS ssr_full,
+       |    CASE WHEN ssr_f_m > 0 THEN (ssr_r_m - ssr_f_m)
+       |      / (ssr_f_m / (CAST(m AS DOUBLE) - 3.0)) END AS f_stat
+       |  FROM (
+       |    SELECT m,
+       |      CAST(cyy AS DOUBLE) - CAST(cya AS DOUBLE) * CAST(cya AS DOUBLE)
+       |        / CAST(caa AS DOUBLE) AS ssr_r_m,
+       |      CAST(cyy AS DOUBLE)
+       |        - (CAST(cbb AS DOUBLE) * CAST(cya AS DOUBLE)
+       |           - CAST(cab AS DOUBLE) * CAST(cyb AS DOUBLE))
+       |          / (CAST(caa AS DOUBLE) * CAST(cbb AS DOUBLE)
+       |             - CAST(cab AS DOUBLE) * CAST(cab AS DOUBLE))
+       |          * CAST(cya AS DOUBLE)
+       |        - (CAST(caa AS DOUBLE) * CAST(cyb AS DOUBLE)
+       |           - CAST(cab AS DOUBLE) * CAST(cya AS DOUBLE))
+       |          / (CAST(caa AS DOUBLE) * CAST(cbb AS DOUBLE)
+       |             - CAST(cab AS DOUBLE) * CAST(cab AS DOUBLE))
+       |          * CAST(cyb AS DOUBLE) AS ssr_f_m
+       |    FROM (
+       |      SELECT m,
+       |        m * saa - sa * sa AS caa, m * sab - sa * sb AS cab,
+       |        m * sbb - sb * sb AS cbb, m * sya - sy * sa AS cya,
+       |        m * syb - sy * sb AS cyb, m * syy - sy * sy AS cyy
+       |      FROM (
+       |        SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+       |          CAST(SUM($yc) AS HUGEINT) AS sy,
+       |          CAST(SUM($y1) AS HUGEINT) AS sa,
+       |          CAST(SUM($x1) AS HUGEINT) AS sb,
+       |          CAST(SUM($yc * $yc) AS HUGEINT) AS syy,
+       |          CAST(SUM($yc * $y1) AS HUGEINT) AS sya,
+       |          CAST(SUM($yc * $x1) AS HUGEINT) AS syb,
+       |          CAST(SUM($y1 * $y1) AS HUGEINT) AS saa,
+       |          CAST(SUM($y1 * $x1) AS HUGEINT) AS sab,
+       |          CAST(SUM($x1 * $x1) AS HUGEINT) AS sbb
+       |        FROM lagged) mom) cen) fin""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q340_g_test" ->
+      """WITH obs AS (
+        |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY a),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM obs GROUP BY b),
+        |t AS (
+        |  SELECT obs.a, obs.b, obs.o,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n,
+        |    CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+        |      / CAST(SUM(o) OVER () AS DOUBLE) AS e
+        |  FROM obs JOIN ra USING (a) JOIN cb USING (b))
+        |SELECT
+        |  CAST(SUM(CAST(2.0 * CAST(o AS DOUBLE)
+        |    * ln(CAST(o AS DOUBLE) / e) AS DECIMAL(38,12))) AS DOUBLE)
+        |    AS g_stat,
+        |  CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
+        |    AS dof,
+        |  MAX(n) AS n
+        |FROM t""".stripMargin,
+    "q343_ar2_forecast" ->
+      """WITH daily0 AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |span AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily0),
+        |grid AS (
+        |  SELECT gs.d, CAST(COALESCE(daily0.x, 0) AS HUGEINT) AS x
+        |  FROM (SELECT unnest(generate_series((SELECT mn FROM span),
+        |    (SELECT mx FROM span))) AS d) gs
+        |  LEFT JOIN daily0 ON daily0.d = gs.d),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS s,
+        |    CAST(SUM(x * x) AS HUGEINT) AS sxx
+        |  FROM grid),
+        |p1 AS (SELECT CAST(SUM(a.x * b.x) AS HUGEINT) AS sxy1,
+        |    CAST(SUM(a.x) AS HUGEINT) AS h1,
+        |    CAST(SUM(b.x) AS HUGEINT) AS t1
+        |  FROM grid a JOIN grid b ON b.d = a.d + 1),
+        |p2 AS (SELECT CAST(SUM(a.x * b.x) AS HUGEINT) AS sxy2,
+        |    CAST(SUM(a.x) AS HUGEINT) AS h2,
+        |    CAST(SUM(b.x) AS HUGEINT) AS t2
+        |  FROM grid a JOIN grid b ON b.d = a.d + 2),
+        |tl AS (SELECT
+        |    CAST(SUM(CASE WHEN d = (SELECT mx FROM span) THEN x ELSE 0 END)
+        |      AS HUGEINT) AS xl,
+        |    CAST(SUM(CASE WHEN d = (SELECT mx FROM span) - 1 THEN x
+        |      ELSE 0 END) AS HUGEINT) AS xl1
+        |  FROM grid),
+        |c AS (SELECT n, s, xl, xl1,
+        |    n * n * sxx - n * s * s AS a0,
+        |    n * n * sxy1 - n * s * (h1 + t1) + (n - 1) * s * s AS a1,
+        |    n * n * sxy2 - n * s * (h2 + t2) + (n - 2) * s * s AS a2
+        |  FROM m CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN tl),
+        |d1 AS (SELECT n, s, xl, xl1,
+        |    CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE) AS rho1,
+        |    CAST(a2 AS DOUBLE) / CAST(a0 AS DOUBLE) AS rho2
+        |  FROM c),
+        |d2 AS (SELECT *, 1.0 - rho1 * rho1 AS den FROM d1),
+        |d3 AS (SELECT *,
+        |    rho1 * (1.0 - rho2) / den AS phi1,
+        |    (rho2 - rho1 * rho1) / den AS phi2,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+        |  FROM d2),
+        |d4 AS (SELECT *,
+        |    mu + phi1 * (CAST(xl AS DOUBLE) - mu)
+        |       + phi2 * (CAST(xl1 AS DOUBLE) - mu) AS f1
+        |  FROM d3),
+        |d5 AS (SELECT *,
+        |    mu + phi1 * (f1 - mu) + phi2 * (CAST(xl AS DOUBLE) - mu) AS f2
+        |  FROM d4),
+        |d6 AS (SELECT *,
+        |    mu + phi1 * (f2 - mu) + phi2 * (f1 - mu) AS f3
+        |  FROM d5)
+        |SELECT CAST(n AS BIGINT) AS n, rho1, rho2, phi1, phi2,
+        |  1.0 - phi1 * rho1 - phi2 * rho2 AS innov_share,
+        |  CAST(xl AS DOUBLE) / 100.0 AS last_value,
+        |  f1 / 100.0 AS forecast_1, f2 / 100.0 AS forecast_2,
+        |  f3 / 100.0 AS forecast_3
+        |FROM d6""".stripMargin,
+    "q344_esd_outliers" ->
+      ("""WITH b0 AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    o_orderkey AS k
+        |  FROM orders),""".stripMargin + "\n" +
+        (1 to 3).map(esdRoundSql).mkString(",\n") + "\n" +
+        (1 to 3).map(esdRowSql).mkString("", "\nUNION ALL\n",
+          "\nORDER BY o_orderpriority, round")),
+    "q347_granger" ->
+      ("""WITH hourly0 AS (
+        |  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |span AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly0),
+        |grid AS (
+        |  SELECT gs.h, CAST(COALESCE(hourly0.x, 0) AS HUGEINT) AS x,
+        |    CAST(COALESCE(hourly0.y, 0) AS HUGEINT) AS y
+        |  FROM (SELECT unnest(generate_series((SELECT mn FROM span),
+        |    (SELECT mx FROM span))) AS h) gs
+        |  LEFT JOIN hourly0 ON hourly0.h = gs.h),
+        |lagged AS (
+        |  SELECT a.x, a.y, b.x AS xp, b.y AS yp
+        |  FROM grid a JOIN grid b ON b.h = a.h - 1)
+        |SELECT * FROM (""".stripMargin + "\n" +
+        grangerDirSql("x_to_y", "y", "yp", "xp") + "\n" +
+        """UNION ALL""" + "\n" +
+        grangerDirSql("y_to_x", "x", "xp", "yp") + "\n" +
+        """) u ORDER BY direction"""),
     "q323_density_islands" ->
       """WITH h AS (
         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
