@@ -308,6 +308,58 @@ object Ml {
     brownForsythe(Tables.orders(spark, dir), "o_orderpriority",
       "o_totalprice")
 
+  /** Bartlett's variance-homogeneity test (Bartlett 1937) — the
+    * normal-theory companion to [[brownForsythe]] (BF is robust to
+    * non-normality, Bartlett is the more powerful screen when normality
+    * holds; a pipeline reports both): χ² = [(N−k)·ln s²_p −
+    * Σ(nᵢ−1)·ln s²ᵢ] / C with the Bartlett correction
+    * C = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1)). Per-group variances
+    * come from exact DECIMAL moments in ONE scan; the ln terms are
+    * per-group fixed double shapes DECIMAL-quantized before the
+    * order-free sum (group-count-sized frame). Scale-invariant in the
+    * value unit, so the cent grid is used as-is. */
+  def bartlett(df: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    val per = df.select(col(groupCol).as("g"),
+      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("x"))
+    val cls = per.groupBy("g")
+      .agg(count(lit(1)).as("nc"), sum(d380(col("x"))).as("sc"),
+        sum(d380(col("x")) * d380(col("x"))).cast("decimal(38,0)")
+          .as("sqc"))
+      .filter(col("nc") >= 2)
+      // s²ᵢ (cents²) as ONE fixed double shape on the exact moments
+      .withColumn("v", dd(d380(col("nc")) * col("sqc") -
+        col("sc") * col("sc")) / (dd(col("nc")) * dd(col("nc") - 1)))
+      .filter(col("v") > 0)
+      .withColumn("lnv",
+        ((dd(col("nc")) - 1.0) * log(col("v"))).cast("decimal(38,12)"))
+      .withColumn("inv",
+        (lit(1.0) / (dd(col("nc")) - 1.0)).cast("decimal(38,15)"))
+      // numerator of the pooled variance, exact: Σ(nᵢ·sqᵢ − sᵢ²)/nᵢ is
+      // not exact — pool on the within-group SS instead: SSW·nᵢ terms
+      .withColumn("ssw",
+        (dd(d380(col("nc")) * col("sqc") - col("sc") * col("sc")) /
+          dd(col("nc"))).cast("decimal(38,6)"))
+    cls.agg(count(lit(1)).as("k"), sum("nc").as("n"),
+        sum(col("ssw")).cast("decimal(38,6)").as("sswsum"),
+        sum(col("lnv")).cast("decimal(38,12)").as("lnsum"),
+        sum(col("inv")).cast("decimal(38,15)").as("invsum"))
+      .filter(col("k") > 1 && col("n") > col("k"))
+      .withColumn("vp", dd(col("sswsum")) / (dd(col("n")) - dd(col("k"))))
+      .withColumn("c", lit(1.0) +
+        (dd(col("invsum")) - lit(1.0) / (dd(col("n")) - dd(col("k")))) /
+          (lit(3.0) * (dd(col("k")) - 1.0)))
+      .select(col("k"), col("n"),
+        (((dd(col("n")) - dd(col("k"))) * log(col("vp")) -
+          dd(col("lnsum"))) / col("c")).as("chi2_bartlett"),
+        (col("k") - 1).as("dof"))
+  }
+
+  /** The q280 variance screen re-run under normal theory: order-value
+    * spread homogeneity across priorities, Bartlett-corrected. */
+  def q349Bartlett(spark: SparkSession, dir: String): DataFrame =
+    bartlett(Tables.orders(spark, dir), "o_orderpriority", "o_totalprice")
+
   /** Distribution-free confidence interval for a per-group mean via a
     * DETERMINISTIC Poisson-style bootstrap: replicate `b`'s weight for a
     * row comes from the `b`-th hex digit of `md5(key)` — ONE hash per
@@ -2632,6 +2684,53 @@ object Ml {
     cramerVonMisesDrift(Tables.events(spark, dir), "ts", "event_type",
       "value")
 
+  /** Two-sample Anderson–Darling statistic per key (Pettitt 1976, the
+    * k = 2 Scholz–Stephens form on the tie-grouped value histogram):
+    * AD = Σ_k (a_k+b_k)·gap_k² / (n·m·cumN_k·(N−cumN_k)) over pooled
+    * cells below the top one — the variance-weighted CDF integral that
+    * up-weights the TAILS where CvM (q346) weights uniformly and KS
+    * (q141) sees only the max; the completion of the CDF-test family
+    * (max / uniform-integral / tail-weighted-integral). gap = cumA·m −
+    * cumB·n is the exact integer CDF cross-product (q269/q346
+    * discipline); each cell's rational is one fixed double shape,
+    * DECIMAL-quantized before the order-free sum. Histogram-sized,
+    * per-key-partitioned windows only. */
+  def andersonDarlingDrift(events: DataFrame, tsCol: String,
+      keyCol: String, valCol: String): DataFrame = {
+    val cells = halfSplitCells(events, tsCol, keyCol, valCol)
+    val wCum = Window.partitionBy("k").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("k")
+    cells
+      .withColumn("cuma", sum(d380(col("ca"))).over(wCum))
+      .withColumn("cumb", sum(d380(col("cb"))).over(wCum))
+      .withColumn("na", sum(d380(col("ca"))).over(wTot))
+      .withColumn("nb", sum(d380(col("cb"))).over(wTot))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("cumn", (col("cuma") + col("cumb")).cast("decimal(38,0)"))
+      .withColumn("nn", (col("na") + col("nb")).cast("decimal(38,0)"))
+      .filter(col("cumn") < col("nn")) // top cell: H = 1 term excluded
+      .withColumn("gap", (col("cuma") * col("nb") - col("cumb") * col("na"))
+        .cast("decimal(38,0)"))
+      .withColumn("term",
+        ((dd(col("ca") + col("cb")) * dd(col("gap")) * dd(col("gap"))) /
+          (dd(col("na")) * dd(col("nb")) * dd(col("cumn")) *
+            dd(col("nn") - col("cumn")))).cast("decimal(38,15)"))
+      .groupBy(col("k").as(keyCol))
+      .agg(max(col("na")).cast("long").as("n_a"),
+        max(col("nb")).cast("long").as("n_b"),
+        sum(col("term")).cast("decimal(38,15)").cast("double")
+          .as("ad_stat"))
+      .orderBy(keyCol)
+  }
+
+  /** Tail-weighted drift per event type on the q269/q342/q346 half-
+    * split contrast — the test that fires first when only the extremes
+    * moved. */
+  def q348AndersonDarling(spark: SparkSession, dir: String): DataFrame =
+    andersonDarlingDrift(Tables.events(spark, dir), "ts", "event_type",
+      "value")
+
   /** Two-sample log-rank test — THE censoring-aware "do these cohorts
     * convert/churn at different speeds" test (Mantel 1966), the
     * significance companion to the q199 Kaplan–Meier curve: comparing
@@ -4180,6 +4279,8 @@ object Ml {
     "q341_bh_fdr" -> (q341BhFdr _),
     "q342_energy_distance" -> (q342EnergyDistance _),
     "q346_cramer_von_mises" -> (q346CramerVonMises _),
+    "q348_anderson_darling" -> (q348AndersonDarling _),
+    "q349_bartlett" -> (q349Bartlett _),
     "q279_randomization_test" -> (q279RandomizationTest _),
     "q285_mcnemar" -> (q285Mcnemar _),
     "q268_log_rank" -> (q268LogRank _),
@@ -4685,6 +4786,85 @@ object Ml {
         |  - CAST(sbb AS DOUBLE) * 2.0 / (CAST(n_b AS DOUBLE)
         |    * CAST(n_b AS DOUBLE)) / 100.0 AS energy
         |FROM agg ORDER BY event_type""".stripMargin,
+    "q348_anderson_darling" ->
+      """WITH mm AS (
+        |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM events CROSS JOIN mm GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT *,
+        |    SUM(CAST(ca AS HUGEINT)) OVER wc AS cuma,
+        |    SUM(CAST(cb AS HUGEINT)) OVER wc AS cumb,
+        |    SUM(CAST(ca AS HUGEINT)) OVER wt AS na,
+        |    SUM(CAST(cb AS HUGEINT)) OVER wt AS nb
+        |  FROM cells
+        |  WINDOW wc AS (PARTITION BY k ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wt AS (PARTITION BY k)),
+        |terms AS (
+        |  SELECT k, na, nb,
+        |    CAST(CAST(ca + cb AS DOUBLE)
+        |      * CAST(cuma * nb - cumb * na AS DOUBLE)
+        |      * CAST(cuma * nb - cumb * na AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |         * CAST(cuma + cumb AS DOUBLE)
+        |         * CAST((na + nb) - (cuma + cumb) AS DOUBLE))
+        |      AS DECIMAL(38,15)) AS term
+        |  FROM pre
+        |  WHERE na > 0 AND nb > 0 AND cuma + cumb < na + nb)
+        |SELECT k AS event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+        |  CAST(MAX(nb) AS BIGINT) AS n_b,
+        |  CAST(CAST(SUM(term) AS DECIMAL(38,15)) AS DOUBLE) AS ad_stat
+        |FROM terms GROUP BY k ORDER BY event_type""".stripMargin,
+    "q349_bartlett" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders),
+        |cls AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS nc,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sc,
+        |    CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+        |      AS sqc
+        |  FROM per GROUP BY g HAVING COUNT(*) >= 2),
+        |cls2 AS (
+        |  SELECT *,
+        |    CAST(CAST(nc AS HUGEINT) * sqc - sc * sc AS DOUBLE)
+        |      / (CAST(nc AS DOUBLE) * CAST(nc - 1 AS DOUBLE)) AS v
+        |  FROM cls),
+        |cls3 AS (
+        |  SELECT *,
+        |    CAST((CAST(nc AS DOUBLE) - 1.0) * ln(v) AS DECIMAL(38,12))
+        |      AS lnv,
+        |    CAST(1.0 / (CAST(nc AS DOUBLE) - 1.0) AS DECIMAL(38,15))
+        |      AS inv,
+        |    CAST(CAST(CAST(nc AS HUGEINT) * sqc - sc * sc AS DOUBLE)
+        |      / CAST(nc AS DOUBLE) AS DECIMAL(38,6)) AS ssw
+        |  FROM cls2 WHERE v > 0),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(nc) AS BIGINT)
+        |      AS n,
+        |    CAST(SUM(ssw) AS DECIMAL(38,6)) AS sswsum,
+        |    CAST(SUM(lnv) AS DECIMAL(38,12)) AS lnsum,
+        |    CAST(SUM(inv) AS DECIMAL(38,15)) AS invsum
+        |  FROM cls3)
+        |SELECT k, n,
+        |  ((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+        |     * ln(CAST(sswsum AS DOUBLE)
+        |         / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |   - CAST(lnsum AS DOUBLE))
+        |  / (1.0 + (CAST(invsum AS DOUBLE)
+        |      - 1.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |     / (3.0 * (CAST(k AS DOUBLE) - 1.0))) AS chi2_bartlett,
+        |  CAST(k - 1 AS BIGINT) AS dof
+        |FROM agg WHERE k > 1 AND n > k""".stripMargin,
     "q346_cramer_von_mises" ->
       """WITH mm AS (
         |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid

@@ -1712,6 +1712,139 @@ object Stats {
   def q343Ar2Forecast(spark: SparkSession, dir: String): DataFrame =
     ar2YuleWalker(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
 
+  /** Simple-exponential-smoothing hyperparameter SWEEP: fold the daily
+    * series once per candidate α ∈ {¼, ½, ¾} and score each by total
+    * one-step-ahead absolute error — the grid-search-as-a-query shape
+    * (candidates fan out as keys and evaluate in parallel; the model
+    * picker reads the smallest `sae_total`). The q308 determinism
+    * contract: the recurrence runs on integer cents with α = q/4 and an
+    * explicit floor — l_t = l_{t−1} + ⌊q·(x_t − l_{t−1})/4⌋ — so the
+    * fold state is exactly reproducible in any engine (q·Δ ≤ 3·|Δ| is
+    * exact in a double, /4 is a power of two); the error sum |x − l| is
+    * plain long arithmetic. One day-grid reduction feeds all arms. */
+  def sesAlphaSweep(df: DataFrame, dateCol: String, valCol: String)
+      : DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val daily0 = df
+      .select(datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("d").agg(sum("vc").as("x"))
+    val span = daily0.agg(min("d").as("mn"), max("d").as("mx"))
+    val grid = span.select(explode(sequence(col("mn"), col("mx"))).as("d"))
+      .join(daily0, Seq("d"), "left").na.fill(0L, Seq("x"))
+    val arr = grid.agg(sort_array(collect_list(struct(col("d"), col("x"))))
+      .as("xs"))
+    val alphas = df.sparkSession.range(1, 4).select(col("id").as("q"))
+    arr.crossJoin(broadcast(alphas))
+      .select(col("q"), size(col("xs")).cast("long").as("n_days"),
+        expr(
+          """aggregate(
+            |  slice(xs, 2, size(xs) - 1),
+            |  named_struct('l', xs[0].x, 's', CAST(0 AS BIGINT)),
+            |  (acc, e) -> named_struct(
+            |    'l', acc.l + CAST(FLOOR(q * (e.x - acc.l) / 4.0)
+            |      AS BIGINT),
+            |    's', acc.s + abs(e.x - acc.l)))""".stripMargin).as("st"))
+      .select(col("q").as("alpha_quarters"), col("n_days"),
+        (dd(col("st.l")) / 100.0).as("level_final"),
+        (dd(col("st.s")) / 100.0).as("sae_total"),
+        (dd(col("st.s")) / (dd(col("n_days")) - 1.0) / 100.0).as("mae"))
+      .orderBy("alpha_quarters")
+  }
+
+  /** Which smoothing weight tracks daily revenue best — the 3-arm SES
+    * sweep a forecast tuner runs before committing a model. */
+  def q350SesSweep(spark: SparkSession, dir: String): DataFrame =
+    sesAlphaSweep(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
+
+  /** Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+    * Mandelbrot & Wallis 1969): split the day grid into disjoint blocks
+    * of w ∈ {16, 32, 64, 128} days, per block compute R = range of the
+    * demeaned prefix sums and S = population σ, then H = the slope of
+    * mean ln(R/S) on ln w — H ≈ ½ is a random walk, > ½ long-range
+    * persistence (revenue momentum), < ½ mean reversion. The demeaned
+    * prefix range stays EXACT integer algebra: dev_j·n_b = cumsum_j·n_b
+    * − j·s_b, so R·n_b = max − min of those; S² comes from the exact
+    * block moments; ln(R/S) is one fixed double shape per block,
+    * DECIMAL-quantized into per-size means, and the 4-point OLS slope
+    * is closed-form on the quantized means. Prefix windows partition by
+    * (size, block) — grid-scaled, never single-partition. */
+  def hurstRs(df: DataFrame, dateCol: String, valCol: String,
+      sizes: Seq[Int] = Seq(16, 32, 64, 128)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 4), s"bad sizes: $sizes")
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val daily0 = df
+      .select(datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("d").agg(sum("vc").as("x"))
+    val span = daily0.agg(min("d").as("mn"), max("d").as("mx"))
+    val grid = span.select(col("mn"),
+        explode(sequence(col("mn"), col("mx"))).as("d"))
+      .join(daily0, Seq("d"), "left").na.fill(0L, Seq("x"))
+      .select((col("d") - col("mn")).as("t"), col("x"))
+      .localCheckpoint(true) // one materialization feeds every size
+    val sz = df.sparkSession.createDataFrame(
+      sizes.map(s => Tuple1(s.toLong))).toDF("w")
+    val blocks = grid.crossJoin(broadcast(sz))
+      .select(col("w"), expr("t div w").as("blk"),
+        expr("t % w").as("j"), col("x"))
+    val wCum = Window.partitionBy("w", "blk").orderBy("j")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = blocks
+      .withColumn("cum", sum(d380(col("x"))).over(wCum))
+      .groupBy("w", "blk")
+      .agg(count(lit(1)).as("nb"),
+        sum(d380(col("x"))).cast("decimal(38,0)").as("sb"),
+        sum(d380(col("x")) * d380(col("x"))).cast("decimal(38,0)")
+          .as("ssb"),
+        collect_list(struct(col("j"), col("cum"))).as("cums"))
+    // dev_j·n_b = cum_j·n_b − (j+1)·s_b needs the block totals, so the
+    // dev range is computed from the collected (j, cum) pairs —
+    // block-width-bounded arrays (≤ max size), exact decimal algebra
+    // inside the higher-order functions, order-insensitive (max/min)
+    val ranged = stats
+      .filter(col("nb") === col("w")) // complete blocks only
+      .withColumn("devs", expr(
+        "transform(cums, c -> c.cum * nb - (c.j + 1) * sb)"))
+      .withColumn("rn", expr("array_max(devs) - array_min(devs)"))
+      .withColumn("s2n",
+        (d380(col("nb")) * col("ssb") - col("sb") * col("sb"))
+          .cast("decimal(38,0)"))
+      .filter(col("s2n") > 0 && col("rn") > 0)
+      // R/S = (rng/n_b) / sqrt(s2n/n_b²) = rng / sqrt(s2n) — one shape
+      .withColumn("lnrs",
+        (log(dd(col("rn")) / sqrt(dd(col("s2n"))))).cast("decimal(38,12)"))
+    val perSize = ranged.groupBy("w")
+      .agg(count(lit(1)).as("n_blocks"),
+        (sum(col("lnrs")).cast("decimal(38,12)").cast("double") /
+          dd(count(lit(1)))).as("mean_ln_rs"))
+      .withColumn("ln_w", log(dd(col("w"))))
+    // 4-point OLS slope on the per-size means: a tiny statistic frame,
+    // but the sums are still DECIMAL-quantized for order-freedom
+    val q15 = (c: Column) => c.cast("decimal(38,15)")
+    val fit = perSize.agg(count(lit(1)).as("np"),
+        sum(q15(col("ln_w"))).cast("decimal(38,15)").as("sx"),
+        sum(q15(col("mean_ln_rs"))).cast("decimal(38,15)").as("sy"),
+        sum(q15(col("ln_w") * col("mean_ln_rs"))).cast("decimal(38,15)")
+          .as("sxy"),
+        sum(q15(col("ln_w") * col("ln_w"))).cast("decimal(38,15)")
+          .as("sxx"))
+      .select(((dd(col("np")) * dd(col("sxy")) -
+        dd(col("sx")) * dd(col("sy"))) /
+        (dd(col("np")) * dd(col("sxx")) -
+          dd(col("sx")) * dd(col("sx")))).as("hurst"))
+    perSize.crossJoin(broadcast(fit))
+      .select(col("w").as("window_days"), col("n_blocks"),
+        col("mean_ln_rs"), col("hurst"))
+      .orderBy("window_days")
+  }
+
+  /** Does daily revenue trend persist or mean-revert — R/S Hurst
+    * exponent over 16–128-day blocks. */
+  def q351Hurst(spark: SparkSession, dir: String): DataFrame =
+    hurstRs(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
+
   /** Granger-causality screen between two event series on the
     * zero-filled hourly grid (Granger 1969): does x's past improve the
     * 1-lag autoregression of y — F = (SSR_r − SSR_f)/(SSR_f/(m−3)) from
@@ -2273,6 +2406,8 @@ object Stats {
     "q343_ar2_forecast" -> (q343Ar2Forecast _),
     "q344_esd_outliers" -> (q344EsdOutliers _),
     "q347_granger" -> (q347Granger _),
+    "q350_ses_sweep" -> (q350SesSweep _),
+    "q351_hurst" -> (q351Hurst _),
     "q167_equidepth_hist" -> (q167EquidepthHist _),
     "q168_ab_test" -> (q168AbTest _),
     "q169_cusum" -> (q169Cusum _),
@@ -2357,6 +2492,104 @@ object Stats {
        |        FROM lagged) mom) cen) fin""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q350_ses_sweep" ->
+      """WITH RECURSIVE daily0 AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |span AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily0),
+        |grid AS (
+        |  SELECT gs.d, CAST(COALESCE(daily0.x, 0) AS BIGINT) AS x
+        |  FROM (SELECT unnest(generate_series((SELECT mn FROM span),
+        |    (SELECT mx FROM span))) AS d) gs
+        |  LEFT JOIN daily0 ON daily0.d = gs.d),
+        |g2 AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, x FROM grid),
+        |nn AS (SELECT CAST(MAX(i) AS BIGINT) AS n FROM g2),
+        |r AS (
+        |  SELECT a.q, CAST(1 AS BIGINT) AS i, g.x AS l,
+        |    CAST(0 AS BIGINT) AS sae
+        |  FROM (SELECT UNNEST([1, 2, 3]) AS q) a JOIN g2 g ON g.i = 1
+        |  UNION ALL
+        |  SELECT r.q, r.i + 1,
+        |    r.l + CAST(FLOOR(r.q * (g.x - r.l) / 4.0) AS BIGINT),
+        |    r.sae + ABS(g.x - r.l)
+        |  FROM r JOIN g2 g ON g.i = r.i + 1)
+        |SELECT CAST(q AS BIGINT) AS alpha_quarters,
+        |  (SELECT n FROM nn) AS n_days,
+        |  CAST(l AS DOUBLE) / 100.0 AS level_final,
+        |  CAST(sae AS DOUBLE) / 100.0 AS sae_total,
+        |  CAST(sae AS DOUBLE) / (CAST((SELECT n FROM nn) AS DOUBLE) - 1.0)
+        |    / 100.0 AS mae
+        |FROM r WHERE i = (SELECT n FROM nn)
+        |ORDER BY alpha_quarters""".stripMargin,
+    "q351_hurst" ->
+      """WITH daily0 AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |span AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily0),
+        |grid AS (
+        |  SELECT gs.d - (SELECT mn FROM span) AS t,
+        |    CAST(COALESCE(daily0.x, 0) AS BIGINT) AS x
+        |  FROM (SELECT unnest(generate_series((SELECT mn FROM span),
+        |    (SELECT mx FROM span))) AS d) gs
+        |  LEFT JOIN daily0 ON daily0.d = gs.d),
+        |blocks AS (
+        |  SELECT w, t // w AS blk, t % w AS j, x
+        |  FROM grid CROSS JOIN (SELECT UNNEST([16, 32, 64, 128]) AS w) s),
+        |cum AS (
+        |  SELECT *, SUM(CAST(x AS HUGEINT))
+        |    OVER (PARTITION BY w, blk ORDER BY j
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM blocks),
+        |st AS (
+        |  SELECT w, blk, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sb,
+        |    CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+        |      AS ssb
+        |  FROM blocks GROUP BY 1, 2),
+        |dv AS (
+        |  SELECT c.w, c.blk,
+        |    MAX(c.cum * s.nb - (c.j + 1) * s.sb)
+        |      - MIN(c.cum * s.nb - (c.j + 1) * s.sb) AS rn
+        |  FROM cum c JOIN st s USING (w, blk) GROUP BY 1, 2),
+        |rb AS (
+        |  SELECT s.w, dv.rn,
+        |    CAST(s.nb AS HUGEINT) * s.ssb - s.sb * s.sb AS s2n
+        |  FROM st s JOIN dv USING (w, blk) WHERE s.nb = s.w),
+        |lnb AS (
+        |  SELECT w, CAST(ln(CAST(rn AS DOUBLE) / sqrt(CAST(s2n AS DOUBLE)))
+        |    AS DECIMAL(38,12)) AS lnrs
+        |  FROM rb WHERE s2n > 0 AND rn > 0),
+        |ps AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(CAST(SUM(lnrs) AS DECIMAL(38,12)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mean_ln_rs
+        |  FROM lnb GROUP BY w),
+        |ps2 AS (SELECT *, ln(CAST(w AS DOUBLE)) AS ln_w FROM ps),
+        |fit AS (
+        |  SELECT (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS hurst
+        |  FROM (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS np,
+        |      CAST(SUM(CAST(ln_w AS DECIMAL(38,15))) AS DECIMAL(38,15))
+        |        AS sx,
+        |      CAST(SUM(CAST(mean_ln_rs AS DECIMAL(38,15)))
+        |        AS DECIMAL(38,15)) AS sy,
+        |      CAST(SUM(CAST(ln_w * mean_ln_rs AS DECIMAL(38,15)))
+        |        AS DECIMAL(38,15)) AS sxy,
+        |      CAST(SUM(CAST(ln_w * ln_w AS DECIMAL(38,15)))
+        |        AS DECIMAL(38,15)) AS sxx
+        |    FROM ps2) z)
+        |SELECT CAST(w AS BIGINT) AS window_days, n_blocks, mean_ln_rs,
+        |  hurst
+        |FROM ps2 CROSS JOIN fit ORDER BY window_days""".stripMargin,
     "q340_g_test" ->
       """WITH obs AS (
         |  SELECT o_orderpriority AS a, o_orderstatus AS b,

@@ -150,6 +150,57 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("rank") == 1L))
   }
 
+  test("andersonDarlingDrift: single informative cell by hand") {
+    // cells (a,b): 100c->(1,1), 200c->(1,0), 300c->(0,1); only the
+    // 200c cell contributes: gap = 2, term = 1*4/(2*2*3*1) = 1/3
+    val ev = Seq((ts(0), "t", 1.00), (ts(1), "t", 2.00),
+      (ts(100), "t", 1.00), (ts(101), "t", 3.00))
+      .toDF("ts", "event_type", "value")
+    val r = Ml.andersonDarlingDrift(ev, "ts", "event_type", "value").head()
+    assert(math.abs(r.getAs[Double]("ad_stat") - 1.0 / 3) < 1e-12)
+  }
+
+  test("bartlett: two 2-point groups against the closed form") {
+    val df = Seq(("a", 1.00), ("a", 3.00), ("b", 1.00), ("b", 5.00))
+      .toDF("g", "v")
+    val r = Ml.bartlett(df, "g", "v").head()
+    // SSW (cents^2): a -> 20000, b -> 80000; pooled = 50000
+    val b = 2 * math.log(50000.0) -
+      (math.log(20000.0) + math.log(80000.0))
+    val c = 1.0 + ((1.0 + 1.0) - 0.5) / 3.0
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(math.abs(r.getAs[Double]("chi2_bartlett") - b / c) < 1e-9)
+  }
+
+  test("sesAlphaSweep: a constant series is a zero-error fixed point") {
+    val days = (1 to 5).map(i => (f"1992-01-$i%02d", 2.00))
+    val df = days.toDF("ds", "v")
+      .select(to_date(col("ds")).as("d"), col("v"))
+    val rows = Stats.sesAlphaSweep(df, "d", "v")
+      .orderBy("alpha_quarters").collect()
+    assert(rows.map(_.getAs[Long]("alpha_quarters")).toSeq == Seq(1L, 2L, 3L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") == 5L)
+      assert(r.getAs[Double]("level_final") == 2.0)
+      assert(r.getAs[Double]("sae_total") == 0.0)
+    }
+  }
+
+  test("hurstRs: trending ramp persists, alternating series does not") {
+    def series(f: Int => Double) = (0 until 256).map { t =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1)
+        .plusDays(t.toLong)), f(t))
+    }.toDF("d", "v")
+    val ramp = Stats.hurstRs(series(t => t.toDouble), "d", "v").collect()
+    assert(ramp.length == 4)
+    assert(ramp.head.getAs[Double]("hurst") > 0.7,
+      s"ramp should persist: ${ramp.head.getAs[Double]("hurst")}")
+    val alt = Stats.hurstRs(series(t => 2.0 * (t % 2)), "d", "v").collect()
+    assert(alt.head.getAs[Double]("hurst") < 0.3,
+      s"alternation should anti-persist: ${alt.head.getAs[Double]("hurst")}")
+  }
+
   test("incrementalDedup: exact copy dropped, unique doc kept") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
