@@ -257,6 +257,56 @@ object Ml {
   def q225AnovaF(spark: SparkSession, dir: String): DataFrame =
     anovaF(Tables.orders(spark, dir), "o_orderpriority", "o_totalprice")
 
+  /** Intraclass correlation ICC(1) — what SHARE of a metric's variance
+    * sits between groups rather than within them (Shrout & Fleiss
+    * 1979; the unbalanced one-way random-effects form): the number
+    * that decides whether per-group modeling / clustered standard
+    * errors / hierarchical pooling is worth it, where [[anovaF]] only
+    * answers "is there any difference". From the same one-scan exact
+    * moments: MSB = SSB/(k−1), MSW = SSW/(N−k), the unbalanced group
+    * size n₀ = (N − Σnᵢ²/N)/(k−1), ICC = (MSB−MSW)/(MSB+(n₀−1)·MSW).
+    * Σnᵢ² is exact DECIMAL; everything else is the q225 fixed-shape
+    * double finish on quantized cell terms. */
+  def icc1(df: DataFrame, groupCol: String, targetCol: String)
+      : DataFrame = {
+    val cents = (col(targetCol).cast("decimal(18,2)") * 100).cast("long")
+    val cls = df.select(col(groupCol).as("c"), cents.as("t"))
+      .groupBy("c")
+      .agg(count(lit(1)).as("nc"), sum(d380(col("t"))).as("sc"),
+        sum(d380(col("t")) * d380(col("t"))).cast("decimal(38,0)")
+          .as("sqc"))
+    val term = (dd(col("sc")) * dd(col("sc")) / dd(col("nc")))
+      .cast("decimal(38,6)")
+    cls.withColumn("term", term)
+      .agg(count(lit(1)).as("k"), sum("nc").as("n"),
+        sum(d380(col("sc"))).cast("decimal(38,0)").as("s"),
+        sum(col("sqc")).cast("decimal(38,0)").as("sq"),
+        sum(col("term")).cast("decimal(38,6)").as("tsum"),
+        sum(d380(col("nc")) * d380(col("nc"))).cast("decimal(38,0)")
+          .as("nsq"))
+      .filter(col("k") > 1 && col("n") > col("k"))
+      .withColumn("msb",
+        (dd(col("tsum")) - dd(col("s")) * dd(col("s")) / dd(col("n"))) /
+          dd(col("k") - 1) / 1e4)
+      .withColumn("msw",
+        (dd(col("sq")) - dd(col("tsum"))) / dd(col("n") - col("k")) / 1e4)
+      .withColumn("n0",
+        (dd(col("n")) - dd(col("nsq")) / dd(col("n"))) / dd(col("k") - 1))
+      .select(col("k"), col("n"), col("msb"), col("msw"), col("n0"),
+        when(col("msb") + (col("n0") - 1.0) * col("msw") > 0,
+          (col("msb") - col("msw")) /
+            (col("msb") + (col("n0") - 1.0) * col("msw"))).as("icc"))
+  }
+
+  /** How much of order value is a customer-segment effect — the
+    * clustering-strength gate before hierarchical modeling. */
+  def q354Icc(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    icc1(o.join(c, o("o_custkey") === c("c_custkey")), "c_mktsegment",
+      "o_totalprice")
+  }
+
   /** Brown–Forsythe variance-homogeneity test — [[anovaF]]'s missing
     * precondition check, and the robust (median-centered) Levene
     * variant: F over the absolute deviations z = |x − median_g|. The
@@ -4281,6 +4331,7 @@ object Ml {
     "q346_cramer_von_mises" -> (q346CramerVonMises _),
     "q348_anderson_darling" -> (q348AndersonDarling _),
     "q349_bartlett" -> (q349Bartlett _),
+    "q354_icc" -> (q354Icc _),
     "q279_randomization_test" -> (q279RandomizationTest _),
     "q285_mcnemar" -> (q285Mcnemar _),
     "q268_log_rank" -> (q268LogRank _),
@@ -4823,6 +4874,42 @@ object Ml {
         |  CAST(MAX(nb) AS BIGINT) AS n_b,
         |  CAST(CAST(SUM(term) AS DECIMAL(38,15)) AS DOUBLE) AS ad_stat
         |FROM terms GROUP BY k ORDER BY event_type""".stripMargin,
+    "q354_icc" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS c,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cls AS (
+        |  SELECT c, CAST(COUNT(*) AS BIGINT) AS nc,
+        |    CAST(SUM(CAST(t AS HUGEINT)) AS HUGEINT) AS sc,
+        |    CAST(SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS HUGEINT)
+        |      AS sqc
+        |  FROM base GROUP BY c),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(nc) AS BIGINT)
+        |      AS n,
+        |    CAST(SUM(sc) AS HUGEINT) AS s,
+        |    CAST(SUM(sqc) AS HUGEINT) AS sq,
+        |    CAST(SUM(CAST(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |      / CAST(nc AS DOUBLE) AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |      AS tsum,
+        |    CAST(SUM(CAST(nc AS HUGEINT) * CAST(nc AS HUGEINT))
+        |      AS HUGEINT) AS nsq
+        |  FROM cls),
+        |fin AS (
+        |  SELECT k, n,
+        |    (CAST(tsum AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(k - 1 AS DOUBLE) / 10000.0 AS msb,
+        |    (CAST(sq AS DOUBLE) - CAST(tsum AS DOUBLE))
+        |      / CAST(n - k AS DOUBLE) / 10000.0 AS msw,
+        |    (CAST(n AS DOUBLE) - CAST(nsq AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(k - 1 AS DOUBLE) AS n0
+        |  FROM agg WHERE k > 1 AND n > k)
+        |SELECT k, n, msb, msw, n0,
+        |  CASE WHEN msb + (n0 - 1.0) * msw > 0
+        |    THEN (msb - msw) / (msb + (n0 - 1.0) * msw) END AS icc
+        |FROM fin""".stripMargin,
     "q349_bartlett" ->
       """WITH per AS (
         |  SELECT o_orderpriority AS g,

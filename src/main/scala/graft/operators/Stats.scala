@@ -1845,6 +1845,54 @@ object Stats {
   def q351Hurst(spark: SparkSession, dir: String): DataFrame =
     hurstRs(Tables.orders(spark, dir), "o_orderdate", "o_totalprice")
 
+  /** Trimmed mean per group — the robust location estimate between the
+    * mean (outlier-hostage) and the median (throws away 98% of the
+    * data): drop exactly g = ⌊n/`trimDenom`⌋ observations from EACH
+    * tail, average the rest. Computed entirely on the value HISTOGRAM
+    * (the q290/q284 rank-algebra discipline, never a raw-row sort):
+    * each cell's surviving multiplicity is its count minus the overlap
+    * of its cumulative span with the bottom-g and top-g windows — two
+    * greatest/least expressions on exact integer cumulatives — so the
+    * trimmed sum is one histogram-sized pass and per-task work scales
+    * with the value domain. */
+  def trimmedMean(df: DataFrame, groupCol: String, valCol: String,
+      trimDenom: Int = 10): DataFrame = {
+    require(trimDenom >= 3, s"trim denominator must be >= 3: $trimDenom")
+    val dd = (c: Column) => c.cast("double")
+    val hist = df.select(col(groupCol).as("g"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("g")
+    hist
+      .withColumn("ccum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wTot))
+      .withColumn("gcut", expr(s"n div $trimDenom"))
+      .withColumn("prev", col("ccum") - col("c"))
+      // overlap of (prev, ccum] with the bottom-g / top-g rank windows
+      .withColumn("tb", greatest(lit(0L),
+        least(col("ccum"), col("gcut")) - least(col("prev"), col("gcut"))))
+      .withColumn("tt", greatest(lit(0L),
+        col("ccum") - greatest(col("prev"), col("n") - col("gcut"))))
+      .groupBy(col("g").as(groupCol))
+      .agg(max("n").as("n"), max("gcut").as("trimmed_each_side"),
+        sum((col("c") - col("tb") - col("tt")) * col("v")).as("ts"),
+        sum(col("c") * col("v")).as("rs"))
+      .filter(col("n") > col("trimmed_each_side") * 2)
+      .select(col(groupCol), col("n"), col("trimmed_each_side"),
+        (dd(col("ts")) / dd(col("n") - col("trimmed_each_side") * 2)
+          / 100.0).as("trimmed_mean"),
+        (dd(col("rs")) / dd(col("n")) / 100.0).as("raw_mean"))
+      .orderBy(groupCol)
+  }
+
+  /** 10%-per-tail trimmed mean of extended price per return flag, next
+    * to the raw mean it robustifies. */
+  def q352TrimmedMean(spark: SparkSession, dir: String): DataFrame =
+    trimmedMean(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_extendedprice")
+
   /** Granger-causality screen between two event series on the
     * zero-filled hourly grid (Granger 1969): does x's past improve the
     * 1-lag autoregression of y — F = (SSR_r − SSR_f)/(SSR_f/(m−3)) from
@@ -2408,6 +2456,7 @@ object Stats {
     "q347_granger" -> (q347Granger _),
     "q350_ses_sweep" -> (q350SesSweep _),
     "q351_hurst" -> (q351Hurst _),
+    "q352_trimmed_mean" -> (q352TrimmedMean _),
     "q167_equidepth_hist" -> (q167EquidepthHist _),
     "q168_ab_test" -> (q168AbTest _),
     "q169_cusum" -> (q169Cusum _),
@@ -2492,6 +2541,34 @@ object Stats {
        |        FROM lagged) mom) cen) fin""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q352_trimmed_mean" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT *, SUM(c) OVER wc AS ccum, SUM(c) OVER wt AS n
+        |  FROM hist
+        |  WINDOW wc AS (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wt AS (PARTITION BY g)),
+        |t AS (SELECT *, n // 10 AS gcut, ccum - c AS prev FROM pre),
+        |t2 AS (
+        |  SELECT *,
+        |    GREATEST(0, LEAST(ccum, gcut) - LEAST(prev, gcut)) AS tb,
+        |    GREATEST(0, ccum - GREATEST(prev, n - gcut)) AS tt
+        |  FROM t)
+        |SELECT g AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(gcut) AS BIGINT) AS trimmed_each_side,
+        |  CAST(SUM((c - tb - tt) * v) AS DOUBLE)
+        |    / CAST(MAX(n) - MAX(gcut) * 2 AS DOUBLE) / 100.0
+        |    AS trimmed_mean,
+        |  CAST(SUM(c * v) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) / 100.0
+        |    AS raw_mean
+        |FROM t2 GROUP BY g HAVING MAX(n) > MAX(gcut) * 2
+        |ORDER BY 1""".stripMargin,
     "q350_ses_sweep" ->
       """WITH RECURSIVE daily0 AS (
         |  SELECT date_diff('day', DATE '1992-01-01',

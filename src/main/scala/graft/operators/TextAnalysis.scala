@@ -440,6 +440,61 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Unigram negative-sampling table (word2vec / contrastive-training
+    * style, Mikolov et al. 2013): draw `nDraws` negatives from the
+    * corpus unigram distribution raised to the 3/4 power — the
+    * smoothing that up-weights the rare tail — and report the sampled
+    * frequency table. Everything is cross-engine deterministic:
+    *   - weight w = ⌊10⁶·√√(c³)⌋ — c³ is exact in a double (c ≤ 2e5 at
+    *     corpus scale) and each √ is IEEE correctly-rounded, so both
+    *     engines floor the identical double (no pow(), whose last-ulp
+    *     is libm-dependent);
+    *   - the cumulative weight ladder is [[Rank.globalRankPrefix]] over
+    *     the token-ordered vocab — a range exchange, NOT a global
+    *     window;
+    *   - draw i maps through md5(i) (first 12 hex digits as an integer)
+    *     mod the total weight — no RNG state, shard-order-free — and
+    *     lands in its vocab slot via a (cumlo, cumhi] range join
+    *     against the broadcast 1000-row draw frame.
+    * At 100 TB the vocab ladder is a maintained model-sized table and
+    * the draws are a broadcast probe — the corpus is scanned once to
+    * count. Output: the `topK` most-sampled tokens (count desc, token),
+    * with their exact weight shares. */
+  def negativeSamplingTable(docs: DataFrame, textCol: String,
+      nDraws: Int, topK: Int): DataFrame = {
+    require(nDraws >= 1 && topK >= 1, s"bad args: $nDraws $topK")
+    val dd = (c: Column) => c.cast("double")
+    val vocab = docs.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .withColumn("w", floor(lit(1e6) *
+        sqrt(sqrt(dd(col("c") * col("c") * col("c"))))).cast("long"))
+    val ladder = Rank.globalRankPrefix(vocab, Seq(col("t")),
+        Seq(("cumhi", col("w"))))
+      .withColumn("cumlo", col("cumhi") - col("w"))
+    val total = vocab.agg(sum("w").cast("long").as("tw"))
+    val draws = docs.sparkSession.range(0, nDraws)
+      .select(col("id").as("i"),
+        conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .crossJoin(broadcast(total))
+      .select(col("i"), (col("h") % col("tw")).as("u"), col("tw"))
+    ladder.join(broadcast(draws),
+        col("u") >= col("cumlo") && col("u") < col("cumhi"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_sampled"), max(col("w")).as("w"),
+        max(col("tw")).as("tw"))
+      .select(col("t").as("token"), col("n_sampled"),
+        (dd(col("w")) / dd(col("tw"))).as("weight_share"))
+      .orderBy(desc("n_sampled"), col("token"))
+      .limit(topK)
+  }
+
+  /** 1000 deterministic unigram^¾ negatives over the document corpus —
+    * the sampling table a contrastive trainer feeds from. */
+  def q353NegativeSampling(spark: SparkSession, dir: String): DataFrame =
+    negativeSamplingTable(Tables.documents(spark, dir), "text",
+      nDraws = 1000, topK = 50)
+
   /** Sparse TF-IDF doc-doc similarity — the sparse-retrieval complement of
     * the dense ANN paths (and of BM25, which scores a FIXED query):
     * find each probe document's most similar corpus document by cosine
@@ -1134,6 +1189,7 @@ object TextAnalysis {
     "q90_bm25_search" -> (q90Bm25Search _),
     "q91_assemble_sequences" -> (q91AssembleSequences _),
     "q48_top_terms" -> (q48TopTerms _),
+    "q353_negative_sampling" -> (q353NegativeSampling _),
     "q49_top_bigrams" -> (q49TopBigrams _),
     "q99_lm_perplexity" -> (q99LmPerplexity _),
     "q102_tfidf_nearest" -> (q102TfidfNearest _),
@@ -1603,6 +1659,41 @@ object TextAnalysis {
         |FROM base b
         |JOIN top1 t1 USING (doc_id) JOIN top2 t2 USING (doc_id) JOIN adj a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q353_negative_sampling" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS t
+        |  FROM documents),
+        |vocab AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        |  GROUP BY t),
+        |vw AS (
+        |  SELECT t, c,
+        |    CAST(FLOOR(1e6 * sqrt(sqrt(CAST(c * c * c AS DOUBLE))))
+        |      AS BIGINT) AS w
+        |  FROM vocab),
+        |lad AS (
+        |  SELECT *, SUM(w) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumhi
+        |  FROM vw),
+        |lad2 AS (SELECT *, cumhi - w AS cumlo FROM lad),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM vw),
+        |draws AS (
+        |  SELECT i,
+        |    CAST(list_sum([
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(i AS VARCHAR)), j, 1)) - 1 AS HUGEINT)
+        |        * (CAST(1 AS HUGEINT) << (4 * (12 - j)))
+        |      FOR j IN range(1, 13)]) AS BIGINT)
+        |      % (SELECT tw FROM tot) AS u
+        |  FROM (SELECT UNNEST(range(0, 1000)) AS i)),
+        |sel AS (
+        |  SELECT l.t, l.w FROM lad2 l
+        |  JOIN draws d ON d.u >= l.cumlo AND d.u < l.cumhi)
+        |SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  CAST(MAX(w) AS DOUBLE) / CAST((SELECT tw FROM tot) AS DOUBLE)
+        |    AS weight_share
+        |FROM sel GROUP BY t
+        |ORDER BY n_sampled DESC, token LIMIT 50""".stripMargin,
     "q48_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term

@@ -201,6 +201,40 @@ class Round9bOpsSpec extends AnyFunSuite {
       s"alternation should anti-persist: ${alt.head.getAs[Double]("hurst")}")
   }
 
+  test("trimmedMean: one outlier per tail dies, raw mean keeps it") {
+    val df = (Seq.fill(9)(1.00) :+ 100.00).toDF("v")
+      .withColumn("g", lit("a"))
+    val r = Stats.trimmedMean(df, "g", "v").head()
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("trimmed_each_side") == 1L)
+    assert(r.getAs[Double]("trimmed_mean") == 1.0)
+    assert(math.abs(r.getAs[Double]("raw_mean") - 10.9) < 1e-12)
+  }
+
+  test("negativeSamplingTable: unigram^0.75 mass dominates the draws") {
+    val docs = Seq(Tuple1((Seq.fill(50)("aa").mkString(" ")) + " bb"))
+      .toDF("text")
+    val out = graft.operators.TextAnalysis
+      .negativeSamplingTable(docs, "text", nDraws = 1000, topK = 10)
+      .collect()
+    assert(out.map(_.getAs[Long]("n_sampled")).sum == 1000L)
+    val top = out.head
+    assert(top.getAs[String]("token") == "aa")
+    assert(top.getAs[Long]("n_sampled") > 800L)
+    // share = 50^.75 / (50^.75 + 1) ~ 0.9495
+    assert(math.abs(top.getAs[Double]("weight_share") - 0.9495) < 0.01)
+  }
+
+  test("icc1: perfectly separated groups give ICC = 1") {
+    val df = Seq(("a", 1.00), ("a", 1.00), ("b", 9.00), ("b", 9.00))
+      .toDF("g", "v")
+    val r = Ml.icc1(df, "g", "v").head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("n0") == 2.0)
+    assert(r.getAs[Double]("msw") == 0.0)
+    assert(r.getAs[Double]("icc") == 1.0)
+  }
+
   test("incrementalDedup: exact copy dropped, unique doc kept") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
