@@ -292,6 +292,41 @@ object Dedup {
     incrementalDedup(Tables.documents(spark, dir), "doc_id", "text",
       col("doc_id") % 10 === 7)
 
+  /** Dedup threshold sensitivity sweep — the table a pipeline owner
+    * reads before committing to a Jaccard cutoff: for each candidate
+    * threshold, how many near-dup pairs fire and how many documents get
+    * touched. ONE pair computation ([[minhashNearDupPairs]] at the
+    * loosest threshold) feeds every row; the per-threshold test is the
+    * exact integer cross-product 100·n_common ≥ t·n_total, so no float
+    * ratio crosses the gate. Thresholds below the banding floor (½)
+    * would under-count and are rejected. */
+  def dedupThresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Int] = Seq(50, 60, 70, 80, 90)): DataFrame = {
+    require(thresholds.forall(t => t >= 50 && t <= 100),
+      s"thresholds must be in [50,100] (banding recall floor): $thresholds")
+    val pairs = minhashNearDupPairs(docs, idCol, textCol, bands = 32)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_total"))
+      .localCheckpoint(true) // one candidate+verify pass feeds all rows
+    val th = docs.sparkSession.createDataFrame(
+      thresholds.map(t => Tuple1(t.toLong))).toDF("threshold_pct")
+    val j = pairs.crossJoin(broadcast(th))
+      .filter(col("n_common") * 100 >= col("threshold_pct") * col("n_total"))
+    val np = j.groupBy("threshold_pct").agg(count(lit(1)).as("n_pairs"))
+    val nd = j.select(col("threshold_pct"),
+        explode(array(col("id_a"), col("id_b"))).as("d"))
+      .distinct()
+      .groupBy("threshold_pct").agg(count(lit(1)).as("n_docs_in_pairs"))
+    th.join(np, Seq("threshold_pct"), "left")
+      .join(nd, Seq("threshold_pct"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs_in_pairs"))
+      .orderBy("threshold_pct")
+  }
+
+  /** How aggressive should corpus dedup be: pair and touched-doc counts
+    * at Jaccard 0.5 through 0.9. */
+  def q357DedupSweep(spark: SparkSession, dir: String): DataFrame =
+    dedupThresholdSweep(Tables.documents(spark, dir), "doc_id", "text")
+
   /** SimHash near-dup pairs, hash-exactly oracle-gated: with the MD5 token
     * hash the fingerprint is engine-independent, and chunk-subset
     * multi-index blocking provably finds every Hamming ≤ 3 pair — so the
@@ -1042,6 +1077,7 @@ object Dedup {
     "q40_dedup_exact" -> (q40DedupExact _),
     "q45_minhash_pairs" -> (q45MinhashPairs _),
     "q345_incremental_dedup" -> (q345IncrementalDedup _),
+    "q357_dedup_sweep" -> (q357DedupSweep _),
     "q46_simhash_pairs" -> (q46SimhashPairs _),
     "q47_ngram_jaccard_sample" -> (q47NgramJaccardSample _),
     "q143_set_similarity_join" -> (q143SetSimilarityJoin _),
@@ -1452,6 +1488,39 @@ object Dedup {
         |  CAST(COUNT(*) AS BIGINT) AS n_members,
         |  CAST(MAX(id) AS BIGINT) AS max_id
         |FROM comp GROUP BY comp ORDER BY cluster_rep""".stripMargin,
+    "q357_dedup_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                             FOR i IN range(1, len(toks) - 1)])
+        |    END AS sh
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |p AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    len(list_intersect(x.sh, y.sh)) AS nc,
+        |    len(list_distinct(list_concat(x.sh, y.sh))) AS nt
+        |  FROM t x JOIN t y ON x.doc_id < y.doc_id),
+        |p2 AS (SELECT * FROM p WHERE 2 * nc >= nt),
+        |th AS (SELECT CAST(UNNEST([50, 60, 70, 80, 90]) AS BIGINT)
+        |  AS threshold_pct),
+        |j AS (
+        |  SELECT th.threshold_pct, p2.id_a, p2.id_b
+        |  FROM p2 JOIN th ON p2.nc * 100 >= th.threshold_pct * p2.nt),
+        |np AS (SELECT threshold_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM j GROUP BY 1),
+        |nd AS (
+        |  SELECT threshold_pct, CAST(COUNT(*) AS BIGINT)
+        |    AS n_docs_in_pairs
+        |  FROM (SELECT DISTINCT threshold_pct, d FROM (
+        |    SELECT threshold_pct, UNNEST([id_a, id_b]) AS d FROM j) u) v
+        |  GROUP BY 1)
+        |SELECT th.threshold_pct, COALESCE(np.n_pairs, 0) AS n_pairs,
+        |  COALESCE(nd.n_docs_in_pairs, 0) AS n_docs_in_pairs
+        |FROM th LEFT JOIN np USING (threshold_pct)
+        |LEFT JOIN nd USING (threshold_pct)
+        |ORDER BY threshold_pct""".stripMargin,
     "q345_incremental_dedup" ->
       """WITH t AS (
         |  SELECT doc_id,

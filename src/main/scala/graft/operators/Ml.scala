@@ -3954,9 +3954,10 @@ object Ml {
     * second branch — a two-branch update doubles the plan per round).
     * Fixed iteration count keeps the plan static (the 100 TB shape:
     * k passes + checkpoint, exactly like [[Graph.pageRank]]). */
-  def logisticGd(df: DataFrame, labelCol: String, x1Col: String,
-      x2Col: String, iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 64, s"iters must be in [1,64]: $iters")
+  /** Standardized (y, n, z1, z2) training frame for the logistic-GD
+    * family, checkpointed: it feeds every gradient round and scorer. */
+  private def logitPrep(df: DataFrame, labelCol: String, x1Col: String,
+      x2Col: String): DataFrame = {
     val raw = df.select(col(labelCol).cast("long").as("y"),
       col(x1Col).cast("long").as("x1"), col(x2Col).cast("long").as("x2"))
     val mom = raw.agg(count(lit(1)).as("n"),
@@ -3973,36 +3974,50 @@ object Ml {
         sqrt(dd(col("s22")) / dd(col("n")) -
           (dd(col("s2")) / dd(col("n"))) * (dd(col("s2")) / dd(col("n"))))
           .as("sd2"))
-    val base = raw.crossJoin(broadcast(mom)) // 1-row build side
+    raw.crossJoin(broadcast(mom)) // 1-row build side
       .select(col("y"), col("n"),
         ((dd(col("x1")) - col("m1")) / col("sd1")).as("z1"),
         ((dd(col("x2")) - col("m2")) / col("sd2")).as("z2"))
-      .localCheckpoint(true) // feeds all k gradient rounds + the scorer
-    val u = col("b0").cast("double") / lit(1.0e9) +
+      .localCheckpoint(true)
+  }
+
+  /** The linear predictor on the 1e-9 integer beta grid. */
+  private val logitU: Column =
+    col("b0").cast("double") / lit(1.0e9) +
       col("b1").cast("double") / lit(1.0e9) * col("z1") +
       col("b2").cast("double") / lit(1.0e9) * col("z2")
+
+  /** One quantized gradient round: broadcast the 1-row beta frame,
+    * exact-decimal gradient sums, floor step back onto the grid. */
+  private def logitStep(base: DataFrame, beta: DataFrame): DataFrame = {
+    val g = base.crossJoin(broadcast(beta)) // 1-row build side
+      .withColumn("u", logitU)
+      .withColumn("r", lit(0.5) + lit(0.5) * col("u") /
+        sqrt(lit(1.0) + col("u") * col("u")) - dd(col("y")))
+      .agg(max("b0").as("pb0"), max("b1").as("pb1"),
+        max("b2").as("pb2"), max("n").as("n"),
+        sum(floor(col("r") * lit(1.0e6)).cast("decimal(38,0)")).as("g0"),
+        sum(floor(col("r") * col("z1") * lit(1.0e6))
+          .cast("decimal(38,0)")).as("g1"),
+        sum(floor(col("r") * col("z2") * lit(1.0e6))
+          .cast("decimal(38,0)")).as("g2"))
+    g.select(
+      (col("pb0") - floor(dd(col("g0")) * lit(2000.0) / dd(col("n"))))
+        .as("b0"),
+      (col("pb1") - floor(dd(col("g1")) * lit(2000.0) / dd(col("n"))))
+        .as("b1"),
+      (col("pb2") - floor(dd(col("g2")) * lit(2000.0) / dd(col("n"))))
+        .as("b2"))
+  }
+
+  def logisticGd(df: DataFrame, labelCol: String, x1Col: String,
+      x2Col: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64]: $iters")
+    val base = logitPrep(df, labelCol, x1Col, x2Col)
+    val u = logitU
     var beta = df.sparkSession.range(1).select(lit(0L).as("b0"),
       lit(0L).as("b1"), lit(0L).as("b2"))
-    for (_ <- 1 to iters) {
-      val g = base.crossJoin(broadcast(beta)) // 1-row build side
-        .withColumn("u", u)
-        .withColumn("r", lit(0.5) + lit(0.5) * col("u") /
-          sqrt(lit(1.0) + col("u") * col("u")) - dd(col("y")))
-        .agg(max("b0").as("pb0"), max("b1").as("pb1"),
-          max("b2").as("pb2"), max("n").as("n"),
-          sum(floor(col("r") * lit(1.0e6)).cast("decimal(38,0)")).as("g0"),
-          sum(floor(col("r") * col("z1") * lit(1.0e6))
-            .cast("decimal(38,0)")).as("g1"),
-          sum(floor(col("r") * col("z2") * lit(1.0e6))
-            .cast("decimal(38,0)")).as("g2"))
-      beta = g.select(
-        (col("pb0") - floor(dd(col("g0")) * lit(2000.0) / dd(col("n"))))
-          .as("b0"),
-        (col("pb1") - floor(dd(col("g1")) * lit(2000.0) / dd(col("n"))))
-          .as("b1"),
-        (col("pb2") - floor(dd(col("g2")) * lit(2000.0) / dd(col("n"))))
-          .as("b2"))
-    }
+    for (_ <- 1 to iters) beta = logitStep(base, beta)
     base.crossJoin(broadcast(beta)) // 1-row build side
       .withColumn("u", u)
       .agg(max("n").as("n"), max("b0").as("b0"), max("b1").as("b1"),
@@ -4035,6 +4050,86 @@ object Ml {
           .as("x1"),
         col("n_lines").as("x2"))
     logisticGd(o, "y", "x1", "x2", iters = 12)
+  }
+
+  /** Training-data map (dataset cartography, Swayamdipta et al. 2020):
+    * track, for every training example, the model's confidence in the
+    * TRUE label across the whole [[logisticGd]] trajectory and its
+    * round-to-round variability — high-conf/low-var examples are
+    * "easy" (candidates for down-sampling), low-conf/low-var are
+    * mislabeled-or-hard, high-var are the ambiguous ones worth keeping.
+    * The curation lens a training pipeline runs BEFORE spending compute.
+    *
+    * The k per-round betas are a k-row broadcast; examples reduce to
+    * their (y, z1, z2) feature signatures with multiplicities, so the
+    * scoring fan-out is signatures × k with a map-side-combined
+    * collapse. conf uses the same algebraic sigmoid as training (no
+    * exp() at the engine boundary); per-round conf and conf² are
+    * pico-quantized into exact sums, mean/variability are fixed double
+    * shapes, and the declared output is the confidence-decile summary
+    * (weighted by row multiplicity). */
+  def trainingDataMap(df: DataFrame, labelCol: String, x1Col: String,
+      x2Col: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64]: $iters")
+    val base = logitPrep(df, labelCol, x1Col, x2Col)
+    var beta = df.sparkSession.range(1).select(lit(0L).as("b0"),
+      lit(0L).as("b1"), lit(0L).as("b2"))
+    val betas = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to iters) {
+      beta = logitStep(base, beta)
+      betas += beta
+    }
+    val rounds = betas.result().reduce(_ unionAll _).localCheckpoint(true)
+    val ex = base.groupBy("y", "z1", "z2").agg(count(lit(1)).as("cnt"))
+    val p = lit(0.5) + lit(0.5) * col("u") /
+      sqrt(lit(1.0) + col("u") * col("u"))
+    val sig = ex.crossJoin(broadcast(rounds))
+      .withColumn("u", logitU)
+      .withColumn("conf", when(col("y") === 1, p).otherwise(lit(1.0) - p))
+      .groupBy("y", "z1", "z2", "cnt")
+      .agg(sum(floor(col("conf") * lit(1.0e12)).cast("decimal(38,0)"))
+          .as("qc"),
+        sum(floor(col("conf") * col("conf") * lit(1.0e12))
+          .cast("decimal(38,0)")).as("qc2"))
+      .withColumn("cm",
+        dd(col("qc")) / lit(iters.toDouble) / lit(1.0e12))
+      .withColumn("cv", greatest(lit(0.0),
+        dd(col("qc2")) / lit(iters.toDouble) / lit(1.0e12) -
+          col("cm") * col("cm")))
+      .withColumn("vb", sqrt(col("cv")))
+      .withColumn("bucket",
+        least(lit(9L), floor(col("cm") * 10).cast("long")))
+      .withColumn("qvb", floor(col("vb") * lit(1.0e12))
+        .cast("decimal(38,0)"))
+    sig.groupBy("bucket")
+      .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_signatures"),
+        sum(d380(col("cnt")) * col("qc")).cast("decimal(38,0)")
+          .as("swqc"),
+        sum(d380(col("cnt")) * col("qvb")).cast("decimal(38,0)")
+          .as("swqv"))
+      .select(col("bucket"), col("n_rows"), col("n_signatures"),
+        (dd(col("swqc")) / dd(col("n_rows")) / lit(iters.toDouble) /
+          lit(1.0e12)).as("avg_confidence"),
+        (dd(col("swqv")) / dd(col("n_rows")) / lit(1.0e12))
+          .as("avg_variability"))
+      .orderBy("bucket")
+  }
+
+  /** Which orders does the q325 model find easy / hard / ambiguous —
+    * the confidence-decile data map over its 12-round trajectory. */
+  def q356DataMap(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+    val o = Tables.orders(spark, dir)
+      .join(li, Seq("o_orderkey"), "left").na.fill(0L, Seq("n_lines"))
+      .select(
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("y"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("x1"),
+        col("n_lines").as("x2"))
+    trainingDataMap(o, "y", "x1", "x2", iters = 12)
   }
 
   /** Lloyd's k-means over two standardized features, k fixed centers and
@@ -4332,6 +4427,7 @@ object Ml {
     "q348_anderson_darling" -> (q348AndersonDarling _),
     "q349_bartlett" -> (q349Bartlett _),
     "q354_icc" -> (q354Icc _),
+    "q356_data_map" -> (q356DataMap _),
     "q279_randomization_test" -> (q279RandomizationTest _),
     "q285_mcnemar" -> (q285Mcnemar _),
     "q268_log_rank" -> (q268LogRank _),
@@ -4453,7 +4549,9 @@ object Ml {
        |  FROM g$k)""".stripMargin
   }
 
-  private val logisticOracle: String =
+  /** Shared q325/q356 oracle prefix: the standardized frame and the
+    * full 12-round unrolled beta recursion (it1 … it12). */
+  private val logitChainSql: String =
     """WITH li AS (
       |  SELECT l_orderkey AS o_orderkey, CAST(COUNT(*) AS BIGINT)
       |    AS n_lines
@@ -4491,7 +4589,10 @@ object Ml {
       |it0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
       |  CAST(0 AS BIGINT) AS b2),
       |""".stripMargin +
-      (1 to 12).map(logitIterSql).mkString(",\n") + ",\n" +
+      (1 to 12).map(logitIterSql).mkString(",\n")
+
+  private val logisticOracle: String =
+    logitChainSql + ",\n" +
       """fin AS (
         |  SELECT MAX(n) AS n, MAX(b0) AS b0, MAX(b1) AS b1,
         |    MAX(b2) AS b2,
@@ -4509,6 +4610,58 @@ object Ml {
         |  n_correct,
         |  CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
         |FROM fin""".stripMargin
+
+  /** q356 oracle: the q325 chain, every round's beta scored against
+    * every feature signature, pico-quantized conf/conf² sums, decile
+    * summary. */
+  private val dataMapOracle: String =
+    logitChainSql + ",\n" +
+      (1 to 12).map(k => s"SELECT b0, b1, b2 FROM it$k")
+        .mkString("rounds AS (\n", "\nUNION ALL\n", "),\n") +
+      """ex AS (
+        |  SELECT y, z1, z2, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT e.y, e.z1, e.z2, e.cnt,
+        |    CAST(r.b0 AS DOUBLE) / 1000000000.0
+        |      + CAST(r.b1 AS DOUBLE) / 1000000000.0 * e.z1
+        |      + CAST(r.b2 AS DOUBLE) / 1000000000.0 * e.z2 AS u
+        |  FROM ex e CROSS JOIN rounds r),
+        |conf0 AS (
+        |  SELECT y, z1, z2, cnt,
+        |    0.5 + 0.5 * u / sqrt(1.0 + u * u) AS p
+        |  FROM scored),
+        |conf1 AS (
+        |  SELECT y, z1, z2, cnt,
+        |    CASE WHEN y = 1 THEN p ELSE 1.0 - p END AS conf
+        |  FROM conf0),
+        |sig AS (
+        |  SELECT y, z1, z2, cnt,
+        |    SUM(CAST(FLOOR(conf * 1000000000000.0) AS HUGEINT)) AS qc,
+        |    SUM(CAST(FLOOR(conf * conf * 1000000000000.0) AS HUGEINT))
+        |      AS qc2
+        |  FROM conf1 GROUP BY 1, 2, 3, 4),
+        |mm2 AS (SELECT *,
+        |    CAST(qc AS DOUBLE) / 12.0 / 1000000000000.0 AS cm
+        |  FROM sig),
+        |mm3 AS (SELECT *, GREATEST(0.0,
+        |    CAST(qc2 AS DOUBLE) / 12.0 / 1000000000000.0 - cm * cm) AS cv
+        |  FROM mm2),
+        |mm4 AS (SELECT *, sqrt(cv) AS vb,
+        |    LEAST(9, CAST(FLOOR(cm * 10) AS BIGINT)) AS bucket
+        |  FROM mm3),
+        |mm5 AS (SELECT *,
+        |    CAST(FLOOR(vb * 1000000000000.0) AS HUGEINT) AS qvb
+        |  FROM mm4)
+        |SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_signatures,
+        |  CAST(SUM(CAST(cnt AS HUGEINT) * qc) AS DOUBLE)
+        |    / CAST(SUM(cnt) AS DOUBLE) / 12.0 / 1000000000000.0
+        |    AS avg_confidence,
+        |  CAST(SUM(CAST(cnt AS HUGEINT) * qvb) AS DOUBLE)
+        |    / CAST(SUM(cnt) AS DOUBLE) / 1000000000000.0
+        |    AS avg_variability
+        |FROM mm5 GROUP BY bucket ORDER BY bucket""".stripMargin
 
   /** One Lloyd round of the q327 oracle: exact-integer argmin assignment
     * (rn = 1 under the (dist, cid) order — the SQL twin of Spark's
@@ -5118,6 +5271,7 @@ object Ml {
         |ORDER BY source, n_chars""".stripMargin,
     "q327_kmeans" -> kmeansOracle,
     "q325_logistic_gd" -> logisticOracle,
+    "q356_data_map" -> dataMapOracle,
     "q312_cochran_armitage" ->
       """WITH per AS (
         |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,

@@ -1893,6 +1893,70 @@ object Stats {
     trimmedMean(Tables.lineitem(spark, dir), "l_returnflag",
       "l_extendedprice")
 
+  /** Simpson's-paradox screen: compare the MARGINAL x→y regression
+    * slope against the pooled WITHIN-STRATUM slope for each candidate
+    * stratifier — when they disagree in sign, aggregate dashboards and
+    * per-segment dashboards tell opposite stories and every downstream
+    * decision needs the stratified number (Simpson 1951; the classic
+    * observational-data audit). Pooled-within slope = Σ_g C_xy(g)/n_g ÷
+    * Σ_g C_xx(g)/n_g (each group's centered cross-moments exact
+    * integers, each ratio one quantized double term), marginal slope
+    * from the same group moments re-summed — ONE scan per stratifier,
+    * group-count-sized frames after it. */
+  def simpsonsScreen(df: DataFrame, xCol: String, yCol: String,
+      stratifiers: Seq[String]): DataFrame = {
+    require(stratifiers.nonEmpty, "need at least one stratifier")
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val xc = (col(xCol).cast("decimal(18,2)") * 100).cast("long")
+    val yc = (col(yCol).cast("decimal(18,2)") * 100).cast("long")
+    val per = stratifiers.map { s =>
+      val cls = df.select(col(s).cast("string").as("g"), xc.as("x"),
+          yc.as("y"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("ng"),
+          sum(d380(col("x"))).cast("decimal(38,0)").as("sx"),
+          sum(d380(col("y"))).cast("decimal(38,0)").as("sy"),
+          sum(d380(col("x")) * d380(col("y"))).cast("decimal(38,0)")
+            .as("sxy"),
+          sum(d380(col("x")) * d380(col("x"))).cast("decimal(38,0)")
+            .as("sxx"))
+      val cxy = (d380(col("ng")) * col("sxy") - col("sx") * col("sy"))
+        .cast("decimal(38,0)")
+      val cxx = (d380(col("ng")) * col("sxx") - col("sx") * col("sx"))
+        .cast("decimal(38,0)")
+      cls
+        .withColumn("wxy", (dd(cxy) / dd(col("ng"))).cast("decimal(38,6)"))
+        .withColumn("wxx", (dd(cxx) / dd(col("ng"))).cast("decimal(38,6)"))
+        .agg(count(lit(1)).as("k_strata"), sum("ng").as("n"),
+          sum(d380(col("sx"))).cast("decimal(38,0)").as("tx"),
+          sum(d380(col("sy"))).cast("decimal(38,0)").as("ty"),
+          sum(col("sxy")).cast("decimal(38,0)").as("txy"),
+          sum(col("sxx")).cast("decimal(38,0)").as("txx"),
+          sum(col("wxy")).cast("decimal(38,6)").as("pxy"),
+          sum(col("wxx")).cast("decimal(38,6)").as("pxx"))
+        .select(lit(s).as("stratifier"), col("k_strata"), col("n"),
+          (dd(d380(col("n")) * col("txy") - col("tx") * col("ty")) /
+            dd(d380(col("n")) * col("txx") - col("tx") * col("tx")))
+            .as("slope_marginal"),
+          (dd(col("pxy")) / dd(col("pxx"))).as("slope_within"))
+        .withColumn("sign_reversed",
+          ((col("slope_marginal") > 0) =!= (col("slope_within") > 0))
+            .cast("long"))
+    }
+    per.reduce(_ unionAll _).orderBy("stratifier")
+  }
+
+  /** Does the discount→revenue slope survive stratification by flag /
+    * status / tax band — the aggregation-bias tripwire. */
+  def q355Simpsons(spark: SparkSession, dir: String): DataFrame =
+    simpsonsScreen(
+      Tables.lineitem(spark, dir).withColumn("tax_band",
+        (col("l_tax").cast("decimal(18,2)") * 100).cast("long")
+          .cast("string")),
+      "l_discount", "l_extendedprice",
+      Seq("l_linestatus", "l_returnflag", "tax_band"))
+
   /** Granger-causality screen between two event series on the
     * zero-filled hourly grid (Granger 1969): does x's past improve the
     * 1-lag autoregression of y — F = (SSR_r − SSR_f)/(SSR_f/(m−3)) from
@@ -2457,6 +2521,7 @@ object Stats {
     "q350_ses_sweep" -> (q350SesSweep _),
     "q351_hurst" -> (q351Hurst _),
     "q352_trimmed_mean" -> (q352TrimmedMean _),
+    "q355_simpsons" -> (q355Simpsons _),
     "q167_equidepth_hist" -> (q167EquidepthHist _),
     "q168_ab_test" -> (q168AbTest _),
     "q169_cusum" -> (q169Cusum _),
@@ -2540,7 +2605,59 @@ object Stats {
        |          CAST(SUM($x1 * $x1) AS HUGEINT) AS sbb
        |        FROM lagged) mom) cen) fin""".stripMargin
 
+  /** One q355 stratifier block: per-stratum exact moments, quantized
+    * within-slope terms, marginal slope from the re-summed moments. */
+  private def simpsonsDirSql(s: String): String =
+    s"""  SELECT '$s' AS stratifier, k_strata, n,
+       |    CAST(CAST(n AS HUGEINT) * txy - tx * ty AS DOUBLE)
+       |      / CAST(CAST(n AS HUGEINT) * txx - tx * tx AS DOUBLE)
+       |      AS slope_marginal,
+       |    CAST(pxy AS DOUBLE) / CAST(pxx AS DOUBLE) AS slope_within,
+       |    CAST(CASE WHEN
+       |        (CAST(CAST(n AS HUGEINT) * txy - tx * ty AS DOUBLE)
+       |          / CAST(CAST(n AS HUGEINT) * txx - tx * tx AS DOUBLE) > 0)
+       |        <> (CAST(pxy AS DOUBLE) / CAST(pxx AS DOUBLE) > 0)
+       |      THEN 1 ELSE 0 END AS BIGINT) AS sign_reversed
+       |  FROM (
+       |    SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+       |      CAST(SUM(ng) AS BIGINT) AS n,
+       |      CAST(SUM(sx) AS HUGEINT) AS tx, CAST(SUM(sy) AS HUGEINT)
+       |        AS ty,
+       |      CAST(SUM(sxy) AS HUGEINT) AS txy, CAST(SUM(sxx) AS HUGEINT)
+       |        AS txx,
+       |      CAST(SUM(wxy) AS DECIMAL(38,6)) AS pxy,
+       |      CAST(SUM(wxx) AS DECIMAL(38,6)) AS pxx
+       |    FROM (
+       |      SELECT *,
+       |        CAST(CAST(CAST(ng AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+       |          / CAST(ng AS DOUBLE) AS DECIMAL(38,6)) AS wxy,
+       |        CAST(CAST(CAST(ng AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+       |          / CAST(ng AS DOUBLE) AS DECIMAL(38,6)) AS wxx
+       |      FROM (
+       |        SELECT CAST($s AS VARCHAR) AS g,
+       |          CAST(COUNT(*) AS BIGINT) AS ng,
+       |          CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+       |          CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+       |          CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+       |            AS HUGEINT) AS sxy,
+       |          CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+       |            AS HUGEINT) AS sxx
+       |        FROM base GROUP BY 1) g1) g2) g3""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q355_simpsons" ->
+      ("""WITH base AS (
+        |  SELECT l_linestatus, l_returnflag,
+        |    CAST(CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS VARCHAR) AS tax_band,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM lineitem)
+        |SELECT * FROM (""".stripMargin + "\n" +
+        Seq("l_linestatus", "l_returnflag", "tax_band")
+          .map(simpsonsDirSql).mkString("\nUNION ALL\n") + "\n" +
+        """) u ORDER BY stratifier"""),
     "q352_trimmed_mean" ->
       """WITH hist AS (
         |  SELECT l_returnflag AS g,

@@ -235,6 +235,57 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("icc") == 1.0)
   }
 
+  test("simpsonsScreen: the textbook two-strata reversal") {
+    // within each stratum slope = -1; across strata the offsets flip it
+    val df = Seq(("A", 1.00, 10.00), ("A", 2.00, 9.00),
+      ("B", 5.00, 20.00), ("B", 6.00, 19.00)).toDF("s", "x", "y")
+    val r = Stats.simpsonsScreen(df, "x", "y", Seq("s")).head()
+    assert(r.getAs[Long]("k_strata") == 2L && r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("slope_within") - (-1.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("slope_marginal") - 39.0 / 17.0) < 1e-12)
+    assert(r.getAs[Long]("sign_reversed") == 1L)
+  }
+
+  test("trainingDataMap: buckets partition the rows, confident side high") {
+    val df = (0 until 200).map { i =>
+      val x1 = i % 101
+      (if (x1 > 50) 1L else 0L, x1.toLong, (i % 7).toLong)
+    }.toDF("y", "x1", "x2")
+    val rows = Ml.trainingDataMap(df, "y", "x1", "x2", iters = 12)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == 200L)
+    assert(rows.map(_.getAs[Long]("n_signatures")).sum >= 101L)
+    val top = rows.maxBy(_.getAs[Long]("bucket"))
+    assert(top.getAs[Double]("avg_confidence") > 0.5,
+      s"separable data must have a confident bucket: ${top}")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("avg_confidence")
+      assert(c >= 0.0 && c <= 1.0)
+      assert(r.getAs[Double]("avg_variability") >= 0.0)
+    }
+  }
+
+  test("dedupThresholdSweep: monotone counts, exact copy at every cut") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact copy of 1
+      (3L, "alpha beta gamma delta eta theta iota"),
+      (4L, "alpha beta gamma delta eta kappa lambda"),
+      (5L, "mu nu xi omicron pi rho sigma"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.dedupThresholdSweep(docs, "doc_id", "text")
+      .orderBy("threshold_pct").collect()
+    assert(rows.map(_.getAs[Long]("threshold_pct")).toSeq ==
+      Seq(50L, 60L, 70L, 80L, 90L))
+    val np = rows.map(_.getAs[Long]("n_pairs"))
+    assert(np.zip(np.tail).forall { case (a, b) => a >= b },
+      s"pair counts must fall as the cut rises: ${np.toSeq}")
+    assert(np.last >= 1L, "the exact copy must survive the 90% cut")
+    val nd = rows.map(_.getAs[Long]("n_docs_in_pairs"))
+    assert(nd.zip(nd.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r.getAs[Long]("n_docs_in_pairs") <= 5L))
+  }
+
   test("incrementalDedup: exact copy dropped, unique doc kept") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
