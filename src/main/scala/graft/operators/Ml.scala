@@ -4397,8 +4397,67 @@ object Ml {
       col("n_lines") >= 4)
   }
 
+  /** Matthews correlation + precision/recall/F1 per slice AND overall —
+    * the single-number classifier score that stays honest under class
+    * imbalance (accuracy and even F1 mislead when positives are rare;
+    * MCC is the full-confusion-matrix correlation, Matthews 1975). Adds
+    * the model-quality view to q330's fairness view of the same
+    * confusion cells: one scan to (slice × 4-cell) counts, an 'ALL' row
+    * re-summed from the slice frame, every score a guarded fixed double
+    * shape on exact longs. */
+  def matthewsCorrelation(df: DataFrame, groupCol: String, label: Column,
+      pred: Column): DataFrame = {
+    val cells = df
+      .select(col(groupCol).cast("string").as("slice"),
+        when(label, 1L).otherwise(0L).as("y"),
+        when(pred, 1L).otherwise(0L).as("p"))
+      .groupBy("slice")
+      .agg(sum(col("y") * col("p")).as("tp"),
+        sum((lit(1L) - col("y")) * col("p")).as("fp"),
+        sum(col("y") * (lit(1L) - col("p"))).as("fn"),
+        sum((lit(1L) - col("y")) * (lit(1L) - col("p"))).as("tn"))
+    val all = cells.agg(sum("tp").as("tp"), sum("fp").as("fp"),
+        sum("fn").as("fn"), sum("tn").as("tn"))
+      .select(lit("ALL").as("slice"), col("tp"), col("fp"), col("fn"),
+        col("tn"))
+    val prec = when(col("tp") + col("fp") > 0,
+      dd(col("tp")) / dd(col("tp") + col("fp")))
+    val rec = when(col("tp") + col("fn") > 0,
+      dd(col("tp")) / dd(col("tp") + col("fn")))
+    val den = sqrt(dd(col("tp") + col("fp")) * dd(col("tp") + col("fn")) *
+      dd(col("tn") + col("fp")) * dd(col("tn") + col("fn")))
+    cells.unionByName(all)
+      .select(col("slice"), (col("tp") + col("fp") + col("fn") + col("tn"))
+          .as("n"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        prec.as("precision"), rec.as("recall"),
+        when(prec + rec > 0, lit(2.0) * prec * rec / (prec + rec))
+          .as("f1"),
+        when(den > 0,
+          (dd(col("tp")) * dd(col("tn")) - dd(col("fp")) * dd(col("fn")))
+            / den).as("mcc"))
+      .orderBy("slice")
+  }
+
+  /** The q330 classifier re-scored for QUALITY per segment: is 'wide
+    * order ⇒ urgent' actually predictive anywhere, MCC-honest. */
+  def q358Mcc(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+    val base = Tables.orders(spark, dir)
+      .join(li, Seq("o_orderkey"), "left").na.fill(0L, Seq("n_lines"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+    matthewsCorrelation(base, "c_mktsegment",
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+      col("n_lines") >= 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q330_fairness_audit" -> (q330FairnessAudit _),
+    "q358_mcc" -> (q358Mcc _),
     "q329_conformal_intervals" -> (q329ConformalIntervals _),
     "q328_quantile_normalize" -> (q328QuantileNormalize _),
     "q327_kmeans" -> (q327Kmeans _),
@@ -5027,6 +5086,58 @@ object Ml {
         |  CAST(MAX(nb) AS BIGINT) AS n_b,
         |  CAST(CAST(SUM(term) AS DECIMAL(38,15)) AS DOUBLE) AS ad_stat
         |FROM terms GROUP BY k ORDER BY event_type""".stripMargin,
+    "q358_mcc" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS o_orderkey, CAST(COUNT(*) AS BIGINT)
+        |    AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |base AS (
+        |  SELECT c.c_mktsegment AS slice,
+        |    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN COALESCE(li.n_lines, 0) >= 4 THEN 1 ELSE 0 END AS p
+        |  FROM orders o
+        |  LEFT JOIN li USING (o_orderkey)
+        |  JOIN customer c ON c.c_custkey = o.o_custkey),
+        |cells AS (
+        |  SELECT slice,
+        |    CAST(SUM(y * p) AS BIGINT) AS tp,
+        |    CAST(SUM((1 - y) * p) AS BIGINT) AS fp,
+        |    CAST(SUM(y * (1 - p)) AS BIGINT) AS fn,
+        |    CAST(SUM((1 - y) * (1 - p)) AS BIGINT) AS tn
+        |  FROM base GROUP BY slice
+        |  UNION ALL
+        |  SELECT 'ALL',
+        |    CAST(SUM(y * p) AS BIGINT), CAST(SUM((1 - y) * p) AS BIGINT),
+        |    CAST(SUM(y * (1 - p)) AS BIGINT),
+        |    CAST(SUM((1 - y) * (1 - p)) AS BIGINT)
+        |  FROM base)
+        |SELECT slice, CAST(tp + fp + fn + tn AS BIGINT) AS n,
+        |  tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
+        |    / CAST(tp + fp AS DOUBLE) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)
+        |    / CAST(tp + fn AS DOUBLE) END AS recall,
+        |  CASE WHEN (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
+        |        / CAST(tp + fp AS DOUBLE) END)
+        |      + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)
+        |        / CAST(tp + fn AS DOUBLE) END) > 0
+        |    THEN 2.0 * (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
+        |        / CAST(tp + fp AS DOUBLE) END)
+        |      * (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)
+        |        / CAST(tp + fn AS DOUBLE) END)
+        |      / ((CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
+        |        / CAST(tp + fp AS DOUBLE) END)
+        |        + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)
+        |          / CAST(tp + fn AS DOUBLE) END)) END AS f1,
+        |  CASE WHEN sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+        |      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) > 0
+        |    THEN (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+        |        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+        |      / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+        |        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+        |    END AS mcc
+        |FROM cells ORDER BY slice""".stripMargin,
     "q354_icc" ->
       """WITH base AS (
         |  SELECT c_mktsegment AS c,

@@ -286,6 +286,26 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("n_docs_in_pairs") <= 5L))
   }
 
+  test("matthewsCorrelation: perfect, inverted and constant classifiers") {
+    val mk = (y: Int, p: Int, k: Int) => Seq.fill(k)(("s", y == 1, p == 1))
+    // 10 TP + 10 TN -> MCC = 1; flip predictions -> MCC = -1
+    val perfect = (mk(1, 1, 10) ++ mk(0, 0, 10)).toDF("g", "y", "p")
+    val r1 = Ml.matthewsCorrelation(perfect, "g", col("y"), col("p"))
+      .filter(col("slice") === "ALL").head()
+    assert(r1.getAs[Double]("mcc") == 1.0 && r1.getAs[Double]("f1") == 1.0)
+    val inverted = (mk(1, 0, 10) ++ mk(0, 1, 10)).toDF("g", "y", "p")
+    val r2 = Ml.matthewsCorrelation(inverted, "g", col("y"), col("p"))
+      .filter(col("slice") === "ALL").head()
+    assert(r2.getAs[Double]("mcc") == -1.0)
+    // constant predictor: denominator zero -> MCC null, recall defined
+    val const = (mk(1, 1, 5) ++ mk(0, 1, 15)).toDF("g", "y", "p")
+    val r3 = Ml.matthewsCorrelation(const, "g", col("y"), col("p"))
+      .filter(col("slice") === "ALL").head()
+    assert(r3.isNullAt(r3.fieldIndex("mcc")))
+    assert(r3.getAs[Double]("recall") == 1.0)
+    assert(r3.getAs[Double]("precision") == 0.25)
+  }
+
   test("incrementalDedup: exact copy dropped, unique doc kept") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
