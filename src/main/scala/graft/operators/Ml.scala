@@ -4439,6 +4439,47 @@ object Ml {
       .orderBy("slice")
   }
 
+  /** Odds ratio with the Wald log-scale confidence interval per slice —
+    * the epidemiology/experimentation 2×2 effect size (how much does
+    * exposure multiply the odds), reported where MCC (q358) reports
+    * association quality: OR = (a·d)/(b·c), CI = exp(ln OR ±
+    * z·√(1/a+1/b+1/c+1/d)) with z = 1.96. Slices with any empty cell
+    * return NULLs (the Wald CI is undefined; Haldane corrections change
+    * the estimand, so none is applied silently). Exact cell counts from
+    * one scan; ln/exp/√ are fixed double shapes on them, and the
+    * z-quantile is a CONSTANT, not a distribution lookup, so nothing
+    * engine-dependent crosses the gate. */
+  def oddsRatio(df: DataFrame, groupCol: String, exposure: Column,
+      outcome: Column): DataFrame = {
+    val cells = df
+      .select(col(groupCol).cast("string").as("slice"),
+        when(exposure, 1L).otherwise(0L).as("e"),
+        when(outcome, 1L).otherwise(0L).as("y"))
+      .groupBy("slice")
+      .agg(sum(col("e") * col("y")).as("a"),
+        sum(col("e") * (lit(1L) - col("y"))).as("b"),
+        sum((lit(1L) - col("e")) * col("y")).as("c"),
+        sum((lit(1L) - col("e")) * (lit(1L) - col("y"))).as("d"))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val or = dd(col("a")) * dd(col("d")) / (dd(col("b")) * dd(col("c")))
+    val se = sqrt(lit(1.0) / dd(col("a")) + lit(1.0) / dd(col("b")) +
+      lit(1.0) / dd(col("c")) + lit(1.0) / dd(col("d")))
+    cells
+      .select(col("slice"),
+        (col("a") + col("b") + col("c") + col("d")).as("n"),
+        col("a"), col("b"), col("c"), col("d"),
+        when(ok, or).as("odds_ratio"),
+        when(ok, exp(log(or) - lit(1.96) * se)).as("ci_lo"),
+        when(ok, exp(log(or) + lit(1.96) * se)).as("ci_hi"))
+      .orderBy("slice")
+  }
+
+  /** Does a big discount multiply the odds of a returned line, per
+    * status slice — OR with its Wald CI. */
+  def q359OddsRatio(spark: SparkSession, dir: String): DataFrame =
+    oddsRatio(Tables.lineitem(spark, dir), "l_linestatus",
+      col("l_discount") >= 0.05, col("l_returnflag") === "R")
+
   /** The q330 classifier re-scored for QUALITY per segment: is 'wide
     * order ⇒ urgent' actually predictive anywhere, MCC-honest. */
   def q358Mcc(spark: SparkSession, dir: String): DataFrame = {
@@ -4458,6 +4499,7 @@ object Ml {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q330_fairness_audit" -> (q330FairnessAudit _),
     "q358_mcc" -> (q358Mcc _),
+    "q359_odds_ratio" -> (q359OddsRatio _),
     "q329_conformal_intervals" -> (q329ConformalIntervals _),
     "q328_quantile_normalize" -> (q328QuantileNormalize _),
     "q327_kmeans" -> (q327Kmeans _),
@@ -5086,6 +5128,35 @@ object Ml {
         |  CAST(MAX(nb) AS BIGINT) AS n_b,
         |  CAST(CAST(SUM(term) AS DECIMAL(38,15)) AS DOUBLE) AS ad_stat
         |FROM terms GROUP BY k ORDER BY event_type""".stripMargin,
+    "q359_odds_ratio" ->
+      """WITH cells AS (
+        |  SELECT l_linestatus AS slice,
+        |    CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM lineitem GROUP BY 1)
+        |SELECT slice, CAST(a + b + c + d AS BIGINT) AS n, a, b, c, d,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+        |    THEN CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END AS odds_ratio,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+        |    THEN exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |        / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+        |      - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0
+        |        / CAST(b AS DOUBLE) + 1.0 / CAST(c AS DOUBLE)
+        |        + 1.0 / CAST(d AS DOUBLE))) END AS ci_lo,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+        |    THEN exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |        / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+        |      + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0
+        |        / CAST(b AS DOUBLE) + 1.0 / CAST(c AS DOUBLE)
+        |        + 1.0 / CAST(d AS DOUBLE))) END AS ci_hi
+        |FROM cells ORDER BY slice""".stripMargin,
     "q358_mcc" ->
       """WITH li AS (
         |  SELECT l_orderkey AS o_orderkey, CAST(COUNT(*) AS BIGINT)

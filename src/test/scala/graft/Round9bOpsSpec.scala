@@ -306,6 +306,24 @@ class Round9bOpsSpec extends AnyFunSuite {
     assert(r3.getAs[Double]("precision") == 0.25)
   }
 
+  test("oddsRatio: hand 2x2 and the empty-cell NULL contract") {
+    // a=20 b=10 c=5 d=40 -> OR = 16; se = sqrt(1/20+1/10+1/5+1/40)
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(40)((false, false))
+    val df = rows.toDF("e", "y").withColumn("g", lit("s"))
+    val r = Ml.oddsRatio(df, "g", col("e"), col("y")).head()
+    assert(r.getAs[Double]("odds_ratio") == 16.0)
+    val se = math.sqrt(1.0 / 20 + 1.0 / 10 + 1.0 / 5 + 1.0 / 40)
+    assert(math.abs(r.getAs[Double]("ci_lo") -
+      math.exp(math.log(16.0) - 1.96 * se)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ci_hi") -
+      math.exp(math.log(16.0) + 1.96 * se)) < 1e-12)
+    val degenerate = Seq((true, true), (false, false))
+      .toDF("e", "y").withColumn("g", lit("s"))
+    val r2 = Ml.oddsRatio(degenerate, "g", col("e"), col("y")).head()
+    assert(r2.isNullAt(r2.fieldIndex("odds_ratio")))
+  }
+
   test("incrementalDedup: exact copy dropped, unique doc kept") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
