@@ -2476,7 +2476,176 @@ object Stats {
     densityIslands(Tables.events(spark, dir), "value",
       epsCents = 10L, minPts = 30L)
 
+  /** Chow structural-break test per group: did the linear daily-revenue
+    * trend CHANGE at a known break date (policy launch, repricing,
+    * pipeline migration)? Fit y = a + b·t by OLS on the full span and on
+    * each side of the break, then
+    *   F = ((RSS_pooled − (RSS₁+RSS₂)) / k) / ((RSS₁+RSS₂) / (n − 2k)),
+    * k = 2 parameters (Chow 1960). One grouped scan produces BOTH
+    * segments' exact moment sets via conditional sums (no second pass,
+    * no window); pooled moments are the exact integer adds of the
+    * segment moments. RSS for each fit comes from the closed form
+    * RSS = (vy − cov²/vx)/n on exact DECIMAL(38,0) n-scaled central
+    * moments (the q296 Dickey–Fuller discipline) — doubles appear only
+    * in the final fixed-shape finish, so the statistic is
+    * engine-reproducible. Scale: the moment frame is |groups| rows; the
+    * scan is map-side combined. */
+  def chowTest(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String, breakDate: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val dz = lit(0).cast("decimal(38,0)")
+    val sd = df.select(col(groupCol).as("g"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("x"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("g", "x").agg(sum("vc").as("y"))
+      .withColumn("s",
+        when(col("x") < datediff(lit(breakDate), lit("1992-01-01")), 0)
+          .otherwise(1))
+    def segSums(i: Int) = Seq(
+      sum(when(col("s") === i, 1L).otherwise(0L)).as(s"n$i"),
+      sum(when(col("s") === i, col("x")).otherwise(0L)).as(s"sx$i"),
+      sum(when(col("s") === i, col("y")).otherwise(0L)).as(s"sy$i"),
+      sum(when(col("s") === i, d(col("x")) * d(col("x"))).otherwise(dz))
+        .cast("decimal(38,0)").as(s"sxx$i"),
+      sum(when(col("s") === i, d(col("x")) * d(col("y"))).otherwise(dz))
+        .cast("decimal(38,0)").as(s"sxy$i"),
+      sum(when(col("s") === i, d(col("y")) * d(col("y"))).otherwise(dz))
+        .cast("decimal(38,0)").as(s"syy$i"))
+    val aggs = segSums(0) ++ segSums(1)
+    val m = sd.groupBy("g").agg(aggs.head, aggs.tail: _*)
+    // exact pooled moments = segment adds; RSS finishes are the only doubles
+    def rssOf(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+        syy: Column): (Column, Column) = {
+      val cov = (d(n) * d(sxy) - d(sx) * d(sy)).cast("decimal(38,0)")
+      val vx = (d(n) * d(sxx) - d(sx) * d(sx)).cast("decimal(38,0)")
+      val vy = (d(n) * d(syy) - d(sy) * d(sy)).cast("decimal(38,0)")
+      (vx, (dd(vy) - dd(cov) * dd(cov) / dd(vx)) / dd(n))
+    }
+    val (vx1, rss1) = rssOf(col("n0"), col("sx0"), col("sy0"),
+      col("sxx0"), col("sxy0"), col("syy0"))
+    val (vx2, rss2) = rssOf(col("n1"), col("sx1"), col("sy1"),
+      col("sxx1"), col("sxy1"), col("syy1"))
+    val np = col("n0") + col("n1")
+    val (vxp, rssp) = rssOf(np, col("sx0") + col("sx1"),
+      col("sy0") + col("sy1"),
+      (col("sxx0") + col("sxx1")).cast("decimal(38,0)"),
+      (col("sxy0") + col("sxy1")).cast("decimal(38,0)"),
+      (col("syy0") + col("syy1")).cast("decimal(38,0)"))
+    val srss = rss1 + rss2
+    val ok = vx1 > 0 && vx2 > 0 && vxp > 0 &&
+      col("n0") > lit(2L) && col("n1") > lit(2L) && srss > 0
+    m.select(col("g").as(groupCol),
+        col("n0").as("n_pre"), col("n1").as("n_post"),
+        when(ok, rssp).as("rss_pooled"),
+        when(ok, srss).as("rss_split"),
+        when(ok, ((rssp - srss) / lit(2.0)) / (srss / dd(np - lit(4L))))
+          .as("f_chow"))
+      .orderBy(groupCol)
+  }
+
+  /** Did the revenue trend break at the 1995-06-17 span midpoint, per
+    * return flag — the Chow F on the daily series. */
+  def q360ChowTest(spark: SparkSession, dir: String): DataFrame =
+    chowTest(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
+      "l_extendedprice", "1995-06-17")
+
+  /** Gaussian kernel density estimate evaluated on a FIXED grid per
+    * group — the smooth view of a value distribution that histograms
+    * (q167 equidepth, q323 density islands) quantize away:
+    *   f̂(x₀) = Σ_v cnt(v)·exp(−(x₀−v)²/(2h²)) / (n·h·√(2π)).
+    * The scan reduces to the exact per-cent value histogram FIRST (the
+    * kernel sum is over distinct values, not raw rows), each kernel term
+    * is quantized to DECIMAL(38,15) so the sum is order-independent
+    * (the q348 Anderson–Darling discipline — float sums over a shuffle
+    * are not associative), and the density finish is one fixed double
+    * shape. Grid and bandwidth are caller constants, so output is
+    * |groups| × |grid| rows regardless of data scale. */
+  def kdeGrid(df: DataFrame, groupCol: String, valCol: String,
+      gridLoCents: Long, gridHiCents: Long, gridStepCents: Long,
+      bandwidth: Double): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val hist = df.select(col(groupCol).as("g"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("g", "vc").agg(count(lit(1)).as("cnt"))
+    val grid = df.sparkSession
+      .range(gridLoCents, gridHiCents + 1L, gridStepCents)
+      .select(col("id").as("x0"))
+    hist.crossJoin(broadcast(grid))
+      .select(col("g"), col("x0"), col("cnt"),
+        ((dd(col("x0")) - dd(col("vc"))) / lit(100.0)).as("u"))
+      .select(col("g"), col("x0"), col("cnt"),
+        (dd(col("cnt")) * exp(-(col("u") * col("u"))
+          / lit(2.0 * bandwidth * bandwidth)))
+          .cast("decimal(38,15)").as("term"))
+      .groupBy("g", "x0")
+      .agg(sum("term").cast("decimal(38,15)").as("tsum"),
+        sum("cnt").as("n"))
+      .select(col("g").as(groupCol), (dd(col("x0")) / lit(100.0)).as("x"),
+        col("n"),
+        (dd(col("tsum")) / (dd(col("n")) * lit(bandwidth)
+          * sqrt(lit(2.0 * math.Pi)))).as("density"))
+      .orderBy(groupCol, "x")
+  }
+
+  /** Where does event-value probability mass sit, smoothly — Gaussian
+    * KDE (h = 25) of event amounts on the 0..500-by-25 grid per event
+    * type. */
+  def q361KdeGrid(spark: SparkSession, dir: String): DataFrame =
+    kdeGrid(Tables.events(spark, dir), "event_type", "value",
+      0L, 50000L, 2500L, 25.0)
+
+  /** Croston's method for INTERMITTENT demand — the forecasting state
+    * for series that are zero most days (a part sells ~30 times across
+    * seven years): separate exponential smoothing of the nonzero demand
+    * SIZE z and the inter-demand INTERVAL p, updated only at demand
+    * occurrences (Croston 1972); forecast per period = z/p. Like q308
+    * Holt, this is a per-key ORDERED FOLD, expressed as a codegen'd
+    * `aggregate()` over each key's date-sorted occurrence array — but
+    * folding the OCCURRENCE list (bounded by the key's demand count),
+    * not a zero-filled calendar grid, because zero days change no state.
+    * Cross-engine determinism: α = 1/2 on integer centi-units with
+    * explicit floors — z' = ⌊(x+z)/2⌋, p' = ⌊(gap+p)/2⌋, seeded
+    * z₁ = x₁, p₁ = 1. The full trajectory is hash-gated. */
+  def croston(df: DataFrame, keyCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val occ = df.select(col(keyCol).as("k"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("xc"))
+      .groupBy("k", "d").agg(sum("xc").as("x"))
+      .filter(col("x") > 0)
+    occ.groupBy("k")
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("xs"))
+      .select(col("k"), explode(expr(
+        """aggregate(
+          |  slice(xs, 2, size(xs) - 1),
+          |  array(named_struct('d', xs[0].d, 'x', xs[0].x,
+          |    'z', xs[0].x, 'p', CAST(1 AS BIGINT))),
+          |  (acc, e) -> array_append(acc, named_struct(
+          |    'd', e.d, 'x', e.x,
+          |    'z', CAST(FLOOR((e.x + element_at(acc, -1).z) / 2.0)
+          |      AS BIGINT),
+          |    'p', CAST(FLOOR(((e.d - element_at(acc, -1).d)
+          |      + element_at(acc, -1).p) / 2.0) AS BIGINT))))"""
+          .stripMargin)).as("st"))
+      .select(col("k").as(keyCol), col("st.d").as("d"),
+        col("st.x").as("demand_c"), col("st.z").as("z_c"),
+        col("st.p").as("p_days"),
+        (col("st.z").cast("double") / lit(100.0)
+          / col("st.p").cast("double")).as("forecast"))
+      .orderBy(keyCol, "d")
+  }
+
+  /** Per-part intermittent-demand forecast state: smoothed demand size,
+    * smoothed reorder interval and the Croston rate after every sale. */
+  def q362Croston(spark: SparkSession, dir: String): DataFrame =
+    croston(Tables.lineitem(spark, dir), "l_partkey", "l_shipdate",
+      "l_quantity")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q360_chow_test" -> (q360ChowTest _),
+    "q361_kde_grid" -> (q361KdeGrid _),
+    "q362_croston" -> (q362Croston _),
     "q323_density_islands" -> (q323DensityIslands _),
     "q326_holt_winters" -> (q326HoltWinters _),
     "q334_cusum_drift" -> (q334CusumDrift _),
@@ -4096,7 +4265,155 @@ object Stats {
         |SELECT c_nationkey, n,
         |  CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)
         |    AS gini
-        |FROM agg ORDER BY c_nationkey""".stripMargin)
+        |FROM agg ORDER BY c_nationkey""".stripMargin,
+    "q360_chow_test" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |sd AS (
+        |  SELECT g, x, y,
+        |    CASE WHEN x < datediff('day', DATE '1992-01-01',
+        |      DATE '1995-06-17') THEN 0 ELSE 1 END AS s
+        |  FROM daily),
+        |m AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN s = 0 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+        |    CAST(SUM(CASE WHEN s = 1 THEN x ELSE 0 END) AS BIGINT) AS sx2,
+        |    CAST(SUM(CASE WHEN s = 0 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+        |    CAST(SUM(CASE WHEN s = 1 THEN y ELSE 0 END) AS BIGINT) AS sy2,
+        |    CAST(SUM(CASE WHEN s = 0 THEN CAST(x AS DECIMAL(38,0))
+        |      * CAST(x AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0))
+        |      AS sxx1,
+        |    CAST(SUM(CASE WHEN s = 1 THEN CAST(x AS DECIMAL(38,0))
+        |      * CAST(x AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0))
+        |      AS sxx2,
+        |    CAST(SUM(CASE WHEN s = 0 THEN CAST(x AS DECIMAL(38,0))
+        |      * CAST(y AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0))
+        |      AS sxy1,
+        |    CAST(SUM(CASE WHEN s = 1 THEN CAST(x AS DECIMAL(38,0))
+        |      * CAST(y AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0))
+        |      AS sxy2,
+        |    CAST(SUM(CASE WHEN s = 0 THEN CAST(y AS DECIMAL(38,0))
+        |      * CAST(y AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0))
+        |      AS syy1,
+        |    CAST(SUM(CASE WHEN s = 1 THEN CAST(y AS DECIMAL(38,0))
+        |      * CAST(y AS DECIMAL(38,0)) ELSE 0 END) AS DECIMAL(38,0))
+        |      AS syy2
+        |  FROM sd GROUP BY g),
+        |r AS (
+        |  SELECT g, n1, n2,
+        |    CAST(n1 AS DECIMAL(38,0)) * sxx1
+        |      - CAST(sx1 AS DECIMAL(38,0)) * CAST(sx1 AS DECIMAL(38,0))
+        |      AS vx1,
+        |    CAST(n2 AS DECIMAL(38,0)) * sxx2
+        |      - CAST(sx2 AS DECIMAL(38,0)) * CAST(sx2 AS DECIMAL(38,0))
+        |      AS vx2,
+        |    CAST(n1 + n2 AS DECIMAL(38,0)) * (sxx1 + sxx2)
+        |      - CAST(sx1 + sx2 AS DECIMAL(38,0))
+        |      * CAST(sx1 + sx2 AS DECIMAL(38,0)) AS vxp,
+        |    (CAST(CAST(n1 AS DECIMAL(38,0)) * syy1
+        |        - CAST(sy1 AS DECIMAL(38,0)) * CAST(sy1 AS DECIMAL(38,0))
+        |        AS DOUBLE)
+        |      - CAST(CAST(n1 AS DECIMAL(38,0)) * sxy1
+        |          - CAST(sx1 AS DECIMAL(38,0)) * CAST(sy1 AS DECIMAL(38,0))
+        |          AS DOUBLE)
+        |        * CAST(CAST(n1 AS DECIMAL(38,0)) * sxy1
+        |          - CAST(sx1 AS DECIMAL(38,0)) * CAST(sy1 AS DECIMAL(38,0))
+        |          AS DOUBLE)
+        |        / CAST(CAST(n1 AS DECIMAL(38,0)) * sxx1
+        |          - CAST(sx1 AS DECIMAL(38,0)) * CAST(sx1 AS DECIMAL(38,0))
+        |          AS DOUBLE)) / CAST(n1 AS DOUBLE) AS rss1,
+        |    (CAST(CAST(n2 AS DECIMAL(38,0)) * syy2
+        |        - CAST(sy2 AS DECIMAL(38,0)) * CAST(sy2 AS DECIMAL(38,0))
+        |        AS DOUBLE)
+        |      - CAST(CAST(n2 AS DECIMAL(38,0)) * sxy2
+        |          - CAST(sx2 AS DECIMAL(38,0)) * CAST(sy2 AS DECIMAL(38,0))
+        |          AS DOUBLE)
+        |        * CAST(CAST(n2 AS DECIMAL(38,0)) * sxy2
+        |          - CAST(sx2 AS DECIMAL(38,0)) * CAST(sy2 AS DECIMAL(38,0))
+        |          AS DOUBLE)
+        |        / CAST(CAST(n2 AS DECIMAL(38,0)) * sxx2
+        |          - CAST(sx2 AS DECIMAL(38,0)) * CAST(sx2 AS DECIMAL(38,0))
+        |          AS DOUBLE)) / CAST(n2 AS DOUBLE) AS rss2,
+        |    (CAST(CAST(n1 + n2 AS DECIMAL(38,0)) * (syy1 + syy2)
+        |        - CAST(sy1 + sy2 AS DECIMAL(38,0))
+        |        * CAST(sy1 + sy2 AS DECIMAL(38,0)) AS DOUBLE)
+        |      - CAST(CAST(n1 + n2 AS DECIMAL(38,0)) * (sxy1 + sxy2)
+        |          - CAST(sx1 + sx2 AS DECIMAL(38,0))
+        |          * CAST(sy1 + sy2 AS DECIMAL(38,0)) AS DOUBLE)
+        |        * CAST(CAST(n1 + n2 AS DECIMAL(38,0)) * (sxy1 + sxy2)
+        |          - CAST(sx1 + sx2 AS DECIMAL(38,0))
+        |          * CAST(sy1 + sy2 AS DECIMAL(38,0)) AS DOUBLE)
+        |        / CAST(CAST(n1 + n2 AS DECIMAL(38,0)) * (sxx1 + sxx2)
+        |          - CAST(sx1 + sx2 AS DECIMAL(38,0))
+        |          * CAST(sx1 + sx2 AS DECIMAL(38,0)) AS DOUBLE))
+        |      / CAST(n1 + n2 AS DOUBLE) AS rssp
+        |  FROM m)
+        |SELECT g AS l_returnflag, n1 AS n_pre, n2 AS n_post,
+        |  CASE WHEN vx1 > 0 AND vx2 > 0 AND vxp > 0 AND n1 > 2 AND n2 > 2
+        |    AND rss1 + rss2 > 0 THEN rssp END AS rss_pooled,
+        |  CASE WHEN vx1 > 0 AND vx2 > 0 AND vxp > 0 AND n1 > 2 AND n2 > 2
+        |    AND rss1 + rss2 > 0 THEN rss1 + rss2 END AS rss_split,
+        |  CASE WHEN vx1 > 0 AND vx2 > 0 AND vxp > 0 AND n1 > 2 AND n2 > 2
+        |    AND rss1 + rss2 > 0
+        |    THEN ((rssp - (rss1 + rss2)) / 2.0)
+        |      / ((rss1 + rss2) / CAST(n1 + n2 - 4 AS DOUBLE)) END
+        |    AS f_chow
+        |FROM r ORDER BY 1""".stripMargin,
+    "q361_kde_grid" ->
+      """WITH hist AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT CAST(range AS BIGINT) AS x0
+        |  FROM range(0, 50001, 2500)),
+        |terms AS (
+        |  SELECT g, x0, cnt,
+        |    CAST(CAST(cnt AS DOUBLE) * exp(
+        |      -(((CAST(x0 AS DOUBLE) - CAST(vc AS DOUBLE)) / 100.0)
+        |        * ((CAST(x0 AS DOUBLE) - CAST(vc AS DOUBLE)) / 100.0))
+        |      / 1250.0) AS DECIMAL(38,15)) AS term
+        |  FROM hist CROSS JOIN grid)
+        |SELECT g AS event_type, CAST(x0 AS DOUBLE) / 100.0 AS x,
+        |  CAST(SUM(cnt) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(term) AS DECIMAL(38,15)) AS DOUBLE)
+        |    / (CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) * 25.0
+        |      * sqrt(2 * pi())) AS density
+        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q362_croston" ->
+      """WITH RECURSIVE occ AS (
+        |  SELECT l_partkey AS k,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS d,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1, 2
+        |  HAVING SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) > 0),
+        |seq AS (
+        |  SELECT k, d, x,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY d) AS rn,
+        |    d - LAG(d) OVER (PARTITION BY k ORDER BY d) AS gap
+        |  FROM occ),
+        |rec AS (
+        |  SELECT k, rn, d, x, x AS z, CAST(1 AS BIGINT) AS p
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.rn, s.d, s.x,
+        |    CAST(FLOOR((s.x + r.z) / 2.0) AS BIGINT),
+        |    CAST(FLOOR((s.gap + r.p) / 2.0) AS BIGINT)
+        |  FROM rec r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1)
+        |SELECT k AS l_partkey, d, x AS demand_c, z AS z_c, p AS p_days,
+        |  CAST(z AS DOUBLE) / 100.0 / CAST(p AS DOUBLE) AS forecast
+        |FROM rec ORDER BY 1, 2""".stripMargin)
 
   // lazy: referenced by `oracles` above in object-initialization order
   private lazy val cusumSql: String =
