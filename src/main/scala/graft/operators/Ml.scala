@@ -4496,7 +4496,82 @@ object Ml {
       col("n_lines") >= 4)
   }
 
+  /** Always-valid A/B monitor — the mixture sequential probability ratio
+    * test (mSPRT, Johari et al. 2017/2022): a daily trajectory of the
+    * treatment–control mean difference whose p-value is valid at EVERY
+    * peek (fixed-horizon t-tests like q260 are only valid at one
+    * pre-registered n; dashboards get peeked daily). Per day t the
+    * normal-mixture likelihood ratio on the cumulative estimate θ̂ with
+    * sampling variance V is
+    *   Λ_t = √(V/(V+τ²)) · exp(θ̂²·τ²/(2·V·(V+τ²))),
+    * and p_t = min(1, min_{s≤t} 1/Λ_s) is monotone non-increasing.
+    * Shape: one scan to per-(slice, day, arm) exact centi moments,
+    * conditional-sum pivot of the arms, cumulative sums over the
+    * CALENDAR-bounded day window per slice, then fixed double finishes
+    * row-wise (the running min is another bounded day window). Days
+    * before both arms have ≥ 2 observations carry NULL lr/p. */
+  def msprt(df: DataFrame, groupCol: String, tsCol: String,
+      userCol: String, valCol: String, tau2: Double): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val dz = lit(0).cast("decimal(38,0)")
+    val arm = when(
+      ascii(substring(md5(col(userCol).cast("string")), 1, 1)) <= 55, 1L)
+      .otherwise(0L)
+    val base = df.select(col(groupCol).as("g"),
+        datediff(to_date(col(tsCol)), lit("1992-01-01")).cast("long")
+          .as("day"),
+        arm.as("t"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("g", "day").agg(
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("dn0"),
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("dn1"),
+        sum(when(col("t") === 0, col("vc")).otherwise(0L)).as("ds0"),
+        sum(when(col("t") === 1, col("vc")).otherwise(0L)).as("ds1"),
+        sum(when(col("t") === 0, d(col("vc")) * d(col("vc")))
+          .otherwise(dz)).cast("decimal(38,0)").as("dq0"),
+        sum(when(col("t") === 1, d(col("vc")) * d(col("vc")))
+          .otherwise(dz)).cast("decimal(38,0)").as("dq1"))
+    val wCum = Window.partitionBy("g").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base
+      .withColumn("n0", sum("dn0").over(wCum))
+      .withColumn("n1", sum("dn1").over(wCum))
+      .withColumn("s0", sum("ds0").over(wCum))
+      .withColumn("s1", sum("ds1").over(wCum))
+      .withColumn("q0", sum("dq0").over(wCum).cast("decimal(38,0)"))
+      .withColumn("q1", sum("dq1").over(wCum).cast("decimal(38,0)"))
+    val theta = dd(col("s1")) / dd(col("n1")) -
+      dd(col("s0")) / dd(col("n0"))
+    val sse =
+      (dd(col("q0")) - dd(col("s0")) * dd(col("s0")) / dd(col("n0"))) +
+      (dd(col("q1")) - dd(col("s1")) * dd(col("s1")) / dd(col("n1")))
+    val v = (sse / dd(col("n0") + col("n1") - 2)) *
+      (lit(1.0) / dd(col("n0")) + lit(1.0) / dd(col("n1")))
+    val scored = cum
+      .withColumn("theta_c",
+        when(col("n0") > 0 && col("n1") > 0, theta))
+      .withColumn("v_c2",
+        when(col("n0") > 1 && col("n1") > 1, v))
+      .withColumn("lr", when(col("v_c2") > 0,
+        sqrt(col("v_c2") / (col("v_c2") + lit(tau2))) *
+          exp(col("theta_c") * col("theta_c") * lit(tau2)
+            / (lit(2.0) * col("v_c2") * (col("v_c2") + lit(tau2))))))
+    scored
+      .withColumn("p_always_valid",
+        least(lit(1.0), min(lit(1.0) / col("lr")).over(wCum)))
+      .select(col("g").as(groupCol), col("day"), col("n0"), col("n1"),
+        col("theta_c"), col("v_c2"), col("lr"), col("p_always_valid"))
+      .orderBy(groupCol, "day")
+  }
+
+  /** Daily always-valid monitor of the md5-arm value experiment per
+    * event type — the peek-proof p trajectory (τ = $1 effect prior). */
+  def q364Msprt(spark: SparkSession, dir: String): DataFrame =
+    msprt(Tables.events(spark, dir), "event_type", "ts", "user_id",
+      "value", tau2 = 10000.0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q364_msprt" -> (q364Msprt _),
     "q330_fairness_audit" -> (q330FairnessAudit _),
     "q358_mcc" -> (q358Mcc _),
     "q359_odds_ratio" -> (q359OddsRatio _),
@@ -7966,5 +8041,63 @@ object Ml {
         |    THEN CAST(SUM(mi_t) AS DOUBLE)
         |      / SQRT(CAST(SUM(ha_t) AS DOUBLE) * CAST(SUM(hb_t) AS DOUBLE))
         |    ELSE 0.0 END AS nmi
-        |FROM t""".stripMargin)
+        |FROM t""".stripMargin,
+    "q364_msprt" ->
+      """WITH base AS (
+        |  SELECT event_type AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+        |      <= 55 THEN 1 ELSE 0 END AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM events),
+        |dayagg AS (
+        |  SELECT g, day,
+        |    CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dn0,
+        |    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dn1,
+        |    CAST(SUM(CASE WHEN t = 0 THEN vc ELSE 0 END) AS BIGINT) AS ds0,
+        |    CAST(SUM(CASE WHEN t = 1 THEN vc ELSE 0 END) AS BIGINT) AS ds1,
+        |    CAST(SUM(CASE WHEN t = 0 THEN CAST(vc AS DECIMAL(38,0))
+        |      * CAST(vc AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0))
+        |      END) AS DECIMAL(38,0)) AS dq0,
+        |    CAST(SUM(CASE WHEN t = 1 THEN CAST(vc AS DECIMAL(38,0))
+        |      * CAST(vc AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0))
+        |      END) AS DECIMAL(38,0)) AS dq1
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, day,
+        |    CAST(SUM(dn0) OVER w AS BIGINT) AS n0,
+        |    CAST(SUM(dn1) OVER w AS BIGINT) AS n1,
+        |    CAST(SUM(ds0) OVER w AS BIGINT) AS s0,
+        |    CAST(SUM(ds1) OVER w AS BIGINT) AS s1,
+        |    CAST(SUM(dq0) OVER w AS DECIMAL(38,0)) AS q0,
+        |    CAST(SUM(dq1) OVER w AS DECIMAL(38,0)) AS q1
+        |  FROM dayagg
+        |  WINDOW w AS (PARTITION BY g ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING)),
+        |scored AS (
+        |  SELECT g, day, n0, n1,
+        |    CASE WHEN n0 > 0 AND n1 > 0
+        |      THEN CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |        - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) END AS theta_c,
+        |    CASE WHEN n0 > 1 AND n1 > 1
+        |      THEN (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+        |          * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |        + (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |          * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+        |        / CAST(n0 + n1 - 2 AS DOUBLE))
+        |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))
+        |      END AS v_c2
+        |  FROM cum),
+        |lrs AS (
+        |  SELECT g, day, n0, n1, theta_c, v_c2,
+        |    CASE WHEN v_c2 > 0
+        |      THEN sqrt(v_c2 / (v_c2 + 10000.0))
+        |        * exp(theta_c * theta_c * 10000.0
+        |          / (2.0 * v_c2 * (v_c2 + 10000.0))) END AS lr
+        |  FROM scored)
+        |SELECT g AS event_type, day, n0, n1, theta_c, v_c2, lr,
+        |  LEAST(1.0, MIN(1.0 / lr) OVER (PARTITION BY g ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING)) AS p_always_valid
+        |FROM lrs ORDER BY 1, 2""".stripMargin)
 }

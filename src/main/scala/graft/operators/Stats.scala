@@ -2642,7 +2642,133 @@ object Stats {
     croston(Tables.lineitem(spark, dir), "l_partkey", "l_shipdate",
       "l_quantity")
 
+  /** Engle–Granger two-step cointegration test for every ordered pair of
+    * group series: do two trending daily-revenue series share a common
+    * stochastic trend (their spread mean-reverts) or merely drift
+    * together? Step 1 regresses y on x by OLS over the common-day frame
+    * (exact integer moments, double finish); step 2 runs the q296
+    * Dickey–Fuller regression on the FLOOR-quantized residual spread —
+    * strongly negative t rejects "no cointegration" (Engle & Granger
+    * 1987). Residual quantization to whole cents keeps the second-stage
+    * moments exact integers; α, β are fixed double shapes on exact
+    * moments, so e = y − α − βx is the same IEEE double in any engine
+    * and its floor is reproducible (cents-scale residuals sit ~1e8 from
+    * the nearest ulp-ambiguous integer). Pairs come from a self-join of
+    * the |groups|×|days| daily frame on day — |groups| is small (a
+    * slice dimension), so the pair frame is bounded by pairs×days. */
+  def engleGranger(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val daily = df.select(col(groupCol).as("g"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("x"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("g", "x").agg(sum("vc").as("v"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.x") === col("b.x") && col("a.g") < col("b.g"))
+      .select(col("a.g").as("ga"), col("b.g").as("gb"),
+        col("a.x").as("x"), col("a.v").as("ya"), col("b.v").as("yb"))
+    val m = pairs.groupBy("ga", "gb").agg(
+        count(lit(1)).as("n"), sum("ya").as("sa"), sum("yb").as("sb"),
+        sum(d(col("ya")) * d(col("ya"))).cast("decimal(38,0)").as("saa"),
+        sum(d(col("ya")) * d(col("yb"))).cast("decimal(38,0)").as("sab"))
+      .withColumn("vx", (d(col("n")) * col("saa")
+        - d(col("sa")) * d(col("sa"))).cast("decimal(38,0)"))
+      .withColumn("cov", (d(col("n")) * col("sab")
+        - d(col("sa")) * d(col("sb"))).cast("decimal(38,0)"))
+      .filter(col("vx") > 0 && col("n") > 2)
+      .withColumn("beta", dd(col("cov")) / dd(col("vx")))
+      .withColumn("alpha",
+        (dd(col("sb")) - col("beta") * dd(col("sa"))) / dd(col("n")))
+    val resid = pairs
+      .join(broadcast(m.select("ga", "gb", "alpha", "beta")),
+        Seq("ga", "gb"))
+      .withColumn("e", floor(dd(col("yb")) - col("alpha")
+        - col("beta") * dd(col("ya"))).cast("long"))
+    val wDay = Window.partitionBy("ga", "gb").orderBy("x")
+    val pr = resid.withColumn("elag", lag(col("e"), 1).over(wDay))
+      .filter(col("elag").isNotNull)
+      .withColumn("de", col("e") - col("elag"))
+    val m2 = pr.groupBy("ga", "gb").agg(
+        count(lit(1)).as("m"), sum("elag").as("s1"), sum("de").as("sd"),
+        sum(d(col("elag")) * d(col("elag"))).cast("decimal(38,0)")
+          .as("s11"),
+        sum(d(col("elag")) * d(col("de"))).cast("decimal(38,0)")
+          .as("s1d"),
+        sum(d(col("de")) * d(col("de"))).cast("decimal(38,0)").as("sdd"))
+      .withColumn("cv", (d(col("m")) * col("s1d")
+        - d(col("s1")) * d(col("sd"))).cast("decimal(38,0)"))
+      .withColumn("vx2", (d(col("m")) * col("s11")
+        - d(col("s1")) * d(col("s1"))).cast("decimal(38,0)"))
+      .withColumn("vy2", (d(col("m")) * col("sdd")
+        - d(col("sd")) * d(col("sd"))).cast("decimal(38,0)"))
+      .filter(col("vx2") > 0 && col("m") > 2)
+    val gamma = dd(col("cv")) / dd(col("vx2"))
+    val sse = (dd(col("vy2"))
+      - dd(col("cv")) * dd(col("cv")) / dd(col("vx2"))) / dd(col("m"))
+    val s2 = sse / dd(col("m") - 2)
+    val seG = sqrt(s2 * dd(col("m")) / dd(col("vx2")))
+    m2.join(broadcast(m.select(col("ga"), col("gb"),
+        col("n").as("n_days"), col("alpha"), col("beta"))),
+        Seq("ga", "gb"))
+      .select(col("ga").as("g_x"), col("gb").as("g_y"), col("n_days"),
+        col("alpha"), col("beta"), gamma.as("gamma"),
+        (gamma / seG).as("t_eg"))
+      .orderBy("g_x", "g_y")
+  }
+
+  /** Are the return-flag revenue streams cointegrated pairwise — the
+    * spread-trading / shared-demand-trend question. */
+  def q363EngleGranger(spark: SparkSession, dir: String): DataFrame =
+    engleGranger(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
+      "l_extendedprice")
+
+  /** Gumbel extreme-value fit on monthly block maxima of the daily
+    * series, with method-of-moments parameters and T-block return
+    * levels — "what daily revenue should we expect to see exceeded once
+    * a year / once in five years" (the EVT capacity-planning view that
+    * q294's in-sample VaR cannot extrapolate to). Block maxima of exact
+    * cents are engine-exact; β̂ = s·√6/π, μ̂ = m − γ·β̂ (γ = the
+    * Euler–Mascheroni constant), x_T = μ̂ − β̂·ln(−ln(1−1/T)) are fixed
+    * double shapes on the exact (n, Σ, Σ²) block-max moments. */
+  def gumbelReturnLevels(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val bm = df.select(col(groupCol).as("g"),
+        (year(col(dateCol)) * 12 + month(col(dateCol))).cast("long")
+          .as("mth"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("x"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("g", "mth", "x").agg(sum("vc").as("v"))
+      .groupBy("g", "mth").agg(max("v").as("mx"))
+    val m = bm.groupBy("g").agg(count(lit(1)).as("n"), sum("mx").as("s"),
+        sum(d(col("mx")) * d(col("mx"))).cast("decimal(38,0)").as("s2"))
+      .filter(col("n") > 1)
+      .withColumn("vv", (d(col("n")) * col("s2")
+        - d(col("s")) * d(col("s"))).cast("decimal(38,0)"))
+    val mean = dd(col("s")) / dd(col("n"))
+    val varr = dd(col("vv")) / (dd(col("n")) * dd(col("n") - 1))
+    val beta = sqrt(varr) * sqrt(lit(6.0)) / lit(math.Pi)
+    val mu = mean - lit(0.5772156649015329) * beta
+    def rl(t: Double) =
+      mu - beta * log(-log(lit(1.0) - lit(1.0) / lit(t)))
+    m.select(col("g").as(groupCol), col("n").as("n_blocks"),
+        (mean / 100.0).as("mean_max"), (beta / 100.0).as("gumbel_beta"),
+        (mu / 100.0).as("gumbel_mu"), (rl(12.0) / 100.0).as("rl_12"),
+        (rl(60.0) / 100.0).as("rl_60"))
+      .orderBy(groupCol)
+  }
+
+  /** Once-a-year and once-in-five-years daily-revenue extremes per
+    * return flag from the monthly block-maxima Gumbel fit. */
+  def q365GumbelMaxima(spark: SparkSession, dir: String): DataFrame =
+    gumbelReturnLevels(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_shipdate", "l_extendedprice")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q363_engle_granger" -> (q363EngleGranger _),
+    "q365_gumbel_maxima" -> (q365GumbelMaxima _),
     "q360_chow_test" -> (q360ChowTest _),
     "q361_kde_grid" -> (q361KdeGrid _),
     "q362_croston" -> (q362Croston _),
@@ -4413,7 +4539,127 @@ object Stats {
         |  FROM rec r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1)
         |SELECT k AS l_partkey, d, x AS demand_c, z AS z_c, p AS p_days,
         |  CAST(z AS DOUBLE) / 100.0 / CAST(p AS DOUBLE) AS forecast
-        |FROM rec ORDER BY 1, 2""".stripMargin)
+        |FROM rec ORDER BY 1, 2""".stripMargin,
+    "q363_engle_granger" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.g AS ga, b.g AS gb, a.x AS x, a.v AS ya, b.v AS yb
+        |  FROM daily a JOIN daily b ON a.x = b.x AND a.g < b.g),
+        |m AS (
+        |  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(ya) AS BIGINT) AS sa, CAST(SUM(yb) AS BIGINT) AS sb,
+        |    CAST(SUM(CAST(ya AS DECIMAL(38,0)) * CAST(ya AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS saa,
+        |    CAST(SUM(CAST(ya AS DECIMAL(38,0)) * CAST(yb AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sab
+        |  FROM pairs GROUP BY 1, 2),
+        |fit AS (
+        |  SELECT ga, gb, n,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sab
+        |      - CAST(sa AS DECIMAL(38,0)) * CAST(sb AS DECIMAL(38,0))
+        |      AS DOUBLE)
+        |    / CAST(CAST(n AS DECIMAL(38,0)) * saa
+        |      - CAST(sa AS DECIMAL(38,0)) * CAST(sa AS DECIMAL(38,0))
+        |      AS DOUBLE) AS beta,
+        |    CAST(n AS DECIMAL(38,0)) * saa
+        |      - CAST(sa AS DECIMAL(38,0)) * CAST(sa AS DECIMAL(38,0))
+        |      AS vx,
+        |    sa, sb
+        |  FROM m),
+        |ab AS (
+        |  SELECT ga, gb, n AS n_days, beta,
+        |    (CAST(sb AS DOUBLE) - beta * CAST(sa AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS alpha
+        |  FROM fit WHERE vx > 0 AND n > 2),
+        |resid AS (
+        |  SELECT p.ga, p.gb, p.x, ab.n_days, ab.alpha, ab.beta,
+        |    CAST(FLOOR(CAST(p.yb AS DOUBLE) - ab.alpha
+        |      - ab.beta * CAST(p.ya AS DOUBLE)) AS BIGINT) AS e
+        |  FROM pairs p JOIN ab ON ab.ga = p.ga AND ab.gb = p.gb),
+        |pr AS (
+        |  SELECT *, LAG(e) OVER (PARTITION BY ga, gb ORDER BY x) AS elag
+        |  FROM resid),
+        |pp AS (
+        |  SELECT ga, gb, n_days, alpha, beta, elag, e - elag AS de
+        |  FROM pr WHERE elag IS NOT NULL),
+        |m2 AS (
+        |  SELECT ga, gb, MAX(n_days) AS n_days, MAX(alpha) AS alpha,
+        |    MAX(beta) AS beta,
+        |    CAST(COUNT(*) AS BIGINT) AS mm,
+        |    CAST(SUM(elag) AS BIGINT) AS s1,
+        |    CAST(SUM(de) AS BIGINT) AS sd,
+        |    CAST(SUM(CAST(elag AS DECIMAL(38,0))
+        |      * CAST(elag AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s11,
+        |    CAST(SUM(CAST(elag AS DECIMAL(38,0))
+        |      * CAST(de AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1d,
+        |    CAST(SUM(CAST(de AS DECIMAL(38,0))
+        |      * CAST(de AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sdd
+        |  FROM pp GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT ga, gb, n_days, alpha, beta, mm,
+        |    CAST(CAST(mm AS DECIMAL(38,0)) * s1d
+        |      - CAST(s1 AS DECIMAL(38,0)) * CAST(sd AS DECIMAL(38,0))
+        |      AS DECIMAL(38,0)) AS cv,
+        |    CAST(CAST(mm AS DECIMAL(38,0)) * s11
+        |      - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))
+        |      AS DECIMAL(38,0)) AS vx2,
+        |    CAST(CAST(mm AS DECIMAL(38,0)) * sdd
+        |      - CAST(sd AS DECIMAL(38,0)) * CAST(sd AS DECIMAL(38,0))
+        |      AS DECIMAL(38,0)) AS vy2
+        |  FROM m2),
+        |ff AS (
+        |  SELECT ga, gb, n_days, alpha, beta, mm, vx2,
+        |    CAST(cv AS DOUBLE) / CAST(vx2 AS DOUBLE) AS gamma,
+        |    (CAST(vy2 AS DOUBLE) - CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)
+        |      / CAST(vx2 AS DOUBLE)) / CAST(mm AS DOUBLE) AS sse
+        |  FROM cv WHERE vx2 > 0 AND mm > 2)
+        |SELECT ga AS g_x, gb AS g_y, n_days, alpha, beta, gamma,
+        |  gamma / SQRT(sse / CAST(mm - 2 AS DOUBLE) * CAST(mm AS DOUBLE)
+        |    / CAST(vx2 AS DOUBLE)) AS t_eg
+        |FROM ff ORDER BY 1, 2""".stripMargin,
+    "q365_gumbel_maxima" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+        |      AS mth,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |bm AS (
+        |  SELECT g, mth, CAST(MAX(v) AS BIGINT) AS mx
+        |  FROM daily GROUP BY 1, 2),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(mx) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(mx AS DECIMAL(38,0)) * CAST(mx AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s2
+        |  FROM bm GROUP BY 1),
+        |p AS (
+        |  SELECT g, n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2
+        |        - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))
+        |        AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+        |      * sqrt(6.0) / pi() AS beta
+        |  FROM m WHERE n > 1),
+        |q AS (
+        |  SELECT g, n, mean, beta,
+        |    mean - 0.5772156649015329 * beta AS mu
+        |  FROM p)
+        |SELECT g AS l_returnflag, n AS n_blocks, mean / 100.0 AS mean_max,
+        |  beta / 100.0 AS gumbel_beta, mu / 100.0 AS gumbel_mu,
+        |  (mu - beta * ln(-ln(1.0 - 1.0 / 12.0))) / 100.0 AS rl_12,
+        |  (mu - beta * ln(-ln(1.0 - 1.0 / 60.0))) / 100.0 AS rl_60
+        |FROM q ORDER BY 1""".stripMargin)
 
   // lazy: referenced by `oracles` above in object-initialization order
   private lazy val cusumSql: String =

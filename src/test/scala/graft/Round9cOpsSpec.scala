@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Stats
+import graft.operators.{Ml, Stats}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -80,6 +80,104 @@ class Round9cOpsSpec extends AnyFunSuite {
     val byX = rows.map(r => r.getAs[Double]("x") ->
       r.getAs[Double]("density")).toMap
     assert(byX(0.0) > byX(4.0)) // 2 points near 1.0 vs 1 point near 3.0
+  }
+
+  /** Textbook OLS slope + its t statistic (centered two-pass sums),
+    * independent of the operator's integer-moment closed form. */
+  private def olsSlopeT(xs: Seq[Double], ys: Seq[Double]): (Double, Double) = {
+    val n = xs.size
+    val mx = xs.sum / n
+    val my = ys.sum / n
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+    val b = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / sxx
+    val a = my - b * mx
+    val rss = xs.zip(ys).map { case (x, y) =>
+      val e = y - a - b * x; e * e }.sum
+    (b, b / math.sqrt(rss / (n - 2) / sxx))
+  }
+
+  test("engleGranger: regression + residual DF stage vs textbook OLS") {
+    // ya ramps 100..170; yb = 2*ya + alternating +-7 cents noise
+    val ya = (0 until 8).map(i => 100L + 10L * i)
+    val noise = Seq(7L, -5L, 6L, -8L, 5L, -6L, 8L, -7L)
+    val yb = ya.zip(noise).map { case (a, e) => 2L * a + e }
+    val rows = (0 until 8).flatMap { i =>
+      Seq(("a", i, ya(i) / 100.0), ("b", i, yb(i) / 100.0)) }
+    val df = rows.toDF("g", "i", "v")
+      .select(col("g"), date_add(lit("1992-01-01"), col("i")).as("dt"),
+        col("v"))
+    val r = Stats.engleGranger(df, "g", "dt", "v").head()
+    assert(r.getAs[String]("g_x") == "a" && r.getAs[String]("g_y") == "b")
+    assert(r.getAs[Long]("n_days") == 8L)
+    // stage 1: textbook OLS of yb on ya
+    val xs = ya.map(_.toDouble)
+    val (beta, _) = olsSlopeT(xs, yb.map(_.toDouble))
+    val alpha = yb.map(_.toDouble).sum / 8 - beta * xs.sum / 8
+    assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-9)
+    assert(math.abs(r.getAs[Double]("alpha") - alpha) < 1e-9)
+    // stage 2: DF regression of d(e) on lag(e) over the FLOORED residuals
+    val e = (0 until 8).map(i =>
+      math.floor(yb(i) - alpha - beta * ya(i)))
+    val elag = e.dropRight(1)
+    val de = e.drop(1).zip(elag).map { case (c, p) => c - p }
+    val (gamma, t) = olsSlopeT(elag, de)
+    assert(math.abs(r.getAs[Double]("gamma") - gamma) < 1e-9)
+    assert(math.abs(r.getAs[Double]("t_eg") - t) < 1e-9)
+    assert(gamma < -1.0) // alternating spread mean-reverts hard
+  }
+
+  test("msprt: one-day 2x2 fixture, hand likelihood ratio") {
+    // pick user ids by the engine's own arm rule (first md5 hex <= '7')
+    def armOf(u: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) <= '7') 1 else 0
+    }
+    val ids = (1L to 100L).toList
+    val ctrl = ids.filter(armOf(_) == 0).take(2)
+    val treat = ids.filter(armOf(_) == 1).take(2)
+    // control values 1.00, 3.00; treated 2.00, 6.00 (cents: mean diff 200)
+    val rows = Seq((ctrl(0), 1.00), (ctrl(1), 3.00),
+      (treat(0), 2.00), (treat(1), 6.00))
+    val df = rows.toDF("user_id", "v")
+      .select(lit("t").as("g"),
+        to_timestamp(lit("1995-01-01 12:00:00")).as("ts"),
+        col("user_id"), col("v"))
+    val r = Ml.msprt(df, "g", "ts", "user_id", "v", tau2 = 10000.0).head()
+    assert(r.getAs[Long]("n0") == 2L && r.getAs[Long]("n1") == 2L)
+    assert(math.abs(r.getAs[Double]("theta_c") - 200.0) < 1e-12)
+    // sse = (10^2+... exact): v = s2*(1/2+1/2) = 50000
+    assert(math.abs(r.getAs[Double]("v_c2") - 50000.0) < 1e-9)
+    val lr = math.sqrt(50000.0 / 60000.0) *
+      math.exp(200.0 * 200.0 * 10000.0 / (2.0 * 50000.0 * 60000.0))
+    assert(math.abs(r.getAs[Double]("lr") - lr) < 1e-12)
+    assert(r.getAs[Double]("p_always_valid") ==
+      math.min(1.0, 1.0 / lr))
+  }
+
+  test("gumbelReturnLevels: monthly maxima extraction + MoM fit") {
+    // months 1..4 with two days each; maxima 1.00 2.00 3.00 4.00
+    // 1992 is a leap year: Jan = days 0..30, Feb = 31..59, Mar = 60..90,
+    // Apr starts at day 91
+    val rows = Seq((0, 0.50), (1, 1.00), (31, 2.00), (32, 1.50),
+      (60, 3.00), (61, 0.25), (91, 4.00), (92, 2.00))
+    val df = rows.toDF("i", "v")
+      .select(lit("g").as("g"),
+        date_add(lit("1992-01-01"), col("i")).as("dt"), col("v"))
+    val r = Stats.gumbelReturnLevels(df, "g", "dt", "v").head()
+    assert(r.getAs[Long]("n_blocks") == 4L)
+    val maxima = Seq(100.0, 200.0, 300.0, 400.0)
+    val mean = maxima.sum / 4
+    val varr = maxima.map(m => (m - mean) * (m - mean)).sum / 3
+    val beta = math.sqrt(varr) * math.sqrt(6.0) / math.Pi
+    val mu = mean - 0.5772156649015329 * beta
+    assert(math.abs(r.getAs[Double]("mean_max") - mean / 100) < 1e-9)
+    assert(math.abs(r.getAs[Double]("gumbel_beta") - beta / 100) < 1e-9)
+    assert(math.abs(r.getAs[Double]("gumbel_mu") - mu / 100) < 1e-9)
+    val rl12 = mu - beta * math.log(-math.log(1.0 - 1.0 / 12.0))
+    assert(math.abs(r.getAs[Double]("rl_12") - rl12 / 100) < 1e-9)
+    assert(r.getAs[Double]("rl_60") > r.getAs[Double]("rl_12"))
   }
 
   test("croston: hand fold over three demand occurrences") {
