@@ -892,7 +892,48 @@ object Behavior {
     shapleyAttribution(Tables.events(spark, dir), "user_id", "event_type",
       Seq("click", "error", "signup", "view"), "purchase")
 
+  /** Gap-allowed sequential pattern pairs — "a is followed by b within
+    * the next `maxGap` events of the same user", the depth-2 sequential
+    * pattern mining primitive (PrefixSpan's first expansion level).
+    * Contiguous n-gram counting (q201) misses patterns interrupted by
+    * noise events; allowing gaps is what makes the pattern behavioral
+    * rather than syntactic. Shape: one per-user position numbering
+    * (user-partitioned window — data-scaled but key-parallel), then a
+    * self-join bounded to `maxGap` successors per event, so the pair
+    * frame is n·maxGap, linear in the log. `avg_follows` = successor
+    * pairs per antecedent occurrence (can exceed 1 by design). */
+  def sequentialPairs(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, maxGap: Int): DataFrame = {
+    val w = Window.partitionBy("u").orderBy("us", "eid")
+    val seq0 = df.select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol)").as("us"), col(idCol).as("eid"),
+        col(typeCol).as("t"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+    val pairs = seq0.as("a").join(seq0.as("b"),
+        col("a.u") === col("b.u") &&
+          col("b.pos") - col("a.pos") >= 1 &&
+          col("b.pos") - col("a.pos") <= maxGap)
+      .groupBy(col("a.t").as("ante"), col("b.t").as("succ"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a.u")).as("n_users"))
+    val totals = seq0.groupBy(col("t").as("ante"))
+      .agg(count(lit(1)).as("n_ante"))
+    pairs.join(broadcast(totals), Seq("ante"))
+      .select(col("ante"), col("succ"), col("n_pairs"), col("n_users"),
+        col("n_ante"),
+        (col("n_pairs").cast("double") / col("n_ante").cast("double"))
+          .as("avg_follows"))
+      .orderBy("ante", "succ")
+  }
+
+  /** Which event types follow which within the next five events of the
+    * same user — the gap-tolerant behavioral transition table. */
+  def q367SequentialPairs(spark: SparkSession, dir: String): DataFrame =
+    sequentialPairs(Tables.events(spark, dir), "user_id", "ts",
+      "event_id", "event_type", maxGap = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q367_sequential_pairs" -> (q367SequentialPairs _),
     "q307_shapley_attribution" -> (q307ShapleyAttribution _),
     "q266_markov_attribution" -> (q266MarkovAttribution _),
     "q185_cohort_ltv" -> (q185CohortLtv _),
@@ -1456,5 +1497,24 @@ object Behavior {
         |  CAST(n_active AS DOUBLE) / CAST(MAX(CASE WHEN offs = 0
         |    THEN n_active END) OVER (PARTITION BY cohort) AS DOUBLE)
         |    AS retain_rate
-        |FROM n ORDER BY cohort_epoch, offs""".stripMargin)
+        |FROM n ORDER BY cohort_epoch, offs""".stripMargin,
+    "q367_sequential_pairs" ->
+      """WITH seq AS (
+        |  SELECT user_id AS u, event_type AS t,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS pos
+        |  FROM events),
+        |pairs AS (
+        |  SELECT a.t AS ante, b.t AS succ,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_users
+        |  FROM seq a JOIN seq b
+        |    ON a.u = b.u AND b.pos - a.pos BETWEEN 1 AND 5
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT t AS ante, CAST(COUNT(*) AS BIGINT) AS n_ante
+        |  FROM seq GROUP BY 1)
+        |SELECT ante, succ, n_pairs, n_users, n_ante,
+        |  CAST(n_pairs AS DOUBLE) / CAST(n_ante AS DOUBLE) AS avg_follows
+        |FROM pairs JOIN tot USING (ante) ORDER BY 1, 2""".stripMargin)
 }

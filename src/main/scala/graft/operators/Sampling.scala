@@ -281,7 +281,42 @@ object Sampling {
       concat(col("l_orderkey"), lit("_"), col("l_linenumber")),
       "l_returnflag", "l_extendedprice", fraction = 0.1)
 
+  /** Kish design diagnostics for a weighted sample: effective sample
+    * size n_eff = (Σw)²/Σw² and the design effect deff = n·Σw²/(Σw)²
+    * (Kish 1965) — how much variance the weighting costs vs an
+    * equal-weight sample of the same n, the number every weighted
+    * estimate's CI must be widened by. One map-side-combined scan to
+    * exact integer weight moments per stratum; the ratios are fixed
+    * double shapes. Weighted mean of the value column rides the same
+    * scan. */
+  def designEffect(df: DataFrame, groupCol: String, weightCol: Column,
+      valCol: Column): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val base = df.select(col(groupCol).as("g"),
+      floor(weightCol).cast("long").as("w"),
+      (valCol.cast("decimal(18,2)") * 100).cast("long").as("yc"))
+    base.groupBy("g").agg(
+        count(lit(1)).as("n"), sum("w").as("sw"),
+        sum(d(col("w")) * d(col("w"))).cast("decimal(38,0)").as("sw2"),
+        sum(d(col("w")) * d(col("yc"))).cast("decimal(38,0)").as("swy"))
+      .filter(col("sw") > 0)
+      .select(col("g").as(groupCol), col("n"),
+        (dd(col("sw")) * dd(col("sw")) / dd(col("sw2"))).as("n_eff"),
+        (dd(col("n")) * dd(col("sw2")) / (dd(col("sw")) * dd(col("sw"))))
+          .as("deff"),
+        (dd(col("swy")) / dd(col("sw")) / 100.0).as("weighted_mean"))
+      .orderBy(groupCol)
+  }
+
+  /** If lineitems were quantity-weighted draws, how much design effect
+    * does the weighting carry per return flag. */
+  def q368DesignEffect(spark: SparkSession, dir: String): DataFrame =
+    designEffect(Tables.lineitem(spark, dir), "l_returnflag",
+      col("l_quantity"), col("l_extendedprice"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q368_design_effect" -> (q368DesignEffect _),
     "q184_sample_estimate" -> (q184SampleEstimate _),
     "q70_stratified_sample" -> (q70StratifiedSample _),
     "q71_split_by_key" -> (q71SplitByKey _),
@@ -391,5 +426,28 @@ object Sampling {
         |  CAST(sd AS DOUBLE) / CAST(denom AS DOUBLE) * 10000000 AS alloc_tokens,
         |  CAST(sd AS DOUBLE) / CAST(denom AS DOUBLE) * 10000000 / n_tokens
         |    AS epochs
-        |FROM s CROSS JOIN t ORDER BY source, lang""".stripMargin)
+        |FROM s CROSS JOIN t ORDER BY source, lang""".stripMargin,
+    "q368_design_effect" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS w,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS yc
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(w) AS BIGINT) AS sw,
+        |    CAST(SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sw2,
+        |    CAST(SUM(CAST(w AS DECIMAL(38,0)) * CAST(yc AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS swy
+        |  FROM base GROUP BY 1)
+        |SELECT g AS l_returnflag, n,
+        |  CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+        |    AS n_eff,
+        |  CAST(n AS DOUBLE) * CAST(sw2 AS DOUBLE)
+        |    / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) AS deff,
+        |  CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0
+        |    AS weighted_mean
+        |FROM m WHERE sw > 0 ORDER BY 1""".stripMargin)
 }

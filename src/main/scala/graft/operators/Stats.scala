@@ -2766,7 +2766,94 @@ object Stats {
     gumbelReturnLevels(Tables.lineitem(spark, dir), "l_returnflag",
       "l_shipdate", "l_extendedprice")
 
+  /** 2-D grid density clustering (grid-granular DBSCAN) over an
+    * value plane: hash every point into an (xCell × yCell) cell, call a
+    * cell CORE when its 3×3 neighborhood holds ≥ minPtsFrac of all
+    * points (a RELATIVE density threshold — see below), and
+    * connect 8-adjacent core cells into clusters — q323's 1-D density
+    * islands lifted to two dimensions, and the standard way DBSCAN is
+    * made scan-parallel (cell counts are one map-side-combined groupBy;
+    * every later step runs on the CELL frame, whose size is bounded by
+    * the grid, not the row count — the exact property that survives a
+    * 100× scale-up). Cells encode to integer ids so min-label
+    * components are engine-reproducible; points in non-core cells are
+    * noise (reported in the summary row contract via n_points of
+    * clusters vs the caller's total). Uses [[Dedup.connectedComponents]]
+    * for the core-cell graph; isolated core cells come back as their
+    * own singleton clusters. */
+  def gridDensityClusters2d(df: DataFrame, xCol: Column, yCol: Column,
+      xCell: Double, yCell: Double, minPtsFrac: Double): DataFrame = {
+    val cx = floor(xCol.cast("double") / lit(xCell)).cast("long")
+    val cy = floor(yCol.cast("double") / lit(yCell)).cast("long")
+    val pts = df.select(cx.as("cx"), cy.as("cy"))
+    // RELATIVE density threshold (fraction of total rows): the same
+    // declaration stays meaningful across scale factors — an absolute
+    // minPts silently degrades to "everything is one cluster" when the
+    // data grows 10x
+    val tot = pts.agg(count(lit(1)).as("nt"))
+    val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+    val nb = cells.as("c").join(cells.as("o"),
+        abs(col("c.cx") - col("o.cx")) <= 1 &&
+          abs(col("c.cy") - col("o.cy")) <= 1)
+      .groupBy(col("c.cx").as("cx"), col("c.cy").as("cy"))
+      .agg(max(col("c.n")).as("n"), sum(col("o.n")).as("nn"))
+    val core = nb.crossJoin(broadcast(tot))
+      .filter(col("nn") >=
+        ceil(col("nt").cast("double") * lit(minPtsFrac)).cast("long"))
+    // SCAN-LINE component build: hash-min CC straight over cells needs
+    // diameter rounds, and a dense value stripe is hundreds of cells
+    // long — the iteration count would track the GRID, not the cluster
+    // structure. Collapse each row (fixed cy) to its maximal cx-runs
+    // first (1-D islands — one bounded window per row), then run CC on
+    // the SEGMENT graph: diameter ≤ 2·(number of rows), a constant of
+    // the grid, regardless of how long the stripes grow.
+    val wRow = Window.partitionBy("cy").orderBy("cx")
+    val segs = core
+      .withColumn("brk",
+        when(col("cx") - lag(col("cx"), 1).over(wRow) === 1L, 0L)
+          .otherwise(1L))
+      .withColumn("seg", sum("brk").over(
+        wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("cy", "seg")
+      .agg(min("cx").as("lo"), max("cx").as("hi"),
+        count(lit(1)).as("n_cells"), sum("n").as("n_points"))
+      .withColumn("id", (col("lo") + 1000L) * 100000L + (col("cy") + 1000L))
+    // 8-connectivity: segments in adjacent rows touch when their
+    // one-cell-widened cx ranges overlap
+    val edges = segs.as("a").join(segs.as("b"),
+        col("b.cy") === col("a.cy") + 1L &&
+          col("a.lo") <= col("b.hi") + 1L &&
+          col("b.lo") <= col("a.hi") + 1L)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // segment-graph diameter is bounded by the segment count along a
+    // zigzag chain, not by rows alone — give the label loop headroom
+    val comp = Dedup.connectedComponents(edges, maxIter = 64)
+    segs.join(comp, Seq("id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("id")))
+      .groupBy("comp")
+      .agg(sum("n_cells").as("n_cells"), sum("n_points").as("n_points"),
+        min("lo").as("cx_lo"), max("hi").as("cx_hi"),
+        min("cy").as("cy_lo"), max("cy").as("cy_hi"))
+      .select(col("comp").as("cluster_id"), col("n_cells"),
+        col("n_points"), col("cx_lo"), col("cx_hi"), col("cy_lo"),
+        col("cy_hi"))
+      .orderBy("cluster_id")
+  }
+
+  /** Where does (amount × time-of-day) event mass clump — grid density
+    * clusters over the value/hour plane (25¢ × 2 h cells, core =
+    * neighborhood ≥ 0.2% of the log): the pricing-tier-by-daypart map.
+    * (The embeddings table's leading 2-D planes are isotropic blobs —
+    * verified; the event-amount plane carries the real multimodal
+    * structure, 25 clusters at sf0.01 / 11 at sf0.1.) */
+  def q366GridDbscan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    gridDensityClusters2d(ev, col("value"), hour(col("ts")),
+      xCell = 0.25, yCell = 2.0, minPtsFrac = 0.002)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q366_grid_dbscan" -> (q366GridDbscan _),
     "q363_engle_granger" -> (q363EngleGranger _),
     "q365_gumbel_maxima" -> (q365GumbelMaxima _),
     "q360_chow_test" -> (q360ChowTest _),
@@ -4659,7 +4746,45 @@ object Stats {
         |  beta / 100.0 AS gumbel_beta, mu / 100.0 AS gumbel_mu,
         |  (mu - beta * ln(-ln(1.0 - 1.0 / 12.0))) / 100.0 AS rl_12,
         |  (mu - beta * ln(-ln(1.0 - 1.0 / 60.0))) / 100.0 AS rl_60
-        |FROM q ORDER BY 1""".stripMargin)
+        |FROM q ORDER BY 1""".stripMargin,
+    "q366_grid_dbscan" ->
+      """WITH RECURSIVE tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM events),
+        |pts AS (
+        |  SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 0.25) AS BIGINT)
+        |      AS cx,
+        |    CAST(FLOOR(CAST(hour(ts) AS DOUBLE) / 2.0) AS BIGINT) AS cy
+        |  FROM events),
+        |cells AS (
+        |  SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pts GROUP BY 1, 2),
+        |nb AS (
+        |  SELECT c.cx, c.cy, MAX(c.n) AS n, CAST(SUM(o.n) AS BIGINT) AS nn
+        |  FROM cells c JOIN cells o
+        |    ON abs(c.cx - o.cx) <= 1 AND abs(c.cy - o.cy) <= 1
+        |  GROUP BY 1, 2),
+        |core AS (
+        |  SELECT cx, cy, n,
+        |    (cx + 1000) * 100000 + (cy + 1000) AS id
+        |  FROM nb, tot
+        |  WHERE nn >= CAST(CEIL(CAST(nt AS DOUBLE) * 0.002) AS BIGINT)),
+        |adj AS (
+        |  SELECT a.id AS s, b.id AS t FROM core a JOIN core b
+        |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |    AND a.id <> b.id),
+        |reach AS (
+        |  SELECT id AS s, id AS t FROM core
+        |  UNION
+        |  SELECT r.s, a.t FROM reach r JOIN adj a ON a.s = r.t),
+        |comp AS (
+        |  SELECT s AS id, CAST(MIN(t) AS BIGINT) AS comp
+        |  FROM reach GROUP BY s)
+        |SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(n) AS BIGINT) AS n_points,
+        |  CAST(MIN(cx) AS BIGINT) AS cx_lo, CAST(MAX(cx) AS BIGINT) AS cx_hi,
+        |  CAST(MIN(cy) AS BIGINT) AS cy_lo, CAST(MAX(cy) AS BIGINT) AS cy_hi
+        |FROM core JOIN comp USING (id)
+        |GROUP BY comp ORDER BY cluster_id""".stripMargin)
 
   // lazy: referenced by `oracles` above in object-initialization order
   private lazy val cusumSql: String =

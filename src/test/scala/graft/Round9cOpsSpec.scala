@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ml, Stats}
+import graft.operators.{Behavior, Ml, Sampling, Stats}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -178,6 +178,67 @@ class Round9cOpsSpec extends AnyFunSuite {
     val rl12 = mu - beta * math.log(-math.log(1.0 - 1.0 / 12.0))
     assert(math.abs(r.getAs[Double]("rl_12") - rl12 / 100) < 1e-9)
     assert(r.getAs[Double]("rl_60") > r.getAs[Double]("rl_12"))
+  }
+
+  test("gridDensityClusters2d: two clusters, noise cell, isolated core") {
+    // unit cells; 8 points, frac 0.3 -> neighborhood threshold ceil(2.4)=3
+    // cluster A: cells (0,0) n=2 and (1,0) n=2; isolated core (10,0) n=3;
+    // noise cell (5,5) n=1 never reaches 3
+    val pts = Seq.fill(2)((0.5, 0.5)) ++ Seq.fill(2)((1.5, 0.5)) ++
+      Seq.fill(3)((10.5, 0.5)) ++ Seq((5.5, 5.5))
+    val df = pts.toDF("x", "y")
+    val rows = Stats.gridDensityClusters2d(df, col("x"), col("y"),
+      xCell = 1.0, yCell = 1.0, minPtsFrac = 0.3).collect()
+    assert(rows.length == 2)
+    val a = rows(0); val b = rows(1)
+    assert(a.getAs[Long]("cluster_id") == 100001000L) // (cx=0, cy=0)
+    assert(a.getAs[Long]("n_cells") == 2L && a.getAs[Long]("n_points") == 4L)
+    assert(a.getAs[Long]("cx_lo") == 0L && a.getAs[Long]("cx_hi") == 1L)
+    assert(b.getAs[Long]("cluster_id") == 101001000L) // (cx=10, cy=0)
+    assert(b.getAs[Long]("n_cells") == 1L && b.getAs[Long]("n_points") == 3L)
+  }
+
+  test("gridDensityClusters2d: diagonal cells join one cluster") {
+    val pts = Seq.fill(2)((0.5, 0.5)) ++ Seq.fill(2)((1.5, 1.5))
+    val df = pts.toDF("x", "y")
+    val rows = Stats.gridDensityClusters2d(df, col("x"), col("y"),
+      xCell = 1.0, yCell = 1.0, minPtsFrac = 0.75).collect() // thresh 3
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n_cells") == 2L)
+    assert(rows(0).getAs[Long]("n_points") == 4L)
+    assert(rows(0).getAs[Long]("cy_lo") == 0L &&
+      rows(0).getAs[Long]("cy_hi") == 1L)
+  }
+
+  test("sequentialPairs: hand-counted gap-2 pairs over two users") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"),
+      (1L, 4L, "C"), (2L, 1L, "A"), (2L, 2L, "B"))
+      .map { case (u, s, t) => (u, ts(s), s, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = Behavior.sequentialPairs(ev, "user_id", "ts", "event_id",
+      "event_type", maxGap = 2).collect()
+    val byPair = rows.map(r => (r.getAs[String]("ante"),
+      r.getAs[String]("succ")) -> r).toMap
+    val ab = byPair(("A", "B"))
+    assert(ab.getAs[Long]("n_pairs") == 2L)
+    assert(ab.getAs[Long]("n_users") == 2L)
+    assert(ab.getAs[Long]("n_ante") == 3L) // A occurs 3x across users
+    assert(math.abs(ab.getAs[Double]("avg_follows") - 2.0 / 3.0) < 1e-12)
+    assert(byPair(("A", "A")).getAs[Long]("n_pairs") == 1L)
+    assert(byPair(("B", "C")).getAs[Long]("n_pairs") == 1L)
+    assert(!byPair.contains(("C", "A"))) // C is last, no successors
+  }
+
+  test("designEffect: hand Kish numbers") {
+    val df = Seq(("g", 1.0, 1.00), ("g", 1.0, 2.00), ("g", 2.0, 3.00))
+      .toDF("g", "w", "v")
+    val r = Sampling.designEffect(df, "g", col("w"), col("v")).head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(math.abs(r.getAs[Double]("n_eff") - 16.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("deff") - 3.0 * 6.0 / 16.0) < 1e-12)
+    // weighted mean = (1*100 + 1*200 + 2*300)/4 cents = 2.25 dollars
+    assert(math.abs(r.getAs[Double]("weighted_mean") - 2.25) < 1e-12)
   }
 
   test("croston: hand fold over three demand occurrences") {
