@@ -4570,7 +4570,144 @@ object Ml {
     msprt(Tables.events(spark, dir), "event_type", "ts", "user_id",
       "value", tau2 = 10000.0)
 
+  /** Huber robust regression by two unrolled IRLS rounds over the daily
+    * series — the M-estimation lens the OLS family (q275/q286) lacks:
+    * one revenue-spike day drags the least-squares trend, while the
+    * Huber ψ caps any row's influence at k = 1.345·σ̂ (the 95%-efficiency
+    * tuning constant). Round 0 is exact-moment OLS; each IRLS round
+    * recomputes per-row weights w = min(1, k/|r|) from the previous fit
+    * (a fixed double shape on exact integers, so w is the same IEEE
+    * double in any engine), quantizes every weighted term to
+    * DECIMAL(38,12) (order-independent sums — the engine's standard
+    * float discipline), and solves the 2×2 weighted normal equations.
+    * The whole (a, b) trajectory is declared, not just the final fit. */
+  def huberRegression(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val dw = (c: Column) => c.cast("decimal(38,12)")
+    val daily = df.select(col(groupCol).as("g"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("x"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("y"))
+      .groupBy("g", "x").agg(sum("y").as("y"))
+    val m0 = daily.groupBy("g").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(d(col("x")) * d(col("x"))).cast("decimal(38,0)").as("sxx"),
+        sum(d(col("x")) * d(col("y"))).cast("decimal(38,0)").as("sxy"),
+        sum(d(col("y")) * d(col("y"))).cast("decimal(38,0)").as("syy"))
+      .withColumn("vx", (d(col("n")) * col("sxx")
+        - d(col("sx")) * d(col("sx"))).cast("decimal(38,0)"))
+      .withColumn("cov", (d(col("n")) * col("sxy")
+        - d(col("sx")) * d(col("sy"))).cast("decimal(38,0)"))
+      .withColumn("vy", (d(col("n")) * col("syy")
+        - d(col("sy")) * d(col("sy"))).cast("decimal(38,0)"))
+      .filter(col("vx") > 0 && col("n") > 2)
+      .withColumn("b0", dd(col("cov")) / dd(col("vx")))
+      .withColumn("a0",
+        (dd(col("sy")) - col("b0") * dd(col("sx"))) / dd(col("n")))
+      .withColumn("k", lit(1.345) * sqrt(
+        (dd(col("vy")) - dd(col("cov")) * dd(col("cov")) / dd(col("vx")))
+          / dd(col("n")) / dd(col("n"))))
+      .select("g", "n", "a0", "b0", "k")
+    // one IRLS round: weights from (a, b), quantized weighted moments,
+    // weighted normal equations
+    def irls(fit: DataFrame, aCol: String, bCol: String, aOut: String,
+        bOut: String): DataFrame = {
+      val r = dd(col("y")) - col(aCol) - col(bCol) * dd(col("x"))
+      val w = when(abs(r) <= col("k"), lit(1.0))
+        .otherwise(col("k") / abs(r))
+      val wm = daily.join(broadcast(fit), Seq("g"))
+        .select(col("g"), dw(w).as("w"), dw(w * dd(col("x"))).as("wx"),
+          dw(w * dd(col("y"))).as("wy"),
+          dw(w * dd(col("x")) * dd(col("x"))).as("wxx"),
+          dw(w * dd(col("x")) * dd(col("y"))).as("wxy"))
+        .groupBy("g").agg(
+          sum("w").cast("decimal(38,12)").as("swq"),
+          sum("wx").cast("decimal(38,12)").as("swx"),
+          sum("wy").cast("decimal(38,12)").as("swy"),
+          sum("wxx").cast("decimal(38,12)").as("swxx"),
+          sum("wxy").cast("decimal(38,12)").as("swxy"))
+      val b1 = (dd(col("swq")) * dd(col("swxy"))
+        - dd(col("swx")) * dd(col("swy"))) /
+        (dd(col("swq")) * dd(col("swxx")) - dd(col("swx")) * dd(col("swx")))
+      fit.join(wm, Seq("g"))
+        .withColumn(bOut, b1)
+        .withColumn(aOut,
+          (dd(col("swy")) - col(bOut) * dd(col("swx"))) / dd(col("swq")))
+        .drop("swq", "swx", "swy", "swxx", "swxy")
+    }
+    val f1 = irls(m0, "a0", "b0", "a1", "b1")
+    val f2 = irls(f1, "a1", "b1", "a2", "b2")
+    f2.select(col("g").as(groupCol), col("n"), col("k"),
+        col("a0"), col("b0"), col("a1"), col("b1"), col("a2"), col("b2"))
+      .orderBy(groupCol)
+  }
+
+  /** Outlier-resistant daily-revenue trend per return flag: the OLS →
+    * IRLS₁ → IRLS₂ Huber trajectory. */
+  def q369Huber(spark: SparkSession, dir: String): DataFrame =
+    huberRegression(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_shipdate", "l_extendedprice")
+
+  /** EXACT grid quantile regression: fit the τ-quantile line
+    * y = a + b·x by scanning a declared integer slope grid — for each
+    * candidate b the optimal intercept is exactly the lower empirical
+    * τ-quantile of the residuals y − b·x, and the pinball loss
+    * 10·ρ_τ = 9·over + 1·under is exact integer arithmetic throughout
+    * (τ = 0.9), so the argmin is a hash-stable BIGINT triple, immune to
+    * the step-size/convergence fragility a subgradient fit would put on
+    * the gate. The quantile-per-candidate uses a per-(group, candidate)
+    * ordered window whose partitions are calendar-bounded (days), not
+    * data-bounded; the candidate grid rides a broadcast cross join. The
+    * 90%-line answers "what daily revenue does a capacity plan need to
+    * cover" — the regression twin of q294's static VaR. */
+  def quantileGridRegression(df: DataFrame, groupCol: String,
+      dateCol: String, valCol: String, tau10: Int, slopeLo: Long,
+      slopeHi: Long, slopeStep: Long): DataFrame = {
+    require(tau10 > 0 && tau10 < 10, s"tau10 in 1..9: $tau10")
+    val daily = df.select(col(groupCol).as("g"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("x"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("y"))
+      .groupBy("g", "x").agg(sum("y").as("y"))
+    val grid = df.sparkSession.range(slopeLo, slopeHi + 1L, slopeStep)
+      .select(col("id").as("b"))
+    val resid = daily.crossJoin(broadcast(grid))
+      .select(col("g"), col("b"), (col("y") - col("b") * col("x")).as("r"))
+    val wOrd = Window.partitionBy("g", "b").orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g", "b")
+    val withQ = resid
+      .withColumn("cum", count(lit(1)).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("a", min(when(col("cum") >= ceil(
+          col("n").cast("double") * lit(tau10 / 10.0)).cast("long"),
+        col("r"))).over(wAll))
+    val loss = withQ
+      .select(col("g"), col("b"), col("n"), col("a"),
+        when(col("r") >= col("a"),
+            lit(tau10.toLong) * (col("r") - col("a")))
+          .otherwise(lit(10L - tau10) * (col("a") - col("r"))).as("l10"))
+      .groupBy("g", "b")
+      .agg(max("n").as("n"), max("a").as("a"),
+        sum("l10").cast("long").as("loss10"))
+    val best = Window.partitionBy("g").orderBy(col("loss10"), col("b"))
+    loss.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("g").as(groupCol), col("n").as("n_days"),
+        col("b").as("slope_c_per_day"), col("a").as("intercept_c"),
+        col("loss10"))
+      .orderBy(groupCol)
+  }
+
+  /** The 90th-percentile daily-revenue trend line per return flag from
+    * the exact slope-grid search (−500..500 ¢/day by 25). */
+  def q370QuantileRegression(spark: SparkSession, dir: String): DataFrame =
+    quantileGridRegression(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_shipdate", "l_extendedprice", tau10 = 9,
+      slopeLo = -500L, slopeHi = 500L, slopeStep = 25L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q369_huber" -> (q369Huber _),
+    "q370_quantile_regression" -> (q370QuantileRegression _),
     "q364_msprt" -> (q364Msprt _),
     "q330_fairness_audit" -> (q330FairnessAudit _),
     "q358_mcc" -> (q358Mcc _),
@@ -8099,5 +8236,180 @@ object Ml {
         |SELECT g AS event_type, day, n0, n1, theta_c, v_c2, lr,
         |  LEAST(1.0, MIN(1.0 / lr) OVER (PARTITION BY g ORDER BY day
         |    ROWS UNBOUNDED PRECEDING)) AS p_always_valid
-        |FROM lrs ORDER BY 1, 2""".stripMargin)
+        |FROM lrs ORDER BY 1, 2""".stripMargin,
+    "q370_quantile_regression" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT CAST(range AS BIGINT) AS b FROM range(-500, 501, 25)),
+        |resid AS (
+        |  SELECT g, b, y - b * x AS r FROM daily CROSS JOIN grid),
+        |q AS (
+        |  SELECT g, b, r,
+        |    COUNT(*) OVER (PARTITION BY g, b ORDER BY r
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    COUNT(*) OVER (PARTITION BY g, b) AS n
+        |  FROM resid),
+        |qa AS (
+        |  SELECT g, b, CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(MIN(CASE WHEN cum >= CAST(CEIL(CAST(n AS DOUBLE) * 0.9)
+        |      AS BIGINT) THEN r END) AS BIGINT) AS a
+        |  FROM q GROUP BY 1, 2),
+        |loss AS (
+        |  SELECT q.g, q.b, qa.n, qa.a,
+        |    CAST(SUM(CASE WHEN q.r >= qa.a THEN 9 * (q.r - qa.a)
+        |      ELSE 1 * (qa.a - q.r) END) AS BIGINT) AS loss10
+        |  FROM q JOIN qa ON qa.g = q.g AND qa.b = q.b
+        |  GROUP BY 1, 2, 3, 4),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY loss10, b) AS rk
+        |  FROM loss)
+        |SELECT g AS l_returnflag, n AS n_days, b AS slope_c_per_day,
+        |  a AS intercept_c, loss10
+        |FROM rk WHERE rk = 1 ORDER BY 1""".stripMargin,
+    "q369_huber" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS syy
+        |  FROM daily GROUP BY g),
+        |cv AS (
+        |  SELECT g, n, sx, sy,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+        |      AS DECIMAL(38,0)) AS vx,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxy
+        |      - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+        |      AS DECIMAL(38,0)) AS cov,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * syy
+        |      - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+        |      AS DECIMAL(38,0)) AS vy
+        |  FROM m),
+        |f0 AS (
+        |  SELECT g, n,
+        |    (CAST(sy AS DOUBLE) - (CAST(cov AS DOUBLE)
+        |      / CAST(vx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS a0,
+        |    CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE) AS b0,
+        |    1.345 * sqrt((CAST(vy AS DOUBLE) - CAST(cov AS DOUBLE)
+        |      * CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)) AS k
+        |  FROM cv WHERE vx > 0 AND n > 2),
+        |w1 AS (
+        |  SELECT d.g,
+        |    CAST(CASE WHEN abs(CAST(d.y AS DOUBLE) - f.a0
+        |        - f.b0 * CAST(d.x AS DOUBLE)) <= f.k THEN 1.0
+        |      ELSE f.k / abs(CAST(d.y AS DOUBLE) - f.a0
+        |        - f.b0 * CAST(d.x AS DOUBLE)) END
+        |      AS DECIMAL(38,12)) AS w,
+        |    CAST(CASE WHEN abs(CAST(d.y AS DOUBLE) - f.a0
+        |        - f.b0 * CAST(d.x AS DOUBLE)) <= f.k THEN 1.0
+        |      ELSE f.k / abs(CAST(d.y AS DOUBLE) - f.a0
+        |        - f.b0 * CAST(d.x AS DOUBLE)) END * CAST(d.x AS DOUBLE)
+        |      AS DECIMAL(38,12)) AS wx,
+        |    CAST(CASE WHEN abs(CAST(d.y AS DOUBLE) - f.a0
+        |        - f.b0 * CAST(d.x AS DOUBLE)) <= f.k THEN 1.0
+        |      ELSE f.k / abs(CAST(d.y AS DOUBLE) - f.a0
+        |        - f.b0 * CAST(d.x AS DOUBLE)) END * CAST(d.y AS DOUBLE)
+        |      AS DECIMAL(38,12)) AS wy,
+        |    CAST(CASE WHEN abs(CAST(d.y AS DOUBLE) - f.a0
+        |        - f.b0 * CAST(d.x AS DOUBLE)) <= f.k THEN 1.0
+        |      ELSE f.k / abs(CAST(d.y AS DOUBLE) - f.a0
+        |        - f.b0 * CAST(d.x AS DOUBLE)) END * CAST(d.x AS DOUBLE)
+        |        * CAST(d.x AS DOUBLE)
+        |      AS DECIMAL(38,12)) AS wxx,
+        |    CAST(CASE WHEN abs(CAST(d.y AS DOUBLE) - f.a0
+        |        - f.b0 * CAST(d.x AS DOUBLE)) <= f.k THEN 1.0
+        |      ELSE f.k / abs(CAST(d.y AS DOUBLE) - f.a0
+        |        - f.b0 * CAST(d.x AS DOUBLE)) END * CAST(d.x AS DOUBLE)
+        |        * CAST(d.y AS DOUBLE)
+        |      AS DECIMAL(38,12)) AS wxy
+        |  FROM daily d JOIN f0 f ON f.g = d.g),
+        |s1 AS (
+        |  SELECT g, CAST(SUM(w) AS DECIMAL(38,12)) AS swq,
+        |    CAST(SUM(wx) AS DECIMAL(38,12)) AS swx,
+        |    CAST(SUM(wy) AS DECIMAL(38,12)) AS swy,
+        |    CAST(SUM(wxx) AS DECIMAL(38,12)) AS swxx,
+        |    CAST(SUM(wxy) AS DECIMAL(38,12)) AS swxy
+        |  FROM w1 GROUP BY g),
+        |f1 AS (
+        |  SELECT f.g, f.n, f.a0, f.b0, f.k,
+        |    (CAST(swy AS DOUBLE) - ((CAST(swq AS DOUBLE)
+        |        * CAST(swxy AS DOUBLE) - CAST(swx AS DOUBLE)
+        |        * CAST(swy AS DOUBLE))
+        |      / (CAST(swq AS DOUBLE) * CAST(swxx AS DOUBLE)
+        |        - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)))
+        |      * CAST(swx AS DOUBLE)) / CAST(swq AS DOUBLE) AS a1,
+        |    (CAST(swq AS DOUBLE) * CAST(swxy AS DOUBLE)
+        |      - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+        |    / (CAST(swq AS DOUBLE) * CAST(swxx AS DOUBLE)
+        |      - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS b1
+        |  FROM f0 f JOIN s1 ON s1.g = f.g),
+        |w2 AS (
+        |  SELECT d.g,
+        |    CAST(CASE WHEN abs(CAST(d.y AS DOUBLE) - f.a1
+        |        - f.b1 * CAST(d.x AS DOUBLE)) <= f.k THEN 1.0
+        |      ELSE f.k / abs(CAST(d.y AS DOUBLE) - f.a1
+        |        - f.b1 * CAST(d.x AS DOUBLE)) END
+        |      AS DECIMAL(38,12)) AS w,
+        |    CAST(CASE WHEN abs(CAST(d.y AS DOUBLE) - f.a1
+        |        - f.b1 * CAST(d.x AS DOUBLE)) <= f.k THEN 1.0
+        |      ELSE f.k / abs(CAST(d.y AS DOUBLE) - f.a1
+        |        - f.b1 * CAST(d.x AS DOUBLE)) END * CAST(d.x AS DOUBLE)
+        |      AS DECIMAL(38,12)) AS wx,
+        |    CAST(CASE WHEN abs(CAST(d.y AS DOUBLE) - f.a1
+        |        - f.b1 * CAST(d.x AS DOUBLE)) <= f.k THEN 1.0
+        |      ELSE f.k / abs(CAST(d.y AS DOUBLE) - f.a1
+        |        - f.b1 * CAST(d.x AS DOUBLE)) END * CAST(d.y AS DOUBLE)
+        |      AS DECIMAL(38,12)) AS wy,
+        |    CAST(CASE WHEN abs(CAST(d.y AS DOUBLE) - f.a1
+        |        - f.b1 * CAST(d.x AS DOUBLE)) <= f.k THEN 1.0
+        |      ELSE f.k / abs(CAST(d.y AS DOUBLE) - f.a1
+        |        - f.b1 * CAST(d.x AS DOUBLE)) END * CAST(d.x AS DOUBLE)
+        |        * CAST(d.x AS DOUBLE)
+        |      AS DECIMAL(38,12)) AS wxx,
+        |    CAST(CASE WHEN abs(CAST(d.y AS DOUBLE) - f.a1
+        |        - f.b1 * CAST(d.x AS DOUBLE)) <= f.k THEN 1.0
+        |      ELSE f.k / abs(CAST(d.y AS DOUBLE) - f.a1
+        |        - f.b1 * CAST(d.x AS DOUBLE)) END * CAST(d.x AS DOUBLE)
+        |        * CAST(d.y AS DOUBLE)
+        |      AS DECIMAL(38,12)) AS wxy
+        |  FROM daily d JOIN f1 f ON f.g = d.g),
+        |s2 AS (
+        |  SELECT g, CAST(SUM(w) AS DECIMAL(38,12)) AS swq,
+        |    CAST(SUM(wx) AS DECIMAL(38,12)) AS swx,
+        |    CAST(SUM(wy) AS DECIMAL(38,12)) AS swy,
+        |    CAST(SUM(wxx) AS DECIMAL(38,12)) AS swxx,
+        |    CAST(SUM(wxy) AS DECIMAL(38,12)) AS swxy
+        |  FROM w2 GROUP BY g)
+        |SELECT f.g AS l_returnflag, f.n, f.k, f.a0, f.b0, f.a1, f.b1,
+        |  (CAST(swy AS DOUBLE) - ((CAST(swq AS DOUBLE)
+        |      * CAST(swxy AS DOUBLE) - CAST(swx AS DOUBLE)
+        |      * CAST(swy AS DOUBLE))
+        |    / (CAST(swq AS DOUBLE) * CAST(swxx AS DOUBLE)
+        |      - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)))
+        |    * CAST(swx AS DOUBLE)) / CAST(swq AS DOUBLE) AS a2,
+        |  (CAST(swq AS DOUBLE) * CAST(swxy AS DOUBLE)
+        |    - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+        |  / (CAST(swq AS DOUBLE) * CAST(swxx AS DOUBLE)
+        |    - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS b2
+        |FROM f1 f JOIN s2 ON s2.g = f.g ORDER BY 1""".stripMargin)
 }

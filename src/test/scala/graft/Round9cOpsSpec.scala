@@ -241,6 +241,63 @@ class Round9cOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("weighted_mean") - 2.25) < 1e-12)
   }
 
+  test("huberRegression: outlier is downweighted vs textbook WLS") {
+    // y = 10.00 + 2.00x dollars except an outlier spike at the LAST day
+    // (an outlier at the center x would leave the OLS slope untouched)
+    val ys = Seq(1000L, 1200L, 1400L, 1600L, 1800L, 2000L, 6000L)
+    val df = ys.zipWithIndex.map { case (c, i) => ("g", i, c / 100.0) }
+      .toDF("g", "i", "v")
+      .select(col("g"), date_add(lit("1992-01-01"), col("i")).as("dt"),
+        col("v"))
+    val r = Ml.huberRegression(df, "g", "dt", "v").head()
+    // textbook reference: OLS, then two weighted-OLS rounds
+    val xs = (0 until 7).map(_.toDouble)
+    val yd = ys.map(_.toDouble)
+    val n = 7.0
+    def wls(ws: Seq[Double]): (Double, Double) = {
+      val sw = ws.sum
+      val swx = ws.zip(xs).map { case (w, x) => w * x }.sum
+      val swy = ws.zip(yd).map { case (w, y) => w * y }.sum
+      val swxx = ws.zip(xs).map { case (w, x) => w * x * x }.sum
+      val swxy = ws.zip(xs.zip(yd)).map { case (w, (x, y)) => w * x * y }.sum
+      val b = (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+      ((swy - b * swx) / sw, b)
+    }
+    val (a0, b0) = wls(Seq.fill(7)(1.0))
+    val rss = xs.zip(yd).map { case (x, y) =>
+      val e = y - a0 - b0 * x; e * e }.sum
+    val k = 1.345 * math.sqrt(rss / n) // sigma-hat = sqrt(RSS/n)
+    def weights(a: Double, b: Double): Seq[Double] =
+      xs.zip(yd).map { case (x, y) =>
+        val ab = math.abs(y - a - b * x)
+        if (ab <= k) 1.0 else k / ab }
+    val (a1, b1) = wls(weights(a0, b0))
+    val (a2, b2) = wls(weights(a1, b1))
+    assert(math.abs(r.getAs[Double]("b0") - b0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b1") - b1) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b2") - b2) < 1e-6)
+    assert(math.abs(r.getAs[Double]("a2") - a2) < 1e-4)
+    // robustness: the IRLS slope is closer to the clean 200 c/day than OLS
+    assert(math.abs(r.getAs[Double]("b2") - 200.0) <
+      math.abs(r.getAs[Double]("b0") - 200.0))
+  }
+
+  test("quantileGridRegression: hand grid search, tau=0.9") {
+    val ys = Seq(0L, 100L, 250L, 300L, 400L)
+    val df = ys.zipWithIndex.map { case (c, i) => ("g", i, c / 100.0) }
+      .toDF("g", "i", "v")
+      .select(col("g"), date_add(lit("1992-01-01"), col("i")).as("dt"),
+        col("v"))
+    val r = Ml.quantileGridRegression(df, "g", "dt", "v", tau10 = 9,
+      slopeLo = 0L, slopeHi = 100L, slopeStep = 50L).head()
+    // b=100: residuals {0,0,50,0,0}, a = max = 50, loss = 4*50*1 = 200
+    // b=50: a=200, loss=450; b=0: a=400, loss=950
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Long]("slope_c_per_day") == 100L)
+    assert(r.getAs[Long]("intercept_c") == 50L)
+    assert(r.getAs[Long]("loss10") == 200L)
+  }
+
   test("croston: hand fold over three demand occurrences") {
     // occurrences day 0 (10.00), day 4 (6.00), day 6 (8.00); a zero-
     // demand day 2 must be ignored entirely
