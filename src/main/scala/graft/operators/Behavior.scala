@@ -932,7 +932,65 @@ object Behavior {
     sequentialPairs(Tables.events(spark, dir), "user_id", "ts",
       "event_id", "event_type", maxGap = 5)
 
+  /** Markov predictability of the session stream: the conditional
+    * entropy H(next | current) of the session-transition chain, per
+    * current state and overall, against the marginal H(next) — the
+    * information-theoretic answer to "how much does knowing where a
+    * user IS tell you where they go next" (info_gain = the mutual
+    * information I(current; next) in bits; ≈ 0 means the q130/q266
+    * transition machinery has nothing to model). All probabilities are
+    * ratios of exact transition counts from [[sessionTransitions]];
+    * each p·log₂p term is DECIMAL(38,15)-quantized so the entropy sums
+    * are order-independent; everything past the one session pass runs
+    * on the |states|² transition frame. */
+  def markovPredictability(events: DataFrame, tsCol: String,
+      userCol: String, typeCol: String, tieCol: String,
+      gapSeconds: Long): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val tr = sessionTransitions(events, tsCol, userCol, typeCol, tieCol,
+      gapSeconds).select("from_type", "to_type", "n")
+    val total = tr.agg(sum("n").as("nt"))
+    val na = tr.groupBy("from_type").agg(sum("n").as("na"))
+    val hA = tr.join(na, Seq("from_type"))
+      .select(col("from_type"), col("na"),
+        ((lit(0.0) - dd(col("n")) / dd(col("na")))
+          * log2(dd(col("n")) / dd(col("na"))))
+          .cast("decimal(38,15)").as("term"))
+      .groupBy("from_type")
+      .agg(max("na").as("na"), sum("term").cast("decimal(38,15)").as("h"))
+    val marg = tr.groupBy("to_type").agg(sum("n").as("nb"))
+      .crossJoin(broadcast(total))
+      .select(((lit(0.0) - dd(col("nb")) / dd(col("nt")))
+        * log2(dd(col("nb")) / dd(col("nt"))))
+        .cast("decimal(38,15)").as("term"))
+      .agg(sum("term").cast("decimal(38,15)").as("hm"))
+    val cond = hA.crossJoin(broadcast(total))
+      .select(col("nt"),
+        ((dd(col("na")) / dd(col("nt"))) * dd(col("h")))
+          .cast("decimal(38,15)").as("term"))
+      .groupBy("nt")
+      .agg(sum("term").cast("decimal(38,15)").as("hc"))
+    val per = hA.crossJoin(broadcast(marg))
+      .select(col("from_type").as("state"), col("na").as("n"),
+        dd(col("h")).as("h_given_bits"), dd(col("hm")).as("h_next_bits"))
+    val all = cond.crossJoin(broadcast(marg))
+      .select(lit("ALL").as("state"), col("nt").as("n"),
+        dd(col("hc")).as("h_given_bits"), dd(col("hm")).as("h_next_bits"))
+    per.unionByName(all)
+      .withColumn("info_gain_bits",
+        col("h_next_bits") - col("h_given_bits"))
+      .orderBy("state")
+  }
+
+  /** How predictable is the next event given the current one, per
+    * state and overall — conditional entropy vs the marginal, in
+    * bits. */
+  def q373MarkovPredictability(spark: SparkSession, dir: String): DataFrame =
+    markovPredictability(Tables.events(spark, dir), "ts", "user_id",
+      "event_type", "event_id", gapSeconds = 30 * 60L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q373_markov_predictability" -> (q373MarkovPredictability _),
     "q367_sequential_pairs" -> (q367SequentialPairs _),
     "q307_shapley_attribution" -> (q307ShapleyAttribution _),
     "q266_markov_attribution" -> (q266MarkovAttribution _),
@@ -1516,5 +1574,58 @@ object Behavior {
         |  FROM seq GROUP BY 1)
         |SELECT ante, succ, n_pairs, n_users, n_ante,
         |  CAST(n_pairs AS DOUBLE) / CAST(n_ante AS DOUBLE) AS avg_follows
-        |FROM pairs JOIN tot USING (ante) ORDER BY 1, 2""".stripMargin)
+        |FROM pairs JOIN tot USING (ante) ORDER BY 1, 2""".stripMargin,
+    // the q138 session-transition CTE, then exact-count entropy algebra
+    "q373_markov_predictability" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+        |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |prs AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY us, event_id) AS dst
+        |  FROM sess),
+        |cnt AS (
+        |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM prs WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cnt),
+        |na AS (SELECT src, CAST(SUM(n) AS BIGINT) AS na
+        |       FROM cnt GROUP BY 1),
+        |ha AS (
+        |  SELECT c.src, CAST(MAX(na.na) AS BIGINT) AS na,
+        |    CAST(SUM(CAST((0.0 - CAST(c.n AS DOUBLE)
+        |        / CAST(na.na AS DOUBLE))
+        |      * log2(CAST(c.n AS DOUBLE) / CAST(na.na AS DOUBLE))
+        |      AS DECIMAL(38,15))) AS DECIMAL(38,15)) AS h
+        |  FROM cnt c JOIN na ON na.src = c.src GROUP BY c.src),
+        |marg AS (
+        |  SELECT CAST(SUM(CAST((0.0 - CAST(nb AS DOUBLE)
+        |        / CAST(nt AS DOUBLE))
+        |      * log2(CAST(nb AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      AS DECIMAL(38,15))) AS DECIMAL(38,15)) AS hm
+        |  FROM (SELECT dst, CAST(SUM(n) AS BIGINT) AS nb
+        |        FROM cnt GROUP BY 1), tot),
+        |cond AS (
+        |  SELECT CAST(MAX(nt) AS BIGINT) AS nt,
+        |    CAST(SUM(CAST((CAST(na AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * CAST(h AS DOUBLE) AS DECIMAL(38,15)))
+        |      AS DECIMAL(38,15)) AS hc
+        |  FROM ha, tot)
+        |SELECT src AS state, na AS n, CAST(h AS DOUBLE) AS h_given_bits,
+        |  CAST(hm AS DOUBLE) AS h_next_bits,
+        |  CAST(hm AS DOUBLE) - CAST(h AS DOUBLE) AS info_gain_bits
+        |FROM ha, marg
+        |UNION ALL
+        |SELECT 'ALL', nt, CAST(hc AS DOUBLE), CAST(hm AS DOUBLE),
+        |  CAST(hm AS DOUBLE) - CAST(hc AS DOUBLE)
+        |FROM cond, marg
+        |ORDER BY state""".stripMargin)
 }

@@ -2852,7 +2852,61 @@ object Stats {
       xCell = 0.25, yCell = 2.0, minPtsFrac = 0.002)
   }
 
+  /** LOESS-style local linear smoother evaluated on a fixed day grid:
+    * at each grid point x₀, fit a tricube-weighted linear regression
+    * over the days within the bandwidth and report ŷ(x₀) = a + b·x₀ —
+    * the trend view that a global OLS line (q275) flattens and a moving
+    * average (q187) lags. Cleveland's LOWESS with the span expressed as
+    * a fixed day bandwidth: w = (1−|u|³)³, u = (x−x₀)/h. Shape: the
+    * day histogram range-joins the per-group grid (≤ h/step matches per
+    * day — linear), weighted moments are DECIMAL(38,12)-quantized
+    * term-wise, and each grid point's 2×2 solve is a fixed double
+    * finish. Cubes are explicit products — no pow() at the gate. */
+  def loessGrid(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String, gridStep: Long, bandwidth: Double): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val dw = (c: Column) => c.cast("decimal(38,12)")
+    val daily = df.select(col(groupCol).as("g"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("x"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("y"))
+      .groupBy("g", "x").agg(sum("y").as("y"))
+    val grid = daily.groupBy("g").agg(min("x").as("mn"), max("x").as("mx"))
+      .select(col("g"),
+        explode(sequence(col("mn"), col("mx"), lit(gridStep))).as("x0"))
+    val u = (dd(col("x")) - dd(col("x0"))) / lit(bandwidth)
+    val au3 = abs(u) * abs(u) * abs(u)
+    val tri = (lit(1.0) - au3) * (lit(1.0) - au3) * (lit(1.0) - au3)
+    val m = daily.join(broadcast(grid), Seq("g"))
+      .filter(abs(col("x") - col("x0")) < lit(bandwidth))
+      .select(col("g"), col("x0"), dw(tri).as("w"),
+        dw(tri * dd(col("x"))).as("wx"), dw(tri * dd(col("y"))).as("wy"),
+        dw(tri * dd(col("x")) * dd(col("x"))).as("wxx"),
+        dw(tri * dd(col("x")) * dd(col("y"))).as("wxy"))
+      .groupBy("g", "x0").agg(count(lit(1)).as("n_local"),
+        sum("w").cast("decimal(38,12)").as("sw"),
+        sum("wx").cast("decimal(38,12)").as("swx"),
+        sum("wy").cast("decimal(38,12)").as("swy"),
+        sum("wxx").cast("decimal(38,12)").as("swxx"),
+        sum("wxy").cast("decimal(38,12)").as("swxy"))
+    val den = dd(col("sw")) * dd(col("swxx")) - dd(col("swx")) * dd(col("swx"))
+    val b = (dd(col("sw")) * dd(col("swxy"))
+      - dd(col("swx")) * dd(col("swy"))) / den
+    val a = (dd(col("swy")) - b * dd(col("swx"))) / dd(col("sw"))
+    m.filter(col("n_local") >= 3)
+      .select(col("g").as(groupCol), col("x0"), col("n_local"),
+        when(den > 0, (a + b * dd(col("x0"))) / lit(100.0))
+          .as("yhat"))
+      .orderBy(groupCol, "x0")
+  }
+
+  /** The smoothed daily-revenue trend per return flag: tricube local
+    * lines every 100 days with a 150-day bandwidth. */
+  def q372LoessGrid(spark: SparkSession, dir: String): DataFrame =
+    loessGrid(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
+      "l_extendedprice", gridStep = 100L, bandwidth = 150.0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q372_loess_grid" -> (q372LoessGrid _),
     "q366_grid_dbscan" -> (q366GridDbscan _),
     "q363_engle_granger" -> (q363EngleGranger _),
     "q365_gumbel_maxima" -> (q365GumbelMaxima _),
@@ -4784,7 +4838,59 @@ object Stats {
         |  CAST(MIN(cx) AS BIGINT) AS cx_lo, CAST(MAX(cx) AS BIGINT) AS cx_hi,
         |  CAST(MIN(cy) AS BIGINT) AS cy_lo, CAST(MAX(cy) AS BIGINT) AS cy_hi
         |FROM core JOIN comp USING (id)
-        |GROUP BY comp ORDER BY cluster_id""".stripMargin)
+        |GROUP BY comp ORDER BY cluster_id""".stripMargin,
+    "q372_loess_grid" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |span AS (SELECT g, MIN(x) AS mn, MAX(x) AS mx
+        |         FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT g, CAST(unnest(generate_series(mn, mx, 100)) AS BIGINT)
+        |    AS x0
+        |  FROM span),
+        |t0 AS (
+        |  SELECT d.g, gr.x0, d.x, d.y,
+        |    (CAST(d.x AS DOUBLE) - CAST(gr.x0 AS DOUBLE)) / 150.0 AS u
+        |  FROM daily d JOIN grid gr ON gr.g = d.g
+        |  WHERE abs(d.x - gr.x0) < 150.0),
+        |t1 AS (SELECT g, x0, x, y, abs(u) * abs(u) * abs(u) AS au3
+        |       FROM t0),
+        |t2 AS (SELECT g, x0, x, y,
+        |    (1.0 - au3) * (1.0 - au3) * (1.0 - au3) AS tri
+        |  FROM t1),
+        |m AS (
+        |  SELECT g, x0, CAST(COUNT(*) AS BIGINT) AS n_local,
+        |    CAST(SUM(CAST(tri AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |      AS sw,
+        |    CAST(SUM(CAST(tri * CAST(x AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS swx,
+        |    CAST(SUM(CAST(tri * CAST(y AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS swy,
+        |    CAST(SUM(CAST(tri * CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS swxx,
+        |    CAST(SUM(CAST(tri * CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS swxy
+        |  FROM t2 GROUP BY 1, 2)
+        |SELECT g AS l_returnflag, x0, n_local,
+        |  CASE WHEN CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+        |      - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE) > 0
+        |    THEN ((CAST(swy AS DOUBLE)
+        |        - ((CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+        |            - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+        |          / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+        |            - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)))
+        |          * CAST(swx AS DOUBLE)) / CAST(sw AS DOUBLE)
+        |      + ((CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+        |          - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+        |        / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+        |          - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)))
+        |        * CAST(x0 AS DOUBLE)) / 100.0 END AS yhat
+        |FROM m WHERE n_local >= 3 ORDER BY 1, 2""".stripMargin)
 
   // lazy: referenced by `oracles` above in object-initialization order
   private lazy val cusumSql: String =

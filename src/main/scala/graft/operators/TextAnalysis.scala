@@ -1174,7 +1174,56 @@ object TextAnalysis {
     bpeTrain(Tables.documents(spark, dir), "text", merges = 6,
       clipChars = 64)
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph — words voted important by appearing
+    * NEXT TO other important words, the unsupervised corpus-keyword
+    * lens that frequency rankings (q48) and RAKE (q253) don't give:
+    * a rare word living beside hub words outranks a frequent isolate.
+    * Build: lowercase whitespace tokens with ORIGINAL positions, keep
+    * alphabetic words (≥ 3 chars), co-occurrence edges at position gap
+    * 1–2 (the classic window-2), symmetric weights, row-normalized
+    * transition probabilities, then [[Graph.pageRank]]'s
+    * DECIMAL-quantized 5-round iteration. The pair build is a
+    * gap-bounded self-join (2 candidates per token — linear in corpus
+    * size); everything after runs on the vocabulary-sized graph. Top-k
+    * selection is a distributed TakeOrdered, not a global sort. */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+      iters: Int, topK: Int): DataFrame = {
+    val pt = docs
+      .select(col(idCol).as("d"), posexplode(tokens(lower(col(textCol)))))
+      .toDF("d", "pos", "tok")
+      .filter(col("tok").rlike("^[a-z]{3,}$"))
+    val co = pt.as("a").join(pt.as("b"),
+        col("a.d") === col("b.d") &&
+          (col("b.pos") - col("a.pos")) >= 1 &&
+          (col("b.pos") - col("a.pos")) <= 2 &&
+          col("a.tok") =!= col("b.tok"))
+      .select(least(col("a.tok"), col("b.tok")).as("u"),
+        greatest(col("a.tok"), col("b.tok")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val bi = co.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .union(co.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val outw = bi.groupBy(col("src").as("osrc")).agg(sum("w").as("ow"))
+    val edges = bi.join(outw, col("src") === col("osrc"))
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("ow").cast("double")).as("p"))
+    val pr = Graph.pageRank(edges, "src", "dst", "p", iters, 0.85)
+    pr.orderBy(desc("rank"), col("node")).limit(topK)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(desc("rank"), col("node"))).cast("long"))
+      .select(col("pos"), col("node").as("word"),
+        col("rank").cast("decimal(20,12)").as("rank"))
+      .orderBy("pos")
+  }
+
+  /** The corpus's 20 TextRank keywords — what the documents are
+    * "about", graph-voted rather than frequency-counted. */
+  def q371TextRank(spark: SparkSession, dir: String): DataFrame =
+    textRank(Tables.documents(spark, dir), "doc_id", "text",
+      iters = 5, topK = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q371_textrank" -> (q371TextRank _),
     "q337_bpe_train" -> (q337BpeTrain _),
     "q338_bpe_fertility" -> (q338BpeFertility _),
     "q173_ngram_novelty" -> (q173NgramNovelty _),
@@ -1837,5 +1886,61 @@ object TextAnalysis {
     "q44_fingerprint_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents
         |GROUP BY array_to_string(list_sort(string_split(text, ' ')), ' ')
-        |ORDER BY keep_id""".stripMargin)
+        |ORDER BY keep_id""".stripMargin,
+    "q371_textrank" -> (
+      """WITH toks0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |pt0 AS (
+        |  SELECT doc_id AS d, i AS pos, ts[i] AS tok
+        |  FROM toks0, UNNEST(range(1, len(ts) + 1)) AS u(i)),
+        |pt AS (
+        |  SELECT * FROM pt0 WHERE regexp_matches(tok, '^[a-z]{3,}$')),
+        |co AS (
+        |  SELECT LEAST(a.tok, b.tok) AS u, GREATEST(a.tok, b.tok) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM pt a JOIN pt b ON a.d = b.d
+        |    AND b.pos - a.pos BETWEEN 1 AND 2 AND a.tok <> b.tok
+        |  GROUP BY 1, 2),
+        |bi AS (
+        |  SELECT u AS src, v AS dst, w FROM co
+        |  UNION ALL SELECT v, u, w FROM co),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM bi
+        |       GROUP BY 1),
+        |edges AS MATERIALIZED (
+        |  SELECT bi.src, bi.dst, CAST(bi.w AS DOUBLE)
+        |    / CAST(ow.ow AS DOUBLE) AS p
+        |  FROM bi JOIN ow ON ow.src = bi.src),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+        |r0 AS (
+        |  SELECT node, 1.0 / CAST(nn.n_nodes AS DOUBLE) AS rank
+        |  FROM nodes CROSS JOIN nn),""".stripMargin + "\n" +
+      (1 to 5).map(trIterSql).mkString(",\n") + ",\n" +
+      """top AS (
+        |  SELECT node, rank,
+        |    ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS pos
+        |  FROM r5)
+        |SELECT CAST(pos AS BIGINT) AS pos, node AS word,
+        |  CAST(CAST(rank AS DECIMAL(20,12)) AS DOUBLE) AS rank
+        |FROM top WHERE pos <= 20 ORDER BY pos""".stripMargin))
+
+  /** One unrolled TextRank iteration — the [[Graph.pageRank]] recursion
+    * with this oracle's CTE names, contributions DECIMAL-quantized
+    * exactly like the engine side. */
+  private def trIterSql(k: Int): String =
+    s"""c$k AS (
+       |  SELECT e.dst AS node,
+       |    CAST(SUM(CAST(r.rank * e.p AS DECIMAL(38,18))) AS DOUBLE)
+       |      AS inflow
+       |  FROM edges e JOIN r${k - 1} r ON e.src = r.node GROUP BY e.dst),
+       |r$k AS (
+       |  SELECT n.node,
+       |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+       |        / CAST(nn.n_nodes AS DOUBLE)
+       |      + CAST(0.85 AS DOUBLE) * COALESCE(c.inflow, 0.0) AS rank
+       |  FROM nodes n CROSS JOIN nn LEFT JOIN c$k c ON c.node = n.node)"""
+      .stripMargin
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Behavior, Ml, Sampling, Stats}
+import graft.operators.{Behavior, Ml, Sampling, Stats, TextAnalysis}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -296,6 +296,85 @@ class Round9cOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("slope_c_per_day") == 100L)
     assert(r.getAs[Long]("intercept_c") == 50L)
     assert(r.getAs[Long]("loss10") == 200L)
+  }
+
+  test("textRank: two-doc corpus vs independent PageRank") {
+    val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "beta alpha beta"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.textRank(docs, "doc_id", "text",
+      iters = 5, topK = 10).collect()
+    // reference: build window-2 co-occurrence graph by the declared rule
+    val toks = Seq(Seq("alpha", "beta", "gamma", "alpha"),
+      Seq("beta", "alpha", "beta"))
+    val w = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (ts <- toks; i <- ts.indices; g <- 1 to 2
+         if i + g < ts.size && ts(i) != ts(i + g)) {
+      val k = if (ts(i) < ts(i + g)) (ts(i), ts(i + g))
+        else (ts(i + g), ts(i))
+      w(k) = w.getOrElse(k, 0L) + 1L
+    }
+    val nodes = w.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    val out = nodes.map(n => n -> w.collect {
+      case ((a, b), c) if a == n || b == n => c }.sum).toMap
+    var rank = nodes.map(n => n -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to 5) {
+      val inflow = nodes.map { n =>
+        n -> w.collect {
+          case ((a, b), c) if a == n => rank(b) * c / out(b)
+          case ((a, b), c) if b == n => rank(a) * c / out(a)
+        }.sum
+      }.toMap
+      rank = nodes.map(n =>
+        n -> (0.15 / nodes.size + 0.85 * inflow(n))).toMap
+    }
+    val expected = rank.toSeq.sortBy { case (n, r) => (-r, n) }
+    val got = rows.map(r => (r.getAs[String]("word"),
+      r.getAs[java.math.BigDecimal]("rank").doubleValue()))
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-9) }
+    // alpha and beta are the hubs; gamma trails
+    assert(got.last._1 == "gamma")
+  }
+
+  test("loessGrid: exact line is reproduced at every grid point") {
+    // y = 2.00 + 0.10x dollars; tricube-weighted OLS of exact linear
+    // data returns the line regardless of the weights
+    val df = (0 to 10).map(i => ("g", i, (200.0 + 10.0 * i) / 100.0))
+      .toDF("g", "i", "v")
+      .select(col("g"), date_add(lit("1992-01-01"), col("i")).as("dt"),
+        col("v"))
+    val rows = Stats.loessGrid(df, "g", "dt", "v", gridStep = 5L,
+      bandwidth = 6.0).collect()
+    assert(rows.length == 3) // x0 = 0, 5, 10
+    rows.foreach { r =>
+      val x0 = r.getAs[Long]("x0")
+      assert(r.getAs[Long]("n_local") >= 3L)
+      assert(math.abs(r.getAs[Double]("yhat")
+        - (200.0 + 10.0 * x0) / 100.0) < 1e-9, s"at x0=$x0")
+    }
+  }
+
+  test("markovPredictability: A,B,A,C chain by hand") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"),
+      (1L, 4L, "C")).map { case (u, s, t) => (u, ts(s), s, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = Behavior.markovPredictability(ev, "ts", "user_id",
+      "event_type", "event_id", gapSeconds = 1800L).collect()
+    val byState = rows.map(r => r.getAs[String]("state") -> r).toMap
+    // transitions: A->B, B->A, A->C; H(next|A)=1 bit, H(next|B)=0
+    assert(math.abs(byState("A").getAs[Double]("h_given_bits") - 1.0)
+      < 1e-12)
+    assert(math.abs(byState("B").getAs[Double]("h_given_bits")) < 1e-12)
+    val hm = math.log(3.0) / math.log(2.0) // next is uniform over 3
+    assert(math.abs(byState("A").getAs[Double]("h_next_bits") - hm)
+      < 1e-12)
+    val all = byState("ALL")
+    assert(all.getAs[Long]("n") == 3L)
+    assert(math.abs(all.getAs[Double]("h_given_bits") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(all.getAs[Double]("info_gain_bits")
+      - (hm - 2.0 / 3.0)) < 1e-12)
   }
 
   test("croston: hand fold over three demand occurrences") {
