@@ -2905,7 +2905,48 @@ object Stats {
     loessGrid(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
       "l_extendedprice", gridStep = 100L, bandwidth = 150.0)
 
+  /** Poisson overdispersion check for daily event counts: the variance/
+    * mean dispersion index with its (n−1)·D χ² statistic (Fisher's
+    * index of dispersion) — the gate between Poisson and negative-
+    * binomial modeling that every count-forecast (q190/q343) quietly
+    * assumes an answer to. Days without events COUNT (the calendar
+    * span is zero-filled per group, the q308 grid discipline); all
+    * moments are exact integers off one scan, the index is a fixed
+    * double finish. */
+  def dispersionIndex(df: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val daily = df.select(col(groupCol).as("g"),
+        datediff(to_date(col(tsCol)), lit("1992-01-01")).cast("long")
+          .as("day"))
+      .groupBy("g", "day").agg(count(lit(1)).as("k"))
+    val grid = daily.groupBy("g")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+      .select(col("g"), explode(sequence(col("mn"), col("mx"))).as("day"))
+      .join(daily, Seq("g", "day"), "left").na.fill(0L, Seq("k"))
+    val m = grid.groupBy("g").agg(count(lit(1)).as("n"),
+        sum("k").as("s"),
+        sum(d(col("k")) * d(col("k"))).cast("decimal(38,0)").as("s2"))
+      .filter(col("n") > 1 && col("s") > 0)
+      .withColumn("vv", (d(col("n")) * col("s2")
+        - d(col("s")) * d(col("s"))).cast("decimal(38,0)"))
+    val mean = dd(col("s")) / dd(col("n"))
+    val varr = dd(col("vv")) / (dd(col("n")) * dd(col("n") - 1))
+    m.select(col("g").as(groupCol), col("n").as("n_days"),
+        mean.as("mean_per_day"), varr.as("var_per_day"),
+        (varr / mean).as("dispersion"),
+        (dd(col("n") - 1) * (varr / mean)).as("chi2"))
+      .orderBy(groupCol)
+  }
+
+  /** Are arrivals Poisson or bursty, per event type — the dispersion
+    * index over the zero-filled daily count series. */
+  def q375Dispersion(spark: SparkSession, dir: String): DataFrame =
+    dispersionIndex(Tables.events(spark, dir), "event_type", "ts")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q375_dispersion" -> (q375Dispersion _),
     "q372_loess_grid" -> (q372LoessGrid _),
     "q366_grid_dbscan" -> (q366GridDbscan _),
     "q363_engle_granger" -> (q363EngleGranger _),
@@ -4890,7 +4931,42 @@ object Stats {
         |        / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
         |          - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)))
         |        * CAST(x0 AS DOUBLE)) / 100.0 END AS yhat
-        |FROM m WHERE n_local >= 3 ORDER BY 1, 2""".stripMargin)
+        |FROM m WHERE n_local >= 3 ORDER BY 1, 2""".stripMargin,
+    "q375_dispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT g, MIN(day) AS mn, MAX(day) AS mx
+        |         FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT s.g, CAST(unnest(generate_series(mn, mx, 1)) AS BIGINT)
+        |    AS day
+        |  FROM span s),
+        |filled AS (
+        |  SELECT gr.g, gr.day, COALESCE(d.k, 0) AS k
+        |  FROM grid gr LEFT JOIN daily d
+        |    ON d.g = gr.g AND d.day = gr.day),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(k) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(k AS DECIMAL(38,0)) * CAST(k AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s2
+        |  FROM filled GROUP BY 1),
+        |f AS (
+        |  SELECT g, n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * s2
+        |        - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))
+        |        AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS varr
+        |  FROM m WHERE n > 1 AND s > 0)
+        |SELECT g AS event_type, n AS n_days, mean AS mean_per_day,
+        |  varr AS var_per_day, varr / mean AS dispersion,
+        |  CAST(n - 1 AS DOUBLE) * (varr / mean) AS chi2
+        |FROM f ORDER BY 1""".stripMargin)
 
   // lazy: referenced by `oracles` above in object-initialization order
   private lazy val cusumSql: String =

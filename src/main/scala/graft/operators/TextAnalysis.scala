@@ -1222,7 +1222,84 @@ object TextAnalysis {
     textRank(Tables.documents(spark, dir), "doc_id", "text",
       iters = 5, topK = 20)
 
+  /** Unigram-LM tokenizer objective (the SentencePiece/Kudo'18 model
+    * class, complementing q337's BPE): seed a piece vocabulary from
+    * weighted substring counts (top-V pieces ∪ all single characters,
+    * so every word stays segmentable), price each piece at its
+    * negative log₂ unigram probability in integer MICRO-BITS (one
+    * floor-quantized log per vocab entry — the per-word DP is then
+    * exact integer arithmetic), and compute each unique word's OPTIMAL
+    * segmentation cost by Viterbi DP — reported as bits-per-char by
+    * word length: the compression lens a tokenizer designer compares
+    * across vocab sizes. The DP is a codegen'd `aggregate()` fold over
+    * word positions (≤ maxWordLen steps, edges bounded by
+    * maxPieceLen·L per word); everything heavier runs on the UNIQUE
+    * word frame, not the corpus, and the vocab join is a broadcast. */
+  def unigramLmCost(docs: DataFrame, textCol: String, maxPieceLen: Int,
+      vocabTop: Int, maxWordLen: Int): DataFrame = {
+    val words = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") &&
+        length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("L", length(col("w")).cast("long"))
+    val occ = words
+      .select(col("w"), col("c"), col("L"),
+        explode(sequence(lit(0L), col("L") - 1L)).as("j"))
+      .select(col("w"), col("c"), col("L"), col("j"),
+        explode(sequence(lit(1L),
+          least(lit(maxPieceLen.toLong), col("L") - col("j")))).as("len"))
+      .select(col("w"), col("c"), col("L"), col("j"),
+        (col("j") + col("len")).as("i"),
+        expr("substring(w, CAST(j + 1 AS INT), CAST(len AS INT))")
+          .as("piece"))
+    val pc = occ.groupBy("piece").agg(sum("c").as("cnt"))
+    val vocab0 = pc.orderBy(desc("cnt"), col("piece")).limit(vocabTop)
+      .unionByName(pc.filter(length(col("piece")) === 1))
+      .distinct()
+    val tot = vocab0.agg(sum("cnt").as("t"))
+    val vocab = vocab0.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        floor(lit(-1000000.0) *
+          log2(col("cnt").cast("double") / col("t").cast("double")))
+          .cast("long").as("cost"))
+    val perWord = occ.join(broadcast(vocab), Seq("piece"))
+      .groupBy("w", "c", "L")
+      .agg(collect_list(struct(col("j"), col("i"), col("cost")))
+        .as("edges"))
+      .select(col("w"), col("c"), col("L"), expr(
+        """element_at(aggregate(
+          |  sequence(1, CAST(L AS INT)),
+          |  array(CAST(0 AS BIGINT)),
+          |  (acc, i) -> array_append(acc,
+          |    array_min(transform(
+          |      filter(edges, e -> e.i = i),
+          |      e -> element_at(acc, CAST(e.j + 1 AS INT)) + e.cost)))),
+          |  -1)""".stripMargin).as("cost_ubits"))
+    val byLen = perWord.groupBy(col("L").as("word_len"))
+      .agg(count(lit(1)).as("n_words"), sum("c").as("n_tokens"),
+        sum(col("c") * col("cost_ubits")).as("tot_ubits"),
+        sum(col("c") * col("L")).as("n_chars"))
+    val all = byLen.agg(sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"), sum("tot_ubits").as("tot_ubits"),
+        sum("n_chars").as("n_chars"))
+      .select(lit(0L).as("word_len"), col("n_words"), col("n_tokens"),
+        col("tot_ubits"), col("n_chars"))
+    byLen.unionByName(all)
+      .select(col("word_len"), col("n_words"), col("n_tokens"),
+        (col("tot_ubits").cast("double") / col("n_chars").cast("double")
+          / lit(1000000.0)).as("bits_per_char"))
+      .orderBy("word_len")
+  }
+
+  /** Corpus compression under a 200-piece unigram LM with optimal
+    * segmentation, by word length (row 0 = whole corpus). */
+  def q374UnigramLm(spark: SparkSession, dir: String): DataFrame =
+    unigramLmCost(Tables.documents(spark, dir), "text",
+      maxPieceLen = 4, vocabTop = 200, maxWordLen = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q374_unigram_lm" -> (q374UnigramLm _),
     "q371_textrank" -> (q371TextRank _),
     "q337_bpe_train" -> (q337BpeTrain _),
     "q338_bpe_fertility" -> (q338BpeFertility _),
@@ -1925,7 +2002,67 @@ object TextAnalysis {
         |  FROM r5)
         |SELECT CAST(pos AS BIGINT) AS pos, node AS word,
         |  CAST(CAST(rank AS DECIMAL(20,12)) AS DOUBLE) AS rank
-        |FROM top WHERE pos <= 20 ORDER BY pos""".stripMargin))
+        |FROM top WHERE pos <= 20 ORDER BY pos""".stripMargin),
+    "q374_unigram_lm" ->
+      """WITH words AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(len(w) AS BIGINT) AS L
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(
+        |      lower(text), '\s+'), x -> x <> '')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) <= 20
+        |  GROUP BY w),
+        |occ AS (
+        |  SELECT w, c, L, CAST(j AS BIGINT) AS j,
+        |    CAST(j + len AS BIGINT) AS i,
+        |    substring(w, CAST(j + 1 AS INT), CAST(len AS INT)) AS piece
+        |  FROM words, UNNEST(range(0, CAST(L AS INT))) AS a(j),
+        |       UNNEST(range(1, 5)) AS b(len)
+        |  WHERE j + len <= L),
+        |pc AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt
+        |       FROM occ GROUP BY 1),
+        |vocab0 AS (
+        |  SELECT DISTINCT piece, cnt FROM (
+        |    (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 200)
+        |    UNION ALL
+        |    (SELECT piece, cnt FROM pc WHERE len(piece) = 1))),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab0),
+        |vocab AS (
+        |  SELECT piece, CAST(FLOOR(-1000000.0 * log2(CAST(cnt AS DOUBLE)
+        |    / CAST(t AS DOUBLE))) AS BIGINT) AS cost
+        |  FROM vocab0, tot),
+        |edl AS (
+        |  SELECT o.w, MAX(o.c) AS c, MAX(o.L) AS L,
+        |    list({'j': o.j, 'i': o.i, 'cost': v.cost}) AS edges
+        |  FROM occ o JOIN vocab v ON v.piece = o.piece
+        |  GROUP BY o.w),
+        |dp AS (
+        |  SELECT w, c, L,
+        |    (list_reduce(
+        |      list_prepend([CAST(0 AS BIGINT)],
+        |        list_transform(range(1, CAST(L AS INT) + 1),
+        |          i -> [CAST(i AS BIGINT)])),
+        |      (acc, x) -> list_append(acc,
+        |        list_min(list_transform(
+        |          list_filter(edges, e -> e.i = x[1]),
+        |          e -> acc[CAST(e.j + 1 AS INT)] + e.cost)))))[-1]
+        |      AS cost_ubits
+        |  FROM edl),
+        |bl AS (
+        |  SELECT L AS word_len, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(c * cost_ubits) AS BIGINT) AS tot_ubits,
+        |    CAST(SUM(c * L) AS BIGINT) AS n_chars
+        |  FROM dp GROUP BY 1)
+        |SELECT word_len, n_words, n_tokens,
+        |  CAST(tot_ubits AS DOUBLE) / CAST(n_chars AS DOUBLE) / 1000000.0
+        |    AS bits_per_char
+        |FROM (SELECT * FROM bl
+        |      UNION ALL
+        |      SELECT CAST(0 AS BIGINT), CAST(SUM(n_words) AS BIGINT),
+        |        CAST(SUM(n_tokens) AS BIGINT),
+        |        CAST(SUM(tot_ubits) AS BIGINT),
+        |        CAST(SUM(n_chars) AS BIGINT) FROM bl)
+        |ORDER BY word_len""".stripMargin)
 
   /** One unrolled TextRank iteration — the [[Graph.pageRank]] recursion
     * with this oracle's CTE names, contributions DECIMAL-quantized

@@ -377,6 +377,42 @@ class Round9cOpsSpec extends AnyFunSuite {
       - (hm - 2.0 / 3.0)) < 1e-12)
   }
 
+  test("unigramLmCost: two-word corpus, hand Viterbi") {
+    // words: "aa" (c=1), "ab" (c=1); substring counts a=3, b=1, aa=1,
+    // ab=1 (tot 6); costs in micro-bits: a=1e6, b=aa=ab=floor(1e6*log2 6)
+    val docs = Seq((1L, "aa ab")).toDF("doc_id", "text")
+    val rows = TextAnalysis.unigramLmCost(docs, "text", maxPieceLen = 4,
+      vocabTop = 200, maxWordLen = 20).collect()
+    val cA = 1000000L
+    val cRare = math.floor(-1e6 * math.log(1.0 / 6.0) / math.log(2.0)).toLong
+    // "aa": min(a+a, aa) = 2e6; "ab": min(a+b, ab) = cRare (single piece)
+    val best = 2 * cA + math.min(cA + cRare, cRare)
+    val byLen = rows.map(r => r.getAs[Long]("word_len") -> r).toMap
+    val l2 = byLen(2L)
+    assert(l2.getAs[Long]("n_words") == 2L)
+    assert(l2.getAs[Long]("n_tokens") == 2L)
+    assert(math.abs(l2.getAs[Double]("bits_per_char")
+      - best.toDouble / 4.0 / 1e6) < 1e-9)
+    assert(byLen(0L).getAs[Long]("n_words") == 2L) // ALL row
+  }
+
+  test("dispersionIndex: zero-filled grid, hand moments") {
+    def ts(day: Int, k: Int): Seq[java.sql.Timestamp] =
+      Seq.fill(k)(java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(1992, 1, 1).plusDays(day).atStartOfDay()))
+    // counts per day: day0=3, day1=0 (gap!), day2=1 -> n=3, s=4
+    val ev = (ts(0, 3) ++ ts(2, 1)).map(t => ("t", t))
+      .toDF("event_type", "ts")
+    val r = Stats.dispersionIndex(ev, "event_type", "ts").head()
+    assert(r.getAs[Long]("n_days") == 3L)
+    val mean = 4.0 / 3.0
+    val varr = (Seq(3.0, 0.0, 1.0).map(k => (k - mean) * (k - mean)).sum) / 2
+    assert(math.abs(r.getAs[Double]("mean_per_day") - mean) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_per_day") - varr) < 1e-12)
+    assert(math.abs(r.getAs[Double]("dispersion") - varr / mean) < 1e-12)
+    assert(math.abs(r.getAs[Double]("chi2") - 2 * varr / mean) < 1e-12)
+  }
+
   test("croston: hand fold over three demand occurrences") {
     // occurrences day 0 (10.00), day 4 (6.00), day 6 (8.00); a zero-
     // demand day 2 must be ignored entirely
