@@ -989,7 +989,47 @@ object Behavior {
     markovPredictability(Tables.events(spark, dir), "ts", "user_id",
       "event_type", "event_id", gapSeconds = 30 * 60L)
 
+  /** Session-gap threshold sensitivity: how many sessions (and how many
+    * events per session) the log yields at EVERY candidate inactivity
+    * threshold — the parameter-sweep twin of q37's fixed-gap
+    * sessionization (same spirit as q357's dedup threshold sweep: one
+    * pass, every cutoff priced before anyone hard-codes 30 minutes).
+    * Sessions at threshold T = users + inter-event gaps > T, so ONE
+    * per-user lag pass yields the exact gap multiset and every
+    * threshold is a conditional count over it — no re-sessionization
+    * per candidate. */
+  def sessionGapSweep(events: DataFrame, tsCol: String, userCol: String,
+      tieCol: String, thresholdsSeconds: Seq[Long]): DataFrame = {
+    require(thresholdsSeconds.nonEmpty, "no thresholds")
+    val w = Window.partitionBy("u").orderBy("us", "tie")
+    val gaps = events.select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol)").as("us"), col(tieCol).as("tie"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+    val tf = events.sparkSession
+      .createDataFrame(thresholdsSeconds.map(Tuple1(_))).toDF("t_s")
+    val base = gaps.agg(count(lit(1)).as("n_events"),
+      countDistinct(col("u")).as("n_users"))
+    gaps.filter(col("gap").isNotNull).crossJoin(broadcast(tf))
+      .groupBy("t_s")
+      .agg(sum(when(col("gap") > col("t_s") * 1000000L, 1L).otherwise(0L))
+        .as("n_breaks"))
+      .crossJoin(broadcast(base))
+      .select(col("t_s").as("threshold_s"),
+        (col("n_users") + col("n_breaks")).as("n_sessions"),
+        (col("n_events").cast("double") /
+          (col("n_users") + col("n_breaks")).cast("double"))
+          .as("avg_events_per_session"))
+      .orderBy("threshold_s")
+  }
+
+  /** One pass over the log prices every candidate session gap from one
+    * minute to four hours. */
+  def q376SessionGapSweep(spark: SparkSession, dir: String): DataFrame =
+    sessionGapSweep(Tables.events(spark, dir), "ts", "user_id",
+      "event_id", Seq(60L, 300L, 900L, 1800L, 3600L, 7200L, 14400L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q376_session_gap_sweep" -> (q376SessionGapSweep _),
     "q373_markov_predictability" -> (q373MarkovPredictability _),
     "q367_sequential_pairs" -> (q367SequentialPairs _),
     "q307_shapley_attribution" -> (q307ShapleyAttribution _),
@@ -1627,5 +1667,28 @@ object Behavior {
         |SELECT 'ALL', nt, CAST(hc AS DOUBLE), CAST(hm AS DOUBLE),
         |  CAST(hm AS DOUBLE) - CAST(hc AS DOUBLE)
         |FROM cond, marg
-        |ORDER BY state""".stripMargin)
+        |ORDER BY state""".stripMargin,
+    "q376_session_gap_sweep" ->
+      """WITH g AS (
+        |  SELECT user_id AS u,
+        |    CAST(epoch_us(ts) AS BIGINT)
+        |      - LAG(CAST(epoch_us(ts) AS BIGINT)) OVER (
+        |        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS gap
+        |  FROM events),
+        |base AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+        |  FROM g),
+        |tf AS (SELECT CAST(unnest([60, 300, 900, 1800, 3600, 7200,
+        |  14400]) AS BIGINT) AS t_s),
+        |brk AS (
+        |  SELECT t_s, CAST(SUM(CASE WHEN gap > t_s * 1000000 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_breaks
+        |  FROM g CROSS JOIN tf WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT t_s AS threshold_s,
+        |  CAST(n_users + n_breaks AS BIGINT) AS n_sessions,
+        |  CAST(n_events AS DOUBLE) / CAST(n_users + n_breaks AS DOUBLE)
+        |    AS avg_events_per_session
+        |FROM brk CROSS JOIN base ORDER BY 1""".stripMargin)
 }

@@ -2945,7 +2945,114 @@ object Stats {
   def q375Dispersion(spark: SparkSession, dir: String): DataFrame =
     dispersionIndex(Tables.events(spark, dir), "event_type", "ts")
 
+  /** Frequency movers between the first and second half of the span —
+    * which keys' SHARE of activity shifted, scored by the two-proportion
+    * z statistic. The categorical drill-down PSI (q220/q331) cannot
+    * give: PSI says "the part mix moved 0.08", this says "these exact
+    * parts did it, this hard". One scan to per-key half counts,
+    * z = (p₂−p₁)/√(p̄(1−p̄)(1/N₁+1/N₂)) as a fixed double shape on
+    * exact counts, and the declared set is |z| ≥ zMin (a deterministic
+    * predicate on engine-identical doubles — no fragile top-k over
+    * near-tied scores). */
+  def frequencyMovers(df: DataFrame, keyCol: String, dateCol: String,
+      splitDate: String, zMin: Double): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val half = when(col("__d") < datediff(lit(splitDate),
+      lit("1992-01-01")), 0).otherwise(1)
+    val counts = df.select(col(keyCol).as("k"),
+        datediff(col(dateCol), lit("1992-01-01")).as("__d"))
+      .withColumn("h", half)
+      .groupBy("k").agg(
+        sum(when(col("h") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("n2"))
+    val tot = counts.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+    val p1 = dd(col("n1")) / dd(col("t1"))
+    val p2 = dd(col("n2")) / dd(col("t2"))
+    val pbar = dd(col("n1") + col("n2")) / dd(col("t1") + col("t2"))
+    val se = sqrt(pbar * (lit(1.0) - pbar) *
+      (lit(1.0) / dd(col("t1")) + lit(1.0) / dd(col("t2"))))
+    val z = (p2 - p1) / se
+    counts.crossJoin(broadcast(tot))
+      .filter(col("n1") + col("n2") > 0)
+      .withColumn("z", z)
+      .filter(abs(col("z")) >= zMin)
+      .select(col("k").as(keyCol), col("n1").as("n_early"),
+        col("n2").as("n_late"), col("z"))
+      .orderBy(keyCol)
+  }
+
+  /** Which parts' demand share moved hardest across the span midpoint —
+    * the |z| ≥ 3 movers. */
+  def q377FrequencyMovers(spark: SparkSession, dir: String): DataFrame =
+    frequencyMovers(Tables.lineitem(spark, dir), "l_partkey",
+      "l_shipdate", "1995-06-17", zMin = 3.0)
+
+  /** OLS daily trend with Newey–West (HAC, Bartlett kernel) standard
+    * errors: a serially-correlated series makes the classical OLS se(b)
+    * lie (q287's Durbin–Watson DETECTS the autocorrelation; this is
+    * what you do about it). Residuals are FLOOR-quantized to whole
+    * cents (the q363 discipline) so every autocovariance term
+    * Σ uₜuₜ₋ₗ of the scaled scores u = (n·x − Σx)·e is an exact
+    * DECIMAL(38,0) sum; the Bartlett-weighted sandwich and the robust
+    * t statistic are one fixed double finish. Lag products come from L
+    * lags over the per-group day window (calendar-bounded). */
+  def neweyWestTrend(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag >= 1: $maxLag")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val daily = df.select(col(groupCol).as("g"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("x"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("y"))
+      .groupBy("g", "x").agg(sum("y").as("y"))
+    val m0 = daily.groupBy("g").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(d(col("x")) * d(col("x"))).cast("decimal(38,0)").as("sxx"),
+        sum(d(col("x")) * d(col("y"))).cast("decimal(38,0)").as("sxy"))
+      .withColumn("vx", (d(col("n")) * col("sxx")
+        - d(col("sx")) * d(col("sx"))).cast("decimal(38,0)"))
+      .withColumn("cov", (d(col("n")) * col("sxy")
+        - d(col("sx")) * d(col("sy"))).cast("decimal(38,0)"))
+      .filter(col("vx") > 0 && col("n") > 2)
+      .withColumn("b", dd(col("cov")) / dd(col("vx")))
+      .withColumn("a",
+        (dd(col("sy")) - col("b") * dd(col("sx"))) / dd(col("n")))
+      .select("g", "n", "sx", "vx", "a", "b")
+    // scaled score u = (n*x - sx) * e  — exact longs (e floored cents)
+    val scored = daily.join(broadcast(m0), Seq("g"))
+      .withColumn("e", floor(dd(col("y")) - col("a")
+        - col("b") * dd(col("x"))).cast("long"))
+      .withColumn("u", (col("n") * col("x") - col("sx")) * col("e"))
+    val wDay = Window.partitionBy("g").orderBy("x")
+    val lagged = (1 to maxLag).foldLeft(scored) { (acc, l) =>
+      acc.withColumn(s"u_$l", lag(col("u"), l).over(wDay)) }
+    val gAggs = (sum(d(col("u")) * d(col("u"))).cast("decimal(38,0)")
+        .as("s0")) +:
+      (1 to maxLag).map(l => sum(d(col("u")) * d(col(s"u_$l")))
+        .cast("decimal(38,0)").as(s"s$l"))
+    val vms = lagged.groupBy("g").agg(gAggs.head, gAggs.tail: _*)
+    val nw = (1 to maxLag).map(l =>
+      lit(2.0 * (1.0 - l.toDouble / (maxLag + 1.0))) *
+        dd(col(s"s$l"))).foldLeft(dd(col("s0")))(_ + _)
+    val denom = dd(col("n")) * dd(col("n")) *
+      (dd(col("vx")) / dd(col("n"))) * (dd(col("vx")) / dd(col("n")))
+    val seNw = sqrt(nw / denom)
+    m0.join(vms, Seq("g"))
+      .select(col("g").as(groupCol), col("n").as("n_days"),
+        col("b").as("slope"), seNw.as("se_nw"),
+        (col("b") / seNw).as("t_nw"))
+      .orderBy(groupCol)
+  }
+
+  /** The daily-revenue trend per return flag with autocorrelation-
+    * robust (Bartlett lag-7) standard errors. */
+  def q378NeweyWest(spark: SparkSession, dir: String): DataFrame =
+    neweyWestTrend(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_shipdate", "l_extendedprice", maxLag = 7)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q377_frequency_movers" -> (q377FrequencyMovers _),
+    "q378_newey_west" -> (q378NeweyWest _),
     "q375_dispersion" -> (q375Dispersion _),
     "q372_loess_grid" -> (q372LoessGrid _),
     "q366_grid_dbscan" -> (q366GridDbscan _),
@@ -4966,7 +5073,112 @@ object Stats {
         |SELECT g AS event_type, n AS n_days, mean AS mean_per_day,
         |  varr AS var_per_day, varr / mean AS dispersion,
         |  CAST(n - 1 AS DOUBLE) * (varr / mean) AS chi2
-        |FROM f ORDER BY 1""".stripMargin)
+        |FROM f ORDER BY 1""".stripMargin,
+    "q377_frequency_movers" ->
+      """WITH c AS (
+        |  SELECT l_partkey AS k,
+        |    CAST(SUM(CASE WHEN datediff('day', DATE '1992-01-01',
+        |        l_shipdate) < datediff('day', DATE '1992-01-01',
+        |        DATE '1995-06-17') THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN datediff('day', DATE '1992-01-01',
+        |        l_shipdate) < datediff('day', DATE '1992-01-01',
+        |        DATE '1995-06-17') THEN 0 ELSE 1 END) AS BIGINT) AS n2
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+        |        CAST(SUM(n2) AS BIGINT) AS t2 FROM c),
+        |z AS (
+        |  SELECT k, n1, n2,
+        |    (CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+        |      - CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+        |    / sqrt((CAST(n1 + n2 AS DOUBLE) / CAST(t1 + t2 AS DOUBLE))
+        |      * (1.0 - CAST(n1 + n2 AS DOUBLE) / CAST(t1 + t2 AS DOUBLE))
+        |      * (1.0 / CAST(t1 AS DOUBLE) + 1.0 / CAST(t2 AS DOUBLE)))
+        |      AS z
+        |  FROM c CROSS JOIN t WHERE n1 + n2 > 0)
+        |SELECT k AS l_partkey, n1 AS n_early, n2 AS n_late, z
+        |FROM z WHERE abs(z) >= 3.0 ORDER BY 1""".stripMargin,
+    "q378_newey_west" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxy
+        |  FROM daily GROUP BY g),
+        |f0 AS (
+        |  SELECT g, n, sx,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+        |      AS DECIMAL(38,0)) AS vx,
+        |    CAST(CAST(n AS DECIMAL(38,0)) * sxy
+        |      - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+        |      AS DOUBLE)
+        |    / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+        |      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+        |      AS DOUBLE) AS b,
+        |    sy
+        |  FROM m),
+        |f1 AS (
+        |  SELECT g, n, sx, vx, b,
+        |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS a
+        |  FROM f0 WHERE vx > 0 AND n > 2),
+        |sc AS (
+        |  SELECT d.g, d.x, f.n, f.vx, f.b,
+        |    (f.n * d.x - f.sx) * CAST(FLOOR(CAST(d.y AS DOUBLE) - f.a
+        |      - f.b * CAST(d.x AS DOUBLE)) AS BIGINT) AS u
+        |  FROM daily d JOIN f1 f ON f.g = d.g),
+        |lg AS (
+        |  SELECT g, n, vx, b, u,
+        |    LAG(u, 1) OVER w AS u_1, LAG(u, 2) OVER w AS u_2,
+        |    LAG(u, 3) OVER w AS u_3, LAG(u, 4) OVER w AS u_4,
+        |    LAG(u, 5) OVER w AS u_5, LAG(u, 6) OVER w AS u_6,
+        |    LAG(u, 7) OVER w AS u_7
+        |  FROM sc WINDOW w AS (PARTITION BY g ORDER BY x)),
+        |vm AS (
+        |  SELECT g, MAX(n) AS n, MAX(vx) AS vx, MAX(b) AS b,
+        |    CAST(SUM(CAST(u AS DECIMAL(38,0)) * CAST(u AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s0,
+        |    CAST(SUM(CAST(u AS DECIMAL(38,0)) * CAST(u_1 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(CAST(u AS DECIMAL(38,0)) * CAST(u_2 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s2,
+        |    CAST(SUM(CAST(u AS DECIMAL(38,0)) * CAST(u_3 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s3,
+        |    CAST(SUM(CAST(u AS DECIMAL(38,0)) * CAST(u_4 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s4,
+        |    CAST(SUM(CAST(u AS DECIMAL(38,0)) * CAST(u_5 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s5,
+        |    CAST(SUM(CAST(u AS DECIMAL(38,0)) * CAST(u_6 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s6,
+        |    CAST(SUM(CAST(u AS DECIMAL(38,0)) * CAST(u_7 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s7
+        |  FROM lg GROUP BY g),
+        |fin AS (
+        |  SELECT g, n, b,
+        |    sqrt((((((((CAST(s0 AS DOUBLE)
+        |      + 2.0 * (1.0 - 1.0 / 8.0) * CAST(s1 AS DOUBLE))
+        |      + 2.0 * (1.0 - 2.0 / 8.0) * CAST(s2 AS DOUBLE))
+        |      + 2.0 * (1.0 - 3.0 / 8.0) * CAST(s3 AS DOUBLE))
+        |      + 2.0 * (1.0 - 4.0 / 8.0) * CAST(s4 AS DOUBLE))
+        |      + 2.0 * (1.0 - 5.0 / 8.0) * CAST(s5 AS DOUBLE))
+        |      + 2.0 * (1.0 - 6.0 / 8.0) * CAST(s6 AS DOUBLE))
+        |      + 2.0 * (1.0 - 7.0 / 8.0) * CAST(s7 AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * (CAST(vx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(vx AS DOUBLE) / CAST(n AS DOUBLE)))) AS se_nw
+        |  FROM vm)
+        |SELECT g AS l_returnflag, n AS n_days, b AS slope, se_nw,
+        |  b / se_nw AS t_nw
+        |FROM fin ORDER BY 1""".stripMargin)
 
   // lazy: referenced by `oracles` above in object-initialization order
   private lazy val cusumSql: String =

@@ -413,6 +413,67 @@ class Round9cOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("chi2") - 2 * varr / mean) < 1e-12)
   }
 
+  test("sessionGapSweep: hand session counts at two thresholds") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq((1L, 0L), (1L, 100L), (1L, 2000L), (2L, 0L))
+      .map { case (u, s) => (u, ts(s), s) }
+      .toDF("user_id", "ts", "event_id")
+    val rows = Behavior.sessionGapSweep(ev, "ts", "user_id", "event_id",
+      Seq(60L, 1000L)).collect()
+    val byT = rows.map(r => r.getAs[Long]("threshold_s") -> r).toMap
+    // gaps for user1: 100 s, 1900 s; user2 none
+    assert(byT(60L).getAs[Long]("n_sessions") == 4L)
+    assert(math.abs(byT(60L).getAs[Double]("avg_events_per_session")
+      - 1.0) < 1e-12)
+    assert(byT(1000L).getAs[Long]("n_sessions") == 3L)
+    assert(math.abs(byT(1000L).getAs[Double]("avg_events_per_session")
+      - 4.0 / 3.0) < 1e-12)
+  }
+
+  test("frequencyMovers: hand two-proportion z on a 2-key split") {
+    // key 10: 10 early, 0 late (drops out); key 20: 10 early, 10 late
+    val rows0 = Seq.fill(10)((10L, 0)) ++ Seq.fill(10)((20L, 0)) ++
+      Seq.fill(10)((20L, 400))
+    val df = rows0.toDF("k", "i")
+      .select(col("k"), date_add(lit("1992-01-01"), col("i")).as("dt"))
+    val out = Stats.frequencyMovers(df, "k", "dt", "1992-06-01",
+      zMin = 2.0).collect()
+    assert(out.length == 2)
+    val se = math.sqrt((1.0 / 3) * (2.0 / 3) * (1.0 / 20 + 1.0 / 10))
+    val byK = out.map(r => r.getAs[Long]("k") -> r).toMap
+    assert(math.abs(byK(10L).getAs[Double]("z") - (0.0 - 0.5) / se)
+      < 1e-12)
+    val seB = math.sqrt((2.0 / 3) * (1.0 / 3) * (1.0 / 20 + 1.0 / 10))
+    assert(math.abs(byK(20L).getAs[Double]("z") - (1.0 - 0.5) / seB)
+      < 1e-12)
+  }
+
+  test("neweyWestTrend: textbook HAC sandwich on alternating noise") {
+    val noise = Seq(50L, -50L, 50L, -50L, 50L, -50L, 50L, -50L, 50L, -40L)
+    val ys = (0 until 10).map(i => 1000L + 100L * i + noise(i))
+    val df = ys.zipWithIndex.map { case (c, i) => ("g", i, c / 100.0) }
+      .toDF("g", "i", "v")
+      .select(col("g"), date_add(lit("1992-01-01"), col("i")).as("dt"),
+        col("v"))
+    val r = Stats.neweyWestTrend(df, "g", "dt", "v", maxLag = 3).head()
+    // textbook: OLS fit, floored residuals, u = (x - xbar)e,
+    // V = (S0 + 2 sum w_l S_l) / Sxx^2
+    val xs = (0 until 10).map(_.toDouble)
+    val yd = ys.map(_.toDouble)
+    val (b, _) = olsSlopeT(xs, yd)
+    val a = yd.sum / 10 - b * xs.sum / 10
+    val e = (0 until 10).map(i => math.floor(yd(i) - a - b * xs(i)))
+    val xbar = xs.sum / 10
+    val u = (0 until 10).map(i => (xs(i) - xbar) * e(i))
+    val sxx = xs.map(x => (x - xbar) * (x - xbar)).sum
+    def sl(l: Int) = (l until 10).map(t => u(t) * u(t - l)).sum
+    val v = (sl(0) + (1 to 3).map(l =>
+      2.0 * (1.0 - l / 4.0) * sl(l)).sum) / (sxx * sxx)
+    assert(math.abs(r.getAs[Double]("slope") - b) < 1e-9)
+    assert(math.abs(r.getAs[Double]("se_nw") - math.sqrt(v)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("t_nw") - b / math.sqrt(v)) < 1e-4)
+  }
+
   test("croston: hand fold over three demand occurrences") {
     // occurrences day 0 (10.00), day 4 (6.00), day 6 (8.00); a zero-
     // demand day 2 must be ignored entirely
