@@ -1390,7 +1390,50 @@ object Similarity {
     matryoshkaAudit(Tables.embeddings(spark, dir), "vec_id", "embedding",
       Seq(8, 16, 32))
 
+  /** Embedding-space isotropy / effective-dimensionality audit: the
+    * mean-vector energy share ‖μ‖²/E‖x‖² (a common-direction bias —
+    * high values break cosine similarity, the "all vectors share a
+    * dominant component" pathology Mu & Viswanath 2018 describe) and
+    * the participation ratio (Σvar)²/Σvar² of per-dimension variances —
+    * how many dimensions ACTUALLY carry variance (the quick scalar twin
+    * of the q210/q219 PCA spectrum). One posexplode scan to per-dim
+    * exact DECIMAL moments (the q314 float-quantization discipline),
+    * a dims-row reduction, a 1-row finish. The pre-flight check before
+    * trusting any cosine ANN index (q50/q93/q98) on a new encoder. */
+  def embeddingIsotropy(df: DataFrame, vecCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val d = df.select(posexplode(col(vecCol)).as(Seq("i", "v")))
+      .withColumn("q", col("v").cast("decimal(20,9)"))
+    val perDim = d.groupBy("i").agg(count(lit(1)).as("n"),
+        sum(col("q")).cast("decimal(38,9)").as("s"),
+        sum((col("q") * col("q")).cast("decimal(38,18)"))
+          .cast("decimal(38,18)").as("s2"))
+      .withColumn("m", dd(col("s")) / dd(col("n")))
+      .withColumn("ex2", dd(col("s2")) / dd(col("n")))
+      .withColumn("va", col("ex2") - col("m") * col("m"))
+    perDim.agg(count(lit(1)).as("dims"), max("n").as("n_vectors"),
+        sum((col("m") * col("m")).cast("decimal(38,18)"))
+          .cast("decimal(38,18)").as("mm"),
+        sum(col("ex2").cast("decimal(38,18)")).cast("decimal(38,18)")
+          .as("ee"),
+        sum(col("va").cast("decimal(38,18)")).cast("decimal(38,18)")
+          .as("sv"),
+        sum((col("va") * col("va")).cast("decimal(38,18)"))
+          .cast("decimal(38,18)").as("sv2"))
+      .select(col("dims"), col("n_vectors"),
+        dd(col("mm")).as("mean_norm_sq"), dd(col("ee")).as("avg_norm_sq"),
+        (dd(col("mm")) / dd(col("ee"))).as("mean_share"),
+        (dd(col("sv")) * dd(col("sv")) / dd(col("sv2")))
+          .as("participation_dims"))
+  }
+
+  /** Is the embedding table cosine-safe — mean-direction energy share
+    * and the effective number of variance-carrying dimensions. */
+  def q380EmbeddingIsotropy(spark: SparkSession, dir: String): DataFrame =
+    embeddingIsotropy(Tables.embeddings(spark, dir), "embedding")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q380_embedding_isotropy" -> (q380EmbeddingIsotropy _),
     "q314_embedding_drift" -> (q314EmbeddingDrift _),
     "q332_matryoshka_audit" -> (q332MatryoshkaAudit _),
     "q158_semdedup" -> (q158SemDedup _),
@@ -1706,5 +1749,39 @@ object Similarity {
         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
         |WHERE x.vec_id < 500 AND y.vec_id < 500
         |  AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-        |  CAST(y.embedding AS DOUBLE[])) >= 0.4""".stripMargin)
+        |  CAST(y.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    "q380_embedding_isotropy" ->
+      """WITH d AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,9)) AS q
+        |  FROM embeddings),
+        |per AS (
+        |  SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(q) AS DECIMAL(38,9)) AS s,
+        |    CAST(SUM(CAST(q * q AS DECIMAL(38,18))) AS DECIMAL(38,18))
+        |      AS s2
+        |  FROM d GROUP BY i),
+        |mm AS (
+        |  SELECT i, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS ex2
+        |  FROM per),
+        |vv AS (SELECT i, n, m, ex2, ex2 - m * m AS va FROM mm),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS dims,
+        |    CAST(MAX(n) AS BIGINT) AS n_vectors,
+        |    CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS DECIMAL(38,18))
+        |      AS mmx,
+        |    CAST(SUM(CAST(ex2 AS DECIMAL(38,18))) AS DECIMAL(38,18))
+        |      AS ee,
+        |    CAST(SUM(CAST(va AS DECIMAL(38,18))) AS DECIMAL(38,18))
+        |      AS sv,
+        |    CAST(SUM(CAST(va * va AS DECIMAL(38,18))) AS DECIMAL(38,18))
+        |      AS sv2
+        |  FROM vv)
+        |SELECT dims, n_vectors, CAST(mmx AS DOUBLE) AS mean_norm_sq,
+        |  CAST(ee AS DOUBLE) AS avg_norm_sq,
+        |  CAST(mmx AS DOUBLE) / CAST(ee AS DOUBLE) AS mean_share,
+        |  CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(sv2 AS DOUBLE)
+        |    AS participation_dims
+        |FROM agg""".stripMargin)
 }

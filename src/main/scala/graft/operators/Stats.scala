@@ -3050,7 +3050,105 @@ object Stats {
     neweyWestTrend(Tables.lineitem(spark, dir), "l_returnflag",
       "l_shipdate", "l_extendedprice", maxLag = 7)
 
+  /** Quantile shift profile between the early and late halves of the
+    * span: the exact lower empirical decile of the value distribution
+    * in each half, side by side — WHERE in the distribution the drift
+    * lives, which a KS max-gap (q141) or a PSI scalar (q220) cannot
+    * localize ("the median moved 2%, the p90 moved 11%"). Quantiles
+    * come from cumulative counts over the per-cent value HISTOGRAM
+    * (half-partitioned windows over histogram rows, never raw rows);
+    * deciles ride a broadcast frame. All outputs exact BIGINT cents
+    * except the one ratio. */
+  def quantileShiftProfile(df: DataFrame, valCol: Column, dateCol: String,
+      splitDate: String, nQ: Int): DataFrame = {
+    require(nQ >= 2, s"nQ >= 2: $nQ")
+    val base = df.select(
+        (valCol.cast("decimal(18,2)") * 100).cast("long").as("vc"),
+        when(datediff(col(dateCol), lit("1992-01-01")) <
+          datediff(lit(splitDate), lit("1992-01-01")), 0).otherwise(1)
+          .as("h"))
+      .groupBy("h", "vc").agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy("h").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("h")
+    val cum = base.withColumn("cum", sum("cnt").over(wOrd))
+      .withColumn("n", sum("cnt").over(wAll))
+    val qs = df.sparkSession.range(1L, nQ.toLong).select(col("id").as("d"))
+    val quant = cum.crossJoin(broadcast(qs))
+      .filter(col("cum") >= ceil(col("n").cast("double")
+        * col("d").cast("double") / lit(nQ.toDouble)).cast("long"))
+      .groupBy("h", "d").agg(min("vc").as("q"))
+    quant.filter(col("h") === 0)
+      .select(col("d"), col("q").as("q_early_c"))
+      .join(quant.filter(col("h") === 1)
+        .select(col("d"), col("q").as("q_late_c")), Seq("d"))
+      .select(col("d").as("decile"), col("q_early_c"), col("q_late_c"),
+        (col("q_late_c") - col("q_early_c")).as("shift_c"),
+        ((col("q_late_c") - col("q_early_c")).cast("double") /
+          col("q_early_c").cast("double")).as("shift_frac"))
+      .orderBy("decile")
+  }
+
+  /** Did price drift live in the tails or the middle — the decile-by-
+    * decile shift of extended price across the span midpoint. */
+  def q379QuantileShift(spark: SparkSession, dir: String): DataFrame =
+    quantileShiftProfile(Tables.lineitem(spark, dir),
+      col("l_extendedprice"), "l_shipdate", "1995-06-17", nQ = 10)
+
+  /** Parametric (exponential) churn-hazard comparison per segment:
+    * treat each customer's order span as exposure, their going quiet
+    * `churnDays` before the log's end as the event, and compare
+    * per-segment hazard rates λ = events/exposure with the ratio to
+    * the overall rate and its log-scale CI (exp(±1.96/√d)) — the
+    * parametric complement of the nonparametric survival family
+    * (q199 KM / q282 Nelson–Aalen / q268 log-rank). Exact integer
+    * event and exposure-day sums; rates and CIs are fixed double
+    * shapes. Customers with a single order contribute one exposure
+    * day. */
+  def exponentialHazard(orders: DataFrame, custCol: String,
+      dateCol: String, segments: DataFrame, segKey: String,
+      segCol: String, churnDays: Long): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val per = orders.select(col(custCol).as("c"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("day"))
+      .groupBy("c").agg(min("day").as("fd"), max("day").as("ld"))
+    val mx = per.agg(max("ld").as("mxd"))
+    val scored = per.crossJoin(broadcast(mx))
+      .join(segments.select(col(segKey).as("c"), col(segCol).as("seg")),
+        Seq("c"))
+      .select(col("seg"),
+        (col("ld") - col("fd") + 1L).as("exp_days"),
+        when(col("ld") < col("mxd") - lit(churnDays), 1L).otherwise(0L)
+          .as("ev"))
+    val bySeg = scored.groupBy("seg").agg(count(lit(1)).as("n_cust"),
+      sum("ev").as("n_churned"), sum("exp_days").as("exposure_days"))
+    val all = bySeg.agg(sum("n_churned").as("d_all"),
+      sum("exposure_days").as("e_all"))
+    val lam = dd(col("n_churned")) / dd(col("exposure_days"))
+    val lamAll = dd(col("d_all")) / dd(col("e_all"))
+    val hr = lam / lamAll
+    val halfW = lit(1.96) / sqrt(dd(col("n_churned")))
+    bySeg.crossJoin(broadcast(all))
+      .filter(col("n_churned") > 0 && col("exposure_days") > 0)
+      .select(col("seg"), col("n_cust"), col("n_churned"),
+        col("exposure_days"),
+        (lam * lit(1000.0)).as("lambda_per_kday"),
+        hr.as("hazard_ratio"),
+        (hr * exp(lit(0.0) - halfW)).as("hr_ci_lo"),
+        (hr * exp(halfW)).as("hr_ci_hi"))
+      .orderBy("seg")
+  }
+
+  /** Which market segments churn fastest under an exponential model —
+    * hazard ratios vs the book, with log-scale CIs. */
+  def q381ExponentialHazard(spark: SparkSession, dir: String): DataFrame =
+    exponentialHazard(Tables.orders(spark, dir), "o_custkey",
+      "o_orderdate", Tables.customer(spark, dir), "c_custkey",
+      "c_mktsegment", churnDays = 180L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q379_quantile_shift" -> (q379QuantileShift _),
+    "q381_exponential_hazard" -> (q381ExponentialHazard _),
     "q377_frequency_movers" -> (q377FrequencyMovers _),
     "q378_newey_west" -> (q378NeweyWest _),
     "q375_dispersion" -> (q375Dispersion _),
@@ -5178,7 +5276,76 @@ object Stats {
         |  FROM vm)
         |SELECT g AS l_returnflag, n AS n_days, b AS slope, se_nw,
         |  b / se_nw AS t_nw
-        |FROM fin ORDER BY 1""".stripMargin)
+        |FROM fin ORDER BY 1""".stripMargin,
+    "q379_quantile_shift" ->
+      """WITH base AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS vc,
+        |    CASE WHEN datediff('day', DATE '1992-01-01', l_shipdate)
+        |      < datediff('day', DATE '1992-01-01', DATE '1995-06-17')
+        |      THEN 0 ELSE 1 END AS h
+        |  FROM lineitem),
+        |hist AS (
+        |  SELECT h, vc, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT h, vc,
+        |    CAST(SUM(cnt) OVER (PARTITION BY h ORDER BY vc
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY h) AS BIGINT) AS n
+        |  FROM hist),
+        |qs AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS d),
+        |quant AS (
+        |  SELECT h, d, CAST(MIN(vc) AS BIGINT) AS q
+        |  FROM cum CROSS JOIN qs
+        |  WHERE cum >= CAST(CEIL(CAST(n AS DOUBLE) * CAST(d AS DOUBLE)
+        |    / 10.0) AS BIGINT)
+        |  GROUP BY 1, 2)
+        |SELECT e.d AS decile, e.q AS q_early_c, l.q AS q_late_c,
+        |  CAST(l.q - e.q AS BIGINT) AS shift_c,
+        |  CAST(l.q - e.q AS DOUBLE) / CAST(e.q AS DOUBLE) AS shift_frac
+        |FROM (SELECT d, q FROM quant WHERE h = 0) e
+        |JOIN (SELECT d, q FROM quant WHERE h = 1) l USING (d)
+        |ORDER BY decile""".stripMargin,
+    "q381_exponential_hazard" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS c,
+        |    CAST(MIN(datediff('day', DATE '1992-01-01', o_orderdate))
+        |      AS BIGINT) AS fd,
+        |    CAST(MAX(datediff('day', DATE '1992-01-01', o_orderdate))
+        |      AS BIGINT) AS ld
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT CAST(MAX(ld) AS BIGINT) AS mxd FROM per),
+        |sc AS (
+        |  SELECT cu.c_mktsegment AS seg, per.ld - per.fd + 1 AS exp_days,
+        |    CASE WHEN per.ld < mx.mxd - 180 THEN 1 ELSE 0 END AS ev
+        |  FROM per CROSS JOIN mx
+        |  JOIN customer cu ON cu.c_custkey = per.c),
+        |bseg AS (
+        |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    CAST(SUM(ev) AS BIGINT) AS n_churned,
+        |    CAST(SUM(exp_days) AS BIGINT) AS exposure_days
+        |  FROM sc GROUP BY 1),
+        |tall AS (
+        |  SELECT CAST(SUM(n_churned) AS BIGINT) AS d_all,
+        |    CAST(SUM(exposure_days) AS BIGINT) AS e_all
+        |  FROM bseg)
+        |SELECT seg, n_cust, n_churned, exposure_days,
+        |  CAST(n_churned AS DOUBLE) / CAST(exposure_days AS DOUBLE)
+        |    * 1000.0 AS lambda_per_kday,
+        |  (CAST(n_churned AS DOUBLE) / CAST(exposure_days AS DOUBLE))
+        |    / (CAST(d_all AS DOUBLE) / CAST(e_all AS DOUBLE))
+        |    AS hazard_ratio,
+        |  (CAST(n_churned AS DOUBLE) / CAST(exposure_days AS DOUBLE))
+        |    / (CAST(d_all AS DOUBLE) / CAST(e_all AS DOUBLE))
+        |    * exp(0.0 - 1.96 / sqrt(CAST(n_churned AS DOUBLE)))
+        |    AS hr_ci_lo,
+        |  (CAST(n_churned AS DOUBLE) / CAST(exposure_days AS DOUBLE))
+        |    / (CAST(d_all AS DOUBLE) / CAST(e_all AS DOUBLE))
+        |    * exp(1.96 / sqrt(CAST(n_churned AS DOUBLE))) AS hr_ci_hi
+        |FROM bseg CROSS JOIN tall
+        |WHERE n_churned > 0 AND exposure_days > 0
+        |ORDER BY seg""".stripMargin)
 
   // lazy: referenced by `oracles` above in object-initialization order
   private lazy val cusumSql: String =

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Behavior, Ml, Sampling, Stats, TextAnalysis}
+import graft.operators.{Behavior, Ml, Sampling, Similarity, Stats, TextAnalysis}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -472,6 +472,56 @@ class Round9cOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("slope") - b) < 1e-9)
     assert(math.abs(r.getAs[Double]("se_nw") - math.sqrt(v)) < 1e-6)
     assert(math.abs(r.getAs[Double]("t_nw") - b / math.sqrt(v)) < 1e-4)
+  }
+
+  test("quantileShiftProfile: doubled late distribution, hand deciles") {
+    // early values 1..10 dollars, late 2,4,..,20 -> every decile doubles
+    val rows0 = (1 to 10).map(v => (0, v.toDouble)) ++
+      (1 to 10).map(v => (400, 2.0 * v))
+    val df = rows0.toDF("i", "v")
+      .select(date_add(lit("1992-01-01"), col("i")).as("dt"), col("v"))
+    val out = Stats.quantileShiftProfile(df, col("v"), "dt",
+      "1992-06-01", nQ = 10).collect()
+    assert(out.length == 9)
+    out.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(r.getAs[Long]("q_early_c") == 100L * d)
+      assert(r.getAs[Long]("q_late_c") == 200L * d)
+      assert(r.getAs[Long]("shift_c") == 100L * d)
+      assert(math.abs(r.getAs[Double]("shift_frac") - 1.0) < 1e-12)
+    }
+  }
+
+  test("embeddingIsotropy: orthonormal pair by hand") {
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embeddingIsotropy(df, "embedding").head()
+    assert(r.getAs[Long]("dims") == 2L && r.getAs[Long]("n_vectors") == 2L)
+    assert(math.abs(r.getAs[Double]("mean_norm_sq") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("avg_norm_sq") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_share") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("participation_dims") - 2.0) < 1e-12)
+  }
+
+  test("exponentialHazard: three customers, hand rates") {
+    val orders = Seq((1L, 0), (1L, 100), (2L, 390), (2L, 400), (3L, 0))
+      .toDF("c", "i")
+      .select(col("c"), date_add(lit("1992-01-01"), col("i")).as("dt"))
+    val segs = Seq((1L, "X"), (2L, "X"), (3L, "Y")).toDF("ck", "seg")
+    val rows = Stats.exponentialHazard(orders, "c", "dt", segs, "ck",
+      "seg", churnDays = 180L).collect()
+    val byS = rows.map(r => r.getAs[String]("seg") -> r).toMap
+    // mxd=400; churned iff last < 220: cust1 (ld 100) and cust3 (ld 0)
+    val x = byS("X")
+    assert(x.getAs[Long]("n_cust") == 2L)
+    assert(x.getAs[Long]("n_churned") == 1L)
+    assert(x.getAs[Long]("exposure_days") == 101L + 11L)
+    val lamX = 1.0 / 112.0; val lamAll = 2.0 / 113.0
+    assert(math.abs(x.getAs[Double]("hazard_ratio") - lamX / lamAll)
+      < 1e-12)
+    val y = byS("Y")
+    assert(y.getAs[Long]("exposure_days") == 1L)
+    assert(math.abs(y.getAs[Double]("lambda_per_kday") - 1000.0) < 1e-9)
   }
 
   test("croston: hand fold over three demand occurrences") {
