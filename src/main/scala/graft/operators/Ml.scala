@@ -4705,7 +4705,97 @@ object Ml {
       "l_shipdate", "l_extendedprice", tau10 = 9,
       slopeLo = -500L, slopeHi = 500L, slopeStep = 25L)
 
+  /** Cochran's Q test — do k related binary measurements on the same
+    * subjects share one success rate? The k-treatment generalization of
+    * q285's McNemar (k = 2), closing the repeated-measures binary
+    * family: here, "did each customer order in each year" — is
+    * ordering propensity stable across years for the SAME customer
+    * base?  Q = k(k−1)·Σ_j (C_j − N/k)² / (k·ΣR_i − ΣR_i²), χ²(k−1)
+    * under H₀ (Cochran 1950). Column totals C_j, row totals R_i and
+    * their squares are exact integers off two small scans (subjects
+    * with all-0 or all-k rows contribute zero to both sums, exactly as
+    * the test prescribes); Q is one fixed double shape. */
+  def cochranQ(obs: DataFrame, subjectCol: String, treatCol: String,
+      subjects: DataFrame, subjectKey: String): DataFrame = {
+    val cells = obs.select(col(subjectCol).as("s"), col(treatCol).as("t"))
+      .distinct()
+    val k = cells.select(countDistinct(col("t")).as("k"))
+    val colTot = cells.groupBy("t").agg(count(lit(1)).as("cj"))
+    val rowTot = subjects.select(col(subjectKey).as("s"))
+      .join(cells.groupBy("s").agg(count(lit(1)).as("r")), Seq("s"),
+        "left")
+      .na.fill(0L, Seq("r"))
+      .agg(count(lit(1)).as("n_subjects"), sum("r").as("nn"),
+        sum(col("r") * col("r")).as("r2"))
+    val num = colTot.crossJoin(broadcast(rowTot))
+      .crossJoin(broadcast(k))
+      .select(col("k"), col("n_subjects"), col("nn"), col("r2"),
+        ((dd(col("cj")) - dd(col("nn")) / dd(col("k"))) *
+          (dd(col("cj")) - dd(col("nn")) / dd(col("k"))))
+          .cast("decimal(38,15)").as("term"))
+      .groupBy("k", "n_subjects", "nn", "r2")
+      .agg(sum("term").cast("decimal(38,15)").as("ssq"))
+    num.select(col("n_subjects"), col("k"),
+        when(col("k") * col("nn") - col("r2") > 0,
+          dd(col("k")) * dd(col("k") - 1) * dd(col("ssq"))
+            / dd(col("k") * col("nn") - col("r2"))).as("q_stat"),
+        (col("k") - 1).as("dof"))
+  }
+
+  /** Is the customer base's year-to-year ordering propensity stable —
+    * Cochran's Q over the customer × year activity matrix. */
+  def q383CochranQ(spark: SparkSession, dir: String): DataFrame =
+    cochranQ(Tables.orders(spark, dir)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr")),
+      "o_custkey", "yr", Tables.customer(spark, dir), "c_custkey")
+
+  /** Kendall's coefficient of concordance W — do n judges agree on the
+    * ranking of m items? Here the judges are YEARS and the items ship
+    * modes, ranked by exact yearly revenue cents: is the mode revenue
+    * ordering stable across the span (W ≈ 1) or reshuffling (W ≈ 0)?
+    * Completes the rank-agreement family next to Friedman (q306 — W is
+    * its effect size) and pairwise Kendall τ (q267).
+    * W = 12·S / (n²·(m³−m)) with S = Σ_j (R_j − n(m+1)/2)², computed
+    * on a |years|×|modes| statistic frame with exact integer rank
+    * sums (ties broken by mode name — deterministic, documented). */
+  def kendallsW(df: DataFrame, judgeCol: String, itemCol: String,
+      scoreCents: Column): DataFrame = {
+    val cells = df.select(col(judgeCol).as("j"), col(itemCol).as("it"),
+        scoreCents.as("v"))
+      .groupBy("j", "it").agg(sum("v").as("v"))
+    val wj = Window.partitionBy("j").orderBy(col("v"), col("it"))
+    val ranks = cells.withColumn("rk", row_number().over(wj).cast("long"))
+    val rj = ranks.groupBy("it").agg(count(lit(1)).as("n_judges"),
+      sum("rk").as("r"))
+    val nm = rj.agg(max("n_judges").as("n"), count(lit(1)).as("m"))
+    val s = rj.crossJoin(broadcast(nm))
+      .select(col("n"), col("m"),
+        ((dd(col("r")) - dd(col("n")) * dd(col("m") + 1) / lit(2.0)) *
+          (dd(col("r")) - dd(col("n")) * dd(col("m") + 1) / lit(2.0)))
+          .cast("decimal(38,15)").as("term"))
+      .groupBy("n", "m").agg(sum("term").cast("decimal(38,15)").as("s"))
+    s.select(col("n").as("n_judges"), col("m").as("n_items"),
+      (lit(12.0) * dd(col("s")) /
+        (dd(col("n")) * dd(col("n")) *
+          (dd(col("m")) * dd(col("m")) * dd(col("m")) - dd(col("m")))))
+        .as("w"))
+  }
+
+  /** Do the years agree on which part brands earn most — Kendall's W
+    * over yearly brand-revenue rankings (25 items × 7 judges). */
+  def q384KendallsW(spark: SparkSession, dir: String): DataFrame =
+    kendallsW(Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+          Seq("l_partkey"))
+        .select(year(col("l_shipdate")).as("yr"), col("p_brand"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("vc")),
+      "yr", "p_brand", col("vc"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q383_cochran_q" -> (q383CochranQ _),
+    "q384_kendalls_w" -> (q384KendallsW _),
     "q369_huber" -> (q369Huber _),
     "q370_quantile_regression" -> (q370QuantileRegression _),
     "q364_msprt" -> (q364Msprt _),
@@ -8237,6 +8327,65 @@ object Ml {
         |  LEAST(1.0, MIN(1.0 / lr) OVER (PARTITION BY g ORDER BY day
         |    ROWS UNBOUNDED PRECEDING)) AS p_always_valid
         |FROM lrs ORDER BY 1, 2""".stripMargin,
+    "q383_cochran_q" ->
+      """WITH cells AS (
+        |  SELECT DISTINCT o_custkey AS s, year(o_orderdate) AS t
+        |  FROM orders),
+        |kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cells),
+        |ct AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cj
+        |       FROM cells GROUP BY 1),
+        |rt AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+        |    CAST(SUM(r) AS BIGINT) AS nn,
+        |    CAST(SUM(r * r) AS BIGINT) AS r2
+        |  FROM (SELECT cu.c_custkey, COALESCE(x.r, 0) AS r
+        |        FROM customer cu LEFT JOIN (
+        |          SELECT s, CAST(COUNT(*) AS BIGINT) AS r
+        |          FROM cells GROUP BY 1) x ON x.s = cu.c_custkey)),
+        |num AS (
+        |  SELECT k, n_subjects, nn, r2,
+        |    CAST(SUM(CAST((CAST(cj AS DOUBLE)
+        |        - CAST(nn AS DOUBLE) / CAST(k AS DOUBLE))
+        |      * (CAST(cj AS DOUBLE)
+        |        - CAST(nn AS DOUBLE) / CAST(k AS DOUBLE))
+        |      AS DECIMAL(38,15))) AS DECIMAL(38,15)) AS ssq
+        |  FROM ct CROSS JOIN rt CROSS JOIN kk GROUP BY 1, 2, 3, 4)
+        |SELECT n_subjects, k,
+        |  CASE WHEN k * nn - r2 > 0
+        |    THEN CAST(k AS DOUBLE) * CAST(k - 1 AS DOUBLE)
+        |      * CAST(ssq AS DOUBLE) / CAST(k * nn - r2 AS DOUBLE) END
+        |    AS q_stat,
+        |  CAST(k - 1 AS BIGINT) AS dof
+        |FROM num""".stripMargin,
+    "q384_kendalls_w" ->
+      """WITH cells AS (
+        |  SELECT year(l_shipdate) AS j, p_brand AS it,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2),
+        |ranks AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY j
+        |    ORDER BY v, it) AS BIGINT) AS rk
+        |  FROM cells),
+        |rj AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n_judges,
+        |         CAST(SUM(rk) AS BIGINT) AS r
+        |       FROM ranks GROUP BY 1),
+        |nm AS (SELECT CAST(MAX(n_judges) AS BIGINT) AS n,
+        |         CAST(COUNT(*) AS BIGINT) AS m FROM rj),
+        |s AS (
+        |  SELECT n, m,
+        |    CAST(SUM(CAST((CAST(r AS DOUBLE)
+        |        - CAST(n AS DOUBLE) * CAST(m + 1 AS DOUBLE) / 2.0)
+        |      * (CAST(r AS DOUBLE)
+        |        - CAST(n AS DOUBLE) * CAST(m + 1 AS DOUBLE) / 2.0)
+        |      AS DECIMAL(38,15))) AS DECIMAL(38,15)) AS s
+        |  FROM rj CROSS JOIN nm GROUP BY 1, 2)
+        |SELECT n AS n_judges, m AS n_items,
+        |  12.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |    * (CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+        |      - CAST(m AS DOUBLE))) AS w
+        |FROM s""".stripMargin,
     "q370_quantile_regression" ->
       """WITH daily AS (
         |  SELECT l_returnflag AS g,

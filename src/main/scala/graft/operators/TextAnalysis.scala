@@ -1298,7 +1298,45 @@ object TextAnalysis {
     unigramLmCost(Tables.documents(spark, dir), "text",
       maxPieceLen = 4, vocabTop = 200, maxWordLen = 20)
 
+  /** Context-length budget audit: for each candidate truncation budget,
+    * how many documents overflow and what fraction of corpus TOKENS a
+    * hard truncation throws away — the first number an LLM data
+    * pipeline prices before picking max_seq_len (chunking q87 and
+    * packing q89 are what you do about it; this is the decision
+    * input). One token-count scan (codegen'd `size(split(...))`, no
+    * shuffle), budgets on a broadcast frame, exact integer counts and
+    * losses. */
+  def truncationLoss(docs: DataFrame, textCol: String,
+      budgets: Seq[Long]): DataFrame = {
+    require(budgets.nonEmpty, "no budgets")
+    val lens = docs.select(tokenCount(col(textCol)).as("len"))
+    val bf = docs.sparkSession.createDataFrame(budgets.map(Tuple1(_)))
+      .toDF("budget")
+    lens.crossJoin(broadcast(bf))
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("len") > col("budget"), 1L).otherwise(0L))
+          .as("n_docs_over"),
+        sum("len").as("n_tokens"),
+        sum(when(col("len") > col("budget"),
+          col("len") - col("budget")).otherwise(0L)).as("tokens_lost"))
+      .select(col("budget"), col("n_docs"), col("n_docs_over"),
+        (col("n_docs_over").cast("double") / col("n_docs").cast("double"))
+          .as("frac_docs_over"),
+        col("n_tokens"), col("tokens_lost"),
+        (col("tokens_lost").cast("double")
+          / col("n_tokens").cast("double")).as("frac_tokens_lost"))
+      .orderBy("budget")
+  }
+
+  /** What does each max-sequence-length budget cost in thrown-away
+    * corpus tokens. */
+  def q382TruncationLoss(spark: SparkSession, dir: String): DataFrame =
+    truncationLoss(Tables.documents(spark, dir), "text",
+      Seq(16L, 32L, 64L, 128L, 256L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q382_truncation_loss" -> (q382TruncationLoss _),
     "q374_unigram_lm" -> (q374UnigramLm _),
     "q371_textrank" -> (q371TextRank _),
     "q337_bpe_train" -> (q337BpeTrain _),
@@ -2062,7 +2100,25 @@ object TextAnalysis {
         |        CAST(SUM(n_tokens) AS BIGINT),
         |        CAST(SUM(tot_ubits) AS BIGINT),
         |        CAST(SUM(n_chars) AS BIGINT) FROM bl)
-        |ORDER BY word_len""".stripMargin)
+        |ORDER BY word_len""".stripMargin,
+    "q382_truncation_loss" ->
+      """WITH lens AS (
+        |  SELECT CAST(len(list_filter(regexp_split_to_array(text,
+        |    '\s+'), x -> x <> '')) AS BIGINT) AS len
+        |  FROM documents),
+        |bf AS (SELECT CAST(unnest([16, 32, 64, 128, 256]) AS BIGINT)
+        |  AS budget)
+        |SELECT budget, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN len > budget THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_over,
+        |  CAST(SUM(CASE WHEN len > budget THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS frac_docs_over,
+        |  CAST(SUM(len) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN len > budget THEN len - budget ELSE 0 END)
+        |    AS BIGINT) AS tokens_lost,
+        |  CAST(SUM(CASE WHEN len > budget THEN len - budget ELSE 0 END)
+        |    AS DOUBLE) / CAST(SUM(len) AS DOUBLE) AS frac_tokens_lost
+        |FROM lens CROSS JOIN bf GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** One unrolled TextRank iteration — the [[Graph.pageRank]] recursion
     * with this oracle's CTE names, contributions DECIMAL-quantized

@@ -524,6 +524,44 @@ class Round9cOpsSpec extends AnyFunSuite {
     assert(math.abs(y.getAs[Double]("lambda_per_kday") - 1000.0) < 1e-9)
   }
 
+  test("truncationLoss: hand token-loss at one budget") {
+    val docs = Seq((1L, "a b"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val r = TextAnalysis.truncationLoss(docs, "text", Seq(3L)).head()
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("n_docs_over") == 1L)
+    assert(math.abs(r.getAs[Double]("frac_docs_over") - 0.5) < 1e-12)
+    assert(r.getAs[Long]("n_tokens") == 7L)
+    assert(r.getAs[Long]("tokens_lost") == 2L)
+    assert(math.abs(r.getAs[Double]("frac_tokens_lost") - 2.0 / 7.0)
+      < 1e-12)
+  }
+
+  test("cochranQ: textbook 3x3 matrix gives Q = 3") {
+    // rows s1=(1,1,0) s2=(1,0,0) s3=(1,1,1): C=(3,2,1), R=(2,1,3), Q=3;
+    // subject 4 has no observations (all-zero row changes nothing)
+    val obs = Seq((1L, "t1"), (1L, "t2"), (2L, "t1"), (3L, "t1"),
+      (3L, "t2"), (3L, "t3")).toDF("s", "t")
+    val subjects = Seq(1L, 2L, 3L, 4L).toDF("sk")
+    val r = Ml.cochranQ(obs, "s", "t", subjects, "sk").head()
+    assert(r.getAs[Long]("n_subjects") == 4L)
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("dof") == 2L)
+    assert(math.abs(r.getAs[Double]("q_stat") - 3.0) < 1e-12)
+  }
+
+  test("kendallsW: perfect agreement = 1, symmetric disagreement = 0") {
+    val agree = Seq((1, "a", 1L), (1, "b", 2L), (1, "c", 3L),
+      (2, "a", 1L), (2, "b", 2L), (2, "c", 3L)).toDF("j", "it", "v")
+    val r1 = Ml.kendallsW(agree, "j", "it", col("v")).head()
+    assert(r1.getAs[Long]("n_judges") == 2L)
+    assert(r1.getAs[Long]("n_items") == 3L)
+    assert(math.abs(r1.getAs[Double]("w") - 1.0) < 1e-12)
+    val disagree = Seq((1, "a", 1L), (1, "b", 2L), (1, "c", 3L),
+      (2, "a", 3L), (2, "b", 2L), (2, "c", 1L)).toDF("j", "it", "v")
+    val r2 = Ml.kendallsW(disagree, "j", "it", col("v")).head()
+    assert(math.abs(r2.getAs[Double]("w")) < 1e-12)
+  }
+
   test("croston: hand fold over three demand occurrences") {
     // occurrences day 0 (10.00), day 4 (6.00), day 6 (8.00); a zero-
     // demand day 2 must be ignored entirely
