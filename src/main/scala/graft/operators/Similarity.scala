@@ -1432,7 +1432,80 @@ object Similarity {
   def q380EmbeddingIsotropy(spark: SparkSession, dir: String): DataFrame =
     embeddingIsotropy(Tables.embeddings(spark, dir), "embedding")
 
+  /** Greedy k-center coreset selection (Gonzalez 1985 2-approximation,
+    * the "diverse subset" curation primitive sampling can't give —
+    * q70/q79/q94 draw REPRESENTATIVE rows, this picks MAXIMALLY SPREAD
+    * ones, the shape used for exemplar selection and annotation
+    * budgets): seed with the smallest id, then k−1 rounds of "select
+    * the point farthest from the selected set", maintaining each
+    * point's min-distance-to-set. Distances are EXACT DECIMAL squared
+    * L2 on (10,9)-quantized components, accumulated inside a codegen'd
+    * `aggregate(zip_with(...))` fold with no precision-loss multiply —
+    * so the argmax (tiebroken by id) is exactly reproducible, not a
+    * float race. Each round is one scan + a 1-row driver collect
+    * (model-sized); the min-distance column is localCheckpoint'ed so
+    * lineage stays O(1) rounds. Returns (round, id, radius2) — the
+    * radius2 trajectory IS the k-center cost curve. */
+  def greedyKCenter(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k >= 2: $k")
+    val spark = df.sparkSession
+    // distances in integer NANO-units: component -> round(v*1e9) BIGINT
+    // (exact via the (10,9) decimal quantization), per-dim squared diff
+    // fits a long (< 8e17), the 64-dim sum accumulates in DECIMAL(38,0)
+    // (scale-0 adds never round under Spark's precision cap). The
+    // DuckDB twin sums HUGEINTs — decimal(38,18) sums measured ~6 s per
+    // round there; integer sums are milliseconds.
+    val d2 = """aggregate(
+      |  zip_with(v, cv, (x, y) ->
+      |    CAST(CAST(x AS DECIMAL(10,9)) * 1000000000 AS BIGINT)
+      |      - CAST(CAST(y AS DECIMAL(10,9)) * 1000000000 AS BIGINT)),
+      |  CAST(0 AS DECIMAL(38,0)),
+      |  (acc, d) -> CAST(acc + CAST(d * d AS DECIMAL(38,0))
+      |    AS DECIMAL(38,0)))""".stripMargin
+    val qv = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v")).localCheckpoint(false)
+    val seed = qv.agg(min("id")).head().getLong(0)
+    var mind = qv
+      .crossJoin(broadcast(qv.filter(col("id") === seed)
+        .select(col("v").as("cv"))))
+      .select(col("id"), col("v"), expr(d2).as("d"))
+      .localCheckpoint(false)
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, seed, Option.empty[Double]))
+    for (r <- 2 to k) {
+      val top = mind.orderBy(desc("d"), col("id")).limit(1)
+        .select(col("id"),
+          (col("d").cast("double") / lit(1e18)).as("d")).head()
+      picks += ((r.toLong, top.getLong(0), Some(top.getDouble(1))))
+      val cv = qv.filter(col("id") === top.getLong(0))
+        .select(col("v").as("cv"))
+      val next = mind.crossJoin(broadcast(cv))
+        .select(col("id"), col("v"),
+          least(col("d"), expr(d2)).as("d"))
+        .localCheckpoint(false)
+      mind.unpersist()
+      mind = next
+    }
+    mind.unpersist()
+    qv.unpersist()
+    spark.createDataFrame(picks.toSeq.map { case (r, id, rad) =>
+        (r, id, rad.map(Double.box).orNull.asInstanceOf[java.lang.Double])
+      })
+      .toDF("round", "vec_id", "radius2")
+      .select(col("round"), col("vec_id"),
+        col("radius2").cast("double").as("radius2"))
+      .orderBy("round")
+  }
+
+  /** The 8 maximally spread embedding exemplars and the k-center
+    * radius curve — the annotation-budget / exemplar shortlist. */
+  def q385KCenterCoreset(spark: SparkSession, dir: String): DataFrame =
+    greedyKCenter(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      k = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q385_kcenter_coreset" -> (q385KCenterCoreset _),
     "q380_embedding_isotropy" -> (q380EmbeddingIsotropy _),
     "q314_embedding_drift" -> (q314EmbeddingDrift _),
     "q332_matryoshka_audit" -> (q332MatryoshkaAudit _),
@@ -1783,5 +1856,44 @@ object Similarity {
         |  CAST(mmx AS DOUBLE) / CAST(ee AS DOUBLE) AS mean_share,
         |  CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(sv2 AS DOUBLE)
         |    AS participation_dims
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+    "q385_kcenter_coreset" -> (
+      """WITH qv AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(10,9))
+        |      * 1000000000 AS BIGINT) AS q
+        |  FROM embeddings),
+        |sv AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1),
+        |m1 AS MATERIALIZED (
+        |  SELECT a.vec_id, SUM(CAST(a.q - b.q AS HUGEINT)
+        |    * CAST(a.q - b.q AS HUGEINT)) AS d
+        |  FROM qv a JOIN (SELECT qv.i, qv.q FROM qv
+        |    JOIN sv ON qv.vec_id = sv.vec_id) b ON b.i = a.i
+        |  GROUP BY 1),""".stripMargin + "\n" +
+      (2 to 8).map(kcRoundSql).mkString(",\n") + "\n" +
+      """SELECT CAST(1 AS BIGINT) AS round, sv.vec_id,
+        |  CAST(NULL AS DOUBLE) AS radius2 FROM sv
+        |""".stripMargin +
+      (2 to 8).map(r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, rad FROM c$r\n")
+        .mkString +
+      "ORDER BY round"))
+
+  /** One unrolled k-center round for the q385 oracle: pick the argmax
+    * of the previous min-distance table (exact-decimal compare, id
+    * tiebreak), then fold its distances in with LEAST. */
+  private def kcRoundSql(r: Int): String =
+    s"""c$r AS MATERIALIZED (SELECT vec_id,
+       |    CAST(d AS DOUBLE) / 1e18 AS rad
+       |  FROM m${r - 1} ORDER BY d DESC, vec_id LIMIT 1),
+       |dd$r AS MATERIALIZED (
+       |  SELECT a.vec_id, SUM(CAST(a.q - b.q AS HUGEINT)
+       |    * CAST(a.q - b.q AS HUGEINT)) AS d
+       |  FROM qv a JOIN (SELECT qv.i, qv.q FROM qv
+       |    JOIN c$r ON qv.vec_id = c$r.vec_id) b ON b.i = a.i
+       |  GROUP BY 1),
+       |m$r AS MATERIALIZED (
+       |  SELECT m.vec_id, LEAST(m.d, dd$r.d) AS d
+       |  FROM m${r - 1} m JOIN dd$r ON dd$r.vec_id = m.vec_id)"""
+      .stripMargin
 }

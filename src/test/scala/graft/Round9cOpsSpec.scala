@@ -562,6 +562,21 @@ class Round9cOpsSpec extends AnyFunSuite {
     assert(math.abs(r2.getAs[Double]("w")) < 1e-12)
   }
 
+  test("greedyKCenter: four planted points, hand radius curve") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(0.4f, 0.0f)), (4L, Array(0.2f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.greedyKCenter(df, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L, 4L))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("radius2")))
+    // round 2 picks the farthest from the seed (0.4^2 = 0.16); round 3
+    // picks v4 whose min distance to {v1,v3} is 0.08
+    assert(math.abs(rows(1).getAs[Double]("radius2") - 0.16) < 1e-7)
+    assert(math.abs(rows(2).getAs[Double]("radius2") - 0.08) < 1e-7)
+  }
+
   test("croston: hand fold over three demand occurrences") {
     // occurrences day 0 (10.00), day 4 (6.00), day 6 (8.00); a zero-
     // demand day 2 must be ignored entirely
