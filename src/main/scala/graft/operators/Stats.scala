@@ -3146,7 +3146,48 @@ object Stats {
       "o_orderdate", Tables.customer(spark, dir), "c_custkey",
       "c_mktsegment", churnDays = 180L)
 
+  /** Herfindahl–Hirschman concentration per market: Σ share² of each
+    * member's exact revenue cents, plus the effective-competitor count
+    * 1/HHI — the concentration scalar the Lorenz/Gini pair (q283/q176)
+    * summarizes as a curve ("is this nation's supply base 2 effective
+    * suppliers or 40"). Each share² term is DECIMAL(38,18)-quantized
+    * so the sum is order-independent; member revenues are exact longs
+    * from one scan. */
+  def herfindahl(df: DataFrame, marketCol: String, memberCol: String,
+      valCol: Column): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val cells = df.select(col(marketCol).as("mkt"),
+        col(memberCol).as("mem"),
+        (valCol.cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("mkt", "mem").agg(sum("vc").as("v"))
+    val tot = cells.groupBy("mkt").agg(sum("v").as("t"),
+      count(lit(1)).as("n_members"))
+    cells.join(tot, Seq("mkt"))
+      .filter(col("t") > 0)
+      .select(col("mkt"), col("n_members"),
+        ((dd(col("v")) / dd(col("t"))) * (dd(col("v")) / dd(col("t"))))
+          .cast("decimal(38,18)").as("term"))
+      .groupBy("mkt", "n_members")
+      .agg(sum("term").cast("decimal(38,18)").as("hhi"))
+      .select(col("mkt").as(marketCol), col("n_members"),
+        dd(col("hhi")).as("hhi"),
+        (lit(1.0) / dd(col("hhi"))).as("effective_members"))
+      .orderBy(marketCol)
+  }
+
+  /** How concentrated is each nation's supply revenue — HHI and the
+    * effective supplier count. */
+  def q386Herfindahl(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    herfindahl(li.join(sup, Seq("l_suppkey")), "s_nationkey",
+      "l_suppkey", col("l_extendedprice"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q386_herfindahl" -> (q386Herfindahl _),
     "q379_quantile_shift" -> (q379QuantileShift _),
     "q381_exponential_hazard" -> (q381ExponentialHazard _),
     "q377_frequency_movers" -> (q377FrequencyMovers _),
@@ -5345,7 +5386,28 @@ object Stats {
         |    * exp(1.96 / sqrt(CAST(n_churned AS DOUBLE))) AS hr_ci_hi
         |FROM bseg CROSS JOIN tall
         |WHERE n_churned > 0 AND exposure_days > 0
-        |ORDER BY seg""".stripMargin)
+        |ORDER BY seg""".stripMargin,
+    "q386_herfindahl" ->
+      """WITH cells AS (
+        |  SELECT s.s_nationkey AS mkt, l.l_suppkey AS mem,
+        |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT mkt, CAST(SUM(v) AS BIGINT) AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS n_members
+        |  FROM cells GROUP BY 1),
+        |h AS (
+        |  SELECT c.mkt, tot.n_members,
+        |    CAST(SUM(CAST((CAST(c.v AS DOUBLE) / CAST(tot.t AS DOUBLE))
+        |      * (CAST(c.v AS DOUBLE) / CAST(tot.t AS DOUBLE))
+        |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS hhi
+        |  FROM cells c JOIN tot ON tot.mkt = c.mkt AND tot.t > 0
+        |  GROUP BY 1, 2)
+        |SELECT mkt AS s_nationkey, n_members, CAST(hhi AS DOUBLE) AS hhi,
+        |  1.0 / CAST(hhi AS DOUBLE) AS effective_members
+        |FROM h ORDER BY 1""".stripMargin)
 
   // lazy: referenced by `oracles` above in object-initialization order
   private lazy val cusumSql: String =

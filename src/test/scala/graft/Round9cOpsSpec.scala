@@ -577,6 +577,20 @@ class Round9cOpsSpec extends AnyFunSuite {
     assert(math.abs(rows(2).getAs[Double]("radius2") - 0.08) < 1e-7)
   }
 
+  test("herfindahl: hand shares in two markets") {
+    // market A: members with 3.00 and 1.00 -> shares .75/.25,
+    // HHI = .625, eff = 1.6; market B: one member -> HHI = 1, eff = 1
+    val df = Seq(("A", 1L, 3.00), ("A", 2L, 1.00), ("B", 3L, 2.00))
+      .toDF("mkt", "mem", "v")
+    val rows = Stats.herfindahl(df, "mkt", "mem", col("v")).collect()
+    val byM = rows.map(r => r.getAs[String]("mkt") -> r).toMap
+    assert(byM("A").getAs[Long]("n_members") == 2L)
+    assert(math.abs(byM("A").getAs[Double]("hhi") - 0.625) < 1e-12)
+    assert(math.abs(byM("A").getAs[Double]("effective_members") - 1.6)
+      < 1e-12)
+    assert(math.abs(byM("B").getAs[Double]("hhi") - 1.0) < 1e-12)
+  }
+
   test("croston: hand fold over three demand occurrences") {
     // occurrences day 0 (10.00), day 4 (6.00), day 6 (8.00); a zero-
     // demand day 2 must be ignored entirely
