@@ -3186,7 +3186,51 @@ object Stats {
       "l_suppkey", col("l_extendedprice"))
   }
 
+  /** Coverage counts per market: how many top members does it take to
+    * cover 50 / 80 / 95% of the market's revenue — the "N80" planning
+    * number q386's HHI and q283's Lorenz curve imply but don't state.
+    * Members rank by exact revenue cents (desc, id tiebreak) under a
+    * market-partitioned window over the MEMBER frame (bounded by the
+    * member count, not the fact rows); each threshold test is the
+    * exact integer comparison 100·cum ≥ p·total, so every output is a
+    * BIGINT. */
+  def coverageCounts(df: DataFrame, marketCol: String, memberCol: String,
+      valCol: Column, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p < 100),
+      s"pcts in 1..99: $pcts")
+    val cells = df.select(col(marketCol).as("mkt"),
+        col(memberCol).as("mem"),
+        (valCol.cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("mkt", "mem").agg(sum("vc").as("v"))
+    val w = Window.partitionBy("mkt").orderBy(desc("v"), col("mem"))
+    val cum = cells
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", sum("v").over(Window.partitionBy("mkt")))
+      .filter(col("t") > 0)
+    val aggs = (count(lit(1)).as("n_members")) +: pcts.map(p =>
+      min(when(col("cum") * 100L >= lit(p.toLong) * col("t"), col("rk")))
+        .as(s"n$p"))
+    cum.groupBy("mkt").agg(aggs.head, aggs.tail: _*)
+      .select((col("mkt").as(marketCol) +: col("n_members") +:
+        pcts.map(p => col(s"n$p"))): _*)
+      .orderBy(marketCol)
+  }
+
+  /** How many suppliers cover half / most / nearly all of each
+    * nation's revenue — the N50/N80/N95 counts. */
+  def q387CoverageCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    coverageCounts(li.join(sup, Seq("l_suppkey")), "s_nationkey",
+      "l_suppkey", col("l_extendedprice"), Seq(50, 80, 95))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q387_coverage_counts" -> (q387CoverageCounts _),
     "q386_herfindahl" -> (q386Herfindahl _),
     "q379_quantile_shift" -> (q379QuantileShift _),
     "q381_exponential_hazard" -> (q381ExponentialHazard _),
@@ -5407,7 +5451,30 @@ object Stats {
         |  GROUP BY 1, 2)
         |SELECT mkt AS s_nationkey, n_members, CAST(hhi AS DOUBLE) AS hhi,
         |  1.0 / CAST(hhi AS DOUBLE) AS effective_members
-        |FROM h ORDER BY 1""".stripMargin)
+        |FROM h ORDER BY 1""".stripMargin,
+    "q387_coverage_counts" ->
+      """WITH cells AS (
+        |  SELECT s.s_nationkey AS mkt, l.l_suppkey AS mem,
+        |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT mkt,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
+        |    CAST(SUM(v) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(v) OVER (PARTITION BY mkt) AS BIGINT) AS t
+        |  FROM cells
+        |  WINDOW w AS (PARTITION BY mkt ORDER BY v DESC, mem))
+        |SELECT mkt AS s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 50 * t THEN rk END) AS BIGINT)
+        |    AS n50,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 80 * t THEN rk END) AS BIGINT)
+        |    AS n80,
+        |  CAST(MIN(CASE WHEN cum * 100 >= 95 * t THEN rk END) AS BIGINT)
+        |    AS n95
+        |FROM cum WHERE t > 0 GROUP BY 1 ORDER BY 1""".stripMargin)
 
   // lazy: referenced by `oracles` above in object-initialization order
   private lazy val cusumSql: String =

@@ -591,6 +591,18 @@ class Round9cOpsSpec extends AnyFunSuite {
     assert(math.abs(byM("B").getAs[Double]("hhi") - 1.0) < 1e-12)
   }
 
+  test("coverageCounts: hand N50/N80 over four members") {
+    // shares 40/30/20/10 -> n50 = 2 (40+30), n80 = 3, n95 = 4
+    val df = Seq(("A", 1L, 4.00), ("A", 2L, 3.00), ("A", 3L, 2.00),
+      ("A", 4L, 1.00)).toDF("mkt", "mem", "v")
+    val r = Stats.coverageCounts(df, "mkt", "mem", col("v"),
+      Seq(50, 80, 95)).head()
+    assert(r.getAs[Long]("n_members") == 4L)
+    assert(r.getAs[Long]("n50") == 2L)
+    assert(r.getAs[Long]("n80") == 3L)
+    assert(r.getAs[Long]("n95") == 4L)
+  }
+
   test("croston: hand fold over three demand occurrences") {
     // occurrences day 0 (10.00), day 4 (6.00), day 6 (8.00); a zero-
     // demand day 2 must be ignored entirely
