@@ -30,7 +30,12 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return -1.0
-      }
+      } finally
+        // drop any localCheckpoint blocks the query left behind: each run
+        // rebuilds its frames from parquet, and without this sweep leaked
+        // blocks from ~380 queries compound into GC pressure that skews
+        // every later timing (r9: q336 93 s in the driver run, 4.5 s clean)
+        graft.plans.Checkpoints.freeAll(spark)
       (System.nanoTime() - t0) / 1e9
     }
 

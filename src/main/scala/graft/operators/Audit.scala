@@ -744,7 +744,44 @@ object Audit {
         "events per user"))
       .orderBy("edge")
 
+  /** Candidate-key discovery profile: for each caller-listed column
+    * combination, the exact distinct count, the uniqueness ratio and the
+    * is-key verdict — the schema-inference screen that decides join keys,
+    * bucketing columns and dedup identities before anything is built on a
+    * wrong assumption (the profiling complement of the FD-violation audit
+    * q302: that one checks a DECLARED dependency, this one DISCOVERS which
+    * combos qualify). Each combo is one narrow projection + map-side-
+    * combined distinct — k bounded by the caller's list, never the schema
+    * power set. For a cheap first pass at 100 TB, screen the same combos
+    * with the mergeable `approx_distinct` sketch (q30) and confirm only
+    * the near-1.0 candidates here. */
+  def candidateKeys(df: DataFrame, combos: Seq[Seq[String]]): DataFrame = {
+    require(combos.nonEmpty && combos.forall(_.nonEmpty),
+      s"need at least one non-empty column combo: $combos")
+    val dd = (c: Column) => c.cast("double")
+    val tot = df.agg(count(lit(1)).as("n_rows"))
+    combos.map { cs =>
+      df.select(cs.map(col): _*).distinct()
+        .agg(count(lit(1)).as("n_distinct"))
+        .select(lit(cs.mkString(",")).as("combo"), col("n_distinct"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(tot)) // 1-row statistic frame
+      .select(col("combo"), col("n_distinct"), col("n_rows"),
+        (dd(col("n_distinct")) / dd(col("n_rows"))).as("uniqueness"),
+        (col("n_distinct") === col("n_rows")).as("is_key"))
+      .orderBy("combo")
+  }
+
+  /** Which column combos identify an order row — the key-discovery
+    * profile over the obvious candidates. */
+  def q399CandidateKeys(spark: SparkSession, dir: String): DataFrame =
+    candidateKeys(Tables.orders(spark, dir), Seq(
+      Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderdate"),
+      Seq("o_custkey", "o_orderdate"),
+      Seq("o_orderstatus", "o_orderpriority")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q399_candidate_keys" -> (q399CandidateKeys _),
     "q324_join_fanout" -> (q324JoinFanout _),
     "q331_psi_drift" -> (q331PsiDrift _),
     "q302_fd_violations" -> (q302FdViolations _),
@@ -823,6 +860,31 @@ object Audit {
        |FROM t CROSS JOIN qs CROSS JOIN e)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q399_candidate_keys" ->
+      """WITH tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+        |c AS (
+        |  SELECT 'o_orderkey' AS combo,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT o_orderkey FROM orders)) AS n_distinct
+        |  UNION ALL SELECT 'o_custkey',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT o_custkey FROM orders))
+        |  UNION ALL SELECT 'o_orderdate',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT o_orderdate FROM orders))
+        |  UNION ALL SELECT 'o_custkey,o_orderdate',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT o_custkey, o_orderdate FROM orders))
+        |  UNION ALL SELECT 'o_orderstatus,o_orderpriority',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |      (SELECT DISTINCT o_orderstatus, o_orderpriority
+        |       FROM orders)))
+        |SELECT combo, n_distinct, n_rows,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |    AS uniqueness,
+        |  n_distinct = n_rows AS is_key
+        |FROM c, tot ORDER BY combo""".stripMargin,
     "q324_join_fanout" ->
       (fanoutSql("lineitem", "l_orderkey", "lineitem per order") +
         "\nUNION ALL\n" +

@@ -785,17 +785,22 @@ object Behavior {
         .groupBy(col("vchain").as("chain"))
         .agg(sum(d3818(col("vp") * col("p"))).cast("decimal(38,18)")
           .as("inc"))
-      acc = acc.join(inc, Seq("chain"), "left")
+      val newAcc = acc.join(inc, Seq("chain"), "left")
         .select(col("chain"),
           (col("acc") + coalesce(col("inc"),
             lit(0).cast("decimal(38,18)"))).cast("decimal(38,18)")
             .as("acc"))
         .localCheckpoint(true)
-      v = joined.filter(col("dst") =!= "conv" && col("dst") =!= "null")
+      val newV = joined.filter(col("dst") =!= "conv" && col("dst") =!= "null")
         .groupBy(col("vchain").as("chain"), col("dst").as("state"))
         .agg(sum(d3818(col("vp") * col("p"))).cast("decimal(38,18)")
           .cast("double").as("p"))
         .localCheckpoint(true)
+      // both consumers of the old round-state are materialized — free it
+      graft.plans.Checkpoints.free(acc)
+      graft.plans.Checkpoints.free(v)
+      acc = newAcc
+      v = newV
     }
     val pconv = acc.select(col("chain"), col("acc").cast("double")
       .as("pconv"))

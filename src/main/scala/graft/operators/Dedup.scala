@@ -529,7 +529,9 @@ object Dedup {
       // that plan, so reading it afterwards costs no extra action
       val next = computed.localCheckpoint(true)
       changed = computed.queryExecution.observedMetrics("cc_changed").getAs[Long]("n")
-      labels.unpersist()
+      // Dataset.unpersist() would be a no-op here — checkpoint blocks live
+      // on the underlying RDD, not in the CacheManager (see Checkpoints)
+      graft.plans.Checkpoints.free(labels)
       labels = next
       iter += 1
     }
@@ -537,13 +539,13 @@ object Dedup {
     // is not yet carrying its component minimum) — fail loudly rather than
     // return them; a graph needing this many rounds has diameter > maxIter
     if (changed > 0) {
-      labels.unpersist()
-      sym.unpersist()
+      graft.plans.Checkpoints.free(labels)
+      graft.plans.Checkpoints.free(sym)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing); raise maxIter — rounds needed = graph diameter")
     }
-    sym.unpersist()
+    graft.plans.Checkpoints.free(sym)
     labels
   }
 

@@ -175,9 +175,14 @@ object Graph {
       val emptied = next.isEmpty
       if (emptied || k == maxHops) done = true
       if (!emptied) {
-        visited = visited.union(next).localCheckpoint(true)
+        val nv = visited.union(next).localCheckpoint(true)
+        // free the superseded round-state blocks (the new checkpoint is
+        // already materialized, so the frees are safe; see Checkpoints)
+        graft.plans.Checkpoints.free(visited)
+        if (frontier ne visited) graft.plans.Checkpoints.free(frontier)
+        visited = nv
         frontier = next
-      }
+      } else graft.plans.Checkpoints.free(next)
       k += 1
     }
     visited
@@ -229,12 +234,17 @@ object Graph {
         .select(col("node"), col("__nd").as("dist"))
         .localCheckpoint(true)
       k += 1
-      if (improved.isEmpty || k == rounds) done = true
-      if (!improved.isEmpty) {
-        dist = dist.union(improved).groupBy("node")
+      val emptied = improved.isEmpty
+      if (emptied || k == rounds) done = true
+      if (!emptied) {
+        val nd = dist.union(improved).groupBy("node")
           .agg(min(col("dist")).as("dist")).localCheckpoint(true)
+        // free the superseded round-state (see Checkpoints)
+        graft.plans.Checkpoints.free(dist)
+        if (frontier ne dist) graft.plans.Checkpoints.free(frontier)
+        dist = nd
         frontier = improved
-      }
+      } else graft.plans.Checkpoints.free(improved)
     }
     dist
   }
@@ -381,6 +391,7 @@ object Graph {
         .localCheckpoint(true)
       val n2 = e2.count()
       stable = n2 == nEdges
+      graft.plans.Checkpoints.free(e) // superseded edge frame
       e = e2; nEdges = n2; round += 1
     }
     e.select(col("u").as("node")).union(e.select(col("v").as("node")))
@@ -501,13 +512,15 @@ object Graph {
         .select(col("u").as("node"), col("lbl"))
         .union(labels.select(col("node"), col("lbl"))) // self-vote
         .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
-      labels = votes
+      val next = votes
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("node")
             .orderBy(desc("c"), asc("lbl"))))
         .filter(col("rk") === 1)
         .select("node", "lbl")
         .localCheckpoint(true)
+      graft.plans.Checkpoints.free(labels) // superseded round-state
+      labels = next
     }
     labels.select(col("node"), col("lbl").as("community"))
       .orderBy("node")
@@ -732,12 +745,16 @@ object Graph {
         .join(seen, Seq("s", "node"), "left_anti")
         .groupBy("s", "node").agg(sum("sigma").as("sigma"))
         .localCheckpoint(true)
-      if (next.isEmpty) done = true
+      if (next.isEmpty) { done = true; graft.plans.Checkpoints.free(next) }
       else {
         levels :+= next
-        seen = seen.union(next.select("s", "node")).localCheckpoint(true)
+        val ns = seen.union(next.select("s", "node")).localCheckpoint(true)
+        graft.plans.Checkpoints.free(seen) // superseded visited-set
+        seen = ns
       }
     }
+    // seen only gates the forward anti-joins — done with it entirely
+    graft.plans.Checkpoints.free(seen)
     val depth = levels.size - 1
     // backward: deltas(d) = levels(d) + δ; deepest level has no
     // successors inside the horizon → δ = 0 (both engines agree: the
@@ -760,6 +777,9 @@ object Graph {
           .as("delta"))
       deltas += d -> cur.join(terms, Seq("s", "node"), "left")
         .na.fill(0.0, Seq("delta")).localCheckpoint(true)
+      // levels(d) is folded into the (checkpointed) deltas(d) now; only
+      // levels(depth) survives — deltas(depth) is a lazy projection of it
+      if (d < depth) graft.plans.Checkpoints.free(cur)
     }
     // each reached node sits at exactly one depth per source; depth-0
     // rows (the source itself) are excluded per Brandes (v ≠ s)
@@ -784,7 +804,136 @@ object Graph {
       "p1", "p2", nSources = 8, maxDepth = 4)
   }
 
+  /** Hop-bounded harmonic closeness centrality from `nSources` sampled
+    * sources — "who can reach the graph fastest". Harmonic (Boldi &
+    * Vigna 2014), not classic 1/Σd, because it stays defined on
+    * disconnected graphs: H(s) = Σ_{v≠s, d(s,v) ≤ maxDepth} 1/d(s,v).
+    * Sources are the `nSources` highest-degree nodes (id tie-break) —
+    * the q333 sampling rule; the hop cap makes it the same k-source /
+    * k-hop approximation family.
+    *
+    * Shape: ALL K sources run simultaneously in one (source, node)-keyed
+    * frontier BFS ([[betweennessSampled]]'s forward pass without σ) —
+    * each round is one edge join + one anti-join, frontiers and the
+    * visited set are localCheckpointed with superseded-state frees. The
+    * per-source finish reduces the (s, node, hop) reach set in one
+    * groupBy; 1/d terms are pico-quantized DECIMAL(38,12) before the
+    * order-insensitive sum. */
+  def harmonicCloseness(edges: DataFrame, aCol: String, bCol: String,
+      nSources: Int, maxDepth: Int): DataFrame = {
+    require(nSources >= 1, s"nSources must be >= 1: $nSources")
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val q3812 = (c: Column) => c.cast("decimal(38,12)")
+    val dd = (c: Column) => c.cast("double")
+    val bi = edges
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val sources = bi.groupBy("u").agg(count(lit(1)).as("__d"))
+      .orderBy(desc("__d"), asc("u")).limit(nSources)
+      .select(col("u").as("s"))
+    var frontier = sources.select(col("s"), col("s").as("node"))
+      .localCheckpoint(true)
+    var seen = frontier
+    // reached(d) stays a LAZY projection over the checkpointed frontier
+    // frames, so superseded frontiers are NOT freed here (they feed the
+    // final union); only the visited set is superseded round-to-round
+    var reached = Vector.empty[DataFrame]
+    var d = 1
+    var done = false
+    while (!done && d <= maxDepth) {
+      val next = frontier.join(bi, frontier("node") === bi("u"))
+        .select(col("s"), col("v").as("node")).distinct()
+        .join(seen, Seq("s", "node"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) { done = true; graft.plans.Checkpoints.free(next) }
+      else {
+        reached :+= next.withColumn("hop", lit(d.toLong))
+        val ns = seen.union(next).localCheckpoint(true)
+        if (seen ne frontier) graft.plans.Checkpoints.free(seen)
+        seen = ns
+        frontier = next
+      }
+      d += 1
+    }
+    graft.plans.Checkpoints.free(seen)
+    require(reached.nonEmpty,
+      "harmonicCloseness: no node is reachable from any source " +
+        "within maxDepth — empty or edgeless graph")
+    reached.reduce(_ union _)
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_reached"), sum("hop").as("sum_hops"),
+        sum(q3812(lit(1.0) / dd(col("hop")))).cast("decimal(38,12)")
+          .as("h"))
+      .select(col("s").as("node"), col("n_reached"), col("sum_hops"),
+        dd(col("h")).as("harmonic"),
+        (dd(col("n_reached")) / dd(col("sum_hops"))).as("closeness"))
+      .orderBy("node")
+  }
+
+  /** Which hub parts can reach the co-purchase catalog fastest — 4-hop
+    * harmonic closeness from the 8 highest-degree parts over the
+    * ≥2-support co-order graph (the q333 graph and sampling rule). */
+  def q392HarmonicCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", basketCap = 64)
+    harmonicCloseness(Basket.pairCounts(bk, basketCap = 64,
+      minSupport = 2L), "p1", "p2", nSources = 8, maxDepth = 4)
+  }
+
+  /** Rich-club coefficient (Zhou & Mondragón 2004): do the top-`topM`
+    * highest-degree nodes link to EACH OTHER more densely than the graph
+    * overall — the oligarchy test behind "do hub products co-sell as a
+    * clique or as independent stars". φ(m) = 2·E_club/(m(m−1)) over the
+    * club's internal edge count, reported next to the global density and
+    * their ratio (≫ 1 = rich club). Exact counting: one degree
+    * aggregation, two broadcast semi-joins of the m-row club against the
+    * edge list, three global counts — edge-linear, no iteration. */
+  def richClub(edges: DataFrame, aCol: String, bCol: String,
+      topM: Int): DataFrame = {
+    require(topM >= 2, s"topM must be >= 2: $topM")
+    val dd = (c: Column) => c.cast("double")
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val hubs = deg.orderBy(desc("d"), asc("node")).limit(topM)
+      .select("node")
+    val eRich = e
+      .join(broadcast(hubs.withColumnRenamed("node", "u")), Seq("u"),
+        "left_semi")
+      .join(broadcast(hubs.withColumnRenamed("node", "v")), Seq("v"),
+        "left_semi")
+      .agg(count(lit(1)).as("e_club"))
+    val m = lit(topM.toLong)
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(eRich) // three 1-row statistic frames
+      .select(m.as("club_size"), col("n_nodes"), col("n_edges"),
+        col("e_club"),
+        (dd(col("e_club")) * 2.0 / (dd(m) * dd(m - 1))).as("phi"),
+        (dd(col("n_edges")) * 2.0 /
+          (dd(col("n_nodes")) * dd(col("n_nodes") - 1))).as("density"))
+      .withColumn("phi_norm", col("phi") / col("density"))
+  }
+
+  /** Do the 30 most co-ordered parts form a purchasing oligarchy — the
+    * rich-club density ratio over the ≥2-support co-order graph. */
+  def q393RichClub(spark: SparkSession, dir: String): DataFrame = {
+    val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", basketCap = 64)
+    richClub(Basket.pairCounts(bk, basketCap = 64, minSupport = 2L),
+      "p1", "p2", topM = 30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q392_harmonic_closeness" -> (q392HarmonicCloseness _),
+    "q393_rich_club" -> (q393RichClub _),
     "q333_betweenness" -> (q333Betweenness _),
     "q322_graph_modularity" -> (q322GraphModularity _),
     "q297_personalized_pagerank" -> (q297PersonalizedPagerank _),
@@ -917,6 +1066,63 @@ object Graph {
        |    FROM v$i) WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q392_harmonic_closeness" ->
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS MATERIALIZED (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |bi AS MATERIALIZED (
+        |  SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed),
+        |src AS (
+        |  SELECT u AS s FROM (SELECT u, COUNT(*) AS d FROM bi GROUP BY u)
+        |  ORDER BY d DESC, u LIMIT 8),
+        |walk AS (
+        |  SELECT s, s AS node, 0 AS hop FROM src
+        |  UNION
+        |  SELECT w.s, bi.v AS node, w.hop + 1
+        |  FROM walk w JOIN bi ON bi.u = w.node
+        |  WHERE w.hop < 4),
+        |dist AS (
+        |  SELECT s, node, CAST(MIN(hop) AS BIGINT) AS d
+        |  FROM walk GROUP BY 1, 2 HAVING MIN(hop) > 0)
+        |SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |  CAST(SUM(d) AS BIGINT) AS sum_hops,
+        |  CAST(CAST(SUM(CAST(1.0 / CAST(d AS DOUBLE) AS DECIMAL(38,12)))
+        |    AS DECIMAL(38,12)) AS DOUBLE) AS harmonic,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(d) AS DOUBLE) AS closeness
+        |FROM dist GROUP BY s ORDER BY node""".stripMargin,
+    "q393_rich_club" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS MATERIALIZED (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS node FROM ed UNION ALL SELECT v FROM ed)
+        |  GROUP BY node),
+        |hubs AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 30),
+        |er AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS e_club
+        |  FROM ed
+        |  JOIN hubs h1 ON ed.u = h1.node
+        |  JOIN hubs h2 ON ed.v = h2.node),
+        |shape AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges),
+        |fin AS (
+        |  SELECT CAST(30 AS BIGINT) AS club_size, n_nodes, n_edges,
+        |    e_club,
+        |    CAST(e_club AS DOUBLE) * 2.0
+        |      / (CAST(30 AS DOUBLE) * CAST(29 AS DOUBLE)) AS phi,
+        |    CAST(n_edges AS DOUBLE) * 2.0
+        |      / (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE))
+        |      AS density
+        |  FROM shape, er)
+        |SELECT *, phi / density AS phi_norm FROM fin""".stripMargin,
     // 8-source 4-hop Brandes, fully unrolled: 4 σ-level CTEs + 3
     // backprop CTEs; the deepest level's δ = 0 on both sides (no
     // successors inside the horizon), per-node totals are exact

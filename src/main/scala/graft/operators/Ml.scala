@@ -192,7 +192,10 @@ object Ml {
     val m = ranked.groupBy("g").agg(
       sum(col("a")).as("n1"),
       sum(col("t") - col("a")).as("n2"),
-      sum(col("a") * col("r2")).as("r1x2"),
+      // decimal product: a ~ group rows, r2 ~ 2·group rows — the long
+      // product wraps silently (non-ANSI) past ~3e9 rows per group
+      sum(d380(col("a")) * d380(col("r2"))).cast("decimal(38,0)")
+        .as("r1x2"),
       sum(d380(col("t")) * d380(col("t")) * d380(col("t")) - d380(col("t")))
         .cast("decimal(38,0)").as("tcube"))
     val n = col("n1") + col("n2")
@@ -1627,6 +1630,34 @@ object Ml {
     * produce bit-identical factors round after round. λ = 0.125 (exactly
     * representable). Returns the factors of the `topN` most-rated users
     * and items (count-desc, id-asc — a total order). */
+  /** One ALS half-step: solve the per-`entity` 2×2 ridge normal equations
+    * from the ratings fact joined against the OTHER side's factor frame.
+    * The factor frame is MODEL-sized (one row per distinct entity) while
+    * `rt` is the fact table — the model side carries an explicit broadcast
+    * hint: after localCheckpoint the factor frame has no stats, so without
+    * the hint the planner can fall back to a sort-merge join that
+    * reshuffles the fact table every half-step (r9 driver run: 93 s vs
+    * 4.5 s sealed). Plan-pinned in TrainerPlanSpec. */
+  private[graft] def alsHalfStep(rt: DataFrame, entity: String,
+      joinKey: String, f: DataFrame, lambda: Double): DataFrame = {
+    val piq = (c: Column) => floor(c * 1e12 + 0.5).cast("decimal(38,0)")
+    val unq = (c: Column) => c.cast("decimal(38,0)").cast("double") / 1e12
+    rt.join(broadcast(f), joinKey)
+      .groupBy(entity)
+      .agg(unq(sum(piq(dd(col("f1")) * dd(col("f1"))))).as("a11"),
+        unq(sum(piq(dd(col("f1")) * dd(col("f2"))))).as("a12"),
+        unq(sum(piq(dd(col("f2")) * dd(col("f2"))))).as("a22"),
+        unq(sum(piq(dd(col("r")) * dd(col("f1"))))).as("b1"),
+        unq(sum(piq(dd(col("r")) * dd(col("f2"))))).as("b2"))
+      .withColumn("det", (col("a11") + lambda) * (col("a22") + lambda) -
+        col("a12") * col("a12"))
+      .select(col(entity),
+        (((col("a22") + lambda) * col("b1") - col("a12") * col("b2")) /
+          col("det")).as("f1"),
+        (((col("a11") + lambda) * col("b2") - col("a12") * col("b1")) /
+          col("det")).as("f2"))
+  }
+
   private def alsTrain(ratings0: DataFrame, userCol: String,
       itemCol: String, ratingCol: String, rounds: Int)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -1637,31 +1668,22 @@ object Ml {
         col(ratingCol).cast("long").as("r"))
       .groupBy("u", "i").agg(sum("r").as("r"))
       .localCheckpoint(true)
-    val piq = (c: Column) => floor(c * 1e12 + 0.5).cast("decimal(38,0)")
-    val unq = (c: Column) => c.cast("decimal(38,0)").cast("double") / 1e12
     def halfStep(entity: String, joinKey: String, f: DataFrame): DataFrame =
-      rt.join(f, joinKey)
-        .groupBy(entity)
-        .agg(unq(sum(piq(dd(col("f1")) * dd(col("f1"))))).as("a11"),
-          unq(sum(piq(dd(col("f1")) * dd(col("f2"))))).as("a12"),
-          unq(sum(piq(dd(col("f2")) * dd(col("f2"))))).as("a22"),
-          unq(sum(piq(dd(col("r")) * dd(col("f1"))))).as("b1"),
-          unq(sum(piq(dd(col("r")) * dd(col("f2"))))).as("b2"))
-        .withColumn("det", (col("a11") + lambda) * (col("a22") + lambda) -
-          col("a12") * col("a12"))
-        .select(col(entity),
-          (((col("a22") + lambda) * col("b1") - col("a12") * col("b2")) /
-            col("det")).as("f1"),
-          (((col("a11") + lambda) * col("b2") - col("a12") * col("b1")) /
-            col("det")).as("f2"))
+      alsHalfStep(rt, entity, joinKey, f, lambda)
     var itemF = rt.select("i").distinct()
       .select(col("i"), lit(1.0).as("f1"),
         (((col("i") % 97) - 48).cast("double") / 97.0).as("f2"))
       .localCheckpoint(true)
     var userF: DataFrame = rt.sparkSession.emptyDataFrame
-    for (_ <- 1 to rounds) {
-      userF = halfStep("u", "i", itemF).localCheckpoint(true)
-      itemF = halfStep("i", "u", userF).localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      // eager checkpoints: the new frame is materialized before the frame
+      // it supersedes is freed, so the free is safe (lineage is truncated)
+      val newU = halfStep("u", "i", itemF).localCheckpoint(true)
+      if (r > 1) graft.plans.Checkpoints.free(userF)
+      userF = newU
+      val newI = halfStep("i", "u", userF).localCheckpoint(true)
+      graft.plans.Checkpoints.free(itemF)
+      itemF = newI
     }
     (rt, userF, itemF)
   }
@@ -2781,6 +2803,100 @@ object Ml {
     andersonDarlingDrift(Tables.events(spark, dir), "ts", "event_type",
       "value")
 
+  /** Mantel–Haenszel pooled odds ratio + Cochran–Mantel–Haenszel χ²
+    * across strata (Mantel & Haenszel 1959): THE confounding-aware 2×2
+    * analysis — a crude exposure/outcome odds ratio can reverse sign
+    * under stratum imbalance (Simpson, the q355 screen); MH pools the
+    * per-stratum tables with n-weighted terms instead. OR_MH =
+    * Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ); CMH χ² (1 dof, no continuity
+    * correction — documented) = (Σ(aᵢ − E aᵢ))² / Σ Vᵢ with
+    * E aᵢ = r₁ᵢc₁ᵢ/nᵢ, Vᵢ = r₁ᵢr₀ᵢc₁ᵢc₀ᵢ/(nᵢ²(nᵢ−1)).
+    *
+    * Shape: one groupBy to the k-row stratum cell frame; each stratum's
+    * four terms are fixed double shapes over exact long margins
+    * (products stay in doubles — a decimal r₁r₀c₁c₀ product would
+    * overflow 38 digits at data scale), pico-quantized DECIMAL(38,12)
+    * before the order-insensitive cross-stratum sums (the [[logRankTest]]
+    * discipline). */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+      exposedCond: Column, outcomeCond: Column): DataFrame = {
+    val q3812 = (c: Column) => c.cast("decimal(38,12)")
+    val cells = df.select(col(stratumCol).as("g"), exposedCond.as("e"),
+        outcomeCond.as("y"))
+      .groupBy("g").agg(
+        sum(when(col("e") && col("y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("e") && !col("y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("e") && col("y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("e") && !col("y"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") > 1)
+    cells.agg(count(lit(1)).as("n_strata"), sum("n").as("n_total"),
+        sum(q3812(dd(col("a")) * dd(col("d")) / dd(col("n"))))
+          .cast("decimal(38,12)").as("r"),
+        sum(q3812(dd(col("b")) * dd(col("c")) / dd(col("n"))))
+          .cast("decimal(38,12)").as("s"),
+        sum(q3812(dd(col("a")) -
+          dd(col("a") + col("b")) * dd(col("a") + col("c")) /
+            dd(col("n")))).cast("decimal(38,12)").as("ome"),
+        sum(q3812(dd(col("a") + col("b")) * dd(col("c") + col("d")) /
+            dd(col("n")) * dd(col("a") + col("c")) *
+            dd(col("b") + col("d")) / (dd(col("n")) * dd(col("n") - 1))))
+          .cast("decimal(38,12)").as("v"))
+      .select(col("n_strata"), col("n_total"),
+        when(dd(col("s")) > 0, dd(col("r")) / dd(col("s"))).as("or_mh"),
+        when(dd(col("v")) > 0,
+          dd(col("ome")) * dd(col("ome")) / dd(col("v"))).as("chi2_cmh"))
+  }
+
+  /** Does urgent priority raise the odds of a FINISHED order once the
+    * market segment confound is stratified away — the MH pooled OR the
+    * crude 2×2 (and q355's Simpson screen) motivates. */
+  def q389MantelHaenszel(spark: SparkSession, dir: String): DataFrame =
+    mantelHaenszel(
+      Tables.orders(spark, dir).join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey")),
+      "c_mktsegment",
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+      col("o_orderstatus") === "F")
+
+  /** Hellinger distance between each key's first-half and second-half
+    * value distributions — the bounded [0,1] member of the drift battery
+    * (PSI q331 is unbounded and bin-sensitive, JS q263 is information-
+    * flavored, energy q342 metric-flavored; Hellinger's √-overlap form
+    * H² = 1 − Σ√(pᵢqᵢ) is THE standard bounded affinity score).
+    * Each cell's Bhattacharyya term √(pᵢqᵢ) is one fixed IEEE shape
+    * (two divisions, one multiply, one correctly-rounded sqrt) on exact
+    * counts, pico-quantized before the order-insensitive sum; the
+    * finish is max(0, 1−BC) under one sqrt. One histogram groupBy per
+    * key (the [[energyDistanceDrift]] shape, minus the windows). */
+  def hellingerDrift(events: DataFrame, tsCol: String, keyCol: String,
+      valCol: String): DataFrame = {
+    val q3812 = (c: Column) => c.cast("decimal(38,12)")
+    val cells = halfSplitCells(events, tsCol, keyCol, valCol)
+    val tot = cells.groupBy("k").agg(sum("ca").as("na"),
+      sum("cb").as("nb"))
+    cells.join(broadcast(tot), "k")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("k"), col("na"), col("nb"),
+        q3812(sqrt((dd(col("ca")) / dd(col("na"))) *
+          (dd(col("cb")) / dd(col("nb"))))).as("t"))
+      .groupBy("k")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum("t").cast("decimal(38,12)").as("bc"))
+      .select(col("k").as(keyCol), col("n_a"), col("n_b"),
+        dd(col("bc")).as("bhattacharyya"),
+        sqrt(greatest(lit(0.0), lit(1.0) - dd(col("bc"))))
+          .as("hellinger"))
+      .orderBy(keyCol)
+  }
+
+  /** How far has each event type's value distribution moved half-over-
+    * half on the bounded √-overlap scale — the drift battery's [0,1]
+    * member. */
+  def q396HellingerDrift(spark: SparkSession, dir: String): DataFrame =
+    hellingerDrift(Tables.events(spark, dir), "ts", "event_type", "value")
+
   /** Two-sample log-rank test — THE censoring-aware "do these cohorts
     * convert/churn at different speeds" test (Mantel 1966), the
     * significance companion to the q199 Kaplan–Meier curve: comparing
@@ -3263,8 +3379,11 @@ object Ml {
         + 1L)
       .agg(sum(col("cnt")).as("n"),
         sum(col("pos")).as("n_pos"),
-        sum(col("pos") * col("ar2")).as("w2p"),
-        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+        // decimal products — pos·ar2 and cnt³ wrap a long past ~2e9 rows
+        sum(d380(col("pos")) * d380(col("ar2"))).cast("decimal(38,0)")
+          .as("w2p"),
+        sum(d380(col("cnt")) * d380(col("cnt")) * d380(col("cnt"))
+          - d380(col("cnt"))).cast("decimal(38,0)").as("tie3"))
       .select(col("n"), col("n_pos"), (dd(col("w2p")) / 2.0).as("w_plus"),
         ((dd(col("w2p")) / 2.0 -
           dd(col("n")) * dd(col("n") + 1) / 4.0) /
@@ -3650,9 +3769,14 @@ object Ml {
       val (nr, sr) = (best.getAs[Long]("nr"), best.getAs[Long]("sr"))
       val leafL = math.floor(sl.toDouble / (2.0 * nl)).toLong
       val leafR = math.floor(sr.toDouble / (2.0 * nr)).toLong
-      data = data.withColumn("F", col("F") +
+      // eagerly checkpoint the updated score frame, THEN free the round it
+      // supersedes — without the free, `rounds` full copies of the raw-row
+      // frame pin executor storage at once (r9 driver run: 13 s vs 2.9 s)
+      val newData = data.withColumn("F", col("F") +
           when(col(bf) <= bx, lit(leafL)).otherwise(lit(leafR)))
         .localCheckpoint(true)
+      graft.plans.Checkpoints.free(data)
+      data = newData
       val sse = data
         .agg(sum(d380(col("y") - col("F")) * d380(col("y") - col("F")))
           .cast("decimal(38,0)").cast("double"))
@@ -3660,6 +3784,8 @@ object Ml {
       model += ((t.toLong, bf, bx.toDouble / 100.0,
         best.getAs[Double]("gain"), nl, nr, leafL, leafR, sse))
     }
+    // the model lives on the driver — the last round's frame is done too
+    graft.plans.Checkpoints.free(data)
     import spark.implicits._
     model.result().toDF("round", "feature", "threshold", "gain", "n_left",
       "n_right", "leaf_left_c", "leaf_right_c", "sse_after")
@@ -3903,10 +4029,14 @@ object Ml {
     val per = df.select(scoreCol.cast("long").as("s"),
         when(posCond, 1L).otherwise(0L).as("y"))
       .groupBy("s").agg(count(lit(1)).as("n"), sum(col("y")).as("r"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
     val tot = per.agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"),
-      sum(col("s") * col("s") * col("n")).as("a"),
-      sum(col("s") * col("n")).as("b"),
-      sum(col("s") * col("r")).as("sr"))
+      // decimal products: n/r are data-scaled counts — s²·n wraps a long
+      // once scores × rows pass ~9e18
+      sum(d38(col("s")) * d38(col("s")) * d38(col("n")))
+        .cast("decimal(38,0)").as("a"),
+      sum(d38(col("s")) * d38(col("n"))).cast("decimal(38,0)").as("b"),
+      sum(d38(col("s")) * d38(col("r"))).cast("decimal(38,0)").as("sr"))
     val p = dd(col("rr")) / dd(col("nn"))
     per.crossJoin(broadcast(tot)) // 1-row statistic frame
       .select(col("s").as("score"), col("n"), col("r"),
@@ -4509,7 +4639,11 @@ object Ml {
     * conditional-sum pivot of the arms, cumulative sums over the
     * CALENDAR-bounded day window per slice, then fixed double finishes
     * row-wise (the running min is another bounded day window). Days
-    * before both arms have ≥ 2 observations carry NULL lr/p. */
+    * before both arms have ≥ 2 observations carry NULL lr, and their
+    * p is 1.0, not NULL: `least(1.0, min(1/Λ))` skips NULL terms (in
+    * Spark and DuckDB alike), which is exactly the always-valid
+    * convention — with no evidence yet, the test has rejected
+    * nothing. */
   def msprt(df: DataFrame, groupCol: String, tsCol: String,
       userCol: String, valCol: String, tau2: Double): DataFrame = {
     val d = (c: Column) => c.cast("decimal(38,0)")
@@ -4757,7 +4891,13 @@ object Ml {
     * its effect size) and pairwise Kendall τ (q267).
     * W = 12·S / (n²·(m³−m)) with S = Σ_j (R_j − n(m+1)/2)², computed
     * on a |years|×|modes| statistic frame with exact integer rank
-    * sums (ties broken by mode name — deterministic, documented). */
+    * sums (ties broken by mode name — deterministic, documented).
+    *
+    * PRECONDITION (enforced, fails loudly): the judge×item block must be
+    * COMPLETE — every judge scores every item. With a missing cell the
+    * per-judge ranks run over fewer items while n still counts the
+    * fullest item, and the resulting W is not a concordance coefficient
+    * of anything. */
   def kendallsW(df: DataFrame, judgeCol: String, itemCol: String,
       scoreCents: Column): DataFrame = {
     val cells = df.select(col(judgeCol).as("j"), col(itemCol).as("it"),
@@ -4767,8 +4907,16 @@ object Ml {
     val ranks = cells.withColumn("rk", row_number().over(wj).cast("long"))
     val rj = ranks.groupBy("it").agg(count(lit(1)).as("n_judges"),
       sum("rk").as("r"))
-    val nm = rj.agg(max("n_judges").as("n"), count(lit(1)).as("m"))
-    val s = rj.crossJoin(broadcast(nm))
+    // complete-block check: every item judged by the same count n AND n
+    // equals the distinct-judge total ⇒ (pigeonhole on n·m cells) every
+    // judge ranked exactly m items
+    val njd = cells.agg(countDistinct(col("j")).as("njd"))
+    val nm = rj.agg(max("n_judges").as("n"), min("n_judges").as("nmin"),
+      count(lit(1)).as("m"))
+    val s = rj.crossJoin(broadcast(nm)).crossJoin(broadcast(njd))
+      .filter(assert_true(col("nmin") === col("n") && col("njd") === col("n"),
+        lit("kendallsW requires a complete judge×item block: every judge " +
+          "must score every item")).isNull)
       .select(col("n"), col("m"),
         ((dd(col("r")) - dd(col("n")) * dd(col("m") + 1) / lit(2.0)) *
           (dd(col("r")) - dd(col("n")) * dd(col("m") + 1) / lit(2.0)))
@@ -4794,6 +4942,8 @@ object Ml {
       "yr", "p_brand", col("vc"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q389_mantel_haenszel" -> (q389MantelHaenszel _),
+    "q396_hellinger_drift" -> (q396HellingerDrift _),
     "q383_cochran_q" -> (q383CochranQ _),
     "q384_kendalls_w" -> (q384KendallsW _),
     "q369_huber" -> (q369Huber _),
@@ -5226,6 +5376,83 @@ object Ml {
        |FROM b$t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q389_mantel_haenszel" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS g,
+        |    (o_orderpriority IN ('1-URGENT','2-HIGH')) AS e,
+        |    (o_orderstatus = 'F') AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN e AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(SUM(CASE WHEN NOT e AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(SUM(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM base GROUP BY g),
+        |wn AS (
+        |  SELECT *, a + b + c + d AS n FROM cells
+        |  WHERE a + b + c + d > 1),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(SUM(CAST(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |      AS r,
+        |    CAST(SUM(CAST(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |      AS s,
+        |    CAST(SUM(CAST(CAST(a AS DOUBLE)
+        |      - CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+        |        / CAST(n AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS ome,
+        |    CAST(SUM(CAST(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |        / CAST(n AS DOUBLE) * CAST(a + c AS DOUBLE)
+        |        * CAST(b + d AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+        |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS v
+        |  FROM wn)
+        |SELECT n_strata, n_total,
+        |  CASE WHEN CAST(s AS DOUBLE) > 0
+        |    THEN CAST(r AS DOUBLE) / CAST(s AS DOUBLE) END AS or_mh,
+        |  CASE WHEN CAST(v AS DOUBLE) > 0
+        |    THEN CAST(ome AS DOUBLE) * CAST(ome AS DOUBLE)
+        |      / CAST(v AS DOUBLE) END AS chi2_cmh
+        |FROM agg""".stripMargin,
+    "q396_hellinger_drift" ->
+      """WITH mm AS (
+        |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM events CROSS JOIN mm GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT k, CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb
+        |  FROM cells GROUP BY k),
+        |terms AS (
+        |  SELECT c.k, t.na, t.nb,
+        |    CAST(sqrt((CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+        |      * (CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE)))
+        |      AS DECIMAL(38,12)) AS tq
+        |  FROM cells c JOIN tot t ON c.k = t.k
+        |  WHERE t.na > 0 AND t.nb > 0),
+        |agg AS (
+        |  SELECT k, CAST(MAX(na) AS BIGINT) AS n_a,
+        |    CAST(MAX(nb) AS BIGINT) AS n_b,
+        |    CAST(SUM(tq) AS DECIMAL(38,12)) AS bc
+        |  FROM terms GROUP BY k)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CAST(bc AS DOUBLE) AS bhattacharyya,
+        |  sqrt(GREATEST(0.0, 1.0 - CAST(bc AS DOUBLE))) AS hellinger
+        |FROM agg ORDER BY event_type""".stripMargin,
     "q336_als_factors" ->
       ("""WITH rt AS MATERIALIZED (
         |  SELECT o_custkey AS u, l_partkey AS i,

@@ -1465,6 +1465,14 @@ object Similarity {
       |    AS DECIMAL(38,0)))""".stripMargin
     val qv = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v")).localCheckpoint(false)
+    // the (10,9) quantization NULLs any |component| ≥ 10 under non-ANSI
+    // Spark, which would silently drop that point from the argmax and
+    // from least() updates — fail loudly instead (one cheap scan, once)
+    val oob = qv.filter(exists(col("v"),
+      x => abs(x) >= lit(10.0f) || isnan(x))).limit(1).count()
+    require(oob == 0L, "greedyKCenter requires every vector component " +
+      "in (-10, 10) and non-NaN (the exact-decimal distance grid); " +
+      "normalize or rescale the embedding first")
     val seed = qv.agg(min("id")).head().getLong(0)
     var mind = qv
       .crossJoin(broadcast(qv.filter(col("id") === seed)
@@ -1504,7 +1512,57 @@ object Similarity {
     greedyKCenter(Tables.embeddings(spark, dir), "vec_id", "embedding",
       k = 8)
 
+  /** Embedding-hubness audit (Radovanović et al. 2010): over a
+    * deterministic probe sample, count how often each vector appears in
+    * another point's exact k-NN list. Heavy hubs are the high-dimension
+    * pathology that silently degrades ANN retrieval quality (hub docs
+    * surface for EVERYTHING) — the embedding-health check next to the
+    * isotropy audit (q380): isotropy says the SPACE is skewed, hubness
+    * says which POINTS absorb the neighborhoods. Distances are the exact
+    * nano-unit integer squared-L2 of [[greedyKCenter]] (no float race in
+    * ranks), probes broadcast against the streaming corpus (the q50
+    * funnel shape — corpus never shuffles), per-probe top-k via a
+    * probe-partitioned rank window, and the hub table is a k·|probes|-row
+    * reduction. */
+  def hubnessAudit(df: DataFrame, idCol: String, vecCol: String,
+      probeMod: Long, k: Int, topHubs: Int): DataFrame = {
+    require(probeMod >= 1 && k >= 1 && topHubs >= 1,
+      s"bad args: $probeMod $k $topHubs")
+    val dd = (c: Column) => c.cast("double")
+    val d2 = """aggregate(
+      |  zip_with(v, pv, (x, y) ->
+      |    CAST(CAST(x AS DECIMAL(10,9)) * 1000000000 AS BIGINT)
+      |      - CAST(CAST(y AS DECIMAL(10,9)) * 1000000000 AS BIGINT)),
+      |  CAST(0 AS DECIMAL(38,0)),
+      |  (acc, d) -> CAST(acc + CAST(d * d AS DECIMAL(38,0))
+      |    AS DECIMAL(38,0)))""".stripMargin
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    val probes = base.filter(col("id") % probeMod === 0)
+      .select(col("id").as("pid"), col("v").as("pv"))
+    val ranked = base.crossJoin(broadcast(probes))
+      .filter(col("id") =!= col("pid"))
+      .select(col("pid"), col("id"), expr(d2).as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("pid").orderBy(asc("dist"), asc("id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+    ranked.groupBy("id")
+      .agg(count(lit(1)).as("n_lists"), sum("rank").as("rank_sum"))
+      .select(col("id").as("vec_id"), col("n_lists"),
+        (dd(col("rank_sum")) / dd(col("n_lists"))).as("mean_rank"))
+      .orderBy(desc("n_lists"), asc("vec_id"))
+      .limit(topHubs)
+  }
+
+  /** The 20 heaviest neighborhood hubs over the 0-mod-1000 probe panel's
+    * exact 10-NN lists — the retrieval-quality early warning. */
+  def q400HubnessAudit(spark: SparkSession, dir: String): DataFrame =
+    hubnessAudit(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      probeMod = 1000L, k = 10, topHubs = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q400_hubness_audit" -> (q400HubnessAudit _),
     "q385_kcenter_coreset" -> (q385KCenterCoreset _),
     "q380_embedding_isotropy" -> (q380EmbeddingIsotropy _),
     "q314_embedding_drift" -> (q314EmbeddingDrift _),
@@ -1593,6 +1651,32 @@ object Similarity {
        |  SELECT j AS k, wd / (SELECT nrm FROM n$i) AS v FROM w$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q400_hubness_audit" ->
+      """WITH qv AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(10,9))
+        |      * 1000000000 AS BIGINT) AS q
+        |  FROM embeddings),
+        |pv AS MATERIALIZED (
+        |  SELECT vec_id, i, q FROM qv WHERE vec_id % 1000 = 0),
+        |pd AS (
+        |  SELECT p.vec_id AS pid, c.vec_id AS id,
+        |    SUM(CAST(c.q - p.q AS HUGEINT) * CAST(c.q - p.q AS HUGEINT))
+        |      AS d
+        |  FROM qv c JOIN pv p ON p.i = c.i AND c.vec_id <> p.vec_id
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT pid, id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d, id)
+        |      AS BIGINT) AS rank
+        |  FROM pd),
+        |top AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+        |    CAST(SUM(rank) AS BIGINT) AS rank_sum
+        |  FROM rk WHERE rank <= 10 GROUP BY id)
+        |SELECT id AS vec_id, n_lists,
+        |  CAST(rank_sum AS DOUBLE) / CAST(n_lists AS DOUBLE) AS mean_rank
+        |FROM top ORDER BY n_lists DESC, vec_id LIMIT 20""".stripMargin,
     // 1-based generate_subscripts vs 0-based posexplode: the dim id is
     // only a group key, so the offset is irrelevant to the result.
     // float -> DOUBLE -> DECIMAL: DuckDB's direct float->decimal cast

@@ -295,7 +295,11 @@ object Stats {
     val ord = Window.orderBy("__b")
     val wS = ord.rowsBetween(-(shortN - 1), 0)
     val wL = ord.rowsBetween(-(longN - 1), 0)
-    val above = col("__ss") * col("__cl") > col("__sl") * col("__cs")
+    // decimal comparison — window-sum × window-count stays exact even if
+    // bucket populations reach long-wrap scale
+    val d38ma = (c: Column) => c.cast("decimal(38,0)")
+    val above = d38ma(col("__ss")) * d38ma(col("__cl")) >
+      d38ma(col("__sl")) * d38ma(col("__cs"))
     daily
       .withColumn("__ss", sum(col("__n")).over(wS))
       .withColumn("__cs", count(lit(1)).over(wS))
@@ -1859,6 +1863,7 @@ object Stats {
       trimDenom: Int = 10): DataFrame = {
     require(trimDenom >= 3, s"trim denominator must be >= 3: $trimDenom")
     val dd = (c: Column) => c.cast("double")
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
     val hist = df.select(col(groupCol).as("g"),
         (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
@@ -1877,8 +1882,12 @@ object Stats {
         col("ccum") - greatest(col("prev"), col("n") - col("gcut"))))
       .groupBy(col("g").as(groupCol))
       .agg(max("n").as("n"), max("gcut").as("trimmed_each_side"),
-        sum((col("c") - col("tb") - col("tt")) * col("v")).as("ts"),
-        sum(col("c") * col("v")).as("rs"))
+        // decimal products: c is a data-scaled count, v is cents — the
+        // long product wraps silently (non-ANSI) past ~9e18
+        sum(d380(col("c") - col("tb") - col("tt")) * d380(col("v")))
+          .cast("decimal(38,0)").as("ts"),
+        sum(d380(col("c")) * d380(col("v"))).cast("decimal(38,0)")
+          .as("rs"))
       .filter(col("n") > col("trimmed_each_side") * 2)
       .select(col(groupCol), col("n"), col("trimmed_each_side"),
         (dd(col("ts")) / dd(col("n") - col("trimmed_each_side") * 2)
@@ -2792,11 +2801,24 @@ object Stats {
     // data grows 10x
     val tot = pts.agg(count(lit(1)).as("nt"))
     val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
-    val nb = cells.as("c").join(cells.as("o"),
-        abs(col("c.cx") - col("o.cx")) <= 1 &&
-          abs(col("c.cy") - col("o.cy")) <= 1)
-      .groupBy(col("c.cx").as("cx"), col("c.cy").as("cy"))
-      .agg(max(col("c.n")).as("n"), sum(col("o.n")).as("nn"))
+    // 3×3 neighborhood sums via a 9-offset EXPLODE + equi-join: each cell
+    // probes its (cx+dx, cy+dy) neighbors on a hash-joinable key. The
+    // naive `abs(Δcx) ≤ 1 AND abs(Δcy) ≤ 1` self-join is a pure non-equi
+    // condition, which Spark can only plan as BroadcastNestedLoopJoin —
+    // O(cells²) in occupied-cell count, a scale-killer once the grid is
+    // data-scaled. The offset fan-out is a constant ×9 and the join is
+    // one hash shuffle — linear (plan-pinned in WindowPlanSpec).
+    val offs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val nb = cells
+      .select(col("cx"), col("cy"), col("n"), explode(offs).as("o"))
+      .select(col("cx"), col("cy"), col("n"),
+        (col("cx") + col("o.dx")).as("nx"),
+        (col("cy") + col("o.dy")).as("ny"))
+      .join(cells.select(col("cx").as("nx"), col("cy").as("ny"),
+        col("n").as("on")), Seq("nx", "ny"))
+      .groupBy("cx", "cy")
+      .agg(max(col("n")).as("n"), sum(col("on")).as("nn"))
     val core = nb.crossJoin(broadcast(tot))
       .filter(col("nn") >=
         ceil(col("nt").cast("double") * lit(minPtsFrac)).cast("long"))
@@ -2817,6 +2839,14 @@ object Stats {
       .groupBy("cy", "seg")
       .agg(min("cx").as("lo"), max("cx").as("hi"),
         count(lit(1)).as("n_cells"), sum("n").as("n_points"))
+      // the id encoding is injective only for lo ≥ −1000 and
+      // cy ∈ [−1000, 98999] — out-of-range grids must fail LOUDLY, not
+      // silently collide (assert_true raises at run time; it is a no-op
+      // column when the contract holds)
+      .filter(assert_true(col("lo") >= -1000L && col("cy") >= -1000L &&
+        col("cy") <= 98999L, lit("gridDensityClusters2d: cell coordinates " +
+        "outside the encodable id range — shrink the grid or re-origin " +
+        "the plane")).isNull)
       .withColumn("id", (col("lo") + 1000L) * 100000L + (col("cy") + 1000L))
     // 8-connectivity: segments in adjacent rows touch when their
     // one-cell-widened cx ranges overlap
@@ -3022,7 +3052,10 @@ object Stats {
     val scored = daily.join(broadcast(m0), Seq("g"))
       .withColumn("e", floor(dd(col("y")) - col("a")
         - col("b") * dd(col("x"))).cast("long"))
-      .withColumn("u", (col("n") * col("x") - col("sx")) * col("e"))
+      // decimal at creation: e is a daily-sum residual (data-scaled cents)
+      // and (n·x − sx) is calendar² — the long product wraps at 100 TB
+      .withColumn("u", ((d(col("n")) * d(col("x")) - d(col("sx")))
+        * d(col("e"))).cast("decimal(38,0)"))
     val wDay = Window.partitionBy("g").orderBy("x")
     val lagged = (1 to maxLag).foldLeft(scored) { (acc, l) =>
       acc.withColumn(s"u_$l", lag(col("u"), l).over(wDay)) }
@@ -3229,7 +3262,353 @@ object Stats {
       "l_suppkey", col("l_extendedprice"), Seq(50, 80, 95))
   }
 
+  /** Brown–Forsythe robust variance-homogeneity test (the median-centered
+    * Levene 1960 / Brown & Forsythe 1974 variant): one-way ANOVA F on the
+    * absolute deviations z = |x − median_g| — the heteroscedasticity screen
+    * that, unlike Bartlett (q344), does not collapse under non-normal
+    * tails. Per-group medians are exact integers on the 2× cent grid
+    * (2·median = lower+upper central order stats from the per-group value
+    * HISTOGRAM's cumulative counts — never a raw-row sort), z is an exact
+    * long, the ANOVA moments are exact DECIMAL sums, and each s²/n term is
+    * DECIMAL(38,6)-quantized (the logRankTest move; t is ~1e18-scale, so
+    * micro precision sits far below the double ulp both engines share)
+    * before the cross-group sum. Shape: one histogram groupBy + bounded
+    * per-group windows + one broadcast join of the k-row median frame —
+    * per-task work scales with the value DOMAIN. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val per = df.select(col(groupCol).as("g"),
+      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("x"))
+    val wCum = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("g")
+    val med2 = per.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("ng", sum("cnt").over(wTot))
+      .groupBy("g")
+      .agg((min(when(col("cum") >= expr("(ng + 1) div 2"), col("x"))) +
+        min(when(col("cum") >= expr("(ng + 2) div 2"), col("x"))))
+        .as("med2"))
+    val m = per.join(broadcast(med2), "g")
+      .select(col("g"), abs(col("x") * 2 - col("med2")).as("z"))
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        sum(d380(col("z"))).cast("decimal(38,0)").as("s1"),
+        sum(d380(col("z")) * d380(col("z"))).cast("decimal(38,0)")
+          .as("s2"))
+    m.agg(count(lit(1)).as("n_groups"), sum("n").as("n_total"),
+        sum("s1").cast("decimal(38,0)").as("st"),
+        sum("s2").cast("decimal(38,0)").as("q2"),
+        // Σ s1_g²/n_g, micro-quantized per group before the k-term sum —
+        // DECIMAL(38,6) cast, NOT ⌊t·1e6⌋: the term is ~1e18-scale, and
+        // Spark's floor(double) returns a LONG that would wrap
+        (sum((dd(col("s1")) * dd(col("s1")) / dd(col("n")))
+          .cast("decimal(38,6)")).cast("decimal(38,6)").cast("double"))
+          .as("a"))
+      .filter(col("n_groups") > 1 && col("n_total") > col("n_groups"))
+      .select(col("n_groups"), col("n_total"),
+        (col("n_groups") - 1).as("df1"),
+        (col("n_total") - col("n_groups")).as("df2"),
+        when(dd(col("q2")) - col("a") > 0,
+          ((col("a") - dd(col("st")) * dd(col("st")) / dd(col("n_total")))
+            / dd(col("n_groups") - 1)) /
+          ((dd(col("q2")) - col("a")) /
+            dd(col("n_total") - col("n_groups")))).as("f_bf"))
+  }
+
+  /** Is price spread itself different across return flags — the robust
+    * (median-centered) variance-homogeneity F. */
+  def q388BrownForsythe(spark: SparkSession, dir: String): DataFrame =
+    brownForsythe(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_extendedprice")
+
+  /** Jonckheere–Terpstra ordered-alternative k-sample trend test
+    * (Jonckheere 1954; Hollander & Wolfe §6.2): with groups in a
+    * PRE-SPECIFIED order, JT = Σ_{i<j} U_ij (Mann–Whitney counts between
+    * every ordered group pair) detects a monotone location trend that
+    * an unordered ANOVA/Kruskal–Wallis dilutes. The caller supplies the
+    * ordering (an ordered-alternative test is meaningless without one);
+    * groups outside it are ignored.
+    *
+    * Shape: the value HISTOGRAM is pivoted to one count column per group
+    * (k is caller-fixed), cumulative counts ride one range-partitioned
+    * rank pass ([[Rank.globalRankPrefix]] — no single-partition window),
+    * and every pairwise U is assembled cell-wise from prefix counts:
+    * 2·JT = Σ_cells Σ_i c_i·(2·Σ_{j<i}(cum_j−c_j) + Σ_{j<i}c_j) — exact
+    * DECIMAL integers (c·cum products would wrap a long at data scale).
+    * The null mean and TIE-CORRECTED variance (Hollander & Wolfe 6.19)
+    * are fixed double shapes over exact group-size and tie moments. */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+      ordering: Seq[String], valCol: String): DataFrame = {
+    require(ordering.size >= 2 && ordering.distinct.size == ordering.size,
+      s"need >= 2 distinct ordered groups: $ordering")
+    val k = ordering.size
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val per = df.select(col(groupCol).as("g"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("x"))
+      .filter(col("g").isin(ordering: _*))
+    val cAggs = (0 until k).map(i =>
+      sum(when(col("g") === ordering(i), 1L).otherwise(0L)).as(s"c$i"))
+    val hist = per.groupBy("x").agg(cAggs.head, cAggs.tail: _*)
+    val cum = Rank.globalRankPrefix(hist, Seq(col("x")),
+      (0 until k).map(i => s"m$i" -> col(s"c$i")))
+    val jt2c = (1 until k).map { i =>
+      val lLess = (0 until i).map(j => col(s"m$j") - col(s"c$j"))
+        .reduce(_ + _)
+      val tEq = (0 until i).map(j => col(s"c$j")).reduce(_ + _)
+      d380(col(s"c$i")) * (d380(lLess) * 2 + d380(tEq))
+    }.reduce(_ + _)
+    val t = (0 until k).map(j => col(s"c$j")).reduce(_ + _) // tie size
+    val stat = cum.agg(
+      sum(jt2c).cast("decimal(38,0)").as("jt2"),
+      sum(d380(t) * d380(t - 1) * d380(t * 2 + 5)).cast("decimal(38,0)")
+        .as("t25"),
+      sum(d380(t) * d380(t - 1) * d380(t - 2)).cast("decimal(38,0)")
+        .as("t12"),
+      sum(d380(t) * d380(t - 1)).cast("decimal(38,0)").as("t1"))
+    val nAggs = (0 until k).map(i => sum(col(s"c$i")).as(s"n$i"))
+    val sizes = cum.agg(nAggs.head, nAggs.tail: _*)
+    val nTot = (0 until k).map(i => col(s"n$i")).reduce(_ + _)
+    val g25 = (0 until k).map(i => d380(col(s"n$i")) *
+      d380(col(s"n$i") - 1) * d380(col(s"n$i") * 2 + 5)).reduce(_ + _)
+    val g12 = (0 until k).map(i => d380(col(s"n$i")) *
+      d380(col(s"n$i") - 1) * d380(col(s"n$i") - 2)).reduce(_ + _)
+    val g1 = (0 until k).map(i => d380(col(s"n$i")) *
+      d380(col(s"n$i") - 1)).reduce(_ + _)
+    val sumSq = (0 until k).map(i => d380(col(s"n$i")) *
+      d380(col(s"n$i"))).reduce(_ + _)
+    stat.crossJoin(broadcast(sizes)) // 1-row build side
+      .select(col("jt2"), col("t25"), col("t12"), col("t1"),
+        nTot.as("nn"), sumSq.as("sq"), g25.as("g25"), g12.as("g12"),
+        g1.as("g1"))
+      .filter(col("nn") > 2)
+      .select(col("nn").as("n_total"), lit(k.toLong).as("n_groups"),
+        (dd(col("jt2")) / 2.0).as("jt_u"),
+        ((dd(d380(col("nn")) * d380(col("nn")) - col("sq"))) / 4.0)
+          .as("e_jt"),
+        ((dd(d380(col("nn")) * d380(col("nn") - 1) *
+            d380(col("nn") * 2 + 5) - col("g25") - col("t25"))) / 72.0 +
+          dd(col("g12")) * dd(col("t12")) /
+            (lit(36.0) * dd(col("nn")) * dd(col("nn") - 1) *
+              dd(col("nn") - 2)) +
+          dd(col("g1")) * dd(col("t1")) /
+            (lit(8.0) * dd(col("nn")) * dd(col("nn") - 1))).as("var_jt"))
+      .withColumn("z", when(col("var_jt") > 0,
+        (col("jt_u") - col("e_jt")) / sqrt(col("var_jt"))))
+  }
+
+  /** Does order value trend monotonically DOWN the priority ladder —
+    * the ordered-alternative test the priority encoding implies. */
+  def q390JonckheereTerpstra(spark: SparkSession, dir: String): DataFrame =
+    jonckheereTerpstra(Tables.orders(spark, dir), "o_orderpriority",
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+      "o_totalprice")
+
+  /** Wald–Wolfowitz runs test on the daily series' median split — is the
+    * above/below-median sign SEQUENCE random, or does it clump (regimes,
+    * stickiness) / alternate (overcorrection)? Mean-level tests can't see
+    * either. Per group: daily exact-cent sums, the exact 2×median from
+    * the DAY-VALUE histogram (the q290 crossing), days AT the median
+    * dropped (Wald–Wolfowitz's treatment), runs counted by one lag over
+    * the calendar-bounded day frame, and the classic
+    * E[R] = 1 + 2·n₁n₀/N, Var[R] = 2n₁n₀(2n₁n₀−N)/(N²(N−1)) finish —
+    * exact integers into fixed double shapes. */
+  def runsTest(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val daily = df.select(col(groupCol).as("g"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("g", "d").agg(sum("vc").as("y"))
+    val wCum = Window.partitionBy("g").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("g")
+    val med2 = daily.groupBy("g", "y").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("ng", sum("cnt").over(wTot))
+      .groupBy("g")
+      .agg((min(when(col("cum") >= expr("(ng + 1) div 2"), col("y"))) +
+        min(when(col("cum") >= expr("(ng + 2) div 2"), col("y"))))
+        .as("med2"))
+    val signed = daily.join(broadcast(med2), "g")
+      .filter(col("y") * 2 =!= col("med2")) // ties at the median drop
+      .select(col("g"), col("d"),
+        when(col("y") * 2 > col("med2"), 1L).otherwise(0L).as("s"))
+    val wDay = Window.partitionBy("g").orderBy("d")
+    val n1 = col("n_above")
+    val n0 = col("n_below")
+    val nn = n1 + n0
+    signed
+      .withColumn("brk",
+        when(lag(col("s"), 1).over(wDay).isNull ||
+          lag(col("s"), 1).over(wDay) =!= col("s"), 1L).otherwise(0L))
+      .groupBy("g")
+      .agg(sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("s") === 0, 1L).otherwise(0L)).as("n_below"),
+        sum("brk").as("runs"))
+      .filter(n1 > 0 && n0 > 0 && nn > 1)
+      .select(col("g").as(groupCol), col("n_above"), col("n_below"),
+        col("runs"),
+        (lit(1.0) + lit(2.0) * dd(n1) * dd(n0) / dd(nn)).as("e_runs"),
+        ((dd(col("runs")) -
+          (lit(1.0) + lit(2.0) * dd(n1) * dd(n0) / dd(nn))) /
+          sqrt(dd(d380(n1) * d380(n0) * 2) *
+            dd(d380(n1) * d380(n0) * 2 - d380(nn)) /
+            (dd(nn) * dd(nn) * dd(nn - 1)))).as("z"))
+      .orderBy(groupCol)
+  }
+
+  /** Do above/below-median revenue days clump into regimes per return
+    * flag — the randomness-of-sequence screen. */
+  def q391RunsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTest(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
+      "l_extendedprice")
+
+  /** Fano-factor burstiness per key: variance-to-mean ratio of per-bucket
+    * event counts over the GLOBAL calendar span (empty buckets count as
+    * zeros — burstiness without them is meaningless). Fano = 1 for a
+    * Poisson process; ≫ 1 = bursty (retries, batch jobs, incidents);
+    * ≪ 1 = paced/throttled — the queue-health monitor next to q375's
+    * dispersion view. One map-side-combined bucket groupBy per key + the
+    * 1-row global span; Σc and Σc² are exact, the moments-over-B finish
+    * is one fixed double shape. Bucket count is calendar-bounded. */
+  def fanoFactor(events: DataFrame, tsCol: String, keyCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds: $bucketSeconds")
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val us = bucketSeconds * 1000000L
+    val b = events.select(col(keyCol).as("k"),
+      expr(s"unix_micros($tsCol) div $us").as("b"))
+    val span = b.agg(((max("b") - min("b")) + 1).as("nb"))
+    b.groupBy("k", "b").agg(count(lit(1)).as("c"))
+      .groupBy("k")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_active"),
+        sum(d380(col("c")) * d380(col("c"))).cast("decimal(38,0)")
+          .as("s2"))
+      .crossJoin(broadcast(span)) // 1-row build side
+      .select(col("k").as(keyCol), col("n_events"),
+        col("nb").as("n_buckets_span"), col("n_active").as("n_buckets_active"),
+        (dd(col("n_events")) / dd(col("nb"))).as("mean_per_bucket"),
+        ((dd(col("s2")) / dd(col("nb")) -
+          (dd(col("n_events")) / dd(col("nb"))) *
+          (dd(col("n_events")) / dd(col("nb")))) /
+          (dd(col("n_events")) / dd(col("nb")))).as("fano"))
+      .orderBy(keyCol)
+  }
+
+  /** Which event types arrive in bursts vs a steady drip — hourly
+    * Fano factors over the full log span. */
+  def q398FanoFactor(spark: SparkSession, dir: String): DataFrame =
+    fanoFactor(Tables.events(spark, dir), "ts", "event_type", 3600L)
+
+  /** Record-breaking-rate trend detector: per group, count the days whose
+    * value exceeds EVERY previous day, and compare against the
+    * exchangeability baseline — under any i.i.d./exchangeable series the
+    * expected record count after n observations is H_n = Σ 1/t (Rényi
+    * 1962), regardless of the value distribution. Ratio ≫ 1 = upward
+    * drift (records keep falling), ≪ 1 = an early peak the series never
+    * re-touches — an assumption-free complement to the slope tests
+    * (q200/q247): no linearity, no variance model. Strict records (ties
+    * don't break). One calendar-bounded day frame, one lagged-max window
+    * per group; 1/t terms pico-quantized DECIMAL(38,12) before the
+    * order-insensitive sum. */
+  def recordBreaks(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val q3812 = (c: Column) => c.cast("decimal(38,12)")
+    val daily = df.select(col(groupCol).as("g"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("g", "d").agg(sum("vc").as("y"))
+    val wDay = Window.partitionBy("g").orderBy("d")
+    val wPrev = wDay.rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("pm", max("y").over(wPrev))
+      .withColumn("t", row_number().over(wDay).cast("long"))
+      .withColumn("rec",
+        when(col("pm").isNull || col("y") > col("pm"), 1L).otherwise(0L))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_days"), sum("rec").as("n_records"),
+        sum(q3812(lit(1.0) / dd(col("t")))).cast("decimal(38,12)")
+          .as("h"))
+      .select(col("g").as(groupCol), col("n_days"), col("n_records"),
+        dd(col("h")).as("expected_records"),
+        (dd(col("n_records")) / dd(col("h"))).as("record_ratio"))
+      .orderBy(groupCol)
+  }
+
+  /** Are revenue records still being broken at the exchangeable rate per
+    * return flag — the distribution-free drift check. */
+  def q397RecordBreaks(spark: SparkSession, dir: String): DataFrame =
+    recordBreaks(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
+      "l_extendedprice")
+
+  /** Winsorized mean per group — [[trimmedMean]]'s CLAMPING sibling
+    * (Tukey): the g = ⌊n/denom⌋ smallest observations are replaced by the
+    * (g+1)-th order statistic and the g largest by the (n−g)-th, keeping
+    * n constant (trimming changes the effective sample; winsorizing keeps
+    * weights). Same histogram rank algebra: per-cell surviving
+    * multiplicity from cumulative-span overlap, the two clamp values from
+    * conditional-min crossings, the winsorized sum assembled exactly in
+    * DECIMAL — one histogram pass, no raw-row sort. */
+  def winsorizedMean(df: DataFrame, groupCol: String, valCol: String,
+      trimDenom: Int = 10): DataFrame = {
+    require(trimDenom >= 3, s"trim denominator must be >= 3: $trimDenom")
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val per = df.select(col(groupCol).as("g"),
+      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("x"))
+    val wCum = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("g")
+    val cells = per.groupBy("g", "x").agg(count(lit(1)).as("c"))
+      .withColumn("ccum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wTot))
+      .withColumn("gcut", expr(s"n div $trimDenom"))
+      .withColumn("prev", col("ccum") - col("c"))
+    val clamps = cells.groupBy("g")
+      .agg(max("n").as("n"), max("gcut").as("gcut"),
+        min(when(col("ccum") >= col("gcut") + 1, col("x"))).as("lo"),
+        min(when(col("ccum") >= col("n") - col("gcut"), col("x")))
+          .as("hi"))
+    cells
+      .withColumn("tb", greatest(lit(0L),
+        least(col("ccum"), col("gcut")) - least(col("prev"), col("gcut"))))
+      .withColumn("tt", greatest(lit(0L),
+        col("ccum") - greatest(col("prev"), col("n") - col("gcut"))))
+      .groupBy("g")
+      .agg(sum(d380(col("c") - col("tb") - col("tt")) * d380(col("x")))
+          .cast("decimal(38,0)").as("mid"),
+        sum("tb").as("nb"), sum("tt").as("nt"))
+      .join(broadcast(clamps), "g")
+      .filter(col("n") > col("gcut") * 2)
+      .select(col("g").as(groupCol), col("n"),
+        col("gcut").as("clamped_each_side"),
+        (dd(col("lo")) / 100.0).as("lo_clamp"),
+        (dd(col("hi")) / 100.0).as("hi_clamp"),
+        (dd(col("mid") + d380(col("nb")) * d380(col("lo")) +
+          d380(col("nt")) * d380(col("hi"))) / dd(col("n")) / 100.0)
+          .as("winsorized_mean"))
+      .orderBy(groupCol)
+  }
+
+  /** 10%-per-tail winsorized mean of extended price per return flag —
+    * the clamping companion to q352's trimmed mean. */
+  def q401WinsorizedMean(spark: SparkSession, dir: String): DataFrame =
+    winsorizedMean(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_extendedprice")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q388_brown_forsythe" -> (q388BrownForsythe _),
+    "q390_jonckheere_terpstra" -> (q390JonckheereTerpstra _),
+    "q391_runs_test" -> (q391RunsTest _),
+    "q397_record_breaks" -> (q397RecordBreaks _),
+    "q398_fano_factor" -> (q398FanoFactor _),
+    "q401_winsorized_mean" -> (q401WinsorizedMean _),
     "q387_coverage_counts" -> (q387CoverageCounts _),
     "q386_herfindahl" -> (q386Herfindahl _),
     "q379_quantile_shift" -> (q379QuantileShift _),
@@ -3412,6 +3791,312 @@ object Stats {
        |        FROM base GROUP BY 1) g1) g2) g3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q388_brown_forsythe" ->
+      """WITH per AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x
+        |  FROM lineitem),
+        |hist AS (
+        |  SELECT g, x, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM per GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, x, cnt,
+        |    SUM(cnt) OVER (PARTITION BY g ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY g) AS ng
+        |  FROM hist),
+        |med AS (
+        |  SELECT g,
+        |    MIN(CASE WHEN cum >= (ng + 1) // 2 THEN x END)
+        |      + MIN(CASE WHEN cum >= (ng + 2) // 2 THEN x END) AS med2
+        |  FROM cum GROUP BY g),
+        |z AS (
+        |  SELECT p.g, ABS(p.x * 2 - m.med2) AS z
+        |  FROM per p JOIN med m ON p.g = m.g),
+        |mom AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s2
+        |  FROM z GROUP BY g),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(SUM(s1) AS DECIMAL(38,0)) AS st,
+        |    CAST(SUM(s2) AS DECIMAL(38,0)) AS q2,
+        |    CAST(SUM(CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |        / CAST(n AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS aq
+        |  FROM mom),
+        |fin AS (
+        |  SELECT *, CAST(aq AS DOUBLE) AS a FROM agg)
+        |SELECT n_groups, n_total,
+        |  CAST(n_groups - 1 AS BIGINT) AS df1,
+        |  CAST(n_total - n_groups AS BIGINT) AS df2,
+        |  CASE WHEN CAST(q2 AS DOUBLE) - a > 0 THEN
+        |    ((a - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |        / CAST(n_total AS DOUBLE))
+        |      / CAST(n_groups - 1 AS DOUBLE))
+        |    / ((CAST(q2 AS DOUBLE) - a)
+        |      / CAST(n_total - n_groups AS DOUBLE)) END AS f_bf
+        |FROM fin WHERE n_groups > 1 AND n_total > n_groups""".stripMargin,
+    "q390_jonckheere_terpstra" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+        |    '4-NOT SPECIFIED','5-LOW')),
+        |hist AS (
+        |  SELECT x,
+        |    CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c3,
+        |    CAST(SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c4
+        |  FROM per GROUP BY x),
+        |cum AS (
+        |  SELECT *, SUM(c0) OVER w AS m0, SUM(c1) OVER w AS m1,
+        |    SUM(c2) OVER w AS m2, SUM(c3) OVER w AS m3,
+        |    SUM(c4) OVER w AS m4,
+        |    c0 + c1 + c2 + c3 + c4 AS t
+        |  FROM hist
+        |  WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+        |stat AS (
+        |  SELECT
+        |    CAST(SUM(
+        |      CAST(c1 AS DECIMAL(38,0)) *
+        |        (CAST((m0 - c0) AS DECIMAL(38,0)) * 2
+        |          + CAST(c0 AS DECIMAL(38,0)))
+        |      + CAST(c2 AS DECIMAL(38,0)) *
+        |        (CAST((m0 - c0) + (m1 - c1) AS DECIMAL(38,0)) * 2
+        |          + CAST(c0 + c1 AS DECIMAL(38,0)))
+        |      + CAST(c3 AS DECIMAL(38,0)) *
+        |        (CAST((m0 - c0) + (m1 - c1) + (m2 - c2) AS DECIMAL(38,0))
+        |          * 2 + CAST(c0 + c1 + c2 AS DECIMAL(38,0)))
+        |      + CAST(c4 AS DECIMAL(38,0)) *
+        |        (CAST((m0 - c0) + (m1 - c1) + (m2 - c2) + (m3 - c3)
+        |          AS DECIMAL(38,0)) * 2
+        |          + CAST(c0 + c1 + c2 + c3 AS DECIMAL(38,0)))
+        |    ) AS DECIMAL(38,0)) AS jt2,
+        |    CAST(SUM(CAST(t AS DECIMAL(38,0)) * CAST(t - 1 AS DECIMAL(38,0))
+        |      * CAST(t * 2 + 5 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t25,
+        |    CAST(SUM(CAST(t AS DECIMAL(38,0)) * CAST(t - 1 AS DECIMAL(38,0))
+        |      * CAST(t - 2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t12,
+        |    CAST(SUM(CAST(t AS DECIMAL(38,0)) * CAST(t - 1 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS t1,
+        |    CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2, CAST(SUM(c3) AS BIGINT) AS n3,
+        |    CAST(SUM(c4) AS BIGINT) AS n4
+        |  FROM cum),
+        |wide AS (
+        |  SELECT jt2, t25, t12, t1,
+        |    n0 + n1 + n2 + n3 + n4 AS nn,
+        |    CAST(n0 AS DECIMAL(38,0)) * CAST(n0 AS DECIMAL(38,0))
+        |      + CAST(n1 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))
+        |      + CAST(n2 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))
+        |      + CAST(n3 AS DECIMAL(38,0)) * CAST(n3 AS DECIMAL(38,0))
+        |      + CAST(n4 AS DECIMAL(38,0)) * CAST(n4 AS DECIMAL(38,0))
+        |      AS sq,
+        |    CAST(n0 AS DECIMAL(38,0)) * CAST(n0 - 1 AS DECIMAL(38,0))
+        |        * CAST(n0 * 2 + 5 AS DECIMAL(38,0))
+        |      + CAST(n1 AS DECIMAL(38,0)) * CAST(n1 - 1 AS DECIMAL(38,0))
+        |        * CAST(n1 * 2 + 5 AS DECIMAL(38,0))
+        |      + CAST(n2 AS DECIMAL(38,0)) * CAST(n2 - 1 AS DECIMAL(38,0))
+        |        * CAST(n2 * 2 + 5 AS DECIMAL(38,0))
+        |      + CAST(n3 AS DECIMAL(38,0)) * CAST(n3 - 1 AS DECIMAL(38,0))
+        |        * CAST(n3 * 2 + 5 AS DECIMAL(38,0))
+        |      + CAST(n4 AS DECIMAL(38,0)) * CAST(n4 - 1 AS DECIMAL(38,0))
+        |        * CAST(n4 * 2 + 5 AS DECIMAL(38,0)) AS g25,
+        |    CAST(n0 AS DECIMAL(38,0)) * CAST(n0 - 1 AS DECIMAL(38,0))
+        |        * CAST(n0 - 2 AS DECIMAL(38,0))
+        |      + CAST(n1 AS DECIMAL(38,0)) * CAST(n1 - 1 AS DECIMAL(38,0))
+        |        * CAST(n1 - 2 AS DECIMAL(38,0))
+        |      + CAST(n2 AS DECIMAL(38,0)) * CAST(n2 - 1 AS DECIMAL(38,0))
+        |        * CAST(n2 - 2 AS DECIMAL(38,0))
+        |      + CAST(n3 AS DECIMAL(38,0)) * CAST(n3 - 1 AS DECIMAL(38,0))
+        |        * CAST(n3 - 2 AS DECIMAL(38,0))
+        |      + CAST(n4 AS DECIMAL(38,0)) * CAST(n4 - 1 AS DECIMAL(38,0))
+        |        * CAST(n4 - 2 AS DECIMAL(38,0)) AS g12,
+        |    CAST(n0 AS DECIMAL(38,0)) * CAST(n0 - 1 AS DECIMAL(38,0))
+        |      + CAST(n1 AS DECIMAL(38,0)) * CAST(n1 - 1 AS DECIMAL(38,0))
+        |      + CAST(n2 AS DECIMAL(38,0)) * CAST(n2 - 1 AS DECIMAL(38,0))
+        |      + CAST(n3 AS DECIMAL(38,0)) * CAST(n3 - 1 AS DECIMAL(38,0))
+        |      + CAST(n4 AS DECIMAL(38,0)) * CAST(n4 - 1 AS DECIMAL(38,0))
+        |      AS g1
+        |  FROM stat),
+        |fin AS (
+        |  SELECT CAST(nn AS BIGINT) AS n_total,
+        |    CAST(5 AS BIGINT) AS n_groups,
+        |    CAST(jt2 AS DOUBLE) / 2.0 AS jt_u,
+        |    CAST(CAST(nn AS DECIMAL(38,0)) * CAST(nn AS DECIMAL(38,0))
+        |      - sq AS DOUBLE) / 4.0 AS e_jt,
+        |    CAST(CAST(nn AS DECIMAL(38,0)) * CAST(nn - 1 AS DECIMAL(38,0))
+        |        * CAST(nn * 2 + 5 AS DECIMAL(38,0)) - g25 - t25 AS DOUBLE)
+        |        / 72.0
+        |      + CAST(g12 AS DOUBLE) * CAST(t12 AS DOUBLE)
+        |        / (36.0 * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)
+        |          * CAST(nn - 2 AS DOUBLE))
+        |      + CAST(g1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+        |        / (8.0 * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE))
+        |      AS var_jt
+        |  FROM wide WHERE nn > 2)
+        |SELECT n_total, n_groups, jt_u, e_jt, var_jt,
+        |  CASE WHEN var_jt > 0 THEN (jt_u - e_jt) / sqrt(var_jt) END AS z
+        |FROM fin""".stripMargin,
+    "q391_runs_test" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS d,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT g, y, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM daily GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, y, cnt,
+        |    SUM(cnt) OVER (PARTITION BY g ORDER BY y
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY g) AS ng
+        |  FROM hist),
+        |med AS (
+        |  SELECT g,
+        |    MIN(CASE WHEN cum >= (ng + 1) // 2 THEN y END)
+        |      + MIN(CASE WHEN cum >= (ng + 2) // 2 THEN y END) AS med2
+        |  FROM cum GROUP BY g),
+        |signed AS (
+        |  SELECT d.g, d.d,
+        |    CASE WHEN d.y * 2 > m.med2 THEN 1 ELSE 0 END AS s
+        |  FROM daily d JOIN med m ON d.g = m.g
+        |  WHERE d.y * 2 <> m.med2),
+        |brk AS (
+        |  SELECT g, s,
+        |    CASE WHEN LAG(s) OVER (PARTITION BY g ORDER BY d) IS NULL
+        |      OR LAG(s) OVER (PARTITION BY g ORDER BY d) <> s
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM signed),
+        |agg AS (
+        |  SELECT g, CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_below,
+        |    CAST(SUM(b) AS BIGINT) AS runs
+        |  FROM brk GROUP BY g)
+        |SELECT g AS l_returnflag, n_above, n_below, runs,
+        |  1.0 + 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |    / CAST(n_above + n_below AS DOUBLE) AS e_runs,
+        |  (CAST(runs AS DOUBLE)
+        |    - (1.0 + 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |      / CAST(n_above + n_below AS DOUBLE)))
+        |  / sqrt(CAST(CAST(n_above AS DECIMAL(38,0))
+        |      * CAST(n_below AS DECIMAL(38,0)) * 2 AS DOUBLE)
+        |    * CAST(CAST(n_above AS DECIMAL(38,0))
+        |      * CAST(n_below AS DECIMAL(38,0)) * 2
+        |      - CAST(n_above + n_below AS DECIMAL(38,0)) AS DOUBLE)
+        |    / (CAST(n_above + n_below AS DOUBLE)
+        |      * CAST(n_above + n_below AS DOUBLE)
+        |      * CAST(n_above + n_below - 1 AS DOUBLE))) AS z
+        |FROM agg
+        |WHERE n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+        |ORDER BY 1""".stripMargin,
+    "q397_record_breaks" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS d,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT g, y,
+        |    MAX(y) OVER (PARTITION BY g ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY d)
+        |      AS BIGINT) AS t
+        |  FROM daily),
+        |agg AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(CASE WHEN pm IS NULL OR y > pm THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_records,
+        |    CAST(SUM(CAST(1.0 / CAST(t AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS h
+        |  FROM seq GROUP BY g)
+        |SELECT g AS l_returnflag, n_days, n_records,
+        |  CAST(h AS DOUBLE) AS expected_records,
+        |  CAST(n_records AS DOUBLE) / CAST(h AS DOUBLE) AS record_ratio
+        |FROM agg ORDER BY 1""".stripMargin,
+    "q398_fano_factor" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 3600000000 AS b
+        |  FROM events),
+        |span AS (SELECT (MAX(b) - MIN(b)) + 1 AS nb FROM b),
+        |pc AS (
+        |  SELECT k, b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |m AS (
+        |  SELECT k, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s2
+        |  FROM pc GROUP BY k)
+        |SELECT k AS event_type, n_events,
+        |  CAST(nb AS BIGINT) AS n_buckets_span,
+        |  n_active AS n_buckets_active,
+        |  CAST(n_events AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_per_bucket,
+        |  (CAST(s2 AS DOUBLE) / CAST(nb AS DOUBLE)
+        |    - (CAST(n_events AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      * (CAST(n_events AS DOUBLE) / CAST(nb AS DOUBLE)))
+        |  / (CAST(n_events AS DOUBLE) / CAST(nb AS DOUBLE)) AS fano
+        |FROM m, span ORDER BY event_type""".stripMargin,
+    "q401_winsorized_mean" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT *, SUM(c) OVER wc AS ccum, SUM(c) OVER wt AS n
+        |  FROM hist
+        |  WINDOW wc AS (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wt AS (PARTITION BY g)),
+        |t AS (SELECT *, n // 10 AS gcut, ccum - c AS prev FROM pre),
+        |clamps AS (
+        |  SELECT g, MAX(n) AS n, MAX(gcut) AS gcut,
+        |    MIN(CASE WHEN ccum >= gcut + 1 THEN v END) AS lo,
+        |    MIN(CASE WHEN ccum >= n - gcut THEN v END) AS hi
+        |  FROM t GROUP BY g),
+        |t2 AS (
+        |  SELECT *,
+        |    GREATEST(0, LEAST(ccum, gcut) - LEAST(prev, gcut)) AS tb,
+        |    GREATEST(0, ccum - GREATEST(prev, n - gcut)) AS tt
+        |  FROM t),
+        |mids AS (
+        |  SELECT g,
+        |    CAST(SUM(CAST(c - tb - tt AS DECIMAL(38,0))
+        |      * CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS mid,
+        |    CAST(SUM(tb) AS BIGINT) AS nb, CAST(SUM(tt) AS BIGINT) AS nt
+        |  FROM t2 GROUP BY g)
+        |SELECT m.g AS l_returnflag, CAST(cl.n AS BIGINT) AS n,
+        |  CAST(cl.gcut AS BIGINT) AS clamped_each_side,
+        |  CAST(cl.lo AS DOUBLE) / 100.0 AS lo_clamp,
+        |  CAST(cl.hi AS DOUBLE) / 100.0 AS hi_clamp,
+        |  CAST(m.mid + CAST(m.nb AS DECIMAL(38,0))
+        |      * CAST(cl.lo AS DECIMAL(38,0))
+        |    + CAST(m.nt AS DECIMAL(38,0)) * CAST(cl.hi AS DECIMAL(38,0))
+        |    AS DOUBLE) / CAST(cl.n AS DOUBLE) / 100.0 AS winsorized_mean
+        |FROM mids m JOIN clamps cl ON m.g = cl.g
+        |WHERE cl.n > cl.gcut * 2
+        |ORDER BY 1""".stripMargin,
     "q355_simpsons" ->
       ("""WITH base AS (
         |  SELECT l_linestatus, l_returnflag,

@@ -1335,7 +1335,108 @@ object TextAnalysis {
     truncationLoss(Tables.documents(spark, dir), "text",
       Seq(16L, 32L, 64L, 128L, 256L))
 
+  /** Heaps' law fit — vocabulary growth V(N) ≈ K·N^β over the corpus
+    * read in doc-id order: the curve that tells a training-data pipeline
+    * whether more data still buys new vocabulary (β near 0.5–0.6 for
+    * natural text) or the corpus has gone repetitive (β → 0, dedup/
+    * curation signal). Completes the corpus-statistics family next to
+    * Zipf (q241).
+    *
+    * Exact distributed prefix construction — no sequential scan: each
+    * term's FIRST document is one min-aggregation, per-doc token and
+    * new-vocab counts ride ONE range-partitioned rank pass
+    * ([[graft.operators.Rank.globalRankPrefix]]), giving the full
+    * (N_d, V_d) trajectory; the log-log OLS uses the q241 discipline
+    * (ln quantized DECIMAL(18,12) per point — absorbing the engines'
+    * sub-ulp libm differences — then exact decimal moments, double
+    * finish). */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val tok = docs.select(col(idCol).cast("long").as("d"),
+      explode(tokens(col(textCol))).as("term"))
+    val perDoc = tok.groupBy("d").agg(count(lit(1)).as("nt"))
+    val firsts = tok.groupBy("term").agg(min("d").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("nv"))
+    val base = perDoc.join(firsts, Seq("d"), "left")
+      .na.fill(0L, Seq("nv"))
+    val cum = Rank.globalRankPrefix(base, Seq(col("d")),
+      Seq("cn" -> col("nt"), "cv" -> col("nv")))
+    val pts = cum.select(
+      log(dd(col("cn"))).cast("decimal(18,12)").as("x"),
+      log(dd(col("cv"))).cast("decimal(18,12)").as("y"),
+      col("cn"), col("cv"))
+    val m = pts.agg(count(lit(1)).as("n_docs"),
+      max("cn").as("n_tokens"), max("cv").as("n_vocab"),
+      sum(col("x")).cast("decimal(38,12)").as("sx"),
+      sum(col("y")).cast("decimal(38,12)").as("sy"),
+      sum(col("x") * col("y")).cast("decimal(38,24)").as("sxy"),
+      sum(col("x") * col("x")).cast("decimal(38,24)").as("sxx"),
+      sum(col("y") * col("y")).cast("decimal(38,24)").as("syy"))
+    val cov = dd(col("n_docs")) * dd(col("sxy")) -
+      dd(col("sx")) * dd(col("sy"))
+    val vx = dd(col("n_docs")) * dd(col("sxx")) -
+      dd(col("sx")) * dd(col("sx"))
+    val vy = dd(col("n_docs")) * dd(col("syy")) -
+      dd(col("sy")) * dd(col("sy"))
+    m.select(col("n_docs"), col("n_tokens"), col("n_vocab"),
+      (cov / vx).as("heaps_beta"),
+      ((dd(col("sy")) - cov / vx * dd(col("sx"))) / dd(col("n_docs")))
+        .as("intercept_ln"),
+      ((cov * cov) / (vx * vy)).as("r2"))
+  }
+
+  /** Is the corpus still yielding new vocabulary — the Heaps V(N)
+    * power-law fit over the documents table in id order. */
+  def q394HeapsLaw(spark: SparkSession, dir: String): DataFrame =
+    heapsLaw(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Per-language lexical-diversity profile: type/token ratio, hapax
+    * fraction (types seen exactly once — the long-tail health of the
+    * vocabulary) and distinct-bigram ratio (the distinct-n diversity
+    * metric used to audit generated/boilerplate text: templated corpora
+    * show high unigram TTR but collapsed bigram diversity). Pure exact
+    * counting: one token explode + two groupBys per n-gram order;
+    * bigrams come from the zip-with-shifted-slice pairing (the q337 BPE
+    * move), so no self-join ever touches the corpus. */
+  def lexicalDiversity(docs: DataFrame, langCol: String,
+      textCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val base = docs.select(col(langCol).as("lang"),
+      tokens(col(textCol)).as("ts"))
+    val uni = base.select(col("lang"), explode(col("ts")).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val nd = base.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val bi = base.filter(size(col("ts")) >= 2)
+      .select(col("lang"), explode(expr(
+        "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("bg"))
+      .groupBy("lang", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum("c").as("n_bigrams"), count(lit(1)).as("n_bigram_types"))
+    nd.join(uni, "lang").join(bi, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_bigrams", "n_bigram_types"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_types"),
+        (dd(col("n_types")) / dd(col("n_tokens"))).as("ttr"),
+        col("n_hapax"),
+        (dd(col("n_hapax")) / dd(col("n_types"))).as("hapax_frac"),
+        col("n_bigrams"), col("n_bigram_types"),
+        when(col("n_bigrams") > 0,
+          dd(col("n_bigram_types")) / dd(col("n_bigrams")))
+          .as("distinct2"))
+      .orderBy("lang")
+  }
+
+  /** Which language slices look templated vs organic — TTR, hapax and
+    * distinct-bigram diversity per language. */
+  def q395LexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    lexicalDiversity(Tables.documents(spark, dir), "lang", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q394_heaps_law" -> (q394HeapsLaw _),
+    "q395_lexical_diversity" -> (q395LexicalDiversity _),
     "q382_truncation_loss" -> (q382TruncationLoss _),
     "q374_unigram_lm" -> (q374UnigramLm _),
     "q371_textrank" -> (q371TextRank _),
@@ -1475,6 +1576,99 @@ object TextAnalysis {
        |  FROM c${k - 1} CROSS JOIN b$k b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q394_heaps_law" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS d,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT d, CAST(COUNT(*) AS BIGINT) AS nt FROM tok GROUP BY d),
+        |firsts AS (
+        |  SELECT d, CAST(COUNT(*) AS BIGINT) AS nv FROM (
+        |    SELECT term, MIN(d) AS d FROM tok GROUP BY term)
+        |  GROUP BY d),
+        |base AS (
+        |  SELECT p.d, p.nt, COALESCE(f.nv, 0) AS nv
+        |  FROM perdoc p LEFT JOIN firsts f ON p.d = f.d),
+        |cum AS (
+        |  SELECT d, SUM(nt) OVER w AS cn, SUM(nv) OVER w AS cv
+        |  FROM base WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)),
+        |pts AS (
+        |  SELECT CAST(LN(CAST(cn AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+        |    CAST(LN(CAST(cv AS DOUBLE)) AS DECIMAL(18,12)) AS y, cn, cv
+        |  FROM cum),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(MAX(cn) AS BIGINT) AS n_tokens,
+        |    CAST(MAX(cv) AS BIGINT) AS n_vocab,
+        |    CAST(SUM(x) AS DECIMAL(38,12)) AS sx,
+        |    CAST(SUM(y) AS DECIMAL(38,12)) AS sy,
+        |    CAST(SUM(x * y) AS DECIMAL(38,24)) AS sxy,
+        |    CAST(SUM(x * x) AS DECIMAL(38,24)) AS sxx,
+        |    CAST(SUM(y * y) AS DECIMAL(38,24)) AS syy
+        |  FROM pts)
+        |SELECT n_docs, n_tokens, n_vocab,
+        |  (CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS heaps_beta,
+        |  (CAST(sy AS DOUBLE)
+        |    - (CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * CAST(sx AS DOUBLE)) / CAST(n_docs AS DOUBLE)
+        |    AS intercept_ln,
+        |  ((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  * (CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  / ((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |  * (CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+        |FROM m""".stripMargin,
+    "q395_lexical_diversity" ->
+      """WITH base AS (
+        |  SELECT lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS ts
+        |  FROM documents),
+        |uni AS (
+        |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM (
+        |    SELECT lang, t, COUNT(*) AS c FROM (
+        |      SELECT lang, unnest(ts) AS t FROM base) GROUP BY 1, 2)
+        |  GROUP BY lang),
+        |nd AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM base GROUP BY lang),
+        |bg AS (
+        |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bigram_types
+        |  FROM (
+        |    SELECT lang, b, COUNT(*) AS c FROM (
+        |      SELECT lang, ts[i] || ' ' || ts[i + 1] AS b
+        |      FROM base, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+        |      WHERE len(ts) >= 2) GROUP BY 1, 2)
+        |  GROUP BY lang)
+        |SELECT n.lang, n.n_docs, u.n_tokens, u.n_types,
+        |  CAST(u.n_types AS DOUBLE) / CAST(u.n_tokens AS DOUBLE) AS ttr,
+        |  u.n_hapax,
+        |  CAST(u.n_hapax AS DOUBLE) / CAST(u.n_types AS DOUBLE)
+        |    AS hapax_frac,
+        |  COALESCE(b.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(b.n_bigram_types, 0) AS n_bigram_types,
+        |  CASE WHEN COALESCE(b.n_bigrams, 0) > 0 THEN
+        |    CAST(b.n_bigram_types AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+        |  END AS distinct2
+        |FROM nd n JOIN uni u ON n.lang = u.lang
+        |LEFT JOIN bg b ON n.lang = b.lang
+        |ORDER BY 1""".stripMargin,
     "q337_bpe_train" ->
       ("""WITH c0 AS MATERIALIZED (
         |  SELECT doc_id AS d,
