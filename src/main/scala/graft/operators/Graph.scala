@@ -931,7 +931,109 @@ object Graph {
       "p1", "p2", topM = 30)
   }
 
+  /** Directed-graph reciprocity over a weighted edge-count list: the
+    * unweighted form (fraction of directed i→j edges, i≠j, whose reverse
+    * j→i exists) and the weighted form r = Σ min(nᵢⱼ, nⱼᵢ) / Σ nᵢⱼ
+    * (Squartini et al. 2013) — "is this flow a two-way conversation or a
+    * one-way funnel", the directionality audit of the q138/q266
+    * transition machinery. One self-equi-join on the reversed key over
+    * the edge-count frame (type-pair-sized), exact integer counts, two
+    * double divisions. */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String,
+      nCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+        col(nCol).cast("long").as("n"))
+      .filter(col("u") =!= col("v"))
+    val rev = e.select(col("v").as("u"), col("u").as("v"),
+      col("n").as("rn"))
+    e.join(rev, Seq("u", "v"), "left")
+      .na.fill(0L, Seq("rn"))
+      .agg(count(lit(1)).as("n_directed_edges"),
+        sum(when(col("rn") > 0, 1L).otherwise(0L)).as("n_reciprocated"),
+        sum("n").as("n_transitions"),
+        sum(least(col("n"), col("rn"))).as("n_matched"))
+      .select(col("n_directed_edges"), col("n_reciprocated"),
+        (dd(col("n_reciprocated")) / dd(col("n_directed_edges")))
+          .as("edge_reciprocity"),
+        col("n_transitions"),
+        (dd(col("n_matched")) / dd(col("n_transitions")))
+          .as("weighted_reciprocity"))
+  }
+
+  /** Do session flows bounce back (view⇄click) or funnel one way —
+    * reciprocity of the session-transition graph (the q138 edges). */
+  def q406TransitionReciprocity(spark: SparkSession,
+      dir: String): DataFrame =
+    reciprocity(
+      Behavior.sessionTransitions(Tables.events(spark, dir), "ts",
+        "user_id", "event_type", "event_id", gapSeconds = 30 * 60L),
+      "from_type", "to_type", "n")
+
+  /** Degree-distribution power-law fit: log-log OLS of the degree CCDF
+    * P(D ≥ d) over the distinct observed degrees — the "is this graph
+    * scale-free, and how heavy is the hub tail" diagnostic (α ≈ 2–3 for
+    * scale-free networks; the CCDF form is the standard estimator-stable
+    * choice over the raw pdf histogram). Exact suffix counts from one
+    * range-partitioned rank pass over the DEGREE HISTOGRAM
+    * ([[Rank.globalRankPrefix]] — never a raw-node sort); ln values
+    * quantized DECIMAL(18,12) (the q241 Zipf discipline) into exact
+    * decimal OLS moments. Returns slope (CCDF exponent; α = 1 − slope),
+    * fit r² and the graph shape numbers. */
+  def degreePowerLaw(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy("d").agg(count(lit(1)).as("cnt"))
+    val tot = deg.agg(count(lit(1)).as("nn"))
+    val pts = Rank.globalRankPrefix(hist, Seq(col("d")),
+        Seq("cum" -> col("cnt")))
+      .crossJoin(broadcast(tot)) // 1-row build side
+      // suffix count = nodes with degree >= d
+      .select(col("d"), (col("nn") - col("cum") + col("cnt")).as("ge"),
+        col("nn"))
+      .select(log(dd(col("d"))).cast("decimal(18,12)").as("x"),
+        log(dd(col("ge")) / dd(col("nn"))).cast("decimal(18,12)").as("y"),
+        col("d"), col("nn"))
+    val m = pts.agg(count(lit(1)).as("n_degrees"),
+      max("nn").as("n_nodes"), max("d").as("max_degree"),
+      sum(col("x")).cast("decimal(38,12)").as("sx"),
+      sum(col("y")).cast("decimal(38,12)").as("sy"),
+      sum(col("x") * col("y")).cast("decimal(38,24)").as("sxy"),
+      sum(col("x") * col("x")).cast("decimal(38,24)").as("sxx"),
+      sum(col("y") * col("y")).cast("decimal(38,24)").as("syy"))
+    val cov = dd(col("n_degrees")) * dd(col("sxy")) -
+      dd(col("sx")) * dd(col("sy"))
+    val vx = dd(col("n_degrees")) * dd(col("sxx")) -
+      dd(col("sx")) * dd(col("sx"))
+    val vy = dd(col("n_degrees")) * dd(col("syy")) -
+      dd(col("sy")) * dd(col("sy"))
+    m.filter(col("n_degrees") > 2)
+      .select(col("n_nodes"), col("n_degrees"), col("max_degree"),
+        (cov / vx).as("ccdf_slope"),
+        (lit(1.0) - cov / vx).as("alpha"),
+        ((cov * cov) / (vx * vy)).as("r2"))
+  }
+
+  /** How heavy is the co-order graph's hub tail — the CCDF power-law
+    * exponent over the ≥2-support part co-order degrees. */
+  def q407DegreePowerLaw(spark: SparkSession, dir: String): DataFrame = {
+    val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
+      "l_partkey", basketCap = 64)
+    degreePowerLaw(Basket.pairCounts(bk, basketCap = 64, minSupport = 2L),
+      "p1", "p2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q406_transition_reciprocity" -> (q406TransitionReciprocity _),
+    "q407_degree_powerlaw" -> (q407DegreePowerLaw _),
     "q392_harmonic_closeness" -> (q392HarmonicCloseness _),
     "q393_rich_club" -> (q393RichClub _),
     "q333_betweenness" -> (q333Betweenness _),
@@ -1066,6 +1168,72 @@ object Graph {
        |    FROM v$i) WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q406_transition_reciprocity" -> (transitionsSql + ",\n" +
+      """e2 AS (SELECT src, dst, n FROM cnt WHERE src <> dst),
+        |wr AS (
+        |  SELECT a.src, a.dst, a.n, COALESCE(b.n, 0) AS rn
+        |  FROM e2 a LEFT JOIN e2 b ON b.src = a.dst AND b.dst = a.src),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_directed_edges,
+        |    CAST(SUM(CASE WHEN rn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_reciprocated,
+        |    CAST(SUM(n) AS BIGINT) AS n_transitions,
+        |    CAST(SUM(LEAST(n, rn)) AS BIGINT) AS n_matched
+        |  FROM wr)
+        |SELECT n_directed_edges, n_reciprocated,
+        |  CAST(n_reciprocated AS DOUBLE)
+        |    / CAST(n_directed_edges AS DOUBLE) AS edge_reciprocity,
+        |  n_transitions,
+        |  CAST(n_matched AS DOUBLE) / CAST(n_transitions AS DOUBLE)
+        |    AS weighted_reciprocity
+        |FROM agg""".stripMargin),
+    "q407_degree_powerlaw" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ed AS MATERIALIZED (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS node FROM ed UNION ALL SELECT v FROM ed)
+        |  GROUP BY node),
+        |hist AS (
+        |  SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY d),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM deg),
+        |cum AS (
+        |  SELECT d, cnt,
+        |    SUM(cnt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM hist),
+        |pts AS (
+        |  SELECT CAST(LN(CAST(d AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+        |    CAST(LN(CAST(nn - cum + cnt AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      AS DECIMAL(18,12)) AS y,
+        |    d, nn
+        |  FROM cum, tot),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_degrees,
+        |    CAST(MAX(nn) AS BIGINT) AS n_nodes,
+        |    CAST(MAX(d) AS BIGINT) AS max_degree,
+        |    CAST(SUM(x) AS DECIMAL(38,12)) AS sx,
+        |    CAST(SUM(y) AS DECIMAL(38,12)) AS sy,
+        |    CAST(SUM(x * y) AS DECIMAL(38,24)) AS sxy,
+        |    CAST(SUM(x * x) AS DECIMAL(38,24)) AS sxx,
+        |    CAST(SUM(y * y) AS DECIMAL(38,24)) AS syy
+        |  FROM pts),
+        |f AS (
+        |  SELECT n_nodes, n_degrees, max_degree,
+        |    CAST(n_degrees AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |    CAST(n_degrees AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n_degrees AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        |  FROM m WHERE n_degrees > 2)
+        |SELECT n_nodes, n_degrees, max_degree,
+        |  cov / vx AS ccdf_slope, 1.0 - cov / vx AS alpha,
+        |  (cov * cov) / (vx * vy) AS r2
+        |FROM f""".stripMargin,
     "q392_harmonic_closeness" ->
       """WITH RECURSIVE op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

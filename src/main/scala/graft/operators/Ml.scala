@@ -4941,7 +4941,308 @@ object Ml {
             .cast("long").as("vc")),
       "yr", "p_brand", col("vc"))
 
+  /** Page's trend test (Page 1963) — the ORDERED-alternative companion
+    * to Friedman (q306) / Kendall's W (q384): with treatments in a
+    * pre-specified order, L = Σ_i ordinal_i · R_i (R_i = rank sum of
+    * treatment i across judges) detects a monotone treatment trend that
+    * the unordered tests dilute — the repeated-measures sibling of
+    * Jonckheere–Terpstra (q390). The caller supplies the ordering; the
+    * complete judge×item block is ENFORCED (the kendallsW contract —
+    * with a missing cell L is not a trend statistic of anything). Ranks
+    * are exact integers (ties broken by item name, documented); the
+    * null moments E[L] = n·k(k+1)²/4 and Var[L] = n·k²(k+1)(k²−1)/144
+    * are fixed double shapes over exact counts. Statistic-frame sized
+    * throughout. */
+  def pagesTrend(df: DataFrame, judgeCol: String, itemCol: String,
+      ordering: Seq[String], scoreCents: Column): DataFrame = {
+    require(ordering.size >= 3 && ordering.distinct.size == ordering.size,
+      s"need >= 3 distinct ordered items: $ordering")
+    val k = ordering.size
+    val cells = df.select(col(judgeCol).as("j"), col(itemCol).as("it"),
+        scoreCents.as("v"))
+      .filter(col("it").isin(ordering: _*))
+      .groupBy("j", "it").agg(sum("v").as("v"))
+    val wj = Window.partitionBy("j").orderBy(col("v"), col("it"))
+    val ranks = cells.withColumn("rk", row_number().over(wj).cast("long"))
+    val ordinal = ordering.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (it, i)) =>
+        when(col("it") === it, lit((i + 1).toLong)).otherwise(acc)
+    }
+    val rj = ranks.groupBy("it").agg(count(lit(1)).as("n_judges"),
+      sum("rk").as("r"))
+    val njd = cells.agg(countDistinct(col("j")).as("njd"))
+    val nm = rj.agg(max("n_judges").as("n"), min("n_judges").as("nmin"),
+      count(lit(1)).as("m"))
+    rj.crossJoin(broadcast(nm)).crossJoin(broadcast(njd))
+      .filter(assert_true(col("nmin") === col("n") &&
+        col("njd") === col("n") && col("m") === lit(k.toLong),
+        lit("pagesTrend requires a complete judge×item block over the " +
+          "full ordering")).isNull)
+      .select(col("n"), col("m"), (ordinal * col("r")).as("lterm"))
+      .groupBy("n", "m").agg(sum("lterm").as("l"))
+      .select(col("n").as("n_judges"), col("m").as("n_items"),
+        col("l").cast("double").as("l_stat"),
+        (dd(col("n")) * lit(k.toDouble) * lit((k + 1).toDouble) *
+          lit((k + 1).toDouble) / 4.0).as("e_l"),
+        ((dd(col("l")) -
+          dd(col("n")) * lit(k.toDouble) * lit((k + 1).toDouble) *
+            lit((k + 1).toDouble) / 4.0) /
+          sqrt(dd(col("n")) * lit(k.toDouble * k * (k + 1)) *
+            lit((k.toDouble * k - 1)) / 144.0)).as("z"))
+  }
+
+  /** Does quarterly revenue climb monotonically within the year,
+    * consistently across years — Page's L over years × ordered
+    * quarters. */
+  def q402PagesTrend(spark: SparkSession, dir: String): DataFrame =
+    pagesTrend(Tables.lineitem(spark, dir)
+        .select(year(col("l_shipdate")).cast("string").as("yr"),
+          quarter(col("l_shipdate")).cast("string").as("qtr"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("vc")),
+      "yr", "qtr", Seq("1", "2", "3", "4"), col("vc"))
+
+  /** Cronbach's alpha — internal-consistency reliability of a k-item
+    * numeric battery: α = k/(k−1)·(1 − Σᵢ s²ᵢ / s²_total), s²_total the
+    * variance of the per-row item SUM (Cronbach 1951). The "do these
+    * k signals measure one construct" check run before averaging
+    * features or survey items into a score. ONE scan: per-item exact
+    * cent moments and the row-total moments in a single aggregation;
+    * sample variances are fixed double shapes over exact DECIMAL sums. */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2, s"need >= 2 items: $itemCols")
+    val k = itemCols.size
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val cents = (c: Column) =>
+      (c.cast("decimal(18,2)") * 100).cast("long")
+    val base = df.select(
+      itemCols.zipWithIndex.map { case (c, i) => cents(col(c)).as(s"x$i") }
+        :+ itemCols.map(c => cents(col(c))).reduce(_ + _).as("t"): _*)
+    val aggs = (0 until k).flatMap(i => Seq(
+      sum(d38(col(s"x$i"))).cast("decimal(38,0)").as(s"s$i"),
+      sum(d38(col(s"x$i")) * d38(col(s"x$i"))).cast("decimal(38,0)")
+        .as(s"q$i"))) ++ Seq(
+      sum(d38(col("t"))).cast("decimal(38,0)").as("st"),
+      sum(d38(col("t")) * d38(col("t"))).cast("decimal(38,0)").as("qt"),
+      count(lit(1)).as("n"))
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val nn = dd(col("n"))
+    def svar(s: Column, q: Column): Column =
+      (nn * dd(q) - dd(s) * dd(s)) / (nn * (nn - 1))
+    val itemVarSum = (0 until k)
+      .map(i => svar(col(s"s$i"), col(s"q$i"))).reduce(_ + _)
+    m.filter(col("n") > 1)
+      .select(col("n"), lit(k.toLong).as("k"),
+        (itemVarSum / 1e4).as("sum_item_var"),
+        (svar(col("st"), col("qt")) / 1e4).as("total_var"),
+        (lit(k.toDouble / (k - 1)) *
+          (lit(1.0) - itemVarSum / svar(col("st"), col("qt"))))
+          .as("alpha"))
+  }
+
+  /** Do quantity, discount and tax move as one per-line "size" construct
+    * — the k=3 reliability check. */
+  def q403CronbachAlpha(spark: SparkSession, dir: String): DataFrame =
+    cronbachAlpha(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_discount", "l_tax"))
+
+  /** Method-agreement audit between two measurements of the same thing:
+    * Bland–Altman bias and 95% limits of agreement on the differences,
+    * plus Lin's concordance correlation coefficient
+    * ρc = 2·cov / (σx² + σy² + (μx−μy)²) — Pearson r only measures
+    * LINEAR association; ρc additionally punishes scale and location
+    * disagreement, which is what "can method B replace method A" needs
+    * (Lin 1989; Bland & Altman 1986). One scan to exact cent moments;
+    * every output is a fixed double shape over DECIMAL sums. */
+  def agreementAudit(df: DataFrame, xCents: Column,
+      yCents: Column): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(xCents.as("x"), yCents.as("y"))
+      .withColumn("d", col("x") - col("y"))
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(d38(col("x"))).cast("decimal(38,0)").as("sx"),
+      sum(d38(col("y"))).cast("decimal(38,0)").as("sy"),
+      sum(d38(col("x")) * d38(col("x"))).cast("decimal(38,0)").as("sxx"),
+      sum(d38(col("y")) * d38(col("y"))).cast("decimal(38,0)").as("syy"),
+      sum(d38(col("x")) * d38(col("y"))).cast("decimal(38,0)").as("sxy"),
+      sum(d38(col("d")) * d38(col("d"))).cast("decimal(38,0)").as("sdd"))
+    val nn = dd(col("n"))
+    val sd = dd(col("sx")) - dd(col("sy"))
+    val bias = sd / nn / 100.0
+    val sdDiff = sqrt((nn * dd(col("sdd")) - sd * sd) /
+      (nn * (nn - 1))) / 100.0
+    val vx = nn * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+    val vy = nn * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
+    val cv = nn * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
+    m.filter(col("n") > 1)
+      .select(col("n"), bias.as("bias"),
+        (bias - lit(1.959963984540054) * sdDiff).as("loa_low"),
+        (bias + lit(1.959963984540054) * sdDiff).as("loa_high"),
+        (cv / sqrt(vx * vy)).as("pearson_r"),
+        (lit(2.0) * cv / (vx + vy + sd * sd)).as("ccc"))
+  }
+
+  /** Does quantity × retail price actually reproduce the billed
+    * extended price — the two-derivations agreement audit (bias, limits
+    * of agreement, Lin's concordance). */
+  def q404PriceAgreement(spark: SparkSession, dir: String): DataFrame =
+    agreementAudit(
+      Tables.lineitem(spark, dir).join(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_retailprice")),
+        Seq("l_partkey")),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+      (col("l_quantity").cast("decimal(18,2)") *
+        col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"))
+
+  /** Ansari–Bradley two-sample SCALE test per key on the half-split
+    * histogram: score every pooled rank r by its distance from the ends,
+    * s(r) = min(r, N+1−r) — if sample A is more DISPERSED it
+    * concentrates in the extreme ranks and its score sum W drops below
+    * the null mean (Ansari & Bradley 1960). The rank-based sibling of
+    * Brown–Forsythe (q388): no moments, robust to any location shift…
+    * and the SCALE member of the drift battery (location: KS/W1/energy;
+    * shape: AD; information: JS/Hellinger).
+    *
+    * Tie handling: midrank scores — each histogram cell occupies the
+    * contiguous rank range (P, C]; Σ s(r) over that range has a closed
+    * form split at the fold ⌊(N+1)/2⌋, kept as exact 2×-integers, and
+    * the cell's A-mass contributes ca·S2/(2t) — quantized
+    * DECIMAL(38,12) per cell before the sum. E[W]/Var[W] use the
+    * standard no-tie large-sample moments (even/odd N forms) — the
+    * z is the usual approximation, identical in both engines. */
+  def ansariBradleyDrift(events: DataFrame, tsCol: String, keyCol: String,
+      valCol: String): DataFrame = {
+    val q3812 = (c: Column) => c.cast("decimal(38,12)")
+    val cells = halfSplitCells(events, tsCol, keyCol, valCol)
+    val wCum = Window.partitionBy("k").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("k")
+    val base = cells
+      .withColumn("t", col("ca") + col("cb"))
+      .withColumn("cc", sum(col("ca") + col("cb")).over(wCum))
+      .withColumn("nn", sum(col("ca") + col("cb")).over(wTot))
+      .withColumn("na", sum("ca").over(wTot))
+      .withColumn("nb", sum("cb").over(wTot))
+      .filter(col("na") > 0 && col("nb") > 0 && col("nn") > 2)
+      .withColumn("p", col("cc") - col("t"))
+    // Σ 2·s(r) for r in (p, cc]: lower leg r ≤ fold contributes 2r,
+    // upper leg contributes 2(M − r), M = N+1, fold = ⌊M/2⌋.
+    // rank × count products go through DECIMAL — they wrap a long at
+    // data scale (the round-10 overflow rule)
+    val m = col("nn") + 1
+    val fold = expr("(nn + 1) div 2")
+    val lo = col("p") + 1
+    val hiL = least(col("cc"), fold)
+    val nL = greatest(lit(0L), hiL - lo + 1)
+    val sumL = d380(lo + hiL) * d380(nL) // 2·Σr over the lower leg
+    val loU = greatest(lo, fold + 1)
+    val nU = greatest(lit(0L), col("cc") - loU + 1)
+    val sumU = d380(m) * d380(nU) * 2 -
+      d380(loU + col("cc")) * d380(nU) // 2·Σ(M−r)
+    val s2 = (sumL + sumU).cast("decimal(38,0)")
+    base
+      .withColumn("term", q3812(dd(col("ca")) * dd(s2) / dd(col("t"))))
+      .groupBy("k")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        max("nn").as("nn"),
+        sum("term").cast("decimal(38,12)").as("w2"))
+      .select(col("k").as(keyCol), col("n_a"), col("n_b"),
+        (dd(col("w2")) / 2.0).as("w_ab"),
+        when(col("nn") % 2 === 0,
+          dd(col("n_a")) * dd(col("nn") + 2) / 4.0)
+          .otherwise(dd(col("n_a")) * dd(col("nn") + 1) *
+            dd(col("nn") + 1) / (lit(4.0) * dd(col("nn")))).as("e_w"),
+        when(col("nn") % 2 === 0,
+          sqrt(dd(col("n_a")) * dd(col("n_b")) * dd(col("nn") + 2) *
+            dd(col("nn") - 2) / (lit(48.0) * dd(col("nn") - 1))))
+          .otherwise(
+            sqrt(dd(col("n_a")) * dd(col("n_b")) * dd(col("nn") + 1) *
+              (lit(3.0) + dd(col("nn")) * dd(col("nn"))) /
+              (lit(48.0) * dd(col("nn")) * dd(col("nn")))))
+          .as("sd_w"))
+      .withColumn("z", (col("w_ab") - col("e_w")) / col("sd_w"))
+      .orderBy(keyCol)
+  }
+
+  /** Did each event type's value SPREAD change half-over-half — the
+    * rank-based scale drift test (location tests can't see it). */
+  def q408AnsariBradley(spark: SparkSession, dir: String): DataFrame =
+    ansariBradleyDrift(Tables.events(spark, dir), "ts", "event_type",
+      "value")
+
+  /** Murphy decomposition of the Brier score — reliability (calibration
+    * gap), resolution (how much the forecast separates outcomes) and
+    * uncertainty (the irreducible base-rate term): Brier = REL − RES +
+    * UNC (Murphy 1973). ECE (q233's report) only measures the gap;
+    * the decomposition says whether a well-calibrated forecast is also
+    * USEFUL (resolution ≫ 0) or just predicting the base rate.
+    *
+    * Forecast construction is fully in-frame: the md5-split TRAIN half
+    * fits one empirical rate per feature bucket, the EVAL half scores
+    * against it; bins = the forecast values themselves, so the
+    * decomposition identity is exact. All bin terms are fixed double
+    * shapes over exact counts, quantized DECIMAL(38,12) before the bin
+    * sums. */
+  def brierDecomposition(df: DataFrame, unitCol: String,
+      bucketCol: Column, posCond: Column): DataFrame = {
+    val q3812 = (c: Column) => c.cast("decimal(38,12)")
+    val base = df.select(col(unitCol).cast("string").as("u"),
+      bucketCol.as("b"), when(posCond, 1L).otherwise(0L).as("y"))
+      .withColumn("train",
+        ascii(substring(md5(col("u")), 1, 1)) <= 55)
+    val fit = base.filter(col("train")).groupBy("b")
+      .agg(count(lit(1)).as("nt"), sum("y").as("st"))
+      .filter(col("nt") > 0)
+      .select(col("b"), (dd(col("st")) / dd(col("nt"))).as("f"))
+    val ev = base.filter(!col("train"))
+      .join(broadcast(fit), Seq("b")) // bucket-frame build side
+      .groupBy("b", "f")
+      .agg(count(lit(1)).as("nk"), sum("y").as("sk"))
+    val tot = ev.agg(sum("nk").as("n"), sum("sk").as("s"))
+    ev.crossJoin(broadcast(tot)) // 1-row build side
+      .select(col("n"),
+        q3812(dd(col("nk")) *
+          (col("f") - dd(col("sk")) / dd(col("nk"))) *
+          (col("f") - dd(col("sk")) / dd(col("nk")))).as("rel_t"),
+        q3812(dd(col("nk")) *
+          (dd(col("sk")) / dd(col("nk")) - dd(col("s")) / dd(col("n"))) *
+          (dd(col("sk")) / dd(col("nk")) - dd(col("s")) / dd(col("n"))))
+          .as("res_t"),
+        q3812(dd(col("nk")) * col("f") * col("f") -
+          lit(2.0) * col("f") * dd(col("sk")) + dd(col("sk")))
+          .as("bs_t"),
+        (dd(col("s")) / dd(col("n"))).as("obar"))
+      .groupBy("n", "obar")
+      .agg(count(lit(1)).as("n_bins"),
+        sum("rel_t").cast("decimal(38,12)").as("rel"),
+        sum("res_t").cast("decimal(38,12)").as("res"),
+        sum("bs_t").cast("decimal(38,12)").as("bs"))
+      .select(col("n").as("n_eval"), col("n_bins"),
+        (dd(col("bs")) / dd(col("n"))).as("brier"),
+        (dd(col("rel")) / dd(col("n"))).as("reliability"),
+        (dd(col("res")) / dd(col("n"))).as("resolution"),
+        (col("obar") * (lit(1.0) - col("obar"))).as("uncertainty"))
+  }
+
+  /** Is "line count predicts urgency" calibrated AND resolving — Murphy
+    * decomposition of the bucket-rate forecast, train/eval md5-split. */
+  def q409BrierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+    brierDecomposition(
+      Tables.orders(spark, dir).join(li, Seq("o_orderkey"), "left")
+        .na.fill(0L, Seq("n_lines")),
+      "o_orderkey", least(col("n_lines"), lit(8L)),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q408_ansari_bradley" -> (q408AnsariBradley _),
+    "q409_brier_decomposition" -> (q409BrierDecomposition _),
+    "q402_pages_trend" -> (q402PagesTrend _),
+    "q403_cronbach_alpha" -> (q403CronbachAlpha _),
+    "q404_price_agreement" -> (q404PriceAgreement _),
     "q389_mantel_haenszel" -> (q389MantelHaenszel _),
     "q396_hellinger_drift" -> (q396HellingerDrift _),
     "q383_cochran_q" -> (q383CochranQ _),
@@ -5376,6 +5677,248 @@ object Ml {
        |FROM b$t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q408_ansari_bradley" ->
+      """WITH mm AS (
+        |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM events CROSS JOIN mm GROUP BY 1, 2),
+        |base AS (
+        |  SELECT k, v, ca, cb, ca + cb AS t,
+        |    SUM(ca + cb) OVER (PARTITION BY k ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cc,
+        |    SUM(ca + cb) OVER (PARTITION BY k) AS nn,
+        |    SUM(ca) OVER (PARTITION BY k) AS na,
+        |    SUM(cb) OVER (PARTITION BY k) AS nb
+        |  FROM cells),
+        |legs AS (
+        |  SELECT *, cc - t AS p, (nn + 1) // 2 AS fold FROM base
+        |  WHERE na > 0 AND nb > 0 AND nn > 2),
+        |s2t AS (
+        |  SELECT k, na, nb, nn, ca, t,
+        |    CAST(
+        |      CAST(((p + 1) + LEAST(cc, fold)) AS DECIMAL(38,0))
+        |        * CAST(GREATEST(0, LEAST(cc, fold) - (p + 1) + 1)
+        |          AS DECIMAL(38,0))
+        |      + CAST(nn + 1 AS DECIMAL(38,0))
+        |        * CAST(GREATEST(0, cc - GREATEST(p + 1, fold + 1) + 1)
+        |          AS DECIMAL(38,0)) * 2
+        |      - CAST((GREATEST(p + 1, fold + 1) + cc) AS DECIMAL(38,0))
+        |        * CAST(GREATEST(0, cc - GREATEST(p + 1, fold + 1) + 1)
+        |          AS DECIMAL(38,0))
+        |    AS DECIMAL(38,0)) AS s2
+        |  FROM legs),
+        |terms AS (
+        |  SELECT k, na, nb, nn,
+        |    CAST(CAST(ca AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(t AS DOUBLE) AS DECIMAL(38,12)) AS term
+        |  FROM s2t),
+        |agg AS (
+        |  SELECT k, CAST(MAX(na) AS BIGINT) AS n_a,
+        |    CAST(MAX(nb) AS BIGINT) AS n_b,
+        |    CAST(MAX(nn) AS BIGINT) AS nn,
+        |    CAST(SUM(term) AS DECIMAL(38,12)) AS w2
+        |  FROM terms GROUP BY k),
+        |fin AS (
+        |  SELECT k, n_a, n_b, nn, CAST(w2 AS DOUBLE) / 2.0 AS w_ab,
+        |    CASE WHEN nn % 2 = 0 THEN
+        |      CAST(n_a AS DOUBLE) * CAST(nn + 2 AS DOUBLE) / 4.0
+        |    ELSE CAST(n_a AS DOUBLE) * CAST(nn + 1 AS DOUBLE)
+        |      * CAST(nn + 1 AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
+        |    END AS e_w,
+        |    CASE WHEN nn % 2 = 0 THEN
+        |      sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        * CAST(nn + 2 AS DOUBLE) * CAST(nn - 2 AS DOUBLE)
+        |        / (48.0 * CAST(nn - 1 AS DOUBLE)))
+        |    ELSE
+        |      sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |        * CAST(nn + 1 AS DOUBLE)
+        |        * (3.0 + CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+        |        / (48.0 * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+        |    END AS sd_w
+        |  FROM agg)
+        |SELECT k AS event_type, n_a, n_b, w_ab, e_w, sd_w,
+        |  (w_ab - e_w) / sd_w AS z
+        |FROM fin ORDER BY 1""".stripMargin,
+    "q409_brier_decomposition" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |base AS (
+        |  SELECT CAST(o.o_orderkey AS VARCHAR) AS u,
+        |    LEAST(COALESCE(li.n_lines, 0), 8) AS b,
+        |    CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders o LEFT JOIN li USING (o_orderkey)),
+        |wt AS (
+        |  SELECT *, ascii(substring(md5(u), 1, 1)) <= 55 AS train
+        |  FROM base),
+        |fit AS (
+        |  SELECT b, CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS f
+        |  FROM wt WHERE train GROUP BY b),
+        |ev AS (
+        |  SELECT w.b, f.f, CAST(COUNT(*) AS BIGINT) AS nk,
+        |    CAST(SUM(y) AS BIGINT) AS sk
+        |  FROM wt w JOIN fit f ON w.b = f.b WHERE NOT train
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(SUM(nk) AS BIGINT) AS n,
+        |    CAST(SUM(sk) AS BIGINT) AS s FROM ev),
+        |terms AS (
+        |  SELECT n, s,
+        |    CAST(CAST(nk AS DOUBLE)
+        |      * (f - CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE))
+        |      * (f - CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE))
+        |      AS DECIMAL(38,12)) AS rel_t,
+        |    CAST(CAST(nk AS DOUBLE)
+        |      * (CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE)
+        |        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE)
+        |        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS DECIMAL(38,12)) AS res_t,
+        |    CAST(CAST(nk AS DOUBLE) * f * f
+        |      - 2.0 * f * CAST(sk AS DOUBLE) + CAST(sk AS DOUBLE)
+        |      AS DECIMAL(38,12)) AS bs_t
+        |  FROM ev, tot),
+        |agg AS (
+        |  SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS obar,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |    CAST(SUM(rel_t) AS DECIMAL(38,12)) AS rel,
+        |    CAST(SUM(res_t) AS DECIMAL(38,12)) AS res,
+        |    CAST(SUM(bs_t) AS DECIMAL(38,12)) AS bs
+        |  FROM terms GROUP BY n, s)
+        |SELECT n AS n_eval, n_bins,
+        |  CAST(bs AS DOUBLE) / CAST(n AS DOUBLE) AS brier,
+        |  CAST(rel AS DOUBLE) / CAST(n AS DOUBLE) AS reliability,
+        |  CAST(res AS DOUBLE) / CAST(n AS DOUBLE) AS resolution,
+        |  obar * (1.0 - obar) AS uncertainty
+        |FROM agg""".stripMargin,
+    "q402_pages_trend" ->
+      """WITH cells AS (
+        |  SELECT CAST(year(l_shipdate) AS VARCHAR) AS j,
+        |    CAST(quarter(l_shipdate) AS VARCHAR) AS it,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranks AS (
+        |  SELECT j, it,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY v, it)
+        |      AS BIGINT) AS rk
+        |  FROM cells),
+        |rj AS (
+        |  SELECT it, CAST(COUNT(*) AS BIGINT) AS n_judges,
+        |    CAST(SUM(rk) AS BIGINT) AS r
+        |  FROM ranks GROUP BY it),
+        |nm AS (
+        |  SELECT CAST(MAX(n_judges) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM rj),
+        |ls AS (
+        |  SELECT n, m,
+        |    CAST(SUM((CASE it WHEN '1' THEN 1 WHEN '2' THEN 2
+        |      WHEN '3' THEN 3 WHEN '4' THEN 4 END) * r) AS BIGINT) AS l
+        |  FROM rj, nm GROUP BY n, m)
+        |SELECT n AS n_judges, m AS n_items, CAST(l AS DOUBLE) AS l_stat,
+        |  CAST(n AS DOUBLE) * 4.0 * 5.0 * 5.0 / 4.0 AS e_l,
+        |  (CAST(l AS DOUBLE) - CAST(n AS DOUBLE) * 4.0 * 5.0 * 5.0 / 4.0)
+        |  / sqrt(CAST(n AS DOUBLE) * 80.0 * 15.0 / 144.0) AS z
+        |FROM ls""".stripMargin,
+    "q403_cronbach_alpha" ->
+      """WITH base AS (
+        |  SELECT
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x0,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x1,
+        |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2
+        |  FROM lineitem),
+        |wt AS (SELECT *, x0 + x1 + x2 AS t FROM base),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x0 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s0,
+        |    CAST(SUM(CAST(x0 AS DECIMAL(38,0)) * CAST(x0 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS q0,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * CAST(x1 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS q1,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * CAST(x2 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS q2,
+        |    CAST(SUM(CAST(t AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS st,
+        |    CAST(SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS qt
+        |  FROM wt),
+        |v AS (
+        |  SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(q0 AS DOUBLE)
+        |      - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+        |    + (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+        |    + (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS iv,
+        |    (CAST(n AS DOUBLE) * CAST(qt AS DOUBLE)
+        |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS tv
+        |  FROM m WHERE n > 1)
+        |SELECT n, CAST(3 AS BIGINT) AS k, iv / 1e4 AS sum_item_var,
+        |  tv / 1e4 AS total_var,
+        |  (3.0 / 2.0) * (1.0 - iv / tv) AS alpha
+        |FROM v""".stripMargin,
+    "q404_price_agreement" ->
+      """WITH base AS (
+        |  SELECT
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |wd AS (SELECT *, x - y AS d FROM base),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS syy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sdd
+        |  FROM wd),
+        |f AS (
+        |  SELECT n,
+        |    (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE)) AS sd,
+        |    CAST(n AS DOUBLE) AS nn,
+        |    CAST(sxx AS DOUBLE) AS dxx, CAST(syy AS DOUBLE) AS dyy,
+        |    CAST(sxy AS DOUBLE) AS dxy, CAST(sdd AS DOUBLE) AS ddd,
+        |    CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy
+        |  FROM m WHERE n > 1),
+        |g AS (
+        |  SELECT n, sd / nn / 100.0 AS bias,
+        |    sqrt((nn * ddd - sd * sd) / (nn * (nn - 1))) / 100.0
+        |      AS sd_diff,
+        |    nn * dxx - dx * dx AS vx, nn * dyy - dy * dy AS vy,
+        |    nn * dxy - dx * dy AS cv, sd
+        |  FROM f)
+        |SELECT n, bias,
+        |  bias - 1.959963984540054 * sd_diff AS loa_low,
+        |  bias + 1.959963984540054 * sd_diff AS loa_high,
+        |  cv / sqrt(vx * vy) AS pearson_r,
+        |  2.0 * cv / (vx + vy + sd * sd) AS ccc
+        |FROM g""".stripMargin,
     "q389_mantel_haenszel" ->
       """WITH base AS (
         |  SELECT c_mktsegment AS g,

@@ -3547,6 +3547,50 @@ object Stats {
     recordBreaks(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
       "l_extendedprice")
 
+  /** Cox–Stuart trend test: pair the i-th day of each group's daily
+    * series with the (i + ⌈n/2⌉)-th and sign-test the pairs — the
+    * simplest distribution-free monotone-trend check (Cox & Stuart
+    * 1955), the sign-test sibling of the record-break rate ([[q397RecordBreaks]]):
+    * robust to any monotone rescaling and to arbitrary
+    * marginal distributions. Ties drop (the sign-test convention); the
+    * middle day drops when n is odd. z = (2·S⁺ − m)/√m is the binomial
+    * normal approximation on the m non-tied pairs. Shape: one
+    * calendar-bounded day frame, one rank window, one self-equi-join on
+    * (group, paired index) — day-frame-sized throughout. */
+  def coxStuart(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val daily = df.select(col(groupCol).as("g"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("g", "d").agg(sum("vc").as("y"))
+    val wDay = Window.partitionBy("g").orderBy("d")
+    val wTot = Window.partitionBy("g")
+    val idx = daily
+      .withColumn("rn", row_number().over(wDay).cast("long"))
+      .withColumn("nd", count(lit(1)).over(wTot))
+      .withColumn("off", expr("(nd + 1) div 2"))
+    val late = idx.select(col("g"), (col("rn") - col("off")).as("rn"),
+      col("y").as("y2"))
+    idx.join(late, Seq("g", "rn"))
+      .filter(col("y") =!= col("y2")) // ties drop
+      .groupBy("g")
+      .agg(max("nd").as("n_days"), count(lit(1)).as("n_pairs"),
+        sum(when(col("y2") > col("y"), 1L).otherwise(0L)).as("n_up"))
+      .filter(col("n_pairs") > 0)
+      .select(col("g").as(groupCol), col("n_days"), col("n_pairs"),
+        col("n_up"),
+        ((dd(col("n_up")) * 2.0 - dd(col("n_pairs"))) /
+          sqrt(dd(col("n_pairs")))).as("z"))
+      .orderBy(groupCol)
+  }
+
+  /** Is second-half daily revenue systematically above first-half per
+    * return flag — the paired-halves sign trend. */
+  def q405CoxStuart(spark: SparkSession, dir: String): DataFrame =
+    coxStuart(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
+      "l_extendedprice")
+
   /** Winsorized mean per group — [[trimmedMean]]'s CLAMPING sibling
     * (Tukey): the g = ⌊n/denom⌋ smallest observations are replaced by the
     * (g+1)-th order statistic and the g largest by the (n−g)-th, keeping
@@ -3607,6 +3651,7 @@ object Stats {
     "q390_jonckheere_terpstra" -> (q390JonckheereTerpstra _),
     "q391_runs_test" -> (q391RunsTest _),
     "q397_record_breaks" -> (q397RecordBreaks _),
+    "q405_cox_stuart" -> (q405CoxStuart _),
     "q398_fano_factor" -> (q398FanoFactor _),
     "q401_winsorized_mean" -> (q401WinsorizedMean _),
     "q387_coverage_counts" -> (q387CoverageCounts _),
@@ -4007,6 +4052,35 @@ object Stats {
         |FROM agg
         |WHERE n_above > 0 AND n_below > 0 AND n_above + n_below > 1
         |ORDER BY 1""".stripMargin,
+    "q405_cox_stuart" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS d,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT g, y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY d)
+        |      AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS nd
+        |  FROM daily),
+        |wo AS (SELECT *, (nd + 1) // 2 AS off FROM idx),
+        |pairs AS (
+        |  SELECT a.g, a.nd, a.y AS y, b.y AS y2
+        |  FROM wo a JOIN wo b ON a.g = b.g AND b.rn - b.off = a.rn
+        |  WHERE a.y <> b.y),
+        |agg AS (
+        |  SELECT g, CAST(MAX(nd) AS BIGINT) AS n_days,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN y2 > y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_up
+        |  FROM pairs GROUP BY g)
+        |SELECT g AS l_returnflag, n_days, n_pairs, n_up,
+        |  (CAST(n_up AS DOUBLE) * 2.0 - CAST(n_pairs AS DOUBLE))
+        |    / sqrt(CAST(n_pairs AS DOUBLE)) AS z
+        |FROM agg WHERE n_pairs > 0 ORDER BY 1""".stripMargin,
     "q397_record_breaks" ->
       """WITH daily AS (
         |  SELECT l_returnflag AS g,
