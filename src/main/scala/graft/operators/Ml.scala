@@ -5237,7 +5237,101 @@ object Ml {
       col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
   }
 
+  /** 2-component 1-D Gaussian mixture fitted by `rounds` EM iterations
+    * over the VALUE HISTOGRAM — the mixture-modeling member of the
+    * trainer family (k-means q327 is its hard-assignment limit; this is
+    * the soft split that also yields component weights and spreads).
+    * Deterministic: means seed at the exact P25/P75 histogram order
+    * stats, variances at the global moment variance; each E-step
+    * responsibility is ONE fixed IEEE shape (two log-density terms, one
+    * exp) per distinct value, quantized DECIMAL(18,12) — the engines'
+    * sub-ulp libm differences sit 4 orders below the grid, so both
+    * produce identical quantized responsibilities (the q361 KDE
+    * precedent) and the whole trajectory is engine-exact. M-step sums
+    * are quantized-term decimal aggregations; new parameters are fixed
+    * double shapes. Per-round cost: one histogram×1-row-params scan +
+    * one aggregation — value-domain sized, never raw-row.
+    * Returns the (round, π₁, μ₁, σ₁, μ₂, σ₂) trajectory in dollars. */
+  def emMixture2(df: DataFrame, valCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8]: $rounds")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val q1812 = (c: Column) => c.cast("decimal(18,12)")
+    val hist = df.select(
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds init + every round
+    val tot = hist.agg(sum("c").as("n"),
+      sum(d38(col("c")) * d38(col("v"))).cast("decimal(38,0)").as("sv"),
+      sum(d38(col("c")) * d38(col("v")) * d38(col("v")))
+        .cast("decimal(38,0)").as("sq"))
+    val mus = Rank.globalRankPrefix(hist, Seq(col("v")),
+        Seq("cum" -> col("c")))
+      .crossJoin(broadcast(tot)) // 1-row build side
+      .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("v")))
+          .as("mu1c"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("v")))
+          .as("mu2c"))
+    var p: DataFrame = tot.crossJoin(broadcast(mus))
+      .select(lit(0.5).as("pi1"),
+        dd(col("mu1c")).as("mu1"),
+        ((dd(col("sq")) - dd(col("sv")) * dd(col("sv")) / dd(col("n")))
+          / dd(col("n"))).as("s1"),
+        dd(col("mu2c")).as("mu2"),
+        ((dd(col("sq")) - dd(col("sv")) * dd(col("sv")) / dd(col("n")))
+          / dd(col("n"))).as("s2"),
+        dd(col("n")).as("nn"), dd(col("sv")).as("svd"),
+        dd(col("sq")).as("sqd"))
+    val out = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val dv = dd(col("v"))
+      val a = (log(col("pi1")) -
+          (dv - col("mu1")) * (dv - col("mu1")) /
+            (lit(2.0) * col("s1")) - lit(0.5) * log(col("s1"))) -
+        (log(lit(1.0) - col("pi1")) -
+          (dv - col("mu2")) * (dv - col("mu2")) /
+            (lit(2.0) * col("s2")) - lit(0.5) * log(col("s2")))
+      val resp = hist.crossJoin(broadcast(p)) // 1-row build side
+        .withColumn("rr",
+          q1812(lit(1.0) / (lit(1.0) + exp(-a))))
+      val m = resp.agg(
+        sum((dd(col("c")) * dd(col("rr"))).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("t1"),
+        sum((dd(col("c")) * dd(col("rr")) * dd(col("v")))
+          .cast("decimal(38,6)")).cast("decimal(38,6)").as("tv"),
+        sum((dd(col("c")) * dd(col("rr")) * dd(col("v")) * dd(col("v")))
+          .cast("decimal(38,6)")).cast("decimal(38,6)").as("tq"),
+        max("nn").as("nn"), max("svd").as("svd"), max("sqd").as("sqd"))
+      p = m.select(
+        (dd(col("t1")) / col("nn")).as("pi1"),
+        (dd(col("tv")) / dd(col("t1"))).as("mu1"),
+        greatest(dd(col("tq")) / dd(col("t1")) -
+          (dd(col("tv")) / dd(col("t1"))) * (dd(col("tv")) / dd(col("t1"))),
+          lit(1.0)).as("s1"),
+        ((col("svd") - dd(col("tv"))) / (col("nn") - dd(col("t1"))))
+          .as("mu2"),
+        greatest((col("sqd") - dd(col("tq"))) /
+          (col("nn") - dd(col("t1"))) -
+          ((col("svd") - dd(col("tv"))) / (col("nn") - dd(col("t1")))) *
+          ((col("svd") - dd(col("tv"))) / (col("nn") - dd(col("t1")))),
+          lit(1.0)).as("s2"),
+        col("nn"), col("svd"), col("sqd"))
+      out += p.select(lit(r.toLong).as("round"), col("pi1"),
+        (col("mu1") / 100.0).as("mu1"),
+        (sqrt(col("s1")) / 100.0).as("sigma1"),
+        (col("mu2") / 100.0).as("mu2"),
+        (sqrt(col("s2")) / 100.0).as("sigma2"))
+    }
+    out.result().reduce(_ union _).orderBy("round")
+  }
+
+  /** Is event value a two-regime mixture (the q366 grid found clumps) —
+    * the 3-round EM trajectory: weights, means, spreads per round,
+    * hash-gated against the unrolled oracle recursion. */
+  def q410EmMixture(spark: SparkSession, dir: String): DataFrame =
+    emMixture2(Tables.events(spark, dir), "value", rounds = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q410_em_mixture" -> (q410EmMixture _),
     "q408_ansari_bradley" -> (q408AnsariBradley _),
     "q409_brier_decomposition" -> (q409BrierDecomposition _),
     "q402_pages_trend" -> (q402PagesTrend _),
@@ -5676,7 +5770,88 @@ object Ml {
        |  lr AS leaf_right_c, (SELECT sse FROM e$t) AS sse_after
        |FROM b$t""".stripMargin
 
+  /** One unrolled EM round for the q410 oracle: E-step responsibilities
+    * per histogram cell (quantized DECIMAL(18,12), mirroring
+    * [[emMixture2]]'s IEEE shapes exactly), M-step quantized-term sums,
+    * new parameters as the same double shapes. */
+  private def emRoundSql(r: Int): String =
+    s"""rs$r AS (
+       |  SELECT h.v, h.c,
+       |    CAST(1.0 / (1.0 + exp(-(
+       |      (ln(p.pi1) - (CAST(h.v AS DOUBLE) - p.mu1)
+       |          * (CAST(h.v AS DOUBLE) - p.mu1) / (2.0 * p.s1)
+       |        - 0.5 * ln(p.s1))
+       |      - (ln(1.0 - p.pi1) - (CAST(h.v AS DOUBLE) - p.mu2)
+       |          * (CAST(h.v AS DOUBLE) - p.mu2) / (2.0 * p.s2)
+       |        - 0.5 * ln(p.s2))
+       |    ))) AS DECIMAL(18,12)) AS rr
+       |  FROM hist h CROSS JOIN p${r - 1} p),
+       |m$r AS (
+       |  SELECT
+       |    CAST(SUM(CAST(CAST(c AS DOUBLE) * CAST(rr AS DOUBLE)
+       |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS t1,
+       |    CAST(SUM(CAST(CAST(c AS DOUBLE) * CAST(rr AS DOUBLE)
+       |      * CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DECIMAL(38,6))
+       |      AS tv,
+       |    CAST(SUM(CAST(CAST(c AS DOUBLE) * CAST(rr AS DOUBLE)
+       |      * CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(38,6)))
+       |      AS DECIMAL(38,6)) AS tq
+       |  FROM rs$r),
+       |p$r AS (
+       |  SELECT CAST(t1 AS DOUBLE) / nn AS pi1,
+       |    CAST(tv AS DOUBLE) / CAST(t1 AS DOUBLE) AS mu1,
+       |    GREATEST(CAST(tq AS DOUBLE) / CAST(t1 AS DOUBLE)
+       |      - (CAST(tv AS DOUBLE) / CAST(t1 AS DOUBLE))
+       |        * (CAST(tv AS DOUBLE) / CAST(t1 AS DOUBLE)), 1.0) AS s1,
+       |    (svd - CAST(tv AS DOUBLE)) / (nn - CAST(t1 AS DOUBLE)) AS mu2,
+       |    GREATEST((sqd - CAST(tq AS DOUBLE))
+       |        / (nn - CAST(t1 AS DOUBLE))
+       |      - ((svd - CAST(tv AS DOUBLE)) / (nn - CAST(t1 AS DOUBLE)))
+       |        * ((svd - CAST(tv AS DOUBLE)) / (nn - CAST(t1 AS DOUBLE))),
+       |      1.0) AS s2,
+       |    nn, svd, sqd
+       |  FROM m$r CROSS JOIN p${r - 1})""".stripMargin
+
+  private def emMixtureOracleSql(rounds: Int): String =
+    """WITH hist AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS sv,
+      |    CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))
+      |      * CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq
+      |  FROM hist),
+      |cum AS (
+      |  SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |    AS cum
+      |  FROM hist),
+      |mus AS (
+      |  SELECT
+      |    MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS mu1c,
+      |    MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS mu2c
+      |  FROM cum, tot),
+      |p0 AS (
+      |  SELECT 0.5 AS pi1, CAST(mu1c AS DOUBLE) AS mu1,
+      |    (CAST(sq AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS s1,
+      |    CAST(mu2c AS DOUBLE) AS mu2,
+      |    (CAST(sq AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS s2,
+      |    CAST(n AS DOUBLE) AS nn, CAST(sv AS DOUBLE) AS svd,
+      |    CAST(sq AS DOUBLE) AS sqd
+      |  FROM tot, mus),""".stripMargin + "\n" +
+      (1 to rounds).map(emRoundSql).mkString(",\n") + "\n" +
+      (1 to rounds).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, pi1, mu1 / 100.0 AS mu1,
+           |  sqrt(s1) / 100.0 AS sigma1, mu2 / 100.0 AS mu2,
+           |  sqrt(s2) / 100.0 AS sigma2 FROM p$r""".stripMargin)
+        .mkString("\nUNION ALL\n") + "\nORDER BY round"
+
   val oracles: Map[String, String] = Map(
+    "q410_em_mixture" -> emMixtureOracleSql(3),
     "q408_ansari_bradley" ->
       """WITH mm AS (
         |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid

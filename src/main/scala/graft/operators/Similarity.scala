@@ -1451,9 +1451,10 @@ object Similarity {
     require(k >= 2, s"k >= 2: $k")
     val spark = df.sparkSession
     // distances in integer NANO-units: component -> round(v*1e9) BIGINT
-    // (exact via the (10,9) decimal quantization), per-dim squared diff
-    // fits a long (< 8e17), the 64-dim sum accumulates in DECIMAL(38,0)
-    // (scale-0 adds never round under Spark's precision cap). The
+    // (exact via the (10,9) decimal quantization); the per-dim squared
+    // diff multiplies in DECIMAL (a long d*d wraps once |Δ| > ~3.03 —
+    // inside the (−10,10) guard range), the 64-dim sum accumulates in
+    // DECIMAL(38,0) (scale-0 adds never round under the precision cap). The
     // DuckDB twin sums HUGEINTs — decimal(38,18) sums measured ~6 s per
     // round there; integer sums are milliseconds.
     val d2 = """aggregate(
@@ -1461,8 +1462,8 @@ object Similarity {
       |    CAST(CAST(x AS DECIMAL(10,9)) * 1000000000 AS BIGINT)
       |      - CAST(CAST(y AS DECIMAL(10,9)) * 1000000000 AS BIGINT)),
       |  CAST(0 AS DECIMAL(38,0)),
-      |  (acc, d) -> CAST(acc + CAST(d * d AS DECIMAL(38,0))
-      |    AS DECIMAL(38,0)))""".stripMargin
+      |  (acc, d) -> CAST(acc + CAST(d AS DECIMAL(38,0))
+      |    * CAST(d AS DECIMAL(38,0)) AS DECIMAL(38,0)))""".stripMargin
     val qv = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v")).localCheckpoint(false)
     // the (10,9) quantization NULLs any |component| ≥ 10 under non-ANSI
@@ -1534,8 +1535,8 @@ object Similarity {
       |    CAST(CAST(x AS DECIMAL(10,9)) * 1000000000 AS BIGINT)
       |      - CAST(CAST(y AS DECIMAL(10,9)) * 1000000000 AS BIGINT)),
       |  CAST(0 AS DECIMAL(38,0)),
-      |  (acc, d) -> CAST(acc + CAST(d * d AS DECIMAL(38,0))
-      |    AS DECIMAL(38,0)))""".stripMargin
+      |  (acc, d) -> CAST(acc + CAST(d AS DECIMAL(38,0))
+      |    * CAST(d AS DECIMAL(38,0)) AS DECIMAL(38,0)))""".stripMargin
     val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
     val probes = base.filter(col("id") % probeMod === 0)
@@ -1561,7 +1562,54 @@ object Similarity {
     hubnessAudit(Tables.embeddings(spark, dir), "vec_id", "embedding",
       probeMod = 1000L, k = 10, topHubs = 20)
 
+  /** Embedding-space train/eval decontamination summary: how many TRAIN
+    * vectors sit within an exact squared-L2 radius of ANY eval-panel
+    * vector — the semantic-leak check that n-gram decontamination (q83)
+    * cannot see (a paraphrased eval item shares no 13-gram but lands
+    * next to its source in embedding space). Distances are the exact
+    * nano-unit integers of [[greedyKCenter]] — the flag set is
+    * engine-exact, not a float race. Probes broadcast against the
+    * streaming train side (the q50/q400 funnel shape), one left-semi
+    * collapse to distinct flagged ids. At 100 TB the panel-vs-corpus
+    * exact pass is the CONFIRMATION tail behind an ANN prefilter
+    * (q51/q53/q98). */
+  def embeddingDecontamination(df: DataFrame, idCol: String,
+      vecCol: String, probeMod: Long, tau2Nano: Long): DataFrame = {
+    require(probeMod >= 2 && tau2Nano > 0, s"bad args: $probeMod $tau2Nano")
+    val dd = (c: Column) => c.cast("double")
+    val d2 = """aggregate(
+      |  zip_with(v, pv, (x, y) ->
+      |    CAST(CAST(x AS DECIMAL(10,9)) * 1000000000 AS BIGINT)
+      |      - CAST(CAST(y AS DECIMAL(10,9)) * 1000000000 AS BIGINT)),
+      |  CAST(0 AS DECIMAL(38,0)),
+      |  (acc, d) -> CAST(acc + CAST(d AS DECIMAL(38,0))
+      |    * CAST(d AS DECIMAL(38,0)) AS DECIMAL(38,0)))""".stripMargin
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    val evalP = base.filter(col("id") % probeMod === 0)
+      .select(col("id").as("pid"), col("v").as("pv"))
+    val train = base.filter(col("id") % probeMod =!= 0)
+    val flagged = train.crossJoin(broadcast(evalP))
+      .filter(expr(d2) <= lit(BigDecimal(tau2Nano)).cast("decimal(38,0)"))
+      .select("id").distinct()
+    val counts = train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(evalP.agg(count(lit(1)).as("n_eval")))
+      .crossJoin(flagged.agg(count(lit(1)).as("n_flagged")))
+    counts.select(col("n_eval"), col("n_train"), col("n_flagged"),
+      (dd(col("n_flagged")) / dd(col("n_train"))).as("flag_rate"))
+  }
+
+  /** How much of the corpus leaks into the 1%-panel's semantic
+    * neighborhood (squared-L2 ≤ 1.3 on the unit-ish synthetic
+    * embeddings — the bottom ~0.5% of the pair-distance distribution,
+    * measured at both SFs). */
+  def q411EmbeddingDecontamination(spark: SparkSession,
+      dir: String): DataFrame =
+    embeddingDecontamination(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", probeMod = 100L, tau2Nano = 1300000000000000000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q411_embedding_decontamination" -> (q411EmbeddingDecontamination _),
     "q400_hubness_audit" -> (q400HubnessAudit _),
     "q385_kcenter_coreset" -> (q385KCenterCoreset _),
     "q380_embedding_isotropy" -> (q380EmbeddingIsotropy _),
@@ -1651,6 +1699,35 @@ object Similarity {
        |  SELECT j AS k, wd / (SELECT nrm FROM n$i) AS v FROM w$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q411_embedding_decontamination" ->
+      """WITH qv AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(10,9))
+        |      * 1000000000 AS BIGINT) AS q
+        |  FROM embeddings),
+        |pv AS MATERIALIZED (
+        |  SELECT vec_id, i, q FROM qv WHERE vec_id % 100 = 0),
+        |tv AS MATERIALIZED (
+        |  SELECT vec_id, i, q FROM qv WHERE vec_id % 100 <> 0),
+        |pd AS (
+        |  SELECT t.vec_id AS id,
+        |    SUM(CAST(t.q - p.q AS HUGEINT) * CAST(t.q - p.q AS HUGEINT))
+        |      AS d
+        |  FROM tv t JOIN pv p ON p.i = t.i
+        |  GROUP BY t.vec_id, p.vec_id),
+        |fl AS (
+        |  SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_flagged
+        |  FROM pd WHERE d <= 1300000000000000000),
+        |sh AS (
+        |  SELECT
+        |    (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM pv)
+        |      AS n_eval,
+        |    (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM tv)
+        |      AS n_train)
+        |SELECT n_eval, n_train, n_flagged,
+        |  CAST(n_flagged AS DOUBLE) / CAST(n_train AS DOUBLE)
+        |    AS flag_rate
+        |FROM sh, fl""".stripMargin,
     "q400_hubness_audit" ->
       """WITH qv AS MATERIALIZED (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Graph, Ml, Stats}
+import graft.operators.{Graph, Ml, Similarity, Stats}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -125,5 +125,30 @@ class Round10bOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_eval") > 100L)
     assert(math.abs(brier - (rel - res + unc)) < 1e-9)
     assert(res >= 0.0 && rel >= 0.0 && unc > 0.0 && brier > 0.0)
+  }
+
+  test("emMixture2: two separated value clumps recover their centers") {
+    val df = (Seq.fill(50)(1.0) ++ Seq.fill(50)(9.0)).map(("e", _))
+      .toDF("k", "v")
+    val rows = Ml.emMixture2(df, "v", rounds = 3).collect()
+    assert(rows.length == 3)
+    val last = rows.last
+    assert(math.abs(last.getAs[Double]("pi1") - 0.5) < 0.1)
+    assert(math.abs(last.getAs[Double]("mu1") - 1.0) < 0.5)
+    assert(math.abs(last.getAs[Double]("mu2") - 9.0) < 0.5)
+    assert(last.getAs[Double]("sigma1") < 2.0)
+  }
+
+  test("embeddingDecontamination: exact radius flags the planted pair") {
+    val pts = Seq(0L -> 0.0, 1L -> 0.1, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0,
+      5L -> 5.0, 6L -> 5.1, 7L -> 7.0, 8L -> 8.0, 9L -> 9.0)
+    val df = pts.map { case (i, x) => (i, Array(x, 0.0)) }.toDF("id", "v")
+    // tau2 = 2e16 nano-units^2 = radius ~0.141: flags ids 1 and 6 only
+    val r = Similarity.embeddingDecontamination(df, "id", "v",
+      probeMod = 5L, tau2Nano = 20000000000000000L).head()
+    assert(r.getAs[Long]("n_eval") == 2L)
+    assert(r.getAs[Long]("n_train") == 8L)
+    assert(r.getAs[Long]("n_flagged") == 2L)
+    assert(math.abs(r.getAs[Double]("flag_rate") - 0.25) < 1e-12)
   }
 }
