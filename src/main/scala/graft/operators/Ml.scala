@@ -2957,6 +2957,55 @@ object Ml {
           sqrt(col("variance"))).as("z"))
   }
 
+  /** Nelson–Aalen cumulative-hazard trajectory — the censoring-aware
+    * estimator Ĥ(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over event times (Nelson 1972,
+    * Aalen 1978): where Kaplan–Meier (q199) gives survival S(t), the NA
+    * curve gives the INTEGRATED RISK — its slope is the hazard rate, so
+    * flattening = risk decay, kinks = regime changes. Completes the
+    * survival family (KM q199, log-rank q268, exponential hazard q381).
+    * Same subject derivation as [[logRankTest]] (duration to first
+    * death-event, censored at last observation); at-risk counts via the
+    * statistic-frame suffix join; each dᵢ/nᵢ increment quantized
+    * DECIMAL(38,12) and accumulated by one range-partitioned rank pass
+    * over the death-time frame ([[Rank.globalRankPrefix]] prefix sums
+    * are LONG, so the quantized increments ride as pico-integers). */
+  def nelsonAalen(events: DataFrame, tsCol: String, userCol: String,
+      deathCond: Column): DataFrame = {
+    val ev = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol)).as("us"), deathCond.as("isd"))
+    val subj = ev.groupBy("u")
+      .agg(min("us").as("t0"), max("us").as("tend"),
+        min(when(col("isd"), col("us"))).as("tdeath"))
+      .select(
+        expr("(coalesce(tdeath, tend) - t0) div 86400000000").as("d"),
+        col("tdeath").isNotNull.as("event"))
+    val cells = subj.groupBy("d")
+      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("dth"),
+        count(lit(1)).as("tot"))
+      .localCheckpoint(true) // feeds risk join + death-time frame
+    val times = cells.filter(col("dth") > 0).select(col("d").as("t"),
+      col("dth"))
+    val risk = times.join(cells.select(col("d"), col("tot")),
+        cells("d") >= times("t"))
+      .groupBy("t", "dth").agg(sum("tot").as("n_risk"))
+      // pico-integer increment: ⌊d/n·1e12 + ½⌋ (values ≤ 1, the q216
+      // rule) so the running sum below stays an exact LONG
+      .withColumn("incq",
+        floor(dd(col("dth")) / dd(col("n_risk")) * 1e12 + 0.5)
+          .cast("long"))
+    Rank.globalRankPrefix(risk, Seq(col("t")), Seq("cum" -> col("incq")))
+      .select(col("t").as("t_days"), col("dth").as("n_deaths"),
+        col("n_risk"),
+        (col("cum").cast("double") / 1e12).as("na_cum_hazard"))
+      .orderBy("t_days")
+  }
+
+  /** Cumulative first-purchase hazard by lifetime day — the integrated
+    * conversion-risk curve over the event log. */
+  def q413NelsonAalen(spark: SparkSession, dir: String): DataFrame =
+    nelsonAalen(Tables.events(spark, dir), "ts", "user_id",
+      col("event_type") === "purchase")
+
   /** Do even- and odd-keyed users reach their first purchase at the
     * same hazard — the experiment-arm log-rank gate. */
   def q268LogRank(spark: SparkSession, dir: String): DataFrame =
@@ -5332,6 +5381,7 @@ object Ml {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q410_em_mixture" -> (q410EmMixture _),
+    "q413_nelson_aalen" -> (q413NelsonAalen _),
     "q408_ansari_bradley" -> (q408AnsariBradley _),
     "q409_brier_decomposition" -> (q409BrierDecomposition _),
     "q402_pages_trend" -> (q402PagesTrend _),
@@ -5852,6 +5902,37 @@ object Ml {
 
   val oracles: Map[String, String] = Map(
     "q410_em_mixture" -> emMixtureOracleSql(3),
+    "q413_nelson_aalen" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS us,
+        |    (event_type = 'purchase') AS isd
+        |  FROM events),
+        |subj AS (
+        |  SELECT (COALESCE(MIN(CASE WHEN isd THEN us END), MAX(us))
+        |      - MIN(us)) // 86400000000 AS d,
+        |    MIN(CASE WHEN isd THEN us END) IS NOT NULL AS event
+        |  FROM ev GROUP BY u),
+        |cells AS (
+        |  SELECT d,
+        |    CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dth,
+        |    CAST(COUNT(*) AS BIGINT) AS tot
+        |  FROM subj GROUP BY d),
+        |times AS (SELECT d AS t, dth FROM cells WHERE dth > 0),
+        |risk AS (
+        |  SELECT t.t, t.dth, CAST(SUM(c.tot) AS BIGINT) AS n_risk
+        |  FROM times t JOIN cells c ON c.d >= t.t GROUP BY 1, 2),
+        |inc AS (
+        |  SELECT *, CAST(FLOOR(CAST(dth AS DOUBLE)
+        |    / CAST(n_risk AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS incq
+        |  FROM risk),
+        |cm AS (
+        |  SELECT t, dth, n_risk,
+        |    SUM(incq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM inc)
+        |SELECT t AS t_days, dth AS n_deaths, n_risk,
+        |  CAST(cum AS DOUBLE) / 1e12 AS na_cum_hazard
+        |FROM cm ORDER BY 1""".stripMargin,
     "q408_ansari_bradley" ->
       """WITH mm AS (
         |  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid

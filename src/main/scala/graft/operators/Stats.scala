@@ -3547,6 +3547,113 @@ object Stats {
     recordBreaks(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
       "l_extendedprice")
 
+  /** Logistic (Verhulst) growth fit on an adoption curve: new-entity
+    * counts vs cumulative adoption obey ΔN ≈ r·N − (r/K)·N² under
+    * logistic growth, so the through-origin quadratic OLS of daily new
+    * entities on the prior cumulative gives the growth rate r and the
+    * carrying capacity K = −a/b in closed form — the "how big does this
+    * get" forecast a raw trend line can't answer (it has no saturation
+    * term). Entities enter at their FIRST appearance (one min-reduce);
+    * the (N, ΔN) day frame rides one range-partitioned rank pass; every
+    * OLS moment (up to Σ N⁴) is an EXACT integer DECIMAL(38,0) sum —
+    * exact up to ~5·10⁸ total entities (beyond that Σ N⁴ crosses 38
+    * digits; pre-aggregate to weeks or rescale first — documented
+    * bound, loud NULL under the non-ANSI cast rather than a wrap); the
+    * 2×2 solve is a fixed double finish. r² uses the no-intercept
+    * convention 1 − SSE/Σy². */
+  def logisticGrowthFit(df: DataFrame, dateCol: String,
+      idCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val days = df.select(col(idCol).as("id"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"))
+      .groupBy("id").agg(min("d").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("nw"))
+    val cum = Rank.globalRankPrefix(days, Seq(col("d")),
+      Seq("cn" -> col("nw")))
+    val pts = cum
+      .select((col("cn") - col("nw")).as("x"), col("nw").as("y"))
+      .filter(col("x") > 0) // day 1 has no installed base to grow from
+    val m = pts.agg(count(lit(1)).as("n_days"),
+      sum(d38(col("x")) * d38(col("x"))).cast("decimal(38,0)").as("s2"),
+      sum(d38(col("x")) * d38(col("x")) * d38(col("x")))
+        .cast("decimal(38,0)").as("s3"),
+      sum(d38(col("x")) * d38(col("x")) * d38(col("x")) * d38(col("x")))
+        .cast("decimal(38,0)").as("s4"),
+      sum(d38(col("x")) * d38(col("y"))).cast("decimal(38,0)").as("sxy"),
+      sum(d38(col("x")) * d38(col("x")) * d38(col("y")))
+        .cast("decimal(38,0)").as("sx2y"),
+      sum(d38(col("y")) * d38(col("y"))).cast("decimal(38,0)").as("syy"))
+    val tot = df.select(col(idCol).as("id")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val det = dd(col("s2")) * dd(col("s4")) - dd(col("s3")) * dd(col("s3"))
+    val a = (dd(col("sxy")) * dd(col("s4")) -
+      dd(col("sx2y")) * dd(col("s3"))) / det
+    val b = (dd(col("s2")) * dd(col("sx2y")) -
+      dd(col("s3")) * dd(col("sxy"))) / det
+    val sse = dd(col("syy")) - a * dd(col("sxy")) - b * dd(col("sx2y"))
+    m.crossJoin(broadcast(tot)) // 1-row build side
+      .filter(col("n_days") > 2 && det =!= 0.0)
+      .select(col("n_days"), col("n_total"),
+        a.as("r_growth"),
+        when(b < 0, -a / b).as("k_capacity"),
+        (lit(1.0) - sse / dd(col("syy"))).as("r2"))
+  }
+
+  /** How big does the customer base get — logistic growth rate and
+    * carrying capacity from the first-order adoption curve. */
+  def q412LogisticGrowth(spark: SparkSession, dir: String): DataFrame =
+    logisticGrowthFit(Tables.orders(spark, dir), "o_orderdate",
+      "o_custkey")
+
+  /** Distribution-free confidence interval for the MEDIAN via order
+    * statistics: the interval between ranks ⌊(n − z√n)/2⌋ and
+    * ⌈(n + z√n)/2⌉ + 1 covers the median with ≈ 95% confidence under
+    * NO distributional assumption (the binomial rank argument) — the
+    * uncertainty statement a point median (q290's crossing) lacks.
+    * Rank convention documented above; ranks clamp to [1, n]. Exact
+    * crossings on the per-group value histogram; the only doubles are
+    * z√n (one fixed shape each, floored/ceiled identically in both
+    * engines). */
+  def medianCI(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val per = df.select(col(groupCol).as("g"),
+      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("x"))
+    val wCum = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("g")
+    val z = lit(1.959963984540054)
+    per.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wTot))
+      .withColumn("rl", greatest(lit(1L),
+        floor((dd(col("n")) - z * sqrt(dd(col("n")))) / 2.0)
+          .cast("long")))
+      .withColumn("rh", least(col("n"),
+        (ceil((dd(col("n")) + z * sqrt(dd(col("n")))) / 2.0) + 1)
+          .cast("long")))
+      .groupBy("g")
+      .agg(max("n").as("n"),
+        (min(when(col("cum") >= expr("(n + 1) div 2"), col("x"))) +
+          min(when(col("cum") >= expr("(n + 2) div 2"), col("x"))))
+          .as("med2"),
+        min(when(col("cum") >= col("rl"), col("x"))).as("lo"),
+        min(when(col("cum") >= col("rh"), col("x"))).as("hi"))
+      .filter(col("n") > 3)
+      .select(col("g").as(groupCol), col("n"),
+        (dd(col("med2")) / 200.0).as("median"),
+        (dd(col("lo")) / 100.0).as("ci_lo"),
+        (dd(col("hi")) / 100.0).as("ci_hi"))
+      .orderBy(groupCol)
+  }
+
+  /** 95% distribution-free median CI of extended price per return
+    * flag. */
+  def q414MedianCI(spark: SparkSession, dir: String): DataFrame =
+    medianCI(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_extendedprice")
+
   /** Cox–Stuart trend test: pair the i-th day of each group's daily
     * series with the (i + ⌈n/2⌉)-th and sign-test the pairs — the
     * simplest distribution-free monotone-trend check (Cox & Stuart
@@ -3652,6 +3759,8 @@ object Stats {
     "q391_runs_test" -> (q391RunsTest _),
     "q397_record_breaks" -> (q397RecordBreaks _),
     "q405_cox_stuart" -> (q405CoxStuart _),
+    "q412_logistic_growth" -> (q412LogisticGrowth _),
+    "q414_median_ci" -> (q414MedianCI _),
     "q398_fano_factor" -> (q398FanoFactor _),
     "q401_winsorized_mean" -> (q401WinsorizedMean _),
     "q387_coverage_counts" -> (q387CoverageCounts _),
@@ -4052,6 +4161,92 @@ object Stats {
         |FROM agg
         |WHERE n_above > 0 AND n_below > 0 AND n_above + n_below > 1
         |ORDER BY 1""".stripMargin,
+    "q412_logistic_growth" ->
+      """WITH firstd AS (
+        |  SELECT o_custkey AS id,
+        |    CAST(MIN(datediff('day', DATE '1992-01-01', o_orderdate))
+        |      AS BIGINT) AS d
+        |  FROM orders GROUP BY 1),
+        |days AS (
+        |  SELECT d, CAST(COUNT(*) AS BIGINT) AS nw FROM firstd
+        |  GROUP BY d),
+        |cum AS (
+        |  SELECT d, nw,
+        |    SUM(nw) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cn
+        |  FROM days),
+        |pts AS (
+        |  SELECT cn - nw AS x, nw AS y FROM cum),
+        |fp AS (SELECT * FROM pts WHERE x > 0),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s2,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))
+        |      * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s3,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))
+        |      * CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS s4,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))
+        |      * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx2y,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS syy
+        |  FROM fp),
+        |tot AS (
+        |  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_total
+        |  FROM orders),
+        |f AS (
+        |  SELECT n_days, n_total,
+        |    CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)
+        |      - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) AS det,
+        |    CAST(sxy AS DOUBLE) AS dxy, CAST(sx2y AS DOUBLE) AS dx2y,
+        |    CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+        |    CAST(s4 AS DOUBLE) AS d4, CAST(syy AS DOUBLE) AS dyy
+        |  FROM m, tot WHERE n_days > 2),
+        |g AS (
+        |  SELECT n_days, n_total, dyy, dxy, dx2y,
+        |    (dxy * d4 - dx2y * d3) / det AS a,
+        |    (d2 * dx2y - d3 * dxy) / det AS b
+        |  FROM f WHERE det <> 0)
+        |SELECT n_days, n_total, a AS r_growth,
+        |  CASE WHEN b < 0 THEN -a / b END AS k_capacity,
+        |  1.0 - (dyy - a * dxy - b * dx2y) / dyy AS r2
+        |FROM g""".stripMargin,
+    "q414_median_ci" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, x, cnt,
+        |    SUM(cnt) OVER (PARTITION BY g ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY g) AS n
+        |  FROM hist),
+        |rr AS (
+        |  SELECT *,
+        |    GREATEST(1, CAST(FLOOR((CAST(n AS DOUBLE)
+        |      - 1.959963984540054 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+        |      AS BIGINT)) AS rl,
+        |    LEAST(n, CAST(CEIL((CAST(n AS DOUBLE)
+        |      + 1.959963984540054 * sqrt(CAST(n AS DOUBLE))) / 2.0) + 1
+        |      AS BIGINT)) AS rh
+        |  FROM cum),
+        |agg AS (
+        |  SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+        |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN x END)
+        |      + MIN(CASE WHEN cum >= (n + 2) // 2 THEN x END) AS med2,
+        |    MIN(CASE WHEN cum >= rl THEN x END) AS lo,
+        |    MIN(CASE WHEN cum >= rh THEN x END) AS hi
+        |  FROM rr GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  CAST(med2 AS DOUBLE) / 200.0 AS median,
+        |  CAST(lo AS DOUBLE) / 100.0 AS ci_lo,
+        |  CAST(hi AS DOUBLE) / 100.0 AS ci_hi
+        |FROM agg WHERE n > 3 ORDER BY 1""".stripMargin,
     "q405_cox_stuart" ->
       """WITH daily AS (
         |  SELECT l_returnflag AS g,
