@@ -21,6 +21,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The between-query Checkpoints.freeAll sweep logs one
+    // "WARN MapPartitionsRDD: … cannot be recomputed after unpersisting" per
+    // freed block — expected and harmless (frames rebuild from parquet), but
+    // at ~1,600 executions it floods the driver's stderr tail and buries the
+    // single JSON output line (r10: the driver artifact was 100% this spam).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -41,19 +48,31 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce(_, "/root/testdata/sf0.001")) // warmup: JIT + codegen
-    // median-of-3 per query: totals on this box swing 25-45 s run-to-run
-    // (load noise), so round-over-round regressions are only attributable
-    // from per-query medians
+    // Adaptive repeats (r10: the flat 409×3 policy put the driver run past
+    // its wall-clock budget — rc=124, no artifact). Box noise that motivated
+    // median-of-3 is multiplicative-small: it matters on sub-second queries
+    // where 0.2 s jitter is 30%+, not on multi-second queries where the same
+    // jitter is <10%. So: one warm timed run always; if it lands under the
+    // threshold, two more and take the median. Sealed-run arithmetic: 3×613 s
+    // ≈ 1,840 s flat vs ≈ 1,010 s adaptive at 1.5 s — fits the budget with
+    // warmup + JVM start to spare.
+    val medianThreshold = 1.5
     val results = names.map { n =>
-      val ok = (1 to 3).map(_ => runOnce(n, sfDir)).filter(_ >= 0).sorted
-      n -> (if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2))
+      val first = runOnce(n, sfDir)
+      if (first < 0) n -> -1.0
+      else if (first >= medianThreshold) n -> first
+      else {
+        val ok = (first +: (1 to 2).map(_ => runOnce(n, sfDir)))
+          .filter(_ >= 0).sorted
+        n -> ok((ok.size - 1) / 2)
+      }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","stat":"median_of_3"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","stat":"median3_lt${medianThreshold}%.1fs_else_single"}"""
     println(line)
     // the driver's stdout-tail capture is lossy past ~4 KB, which truncated
     // the per-query map in earlier rounds — persist the complete artifact

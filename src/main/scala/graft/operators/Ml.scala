@@ -1637,7 +1637,17 @@ object Ml {
     * hint: after localCheckpoint the factor frame has no stats, so without
     * the hint the planner can fall back to a sort-merge join that
     * reshuffles the fact table every half-step (r9 driver run: 93 s vs
-    * 4.5 s sealed). Plan-pinned in TrainerPlanSpec. */
+    * 4.5 s sealed). Plan-pinned in TrainerPlanSpec.
+    *
+    * Entity-cardinality bound on the hint (ADVICE r10): the broadcast
+    * side is one ~40 B row per distinct entity, so the hint is safe up to
+    * ~10⁸ entities against default 8 GB executors — covering catalog-scale
+    * item domains and most user domains. Past that (billions of users at
+    * 100 TB), swap the hint for SHUFFLE_HASH on the factor side: it also
+    * avoids re-sorting/reshuffling the fact (the r9 regression) without a
+    * driver-side broadcast ceiling, at the cost of one hash shuffle of the
+    * model frame per half-step. The trainer here keeps BROADCAST because
+    * its factor frames are topN-bounded model frames by construction. */
   private[graft] def alsHalfStep(rt: DataFrame, entity: String,
       joinKey: String, f: DataFrame, lambda: Double): DataFrame = {
     val piq = (c: Column) => floor(c * 1e12 + 0.5).cast("decimal(38,0)")

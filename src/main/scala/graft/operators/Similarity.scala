@@ -1446,34 +1446,46 @@ object Similarity {
     * (model-sized); the min-distance column is localCheckpoint'ed so
     * lineage stays O(1) rounds. Returns (round, id, radius2) — the
     * radius2 trajectory IS the k-center cost curve. */
+  /** Exact integer squared-L2 on the shared NANO-unit grid: each
+    * component -> round(v*1e9) BIGINT (exact via (10,9) decimal
+    * quantization); the per-dim squared diff multiplies in DECIMAL (a
+    * long d*d wraps once |Δ| > ~3.03 — inside the (−10,10) guard range),
+    * the sum accumulates in DECIMAL(38,0) (scale-0 adds never round under
+    * the precision cap). The DuckDB twin sums HUGEINTs — decimal(38,18)
+    * sums measured ~6 s per round there; integer sums are milliseconds.
+    * Shared by [[greedyKCenter]]/[[hubnessAudit]]/[[embeddingDecontamination]]
+    * — every caller MUST first pass [[requireNanoGridSafe]]. */
+  private def nanoD2(a: String, b: String): String = s"""aggregate(
+    |  zip_with($a, $b, (x, y) ->
+    |    CAST(CAST(x AS DECIMAL(10,9)) * 1000000000 AS BIGINT)
+    |      - CAST(CAST(y AS DECIMAL(10,9)) * 1000000000 AS BIGINT)),
+    |  CAST(0 AS DECIMAL(38,0)),
+    |  (acc, d) -> CAST(acc + CAST(d AS DECIMAL(38,0))
+    |    * CAST(d AS DECIMAL(38,0)) AS DECIMAL(38,0)))""".stripMargin
+
+  /** The (10,9) quantization behind [[nanoD2]] NULLs any |component| ≥ 10
+    * (and NaN) under non-ANSI Spark. A NULL pair distance is not an error
+    * downstream — it silently drops the point from argmax/least updates,
+    * ranks FIRST under Spark's NULLS-FIRST ascending sort (garbage top-k
+    * "neighbors"), and falls out of `<= tau` flag sets. Fail loudly
+    * instead: one cheap column-pruned scan, once per operator call. */
+  private def requireNanoGridSafe(frame: DataFrame, vecCol: String,
+      op: String): Unit = {
+    val oob = frame.filter(exists(col(vecCol),
+      x => abs(x) >= lit(10.0f) || isnan(x))).limit(1).count()
+    require(oob == 0L, s"$op requires every vector component " +
+      "in (-10, 10) and non-NaN (the exact-decimal nano-unit distance " +
+      "grid); normalize or rescale the embedding first")
+  }
+
   def greedyKCenter(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"k >= 2: $k")
     val spark = df.sparkSession
-    // distances in integer NANO-units: component -> round(v*1e9) BIGINT
-    // (exact via the (10,9) decimal quantization); the per-dim squared
-    // diff multiplies in DECIMAL (a long d*d wraps once |Δ| > ~3.03 —
-    // inside the (−10,10) guard range), the 64-dim sum accumulates in
-    // DECIMAL(38,0) (scale-0 adds never round under the precision cap). The
-    // DuckDB twin sums HUGEINTs — decimal(38,18) sums measured ~6 s per
-    // round there; integer sums are milliseconds.
-    val d2 = """aggregate(
-      |  zip_with(v, cv, (x, y) ->
-      |    CAST(CAST(x AS DECIMAL(10,9)) * 1000000000 AS BIGINT)
-      |      - CAST(CAST(y AS DECIMAL(10,9)) * 1000000000 AS BIGINT)),
-      |  CAST(0 AS DECIMAL(38,0)),
-      |  (acc, d) -> CAST(acc + CAST(d AS DECIMAL(38,0))
-      |    * CAST(d AS DECIMAL(38,0)) AS DECIMAL(38,0)))""".stripMargin
+    val d2 = nanoD2("v", "cv")
     val qv = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v")).localCheckpoint(false)
-    // the (10,9) quantization NULLs any |component| ≥ 10 under non-ANSI
-    // Spark, which would silently drop that point from the argmax and
-    // from least() updates — fail loudly instead (one cheap scan, once)
-    val oob = qv.filter(exists(col("v"),
-      x => abs(x) >= lit(10.0f) || isnan(x))).limit(1).count()
-    require(oob == 0L, "greedyKCenter requires every vector component " +
-      "in (-10, 10) and non-NaN (the exact-decimal distance grid); " +
-      "normalize or rescale the embedding first")
+    requireNanoGridSafe(qv, "v", "greedyKCenter")
     val seed = qv.agg(min("id")).head().getLong(0)
     var mind = qv
       .crossJoin(broadcast(qv.filter(col("id") === seed)
@@ -1526,21 +1538,31 @@ object Similarity {
     * probe-partitioned rank window, and the hub table is a k·|probes|-row
     * reduction. */
   def hubnessAudit(df: DataFrame, idCol: String, vecCol: String,
-      probeMod: Long, k: Int, topHubs: Int): DataFrame = {
-    require(probeMod >= 1 && k >= 1 && topHubs >= 1,
-      s"bad args: $probeMod $k $topHubs")
+      probeMod: Long, k: Int, topHubs: Int,
+      maxProbes: Long = 65536L): DataFrame = {
+    // probeMod >= 2: probeMod = 1 makes every vector a probe — the
+    // broadcast becomes the entire corpus and the crossJoin degenerates
+    // to an O(n²) all-pairs product (ADVICE r10)
+    require(probeMod >= 2 && k >= 1 && topHubs >= 1 && maxProbes >= 1,
+      s"bad args: $probeMod $k $topHubs $maxProbes")
     val dd = (c: Column) => c.cast("double")
-    val d2 = """aggregate(
-      |  zip_with(v, pv, (x, y) ->
-      |    CAST(CAST(x AS DECIMAL(10,9)) * 1000000000 AS BIGINT)
-      |      - CAST(CAST(y AS DECIMAL(10,9)) * 1000000000 AS BIGINT)),
-      |  CAST(0 AS DECIMAL(38,0)),
-      |  (acc, d) -> CAST(acc + CAST(d AS DECIMAL(38,0))
-      |    * CAST(d AS DECIMAL(38,0)) AS DECIMAL(38,0)))""".stripMargin
+    val d2 = nanoD2("v", "pv")
     val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
+    requireNanoGridSafe(base, "v", "hubnessAudit")
     val probes = base.filter(col("id") % probeMod === 0)
       .select(col("id").as("pid"), col("v").as("pv"))
+    // The mod-sampled panel is a FIXED FRACTION of the corpus, so at 100×
+    // scale the broadcast side is 100× today's payload — a hard executor
+    // OOM, not a slowdown. Enforce a fixed-size panel (real usage passes a
+    // bounded eval panel): 65536 probes × ~300 B/64-dim row ≈ 20 MB, well
+    // inside default broadcast budgets. Fail loudly, never truncate — a
+    // silently clipped panel would skew hub counts.
+    val nProbes = probes.count()
+    require(nProbes <= maxProbes, s"hubnessAudit probe panel has $nProbes " +
+      s"rows > maxProbes=$maxProbes — the panel is broadcast, so it must " +
+      "be a fixed-size eval panel, not a corpus fraction; raise probeMod " +
+      "or pass an explicit bounded panel")
     val ranked = base.crossJoin(broadcast(probes))
       .filter(col("id") =!= col("pid"))
       .select(col("pid"), col("id"), expr(d2).as("dist"))
@@ -1574,21 +1596,27 @@ object Similarity {
     * exact pass is the CONFIRMATION tail behind an ANN prefilter
     * (q51/q53/q98). */
   def embeddingDecontamination(df: DataFrame, idCol: String,
-      vecCol: String, probeMod: Long, tau2Nano: Long): DataFrame = {
-    require(probeMod >= 2 && tau2Nano > 0, s"bad args: $probeMod $tau2Nano")
+      vecCol: String, probeMod: Long, tau2Nano: Long,
+      maxProbes: Long = 65536L): DataFrame = {
+    require(probeMod >= 2 && tau2Nano > 0 && maxProbes >= 1,
+      s"bad args: $probeMod $tau2Nano $maxProbes")
     val dd = (c: Column) => c.cast("double")
-    val d2 = """aggregate(
-      |  zip_with(v, pv, (x, y) ->
-      |    CAST(CAST(x AS DECIMAL(10,9)) * 1000000000 AS BIGINT)
-      |      - CAST(CAST(y AS DECIMAL(10,9)) * 1000000000 AS BIGINT)),
-      |  CAST(0 AS DECIMAL(38,0)),
-      |  (acc, d) -> CAST(acc + CAST(d AS DECIMAL(38,0))
-      |    * CAST(d AS DECIMAL(38,0)) AS DECIMAL(38,0)))""".stripMargin
+    val d2 = nanoD2("v", "pv")
     val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
+    // an out-of-grid train vector would get a NULL pair distance and
+    // silently fall out of the `<= tau` flag set — a missed leak, the
+    // worst failure mode a decontamination check can have (ADVICE r10)
+    requireNanoGridSafe(base, "v", "embeddingDecontamination")
     val evalP = base.filter(col("id") % probeMod === 0)
       .select(col("id").as("pid"), col("v").as("pv"))
     val train = base.filter(col("id") % probeMod =!= 0)
+    // fixed-size broadcast panel, same bound + rationale as [[hubnessAudit]]
+    val nProbes = evalP.count()
+    require(nProbes <= maxProbes, s"embeddingDecontamination eval panel " +
+      s"has $nProbes rows > maxProbes=$maxProbes — the panel is " +
+      "broadcast, so it must be a fixed-size eval panel, not a corpus " +
+      "fraction; raise probeMod or pass an explicit bounded panel")
     val flagged = train.crossJoin(broadcast(evalP))
       .filter(expr(d2) <= lit(BigDecimal(tau2Nano)).cast("decimal(38,0)"))
       .select("id").distinct()

@@ -27,13 +27,20 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Checkpoints {
 
   /** Free the executor-storage blocks behind a localCheckpoint'ed frame.
-    * No-op on frames that are not checkpoint-backed. Only call once every
-    * consumer of `df` has been MATERIALIZED (collected, written, or eagerly
-    * re-checkpointed) — the lineage is truncated, so lost blocks cannot be
-    * recomputed. */
+    * No-op on frames that are not ROOT-checkpoint-backed: only the frame
+    * returned by `localCheckpoint` itself (plan = a single LogicalRDD) is
+    * freed. A lazily composed frame (projection/join OVER a checkpoint)
+    * is deliberately rejected — collecting every LogicalRDD under it
+    * would unpersist still-shared blocks (e.g. a common edge frame) whose
+    * lineage is already truncated: an unrecoverable "checkpoint block not
+    * found" at the next consumer. Only call once every consumer of `df`
+    * has been MATERIALIZED (collected, written, or eagerly
+    * re-checkpointed) — lost blocks cannot be recomputed. */
   def free(df: DataFrame): Unit =
-    df.queryExecution.logical.collect { case lr: LogicalRDD => lr.rdd }
-      .foreach(_.unpersist(blocking = false))
+    df.queryExecution.logical match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Free EVERY persisted RDD in the session — the between-queries sweep so
     * one query's checkpoint blocks can never build memory pressure for the

@@ -186,14 +186,71 @@ class Round10OpsSpec extends AnyFunSuite {
   test("hubnessAudit: 1-D line of points, exact neighbor counts") {
     val df = Seq(0.0, 0.1, 0.2, 0.3, 0.9).zipWithIndex.map {
       case (x, i) => (i.toLong, Array(x, 0.0)) }.toDF("id", "v")
-    val rows = Similarity.hubnessAudit(df, "id", "v", probeMod = 1L,
+    // probes = even ids {0, 2, 4} (probeMod = 1 — every vector a probe,
+    // broadcast = corpus — is rejected since r11; see the guard test)
+    val rows = Similarity.hubnessAudit(df, "id", "v", probeMod = 2L,
       k = 2, topHubs = 5).collect()
     val counts = rows.map(r =>
       r.getAs[Long]("vec_id") -> r.getAs[Long]("n_lists")).toMap
-    // 2 sits in 4 of the 5 top-2 lists; 4 in none
-    assert(counts == Map(2L -> 4L, 1L -> 3L, 3L -> 2L, 0L -> 1L))
-    // output is ordered by hubness desc
-    assert(rows.map(_.getAs[Long]("vec_id")).toSeq ==
-      Seq(2L, 1L, 3L, 0L))
+    // probe 0 → {1, 2}; probe 2 → {1, 3} (0.1-tie broken by asc id);
+    // probe 4 → {3, 2}
+    assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // ties in n_lists order by asc vec_id
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L))
+    val meanRank = rows.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Double]("mean_rank")).toMap
+    assert(meanRank(1L) == 1.0 && meanRank(2L) == 2.0 &&
+      meanRank(3L) == 1.5)
+  }
+
+  test("hubnessAudit: probeMod = 1 (broadcast = whole corpus) rejected") {
+    val df = Seq((0L, Array(0.0, 0.0)), (1L, Array(1.0, 0.0)))
+      .toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Similarity.hubnessAudit(df, "id", "v", probeMod = 1L, k = 1,
+        topHubs = 1)
+    }
+  }
+
+  test("hubnessAudit: panel larger than maxProbes fails loudly") {
+    val df = (0L to 9L).map(i => (i, Array(i.toDouble / 10, 0.0)))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hubnessAudit(df, "id", "v", probeMod = 2L, k = 1,
+        topHubs = 3, maxProbes = 2L)
+    }
+    assert(e.getMessage.contains("maxProbes"))
+  }
+
+  test("hubnessAudit: out-of-grid component fails loudly, not NULLS FIRST") {
+    // |x| >= 10 quantizes to NULL on the nano grid; pre-r11 the NULL
+    // distance ranked FIRST (Spark ascending sort is NULLS FIRST) and the
+    // garbage point topped every neighbor list
+    val df = Seq((0L, Array(0.0, 0.0)), (1L, Array(0.1, 0.0)),
+      (2L, Array(11.0, 0.0))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hubnessAudit(df, "id", "v", probeMod = 2L, k = 1,
+        topHubs = 3)
+    }
+    assert(e.getMessage.contains("nano-unit"))
+  }
+
+  test("embeddingDecontamination: NaN component fails loudly (missed-leak guard)") {
+    val df = Seq((0L, Array(0.0, 0.0)), (1L, Array(Double.NaN, 0.0)),
+      (2L, Array(0.2, 0.0)), (3L, Array(0.3, 0.0))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Similarity.embeddingDecontamination(df, "id", "v", probeMod = 2L,
+        tau2Nano = 1L)
+    }
+  }
+
+  test("embeddingDecontamination: panel cap fails loudly") {
+    val df = (0L to 9L).map(i => (i, Array(i.toDouble / 10, 0.0)))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingDecontamination(df, "id", "v", probeMod = 2L,
+        tau2Nano = 1L, maxProbes = 3L)
+    }
+    assert(e.getMessage.contains("maxProbes"))
   }
 }

@@ -74,6 +74,37 @@ class TrainerPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q400 hubness broadcasts the PROBE PANEL, never the corpus") {
+    // the funnel's scale contract: the corpus streams, the fixed-size
+    // panel broadcasts. If a refactor flipped the crossJoin sides the
+    // plan would still be "a BNLJ" — only the build-side row count
+    // distinguishes panel-broadcast from corpus-broadcast, so pin it
+    // with runtime stats (the q366 pattern).
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val corpus = emb.count()
+    val panel = emb.filter(col("vec_id") % 1000 === 0).count()
+    assert(panel > 0 && panel < corpus, "fixture no longer discriminates")
+    val df = SparkEntry.queries("q400_hubness_audit")(spark, sf)
+    val bnlj = executedPlans(df).collect {
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnlj.nonEmpty, "q400 lost its broadcast cross join")
+    for (b <- bnlj) {
+      val build = b.buildSide match {
+        case BuildLeft => b.left
+        case BuildRight => b.right
+      }
+      val rows = collectPlans(build)
+        .collectFirst { case s: BroadcastQueryStageExec => s }
+        .flatMap(_.getRuntimeStatistics.rowCount).toSeq
+      assert(rows.nonEmpty && rows.forall(_ == panel),
+        s"q400 BNLJ build side has rows=${rows.mkString(",")}, expected " +
+          s"the $panel-row probe panel (corpus=$corpus):\n" +
+          b.simpleStringWithNodeId())
+    }
+  }
+
   test("grid-DBSCAN q366 plans no data-scaled BroadcastNestedLoopJoin") {
     // a BNLJ is tolerable ONLY when its build side is a 1-row statistic
     // frame (the `crossJoin(broadcast(tot))` threshold pattern) — the
