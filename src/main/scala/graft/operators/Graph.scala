@@ -889,7 +889,15 @@ object Graph {
     * club's internal edge count, reported next to the global density and
     * their ratio (≫ 1 = rich club). Exact counting: one degree
     * aggregation, two broadcast semi-joins of the m-row club against the
-    * edge list, three global counts — edge-linear, no iteration. */
+    * edge list, three global counts — edge-linear, no iteration.
+    *
+    * Degenerate inputs (ADVICE-r10-class audit): `club_size` is the
+    * ACTUAL club cardinality min(topM, |nodes|), and φ divides by IT —
+    * with topM > node-count the requested-m denominator would silently
+    * deflate φ (Zhou & Mondragón define φ(m) over a club of m REAL
+    * nodes). φ is NULL when the club has < 2 nodes, density NULL when
+    * the graph has < 2 nodes (0/0 guards), and an all-self-loop /
+    * empty edge frame yields one row of zeros + NULLs, never a crash. */
   def richClub(edges: DataFrame, aCol: String, bCol: String,
       topM: Int): DataFrame = {
     require(topM >= 2, s"topM must be >= 2: $topM")
@@ -910,14 +918,16 @@ object Graph {
       .join(broadcast(hubs.withColumnRenamed("node", "v")), Seq("v"),
         "left_semi")
       .agg(count(lit(1)).as("e_club"))
-    val m = lit(topM.toLong)
+    val m = col("club_size")
     deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(eRich) // three 1-row statistic frames
-      .select(m.as("club_size"), col("n_nodes"), col("n_edges"),
+      .withColumn("club_size", least(lit(topM.toLong), col("n_nodes")))
+      .select(col("club_size"), col("n_nodes"), col("n_edges"),
         col("e_club"),
-        (dd(col("e_club")) * 2.0 / (dd(m) * dd(m - 1))).as("phi"),
-        (dd(col("n_edges")) * 2.0 /
+        when(m >= 2, dd(col("e_club")) * 2.0 / (dd(m) * dd(m - 1)))
+          .as("phi"),
+        when(col("n_nodes") >= 2, dd(col("n_edges")) * 2.0 /
           (dd(col("n_nodes")) * dd(col("n_nodes") - 1))).as("density"))
       .withColumn("phi_norm", col("phi") / col("density"))
   }

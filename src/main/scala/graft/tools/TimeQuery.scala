@@ -19,6 +19,8 @@ object TimeQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     val fn = SparkEntry.queries(name)
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()
@@ -26,6 +28,9 @@ object TimeQuery {
       val tPlan = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val tExec = System.nanoTime()
+      // Bench's between-run sweep: without it repeated runs measure the
+      // compounding checkpoint-block leak, not the query
+      graft.plans.Checkpoints.freeAll(spark)
       println(f"[$name run $i] plan-build ${(tPlan - t0) / 1e9}%.3f s, execute ${(tExec - tPlan) / 1e9}%.3f s")
     }
     println(fn(spark, sfDir).queryExecution.explainString(
