@@ -3467,6 +3467,64 @@ object Stats {
     runsTest(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
       "l_extendedprice")
 
+  /** Mann–Kendall monotone-trend test per group (Mann 1945, Kendall
+    * 1975) — the nonparametric "is this series drifting" screen that
+    * sees what Cox–Stuart's paired sign test (q405) throws away:
+    * S = Σ_{i<j} sgn(y_j − y_i) over the day-ordered series, with the
+    * tie-corrected null variance Var S = [n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5)]/18 and the continuity-corrected z. Also reports
+    * Kendall's τ_b against time (ties in y corrected; time has none).
+    *
+    * Scale shape: the series is first reduced to the per-day STATISTIC
+    * frame (exact-cent sums), and the pair walk is a self-join of that
+    * day frame within each group — calendar-bounded O(days²), ~3k days
+    * per decade regardless of fact-table size, the same bounded-frame
+    * discipline as q290/q391. Ties come from one day-value groupBy.
+    * Exact integers everywhere; z/τ are fixed double finishes. Groups
+    * with var = 0 (constant series / n < 3: every pair ties) report
+    * z NULL rather than 0/0. */
+  def mannKendall(df: DataFrame, groupCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val daily = df.select(col(groupCol).as("g"),
+        datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
+      .groupBy("g", "d").agg(sum("vc").as("y"))
+    val b = daily.select(col("g").as("g2"), col("d").as("d2"),
+      col("y").as("y2"))
+    val s = daily.join(b, col("g") === col("g2") && col("d") < col("d2"))
+      .groupBy("g")
+      .agg(sum(signum(dd(col("y2") - col("y"))).cast("long")).as("s"))
+    val ties = daily.groupBy("g", "y").agg(count(lit(1)).as("t"))
+      .groupBy("g")
+      .agg(sum(col("t")).as("n"),
+        sum(d380(col("t")) * d380(col("t") - 1) * d380(col("t") * 2 + 5))
+          .cast("decimal(38,0)").as("t25"),
+        sum(d380(col("t")) * d380(col("t") - 1)).cast("decimal(38,0)")
+          .as("t1"))
+    val n = col("n")
+    val varS = (dd(d380(n) * d380(n - 1) * d380(n * 2 + 5) - col("t25"))) /
+      18.0
+    val pairs = dd(d380(n) * d380(n - 1)) / 2.0
+    // left join: a single-day group has NO pairs and would vanish from
+    // the inner join — report it with S = 0 (and NULL z via the guard)
+    ties.join(s, Seq("g"), "left").na.fill(0L, Seq("s"))
+      .select(col("g").as(groupCol), col("n").as("n_days"), col("s"),
+        varS.as("var_s"),
+        when(dd(col("t1")) / 2.0 < pairs, dd(col("s")) /
+          sqrt((pairs - dd(col("t1")) / 2.0) * pairs)).as("tau_b"))
+      .withColumn("z", when(col("var_s") > 0,
+        (dd(col("s")) - signum(dd(col("s")))) / sqrt(col("var_s"))))
+      .orderBy(groupCol)
+  }
+
+  /** Is daily revenue drifting monotonically per return flag — the
+    * Mann–Kendall S/z/τ_b trend screen over the day series. */
+  def q416MannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendall(Tables.lineitem(spark, dir), "l_returnflag", "l_shipdate",
+      "l_extendedprice")
+
   /** Fano-factor burstiness per key: variance-to-mean ratio of per-bucket
     * event counts over the GLOBAL calendar span (empty buckets count as
     * zeros — burstiness without them is meaningless). Fano = 1 for a
@@ -3654,6 +3712,72 @@ object Stats {
     medianCI(Tables.lineitem(spark, dir), "l_returnflag",
       "l_extendedprice")
 
+  /** Split-conformal calibration quantile per group (Vovk et al. 2005;
+    * Angelopoulos & Bates 2023 tutorial form): q̂_α = the
+    * ⌈(n+1)(1−α)⌉-th smallest nonconformity score, the radius that
+    * makes "prediction ± q̂" a finite-sample (1−α) coverage guarantee —
+    * THE modern ML-deployment calibration primitive. The nonconformity
+    * score here is the absolute residual |v − mean_g(v)| of the
+    * group-mean predictor, kept EXACT by scaling: n·v − S is an exact
+    * DECIMAL integer per row (never divide per row), so the order
+    * statistic is engine-exact and only the reported q̂ divides by
+    * 100·n at the end. k > n (α too small for the calibration size)
+    * reports q̂ NULL — no finite guarantee exists at that level, the
+    * conformal "+∞" convention.
+    *
+    * Scale shape: one stats aggregation + one fact join + one score
+    * histogram; the cumulative rides a window over the per-group
+    * HISTOGRAM (score-distinct-sized, never the fact table), and the
+    * α panel is a constant-size literal frame cross-joined broadcast.
+    *
+    * α is passed as 1/d (the `alphaDenoms`) so the conformal index
+    * k = ⌈(n+1)(1−α)⌉ = ((n+1)(d−1) + d−1) div d stays EXACT INTEGER
+    * arithmetic: the float form ceil((n+1)·(1−α)) is off-by-one
+    * whenever (n+1)(1−α) lands on an integer — decimal-0.8 and
+    * double-(1.0−0.2) sit one ulp apart on OPPOSITE sides of it, so
+    * the two engines would disagree on exactly the boundary n. */
+  def conformalQuantile(df: DataFrame, groupCol: String, valCol: String,
+      alphaDenoms: Seq[Int]): DataFrame = {
+    require(alphaDenoms.nonEmpty && alphaDenoms.forall(_ >= 2),
+      s"alpha denominators must be >= 2: $alphaDenoms")
+    require(alphaDenoms.distinct.size == alphaDenoms.size,
+      s"duplicate alpha denominators: $alphaDenoms")
+    val dd = (c: Column) => c.cast("double")
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val per = df.select(col(groupCol).as("g"),
+      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
+    val stats = per.groupBy("g").agg(count(lit(1)).as("n"),
+      sum(d380(col("v"))).cast("decimal(38,0)").as("sv"))
+    val hist = per.join(stats, "g")
+      .select(col("g"), col("n"),
+        abs(d380(col("n")) * d380(col("v")) - col("sv"))
+          .cast("decimal(38,0)").as("sc"))
+      .groupBy("g", "n", "sc").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("g").orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum("c").over(wCum))
+    val aDf = df.sparkSession
+      .createDataFrame(alphaDenoms.map(d => Tuple1(d.toLong)))
+      .toDF("aden")
+    cum.crossJoin(broadcast(aDf)) // constant-size α panel
+      .withColumn("k", expr(
+        "((n + 1) * (aden - 1) + aden - 1) div aden"))
+      .groupBy("g", "n", "aden", "k")
+      .agg(min(when(col("cum") >= col("k"), col("sc"))).as("q_raw"))
+      .select(col("g").as(groupCol),
+        (lit(1.0) / dd(col("aden"))).as("alpha"), col("n"), col("k"),
+        when(col("k") <= col("n"),
+          dd(col("q_raw")) / (lit(100.0) * dd(col("n")))).as("qhat"))
+      .orderBy(groupCol, "alpha")
+  }
+
+  /** Conformal calibration of the per-type mean-value predictor over
+    * the event stream: the ±q̂ radius at 80/90/95% coverage
+    * (α = 1/5, 1/10, 1/20). */
+  def q417ConformalQuantile(spark: SparkSession, dir: String): DataFrame =
+    conformalQuantile(Tables.events(spark, dir), "event_type", "value",
+      Seq(5, 10, 20))
+
   /** Cox–Stuart trend test: pair the i-th day of each group's daily
     * series with the (i + ⌈n/2⌉)-th and sign-test the pairs — the
     * simplest distribution-free monotone-trend check (Cox & Stuart
@@ -3757,10 +3881,12 @@ object Stats {
     "q388_brown_forsythe" -> (q388BrownForsythe _),
     "q390_jonckheere_terpstra" -> (q390JonckheereTerpstra _),
     "q391_runs_test" -> (q391RunsTest _),
+    "q416_mann_kendall" -> (q416MannKendall _),
     "q397_record_breaks" -> (q397RecordBreaks _),
     "q405_cox_stuart" -> (q405CoxStuart _),
     "q412_logistic_growth" -> (q412LogisticGrowth _),
     "q414_median_ci" -> (q414MedianCI _),
+    "q417_conformal_quantile" -> (q417ConformalQuantile _),
     "q398_fano_factor" -> (q398FanoFactor _),
     "q401_winsorized_mean" -> (q401WinsorizedMean _),
     "q387_coverage_counts" -> (q387CoverageCounts _),
@@ -4161,6 +4287,80 @@ object Stats {
         |FROM agg
         |WHERE n_above > 0 AND n_below > 0 AND n_above + n_below > 1
         |ORDER BY 1""".stripMargin,
+    "q416_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+        |      AS BIGINT) AS d,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.g, CAST(SUM(CASE WHEN b.y > a.y THEN 1
+        |    WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+        |  GROUP BY a.g),
+        |ties AS (
+        |  SELECT g, CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5))
+        |      AS DECIMAL(38,0)) AS t25,
+        |    CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1))
+        |      AS DECIMAL(38,0)) AS t1
+        |  FROM (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS t
+        |    FROM daily GROUP BY 1, 2)
+        |  GROUP BY g),
+        |fin AS (
+        |  SELECT t.g, t.n, COALESCE(s.s, 0) AS s,
+        |    CAST(CAST(t.n AS DECIMAL(38,0)) * (t.n - 1) * (2 * t.n + 5)
+        |      - t.t25 AS DOUBLE) / 18.0 AS var_s,
+        |    CAST(CAST(t.n AS DECIMAL(38,0)) * (t.n - 1) AS DOUBLE) / 2.0
+        |      AS pairs,
+        |    CAST(t.t1 AS DOUBLE) / 2.0 AS th
+        |  FROM ties t LEFT JOIN s ON t.g = s.g)
+        |SELECT g AS l_returnflag, n AS n_days, s, var_s,
+        |  CASE WHEN th < pairs THEN
+        |    CAST(s AS DOUBLE) / sqrt((pairs - th) * pairs) END AS tau_b,
+        |  CASE WHEN var_s > 0 THEN
+        |    (CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE))) / sqrt(var_s)
+        |  END AS z
+        |FROM fin
+        |ORDER BY 1""".stripMargin,
+    "q417_conformal_quantile" ->
+      """WITH per AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |st AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv
+        |  FROM per GROUP BY g),
+        |hist AS (
+        |  SELECT p.g, s.n,
+        |    abs(CAST(s.n AS DECIMAL(38,0)) * CAST(p.v AS DECIMAL(38,0))
+        |      - s.sv) AS sc,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM per p JOIN st s ON p.g = s.g
+        |  GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT g, n, sc,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY sc
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM hist),
+        |al AS (
+        |  SELECT CAST(aden AS BIGINT) AS aden
+        |  FROM (VALUES (5), (10), (20)) AS t(aden)),
+        |kk AS (
+        |  SELECT c.g, c.n, a.aden,
+        |    ((c.n + 1) * (a.aden - 1) + a.aden - 1) // a.aden AS k,
+        |    c.sc, c.cum
+        |  FROM cum c CROSS JOIN al a)
+        |SELECT g AS event_type, 1.0 / CAST(aden AS DOUBLE) AS alpha,
+        |  n, k,
+        |  CASE WHEN k <= n THEN
+        |    CAST(MIN(CASE WHEN cum >= k THEN sc END) AS DOUBLE)
+        |      / (100.0 * CAST(n AS DOUBLE)) END AS qhat
+        |FROM kk GROUP BY g, aden, n, k
+        |ORDER BY 1, 2""".stripMargin,
     "q412_logistic_growth" ->
       """WITH firstd AS (
         |  SELECT o_custkey AS id,

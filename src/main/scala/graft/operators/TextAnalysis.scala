@@ -1434,7 +1434,42 @@ object TextAnalysis {
   def q395LexicalDiversity(spark: SparkSession, dir: String): DataFrame =
     lexicalDiversity(Tables.documents(spark, dir), "lang", "text")
 
+  /** Unseen-vocabulary estimate: Chao1 species richness (Chao 1984,
+    * bias-corrected form) and the Good–Turing unseen-probability mass
+    * over the token frequency spectrum — "how much vocabulary has this
+    * corpus NOT shown yet". Where Heaps' law (q394) fits the growth
+    * CURVE, these estimate the asymptote and the probability that the
+    * next token is novel: chao1 = V + f₁(f₁−1)/(2(f₂+1)) (defined even
+    * with no doubletons — the uncorrected f₁²/2f₂ form divides by zero),
+    * gt_unseen_mass = f₁/N (Good 1953). A corpus whose chao1 ≫ V or
+    * unseen mass stays high still buys new vocabulary per added
+    * document; both ≈ saturated means more data is repetition, the
+    * dedup/curation stop signal.
+    *
+    * Scale shape: one token explode + one frequency groupBy + a global
+    * 1-row reduction over the frequency spectrum — the same two-shuffle
+    * funnel as a word count; nothing is ordered and nothing collects. */
+  def vocabCoverage(docs: DataFrame, textCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    docs.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("n_vocab"), col("f1"), col("f2"),
+        (dd(col("n_vocab")) + dd(col("f1")) * dd(col("f1") - 1) /
+          (lit(2.0) * dd(col("f2") + 1))).as("chao1"),
+        (dd(col("f1")) / dd(col("n_tokens"))).as("gt_unseen_mass"),
+        (lit(1.0) - dd(col("f1")) / dd(col("n_tokens"))).as("gt_coverage"))
+  }
+
+  /** How much vocabulary is the corpus still hiding — Chao1 asymptote
+    * vs observed types, plus the Good–Turing novel-token probability. */
+  def q415VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir), "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q415_vocab_coverage" -> (q415VocabCoverage _),
     "q394_heaps_law" -> (q394HeapsLaw _),
     "q395_lexical_diversity" -> (q395LexicalDiversity _),
     "q382_truncation_loss" -> (q382TruncationLoss _),
@@ -1576,6 +1611,26 @@ object TextAnalysis {
        |  FROM c${k - 1} CROSS JOIN b$k b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q415_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT t, COUNT(*) AS c FROM (
+        |    SELECT unnest(list_filter(
+        |      regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+        |    FROM documents) GROUP BY t)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |  CAST(COUNT(*) AS DOUBLE) +
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) *
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1 AS DOUBLE) /
+        |    (2.0 * CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1
+        |      AS DOUBLE)) AS chao1,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(c) AS DOUBLE) AS gt_unseen_mass,
+        |  1.0 - CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(c) AS DOUBLE) AS gt_coverage
+        |FROM tf""".stripMargin,
     "q394_heaps_law" ->
       """WITH tok AS (
         |  SELECT doc_id AS d,
