@@ -3,7 +3,8 @@ package graft
 import graft.functions.{ApproxDistinct, ApproxQuantiles, ApproxTopK, BloomAgg, CosineSimilarity, HyperplaneLsh, LangId, MightContain, QualityScore, ShingleHashes, SimHash, SketchEstimate, SketchIntersectionEstimate, SketchUnion, ThetaDifference, ThetaEstimate, ThetaFraction, ThetaIntersect, ThetaJaccard, ThetaRetained, ThetaSketchAgg, ThetaUnion}
 import graft.functions.{CmEstimate, CmTotal, CountMinAgg}
 import graft.functions.{AgmsAgg, AgmsF2, AgmsJoinSize}
-import graft.sketch.{KllDoubles, ThetaSketch}
+import graft.functions.DdQuantiles
+import graft.sketch.{DdSketch, KllDoubles, ThetaSketch}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
@@ -103,6 +104,27 @@ object GraftFunctions {
       k: Int = KllDoubles.DefaultK): Column =
     col(ApproxQuantiles(expr(c), probsLit(probs), Literal(k), mergeBinary = true)
       .toAggregateExpression())
+
+  /** `dd_quantiles(x, probs, alpha)` — mergeable DDSketch quantile
+    * estimates with a RELATIVE-error guarantee (vs KLL's rank error;
+    * see [[graft.functions.DdQuantiles]]). */
+  def dd_quantiles(c: Column, probs: Seq[Double],
+      alpha: Double = DdSketch.DefaultAlpha): Column =
+    col(DdQuantiles(expr(c), probsLit(probs), Literal(alpha))
+      .toAggregateExpression())
+
+  /** Serialized DDSketch of a group, for storing. */
+  def dd_sketch_agg(c: Column, alpha: Double = DdSketch.DefaultAlpha): Column =
+    col(DdQuantiles(expr(c), Literal(null), Literal(alpha), emitBinary = true)
+      .toAggregateExpression())
+
+  /** Aggregate-merge of BINARY serialized DDSketches, evaluated at the
+    * given probabilities (store-then-merge for relative-error
+    * quantiles). */
+  def dd_merge_agg(c: Column, probs: Seq[Double],
+      alpha: Double = DdSketch.DefaultAlpha): Column =
+    col(DdQuantiles(expr(c), probsLit(probs), Literal(alpha),
+      mergeBinary = true).toAggregateExpression())
 
   /** `theta_sketch_agg(x, k)` — serialized theta sketch of a column
     * (distinct counting + bounded-error set algebra; see
@@ -304,6 +326,29 @@ object GraftFunctions {
         case Seq(c, p, k) => ApproxQuantiles(c, p, k, mergeBinary = true)
         case _ => throw new IllegalArgumentException(
           "kll_merge_agg requires 2 or 3 arguments: (bin, probs[, k])")
+      }),
+    ("dd_quantiles", "dd_quantiles(x, probs[, alpha]) - DDSketch RELATIVE-error quantile estimates",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, p) => new DdQuantiles(c, p)
+        case Seq(c, p, a) => DdQuantiles(c, p, a)
+        case _ => throw new IllegalArgumentException(
+          "dd_quantiles requires 2 or 3 arguments: (x, probs[, alpha])")
+      }),
+    ("dd_sketch_agg", "dd_sketch_agg(x[, alpha]) - serialized DDSketch quantile sketch",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => DdQuantiles(c, Literal(null),
+          Literal(DdSketch.DefaultAlpha), emitBinary = true)
+        case Seq(c, a) => DdQuantiles(c, Literal(null), a, emitBinary = true)
+        case _ => throw new IllegalArgumentException(
+          "dd_sketch_agg requires 1 or 2 arguments: (x[, alpha])")
+      }),
+    ("dd_merge_agg", "dd_merge_agg(bin, probs[, alpha]) - merge stored DDSketches",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, p) => DdQuantiles(c, p,
+          Literal(DdSketch.DefaultAlpha), mergeBinary = true)
+        case Seq(c, p, a) => DdQuantiles(c, p, a, mergeBinary = true)
+        case _ => throw new IllegalArgumentException(
+          "dd_merge_agg requires 2 or 3 arguments: (bin, probs[, alpha])")
       }),
     ("theta_sketch_agg", "theta_sketch_agg(x[, k]) - serialized theta sketch (distinct + set algebra)",
       (exprs: Seq[Expression]) => exprs match {

@@ -1048,7 +1048,33 @@ object SketchQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** DDSketch relative-error quantiles of event value per type — the
+    * observability percentile workload ([[graft.sketch.DdSketch]]:
+    * |q̂ − q| ≤ α·q however heavy the tail, vs KLL's rank bound in q65).
+    * HASH-GATED, not envelope-gated: DDSketch is deterministic (exact
+    * bucket-count merges, no compaction RNG), so the DuckDB oracle
+    * reproduces the log-γ bucket histogram and its quantile walk
+    * exactly — the only cross-engine hazard is a sub-ulp ln() flip at
+    * a bucket boundary, and every boundary in this dataset sits ≥ 1e9
+    * ulps clear. Zero values land in the sub-resolution zero bucket
+    * (estimate 0.0, sorted before the positive buckets). */
+  def q420DdQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val probs = Seq(0.5, 0.95, 0.99)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(dd_quantiles(col("value"), probs, 0.01).as("qs"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        posexplode(col("qs")).as(Seq("pi", "qhat")))
+      .select(col("event_type"),
+        element_at(array(probs.map(lit): _*), col("pi").cast("int") + 1)
+          .as("prob"),
+        col("n_events"), col("qhat"))
+      .orderBy("event_type", "prob")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q420_dd_quantiles" -> (q420DdQuantiles _),
     "q161_sketch_mv" -> (q161SketchMv _),
     "q36_windowed_approx_users" -> (q36WindowedApproxUsers _),
     "q117_sliding_sketch_window" -> (q117SlidingSketchWindow _),
@@ -1080,6 +1106,48 @@ object SketchQueries {
 
   /** Oracles are exact counts; the driver applies the approx envelope. */
   val oracles: Map[String, String] = Map(
+    // the full DDSketch reproduced in SQL: same double γ, same ceil-of-
+    // log bucket index, same cumulative walk, same 2γ^i/(γ+1) estimate;
+    // the zero bucket rides as LONG_MIN so the histogram sort puts it
+    // before every positive bucket (ddsketch order: neg, zero, pos)
+    "q420_dd_quantiles" ->
+      """WITH per AS (
+        |  SELECT event_type AS et, CAST(value AS DOUBLE) AS v
+        |  FROM events),
+        |idx AS (
+        |  SELECT et,
+        |    CASE WHEN abs(v) < 1e-12 THEN -9223372036854775808
+        |      ELSE CAST(ceil(ln(v) /
+        |        ln((CAST(1.0 AS DOUBLE) + CAST(0.01 AS DOUBLE))
+        |         / (CAST(1.0 AS DOUBLE) - CAST(0.01 AS DOUBLE))))
+        |        AS BIGINT) END AS i,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM per GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT et, i, c,
+        |    SUM(c) OVER (PARTITION BY et ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY et) AS n
+        |  FROM idx),
+        |qs AS (
+        |  SELECT CAST(p AS DOUBLE) AS p
+        |  FROM (VALUES (0.5), (0.95), (0.99)) t(p)),
+        |sel AS (
+        |  SELECT c.et, q.p, c.n, MIN(c.i) AS qi
+        |  FROM cum c CROSS JOIN qs q
+        |  WHERE c.cum >= GREATEST(1,
+        |    CAST(ceil(q.p * CAST(c.n AS DOUBLE)) AS BIGINT))
+        |  GROUP BY 1, 2, 3)
+        |SELECT et AS event_type, p AS prob, CAST(n AS BIGINT) AS n_events,
+        |  CASE WHEN qi = -9223372036854775808 THEN 0.0
+        |    ELSE 2.0 * power((CAST(1.0 AS DOUBLE) + CAST(0.01 AS DOUBLE))
+        |        / (CAST(1.0 AS DOUBLE) - CAST(0.01 AS DOUBLE)),
+        |        CAST(qi AS DOUBLE))
+        |      / ((CAST(1.0 AS DOUBLE) + CAST(0.01 AS DOUBLE))
+        |        / (CAST(1.0 AS DOUBLE) - CAST(0.01 AS DOUBLE)) + 1.0)
+        |  END AS qhat
+        |FROM sel
+        |ORDER BY 1, 2""".stripMargin,
     // per-instant trailing RANGE frame as a range self-join over distinct
     // (key, instant) rows — the row-anchored twin of the q117 oracle
     "q315_trailing_distinct_window" ->
