@@ -29,7 +29,9 @@ object SparkEntry {
     * Numbering note: q39/q54/q55/q58/q59 were never declared — the numbers
     * were skipped during rounds 3–4 planning and the gaps are kept stable so
     * query names stay comparable across rounds' CORRECTNESS/BENCH artifacts.
-    * They are not missing operators. */
+    * q418 was reserved in round 11 for a degree-assortativity op that turned
+    * out to duplicate q208 and was dropped before declaration. They are not
+    * missing operators. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ SketchQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ AsOf.queries ++

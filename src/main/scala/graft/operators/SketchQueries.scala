@@ -1073,7 +1073,35 @@ object SketchQueries {
       .orderBy("event_type", "prob")
   }
 
+  /** Store-then-merge for relative-error quantiles: one serialized
+    * DDSketch per (event_type, day) — the nightly rollup a metrics
+    * store keeps — then `dd_merge_agg` re-aggregates the stored
+    * sketches into the full-range percentiles. Because DDSketch merges
+    * are EXACT bucket-count additions (no compaction RNG), the merged
+    * result is bit-identical to the one-shot aggregation — so unlike
+    * the KLL twin (q66, envelope-gated), this is hash-gated against
+    * the same oracle that reproduces q420: store-then-merge is not
+    * "approximately consistent", it is the same sketch. */
+  def q421DdStoreMerge(spark: SparkSession, dir: String): DataFrame = {
+    val probs = Seq(0.5, 0.95, 0.99)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(dd_sketch_agg(col("value"), 0.01).as("s"),
+        count(lit(1)).as("c"))
+    daily.groupBy("event_type")
+      .agg(dd_merge_agg(col("s"), probs, 0.01).as("qs"),
+        sum("c").as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        posexplode(col("qs")).as(Seq("pi", "qhat")))
+      .select(col("event_type"),
+        element_at(array(probs.map(lit): _*), col("pi").cast("int") + 1)
+          .as("prob"),
+        col("n_events"), col("qhat"))
+      .orderBy("event_type", "prob")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q421_dd_store_merge" -> (q421DdStoreMerge _),
     "q420_dd_quantiles" -> (q420DdQuantiles _),
     "q161_sketch_mv" -> (q161SketchMv _),
     "q36_windowed_approx_users" -> (q36WindowedApproxUsers _),
@@ -1104,13 +1132,13 @@ object SketchQueries {
     "q68_interval_join" -> (q68IntervalJoin _),
     "q69_weighted_topk" -> (q69WeightedTopK _))
 
-  /** Oracles are exact counts; the driver applies the approx envelope. */
-  val oracles: Map[String, String] = Map(
-    // the full DDSketch reproduced in SQL: same double γ, same ceil-of-
-    // log bucket index, same cumulative walk, same 2γ^i/(γ+1) estimate;
-    // the zero bucket rides as LONG_MIN so the histogram sort puts it
-    // before every positive bucket (ddsketch order: neg, zero, pos)
-    "q420_dd_quantiles" ->
+  // the full DDSketch reproduced in SQL: same double γ, same ceil-of-
+  // log bucket index, same cumulative walk, same 2γ^i/(γ+1) estimate;
+  // the zero bucket rides as LONG_MIN so the histogram sort puts it
+  // before every positive bucket (ddsketch order: neg, zero, pos).
+  // Shared by q420 (one-shot) and q421 (store-then-merge): DDSketch
+  // merges are exact, so both queries ARE the same computation.
+  private val ddQuantilesOracleSql: String =
       """WITH per AS (
         |  SELECT event_type AS et, CAST(value AS DOUBLE) AS v
         |  FROM events),
@@ -1147,7 +1175,12 @@ object SketchQueries {
         |        / (CAST(1.0 AS DOUBLE) - CAST(0.01 AS DOUBLE)) + 1.0)
         |  END AS qhat
         |FROM sel
-        |ORDER BY 1, 2""".stripMargin,
+        |ORDER BY 1, 2""".stripMargin
+
+  /** Oracles are exact counts; the driver applies the approx envelope. */
+  val oracles: Map[String, String] = Map(
+    "q420_dd_quantiles" -> ddQuantilesOracleSql,
+    "q421_dd_store_merge" -> ddQuantilesOracleSql,
     // per-instant trailing RANGE frame as a range self-join over distinct
     // (key, instant) rows — the row-anchored twin of the q117 oracle
     "q315_trailing_distinct_window" ->

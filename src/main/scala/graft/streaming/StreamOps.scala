@@ -38,6 +38,25 @@ object StreamOps {
         col("d.cardinality").as("n_distinct"))
   }
 
+  /** Relative-error quantiles per (time window, key): the DDSketch
+    * aggregate ([[graft.functions.DdQuantiles]]) is a commutative
+    * monoid with EXACT merges (bucket-count addition, no compaction
+    * RNG), so windowed streaming results are bit-identical to the
+    * batch twin over the same rows — not "within the envelope" like
+    * the KLL/HLL families, IDENTICAL (asserted in StreamingSpec).
+    * Emits one estimate per requested probability; update/complete
+    * mode on a stream, same plan on a batch frame. */
+  def windowedQuantiles(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowDur: String, probs: Seq[Double],
+      alpha: Double = graft.sketch.DdSketch.DefaultAlpha,
+      watermark: Option[String] = None): DataFrame = {
+    GraftFunctions.register(events.sparkSession)
+    val withWm = watermark.map(events.withWatermark(tsCol, _)).getOrElse(events)
+    withWm.groupBy(window(col(tsCol), windowDur).as("w"), col(keyCol))
+      .agg(GraftFunctions.dd_quantiles(col(valueCol), probs, alpha).as("qs"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("qs"))
+  }
+
   /** Heavy hitters per time window: the SpaceSaving aggregate
     * ([[graft.functions.ApproxTopK]]) is mergeable, so it drops into
     * windowed streaming aggregation exactly like the distinct sketch — one

@@ -50,6 +50,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed dd_quantiles over a stream EQUALS the batch twin exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.windowedQuantiles(mem.toDF(), "ts", "event_type",
+        "value", "10 minutes", Seq(0.5, 0.99))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("wdq").start()
+    val evs = (1 to 40).map(i =>
+      Ev(t(i % 18), (i % 5).toLong, if (i % 2 == 0) "click" else "view",
+        math.exp(i % 13)))
+    try {
+      // two micro-batches: sketch state must merge across them
+      mem.addData(evs.take(25): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(25): _*)
+      q.processAllAvailable()
+      // update mode re-emits per batch; the LAST row per key is current.
+      // DDSketch merges are exact, so streaming state == batch one-shot
+      // BIT-IDENTICALLY, not within an envelope.
+      val streamed = spark.sql(
+        """SELECT window_start, event_type, qs FROM (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY window_start, event_type
+          |    ORDER BY __batch DESC) AS rn FROM (
+          |    SELECT *, monotonically_increasing_id() AS __batch FROM wdq))
+          |WHERE rn = 1""".stripMargin)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getSeq[Double](2))
+        .toMap
+      val batch = StreamOps.windowedQuantiles(evs.toDF(), "ts",
+          "event_type", "value", "10 minutes", Seq(0.5, 0.99))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getSeq[Double](2))
+        .toMap
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.keySet.map(_._2) == Set("click", "view"))
+    } finally q.stop()
+  }
+
   test("sliding windows: each event lands in every overlapping window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
