@@ -3929,70 +3929,6 @@ object Ml {
       col("l_discount") >= 0.05, "l_extendedprice", // same contrast as q260
       "l_orderkey", r = 32)
 
-  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013) —
-    * the industry-standard experiment-sensitivity boost: adjust each
-    * user's experiment-period metric y by their PRE-period metric x,
-    * ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x), which shrinks metric
-    * variance by ρ² (often 30–50% for revenue metrics, i.e. ~2×
-    * smaller sample needs) without biasing the arm contrast — the
-    * pre-period is independent of assignment. Reports, per arm, the
-    * raw and CUPED-adjusted means plus the pooled θ and realized ρ².
-    *
-    * Shape: one fact scan → per-user (pre, post) exact-cent sums
-    * (users missing a period count 0 — the standard convention, a user
-    * with no pre-activity still belongs to the experiment) → ONE
-    * pooled moment aggregation + one k-arm aggregation over the
-    * user-level frame — two shuffles end-to-end, moments exact DECIMAL
-    * into the partialCorrelation double-finish discipline. Degenerate
-    * var(x) = 0 (constant pre-period) → θ/adjusted means NULL. */
-  def cuped(events: DataFrame, tsCol: String, userCol: String,
-      valCol: String, armExpr: Column, splitDate: String): DataFrame = {
-    val dd = (c: Column) => c.cast("double")
-    val d380 = (c: Column) => c.cast("decimal(38,0)")
-    val per = events.select(col(userCol).as("u"), armExpr.as("arm"),
-        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"),
-        (col(tsCol) < lit(splitDate).cast("timestamp")).as("pre"))
-      .groupBy("u", "arm")
-      .agg(sum(when(col("pre"), col("vc")).otherwise(0L)).as("x"),
-        sum(when(!col("pre"), col("vc")).otherwise(0L)).as("y"))
-    // cross-moments summed EXACTLY in decimal (a double sum of x·y
-    // terms passes 2^53 at scale and becomes order-sensitive), then the
-    // centered moments run in double (the partialCorrelation finish)
-    val pool = per.agg(count(lit(1)).as("n"),
-      sum(d380(col("x"))).cast("decimal(38,0)").as("sx"),
-      sum(d380(col("y"))).cast("decimal(38,0)").as("sy"),
-      sum(d380(col("x")) * col("y")).cast("decimal(38,0)").as("sxy"),
-      sum(d380(col("x")) * col("x")).cast("decimal(38,0)").as("sxx"),
-      sum(d380(col("y")) * col("y")).cast("decimal(38,0)").as("syy"))
-    val cxy = dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
-    val vx = dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
-    val vy = dd(col("n")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
-    val glob = pool.select(col("n"),
-      (dd(col("sx")) / dd(col("n")) / 100.0).as("x_pool_mean"),
-      when(vx > 0, cxy / vx).as("theta"),
-      when(vx > 0 && vy > 0, cxy * cxy / (vx * vy)).as("rho2"))
-    per.groupBy("arm")
-      .agg(count(lit(1)).as("n_users"),
-        (dd(sum(d380(col("x"))).cast("decimal(38,0)")) /
-          dd(count(lit(1))) / 100.0).as("x_mean"),
-        (dd(sum(d380(col("y"))).cast("decimal(38,0)")) /
-          dd(count(lit(1))) / 100.0).as("y_mean"))
-      .crossJoin(broadcast(glob)) // 1-row statistic frame
-      .select(col("arm"), col("n_users"), col("x_mean"), col("y_mean"),
-        (col("y_mean") - col("theta") * (col("x_mean") -
-          col("x_pool_mean"))).as("y_cuped_mean"),
-        col("theta"), col("rho2").as("var_reduction"))
-      .orderBy("arm")
-  }
-
-  /** Even/odd-user arm contrast on second-half event value, CUPED-
-    * adjusted by first-half value — how much variance the pre-period
-    * covariate removes. */
-  def q419Cuped(spark: SparkSession, dir: String): DataFrame =
-    cuped(Tables.events(spark, dir), "ts", "user_id", "value",
-      (col("user_id") % 2 === 0).cast("int").cast("long"),
-      "2024-01-16 00:00:00")
-
   /** Benjamini–Hochberg step-up FDR control over a battery of per-slice
     * p-values (Benjamini & Hochberg 1995) — the correction every
     * metrics platform needs once it tests MANY slices at once: sort the
@@ -5501,7 +5437,6 @@ object Ml {
     "q354_icc" -> (q354Icc _),
     "q356_data_map" -> (q356DataMap _),
     "q279_randomization_test" -> (q279RandomizationTest _),
-    "q419_cuped" -> (q419Cuped _),
     "q285_mcnemar" -> (q285Mcnemar _),
     "q268_log_rank" -> (q268LogRank _),
     "q267_kendall_tau" -> (q267KendallTau _),
@@ -7478,57 +7413,6 @@ object Ml {
         |  wg AS weighted_gini, nl AS n_left, nr AS n_right,
         |  pl AS pos_left, pr AS pos_right
         |FROM k WHERE rk = 1 ORDER BY feature""".stripMargin,
-    "q419_cuped" ->
-      """WITH per AS (
-        |  SELECT user_id AS u,
-        |    CAST(user_id % 2 = 0 AS BIGINT) AS arm,
-        |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
-        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS x,
-        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
-        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS y
-        |  FROM events GROUP BY 1, 2),
-        |pool AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
-        |      AS sxy,
-        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
-        |      AS sxx,
-        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
-        |      AS syy
-        |  FROM per),
-        |cm AS (
-        |  SELECT n, sx,
-        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
-        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
-        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
-        |  FROM pool),
-        |gl AS (
-        |  SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
-        |      AS x_pool_mean,
-        |    CASE WHEN vx > 0 THEN cxy / vx END AS theta,
-        |    CASE WHEN vx > 0 AND vy > 0 THEN cxy * cxy / (vx * vy) END
-        |      AS rho2
-        |  FROM cm),
-        |byarm AS (
-        |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
-        |    CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
-        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS x_mean,
-        |    CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
-        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS y_mean
-        |  FROM per GROUP BY arm)
-        |SELECT a.arm, a.n_users, a.x_mean, a.y_mean,
-        |  a.y_mean - g.theta * (a.x_mean - g.x_pool_mean)
-        |    AS y_cuped_mean,
-        |  g.theta, g.rho2 AS var_reduction
-        |FROM byarm a CROSS JOIN gl g
-        |ORDER BY 1""".stripMargin,
     "q279_randomization_test" ->
       """WITH base AS (
         |  SELECT l_returnflag AS g, l_discount >= 0.05 AS arm,

@@ -3712,72 +3712,6 @@ object Stats {
     medianCI(Tables.lineitem(spark, dir), "l_returnflag",
       "l_extendedprice")
 
-  /** Split-conformal calibration quantile per group (Vovk et al. 2005;
-    * Angelopoulos & Bates 2023 tutorial form): q̂_α = the
-    * ⌈(n+1)(1−α)⌉-th smallest nonconformity score, the radius that
-    * makes "prediction ± q̂" a finite-sample (1−α) coverage guarantee —
-    * THE modern ML-deployment calibration primitive. The nonconformity
-    * score here is the absolute residual |v − mean_g(v)| of the
-    * group-mean predictor, kept EXACT by scaling: n·v − S is an exact
-    * DECIMAL integer per row (never divide per row), so the order
-    * statistic is engine-exact and only the reported q̂ divides by
-    * 100·n at the end. k > n (α too small for the calibration size)
-    * reports q̂ NULL — no finite guarantee exists at that level, the
-    * conformal "+∞" convention.
-    *
-    * Scale shape: one stats aggregation + one fact join + one score
-    * histogram; the cumulative rides a window over the per-group
-    * HISTOGRAM (score-distinct-sized, never the fact table), and the
-    * α panel is a constant-size literal frame cross-joined broadcast.
-    *
-    * α is passed as 1/d (the `alphaDenoms`) so the conformal index
-    * k = ⌈(n+1)(1−α)⌉ = ((n+1)(d−1) + d−1) div d stays EXACT INTEGER
-    * arithmetic: the float form ceil((n+1)·(1−α)) is off-by-one
-    * whenever (n+1)(1−α) lands on an integer — decimal-0.8 and
-    * double-(1.0−0.2) sit one ulp apart on OPPOSITE sides of it, so
-    * the two engines would disagree on exactly the boundary n. */
-  def conformalQuantile(df: DataFrame, groupCol: String, valCol: String,
-      alphaDenoms: Seq[Int]): DataFrame = {
-    require(alphaDenoms.nonEmpty && alphaDenoms.forall(_ >= 2),
-      s"alpha denominators must be >= 2: $alphaDenoms")
-    require(alphaDenoms.distinct.size == alphaDenoms.size,
-      s"duplicate alpha denominators: $alphaDenoms")
-    val dd = (c: Column) => c.cast("double")
-    val d380 = (c: Column) => c.cast("decimal(38,0)")
-    val per = df.select(col(groupCol).as("g"),
-      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
-    val stats = per.groupBy("g").agg(count(lit(1)).as("n"),
-      sum(d380(col("v"))).cast("decimal(38,0)").as("sv"))
-    val hist = per.join(stats, "g")
-      .select(col("g"), col("n"),
-        abs(d380(col("n")) * d380(col("v")) - col("sv"))
-          .cast("decimal(38,0)").as("sc"))
-      .groupBy("g", "n", "sc").agg(count(lit(1)).as("c"))
-    val wCum = Window.partitionBy("g").orderBy("sc")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum("c").over(wCum))
-    val aDf = df.sparkSession
-      .createDataFrame(alphaDenoms.map(d => Tuple1(d.toLong)))
-      .toDF("aden")
-    cum.crossJoin(broadcast(aDf)) // constant-size α panel
-      .withColumn("k", expr(
-        "((n + 1) * (aden - 1) + aden - 1) div aden"))
-      .groupBy("g", "n", "aden", "k")
-      .agg(min(when(col("cum") >= col("k"), col("sc"))).as("q_raw"))
-      .select(col("g").as(groupCol),
-        (lit(1.0) / dd(col("aden"))).as("alpha"), col("n"), col("k"),
-        when(col("k") <= col("n"),
-          dd(col("q_raw")) / (lit(100.0) * dd(col("n")))).as("qhat"))
-      .orderBy(groupCol, "alpha")
-  }
-
-  /** Conformal calibration of the per-type mean-value predictor over
-    * the event stream: the ±q̂ radius at 80/90/95% coverage
-    * (α = 1/5, 1/10, 1/20). */
-  def q417ConformalQuantile(spark: SparkSession, dir: String): DataFrame =
-    conformalQuantile(Tables.events(spark, dir), "event_type", "value",
-      Seq(5, 10, 20))
-
   /** Cox–Stuart trend test: pair the i-th day of each group's daily
     * series with the (i + ⌈n/2⌉)-th and sign-test the pairs — the
     * simplest distribution-free monotone-trend check (Cox & Stuart
@@ -3886,7 +3820,6 @@ object Stats {
     "q405_cox_stuart" -> (q405CoxStuart _),
     "q412_logistic_growth" -> (q412LogisticGrowth _),
     "q414_median_ci" -> (q414MedianCI _),
-    "q417_conformal_quantile" -> (q417ConformalQuantile _),
     "q398_fano_factor" -> (q398FanoFactor _),
     "q401_winsorized_mean" -> (q401WinsorizedMean _),
     "q387_coverage_counts" -> (q387CoverageCounts _),
@@ -4325,42 +4258,6 @@ object Stats {
         |  END AS z
         |FROM fin
         |ORDER BY 1""".stripMargin,
-    "q417_conformal_quantile" ->
-      """WITH per AS (
-        |  SELECT event_type AS g,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-        |  FROM events),
-        |st AS (
-        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv
-        |  FROM per GROUP BY g),
-        |hist AS (
-        |  SELECT p.g, s.n,
-        |    abs(CAST(s.n AS DECIMAL(38,0)) * CAST(p.v AS DECIMAL(38,0))
-        |      - s.sv) AS sc,
-        |    CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM per p JOIN st s ON p.g = s.g
-        |  GROUP BY 1, 2, 3),
-        |cum AS (
-        |  SELECT g, n, sc,
-        |    SUM(c) OVER (PARTITION BY g ORDER BY sc
-        |      ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM hist),
-        |al AS (
-        |  SELECT CAST(aden AS BIGINT) AS aden
-        |  FROM (VALUES (5), (10), (20)) AS t(aden)),
-        |kk AS (
-        |  SELECT c.g, c.n, a.aden,
-        |    ((c.n + 1) * (a.aden - 1) + a.aden - 1) // a.aden AS k,
-        |    c.sc, c.cum
-        |  FROM cum c CROSS JOIN al a)
-        |SELECT g AS event_type, 1.0 / CAST(aden AS DOUBLE) AS alpha,
-        |  n, k,
-        |  CASE WHEN k <= n THEN
-        |    CAST(MIN(CASE WHEN cum >= k THEN sc END) AS DOUBLE)
-        |      / (100.0 * CAST(n AS DOUBLE)) END AS qhat
-        |FROM kk GROUP BY g, aden, n, k
-        |ORDER BY 1, 2""".stripMargin,
     "q412_logistic_growth" ->
       """WITH firstd AS (
         |  SELECT o_custkey AS id,

@@ -1,13 +1,14 @@
 package graft
 
-import graft.operators.{Ml, Stats, TextAnalysis}
+import graft.operators.{Stats, TextAnalysis}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Ground-truth toy-fixture tests for the round-11 operator batch
-  * (q415–q419) — independent of the SQL-mirror oracle. */
+  * (q415 vocab coverage, q416 Mann–Kendall) — independent of the
+  * SQL-mirror oracle. DDSketch (q420/q421) has its own DdSketchSpec. */
 class Round11OpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
   import spark.implicits._
@@ -71,60 +72,4 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
-  test("conformalQuantile: exact k-th residual order statistic") {
-    // v = 1..5 dollars, mean 3.00 → |n·v − S| scores 0,500,500,1000,1000
-    val df = (1 to 5).map(i => ("A", i.toDouble)).toDF("g", "v")
-    val rows = Stats.conformalQuantile(df, "g", "v", Seq(2, 6))
-      .collect().map(r => r.getAs[Double]("alpha") ->
-        (r.getAs[Long]("k"), r.getAs[Double]("qhat"))).toMap
-    // α=1/6: k = ⌈6·5/6⌉ = 5 → 5th score 1000 → 2.00 dollars
-    assert(rows(1.0 / 6.0) == (5L, 2.0))
-    // α=1/2: k = ⌈6·1/2⌉ = 3 → 3rd score 500 → 1.00
-    assert(rows(0.5) == (3L, 1.0))
-  }
-
-  test("conformalQuantile: k > n reports NULL (no finite guarantee)") {
-    val df = Seq(("B", 1.0), ("B", 2.0)).toDF("g", "v")
-    val r = Stats.conformalQuantile(df, "g", "v", Seq(10)).head()
-    assert(r.getAs[Long]("k") == 3L) // ⌈3·9/10⌉ = 3 > n = 2
-    assert(r.isNullAt(r.fieldIndex("qhat")))
-  }
-
-  test("cuped: perfectly correlated pre-period equalizes the arms") {
-    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
-    // user u: pre value = u dollars, post value = u + 1 dollars → θ = 1
-    val ev = (1 to 4).flatMap(u => Seq(
-      (u.toLong, ts(5), u.toDouble),        // pre  (before Jan 16)
-      (u.toLong, ts(20), (u + 1).toDouble)  // post
-    )).toDF("user_id", "ts", "value")
-    val rows = Ml.cuped(ev, "ts", "user_id", "value",
-      (col("user_id") % 2 === 0).cast("int").cast("long"),
-      "2024-01-16 00:00:00").collect()
-    assert(rows.length == 2)
-    val byArm = rows.map(r => r.getAs[Long]("arm") -> r).toMap
-    // arm1 = even users (2,4): post = 3,5 → 4.0; arm0 = odd (1,3) → 3.0
-    assert(byArm(0L).getAs[Double]("y_mean") == 3.0)
-    assert(byArm(1L).getAs[Double]("y_mean") == 4.0)
-    rows.foreach { r =>
-      assert(r.getAs[Double]("theta") == 1.0)
-      assert(r.getAs[Double]("var_reduction") == 1.0)
-      // θ=1 removes the pre-period difference entirely: both arms 3.5
-      assert(math.abs(r.getAs[Double]("y_cuped_mean") - 3.5) < 1e-12)
-    }
-  }
-
-  test("cuped: zero pre-period variance → theta NULL, raw means intact") {
-    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
-    val ev = (1 to 4).flatMap(u => Seq(
-      (u.toLong, ts(5), 2.0), (u.toLong, ts(20), u.toDouble)))
-      .toDF("user_id", "ts", "value")
-    val rows = Ml.cuped(ev, "ts", "user_id", "value",
-      (col("user_id") % 2 === 0).cast("int").cast("long"),
-      "2024-01-16 00:00:00").collect()
-    rows.foreach { r =>
-      assert(r.isNullAt(r.fieldIndex("theta")))
-      assert(r.isNullAt(r.fieldIndex("y_cuped_mean")))
-      assert(!r.isNullAt(r.fieldIndex("y_mean")))
-    }
-  }
 }
