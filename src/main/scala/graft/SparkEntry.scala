@@ -29,9 +29,9 @@ object SparkEntry {
     * Numbering note: q39/q54/q55/q58/q59 were never declared — the numbers
     * were skipped during rounds 3–4 planning and the gaps are kept stable so
     * query names stay comparable across rounds' CORRECTNESS/BENCH artifacts.
-    * q418 was reserved in round 11 for a degree-assortativity op that turned
-    * out to duplicate q208 and was dropped before declaration. They are not
-    * missing operators. */
+    * q417/q418/q419 were reserved in round 11 for ops (conformal quantile,
+    * degree assortativity, CUPED) that turned out to duplicate q245/q208/
+    * q250 and were dropped. They are not missing operators. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ SketchQueries.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ AsOf.queries ++
