@@ -3,6 +3,7 @@ package graft.operators
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftBridge
 
@@ -315,7 +316,79 @@ object Sampling {
     designEffect(Tables.lineitem(spark, dir), "l_returnflag",
       col("l_quantity"), col("l_extendedprice"))
 
+  /** Neyman optimal allocation (Neyman 1934): split a sampling/labeling
+    * budget across strata ∝ N_h·σ_h — the minimum-variance allocation
+    * for a stratified mean, and THE answer to "where do the annotation
+    * dollars go": big AND internally-diverse strata get the samples, a
+    * huge-but-constant stratum gets almost none. Reported next to the
+    * proportional allocation (∝ N_h) it improves on. Integerization is
+    * the largest-remainder method (floor every share, hand the leftover
+    * units to the largest fractional remainders, stratum-name
+    * tie-break) — allocations sum EXACTLY to the budget, deterministic.
+    *
+    * Exactness: per-stratum moments are exact centi-cent DECIMAL sums
+    * from ONE map-side-combined scan; σ_h = √(N·Σx² − (Σx)²)/N is a
+    * fixed double shape (IEEE sqrt is correctly rounded — no libm
+    * drift), and the remainder ranking compares doubles both engines
+    * derive identically. The k-strata frame rides driver-free windows
+    * (statistic-frame-sized). Degenerate: a zero-variance stratum has
+    * weight 0 → 0 Neyman samples (the estimator needs none — its mean
+    * is known exactly); an ALL-constant population (ΣN_hσ_h = 0) yields
+    * NULL Neyman allocations (undefined) with proportional intact. */
+  def neymanAllocation(df: DataFrame, strataCol: String, valCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val per = df.select(col(strataCol).as("g"),
+      (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("x"))
+    val m = per.groupBy("g").agg(count(lit(1)).as("n"),
+      sum(d380(col("x"))).cast("decimal(38,0)").as("sx"),
+      sum(d380(col("x")) * col("x")).cast("decimal(38,0)").as("sxx"))
+    val sd = (sqrt(dd(col("n")) * dd(col("sxx")) -
+      dd(col("sx")) * dd(col("sx"))) / dd(col("n")) / 100.0).as("sd")
+    val w = m.select(col("g"), col("n"), sd)
+      .withColumn("wgt", dd(col("n")) * col("sd"))
+    val wTot = Window.partitionBy() // k-strata statistic frame
+    // largest-remainder integerization, shared by both allocations
+    def lr(share: Column): Column = {
+      val ideal = share * budget.toDouble
+      val base = floor(ideal).cast("long")
+      val rem = ideal - base
+      // rank remainders desc (stratum asc tiebreak); top (budget − Σbase)
+      // strata get one extra unit
+      val rk = row_number().over(Window.partitionBy()
+        .orderBy(rem.desc, col("g").asc))
+      base + when(rk <= lit(budget) - sum(base).over(wTot), 1L)
+        .otherwise(0L)
+    }
+    // ANSI guard: the division must be conditional ITSELF — window sort
+    // keys inside lr() evaluate for every row regardless of the outer
+    // when(), so w_tot = 0 would throw DIVIDE_BY_ZERO before the NULL
+    // branch ever applies
+    val neyShare =
+      when(col("w_tot") > 0, col("wgt") / col("w_tot")).otherwise(lit(0.0))
+    w.withColumn("w_tot", sum("wgt").over(wTot))
+      .withColumn("n_tot", sum("n").over(wTot))
+      .withColumn("alloc_neyman",
+        when(col("w_tot") > 0, lr(neyShare)))
+      .withColumn("alloc_proportional",
+        lr(dd(col("n")) / dd(col("n_tot"))))
+      .select(col("g").as(strataCol), col("n").as("n_pop"), col("sd"),
+        when(col("w_tot") > 0, col("wgt") / col("w_tot"))
+          .as("share_neyman"),
+        col("alloc_neyman"), col("alloc_proportional"))
+      .orderBy(strataCol)
+  }
+
+  /** Where should 1,000 audit samples go across order priorities —
+    * Neyman vs proportional allocation over order value. */
+  def q423NeymanAllocation(spark: SparkSession, dir: String): DataFrame =
+    neymanAllocation(Tables.orders(spark, dir), "o_orderpriority",
+      "o_totalprice", budget = 1000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q423_neyman_allocation" -> (q423NeymanAllocation _),
     "q368_design_effect" -> (q368DesignEffect _),
     "q184_sample_estimate" -> (q184SampleEstimate _),
     "q70_stratified_sample" -> (q70StratifiedSample _),
@@ -338,6 +411,53 @@ object Sampling {
        |  FROM h)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q423_neyman_allocation" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+        |      AS sxx
+        |  FROM per GROUP BY g),
+        |w AS (
+        |  SELECT g, n,
+        |    sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) / 100.0 AS sd
+        |  FROM m),
+        |w2 AS (
+        |  SELECT g, n, sd, CAST(n AS DOUBLE) * sd AS wgt,
+        |    SUM(CAST(n AS DOUBLE) * sd) OVER () AS w_tot,
+        |    SUM(n) OVER () AS n_tot
+        |  FROM w),
+        |ideals AS (
+        |  SELECT g, n, sd, wgt / w_tot AS share_ney,
+        |    wgt / w_tot * 1000.0 AS iney,
+        |    CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE) * 1000.0 AS iprop
+        |  FROM w2),
+        |fl AS (
+        |  SELECT g, n, sd, share_ney,
+        |    CAST(floor(iney) AS BIGINT) AS bn, iney - floor(iney) AS rn,
+        |    CAST(floor(iprop) AS BIGINT) AS bp,
+        |    iprop - floor(iprop) AS rp
+        |  FROM ideals),
+        |rk AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY rn DESC, g ASC) AS kn,
+        |    ROW_NUMBER() OVER (ORDER BY rp DESC, g ASC) AS kp,
+        |    SUM(bn) OVER () AS sbn, SUM(bp) OVER () AS sbp
+        |  FROM fl)
+        |SELECT g AS o_orderpriority, n AS n_pop, sd, share_ney
+        |    AS share_neyman,
+        |  bn + CASE WHEN kn <= 1000 - sbn THEN 1 ELSE 0 END
+        |    AS alloc_neyman,
+        |  bp + CASE WHEN kp <= 1000 - sbp THEN 1 ELSE 0 END
+        |    AS alloc_proportional
+        |FROM rk
+        |ORDER BY 1""".stripMargin,
     // md5 membership from first principles, centi-exact sums, the same
     // scale-up division chain
     "q184_sample_estimate" ->
