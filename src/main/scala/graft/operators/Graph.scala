@@ -439,7 +439,7 @@ object Graph {
     // per-edge triangle support via the degree-ordered oriented join;
     // counts are orientation-independent, so attribution to the three
     // CANONICAL (u<v) edges is exact
-    def support(ef: DataFrame): DataFrame = {
+    def support(ef: DataFrame): (DataFrame, DataFrame) = {
       val deg = ef.select(col("u").as("node"))
         .union(ef.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
@@ -468,23 +468,26 @@ object Graph {
         .union(tri.select(least(col("a"), col("c")).as("u"),
           greatest(col("a"), col("c")).as("v")))
         .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      // LAZY result: consumed exactly once by the round's filter, so a
+      // checkpoint here would only add an eager materialization job.
+      // `oriented` is returned so the CALLER can free it after the
+      // consumer materializes — freeing it here would strand the lazy
+      // plan on already-truncated lineage.
       val out = ef.join(sup, Seq("u", "v"), "left")
         .na.fill(0L, Seq("support"))
-        .localCheckpoint(true)
-      graft.plans.Checkpoints.free(oriented)
-      out
+      (out, oriented)
     }
     var nEdges = e.count()
     var round = 0
     var stable = false
     while (!stable && round < maxRounds) {
-      val withSup = support(e)
+      val (withSup, oriented) = support(e)
       val e2 = withSup.filter(col("support") >= k - 2)
         .select("u", "v").localCheckpoint(true)
       val n2 = e2.count()
+      graft.plans.Checkpoints.free(oriented)
       stable = n2 == nEdges
       graft.plans.Checkpoints.free(e)
-      graft.plans.Checkpoints.free(withSup)
       e = e2; nEdges = n2; round += 1
     }
     // node view: truss degree over the surviving frame (the q211 shape)
@@ -493,18 +496,27 @@ object Graph {
       .orderBy("node")
   }
 
-  /** The 6-truss of the part co-order graph after ≤ 3 peel rounds:
-    * parts whose co-purchase edges each sit in ≥ 4 surviving
-    * triangles — the cohesively co-ordered nucleus the k-core (q211)
-    * over-approximates (peel trajectory at both verification SFs:
-    * sf0.01 115,729 → 114,174 edges, sf0.1 1,196,000 → 677,506 —
-    * still peeling at round 3, which the bounded-round contract
-    * makes well-defined on both engines). */
+  /** The 3-truss of the ≥2-support co-order graph (the q333/q393
+    * graph) after ≤ 2 peel rounds: co-purchase edges that CLOSE A
+    * TRIANGLE in the repeat-co-order graph — the cohesive nucleus, vs
+    * the hub stars q211's degree core keeps. Peel trajectory at both
+    * verification SFs: sf0.01 3,445 → 181 edges (165 nodes), sf0.1
+    * 3,573 → 3 edges — stable after one active round, so the
+    * 2-round bound is exact convergence here (the bounded-round
+    * contract makes it well-defined either way). The all-pairs
+    * minSupport=1 graph is deliberately NOT used: it is near-regular
+    * with ~49 M wedges per enumeration at sf0.1 (measured — the
+    * degree-ordered orientation cannot help a regular graph), which
+    * is a 40 s/round recount; at that density the production path is
+    * decremental truss maintenance (enumerate triangles once, then
+    * per round subtract only the triangles that touch removed edges)
+    * rather than the per-round recount this bounded-round operator
+    * implements. */
   def q422KTruss(spark: SparkSession, dir: String): DataFrame = {
     val bk = Basket.baskets(Tables.lineitem(spark, dir), "l_orderkey",
       "l_partkey", basketCap = 64)
-    kTruss(Basket.pairCounts(bk, basketCap = 64, minSupport = 1L),
-      "p1", "p2", k = 6, maxRounds = 3)
+    kTruss(Basket.pairCounts(bk, basketCap = 64, minSupport = 2L),
+      "p1", "p2", k = 3, maxRounds = 2)
   }
 
   /** Is the part co-order graph hub-attracts-hub or hub-and-spoke. */
@@ -1250,7 +1262,7 @@ object Graph {
       .stripMargin
 
   /** One unrolled k-core peel round over ed{i-1} (k = 80). */
-  /** One unrolled k-truss peel over te{i-1} (k = 6 → support ≥ 4):
+  /** One unrolled k-truss peel over te{i-1} (k = 3 → support ≥ 1):
     * id-ordered triangle enumeration (a<b<c over canonical u<v edges
     * visits each triangle once — the same set the engine's
     * degree-ordered orientation enumerates, so supports agree),
@@ -1268,7 +1280,7 @@ object Graph {
        |te$i AS MATERIALIZED (
        |  SELECT e.u, e.v FROM te${i - 1} e
        |  LEFT JOIN sp$i s ON s.u = e.u AND s.v = e.v
-       |  WHERE COALESCE(s.s, 0) >= 4)""".stripMargin
+       |  WHERE COALESCE(s.s, 0) >= 1)""".stripMargin
 
   private def kCoreIterSql(i: Int): String =
     s"""k$i AS MATERIALIZED (
@@ -1593,12 +1605,13 @@ object Graph {
       ("""WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |te0 AS MATERIALIZED (
-        |  SELECT DISTINCT a.p AS u, b.p AS v
-        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |""".stripMargin +
-        (1 to 3).map(kTrussIterSql).mkString(",\n") + "\n" +
+        (1 to 2).map(kTrussIterSql).mkString(",\n") + "\n" +
         """SELECT node, CAST(COUNT(*) AS BIGINT) AS truss_degree
-        |FROM (SELECT u AS node FROM te3 UNION ALL SELECT v FROM te3)
+        |FROM (SELECT u AS node FROM te2 UNION ALL SELECT v FROM te2)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
     // same ed CTE as q150; the bi-directed endpoint-degree moments are
     // exact integers, the final division is the one double op
