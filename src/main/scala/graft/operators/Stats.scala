@@ -3811,7 +3811,143 @@ object Stats {
     winsorizedMean(Tables.lineitem(spark, dir), "l_returnflag",
       "l_extendedprice")
 
+  /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between two
+    * top-k rankings: the prefix-weighted set-overlap measure for "did the
+    * ranking change" audits — unlike rank-correlation over matched items
+    * (q192's migration deltas, Kendall/Spearman q267/q222) it is defined
+    * for rankings over DIFFERENT item sets and weights the head of the
+    * list geometrically, which is what matters when only the top of the
+    * ranking is ever consumed (search results, curation top-k, feature
+    * importances). p is fixed at 1/2 so every depth weight (1−p)·p^{d−1}
+    * = 2^{−d} is an exact power of two — no libm `pow` drift between
+    * engines; rbo_min is the truncated-sum lower bound, rbo_ext the
+    * standard extrapolation that assigns the residual weight the depth-k
+    * agreement.
+    *
+    * Inputs are k-row (item, rnk) frames, so EVERYTHING here is
+    * model-sized: the full-outer item join is ≤2k rows, the depth frame
+    * is k rows, and the one non-equi join (overlap-at-depth counting,
+    * max(r1,r2) ≤ d) is a ≤2k×k broadcast nested loop over those bounded
+    * frames — the data-scaled work happened upstream in whatever
+    * distributed top-k produced the inputs. Depth agreement terms
+    * A_d·2^{−d} are DECIMAL(38,18)-quantized before the order-sensitive
+    * sum (the engine float discipline), so the gate is a hash check. */
+  def rankBiasedOverlap(ranked1: DataFrame, ranked2: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val dd = (c: Column) => c.cast("double")
+    val joined = ranked1.select(col("item"), col("rnk").as("r1"))
+      .join(ranked2.select(col("item"), col("rnk").as("r2")),
+        Seq("item"), "full_outer")
+      .select(coalesce(col("r1"), lit(k + 1L)).as("r1"),
+        coalesce(col("r2"), lit(k + 1L)).as("r2"))
+    val depths = ranked1.sparkSession.range(1, k + 1L)
+      .select(col("id").as("d"),
+        (lit(1.0) / pow(lit(2.0), col("id").cast("double"))).as("w"))
+    val terms = broadcast(depths)
+      .join(joined, greatest(col("r1"), col("r2")) <= col("d"), "left")
+      .groupBy("d", "w")
+      .agg(count(col("r1")).as("ov"))
+      .select(((dd(col("ov")) / dd(col("d"))) * col("w"))
+        .cast("decimal(38,18)").as("term"))
+      .agg(sum(col("term")).as("rbo_q"))
+    val common = joined
+      .agg(sum(when(col("r1") <= k && col("r2") <= k, 1L).otherwise(0L))
+        .as("n_common"))
+    common.crossJoin(broadcast(terms))
+      .select(lit(k.toLong).as("k"), col("n_common"),
+        (dd(col("n_common")) / dd(lit(2L * k) - col("n_common")))
+          .as("jaccard_topk"),
+        dd(col("rbo_q")).as("rbo_min"),
+        (dd(col("rbo_q")) +
+          (dd(col("n_common")) / dd(lit(k.toLong))) /
+            pow(lit(2.0), lit(k.toDouble))).as("rbo_ext"))
+  }
+
+  /** Did the head of the part-revenue ranking survive the half-year —
+    * RBO between 1995H1 and 1995H2 top-25 parts by gross revenue. Each
+    * half's ranking is a distributed TakeOrdered (revenue-cents desc,
+    * partkey asc — a total order) over one partkey aggregation; RBO then
+    * runs entirely on the two 25-row frames. */
+  def q424RankBiasedOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 25
+    def half(lo: String, hi: String): DataFrame = {
+      val agg = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_partkey").as("item"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("c"))
+        .groupBy("item").agg(sum("c").as("rev_c"))
+        .orderBy(desc("rev_c"), col("item")).limit(k)
+      agg.select(col("item"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("rev_c"), col("item"))).cast("long").as("rnk"))
+    }
+    rankBiasedOverlap(half("1995-01-01", "1995-07-01"),
+      half("1995-07-01", "1996-01-01"), k)
+  }
+
+  /** Theil-T inequality index with its exact between/within-group
+    * decomposition (Theil 1967; Shorrocks 1980 on decomposability) —
+    * the concentration audit Gini (q176) and Lorenz (q283) cannot give:
+    * T = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ) splits total inequality into
+    * the part explained by the grouping and the part inside groups, so
+    * a corpus/revenue owner can answer "is concentration BETWEEN my
+    * segments or WITHIN them". x must be positive.
+    *
+    * Scale shape: one key aggregation reduces the fact table to the
+    * entity frame; group sums are a G-row statistic frame that joins
+    * back BROADCAST; each entity's (x/μ_g)·ln(x/μ_g) term is a
+    * fixed-order double expression on exact cent/count inputs,
+    * DECIMAL(38,12)-quantized before the per-group sum. Nothing is
+    * globally sorted and nothing collects. */
+  def theilDecomposition(entities: DataFrame, groupCol: String,
+      centsCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val base = entities.select(col(groupCol).as("g"),
+      col(centsCol).cast("decimal(38,0)").as("x"))
+    val gstats = base.groupBy("g")
+      .agg(count(lit(1)).as("n_g"), sum("x").cast("decimal(38,0)").as("s_g"))
+    val tot = gstats.agg(sum("n_g").as("n_all"),
+      sum("s_g").cast("decimal(38,0)").as("s_all"))
+    val within = base.join(broadcast(gstats), "g")
+      .select(col("g"),
+        ((dd(col("x")) * dd(col("n_g")) / dd(col("s_g"))) *
+          log(dd(col("x")) * dd(col("n_g")) / dd(col("s_g"))))
+          .cast("decimal(38,12)").as("term"))
+      .groupBy("g").agg(sum("term").as("tsum"))
+    gstats.join(within, "g").crossJoin(broadcast(tot))
+      .select(col("g").as(groupCol), col("n_g").as("n_entities"),
+        (dd(col("s_g")) / dd(col("s_all"))).as("share"),
+        (dd(col("s_g")) * dd(col("n_all")) /
+          (dd(col("n_g")) * dd(col("s_all")))).as("mean_ratio"),
+        (dd(col("tsum")) / dd(col("n_g"))).as("theil_within"),
+        ((dd(col("s_g")) / dd(col("s_all"))) *
+          (dd(col("tsum")) / dd(col("n_g")))).as("within_contrib"),
+        ((dd(col("s_g")) / dd(col("s_all"))) *
+          log(dd(col("s_g")) * dd(col("n_all")) /
+            (dd(col("n_g")) * dd(col("s_all"))))).as("between_term"))
+      .orderBy(groupCol)
+  }
+
+  /** Is customer spend concentrated between market segments or within
+    * them — Theil-T decomposition of per-customer lifetime spend (cents)
+    * by segment. */
+  def q425TheilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("c"))
+      .groupBy("o_custkey").agg(sum("c").as("cents"))
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    theilDecomposition(spend.join(seg, "o_custkey"),
+      "c_mktsegment", "cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q424_rank_biased_overlap" -> (q424RankBiasedOverlap _),
+    "q425_theil_decomposition" -> (q425TheilDecomposition _),
     "q388_brown_forsythe" -> (q388BrownForsythe _),
     "q390_jonckheere_terpstra" -> (q390JonckheereTerpstra _),
     "q391_runs_test" -> (q391RunsTest _),
@@ -4004,6 +4140,98 @@ object Stats {
        |        FROM base GROUP BY 1) g1) g2) g3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q424_rank_biased_overlap" ->
+      """WITH h1 AS (
+        |  SELECT l_partkey AS item,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1995-07-01'
+        |  GROUP BY 1 ORDER BY rev_c DESC, item LIMIT 25),
+        |h2 AS (
+        |  SELECT l_partkey AS item,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-07-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1 ORDER BY rev_c DESC, item LIMIT 25),
+        |r1 AS (
+        |  SELECT item, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY rev_c DESC, item) AS BIGINT) AS r1 FROM h1),
+        |r2 AS (
+        |  SELECT item, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY rev_c DESC, item) AS BIGINT) AS r2 FROM h2),
+        |j AS (
+        |  SELECT COALESCE(r1.r1, 26) AS r1, COALESCE(r2.r2, 26) AS r2
+        |  FROM r1 FULL OUTER JOIN r2 ON r1.item = r2.item),
+        |d AS (
+        |  SELECT CAST(x AS BIGINT) AS d,
+        |    1.0 / power(2.0, CAST(x AS DOUBLE)) AS w
+        |  FROM generate_series(1, 25) t(x)),
+        |ov AS (
+        |  SELECT d.d, d.w, COUNT(j.r1) AS ov
+        |  FROM d LEFT JOIN j ON GREATEST(j.r1, j.r2) <= d.d
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT SUM(CAST((CAST(ov AS DOUBLE) / CAST(d AS DOUBLE)) * w
+        |    AS DECIMAL(38,18))) AS rbo_q
+        |  FROM ov),
+        |c AS (
+        |  SELECT CAST(SUM(CASE WHEN r1 <= 25 AND r2 <= 25 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_common FROM j)
+        |SELECT CAST(25 AS BIGINT) AS k, c.n_common,
+        |  CAST(c.n_common AS DOUBLE) / CAST(50 - c.n_common AS DOUBLE)
+        |    AS jaccard_topk,
+        |  CAST(s.rbo_q AS DOUBLE) AS rbo_min,
+        |  CAST(s.rbo_q AS DOUBLE) +
+        |    (CAST(c.n_common AS DOUBLE) / CAST(25 AS DOUBLE))
+        |      / power(2.0, 25.0) AS rbo_ext
+        |FROM c, s""".stripMargin,
+    "q425_theil_decomposition" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c.c_mktsegment AS g, CAST(s.cents AS DECIMAL(38,0)) AS x
+        |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+        |gstats AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(x) AS DECIMAL(38,0)) AS s_g
+        |  FROM base GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n_all,
+        |    CAST(SUM(s_g) AS DECIMAL(38,0)) AS s_all
+        |  FROM gstats),
+        |within AS (
+        |  SELECT b.g,
+        |    SUM(CAST(
+        |      (CAST(b.x AS DOUBLE) * CAST(gs.n_g AS DOUBLE)
+        |        / CAST(gs.s_g AS DOUBLE)) *
+        |      ln(CAST(b.x AS DOUBLE) * CAST(gs.n_g AS DOUBLE)
+        |        / CAST(gs.s_g AS DOUBLE))
+        |      AS DECIMAL(38,12))) AS tsum
+        |  FROM base b JOIN gstats gs ON b.g = gs.g
+        |  GROUP BY 1)
+        |SELECT gs.g AS c_mktsegment, gs.n_g AS n_entities,
+        |  CAST(gs.s_g AS DOUBLE) / CAST(t.s_all AS DOUBLE) AS share,
+        |  CAST(gs.s_g AS DOUBLE) * CAST(t.n_all AS DOUBLE)
+        |    / (CAST(gs.n_g AS DOUBLE) * CAST(t.s_all AS DOUBLE))
+        |    AS mean_ratio,
+        |  CAST(w.tsum AS DOUBLE) / CAST(gs.n_g AS DOUBLE)
+        |    AS theil_within,
+        |  (CAST(gs.s_g AS DOUBLE) / CAST(t.s_all AS DOUBLE)) *
+        |    (CAST(w.tsum AS DOUBLE) / CAST(gs.n_g AS DOUBLE))
+        |    AS within_contrib,
+        |  (CAST(gs.s_g AS DOUBLE) / CAST(t.s_all AS DOUBLE)) *
+        |    ln(CAST(gs.s_g AS DOUBLE) * CAST(t.n_all AS DOUBLE)
+        |      / (CAST(gs.n_g AS DOUBLE) * CAST(t.s_all AS DOUBLE)))
+        |    AS between_term
+        |FROM gstats gs JOIN within w ON gs.g = w.g CROSS JOIN tot t
+        |ORDER BY 1""".stripMargin,
     "q388_brown_forsythe" ->
       """WITH per AS (
         |  SELECT l_returnflag AS g,

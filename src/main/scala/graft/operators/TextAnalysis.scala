@@ -1468,7 +1468,74 @@ object TextAnalysis {
   def q415VocabCoverage(spark: SparkSession, dir: String): DataFrame =
     vocabCoverage(Tables.documents(spark, dir), "text")
 
+  /** Burrows' Delta (Burrows 2002; Evert et al. 2017 on its geometry) —
+    * the stylometric distance between corpus slices: z-score each
+    * slice's relative frequency of the top-M corpus terms against the
+    * across-slice distribution of that term, then Delta(a,b) = mean
+    * |z_a − z_b| over the terms. Complements q132 (which finds terms
+    * DISTINCTIVE of one slice) and q254 (content n-gram Jaccard):
+    * Delta measures diffuse STYLE similarity over the most common
+    * vocabulary — the authorship / style-contamination signal that
+    * survives topic changes. Constant-across-slices terms (σ = 0)
+    * carry no style signal and are excluded; n_terms_used reports the
+    * effective M per pair.
+    *
+    * Scale shape: the corpus collapses to the (slice, term) histogram
+    * in one explode + groupBy; the top-M term list is a distributed
+    * TakeOrdered that joins back BROADCAST; everything after (per-term
+    * across-slice moments, the slice-pair self-join) runs on the dense
+    * S×M frame — model-sized, data-independent. Relative frequencies
+    * are DECIMAL(18,12)-quantized so the across-slice moment sums are
+    * exact; z and Delta finish as fixed-order double expressions with
+    * each |z_a − z_b| term DECIMAL(38,12)-quantized before the pair
+    * sum. Strict hash gate. */
+  def burrowsDelta(docs: DataFrame, sliceCol: String, textCol: String,
+      topM: Int): DataFrame = {
+    require(topM >= 1, s"topM must be positive: $topM")
+    val dd = (c: Column) => c.cast("double")
+    val counts = docs
+      .select(col(sliceCol).as("s"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("s", "t").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("s").agg(sum("c").as("n_s"))
+    val top = counts.groupBy("t").agg(sum("c").as("ct"))
+      .orderBy(desc("ct"), col("t")).limit(topM).select("t")
+    val dense = totals.crossJoin(broadcast(top))
+      .join(counts, Seq("s", "t"), "left").na.fill(0L, Seq("c"))
+      .withColumn("fq",
+        (dd(col("c")) / dd(col("n_s"))).cast("decimal(18,12)"))
+    val tstats = dense.groupBy("t")
+      .agg(count(lit(1)).as("ns"),
+        sum("fq").as("sumf"), sum(col("fq") * col("fq")).as("sumff"),
+        min("fq").as("minf"), max("fq").as("maxf"))
+      .withColumn("sigma", sqrt(
+        (dd(col("ns")) * dd(col("sumff")) - dd(col("sumf")) * dd(col("sumf")))
+          / (dd(col("ns")) * dd(col("ns")))))
+    // constant-across-slices detection is EXACT (decimal min = max), not
+    // sigma > 0: the double moment difference can round to a denormal
+    // instead of zero for identical profiles
+    val z = dense.join(broadcast(tstats), "t")
+      .filter(col("minf") =!= col("maxf"))
+      .select(col("s"), col("t"),
+        ((dd(col("fq")) * dd(col("ns")) - dd(col("sumf"))) /
+          (dd(col("ns")) * col("sigma"))).as("z"))
+    z.as("a").join(z.as("b"), Seq("t"))
+      .filter(col("a.s") < col("b.s"))
+      .select(col("a.s").as("slice_a"), col("b.s").as("slice_b"),
+        abs(col("a.z") - col("b.z")).cast("decimal(38,12)").as("term"))
+      .groupBy("slice_a", "slice_b")
+      .agg(count(lit(1)).as("n_terms_used"), sum("term").as("dsum"))
+      .select(col("slice_a"), col("slice_b"), col("n_terms_used"),
+        (dd(col("dsum")) / dd(col("n_terms_used"))).as("delta"))
+      .orderBy("slice_a", "slice_b")
+  }
+
+  /** Which document sources share a writing style — Burrows' Delta over
+    * the top-50 corpus terms, all source pairs. */
+  def q426BurrowsDelta(spark: SparkSession, dir: String): DataFrame =
+    burrowsDelta(Tables.documents(spark, dir), "source", "text", topM = 50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q426_burrows_delta" -> (q426BurrowsDelta _),
     "q415_vocab_coverage" -> (q415VocabCoverage _),
     "q394_heaps_law" -> (q394HeapsLaw _),
     "q395_lexical_diversity" -> (q395LexicalDiversity _),
@@ -1611,6 +1678,50 @@ object TextAnalysis {
        |  FROM c${k - 1} CROSS JOIN b$k b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q426_burrows_delta" ->
+      """WITH counts AS (
+        |  SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT source AS s, unnest(list_filter(
+        |      regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
+        |    FROM documents) GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT s, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY 1),
+        |top AS (
+        |  SELECT t FROM (
+        |    SELECT t, SUM(c) AS ct FROM counts GROUP BY 1)
+        |  ORDER BY ct DESC, t LIMIT 50),
+        |dense AS (
+        |  SELECT tot.s, tp.t,
+        |    CAST(CAST(COALESCE(cn.c, 0) AS DOUBLE)
+        |      / CAST(tot.n_s AS DOUBLE) AS DECIMAL(18,12)) AS fq
+        |  FROM totals tot CROSS JOIN top tp
+        |  LEFT JOIN counts cn ON cn.s = tot.s AND cn.t = tp.t),
+        |tstats AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS ns,
+        |    SUM(fq) AS sumf, SUM(fq * fq) AS sumff,
+        |    MIN(fq) AS minf, MAX(fq) AS maxf
+        |  FROM dense GROUP BY 1),
+        |ts2 AS (
+        |  SELECT t, ns, sumf, minf, maxf,
+        |    sqrt((CAST(ns AS DOUBLE) * CAST(sumff AS DOUBLE)
+        |      - CAST(sumf AS DOUBLE) * CAST(sumf AS DOUBLE))
+        |      / (CAST(ns AS DOUBLE) * CAST(ns AS DOUBLE))) AS sigma
+        |  FROM tstats),
+        |z AS (
+        |  SELECT d.s, d.t,
+        |    (CAST(d.fq AS DOUBLE) * CAST(ts.ns AS DOUBLE)
+        |      - CAST(ts.sumf AS DOUBLE))
+        |      / (CAST(ts.ns AS DOUBLE) * ts.sigma) AS z
+        |  FROM dense d JOIN ts2 ts ON d.t = ts.t
+        |  WHERE ts.minf <> ts.maxf),
+        |pairs AS (
+        |  SELECT a.s AS slice_a, b.s AS slice_b,
+        |    CAST(abs(a.z - b.z) AS DECIMAL(38,12)) AS term
+        |  FROM z a JOIN z b ON a.t = b.t AND a.s < b.s)
+        |SELECT slice_a, slice_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms_used,
+        |  CAST(SUM(term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS delta
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q415_vocab_coverage" ->
       """WITH tf AS (
         |  SELECT t, COUNT(*) AS c FROM (

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.{Stats, TextAnalysis}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground-truth toy-fixture tests for the round-11c operator batch
+  * (q424 rank-biased overlap, q425 Theil decomposition, q426 Burrows'
+  * Delta). */
+class Round11cOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private def ranked(items: Seq[Long]) =
+    items.zipWithIndex.map { case (i, r) => (i, r + 1L) }.toDF("item", "rnk")
+
+  test("rankBiasedOverlap: identical rankings score rbo_ext = 1") {
+    val a = ranked(Seq(10L, 20L, 30L, 40L))
+    val r = Stats.rankBiasedOverlap(a, ranked(Seq(10L, 20L, 30L, 40L)), 4)
+      .collect().head
+    assert(r.getAs[Long]("n_common") == 4L)
+    assert(r.getAs[Double]("jaccard_topk") == 1.0)
+    // sum_{d=1..4} 2^-d = 1 - 2^-4
+    assert(math.abs(r.getAs[Double]("rbo_min") - (1.0 - math.pow(2, -4)))
+      < 1e-15)
+    assert(math.abs(r.getAs[Double]("rbo_ext") - 1.0) < 1e-15)
+  }
+
+  test("rankBiasedOverlap: disjoint rankings score 0") {
+    val r = Stats.rankBiasedOverlap(ranked(Seq(1L, 2L)),
+      ranked(Seq(8L, 9L)), 2).collect().head
+    assert(r.getAs[Long]("n_common") == 0L)
+    assert(r.getAs[Double]("jaccard_topk") == 0.0)
+    assert(r.getAs[Double]("rbo_min") == 0.0)
+    assert(r.getAs[Double]("rbo_ext") == 0.0)
+  }
+
+  test("rankBiasedOverlap: swapped pair weights the head (hand case)") {
+    // S=[x,y], T=[y,x]: A_1 = 0 (no item has both ranks <= 1), A_2 = 1.
+    // rbo_min = 0/2 + 1/4 = 0.25; rbo_ext = 0.25 + (2/2)/4 = 0.5.
+    val r = Stats.rankBiasedOverlap(ranked(Seq(1L, 2L)),
+      ranked(Seq(2L, 1L)), 2).collect().head
+    assert(r.getAs[Long]("n_common") == 2L)
+    assert(r.getAs[Double]("jaccard_topk") == 1.0)
+    assert(math.abs(r.getAs[Double]("rbo_min") - 0.25) < 1e-15)
+    assert(math.abs(r.getAs[Double]("rbo_ext") - 0.5) < 1e-15)
+  }
+
+  test("theilDecomposition: equal values inside groups zero the within") {
+    // g1 = {100, 100}, g2 = {200, 200}: T_g = 0 both; only between
+    // inequality remains: s_1 = 1/3 with mean ratio 2/3, s_2 = 2/3
+    // with mean ratio 4/3.
+    val df = Seq(("g1", 100L), ("g1", 100L), ("g2", 200L), ("g2", 200L))
+      .toDF("seg", "cents")
+    val rows = Stats.theilDecomposition(df, "seg", "cents").collect()
+      .map(r => r.getAs[String]("seg") -> r).toMap
+    assert(rows("g1").getAs[Double]("theil_within") == 0.0)
+    assert(rows("g2").getAs[Double]("theil_within") == 0.0)
+    assert(math.abs(rows("g1").getAs[Double]("share") - 1.0 / 3) < 1e-12)
+    assert(math.abs(rows("g1").getAs[Double]("between_term") -
+      (1.0 / 3) * math.log(2.0 / 3)) < 1e-12)
+    assert(math.abs(rows("g2").getAs[Double]("between_term") -
+      (2.0 / 3) * math.log(4.0 / 3)) < 1e-12)
+  }
+
+  test("theilDecomposition: decomposition terms sum to total Theil") {
+    val xs = Seq(("a", 100L), ("a", 300L), ("a", 50L),
+      ("b", 700L), ("b", 20L), ("c", 500L), ("c", 500L))
+    val rows = Stats.theilDecomposition(xs.toDF("seg", "cents"),
+      "seg", "cents").collect()
+    val decomposed = rows.map(r => r.getAs[Double]("within_contrib") +
+      r.getAs[Double]("between_term")).sum
+    // direct T = (1/N) sum (x/mu) ln(x/mu)
+    val vals = xs.map(_._2.toDouble)
+    val mu = vals.sum / vals.size
+    val direct = vals.map(x => (x / mu) * math.log(x / mu)).sum / vals.size
+    assert(math.abs(decomposed - direct) < 1e-9)
+  }
+
+  test("burrowsDelta: antisymmetric slices, sigma-0 terms excluded") {
+    // A = "x x y z", B = "x y y z": x and y vary — with two slices every
+    // varying term z-scores to ±1, so |z_a - z_b| = 2 — while z is
+    // constant across slices (sigma = 0) and must not count.
+    val docs = Seq(("A", "x x y z"), ("B", "x y y z"))
+      .toDF("source", "text")
+    val r = TextAnalysis.burrowsDelta(docs, "source", "text", topM = 3)
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("slice_a") == "A")
+    assert(r.head.getAs[Long]("n_terms_used") == 2L)
+    assert(math.abs(r.head.getAs[Double]("delta") - 2.0) < 1e-9)
+  }
+
+  test("burrowsDelta: identical slices have zero distance") {
+    val docs = Seq(("A", "p q r"), ("B", "p q r")).toDF("source", "text")
+    // every term's sigma is 0 -> no usable terms -> no output pair rows
+    assert(TextAnalysis.burrowsDelta(docs, "source", "text", 3).count() == 0)
+    // add a third slice that differs: A-B distance exists and is 0 only
+    // for the pair with identical profiles
+    val docs3 = Seq(("A", "p q"), ("B", "p q"), ("C", "p p p q"))
+      .toDF("source", "text")
+    val m = TextAnalysis.burrowsDelta(docs3, "source", "text", 2).collect()
+      .map(r => (r.getAs[String]("slice_a"), r.getAs[String]("slice_b")) ->
+        r.getAs[Double]("delta")).toMap
+    assert(math.abs(m(("A", "B"))) < 1e-12)
+    assert(m(("A", "C")) > 1.0 && m(("B", "C")) > 1.0)
+    assert(math.abs(m(("A", "C")) - m(("B", "C"))) < 1e-12)
+  }
+}
