@@ -3945,7 +3945,116 @@ object Stats {
       "c_mktsegment", "cents")
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among n
+    * interchangeable raters assigning N items to k categories: the
+    * multi-rater generalization Cohen's κ (q262, exactly 2 raters)
+    * cannot express. κ = (P̄ − P̄ₑ)/(1 − P̄ₑ) with per-item agreement
+    * P_i = (Σ_j n_ij² − n)/(n(n−1)) and chance agreement Σ_j p_j².
+    * The curation use is weak supervision: if cheap heuristic
+    * "annotators" don't agree beyond chance, their majority vote is
+    * not a label.
+    *
+    * Input is the long (item, label) frame — n rows per item (the
+    * precondition; raters_per_item_min/max expose violations). Exact
+    * path: n_ij, the P_i numerators and the chance numerator Σ_j c_j²
+    * are all integers, so P̄, P̄ₑ and κ are fixed-order double
+    * expressions over exact sums. Shape: two histogram aggregations
+    * (item×category, then category), one item reduction — nothing is
+    * ordered, nothing collects. */
+  def fleissKappa(labels: DataFrame, itemCol: String,
+      labelCol: String, nRaters: Int): DataFrame = {
+    require(nRaters >= 2, s"nRaters must be >= 2: $nRaters")
+    val dd = (c: Column) => c.cast("double")
+    val nij = labels.select(col(itemCol).as("i"), col(labelCol).as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("nij"))
+    val perItem = nij.groupBy("i")
+      .agg(sum(col("nij") * col("nij")).as("ss"), sum("nij").as("n"))
+    val pbar = perItem
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("ss") - col("n")).as("agree_num"), max("n").as("n_max"),
+        min("n").as("n_min"))
+    // chance term is EXACT integers end-to-end: sum p_j^2 =
+    // (sum c_j^2) / (sum c_j)^2, one double division at the finish
+    val d380 = (c: Column) => c.cast("decimal(38,0)")
+    val pe = nij.groupBy("j").agg(sum("nij").as("cj"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum("cj").as("n_labels"),
+        sum(d380(col("cj")) * d380(col("cj"))).cast("decimal(38,0)")
+          .as("pe_num"))
+    val pBarE = dd(col("agree_num")) /
+      (dd(col("n_items")) * lit(nRaters.toDouble) *
+        lit((nRaters - 1).toDouble))
+    val peE = dd(col("pe_num")) / (dd(col("n_labels")) * dd(col("n_labels")))
+    pbar.crossJoin(broadcast(pe))
+      .select(col("n_items"), col("n_categories"),
+        col("n_min").as("raters_per_item_min"),
+        col("n_max").as("raters_per_item_max"),
+        pBarE.as("p_bar"), peE.as("p_e"),
+        ((pBarE - peE) / (lit(1.0) - peE)).as("kappa"))
+  }
+
+  /** Do three cheap document-size heuristics agree as weak labelers —
+    * Fleiss' κ over char-tercile, token-tercile and distinct-token-
+    * tercile classes (thresholds are corpus terciles, fixed so the
+    * labeling is deterministic and engine-portable). */
+  def q427FleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val cls = (v: Column, lo: Int, hi: Int) =>
+      when(v < lo, 0L).when(v < hi, 1L).otherwise(2L)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      cls(col("n_chars"), 216, 379).as("r_chars"),
+      cls(size(toks).cast("long"), 39, 69).as("r_tokens"),
+      cls(size(array_distinct(toks)).cast("long"), 22, 27).as("r_distinct"))
+    val long = docs.select(col("doc_id"),
+      explode(array(col("r_chars"), col("r_tokens"), col("r_distinct")))
+        .as("label"))
+    fleissKappa(long, "doc_id", "label", nRaters = 3)
+  }
+
+  /** Median-of-means — the robust location estimator whose error bound
+    * survives heavy tails and adversarial rows (Nemirovsky & Yudin
+    * 1983; Lugosi & Mendelson 2019 survey): split the data into B
+    * deterministic blocks, take each block's exact mean, return the
+    * median of the B means. Unlike trimming (q352) or winsorizing
+    * (q401) it needs no order statistics over the DATA — only over the
+    * B-row block-mean frame — so it is the one robust mean whose
+    * distributed cost is a plain aggregation. Blocks are assigned by
+    * key arithmetic (not hash) so both engines agree row-for-row.
+    *
+    * Per group: one (group, block) aggregation on exact cent sums, a
+    * B-row interpolated median per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both R-7 — the q152 precedent), and the
+    * plain mean for contrast. */
+  def medianOfMeans(df: DataFrame, groupCol: String, blockCol: Column,
+      centsCol: Column, nBlocks: Int): DataFrame = {
+    require(nBlocks >= 2, s"nBlocks must be >= 2: $nBlocks")
+    val dd = (c: Column) => c.cast("double")
+    val blocks = df
+      .select(col(groupCol).as("g"), (blockCol % nBlocks).as("b"),
+        centsCol.cast("decimal(38,0)").as("x"))
+      .groupBy("g", "b")
+      .agg(sum("x").cast("decimal(38,0)").as("sx"), count(lit(1)).as("nx"))
+      .withColumn("block_mean", dd(col("sx")) / dd(col("nx")))
+    blocks.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_blocks"), sum("nx").as("n_rows"),
+        (dd(sum("sx").cast("decimal(38,0)")) / dd(sum("nx")))
+          .as("mean_cents"),
+        expr("percentile(block_mean, 0.5)").as("mom_cents"))
+      .orderBy(groupCol)
+  }
+
+  /** Heavy-tail-safe average order value per priority class:
+    * median-of-means over 32 deterministic order-key blocks vs the
+    * plain mean. */
+  def q429MedianOfMeans(spark: SparkSession, dir: String): DataFrame =
+    medianOfMeans(Tables.orders(spark, dir), "o_orderpriority",
+      pmod(col("o_orderkey"), lit(97L)), // co-prime spreader, then % B
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+      nBlocks = 32)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q427_fleiss_kappa" -> (q427FleissKappa _),
+    "q429_median_of_means" -> (q429MedianOfMeans _),
     "q424_rank_biased_overlap" -> (q424RankBiasedOverlap _),
     "q425_theil_decomposition" -> (q425TheilDecomposition _),
     "q388_brown_forsythe" -> (q388BrownForsythe _),
@@ -4140,6 +4249,76 @@ object Stats {
        |        FROM base GROUP BY 1) g1) g2) g3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q427_fleiss_kappa" ->
+      """WITH feat AS (
+        |  SELECT doc_id, n_chars,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS tok,
+        |    len(list_distinct(list_filter(
+        |      regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS du
+        |  FROM documents),
+        |lab AS (
+        |  SELECT doc_id AS i, unnest([
+        |    CAST(CASE WHEN n_chars < 216 THEN 0
+        |      WHEN n_chars < 379 THEN 1 ELSE 2 END AS BIGINT),
+        |    CAST(CASE WHEN tok < 39 THEN 0
+        |      WHEN tok < 69 THEN 1 ELSE 2 END AS BIGINT),
+        |    CAST(CASE WHEN du < 22 THEN 0
+        |      WHEN du < 27 THEN 1 ELSE 2 END AS BIGINT)]) AS j
+        |  FROM feat),
+        |nij AS (
+        |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM lab GROUP BY 1, 2),
+        |per AS (
+        |  SELECT i, CAST(SUM(nij * nij) AS BIGINT) AS ss,
+        |    CAST(SUM(nij) AS BIGINT) AS n
+        |  FROM nij GROUP BY 1),
+        |pbar AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(ss - n) AS BIGINT) AS agree_num,
+        |    CAST(MIN(n) AS BIGINT) AS n_min,
+        |    CAST(MAX(n) AS BIGINT) AS n_max
+        |  FROM per),
+        |pe AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |    CAST(SUM(cj) AS BIGINT) AS n_labels,
+        |    CAST(SUM(CAST(cj AS DECIMAL(38,0)) * CAST(cj AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS pe_num
+        |  FROM (SELECT j, CAST(SUM(nij) AS BIGINT) AS cj
+        |        FROM nij GROUP BY 1))
+        |SELECT b.n_items, e.n_categories,
+        |  b.n_min AS raters_per_item_min, b.n_max AS raters_per_item_max,
+        |  CAST(b.agree_num AS DOUBLE)
+        |    / (CAST(b.n_items AS DOUBLE) * 3.0 * 2.0) AS p_bar,
+        |  CAST(e.pe_num AS DOUBLE)
+        |    / (CAST(e.n_labels AS DOUBLE) * CAST(e.n_labels AS DOUBLE))
+        |    AS p_e,
+        |  (CAST(b.agree_num AS DOUBLE)
+        |      / (CAST(b.n_items AS DOUBLE) * 3.0 * 2.0)
+        |    - CAST(e.pe_num AS DOUBLE)
+        |      / (CAST(e.n_labels AS DOUBLE) * CAST(e.n_labels AS DOUBLE)))
+        |  / (1.0 - CAST(e.pe_num AS DOUBLE)
+        |      / (CAST(e.n_labels AS DOUBLE) * CAST(e.n_labels AS DOUBLE)))
+        |    AS kappa
+        |FROM pbar b CROSS JOIN pe e""".stripMargin,
+    "q429_median_of_means" ->
+      """WITH blocks AS (
+        |  SELECT o_orderpriority AS g, (o_orderkey % 97) % 32 AS b,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS DECIMAL(38,0)) AS sx,
+        |    CAST(COUNT(*) AS BIGINT) AS nx
+        |  FROM orders GROUP BY 1, 2),
+        |bm AS (
+        |  SELECT g, sx, nx,
+        |    CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE) AS block_mean
+        |  FROM blocks)
+        |SELECT g AS o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(nx) AS BIGINT) AS n_rows,
+        |  CAST(CAST(SUM(sx) AS DECIMAL(38,0)) AS DOUBLE)
+        |    / CAST(SUM(nx) AS DOUBLE) AS mean_cents,
+        |  quantile_cont(block_mean, 0.5) AS mom_cents
+        |FROM bm GROUP BY 1 ORDER BY 1""".stripMargin,
     "q424_rank_biased_overlap" ->
       """WITH h1 AS (
         |  SELECT l_partkey AS item,

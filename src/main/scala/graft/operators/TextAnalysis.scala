@@ -1468,6 +1468,95 @@ object TextAnalysis {
   def q415VocabCoverage(spark: SparkSession, dir: String): DataFrame =
     vocabCoverage(Tables.documents(spark, dir), "text")
 
+  /** Kneser–Ney bigram language model, held-out cross-entropy per
+    * corpus slice (Kneser & Ney 1995; Chen & Goodman 1998 — the
+    * interpolated absolute-discount form, D = 0.75 exactly
+    * representable). Where q99 scores every document under an
+    * add-smoothed bigram LM fit on the full corpus, this implements
+    * the CONTINUATION-COUNT estimator — P_cont(w) ∝ the number of
+    * distinct contexts w follows, the Kneser–Ney fix for frequent-
+    * but-bound words ("Francisco") — under a train/held-out split
+    * (doc_id % holdoutMod == 0 held out). The held-out number is what
+    * certifies a slice for LM pretraining: abnormally LOW
+    * cross-entropy means the shard is self-predictive boilerplate,
+    * a SPIKE means the held-out shard is distributionally different
+    * from training.
+    *
+    * P(w|v) = max(c(vw) − D, 0)/c(v) + (D·N₁₊(v·)/c(v))·P_cont(w);
+    * P_cont(w) = N₁₊(·w)/#bigram-types; an unseen prefix v backs off
+    * to P_cont(w); a w never seen as a continuation floors at
+    * 1/(#bigram-types + 1). n_unseen_prefix / n_unseen_cont report
+    * how often each backoff fired.
+    *
+    * Scale shape: the model IS the (slice, v, w) count histogram —
+    * one explode + groupBy, materialized once (the q99 fit
+    * discipline); prefix stats, continuation counts and type totals
+    * are re-aggregations of that histogram, never corpus re-reads;
+    * scoring joins the held-out histogram against the model on
+    * (slice, v) / (slice, w) keys with the per-slice totals
+    * broadcast. Every probability is a fixed-order double expression
+    * over exact counts; each −m·ln P term is DECIMAL(38,12)-quantized
+    * before the per-slice sum. Strict hash gate. */
+  def knBigramCrossEntropy(docs: DataFrame, sliceCol: String,
+      idCol: String, textCol: String, holdoutMod: Int): DataFrame = {
+    require(holdoutMod >= 2, s"holdoutMod must be >= 2: $holdoutMod")
+    val dd = (c: Column) => c.cast("double")
+    val D = lit(0.75)
+    val base = docs
+      .select(col(sliceCol).as("lg"), col(idCol).as("id"),
+        tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("lg"), (pmod(col("id"), lit(holdoutMod)) === 0).as("held"),
+        explode(expr(
+          "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1)," +
+            " (a, b) -> struct(a AS v, b AS w))")).as("bg"))
+      .select(col("lg"), col("held"),
+        col("bg.v").as("v"), col("bg.w").as("w"))
+    val train = base.filter(!col("held")).groupBy("lg", "v", "w")
+      .agg(count(lit(1)).as("cvw"))
+      .localCheckpoint(true)
+    val prefix = train.groupBy("lg", "v")
+      .agg(sum("cvw").as("cv"), count(lit(1)).as("n1v"))
+    val cont = train.groupBy("lg", "w").agg(count(lit(1)).as("n1w"))
+    val totals = train.groupBy("lg").agg(count(lit(1)).as("n_types"))
+    val ho = base.filter(col("held")).groupBy("lg", "v", "w")
+      .agg(count(lit(1)).as("m"))
+    val pContF = when(col("n1w").isNotNull,
+      dd(col("n1w")) / dd(col("n_types")))
+      .otherwise(lit(1.0) / (dd(col("n_types")) + lit(1.0)))
+    val p = when(col("cv").isNotNull,
+      greatest(dd(coalesce(col("cvw"), lit(0L))) - D, lit(0.0)) /
+        dd(col("cv")) +
+        (D * dd(col("n1v")) / dd(col("cv"))) * pContF)
+      .otherwise(pContF)
+    ho.join(train, Seq("lg", "v", "w"), "left")
+      .join(prefix, Seq("lg", "v"), "left")
+      .join(cont, Seq("lg", "w"), "left")
+      .join(broadcast(totals), Seq("lg"), "left")
+      .select(col("lg"), col("m"),
+        (-dd(col("m")) * log(p)).cast("decimal(38,12)").as("term"),
+        when(col("cv").isNull, col("m")).otherwise(lit(0L))
+          .as("mu_prefix"),
+        when(col("n1w").isNull, col("m")).otherwise(lit(0L))
+          .as("mu_cont"))
+      .groupBy(col("lg").as(sliceCol))
+      .agg(sum("m").as("n_heldout_bigrams"),
+        sum("mu_prefix").as("n_unseen_prefix"),
+        sum("mu_cont").as("n_unseen_cont"),
+        sum("term").as("hsum"))
+      .select(col(sliceCol), col("n_heldout_bigrams"),
+        col("n_unseen_prefix"), col("n_unseen_cont"),
+        (dd(col("hsum")) / dd(col("n_heldout_bigrams")))
+          .as("cross_entropy_nats"))
+      .orderBy(sliceCol)
+  }
+
+  /** Is each language shard LM-predictive or distribution-broken —
+    * Kneser–Ney bigram cross-entropy on the doc_id%5 held-out split. */
+  def q428KnCrossEntropy(spark: SparkSession, dir: String): DataFrame =
+    knBigramCrossEntropy(Tables.documents(spark, dir), "lang", "doc_id",
+      "text", holdoutMod = 5)
+
   /** Burrows' Delta (Burrows 2002; Evert et al. 2017 on its geometry) —
     * the stylometric distance between corpus slices: z-score each
     * slice's relative frequency of the top-M corpus terms against the
@@ -1536,6 +1625,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q426_burrows_delta" -> (q426BurrowsDelta _),
+    "q428_kn_cross_entropy" -> (q428KnCrossEntropy _),
     "q415_vocab_coverage" -> (q415VocabCoverage _),
     "q394_heaps_law" -> (q394HeapsLaw _),
     "q395_lexical_diversity" -> (q395LexicalDiversity _),
@@ -1678,6 +1768,61 @@ object TextAnalysis {
        |  FROM c${k - 1} CROSS JOIN b$k b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q428_kn_cross_entropy" ->
+      """WITH toks AS (
+        |  SELECT lang AS lg, doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS ts
+        |  FROM documents),
+        |base AS (
+        |  SELECT lg, doc_id % 5 = 0 AS held, ts[i] AS v, ts[i + 1] AS w
+        |  FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+        |  WHERE len(ts) >= 2),
+        |train AS (
+        |  SELECT lg, v, w, CAST(COUNT(*) AS BIGINT) AS cvw
+        |  FROM base WHERE NOT held GROUP BY 1, 2, 3),
+        |prefix AS (
+        |  SELECT lg, v, CAST(SUM(cvw) AS BIGINT) AS cv,
+        |    CAST(COUNT(*) AS BIGINT) AS n1v
+        |  FROM train GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT lg, w, CAST(COUNT(*) AS BIGINT) AS n1w
+        |  FROM train GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lg, CAST(COUNT(*) AS BIGINT) AS n_types
+        |  FROM train GROUP BY 1),
+        |ho AS (
+        |  SELECT lg, v, w, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM base WHERE held GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT h.lg, h.m, p.cv, c.n1w,
+        |    CASE WHEN p.cv IS NOT NULL THEN
+        |      greatest(CAST(COALESCE(t.cvw, 0) AS DOUBLE) - 0.75, 0.0)
+        |        / CAST(p.cv AS DOUBLE)
+        |      + (0.75 * CAST(p.n1v AS DOUBLE) / CAST(p.cv AS DOUBLE)) *
+        |        (CASE WHEN c.n1w IS NOT NULL
+        |          THEN CAST(c.n1w AS DOUBLE) / CAST(o.n_types AS DOUBLE)
+        |          ELSE 1.0 / (CAST(o.n_types AS DOUBLE) + 1.0) END)
+        |    ELSE
+        |      (CASE WHEN c.n1w IS NOT NULL
+        |        THEN CAST(c.n1w AS DOUBLE) / CAST(o.n_types AS DOUBLE)
+        |        ELSE 1.0 / (CAST(o.n_types AS DOUBLE) + 1.0) END)
+        |    END AS p
+        |  FROM ho h
+        |  LEFT JOIN train t ON h.lg = t.lg AND h.v = t.v AND h.w = t.w
+        |  LEFT JOIN prefix p ON h.lg = p.lg AND h.v = p.v
+        |  LEFT JOIN cont c ON h.lg = c.lg AND h.w = c.w
+        |  LEFT JOIN tot o ON h.lg = o.lg)
+        |SELECT lg AS lang,
+        |  CAST(SUM(m) AS BIGINT) AS n_heldout_bigrams,
+        |  CAST(SUM(CASE WHEN cv IS NULL THEN m ELSE 0 END) AS BIGINT)
+        |    AS n_unseen_prefix,
+        |  CAST(SUM(CASE WHEN n1w IS NULL THEN m ELSE 0 END) AS BIGINT)
+        |    AS n_unseen_cont,
+        |  CAST(SUM(CAST(-CAST(m AS DOUBLE) * ln(p) AS DECIMAL(38,12)))
+        |      AS DOUBLE)
+        |    / CAST(SUM(m) AS DOUBLE) AS cross_entropy_nats
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q426_burrows_delta" ->
       """WITH counts AS (
         |  SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c FROM (

@@ -92,6 +92,64 @@ class Round11cOpsSpec extends AnyFunSuite {
     assert(math.abs(r.head.getAs[Double]("delta") - 2.0) < 1e-9)
   }
 
+  test("fleissKappa: hand-computed two-rater cases") {
+    // i1 = (A,A), i2 = (A,B): P_bar = (1 + 0)/2; marginals A=3, B=1 of 4
+    // -> P_e = (9 + 1)/16 = 0.625; kappa = (0.5 - 0.625)/0.375 = -1/3
+    val labels = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B"))
+      .toDF("item", "label")
+    val r = Stats.fleissKappa(labels, "item", "label", 2).collect().head
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Long]("raters_per_item_min") == 2L)
+    assert(math.abs(r.getAs[Double]("p_bar") - 0.5) < 1e-15)
+    assert(math.abs(r.getAs[Double]("p_e") - 0.625) < 1e-15)
+    assert(math.abs(r.getAs[Double]("kappa") - (-1.0 / 3)) < 1e-12)
+    // perfect agreement -> kappa = 1 regardless of chance level
+    val perfect = Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B"))
+      .toDF("item", "label")
+    val k1 = Stats.fleissKappa(perfect, "item", "label", 2).collect().head
+    assert(math.abs(k1.getAs[Double]("kappa") - 1.0) < 1e-15)
+  }
+
+  test("medianOfMeans: one poisoned block cannot move the median") {
+    import org.apache.spark.sql.functions.col
+    // ids 0..7, 4 blocks by id % 4; id 0 carries a 1e6 outlier: its
+    // block mean explodes, the other three stay at 10 -> MoM = 10
+    val df = (0L to 7L).map(i => ("g", i, if (i == 0L) 1000000L else 10L))
+      .toDF("grp", "id", "cents")
+    val r = Stats.medianOfMeans(df, "grp", col("id"), col("cents"), 4)
+      .collect().head
+    assert(r.getAs[Long]("n_blocks") == 4L)
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(math.abs(r.getAs[Double]("mom_cents") - 10.0) < 1e-12)
+    assert(r.getAs[Double]("mean_cents") > 100000.0)
+  }
+
+  test("knBigramCrossEntropy: hand-computed smoothing and backoffs") {
+    // train (ids 1,2): "a b a b" twice -> c(a,b)=4, c(b,a)=2;
+    // prefix a: cv=4,n1v=1; b: cv=2,n1v=1; cont: n1w(a)=1, n1w(b)=1;
+    // n_types=2. held (id 0): "a b" -> P = (4-.75)/4 + (.75/4)*(1/2)
+    // = 0.90625. held (id 5): "a c" -> prefix a seen, c never a
+    // continuation -> P = 0 + (.75/4)*(1/3) = 0.0625.
+    val docs = Seq((1L, "s", "a b a b"), (2L, "s", "a b a b"),
+      (0L, "s", "a b"), (5L, "t2", "zz")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.knBigramCrossEntropy(docs, "lang", "doc_id",
+      "text", 5).collect().map(x => x.getAs[String]("lang") -> x).toMap
+    val s = r("s")
+    assert(s.getAs[Long]("n_heldout_bigrams") == 1L)
+    assert(s.getAs[Long]("n_unseen_prefix") == 0L)
+    assert(math.abs(s.getAs[Double]("cross_entropy_nats") -
+      -math.log(0.90625)) < 1e-9)
+    assert(!r.contains("t2")) // one-token doc contributes no bigrams
+
+    val docs2 = Seq((1L, "s", "a b a b"), (2L, "s", "a b a b"),
+      (5L, "s", "a c")).toDF("doc_id", "lang", "text")
+    val s2 = TextAnalysis.knBigramCrossEntropy(docs2, "lang", "doc_id",
+      "text", 5).collect().head
+    assert(s2.getAs[Long]("n_unseen_cont") == 1L)
+    assert(math.abs(s2.getAs[Double]("cross_entropy_nats") -
+      -math.log(0.0625)) < 1e-9)
+  }
+
   test("burrowsDelta: identical slices have zero distance") {
     val docs = Seq(("A", "p q r"), ("B", "p q r")).toDF("source", "text")
     // every term's sigma is 0 -> no usable terms -> no output pair rows
