@@ -4052,7 +4052,161 @@ object Stats {
       (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
       nBlocks = 32)
 
+  /** Delete-one-block jackknife standard error for a RATIO estimator
+    * (Quenouille 1956; Tukey 1958; the delete-group form in Shao & Tu
+    * 1995) — error bars for Σy/Σx metrics (net/gross ratio, CTR,
+    * dedup rate) computed WITHOUT resampling the data: rows land in B
+    * deterministic arithmetic blocks, and every leave-one-block-out
+    * replicate R_(b) = (ΣY − y_b)/(ΣX − x_b) is algebra over the
+    * B-row block-sum frame. The bootstrap (q226) resamples rows; this
+    * touches the data exactly once, which is the only affordable
+    * design at fact-table scale.
+    *
+    * Exactness: block sums are cent decimals; each replicate is one
+    * double division, DECIMAL(38,12)-quantized (the scale both
+    * engines' double-to-decimal casts agree on) so the replicate mean
+    * is an exact sum; squared deviations are computed from the exact
+    * (B·R_b − ΣR) numerator and DECIMAL(38,10)-quantized before the
+    * variance sum. var = (B−1)/B · Σ(R_b − R̄)² via the fixed-order
+    * Σterm·(B−1)/B³ form. */
+  def blockJackknifeRatio(df: DataFrame, groupCol: String,
+      blockCol: Column, numCents: Column, denCents: Column,
+      nBlocks: Int): DataFrame = {
+    require(nBlocks >= 2, s"nBlocks must be >= 2: $nBlocks")
+    val dd = (c: Column) => c.cast("double")
+    val blocks = df
+      .select(col(groupCol).as("g"), (blockCol % nBlocks).as("b"),
+        numCents.cast("decimal(38,0)").as("y"),
+        denCents.cast("decimal(38,0)").as("x"))
+      .groupBy("g", "b")
+      .agg(sum("y").cast("decimal(38,0)").as("sy"),
+        sum("x").cast("decimal(38,0)").as("sx"), count(lit(1)).as("nr"))
+    val gstats = blocks.groupBy("g")
+      .agg(sum("sy").cast("decimal(38,0)").as("ty"),
+        sum("sx").cast("decimal(38,0)").as("tx"),
+        sum("nr").as("n_rows"), count(lit(1)).as("nb"))
+    val reps = blocks.join(broadcast(gstats), "g")
+      .select(col("g"), col("nb"),
+        (dd(col("ty") - col("sy")) / dd(col("tx") - col("sx")))
+          .cast("decimal(38,12)").as("rb"))
+    val rsum = reps.groupBy("g").agg(sum("rb").as("srb"))
+    val terms = reps.join(broadcast(rsum), "g")
+      .select(col("g"),
+        ((dd(col("rb")) * dd(col("nb")) - dd(col("srb"))) *
+          (dd(col("rb")) * dd(col("nb")) - dd(col("srb"))))
+          .cast("decimal(38,10)").as("t2"))
+      .groupBy("g").agg(sum("t2").as("st2"))
+    gstats.join(terms, "g")
+      .select(col("g").as(groupCol), col("n_rows"), col("nb").as("n_blocks"),
+        (dd(col("ty")) / dd(col("tx"))).as("ratio"),
+        sqrt(dd(col("st2")) * dd(col("nb") - 1) /
+          (dd(col("nb")) * dd(col("nb")) * dd(col("nb")))).as("jk_se"),
+        (dd(col("ty")) / dd(col("tx")) -
+          lit(1.96) * sqrt(dd(col("st2")) * dd(col("nb") - 1) /
+            (dd(col("nb")) * dd(col("nb")) * dd(col("nb"))))).as("ci_lo"),
+        (dd(col("ty")) / dd(col("tx")) +
+          lit(1.96) * sqrt(dd(col("st2")) * dd(col("nb") - 1) /
+            (dd(col("nb")) * dd(col("nb")) * dd(col("nb"))))).as("ci_hi"))
+      .orderBy(groupCol)
+  }
+
+  /** Net-of-discount revenue share per return flag with delete-a-block
+    * jackknife error bars — 40 arithmetic blocks over the order key. */
+  def q430BlockJackknife(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // exact cent-x-percent units: price cents x (100 - discount%), never
+    // a double product rounded to cents (the engines' double->decimal
+    // casts round .xx5-adjacent doubles differently)
+    val pc = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val d100 = (col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+    blockJackknifeRatio(li, "l_returnflag",
+      pmod(col("l_orderkey") + col("l_linenumber").cast("long") * 7919L,
+        lit(40L)),
+      pc * (lit(100L) - d100), pc * 100L,
+      nBlocks = 40)
+  }
+
+  /** Pettitt change-point test (Pettitt 1979) — the rank-based,
+    * distribution-free single change-point detector: U_t = 2Σ_{i≤t}r_i
+    * − t(n+1) over the series ranks, K = max|U_t|, with the standard
+    * p ≈ min(1, 2·exp(−6K²/(n³+n²))). Complements the SSE change-points
+    * (q206 mean-shift, q310 piecewise) exactly where they fail: no
+    * normality assumption, immune to outliers, detects a LEVEL shift
+    * in any monotone transform of the data.
+    *
+    * Exactness: doubled average ranks 2r = 2·rank_min + ties − 1 keep
+    * every U_t an exact integer (the halves cancel in U's definition);
+    * K and t* come off one per-key prefix window over the
+    * period-histogram frame; only the final p-value touches doubles
+    * (exp is engine-stable on identical inputs — the q282/q359
+    * precedent). Shape: the fact table reduces to the (key, period)
+    * aggregate first; every window is partitioned by key over
+    * bounded period counts. */
+  def pettittTest(series: DataFrame, keyCol: String, tCol: String,
+      xCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val base = series.select(col(keyCol).as("k"), col(tCol).as("t"),
+      col(xCol).as("x"))
+    // doubled average rank 2r = 2*rank_min + ties - 1 stays integral, so
+    // U_t = sum_{i<=t} 2r_i - t(n+1) is exact (the 2x is already in U's
+    // classical definition)
+    val ranked = base
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("k")))
+      .withColumn("r2",
+        lit(2L) * rank().over(Window.partitionBy("k").orderBy("x"))
+          .cast("long") +
+          count(lit(1)).over(Window.partitionBy("k", "x")) - 1L)
+      .withColumn("tidx", row_number()
+        .over(Window.partitionBy("k").orderBy("t")).cast("long"))
+      .withColumn("u", sum("r2").over(Window.partitionBy("k").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+        col("tidx") * (col("n") + 1L))
+    val best = ranked.filter(col("tidx") < col("n"))
+      .withColumn("rn", row_number().over(Window.partitionBy("k")
+        .orderBy(abs(col("u")).desc, col("t"))))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("t").as("cp_t"), abs(col("u")).as("k_stat"),
+        col("n"))
+    val sides = base.join(best.select("k", "cp_t"), "k")
+      .groupBy("k")
+      .agg(sum(when(col("t") <= col("cp_t"), col("x")).otherwise(lit(0L)))
+        .as("sb"),
+        sum(when(col("t") <= col("cp_t"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("t") > col("cp_t"), col("x")).otherwise(lit(0L)))
+          .as("sa"),
+        sum(when(col("t") > col("cp_t"), 1L).otherwise(0L)).as("na"))
+    best.join(sides, "k")
+      .select(col("k").as(keyCol), col("n").as("n_periods"),
+        col("cp_t").as("changepoint_t"), col("k_stat"),
+        least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
+          dd(col("k_stat")) * dd(col("k_stat")) /
+          (dd(col("n")) * dd(col("n")) * dd(col("n")) +
+            dd(col("n")) * dd(col("n"))))).as("p_approx"),
+        (dd(col("sb")) / dd(col("nb"))).as("mean_before"),
+        (dd(col("sa")) / dd(col("na"))).as("mean_after"))
+      .orderBy(keyCol)
+  }
+
+  /** Did any nation's monthly revenue stream break level — Pettitt
+    * rank change-point over each nation's month×revenue-cents series. */
+  def q431Pettitt(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+    val series = li.select(col("n_name"),
+      date_trunc("month", col("l_shipdate")).as("m"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("c"))
+      .groupBy("n_name", "m").agg(sum("c").as("rev_c"))
+    pettittTest(series, "n_name", "m", "rev_c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q430_block_jackknife" -> (q430BlockJackknife _),
+    "q431_pettitt" -> (q431Pettitt _),
     "q427_fleiss_kappa" -> (q427FleissKappa _),
     "q429_median_of_means" -> (q429MedianOfMeans _),
     "q424_rank_biased_overlap" -> (q424RankBiasedOverlap _),
@@ -4249,6 +4403,109 @@ object Stats {
        |        FROM base GROUP BY 1) g1) g2) g3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q430_block_jackknife" ->
+      """WITH rows_ AS (
+        |  SELECT l_returnflag AS g,
+        |    (l_orderkey + CAST(l_linenumber AS BIGINT) * 7919) % 40 AS b,
+        |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+        |        AS BIGINT)) AS DECIMAL(38,0)) AS y,
+        |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) * 100 AS DECIMAL(38,0)) AS x
+        |  FROM lineitem),
+        |blocks AS (
+        |  SELECT g, b, CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+        |    CAST(COUNT(*) AS BIGINT) AS nr
+        |  FROM rows_ GROUP BY 1, 2),
+        |gstats AS (
+        |  SELECT g, CAST(SUM(sy) AS DECIMAL(38,0)) AS ty,
+        |    CAST(SUM(sx) AS DECIMAL(38,0)) AS tx,
+        |    CAST(SUM(nr) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM blocks GROUP BY 1),
+        |reps AS (
+        |  SELECT b2.g, gs.nb,
+        |    CAST(CAST(gs.ty - b2.sy AS DOUBLE)
+        |      / CAST(gs.tx - b2.sx AS DOUBLE) AS DECIMAL(38,12)) AS rb
+        |  FROM blocks b2 JOIN gstats gs ON b2.g = gs.g),
+        |rsum AS (SELECT g, SUM(rb) AS srb FROM reps GROUP BY 1),
+        |terms AS (
+        |  SELECT r.g,
+        |    CAST(SUM(CAST(
+        |      (CAST(r.rb AS DOUBLE) * CAST(r.nb AS DOUBLE)
+        |        - CAST(s.srb AS DOUBLE)) *
+        |      (CAST(r.rb AS DOUBLE) * CAST(r.nb AS DOUBLE)
+        |        - CAST(s.srb AS DOUBLE)) AS DECIMAL(38,10)))
+        |      AS DECIMAL(38,10)) AS st2
+        |  FROM reps r JOIN rsum s ON r.g = s.g GROUP BY 1)
+        |SELECT gs.g AS l_returnflag, gs.n_rows, gs.nb AS n_blocks,
+        |  CAST(gs.ty AS DOUBLE) / CAST(gs.tx AS DOUBLE) AS ratio,
+        |  sqrt(CAST(t.st2 AS DOUBLE) * CAST(gs.nb - 1 AS DOUBLE)
+        |    / (CAST(gs.nb AS DOUBLE) * CAST(gs.nb AS DOUBLE)
+        |      * CAST(gs.nb AS DOUBLE))) AS jk_se,
+        |  CAST(gs.ty AS DOUBLE) / CAST(gs.tx AS DOUBLE)
+        |    - 1.96 * sqrt(CAST(t.st2 AS DOUBLE) * CAST(gs.nb - 1 AS DOUBLE)
+        |      / (CAST(gs.nb AS DOUBLE) * CAST(gs.nb AS DOUBLE)
+        |        * CAST(gs.nb AS DOUBLE))) AS ci_lo,
+        |  CAST(gs.ty AS DOUBLE) / CAST(gs.tx AS DOUBLE)
+        |    + 1.96 * sqrt(CAST(t.st2 AS DOUBLE) * CAST(gs.nb - 1 AS DOUBLE)
+        |      / (CAST(gs.nb AS DOUBLE) * CAST(gs.nb AS DOUBLE)
+        |        * CAST(gs.nb AS DOUBLE))) AS ci_hi
+        |FROM gstats gs JOIN terms t ON gs.g = t.g ORDER BY 1""".stripMargin,
+    "q431_pettitt" ->
+      """WITH series AS (
+        |  SELECT n.n_name, CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS m,
+        |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT n_name AS k, m AS t, rev_c AS x,
+        |    CAST(COUNT(*) OVER (PARTITION BY n_name) AS BIGINT) AS n,
+        |    CAST(2 * RANK() OVER (PARTITION BY n_name ORDER BY rev_c)
+        |      + COUNT(*) OVER (PARTITION BY n_name, rev_c) - 1
+        |      AS BIGINT) AS r2,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY m)
+        |      AS BIGINT) AS tidx
+        |  FROM series),
+        |u AS (
+        |  SELECT k, t, x, n, tidx,
+        |    SUM(r2) OVER (PARTITION BY k ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) - tidx * (n + 1) AS u
+        |  FROM ranked),
+        |best AS (
+        |  SELECT k, t AS cp_t, CAST(abs(u) AS BIGINT) AS k_stat, n
+        |  FROM (
+        |    SELECT k, t, u, n, ROW_NUMBER() OVER
+        |      (PARTITION BY k ORDER BY abs(u) DESC, t) AS rn
+        |    FROM u WHERE tidx < n)
+        |  WHERE rn = 1),
+        |sides AS (
+        |  SELECT s.k,
+        |    CAST(SUM(CASE WHEN s.t <= b.cp_t THEN s.x ELSE 0 END)
+        |      AS BIGINT) AS sb,
+        |    CAST(SUM(CASE WHEN s.t <= b.cp_t THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN s.t > b.cp_t THEN s.x ELSE 0 END)
+        |      AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN s.t > b.cp_t THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na
+        |  FROM u s JOIN best b ON s.k = b.k GROUP BY 1)
+        |SELECT b.k AS n_name, b.n AS n_periods, b.cp_t AS changepoint_t,
+        |  b.k_stat,
+        |  least(1.0, 2.0 * exp(-6.0
+        |    * CAST(b.k_stat AS DOUBLE) * CAST(b.k_stat AS DOUBLE)
+        |    / (CAST(b.n AS DOUBLE) * CAST(b.n AS DOUBLE)
+        |        * CAST(b.n AS DOUBLE)
+        |      + CAST(b.n AS DOUBLE) * CAST(b.n AS DOUBLE))))
+        |    AS p_approx,
+        |  CAST(d.sb AS DOUBLE) / CAST(d.nb AS DOUBLE) AS mean_before,
+        |  CAST(d.sa AS DOUBLE) / CAST(d.na AS DOUBLE) AS mean_after
+        |FROM best b JOIN sides d ON b.k = d.k ORDER BY 1""".stripMargin,
     "q427_fleiss_kappa" ->
       """WITH feat AS (
         |  SELECT doc_id, n_chars,

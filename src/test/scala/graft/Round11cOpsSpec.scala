@@ -150,6 +150,47 @@ class Round11cOpsSpec extends AnyFunSuite {
       -math.log(0.0625)) < 1e-9)
   }
 
+  test("blockJackknifeRatio: hand case and zero-variance identity") {
+    import org.apache.spark.sql.functions.col
+    // blocks by id%2: b0 = {y=1,x=2}, b1 = {y=3,x=2}: R = 1,
+    // leave-one-out replicates 1.5 and 0.5 -> jackknife se = 0.5
+    val df = Seq(("g", 0L, 1L, 2L), ("g", 1L, 3L, 2L))
+      .toDF("grp", "id", "y", "x")
+    val r = Stats.blockJackknifeRatio(df, "grp", col("id"), col("y"),
+      col("x"), 2).collect().head
+    assert(math.abs(r.getAs[Double]("ratio") - 1.0) < 1e-15)
+    assert(math.abs(r.getAs[Double]("jk_se") - 0.5) < 1e-9)
+    // y = 2x everywhere -> every replicate identical -> se exactly 0
+    val const = (0L to 9L).map(i => ("g", i, 2 * (i + 1), i + 1))
+      .toDF("grp", "id", "y", "x")
+    val c = Stats.blockJackknifeRatio(const, "grp", col("id"), col("y"),
+      col("x"), 5).collect().head
+    assert(c.getAs[Double]("ratio") == 2.0)
+    assert(c.getAs[Double]("jk_se") == 0.0)
+  }
+
+  test("pettittTest: level shift found, ties averaged, p clamps at 1") {
+    // step [1,1,1,5,5,5]: K = |U_3| = 9 at t = 3, means 1 vs 5,
+    // p = 2*exp(-6*81/(216+36))
+    val step = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 5L),
+      (6L, 5L)).map { case (t, x) => ("k", t, x) }.toDF("key", "t", "x")
+    val r = Stats.pettittTest(step, "key", "t", "x").collect().head
+    assert(r.getAs[Long]("k_stat") == 9L)
+    assert(r.getAs[Long]("changepoint_t") == 3L)
+    assert(r.getAs[Double]("mean_before") == 1.0)
+    assert(r.getAs[Double]("mean_after") == 5.0)
+    assert(math.abs(r.getAs[Double]("p_approx") -
+      2.0 * math.exp(-486.0 / 252.0)) < 1e-12)
+    // alternating series: no change point -> small K, p clamps to 1,
+    // earliest argmax tie-break
+    val alt = Seq((1L, 1L), (2L, 5L), (3L, 1L), (4L, 5L), (5L, 1L),
+      (6L, 5L)).map { case (t, x) => ("k", t, x) }.toDF("key", "t", "x")
+    val a = Stats.pettittTest(alt, "key", "t", "x").collect().head
+    assert(a.getAs[Long]("k_stat") == 3L)
+    assert(a.getAs[Long]("changepoint_t") == 1L)
+    assert(a.getAs[Double]("p_approx") == 1.0)
+  }
+
   test("burrowsDelta: identical slices have zero distance") {
     val docs = Seq(("A", "p q r"), ("B", "p q r")).toDF("source", "text")
     // every term's sigma is 0 -> no usable terms -> no output pair rows
