@@ -4204,7 +4204,184 @@ object Stats {
     pettittTest(series, "n_name", "m", "rev_c")
   }
 
+  /** Stuart–Maxwell test of marginal homogeneity for paired 3-category
+    * labels (Stuart 1955; Maxwell 1970) — "did the label DISTRIBUTION
+    * shift between two labelings of the same items", the k = 3
+    * generalization of McNemar (q285) and the drift companion to
+    * agreement tests (q262/q427): two raters can agree poorly yet have
+    * identical marginals, or agree well while one systematically
+    * promotes a class. For k = 3 the χ² (df = 2) has the closed form
+    * A/B with A = Σᵢ (n_jk + n_kj)·dᵢ² over {i,j,k} = {1,2,3} and
+    * B = Σ pairwise products of the symmetrized off-diagonal sums —
+    * all INTEGER arithmetic (the ½ factors cancel), so χ² is one
+    * double division and p = exp(−χ²/2) (df = 2 survival) the only
+    * libm call. Perfect agreement (all off-diagonals 0) yields NULL
+    * χ² — marginal homogeneity holds trivially and the statistic is
+    * 0/0. Shape: one contingency aggregation to ≤9 cells, then
+    * single-row algebra. */
+  def stuartMaxwell(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val cell = (i: Int, j: Int) =>
+      sum(when(col("a") === i && col("b") === j, 1L).otherwise(0L))
+    val m = df.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"),
+        cell(0, 1).as("n12"), cell(1, 0).as("n21"),
+        cell(0, 2).as("n13"), cell(2, 0).as("n31"),
+        cell(1, 2).as("n23"), cell(2, 1).as("n32"),
+        sum(when(col("a") === 0, 1L).otherwise(0L)).as("ra1"),
+        sum(when(col("a") === 1, 1L).otherwise(0L)).as("ra2"),
+        sum(when(col("a") === 2, 1L).otherwise(0L)).as("ra3"),
+        sum(when(col("b") === 0, 1L).otherwise(0L)).as("cb1"),
+        sum(when(col("b") === 1, 1L).otherwise(0L)).as("cb2"),
+        sum(when(col("b") === 2, 1L).otherwise(0L)).as("cb3"))
+    val dq = (c: Column) => c.cast("decimal(38,0)")
+    val s12 = dq(col("n12") + col("n21"))
+    val s13 = dq(col("n13") + col("n31"))
+    val s23 = dq(col("n23") + col("n32"))
+    val d1 = col("ra1") - col("cb1")
+    val d2 = col("ra2") - col("cb2")
+    val d3 = col("ra3") - col("cb3")
+    // exact DECIMAL products — count-squared terms overflow LONG at
+    // petascale item counts
+    val a = (s23 * dq(d1) * dq(d1) + s13 * dq(d2) * dq(d2) +
+      s12 * dq(d3) * dq(d3)).cast("decimal(38,0)")
+    val b = (s12 * s13 + s12 * s23 + s13 * s23).cast("decimal(38,0)")
+    m.select(col("n").as("n_items"),
+      d1.as("d1"), d2.as("d2"), d3.as("d3"),
+      when(b > 0, dd(a) / dd(b)).as("chi2"),
+      lit(2L).as("df"),
+      when(b > 0, exp(-(dd(a) / dd(b)) / lit(2.0))).as("p_value"))
+  }
+
+  /** Do the char-tercile and token-tercile document labelers promote
+    * different classes — Stuart–Maxwell marginal homogeneity over the
+    * q427 heuristic pair. */
+  def q432StuartMaxwell(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val cls = (v: Column, lo: Int, hi: Int) =>
+      when(v < lo, 0L).when(v < hi, 1L).otherwise(2L)
+    val docs = Tables.documents(spark, dir).select(
+      cls(col("n_chars"), 216, 379).as("r_chars"),
+      cls(size(toks).cast("long"), 39, 69).as("r_tokens"))
+    stuartMaxwell(docs, "r_chars", "r_tokens")
+  }
+
+  /** Turning-point test of serial randomness (Bienaymé 1874; Kendall &
+    * Stuart): count interior STRICT local maxima/minima of each key's
+    * series; under i.i.d. continuity E[T] = 2(n−2)/3 and
+    * Var[T] = (16n−29)/90, so z = (T−E)/σ flags over-smooth (z ≪ 0,
+    * trends/level shifts) or over-jittery (z ≫ 0, oscillation)
+    * series. Complements the sign-based runs test (q291/q391): T
+    * counts EXTREMA, not sign runs, and needs no median split.
+    * Equal-neighbor ties produce no turning point (strict
+    * inequalities), so integer series are handled deterministically;
+    * T, E-numerators and variance are exact integers until the final
+    * z division. One lag/lead window per key over the period
+    * histogram. */
+  def turningPointTest(series: DataFrame, keyCol: String, tCol: String,
+      xCol: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val w = Window.partitionBy("k").orderBy("t")
+    series.select(col(keyCol).as("k"), col(tCol).as("t"),
+      col(xCol).as("x"))
+      .withColumn("pv", lag("x", 1).over(w))
+      .withColumn("nx", lead("x", 1).over(w))
+      .withColumn("tp", when(col("pv").isNotNull && col("nx").isNotNull &&
+        ((col("x") > col("pv") && col("x") > col("nx")) ||
+          (col("x") < col("pv") && col("x") < col("nx"))), 1L)
+        .otherwise(0L))
+      .groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_periods"), sum("tp").as("turning_points"))
+      .select(col(keyCol), col("n_periods"), col("turning_points"),
+        (lit(2.0) * dd(col("n_periods") - 2L) / lit(3.0))
+          .as("expected_tp"),
+        ((dd(col("turning_points")) -
+          lit(2.0) * dd(col("n_periods") - 2L) / lit(3.0)) /
+          sqrt(dd(lit(16L) * col("n_periods") - 29L) / lit(90.0)))
+          .as("z_score"))
+      .orderBy(keyCol)
+  }
+
+  /** Is each nation's monthly revenue stream serially random or
+    * trending — turning-point z over the q431 series. */
+  def q433TurningPoint(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+    val series = li.select(col("n_name"),
+      date_trunc("month", col("l_shipdate")).as("m"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("c"))
+      .groupBy("n_name", "m").agg(sum("c").as("rev_c"))
+    turningPointTest(series, "n_name", "m", "rev_c")
+  }
+
+  /** Kupiec proportion-of-failures VaR backtest (Kupiec 1995) — does
+    * an out-of-sample exception RATE match the VaR confidence level:
+    * LR_POF = −2[(n−x)ln(1−p) + x·ln p − (n−x)ln(1−x/n) − x·ln(x/n)],
+    * χ²(1) under H₀ (reject at 3.84). The model here is the classic
+    * historical-simulation VaR: the p-quantile of the TRAIN window's
+    * per-period totals (R-7 interpolation, the engine-shared
+    * definition), backtested on the later window — the train/test
+    * split is what makes the test non-degenerate. x = 0 and x = n use
+    * the standard 0·ln 0 = 0 limit. Counts are exact; ln runs on
+    * identical doubles (q204 precedent). One per-key aggregation per
+    * window plus a K-row quantile frame joined back broadcast. */
+  def kupiecPof(series: DataFrame, keyCol: String, tCol: String,
+      xCol: String, splitAt: Column, p: Double): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1): $p")
+    val dd = (c: Column) => c.cast("double")
+    val base = series.select(col(keyCol).as("k"), col(tCol).as("t"),
+      col(xCol).cast("double").as("x"))
+    val varTrain = base.filter(col("t") < splitAt).groupBy("k")
+      .agg(expr(s"percentile(x, $p)").as("var_p"),
+        count(lit(1)).as("n_train"))
+    val xOverN = dd(col("x_exc")) / dd(col("n_test"))
+    val lr = lit(-2.0) * (
+      dd(col("n_test") - col("x_exc")) * log(lit(1.0 - p)) +
+        dd(col("x_exc")) * log(lit(p)) -
+        when(col("x_exc") === col("n_test"), lit(0.0))
+          .otherwise(dd(col("n_test") - col("x_exc")) *
+            log(lit(1.0) - xOverN)) -
+        when(col("x_exc") === 0L, lit(0.0))
+          .otherwise(dd(col("x_exc")) * log(xOverN)))
+    base.filter(col("t") >= splitAt)
+      .join(broadcast(varTrain), "k")
+      .groupBy(col("k").as(keyCol))
+      .agg(max("var_p").as("var_p"), max("n_train").as("n_train"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("x") < col("var_p"), 1L).otherwise(0L)).as("x_exc"))
+      .select(col(keyCol), col("var_p"), col("n_train"), col("n_test"),
+        col("x_exc"),
+        (dd(col("x_exc")) / dd(col("n_test"))).as("exception_rate"),
+        lr.as("lr_pof"))
+      .orderBy(keyCol)
+  }
+
+  /** Does 5%-VaR fitted on pre-1998 monthly nation revenue hold up
+    * after — Kupiec POF exception-rate backtest. */
+  def q434KupiecPof(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+    val series = li.select(col("n_name"),
+      date_trunc("month", col("l_shipdate")).as("m"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("c"))
+      .groupBy("n_name", "m").agg(sum("c").as("rev_c"))
+    kupiecPof(series, "n_name", "m", "rev_c",
+      lit("1998-01-01").cast("timestamp"), p = 0.05)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q432_stuart_maxwell" -> (q432StuartMaxwell _),
+    "q433_turning_point" -> (q433TurningPoint _),
+    "q434_kupiec_pof" -> (q434KupiecPof _),
     "q430_block_jackknife" -> (q430BlockJackknife _),
     "q431_pettitt" -> (q431Pettitt _),
     "q427_fleiss_kappa" -> (q427FleissKappa _),
@@ -4403,6 +4580,128 @@ object Stats {
        |        FROM base GROUP BY 1) g1) g2) g3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q432_stuart_maxwell" ->
+      """WITH feat AS (
+        |  SELECT n_chars,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |lab AS (
+        |  SELECT CAST(CASE WHEN n_chars < 216 THEN 0
+        |      WHEN n_chars < 379 THEN 1 ELSE 2 END AS BIGINT) AS a,
+        |    CAST(CASE WHEN tok < 39 THEN 0
+        |      WHEN tok < 69 THEN 1 ELSE 2 END AS BIGINT) AS b
+        |  FROM feat),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n12,
+        |    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n21,
+        |    CAST(SUM(CASE WHEN a = 0 AND b = 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n13,
+        |    CAST(SUM(CASE WHEN a = 2 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n31,
+        |    CAST(SUM(CASE WHEN a = 1 AND b = 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n23,
+        |    CAST(SUM(CASE WHEN a = 2 AND b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n32,
+        |    CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ra1,
+        |    CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ra2,
+        |    CAST(SUM(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ra3,
+        |    CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb1,
+        |    CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb2,
+        |    CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS cb3
+        |  FROM lab),
+        |e AS (
+        |  SELECT n, ra1 - cb1 AS d1, ra2 - cb2 AS d2, ra3 - cb3 AS d3,
+        |    CAST(CAST(n23 + n32 AS DECIMAL(38,0))
+        |        * CAST(ra1 - cb1 AS DECIMAL(38,0))
+        |        * CAST(ra1 - cb1 AS DECIMAL(38,0))
+        |      + CAST(n13 + n31 AS DECIMAL(38,0))
+        |        * CAST(ra2 - cb2 AS DECIMAL(38,0))
+        |        * CAST(ra2 - cb2 AS DECIMAL(38,0))
+        |      + CAST(n12 + n21 AS DECIMAL(38,0))
+        |        * CAST(ra3 - cb3 AS DECIMAL(38,0))
+        |        * CAST(ra3 - cb3 AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS a2,
+        |    CAST(CAST(n12 + n21 AS DECIMAL(38,0))
+        |        * CAST(n13 + n31 AS DECIMAL(38,0))
+        |      + CAST(n12 + n21 AS DECIMAL(38,0))
+        |        * CAST(n23 + n32 AS DECIMAL(38,0))
+        |      + CAST(n13 + n31 AS DECIMAL(38,0))
+        |        * CAST(n23 + n32 AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS b2
+        |  FROM m)
+        |SELECT n AS n_items, d1, d2, d3,
+        |  CASE WHEN b2 > 0 THEN CAST(a2 AS DOUBLE) / CAST(b2 AS DOUBLE)
+        |    END AS chi2,
+        |  CAST(2 AS BIGINT) AS df,
+        |  CASE WHEN b2 > 0 THEN
+        |    exp(-(CAST(a2 AS DOUBLE) / CAST(b2 AS DOUBLE)) / 2.0)
+        |    END AS p_value
+        |FROM e""".stripMargin,
+    "q433_turning_point" ->
+      """WITH series AS (
+        |  SELECT n.n_name, CAST(date_trunc('month', l.l_shipdate)
+        |      AS TIMESTAMP) AS m,
+        |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT n_name AS k, rev_c AS x,
+        |    lag(rev_c) OVER w AS pv, lead(rev_c) OVER w AS nx
+        |  FROM series WINDOW w AS (PARTITION BY n_name ORDER BY m)),
+        |agg AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_periods,
+        |    CAST(SUM(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL AND
+        |      ((x > pv AND x > nx) OR (x < pv AND x < nx))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS turning_points
+        |  FROM t GROUP BY 1)
+        |SELECT k AS n_name, n_periods, turning_points,
+        |  2.0 * CAST(n_periods - 2 AS DOUBLE) / 3.0 AS expected_tp,
+        |  (CAST(turning_points AS DOUBLE)
+        |    - 2.0 * CAST(n_periods - 2 AS DOUBLE) / 3.0)
+        |    / sqrt(CAST(16 * n_periods - 29 AS DOUBLE) / 90.0) AS z_score
+        |FROM agg ORDER BY 1""".stripMargin,
+    "q434_kupiec_pof" ->
+      """WITH series AS (
+        |  SELECT n.n_name, CAST(date_trunc('month', l.l_shipdate)
+        |      AS TIMESTAMP) AS m,
+        |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT n_name AS k,
+        |    quantile_cont(CAST(rev_c AS DOUBLE), 0.05) AS var_p,
+        |    CAST(COUNT(*) AS BIGINT) AS n_train
+        |  FROM series WHERE m < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |te AS (
+        |  SELECT s.n_name AS k, t.var_p, t.n_train,
+        |    CAST(COUNT(*) AS BIGINT) AS n_test,
+        |    CAST(SUM(CASE WHEN CAST(s.rev_c AS DOUBLE) < t.var_p
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x_exc
+        |  FROM series s JOIN tr t ON s.n_name = t.k
+        |  WHERE s.m >= TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2, 3)
+        |SELECT k AS n_name, var_p, n_train, n_test, x_exc,
+        |  CAST(x_exc AS DOUBLE) / CAST(n_test AS DOUBLE)
+        |    AS exception_rate,
+        |  -2.0 * (CAST(n_test - x_exc AS DOUBLE) * ln(0.95)
+        |    + CAST(x_exc AS DOUBLE) * ln(0.05)
+        |    - (CASE WHEN x_exc = n_test THEN 0.0
+        |        ELSE CAST(n_test - x_exc AS DOUBLE)
+        |          * ln(1.0 - CAST(x_exc AS DOUBLE)
+        |            / CAST(n_test AS DOUBLE)) END)
+        |    - (CASE WHEN x_exc = 0 THEN 0.0
+        |        ELSE CAST(x_exc AS DOUBLE)
+        |          * ln(CAST(x_exc AS DOUBLE) / CAST(n_test AS DOUBLE))
+        |        END)) AS lr_pof
+        |FROM te ORDER BY 1""".stripMargin,
     "q430_block_jackknife" ->
       """WITH rows_ AS (
         |  SELECT l_returnflag AS g,

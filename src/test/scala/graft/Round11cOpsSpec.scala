@@ -191,6 +191,60 @@ class Round11cOpsSpec extends AnyFunSuite {
     assert(a.getAs[Double]("p_approx") == 1.0)
   }
 
+  test("stuartMaxwell: hand case and perfect-agreement degeneracy") {
+    // cells (0,1)x3 (1,0)x1 (0,2)x1 (2,1)x1 (2,2)x2: d = (3,-3,0),
+    // A = 1*9 + 1*9 + 4*0 = 18, B = 4+4+1 = 9 -> chi2 = 2, p = e^-1
+    val pairs = Seq((0L, 1L), (0L, 1L), (0L, 1L), (1L, 0L), (0L, 2L),
+      (2L, 1L), (2L, 2L), (2L, 2L)).toDF("a", "b")
+    val r = Stats.stuartMaxwell(pairs, "a", "b").collect().head
+    assert(r.getAs[Long]("d1") == 3L && r.getAs[Long]("d2") == -3L)
+    assert(math.abs(r.getAs[Double]("chi2") - 2.0) < 1e-15)
+    assert(math.abs(r.getAs[Double]("p_value") - math.exp(-1.0)) < 1e-15)
+    // perfect agreement: every off-diagonal 0 -> 0/0 -> NULL chi2
+    val agree = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("a", "b")
+    val g = Stats.stuartMaxwell(agree, "a", "b").collect().head
+    assert(g.isNullAt(g.fieldIndex("chi2")))
+    assert(g.isNullAt(g.fieldIndex("p_value")))
+  }
+
+  test("turningPointTest: counts strict extrema only") {
+    // [1,3,2,4,1,5]: every interior point is a strict extremum -> T = 4
+    val zig = Seq(1L, 3L, 2L, 4L, 1L, 5L).zipWithIndex
+      .map { case (x, t) => ("k", t.toLong, x) }.toDF("key", "t", "x")
+    val r = Stats.turningPointTest(zig, "key", "t", "x").collect().head
+    assert(r.getAs[Long]("turning_points") == 4L)
+    assert(math.abs(r.getAs[Double]("expected_tp") - 8.0 / 3) < 1e-15)
+    assert(math.abs(r.getAs[Double]("z_score") -
+      (4.0 - 8.0 / 3) / math.sqrt(67.0 / 90.0)) < 1e-12)
+    // constant series: ties are not extrema -> T = 0
+    val flat = (0L to 3L).map(t => ("k", t, 2L)).toDF("key", "t", "x")
+    val f = Stats.turningPointTest(flat, "key", "t", "x").collect().head
+    assert(f.getAs[Long]("turning_points") == 0L)
+  }
+
+  test("kupiecPof: hand-computed LR and the x = 0 limit") {
+    import org.apache.spark.sql.functions.lit
+    // train 1..10 -> 20% VaR = 2.8 (R-7); test [1,2,5,6,7] -> x = 2/5
+    val s = ((1L to 10L).map(t => ("k", t, t.toDouble)) ++
+      Seq(11L -> 1.0, 12L -> 2.0, 13L -> 5.0, 14L -> 6.0, 15L -> 7.0)
+        .map { case (t, x) => ("k", t, x) }).toDF("key", "t", "x")
+    val r = Stats.kupiecPof(s, "key", "t", "x", lit(11L), 0.2)
+      .collect().head
+    assert(math.abs(r.getAs[Double]("var_p") - 2.8) < 1e-12)
+    assert(r.getAs[Long]("x_exc") == 2L)
+    val expLr = -2.0 * (3 * math.log(0.8) + 2 * math.log(0.2) -
+      3 * math.log(0.6) - 2 * math.log(0.4))
+    assert(math.abs(r.getAs[Double]("lr_pof") - expLr) < 1e-12)
+    // zero exceptions: 0*ln0 limit -> LR = -2 * n * ln(1-p)
+    val s0 = ((1L to 10L).map(t => ("k", t, t.toDouble)) ++
+      (11L to 15L).map(t => ("k", t, 50.0))).toDF("key", "t", "x")
+    val r0 = Stats.kupiecPof(s0, "key", "t", "x", lit(11L), 0.2)
+      .collect().head
+    assert(r0.getAs[Long]("x_exc") == 0L)
+    assert(math.abs(r0.getAs[Double]("lr_pof") - (-10.0 * math.log(0.8)))
+      < 1e-12)
+  }
+
   test("burrowsDelta: identical slices have zero distance") {
     val docs = Seq(("A", "p q r"), ("B", "p q r")).toDF("source", "text")
     // every term's sigma is 0 -> no usable terms -> no output pair rows
