@@ -773,35 +773,50 @@ object Behavior {
           .cast("double"))
       .localCheckpoint(true)
     var v = chains.select(col("chain"), lit("start").as("state"),
-      lit(1.0).as("p")).localCheckpoint(true)
-    var acc = chains.select(col("chain"),
-      lit(0).cast("decimal(38,18)").as("acc")).localCheckpoint(true)
-    for (_ <- 1 to iters) {
+      lit(1.0).as("vp")).localCheckpoint(true)
+    // r11 optimization (guide §1.2 — per-round driver-job count is the
+    // cost here, the frames are chain×state-sized, ~100 rows): ONE
+    // aggregation + ONE checkpoint per round instead of two (the
+    // dst='conv' slice of the round's aggregate is that round's absorbed
+    // increment; the rest IS the next round's state vector), and the
+    // increments stay LAZY over their round's checkpoint, folding into
+    // the accumulator in a single union+sum at the end — decimal(38,18)
+    // addition is exact, so the one deferred sum equals the old 24
+    // chained per-round adds bit-for-bit. (Measured r11: 15.5 s warm →
+    // 11.3 s at sf0.1; 49 driver jobs → 25. Two rejected variants,
+    // measured worse: checkpointing only every 4th round — the lazy
+    // increment slices re-run their chunk prefixes at the final union,
+    // 15 s execute — and a broadcast hint on the state side, which adds
+    // a broadcast-build stage per round.)
+    val incs = Seq.newBuilder[DataFrame]
+    incs += v.select(col("chain"), lit(0).cast("decimal(38,18)")
+      .as("inc")) // seed off the CHECKPOINTED state frame (one row per
+                  // chain): every chain present even with zero absorption,
+                  // without re-running the chains pipeline at the end
+    for (round <- 1 to iters) {
       val vv = v.select(col("chain").as("vchain"),
-        col("state").as("vstate"), col("p").as("vp"))
-      val joined = vv.join(tp,
-        col("chain") === col("vchain") && col("src") === col("vstate"))
-      val inc = joined.filter(col("dst") === "conv")
-        .groupBy(col("vchain").as("chain"))
+        col("state").as("vstate"), col("vp"))
+      val stepped0 = vv.join(tp,
+          col("chain") === col("vchain") && col("src") === col("vstate"))
+        .filter(col("dst") =!= "null")
+        .groupBy(col("vchain").as("chain"), col("dst"))
         .agg(sum(d3818(col("vp") * col("p"))).cast("decimal(38,18)")
-          .as("inc"))
-      val newAcc = acc.join(inc, Seq("chain"), "left")
-        .select(col("chain"),
-          (col("acc") + coalesce(col("inc"),
-            lit(0).cast("decimal(38,18)"))).cast("decimal(38,18)")
-            .as("acc"))
-        .localCheckpoint(true)
-      val newV = joined.filter(col("dst") =!= "conv" && col("dst") =!= "null")
-        .groupBy(col("vchain").as("chain"), col("dst").as("state"))
-        .agg(sum(d3818(col("vp") * col("p"))).cast("decimal(38,18)")
-          .cast("double").as("p"))
-        .localCheckpoint(true)
-      // both consumers of the old round-state are materialized — free it
-      graft.plans.Checkpoints.free(acc)
-      graft.plans.Checkpoints.free(v)
-      acc = newAcc
-      v = newV
+          .as("pd"))
+      val stepped = stepped0.localCheckpoint(true)
+      incs += stepped.filter(col("dst") === "conv")
+        .select(col("chain"), col("pd").as("inc"))
+      // v0 (the only root-checkpointed state) stays pinned: it seeds the
+      // final increment union; later rounds' states are lazy slices of
+      // their (or a following) round's checkpoint, which must stay alive
+      // for the increment union anyway — Bench/Verify's freeAll sweeps
+      // them after the query materializes
+      v = stepped.filter(col("dst") =!= "conv")
+        .select(col("chain"), col("dst").as("state"),
+          col("pd").cast("double").as("vp"))
     }
+    val acc = incs.result().reduce(_ unionAll _)
+      .groupBy("chain").agg(sum(col("inc")).cast("decimal(38,18)")
+        .as("acc"))
     val pconv = acc.select(col("chain"), col("acc").cast("double")
       .as("pconv"))
     val base = pconv.filter(col("chain") === "base")

