@@ -1052,9 +1052,14 @@ object Dedup {
         array_join(transform(sequence(lit(0), nSpans - 1),
           i => array_join(slice(ts, i * 32 + 1, lit(32)), " ")), "\n\n"))
         .otherwise(lit("")).as("text"))
+    // r11: the span-deduped corpus feeds BOTH the perplexity fit/score and
+    // the gate join — un-checkpointed, the whole corpus-wide span-dedup
+    // (explode + two windows + rebuild) re-ran per consumer (guide §2.4;
+    // measured: 6.5 s → 4.3 s warm solo at sf0.1)
     val deduped = spanDedup(paraed, "doc_id", "text")
       .filter(col("n_spans_kept") > 0)
       .select("doc_id", "text")
+      .localCheckpoint(true)
     val gated = deduped.join(
       TextAnalysis.lmPerplexity(deduped, "doc_id", "text")
         .filter(col("avg_nll_bits") <= 5.0).select("doc_id"), "doc_id")

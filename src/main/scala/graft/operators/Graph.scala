@@ -571,22 +571,37 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     val deg = bi.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-    val mid = bi.join(deg.withColumnRenamed("node", "v"), Seq("v"))
+    // r11 (guide §2.3 — filter before the join, not after): the probe
+    // semi-join lands FIRST, so the degree join and the middle-degree cap
+    // evaluate only the probes' neighborhoods (~|probes|·avg-degree rows),
+    // not the full bi-directed edge list; the capped-middle observe metric
+    // now counts dropped PROBE-ADJACENT edges — the only ones the query
+    // could have used. The same probe-restricted edge frame is the anti
+    // join's build side below. (Measured r11: execute 8.0 s → 5.3 s warm.)
+    val probeEdges = bi.join(
+        probes.select(col(probes.columns.head).as("u")), Seq("u"),
+        "left_semi")
+    val probeHop = probeEdges
+      .join(deg.withColumnRenamed("node", "v"), Seq("v"))
       .observe("aa_middle_cap",
         coalesce(sum(when(col("d") > maxMiddleDegree, 1L).otherwise(0L)),
           lit(0L)).as("dropped_middle_edges"))
       .filter(col("d") <= maxMiddleDegree)
-    val probeHop = probes.select(col(probes.columns.head).as("u"))
-      .join(mid, Seq("u"))
       .select(col("u"), col("v").as("w"),
         (lit(1.0) / log(dd(col("d")))).cast("decimal(38,15)").as("term"))
     val twoHop = probeHop
       .join(bi.select(col("u").as("w"), col("v").as("cand")), Seq("w"))
       .filter(col("cand") =!= col("u"))
+    // Anti-join right side is the probe-restricted edge frame: `scored`
+    // only holds probe-keyed pairs, so edges whose u is not a probe can
+    // never match — the broadcast build shrinks from the FULL bi-directed
+    // edge list (3M rows, ~2 s to build) to the probes' neighborhoods
+    // (~24k rows; guide §3.2 — reduce the big side before it becomes a
+    // build side).
     val scored = twoHop.groupBy(col("u"), col("cand").as("v"))
       .agg(count(lit(1)).as("n_common"),
         sum("term").cast("decimal(38,15)").as("aa"))
-      .join(bi, Seq("u", "v"), "left_anti") // already-linked pairs out
+      .join(probeEdges, Seq("u", "v"), "left_anti") // already-linked pairs out
     scored
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("u")

@@ -791,13 +791,23 @@ object SketchQueries {
       slideSeconds = 3600L, frameBuckets = 6, probe = probe, width = cmWidth)
     val bucketed = ev.select(col("event_type"),
       expr("unix_micros(ts) div 3600000000").as("bucket"), col("user_s"))
-    val exact = bucketed
-      .select(col("event_type"), col("user_s"),
+    // r11 (guide §2.3 "aggregate before you shuffle"): reduce to per-
+    // (type, hour-bucket) probe counts FIRST — the ×6 trailing-frame
+    // explode then fans out the ~|types × occupied hours| bucket frame,
+    // not the raw event rows (was |events|·6 rows through the semi join
+    // and aggregation). Σ over covering buckets of per-bucket counts is
+    // the same exact n_probe. (Measured r11: 6.2 s → 3.1 s warm solo.)
+    val perBucket = bucketed
+      .groupBy("event_type", "bucket")
+      .agg(sum(when(col("user_s") === probe, 1L).otherwise(0L)).as("np"))
+    val exact = perBucket
+      .select(col("event_type"), col("np"),
         explode(sequence(col("bucket"), col("bucket") + lit(5))).as("frame"))
-      .join(bucketed.select(col("event_type"), col("bucket").as("frame")).distinct(),
+      .join(perBucket.select(col("event_type"), col("bucket").as("frame"))
+          .distinct(),
         Seq("event_type", "frame"), "left_semi")
       .groupBy("event_type", "frame")
-      .agg(sum(when(col("user_s") === probe, 1L).otherwise(0L)).as("n_probe"))
+      .agg(sum(col("np")).as("n_probe"))
       .select((col("frame") * 3600L).as("frame_epoch"), col("event_type"),
         col("n_probe"))
     est.join(exact, Seq("frame_epoch", "event_type"))
