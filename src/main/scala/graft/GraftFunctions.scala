@@ -84,6 +84,14 @@ object GraftFunctions {
     col(ApproxTopK(expr(c), Literal(k), Literal(capacity), mergeBinary = true)
       .toAggregateExpression())
 
+  /** `replicate_moments_agg(h, v, r)` — single-pass per-replicate pseudo-arm
+    * moments for the re-randomization test (one R×(count, exact 128-bit sum)
+    * buffer per group; see [[graft.functions.ReplicateMoments]]). Replaces
+    * the ×R explode + (group × replicate) aggregation with one scan. */
+  def replicate_moments(h: Column, v: Column, r: Int): Column =
+    col(functions.ReplicateMoments(expr(h), expr(v), Literal(r))
+      .toAggregateExpression())
+
   private def probsLit(probs: Seq[Double]): Expression =
     org.apache.spark.sql.catalyst.expressions.CreateArray(probs.map(Literal(_)))
 

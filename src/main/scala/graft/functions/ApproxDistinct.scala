@@ -146,11 +146,10 @@ case class ApproxDistinct(
             val row = v.asInstanceOf[InternalRow]
             if (row.isNullAt(2)) null else row.getBinary(2)
           }
-        if (bytes != null && bytes.nonEmpty) {
-          val incoming = Sketch.deserialize(bytes)
-          if (buffer.sketch == null) buffer.sketch = incoming
-          else buffer.sketch.mergeInPlace(incoming)
-        }
+        if (bytes != null && bytes.nonEmpty)
+          // wire-format merge: no per-row intermediate sketch (q298's
+          // merge-row churn was this bench's heaviest, least stable entry)
+          buffer.sketch = Sketch.mergeSerializedInto(bytes, buffer.sketch)
       } else {
         if (buffer.sketch == null) buffer.sketch = newSketch()
         buffer.sketch.offerHash(hashFn(v))

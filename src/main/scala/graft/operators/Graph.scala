@@ -555,7 +555,10 @@ object Graph {
     *
     * Scale shape: the 2-hop fan-out is PROBE-bounded (Σ_{w∈N(u)} d(w)
     * per probe, never corpus²), middles above `maxMiddleDegree` are
-    * dropped with an `observe` metric (a stopword-grade hub would
+    * dropped with an `observe` metric — PROBE-NEIGHBORHOOD-scoped since
+    * r11: `dropped_middle_edges` counts capped probe-adjacent edges (the
+    * only ones the query could have used), not capped edges graph-wide
+    * (a stopword-grade hub would
     * contribute ≤ 1/ln(cap) per pair anyway — the capped-bucket
     * discipline of the dedup blockers), per-(u,v) terms are
     * DECIMAL-quantized so the score is an exact sum ranked without a
@@ -564,31 +567,46 @@ object Graph {
   def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
       probes: DataFrame, topK: Int,
       maxMiddleDegree: Long = 1024L): DataFrame = {
-    val bi = edges
-      .select(col(aCol).as("u"), col(bCol).as("v"))
+    // r12 (guide §2.3 — shuffle/checkpoint fewer bytes): the eager edge
+    // materialization stores ONE canonical orientation (u < v) — half the
+    // rows of the old bi-directed checkpoint — and every consumer derives
+    // the bi-directed view with a narrow in-memory union (no shuffle, no
+    // distinct). Self-loops are dropped up front (the old leg-2 union kept
+    // a degenerate (a,a) row for self-loop inputs that no declared query
+    // and no caller produces; degree/term math is otherwise identical for
+    // any null-free edge list).
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .union(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .localCheckpoint(true)
+    val bi = und.union(und.select(col("v").as("u"), col("u").as("v")))
     val deg = bi.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
     // r11 (guide §2.3 — filter before the join, not after): the probe
     // semi-join lands FIRST, so the degree join and the middle-degree cap
     // evaluate only the probes' neighborhoods (~|probes|·avg-degree rows),
     // not the full bi-directed edge list; the capped-middle observe metric
-    // now counts dropped PROBE-ADJACENT edges — the only ones the query
+    // counts dropped PROBE-ADJACENT edges — the only ones the query
     // could have used. The same probe-restricted edge frame is the anti
     // join's build side below. (Measured r11: execute 8.0 s → 5.3 s warm.)
     val probeEdges = bi.join(
         probes.select(col(probes.columns.head).as("u")), Seq("u"),
         "left_semi")
+    // r12 (guide §2.3 — narrower types through the exchange/broadcast): the
+    // 2-hop join carries the middle's LONG degree, not a DECIMAL(38,15)
+    // term — the term is derived per row AFTER the join, immediately before
+    // the aggregation. Same double → same decimal value per middle, so the
+    // exact decimal sum is bit-identical; the broadcast hash relation and
+    // the 3M-row join output shed the per-row Decimal payload (measured:
+    // twoHop noop 2.7–7.5 s → 1.3–1.6 s warm at sf0.1).
     val probeHop = probeEdges
       .join(deg.withColumnRenamed("node", "v"), Seq("v"))
       .observe("aa_middle_cap",
         coalesce(sum(when(col("d") > maxMiddleDegree, 1L).otherwise(0L)),
           lit(0L)).as("dropped_middle_edges"))
       .filter(col("d") <= maxMiddleDegree)
-      .select(col("u"), col("v").as("w"),
-        (lit(1.0) / log(dd(col("d")))).cast("decimal(38,15)").as("term"))
+      .select(col("u"), col("v").as("w"), col("d"))
     val twoHop = probeHop
       .join(bi.select(col("u").as("w"), col("v").as("cand")), Seq("w"))
       .filter(col("cand") =!= col("u"))
@@ -598,7 +616,9 @@ object Graph {
     // edge list (3M rows, ~2 s to build) to the probes' neighborhoods
     // (~24k rows; guide §3.2 — reduce the big side before it becomes a
     // build side).
-    val scored = twoHop.groupBy(col("u"), col("cand").as("v"))
+    val scored = twoHop
+      .withColumn("term", (lit(1.0) / log(dd(col("d")))).cast("decimal(38,15)"))
+      .groupBy(col("u"), col("cand").as("v"))
       .agg(count(lit(1)).as("n_common"),
         sum("term").cast("decimal(38,15)").as("aa"))
       .join(probeEdges, Seq("u", "v"), "left_anti") // already-linked pairs out

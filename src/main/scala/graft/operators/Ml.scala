@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftFunctions
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -3917,35 +3918,29 @@ object Ml {
       .filter(col("n1") > 0 && col("n0") > 0)
       .withColumn("d_obs", abs(dd(col("s1")) / dd(col("n1")) -
         dd(col("s0")) / dd(col("n0"))))
-    // null replicates: hex digit b < '8' ⇔ pseudo-arm. r11 optimization
-    // (guide §2.3 — shuffle/fan-out fewer bytes): the R hex-digit tests
-    // collapse into ONE per-row bitmask BEFORE the ×R explode, so the
-    // fan-out carries (g, v, mask±b) — 8 bytes of mask instead of the
-    // 32-char md5 string, and one substring scan per ROW instead of one
-    // per (row × replicate). Bit b of the mask IS the old predicate
-    // (NULL md5 ⇒ NULL mask ⇒ NULL pseudo-arm, as before), so every
-    // replicate sum is bit-identical. (Measured r11: q279 14.2 s →
-    // 10.5 s warm; two rejected alternatives measured WORSE — a wide
-    // 4·R-conditional-sum aggregate with no explode, 16 s, because 132
-    // aggregate buffers push the update path past whole-stage-codegen
-    // limits, and an aggregate() HOF bitmask, 19 s, because HOFs are
-    // CodegenFallback and evaluate interpreted per element.)
+    // null replicates: hex digit b < '8' ⇔ pseudo-arm. r12 optimization
+    // (guide §2.3 — don't multiply rows to aggregate them): the whole ×R
+    // `explode(sequence(0, R−1))` fan-out + (g, b) hash aggregation with
+    // decimal(38,0) buffers — 19.2M rows for q279, the query's entire
+    // remaining cost after r11 — collapses into ONE single-pass
+    // TypedImperativeAggregate holding an R×(count, exact 128-bit sum)
+    // buffer per group ([[graft.functions.ReplicateMoments]]). Per-row
+    // work: R byte compares + conditional long-pair adds; per-group
+    // state ~R·24 bytes crossing the shuffle as ONE map-side-combined
+    // partial. The hex-digit predicate, NULL-md5 and NULL-value
+    // semantics are byte-for-byte the old explode's (see the aggregate's
+    // scaladoc), and the 128-bit sums convert to DECIMAL(38,0) exactly,
+    // so m1/t1 are bit-identical. (r11 history, kept for the record:
+    // explode-with-bitmask measured 10.5 s warm; a wide declarative
+    // 4·R-conditional-sum variant 16 s — 132 agg buffers fall out of
+    // whole-stage codegen; an aggregate() HOF variant 19 s — HOFs are
+    // CodegenFallback.)
     val reps = base
-      .withColumn("mask", when(col("h").isNotNull, // flat 32-term sum, NOT
-        // an aggregate() HOF: higher-order functions are CodegenFallback
-        // (interpreted per element) — measured 19 s on this query's scan
-        (0 until r).map(b =>
-            when(ascii(col("h").substr(lit(b + 1), lit(1))) <= 55,
-              lit(1L << b)).otherwise(0L))
-          .reduce(_ + _)))
-      .select(col("g"), col("v"), col("mask"))
-      .withColumn("b", explode(sequence(lit(0), lit(r - 1))))
-      .withColumn("parm", expr("(shiftright(mask, b) & 1) = 1"))
-      .groupBy("g", "b")
-      .agg(sum(when(col("parm"), 1L).otherwise(0L)).as("m1"),
-        sum(when(col("parm"), d380(col("v")))
-          .otherwise(lit(0).cast("decimal(38,0)")))
-          .cast("decimal(38,0)").as("t1"))
+      .groupBy("g")
+      .agg(GraftFunctions.replicate_moments(col("h"), col("v"), r).as("rm"))
+      .select(col("g"), posexplode(col("rm")).as(Seq("b", "m")))
+      .select(col("g"), col("b"),
+        col("m").getField("m1").as("m1"), col("m").getField("t1").as("t1"))
     reps.join(obs, "g")
       .withColumn("m0", col("nh") - col("m1"))
       .withColumn("t0", (col("sh") - col("t1")).cast("decimal(38,0)"))

@@ -449,11 +449,27 @@ object SketchQueries {
       // first/last FULLY-covered bucket (bf_lo > bf_hi ⇒ no interior)
       .withColumn("bf_lo", expr(s"(s + $bucketUs - 1) div $bucketUs"))
       .withColumn("bf_hi", expr(s"(us + 1) div $bucketUs - 1"))
-    val interior = inst
-      .filter(col("bf_lo") <= col("bf_hi"))
-      .select(col("k"), col("us"),
+    // r12 (guide §1.2 — remove redundant per-task work): all instants inside
+    // one bucket share the SAME fully-covered bucket range (bf_lo, bf_hi) —
+    // integer div of (us − range) and (us + 1) is constant within a bucket up
+    // to the ±1 boundary micro — so the interior union is pre-merged ONCE per
+    // distinct (k, bf_lo, bf_hi) (≈ 2 ranges per occupied bucket) and each
+    // instant attaches the pre-merged sketch. Merge rows drop from
+    // instants × covering-buckets (6·|inst|) to ranges × covering-buckets
+    // (~buckets·12), and the final per-instant merge sees ONE interior row.
+    // Bit-identical: sketch union is associative/commutative (bitmap OR /
+    // register max), so pre-merging a sub-union changes nothing observable.
+    // (Measured at sf0.1: interior branch 2.8 s → see OPTIMIZATION_r12.md;
+    // the per-row allocation churn here was the bench's ±2–3× drift source.)
+    val withRange = inst.filter(col("bf_lo") <= col("bf_hi"))
+    val rangeSk = withRange.select("k", "bf_lo", "bf_hi").distinct()
+      .select(col("k"), col("bf_lo"), col("bf_hi"),
         explode(sequence(col("bf_lo"), col("bf_hi"))).as("bucket"))
       .join(perBucket, Seq("k", "bucket"))
+      .groupBy("k", "bf_lo", "bf_hi")
+      .agg(sketch_merge_agg(col("sk")).getField("binary").as("sk"))
+    val interior = withRange
+      .join(rangeSk, Seq("k", "bf_lo", "bf_hi"))
       .select("k", "us", "sk")
     // a touched bucket is an edge iff it is not fully covered; the two
     // candidates coincide for sub-bucket frames → array_distinct

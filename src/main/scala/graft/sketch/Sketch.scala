@@ -112,6 +112,27 @@ object Sketch {
       case t => throw new SketchMergeException(s"unknown sketch tag $t")
     }
   }
+
+  /** Merge a SERIALIZED sketch directly into `target`, without materializing
+    * an intermediate [[Sketch]]. Semantically identical to
+    * `target.mergeInPlace(deserialize(bytes))` — the target's register/bit
+    * multiset (and therefore its estimate and serialized bytes) is the same —
+    * but the per-payload allocations (copyOfRange, entry arrays, a LongMap
+    * rebuilt per input row) disappear. This is the hot path of every
+    * `sketch_merge_agg` update: a merge-heavy query (q298: instants ×
+    * covering-buckets merge rows) otherwise allocates and discards one full
+    * sparse sketch PER INPUT ROW, and that churn — not the OR itself — was
+    * the bench's heaviest, least stable entry (±2–3× same-session GC drift).
+    * Returns the merged sketch (deserialized fresh when `target` is null). */
+  def mergeSerializedInto(bytes: Array[Byte], target: Sketch): Sketch = {
+    if (target == null) return deserialize(bytes)
+    require(bytes != null && bytes.length >= 1, "empty sketch payload")
+    target match {
+      case lc: LinearCounter => lc.mergeSerialized(bytes)
+      case h: Hll => h.mergeSerialized(bytes)
+    }
+    target
+  }
 }
 
 /** HyperLogLog (Flajolet/Fusy/Gandouet/Meunier 2007) with an HLL++-style
@@ -232,6 +253,48 @@ final class Hll private (val b: Int, private var dense: Array[Byte],
         }
       }
     case o => throw new SketchMergeException(s"cannot merge HLL with ${o.algo}")
+  }
+
+  /** Wire-format merge (see [[Sketch.mergeSerializedInto]]): applies a
+    * serialized HLL payload register-by-register with zero intermediate
+    * allocation. Validation mirrors [[Sketch.deserialize]] exactly, so
+    * corrupt or mismatched payloads fail with the same exceptions. */
+  private[sketch] def mergeSerialized(bytes: Array[Byte]): Unit = bytes(0) match {
+    case Sketch.TagHll =>
+      val ob = bytes(1).toInt
+      if (ob != b)
+        throw new SketchMergeException(s"cannot merge HLL(b=$b) with HLL(b=$ob)")
+      require(bytes.length == 2 + m, s"HLL payload length ${bytes.length} != ${2 + m}")
+      if (dense == null) toDense()
+      var i = 0
+      while (i < m) {
+        if (bytes(2 + i) > dense(i)) dense(i) = bytes(2 + i)
+        i += 1
+      }
+    case Sketch.TagHllSparse =>
+      val ob = bytes(1).toInt
+      if (ob != b)
+        throw new SketchMergeException(s"cannot merge HLL(b=$b) with HLL(b=$ob)")
+      val n = Sketch.readInt(bytes, 2)
+      require(bytes.length == 6 + 4 * n, s"sparse HLL length ${bytes.length} != ${6 + 4 * n}")
+      var i = 0
+      while (i < n) {
+        val off = 6 + 4 * i
+        val idx = ((bytes(off) & 0xff) << 16) | ((bytes(off + 1) & 0xff) << 8) |
+          (bytes(off + 2) & 0xff)
+        if (idx >= m)
+          throw new SketchMergeException(
+            s"corrupt sparse HLL payload: register index $idx >= 2^$b")
+        val rho = bytes(off + 3).toInt
+        if (dense != null) {
+          if (rho > dense(idx)) dense(idx) = rho.toByte
+        } else if (rho > sparse.getOrElse(idx.toLong, 0)) sparse.update(idx.toLong, rho)
+        i += 1
+      }
+      if (dense == null && sparse.size > upgradeAt) toDense()
+    case Sketch.TagLc | Sketch.TagLcSparse =>
+      throw new SketchMergeException("cannot merge HLL with LC")
+    case t => throw new SketchMergeException(s"unknown sketch tag $t")
   }
 
   /** Dense when ≥ m/4 registers are set, else sparse (idx,rho) pairs: a
@@ -405,6 +468,47 @@ final class LinearCounter private (val sizeBytes: Int, private var dense: Array[
         }
       }
     case o => throw new SketchMergeException(s"cannot merge LC with ${o.algo}")
+  }
+
+  /** Wire-format merge (see [[Sketch.mergeSerializedInto]]): ORs a serialized
+    * LC payload straight into this counter — a dense payload is one byte-OR
+    * sweep, a sparse payload sets its bit indices directly — with zero
+    * intermediate allocation. Validation mirrors [[Sketch.deserialize]]. */
+  private[sketch] def mergeSerialized(bytes: Array[Byte]): Unit = bytes(0) match {
+    case Sketch.TagLc =>
+      val size = Sketch.readInt(bytes, 1)
+      if (size != sizeBytes)
+        throw new SketchMergeException(
+          s"cannot merge LC(size=$sizeBytes) with LC(size=$size)")
+      require(bytes.length == 5 + size, s"LC payload length ${bytes.length} != ${5 + size}")
+      if (dense == null) toDense()
+      var i = 0
+      while (i < sizeBytes) {
+        dense(i) = (dense(i) | bytes(5 + i)).toByte
+        i += 1
+      }
+    case Sketch.TagLcSparse =>
+      val size = Sketch.readInt(bytes, 1)
+      if (size != sizeBytes)
+        throw new SketchMergeException(
+          s"cannot merge LC(size=$sizeBytes) with LC(size=$size)")
+      val n = Sketch.readInt(bytes, 5)
+      require(bytes.length == 9 + 4 * n, s"sparse LC length ${bytes.length} != ${9 + 4 * n}")
+      var i = 0
+      while (i < n) {
+        val idx = Sketch.readInt(bytes, 9 + 4 * i)
+        if (idx < 0 || idx.toLong >= mBits)
+          throw new SketchMergeException(
+            s"corrupt sparse LC payload: bit index $idx outside [0, $mBits)")
+        if (dense != null)
+          dense(idx >>> 3) = (dense(idx >>> 3) | (1 << (idx & 7))).toByte
+        else sparse.update(idx.toLong, true)
+        i += 1
+      }
+      if (dense == null && sparse.size > upgradeAt) toDense()
+    case Sketch.TagHll | Sketch.TagHllSparse =>
+      throw new SketchMergeException("cannot merge LC with HLL")
+    case t => throw new SketchMergeException(s"unknown sketch tag $t")
   }
 
   /** Sparse bit-index list when it is strictly smaller, dense bitmap

@@ -28,9 +28,21 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  /** Parquet schema catalog: one footer-inference per (path) per JVM instead
+    * of one per scan. METADATA only (a StructType — the same thing a
+    * metastore would hold), never data: every query still reads all its
+    * rows from parquet on every invocation. With ~430 bench queries × 1–3
+    * `load` calls each, driver-side footer inference was a measurable slice
+    * of the per-query constant (guide §6 — give the reader the schema). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
     val fixes: Seq[(String, Column)] = df.schema.fields.toSeq.collect {
       // NTZ micros → TZ micros: with spark.sql.session.timeZone=UTC the wall
       // clock IS the instant, so the cast is a type-tag change, not a shift.

@@ -176,6 +176,50 @@ class SketchSpec extends AnyFunSuite {
     assert(sp.serialize()(0) == Sketch.TagLc, "expected the dense-encoding branch")
   }
 
+  test("wire-format merge is bit-identical to deserialize+mergeInPlace") {
+    // mergeSerializedInto is sketch_merge_agg's hot update path (r12): for
+    // every (buffer repr × payload encoding) cell the merged bytes must
+    // equal the object-merge result exactly
+    val rnd = new scala.util.Random(23)
+    def lcOf(vals: Iterable[Long], size: Int): LinearCounter = {
+      val lc = new LinearCounter(size)
+      vals.foreach(v => lc.offerHash(hash(v)))
+      lc
+    }
+    // sizes chosen so each side lands sparse (few bits) or dense (many)
+    for {
+      nBuf <- Seq(5, 3000)   // sparse / dense buffer at size 1024
+      nIn <- Seq(7, 4000)    // sparse / dense incoming payload
+    } {
+      val a = Array.fill(nBuf)(rnd.nextLong())
+      val b = Array.fill(nIn)(rnd.nextLong())
+      // LC, size 1024 bytes = 8192 bits, upgradeAt 256 bits
+      val viaObj = lcOf(a, 1024); viaObj.mergeInPlace(Sketch.deserialize(lcOf(b, 1024).serialize()))
+      val viaWire = Sketch.mergeSerializedInto(lcOf(b, 1024).serialize(), lcOf(a, 1024))
+      assert(java.util.Arrays.equals(viaWire.serialize(), viaObj.serialize()),
+        s"LC nBuf=$nBuf nIn=$nIn")
+      assert(viaWire.estimate == viaObj.estimate)
+      // HLL, b=8 → m=256, upgradeAt 32 registers
+      val hObj = hllOf(a, 8); hObj.mergeInPlace(Sketch.deserialize(hllOf(b, 8).serialize()))
+      val hWire = Sketch.mergeSerializedInto(hllOf(b, 8).serialize(), hllOf(a, 8))
+      assert(java.util.Arrays.equals(hWire.serialize(), hObj.serialize()),
+        s"HLL nBuf=$nBuf nIn=$nIn")
+      assert(hWire.estimate == hObj.estimate)
+    }
+    // null target deserializes fresh
+    val fresh = Sketch.mergeSerializedInto(lcOf(Seq(1L, 2L), 1024).serialize(), null)
+    assert(fresh.estimate == 2)
+    // mismatches raise exactly like the object path
+    intercept[SketchMergeException](
+      Sketch.mergeSerializedInto(hllOf(Seq(1L), 8).serialize(), lcOf(Seq(1L), 1024)))
+    intercept[SketchMergeException](
+      Sketch.mergeSerializedInto(lcOf(Seq(1L), 1024).serialize(), hllOf(Seq(1L), 8)))
+    intercept[SketchMergeException](
+      Sketch.mergeSerializedInto(lcOf(Seq(1L), 512).serialize(), lcOf(Seq(1L), 1024)))
+    intercept[SketchMergeException](
+      Sketch.mergeSerializedInto(hllOf(Seq(1L), 9).serialize(), hllOf(Seq(1L), 8)))
+  }
+
   test("LC saturation reports capacity, not infinity") {
     val lc = new LinearCounter(4) // 32 bits
     (1L to 10000L).foreach(v => lc.offerHash(hash(v)))
