@@ -92,6 +92,14 @@ object GraftFunctions {
     col(functions.ReplicateMoments(expr(h), expr(v), Literal(r))
       .toAggregateExpression())
 
+  /** `bootstrap_moments_agg(h, v, b)` — single-pass per-replicate
+    * Poissonized-bootstrap moments (one B×(weight-sum, exact 128-bit
+    * weighted sum) buffer per group; see
+    * [[graft.functions.BootstrapMoments]]). */
+  def bootstrap_moments(h: Column, v: Column, b: Int): Column =
+    col(functions.BootstrapMoments(expr(h), expr(v), Literal(b))
+      .toAggregateExpression())
+
   private def probsLit(probs: Seq[Double]): Expression =
     org.apache.spark.sql.catalyst.expressions.CreateArray(probs.map(Literal(_)))
 

@@ -97,11 +97,9 @@ case class CountMinAgg(
     if (v != null) {
       if (mergeBinary) {
         val bytes = v.asInstanceOf[Array[Byte]]
-        if (bytes.nonEmpty) {
-          val incoming = CountMin.deserialize(bytes)
-          if (buffer.sketch == null) buffer.sketch = incoming
-          else buffer.sketch.mergeInPlace(incoming)
-        }
+        if (bytes.nonEmpty)
+          // wire-format merge: no per-row intermediate counter array
+          buffer.sketch = CountMin.mergeSerializedInto(bytes, buffer.sketch)
       } else {
         if (buffer.sketch == null) buffer.sketch = new CountMin(depth, width)
         buffer.sketch.offerHash(hashFn(v))

@@ -80,6 +80,7 @@ case class ReplicateMoments(
   override def createAggregationBuffer(): Buffer = new Buffer(r)
 
   override def update(buffer: Buffer, input: InternalRow): Buffer = {
+    buffer.n += 1L
     val h = hashExpr.eval(input)
     if (h != null) {
       val hs = h.asInstanceOf[UTF8String]
@@ -94,6 +95,7 @@ case class ReplicateMoments(
         if (b >= len || (hs.getByte(b) & 0xff) <= 55) {
           buffer.m1(b) += 1L
           if (hasV) buffer.add(b, vl)
+          else buffer.nullHit(b) += 1L
         }
         b += 1
       }
@@ -102,9 +104,11 @@ case class ReplicateMoments(
   }
 
   override def merge(buffer: Buffer, input: Buffer): Buffer = {
+    buffer.n += input.n
     var b = 0
     while (b < r) {
       buffer.m1(b) += input.m1(b)
+      buffer.nullHit(b) += input.nullHit(b)
       buffer.addWide(b, input.hi(b), input.lo(b))
       b += 1
     }
@@ -115,18 +119,25 @@ case class ReplicateMoments(
     val rows = new Array[Any](r)
     var b = 0
     while (b < r) {
-      rows(b) = InternalRow(buffer.m1(b), buffer.decimal(b))
+      // SUM-null parity with the old explode: t1 is NULL iff EVERY row of
+      // the group landed in the `when(parm, v)` branch with a NULL v (rows
+      // with the bit unset — or a NULL hash — contribute a non-null 0 via
+      // the otherwise branch)
+      val t1 = if (buffer.nullHit(b) == buffer.n) null else buffer.decimal(b)
+      rows(b) = InternalRow(buffer.m1(b), t1)
       b += 1
     }
     new GenericArrayData(rows)
   }
 
   override def serialize(buffer: Buffer): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 24 * r)
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 32 * r)
     bb.putInt(r)
+    bb.putLong(buffer.n)
     var b = 0
     while (b < r) {
       bb.putLong(buffer.m1(b)); bb.putLong(buffer.hi(b)); bb.putLong(buffer.lo(b))
+      bb.putLong(buffer.nullHit(b))
       b += 1
     }
     bb.array()
@@ -136,9 +147,11 @@ case class ReplicateMoments(
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = new Buffer(n)
+    buf.n = bb.getLong
     var b = 0
     while (b < n) {
       buf.m1(b) = bb.getLong; buf.hi(b) = bb.getLong; buf.lo(b) = bb.getLong
+      buf.nullHit(b) = bb.getLong
       b += 1
     }
     buf
@@ -148,15 +161,18 @@ case class ReplicateMoments(
 object ReplicateMoments {
   val resultType: ArrayType = ArrayType(StructType(Seq(
     StructField("m1", LongType, nullable = false),
-    StructField("t1", DecimalType(38, 0), nullable = false))),
+    StructField("t1", DecimalType(38, 0), nullable = true))),
     containsNull = false)
 
   /** R × (count, signed-128-bit sum as (hi, lo)) — lo is the unsigned low
-    * limb, hi carries the sign. */
+    * limb, hi carries the sign — plus the bookkeeping for SUM's NULL
+    * semantics (`n` group rows, `nullHit` bit-set-with-NULL-value rows). */
   final class Buffer(val r: Int) extends Serializable {
+    var n: Long = 0L
     val m1: Array[Long] = new Array[Long](r)
     val hi: Array[Long] = new Array[Long](r)
     val lo: Array[Long] = new Array[Long](r)
+    val nullHit: Array[Long] = new Array[Long](r)
 
     /** sum(b) += v, v sign-extended to 128 bits. */
     def add(b: Int, v: Long): Unit = addWide(b, v >> 63, v)

@@ -385,10 +385,19 @@ object Dedup {
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
     // five consumers (sizes, dfs, the prefix build, both verify joins):
     // materialize the exploded shingle relation ONCE, or the tokenizer +
-    // shingler re-run per consumer (measured 11 s -> ~3 s at sf0.1)
+    // shingler re-run per consumer (measured 11 s -> ~3 s at sf0.1).
+    // r12: the shingler is the single-pass [[graft.functions.ShingleStrings]]
+    // kernel — the composed array_distinct(shingles(tokens(text))) form is a
+    // regex split + three CodegenFallback HOFs evaluated interpreted per
+    // element, and was this query's heaviest stage (the eager checkpoint
+    // build: 4.0 s warm of 8.4 s total at sf0.1; guide §1.2 per-task work).
+    // Identical shingle sets: same tokenization, fallback and dedup order
+    // (equivalence pinned in Round12OpsSpec).
     val sets = docs.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)),
-          shingleK))).as("sh"))
+        explode(org.apache.spark.sql.graft.GraftBridge.column(
+          graft.functions.ShingleStrings(
+            org.apache.spark.sql.graft.GraftBridge.expression(col(textCol)),
+            shingleK))).as("sh"))
       .localCheckpoint(true)
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("n"))
     val dfreq = sets.groupBy("sh").agg(count(lit(1)).as("df"))

@@ -436,25 +436,25 @@ object Ml {
       loRank < hiRank, s"bad bootstrap geometry: b=$b [$loRank,$hiRank]")
     val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("long")
     // hex digit b+1 of the per-ROW hash → ascii → the mean-1 weight law:
-    // '0'-'5' → 0, '6'-'9','a','b' → 1, 'c','d' → 2, 'e','f' → 3
-    val a = ascii(col("h").substr(col("b") + 1, lit(1)))
-    val weight = when(a <= 53, 0L)
-      .when(a <= 57 || a <= 98 && a >= 97, 1L)
-      .when(a <= 100, 2L).otherwise(3L)
+    // '0'-'5' → 0, '6'-'9','a','b' → 1, 'c','d' → 2, 'e','f' → 3.
+    // r12 (guide §2.3 — don't multiply rows to aggregate them): the ×B
+    // explode + (g, b) decimal aggregation collapses into ONE single-pass
+    // TypedImperativeAggregate ([[graft.functions.BootstrapMoments]])
+    // holding B×(weight-sum, exact 128-bit weighted sum) per group — the
+    // same weight law evaluated per row instead of per (row × replicate),
+    // with the unweighted slot-0 moments riding along as before.
+    // Bit-identical wsum/wt/n0/s0 (equivalence pinned in Round12OpsSpec).
     val cells = df
       .select(col(groupCol).as("g"), col(keyCol).as("k"), cents.as("t"))
       .withColumn("h", md5(col("k").cast("string")))
-      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
-      .withColumn("w", weight)
-      .groupBy("g", "b")
-      .agg(sum(col("w")).as("wsum"),
-        sum(d380(col("w")) * d380(col("t"))).cast("decimal(38,0)")
-          .as("wt"),
-        // exact unweighted moments ride along for the point estimate
-        sum(when(col("b") === 0, 1L).otherwise(0L)).as("n0"),
-        sum(when(col("b") === 0, d380(col("t")))
-          .otherwise(lit(0).cast("decimal(38,0)")))
-          .cast("decimal(38,0)").as("s0"))
+      .groupBy("g")
+      .agg(GraftFunctions.bootstrap_moments(col("h"), col("t"), b).as("bm"))
+      .select(col("g"), posexplode(col("bm")).as(Seq("b", "m")))
+      .select(col("g"), col("b"),
+        col("m").getField("wsum").as("wsum"),
+        col("m").getField("wt").as("wt"),
+        col("m").getField("n0").as("n0"),
+        col("m").getField("s0").as("s0"))
     val reps = cells.filter(col("wsum") > 0)
       .withColumn("rmean", dd(col("wt")) / dd(col("wsum")) / 100.0)
     val wOrd = Window.partitionBy("g").orderBy(col("rmean"), col("b"))

@@ -167,26 +167,32 @@ object Similarity {
       .select("id", "v")
       .persist()
     // seeds: the nCentroids smallest-hash vectors (a prefix of the sample)
-    var centroids = train.withColumn("__h", xxhash64(col("id")))
+    var model: Array[(Long, Array[Double])] = train
+      .withColumn("__h", xxhash64(col("id")))
       .orderBy("__h").limit(nCentroids)
       .select(monotonically_increasing_id().as("cid"),
         col("v").cast("array<double>").as("cv"))
+      .collect().map(r => (r.getLong(0), rowToVec(r, 1)))
+    // r12 (guide §1.2 — flatten iterative plans): the model is collected to
+    // the driver EVERY round (nCentroids × dim doubles — parameters, not
+    // data) and fed back as literals, so each Lloyd step is one flat
+    // sample-sized job: map-only argmax against the centroid literals
+    // ([[ivfAssignCol]] — same max-sim/min-cid rule the old per-row
+    // broadcast-join + row_number window implemented), then the (cid, dim)
+    // cell average. The old lazy loop nested each round's plan inside the
+    // next round's broadcast — 3 rounds deep, a window shuffle and a
+    // broadcast-build job per round — and was the bulk of q158/q53's
+    // plan-build time (q158: 13.2 s cold / 5.3–6.6 s warm, execute 0.4 s).
     for (_ <- 1 to iters) {
-      // Lloyd step, shuffle-shaped: explode (cid, dim) cells, average per
-      // cell (map-side partial), re-assemble vectors — never collects whole
-      // vectors into one aggregation buffer
-      centroids = train.join(broadcast(centroids))
-        .withColumn("sim", cosine(col("v"), col("cv")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("id").orderBy(desc("sim"), col("cid"))))
-        .filter(col("rn") === 1)
+      model = train
+        .withColumn("cid", ivfAssignCol(model))
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg("x").as("mx"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
           s => s.getField("mx")).as("cv"))
+        .collect().map(r => (r.getLong(0), rowToVec(r, 1)))
     }
-    val model = centroids.collect().map(r => (r.getLong(0), rowToVec(r, 1)))
     train.unpersist()
     model
   }

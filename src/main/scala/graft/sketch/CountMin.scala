@@ -101,25 +101,58 @@ object CountMin {
     * rather than OOMing inside an executor. */
   val MaxWidth = 1 << 22
 
-  def deserialize(bytes: Array[Byte]): CountMin = {
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val tag = in.readByte()
+  /** Validate the wire header and return (depth, width, n). Shared by
+    * [[deserialize]] and [[mergeSerializedInto]]. */
+  private def readHeader(bytes: Array[Byte]): (Int, Int, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val tag = bb.get()
     if (tag != WireTag)
       throw new SketchMergeException(
         f"not a count-min sketch: wire tag 0x$tag%02x (expected 0x$WireTag%02x)")
-    val depth = in.readInt()
-    val width = in.readInt()
+    val depth = bb.getInt
+    val width = bb.getInt
     if (depth < 1 || depth > 16 || width < 16 || width > MaxWidth ||
         (width & (width - 1)) != 0)
       throw new SketchMergeException(s"corrupted count-min sketch: ${depth}x$width")
     if (bytes.length != 17 + 8 * depth * width)
       throw new SketchMergeException(
         s"corrupted count-min sketch: ${bytes.length} bytes for ${depth}x$width")
+    val n = bb.getLong
+    if (n < 0) throw new SketchMergeException(s"corrupted count-min sketch: n=$n")
+    (depth, width, n)
+  }
+
+  def deserialize(bytes: Array[Byte]): CountMin = {
+    val (depth, width, n) = readHeader(bytes)
     val cm = new CountMin(depth, width)
-    cm.n = in.readLong()
-    var i = 0
-    while (i < cm.counters.length) { cm.counters(i) = in.readLong(); i += 1 }
-    if (cm.n < 0) throw new SketchMergeException(s"corrupted count-min sketch: n=${cm.n}")
+    cm.n = n
+    // bulk long view instead of a DataInputStream (which reads byte-at-a-time
+    // through a stream per long — measurable at 20k counters per sketch)
+    java.nio.ByteBuffer.wrap(bytes, 17, 8 * cm.counters.length)
+      .asLongBuffer().get(cm.counters)
     cm
+  }
+
+  /** Merge a SERIALIZED sketch directly into `target` — the counter-add
+    * twin of [[graft.sketch.Sketch.mergeSerializedInto]]: no intermediate
+    * 160 KB counter array per input row in `cm_merge_agg`'s update path
+    * (a default-shape sketch is depth 5 × width 4096 longs). Identical
+    * validation, counters and total weight as deserialize + mergeInPlace. */
+  def mergeSerializedInto(bytes: Array[Byte], target: CountMin): CountMin = {
+    if (target == null) return deserialize(bytes)
+    val (depth, width, n) = readHeader(bytes)
+    if (depth != target.depth || width != target.width)
+      throw new SketchMergeException(
+        s"cannot merge count-min sketches of different shape: " +
+          s"${target.depth}x${target.width} vs ${depth}x$width")
+    target.n += n
+    val lb = java.nio.ByteBuffer.wrap(bytes, 17, 8 * target.counters.length)
+      .asLongBuffer()
+    var i = 0
+    while (i < target.counters.length) {
+      target.counters(i) += lb.get(i)
+      i += 1
+    }
+    target
   }
 }

@@ -30,6 +30,28 @@ class CountMinSpec extends AnyFunSuite {
     }
   }
 
+  test("wire-format merge is bit-identical to deserialize+mergeInPlace") {
+    // mergeSerializedInto is cm_merge_agg's hot update path (r12)
+    val a = new CountMin(5, 256)
+    val b = new CountMin(5, 256)
+    for (k <- 1L to 500L) { a.offerHash(hash(k)); if (k % 3 == 0) b.offerHash(hash(k), 2L) }
+    val viaObj = CountMin.deserialize(a.serialize())
+    viaObj.mergeInPlace(CountMin.deserialize(b.serialize()))
+    val viaWire = CountMin.mergeSerializedInto(b.serialize(), CountMin.deserialize(a.serialize()))
+    assert(java.util.Arrays.equals(viaWire.serialize(), viaObj.serialize()))
+    assert(viaWire.totalWeight == viaObj.totalWeight)
+    // null target deserializes fresh
+    val fresh = CountMin.mergeSerializedInto(b.serialize(), null)
+    assert(java.util.Arrays.equals(fresh.serialize(), b.serialize()))
+    // shape mismatch and corrupt payloads raise like the object path
+    val other = new CountMin(5, 512); other.offerHash(hash(1L))
+    intercept[SketchMergeException](
+      CountMin.mergeSerializedInto(other.serialize(), new CountMin(5, 256)))
+    val corrupt = a.serialize().take(40)
+    intercept[SketchMergeException](
+      CountMin.mergeSerializedInto(corrupt, new CountMin(5, 256)))
+  }
+
   test("merge of split streams is bit-identical to one-shot") {
     def sk(r: Range): CountMin = {
       val cm = new CountMin(5, 256)

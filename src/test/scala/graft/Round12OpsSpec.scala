@@ -47,20 +47,101 @@ class Round12OpsSpec extends AnyFunSuite {
       ("B", Some("k4"), Some(7L)),
       ("B", Some("k5"), Some(Long.MaxValue / 4)),
       ("B", Some("k6"), Some(Long.MaxValue / 4)),
-      ("C", None, None))
+      ("C", None, None),
+      ("D", Some("kx"), None)) // bit-set slots with ONLY a null value ⇒ t1 NULL
     val base = rows.toDF("g", "k", "v0")
       .select(col("g"), col("v0").as("v"), md5(col("k").cast("string")).as("h"))
     for (r <- Seq(4, 16, 32)) {
-      val expect = repsViaExplode(base, r)
-        .select("g", "b", "m1", "t1").collect()
+      def canon(df: DataFrame) = df.select("g", "b", "m1", "t1").collect()
         .map(x => (x.getString(0), x.getInt(1), x.getLong(2),
-          x.getDecimal(3).toPlainString)).toSet
-      val got = repsViaAgg(base, r)
-        .select("g", "b", "m1", "t1").collect()
-        .map(x => (x.getString(0), x.getInt(1), x.getLong(2),
-          x.getDecimal(3).toPlainString)).toSet
+          Option(x.getDecimal(3)).map(_.toPlainString).getOrElse("NULL"))).toSet
+      val expect = canon(repsViaExplode(base, r))
+      val got = canon(repsViaAgg(base, r))
       assert(got == expect, s"r=$r")
     }
+  }
+
+  /** The OLD q226 bootstrap cell pipeline (pre-r12): per-(row, replicate)
+    * weight law through a ×B explode — ground truth for
+    * [[graft.functions.BootstrapMoments]]. */
+  private def cellsViaExplode(base: DataFrame, b: Int): DataFrame = {
+    val a = ascii(col("h").substr(col("b") + 1, lit(1)))
+    val weight = when(a <= 53, 0L)
+      .when(a <= 57 || a <= 98 && a >= 97, 1L)
+      .when(a <= 100, 2L).otherwise(3L)
+    base
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("w", weight)
+      .groupBy("g", "b")
+      .agg(sum(col("w")).as("wsum"),
+        sum(col("w").cast("decimal(38,0)") * col("t").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("wt"),
+        sum(when(col("b") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("b") === 0, col("t").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("decimal(38,0)").as("s0"))
+  }
+
+  private def cellsViaAgg(base: DataFrame, b: Int): DataFrame =
+    base
+      .groupBy("g")
+      .agg(GraftFunctions.bootstrap_moments(col("h"), col("t"), b).as("bm"))
+      .select(col("g"), posexplode(col("bm")).as(Seq("b", "m")))
+      .select(col("g"), col("b"),
+        col("m").getField("wsum").as("wsum"), col("m").getField("wt").as("wt"),
+        col("m").getField("n0").as("n0"), col("m").getField("s0").as("s0"))
+
+  test("bootstrap_moments_agg ≡ explode pipeline (incl. NULL md5, NULL value, negatives)") {
+    val rows = Seq(
+      ("A", Some("o1"), Some(1050L)),
+      ("A", Some("o2"), Some(-990L)),
+      ("A", Some("o3"), None), // NULL value: in wsum/n0, not in wt/s0
+      ("A", None, Some(77L)), // NULL key ⇒ NULL md5 ⇒ weight 3 each slot
+      ("B", Some("o4"), Some(3L)),
+      ("B", Some("o5"), Some(Long.MaxValue / 8)),
+      ("C", None, None), // group with no non-null value ⇒ wt/s0 NULL
+      ("D", Some("ox"), None))
+    val base = rows.toDF("g", "k", "v0")
+      .select(col("g"), col("v0").as("t"), md5(col("k").cast("string")).as("h"))
+      .repartition(4) // force partial/final buffer serialization
+    for (b <- Seq(4, 32)) {
+      def canon(df: DataFrame) = df.select("g", "b", "wsum", "wt", "n0", "s0")
+        .collect()
+        .map(x => (x.getString(0), x.getInt(1), x.getLong(2),
+          Option(x.getDecimal(3)).map(_.toPlainString).getOrElse("NULL"),
+          x.getLong(4),
+          Option(x.getDecimal(5)).map(_.toPlainString).getOrElse("NULL"))).toSet
+      assert(canon(cellsViaAgg(base, b)) == canon(cellsViaExplode(base, b)), s"b=$b")
+    }
+  }
+
+  test("shingle_strings ≡ array_distinct(shingles(tokens(text))) on edge cases") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b", // repeated shingles → dedup order matters
+      "one two", // fewer tokens than k → whole-text fallback
+      "single",
+      "", // no tokens → one empty shingle
+      "   leading and   multiple   spaces\ttabs\nnewlines  ",
+      "x y z x y z x y z")
+    val df = texts.toDF("text")
+    val composed = df.select(col("text"),
+      array_distinct(Dedup.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
+    val kernel = df.select(col("text"),
+      org.apache.spark.sql.graft.GraftBridge.column(
+        graft.functions.ShingleStrings(
+          org.apache.spark.sql.graft.GraftBridge.expression(col("text")), 3)).as("sh"))
+    val a = composed.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val b = kernel.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(a == b) // same shingles, same order (array_distinct keeps first occurrence)
+    // and the hash twin sees exactly these shingles
+    val viaHash = graft.functions.ShingleHashes.distinctHashes(
+      org.apache.spark.unsafe.types.UTF8String.fromString(texts.head), 3).toSeq
+    val hashed = b(texts.head).map(s =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L))
+    assert(viaHash == hashed)
   }
 
   test("replicate_moments_agg 128-bit sums survive partial/final serialization") {
