@@ -1469,6 +1469,19 @@ object Similarity {
     |  (acc, d) -> CAST(acc + CAST(d AS DECIMAL(38,0))
     |    * CAST(d AS DECIMAL(38,0)) AS DECIMAL(38,0)))""".stripMargin
 
+  // r12 tight-loop twins of the nanoD2 SQL chain (HOFs are CodegenFallback,
+  // interpreted per element — q385/q400/q411's whole pair-loop cost; see
+  // [[graft.functions.NanoUnits]]): quantize each side ONCE per row, then
+  // the per-pair distance is a pure long/128-bit loop. Same values, same
+  // NULL semantics (equivalence pinned in Round12OpsSpec).
+  private def nanoUnits(c: Column): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(graft.functions.NanoUnits(
+      org.apache.spark.sql.graft.GraftBridge.expression(c)))
+  private def nanoD2Longs(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftBridge.column(graft.functions.NanoD2Longs(
+      org.apache.spark.sql.graft.GraftBridge.expression(a),
+      org.apache.spark.sql.graft.GraftBridge.expression(b)))
+
   /** The (10,9) quantization behind [[nanoD2]] NULLs any |component| ≥ 10
     * (and NaN) under non-ANSI Spark. A NULL pair distance is not an error
     * downstream — it silently drops the point from argmax/least updates,
@@ -1488,15 +1501,19 @@ object Similarity {
       k: Int): DataFrame = {
     require(k >= 2, s"k >= 2: $k")
     val spark = df.sparkSession
-    val d2 = nanoD2("v", "cv")
+    // nano units computed once per row at the checkpoint; each round's
+    // distance is then the tight long-loop kernel (see nanoUnits above)
     val qv = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("v")).localCheckpoint(false)
-    requireNanoGridSafe(qv, "v", "greedyKCenter")
+        col(vecCol).as("v"))
+      .withColumn("vn", nanoUnits(col("v"))).drop("v")
+      .localCheckpoint(false)
+    requireNanoGridSafe(df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v")), "v", "greedyKCenter")
     val seed = qv.agg(min("id")).head().getLong(0)
     var mind = qv
       .crossJoin(broadcast(qv.filter(col("id") === seed)
-        .select(col("v").as("cv"))))
-      .select(col("id"), col("v"), expr(d2).as("d"))
+        .select(col("vn").as("cvn"))))
+      .select(col("id"), col("vn"), nanoD2Longs(col("vn"), col("cvn")).as("d"))
       .localCheckpoint(false)
     val picks = scala.collection.mutable.ArrayBuffer(
       (1L, seed, Option.empty[Double]))
@@ -1506,10 +1523,10 @@ object Similarity {
           (col("d").cast("double") / lit(1e18)).as("d")).head()
       picks += ((r.toLong, top.getLong(0), Some(top.getDouble(1))))
       val cv = qv.filter(col("id") === top.getLong(0))
-        .select(col("v").as("cv"))
+        .select(col("vn").as("cvn"))
       val next = mind.crossJoin(broadcast(cv))
-        .select(col("id"), col("v"),
-          least(col("d"), expr(d2)).as("d"))
+        .select(col("id"), col("vn"),
+          least(col("d"), nanoD2Longs(col("vn"), col("cvn"))).as("d"))
         .localCheckpoint(false)
       mind.unpersist()
       mind = next
@@ -1552,12 +1569,14 @@ object Similarity {
     require(probeMod >= 2 && k >= 1 && topHubs >= 1 && maxProbes >= 1,
       s"bad args: $probeMod $k $topHubs $maxProbes")
     val dd = (c: Column) => c.cast("double")
-    val d2 = nanoD2("v", "pv")
     val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
     requireNanoGridSafe(base, "v", "hubnessAudit")
-    val probes = base.filter(col("id") % probeMod === 0)
-      .select(col("id").as("pid"), col("v").as("pv"))
+    // nano units once per corpus row / probe row; the pair loop below is
+    // the tight long-loop kernel (see nanoUnits above)
+    val baseN = base.select(col("id"), nanoUnits(col("v")).as("vn"))
+    val probes = baseN.filter(col("id") % probeMod === 0)
+      .select(col("id").as("pid"), col("vn").as("pvn"))
     // The mod-sampled panel is a FIXED FRACTION of the corpus, so at 100×
     // scale the broadcast side is 100× today's payload — a hard executor
     // OOM, not a slowdown. Enforce a fixed-size panel (real usage passes a
@@ -1569,9 +1588,9 @@ object Similarity {
       s"rows > maxProbes=$maxProbes — the panel is broadcast, so it must " +
       "be a fixed-size eval panel, not a corpus fraction; raise probeMod " +
       "or pass an explicit bounded panel")
-    val ranked = base.crossJoin(broadcast(probes))
+    val ranked = baseN.crossJoin(broadcast(probes))
       .filter(col("id") =!= col("pid"))
-      .select(col("pid"), col("id"), expr(d2).as("dist"))
+      .select(col("pid"), col("id"), nanoD2Longs(col("vn"), col("pvn")).as("dist"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("pid").orderBy(asc("dist"), asc("id")))
         .cast("long"))
@@ -1607,16 +1626,19 @@ object Similarity {
     require(probeMod >= 2 && tau2Nano > 0 && maxProbes >= 1,
       s"bad args: $probeMod $tau2Nano $maxProbes")
     val dd = (c: Column) => c.cast("double")
-    val d2 = nanoD2("v", "pv")
     val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
     // an out-of-grid train vector would get a NULL pair distance and
     // silently fall out of the `<= tau` flag set — a missed leak, the
     // worst failure mode a decontamination check can have (ADVICE r10)
     requireNanoGridSafe(base, "v", "embeddingDecontamination")
-    val evalP = base.filter(col("id") % probeMod === 0)
-      .select(col("id").as("pid"), col("v").as("pv"))
-    val train = base.filter(col("id") % probeMod =!= 0)
+    // nano units once per row; the panel × corpus pair loop is the tight
+    // long-loop kernel (see nanoUnits above — was 4.8 s of interpreted
+    // HOF evaluation at sf0.1, the query's entire cost)
+    val baseN = base.select(col("id"), nanoUnits(col("v")).as("vn"))
+    val evalP = baseN.filter(col("id") % probeMod === 0)
+      .select(col("id").as("pid"), col("vn").as("pvn"))
+    val train = baseN.filter(col("id") % probeMod =!= 0)
     // fixed-size broadcast panel, same bound + rationale as [[hubnessAudit]]
     val nProbes = evalP.count()
     require(nProbes <= maxProbes, s"embeddingDecontamination eval panel " +
@@ -1624,7 +1646,8 @@ object Similarity {
       "broadcast, so it must be a fixed-size eval panel, not a corpus " +
       "fraction; raise probeMod or pass an explicit bounded panel")
     val flagged = train.crossJoin(broadcast(evalP))
-      .filter(expr(d2) <= lit(BigDecimal(tau2Nano)).cast("decimal(38,0)"))
+      .filter(nanoD2Longs(col("vn"), col("pvn")) <=
+        lit(BigDecimal(tau2Nano)).cast("decimal(38,0)"))
       .select("id").distinct()
     val counts = train.agg(count(lit(1)).as("n_train"))
       .crossJoin(evalP.agg(count(lit(1)).as("n_eval")))

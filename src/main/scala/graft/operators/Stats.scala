@@ -3119,16 +3119,34 @@ object Stats {
           datediff(lit(splitDate), lit("1992-01-01")), 0).otherwise(1)
           .as("h"))
       .groupBy("h", "vc").agg(count(lit(1)).as("cnt"))
-    val wOrd = Window.partitionBy("h").orderBy("vc")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("h")
-    val cum = base.withColumn("cum", sum("cnt").over(wOrd))
-      .withColumn("n", sum("cnt").over(wAll))
-    val qs = df.sparkSession.range(1L, nQ.toLong).select(col("id").as("d"))
-    val quant = cum.crossJoin(broadcast(qs))
-      .filter(col("cum") >= ceil(col("n").cast("double")
-        * col("d").cast("double") / lit(nQ.toDouble)).cast("long"))
-      .groupBy("h", "d").agg(min("vc").as("q"))
+    // r12 (guide §2.3/§2.5): the old shape ran the cumulative count as a
+    // TWO-partition running window (partitionBy the half flag — two tasks
+    // scan the whole histogram serially) and then crossJoined every
+    // histogram row with the nQ−1 decile targets to re-filter and
+    // min-aggregate. Both disappear: the cumulative count is the parallel
+    // range-partitioned prefix sum (Rank.globalRankPrefix — per-half cum =
+    // global prefix − the lower half's broadcast total), and each histogram
+    // row EMITS exactly the deciles it is the minimal qualifying row for:
+    // d ∈ (dmax(cum − cnt), dmax(cum)] with dmax(c) = (c·nQ) div n, which is
+    // algebraically `min vc with cum ≥ ceil(n·d/nQ)` — same exact integer
+    // arithmetic, zero re-scan. (Measured at sf0.1: 4.1–5.5 s → see
+    // OPTIMIZATION_r12.md.)
+    val totals = base.groupBy("h").agg(sum("cnt").as("n"))
+    val offs = totals
+      .join(broadcast(totals.select(col("h").as("__h2"), col("n").as("__n2"))),
+        col("__h2") < col("h"), "left")
+      .groupBy(col("h"), col("n"))
+      .agg(coalesce(sum(col("__n2")), lit(0L)).as("off"))
+    val quant = Rank
+      .globalRankPrefix(base, Seq(col("h"), col("vc")),
+        Seq(("cumg", col("cnt"))))
+      .join(broadcast(offs), Seq("h"))
+      .withColumn("cum", col("cumg") - col("off"))
+      .withColumn("dhi", expr(s"least((cum * $nQ) div n, ${nQ - 1})"))
+      .withColumn("dlo", expr(s"greatest(((cum - cnt) * $nQ) div n + 1, 1)"))
+      .filter(col("dhi") >= col("dlo"))
+      .select(col("h"), col("vc").as("q"),
+        explode(sequence(col("dlo"), col("dhi"))).as("d"))
     quant.filter(col("h") === 0)
       .select(col("d"), col("q").as("q_early_c"))
       .join(quant.filter(col("h") === 1)

@@ -144,6 +144,56 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(viaHash == hashed)
   }
 
+  test("nano_units + nano_d2 ≡ the aggregate(zip_with(...)) decimal chain") {
+    val d2Sql = """aggregate(
+      |  zip_with(a, b, (x, y) ->
+      |    CAST(CAST(x AS DECIMAL(10,9)) * 1000000000 AS BIGINT)
+      |      - CAST(CAST(y AS DECIMAL(10,9)) * 1000000000 AS BIGINT)),
+      |  CAST(0 AS DECIMAL(38,0)),
+      |  (acc, d) -> CAST(acc + CAST(d AS DECIMAL(38,0))
+      |    * CAST(d AS DECIMAL(38,0)) AS DECIMAL(38,0)))""".stripMargin
+    val rnd = new scala.util.Random(17)
+    def vec(n: Int): Seq[Float] = Seq.fill(n)((rnd.nextDouble() * 19 - 9.5).toFloat)
+    // in-grid rows + a length mismatch; out-of-grid/NaN components make the
+    // OLD chain THROW under Spark 4's default ANSI casts (and are rejected
+    // upstream by requireNanoGridSafe), so the kernel's NULL behavior for
+    // them is asserted separately below
+    val rows: Seq[(Seq[Float], Seq[Float])] = Seq(
+      (vec(64), vec(64)),
+      (Seq(0.1f, -0.25f, 9.9999f), Seq(-0.1f, 0.25f, -9.9999f)),
+      (Seq(1.5f), Seq(1.5f)),
+      (Seq(9.999999f, 0f), Seq(-9.999999f, 0f)), // near the grid edge
+      (vec(8), vec(7))) // length mismatch → NULL
+    val df = rows.toDF("a", "b")
+    def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.graft.GraftBridge.column(e)
+    def ex(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.GraftBridge.expression(c)
+    val both = df.select(
+      expr(d2Sql).as("old"),
+      bridge(graft.functions.NanoD2Longs(
+        ex(bridge(graft.functions.NanoUnits(ex(col("a"))))),
+        ex(bridge(graft.functions.NanoUnits(ex(col("b"))))))).as("neu"))
+      .collect()
+    both.zipWithIndex.foreach { case (r, i) =>
+      val o = Option(r.getDecimal(0)).map(_.toPlainString)
+      val n = Option(r.getDecimal(1)).map(_.toPlainString)
+      assert(o == n, s"row $i: old=$o new=$n")
+    }
+    // the realistic rows (first four) must be non-null, the mismatch null
+    assert(both.take(4).forall(_.getDecimal(0) != null))
+    assert(both.drop(4).forall(_.getDecimal(1) == null))
+    // kernel-level: out-of-grid and NaN components yield NULL (the non-ANSI
+    // cast behavior; unreachable behind requireNanoGridSafe)
+    val edge = Seq((Seq(10.5f, 1f), Seq(0f, 1f)), (Seq(Float.NaN, 1f), Seq(0f, 1f)))
+      .toDF("a", "b")
+      .select(bridge(graft.functions.NanoD2Longs(
+        ex(bridge(graft.functions.NanoUnits(ex(col("a"))))),
+        ex(bridge(graft.functions.NanoUnits(ex(col("b"))))))).as("d"))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("replicate_moments_agg 128-bit sums survive partial/final serialization") {
     // many partitions force serialize/deserialize + merge of partial buffers;
     // values near Long.MaxValue force the 128-bit carry path
