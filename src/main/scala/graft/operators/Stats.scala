@@ -3119,29 +3119,23 @@ object Stats {
           datediff(lit(splitDate), lit("1992-01-01")), 0).otherwise(1)
           .as("h"))
       .groupBy("h", "vc").agg(count(lit(1)).as("cnt"))
-    // r12 (guide §2.3/§2.5): the old shape ran the cumulative count as a
-    // TWO-partition running window (partitionBy the half flag — two tasks
-    // scan the whole histogram serially) and then crossJoined every
-    // histogram row with the nQ−1 decile targets to re-filter and
-    // min-aggregate. Both disappear: the cumulative count is the parallel
-    // range-partitioned prefix sum (Rank.globalRankPrefix — per-half cum =
-    // global prefix − the lower half's broadcast total), and each histogram
-    // row EMITS exactly the deciles it is the minimal qualifying row for:
-    // d ∈ (dmax(cum − cnt), dmax(cum)] with dmax(c) = (c·nQ) div n, which is
-    // algebraically `min vc with cum ≥ ceil(n·d/nQ)` — same exact integer
-    // arithmetic, zero re-scan. (Measured at sf0.1: 4.1–5.5 s → see
-    // OPTIMIZATION_r12.md.)
-    val totals = base.groupBy("h").agg(sum("cnt").as("n"))
-    val offs = totals
-      .join(broadcast(totals.select(col("h").as("__h2"), col("n").as("__n2"))),
-        col("__h2") < col("h"), "left")
-      .groupBy(col("h"), col("n"))
-      .agg(coalesce(sum(col("__n2")), lit(0L)).as("off"))
-    val quant = Rank
-      .globalRankPrefix(base, Seq(col("h"), col("vc")),
-        Seq(("cumg", col("cnt"))))
-      .join(broadcast(offs), Seq("h"))
-      .withColumn("cum", col("cumg") - col("off"))
+    // r12 (guide §2.3): the old shape crossJoined EVERY histogram row with
+    // the nQ−1 decile targets and re-filtered + min-aggregated the ×9
+    // product. Instead each histogram row EMITS exactly the deciles it is
+    // the minimal qualifying row for: d ∈ (dmax(cum − cnt), dmax(cum)] with
+    // dmax(c) = (c·nQ) div n — algebraically `min vc with cum ≥
+    // ceil(n·d/nQ)`, same exact integer arithmetic, zero re-scan. The
+    // cumulative count keeps the per-half running window (2 partitions —
+    // fine: the histogram is value-domain-sized, not row-sized; a
+    // range-partitioned prefix-sum variant measured FASTER warm but its
+    // cold run — extra sampling pass + checkpoint — pushed the query past
+    // the bench's 8 s single-run threshold, 4.7 → 9.0 s recorded; kept the
+    // window). (Measured at sf0.1: warm 4.1–5.5 s → ~2.5 s.)
+    val wOrd = Window.partitionBy("h").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("h")
+    val quant = base.withColumn("cum", sum("cnt").over(wOrd))
+      .withColumn("n", sum("cnt").over(wAll))
       .withColumn("dhi", expr(s"least((cum * $nQ) div n, ${nQ - 1})"))
       .withColumn("dlo", expr(s"greatest(((cum - cnt) * $nQ) div n + 1, 1)"))
       .filter(col("dhi") >= col("dlo"))

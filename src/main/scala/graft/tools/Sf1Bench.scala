@@ -55,16 +55,28 @@ object Sf1Bench {
     "q226_bootstrap_ci", "q222_spearman_trend", "q237_roc_auc",
     "q248_item_knn", "q253_rake_keyphrases", "q233_int8_quant",
     "q254_source_overlap", "q243_table_checksum", "q247_theil_sen",
-    "q227_oov_rate")
+    "q227_oov_rate",
+    // r12 heavies: the round-12 optimization targets at one SF up, for the
+    // c8-vs-c32 scaling table (the sf0.1 bench is overhead-bound and
+    // structurally cannot show parallel speedup)
+    "q298_rowframe_sketch_window", "q264_adamic_adar",
+    "q279_randomization_test", "q341_bh_fdr", "q266_markov_attribution",
+    "q211_kcore", "q309_theil_sen", "q379_quantile_shift",
+    "q411_embedding_decontamination", "q127_sliding_cm_freq")
 
   def main(args: Array[String]): Unit = {
     val runs = if (args.nonEmpty) args(0).toInt else 3
-    // optional 2nd arg: comma-separated subset of the query list
+    // optional 2nd arg: comma-separated queries — any DECLARED query name
+    // is accepted (the default list is just the curated heavies)
     val selected =
-      if (args.length > 1) Queries.filter(args(1).split(",").contains)
+      if (args.length > 1) args(1).split(",").toSeq.filter(SparkEntry.queries.contains)
       else Queries
-    val spark = SparkSession.builder().master("local[32]").appName("graft-sf1")
-      .config("spark.sql.shuffle.partitions", "32")
+    // r12: honor SPARK_GRAFT_CPUS like Bench, so the sf1 heavies can be
+    // measured at 8 vs 32 cores for the scaling table (a hard-coded
+    // local[32] made the parallel-speedup question unanswerable)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]").appName("graft-sf1")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -127,8 +139,9 @@ object Sf1Bench {
       if (i == 0) d
       else d.withColumn("text", concat(col("text"), lit(s" graftrep$i")))
     }.write.mode("overwrite").parquet(s"$Out/documents.parquet")
-    // small dims pass through unchanged
-    for (t <- Seq("nation", "region"))
+    // small dims pass through unchanged (part/supplier: lineitem keeps its
+    // original l_partkey/l_suppkey per replica, so the dims stay valid)
+    for (t <- Seq("nation", "region", "part", "supplier"))
       Tables.load(spark, Src, t).write.mode("overwrite").parquet(s"$Out/$t.parquet")
   }
 

@@ -414,18 +414,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() == expected)
   }
 
-  test("q226 plan: the 32x bootstrap fan-out collapses under one " +
-      "map-side-combined aggregation — no shuffle of exploded rows") {
+  test("q226 plan: the 32x bootstrap fan-out is ONE single-pass typed " +
+      "aggregate — no per-row replicate explode anywhere below it") {
     val plan = graft.operators.Ml.q226BootstrapCI(spark, sf)
       .queryExecution.executedPlan.toString
-    // partial aggregate must sit BELOW (deeper than) the first exchange:
-    // the (group x replicate) cells shuffle, never the fanned-out rows
-    val partialAt = plan.indexOf("partial_")
+    // r12: the replicate cells come from bootstrap_moments_agg (one
+    // B-slot buffer per group), map-side-combined below the exchange
+    val partialAt = plan.indexOf("partial_bootstrap_moments_agg")
     val exchangeAt = plan.indexOf("Exchange")
     assert(partialAt >= 0 && exchangeAt >= 0 && partialAt > exchangeAt,
       s"no map-side combine below the shuffle (partial@$partialAt " +
         s"exchange@$exchangeAt)")
-    assert(plan.contains("explode"), "replicate fan-out missing")
+    // the only Generate is the B-slot posexplode of the per-group result,
+    // ABOVE the aggregate (earlier in the top-down plan text) — the raw
+    // rows are never multiplied
+    val genAt = plan.indexOf("Generate")
+    assert(genAt >= 0 && genAt < partialAt,
+      s"replicate fan-out below the aggregate (generate@$genAt " +
+        s"partial@$partialAt)")
   }
 
   test("q248 plan: item-kNN pair space comes from the basket equi-join " +
